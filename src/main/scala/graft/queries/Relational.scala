@@ -1,0 +1,462 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Core relational operator inventory (SURVEY.md §2), expressed Spark-first.
+  *
+  * Each entry mirrors one operator family of the reference engine
+  * (Sharptail/KAJ-Query-Engine, a Volcano-model SPJ engine):
+  *   - Scan            -> parquet scan            (ref src/qp/operators/Scan.java)
+  *   - Select          -> Catalyst Filter          (ref src/qp/operators/Select.java)
+  *   - Project         -> Catalyst Project         (ref src/qp/operators/Project.java)
+  *   - NestedJoin / BlockNestedJoin / SortMergeJoin
+  *                     -> Catalyst JoinSelection picks broadcast-hash /
+  *                        shuffled-hash / sort-merge / BNL
+  *                        (ref src/qp/operators/NestedJoin.java etc.)
+  *   - Aggregate       -> partial+final HashAggregate (ref src/qp/operators/Aggregate.java)
+  *   - ExternalSort / driver ORDERBY -> SortExec   (ref src/QueryMain.java:205-261)
+  *   - driver DISTINCT -> hash aggregate           (ref src/QueryMain.java:221-245)
+  *
+  * Every query ends in a deterministic total ordering so the oracle compare
+  * is order-insensitive. Double aggregates are rounded on BOTH sides so
+  * summation-order ulp noise cannot flip the hash.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  // Money arithmetic runs in exact DECIMAL and is cast to double only at the
+  // end: double-sum results depend on partition/summation order, so a
+  // hash-exact oracle compare needs order-independent (exact) aggregation.
+  // The same pattern holds at 100 TB — TPC-H models money as DECIMAL(12,2).
+  private def dec2(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def rate2(c: Column): Column = c.cast(DecimalType(4, 2))
+  // l_extendedprice * (1 - l_discount), exact: DECIMAL(12,2) * DECIMAL(4,2)
+  private def netExpr: Column =
+    dec2(col("l_extendedprice")) * (lit(1) - rate2(col("l_discount"))).cast(DecimalType(4, 2))
+  // ... * (1 + l_tax): DECIMAL(17,4) * DECIMAL(4,2)
+  private def chargeExpr: Column =
+    netExpr * (lit(1) + rate2(col("l_tax"))).cast(DecimalType(4, 2))
+  private val sqlNet =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+  private val sqlCharge =
+    sqlNet + " * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Scan (full table) — ref Scan.java:19-139 -------------------------
+    QueryDef("q01_scan",
+      (s, d) => t(s, d, "nation").orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // ---- Filter + Project (sigma + pi) — ref Select.java, Project.java ----
+    QueryDef("q02_filter_project",
+      (s, d) => t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 1000.0)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- All six comparison ops across INT/STRING/DOUBLE/TIMESTAMP --------
+    // ref Select.checkCondition (Select.java:181-271) evaluates typed
+    // comparisons; Catalyst BinaryComparison + parquet pushdown replace it.
+    QueryDef("q03_filter_ops",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") =!= "A" &&
+          col("l_quantity") <= 10.0 &&
+          col("l_linenumber") >= 2 &&
+          col("l_discount") < 0.05 &&
+          col("l_shipdate") >= to_timestamp(lit("1998-01-01")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata — sort by
+        // every output column for a total order (up to identical rows).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem
+             |WHERE l_returnflag != 'A' AND l_quantity <= 10 AND l_linenumber >= 2
+             |  AND l_discount < 0.05 AND l_shipdate >= TIMESTAMP '1998-01-01'
+             |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin)),
+
+    // ---- Projection with computed columns (beyond the reference's
+    // attribute-list-only Project, SURVEY §2.4) ----------------------------
+    QueryDef("q04_project_expr",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          netExpr.cast("double").as("net_price"),
+          chargeExpr.cast("double").as("charged"))
+        .orderBy("l_orderkey", "l_linenumber", "net_price", "charged"),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+             |  CAST($sqlNet AS DOUBLE) AS net_price,
+             |  CAST($sqlCharge AS DOUBLE) AS charged
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber, net_price, charged""".stripMargin)),
+
+    // ---- Two-table equi-join + group aggregate ---------------------------
+    QueryDef("q05_join_agg", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy("c_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+      headline = true),
+
+    // ---- Three-table join (TPC-H Q3 shape): shipping-priority-ish --------
+    QueryDef("q06_join3_topk", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < to_timestamp(lit("1998-06-01")))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") > to_timestamp(lit("1998-06-01")))
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(netExpr).cast("double").as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(20)
+    },
+      Some(s"""SELECT l_orderkey, CAST(sum($sqlNet) AS DOUBLE) AS revenue,
+             |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-06-01'
+             |  AND l_shipdate > TIMESTAMP '1998-06-01'
+             |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+             |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin),
+      headline = true),
+
+    // ---- Star join over 6 tables (TPC-H Q5 shape); small dims broadcast --
+    QueryDef("q07_starjoin_region", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val l = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(netExpr).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+      Some(s"""SELECT n_name, CAST(sum($sqlNet) AS DOUBLE) AS revenue
+             |FROM customer
+             |  JOIN orders   ON c_custkey = o_custkey
+             |  JOIN lineitem ON o_orderkey = l_orderkey
+             |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |  JOIN nation   ON s_nationkey = n_nationkey
+             |  JOIN region   ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      headline = true),
+
+    // ---- Pure theta (non-equi) join. The reference parses `attr < attr`
+    // across tables but silently evaluates it as equality
+    // (SQLQuery.java:59-66 vs NestedJoin.java:140); we implement the real
+    // semantics — Catalyst plans a BroadcastNestedLoopJoin. ----------------
+    QueryDef("q08_theta_join", (s, d) => {
+      val n1 = t(s, d, "nation").select(col("n_nationkey").as("k1"), col("n_name").as("nation_a"))
+      val n2 = t(s, d, "nation").select(col("n_nationkey").as("k2"), col("n_name").as("nation_b"))
+      n1.join(n2, col("k1") < col("k2"))
+        .select("nation_a", "nation_b")
+        .orderBy("nation_a", "nation_b")
+    },
+      Some("""SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
+             |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+             |ORDER BY nation_a, nation_b""".stripMargin)),
+
+    // ---- Multi-condition equi-join (conditionList, ref Join.java:16,36-41,
+    // Tuple.checkJoin list form Tuple.java:50-61) --------------------------
+    QueryDef("q09_multikey_join", (s, d) => {
+      val l = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("l_shipdate") === o("o_orderdate"))
+        .groupBy(col("l_returnflag"))
+        // l_quantity values are whole numbers: double sums are exact
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem JOIN orders
+             |  ON l_orderkey = o_orderkey AND l_shipdate = o_orderdate
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Whole-table aggregation, all five agg types MIN/MAX/SUM/COUNT/AVG
+    // (ref AggregateAttribute.java:3-120) plus exact COUNT DISTINCT --------
+    QueryDef("q10_agg_global",
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum("l_quantity").as("sum_qty"),
+        // exact-decimal sum / count: deterministic avg without double-sum noise
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        min("l_returnflag").as("min_flag"),
+        max("l_returnflag").as("max_flag"),
+        countDistinct(col("l_partkey")).as("n_parts")),
+      Some("""SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             |  min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag,
+             |  count(DISTINCT l_partkey) AS n_parts
+             |FROM lineitem""".stripMargin)),
+
+    // ---- Grouped aggregation (TPC-H Q1 pricing summary). The reference
+    // parses GROUPBY but aborts planning (RandomInitialPlan.java:51-54);
+    // this is the standard-semantics extension. ----------------------------
+    QueryDef("q11_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
+          sum(netExpr).cast("double").as("sum_disc"),
+          sum(chargeExpr).cast("double").as("sum_charge"),
+          (sum("l_quantity") / count(lit(1))).as("avg_qty"),
+          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(rate2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
+             |  CAST(sum($sqlNet) AS DOUBLE) AS sum_disc,
+             |  CAST(sum($sqlCharge) AS DOUBLE) AS sum_charge,
+             |  sum(l_quantity) / count(*) AS avg_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+             |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      headline = true),
+
+    // ---- The reference's mixed agg/non-agg quirk: with MAX in the SELECT
+    // list, non-agg columns come from the tuple achieving the MAX
+    // (ref Aggregate.java:123-150). Deterministic arg-max via row_number
+    // with a unique tiebreak. ----------------------------------------------
+    QueryDef("q12_argmax_quirk", (s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus")
+    },
+      Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderstatus
+             |                       ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)),
+
+    // ---- DISTINCT — the reference runs it driver-side O(n^2)
+    // (QueryMain.java:221-245); here it is a distributed hash aggregate ----
+    QueryDef("q13_distinct",
+      (s, d) => t(s, d, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- ORDER BY DESC multi-key — ref QueryMain.java:248-261 flips the
+    // whole key list; here each key carries its own direction --------------
+    QueryDef("q14_orderby_desc",
+      (s, d) => t(s, d, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").desc),
+      Some("""SELECT c_custkey, c_acctbal FROM customer
+             |ORDER BY c_acctbal DESC, c_custkey DESC""".stripMargin)),
+
+    // ---- Top-K: ORDER BY + LIMIT (absent in the reference, SURVEY §2.6).
+    // Spark plans TakeOrderedAndProject — no global sort materialized. -----
+    QueryDef("q15_topk",
+      (s, d) => t(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
+      headline = true),
+
+    // ---- Set operations (absent in reference; Schema.checkCompat is dead
+    // code, Schema.java:114-126) -------------------------------------------
+    QueryDef("q16_union", (s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      c.union(su).distinct().orderBy("nk")
+    },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin)),
+
+    QueryDef("q17_intersect", (s, d) => {
+      val hi = t(s, d, "customer").filter(col("c_acctbal") > 9000).select(col("c_nationkey").as("nk"))
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+      hi.intersect(su).orderBy("nk")
+    },
+      Some("""SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+             |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin)),
+
+    QueryDef("q18_except", (s, d) => {
+      val nat = t(s, d, "nation").select(col("n_nationkey").as("nk"))
+      val su = t(s, d, "supplier").filter(col("s_acctbal") > 0).select(col("s_nationkey").as("nk"))
+      nat.except(su).orderBy("nk")
+    },
+      Some("""SELECT n_nationkey AS nk FROM nation
+             |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 0
+             |ORDER BY nk""".stripMargin)),
+
+    // ---- Semi / anti joins (EXISTS / NOT EXISTS) -------------------------
+    QueryDef("q19_semijoin", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q20_antijoin", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Left outer join with null-aware aggregation ---------------------
+    QueryDef("q21_outer_join", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(sum(dec2(col("o_totalprice"))).cast("double"), lit(0.0)).as("total"))
+        .orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0) AS total
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Window functions: row_number, running sum, lag ------------------
+    QueryDef("q22_window", (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running", sum(dec2(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+        .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+        .select("o_custkey", "o_orderkey", "rn", "running", "prev_price")
+        .orderBy("o_custkey", "rn")
+    },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  row_number() OVER w AS rn,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
+             |  lag(o_totalprice, 1) OVER w AS prev_price
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // ---- GROUP BY ... HAVING ---------------------------------------------
+    QueryDef("q23_having",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .filter(col("n") > 40)
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem GROUP BY l_partkey HAVING count(*) > 40
+             |ORDER BY l_partkey""".stripMargin)),
+
+    // ---- Scalar string/math expressions ----------------------------------
+    QueryDef("q24_scalar_string",
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("name8"),
+          length(col("c_name")).as("name_len"),
+          round(abs(col("c_acctbal")), 2).as("abs_bal"),
+          (col("c_custkey") % 7).as("m7"),
+          concat(col("c_mktsegment"), lit("_"), col("c_nationkey").cast("string")).as("seg_nat"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |  upper(substring(c_name, 1, 8)) AS name8,
+             |  length(c_name) AS name_len,
+             |  round(abs(c_acctbal), 2) AS abs_bal,
+             |  c_custkey % 7 AS m7,
+             |  concat(c_mktsegment, '_', CAST(c_nationkey AS VARCHAR)) AS seg_nat
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    // ---- Date/time extraction --------------------------------------------
+    QueryDef("q25_scalar_date",
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+             |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+             |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+             |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- CASE / IN / BETWEEN / LIKE (beyond the reference's comma-AND-only
+    // predicate grammar, parser.cup:170-206) -------------------------------
+    QueryDef("q26_case_in_between_like",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_quantity").between(5, 45) &&
+          col("l_linestatus").like("F%"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 30, "mid")
+            .otherwise("high").as("qty_band"))
+        .orderBy("l_orderkey", "l_linenumber", "qty_band"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  CASE WHEN l_quantity < 10 THEN 'low'
+             |       WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS qty_band
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 5 AND 45
+             |  AND l_linestatus LIKE 'F%'
+             |ORDER BY l_orderkey, l_linenumber, qty_band""".stripMargin)),
+
+    // ---- ROLLUP (multi-level aggregate in one pass) ----------------------
+    QueryDef("q27_rollup",
+      (s, d) => t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("qty"))
+        .orderBy("flag", "status"),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             |  coalesce(l_linestatus, 'ALL') AS status,
+             |  count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+  )
+}
