@@ -11,7 +11,12 @@ object SparkEntry {
 
   /** Every implemented query, keyed by stable name. */
   val registry: Seq[QueryDef] =
-    graft.queries.Relational.defs
+    graft.queries.Relational.defs ++
+      graft.queries.Events.defs ++
+      graft.queries.Text.defs ++
+      graft.queries.Dedup.defs ++
+      graft.queries.Similarity.defs ++
+      graft.queries.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

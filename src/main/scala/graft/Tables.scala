@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Parquet table loaders for the driver's testdata layout
   * (`<sfDir>/<table>.parquet`, see TESTDATA.md).
@@ -14,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+    case "events" =>
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+      // rejects outright. Read the physical int64 nanos and truncate to
+      // microseconds — the same ns→µs truncation DuckDB applies on
+      // CAST(ts AS TIMESTAMP), so oracle comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case _ =>
+      spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Register every table as a temp view so `spark.sql` / the dialect
     * frontend can resolve unqualified table names. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.{QueryDef, Tables}
+
+/** Event-stream analytics over the `events` table (batch form).
+  *
+  * The reference engine is batch-only (SURVEY §2.7); these queries are the
+  * batch-equivalent shapes of the Structured Streaming pipelines in
+  * `graft.streaming` — tumbling-window aggregation, gap-based
+  * sessionization, and semi-structured (JSON) property extraction.
+  *
+  * All timestamp arithmetic happens on exact integer microseconds
+  * (`unix_micros` / DuckDB `epoch_us`) so both engines agree bit-for-bit.
+  */
+object Events {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Tumbling-window (hourly) aggregation per event type -------------
+    QueryDef("q30_events_hourly", (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
+        .orderBy("h", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             |  event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin),
+      headline = true),
+
+    // ---- Gap-based sessionization (30-minute inactivity gap) -------------
+    // The scalable shape: one shuffle on user_id, two window passes, no
+    // driver-side state. Durations in exact integer microseconds.
+    QueryDef("q31_sessionize", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("us") - min("us")).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |), s AS (
+             |  SELECT user_id, event_id, us,
+             |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM e)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             |  count(*) AS n_events, max(us) - min(us) AS dur_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // ---- Semi-structured property extraction (JSON props column) ---------
+    QueryDef("q32_event_props", (s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+             |  min(k) AS min_k, max(k) AS max_k
+             |FROM (SELECT event_type,
+             |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |      FROM events)
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+  )
+}

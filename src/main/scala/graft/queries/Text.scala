@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators for an LLM training-data pipeline, over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (split / higher-order array functions / xxhash64) — no UDFs, so
+  * whole-stage codegen survives and the operators scale linearly with
+  * input splits at 100 TB.
+  */
+object Text {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val toks: Column = split(col("text"), " ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Token / character statistics ------------------------------------
+    QueryDef("q40_text_stats", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          length(col("text")).as("len_chars"),
+          size(toks).as("n_tokens"),
+          // exact rational: (chars - spaces) / tokens, computed identically
+          // in DuckDB, so the double result is bit-equal
+          ((length(col("text")) - size(toks) + 1).cast("double") / size(toks))
+            .as("avg_token_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars,
+             |  length(text) AS len_chars,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Quality scoring: stopword ratio + length gates ------------------
+    QueryDef("q41_text_quality", (s, d) => {
+      val nTok = size(toks)
+      val nStop = size(filter(toks, x => x === "the" || x === "a"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          nStop.as("n_stopwords"),
+          (nStop.cast("double") / nTok).as("stop_ratio"),
+          (nTok >= 20 && nStop > 0).as("quality_ok"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stopwords,
+             |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS stop_ratio,
+             |  len(string_split(text, ' ')) >= 20
+             |    AND len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) > 0 AS quality_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Language-ID heuristic (stopword-profile scoring) ----------------
+    // A real pipeline scores per-language n-gram/stopword profiles; the
+    // synthetic corpus shares one vocabulary, so the heuristic reduces to
+    // an English-stopword-density score. The plumbing (pure column
+    // expressions, no shuffle) is the part that matters at scale.
+    QueryDef("q42_langid", (s, d) => {
+      val nTok = size(toks)
+      val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          (nEn.cast("double") / nTok).as("en_score"),
+          when(nEn.cast("double") / nTok >= 0.05, "en").otherwise("und").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS en_score,
+             |  CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+             |        x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) >= 0.05
+             |    THEN 'en' ELSE 'und' END AS pred_lang
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Document fingerprint: order-sensitive rolling hash --------------
+    // fp = fold(tokens, acc -> (acc * 31 + xxhash64(token)) mod p) — a
+    // polynomial rolling hash over token hashes, mod a large prime so the
+    // arithmetic never overflows (Spark 4 is ANSI by default: wrapping
+    // int64 ops throw). Not expressible in portable SQL (xxhash64 is
+    // Spark-specific) -> rows-only check; exactness is covered by
+    // TextSpec against a reference implementation.
+    QueryDef("q43_fingerprint", (s, d) => {
+      val p = lit(1000000007L)
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          aggregate(transform(toks, w => xxhash64(w)), lit(0L),
+            (acc, h) => pmod(acc * lit(31L) + pmod(h, p), p)).as("fingerprint"))
+        .orderBy("doc_id")
+    },
+      None),
+  )
+}
