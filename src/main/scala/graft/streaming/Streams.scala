@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming pipelines over the `events` table.
+  *
+  * The reference engine is batch-only (SURVEY §2.7); these are the
+  * streaming-native counterparts of `graft.queries.Events`: watermarked
+  * tumbling/sliding window aggregation and stateful sessionization via
+  * `flatMapGroupsWithState`. Tests drive them from the parquet testdata
+  * with a memory sink and `processAllAvailable()`.
+  *
+  * At scale these run exactly as written: the parquet source becomes
+  * Kafka/files, the state store shards by group key across executors, and
+  * the watermark bounds state size.
+  */
+object Streams {
+
+  /** Physical schema of events.parquet (ts is int64 nanos — Spark cannot
+    * read parquet TIMESTAMP(NANOS) natively, see graft.Tables). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files (Spark's
+    * file stream source requires a directory; new files appearing in it
+    * become new micro-batches). */
+  def source(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window counts per event type (1h windows). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding-window event rates (1h window, 15m slide). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Typed event with exact integer-microsecond time (java.sql.Timestamp
+    * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
+    * timestamp column alive for the event-time watermark. */
+  case class Event(event_id: Long, ts_us: Long, user_id: Long,
+      event_type: String, tsWatermark: java.sql.Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class Session(user_id: Long, start_us: Long, n_events: Int, dur_us: Long)
+
+  def typedEvents(events: DataFrame): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("ts").as("tsWatermark"))
+      .as[Event]
+  }
+
+  /** Stateful sessionization: 30-minute inactivity gap closes a session.
+    * State is one small record per active user, timed out by the event
+    * clock — bounded regardless of stream length. */
+  def sessionize(events: Dataset[Event], gapUs: Long = 1800L * 1000000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          // Within one trigger, order the user's events by time.
+          val evs = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          if (state.hasTimedOut && cur.nonEmpty) {
+            val s = cur.get
+            closed += Session(userId, s.start, s.n, s.last - s.start)
+            cur = None
+            state.remove()
+          }
+          evs.foreach { e =>
+            cur match {
+              case Some(s) if e.ts_us - s.last <= gapUs =>
+                cur = Some(s.copy(last = e.ts_us, n = s.n + 1))
+              case Some(s) =>
+                closed += Session(userId, s.start, s.n, s.last - s.start)
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              case None =>
+                cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
+          }
+          closed.result().iterator
+      }
+  }
+}

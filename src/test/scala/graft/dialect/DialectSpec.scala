@@ -1,0 +1,130 @@
+package graft.dialect
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Dialect-parity goldens: the reference's own 9 test queries
+  * (/root/reference/testcases/query{1-7,9,10}.sql) parsed by our Parser,
+  * planned by our Translator, and checked against independently-written
+  * DataFrame expressions over deterministic fixture tables shaped like the
+  * reference's .det schemas (see FIXTURES.md §A).
+  */
+class DialectSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // Deterministic fixtures mirroring CUSTOMER/CART/CARTDETAILS/BILL.det.
+  lazy val customer: DataFrame = (1 to 12)
+    .map(i => (i, i % 2, s"First$i", s"Last$i", s"Addr${i % 5}"))
+    .toDF("cid", "gender", "firstname", "lastname", "address")
+  lazy val cart: DataFrame = (1 to 15)
+    .map(i => (i, i % 12 + 1, s"ST${i % 3}", s"crem$i"))
+    .toDF("cartid", "cid", "status", "remarks")
+  lazy val cartdetails: DataFrame = (1 to 20)
+    .map(i => (i, i % 15 + 1, i * 3 % 7, s"drem$i"))
+    .toDF("iid", "cartid", "qty", "remarks")
+  lazy val bill: DataFrame = (1 to 20)
+    .map(i => (i, i, i * 97 % 2500, s"brem$i"))
+    .toDF("billid", "iid", "amount", "remarks")
+
+  lazy val tables = Map(
+    "CUSTOMER" -> customer, "CART" -> cart,
+    "CARTDETAILS" -> cartdetails, "BILL" -> bill)
+
+  def refQuery(n: Int): String = {
+    val src = scala.io.Source.fromFile(s"/root/reference/testcases/query$n.sql")
+    try src.mkString finally src.close()
+  }
+  def run(n: Int): DataFrame = Translator.run(spark, refQuery(n), tables)
+
+  test("parser handles the full grammar (query10)") {
+    val q = Parser.parse(refQuery(10))
+    assert(q.star && q.tables == Seq("CUSTOMER", "CART", "CARTDETAILS", "BILL"))
+    assert(q.conds.size == 5)
+    assert(q.conds.take(3).forall(_.rhs.isInstanceOf[AttrRhs]))
+    assert(q.conds.drop(3).forall(_.rhs.isInstanceOf[ConstRhs]))
+    assert(q.orderBy == Seq(Attr("BILL", "amount")) && !q.desc)
+  }
+
+  test("query1: full scan") {
+    assert(run(1).count() == 12)
+    assert(run(1).columns.toSeq == customer.columns.map("CUSTOMER." + _).toSeq)
+  }
+
+  test("query2: filter + project with literal coercion") {
+    val got = run(2)
+    val want = customer.filter($"gender" === 1)
+      .select($"cid", $"gender", $"firstname")
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+  }
+
+  test("query3: mixed MAX + non-agg over a join (reference quirk)") {
+    val joined = customer.join(cart, customer("cid") === cart("cid"))
+    val maxCart = joined.agg(max("cartid")).first().getInt(0)
+    val want = joined.filter(cart("cartid") === maxCart)
+      .select(customer("cid"), $"firstname", $"gender", cart("cartid"), $"status")
+      .distinct()
+    val got = run(3)
+    assert(got.columns.toSeq == Seq("CUSTOMER.cid", "CUSTOMER.firstname",
+      "CUSTOMER.gender", "MAX(CART.cartid)", "CART.status"))
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+  }
+
+  test("query4/5: multi-join star") {
+    val j2 = customer.join(cart, customer("cid") === cart("cid"))
+      .join(cartdetails, cart("cartid") === cartdetails("cartid"))
+    assert(run(4).count() == j2.count())
+    val j3 = j2.join(bill, cartdetails("iid") === bill("iid"))
+    assert(run(5).count() == j3.count())
+    assert(run(5).columns.length ==
+      customer.columns.length + cart.columns.length +
+        cartdetails.columns.length + bill.columns.length)
+  }
+
+  test("query6/7: joins + range filters, with projection") {
+    val j3 = customer.join(cart, customer("cid") === cart("cid"))
+      .join(cartdetails, cart("cartid") === cartdetails("cartid"))
+      .join(bill, cartdetails("iid") === bill("iid"))
+      .filter($"amount" < 1000 && $"amount" > 500)
+    assert(run(6).count() == j3.count())
+    assert(run(6).count() > 0) // fixture guarantees hits
+    val got7 = run(7)
+    assert(got7.columns.toSeq == Seq("CUSTOMER.gender", "BILL.amount"))
+    assert(got7.count() == j3.count())
+  }
+
+  test("query9: DISTINCT") {
+    val got = run(9).collect().map(_.getInt(0)).toSet
+    assert(got == Set(0, 1))
+  }
+
+  test("query10: ORDERBY ascending") {
+    val amounts = run(10).select(col("`BILL.amount`")).collect().map(_.getInt(0))
+    assert(amounts.nonEmpty && (amounts sameElements amounts.sorted))
+  }
+
+  test("ORDERBY ... DESC flips the whole key list") {
+    val got = Translator.run(spark,
+      "SELECT BILL.billid,BILL.amount FROM BILL ORDERBY BILL.amount DESC", tables)
+    val amounts = got.select(col("`BILL.amount`")).collect().map(_.getInt(0))
+    assert(amounts sameElements amounts.sorted.reverse)
+  }
+
+  test("GROUPBY (extension beyond the reference's abort)") {
+    val got = Translator.run(spark,
+      "SELECT CART.status,COUNT(CART.cartid) FROM CART GROUPBY CART.status", tables)
+    val want = cart.groupBy("status").count()
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      want.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
+  test("theta join condition gets real semantics") {
+    val got = Translator.run(spark,
+      "SELECT CART.cartid,CARTDETAILS.iid FROM CART,CARTDETAILS " +
+        "WHERE CART.cartid<CARTDETAILS.iid", tables)
+    val want = cart.join(cartdetails, cart("cartid") < cartdetails("iid"))
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Text / dedup / similarity / multimodal extension operators: reference
+  * implementations in plain Scala pin the distributed results.
+  */
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // --- text ---------------------------------------------------------------
+
+  test("q40 token counts match plain-Scala tokenization") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    q("q40_text_stats").collect().foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getInt(4) == text.split(" ").length, s"doc ${r.getLong(0)}")
+      assert(r.getInt(3) == text.length)
+    }
+  }
+
+  test("q43 fingerprint matches reference rolling hash") {
+    // reference implementation of fp = fold (acc*31 + (h mod p)) mod p over
+    // xxhash64(token); spark-side xxhash64 is pinned by hashing parity below
+    val fps = q("q43_fingerprint").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hashed = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        transform(split(col("text"), " "), w => xxhash64(w)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val P = 1000000007L
+    hashed.foreach { case (id, hs) =>
+      val want = hs.foldLeft(0L)((acc, h) => Math.floorMod(acc * 31 + Math.floorMod(h, P), P))
+      assert(fps(id) == want, s"doc $id")
+    }
+  }
+
+  // --- dedup --------------------------------------------------------------
+
+  test("q45 minhash LSH finds exactly the brute-force near-dup pairs") {
+    // brute-force 3-shingle Jaccard >= 0.8 on the driver (sf0.001: 50 docs)
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def shingles(t: String): Set[String] =
+      t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }
+    val want = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      jac = (sa & sb).size.toDouble / (sa | sb).size if jac >= 0.8
+    } yield (a, b)).toSet
+    val got = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "testdata should contain planted near-dups")
+  }
+
+  test("q44 exact dedup groups cover the table") {
+    val total = q("q44_dedup_exact").agg(sum("n_copies")).first().getLong(0)
+    assert(total == Tables.load(spark, sfDir, "documents").count())
+  }
+
+  test("q46 simhash pairs have verified hamming distance") {
+    q("q46_simhash").collect().foreach(r => assert(r.getInt(2) <= 3))
+  }
+
+  // --- similarity ---------------------------------------------------------
+
+  test("q48 brute-force knn matches driver-side cosine ranking") {
+    val vecs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    def cos(a: Long, b: Long): Double = {
+      val (qa, qb) = (quant(vecs(a)), quant(vecs(b)))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum
+      val nb = qb.map(x => x * x).sum
+      dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+    }
+    val got = q("q48_knn_brute").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    got.groupBy(_._1).foreach { case (qid, rows) =>
+      val want = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, cos(qid, n)))
+        .sortBy { case (n, c) => (-c, n) }.take(10)
+      assert(rows.sortBy(_._2).map(t => (t._3, t._4)).toSeq == want, s"query $qid")
+    }
+  }
+
+  test("q49 IVF recall@10 >= 0.7 vs exact") {
+    val exact = q("q48_knn_brute").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = q("q49_knn_ivf").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall")
+  }
+
+  // --- multimodal ---------------------------------------------------------
+
+  test("q61 decode stub is deterministic and complete") {
+    val a = q("q61_decode_batch").collect().map(_.toSeq)
+    val b = q("q61_decode_batch").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == Tables.load(spark, sfDir, "documents").count())
+    // checksum matches a direct driver-side computation
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val dec = graft.multimodal.Decode.open()
+    a.take(10).foreach { row =>
+      val id = row.head.asInstanceOf[Long]
+      val want = dec.decode(id, docs(id).getBytes("UTF-8"))
+      assert(row(6).asInstanceOf[Long] == want.checksum)
+    }
+  }
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Structured Streaming pipelines driven from the parquet testdata with a
+  * memory sink; results cross-checked against the batch equivalents.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  /** The file stream source needs a directory; stage one holding a symlink
+    * to the testdata events parquet. */
+  lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    dir.toString
+  }
+
+  test("streaming hourly counts equal the batch aggregation") {
+    val q = Streams.hourlyCounts(Streams.source(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly_out")
+      .select(col("h"), col("event_type"), col("n"))
+    val want = SparkEntry.queries("q30_events_hourly")(spark, sfDir)
+      .select(col("h"), col("event_type"), col("n"))
+    assertSameRows(got, want)
+  }
+
+  test("sliding windows produce a superset of tumbling rows") {
+    val q = Streams.slidingRates(Streams.source(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val slid = spark.table("sliding_out")
+    assert(slid.count() > 0)
+    // every event lands in 4 sliding windows (1h window, 15m slide)
+    val total = slid.agg(sum("n")).first().getLong(0)
+    val nEvents = Tables.load(spark, sfDir, "events").count()
+    assert(total == 4 * nEvents)
+  }
+
+  test("stateful sessionization closes sessions consistent with batch") {
+    val events = Streams.typedEvents(Streams.source(spark, eventsDir))
+    val q = Streams.sessionize(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions_out")
+    assert(got.count() > 0, "expected closed sessions from intra-batch gaps")
+    // closed sessions must agree with the batch sessionization on
+    // (user_id, n_events, dur_us)
+    val batch = SparkEntry.queries("q31_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("n_events"), col("dur_us"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val closed = got.select(col("user_id"), col("n_events"), col("dur_us"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    closed.foreach { case (k, n) =>
+      assert(batch.getOrElse(k, 0) >= n, s"session $k not found in batch result")
+    }
+  }
+}
