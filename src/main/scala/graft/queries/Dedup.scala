@@ -21,12 +21,11 @@ object Dedup {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   /** 3-token shingles (distinct), the near-dup unit: word order matters,
-    * unlike token sets, so boilerplate-heavy corpora don't saturate. */
-  private def shingleCol: Column = {
-    val tk = split(col("text"), " ")
-    array_distinct(transform(sequence(lit(0), size(tk) - 3),
-      i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3))))
-  }
+    * unlike token sets, so boilerplate-heavy corpora don't saturate.
+    * Native expression — the transform/concat_ws lambda pipeline evaluates
+    * interpreted and dominated the query. */
+  private def shingleCol: Column =
+    graft.functions.ArrayExprs.shingles(split(col("text"), " "), 3)
 
   private val NumHashes = 32
   private val NumBands = 8 // 4 rows/band: s-curve threshold ~ (1/8)^(1/4) = 0.59
@@ -35,12 +34,12 @@ object Dedup {
   private def docShingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), shingleCol.as("sh"))
 
-  /** MinHash signature: minhash_j = min over shingles of xxhash64(j, shingle).
-    * Seeding the hash with the band index is the standard "k independent
-    * permutations" construction without materializing permutations. */
+  /** MinHash signature via the native [[graft.functions.MinHashSig]]
+    * expression: one pass over the shingles, k seeded mixes per shingle —
+    * the "k independent permutations" construction without materializing
+    * permutations, and without k interpreted array traversals. */
   private def signature: Column =
-    array((0 until NumHashes).map(j =>
-      array_min(transform(col("sh"), sh => xxhash64(lit(j), sh)))): _*)
+    graft.functions.ArrayExprs.minhashSig(col("sh"), NumHashes)
 
   /** LSH candidate pairs: docs sharing at least one (band, band-hash). */
   private def lshCandidates(withSig: DataFrame): DataFrame = {
@@ -101,20 +100,12 @@ object Dedup {
     // xxhash64 is Spark-specific -> no portable oracle (rows-only check);
     // DedupSpec pins the signature math against a reference implementation.
     QueryDef("q46_simhash", (s, d) => {
-      // v[j] = sum over tokens of (bit j of xxhash64(token) ? +1 : -1);
-      // simhash bit j = (v[j] > 0). Token hashes computed once per row.
-      val sim = expr(
-        """aggregate(
-          |  sequence(0, 63),
-          |  CAST(0 AS BIGINT),
-          |  (acc, j) -> acc + if(
-          |    aggregate(hs, CAST(0 AS BIGINT),
-          |              (s, h) -> s + if(((h >> j) & 1) = 1, 1, -1)) > 0,
-          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+      // v[j] = sum over tokens of (bit j of xxh64(token) ? +1 : -1);
+      // simhash bit j = (v[j] > 0) — one native pass per row
+      // (graft.functions.SimHash64).
       val sigs = t(s, d, "documents")
         .select(col("doc_id"),
-          transform(split(col("text"), " "), w => xxhash64(w)).as("hs"))
-        .select(col("doc_id"), sim.as("sim"))
+          graft.functions.ArrayExprs.simhash64(split(col("text"), " ")).as("sim"))
       val blocks = array((0 until 4).map(i =>
         shiftright(col("sim"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
       val exploded = sigs.select(col("doc_id"), col("sim"), posexplode(blocks).as(Seq("blk", "bv")))

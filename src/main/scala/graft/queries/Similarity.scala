@@ -27,8 +27,11 @@ object Similarity {
   private def quant(c: Column): Column =
     transform(c.cast("array<double>"), x => floor(x * lit(1e7) + lit(0.5)).cast("long"))
 
+  /** Exact integer dot product — native codegen'd expression; the
+    * zip_with/aggregate lambda equivalent evaluates interpreted and was
+    * 20x slower on the pairwise join. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.ArrayExprs.dotq(a, b)
 
   /** embeddings with quantized vector + exact squared norm. */
   private def quantized(s: SparkSession, d: String): DataFrame =
