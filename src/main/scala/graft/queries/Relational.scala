@@ -315,11 +315,11 @@ object Relational {
 
     QueryDef("q18_except", (s, d) => {
       val nat = t(s, d, "nation").select(col("n_nationkey").as("nk"))
-      val su = t(s, d, "supplier").filter(col("s_acctbal") > 0).select(col("s_nationkey").as("nk"))
+      val su = t(s, d, "supplier").filter(col("s_acctbal") > 4000).select(col("s_nationkey").as("nk"))
       nat.except(su).orderBy("nk")
     },
       Some("""SELECT n_nationkey AS nk FROM nation
-             |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 0
+             |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 4000
              |ORDER BY nk""".stripMargin)),
 
     // ---- Semi / anti joins (EXISTS / NOT EXISTS) -------------------------
@@ -336,12 +336,13 @@ object Relational {
 
     QueryDef("q20_antijoin", (s, d) => {
       val c = t(s, d, "customer")
-      val o = t(s, d, "orders")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 300000)
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
       Some("""SELECT c_custkey, c_name FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
              |ORDER BY c_custkey""".stripMargin)),
 
     // ---- Left outer join with null-aware aggregation ---------------------
@@ -443,6 +444,23 @@ object Relational {
              |WHERE l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 5 AND 45
              |  AND l_linestatus LIKE 'F%'
              |ORDER BY l_orderkey, l_linenumber, qty_band""".stripMargin)),
+
+    // ---- CUBE (all grouping-set combinations in one pass) ----------------
+    QueryDef("q28_cube",
+      (s, d) => t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority"),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
 
     // ---- ROLLUP (multi-level aggregate in one pass) ----------------------
     QueryDef("q27_rollup",

