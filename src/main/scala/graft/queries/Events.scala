@@ -69,6 +69,33 @@ object Events {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin)),
 
+    // ---- As-of (temporal lookup) join: each event matched to the user's
+    // most recent prior order — via the custom AsOfJoin operator
+    // (graft.plans: LogicalPlan + Strategy + streaming-merge SparkPlan).
+    // Right side pre-aggregated to one row per (custkey, orderdate) so the
+    // match is unique and deterministic. DuckDB's native ASOF JOIN is the
+    // oracle. ----------------------------------------------------------------
+    QueryDef("q35_asof_lookup", (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "ts")
+      val orders = t(s, d, "orders")
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("order_total"))
+      graft.plans.AsOf.join(ev, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+        .select(col("event_id"), col("user_id"),
+          col("o_orderdate").cast("date").as("last_order_date"),
+          col("order_total"))
+        .orderBy("event_id")
+    },
+      Some("""WITH o AS (
+             |  SELECT o_custkey, o_orderdate, max(o_totalprice) AS order_total
+             |  FROM orders GROUP BY o_custkey, o_orderdate)
+             |SELECT e.event_id, e.user_id,
+             |  CAST(o.o_orderdate AS DATE) AS last_order_date, o.order_total
+             |FROM events e ASOF LEFT JOIN o
+             |  ON e.user_id = o.o_custkey AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
+             |ORDER BY event_id""".stripMargin),
+      headline = true),
+
     // ---- Semi-structured property extraction (JSON props column) ---------
     QueryDef("q32_event_props", (s, d) =>
       t(s, d, "events")
