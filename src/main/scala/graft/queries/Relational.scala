@@ -142,14 +142,17 @@ object Relational {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
       val l = t(s, d, "lineitem")
+      // Semi-reduce first: the dimension chain region->nation->supplier is
+      // tiny, so broadcast it into lineitem before the big fact joins —
+      // only in-region lineitems (~1/5) reach the orders/customer shuffles.
       val su = t(s, d, "supplier")
-      val n = t(s, d, "nation")
-      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
-      c.join(o, c("c_custkey") === o("o_custkey"))
-        .join(l, o("o_orderkey") === l("l_orderkey"))
-        .join(su, l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
-        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+      l.join(broadcast(su), l("l_suppkey") === col("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && col("s_nationkey") === c("c_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum(netExpr).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))

@@ -30,13 +30,18 @@ object Text {
           // exact rational: (chars - spaces) / tokens, computed identically
           // in DuckDB, so the double result is bit-equal
           ((length(col("text")) - size(toks) + 1).cast("double") / size(toks))
-            .as("avg_token_len"))
+            .as("avg_token_len"),
+          // BPE-ish subword proxy: alpha runs + digit runs + single
+          // punctuation, the usual pre-tokenizer shape
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .as("bpe_tokens"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars,
              |  length(text) AS len_chars,
              |  len(string_split(text, ' ')) AS n_tokens,
              |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
-             |    / len(string_split(text, ' ')) AS avg_token_len
+             |    / len(string_split(text, ' ')) AS avg_token_len,
+             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Quality scoring: stopword ratio + length gates ------------------
