@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded top-k aggregator: keeps the k best (score, id) pairs per group,
+  * ordered by (score desc, id asc).
+  *
+  * This is the scale path for top-k ranking: a window `row_number` sorts
+  * every candidate row per group (full sort of the scored join output);
+  * this aggregator is a partial-aggregable O(k) buffer — each map task
+  * pre-reduces its partition to k rows before the shuffle, so the exchange
+  * carries k rows per (group, task) instead of every candidate.
+  */
+final class TopKAgg(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+  private def insert(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] = {
+    // descending score, ascending id; list stays sorted and <= k long
+    val (better, rest) = buf.span(b => b._1 > x._1 || (b._1 == x._1 && b._2 < x._2))
+    val merged = better ::: (x :: rest)
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: List[(Double, Long)] = Nil
+  override def reduce(buf: List[(Double, Long)], x: (Double, Long)): List[(Double, Long)] =
+    if (buf.length == k && x._1 < buf.last._1) buf else insert(buf, x)
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    ExpressionEncoder[List[(Double, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -104,6 +104,52 @@ object Similarity {
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin),
       headline = true),
 
+    // ---- Brute-force top-k via a bounded typed aggregator ----------------
+    // Same result as q48 but ranked by graft.functions.TopKAgg instead of a
+    // window: each map task pre-reduces its partition to k candidates per
+    // query before the shuffle (partial aggregation), so the exchange
+    // carries O(queries x tasks x k) rows — the scale path when the scored
+    // join output is too large to sort per group. Oracle: identical SQL to
+    // a window ranking.
+    QueryDef("q50_knn_topk_agg", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val e = quantized(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
+      val scored = broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
+        .select(col("q_id"),
+          cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cos_sim"), col("n_id"))
+        .as[(Long, Double, Long)]
+      val topk = new graft.functions.TopKAgg(10).toColumn
+      scored
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(topk.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
+          col("t._2").as("n_id"), col("t._1").as("cos_sim"))
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(${sqlDot("a.qv", "b.qv")} AS DOUBLE)
+             |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id % 100 = 0),
+             |ranked AS (
+             |  SELECT q_id, n_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- IVF (inverted-file) approximate top-k: the 100 TB scale path ----
     // "Training" is deterministic: every 64th vector is a centroid; vectors
     // are assigned to their nearest centroid (coarse quantization); queries

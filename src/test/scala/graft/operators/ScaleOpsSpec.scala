@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestBase, Tables}
+import graft.sources.Bucketed
+
+class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("bucketed tables join with zero Exchange nodes") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_bucket_test")
+    spark.sql("USE graft_bucket_test")
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a previously failed run can leave an orphaned location behind,
+      // which saveAsTable refuses to overwrite
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        s"graft_bucket_test.db/$t")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
+    try {
+      Bucketed.createOrderTables(spark, sfDir, buckets = 4)
+      val joined = Bucketed.joinOrders(spark)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free bucketed join:\n$plan")
+      // same result as the plain join
+      val o = Tables.load(spark, sfDir, "orders")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      assert(joined.count() == l.join(o, l("l_orderkey") === o("o_orderkey")).count())
+    } finally spark.sql("USE default")
+  }
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of the large side shares one key — the classic hot-key shape
+    val large = (1 to 20000)
+      .map(i => (if (i % 10 == 0) i % 7 else 999, i.toLong))
+      .toDF("k", "payload")
+    val small = Seq((999, "hot"), (0, "a"), (1, "b"), (2, "c"), (3, "d"),
+      (4, "e"), (5, "f"), (6, "g")).toDF("k", "v")
+    val got = SaltedJoin.join(large, small, "k", salts = 8,
+      discriminators = Seq(col("payload")))
+    val want = large.join(small, "k")
+    assert(got.count() == want.count())
+    assert(got.agg(sum("payload")).first().getLong(0) ==
+      want.agg(sum("payload")).first().getLong(0))
+    // salts actually spread the hot key
+    val spread = large.withColumn("_salt", pmod(hash(col("payload")), lit(8)))
+      .filter(col("k") === 999).select("_salt").distinct().count()
+    assert(spread == 8)
+  }
+
+  test("TopKAgg orders by (score desc, id asc) and bounds the buffer") {
+    val agg = new graft.functions.TopKAgg(3)
+    val rows = Seq((1.0, 5L), (2.0, 3L), (2.0, 1L), (0.5, 9L), (3.0, 7L))
+    val buf = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == Seq((3.0, 7L), (2.0, 1L), (2.0, 3L)))
+    // merge respects the same ordering
+    val (l, r) = rows.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(merged) == Seq((3.0, 7L), (2.0, 1L), (2.0, 3L)))
+  }
+}
