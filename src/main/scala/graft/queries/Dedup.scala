@@ -96,6 +96,39 @@ object Dedup {
              |ORDER BY doc_a, doc_b""".stripMargin),
       headline = true),
 
+    // ---- Materialize the deduplicated corpus -----------------------------
+    // Greedy LSH dedup: drop every doc that appears as the larger id of a
+    // near-dup pair (keeps the smallest id per duplicate relation — the
+    // standard one-pass policy; full transitive closure needs iterative
+    // connected components). Anti-join against the verified pair set.
+    QueryDef("q51_dedup_keep", (s, d) => {
+      val docs = docShingles(s, d)
+      val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val drop = cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      t(s, d, "documents")
+        .join(drop, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+             |  FROM documents),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+             |SELECT doc_id, lang, n_chars FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- SimHash near-dup: 64-bit signature + 4-block index --------------
     // xxhash64 is Spark-specific -> no portable oracle (rows-only check);
     // DedupSpec pins the signature math against a reference implementation.

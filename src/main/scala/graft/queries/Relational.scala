@@ -448,6 +448,21 @@ object Relational {
              |  AND l_linestatus LIKE 'F%'
              |ORDER BY l_orderkey, l_linenumber, qty_band""".stripMargin)),
 
+    // ---- PIVOT (wide conditional aggregation) ----------------------------
+    QueryDef("q29_pivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
+             |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // ---- CUBE (all grouping-set combinations in one pass) ----------------
     QueryDef("q28_cube",
       (s, d) => t(s, d, "orders")
