@@ -56,6 +56,23 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Streaming exact-dedup on event_id with a watermark bounding the
+    * dedup state (late duplicates beyond the watermark are dropped by
+    * construction — the at-least-once ingestion companion). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("event_id")
+
+  /** Stream-static enrichment: join the event stream against the customer
+    * dimension (no state — the static side is re-planned per micro-batch,
+    * broadcast when small). */
+  def enriched(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(customers,
+      events("user_id") === customers("c_custkey"), "left_outer")
+      .select(events("event_id"), events("event_type"), events("value"),
+        customers("c_mktsegment"))
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

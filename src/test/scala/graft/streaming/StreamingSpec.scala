@@ -45,6 +45,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(total == 4 * nEvents)
   }
 
+  test("streaming dedup keeps one row per event_id") {
+    // duplicate the stream by staging the same file twice
+    val dir = java.nio.file.Files.createTempDirectory("events-dup")
+    Seq("a", "b").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve(s"events_$n.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    }
+    val q = Streams.dedupedEvents(Streams.source(spark, dir.toString))
+      .groupBy().count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup_out").first().getLong(0)
+    assert(n == Tables.load(spark, sfDir, "events").count())
+  }
+
+  test("stream-static enrichment joins the customer dimension") {
+    val customers = Tables.load(spark, sfDir, "customer")
+    val q = Streams.enriched(Streams.source(spark, eventsDir), customers)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("enriched_out")
+    assert(out.count() == Tables.load(spark, sfDir, "events").count())
+    assert(out.filter(col("c_mktsegment").isNotNull).count() > 0)
+  }
+
   test("stateful sessionization closes sessions consistent with batch") {
     val events = Streams.typedEvents(Streams.source(spark, eventsDir))
     val q = Streams.sessionize(events)
