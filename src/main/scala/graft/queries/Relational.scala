@@ -383,6 +383,46 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // ---- Ranking windows: dense_rank / percent_rank / ntile --------------
+    // percent_rank = (rank-1)/(n-1): exact small-rational division, so the
+    // double is engine-identical.
+    QueryDef("q36_window_ranks", (s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          dense_rank().over(w).as("drank"),
+          percent_rank().over(w).as("prank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("c_mktsegment", "c_custkey")
+    },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+             |  percent_rank() OVER w AS prank,
+             |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+             |FROM customer
+             |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // ---- String function battery II --------------------------------------
+    QueryDef("q37_string_funcs", (s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_pad"),
+          replace(col("p_type"), lit(" "), lit("_")).as("type_snake"),
+          reverse(col("p_name")).as("name_rev"),
+          trim(col("p_name")).as("name_trim"),
+          instr(col("p_type"), "STEEL").as("steel_pos"),
+          split(col("p_type"), " ").getItem(0).as("type_head"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  lpad(p_brand, 12, '*') AS brand_pad,
+             |  replace(p_type, ' ', '_') AS type_snake,
+             |  reverse(p_name) AS name_rev,
+             |  trim(p_name) AS name_trim,
+             |  CAST(coalesce(nullif(strpos(p_type, 'STEEL'), NULL), 0) AS INTEGER) AS steel_pos,
+             |  string_split(p_type, ' ')[1] AS type_head
+             |FROM part ORDER BY p_partkey""".stripMargin)),
+
     // ---- GROUP BY ... HAVING ---------------------------------------------
     QueryDef("q23_having",
       (s, d) => t(s, d, "lineitem")

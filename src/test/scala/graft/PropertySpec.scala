@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dialect.{Attr, ConstRhs, Parser}
+
+/** Property-based checks (SURVEY §5.3): algebraic laws on the engine and
+  * round-trip laws on the dialect parser.
+  */
+class PropertySpec extends AnyFunSuite with SparkTestBase {
+
+  /** Deterministic sampler: the scalatest<->scalacheck bridge artifact is
+    * not in the offline cache, so properties sample generators directly. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+  import spark.implicits._
+
+  lazy val li = Tables.load(spark, sfDir, "lineitem")
+    .select("l_orderkey", "l_quantity", "l_returnflag").cache()
+
+  test("filter partitions rows for arbitrary thresholds") {
+    samples(Gen.choose(0.0, 55.0), 10).foreach { q =>
+      val p = col("l_quantity") <= q
+      assert(li.filter(p).count() + li.filter(!p).count() == li.count())
+    }
+  }
+
+  test("distinct is idempotent over arbitrary projections") {
+    samples(Gen.someOf(Seq("l_orderkey", "l_quantity", "l_returnflag")), 5)
+      .filter(_.nonEmpty).foreach { cols =>
+        val d = li.select(cols.map(col).toSeq: _*).distinct()
+        assert(d.count() == d.distinct().count())
+      }
+  }
+
+  test("union with self then distinct equals distinct") {
+    val d = li.select("l_returnflag").distinct().count()
+    assert(li.select("l_returnflag").union(li.select("l_returnflag")).distinct().count() == d)
+  }
+
+  private val genId: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  test("parser round-trips rendered queries") {
+    val genAttr = for { t <- genId; c <- genId } yield Attr(t, c)
+    val genQuery = for {
+      attrs <- Gen.nonEmptyListOf(genAttr)
+      tables <- Gen.nonEmptyListOf(genId)
+      distinct <- Gen.oneOf(true, false)
+      desc <- Gen.oneOf(true, false)
+      order <- Gen.listOf(genAttr)
+    } yield (attrs.take(5), tables.take(3), distinct, desc, order.take(3))
+    samples(genQuery, 50).foreach { case (attrs, tables, distinct, desc, order) =>
+      val sql = "SELECT " + (if (distinct) "DISTINCT " else "") +
+        attrs.map(a => s"${a.table}.${a.column}").mkString(",") +
+        " FROM " + tables.mkString(",") +
+        (if (order.nonEmpty)
+          " ORDERBY " + order.map(a => s"${a.table}.${a.column}").mkString(",") +
+            (if (desc) " DESC" else "")
+         else "")
+      val q = Parser.parse(sql)
+      assert(q.attrs == attrs && q.tables == tables && q.distinct == distinct)
+      assert(q.orderBy == order && (order.isEmpty || q.desc == desc))
+    }
+  }
+
+  test("parsed conditions preserve operator and literal") {
+    val genCase = for {
+      op <- Gen.oneOf("<", ">", "<=", ">=", "=", "!=")
+      v <- Gen.alphaNumStr.map(_.take(8))
+    } yield (op, v)
+    samples(genCase, 30).foreach { case (op, v) =>
+      val q = Parser.parse(s"""SELECT T.a FROM T WHERE T.a$op"$v"""")
+      assert(q.conds == Seq(graft.dialect.Cond(Attr("T", "a"), op, ConstRhs(v))))
+    }
+  }
+}
