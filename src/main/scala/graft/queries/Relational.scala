@@ -423,6 +423,45 @@ object Relational {
              |  string_split(p_type, ' ')[1] AS type_head
              |FROM part ORDER BY p_partkey""".stripMargin)),
 
+    // ---- Statistical aggregates via exact moment sums --------------------
+    // Built-in var/stddev/corr accumulate doubles (order-dependent ulps)
+    // and DuckDB uses different recurrences — instead both sides compute
+    // the classical moment formulas from EXACT decimal sums, then do the
+    // same double arithmetic once: deterministic and engine-identical.
+    QueryDef("q38_moments", (s, d) => {
+      val x = dec2(col("l_extendedprice"))
+      val q = col("l_quantity").cast(DecimalType(4, 1))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"),
+          sum(q).cast("double").as("sq"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(x * q).cast("double").as("sxq"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
+          ((col("sxq") - col("sx") * col("sq") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+              sqrt(col("sqq") - col("sq") * col("sq") / col("n")))).as("corr_price_qty"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sq,
+             |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sqq,
+             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sxq
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (sxx - sx * sx / n) / (n - 1) AS var_price,
+             |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_price,
+             |  (sxq - sx * sq / n)
+             |    / (sqrt(sxx - sx * sx / n) * sqrt(sqq - sq * sq / n)) AS corr_price_qty
+             |FROM m ORDER BY l_returnflag""".stripMargin)),
+
     // ---- GROUP BY ... HAVING ---------------------------------------------
     QueryDef("q23_having",
       (s, d) => t(s, d, "lineitem")
