@@ -129,6 +129,62 @@ object Dedup {
              |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- Transitive dedup clusters: connected components -----------------
+    // Near-dup is not transitive; proper canonical selection needs the
+    // component, not the pair. Min-label propagation over the verified
+    // pair edges: each round every node takes the min label among itself
+    // and its neighbors, with localCheckpoint() per round to truncate
+    // lineage (iterative DataFrame jobs otherwise re-execute the whole
+    // history each round). Converges in O(component diameter) rounds.
+    // Oracle: DuckDB recursive-CTE reachability closure.
+    QueryDef("q52_dedup_components", (s, d) => {
+      val docs = docShingles(s, d)
+      val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
+      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      val pairs = cand.join(a, "doc_a").join(b, "doc_b")
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
+        .select("doc_a", "doc_b")
+      val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .localCheckpoint()
+      var labels = edges.select(col("doc_a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbor = edges.join(labels, edges("doc_b") === labels("node"))
+          .select(col("doc_a").as("node"), col("lbl"))
+        val next = labels.select("node", "lbl").union(viaNeighbor)
+          .groupBy("node").agg(min("lbl").as("lbl"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id,
+             |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+             |  FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+             |SELECT a AS doc_id,
+             |  least(a, min(b)) AS cluster_id
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
     // ---- SimHash near-dup: 64-bit signature + 4-block index --------------
     // xxhash64 is Spark-specific -> no portable oracle (rows-only check);
     // DedupSpec pins the signature math against a reference implementation.
