@@ -462,6 +462,27 @@ object Relational {
              |    / (sqrt(sxx - sx * sx / n) * sqrt(sqq - sq * sq / n)) AS corr_price_qty
              |FROM m ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- Subqueries: correlated scalar + IN ------------------------------
+    // Customers above their nation's average balance, in nations of one
+    // region. The engine goes through spark.sql here — subqueries are a
+    // SQL-surface feature; Catalyst decorrelates the scalar subquery into
+    // an aggregate + join.
+    QueryDef("q39_subqueries", (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer c
+              |WHERE c_acctbal > (
+              |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+              |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+              |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+      Some("""SELECT c_custkey, c_acctbal FROM customer c
+             |WHERE c_acctbal > (
+             |    SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+             |    FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             |  AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ---- GROUP BY ... HAVING ---------------------------------------------
     QueryDef("q23_having",
       (s, d) => t(s, d, "lineitem")

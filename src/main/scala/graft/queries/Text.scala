@@ -89,6 +89,20 @@ object Text {
              |    THEN 'en' ELSE 'und' END AS pred_lang
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- Corpus token frequencies (explode / lateral) --------------------
+    // The canonical corpus statistic: generator (explode) into a grouped
+    // count — term frequency + document frequency per token.
+    QueryDef("q53_token_freq", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .orderBy("token"),
+      Some("""SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+             |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |      FROM documents)
+             |GROUP BY token ORDER BY token""".stripMargin)),
+
     // ---- Document fingerprint: order-sensitive rolling hash --------------
     // fp = fold(tokens, acc -> (acc * 31 + xxhash64(token)) mod p) — a
     // polynomial rolling hash over token hashes, mod a large prime so the
