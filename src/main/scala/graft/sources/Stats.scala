@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Cost-based-optimizer statistics bootstrapping — the Spark equivalent of
+  * the reference's `.stat` files (row count + per-column distinct counts,
+  * reference src/qp/optimizer/PlanCost.java:219-263).
+  *
+  * Registers the testdata as catalog tables, computes row counts and
+  * per-column NDV/min/max via `ANALYZE TABLE ... FOR ALL COLUMNS`, and
+  * flips the CBO + join-reorder flags, so Catalyst costs join orders from
+  * the same V(A) statistics the reference's PlanCost used (instead of
+  * relying purely on AQE's runtime sizes).
+  */
+object Stats {
+
+  def analyze(spark: SparkSession, sfDir: String,
+      tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+        "part", "orders", "lineitem")): Unit = {
+    tables.foreach { t =>
+      graft.Tables.load(spark, sfDir, t)
+        .write.mode("overwrite").format("parquet").saveAsTable(s"${t}_s")
+      spark.sql(s"ANALYZE TABLE ${t}_s COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+  }
+
+  /** Catalog statistics for an analyzed table (rowCount, per-column NDV). */
+  def describe(spark: SparkSession, table: String): Map[String, String] =
+    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+}

@@ -36,6 +36,23 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sql("USE default")
   }
 
+  test("CBO statistics give the optimizer row counts and NDVs") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_stats_test")
+    spark.sql("USE graft_stats_test")
+    try {
+      graft.sources.Stats.analyze(spark, sfDir, Seq("nation", "region"))
+      val stats = spark.table("nation_s").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"rowCount: ${stats.rowCount}")
+      assert(stats.attributeStats.nonEmpty, "expected per-column statistics")
+      val ndv = stats.attributeStats.find(_._1.name == "n_nationkey")
+        .flatMap(_._2.distinctCount)
+      assert(ndv.contains(BigInt(25)), s"NDV(n_nationkey): $ndv")
+    } finally {
+      spark.sql("USE default")
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+    }
+  }
+
   test("salted join equals plain join on skewed data") {
     // 90% of the large side shares one key — the classic hot-key shape
     val large = (1 to 20000)
