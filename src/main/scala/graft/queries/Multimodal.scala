@@ -55,5 +55,31 @@ object Multimodal {
         .orderBy("doc_id")
     },
       None),
+
+    // ---- Full media pipeline: decode -> frame-sample -> feature-extract.
+    // flatMap over sampled frames then per-frame features; the shape a
+    // video/image ingest pipeline has at scale (each stage map-parallel,
+    // output flat and columnar). Stubbed per graft.multimodal. ------------
+    QueryDef("q62_media_pipeline", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val decoder = graft.multimodal.Decode.open()
+          it.flatMap { case (id, bytes) =>
+            val meta = decoder.decode(id, bytes)
+            val resized = graft.multimodal.Transforms.resize(meta)
+            graft.multimodal.Transforms.sampleFrames(meta).map { f =>
+              (meta.doc_id, meta.format, resized.target_w, resized.target_h,
+                f.frame_idx, f.frame_checksum)
+            }
+          }
+        }
+        .toDF("doc_id", "format", "target_w", "target_h", "frame_idx", "frame_checksum")
+        .orderBy("doc_id", "frame_idx")
+    },
+      None),
   )
 }

@@ -103,6 +103,24 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   // --- multimodal ---------------------------------------------------------
 
+  test("q62 media pipeline emits sampled frames with stable checksums") {
+    val rows = q("q62_media_pipeline").collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.map(_.getLong(0)).distinct.length == docs.size)
+    val dec = graft.multimodal.Decode.open()
+    rows.take(20).foreach { r =>
+      val meta = dec.decode(r.getLong(0), docs(r.getLong(0)).getBytes("UTF-8"))
+      val frames = graft.multimodal.Transforms.sampleFrames(meta)
+      val f = frames.find(_.frame_idx == r.getInt(4)).get
+      assert(r.getLong(5) == f.frame_checksum)
+      val resized = graft.multimodal.Transforms.resize(meta)
+      assert(r.getInt(2) == resized.target_w && r.getInt(3) == resized.target_h)
+      assert(resized.target_w <= 224 && resized.target_h <= 224)
+    }
+  }
+
   test("q61 decode stub is deterministic and complete") {
     val a = q("q61_decode_batch").collect().map(_.toSeq)
     val b = q("q61_decode_batch").collect().map(_.toSeq)
