@@ -18,6 +18,17 @@ object Stats {
       tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
         "part", "orders", "lineitem")): Unit = {
     tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_s")
+      // The in-memory catalog resets per JVM but the warehouse directory
+      // persists — saveAsTable refuses an orphaned location, so clear it.
+      val db = spark.catalog.currentDatabase
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+        (if (db == "default") "" else s"$db.db/") + s"${t}_s")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
       graft.Tables.load(spark, sfDir, t)
         .write.mode("overwrite").format("parquet").saveAsTable(s"${t}_s")
       spark.sql(s"ANALYZE TABLE ${t}_s COMPUTE STATISTICS FOR ALL COLUMNS")
