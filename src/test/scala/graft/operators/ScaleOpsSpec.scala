@@ -72,6 +72,34 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(spread == 8)
   }
 
+  test("AQE splits skewed sort-merge join partitions at runtime") {
+    val n = 400000
+    // one key owns 90% of the left side — far past the skew thresholds
+    val left = spark.range(n)
+      .selectExpr("IF(id % 10 < 9, 7L, id) AS k", "id AS payload")
+    val right = spark.range(2000).selectExpr("id AS k", "id * 10 AS v")
+    val joined = left.hint("merge").join(right, "k")
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of ids collapse to hot key 7 (matching right's k=7); the rest
+      // (ids ending in 9) match right only below 2000: 0.9n + 200 rows.
+      // collect() (not count()) so this queryExecution itself runs and
+      // AQE finalizes.
+      assert(joined.collect().length == n / 10 * 9 + 200)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"expected AQE skew handling:\n$plan")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("TopKAgg orders by (score desc, id asc) and bounds the buffer") {
     val agg = new graft.functions.TopKAgg(3)
     val rows = Seq((1.0, 5L), (2.0, 3L), (2.0, 1L), (0.5, 9L), (3.0, 7L))
