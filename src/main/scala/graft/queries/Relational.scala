@@ -183,6 +183,29 @@ object Relational {
              |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
              |ORDER BY nation_a, nation_b""".stripMargin)),
 
+    // ---- Range (interval) join via bucketization -------------------------
+    // point-in-interval join executed as bucket-equi-join + residual
+    // (graft.operators.RangeJoin) instead of the O(|L|x|R|) nested loop
+    // Catalyst would pick for a raw BETWEEN predicate.
+    QueryDef("q54_range_join", (s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part").filter(col("p_size") <= 3)
+        .select(col("p_partkey"), col("p_brand"),
+          (col("p_retailprice") * 30).as("lo"),
+          (col("p_retailprice") * 30 + 2000).as("hi"))
+      graft.operators.RangeJoin
+        .bucketed(l, p, col("l_extendedprice"), col("lo"), col("hi"), 4000.0)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
+        .orderBy("p_brand")
+    },
+      Some("""SELECT p_brand, count(*) AS n, sum(l_quantity) AS qty
+             |FROM lineitem JOIN part
+             |  ON l_extendedprice >= p_retailprice * 30
+             | AND l_extendedprice <= p_retailprice * 30 + 2000
+             |WHERE p_size <= 3
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
     // ---- Multi-condition equi-join (conditionList, ref Join.java:16,36-41,
     // Tuple.checkJoin list form Tuple.java:50-61) --------------------------
     QueryDef("q09_multikey_join", (s, d) => {

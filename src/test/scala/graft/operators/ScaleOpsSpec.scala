@@ -100,6 +100,20 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("bucketed range join equals the nested-loop BETWEEN join") {
+    val l = graft.Tables.load(spark, sfDir, "lineitem")
+    val p = graft.Tables.load(spark, sfDir, "part").filter(col("p_size") <= 3)
+      .select(col("p_partkey"), (col("p_retailprice") * 30).as("lo"),
+        (col("p_retailprice") * 30 + 2000).as("hi"))
+    val got = RangeJoin.bucketed(l, p, col("l_extendedprice"), col("lo"), col("hi"), 4000.0)
+    val want = l.join(p, col("l_extendedprice") >= col("lo") &&
+      col("l_extendedprice") <= col("hi"))
+    assert(got.count() == want.count() && want.count() > 0)
+    // the bucketed plan hash-joins; no nested-loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("TopKAgg orders by (score desc, id asc) and bounds the buffer") {
     val agg = new graft.functions.TopKAgg(3)
     val rows = Seq((1.0, 5L), (2.0, 3L), (2.0, 1L), (0.5, 9L), (3.0, 7L))
