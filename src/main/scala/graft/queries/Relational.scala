@@ -46,6 +46,30 @@ object Relational {
   private val sqlCharge =
     sqlNet + " * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))"
 
+  // Emitting a high-scale decimal sum as double must avoid BOTH engines'
+  // cast quirks: DuckDB's decimal->double double-rounds past 2^53 unscaled,
+  // DuckDB's decimal rescale truncates while Spark's rounds, and DuckDB's
+  // decimal->bigint rounds while Spark's truncates. The only sequence with
+  // no ambiguity anywhere: scale the EXACT decimal sum up until its value
+  // is integral (x10^scale — zero fractional part, so int extraction is
+  // exact in both engines), then one int64->double conversion and one IEEE
+  // division, identical on both sides. Factors are cast to small decimals
+  // so Spark's 38-precision cap never forces scale reduction.
+  private val k1000 = lit(1000).cast(DecimalType(4, 0))
+  private def sumOut(c: Column): Column =
+    (sum(c).cast(DecimalType(24, 6)) * k1000 * k1000)
+      .cast("long").cast("double") / lit(1000000.0)
+  private def sqlSumOut(e: String): String =
+    s"CAST(CAST(CAST(sum($e) AS DECIMAL(24,6)) * 1000 * 1000 AS BIGINT) AS DOUBLE) / 1000000.0"
+  // Moment sums (x*x etc., scale <= 4) reach ~1e17 at large SF: scale by
+  // 10^4 only so the integer stays inside int64.
+  private val k100 = lit(100).cast(DecimalType(3, 0))
+  private def momentOut(c: Column): Column =
+    (sum(c).cast(DecimalType(30, 4)) * k100 * k100)
+      .cast("long").cast("double") / lit(10000.0)
+  private def sqlMomentOut(e: String): String =
+    s"CAST(CAST(CAST(sum($e) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Scan (full table) — ref Scan.java:19-139 -------------------------
@@ -120,13 +144,13 @@ object Relational {
       c.join(o, c("c_custkey") === o("o_custkey"))
         .join(l, o("o_orderkey") === l("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(netExpr).cast("double").as("revenue"))
+        .agg(sumOut(netExpr).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(20)
     },
-      Some(s"""SELECT l_orderkey, CAST(sum($sqlNet) AS DOUBLE) AS revenue,
+      Some(s"""SELECT l_orderkey, ${sqlSumOut(sqlNet)} AS revenue,
              |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
              |FROM customer JOIN orders ON c_custkey = o_custkey
              |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -154,10 +178,10 @@ object Relational {
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey") && col("s_nationkey") === c("c_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(netExpr).cast("double").as("revenue"))
+        .agg(sumOut(netExpr).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
-      Some(s"""SELECT n_name, CAST(sum($sqlNet) AS DOUBLE) AS revenue
+      Some(s"""SELECT n_name, ${sqlSumOut(sqlNet)} AS revenue
              |FROM customer
              |  JOIN orders   ON c_custkey = o_custkey
              |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -252,8 +276,8 @@ object Relational {
         .agg(
           sum("l_quantity").as("sum_qty"),
           sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base"),
-          sum(netExpr).cast("double").as("sum_disc"),
-          sum(chargeExpr).cast("double").as("sum_charge"),
+          sumOut(netExpr).as("sum_disc"),
+          sumOut(chargeExpr).as("sum_charge"),
           (sum("l_quantity") / count(lit(1))).as("avg_qty"),
           (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
           (sum(rate2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -262,8 +286,8 @@ object Relational {
       Some(s"""SELECT l_returnflag, l_linestatus,
              |  sum(l_quantity) AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
-             |  CAST(sum($sqlNet) AS DOUBLE) AS sum_disc,
-             |  CAST(sum($sqlCharge) AS DOUBLE) AS sum_charge,
+             |  ${sqlSumOut(sqlNet)} AS sum_disc,
+             |  ${sqlSumOut(sqlCharge)} AS sum_charge,
              |  sum(l_quantity) / count(*) AS avg_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
              |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
@@ -457,11 +481,11 @@ object Relational {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"),
-          sum(x).cast("double").as("sx"),
-          sum(x * x).cast("double").as("sxx"),
-          sum(q).cast("double").as("sq"),
-          sum(q * q).cast("double").as("sqq"),
-          sum(x * q).cast("double").as("sxq"))
+          momentOut(x).as("sx"),
+          momentOut(x * x).as("sxx"),
+          momentOut(q).as("sq"),
+          momentOut(q * q).as("sqq"),
+          momentOut(x * q).as("sxq"))
         .select(col("l_returnflag"), col("n"),
           ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("var_price"),
           sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)).as("std_price"),
@@ -472,11 +496,11 @@ object Relational {
     },
       Some("""WITH m AS (
              |  SELECT l_returnflag, count(*) AS n,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sq,
-             |    CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sqq,
-             |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,1))) AS DOUBLE) AS sxq
+             |    CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS sx,
+             |    CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+             |    CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(4,1))) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS sq,
+             |    CAST(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(4,1)) * CAST(l_quantity AS DECIMAL(4,1))) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS sqq,
+             |    CAST(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(4,1))) AS DECIMAL(30,4)) * 100 * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS sxq
              |  FROM lineitem GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
              |  (sxx - sx * sx / n) / (n - 1) AS var_price,
