@@ -120,6 +120,26 @@ class DialectSpec extends AnyFunSuite with SparkTestBase {
       want.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("parser rejects malformed queries with clear errors") {
+    def fails(sql: String): Unit =
+      assertThrows[Exception](Parser.parse(sql))
+    fails("FROM CUSTOMER")                              // missing SELECT
+    fails("SELECT cid FROM CUSTOMER")                   // unqualified attr
+    fails("SELECT CUSTOMER.cid CUSTOMER")               // missing FROM
+    fails("SELECT CUSTOMER.cid FROM CUSTOMER WHERE")    // dangling WHERE
+    fails("SELECT CUSTOMER.cid FROM CUSTOMER WHERE CUSTOMER.cid = 1") // unquoted const
+    fails("""SELECT CUSTOMER.cid FROM CUSTOMER WHERE CUSTOMER.cid = "1" extra""")
+    fails("""SELECT MAX(CUSTOMER) FROM CUSTOMER""")     // agg needs tbl.col
+    fails("""SELECT CUSTOMER.cid FROM CUSTOMER WHERE CUSTOMER.cid = "unterminated""".dropRight(1))
+  }
+
+  test("translator rejects unknown tables and columns") {
+    assertThrows[Exception](
+      Translator.run(spark, "SELECT NOPE.x FROM NOPE", tables).collect())
+    assertThrows[Exception](
+      Translator.run(spark, "SELECT CUSTOMER.nope FROM CUSTOMER", tables).collect())
+  }
+
   test("theta join condition gets real semantics") {
     val got = Translator.run(spark,
       "SELECT CART.cartid,CARTDETAILS.iid FROM CART,CARTDETAILS " +
