@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * per-query minimum. The first pass also acts as the JVM/codegen warmup —
   * without it the first queries absorb multi-second one-time costs and the
   * numbers are not comparable across rounds.
+  *
+  * A query that throws in either pass is a FAILURE: its stack trace goes
+  * to stderr, it is reported as -1 in the per-query map, listed in the
+  * `failed` array, and excluded from the totals — it cannot silently
+  * vanish. If a previous round's `BENCH_r*.json` exists in the working
+  * directory, per-query deltas (this - prev, seconds) are emitted under
+  * `delta_vs_prev` so regressions are visible in-round.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,16 +33,53 @@ object Bench {
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => return -1.0 }
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          e.printStackTrace()
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val r1 = names.map(n => n -> timeOnce(n)).toMap
     val r2 = names.map(n => n -> timeOnce(n)).toMap
-    val best = names.map(n => n -> math.min(r1(n), r2(n))).toMap
+    // a failure in EITHER pass marks the query failed
+    val best = names.map { n =>
+      n -> (if (r1(n) < 0 || r2(n) < 0) -1.0 else math.min(r1(n), r2(n)))
+    }.toMap
+    val failed = names.filter(best(_) < 0)
+    failed.foreach(n => System.err.println(s"[bench] query $n FAILED — excluded from total"))
 
-    val qs = names.map(n => "\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    // previous round's numbers, if a BENCH_r*.json sits in the cwd
+    val prev: Option[(String, Map[String, Double])] = {
+      val dir = new java.io.File(".")
+      val rx = "BENCH_r(\\d+)\\.json".r
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case rx(n) => Some((n.toInt, f))
+          case _ => None
+        }).sortBy(_._1)
+      files.lastOption.map { case (n, f) =>
+        val txt = scala.io.Source.fromFile(f).mkString
+        // driver-written BENCH files embed the bench line inside an escaped
+        // "tail" JSON string, so quotes may appear as \" — allow both
+        val qrx = "(q[0-9]+_[0-9a-zA-Z_]+)\\\\?\":(-?[0-9.]+)".r
+        (s"r$n", qrx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    }
+
+    def jnum(d: Double): String = f"$d%.3f"
+    val qs = names.map(n => "\"" + n + "\":" + jnum(best(n))).mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val headlineTotal = SparkEntry.headline.flatMap(best.get).filter(_ >= 0).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val deltaJson = prev.map { case (round, pm) =>
+      val ds = names.flatMap(n => pm.get(n).collect {
+        case p if p >= 0 && best(n) >= 0 => "\"" + n + "\":" + jnum(best(n) - p)
+      }).mkString("{", ",", "}")
+      s""","prev_round":"$round","delta_vs_prev":$ds"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"headline_total":${jnum(headlineTotal)},"failed":$failedJson$deltaJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,7 +12,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle  equivalent ANSI SQL for DuckDB over the same parquet tables
   *                (None for ops not expressible in portable SQL — the driver
   *                then records a weaker rows-only check).
-  * @param headline whether Bench includes it in the per-round benchmark run.
+  * @param headline flagship-query marker: Bench runs EVERY registered
+  *                query (so round-over-round totals stay comparable) and
+  *                additionally reports the headline subset as
+  *                `headline_total`.
   */
 final case class QueryDef(
     name: String,

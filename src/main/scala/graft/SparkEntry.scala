@@ -33,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
-  /** Names Bench runs per-round (subset chosen for coverage + runtime). */
+  /** Flagship queries: Bench runs every registered query but reports this
+    * subset as a separate `headline_total`. */
   def headline: Seq[String] = registry.filter(_.headline).map(_.name)
 }

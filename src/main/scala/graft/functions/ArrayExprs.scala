@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -15,8 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * they are not codegen'd. For signature/dot-product inner loops over
   * thousands of elements per row that interpretive overhead dominates the
   * query (measured 15-26 s/query at sf0.1); these expressions replace the
-  * lambda pipelines with tight JVM loops, 20-50x faster, and keep the
-  * operators inside whole-stage codegen where implemented.
+  * lambda pipelines with tight JVM loops, 20-50x faster.
+  *
+  * Every expression implements `doGenCode` as a static call into
+  * [[ArrayOps]] (the same pattern Spark's own collection expressions use),
+  * so none of them breaks whole-stage codegen for the stage it sits in.
   */
 object ArrayExprs {
 
@@ -37,8 +40,153 @@ object ArrayExprs {
   def shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(Shingles(ColumnBridge.expression(tokens), n))
 
+  /** Order-sensitive polynomial fingerprint of an ARRAY<STRING> token
+    * sequence (portable: the DuckDB oracle computes the same fold). */
+  def polyFingerprint(tokens: Column): Column =
+    ColumnBridge.column(PolyFingerprint(ColumnBridge.expression(tokens)))
+
+  /** Random-hyperplane LSH band hashes of a quantized ARRAY<BIGINT> vector. */
+  def hyperplaneBands(qv: Column, bands: Int, bits: Int): Column =
+    ColumnBridge.column(HyperplaneBands(ColumnBridge.expression(qv), bands, bits))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+}
+
+/** Static per-row kernels shared by interpreted eval and generated code.
+  * (A Scala top-level object emits static forwarders, so Janino-generated
+  * Java can call `graft.functions.ArrayOps.simhash64(arr)` directly.) */
+object ArrayOps {
+
+  /** Polynomial codepoint hash: h = fold(cp, (h*base + cp) mod M) with
+    * M = 4294967291 (largest 32-bit prime). Intermediate h*base+cp stays
+    * below 2^40, so 64-bit arithmetic never overflows; the identical fold
+    * is expressible in DuckDB SQL (`list_reduce` over `unicode(w[i])`),
+    * which is what makes the fingerprint/simhash queries oracle-eligible. */
+  def polyHash(s: UTF8String, base: Long): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * base + cp) % 4294967291L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = ArrayExprs.xxh64(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashLong(base, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def shingles(arr: ArrayData, n: Int): ArrayData = {
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(new Array[Any](0))
+    val count = len - n + 1
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < count) {
+      val parts = new Array[UTF8String](n)
+      var j = i
+      while (j < i + n) { parts(j - i) = arr.getUTF8String(j); j += 1 }
+      seen.add(UTF8String.concatWs(sep, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** SimHash bit source: 64 bits per token from two polynomial hashes
+    * (bases 131 and 137) — bit j comes from h1 for j<32, h2 for j>=32. */
+  def simhash64(arr: ArrayData): Long = {
+    val v = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val h1 = polyHash(t, 131L)
+      val h2 = polyHash(t, 137L)
+      var j = 0
+      while (j < 32) {
+        if (((h1 >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1
+        if (((h2 >>> j) & 1L) == 1L) v(j + 32) += 1 else v(j + 32) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (v(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  def polyFingerprint(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var fp = 0L
+    var i = 0
+    while (i < n) {
+      fp = (fp * 31L + polyHash(arr.getUTF8String(i), 131L)) % 1000000007L
+      i += 1
+    }
+    fp
+  }
+
+  /** Deterministic Rademacher (+-1) hyperplane sign masks: plane p's mask
+    * bit i is the sign of weight w(p, i). Precomputed once per JVM. */
+  private val MaxPlanes = 4096
+  private lazy val planeMasks: Array[Long] = {
+    val m = new Array[Long](MaxPlanes)
+    var p = 0
+    while (p < MaxPlanes) { m(p) = XXH64.hashLong(p.toLong, 0x5EEDC0DEL); p += 1 }
+    m
+  }
+
+  /** Band hashes of a random-hyperplane signature: band b packs `bits`
+    * consecutive plane signs; sign(p) = [ sum_i w(p,i)*qv_i > 0 ]. */
+  def hyperplaneBands(arr: ArrayData, bands: Int, bits: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var bv = 0
+      var r = 0
+      while (r < bits) {
+        val mask = planeMasks(b * bits + r)
+        var acc = 0L
+        var i = 0
+        while (i < n) {
+          val x = arr.getLong(i)
+          // branchless +-x: s = 0 or -1 from the mask bit; (x^s)-s = x or -x.
+          // The branchy form mispredicts ~50% on random sign bits and was
+          // ~10x slower over the 2048-plane loop.
+          val s = -((mask >>> (i & 63)) & 1L)
+          acc += (x ^ s) - s
+          i += 1
+        }
+        if (acc > 0L) bv |= (1 << r)
+        r += 1
+      }
+      out(b) = bv
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Σ a(i)*b(i) over two ARRAY<BIGINT> columns. Inputs are pre-quantized
@@ -82,27 +230,15 @@ case class ArrayLongDot(left: Expression, right: Expression)
   * re-hashing the string k times.
   */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val base = ArrayExprs.xxh64(arr.getUTF8String(i), 42L)
-      var j = 0
-      while (j < k) {
-        val h = XXH64.hashLong(base, j)
-        if (h < mins(j)) mins(j) = h
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.minhashSig(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.minhashSig($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -112,65 +248,78 @@ case class MinHashSig(child: Expression, k: Int)
   * occurrence. One pass; equivalent to (but ~20x faster than) the
   * interpreted `array_distinct(transform(sequence(...), i ->
   * concat_ws(' ', tokens[i], ..., tokens[i+n-1])))` pipeline. Sequences
-  * shorter than n yield their single full-width join (matching the SQL
-  * oracle's range semantics: max(1, len - n + 1) shingles). */
+  * shorter than n yield NO shingles (an empty array) — the same semantics
+  * as the SQL oracle's `range(1, len - n + 2)` window enumeration. */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val len = arr.numElements()
-    val count = math.max(1, len - n + 1)
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    val sep = UTF8String.fromString(" ")
-    var i = 0
-    while (i < count) {
-      val hi = math.min(i + n, len)
-      val parts = new Array[UTF8String](hi - i)
-      var j = i
-      while (j < hi) { parts(j - i) = arr.getUTF8String(j); j += 1 }
-      seen.add(UTF8String.concatWs(sep, parts: _*))
-      i += 1
-    }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.shingles(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
     copy(child = newChild)
 }
 
 /** 64-bit SimHash: bit j of the result is set iff the sum over tokens of
-  * sign(bit j of xxh64(token)) is positive. */
+  * sign(bit j of hash(token)) is positive. The per-token hash is the
+  * portable two-base polynomial hash ([[ArrayOps.polyHash]] with bases
+  * 131/137), so the DuckDB oracle reproduces the signature bit-for-bit. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val v = new Array[Int](64)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val h = ArrayExprs.xxh64(arr.getUTF8String(i), 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) v(j) += 1 else v(j) -= 1
-        j += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var j = 0
-    while (j < 64) {
-      if (v(j) > 0) sig |= (1L << j)
-      j += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Order-sensitive document fingerprint:
+  * fp = fold(tokens, (fp*31 + polyHash(token)) mod 1e9+7). Pure 64-bit
+  * arithmetic (no wraparound under ANSI mode), portable to the oracle. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.polyFingerprint(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.polyFingerprint($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bands over a quantized ARRAY<BIGINT> vector:
+  * `bands` band hashes, each packing `bits` consecutive hyperplane signs
+  * (Rademacher +-1 weights, deterministic per plane index). Two vectors
+  * with angle theta agree on one plane with p = 1 - theta/pi; a band
+  * collides with p^bits — the s-curve that makes near-angular-duplicate
+  * blocking sublinear. */
+case class HyperplaneBands(child: Expression, bands: Int, bits: Int)
+    extends UnaryExpression {
+  require(bands * bits <= 4096, "at most 4096 hyperplanes are precomputed")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.hyperplaneBands(input.asInstanceOf[ArrayData], bands, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.hyperplaneBands($c, $bands, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
     copy(child = newChild)
 }

@@ -26,14 +26,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, Time
   *     state = one buffered right row; at 100 TB this is one shuffle of
   *     each side and no per-key windows.
   *
-  * Keys must be integral columns, times timestamp-or-long columns; the
-  * right side should be unique per (key, time) for deterministic output
-  * (pre-aggregate otherwise).
+  * Keys must be integral columns, times timestamp-or-long columns. NULL
+  * keys or times never match (SQL ASOF semantics): a left row with a null
+  * key/time emits null-extended output, a right row with a null key/time
+  * is never a candidate. The right side should be unique per (key, time)
+  * for deterministic output (pre-aggregate otherwise); `strict = true`
+  * makes the exec detect violations and fail loudly instead of silently
+  * picking a sort-order-dependent row.
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: String, rightKey: String,
-    leftTime: String, rightTime: String) extends BinaryNode {
+    leftTime: String, rightTime: String,
+    strict: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   // Declare the key/time columns as referenced — ColumnPruning would
@@ -50,8 +55,8 @@ final case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, strict) :: Nil
     case _ => Nil
   }
 }
@@ -59,7 +64,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: String, rightKey: String,
-    leftTime: String, rightTime: String) extends BinaryExecNode {
+    leftTime: String, rightTime: String,
+    strict: Boolean = false) extends BinaryExecNode {
 
   private def attrOf(side: SparkPlan, name: String): Attribute =
     side.output.find(_.name == name).getOrElse(
@@ -81,9 +87,12 @@ final case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
+  private def colIdx(side: SparkPlan, name: String): Int =
+    side.output.indexWhere(_.exprId == attrOf(side, name).exprId)
+
   private def longGetter(side: SparkPlan, name: String): (InternalRow => Long) = {
     val attr = attrOf(side, name)
-    val idx = side.output.indexWhere(_.exprId == attr.exprId)
+    val idx = colIdx(side, name)
     attr.dataType match {
       case LongType | TimestampType | TimestampNTZType => row => row.getLong(idx)
       case IntegerType              => row => row.getInt(idx).toLong
@@ -96,8 +105,13 @@ final case class AsOfJoinExec(
     val lTime = longGetter(left, leftTime)
     val rKey = longGetter(right, rightKey)
     val rTime = longGetter(right, rightTime)
+    val lkIdx = colIdx(left, leftKey)
+    val ltIdx = colIdx(left, leftTime)
+    val rkIdx = colIdx(right, rightKey)
+    val rtIdx = colIdx(right, rightTime)
     val nRight = right.output.size
     val outAttrs = output
+    val failOnDup = strict
 
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       val r = rit.buffered
@@ -106,18 +120,35 @@ final case class AsOfJoinExec(
       val proj = UnsafeProjection.create(outAttrs.map(_.dataType).toArray)
       var cand: InternalRow = null
       var candKey = 0L
+      var candTime = 0L
       lit.map { lrow =>
-        val lk = lKey(lrow)
-        val lt = lTime(lrow)
-        while (r.hasNext && {
-          val hk = rKey(r.head)
-          hk < lk || (hk == lk && rTime(r.head) <= lt)
-        }) {
-          val row = r.next()
-          if (rKey(row) == lk) { cand = row.copy(); candKey = lk }
+        if (lrow.isNullAt(lkIdx) || lrow.isNullAt(ltIdx)) {
+          // null key/time never matches: emit null-extended, don't advance
+          proj(joined(lrow, nullRight))
+        } else {
+          val lk = lKey(lrow)
+          val lt = lTime(lrow)
+          var scanning = true
+          while (scanning && r.hasNext) {
+            if (r.head.isNullAt(rkIdx) || r.head.isNullAt(rtIdx)) {
+              r.next() // null right key/time is never a candidate
+            } else {
+              val hk = rKey(r.head)
+              if (hk < lk || (hk == lk && rTime(r.head) <= lt)) {
+                val row = r.next()
+                if (rKey(row) == lk) {
+                  val rt = rTime(row)
+                  if (failOnDup && cand != null && candKey == lk && candTime == rt)
+                    sys.error(s"as-of join: right side not unique per (key, time): " +
+                      s"key=$lk time=$rt — pre-aggregate the right side")
+                  cand = row.copy(); candKey = lk; candTime = rt
+                }
+              } else scanning = false
+            }
+          }
+          val matched = cand != null && candKey == lk
+          proj(joined(lrow, if (matched) cand else nullRight))
         }
-        val matched = cand != null && candKey == lk
-        proj(joined(lrow, if (matched) cand else nullRight))
       }
     }
   }
@@ -131,7 +162,8 @@ final case class AsOfJoinExec(
 object AsOf {
   def join(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTime: String, rightTime: String): DataFrame = {
+      leftTime: String, rightTime: String,
+      strict: Boolean = false): DataFrame = {
     val spark: SparkSession = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -139,6 +171,6 @@ object AsOf {
     }
     DatasetBridge.ofRows(spark, AsOfJoinPlan(
       left.queryExecution.logical, right.queryExecution.logical,
-      leftKey, rightKey, leftTime, rightTime))
+      leftKey, rightKey, leftTime, rightTime, strict))
   }
 }

@@ -14,8 +14,13 @@ import graft.{QueryDef, Tables}
   *     band explosion, shuffle on (band, hash) buckets, candidate pairs
   *     verified by exact Jaccard — never an O(n^2) cross join;
   *   - SimHash = 64-bit signature, 4x16-bit block index (any pair within
-  *     Hamming distance 3 shares at least one intact block by pigeonhole),
-  *     bucket join + popcount(xor) verify.
+  *     Hamming distance 3 shares at least one intact block by pigeonhole
+  *     — the index is exact, not probabilistic), bucket join +
+  *     popcount(xor) verify;
+  *   - transitive clusters = alternating large-star/small-star (Kiveris
+  *     et al., "Connected Components in MapReduce and Beyond"): converges
+  *     in O(log diameter) rounds vs O(diameter) for plain min-label
+  *     propagation, each round a constant number of shuffles.
   */
 object Dedup {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -30,9 +35,22 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 8 // 4 rows/band: s-curve threshold ~ (1/8)^(1/4) = 0.59
 
-  /** doc_id + distinct shingle set. */
+  /** doc_id + distinct shingle set. Documents shorter than the shingle
+    * width have no shingles and cannot be near-dups — they are excluded
+    * here (and by `WHERE len(sh) > 0` in the oracles), which keeps the
+    * Jaccard denominator non-zero on both engines. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  // Oracle-side mirror of docShingles (DuckDB list slicing is 1-based
+  // inclusive; range(1, len-1) enumerates the len-2 three-token windows).
+  private val sqlShingles =
+    """SELECT doc_id, sh FROM (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+      |  FROM documents) WHERE len(sh) > 0""".stripMargin
 
   /** MinHash signature via the native [[graft.functions.MinHashSig]]
     * expression: one pass over the shingles, k seeded mixes per shingle —
@@ -53,6 +71,80 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Verified near-dup pairs (Jaccard >= 0.8 over LSH candidates). */
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docShingles(s, d)
+    val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  /** Alternating large-star/small-star connected components over an
+    * undirected edge list (`doc_a`, `doc_b`).
+    *
+    * Each round: large-star hangs every node's larger neighbors onto the
+    * minimum of its neighborhood, small-star hangs the smaller ones; the
+    * component collapses to a star (every node pointing at the component
+    * minimum) in O(log diameter) rounds — each round is a constant number
+    * of shuffles with `localCheckpoint()` lineage truncation, so a
+    * 100 TB-scale graph with long chains costs log, not linear, rounds.
+    *
+    * @return (labels DataFrame (node, lbl), rounds executed)
+    */
+  def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node"))).distinct()
+    // invariant: every edge oriented large -> small
+    var cur = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // convergence signature: (edge count, xor of 64-bit edge hashes) in ONE
+    // small aggregate job per round — an except()-based exact set compare
+    // costs an extra shuffle per round, and a false convergence needs a
+    // colliding xor at identical cardinality (~2^-64; the edge set is
+    // distinct, so xor cannot self-cancel). xor, not sum: ANSI mode throws
+    // on the inevitable 64-bit sum overflow.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var rounds = 0
+    var curStats = stats(cur)
+    var done = curStats._1 == 0L
+    while (!done) {
+      // large-star: m = min(N(u) + {u}); every neighbor v > u points at m
+      val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .distinct()
+      // small-star: m = min(N(u) + {u}) over the smaller neighbors; all of
+      // them (and u) point at m
+      val ssMin = ls.groupBy("u").agg(min("v").as("mn"))
+      val next = ls.join(ssMin, "u")
+        .filter(col("v") =!= col("mn"))
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(ssMin.select(col("u"), col("mn").as("v")))
+        .distinct()
+        .localCheckpoint()
+      rounds += 1
+      val nextStats = stats(next)
+      done = nextStats == curStats
+      curStats = nextStats
+      cur = next
+    }
+    val labels = nodes.join(cur.withColumnRenamed("u", "node"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("v"), col("node")).as("lbl"))
+    (labels, rounds)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: group on a 128-bit content hash --------------------
@@ -69,24 +161,11 @@ object Dedup {
     // Oracle = brute-force O(n^2) exact Jaccard in DuckDB: at threshold 0.8
     // the 32-hash/8-band s-curve has a miss probability < 1e-8 for the
     // planted ~0.98-Jaccard pairs, so LSH+verify equals brute force.
-    QueryDef("q45_minhash_lsh", (s, d) => {
-      val docs = docShingles(s, d)
-      val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
-      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      cand.join(a, "doc_a").join(b, "doc_b")
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= 0.8)
+    QueryDef("q45_minhash_lsh", (s, d) =>
+      nearDupPairs(s, d)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    },
-      Some("""WITH s AS (
-             |  SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-             |  FROM documents)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH s AS ($sqlShingles)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |    / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
@@ -99,27 +178,16 @@ object Dedup {
     // ---- Materialize the deduplicated corpus -----------------------------
     // Greedy LSH dedup: drop every doc that appears as the larger id of a
     // near-dup pair (keeps the smallest id per duplicate relation — the
-    // standard one-pass policy; full transitive closure needs iterative
-    // connected components). Anti-join against the verified pair set.
+    // standard one-pass policy; full transitive closure is q52).
+    // Anti-join against the verified pair set.
     QueryDef("q51_dedup_keep", (s, d) => {
-      val docs = docShingles(s, d)
-      val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
-      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val drop = cand.join(a, "doc_a").join(b, "doc_b")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
-        .select(col("doc_b").as("doc_id")).distinct()
+      val drop = nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
       t(s, d, "documents")
         .join(drop, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
-      Some("""WITH s AS (
-             |  SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-             |  FROM documents),
+      Some(s"""WITH s AS ($sqlShingles),
              |drops AS (
              |  SELECT DISTINCT b.doc_id
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -131,44 +199,16 @@ object Dedup {
 
     // ---- Transitive dedup clusters: connected components -----------------
     // Near-dup is not transitive; proper canonical selection needs the
-    // component, not the pair. Min-label propagation over the verified
-    // pair edges: each round every node takes the min label among itself
-    // and its neighbors, with localCheckpoint() per round to truncate
-    // lineage (iterative DataFrame jobs otherwise re-execute the whole
-    // history each round). Converges in O(component diameter) rounds.
+    // component, not the pair. Large-star/small-star over the verified
+    // pair edges (see connectedComponents above).
     // Oracle: DuckDB recursive-CTE reachability closure.
     QueryDef("q52_dedup_components", (s, d) => {
-      val docs = docShingles(s, d)
-      val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
-      val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-      val pairs = cand.join(a, "doc_a").join(b, "doc_b")
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))) >= 0.8)
-        .select("doc_a", "doc_b")
-      val edges = pairs.union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .localCheckpoint()
-      var labels = edges.select(col("doc_a").as("node")).distinct()
-        .withColumn("lbl", col("node"))
-      var changed = 1L
-      while (changed > 0) {
-        val viaNeighbor = edges.join(labels, edges("doc_b") === labels("node"))
-          .select(col("doc_a").as("node"), col("lbl"))
-        val next = labels.select("node", "lbl").union(viaNeighbor)
-          .groupBy("node").agg(min("lbl").as("lbl"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-          .filter(col("lbl") =!= col("old")).count()
-        labels = next
-      }
+      val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+      val (labels, _) = connectedComponents(pairs)
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
-      Some("""WITH RECURSIVE s AS (
-             |  SELECT doc_id,
-             |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
-             |  FROM documents),
+      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
              |pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -186,10 +226,13 @@ object Dedup {
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
 
     // ---- SimHash near-dup: 64-bit signature + 4-block index --------------
-    // xxhash64 is Spark-specific -> no portable oracle (rows-only check);
-    // DedupSpec pins the signature math against a reference implementation.
+    // The signature's per-token hash is the portable polynomial hash
+    // (graft.functions.ArrayOps.polyHash, bases 131/137), so DuckDB can
+    // recompute the signature bit-for-bit; the oracle does the brute-force
+    // O(n^2) Hamming join, which equals the blocked plan exactly because
+    // the 4x16-bit pigeonhole index has perfect recall at distance <= 3.
     QueryDef("q46_simhash", (s, d) => {
-      // v[j] = sum over tokens of (bit j of xxh64(token) ? +1 : -1);
+      // v[j] = sum over tokens of (bit j of hash(token) ? +1 : -1);
       // simhash bit j = (v[j] > 0) — one native pass per row
       // (graft.functions.SimHash64).
       val sigs = t(s, d, "documents")
@@ -209,6 +252,36 @@ object Dedup {
         .filter(col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     },
-      None),
+      Some("""WITH th AS (
+             |  SELECT doc_id,
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a,c) -> (a*131 + c) % 4294967291)) AS h1s,
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a,c) -> (a*137 + c) % 4294967291)) AS h2s
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(h1s) AS h1, unnest(h2s) AS h2 FROM th),
+             |bits AS (
+             |  SELECT doc_id, t.j,
+             |    sum(CASE WHEN t.j < 32 THEN (h1 >> t.j) & 1
+             |             ELSE (h2 >> (t.j - 32)) & 1 END) AS cnt,
+             |    count(*) AS n
+             |  FROM tok CROSS JOIN range(64) t(j)
+             |  GROUP BY doc_id, t.j),
+             |sig AS (
+             |  SELECT doc_id,
+             |    bit_or(CASE WHEN 2*cnt > n AND j < 32
+             |                THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS lo,
+             |    bit_or(CASE WHEN 2*cnt > n AND j >= 32
+             |                THEN (CAST(1 AS BIGINT) << CAST(j - 32 AS INTEGER)) ELSE 0 END) AS hi
+             |  FROM bits GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

@@ -19,20 +19,23 @@ object Multimodal {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Binary metadata extraction: byte length, content hash, and
-    // stub-"decoded" dimensions derived with exact integer arithmetic ------
+    // stub-"decoded" dimensions derived with exact integer arithmetic.
+    // The length * prime products are computed in 64-bit on BOTH engines:
+    // in 32-bit, a document over ~20 KB would overflow (ArithmeticException
+    // under Spark 4's ANSI mode, silent wrap elsewhere). ------------------
     QueryDef("q60_blob_meta", (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
           octet_length(col("text")).as("n_bytes"),
           sha2(col("text"), 256).as("sha"),
-          (octet_length(col("text")) * 7919 % 1024).as("width"),
-          (octet_length(col("text")) * 104729 % 768).as("height"))
+          (octet_length(col("text")).cast("bigint") * 7919 % 1024).as("width"),
+          (octet_length(col("text")).cast("bigint") * 104729 % 768).as("height"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  octet_length(CAST(text AS BLOB)) AS n_bytes,
              |  sha256(text) AS sha,
-             |  octet_length(CAST(text AS BLOB)) * 7919 % 1024 AS width,
-             |  octet_length(CAST(text AS BLOB)) * 104729 % 768 AS height
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7919 % 1024 AS width,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 104729 % 768 AS height
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Batched decode via mapPartitions (the Dataset-typed path a real

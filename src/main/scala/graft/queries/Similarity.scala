@@ -16,9 +16,11 @@ import graft.{QueryDef, Tables}
   *
   * Scale design: brute-force top-k broadcasts the (small) query set and
   * computes map-side — one narrow shuffle of k rows per query for the
-  * final ranking. The IVF variant is the 100 TB path: partition the
-  * corpus by nearest centroid (one shuffle), probe only nprobe cells per
-  * query.
+  * final ranking. The IVF variant (q49) and hyperplane LSH (q55) are the
+  * 100 TB approximate paths. The exact threshold join (q47) is a balanced
+  * tiled self-join — see the note on that query for why exact low-threshold
+  * cosine joins are inherently quadratic in comparisons and what the right
+  * distributed shape for them is.
   */
 object Similarity {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -34,10 +36,67 @@ object Similarity {
     graft.functions.ArrayExprs.dotq(a, b)
 
   /** embeddings with quantized vector + exact squared norm. */
-  private def quantized(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("vec_id"), quant(col("embedding")).as("qv"))
+  private def quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quant(col("embedding")).as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    quantize(t(s, d, "embeddings"))
+
+  /** EXACT cosine-threshold self-join as a balanced tiled equi-join (see
+    * q47 below for why exact low-threshold joins are inherently Omega(n^2)
+    * comparisons and this is the right distributed shape for them).
+    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim). */
+  def tiledNearPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    val e = quantize(emb).withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    val lhs = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"),
+      col("g").as("i"), explode(sequence(col("g"), lit(blocks - 1))).as("j"))
+    val rhs = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"),
+      explode(sequence(lit(0), col("g"))).as("i"), col("g").as("j"))
+    val swapped = col("vec_a") > col("vec_b")
+    lhs.join(rhs, Seq("i", "j"))
+      // off-diagonal tiles carry each unordered pair exactly once (in
+      // arbitrary side order); diagonal tiles carry both orders, so
+      // keep the a<b one. Normalize the output order afterwards — and
+      // divide by the smaller id's norm FIRST: double division is not
+      // associative-commutative, so the oracle's d/sqrt(na)/sqrt(nb)
+      // order must be reproduced exactly (the integer dot itself is
+      // symmetric).
+      .filter(col("i") < col("j") || col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        dot(col("qa"), col("qb")).cast("double") /
+          sqrt(when(swapped, col("nb")).otherwise(col("na")).cast("double")) /
+          sqrt(when(swapped, col("na")).otherwise(col("nb")).cast("double")))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos_sim"))
+  }
+
+  /** APPROXIMATE near-duplicate pairs via random-hyperplane LSH blocking +
+    * exact verification (see q55 below for the s-curve parameters).
+    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim). */
+  def lshNearPairs(emb: DataFrame, threshold: Double,
+      bands: Int = 128, bits: Int = 16): DataFrame = {
+    val e = quantize(emb)
+    val sig = e.select(col("vec_id"),
+      graft.functions.ArrayExprs.hyperplaneBands(col("qv"), bands, bits).as("bands"))
+    // materialize the signature explosion once: the self-join would
+    // otherwise evaluate the full hyperplane signature pipeline on BOTH
+    // sides (2x the dominant cost)
+    val exploded = sig.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
+      .localCheckpoint()
+    val x = exploded.select(col("vec_id").as("vec_a"), col("band"), col("bv"))
+    val y = exploded.select(col("vec_id").as("vec_b"), col("band").as("band2"), col("bv").as("bv2"))
+    val cand = x.join(y, col("band") === col("band2") && col("bv") === col("bv2") &&
+        col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
 
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
@@ -47,30 +106,63 @@ object Similarity {
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000000 + 0.5) AS BIGINT))"
   private def sqlDot(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
+  private def sqlCos(a: String, b: String) =
+    s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
+       |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
+
+  /** Brute-force threshold self-join oracle (shared by q47/q55). */
+  private def sqlNearPairs(threshold: Double) =
+    s"""WITH q AS (
+       |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    ${sqlCos("a", "b")} AS cos_sim
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cos_sim >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- Near-duplicate pairs by cosine threshold ------------------------
-    QueryDef("q47_embed_near_pairs", (s, d) => {
-      val e = quantized(s, d)
-      val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
-      val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-        .filter(col("cos_sim") >= 0.45)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
-    },
-      Some(s"""WITH q AS (
-             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
-             |n AS (
-             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q)
-             |SELECT vec_a, vec_b, cos_sim FROM (
-             |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             |    CAST(${sqlDot("a.qv", "b.qv")} AS DOUBLE)
-             |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos_sim
-             |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-             |WHERE cos_sim >= 0.45 ORDER BY vec_a, vec_b""".stripMargin)),
+    // ---- Near-duplicate pairs by cosine threshold (EXACT) ----------------
+    // Why this is a tiled join and not LSH: at threshold 0.45 over 64-dim
+    // embeddings the qualifying pairs are noise-tail events (cosine of
+    // independent vectors concentrates around 0 with sd ~ 1/8; 0.45 is a
+    // 3.6-sigma tail, and the testdata has a continuum of pairs right
+    // below the cutoff — 130 pairs in [0.45,0.50) vs 3993 in [0.35,0.45)
+    // at sf0.1). Hyperplane LSH collides at p = 1 - theta/pi, i.e.
+    // p(0.45) = 0.649 vs p(0) = 0.50 — no (bits, bands) choice gives
+    // near-1 recall at the threshold without admitting nearly every pair,
+    // and no clustering bound can prune group pairs when random points sit
+    // at ~90 degrees. Exact low-threshold cosine joins are therefore
+    // inherently Omega(n^2) comparisons; the scale question is only HOW
+    // the n^2 is executed. Answer: a balanced TILED self-join — hash each
+    // vector into one of B blocks, equi-join on the tile key (i,j),
+    // i <= j, so the B(B+1)/2 tiles spread evenly across the cluster as
+    // ordinary shuffle-join tasks with bounded per-task memory. No
+    // BroadcastNestedLoopJoin, no driver collect, AQE-splittable. The
+    // sublinear *approximate* paths are q55 (hyperplane LSH at a
+    // threshold where the s-curve works) and q49 (IVF).
+    QueryDef("q47_embed_near_pairs", (s, d) =>
+      tiledNearPairs(t(s, d, "embeddings"), 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(sqlNearPairs(0.45))),
+
+    // ---- Hyperplane-LSH near-duplicate pairs (the sublinear path) --------
+    // Random-hyperplane (SimHash-for-angles) blocking at a threshold where
+    // the s-curve has real power: cos >= 0.9 -> per-plane agreement
+    // p = 1 - acos(0.9)/pi = 0.857, per-16-bit-band collision 0.084,
+    // miss probability across 128 bands (1-0.084)^128 ~ 1.4e-5 (7e-12 for
+    // planted 0.95+ near-dups), while near-orthogonal noise collides at
+    // 128 * 0.5^16 ~ 0.2% — candidates stay near-linear and are verified
+    // with the exact integer cosine. The testdata corpus is pure noise
+    // (max pair cosine ~0.65), so this returns empty here and the oracle
+    // validates exactly that; recall is proven on planted near-dup
+    // fixtures in PipelineSpec, and the candidate volume in ScaleProbe.
+    QueryDef("q55_embed_lsh", (s, d) =>
+      lshNearPairs(t(s, d, "embeddings"), 0.9)
+        .orderBy("vec_a", "vec_b"),
+      Some(sqlNearPairs(0.9))),
 
     // ---- Brute-force cosine top-k (the exact ANN baseline) ---------------
     QueryDef("q48_knn_brute", (s, d) => {
@@ -92,8 +184,7 @@ object Similarity {
              |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
              |scored AS (
              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-             |    CAST(${sqlDot("a.qv", "b.qv")} AS DOUBLE)
-             |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos_sim
+             |    ${sqlCos("a", "b")} AS cos_sim
              |  FROM n a JOIN n b ON a.vec_id != b.vec_id
              |  WHERE a.vec_id % 100 = 0),
              |ranked AS (
@@ -139,8 +230,7 @@ object Similarity {
              |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
              |scored AS (
              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-             |    CAST(${sqlDot("a.qv", "b.qv")} AS DOUBLE)
-             |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE)) AS cos_sim
+             |    ${sqlCos("a", "b")} AS cos_sim
              |  FROM n a JOIN n b ON a.vec_id != b.vec_id
              |  WHERE a.vec_id % 100 = 0),
              |ranked AS (
@@ -153,9 +243,11 @@ object Similarity {
     // ---- IVF (inverted-file) approximate top-k: the 100 TB scale path ----
     // "Training" is deterministic: every 64th vector is a centroid; vectors
     // are assigned to their nearest centroid (coarse quantization); queries
-    // probe the nprobe=8 nearest cells only. Approximate by construction ->
-    // no SQL oracle (rows-only check); SimilaritySpec measures recall
-    // against q48's exact result.
+    // probe the nprobe=8 nearest cells only. The construction is fully
+    // deterministic (exact integer cosines, total tie-breaks), so the
+    // whole thing is expressible in SQL -> full hash-match oracle;
+    // SimilaritySpec additionally measures recall against q48's exact
+    // result.
     QueryDef("q49_knn_ivf", (s, d) => {
       val e = quantized(s, d)
       val cents = e.filter(col("vec_id") % 64 === 0)
@@ -188,6 +280,39 @@ object Similarity {
         .select("q_id", "rank", "n_id", "cos_sim")
         .orderBy("q_id", "rank")
     },
-      None),
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n WHERE vec_id % 64 = 0),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |corpus AS (
+             |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell
+             |  FROM asg a JOIN n ON a.vec_id = n.vec_id),
+             |probes AS (
+             |  SELECT q_id, qv, n2, cell FROM (
+             |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+             |    FROM n CROSS JOIN c WHERE n.vec_id % 100 = 0)
+             |  WHERE crn <= 8),
+             |scored AS (
+             |  SELECT p.q_id, s.n_id,
+             |    ${sqlCos("p", "s")} AS cos_sim
+             |  FROM probes p JOIN corpus s ON p.cell = s.cell
+             |  WHERE p.q_id != s.n_id),
+             |ranked AS (
+             |  SELECT q_id, n_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -104,20 +104,25 @@ object Text {
              |GROUP BY token ORDER BY token""".stripMargin)),
 
     // ---- Document fingerprint: order-sensitive rolling hash --------------
-    // fp = fold(tokens, acc -> (acc * 31 + xxhash64(token)) mod p) — a
-    // polynomial rolling hash over token hashes, mod a large prime so the
-    // arithmetic never overflows (Spark 4 is ANSI by default: wrapping
-    // int64 ops throw). Not expressible in portable SQL (xxhash64 is
-    // Spark-specific) -> rows-only check; exactness is covered by
-    // TextSpec against a reference implementation.
-    QueryDef("q43_fingerprint", (s, d) => {
-      val p = lit(1000000007L)
+    // fp = fold(tokens, acc -> (acc * 31 + polyHash(token)) mod 1e9+7) — a
+    // polynomial rolling hash over per-token polynomial codepoint hashes,
+    // mod large primes so the arithmetic never overflows (Spark 4 is ANSI
+    // by default: wrapping int64 ops throw). The token hash is the
+    // portable graft.functions.ArrayOps.polyHash, so the identical fold is
+    // expressed in DuckDB SQL (nested list_reduce) -> full hash-match
+    // oracle. Native codegen'd expression, one pass per row.
+    QueryDef("q43_fingerprint", (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"),
-          aggregate(transform(toks, w => xxhash64(w)), lit(0L),
-            (acc, h) => pmod(acc * lit(31L) + pmod(h, p), p)).as("fingerprint"))
-        .orderBy("doc_id")
-    },
-      None),
+          graft.functions.ArrayExprs.polyFingerprint(toks).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w)+1), i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a,c) -> (a*131 + c) % 4294967291))),
+             |    (acc,h) -> (acc*31 + h) % 1000000007) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }

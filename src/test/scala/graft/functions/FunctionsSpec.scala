@@ -17,12 +17,17 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("Shingles matches sliding window semantics incl. short docs") {
-    val df = Seq("a b c d e", "x y", "solo").toDF("text")
+    // documents shorter than the shingle width yield NO shingles — the
+    // same enumeration as the oracle's range(1, len-1) window (ADVICE r1:
+    // the old max(1, len-n+1) truncated-shingle rule diverged on <n-token
+    // docs)
+    val df = Seq("a b c d e", "x y", "solo", "a b c").toDF("text")
     val got = df.select(ArrayExprs.shingles(split(col("text"), " "), 3))
       .collect().map(_.getSeq[String](0).toSeq)
     assert(got(0) == Seq("a b c", "b c d", "c d e"))
-    assert(got(1) == Seq("x y"))
-    assert(got(2) == Seq("solo"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq("a b c"))
   }
 
   test("Shingles dedups repeats") {

@@ -26,17 +26,26 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("q43 fingerprint matches reference rolling hash") {
-    // reference implementation of fp = fold (acc*31 + (h mod p)) mod p over
-    // xxhash64(token); spark-side xxhash64 is pinned by hashing parity below
+    // driver-side reference implementation of the portable polynomial
+    // fingerprint: per-token codepoint hash (base 131 mod 4294967291),
+    // folded with fp = (fp*31 + h) mod 1e9+7 — the same fold the DuckDB
+    // oracle expresses with nested list_reduce
+    def tokHash(w: String): Long = {
+      var h = 0L; var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        h = (h * 131L + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
     val fps = q("q43_fingerprint").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val hashed = Tables.load(spark, sfDir, "documents")
-      .select(col("doc_id"),
-        transform(split(col("text"), " "), w => xxhash64(w)).as("hs"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val P = 1000000007L
-    hashed.foreach { case (id, hs) =>
-      val want = hs.foldLeft(0L)((acc, h) => Math.floorMod(acc * 31 + Math.floorMod(h, P), P))
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.foreach { case (id, text) =>
+      val want = text.split(" ", -1).foldLeft(0L)((acc, w) => (acc * 31 + tokHash(w)) % 1000000007L)
       assert(fps(id) == want, s"doc $id")
     }
   }
@@ -136,5 +145,108 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       val want = dec.decode(id, docs(id).getBytes("UTF-8"))
       assert(row(6).asInstanceOf[Long] == want.checksum)
     }
+  }
+
+  // --- pair joins: exact tiled + hyperplane LSH ---------------------------
+
+  /** Deterministic fixture: nBase random 64-dim vectors + planted near-dup
+    * copies (tiny perturbation => cosine ~0.99). */
+  private def embFixture(nBase: Int, nDups: Int, seed: Int = 7) = {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(seed)
+    val base = (0 until nBase).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat))
+    }
+    val dups = (0 until nDups).map { i =>
+      val v = base(i * 3)._2
+      (nBase + i.toLong, v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat))
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  private def bruteCos(df: org.apache.spark.sql.DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    val q = vecs.map { case (k, v) => k -> quant(v) }
+    (for {
+      a <- vecs.keys; b <- vecs.keys if a < b
+      dot = q(a).zip(q(b)).map { case (x, y) => x * y }.sum
+      na = q(a).map(x => x * x).sum
+      nb = q(b).map(x => x * x).sum
+      cos = dot.toDouble / math.sqrt(na.toDouble) / math.sqrt(nb.toDouble)
+      if cos >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("q47 tiled exact join equals brute force and plans no BNLJ") {
+    val df = embFixture(150, 0)
+    // 0.3 is a ~2.4-sigma threshold: plenty of borderline noise pairs, the
+    // regime where candidate-pruning schemes are impossible and only the
+    // exact tiled join is correct
+    val got = Similarity.tiledNearPairs(df, 0.3, blocks = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteCos(df, 0.3)
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce pairs at 0.3")
+    // the whole point of the tile rewrite: a distributed equi-join shape,
+    // never a corpus x corpus BroadcastNestedLoopJoin
+    val plan = Similarity.tiledNearPairs(df, 0.3).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
+  test("q55 hyperplane LSH finds every planted near-dup (and equals brute force)") {
+    val df = embFixture(200, 20)
+    val got = Similarity.lshNearPairs(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bruteCos(df, 0.9)
+    assert(want.size >= 20, s"fixture should plant >=20 near-dup pairs, got ${want.size}")
+    // 128-band/16-bit s-curve: miss probability ~7e-12 per 0.95+ pair =>
+    // LSH + exact verify equals brute force on any realistic fixture
+    assert(got == want)
+  }
+
+  test("q55 plan blocks on band buckets, not corpus x corpus") {
+    val plan = Similarity.lshNearPairs(embFixture(50, 5), 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
+  }
+
+  // --- connected components ----------------------------------------------
+
+  test("large-star/small-star converges in O(log n) rounds on a long chain") {
+    val s = spark
+    import s.implicits._
+    // 64-node path graph: min-label propagation needs ~63 rounds; the
+    // star algorithm collapses it exponentially
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.connectedComponents(chain)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), got.toString)
+    assert(rounds <= 10, s"expected O(log n) rounds, got $rounds")
+  }
+
+  test("connected components equal driver-side union-find on a random graph") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 150).map(_ => (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    val (labels, _) = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+    // union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
   }
 }
