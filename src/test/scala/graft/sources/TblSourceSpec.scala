@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The `.tbl` fixtures under test/resources/tbl were produced by the
+  * REFERENCE's own classes (qp.utils.Tuple / qp.utils.Batch compiled from
+  * /root/reference/src and serialized through ObjectOutputStream exactly
+  * like ConvertTxtToTbl.java:29-73 / TupleWriter.java:46-86), so these
+  * tests assert byte-level compatibility with the real format, parsed by
+  * our self-contained stream reader (no reference classes involved).
+  */
+class TblSourceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def res(name: String): String =
+    getClass.getResource(s"/tbl/$name").getPath
+
+  test("reads the ConvertTxtToTbl tuple-stream layout") {
+    val rows = TblSource.readRows(res("sample.tbl"))
+    assert(rows.length == 7)
+    assert(rows.head == Seq(0, 0, "first0", "last0", "addr0"))
+    assert(rows(6) == Seq(6, 0, "first6", "last6", "addr0"))
+  }
+
+  test("reads the TupleWriter batch-stream layout (incl. partial last batch)") {
+    val rows = TblSource.readRows(res("batched.tbl"))
+    assert(rows.length == 7)
+    assert(rows(1) == Seq(1, 1.5f, "s1"))
+    assert(rows(6) == Seq(6, 9.0f, "s6"))
+  }
+
+  test("readTbl applies the .det catalog and yields a typed DataFrame") {
+    val df = TblSource.readTbl(spark, res("sample.det"), res("sample.tbl"))
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("cid", "gender", "firstname", "lastname", "address"))
+    assert(df.count() == 7)
+    assert(df.filter(df("gender") === 1).count() == 3)
+    val batched = TblSource.readTbl(spark, res("batched.det"), res("batched.tbl"))
+    assert(batched.schema.fields(1).dataType.typeName == "float")
+    assert(batched.agg(org.apache.spark.sql.functions.sum("score")).first().getDouble(0) == 31.5)
+  }
+}
