@@ -6,7 +6,7 @@ package graft.dialect
   * ```
   * query     := SELECT [DISTINCT] (attlist | *) FROM tablelist [WHERE condlist]
   *              [GROUPBY attlist] [ORDERBY attlist [DESC]]
-  * attr      := ID "." ID | AGG "(" ID "." ID ")"
+  * attr      := ID "." ID | AGG "(" attr ")"   -- nested: outermost AGG wins
   * AGG       := MAX|MIN|SUM|COUNT|AVG
   * condlist  := cond ("," cond)*            -- comma = AND
   * cond      := attr op "stringlit" | attr op attr

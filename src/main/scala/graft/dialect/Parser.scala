@@ -5,8 +5,15 @@ package graft.dialect
   * CUP-generated; we don't need a parser generator for this).
   *
   * Faithful to the reference lexer (scaner.lex): case-sensitive keywords,
-  * identifiers `[A-Za-z][A-Za-z0-9_]*`, constants always double-quoted
-  * strings (coerced to column type later), comma = AND in WHERE.
+  * identifiers `[A-Za-z_][A-Za-z0-9_]*` (underscore is a legal first
+  * character), constants always double-quoted strings whose CHAR class
+  * admits backslash escapes — the reference strips only the outer quotes
+  * and keeps the escape bytes verbatim (scaner.lex STRINGLIT action), so
+  * we do the same — coerced to column type later, comma = AND in WHERE.
+  * Aggregate attributes nest grammatically (`MAX(MIN(T.a))`); the
+  * reference's cup action overwrites the agg type on the same Attribute
+  * object, so the OUTERMOST aggregate wins (parser.cup attribute
+  * productions) — reproduced here.
   */
 object Parser {
 
@@ -30,7 +37,7 @@ object Parser {
     while (i < n) {
       val c = input(i)
       if (c.isWhitespace) i += 1
-      else if (c.isLetter) {
+      else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (input(i).isLetterOrDigit || input(i) == '_')) i += 1
         val word = input.substring(start, i)
@@ -38,10 +45,15 @@ object Parser {
                  else if (Aggs(word)) Agg(word)
                  else Id(word))
       } else if (c == '"') {
-        val end = input.indexOf('"', i + 1)
-        require(end >= 0, s"unterminated string literal at offset $i")
-        toks += Str(input.substring(i + 1, end))
-        i = end + 1
+        // scan to the closing quote, honoring backslash escapes; like the
+        // reference lexer, keep the escape characters verbatim
+        var j = i + 1
+        while (j < n && input(j) != '"') {
+          if (input(j) == '\\' && j + 1 < n) j += 2 else j += 1
+        }
+        require(j < n, s"unterminated string literal at offset $i")
+        toks += Str(input.substring(i + 1, j))
+        i = j + 1
       } else {
         Ops.find(op => input.startsWith(op, i)) match {
           case Some(op) => toks += Op(op); i += op.length
@@ -70,9 +82,9 @@ object Parser {
   private def attr(c: Cursor): Attr = c.next() match {
     case Agg(a) =>
       c.expect(Sym('('))
-      val t = c.id(); c.expect(Sym('.')); val col = c.id()
+      val inner = attr(c) // grammar recursion: MAX(MIN(T.a)) is legal
       c.expect(Sym(')'))
-      Attr(t, col, Some(a))
+      inner.copy(agg = Some(a)) // reference setAggType overwrite: outer wins
     case Id(t) =>
       c.expect(Sym('.'))
       Attr(t, c.id())

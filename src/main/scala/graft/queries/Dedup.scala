@@ -35,16 +35,11 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 8 // 4 rows/band: s-curve threshold ~ (1/8)^(1/4) = 0.59
 
-  /** doc_id + distinct shingle set. Documents shorter than the shingle
-    * width have no shingles and cannot be near-dups — they are excluded
-    * here (and by `WHERE len(sh) > 0` in the oracles), which keeps the
-    * Jaccard denominator non-zero on both engines. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(col("doc_id"), shingleCol.as("sh"))
-      .filter(size(col("sh")) > 0)
-
-  // Oracle-side mirror of docShingles (DuckDB list slicing is 1-based
-  // inclusive; range(1, len-1) enumerates the len-2 three-token windows).
+  // Oracle-side mirror of the shingle prep in nearDupPairsOf (DuckDB list
+  // slicing is 1-based inclusive; range(1, len-1) enumerates the len-2
+  // three-token windows). Documents shorter than the shingle width have no
+  // shingles and cannot be near-dups — both engines exclude them, which
+  // also keeps the Jaccard denominator non-zero.
   private val sqlShingles =
     """SELECT doc_id, sh FROM (
       |  SELECT doc_id,
@@ -72,8 +67,14 @@ object Dedup {
   }
 
   /** Verified near-dup pairs (Jaccard >= 0.8 over LSH candidates). */
-  private def nearDupPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = docShingles(s, d)
+  private def nearDupPairs(s: SparkSession, d: String): DataFrame =
+    nearDupPairsOf(t(s, d, "documents"))
+
+  /** Same pipeline over an arbitrary (doc_id, text) DataFrame — the
+    * library entry point (also used by tools.ScaleProbe). */
+  def nearDupPairsOf(documents: DataFrame): DataFrame = {
+    val docs = documents.select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
     val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
     val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))

@@ -56,6 +56,52 @@ object ScaleProbe {
     time("distinct") {
       bigLi.select("l_orderkey", "l_linenumber", "l_quantity").distinct().count()
     }
+
+    // --- LLM-pipeline shapes at increasing replication --------------------
+    // Replicas must not be near-duplicates of each other, or the pair
+    // OUTPUT itself grows quadratically by construction and the probe
+    // measures the data, not the plan: documents get a per-replica Caesar
+    // rotation (within-replica near-dup structure intact, cross-replica
+    // token sets disjoint); embeddings get a per-replica random sign flip
+    // per dimension (within-replica cosines intact, cross-replica cosines
+    // collapse to noise).
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val docs0 = graft.Tables.load(spark, sfDir, "documents")
+    val emb0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val maxDoc = docs0.agg(max("doc_id")).first().getLong(0) + 1
+    val maxVec = emb0.agg(max("vec_id")).first().getLong(0) + 1
+    def replicateDocs(m: Int): DataFrame =
+      (0 until m).map { i =>
+        docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+          .withColumn("text", translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26)))
+      }.reduce(_ union _)
+    def replicateEmb(m: Int): DataFrame =
+      (0 until m).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, k) => x * (pmod(hash(lit(i * 7919) + k), lit(2)) * 2 - 1).cast("float")))
+      }.reduce(_ union _)
+
+    Seq(1, 4, mult).distinct.foreach { m =>
+      val docs = replicateDocs(m)
+      time(s"minhash_lsh_x$m") { graft.queries.Dedup.nearDupPairsOf(docs).count() }
+      time(s"dedup_components_x$m") {
+        val pairs = graft.queries.Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
+        graft.queries.Dedup.connectedComponents(pairs)._1.count()
+      }
+      time(s"embed_lsh_x$m") {
+        graft.queries.Similarity.lshNearPairs(replicateEmb(m), 0.9).count()
+      }
+    }
+    // the EXACT threshold join is Omega(n^2) comparisons by nature (see
+    // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the
+    // expected ~16x growth is structural, evenly distributed, and not a
+    // BNLJ pathology
+    Seq(1, 4).foreach { m =>
+      time(s"embed_tiled_exact_x$m") {
+        graft.queries.Similarity.tiledNearPairs(replicateEmb(m), 0.45).count()
+      }
+    }
     spark.stop()
   }
 }

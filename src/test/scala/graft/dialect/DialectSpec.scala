@@ -147,4 +147,37 @@ class DialectSpec extends AnyFunSuite with SparkTestBase {
     val want = cart.join(cartdetails, cart("cartid") < cartdetails("iid"))
     assert(got.count() == want.count() && got.count() > 0)
   }
+
+  // --- reference-lexer fidelity -------------------------------------------
+
+  test("identifiers may start with an underscore (reference ALPHA class)") {
+    val t = Map("_tmp" -> customer.select($"cid".as("_c_1"), $"gender"))
+    val got = Translator.run(spark, "SELECT _tmp._c_1 FROM _tmp WHERE _tmp.gender=\"1\"", t)
+    assert(got.count() == customer.filter($"gender" === 1).count())
+  }
+
+  test("string literals keep backslash escapes verbatim (reference STRINGLIT action)") {
+    val q = Parser.parse("""SELECT CART.status FROM CART WHERE CART.remarks="a\"b"""")
+    assert(q.conds.head.rhs == ConstRhs("""a\"b"""))
+  }
+
+  test("aggregates nest grammatically; the outermost wins (reference setAggType)") {
+    val q = Parser.parse("SELECT MAX(MIN(CART.cartid)) FROM CART")
+    assert(q.attrs == Seq(Attr("CART", "cartid", Some("MAX"))))
+  }
+
+  test("golden: multi-table with no join condition is a true cross product") {
+    // The reference mis-plans this case: RandomInitialPlan.createScanOp
+    // keeps only the LAST table's scan (RandomInitialPlan.java:64-71,
+    // 96-106), silently dropping every other FROM table when no join
+    // condition references them. Standard semantics are a cross product;
+    // that is what we produce (Catalyst rewrites comma-joins with join
+    // predicates to inner joins, and leaves honest cartesians otherwise).
+    val got = Translator.run(spark, "SELECT * FROM CUSTOMER,CART", tables)
+    assert(got.count() == customer.count() * cart.count())
+    // with filters but still no join condition: filtered cross product
+    val got2 = Translator.run(spark,
+      "SELECT * FROM CUSTOMER,CART WHERE CUSTOMER.gender=\"1\"", tables)
+    assert(got2.count() == customer.filter($"gender" === 1).count() * cart.count())
+  }
 }
