@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deterministic sampling / splitting operators for a training-data
+  * pipeline: salt-free hash splits and per-group quota sampling.
+  *
+  * Scale design: both are one narrow map stage (the split) or one shuffle
+  * on the group key (the quota window) — no global sorts except the
+  * oracle-determinism root ordering, no driver state. The hash is a
+  * Lehmer/MINSTD step ((id mod M) * 48271 mod M, M = 2^31-1): products
+  * stay under 2^47 so the arithmetic is exact in 64-bit on BOTH engines —
+  * a production pipeline on arbitrary keys would use xxhash64, which is
+  * engine-specific and would forfeit the oracle.
+  */
+object Sampling {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  private val M = 2147483647L // 2^31 - 1 (prime)
+
+  /** Deterministic per-row hash in [0, M): Lehmer step on the id. */
+  private def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+
+  private val sqlLehmer = s"(doc_id % $M) * 48271 % $M"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Train/val/test split: stable, salt-free, rerun-invariant --------
+    // The property that matters in a data pipeline: membership depends only
+    // on the id, so incremental reruns, backfills, and different cluster
+    // sizes all produce the same split.
+    QueryDef("q56_train_split", (s, d) => {
+      val bucket = lehmer(col("doc_id")) % 1000
+      t(s, d, "documents")
+        .select(col("doc_id"), bucket.as("bucket"),
+          when(bucket < 800, "train")
+            .when(bucket < 900, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+      Some(s"""SELECT doc_id, $sqlLehmer % 1000 AS bucket,
+             |  CASE WHEN $sqlLehmer % 1000 < 800 THEN 'train'
+             |       WHEN $sqlLehmer % 1000 < 900 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Per-group quota sampling: cap each language at a char budget ----
+    // The canonical corpus-balancing op (cap per-domain/per-language
+    // tokens): order each group by a deterministic hash (an unbiased
+    // shuffle) and keep rows while the running total fits the budget.
+    // One shuffle on the group key; the window is a running sum, not a
+    // global sort.
+    QueryDef("q57_quota_sample", (s, d) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(lehmer(col("doc_id")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .withColumn("cum_chars", sum("n_chars").over(w))
+        .filter(col("cum_chars") <= 50000)
+        .select(col("lang"), col("doc_id"), col("cum_chars"))
+        .orderBy("lang", "doc_id")
+    },
+      Some(s"""SELECT lang, doc_id, cum_chars FROM (
+             |  SELECT lang, doc_id,
+             |    CAST(sum(n_chars) OVER (PARTITION BY lang
+             |      ORDER BY $sqlLehmer, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_chars
+             |  FROM documents)
+             |WHERE cum_chars <= 50000 ORDER BY lang, doc_id""".stripMargin)),
+  )
+}

@@ -103,6 +103,27 @@ object Text {
              |      FROM documents)
              |GROUP BY token ORDER BY token""".stripMargin)),
 
+    // ---- Text cleaning: normalize -> strip punctuation -> collapse -------
+    // The standard pre-tokenization scrub, as pure codegen'd string
+    // expressions (lower/regexp_replace chains — map-only, no shuffle).
+    // Patterns are chosen to mean the same thing in Java regex and RE2;
+    // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+    // replace-all default.
+    QueryDef("q58_text_clean", (s, d) => {
+      val clean = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      t(s, d, "documents")
+        .select(col("doc_id"), clean.as("clean_text"),
+          size(split(clean, " ")).as("n_clean_tokens"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+             |       ' +', ' ', 'g')) AS clean_text,
+             |  len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_clean_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ---- Document fingerprint: order-sensitive rolling hash --------------
     // fp = fold(tokens, acc -> (acc * 31 + polyHash(token)) mod 1e9+7) — a
     // polynomial rolling hash over per-token polynomial codepoint hashes,

@@ -73,6 +73,29 @@ object Streams {
       .select(events("event_id"), events("event_type"), events("value"),
         customers("c_mktsegment"))
 
+  /** Stream-stream interval join: for every purchase, the clicks by the
+    * same user in the preceding hour. Both sides carry watermarks AND the
+    * join condition bounds event-time distance — that pair is what lets
+    * Spark expire join state (a click older than watermark + 1h can never
+    * match again and is dropped), so state stays bounded on an unbounded
+    * stream. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("c_ts"), col("p_ts"))
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -92,4 +92,29 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(batch.getOrElse(k, 0) >= n, s"session $k not found in batch result")
     }
   }
+
+  test("stream-stream interval join equals the batch join") {
+    val q = Streams.clickToPurchase(
+        Streams.source(spark, eventsDir), Streams.source(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ss_join_out")
+
+    val ev = Tables.load(spark, sfDir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val want = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"), col("p_user").as("user_id"),
+        col("c_ts"), col("p_ts"))
+    assert(want.count() > 0, "testdata should produce click->purchase matches")
+    assertSameRows(got, want)
+  }
 }
