@@ -79,4 +79,47 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     GraftFunctions.register(s2)
     assert(s2.sql("SELECT graft_dot(array(2L), array(21L))").first().getLong(0) == 42L)
   }
+
+  test("pipeline expressions agree between generated and interpreted paths") {
+    // CODEGEN_ONLY would throw if any doGenCode were broken; NO_CODEGEN
+    // forces the nullSafeEval path — both must produce identical results,
+    // since oracle parity rides on these kernels
+    val docs = Seq("the quick brown fox jumps over the lazy dog",
+      "a b", "lorem ipsum dolor sit amet consectetur x y z")
+    val vecs = Seq(
+      Array.tabulate(64)(i => (i * 37 % 19 - 9).toLong),
+      Array.tabulate(64)(i => (i * 53 % 23 - 11).toLong))
+    def runAll(s: org.apache.spark.sql.SparkSession): Seq[Seq[Any]] = {
+      val sess = s
+      import sess.implicits._
+      val tok = split(col("text"), " ")
+      val r1 = docs.toDF("text").select(
+          ArrayExprs.shingles(tok, 3).as("sh"),
+          ArrayExprs.simhash64(tok).as("sim"),
+          ArrayExprs.polyFingerprint(tok).as("fp"))
+        .withColumn("sig", ArrayExprs.minhashSig(col("sh"), 8))
+        .collect().map(_.toSeq).toSeq
+      val r2 = vecs.toDF("qv")
+        .select(ArrayExprs.hyperplaneBands(col("qv"), 8, 16).as("hb"),
+          ArrayExprs.dotq(col("qv"), col("qv")).as("n2"))
+        .collect().map(_.toSeq).toSeq
+      r1 ++ r2
+    }
+    val gen = spark.newSession()
+    gen.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val interp = spark.newSession()
+    interp.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    interp.conf.set("spark.sql.codegen.wholeStage", "false")
+    assert(runAll(gen) == runAll(interp))
+  }
+
+  test("no pipeline expression falls back out of whole-stage codegen") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
+      classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
+      classOf[HyperplaneBands])
+    classes.foreach(c =>
+      assert(!classOf[CodegenFallback].isAssignableFrom(c),
+        s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))
+  }
 }
