@@ -79,4 +79,35 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(q.conds == Seq(graft.dialect.Cond(Attr("T", "a"), op, ConstRhs(v))))
     }
   }
+
+  test("train/val/test split partitions the corpus and is layout-invariant") {
+    val q = SparkEntry.queries("q56_train_split")(spark, sfDir)
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val bySplit = q.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total)
+    assert(Set("train", "val", "test").subsetOf(bySplit.keySet))
+    // membership is a pure function of doc_id: any physical layout agrees
+    val a = q.collect().map(_.toSeq).toSet
+    val b = SparkEntry.queries("q56_train_split")(spark, sfDir)
+      .repartition(17).orderBy("doc_id").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("quota sample never exceeds the per-group budget and is a prefix") {
+    val q = SparkEntry.queries("q57_quota_sample")(spark, sfDir)
+    val maxPerLang = q.groupBy("lang").agg(max("cum_chars").as("m")).collect()
+    assert(maxPerLang.nonEmpty)
+    maxPerLang.foreach(r => assert(r.getLong(1) <= 50000L, r.getString(0)))
+  }
+
+  test("text cleaning is idempotent") {
+    val once = SparkEntry.queries("q58_text_clean")(spark, sfDir)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val clean2 = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val diff = once.withColumn("again", clean2)
+      .filter(col("again") =!= col("text")).count()
+    assert(diff == 0)
+  }
 }
