@@ -40,8 +40,12 @@ object Multimodal {
 
     // ---- Batched decode via mapPartitions (the Dataset-typed path a real
     // codec would use: one decoder instance per partition, streaming
-    // iterator, no driver involvement). Deterministic stub -> stable
-    // output, but not expressible in SQL -> rows-only check. --------------
+    // iterator, no driver involvement). The stub is deterministic byte
+    // arithmetic, so DuckDB can recompute it exactly: the rolling checksum
+    // is a wrapping 64-bit fold reproduced with HUGEINT mod 2^64 (signed
+    // view at the end), and byte values equal codepoints because the
+    // testdata payloads are ASCII (asserted: length == octet_length for
+    // every row at every SF). Full hash-match oracle. -------------------
     QueryDef("q61_decode_batch", (s, d) => {
       val spark = s
       import spark.implicits._
@@ -57,12 +61,31 @@ object Multimodal {
         .toDF()
         .orderBy("doc_id")
     },
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    octet_length(CAST(text AS BLOB)) AS nb,
+             |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))),
+             |      (h, c) -> (31*h + c) % 18446744073709551616) AS ucsum
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(nb AS INTEGER) AS n_bytes,
+             |  CASE WHEN nb % 3 = 0 THEN 'img' WHEN nb % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS format,
+             |  CAST(nb * 7919 % 1024 AS INTEGER) AS width,
+             |  CAST(nb * 104729 % 768 AS INTEGER) AS height,
+             |  CAST(nb % 16 + 1 AS INTEGER) AS n_frames,
+             |  CAST(CASE WHEN ucsum >= 9223372036854775808
+             |       THEN ucsum - 18446744073709551616 ELSE ucsum END AS BIGINT) AS checksum
+             |FROM m ORDER BY doc_id""".stripMargin)),
 
     // ---- Full media pipeline: decode -> frame-sample -> feature-extract.
     // flatMap over sampled frames then per-frame features; the shape a
     // video/image ingest pipeline has at scale (each stage map-parallel,
-    // output flat and columnar). Stubbed per graft.multimodal. ------------
+    // output flat and columnar). Stubbed per graft.multimodal; the stub
+    // arithmetic (incl. the aspect-fit resize in IEEE doubles and the
+    // per-frame wrapping checksum) is mirrored exactly in SQL -> full
+    // hash-match oracle. -------------------------------------------------
     QueryDef("q62_media_pipeline", (s, d) => {
       val spark = s
       import spark.implicits._
@@ -83,6 +106,31 @@ object Multimodal {
         .toDF("doc_id", "format", "target_w", "target_h", "frame_idx", "frame_checksum")
         .orderBy("doc_id", "frame_idx")
     },
-      None),
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    octet_length(CAST(text AS BLOB)) AS nb,
+             |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT),
+             |      list_transform(range(1, length(text)+1), i -> CAST(unicode(text[i]) AS HUGEINT))),
+             |      (h, c) -> (31*h + c) % 18446744073709551616) AS ucsum
+             |  FROM documents),
+             |d AS (
+             |  SELECT doc_id,
+             |    CASE WHEN nb % 3 = 0 THEN 'img' WHEN nb % 3 = 1 THEN 'audio'
+             |         ELSE 'video' END AS format,
+             |    nb * 7919 % 1024 AS width, nb * 104729 % 768 AS height,
+             |    nb % 16 + 1 AS n_frames, ucsum
+             |  FROM m),
+             |s AS (
+             |  SELECT d.*, least(224.0 / greatest(width, 1),
+             |                    224.0 / greatest(height, 1)) AS sc FROM d),
+             |f AS (SELECT s.*, unnest(range(0, n_frames, 4)) AS frame_idx FROM s)
+             |SELECT doc_id, format,
+             |  CAST(greatest(1, floor(width * sc)) AS INTEGER) AS target_w,
+             |  CAST(greatest(1, floor(height * sc)) AS INTEGER) AS target_h,
+             |  CAST(frame_idx AS INTEGER) AS frame_idx,
+             |  CAST(CASE WHEN (31*ucsum + frame_idx) % 18446744073709551616 >= 9223372036854775808
+             |       THEN (31*ucsum + frame_idx) % 18446744073709551616 - 18446744073709551616
+             |       ELSE (31*ucsum + frame_idx) % 18446744073709551616 END AS BIGINT) AS frame_checksum
+             |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }

@@ -22,7 +22,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, skip=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -32,6 +32,9 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
+        if any(s and s in name for s in skip):
+            print(f"SKIP {name}")
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
@@ -67,4 +70,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    # argv[3:] = substrings of query names to skip (e.g. the O(n^2)-oracle
+    # pairwise queries, which take >25 min in DuckDB at sf0.1)
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
