@@ -35,6 +35,42 @@ object Events {
              |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin),
       headline = true),
 
+    // ---- Conversion funnel: first click -> first purchase per user -------
+    // Conditional aggregation, one shuffle on user_id; times carried as
+    // exact integer microseconds so the conversion flag and latency are
+    // engine-exact. The canonical product-analytics shape at scale: no
+    // self-join, no window — just a grouped min per stage.
+    QueryDef("q59_funnel", (s, d) => {
+      val us = unix_micros(col("ts"))
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "click", us)).as("first_click_us"),
+          min(when(col("event_type") === "purchase", us)).as("first_purchase_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("converted",
+          col("first_click_us").isNotNull && col("first_purchase_us").isNotNull &&
+            col("first_purchase_us") >= col("first_click_us"))
+        .withColumn("latency_us",
+          when(col("converted"), col("first_purchase_us") - col("first_click_us")))
+        .orderBy("user_id")
+    },
+      Some("""WITH a AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'click'
+             |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_click_us,
+             |    min(CASE WHEN event_type = 'purchase'
+             |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS first_purchase_us,
+             |    count(*) AS n_events
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, first_click_us, first_purchase_us, n_events,
+             |  first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+             |    AND first_purchase_us >= first_click_us AS converted,
+             |  CASE WHEN first_click_us IS NOT NULL AND first_purchase_us IS NOT NULL
+             |    AND first_purchase_us >= first_click_us
+             |    THEN first_purchase_us - first_click_us END AS latency_us
+             |FROM a ORDER BY user_id""".stripMargin)),
+
     // ---- Gap-based sessionization (30-minute inactivity gap) -------------
     // The scalable shape: one shuffle on user_id, two window passes, no
     // driver-side state. Durations in exact integer microseconds.
