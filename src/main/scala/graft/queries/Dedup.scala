@@ -105,19 +105,22 @@ object Dedup {
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    // convergence signature: (edge count, xor of 64-bit edge hashes) in ONE
-    // small aggregate job per round — an except()-based exact set compare
-    // costs an extra shuffle per round, and a false convergence needs a
-    // colliding xor at identical cardinality (~2^-64; the edge set is
-    // distinct, so xor cannot self-cancel). xor, not sum: ANSI mode throws
-    // on the inevitable 64-bit sum overflow.
-    def stats(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).first()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // Fixpoint test: the edge set is a star forest — no node appears both
+    // as a child (u side) and a root (v side), and no child has two
+    // parents. Because edges always point large -> small, any star forest
+    // here is min-rooted, and one LS+SS round maps a star forest to
+    // itself — so star-ness IS convergence. Testing it directly (one
+    // aggregation job) avoids the usual "run one more round and see that
+    // nothing changed" confirmation round.
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(explode(array(
+          struct(col("u").as("n"), lit(1).as("c")),
+          struct(col("v").as("n"), lit(0).as("c")))).as("x"))
+        .groupBy(col("x.n")).agg(sum(col("x.c")).as("nc"), count(lit(1)).as("tot"))
+        .filter(col("nc") > 1 || (col("nc") >= 1 && col("tot") > col("nc")))
+        .isEmpty
     var rounds = 0
-    var curStats = stats(cur)
-    var done = curStats._1 == 0L
+    var done = isStarForest(cur)
     while (!done) {
       // large-star: m = min(N(u) + {u}); every neighbor v > u points at m
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
@@ -136,9 +139,7 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       rounds += 1
-      val nextStats = stats(next)
-      done = nextStats == curStats
-      curStats = nextStats
+      done = isStarForest(next)
       cur = next
     }
     val labels = nodes.join(cur.withColumnRenamed("u", "node"), Seq("node"), "left")
