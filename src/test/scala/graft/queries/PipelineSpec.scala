@@ -249,4 +249,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  // --- whole-registry plan audit ------------------------------------------
+
+  test("no registered query plans an unintended BroadcastNestedLoopJoin") {
+    // BNLJ is legitimate only where one side is genuinely tiny by
+    // construction: q08's theta join (the reference quirk, real theta
+    // semantics), q48/q50's broadcast query set (n/100 rows), and q49's
+    // centroid broadcast (n/64 rows). Everything else — in particular
+    // every pairwise operator — must plan equi-join shapes.
+    val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
+      "q49_knn_ivf")
+    graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoop"),
+        s"${q.name} plans a BroadcastNestedLoopJoin")
+    }
+  }
 }
