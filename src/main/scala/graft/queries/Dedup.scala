@@ -85,6 +85,42 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** Incremental dedup: drop every `incoming` document that is an exact
+    * or near (Jaccard >= 0.8) duplicate of an `existing` document — the
+    * shape a production pipeline runs per ingest batch against the
+    * accumulated corpus. Candidates come from an ASYMMETRIC LSH bucket
+    * join (incoming x existing only, not incoming x incoming), so batch
+    * cost is proportional to the batch, not the corpus: the existing
+    * side's signatures would be precomputed/materialized in production.
+    * Exact duplicates are caught by content hash independently of
+    * shingling (covers sub-shingle-width documents too). */
+  def dedupAgainst(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val exactDrop = incoming
+      .join(existing.select(md5(col("text")).as("eh")).distinct(),
+        md5(col("text")) === col("eh"), "left_semi")
+      .select("doc_id")
+    def prep(df: DataFrame) = df.select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(df: DataFrame) = {
+      val b = array((0 until NumBands).map(i =>
+        xxhash64((lit(i) +: (1 to 4).map(r => element_at(col("sig"), i * 4 + r))): _*)): _*)
+      df.withColumn("sig", signature)
+        .select(col("doc_id"), col("sh"), posexplode(b).as(Seq("band", "bh")))
+    }
+    val cand = bandsOf(prep(incoming))
+      .select(col("doc_id").as("i_id"), col("sh").as("i_sh"), col("band"), col("bh"))
+      .join(bandsOf(prep(existing))
+          .select(col("doc_id").as("e_id"), col("sh").as("e_sh"),
+            col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2"))
+      .select("i_id", "i_sh", "e_id", "e_sh").distinct()
+    val nearDrop = cand
+      .filter(size(array_intersect(col("i_sh"), col("e_sh"))).cast("double") /
+        size(array_union(col("i_sh"), col("e_sh"))) >= 0.8)
+      .select(col("i_id").as("doc_id")).distinct()
+    incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   /** Alternating large-star/small-star connected components over an
     * undirected edge list (`doc_a`, `doc_b`).
     *
@@ -285,5 +321,35 @@ object Dedup {
              |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
              |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Incremental dedup: new batch vs accumulated corpus --------------
+    // Batch = doc_id % 5 == 0 (a fifth of the table playing "today's
+    // ingest"); corpus = the rest. See dedupAgainst above for the
+    // asymmetric-LSH shape. Oracle: brute-force cross-side Jaccard +
+    // exact-hash semi-join.
+    QueryDef("q63_dedup_incremental", (s, d) => {
+      val docs = t(s, d, "documents")
+      dedupAgainst(
+        existing = docs.filter(col("doc_id") % 5 =!= 0),
+        incoming = docs.filter(col("doc_id") % 5 === 0))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH s AS ($sqlShingles),
+             |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+             |exi AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+             |drop_exact AS (
+             |  SELECT DISTINCT i.doc_id FROM inc i
+             |  JOIN exi e ON md5(i.text) = md5(e.text)),
+             |drop_near AS (
+             |  SELECT DISTINCT a.doc_id
+             |  FROM s a JOIN s b
+             |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+             |SELECT doc_id, lang, n_chars FROM inc
+             |WHERE doc_id NOT IN (SELECT doc_id FROM drop_exact)
+             |  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }
