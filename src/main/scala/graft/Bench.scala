@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: times every registered query at the scale factor in
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Queries run in sorted name order, twice each; the reported time is the
-  * per-query minimum. The first pass also acts as the JVM/codegen warmup —
-  * without it the first queries absorb multi-second one-time costs and the
-  * numbers are not comparable across rounds.
+  * Queries run in sorted name order, three passes; the reported time is
+  * the per-query minimum. The first pass also acts as the JVM/codegen
+  * warmup — without it the first queries absorb multi-second one-time
+  * costs — and the minimum over three damps the +-25% run-to-run noise
+  * observed on a shared host, so round-over-round deltas mean something.
   *
   * A query that throws in either pass is a FAILURE: its stack trace goes
   * to stderr, it is reported as -1 in the per-query map, listed in the
@@ -41,11 +42,11 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    val r1 = names.map(n => n -> timeOnce(n)).toMap
-    val r2 = names.map(n => n -> timeOnce(n)).toMap
-    // a failure in EITHER pass marks the query failed
+    val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
+    // a failure in ANY pass marks the query failed
     val best = names.map { n =>
-      n -> (if (r1(n) < 0 || r2(n) < 0) -1.0 else math.min(r1(n), r2(n)))
+      val ts = passes.map(_(n))
+      n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     val failed = names.filter(best(_) < 0)
     failed.foreach(n => System.err.println(s"[bench] query $n FAILED — excluded from total"))
