@@ -26,7 +26,10 @@ object GraftFunctions {
     "graft_dot" -> (es => ArrayLongDot(es(0), es(1))),
     "graft_minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),
     "graft_simhash64" -> (es => SimHash64(es(0))),
-    "graft_shingles" -> (es => Shingles(es(0), intArg(es(1), "n"))))
+    "graft_shingles" -> (es => Shingles(es(0), intArg(es(1), "n"))),
+    "graft_fingerprint" -> (es => PolyFingerprint(es(0))),
+    "graft_hyperplane_bands" -> (es =>
+      HyperplaneBands(es(0), intArg(es(1), "bands"), intArg(es(2), "bits"))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -63,9 +63,12 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val row = spark.sql(
       """SELECT graft_simhash64(split(text, ' ')) AS sh,
         |  graft_dot(array(1L, 2L), array(3L, 4L)) AS d,
-        |  size(graft_minhash_sig(graft_shingles(split(text, ' '), 3), 16)) AS k
+        |  size(graft_minhash_sig(graft_shingles(split(text, ' '), 3), 16)) AS k,
+        |  graft_fingerprint(split(text, ' ')) AS fp,
+        |  size(graft_hyperplane_bands(array(1L, -2L, 3L), 8, 16)) AS nb
         |FROM fdocs""".stripMargin).first()
     assert(row.getLong(1) == 11L && row.getInt(2) == 16)
+    assert(row.getLong(3) > 0L && row.getInt(4) == 8)
   }
 
   test("extensions injector registers functions at session build") {
