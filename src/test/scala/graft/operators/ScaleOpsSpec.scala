@@ -124,4 +124,15 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
     assert(agg.finish(merged) == Seq((3.0, 7L), (2.0, 1L), (2.0, 3L)))
   }
+
+  test("filters and projections reach the parquet scan") {
+    // the free wins the whole design leans on: predicate pushdown and
+    // column pruning must actually appear in the physical scan
+    val plan = graft.SparkEntry.queries("q02_filter_project")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      plan.take(1500))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("c_comment"), s"scan reads unprojected columns: $read")
+  }
 }
