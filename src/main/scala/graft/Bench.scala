@@ -62,14 +62,24 @@ object Bench {
         }).sortBy(_._1)
       files.lastOption.map { case (n, f) =>
         val txt = scala.io.Source.fromFile(f).mkString
-        // driver-written BENCH files embed the bench line inside an escaped
-        // "tail" JSON string, so quotes may appear as \" — allow both
+        // Parse ONLY the "queries":{...} object: the file also carries
+        // delta_vs_prev entries under the same names, and a later match
+        // winning in toMap would poison next round's deltas with deltas.
+        // Query values contain no braces, so slicing to the first closing
+        // brace after "queries" is exact. Driver-written BENCH files embed
+        // the bench line inside an escaped "tail" JSON string, so quotes
+        // may appear as \" — the regex allows both.
+        val start = txt.indexOf("queries")
+        val section =
+          if (start < 0) "" else txt.substring(start, txt.indexOf('}', start).max(start))
         val qrx = "(q[0-9]+_[0-9a-zA-Z_]+)\\\\?\":(-?[0-9.]+)".r
-        (s"r$n", qrx.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        (s"r$n", qrx.findAllMatchIn(section).map(m => m.group(1) -> m.group(2).toDouble).toMap)
       }
     }
 
-    def jnum(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: the f interpolator honors the default locale, and a
+    // comma-decimal locale would emit invalid JSON
+    def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qs = names.map(n => "\"" + n + "\":" + jnum(best(n))).mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
     val headlineTotal = SparkEntry.headline.flatMap(best.get).filter(_ >= 0).sum

@@ -161,6 +161,9 @@ object ArrayOps {
     * consecutive plane signs; sign(p) = [ sum_i w(p,i)*qv_i > 0 ]. */
   def hyperplaneBands(arr: ArrayData, bands: Int, bits: Int): ArrayData = {
     val n = arr.numElements()
+    // one 64-bit sign mask per plane: beyond 64 dims the weights would
+    // alias with period 64 and silently break band independence
+    require(n <= 64, s"hyperplane bands support at most 64 dimensions, got $n")
     val out = new Array[Int](bands)
     var b = 0
     while (b < bands) {

@@ -54,11 +54,17 @@ object Dedup {
   private def signature: Column =
     graft.functions.ArrayExprs.minhashSig(col("sh"), NumHashes)
 
+  /** Band hashes of a MinHash signature column `sig`: NumBands hashes,
+    * each over 4 consecutive signature rows, seeded by the band index.
+    * The single definition of the s-curve layout — every LSH consumer
+    * (pairwise and incremental) must band identically. */
+  private def bandHashCol: Column =
+    array((0 until NumBands).map(b =>
+      xxhash64((lit(b) +: (1 to 4).map(r => element_at(col("sig"), b * 4 + r))): _*)): _*)
+
   /** LSH candidate pairs: docs sharing at least one (band, band-hash). */
   private def lshCandidates(withSig: DataFrame): DataFrame = {
-    val bands = array((0 until NumBands).map(b =>
-      xxhash64((lit(b) +: (1 to 4).map(r => element_at(col("sig"), b * 4 + r))): _*)): _*)
-    val exploded = withSig.select(col("doc_id"), posexplode(bands).as(Seq("band", "bh")))
+    val exploded = withSig.select(col("doc_id"), posexplode(bandHashCol).as(Seq("band", "bh")))
     val x = exploded.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
     val y = exploded.select(col("doc_id").as("doc_b"), col("band").as("band2"), col("bh").as("bh2"))
     x.join(y, col("band") === col("band2") && col("bh") === col("bh2") &&
@@ -73,6 +79,12 @@ object Dedup {
   /** Same pipeline over an arbitrary (doc_id, text) DataFrame — the
     * library entry point (also used by tools.ScaleProbe). */
   def nearDupPairsOf(documents: DataFrame): DataFrame = {
+    // NOTE the shingle expression is evaluated on three DAG branches
+    // (signature input + both sides of the verify join). Measured at
+    // sf0.1, materializing it once (localCheckpoint) is a wash — the map
+    // work pipelines with the shuffles — and at 100 TB re-computing beats
+    // persisting a corpus-sized array column to executor disk, so the
+    // plan stays pure.
     val docs = documents.select(col("doc_id"), shingleCol.as("sh"))
       .filter(size(col("sh")) > 0)
     val cand = lshCandidates(docs.select(col("doc_id"), signature.as("sig")))
@@ -101,12 +113,8 @@ object Dedup {
       .select("doc_id")
     def prep(df: DataFrame) = df.select(col("doc_id"), shingleCol.as("sh"))
       .filter(size(col("sh")) > 0)
-    def bandsOf(df: DataFrame) = {
-      val b = array((0 until NumBands).map(i =>
-        xxhash64((lit(i) +: (1 to 4).map(r => element_at(col("sig"), i * 4 + r))): _*)): _*)
-      df.withColumn("sig", signature)
-        .select(col("doc_id"), col("sh"), posexplode(b).as(Seq("band", "bh")))
-    }
+    def bandsOf(df: DataFrame) = df.withColumn("sig", signature)
+      .select(col("doc_id"), col("sh"), posexplode(bandHashCol).as(Seq("band", "bh")))
     val cand = bandsOf(prep(incoming))
       .select(col("doc_id").as("i_id"), col("sh").as("i_sh"), col("band"), col("bh"))
       .join(bandsOf(prep(existing))
@@ -134,10 +142,15 @@ object Dedup {
     * @return (labels DataFrame (node, lbl), rounds executed)
     */
   def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
-    val nodes = pairs.select(col("doc_a").as("node"))
-      .union(pairs.select(col("doc_b").as("node"))).distinct()
+    // materialize the input edge list ONCE: both `nodes` (consumed by the
+    // final labels join) and the iteration seed hang off it, and the
+    // caller's pair pipeline (LSH + verify in q52) must not re-execute
+    // per consumer
+    val p0 = pairs.localCheckpoint()
+    val nodes = p0.select(col("doc_a").as("node"))
+      .union(p0.select(col("doc_b").as("node"))).distinct()
     // invariant: every edge oriented large -> small
-    var cur = pairs.select(
+    var cur = p0.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()

@@ -175,16 +175,19 @@ object TblSource {
   }
 
   /** All rows of a `.tbl` file, whether it is a stream of Tuples
-    * (ConvertTxtToTbl layout) or of Batches (TupleWriter layout). */
+    * (ConvertTxtToTbl layout) or of Batches (TupleWriter layout).
+    * Dispatch is on the serialized class, not the extracted shape — an
+    * empty Batch page (possible when the row count divides the page
+    * size) must contribute zero rows, not one phantom empty row. */
   def readRows(tblPath: String): Seq[Seq[Any]] = {
     val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(tblPath)))
     try {
-      parseStream(in).flatMap { top =>
-        extract(top) match {
-          case row: Seq[_] if row.forall(!_.isInstanceOf[Seq[_]]) => Seq(row.asInstanceOf[Seq[Any]])
-          case batch: Seq[_] => batch.asInstanceOf[Seq[Seq[Any]]]
-          case other => sys.error(s"tbl parse: unexpected top-level $other")
-        }
+      parseStream(in).flatMap {
+        case o: JObject if o.desc.name == "qp.utils.Tuple" =>
+          Seq(extract(o).asInstanceOf[Seq[Any]])
+        case o: JObject if o.desc.name == "qp.utils.Batch" =>
+          extract(o).asInstanceOf[Seq[Seq[Any]]]
+        case other => sys.error(s"tbl parse: unexpected top-level $other")
       }
     } finally in.close()
   }
@@ -193,6 +196,8 @@ object TblSource {
   def readTbl(spark: SparkSession, detPath: String, tblPath: String): DataFrame = {
     val schema = DetSource.parseDet(detPath).structType
     val rows = readRows(tblPath).map { vals =>
+      require(vals.length == schema.fields.length,
+        s"tbl read: row has ${vals.length} fields, catalog declares ${schema.fields.length}")
       Row.fromSeq(schema.fields.zip(vals).map { case (f, v) =>
         (f.dataType, v) match {
           case (IntegerType, i: Int)    => i
