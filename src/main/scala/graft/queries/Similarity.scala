@@ -74,7 +74,12 @@ object Similarity {
 
   /** APPROXIMATE near-duplicate pairs via random-hyperplane LSH blocking +
     * exact verification (see q55 below for the s-curve parameters).
-    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim). */
+    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim).
+    *
+    * Tuning at scale: noise pairs collide in a band with ~2^-bits
+    * probability, so expected false candidates are ~bands * 2^-bits * n^2 /
+    * 2 — keep `bits` around log2(n) + 4 as the corpus grows (recall then
+    * sets `bands`; the defaults suit n ~ 1e4-1e5 at threshold 0.9). */
   def lshNearPairs(emb: DataFrame, threshold: Double,
       bands: Int = 128, bits: Int = 16): DataFrame = {
     val e = quantize(emb)

@@ -34,9 +34,14 @@ object ScaleProbe {
     val bigOrders = replicate(orders, "o_orderkey", maxKey)
 
     def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"SCALE $name ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // best of two: the shared host shows +-25% run-to-run noise, and the
+      // first execution of a shape also absorbs codegen warmup
+      val (t, n) = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = f
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }.minBy(_._1)
+      println(f"SCALE $name $t%.2f s ($n rows)")
     }
 
     println(s"SCALE input ${bigLi.count()} lineitem x ${bigOrders.count()} orders")

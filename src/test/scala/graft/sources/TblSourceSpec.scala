@@ -40,4 +40,13 @@ class TblSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(batched.schema.fields(1).dataType.typeName == "float")
     assert(batched.agg(org.apache.spark.sql.functions.sum("score")).first().getDouble(0) == 31.5)
   }
+
+  test("empty Batch pages contribute zero rows, not phantom rows") {
+    // edge.tbl (written by the reference's Batch class): a full page, an
+    // EMPTY page, then a 1-row page — 4 rows total
+    val rows = TblSource.readRows(res("edge.tbl"))
+    assert(rows.length == 4)
+    assert(rows(1) == Seq(1, -1.25f, "v1"))
+    assert(rows(3) == Seq(99, 7.5f, "tail"))
+  }
 }
