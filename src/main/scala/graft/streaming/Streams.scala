@@ -96,6 +96,25 @@ object Streams {
         col("c_ts"), col("p_ts"))
   }
 
+  /** Streaming ingest dedup: the streaming face of the batch
+    * `Dedup.dedupAgainst` — new documents arrive as a stream, get exact-
+    * deduped WITHIN the stream (first occurrence wins, keyed by content
+    * hash) and against the accumulated static corpus (stream-static
+    * anti-join on the hash; the static side is re-planned per
+    * micro-batch, so a growing corpus table is picked up on restart).
+    * With an ingest-time column the in-stream state would be bounded by
+    * `withWatermark` before dropDuplicates; the documents fixture carries
+    * no event time, so state here grows with distinct hashes — the spec
+    * documents that contract. */
+  def dedupedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("eh")).distinct()
+    incoming
+      .withColumn("content_hash", md5(col("text")))
+      .dropDuplicates("content_hash")
+      .join(corpusHashes, col("content_hash") === col("eh"), "left_anti")
+      .drop("eh")
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

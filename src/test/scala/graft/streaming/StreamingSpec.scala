@@ -117,4 +117,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(want.count() > 0, "testdata should produce click->purchase matches")
     assertSameRows(got, want)
   }
+
+  test("streaming ingest dedup: in-stream exact dedup + corpus anti-join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // stage the full documents file as the "ingest" stream — duplicates of
+    // corpus documents must be dropped, fresh ones kept exactly once
+    val dir = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream
+      .schema(docs.schema)
+      .parquet(dir.toString)
+    val q = Streams.dedupedIngest(incoming, corpus)
+      .select("doc_id", "content_hash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ingest_out")
+    // batch expectation: one doc per content hash not present in the corpus
+    val want = docs.withColumn("content_hash", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("eh")).distinct(),
+        col("content_hash") === col("eh"), "left_anti")
+      .groupBy("content_hash").agg(count(lit(1)))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.select("content_hash").distinct().count() == got.count())
+  }
 }
