@@ -69,7 +69,11 @@ object Bench {
         // brace after "queries" is exact. Driver-written BENCH files embed
         // the bench line inside an escaped "tail" JSON string, so quotes
         // may appear as \" — the regex allows both.
-        val start = txt.indexOf("queries")
+        // anchor on the actual JSON key (raw or escaped form), not the bare
+        // word — the driver's file wraps arbitrary log text that could
+        // contain "queries" anywhere
+        val start = Seq("\"queries\":{", "\\\"queries\\\":{")
+          .map(txt.indexOf).filter(_ >= 0).minOption.getOrElse(-1)
         val section =
           if (start < 0) "" else txt.substring(start, txt.indexOf('}', start).max(start))
         val qrx = "(q[0-9]+_[0-9a-zA-Z_]+)\\\\?\":(-?[0-9.]+)".r

@@ -112,7 +112,6 @@ object Streams {
       .withColumn("content_hash", md5(col("text")))
       .dropDuplicates("content_hash")
       .join(corpusHashes, col("content_hash") === col("eh"), "left_anti")
-      .drop("eh")
   }
 
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
