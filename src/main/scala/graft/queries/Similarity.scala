@@ -83,7 +83,20 @@ object Similarity {
   def lshNearPairs(emb: DataFrame, threshold: Double,
       bands: Int = 128, bits: Int = 16): DataFrame = {
     val e = quantize(emb)
-    val sig = e.select(col("vec_id"),
+    val cand = lshCandidatePairs(emb, bands, bits)
+    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** The candidate pairs the hyperplane-LSH blocking emits, BEFORE exact
+    * verification — exposed so callers (and ScaleOpsSpec) can observe the
+    * pruning ratio directly. */
+  def lshCandidatePairs(emb: DataFrame, bands: Int = 128, bits: Int = 16): DataFrame = {
+    val sig = quantize(emb).select(col("vec_id"),
       graft.functions.ArrayExprs.hyperplaneBands(col("qv"), bands, bits).as("bands"))
     // materialize the signature explosion once: the self-join would
     // otherwise evaluate the full hyperplane signature pipeline on BOTH
@@ -92,15 +105,9 @@ object Similarity {
       .localCheckpoint()
     val x = exploded.select(col("vec_id").as("vec_a"), col("band"), col("bv"))
     val y = exploded.select(col("vec_id").as("vec_b"), col("band").as("band2"), col("bv").as("bv2"))
-    val cand = x.join(y, col("band") === col("band2") && col("bv") === col("bv2") &&
+    x.join(y, col("band") === col("band2") && col("bv") === col("bv2") &&
         col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
-    val a = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"))
-    cand.join(a, "vec_a").join(b, "vec_b")
-      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-      .filter(col("cos_sim") >= threshold)
-      .select("vec_a", "vec_b", "cos_sim")
   }
 
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =

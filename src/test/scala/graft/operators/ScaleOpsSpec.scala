@@ -135,4 +135,22 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestBase {
     val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!read.contains("c_comment"), s"scan reads unprojected columns: $read")
   }
+
+  test("hyperplane LSH prunes candidates far below all-pairs at 4x replication") {
+    // deterministic counterpart of the ScaleProbe timings: with replicas
+    // made dissimilar (per-replica random sign flip per dimension), the
+    // banding must emit a small fraction of the n^2/2 pair space
+    import org.apache.spark.sql.DataFrame
+    val emb0 = graft.Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val maxVec = emb0.agg(max("vec_id")).first().getLong(0) + 1
+    val big: DataFrame = (0 until 4).map { i =>
+      emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, k) => x * (pmod(hash(lit(i * 7919) + k), lit(2)) * 2 - 1).cast("float")))
+    }.reduce(_ union _)
+    val n = big.count()
+    val allPairs = n * (n - 1) / 2
+    val cands = graft.queries.Similarity.lshCandidatePairs(big).count()
+    assert(cands < allPairs / 50, s"$cands candidates of $allPairs pairs")
+  }
 }
