@@ -3,7 +3,7 @@ package graft.sources
 import java.io.{DataInputStream, EOFException, FileInputStream}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{FloatType, IntegerType, StringType, StructField, StructType}
 
 import scala.collection.mutable
 
@@ -189,6 +189,36 @@ object TblSource {
           extract(o).asInstanceOf[Seq[Seq[Any]]]
         case other => sys.error(s"tbl parse: unexpected top-level $other")
       }
+    } finally in.close()
+  }
+
+  /** Parse a reference `.md` catalog — a Java-serialized `qp.utils.Schema`
+    * (ArrayList of Attribute(tblname, colname, type, ...)) — into a Spark
+    * StructType. This is the catalog file the reference's loader actually
+    * reads (ConvertTxtToTbl.java:38-44); the human-readable `.det` twin is
+    * handled by [[DetSource.parseDet]]. Attribute type codes per
+    * Attribute.java: 1=INT, 2=STRING, 3=REAL. */
+  def readMdSchema(mdPath: String): StructType = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(new FileInputStream(mdPath)))
+    try {
+      val schema = parseStream(in).headOption match {
+        case Some(o: JObject) if o.desc.name == "qp.utils.Schema" => o
+        case other => sys.error(s"md parse: expected qp.utils.Schema, got $other")
+      }
+      val atts = schema.fields("attset") match {
+        case l: JObject if l.desc.name == "java.util.ArrayList" =>
+          l.annotation.collect { case a: JObject if a.desc.name == "qp.utils.Attribute" => a }
+        case other => sys.error(s"md parse: expected attribute list, got $other")
+      }
+      StructType(atts.map { a =>
+        val dt = a.fields("type").asInstanceOf[Int] match {
+          case 1 => IntegerType
+          case 2 => StringType
+          case 3 => FloatType
+          case t => sys.error(s"md parse: unknown attribute type $t")
+        }
+        StructField(a.fields("colname").asInstanceOf[String], dt, nullable = false)
+      }.toSeq)
     } finally in.close()
   }
 

@@ -49,4 +49,13 @@ class TblSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1) == Seq(1, -1.25f, "v1"))
     assert(rows(3) == Seq(99, 7.5f, "tail"))
   }
+
+  test("reads the serialized .md catalog (qp.utils.Schema)") {
+    // sample.md was serialized by the reference's own Schema/Attribute
+    // classes: (cid INT, gender INT, firstname STRING, score REAL)
+    val st = TblSource.readMdSchema(res("sample.md"))
+    assert(st.fieldNames.toSeq == Seq("cid", "gender", "firstname", "score"))
+    assert(st.fields.map(_.dataType.typeName).toSeq ==
+      Seq("integer", "integer", "string", "float"))
+  }
 }
