@@ -110,4 +110,27 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       .filter(col("again") =!= col("text")).count()
     assert(diff == 0)
   }
+
+  test("funnel conversions have consistent ordering and latency") {
+    val rows = SparkEntry.queries("q59_funnel")(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.exists(_.getBoolean(4)))
+    rows.foreach { r =>
+      if (r.getBoolean(4)) {
+        assert(!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getLong(5) == r.getLong(2) - r.getLong(1) && r.getLong(5) >= 0)
+      } else assert(r.isNullAt(5))
+    }
+  }
+
+  test("exact median lies within each group's value range") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val med = SparkEntry.queries("q64_exact_median")(spark, sfDir).collect()
+    assert(med.nonEmpty)
+    med.foreach { r =>
+      val (lo, hi) = docs(r.getString(0))
+      assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi, r.getString(0))
+    }
+  }
 }
