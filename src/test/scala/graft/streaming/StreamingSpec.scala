@@ -144,4 +144,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.select("content_hash").distinct().count() == got.count())
   }
+
+  test("parquet sink + checkpoint: no duplicates across a restart") {
+    // the writeStream face: a real file sink with a checkpoint, stopped
+    // and restarted with replayed input — the checkpointed dedup state
+    // (and the watermark) must keep the sink append-only without
+    // duplicates
+    val srcDir = java.nio.file.Files.createTempDirectory("events-sink-src")
+    val outDir = java.nio.file.Files.createTempDirectory("events-sink-out").toString
+    val chkDir = java.nio.file.Files.createTempDirectory("events-sink-chk").toString
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("a.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    def runOnce(): Unit = {
+      val q = Streams.dedupedEvents(Streams.source(spark, srcDir.toString))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == Tables.load(spark, sfDir, "events").count())
+    // replay the same data as a "new" file and restart from the checkpoint
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("b.parquet"), java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    runOnce()
+    val n2 = spark.read.parquet(outDir).count()
+    assert(n2 == n1, s"restart produced duplicates: $n1 -> $n2")
+  }
 }
