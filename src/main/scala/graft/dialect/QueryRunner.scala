@@ -14,9 +14,51 @@ import scala.jdk.CollectionConverters._
   * QueryMain.java:276-306).
   *
   * Usage: runMain graft.dialect.QueryRunner <tableDir> <queryFile> [limit]
-  * Every `<name>.parquet` in tableDir is registered as table `name`.
+  * Tables are discovered from tableDir in every format the engine reads:
+  * `<name>.parquet`, the reference's serialized `<name>.tbl` (schema from
+  * `<name>.md` if present, else `<name>.det`), and the reference's
+  * `<name>.det` + `<name>.txt` pair via the DataSource-V2 scan — so a
+  * directory produced for the reference engine runs unmodified.
   */
 object QueryRunner {
+
+  /** Discover and load every table in `dir`, by preference
+    * parquet > .tbl > .det/.txt (first format found wins per name). */
+  def loadTables(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val files = Files.list(Paths.get(dir)).iterator().asScala.map(_.getFileName.toString).toSeq
+    def has(n: String) = files.contains(n)
+    val names = files.collect {
+      case f if f.endsWith(".parquet") => f.stripSuffix(".parquet")
+      case f if f.endsWith(".tbl")     => f.stripSuffix(".tbl")
+      case f if f.endsWith(".det")     => f.stripSuffix(".det")
+    }.distinct
+    names.flatMap { name =>
+      val df =
+        if (has(s"$name.parquet"))
+          // Tables.load knows quirks of the standard tables (e.g. events'
+          // nanosecond timestamps); skip files Spark cannot read at all.
+          scala.util.Try(graft.Tables.load(spark, dir, name)).toOption
+        else if (has(s"$name.tbl")) {
+          val schemaPath =
+            if (has(s"$name.md")) Left(s"$dir/$name.md") else Right(s"$dir/$name.det")
+          scala.util.Try(schemaPath match {
+            case Left(md) =>
+              val st = graft.sources.TblSource.readMdSchema(md)
+              val rows = graft.sources.TblSource.readRows(s"$dir/$name.tbl")
+                .map(org.apache.spark.sql.Row.fromSeq)
+              spark.createDataFrame(spark.sparkContext.parallelize(rows), st)
+            case Right(det) =>
+              graft.sources.TblSource.readTbl(spark, det, s"$dir/$name.tbl")
+          }).toOption
+        } else if (has(s"$name.txt"))
+          scala.util.Try(spark.read.format("graft.sources.DetDataSource")
+            .load(s"$dir/$name")).toOption
+        else None
+      df.map(name -> _)
+    }.toMap
+  }
   def main(args: Array[String]): Unit = {
     val tableDir = args(0)
     val queryFile = args(1)
@@ -30,14 +72,7 @@ object QueryRunner {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = Files.list(Paths.get(tableDir)).iterator().asScala
-      .filter(_.toString.endsWith(".parquet"))
-      .flatMap { p =>
-        val name = p.getFileName.toString.stripSuffix(".parquet")
-        // Tables.load knows quirks of the standard tables (e.g. events'
-        // nanosecond timestamps); skip files Spark cannot read at all.
-        scala.util.Try(name -> graft.Tables.load(spark, tableDir, name)).toOption
-      }.toMap
+    val tables = loadTables(spark, tableDir)
 
     val sql = Files.readString(Paths.get(queryFile))
     val df = Translator.run(spark, sql, tables)

@@ -58,4 +58,27 @@ class TblSourceSpec extends AnyFunSuite with SparkTestBase {
     assert(st.fields.map(_.dataType.typeName).toSeq ==
       Seq("integer", "integer", "string", "float"))
   }
+
+  test("QueryRunner discovers reference-format tables and runs the dialect on them") {
+    // a directory holding ONLY reference-engine files (.tbl + .md,
+    // .tbl + .det, .det + .txt) must be queryable through the dialect CLI
+    // path with no conversion step
+    val dir = java.nio.file.Files.createTempDirectory("mixed-tables")
+    def cp(from: String, to: String): Unit =
+      java.nio.file.Files.copy(java.nio.file.Paths.get(res(from)),
+        dir.resolve(to))
+    cp("batched.tbl", "T1.tbl"); cp("batched.det", "T1.det")
+    cp("md_table.tbl", "T2.tbl"); cp("md_table.md", "T2.md")
+    cp("sample.det", "T3.det")
+    java.nio.file.Files.writeString(dir.resolve("T3.txt"),
+      "1\t0\tfoo\tbar\taddr\t\n2\t1\tbaz\tqux\tother\t")
+    val tables = graft.dialect.QueryRunner.loadTables(spark, dir.toString)
+    assert(tables.keySet == Set("T1", "T2", "T3"))
+    assert(tables("T1").count() == 7 && tables("T2").count() == 6
+      && tables("T3").count() == 2)
+    val got = graft.dialect.Translator.run(spark,
+      "SELECT T2.cid,T2.score FROM T2 WHERE T2.gender=\"1\"", tables)
+      .collect().map(r => (r.getInt(0), r.getFloat(1))).toSet
+    assert(got == Set((1, 0.5f), (3, 1.5f), (5, 2.5f)))
+  }
 }
