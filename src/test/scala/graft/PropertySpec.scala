@@ -94,6 +94,27 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  test("q57/q64 windows are de-skewed: no single-key window over raw rows") {
+    // `lang` has ~5 distinct values, so a Window partitioned by lang alone
+    // over base rows would sort each language's whole corpus in one task at
+    // 100 TB. The de-skewed shapes allow a window only if it partitions by
+    // >= 2 keys (q57's (lang, chunk) running sum) or runs above an
+    // Aggregate (q57's per-chunk offsets; q64's value histogram) — i.e.
+    // over data whose size is bounded by group/domain cardinality, not n.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    Seq("q57_quota_sample", "q64_exact_median").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val wins = plan.collect { case w: LWindow => w }
+      assert(wins.nonEmpty, name)
+      wins.foreach { w =>
+        val ok = w.partitionSpec.size >= 2 ||
+          w.child.collectFirst { case a: Aggregate => a }.isDefined
+        assert(ok, s"$name plans a monolithic window: " +
+          s"partition ${w.partitionSpec.map(_.sql)}")
+      }
+    }
+  }
+
   test("quota sample never exceeds the per-group budget and is a prefix") {
     val q = SparkEntry.queries("q57_quota_sample")(spark, sfDir)
     val maxPerLang = q.groupBy("lang").agg(max("cum_chars").as("m")).collect()

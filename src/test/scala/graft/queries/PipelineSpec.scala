@@ -196,6 +196,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop"), plan.take(2000))
   }
 
+  test("q47 tile count scales with corpus size, result does not") {
+    // the per-tile row bound is what keeps executor memory flat at 100x:
+    // blocks = ceil(n / rowsPerTile), so tile side length stays <= target
+    // as the corpus is replicated. Pair results must be tiling-invariant.
+    val small = embFixture(120, 0)
+    val big = embFixture(480, 0, seed = 7)
+    def blocksOf(n: Long, rpt: Int) = math.max(4, math.ceil(n.toDouble / rpt).toInt)
+    assert(blocksOf(480, 40) == 12 && blocksOf(120, 40) == 4)
+    assert(480.0 / blocksOf(480, 40) <= 40 && 120.0 / blocksOf(120, 40) <= 40)
+    val auto = Similarity.tiledNearPairs(small, 0.3, rowsPerTile = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = Similarity.tiledNearPairs(small, 0.3, blocks = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed && auto == bruteCos(small, 0.3))
+    val autoBig = Similarity.tiledNearPairs(big, 0.3, rowsPerTile = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(autoBig == bruteCos(big, 0.3))
+  }
+
   test("q55 hyperplane LSH finds every planted near-dup (and equals brute force)") {
     val df = embFixture(200, 20)
     val got = Similarity.lshNearPairs(df, 0.9).collect()
@@ -255,8 +274,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
-    // semantics), q48/q50's broadcast query set (n/100 rows), and q49's
-    // centroid broadcast (n/64 rows). Everything else — in particular
+    // semantics), q48/q50's broadcast query set (fixed 50 ids), and q49's
+    // centroid broadcast (fixed 64 rows). Everything else — in particular
     // every pairwise operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf")
