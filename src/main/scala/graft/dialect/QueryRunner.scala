@@ -56,14 +56,35 @@ object QueryRunner {
           scala.util.Try(spark.read.format("graft.sources.DetDataSource")
             .load(s"$dir/$name")).toOption
         else None
-      df.map(name -> _)
+      // A reference data directory may ship `<name>.stat` (numtuples +
+      // per-column NDVs, PlanCost.java:219-263). Register the table in the
+      // session catalog and inject those stats so Catalyst's CBO costs
+      // join orders from them — the reference's optimizer does the same.
+      df.map { d =>
+        val withStats =
+          if (!has(s"$name.stat")) d
+          else scala.util.Try {
+            graft.sources.Stats.saveAsCatalogTable(spark, name, d)
+            graft.sources.Stats.injectStatFile(spark, name, s"$dir/$name.stat")
+            spark.table(s"`$name`")
+          }.getOrElse(d)
+        name -> withStats
+      }
     }.toMap
   }
+  /** Two invocation shapes:
+    *   - `QueryRunner <tableDir> <queryFile> [limit]` — native shape,
+    *     prints to stdout (first arg is a directory);
+    *   - `QueryRunner <queryfile> <resultfile> [pagesize] [numbuffer]` —
+    *     the reference's exact `QueryMain` shape (QueryMain.java:26-40):
+    *     tables are discovered next to the query file, the result is
+    *     written to `resultfile` in the reference's format (two-space
+    *     header, tab-terminated values, `-NULL-`), and the trailing
+    *     pagesize/numbuffer knobs are accepted and ignored — Spark's
+    *     unified memory manager replaces the reference's fixed Batch page
+    *     size and buffer pool, so the knobs have no analogue here.
+    */
   def main(args: Array[String]): Unit = {
-    val tableDir = args(0)
-    val queryFile = args(1)
-    val limit = if (args.length > 2) args(2).toInt else 50
-
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
@@ -71,15 +92,44 @@ object QueryRunner {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Argument handling + execution, session-independent (spec-testable). */
+  def run(spark: SparkSession, args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: QueryRunner <tableDir> <queryFile> [limit] | <queryfile> <resultfile> [pagesize] [numbuffer]")
+    val refShape = !Files.isDirectory(Paths.get(args(0)))
+    val (tableDir, queryFile) =
+      if (refShape) {
+        val qp = Paths.get(args(0)).toAbsolutePath
+        (qp.getParent.toString, args(0))
+      } else (args(0), args(1))
+    val limit = if (!refShape && args.length > 2) args(2).toInt else Int.MaxValue
 
     val tables = loadTables(spark, tableDir)
 
     val sql = Files.readString(Paths.get(queryFile))
     val df = Translator.run(spark, sql, tables)
-    println(df.columns.mkString("\t"))
-    df.limit(limit).collect().foreach { row =>
-      println(row.toSeq.map(v => if (v == null) "-NULL-" else v.toString).mkString("\t"))
+    if (refShape) {
+      val out = new java.io.PrintWriter(args(1))
+      try { writeReferenceFormat(out, df) } finally out.close()
+    } else {
+      println(df.columns.mkString("\t"))
+      df.limit(limit).collect().foreach { row =>
+        println(row.toSeq.map(v => if (v == null) "-NULL-" else v.toString).mkString("\t"))
+      }
     }
-    spark.stop()
+  }
+
+  /** The reference's result-file format (QueryMain.java printSchema /
+    * printTuple, :276-306): header of column names each followed by two
+    * spaces, then one row per tuple with each value followed by a tab and
+    * nulls rendered `-NULL-`. */
+  def writeReferenceFormat(out: java.io.PrintWriter, df: org.apache.spark.sql.DataFrame): Unit = {
+    out.println(df.columns.map(_ + "  ").mkString)
+    df.collect().foreach { row =>
+      out.println(row.toSeq.map(v => (if (v == null) "-NULL-" else v.toString) + "\t").mkString)
+    }
   }
 }
