@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -127,6 +128,58 @@ object Dedup {
         size(array_union(col("i_sh"), col("e_sh"))) >= 0.8)
       .select(col("i_id").as("doc_id")).distinct()
     incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** EXACT shingle-Jaccard threshold self-join via document-frequency-
+    * ordered prefix filtering (the SSJoin/PPJoin family) — the
+    * deterministic counterpart to the MinHash path: where q45's LSH is
+    * only probabilistically complete (and its 32-hash/8-band s-curve
+    * cannot promise completeness below ~0.7), prefix filtering is exact
+    * at ANY threshold by construction.
+    *
+    * Shape: order all shingles by ascending global document frequency
+    * (rarest first; ties broken by the shingle itself); if
+    * J(a,b) >= theta, a and b must share at least one shingle among each
+    * document's first p = |d| - ceil(theta*|d|) + 1 shingles under that
+    * order — so candidates come from an inverted-index equi-join on
+    * PREFIX shingles only, then exact Jaccard verifies.
+    *
+    * Scale: the equi-join keys are each document's RAREST shingles, so
+    * bucket sizes are bounded by construction (a shingle appearing in k
+    * docs contributes <= k(k-1)/2 candidate pairs, and high-df shingles
+    * never enter a prefix unless a doc has nothing rarer) — the skew that
+    * kills naive token-joins is filtered out before the shuffle. The
+    * per-doc row_number window partitions by doc_id (millions of small
+    * groups, no low-cardinality skew). The ceil() takes a 1e-9 slack so
+    * float round-up can only ever LENGTHEN a prefix (over-generating
+    * candidates is safe; under-generating would lose pairs). */
+  def jaccardJoin(documents: DataFrame, theta: Double): DataFrame = {
+    val docs = documents.select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("len") - ceil(lit(theta) * col("len") - lit(1e-9)) + 1)
+      .select(col("doc_id"), col("len"), col("tok"))
+    // length filter: J >= theta forces theta*|a| <= |b| <= |a|/theta
+    // (1e-9 slack again — conservative in the keep direction)
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("len").as("la"), col("tok"))
+      .join(prefix.select(col("doc_id").as("doc_b"), col("len").as("lb"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("lb") * lit(theta) <= col("la") + lit(1e-9) &&
+        col("la") * lit(theta) <= col("lb") + lit(1e-9))
+      .select("doc_a", "doc_b").distinct()
+    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= theta)
+      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Alternating large-star/small-star connected components over an
@@ -364,5 +417,22 @@ object Dedup {
              |WHERE doc_id NOT IN (SELECT doc_id FROM drop_exact)
              |  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Exact Jaccard join via prefix filtering (no LSH) ----------------
+    // theta = 0.6: below the 32/8 s-curve's reliable range, so this is the
+    // only exact path at this threshold (see jaccardJoin above). Oracle =
+    // brute-force O(n^2) exact Jaccard — prefix filtering must equal it
+    // pair-for-pair, which is precisely its completeness guarantee.
+    QueryDef("q65_jaccard_join", (s, d) =>
+      jaccardJoin(t(s, d, "documents"), 0.6)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH s AS ($sqlShingles)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
+             |FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |    / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.6
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 }

@@ -69,6 +69,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "testdata should contain planted near-dups")
   }
 
+  test("q65 prefix-filter jaccard join is exact at thresholds LSH can't cover") {
+    // brute-force shingle Jaccard on the driver, same 0.6 threshold as the
+    // registered query — prefix filtering promises pair-for-pair equality
+    val docsDf = Tables.load(spark, sfDir, "documents")
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] =
+      if (t.split(" ").length < 3) Set.empty
+      else t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val sh = docs.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+    def brute(theta: Double) = (for {
+      (a, sa) <- sh; (b, sb) <- sh if a < b
+      jac = (sa & sb).size.toDouble / (sa | sb).size if jac >= theta
+    } yield (a, b)).toSet
+    val got06 = Dedup.jaccardJoin(docsDf, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got06 == brute(0.6))
+    assert(got06.nonEmpty, "testdata should contain pairs at 0.6")
+    // harsher completeness stress: a threshold low enough that prefixes
+    // cover almost half of every document
+    val got03 = Dedup.jaccardJoin(docsDf, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got03 == brute(0.3))
+  }
+
   test("q44 exact dedup groups cover the table") {
     val total = q("q44_dedup_exact").agg(sum("n_copies")).first().getLong(0)
     assert(total == Tables.load(spark, sfDir, "documents").count())
