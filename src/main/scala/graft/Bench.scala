@@ -30,7 +30,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional args: restrict to queries whose name starts with any arg
+    // (local iteration aid; the driver passes none and times everything)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.exists(n.startsWith))
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()

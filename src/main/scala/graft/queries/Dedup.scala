@@ -163,21 +163,49 @@ object Dedup {
     val prefix = toks.join(dfreq, "tok")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("len") - ceil(lit(theta) * col("len") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("len"), col("tok"))
-    // length filter: J >= theta forces theta*|a| <= |b| <= |a|/theta
-    // (1e-9 slack again — conservative in the keep direction)
-    val cand = prefix.select(col("doc_id").as("doc_a"), col("len").as("la"), col("tok"))
-      .join(prefix.select(col("doc_id").as("doc_b"), col("len").as("lb"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b") &&
-        col("lb") * lit(theta) <= col("la") + lit(1e-9) &&
-        col("la") * lit(theta) <= col("lb") + lit(1e-9))
-      .select("doc_a", "doc_b").distinct()
-    val a = docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    cand.join(a, "doc_a").join(b, "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_id"), col("len"), col("rn"), col("tok"))
+    // Candidate pairs, bucket-local: group the posting list per prefix
+    // token and pair within it via nested Generates. A token-keyed
+    // SELF-join would compute the df+window pipeline twice (the aliased
+    // sides canonicalize differently, so Spark plans no ReusedExchange);
+    // this shape computes it once, and the k^2 pair blow-up of a size-k
+    // posting list lands in one streaming task either way.
+    // Length filter: J >= theta forces theta*|a| <= |b| <= |a|/theta
+    // (1e-9 slack — conservative in the keep direction).
+    val byTok = prefix.groupBy("tok")
+      .agg(collect_list(struct(col("doc_id"), col("len"), col("rn"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val shared = byTok
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        col("b.len") * lit(theta) <= col("a.len") + lit(1e-9) &&
+        col("a.len") * lit(theta) <= col("b.len") + lit(1e-9))
+    // PPJoin positional filter. Both docs list tokens in the same global
+    // order, so the shared token minimizing the position in a minimizes it
+    // in b too, and nothing before the FIRST shared token can intersect:
+    //   overlap(a,b) <= 1 + min(la - ia, lb - jb).
+    // J >= theta forces overlap >= theta/(1+theta) * (la+lb); pairs whose
+    // bound can't reach that die here — this is what turns "shares one
+    // rare shingle" (huge set) into a verification set near the answer.
+    val alpha = ceil(lit(theta / (1 + theta)) * (col("la") + col("lb")) - lit(1e-9))
+    val cand = shared
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(min(struct(col("a.rn").as("ia"), col("b.rn").as("jb"))).as("fp"),
+        min(col("a.len")).as("la"), min(col("b.len")).as("lb"))
+      .filter(lit(1) + least(col("la") - col("fp.ia"), col("lb") - col("fp.jb")) >= alpha)
+      .select("doc_a", "doc_b", "la", "lb")
+    // Exact verify WITHOUT per-row array set ops (array_intersect over
+    // string arrays is an interpreted, allocation-heavy path): count the
+    // shared tokens with two codegen'd equi-joins over the token stream,
+    // then J = o / (la + lb - o).
+    val o = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("o"), min("la").as("la"), min("lb").as("lb"))
+    o.withColumn("jaccard",
+        col("o").cast("double") / (col("la") + col("lb") - col("o")))
       .filter(col("jaccard") >= theta)
       .select("doc_a", "doc_b", "jaccard")
   }
