@@ -145,5 +145,88 @@ object Text {
              |        (a,c) -> (a*131 + c) % 4294967291))),
              |    (acc,h) -> (acc*31 + h) % 1000000007) AS fingerprint
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Within-document repetition (Gopher-style quality gates) ---------
+    // The C4/Gopher family of repetition filters: fraction of duplicate
+    // 2-grams / 3-grams and the top-token frequency ratio. The duplicate
+    // fraction needs NO non-distinct n-gram enumeration: a doc with n
+    // tokens has n-k+1 k-gram windows, so dup_frac = (windows - distinct)
+    // / windows, and distinct counts come from the native shingles()
+    // expression map-side. Top-token ratio is the one shuffle: explode ->
+    // (doc, token) count -> per-doc max, joined back on doc_id.
+    QueryDef("q66_repetition", (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("n"),
+          size(graft.functions.ArrayExprs.shingles(toks, 2)).as("d2"),
+          size(graft.functions.ArrayExprs.shingles(toks, 3)).as("d3"))
+        .filter(col("n") >= 3)
+      val top = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mx"))
+      val dup2 = (col("n") - 1 - col("d2")).cast("double") / (col("n") - 1)
+      val ratio = col("mx").cast("double") / col("n")
+      base.join(top, "doc_id")
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          dup2.as("dup2_frac"),
+          ((col("n") - 2 - col("d3")).cast("double") / (col("n") - 2)).as("dup3_frac"),
+          ratio.as("top_tok_ratio"),
+          (dup2 <= 0.05 && ratio <= 0.12).as("repetition_ok"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |m AS (
+             |  SELECT doc_id, len(tk) AS n,
+             |    len(list_distinct(list_transform(range(1, len(tk)),
+             |      i -> array_to_string(tk[i:i+1], ' ')))) AS d2,
+             |    len(list_distinct(list_transform(range(1, len(tk) - 1),
+             |      i -> array_to_string(tk[i:i+2], ' ')))) AS d3
+             |  FROM t WHERE len(tk) >= 3),
+             |mx AS (
+             |  SELECT doc_id, max(c) AS mx FROM (
+             |    SELECT doc_id, tok, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |    GROUP BY doc_id, tok) GROUP BY doc_id)
+             |SELECT m.doc_id, n AS n_tokens,
+             |  CAST(n - 1 - d2 AS DOUBLE) / (n - 1) AS dup2_frac,
+             |  CAST(n - 2 - d3 AS DOUBLE) / (n - 2) AS dup3_frac,
+             |  CAST(mx AS DOUBLE) / n AS top_tok_ratio,
+             |  CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+             |    AND CAST(mx AS DOUBLE) / n <= 0.12 AS repetition_ok
+             |FROM m JOIN mx ON m.doc_id = mx.doc_id
+             |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- TF-IDF top terms per document -----------------------------------
+    // Corpus-weighted term salience: tf x idf with the RATIONAL idf N/df
+    // (the constant N factor is rank-invariant, so the score is
+    // tf/df — logarithmic idf would rank identically here but ln() is not
+    // bit-portable across engines, and the oracle hash-compares doubles).
+    // Shape at scale: explode -> (doc, term) count (shuffle 1) -> df from
+    // the tf set (shuffle 2, term-keyed) -> join back on term -> per-doc
+    // top-3 window (millions of tiny doc_id partitions — no skew).
+    QueryDef("q67_tfidf_topk", (s, d) => {
+      val e = t(s, d, "documents").select(col("doc_id"), explode(toks).as("term"))
+      val tf = e.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .orderBy("doc_id", "rk")
+    },
+      Some("""WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |sc AS (
+             |  SELECT doc_id, tf.term AS term, tf, df,
+             |    CAST(tf AS DOUBLE) / df AS score,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.term) AS rk
+             |  FROM tf JOIN df USING (term))
+             |SELECT doc_id, rk, term, tf, df, score FROM sc WHERE rk <= 3
+             |ORDER BY doc_id, rk""".stripMargin)),
   )
 }

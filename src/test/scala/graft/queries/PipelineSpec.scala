@@ -50,6 +50,45 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q66 repetition metrics match plain-Scala computation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q66_repetition").collect()
+    assert(rows.map(_.getLong(0)).toSet == docs.filter(_._2.split(" ").length >= 3).keySet)
+    rows.foreach { r =>
+      val tk = docs(r.getLong(0)).split(" ")
+      val d2 = tk.sliding(2).map(_.mkString(" ")).toSet.size
+      val mx = tk.groupBy(identity).values.map(_.length).max
+      assert(r.getDouble(2) == (tk.length - 1 - d2).toDouble / (tk.length - 1))
+      assert(r.getDouble(4) == mx.toDouble / tk.length)
+    }
+    // the gate must split the corpus, not rubber-stamp it
+    val oks = rows.map(_.getBoolean(5)).toSet
+    assert(oks == Set(true, false), s"repetition_ok should have a mix, got $oks")
+  }
+
+  test("q67 tf-idf top terms match driver-side ranking") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = docs.toSeq.flatMap { case (id, t) =>
+      t.split(" ").groupBy(identity).map { case (w, g) => (id, w, g.length) }
+    }
+    val df = tf.groupBy(_._2).map { case (w, g) => w -> g.size }
+    val got = q("q67_tfidf_topk").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    docs.keys.foreach { id =>
+      val want = tf.filter(_._1 == id)
+        .map { case (_, w, c) => (w, c.toLong, df(w).toLong, c.toDouble / df(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }.take(3)
+      want.zipWithIndex.foreach { case ((w, c, d, _), i) =>
+        assert(got((id, i + 1)) == ((w, c, d)), s"doc $id rank ${i + 1}")
+      }
+    }
+  }
+
   // --- dedup --------------------------------------------------------------
 
   test("q45 minhash LSH finds exactly the brute-force near-dup pairs") {
