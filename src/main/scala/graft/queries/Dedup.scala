@@ -160,7 +160,13 @@ object Dedup {
       explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val prefix = toks.join(dfreq, "tok")
+    // shuffle_hash everywhere a TOKEN-STREAM side could be broadcast:
+    // Catalyst's size estimate under a Generate(explode) is the pre-explode
+    // relation size, so left alone it broadcasts the whole exploded stream
+    // — measured superlinear in the scale probe and impossible at 100 TB.
+    // dfreq exits its groupBy already hash-partitioned by tok, so the
+    // shuffle join reuses that exchange and only shuffles the probe side.
+    val prefix = toks.join(dfreq.hint("shuffle_hash"), "tok")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("len") - ceil(lit(theta) * col("len") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("len"), col("rn"), col("tok"))
@@ -200,8 +206,8 @@ object Dedup {
     // shared tokens with two codegen'd equi-joins over the token stream,
     // then J = o / (la + lb - o).
     val o = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")), Seq("doc_b", "tok"))
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")).hint("shuffle_hash"), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")).hint("shuffle_hash"), Seq("doc_b", "tok"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("o"), min("la").as("la"), min("lb").as("lb"))
     o.withColumn("jaccard",

@@ -90,6 +90,10 @@ object ScaleProbe {
     Seq(1, 4, mult).distinct.foreach { m =>
       val docs = replicateDocs(m)
       time(s"minhash_lsh_x$m") { graft.queries.Dedup.nearDupPairsOf(docs).count() }
+      // exact prefix-filter join: candidate generation is df-bucketed, so
+      // disjoint-vocabulary replicas must scale ~linearly (prefix postings
+      // never mix across replicas)
+      time(s"jaccard_join_x$m") { graft.queries.Dedup.jaccardJoin(docs, 0.6).count() }
       time(s"dedup_components_x$m") {
         val pairs = graft.queries.Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
         graft.queries.Dedup.connectedComponents(pairs)._1.count()
