@@ -154,4 +154,28 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi, r.getString(0))
     }
   }
+
+  test("prefix-filter jaccard join equals brute force on random corpora") {
+    // completeness is a THEOREM about the prefix length; random corpora
+    // with a tiny vocabulary maximize shingle collisions and boundary
+    // jaccard values, the regime where an off-by-one prefix would show
+    val genDoc = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val corpora = samples(Gen.listOfN(25, genDoc), 4)
+    val thetas = Seq(0.35, 0.6, 0.85)
+    corpora.zip(thetas ++ thetas).foreach { case (docs, theta) =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def shingles(t: String): Set[String] =
+        if (t.split(" ").length < 3) Set.empty
+        else t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+      val sh = docs.zipWithIndex.map { case (t, i) => i.toLong -> shingles(t) }
+        .filter(_._2.nonEmpty)
+      val want = (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        jac = (sa & sb).size.toDouble / (sa | sb).size if jac >= theta
+      } yield (a, b)).toSet
+      val got = graft.queries.Dedup.jaccardJoin(df, theta).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, s"theta=$theta docs=${docs.take(3)}...")
+    }
+  }
 }

@@ -77,6 +77,37 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test(".stat numbers drive the physical join choice, not just metadata") {
+    // same physical data, two different .stat claims: tiny => the CBO
+    // (and the planner's size estimate derived from it) must broadcast;
+    // huge => it must not. This is the end-to-end point of .stat support.
+    val dir = tmp("stat-cbo")
+    val dim = Seq.tabulate(50)(i => (i.toLong, s"g${i % 5}")).toDF("k", "grp")
+    val fact = Seq.tabulate(500)(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    Stats.saveAsCatalogTable(spark, "stat_cbo_dim", dim)
+    Stats.saveAsCatalogTable(spark, "stat_cbo_fact", fact)
+    def planWith(dimRows: Long, dimNdv: Long): String = {
+      Files.write(Paths.get(s"$dir/dim.stat"), s"$dimRows\n$dimNdv 5\n".getBytes)
+      Stats.injectStatFile(spark, "stat_cbo_dim", s"$dir/dim.stat")
+      Files.write(Paths.get(s"$dir/fact.stat"), "100000000\n50 100000000\n".getBytes)
+      Stats.injectStatFile(spark, "stat_cbo_fact", s"$dir/fact.stat")
+      spark.table("stat_cbo_fact").join(spark.table("stat_cbo_dim"), "k")
+        .groupBy("grp").count()
+        .queryExecution.executedPlan.toString
+    }
+    try {
+      assert(planWith(50L, 50L).contains("BroadcastHashJoin"),
+        "tiny .stat side should broadcast")
+      assert(!planWith(500000000L, 50000000L).contains("BroadcastHashJoin"),
+        "huge .stat side must not broadcast")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS stat_cbo_dim")
+      spark.sql("DROP TABLE IF EXISTS stat_cbo_fact")
+    }
+  }
+
   test("reference QueryMain invocation shape writes the reference format") {
     // tables live next to the query file, exactly like a reference data dir
     val dir = tmp("refcli")
