@@ -41,7 +41,7 @@ object Dedup {
   // three-token windows). Documents shorter than the shingle width have no
   // shingles and cannot be near-dups — both engines exclude them, which
   // also keeps the Jaccard denominator non-zero.
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     """SELECT doc_id, sh FROM (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),

@@ -23,9 +23,9 @@ object Sampling {
   private val M = 2147483647L // 2^31 - 1 (prime)
 
   /** Deterministic per-row hash in [0, M): Lehmer step on the id. */
-  private def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+  private[queries] def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
 
-  private val sqlLehmer = s"(doc_id % $M) * 48271 % $M"
+  private[queries] val sqlLehmer = s"(doc_id % $M) * 48271 % $M"
 
   val defs: Seq[QueryDef] = Seq(
 

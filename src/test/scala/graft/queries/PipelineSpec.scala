@@ -89,6 +89,23 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q68 curation pipeline composes its constituent operators exactly") {
+    val got = q("q68_curation_pipeline").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // survivors = quality gate AND repetition gate AND not near-dup-dropped
+    val quality = q("q41_text_quality").collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    val repOk = q("q66_repetition").collect()
+      .filter(_.getBoolean(5)).map(_.getLong(0)).toSet
+    val dropped = q("q45_minhash_lsh").collect().map(_.getLong(1)).toSet
+    assert(got.keySet == (quality & repOk) -- dropped)
+    assert(got.nonEmpty)
+    // split must agree with q56's assignment for every surviving doc
+    val split = q("q56_train_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.foreach { case (id, sp) => assert(sp == split(id), s"doc $id") }
+  }
+
   // --- dedup --------------------------------------------------------------
 
   test("q45 minhash LSH finds exactly the brute-force near-dup pairs") {
