@@ -145,6 +145,36 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.select("content_hash").distinct().count() == got.count())
   }
 
+  test("streaming curation applies the stateless q68 gates before dedup") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("docs-curate")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = Streams.curatedIngest(incoming, corpus)
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curate_out").collect().map(_.getLong(0)).toSet
+    // batch expectation: same gates, then hash-dedup within + vs corpus
+    val toks = split(col("text"), " ")
+    val gated = docs.filter(size(toks) >= 20 &&
+      size(filter(toks, x => x === "the" || x === "a")) > 0 &&
+      (size(toks) - 1 - size(graft.functions.ArrayExprs.shingles(toks, 2)))
+        .cast("double") / (size(toks) - 1) <= 0.05)
+    val want = gated.withColumn("content_hash", md5(col("text")))
+      .join(corpus.select(md5(col("text")).as("eh")).distinct(),
+        col("content_hash") === col("eh"), "left_anti")
+      .groupBy("content_hash").agg(min("doc_id"))
+    assert(got.size.toLong == want.count() && got.nonEmpty)
+    // every emitted doc passed the gates
+    val gatedIds = gated.collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(gatedIds))
+  }
+
   test("parquet sink + checkpoint: no duplicates across a restart") {
     // the writeStream face: a real file sink with a checkpoint, stopped
     // and restarted with replayed input — the checkpointed dedup state
