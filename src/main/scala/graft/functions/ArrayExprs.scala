@@ -49,6 +49,11 @@ object ArrayExprs {
   def hyperplaneBands(qv: Column, bands: Int, bits: Int): Column =
     ColumnBridge.column(HyperplaneBands(ColumnBridge.expression(qv), bands, bits))
 
+  /** Max multiplicity of any element in an ARRAY<STRING> token sequence —
+    * the top-token count of the Gopher repetition gate, map-side. */
+  def topTokenCount(tokens: Column): Column =
+    ColumnBridge.column(TopTokenCount(ColumnBridge.expression(tokens)))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
@@ -107,6 +112,23 @@ object ArrayOps {
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  def topTokenCount(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var mx = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      val prev = counts.get(s)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(s, c)
+      if (c > mx) mx = c
+      i += 1
+    }
+    mx
   }
 
   /** SimHash bit source: 64 bits per token from two polynomial hashes
@@ -265,6 +287,26 @@ case class Shingles(child: Expression, n: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** Max multiplicity of any element of an ARRAY<STRING> — equals
+  * `max(count) GROUP BY (row, element)` without the explode + two
+  * shuffles when the per-row token count is bounded (the distributed
+  * explode formulation remains the right shape for unbounded documents).
+  */
+case class TopTokenCount(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.topTokenCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.topTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
     copy(child = newChild)
 }
 

@@ -29,7 +29,8 @@ object GraftFunctions {
     "graft_shingles" -> (es => Shingles(es(0), intArg(es(1), "n"))),
     "graft_fingerprint" -> (es => PolyFingerprint(es(0))),
     "graft_hyperplane_bands" -> (es =>
-      HyperplaneBands(es(0), intArg(es(1), "bands"), intArg(es(2), "bits"))))
+      HyperplaneBands(es(0), intArg(es(1), "bands"), intArg(es(2), "bits"))),
+    "graft_top_token_count" -> (es => TopTokenCount(es(0))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -17,8 +17,8 @@ import graft.{QueryDef, Tables}
   *                         (q51's greedy keep policy);
   *   3. split assignment — rerun-invariant Lehmer-hash bucketing (q56).
   *
-  * Only the dedup step shuffles more than once; the gates ride along the
-  * existing scans and the split is pure arithmetic on the id.
+  * Only the dedup step shuffles at all: every gate is a native map-side
+  * expression riding the scan, and the split is pure arithmetic on the id.
   */
 object Curation {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
@@ -32,17 +32,14 @@ object Curation {
       val nStop = size(filter(toks, x => x === "the" || x === "a"))
       val d2 = size(graft.functions.ArrayExprs.shingles(toks, 2))
       val dup2 = (nTok - 1 - d2).cast("double") / (nTok - 1)
+      val mx = graft.functions.ArrayExprs.topTokenCount(toks)
       val base = docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
-        (nTok >= 20 && nStop > 0).as("quality_ok"), dup2.as("dup2_frac"))
-      val top = docs.select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("mx"))
+        (nTok >= 20 && nStop > 0 && dup2 <= 0.05 &&
+          mx.cast("double") / nTok <= 0.12).as("gates_ok"))
       val drop = Dedup.nearDupPairsOf(docs)
         .select(col("doc_b").as("doc_id")).distinct()
       val bucket = Sampling.lehmer(col("doc_id")) % 1000
-      base.join(top, "doc_id")
-        .filter(col("quality_ok") && col("dup2_frac") <= 0.05 &&
-          col("mx").cast("double") / col("n_tokens") <= 0.12)
+      base.filter(col("gates_ok"))
         .join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           when(bucket < 800, "train").when(bucket < 900, "val")

@@ -148,25 +148,25 @@ object Text {
 
     // ---- Within-document repetition (Gopher-style quality gates) ---------
     // The C4/Gopher family of repetition filters: fraction of duplicate
-    // 2-grams / 3-grams and the top-token frequency ratio. The duplicate
-    // fraction needs NO non-distinct n-gram enumeration: a doc with n
-    // tokens has n-k+1 k-gram windows, so dup_frac = (windows - distinct)
-    // / windows, and distinct counts come from the native shingles()
-    // expression map-side. Top-token ratio is the one shuffle: explode ->
-    // (doc, token) count -> per-doc max, joined back on doc_id.
+    // 2-grams / 3-grams and the top-token frequency ratio — ALL map-side,
+    // zero shuffles (the root orderBy is oracle determinism). The
+    // duplicate fraction needs NO non-distinct n-gram enumeration: a doc
+    // with n tokens has n-k+1 k-gram windows, so dup_frac = (windows -
+    // distinct) / windows, with distinct counts from the native shingles()
+    // expression; the top-token count is the native TopTokenCount
+    // (per-row hash count — the explode -> (doc, token) count -> per-doc
+    // max formulation remains the right shape if single documents can
+    // exceed executor memory).
     QueryDef("q66_repetition", (s, d) => {
       val base = t(s, d, "documents")
         .select(col("doc_id"), size(toks).as("n"),
           size(graft.functions.ArrayExprs.shingles(toks, 2)).as("d2"),
-          size(graft.functions.ArrayExprs.shingles(toks, 3)).as("d3"))
+          size(graft.functions.ArrayExprs.shingles(toks, 3)).as("d3"),
+          graft.functions.ArrayExprs.topTokenCount(toks).as("mx"))
         .filter(col("n") >= 3)
-      val top = t(s, d, "documents")
-        .select(col("doc_id"), explode(toks).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max("c").as("mx"))
       val dup2 = (col("n") - 1 - col("d2")).cast("double") / (col("n") - 1)
       val ratio = col("mx").cast("double") / col("n")
-      base.join(top, "doc_id")
+      base
         .select(col("doc_id"), col("n").as("n_tokens"),
           dup2.as("dup2_frac"),
           ((col("n") - 2 - col("d3")).cast("double") / (col("n") - 2)).as("dup3_frac"),

@@ -57,6 +57,16 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(hamming(s(0), s(1)) < hamming(s(0), s(2)))
   }
 
+  test("TopTokenCount equals the explode-groupBy formulation") {
+    val docs = Seq("a b a c a b", "x", "", "q q q q")
+    docs.zip(Seq(3, 1, 1, 4)).foreach { case (text, want) =>
+      val got = Seq(text).toDF("text")
+        .select(ArrayExprs.topTokenCount(split(col("text"), " ")))
+        .first().getInt(0)
+      assert(got == want, s"'$text'")
+    }
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     Seq("a b c d e").toDF("text").createOrReplaceTempView("fdocs")
@@ -99,7 +109,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
       val r1 = docs.toDF("text").select(
           ArrayExprs.shingles(tok, 3).as("sh"),
           ArrayExprs.simhash64(tok).as("sim"),
-          ArrayExprs.polyFingerprint(tok).as("fp"))
+          ArrayExprs.polyFingerprint(tok).as("fp"),
+          ArrayExprs.topTokenCount(tok).as("mx"))
         .withColumn("sig", ArrayExprs.minhashSig(col("sh"), 8))
         .collect().map(_.toSeq).toSeq
       val r2 = vecs.toDF("qv")
@@ -120,7 +131,7 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
       classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
-      classOf[HyperplaneBands])
+      classOf[HyperplaneBands], classOf[TopTokenCount])
     classes.foreach(c =>
       assert(!classOf[CodegenFallback].isAssignableFrom(c),
         s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))

@@ -145,7 +145,7 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.select("content_hash").distinct().count() == got.count())
   }
 
-  test("streaming curation applies the stateless q68 gates before dedup") {
+  test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val dir = java.nio.file.Files.createTempDirectory("docs-curate")
@@ -164,7 +164,8 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val gated = docs.filter(size(toks) >= 20 &&
       size(filter(toks, x => x === "the" || x === "a")) > 0 &&
       (size(toks) - 1 - size(graft.functions.ArrayExprs.shingles(toks, 2)))
-        .cast("double") / (size(toks) - 1) <= 0.05)
+        .cast("double") / (size(toks) - 1) <= 0.05 &&
+      graft.functions.ArrayExprs.topTokenCount(toks).cast("double") / size(toks) <= 0.12)
     val want = gated.withColumn("content_hash", md5(col("text")))
       .join(corpus.select(md5(col("text")).as("eh")).distinct(),
         col("content_hash") === col("eh"), "left_anti")
