@@ -68,6 +68,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(oks == Set(true, false), s"repetition_ok should have a mix, got $oks")
   }
 
+  test("q66 plans zero shuffles beyond the determinism sort") {
+    val plan = q("q66_repetition").queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rangeEx = "Exchange rangepartitioning".r.findAllIn(plan).size
+    assert(hashEx == 0, s"q66 should be map-side, found $hashEx hash exchanges:\n${plan.take(1500)}")
+    assert(rangeEx <= 1, "only the root orderBy may range-partition")
+  }
+
   test("q67 tf-idf top terms match driver-side ranking") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
