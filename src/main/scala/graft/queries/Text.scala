@@ -228,5 +228,34 @@ object Text {
              |  FROM tf JOIN df USING (term))
              |SELECT doc_id, rk, term, tf, df, score FROM sc WHERE rk <= 3
              |ORDER BY doc_id, rk""".stripMargin)),
+
+    // ---- Context-window chunking -----------------------------------------
+    // Split every document into tumbling 16-token chunks — the standard
+    // pre-tokenization windowing for a fixed-context trainer. Distributed
+    // shape: posexplode -> chunk_id = pos div W -> one hash shuffle on
+    // (doc, chunk) with an ordered string_agg; chunks re-assemble from
+    // token order, never from driver state, so a document larger than a
+    // task's memory still chunks correctly (its tokens spread over the
+    // shuffle). The tiny per-chunk array sort (<= W elements) restores
+    // intra-chunk order after the shuffle.
+    QueryDef("q69_chunking", (s, d) => {
+      val W = 16
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .groupBy(col("doc_id"), (col("pos") / W).cast("int").as("chunk_id"))
+        .agg(
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("chunk_text"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |e AS (SELECT doc_id, unnest(tk) AS tok,
+             |        CAST(unnest(range(len(tk))) AS INTEGER) AS pos FROM t)
+             |SELECT doc_id, pos // 16 AS chunk_id,
+             |  string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+             |  count(*) AS n_tokens
+             |FROM e GROUP BY doc_id, pos // 16
+             |ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 }

@@ -68,6 +68,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(oks == Set(true, false), s"repetition_ok should have a mix, got $oks")
   }
 
+  test("q69 chunks reassemble to the original documents") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = q("q69_chunking").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val ordered = cs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == ordered.indices.toSeq, s"doc $id gaps")
+      assert(ordered.map(_._3).mkString(" ") == docs(id), s"doc $id text")
+      ordered.dropRight(1).foreach(c => assert(c._4 == 16L, s"doc $id chunk ${c._2}"))
+    }
+    assert(chunks.map(_._1).toSet == docs.keySet)
+  }
+
   test("q66 plans zero shuffles beyond the determinism sort") {
     val plan = q("q66_repetition").queryExecution.executedPlan.toString
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
