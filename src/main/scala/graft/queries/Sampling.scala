@@ -94,5 +94,60 @@ object Sampling {
              |      AS cum_chars
              |  FROM documents)
              |WHERE cum_chars <= 50000 ORDER BY lang, doc_id""".stripMargin)),
+
+    // ---- Sequence packing: chunks -> fixed-capacity training sequences ---
+    // The step after context-window chunking: lay the corpus's 16-token
+    // chunks end-to-end in (doc_id, chunk_id) order and cut every 64
+    // tokens — seq_id = floor(tokens_before_chunk / 64), the deterministic
+    // greedy fill a trainer's packer runs (a boundary chunk rides with the
+    // sequence it starts in).
+    //
+    // Scale shape: the GLOBAL running sum is the q57 two-phase pattern
+    // writ corpus-wide — a single `Window.orderBy` with no partition key
+    // would serialize 100 TB through one task. Phase 1 range-buckets the
+    // order key (sub = doc_id * 32 / (max_id + 1), order-preserving by
+    // construction) and sums within buckets; phase 2 adds per-bucket
+    // offsets from the 32-row totals table. Chunk rows themselves are
+    // pure arithmetic on the token count (no explode of token strings,
+    // no shuffle before the prefix sum).
+    QueryDef("q70_seq_packing", (s, d) => {
+      val (w, cap) = (16, 64)
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      val ch = base
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0), expr(s"((n + ${w - 1}) div $w) - 1").cast("int"))).as("chunk_id"))
+        .withColumn("n_tokens", least(lit(w), col("n") - col("chunk_id") * w).cast("long"))
+      val mx = base.agg(max("doc_id").as("mx"))
+      val sub = ch.crossJoin(broadcast(mx))
+        .withColumn("sub", (col("doc_id") * 32 / (col("mx") + 1)).cast("int"))
+      val wLocal = Window.partitionBy("sub").orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOffset = Window.orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sub.groupBy("sub").agg(sum("n_tokens").as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
+        .select("sub", "off")
+      sub
+        .withColumn("local_cum", sum("n_tokens").over(wLocal))
+        .join(broadcast(offsets), "sub")
+        .withColumn("cum_tokens", col("local_cum") + col("off"))
+        .withColumn("seq_id", expr(s"(cum_tokens - n_tokens) div $cap"))
+        .select("doc_id", "chunk_id", "n_tokens", "seq_id", "cum_tokens")
+        .orderBy("doc_id", "chunk_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+             |ch AS (SELECT doc_id, CAST(unnest(range((n + 15) // 16)) AS INTEGER) AS chunk_id, n
+             |       FROM t),
+             |c3 AS (SELECT doc_id, chunk_id,
+             |         CAST(least(16, n - chunk_id * 16) AS BIGINT) AS n_tokens,
+             |         sum(least(16, n - chunk_id * 16))
+             |           OVER (ORDER BY doc_id, chunk_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |       FROM ch)
+             |SELECT doc_id, chunk_id, n_tokens,
+             |  CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
+             |  CAST(cum AS BIGINT) AS cum_tokens
+             |FROM c3 ORDER BY doc_id, chunk_id""".stripMargin)),
   )
 }

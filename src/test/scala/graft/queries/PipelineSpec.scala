@@ -83,6 +83,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(chunks.map(_._1).toSet == docs.keySet)
   }
 
+  test("q70 packing equals a driver-side greedy fill over q69's chunks") {
+    val chunks = q("q69_chunking").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getLong(3))).sortBy(_._1).toSeq
+    val got = q("q70_seq_packing").collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .sortBy(_._1).toSeq
+    assert(got.map(x => x._1 -> x._2._1) == chunks, "chunk inventory must match q69")
+    var cum = 0L
+    chunks.zip(got).foreach { case (((id, cid), n), (_, (_, seqId, cumTok))) =>
+      assert(seqId == cum / 64, s"doc $id chunk $cid seq")
+      cum += n
+      assert(cumTok == cum, s"doc $id chunk $cid cum")
+    }
+  }
+
   test("q66 plans zero shuffles beyond the determinism sort") {
     val plan = q("q66_repetition").queryExecution.executedPlan.toString
     val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
