@@ -25,6 +25,14 @@ object Sampling {
   /** Deterministic per-row hash in [0, M): Lehmer step on the id. */
   private[queries] def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
 
+  /** Range-bucket count for two-phase prefix sums: at least 32, growing
+    * with the row count so per-bucket input stays near `target` rows no
+    * matter how large the corpus — a FIXED fan-out would re-create the
+    * single-task skew at 100x scale. (h * nb stays far below 2^63 for any
+    * realistic corpus: h < 2^31 and nb = n/target.) */
+  private[queries] def prefixBuckets(n: Column, target: Long = 100000L): Column =
+    greatest(lit(32L), floor(n / lit(target)).cast("long"))
+
   private[queries] val sqlLehmer = s"(doc_id % $M) * 48271 % $M"
 
   val defs: Seq[QueryDef] = Seq(
@@ -56,19 +64,26 @@ object Sampling {
     // Scale shape: a TWO-PHASE prefix sum, not one window per language.
     // `lang` has ~5 distinct values, so Window.partitionBy("lang") would
     // sort each language's entire corpus in a single task — the classic
-    // low-cardinality window skew. Instead the hash order is split into 32
-    // uniform range-chunks (the hash is uniform on [0, M), so chunk =
-    // h >> 26 is an equi-depth range partition of the SAME total order):
-    // phase 1 runs the running sum within (lang, chunk) — 32x the
-    // parallelism, per-task input n/32 — and phase 2 adds each chunk's
-    // per-language offset, computed from the tiny (lang x chunk) totals
-    // table and broadcast back. Identical cum_chars to the monolithic
-    // window, which remains the oracle's (DuckDB-side) formulation.
+    // low-cardinality window skew. Instead the hash order is split into
+    // uniform range-chunks (the hash is uniform on [0, M), so
+    // chunk = h*nb div M is an equi-depth range partition of the SAME
+    // total order): phase 1 runs the running sum within (lang, chunk) and
+    // phase 2 adds each chunk's per-language offset, computed from the
+    // tiny (lang x chunk) totals table and broadcast back. The chunk
+    // count DERIVES FROM THE ROW COUNT ([[prefixBuckets]]) so per-chunk
+    // input stays ~bounded as the corpus grows — a fixed fan-out would
+    // just be the skew problem again at 100x. Identical cum_chars to the
+    // monolithic window, which remains the oracle's (DuckDB-side)
+    // formulation.
     QueryDef("q57_quota_sample", (s, d) => {
-      // h < 2^31, so h >> 26 ranges over [0, 32): 32 chunks
-      val chunked = t(s, d, "documents")
+      val docs = t(s, d, "documents")
+      val stats = docs.agg(count(lit(1)).as("cnt"))
+      val chunked = docs
         .withColumn("h", lehmer(col("doc_id")))
-        .withColumn("chunk", shiftright(col("h"), 26))
+        .crossJoin(broadcast(stats))
+        .withColumn("nb", prefixBuckets(col("cnt")))
+        .withColumn("chunk", expr(s"(h * nb) div $M"))
+        .drop("cnt", "nb")
       val wLocal = Window.partitionBy("lang", "chunk")
         .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -105,11 +120,12 @@ object Sampling {
     // Scale shape: the GLOBAL running sum is the q57 two-phase pattern
     // writ corpus-wide — a single `Window.orderBy` with no partition key
     // would serialize 100 TB through one task. Phase 1 range-buckets the
-    // order key (sub = doc_id * 32 / (max_id + 1), order-preserving by
-    // construction) and sums within buckets; phase 2 adds per-bucket
-    // offsets from the 32-row totals table. Chunk rows themselves are
-    // pure arithmetic on the token count (no explode of token strings,
-    // no shuffle before the prefix sum).
+    // order key (sub = doc_id * nb / (max_id + 1), order-preserving by
+    // construction, bucket count data-derived via [[prefixBuckets]]) and
+    // sums within buckets; phase 2 adds per-bucket offsets from the tiny
+    // totals table. Chunk rows themselves are pure arithmetic on the
+    // token count (no explode of token strings, no shuffle before the
+    // prefix sum).
     QueryDef("q70_seq_packing", (s, d) => {
       val (w, cap) = (16, 64)
       val base = t(s, d, "documents")
@@ -118,9 +134,13 @@ object Sampling {
         .select(col("doc_id"), col("n"),
           explode(sequence(lit(0), expr(s"((n + ${w - 1}) div $w) - 1").cast("int"))).as("chunk_id"))
         .withColumn("n_tokens", least(lit(w), col("n") - col("chunk_id") * w).cast("long"))
-      val mx = base.agg(max("doc_id").as("mx"))
+      val mx = base.agg(max("doc_id").as("mx"), count(lit(1)).as("cnt"))
+      // stride-based bucketing ((mx+nb) div nb = ceil((mx+1)/nb)) rather
+      // than doc_id * nb, whose product can overflow int64 at extreme ids
       val sub = ch.crossJoin(broadcast(mx))
-        .withColumn("sub", (col("doc_id") * 32 / (col("mx") + 1)).cast("int"))
+        .withColumn("nb", prefixBuckets(col("cnt")))
+        .withColumn("sub", expr("doc_id div ((mx + nb) div nb)"))
+        .drop("mx", "cnt", "nb")
       val wLocal = Window.partitionBy("sub").orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wOffset = Window.orderBy("sub")

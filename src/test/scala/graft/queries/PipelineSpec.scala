@@ -393,11 +393,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
-    // semantics), q48/q50's broadcast query set (fixed 50 ids), and q49's
-    // centroid broadcast (fixed 64 rows). Everything else — in particular
-    // every pairwise operator — must plan equi-join shapes.
+    // semantics), q48/q50's broadcast query set (fixed 50 ids), q49's
+    // centroid broadcast (fixed 64 rows), and q57/q70's one-row scalar
+    // aggregate (count/max) cross-joined in to derive the data-dependent
+    // bucket fan-out. Everything else — in particular every pairwise
+    // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
-      "q49_knn_ivf")
+      "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
