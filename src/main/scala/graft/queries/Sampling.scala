@@ -169,5 +169,37 @@ object Sampling {
              |  CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
              |  CAST(cum AS BIGINT) AS cum_tokens
              |FROM c3 ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- Deterministic per-group reservoir sample ------------------------
+    // k documents per language, uniformly at (deterministic) random: the
+    // k SMALLEST Lehmer hashes per group — the classic hash-reservoir,
+    // rerun-invariant like q56. Scale shape: `lang` has ~5 values, so a
+    // rank window would sort each language's corpus in one task; the
+    // bounded TopKAgg aggregator instead pre-reduces every map task to k
+    // rows before the shuffle (partial aggregation), so the exchange
+    // carries k rows per (group, task) and nothing ever sorts the corpus.
+    QueryDef("q71_reservoir_sample", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val k = 10
+      val docs = t(s, d, "documents")
+        .select(col("lang"), col("doc_id"), lehmer(col("doc_id")).as("h"))
+        .as[(String, Long, Long)]
+      val topk = new graft.functions.TopKAgg(k).toColumn
+      docs.groupByKey(_._1)
+        .mapValues(r => (-r._3.toDouble, r._2)) // smallest hash = best
+        .agg(topk.name("top"))
+        .toDF("lang", "top")
+        .select(col("lang"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("lang"), (col("r0") + 1).cast("int").as("rank"),
+          col("t._2").as("doc_id"), (-col("t._1")).cast("long").as("h"))
+        .orderBy("lang", "rank")
+    },
+      Some(s"""SELECT lang, rank, doc_id, h FROM (
+             |  SELECT lang, doc_id, $sqlLehmer AS h,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY $sqlLehmer, doc_id) AS INTEGER) AS rank
+             |  FROM documents)
+             |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
   )
 }

@@ -122,6 +122,21 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     maxPerLang.foreach(r => assert(r.getLong(1) <= 50000L, r.getString(0)))
   }
 
+  test("reservoir sample picks exactly the k smallest hashes per group") {
+    val M = 2147483647L
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
+      g.toSeq.map { case (id, _) => (lang, id, (id % M) * 48271 % M) }
+        .sortBy(x => (x._3, x._2)).take(10)
+        .zipWithIndex.map { case ((l, id, h), i) => (l, i + 1, id, h) }
+    }.toSet
+    val got = SparkEntry.queries("q71_reservoir_sample")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
   test("text cleaning is idempotent") {
     val once = SparkEntry.queries("q58_text_clean")(spark, sfDir)
       .select(col("doc_id"), col("clean_text").as("text"))
