@@ -60,14 +60,26 @@ object QueryRunner {
       // per-column NDVs, PlanCost.java:219-263). Register the table in the
       // session catalog and inject those stats so Catalyst's CBO costs
       // join orders from them — the reference's optimizer does the same.
+      // Parquet sources register as EXTERNAL tables over the existing
+      // files (no data copy — the reference, likewise, only reads two
+      // lines of text); other formats materialize once. `events` is the
+      // one table whose load path rewrites the data (ns->us timestamps),
+      // so it materializes too. A malformed .stat degrades to no stats,
+      // LOUDLY — silent degradation would un-do the feature's point.
       df.map { d =>
         val withStats =
           if (!has(s"$name.stat")) d
           else scala.util.Try {
-            graft.sources.Stats.saveAsCatalogTable(spark, name, d)
+            if (has(s"$name.parquet") && name != "events") {
+              spark.sql(s"DROP TABLE IF EXISTS `$name`")
+              spark.catalog.createTable(s"`$name`", s"$dir/$name.parquet", "parquet")
+            } else graft.sources.Stats.saveAsCatalogTable(spark, name, d)
             graft.sources.Stats.injectStatFile(spark, name, s"$dir/$name.stat")
             spark.table(s"`$name`")
-          }.getOrElse(d)
+          }.recover { case e =>
+            System.err.println(s"[QueryRunner] WARNING: $name.stat ignored: $e")
+            d
+          }.get
         name -> withStats
       }
     }.toMap
@@ -99,13 +111,20 @@ object QueryRunner {
   def run(spark: SparkSession, args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: QueryRunner <tableDir> <queryFile> [limit] | <queryfile> <resultfile> [pagesize] [numbuffer]")
-    val refShape = !Files.isDirectory(Paths.get(args(0)))
+    // shape detection must not guess on a typo: a first argument that
+    // exists as a directory is the native shape, one that exists as a
+    // file is the reference QueryMain shape, anything else is an error
+    // (NOT a fall-through to ref-shape with the parent dir as tables)
+    val p0 = Paths.get(args(0))
+    require(Files.exists(p0), s"${args(0)} does not exist (expected a table directory or a query file)")
+    val refShape = !Files.isDirectory(p0)
     val (tableDir, queryFile) =
-      if (refShape) {
-        val qp = Paths.get(args(0)).toAbsolutePath
-        (qp.getParent.toString, args(0))
-      } else (args(0), args(1))
-    val limit = if (!refShape && args.length > 2) args(2).toInt else Int.MaxValue
+      if (refShape) (p0.toAbsolutePath.getParent.toString, args(0))
+      else (args(0), args(1))
+    // native shape keeps its bounded default (50 rows); the reference
+    // shape writes the complete result like QueryMain does
+    val limit = if (refShape) Int.MaxValue
+      else if (args.length > 2) args(2).toInt else 50
 
     val tables = loadTables(spark, tableDir)
 
@@ -113,7 +132,12 @@ object QueryRunner {
     val df = Translator.run(spark, sql, tables)
     if (refShape) {
       val out = new java.io.PrintWriter(args(1))
-      try { writeReferenceFormat(out, df) } finally out.close()
+      try { writeReferenceFormat(out, df) } finally {
+        out.close()
+        // PrintWriter swallows IO errors; a truncated result file with
+        // exit code 0 would read as a wrong answer downstream
+        require(!out.checkError(), s"I/O error writing ${args(1)}")
+      }
     } else {
       println(df.columns.mkString("\t"))
       df.limit(limit).collect().foreach { row =>

@@ -23,19 +23,26 @@ import graft.{QueryDef, Tables}
 object Curation {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** The full curation gate over a `text` column — length + stopword
+    * evidence, duplicate-2-gram fraction, top-token ratio. THE single
+    * definition: the batch pipeline (q68) and the streaming twin
+    * ([[graft.streaming.Streams.curatedIngest]]) must never drift. */
+  def gatesOk: org.apache.spark.sql.Column = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, x => x === "the" || x === "a"))
+    val d2 = size(graft.functions.ArrayExprs.shingles(toks, 2))
+    val dup2 = (nTok - 1 - d2).cast("double") / (nTok - 1)
+    val ratio = graft.functions.ArrayExprs.topTokenCount(toks).cast("double") / nTok
+    nTok >= 20 && nStop > 0 && dup2 <= 0.05 && ratio <= 0.12
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q68_curation_pipeline", (s, d) => {
       val docs = t(s, d, "documents")
-      val toks = split(col("text"), " ")
-      val nTok = size(toks)
-      val nStop = size(filter(toks, x => x === "the" || x === "a"))
-      val d2 = size(graft.functions.ArrayExprs.shingles(toks, 2))
-      val dup2 = (nTok - 1 - d2).cast("double") / (nTok - 1)
-      val mx = graft.functions.ArrayExprs.topTokenCount(toks)
-      val base = docs.select(col("doc_id"), col("lang"), nTok.as("n_tokens"),
-        (nTok >= 20 && nStop > 0 && dup2 <= 0.05 &&
-          mx.cast("double") / nTok <= 0.12).as("gates_ok"))
+      val base = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_tokens"), gatesOk.as("gates_ok"))
       val drop = Dedup.nearDupPairsOf(docs)
         .select(col("doc_b").as("doc_id")).distinct()
       val bucket = Sampling.lehmer(col("doc_id")) % 1000

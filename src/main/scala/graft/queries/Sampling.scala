@@ -135,11 +135,12 @@ object Sampling {
           explode(sequence(lit(0), expr(s"((n + ${w - 1}) div $w) - 1").cast("int"))).as("chunk_id"))
         .withColumn("n_tokens", least(lit(w), col("n") - col("chunk_id") * w).cast("long"))
       val mx = base.agg(max("doc_id").as("mx"), count(lit(1)).as("cnt"))
-      // stride-based bucketing ((mx+nb) div nb = ceil((mx+1)/nb)) rather
-      // than doc_id * nb, whose product can overflow int64 at extreme ids
+      // stride-based bucketing (mx div nb + 1 = ceil((mx+1)/nb), with no
+      // intermediate that can overflow int64 even at ids near 2^63 —
+      // doc_id * nb or mx + nb both could)
       val sub = ch.crossJoin(broadcast(mx))
         .withColumn("nb", prefixBuckets(col("cnt")))
-        .withColumn("sub", expr("doc_id div ((mx + nb) div nb)"))
+        .withColumn("sub", expr("doc_id div (mx div nb + 1)"))
         .drop("mx", "cnt", "nb")
       val wLocal = Window.partitionBy("sub").orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -115,22 +115,13 @@ object Streams {
   }
 
   /** Streaming curation: the streaming face of the q68 batch pipeline,
-    * with the FULL gate set. Every gate is STATELESS — pure column
-    * arithmetic per row (token/stopword counts, duplicate-2-gram fraction
-    * and top-token count via native expressions), so the gates ride the
-    * micro-batch with no aggregation state — ahead of the stateful
-    * stream-vs-corpus ingest dedup. */
-  def curatedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, x => x === "the" || x === "a"))
-    val d2 = size(graft.functions.ArrayExprs.shingles(toks, 2))
-    val dup2 = (nTok - 1 - d2).cast("double") / (nTok - 1)
-    val ratio = graft.functions.ArrayExprs.topTokenCount(toks).cast("double") / nTok
-    dedupedIngest(
-      incoming.filter(nTok >= 20 && nStop > 0 && dup2 <= 0.05 && ratio <= 0.12),
-      corpus)
-  }
+    * with the FULL gate set — [[graft.queries.Curation.gatesOk]] is the
+    * single shared definition, so batch and stream cannot drift. Every
+    * gate is STATELESS (pure column arithmetic per row via native
+    * expressions), so the gates ride the micro-batch with no aggregation
+    * state — ahead of the stateful stream-vs-corpus ingest dedup. */
+  def curatedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame =
+    dedupedIngest(incoming.filter(graft.queries.Curation.gatesOk), corpus)
 
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
