@@ -56,6 +56,17 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Watermarked hourly unique users per event type via HLL++ — the
+    * streaming face of q33: sketch state is a few KB per open window
+    * (vs exact distinct-count state growing with the user universe), and
+    * the watermark expires windows so state stays bounded forever. */
+  def hourlyUniques(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .select(col("window.start").as("hour"), col("event_type"), col("approx_users"))
+
   /** Streaming exact-dedup on event_id with a watermark bounding the
     * dedup state (late duplicates beyond the watermark are dropped by
     * construction — the at-least-once ingestion companion). */

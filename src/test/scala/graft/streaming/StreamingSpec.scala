@@ -32,6 +32,25 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming hourly uniques stay within the HLL error bound of exact") {
+    val q = Streams.hourlyUniques(Streams.source(spark, eventsDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("uniq_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("uniq_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val want = ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(countDistinct("user_id").as("exact"))
+      .select(col("window.start"), col("event_type"), col("exact")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (k, approx) =>
+      val exact = want(k)
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong), s"$k: $approx vs $exact")
+    }
+  }
+
   test("sliding windows produce a superset of tumbling rows") {
     val q = Streams.slidingRates(Streams.source(spark, eventsDir))
       .writeStream.outputMode("complete")
