@@ -33,7 +33,12 @@ object Sampling {
   private[queries] def prefixBuckets(n: Column, target: Long = 100000L): Column =
     greatest(lit(32L), floor(n / lit(target)).cast("long"))
 
-  private[queries] val sqlLehmer = s"(doc_id % $M) * 48271 % $M"
+  /** SQL-side mirror of [[lehmer]] over an arbitrary column — the SINGLE
+    * definition of the hash formula both engines must share; every
+    * oracle string derives from it so the constants cannot drift. */
+  private[queries] def sqlLehmerOf(c: String): String = s"($c % $M) * 48271 % $M"
+
+  private[queries] val sqlLehmer = sqlLehmerOf("doc_id")
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -25,11 +25,10 @@ import graft.{QueryDef, Tables}
 object Similarity {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  private val M = 2147483647L // 2^31 - 1 (prime)
 
   /** Deterministic engine-portable hash in [0, M): Lehmer step on the id
     * (products stay < 2^47, exact in 64-bit on both engines). */
-  private def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+  private def lehmer(id: Column): Column = Sampling.lehmer(id)
 
   /** Fixed-size query set for the kNN operators (q48/q49/q50): the first
     * `nQueries` ids. The contract is a BOUNDED query set — a corpus-fraction
@@ -56,6 +55,20 @@ object Similarity {
   private def quantized(s: SparkSession, d: String): DataFrame =
     quantize(t(s, d, "embeddings"))
 
+  /** Tiles for ~rowsPerTile rows per tile side, never fewer than 4. */
+  def tileCount(estRows: Long, rowsPerTile: Int): Int =
+    math.max(4, math.ceil(estRows.toDouble / rowsPerTile).toInt)
+
+  /** Row-count estimate from plan statistics — stays LAZY (no job at
+    * query-construction time). Uses the plan's rowCount when present,
+    * else sizeInBytes over an approximate row width, clamped sanely. */
+  private def estimatedRows(df: DataFrame, approxRowBytes: Long): Long = {
+    val st = df.queryExecution.optimizedPlan.stats
+    st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
+      .getOrElse((st.sizeInBytes.min(BigInt(Long.MaxValue)) / approxRowBytes)
+        .max(BigInt(1)).toLong)
+  }
+
   /** EXACT cosine-threshold self-join as a balanced tiled equi-join (see
     * q47 below for why exact low-threshold joins are inherently Omega(n^2)
     * comparisons and this is the right distributed shape for them).
@@ -64,14 +77,16 @@ object Similarity {
     * The tile count scales with the input: blocks = ceil(n / rowsPerTile),
     * so per-task input (two tile sides, ~2*rowsPerTile rows) stays bounded
     * no matter how large the corpus grows — at fixed blocks a 100x corpus
-    * would put 100x rows in every tile and OOM the executors. The price is
-    * one cheap count() of the input to size the tiling; the result is
-    * independent of the tile count. */
+    * would put 100x rows in every tile and OOM the executors. n comes from
+    * PLAN STATISTICS ([[estimatedRows]]), not an eager count(): building
+    * the query must not run a job, and the RESULT is tiling-invariant
+    * (spec-proven), so a constant-factor estimate error only shifts the
+    * per-tile row target by that factor. */
   def tiledNearPairs(emb: DataFrame, threshold: Double, blocks: Int = 0,
       rowsPerTile: Int = 1024): DataFrame = {
     val b =
       if (blocks > 0) blocks
-      else math.max(4, math.ceil(emb.count().toDouble / rowsPerTile).toInt)
+      else tileCount(estimatedRows(emb, approxRowBytes = 256L), rowsPerTile)
     val e = quantize(emb).withColumn("g", pmod(hash(col("vec_id")), lit(b)))
     val lhs = e.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("n2").as("na"),
       col("g").as("i"), explode(sequence(col("g"), lit(b - 1))).as("j"))
@@ -337,7 +352,7 @@ object Similarity {
              |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
              |c AS (
              |  SELECT vec_id AS c_id, qv, n2 FROM n
-             |  ORDER BY (vec_id % $M) * 48271 % $M, vec_id LIMIT 64),
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
              |asg AS (
              |  SELECT vec_id, c_id AS cell FROM (
              |    SELECT n.vec_id, c.c_id,

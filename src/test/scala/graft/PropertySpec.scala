@@ -101,14 +101,23 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     // >= 2 keys (q57's (lang, chunk) running sum) or runs above an
     // Aggregate (q57's per-chunk offsets; q64's value histogram) — i.e.
     // over data whose size is bounded by group/domain cardinality, not n.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
+    // the window's own INPUT must be aggregate-bounded: walk only the
+    // unary chain below it — an Aggregate on the far side of a join
+    // (e.g. a broadcast scalar) must not satisfy the check, or the exact
+    // monolithic-window regression this guard bans could hide behind any
+    // tiny joined aggregate
+    def boundedByAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => boundedByAgg(u.child)
+      case _ => false
+    }
     Seq("q57_quota_sample", "q64_exact_median").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
       val wins = plan.collect { case w: LWindow => w }
       assert(wins.nonEmpty, name)
       wins.foreach { w =>
-        val ok = w.partitionSpec.size >= 2 ||
-          w.child.collectFirst { case a: Aggregate => a }.isDefined
+        val ok = w.partitionSpec.size >= 2 || boundedByAgg(w.child)
         assert(ok, s"$name plans a monolithic window: " +
           s"partition ${w.partitionSpec.map(_.sql)}")
       }

@@ -320,10 +320,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // blocks = ceil(n / rowsPerTile), so tile side length stays <= target
     // as the corpus is replicated. Pair results must be tiling-invariant.
     val small = embFixture(120, 0)
-    val big = embFixture(480, 0, seed = 7)
-    def blocksOf(n: Long, rpt: Int) = math.max(4, math.ceil(n.toDouble / rpt).toInt)
-    assert(blocksOf(480, 40) == 12 && blocksOf(120, 40) == 4)
-    assert(480.0 / blocksOf(480, 40) <= 40 && 120.0 / blocksOf(120, 40) <= 40)
+    val big = embFixture(480, 0)
+    // assert on the PRODUCTION sizing function, not a local re-statement
+    assert(Similarity.tileCount(480, 40) == 12 && Similarity.tileCount(120, 40) == 4)
+    assert(480.0 / Similarity.tileCount(480, 40) <= 40 &&
+      120.0 / Similarity.tileCount(120, 40) <= 40)
+    // tile count must grow with the estimate and bound per-tile rows
+    assert(Similarity.tileCount(48000, 40) == 100 * Similarity.tileCount(480, 40))
     val auto = Similarity.tiledNearPairs(small, 0.3, rowsPerTile = 40).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fixed = Similarity.tiledNearPairs(small, 0.3, blocks = 3).collect()
