@@ -61,6 +61,18 @@ object ScaleProbe {
     time("distinct") {
       bigLi.select("l_orderkey", "l_linenumber", "l_quantity").distinct().count()
     }
+    // the sketch's scale case, isolated: the registered q33/q34 carry
+    // their exact sides for the oracle attestation, so BENCH times
+    // exact+sketch — this probe shows the sketch-only path vs the exact
+    // distinct shuffle it replaces at 100 TB
+    time("hll_sketch_only") {
+      bigLi.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01)).count()
+    }
+    time("exact_distinct") {
+      bigLi.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey"))).count()
+    }
 
     // --- LLM-pipeline shapes at increasing replication --------------------
     // Replicas must not be near-duplicates of each other, or the pair
