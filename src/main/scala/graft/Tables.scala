@@ -15,6 +15,12 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** True when [[load]] REWRITES the data relative to a raw parquet scan
+    * (so a catalog table registered over the raw file would silently read
+    * different values). Owned here, next to the quirk list, so the two
+    * can never drift: any new quirk case in [[load]] must flip this too. */
+  def rewritesOnLoad(name: String): Boolean = name == "events"
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader

@@ -62,15 +62,16 @@ object QueryRunner {
       // join orders from them — the reference's optimizer does the same.
       // Parquet sources register as EXTERNAL tables over the existing
       // files (no data copy — the reference, likewise, only reads two
-      // lines of text); other formats materialize once. `events` is the
-      // one table whose load path rewrites the data (ns->us timestamps),
-      // so it materializes too. A malformed .stat degrades to no stats,
-      // LOUDLY — silent degradation would un-do the feature's point.
+      // lines of text); other formats materialize once, as does any
+      // table whose load path rewrites the data relative to the raw
+      // file (Tables.rewritesOnLoad — events' ns->us timestamps). A
+      // malformed .stat degrades to no stats, LOUDLY — silent
+      // degradation would un-do the feature's point.
       df.map { d =>
         val withStats =
           if (!has(s"$name.stat")) d
           else scala.util.Try {
-            if (has(s"$name.parquet") && name != "events") {
+            if (has(s"$name.parquet") && !graft.Tables.rewritesOnLoad(name)) {
               spark.sql(s"DROP TABLE IF EXISTS `$name`")
               spark.catalog.createTable(s"`$name`", s"$dir/$name.parquet", "parquet")
             } else graft.sources.Stats.saveAsCatalogTable(spark, name, d)

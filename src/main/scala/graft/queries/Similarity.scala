@@ -55,14 +55,21 @@ object Similarity {
   private def quantized(s: SparkSession, d: String): DataFrame =
     quantize(t(s, d, "embeddings"))
 
-  /** Tiles for ~rowsPerTile rows per tile side, never fewer than 4. */
+  /** Tiles for ~rowsPerTile rows per tile side, never fewer than 4 and
+    * never more than 4096: the lhs side duplicates each row into ~B/2
+    * tiles, so B bounds the write amplification, and a stats artifact
+    * (sizeInBytes = Long.MaxValue on stats-less inputs) must not explode
+    * into a two-billion-element sequence() per row. */
   def tileCount(estRows: Long, rowsPerTile: Int): Int =
-    math.max(4, math.ceil(estRows.toDouble / rowsPerTile).toInt)
+    math.min(4096, math.max(4, math.ceil(estRows.toDouble / rowsPerTile).toInt))
 
   /** Row-count estimate from plan statistics — stays LAZY (no job at
     * query-construction time). Uses the plan's rowCount when present,
-    * else sizeInBytes over an approximate row width, clamped sanely. */
-  private def estimatedRows(df: DataFrame, approxRowBytes: Long): Long = {
+    * else sizeInBytes over an approximate row width. BEST-EFFORT: plan
+    * stats undercount array columns on in-memory relations — callers
+    * that need a hard per-tile bound pass `blocks` explicitly; the
+    * RESULT is tiling-invariant either way. */
+  private[queries] def estimatedRows(df: DataFrame, approxRowBytes: Long): Long = {
     val st = df.queryExecution.optimizedPlan.stats
     st.rowCount.map(_.min(BigInt(Long.MaxValue)).toLong)
       .getOrElse((st.sizeInBytes.min(BigInt(Long.MaxValue)) / approxRowBytes)

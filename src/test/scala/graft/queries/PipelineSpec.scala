@@ -325,8 +325,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(Similarity.tileCount(480, 40) == 12 && Similarity.tileCount(120, 40) == 4)
     assert(480.0 / Similarity.tileCount(480, 40) <= 40 &&
       120.0 / Similarity.tileCount(120, 40) <= 40)
-    // tile count must grow with the estimate and bound per-tile rows
+    // tile count must grow with the estimate, bound per-tile rows, and
+    // never explode on a stats artifact (Long.MaxValue sizeInBytes)
     assert(Similarity.tileCount(48000, 40) == 100 * Similarity.tileCount(480, 40))
+    assert(Similarity.tileCount(Long.MaxValue, 1024) == 4096)
+    // the estimate half of auto-sizing, on the real storage format:
+    // parquet-backed stats must land within a small factor of the truth
+    // (in-memory fixtures undercount array columns — documented contract)
+    val pq = java.nio.file.Files.createTempDirectory("emb-est").toString + "/e.parquet"
+    big.write.parquet(pq)
+    val est = Similarity.estimatedRows(spark.read.parquet(pq), 256L)
+    assert(est >= 480 / 4 && est <= 480 * 4, s"estimate $est for 480 parquet rows")
     val auto = Similarity.tiledNearPairs(small, 0.3, rowsPerTile = 40).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val fixed = Similarity.tiledNearPairs(small, 0.3, blocks = 3).collect()
