@@ -176,30 +176,50 @@ object Similarity {
     * at real scale pick centroids ~ 4096 (or ~sqrt(n)) and nprobe for the
     * recall/cost point — the rule stays the same. */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int = 10,
-      centroids: Int = 64, nprobe: Int = 16): DataFrame = {
+      centroids: Int = 64, nprobe: Int = 16): DataFrame =
+    ivfQuery(ivfIndex(emb, centroids), emb.filter(queryPred), k, nprobe)
+
+  /** A built IVF index: `cents` (the O(centroids) coarse quantizer) and
+    * `assigned` (one row per corpus vector with its cell id). In
+    * production BOTH persist — parquet or cache — and amortize over every
+    * query batch; the registered q49 rebuilds per call only because
+    * registered queries must be self-contained. */
+  case class IvfIndex(cents: DataFrame, assigned: DataFrame)
+
+  /** Build the index over a (vec_id, embedding) corpus: pick the coarse
+    * quantizer by deterministic hash rank, then assign every vector to
+    * its nearest centroid — argmax via max_by over a (cos, -id) struct,
+    * partially aggregable, so the shuffle carries one row per vector,
+    * not one per (vector, centroid). */
+  def ivfIndex(emb: DataFrame, centroids: Int = 64): IvfIndex = {
     val e = quantize(emb)
     val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
-    // assign every vector to its nearest centroid: argmax via max_by over
-    // a (cos, -id) struct — partially aggregable, so the shuffle carries
-    // one row per vector, not one per (vector, centroid)
     val assigned = e.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t"))).as("cell"))
       .join(e, "vec_id")
       .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"), col("cell"))
-    // queries probe their nprobe nearest cells
+    IvfIndex(cents, assigned)
+  }
+
+  /** Top-k neighbors from a built index for an arbitrary (vec_id,
+    * embedding) query batch — queries need not be corpus members. Each
+    * query probes its nprobe nearest cells; a row whose id equals the
+    * query id is never returned. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int = 10,
+      nprobe: Int = 16): DataFrame = {
     val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
-    val probes = e.filter(queryPred)
+    val probes = quantize(queries)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.cents))
       .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
       .withColumn("crn", row_number().over(wProbe))
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    probes.join(assigned, "cell")
+    probes.join(index.assigned, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .withColumn("rank", row_number().over(w))

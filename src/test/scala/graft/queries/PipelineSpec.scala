@@ -222,6 +222,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("IVF index answers out-of-corpus query batches (build once, query many)") {
+    // corpus = 200 base vectors; queries = 20 NEW perturbed copies with
+    // ids outside the corpus — the index must route each query to its
+    // source vector as the top-1 neighbor (cos ~0.99, well inside any
+    // cell), without rebuilding anything per batch
+    val corpus = embFixture(200, 0)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val base = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = (0 until 20).map { i =>
+      val src = (i * 7L) % 200
+      (1000L + i, base(src).map(x => x + (rnd.nextFloat() * 0.02f - 0.01f)), src)
+    }
+    val qDf = queries.map(q => (q._1, q._2)).toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, centroids = 16)
+    val got = Similarity.ivfQuery(idx, qDf, k = 3, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val top1 = got.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val hits = queries.count(q => top1.get(q._1).contains(q._3))
+    assert(hits >= 16, s"top-1 should find the perturbation source, got $hits/20")
+    // every query produced k answers
+    assert(got.groupBy(_._1).forall(_._2.length == 3) && got.map(_._1).distinct.length == 20)
+  }
+
   test("q49 IVF recall@10 >= 0.7 vs exact") {
     val exact = q("q48_knn_brute").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = q("q49_knn_ivf").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
