@@ -108,6 +108,30 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test(".stat beside a non-parquet reference table materializes + injects") {
+    // det/txt tables have no parquet files to register externally, so the
+    // .stat path materializes them once into the warehouse — stats must
+    // still reach the optimizer
+    val dir = tmp("stat-det")
+    val det = "/root/reference/testcases/CART.det"
+    val gen = DetSource.generate(spark, det, 40)
+    val lines = gen.collect().map(_.toSeq.map(String.valueOf).mkString("", "\t", "\t"))
+    Files.write(Paths.get(s"$dir/CART.txt"), lines.mkString("\n").getBytes("UTF-8"))
+    Files.copy(Paths.get(det), Paths.get(s"$dir/CART.det"))
+    val ndvs = gen.columns.map(_ => "7").mkString(" ")
+    Files.write(Paths.get(s"$dir/CART.stat"), s"424242\n$ndvs\n".getBytes)
+    try {
+      val tables = graft.dialect.QueryRunner.loadTables(spark, dir)
+      val stats = tables("CART").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(424242)),
+        s"CBO should see the .stat row count for a det/txt table, got $stats")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      spark.sql("DROP TABLE IF EXISTS CART")
+    }
+  }
+
   test("reference QueryMain invocation shape writes the reference format") {
     // tables live next to the query file, exactly like a reference data dir
     val dir = tmp("refcli")
