@@ -60,6 +60,10 @@ object QueryRunner {
       // per-column NDVs, PlanCost.java:219-263). Register the table in the
       // session catalog and inject those stats so Catalyst's CBO costs
       // join orders from them — the reference's optimizer does the same.
+      // Registration goes into a PER-DIRECTORY database (`statDb`) and all
+      // resolution is database-qualified: a same-named temp view in the
+      // session cannot shadow the stats-bearing table, and loading two
+      // data directories in one session keeps both sets of registrations.
       // Parquet sources register as EXTERNAL tables over the existing
       // files (no data copy — the reference, likewise, only reads two
       // lines of text); other formats materialize once, as does any
@@ -71,12 +75,14 @@ object QueryRunner {
         val withStats =
           if (!has(s"$name.stat")) d
           else scala.util.Try {
+            val db = statDb(dir)
+            spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
             if (has(s"$name.parquet") && !graft.Tables.rewritesOnLoad(name)) {
-              spark.sql(s"DROP TABLE IF EXISTS `$name`")
-              spark.catalog.createTable(s"`$name`", s"$dir/$name.parquet", "parquet")
-            } else graft.sources.Stats.saveAsCatalogTable(spark, name, d)
-            graft.sources.Stats.injectStatFile(spark, name, s"$dir/$name.stat")
-            spark.table(s"`$name`")
+              spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
+              spark.catalog.createTable(s"`$db`.`$name`", s"$dir/$name.parquet", "parquet")
+            } else graft.sources.Stats.saveAsCatalogTable(spark, name, d, Some(db))
+            graft.sources.Stats.injectStatFile(spark, name, s"$dir/$name.stat", Some(db))
+            spark.table(s"`$db`.`$name`")
           }.recover { case e =>
             System.err.println(s"[QueryRunner] WARNING: $name.stat ignored: $e")
             d
@@ -84,6 +90,14 @@ object QueryRunner {
         name -> withStats
       }
     }.toMap
+  }
+
+  /** Catalog database holding a data directory's stats-bearing tables —
+    * one per canonical directory path, so concurrent/sequential loads of
+    * different directories never clobber each other's registrations. */
+  private[dialect] def statDb(dir: String): String = {
+    val canon = Paths.get(dir).toAbsolutePath.normalize.toString
+    f"graft_stats_${canon.hashCode & 0x7fffffff}%08x"
   }
   /** Two invocation shapes:
     *   - `QueryRunner <tableDir> <queryFile> [limit]` — native shape,
@@ -150,10 +164,13 @@ object QueryRunner {
   /** The reference's result-file format (QueryMain.java printSchema /
     * printTuple, :276-306): header of column names each followed by two
     * spaces, then one row per tuple with each value followed by a tab and
-    * nulls rendered `-NULL-`. */
+    * nulls rendered `-NULL-`. Rows stream through `toLocalIterator` (one
+    * partition on the driver at a time), so driver memory bounds the
+    * largest PARTITION, not the whole result — the reference shape writes
+    * complete results with no limit. */
   def writeReferenceFormat(out: java.io.PrintWriter, df: org.apache.spark.sql.DataFrame): Unit = {
     out.println(df.columns.map(_ + "  ").mkString)
-    df.collect().foreach { row =>
+    df.toLocalIterator().asScala.foreach { row =>
       out.println(row.toSeq.map(v => (if (v == null) "-NULL-" else v.toString) + "\t").mkString)
     }
   }

@@ -25,13 +25,17 @@ object Stats {
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
   }
 
-  /** Overwrite-register `df` as catalog table `name`. The in-memory
-    * catalog resets per JVM but the warehouse directory persists —
-    * saveAsTable refuses an orphaned location, so clear it first. */
+  /** Overwrite-register `df` as catalog table `name` (optionally inside
+    * `database`, created if absent). The in-memory catalog resets per JVM
+    * but the warehouse directory persists — saveAsTable refuses an
+    * orphaned location, so clear it first. */
   def saveAsCatalogTable(spark: SparkSession, name: String,
-      df: org.apache.spark.sql.DataFrame): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val db = spark.catalog.currentDatabase
+      df: org.apache.spark.sql.DataFrame,
+      database: Option[String] = None): Unit = {
+    database.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`"))
+    val db = database.getOrElse(spark.catalog.currentDatabase)
+    val qualified = database.map(d => s"`$d`.`$name`").getOrElse(s"`$name`")
+    spark.sql(s"DROP TABLE IF EXISTS $qualified")
     val loc = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
       (if (db == "default") "" else s"$db.db/") + name.toLowerCase)
@@ -39,7 +43,7 @@ object Stats {
       import scala.reflect.io.Directory
       new Directory(loc).deleteRecursively()
     }
-    df.write.mode("overwrite").format("parquet").saveAsTable(s"`$name`")
+    df.write.mode("overwrite").format("parquet").saveAsTable(qualified)
   }
 
   /** Catalog statistics for an analyzed table (rowCount, per-column NDV). */
@@ -60,20 +64,27 @@ object Stats {
   }
 
   /** Inject `.stat`-derived statistics into the session catalog for `table`
-    * (which must already be a catalog table) and enable CBO, so Catalyst
-    * costs plans from the same externally-supplied V(A) numbers the
-    * reference's PlanCost read — no scan needed. sizeInBytes is estimated
-    * as numtuples x the schema's default row width, mirroring the
-    * reference's pages = numtuples / (pagesize / tuplesize) arithmetic. */
-  def injectStatFile(spark: SparkSession, table: String, statPath: String): Unit = {
+    * (which must already be a catalog table, optionally inside `database`)
+    * and enable CBO, so Catalyst costs plans from the same
+    * externally-supplied V(A) numbers the reference's PlanCost read — no
+    * scan needed. sizeInBytes is estimated as numtuples x the schema's
+    * default row width, mirroring the reference's
+    * pages = numtuples / (pagesize / tuplesize) arithmetic; the product is
+    * BigInt because the tuple count is EXTERNAL input and a Long overflow
+    * would flip a huge table into a broadcastable one. Resolution is
+    * database-qualified when `database` is given, so a same-named TEMP VIEW
+    * cannot shadow the stats-bearing table. */
+  def injectStatFile(spark: SparkSession, table: String, statPath: String,
+      database: Option[String] = None): Unit = {
     val (numTuples, ndvs) = readStat(statPath)
-    val schema = spark.table(table).schema
+    val qualified = database.map(d => s"`$d`.`$table`").getOrElse(s"`$table`")
+    val schema = spark.table(qualified).schema
     require(ndvs.size == schema.size,
       s"stat file $statPath has ${ndvs.size} NDVs for ${schema.size} columns")
     val rowWidth = schema.fields.map(_.dataType.defaultSize).sum.max(1)
     org.apache.spark.sql.graft.CatalogBridge.setTableStats(
-      spark, table, numTuples, numTuples * rowWidth,
-      schema.fieldNames.zip(ndvs).toMap)
+      spark, table, numTuples, BigInt(numTuples) * rowWidth,
+      schema.fieldNames.zip(ndvs).toMap, database)
     spark.conf.set("spark.sql.cbo.enabled", "true")
     spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
   }

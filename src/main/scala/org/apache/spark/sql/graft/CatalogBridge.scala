@@ -12,15 +12,20 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatisti
   */
 object CatalogBridge {
 
-  /** Set rowCount / sizeInBytes / per-column NDV on a catalog table. */
+  /** Set rowCount / sizeInBytes / per-column NDV on a catalog table.
+    * sizeInBytes is BigInt end-to-end: tuple counts come from EXTERNAL
+    * `.stat` files, and a Long product would overflow negative above
+    * ~1e17 rows x row width — which the CBO would read as a tiny,
+    * broadcastable table. */
   def setTableStats(spark: org.apache.spark.sql.SparkSession, table: String,
-      rowCount: Long, sizeInBytes: Long, ndv: Map[String, Long]): Unit = {
+      rowCount: Long, sizeInBytes: BigInt, ndv: Map[String, Long],
+      database: Option[String] = None): Unit = {
     val colStats = ndv.map { case (c, n) =>
       c -> CatalogColumnStat(distinctCount = Some(BigInt(n)))
     }
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.catalog.alterTableStats(
-        TableIdentifier(table),
-        Some(CatalogStatistics(BigInt(sizeInBytes), Some(BigInt(rowCount)), colStats)))
+        TableIdentifier(table, database),
+        Some(CatalogStatistics(sizeInBytes, Some(BigInt(rowCount)), colStats)))
   }
 }
