@@ -95,9 +95,14 @@ object QueryRunner {
   /** Catalog database holding a data directory's stats-bearing tables —
     * one per canonical directory path, so concurrent/sequential loads of
     * different directories never clobber each other's registrations. */
-  private[dialect] def statDb(dir: String): String = {
+  private[graft] def statDb(dir: String): String = {
     val canon = Paths.get(dir).toAbsolutePath.normalize.toString
-    f"graft_stats_${canon.hashCode & 0x7fffffff}%08x"
+    // collision-resistant digest, not String.hashCode: two directories
+    // sharing a 31-bit hash would silently share a database and clobber
+    // each other's same-named registrations
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"graft_stats_${sha.take(6).map(b => f"$b%02x").mkString}"
   }
   /** Two invocation shapes:
     *   - `QueryRunner <tableDir> <queryFile> [limit]` — native shape,
@@ -167,7 +172,9 @@ object QueryRunner {
     * nulls rendered `-NULL-`. Rows stream through `toLocalIterator` (one
     * partition on the driver at a time), so driver memory bounds the
     * largest PARTITION, not the whole result — the reference shape writes
-    * complete results with no limit. */
+    * complete results with no limit. toLocalIterator runs one job per
+    * partition; that assumes the plan is deterministic across those jobs
+    * (true for every dialect query — pure reads over static files). */
   def writeReferenceFormat(out: java.io.PrintWriter, df: org.apache.spark.sql.DataFrame): Unit = {
     out.println(df.columns.map(_ + "  ").mkString)
     df.toLocalIterator().asScala.foreach { row =>

@@ -73,7 +73,9 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      spark.sql("DROP TABLE IF EXISTS emp")
+      // loadTables registers into the per-directory stats database, not
+      // default — drop that database or the table leaks across tests
+      spark.sql(s"DROP DATABASE IF EXISTS `${graft.dialect.QueryRunner.statDb(dir)}` CASCADE")
     }
   }
 
@@ -128,7 +130,7 @@ class StatsSpec extends AnyFunSuite with SparkTestBase {
     } finally {
       spark.conf.set("spark.sql.cbo.enabled", "false")
       spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
-      spark.sql("DROP TABLE IF EXISTS CART")
+      spark.sql(s"DROP DATABASE IF EXISTS `${graft.dialect.QueryRunner.statDb(dir)}` CASCADE")
     }
   }
 
