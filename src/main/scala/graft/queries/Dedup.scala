@@ -130,6 +130,32 @@ object Dedup {
     incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
   }
 
+  /** Train/test decontamination: for every training document, count the
+    * distinct shingles it shares with a benchmark/eval set and how many
+    * benchmark documents it hits — the overlap report an LLM pipeline
+    * runs before training so eval data can be excised from the corpus
+    * (the n-gram–overlap method of the GPT-3/PaLM appendices; production
+    * would use 8–13-token n-grams, the unit here is the corpus's 3-token
+    * shingle).
+    *
+    * Scale shape: the benchmark side is an EVAL set — thousands of docs,
+    * bounded by contract, nothing like the corpus — so its exploded
+    * shingle set broadcasts, the training side streams through a map-side
+    * join, and the only shuffle is the per-doc aggregation. Cost is one
+    * pass over the corpus regardless of corpus size. */
+  def decontaminate(documents: DataFrame, benchPred: Column): DataFrame = {
+    val docs = documents.select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+    val bench = docs.filter(benchPred)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("tok"))
+    val train = docs.filter(!benchPred)
+      .select(col("doc_id"), explode(col("sh")).as("tok"))
+    train.join(broadcast(bench), "tok")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_shared"),
+        countDistinct(col("bench_id")).as("n_bench"))
+  }
+
   /** EXACT shingle-Jaccard threshold self-join via document-frequency-
     * ordered prefix filtering (the SSJoin/PPJoin family) — the
     * deterministic counterpart to the MinHash path: where q45's LSH is
@@ -468,5 +494,23 @@ object Dedup {
              |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |    / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.6
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Train/test decontamination: n-gram overlap vs an eval set -------
+    // The benchmark stand-in is doc_id % 97 = 0 (a deterministic slice; in
+    // production a separate eval table). Output: every OTHER document that
+    // shares at least one shingle with it, with overlap counts.
+    QueryDef("q72_decontaminate", (s, d) =>
+      decontaminate(t(s, d, "documents"), col("doc_id") % 97 === 0)
+        .orderBy("doc_id"),
+      Some(s"""WITH s AS ($sqlShingles),
+             |b AS (SELECT doc_id AS bench_id, unnest(sh) AS tok FROM s
+             |      WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, unnest(sh) AS tok FROM s
+             |       WHERE doc_id % 97 != 0)
+             |SELECT tr.doc_id,
+             |  count(DISTINCT tr.tok) AS n_shared,
+             |  count(DISTINCT b.bench_id) AS n_bench
+             |FROM tr JOIN b ON tr.tok = b.tok
+             |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
   )
 }

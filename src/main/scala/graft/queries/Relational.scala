@@ -641,5 +641,33 @@ object Relational {
              |  count(*) AS n, sum(l_quantity) AS qty
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
              |ORDER BY flag, status""".stripMargin)),
+
+    // ---- Bloom-filter semi-join reduction (TPC-H Q4 shape) ---------------
+    // A selective dim filter (urgent orders in a date window) joined to the
+    // big fact side: [[graft.operators.BloomJoin.prefilter]] builds a Bloom
+    // filter over the filtered order keys and prunes lineitem MAP-SIDE
+    // before its join shuffle — at 100 TB the fact shuffle is the dominant
+    // cost and most of it cannot join. False positives ride to the exact
+    // join and die there, so the result is bit-identical to the plain join
+    // (the oracle IS the plain join; OperatorSpec asserts the pruned plan).
+    QueryDef("q74_bloom_join", (s, d) => {
+      val o = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+      val l = graft.operators.BloomJoin.prefilter(
+        t(s, d, "lineitem"), col("l_orderkey"),
+        o.select("o_orderkey"), col("o_orderkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(month(col("o_orderdate")).cast("long").as("omonth"))
+        .agg(count(lit(1)).as("n_items"),
+          sumOut(netExpr).as("revenue"))
+        .orderBy("omonth")
+    },
+      Some(s"""SELECT month(o_orderdate) AS omonth, count(*) AS n_items,
+             |  ${sqlSumOut(sqlNet)} AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE o_orderpriority = '1-URGENT'
+             |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+             |GROUP BY month(o_orderdate) ORDER BY omonth""".stripMargin)),
   )
 }

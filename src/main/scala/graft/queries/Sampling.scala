@@ -207,5 +207,42 @@ object Sampling {
              |      ORDER BY $sqlLehmer, doc_id) AS INTEGER) AS rank
              |  FROM documents)
              |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)),
+
+    // ---- Temperature rebalancing: alpha = 0.5 language mixing ------------
+    // The multilingual corpus-mixing op (mT5/XLM-R style): downsample each
+    // language toward balance with keep_frac_l = (n_min / n_l)^(1-alpha),
+    // alpha = 0.5 — the smallest language keeps everything, a language 4x
+    // its size keeps half. Membership is the q56 hash rule (keep iff
+    // lehmer(doc_id) < frac * M), so the sample is rerun-invariant and
+    // composes with splits/quotas.
+    //
+    // Exactness: the float formula sqrt(n_min/n_l) * M would have to round
+    // identically in both engines at the comparison boundary; instead the
+    // predicate is squared into pure integer arithmetic —
+    //   h < M * sqrt(n_min/n_l)  <=>  h^2 * n_l < M^2 * n_min
+    // (h^2 < 2^62 fits int64; the products run in DECIMAL/HUGEINT, exact
+    // for corpus counts up to ~10^18 rows).
+    //
+    // Scale shape: counts are one tiny agg broadcast back; the keep
+    // decision is map-side arithmetic — one pass over the corpus, no
+    // shuffle of corpus rows at all.
+    QueryDef("q76_domain_mix", (s, d) => {
+      val docs = t(s, d, "documents")
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val nmin = counts.agg(min("nl").as("nmin"))
+      val h = lehmer(col("doc_id"))
+      docs.join(broadcast(counts), "lang").crossJoin(broadcast(nmin))
+        .filter((h * h).cast("decimal(19,0)") * col("nl").cast("decimal(14,0)") <
+          lit(M * M).cast("decimal(19,0)") * col("nmin").cast("decimal(14,0)"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH c AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+             |m AS (SELECT min(nl) AS nmin FROM c)
+             |SELECT doc_id, lang FROM documents
+             |JOIN c USING (lang) CROSS JOIN m
+             |WHERE CAST(($sqlLehmer) * ($sqlLehmer) AS HUGEINT) * nl
+             |    < CAST(${M * M} AS HUGEINT) * nmin
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

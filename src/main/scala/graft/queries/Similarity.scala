@@ -204,6 +204,44 @@ object Similarity {
     IvfIndex(cents, assigned)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
+    * the corpus with the IVF coarse quantizer, then WITHIN each cluster
+    * drop every vector that has a lower-id cluster-mate with cosine >=
+    * `threshold` — the keep-lowest-id rule that makes the operator
+    * deterministic. Returns the survivors with their cluster id.
+    *
+    * Scale design: this is the practical way to near-dedup embeddings at
+    * 100 TB — the exact threshold join (q47) is inherently Omega(n^2)
+    * comparisons, while SemDeDup only compares WITHIN cells, so the
+    * comparison count is sum(k_i^2) ~ n^2/centroids (with centroids ~
+    * sqrt(n), ~n^1.5 spread evenly over the cluster as ordinary
+    * cell-keyed shuffle-join tasks; a skewed cell splits under AQE). The
+    * price is approximation by construction: a cross-cell near-dup pair
+    * survives, which is the published operator's contract.
+    *
+    * The within-cell pairwise self-join would re-execute the assignment
+    * pipeline on both sides (the aliased sides canonicalize differently,
+    * so Catalyst plans no ReusedExchange) — `localCheckpoint` materializes
+    * the assignment once; production would persist the index anyway
+    * (see [[ivfIndex]]). */
+  def semDedup(emb: DataFrame, threshold: Double, centroids: Int = 64): DataFrame = {
+    val asg = ivfIndex(emb, centroids).assigned.localCheckpoint()
+    val a = asg.select(col("cell"), col("n_id").as("vec_a"),
+      col("qb").as("qa"), col("nb").as("na"))
+    val b = asg.select(col("cell"), col("n_id").as("vec_b"),
+      col("qb"), col("nb"))
+    // divide by the SMALLER id's norm first — double division is not
+    // associative-commutative and the oracle's a-then-b order must be
+    // reproduced exactly (vec_a < vec_b by construction here)
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.select(col("n_id").as("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
   /** Top-k neighbors from a built index for an arbitrary (vec_id,
     * embedding) query batch — queries need not be corpus members. Each
     * query probes its nprobe nearest cells; a row whose id equals the
@@ -408,5 +446,35 @@ object Similarity {
              |  FROM scored)
              |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- SemDeDup: semantic near-dedup via cluster-local comparison ------
+    // The scale path for embedding dedup (see semDedup above): cluster with
+    // the deterministic IVF quantizer, compare only within cells, keep the
+    // lowest id of each near-dup pair. At sf0.01, 6 of the 14 cos>=0.45
+    // pairs co-cluster under 64 centroids -> 494 survivors; the cross-cell
+    // misses are the operator's published contract (q47 is the exact path).
+    QueryDef("q73_semdedup", (s, d) =>
+      semDedup(t(s, d, "embeddings"), 0.45).orderBy("vec_id"),
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS (
+             |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+             |    SELECT n.vec_id, n.qv, n.n2, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |drops AS (
+             |  SELECT DISTINCT b.vec_id
+             |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+             |  WHERE ${sqlCos("a", "b")} >= 0.45)
+             |SELECT vec_id, cell FROM asg
+             |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+             |ORDER BY vec_id""".stripMargin)),
   )
 }

@@ -257,5 +257,37 @@ object Text {
              |  count(*) AS n_tokens
              |FROM e GROUP BY doc_id, pos // 16
              |ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- Blocklist scrub: wordlist hit counting + redaction --------------
+    // The C4/Dolma-style badword gate: count whole-word blocklist hits per
+    // document, flag documents whose hit RATIO crosses a threshold (an
+    // absolute count would just measure document length), and emit the
+    // redacted text. Word-boundary regex — codegen'd regexp_count /
+    // regexp_replace, map-only, no shuffle except the output ordering;
+    // a production blocklist (hundreds of terms) compiles into the same
+    // single alternation pattern, still one scan. The ratio division is
+    // int/int in IEEE double on both engines — bit-exact.
+    QueryDef("q75_blocklist", (s, d) => {
+      val pat = "\\b(customer|vector|stream)\\b"
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+          size(toks).cast("long").as("n_tokens"),
+          regexp_replace(col("text"), pat, "[*]").as("clean_text"))
+        .withColumn("bad_ratio",
+          col("n_hits").cast("double") / col("n_tokens"))
+        .withColumn("flagged", col("bad_ratio") > 0.05)
+        .select("doc_id", "n_hits", "n_tokens", "bad_ratio", "flagged", "clean_text")
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(text, '\b(customer|vector|stream)\b')) AS n_hits,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|vector|stream)\b')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) AS bad_ratio,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|vector|stream)\b')) AS DOUBLE)
+             |    / len(string_split(text, ' ')) > 0.05 AS flagged,
+             |  regexp_replace(text, '\b(customer|vector|stream)\b', '[*]', 'g') AS clean_text
+             |FROM documents ORDER BY doc_id""".stripMargin)),
   )
 }
