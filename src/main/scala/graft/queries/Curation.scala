@@ -72,8 +72,8 @@ object Curation {
              |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
              |    GROUP BY doc_id, tok) GROUP BY doc_id)
              |SELECT m.doc_id, lang, n AS n_tokens,
-             |  CASE WHEN (m.doc_id % 2147483647) * 48271 % 2147483647 % 1000 < 800 THEN 'train'
-             |       WHEN (m.doc_id % 2147483647) * 48271 % 2147483647 % 1000 < 900 THEN 'val'
+             |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
+             |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM m JOIN mx ON m.doc_id = mx.doc_id
              |WHERE n >= 20 AND nstop > 0

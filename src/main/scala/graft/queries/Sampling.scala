@@ -12,7 +12,7 @@ import graft.{QueryDef, Tables}
   * Scale design: both are one narrow map stage (the split) or one shuffle
   * on the group key (the quota window) — no global sorts except the
   * oracle-determinism root ordering, no driver state. The hash is a
-  * Lehmer/MINSTD step ((id mod M) * 48271 mod M, M = 2^31-1): products
+  * composed Lehmer/MINSTD step (see [[lehmer]], M = 2^31-1): products
   * stay under 2^47 so the arithmetic is exact in 64-bit on BOTH engines —
   * a production pipeline on arbitrary keys would use xxhash64, which is
   * engine-specific and would forfeit the oracle.
@@ -22,8 +22,17 @@ object Sampling {
 
   private val M = 2147483647L // 2^31 - 1 (prime)
 
-  /** Deterministic per-row hash in [0, M): Lehmer step on the id. */
-  private[queries] def lehmer(id: Column): Column = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+  /** Deterministic per-row hash in [0, M): TWO composed Lehmer steps on
+    * the id. One step is monotone for id < M/48271 (~44k) — id*48271
+    * never wraps, so "order by hash" would be "order by id" on any small
+    * or freshly-assigned id range. Composing two steps multiplies by
+    * 48271^2 mod M = 182605794, shrinking the monotone region to id < 12,
+    * while every intermediate product stays < 2^47 (exact in int64 on
+    * both engines). */
+  private[queries] def lehmer(id: Column): Column = {
+    val step1 = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
+    pmod(step1 * lit(48271L), lit(M))
+  }
 
   /** Range-bucket count for two-phase prefix sums: at least 32, growing
     * with the row count so per-bucket input stays near `target` rows no
@@ -36,7 +45,8 @@ object Sampling {
   /** SQL-side mirror of [[lehmer]] over an arbitrary column — the SINGLE
     * definition of the hash formula both engines must share; every
     * oracle string derives from it so the constants cannot drift. */
-  private[queries] def sqlLehmerOf(c: String): String = s"($c % $M) * 48271 % $M"
+  private[queries] def sqlLehmerOf(c: String): String =
+    s"(($c % $M) * 48271 % $M) * 48271 % $M"
 
   private[queries] val sqlLehmer = sqlLehmerOf("doc_id")
 

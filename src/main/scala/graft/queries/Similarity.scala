@@ -407,8 +407,9 @@ object Similarity {
     // ---- IVF (inverted-file) approximate top-k: the 100 TB scale path ----
     // See ivfTopK above: fixed 64-centroid hash-rank quantizer, nprobe=16,
     // fully deterministic -> full hash-match oracle; PipelineSpec
-    // additionally measures recall against q48's exact result (0.80 at
-    // sf0.001/sf0.01, 0.97 at sf0.1 — finer cells help as the corpus grows).
+    // additionally measures recall against q48's exact result (~0.57 on
+    // the pure-noise sf0.001 corpus vs the 0.25 scanned-fraction floor;
+    // ~1.0 top-1 on planted semantic structure — see the routing spec).
     QueryDef("q49_knn_ivf", (s, d) =>
       ivfTopK(t(s, d, "embeddings"), queryFilter).orderBy("q_id", "rank"),
       Some(s"""WITH q AS (

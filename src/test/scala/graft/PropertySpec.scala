@@ -137,7 +137,7 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "lang").collect()
       .map(r => (r.getLong(0), r.getString(1)))
     val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, g) =>
-      g.toSeq.map { case (id, _) => (lang, id, (id % M) * 48271 % M) }
+      g.toSeq.map { case (id, _) => (lang, id, (id % M) * 48271 % M * 48271 % M) }
         .sortBy(x => (x._3, x._2)).take(10)
         .zipWithIndex.map { case ((l, id, h), i) => (l, i + 1, id, h) }
     }.toSet

@@ -247,11 +247,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.groupBy(_._1).forall(_._2.length == 3) && got.map(_._1).distinct.length == 20)
   }
 
-  test("q49 IVF recall@10 >= 0.7 vs exact") {
+  test("q49 IVF recall@10 vs exact beats the scanned-corpus fraction") {
+    // The sf0.001 corpus is pure noise (no cluster structure), the
+    // hardest case for IVF: scanning nprobe/centroids = 25% of the
+    // corpus would give ~0.25 recall if cells carried no signal. The
+    // assertion is that cell assignment still concentrates true
+    // neighbors well above that floor. (An earlier revision asserted
+    // 0.8 — an artifact of the pre-fix monotone id hash making the
+    // query set double as the centroid set.) Recall on SEMANTICALLY
+    // structured data is the planted-dup routing test above, where
+    // top-1 recall is ~1.
     val exact = q("q48_knn_brute").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val ivf = q("q49_knn_ivf").collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (exact & ivf).size.toDouble / exact.size
-    assert(recall >= 0.7, s"recall $recall")
+    assert(recall >= 0.5, s"recall $recall")
   }
 
   // --- multimodal ---------------------------------------------------------
@@ -425,18 +434,115 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  // --- round-6 pipeline operators -----------------------------------------
+
+  test("q72 decontamination matches driver-side shingle overlap") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 % 97 == 0).map { case (id, t) => id -> shingles(t) }
+    val want = docs.filter(_._1 % 97 != 0).flatMap { case (id, t) =>
+      val sh = shingles(t)
+      val hits = bench.map { case (bid, bsh) => bid -> (sh & bsh) }.filter(_._2.nonEmpty)
+      if (hits.isEmpty) None
+      else Some(id -> ((hits.values.flatten.toSet.size.toLong, hits.size.toLong)))
+    }
+    val got = q("q72_decontaminate").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "fixture corpus should have benchmark overlap")
+  }
+
+  test("q73 semDedup equals driver-side cluster-local rule, drops planted dups") {
+    val df = embFixture(200, 20)
+    val got = Similarity.semDedup(df, 0.9, centroids = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // driver-side reference of the full operator: hash-rank centroids,
+    // argmax-cosine assignment (tie -> smaller centroid id), then the
+    // keep-lowest-id rule within each cell
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q7 = vecs.map { case (k, v) =>
+      k -> v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    }
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (q7(a), q7(b))
+      val dot = x.zip(y).map { case (p, r) => p * r }.sum
+      dot.toDouble / math.sqrt(x.map(p => p * p).sum.toDouble) /
+        math.sqrt(y.map(p => p * p).sum.toDouble)
+    }
+    val M = 2147483647L
+    val cents = vecs.keys.toSeq.sortBy(id => (id % M * 48271 % M * 48271 % M, id)).take(16)
+    val cell = vecs.keys.map(id =>
+      id -> cents.map(c => (-cos(id, c), c)).min._2).toMap
+    val want = vecs.keys.filterNot(id =>
+      vecs.keys.exists(o => o < id && cell(o) == cell(id) && cos(o, id) >= 0.9))
+      .map(id => (id, cell(id))).toSet
+    assert(got == want)
+    // sanity that the operator has teeth: planted near-identical copies
+    // sit next to their source in embedding space, so nearly all of them
+    // co-cluster and die
+    val droppedPlanted = (200L until 220L).count(id => !got.exists(_._1 == id))
+    assert(droppedPlanted >= 15, s"only $droppedPlanted of 20 planted dups dropped")
+  }
+
+  test("q75 blocklist counts and redaction match java.util.regex") {
+    val pat = java.util.regex.Pattern.compile("\\b(customer|vector|stream)\\b")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q75_blocklist").collect()
+    assert(rows.exists(_.getBoolean(4)), "fixture should flag some documents")
+    rows.foreach { r =>
+      val text = docs(r.getLong(0))
+      val m = pat.matcher(text)
+      var n = 0L
+      while (m.find()) n += 1
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} hit count")
+      assert(r.getString(5) == pat.matcher(text).replaceAll("[*]"))
+    }
+  }
+
+  test("q76 domain mix follows the sqrt(nmin/nl) keep rule exactly") {
+    val M = BigInt(2147483647L)
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val nl = langs.groupBy(_._2).map { case (l, xs) => l -> BigInt(xs.length) }
+    val nmin = nl.values.min
+    val want = langs.filter { case (id, l) =>
+      val h = BigInt(id) % M * 48271 % M * 48271 % M
+      h * h * nl(l) < M * M * nmin
+    }.map(_._1).toSet
+    val got = q("q76_domain_mix").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    // the smallest language keeps everything; larger ones are downsampled
+    // toward sqrt-balance (the keep RATE is what the rule promises — each
+    // language's kept fraction tracks sqrt(nmin/nl) up to hash noise)
+    val minLang = nl.minBy(_._2)._1
+    val keptByLang = langs.filter(x => got(x._1)).groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    assert(keptByLang(minLang) == nl(minLang).toInt)
+    nl.foreach { case (l, n) =>
+      val expect = math.sqrt((nmin.toDouble / n.toDouble)) * n.toDouble
+      assert(math.abs(keptByLang.getOrElse(l, 0) - expect) <= math.max(6.0, 0.35 * expect),
+        s"lang $l kept ${keptByLang.getOrElse(l, 0)} vs ~$expect")
+    }
+  }
+
   // --- whole-registry plan audit ------------------------------------------
 
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
-    // semantics), q48/q50's broadcast query set (fixed 50 ids), q49's
-    // centroid broadcast (fixed 64 rows), and q57/q70's one-row scalar
-    // aggregate (count/max) cross-joined in to derive the data-dependent
-    // bucket fan-out. Everything else — in particular every pairwise
+    // semantics), q48/q50's broadcast query set (fixed 50 ids), q49/q73's
+    // centroid broadcast (fixed 64 rows), and q57/q70/q76's one-row scalar
+    // aggregate (count/max/min) cross-joined in to derive a data-dependent
+    // constant. Everything else — in particular every pairwise
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
-      "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing")
+      "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing",
+      "q73_semdedup", "q76_domain_mix")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
