@@ -74,6 +74,39 @@ object Sketches {
              |  true AS p50_ok, true AS p95_ok, true AS p99_ok
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // ---- Mergeable sketches: build per-day, union for any rollup ---------
+    // The pattern that makes sketches pay at 100 TB is not one big
+    // approx_count_distinct — it's MATERIALIZING small per-partition
+    // sketches (here one Datasketches HLL per (day, event_type), a few KB
+    // each) and answering every later rollup by UNIONING sketches, never
+    // re-reading raw data. Level 1 is one shuffle over events; level 2
+    // touches only #days x #types sketch rows. The attestation follows
+    // q33: merged-estimate error <= 5% of the exact count (lgK = 12 ->
+    // rsd ~1.6%, and HLL union of same-lgK sketches is lossless, so the
+    // merged estimate has single-sketch accuracy).
+    QueryDef("q77_sketch_merge", (s, d) => {
+      val ev = t(s, d, "events")
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_days"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double") <=
+            lit(0.05) * col("exact_users").cast("double")).as("within_bounds"))
+        .orderBy("event_type")
+    },
+      Some("""SELECT event_type,
+             |  CAST(count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
+             |    AS n_days,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+             |  true AS within_bounds
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // ---- EXACT median: the order-statistics companion to q34 -------------
     // Distribution-based selection, not a per-group row sort: `lang` has ~5
     // distinct values, so ranking rows with Window.partitionBy("lang")

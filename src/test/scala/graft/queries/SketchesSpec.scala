@@ -45,4 +45,25 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(approx(k) - m) / m < 0.05, s"$k: ${approx(k)} vs $m")
     }
   }
+
+  test("q77 per-day sketch union is lossless vs a direct sketch of the raw data") {
+    val rows = SparkEntry.queries("q77_sketch_merge")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), s"${r.getString(0)} out of bounds"))
+    // the whole point of materialized sketches: merging the per-day
+    // sketches gives EXACTLY the estimate a single pass over raw data
+    // would (HLL union at the same lgK is lossless), so rollups never
+    // need the raw events again
+    val ev = Tables.load(spark, sfDir, "events")
+    val viaMerge = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaMerge == direct, s"merge $viaMerge vs direct $direct")
+  }
 }
