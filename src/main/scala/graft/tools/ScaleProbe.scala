@@ -73,6 +73,40 @@ object ScaleProbe {
       bigLi.groupBy("l_returnflag")
         .agg(countDistinct(col("l_orderkey"))).count()
     }
+    // Bloom semi-join reduction: the dim filter is selective (urgent 1998+
+    // orders from the BASE replica only, so the filter stays constant as
+    // the fact side grows m-fold). The bloom's win case is the regime
+    // where the dim is too big to BROADCAST yet selective enough to bloom
+    // (at 100 TB a 100M-key dim is megabytes of bloom vs gigabytes of
+    // hash table); at probe scale the dim would auto-broadcast and the
+    // fact would never shuffle at all, so that regime is emulated by
+    // disabling broadcast for this pair of measurements — plain then
+    // shuffles the whole fact side, bloom prunes it in the scan first.
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    time("urgent_join_plain_noBcast") {
+      bigLi.join(urgent, bigLi("l_orderkey") === urgent("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).count()
+    }
+    time("urgent_join_bloom_noBcast") {
+      graft.operators.BloomJoin.prefilter(bigLi, col("l_orderkey"),
+          urgent.select("o_orderkey"), col("o_orderkey"))
+        .join(urgent, col("l_orderkey") === urgent("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).count()
+    }
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    // wall-clock at probe scale is dominated by fixed costs (a 1M-row
+    // shuffle is milliseconds); the quantity that matters at 100 TB is
+    // SHUFFLE VOLUME, so report the row reduction the prefilter buys —
+    // at cluster scale those are the rows that never leave the scan stage
+    val factRows = bigLi.count()
+    val bloomRows = graft.operators.BloomJoin.prefilter(bigLi, col("l_orderkey"),
+      urgent.select("o_orderkey"), col("o_orderkey")).count()
+    println(f"SCALE bloom_shuffle_reduction ${factRows.toDouble / bloomRows}%.1fx " +
+      s"($factRows fact rows -> $bloomRows past the prefilter)")
 
     // --- LLM-pipeline shapes at increasing replication --------------------
     // Replicas must not be near-duplicates of each other, or the pair
@@ -112,6 +146,20 @@ object ScaleProbe {
       }
       time(s"embed_lsh_x$m") {
         graft.queries.Similarity.lshNearPairs(replicateEmb(m), 0.9).count()
+      }
+      // decontamination: the EVAL side is fixed (base replica only — an
+      // eval set does not grow with the training corpus), so cost must
+      // scale ~linearly with the corpus under a constant broadcast
+      time(s"decontaminate_x$m") {
+        graft.queries.Dedup.decontaminate(docs,
+          col("doc_id") % 97 === 0 && col("doc_id") < maxDoc).count()
+      }
+      // SemDeDup with centroids ~ sqrt(n) (the contract at scale): cell
+      // population stays ~sqrt(n), so within-cell comparisons grow
+      // ~n^1.5, spread over cluster tasks — probe should show sub-m^2
+      time(s"semdedup_x$m") {
+        graft.queries.Similarity.semDedup(replicateEmb(m), 0.45,
+          centroids = (64 * math.sqrt(m)).toInt).count()
       }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
