@@ -156,6 +156,42 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench"))
   }
 
+  /** Duplicated-span coverage — the exact-substring dedup statistic: per
+    * document, the fraction of tokens covered by a `W`-token window that
+    * also occurs (verbatim, position-independent) in at least one OTHER
+    * document. See q78 below for the distributed shape.
+    */
+  def dupSpans(documents: DataFrame, W: Int = 5): DataFrame = {
+    val docs = documents.select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val base = docs.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+    val w = docs.filter(size(col("tk")) >= W)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tk")) - W),
+        i => array_join(slice(col("tk"), i + 1, lit(W)), " "))).as(Seq("p", "win")))
+    val dup = w.groupBy("win")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("win")
+    val dw = w.join(dup.hint("shuffle_hash"), "win")
+      .select(col("doc_id"), col("p").cast("long").as("p"),
+        (col("p") + W - 1).cast("long").as("e"))
+    val byP = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("e")).over(byP.rowsBetween(Window.unboundedPreceding, -1))
+    val cov = dw
+      .withColumn("new_isl",
+        when(col("p") > coalesce(prevEnd, lit(-1L)), 1).otherwise(0))
+      .withColumn("g", sum(col("new_isl")).over(byP.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "g")
+      .agg(min("p").as("mn"), max("e").as("mx"), count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("ndw"), sum(col("mx") - col("mn") + 1).as("cv"))
+    base.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        greatest(col("n_tokens") - (W - 1), lit(0)).as("n_windows"),
+        coalesce(col("ndw"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("cv"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("cv"), lit(0L)).cast("double") / col("n_tokens")).as("dup_frac"))
+  }
+
   /** EXACT shingle-Jaccard threshold self-join via document-frequency-
     * ordered prefix filtering (the SSJoin/PPJoin family) — the
     * deterministic counterpart to the MinHash path: where q45's LSH is
@@ -512,5 +548,58 @@ object Dedup {
              |  count(DISTINCT b.bench_id) AS n_bench
              |FROM tr JOIN b ON tr.tok = b.tok
              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+
+    // ---- Duplicated-span coverage: the exact-substring dedup statistic ---
+    // Per-document fraction of tokens covered by a 5-token window that also
+    // occurs in ANOTHER document — window-granular exact substring overlap
+    // (the statistic behind suffix-array substring dedup, computed without
+    // a suffix array: positional windows -> cross-doc duplicate windows ->
+    // per-doc interval union). Unlike q45/q65 (whole-document set
+    // similarity) this finds PARTIAL copies: a paragraph pasted into an
+    // otherwise unique document.
+    //
+    // Scale shape: (1) one groupBy on the window content to find windows
+    // in >= 2 docs (map-side partial agg; at 100 TB the group key would be
+    // a 128-bit window hash rather than the string — same plan, narrower
+    // shuffle); (2) join the positional stream back on the window (the dup
+    // side exits its aggregation hash-partitioned on the key, so the
+    // shuffled-hash join reuses that exchange — hinted because under a
+    // Generate the token-stream side's size is under-estimated and would
+    // broadcast); (3) per-doc interval merge — gaps-and-islands with a
+    // running max(end), doc_id-partitioned windows (millions of small
+    // groups, no low-cardinality skew).
+    QueryDef("q78_dup_spans", (s, d) =>
+      dupSpans(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |w AS (
+             |  SELECT doc_id, CAST(unnest(range(len(tk) - 4)) AS BIGINT) AS p,
+             |         unnest(list_transform(range(1, len(tk) - 3),
+             |           i -> array_to_string(tk[i:i+4], ' '))) AS win
+             |  FROM t WHERE len(tk) >= 5),
+             |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
+             |dw AS (SELECT doc_id, p, p + 4 AS e FROM w JOIN dup USING (win)),
+             |isl AS (
+             |  SELECT doc_id, p, e,
+             |    CASE WHEN p > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY p
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |    THEN 1 ELSE 0 END AS new_isl
+             |  FROM dw),
+             |grp AS (
+             |  SELECT doc_id, p, e,
+             |    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+             |  FROM isl),
+             |cov AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS ndw,
+             |         CAST(sum(mx - mn + 1) AS BIGINT) AS cv FROM (
+             |    SELECT doc_id, g, min(p) AS mn, max(e) AS mx, count(*) AS c
+             |    FROM grp GROUP BY doc_id, g) q GROUP BY doc_id)
+             |SELECT t.doc_id, len(tk) AS n_tokens,
+             |  greatest(len(tk) - 4, 0) AS n_windows,
+             |  coalesce(cov.ndw, 0) AS n_dup_windows,
+             |  coalesce(cov.cv, 0) AS covered_tokens,
+             |  CAST(coalesce(cov.cv, 0) AS DOUBLE) / len(tk) AS dup_frac
+             |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
   )
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -18,6 +18,25 @@ object Text {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   private val toks: Column = split(col("text"), " ")
+
+  /** Corpus-LM familiarity scoring over a (doc_id, text) DataFrame — see
+    * q79 below. Exposed for library use and the scale probe. */
+  def lmFamiliarity(documents: DataFrame): DataFrame = {
+    val g3 = transform(sequence(lit(0), size(toks) - 3),
+      i => array_join(slice(toks, i + 1, lit(3)), " "))
+    val bg = documents.filter(size(toks) >= 3)
+      .select(col("doc_id"), explode(g3).as("g"))
+    val cf = bg.groupBy("g").agg(count(lit(1)).as("c"))
+    bg.join(cf.hint("shuffle_hash"), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("c").as("fam_sum"),
+        sum(when(col("c") === 1, 1).otherwise(0)).as("n_novel"))
+      .select(col("doc_id"), col("n_trigrams"), col("fam_sum"),
+        (col("fam_sum").cast("double") / col("n_trigrams")).as("avg_familiarity"),
+        col("n_novel"),
+        (col("n_novel").cast("double") / col("n_trigrams")).as("novel_frac"),
+        (col("fam_sum") >= col("n_trigrams") * 2).as("lm_ok"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -289,5 +308,38 @@ object Text {
              |    / len(string_split(text, ' ')) > 0.05 AS flagged,
              |  regexp_replace(text, '\b(customer|vector|stream)\b', '[*]', 'g') AS clean_text
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Corpus-LM familiarity: n-gram frequency quality filter ----------
+    // The CCNet/KenLM perplexity gate's exact-arithmetic stand-in: score
+    // every document by how familiar its trigram instances are to the
+    // corpus itself (sum of corpus-wide trigram counts over the doc's
+    // positional trigrams) plus the fraction of trigrams unique to the
+    // document. A wiki-like reference corpus would replace `cf` in
+    // production; log-probabilities would break bit-parity across engines,
+    // so the score stays integer until ONE final division per column.
+    //
+    // Scale shape: trigram instances stream out of a Generate (map-only),
+    // one count shuffle keyed by trigram, one shuffled-hash join back
+    // (hinted: the Generate side's size estimate is pre-explode and would
+    // broadcast the corpus-sized stream; cf exits its groupBy partitioned
+    // by trigram, so its exchange is reused), one per-doc aggregation.
+    // Same cost envelope as q67's tf-idf — two shuffles per corpus pass.
+    QueryDef("q79_lm_familiarity", (s, d) =>
+      lmFamiliarity(t(s, d, "documents")).orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+             |  FROM t WHERE len(tk) >= 3),
+             |cf AS (SELECT g, count(*) AS c FROM bg GROUP BY g)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_trigrams,
+             |  CAST(sum(c) AS BIGINT) AS fam_sum,
+             |  CAST(sum(c) AS DOUBLE) / count(*) AS avg_familiarity,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novel_frac,
+             |  CAST(sum(c) AS BIGINT) >= CAST(count(*) AS BIGINT) * 2 AS lm_ok
+             |FROM bg JOIN cf USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 }

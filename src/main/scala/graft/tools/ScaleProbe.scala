@@ -161,6 +161,14 @@ object ScaleProbe {
         graft.queries.Similarity.semDedup(replicateEmb(m), 0.45,
           centroids = (64 * math.sqrt(m)).toInt).count()
       }
+      // duplicated-span coverage: window groups never mix across
+      // Caesar-rotated replicas (disjoint vocabularies), so the count
+      // shuffle, the join-back, and the per-doc interval merge must all
+      // scale ~linearly with the corpus
+      time(s"dup_spans_x$m") { graft.queries.Dedup.dupSpans(docs).count() }
+      // LM familiarity: same two-shuffle envelope as tf-idf; trigram
+      // postings stay per-replica under rotation
+      time(s"lm_familiarity_x$m") { graft.queries.Text.lmFamiliarity(docs).count() }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

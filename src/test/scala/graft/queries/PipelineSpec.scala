@@ -144,6 +144,113 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     got.foreach { case (id, sp) => assert(sp == split(id), s"doc $id") }
   }
 
+  test("q78 duplicated-span coverage matches a driver-side interval union") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val W = 5
+    // reference: positional windows, cross-doc duplicate windows, merged spans
+    val wins = docs.toSeq.flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      if (tk.length < W) Seq.empty
+      else tk.sliding(W).zipWithIndex.map { case (w, p) => (id, p, w.mkString(" ")) }.toSeq
+    }
+    val dup = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val want = docs.map { case (id, t) =>
+      val spans = wins.filter(x => x._1 == id && dup(x._3)).map(x => (x._2, x._2 + W - 1)).sorted
+      var covered = 0L; var curS = -1; var curE = -2
+      spans.foreach { case (s0, e0) =>
+        if (s0 > curE) { if (curE >= curS) covered += curE - curS + 1; curS = s0; curE = e0 }
+        else curE = math.max(curE, e0)
+      }
+      if (curE >= curS) covered += curE - curS + 1
+      id -> ((spans.size.toLong, covered, t.split(" ").length))
+    }
+    val got = q("q78_dup_spans").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet == docs.keySet)
+    want.foreach { case (id, (ndw, cov, n)) =>
+      val (gndw, gcov, gfrac) = got(id)
+      assert(gndw == ndw, s"doc $id n_dup_windows")
+      assert(gcov == cov, s"doc $id covered")
+      assert(gfrac == cov.toDouble / n, s"doc $id frac")
+    }
+    // the statistic must split the corpus: planted near-dups have coverage,
+    // unique docs have none
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+  }
+
+  test("q79 LM familiarity matches driver-side trigram counting") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grams = docs.toSeq.flatMap { case (id, t) =>
+      val tk = t.split(" ")
+      if (tk.length < 3) Seq.empty
+      else tk.sliding(3).map(g => (id, g.mkString(" "))).toSeq
+    }
+    val cf = grams.groupBy(_._2).map { case (g, xs) => g -> xs.size.toLong }
+    val got = q("q79_lm_familiarity").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4)))).toMap
+    assert(got.keySet == grams.map(_._1).toSet)
+    grams.groupBy(_._1).foreach { case (id, xs) =>
+      val fam = xs.map(x => cf(x._2)).sum
+      val novel = xs.count(x => cf(x._2) == 1).toLong
+      assert(got(id) == ((xs.size.toLong, fam, novel)), s"doc $id")
+    }
+  }
+
+  test("q80 int8 quantization round-trips within the provable bound") {
+    val rows = q("q80_embed_quantize").collect()
+    assert(rows.length ==
+      Tables.load(spark, sfDir, "embeddings").count())
+    rows.foreach { r =>
+      val (mx, err, ok, fid) = (r.getLong(1), r.getLong(2), r.getBoolean(3), r.getDouble(4))
+      assert(ok && err * 254 <= mx + 508, s"vec ${r.getLong(0)} err $err mx $mx")
+      assert(fid > 0.999 && fid <= 1.0, s"vec ${r.getLong(0)} cos_fid $fid")
+      val q8 = r.getString(5).split(",").map(_.toLong)
+      assert(q8.length == 64 && q8.forall(v => v >= -127 && v <= 127))
+    }
+  }
+
+  test("q81 training order equals a driver-side global hash sort") {
+    val M = 2147483647L
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val want = docs.map(id => (id, id % M * 48271 % M * 48271 % M))
+      .sortBy(x => (x._2, x._1)).zipWithIndex
+      .map { case ((id, h), i) => (id, h, i.toLong, i.toLong / 32) }.toSeq
+    val got = q("q81_train_order").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the permutation must not be the identity (the hash actually shuffles)
+    assert(got.map(_._1) != got.map(_._1).sorted)
+  }
+
+  test("q81 plans no corpus-wide single-task sort below the root") {
+    // phase-1 windows partition by the data-derived chunk key; the only
+    // unpartitioned window runs over the tiny per-chunk offsets aggregate
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, UnaryNode, Window => LWindow}
+    def boundedByAgg(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => true
+      case u: UnaryNode => boundedByAgg(u.child)
+      case _ => false
+    }
+    val plan = q("q81_train_order").queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty)
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty || boundedByAgg(w.child),
+        s"monolithic window over raw rows: ${w.partitionSpec.map(_.sql)}")
+    }
+  }
+
+  test("q80 quantization is map-only (no hash exchange)") {
+    val plan = q("q80_embed_quantize").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"q80 should be a pure scan->project pass:\n${plan.take(1200)}")
+  }
+
   // --- dedup --------------------------------------------------------------
 
   test("q45 minhash LSH finds exactly the brute-force near-dup pairs") {
@@ -542,7 +649,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing",
-      "q73_semdedup", "q76_domain_mix")
+      "q73_semdedup", "q76_domain_mix", "q81_train_order")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
