@@ -254,5 +254,47 @@ object Sampling {
              |WHERE CAST(($sqlLehmer) * ($sqlLehmer) AS HUGEINT) * nl
              |    < CAST(${M * M} AS HUGEINT) * nmin
              |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Global deterministic training order (the dataloader shuffle) ----
+    // Materialize the corpus-wide random-but-rerun-invariant visit order a
+    // trainer consumes: global_idx = rank in (lehmer(doc_id), doc_id)
+    // order, batch_id = global_idx div B. The epoch permutation is pure
+    // arithmetic on the id — any worker can recompute its slice, and a
+    // backfilled corpus yields the same prefix order for unchanged ids.
+    //
+    // Scale shape: a global rank is the q57/q70 two-phase prefix pattern
+    // over COUNTS — a bare row_number() over (ORDER BY h) would serialize
+    // the corpus through one task. The hash is uniform on [0, M), so
+    // chunk = h*nb div M is an equi-depth range split of the SAME total
+    // order; phase 1 ranks within chunks, phase 2 adds the tiny
+    // per-chunk count offsets (broadcast). No corpus-wide sort anywhere:
+    // each chunk sorts ~(n/nb) rows in its own task.
+    QueryDef("q81_train_order", (s, d) => {
+      val B = 32 // documents per training batch
+      val docs = t(s, d, "documents")
+      val stats = docs.agg(count(lit(1)).as("cnt"))
+      val chunked = docs.select(col("doc_id"), lehmer(col("doc_id")).as("h"))
+        .crossJoin(broadcast(stats))
+        .withColumn("nb", prefixBuckets(col("cnt")))
+        .withColumn("chunk", expr(s"(h * nb) div $M"))
+        .drop("cnt", "nb")
+      val wLocal = Window.partitionBy("chunk").orderBy("h", "doc_id")
+      val wOffset = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = chunked.groupBy("chunk").agg(count(lit(1)).as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
+        .select("chunk", "off")
+      chunked
+        .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offsets), "chunk")
+        .withColumn("global_idx", col("local_rn") + col("off") - 1)
+        .withColumn("batch_id", expr(s"global_idx div $B"))
+        .select("doc_id", "h", "global_idx", "batch_id")
+        .orderBy("global_idx")
+    },
+      Some(s"""SELECT doc_id, h,
+             |  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) - 1 AS global_idx,
+             |  CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS batch_id
+             |FROM (SELECT doc_id, $sqlLehmer AS h FROM documents)
+             |ORDER BY global_idx""".stripMargin)),
   )
 }
