@@ -134,6 +134,25 @@ object Streams {
   def curatedIngest(incoming: DataFrame, corpus: DataFrame): DataFrame =
     dedupedIngest(incoming.filter(graft.queries.Curation.gatesOk), corpus)
 
+  /** Streaming decontamination: drop every incoming document that shares
+    * a 3-token shingle with the (bounded, static) eval set — the
+    * streaming face of `Dedup.decontaminate`, with the same broadcast
+    * contract: an EVAL set is thousands of documents, so its distinct
+    * shingle set collapses into one array row, cross-joined (broadcast)
+    * into each micro-batch and tested with `arrays_overlap` — fully
+    * stateless, no aggregation state, no stream-side shuffle. The static
+    * side is re-planned per micro-batch, so an updated eval table is
+    * picked up without restart. */
+  def decontaminatedIngest(incoming: DataFrame, evalDocs: DataFrame): DataFrame = {
+    def sh = graft.functions.ArrayExprs.shingles(split(col("text"), " "), 3)
+    val evalShingles = evalDocs
+      .select(explode(sh).as("t")).distinct()
+      .agg(collect_set(col("t")).as("ev"))
+    incoming.crossJoin(evalShingles)
+      .filter(!arrays_overlap(sh, col("ev")))
+      .drop("ev")
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

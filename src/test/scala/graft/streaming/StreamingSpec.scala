@@ -195,6 +195,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.subsetOf(gatedIds))
   }
 
+  test("streaming decontamination drops exactly the q72-contaminated docs") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val benchPred = col("doc_id") % 97 === 0
+    val dir = java.nio.file.Files.createTempDirectory("docs-decon")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .filter(!benchPred)
+    val q = Streams.decontaminatedIngest(incoming, docs.filter(benchPred))
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("decon_out").collect().map(_.getLong(0)).toSet
+    // batch expectation: q72 lists every training doc sharing >= 1 shingle
+    // with the eval slice; survivors = the rest of the training side
+    val contaminated = SparkEntry.queries("q72_decontaminate")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val train = docs.filter(!benchPred).collect().map(_.getLong(0)).toSet
+    assert(got == train -- contaminated)
+    assert(got.nonEmpty && contaminated.nonEmpty)
+  }
+
   test("parquet sink + checkpoint: no duplicates across a restart") {
     // the writeStream face: a real file sink with a checkpoint, stopped
     // and restarted with replayed input — the checkpointed dedup state
