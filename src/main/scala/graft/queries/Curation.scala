@@ -81,5 +81,115 @@ object Curation {
              |  AND CAST(mx AS DOUBLE) / n <= 0.12
              |  AND m.doc_id NOT IN (SELECT doc_id FROM drops)
              |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- Training-example assembly: text x embedding feature manifest ----
+    // The pipeline's last mile: join the text modality (documents + the
+    // full curation gate + split assignment, all map-side) with the
+    // embedding modality (exact integer squared norm from the 1e-7 grid)
+    // into the one wide record a trainer's dataloader reads. INNER join:
+    // an example assembles only when both modalities exist (at sf0.1 just
+    // 2000 of 5000 docs carry embeddings). The join is an id-keyed
+    // equi-join: at 100 TB both sides live bucketed by id (ScaleOpsSpec
+    // proves the zero-exchange bucketed-join plan), so assembly costs no
+    // shuffle at all beyond the sink's own layout.
+    QueryDef("q82_example_assembly", (s, d) => {
+      val bucket = Sampling.lehmer(col("doc_id")) % 1000
+      val e = Similarity.quantize(t(s, d, "embeddings"))
+        .select(col("vec_id").as("doc_id"), col("n2"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).as("n_tokens"), gatesOk.as("gates_ok"))
+        .withColumn("split", when(bucket < 800, "train")
+          .when(bucket < 900, "val").otherwise("test"))
+        .join(e, "doc_id")
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH m AS (
+             |  SELECT doc_id, lang, source,
+             |    len(string_split(text, ' ')) AS n,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+             |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
+             |  FROM documents),
+             |mx AS (
+             |  SELECT doc_id, max(c) AS mx FROM (
+             |    SELECT doc_id, tok, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |    GROUP BY doc_id, tok) GROUP BY doc_id),
+             |q AS (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
+             |e AS (SELECT vec_id, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q)
+             |SELECT m.doc_id, lang, source, n AS n_tokens,
+             |  (n >= 20 AND nstop > 0
+             |    AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+             |    AND CAST(mx AS DOUBLE) / n <= 0.12) AS gates_ok,
+             |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
+             |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  n2
+             |FROM m JOIN mx ON m.doc_id = mx.doc_id
+             |JOIN e ON m.doc_id = e.vec_id
+             |ORDER BY m.doc_id""".stripMargin)),
+
+    // ---- Corpus report card: per-(lang, source) quality rollup -----------
+    // The daily corpus-health dashboard: per domain stratum, document and
+    // token counts, curation-gate pass rate, eval-contamination count
+    // (q72's overlap set), and the length envelope. Scale shape: gates
+    // ride the scan map-side; contamination is the q72 broadcast join
+    // (one corpus pass); the rollup is a low-cardinality groupBy with
+    // map-side partial aggregation — the whole report is ~two shuffles
+    // over 100 TB, no per-group windows anywhere.
+    QueryDef("q83_corpus_report", (s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), size(split(col("text"), " ")).as("n_tokens"),
+        gatesOk.as("ok"))
+      val contaminated = Dedup.decontaminate(docs, col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lit(1).as("contam"))
+      base.join(contaminated, Seq("doc_id"), "left")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("n_tokens"),
+          sum(when(col("ok"), 1).otherwise(0)).as("n_pass"),
+          sum(coalesce(col("contam"), lit(0))).as("n_contaminated"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .withColumn("pass_rate", col("n_pass").cast("double") / col("n_docs"))
+        .select("lang", "source", "n_docs", "n_tokens", "n_pass", "pass_rate",
+          "n_contaminated", "min_chars", "max_chars")
+        .orderBy("lang", "source")
+    },
+      Some(s"""WITH s AS (${Dedup.sqlShingles}),
+             |b AS (SELECT doc_id AS bench_id, unnest(sh) AS tok FROM s
+             |      WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, unnest(sh) AS tok FROM s
+             |       WHERE doc_id % 97 != 0),
+             |contam AS (SELECT DISTINCT tr.doc_id FROM tr JOIN b ON tr.tok = b.tok),
+             |m AS (
+             |  SELECT doc_id, lang, source, n_chars,
+             |    len(string_split(text, ' ')) AS n,
+             |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+             |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
+             |  FROM documents),
+             |mx AS (
+             |  SELECT doc_id, max(c) AS mx FROM (
+             |    SELECT doc_id, tok, count(*) AS c
+             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |    GROUP BY doc_id, tok) GROUP BY doc_id),
+             |g AS (
+             |  SELECT m.doc_id, lang, source, n_chars, n,
+             |    (n >= 20 AND nstop > 0
+             |      AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+             |      AND CAST(mx AS DOUBLE) / n <= 0.12) AS ok,
+             |    CASE WHEN m.doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END AS contam
+             |  FROM m JOIN mx ON m.doc_id = mx.doc_id)
+             |SELECT lang, source,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS pass_rate,
+             |  CAST(sum(contam) AS BIGINT) AS n_contaminated,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM g GROUP BY lang, source
+             |ORDER BY lang, source""".stripMargin)),
   )
 }

@@ -48,7 +48,7 @@ object Similarity {
     graft.functions.ArrayExprs.dotq(a, b)
 
   /** embeddings with quantized vector + exact squared norm. */
-  private def quantize(emb: DataFrame): DataFrame =
+  private[queries] def quantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quant(col("embedding")).as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
 
@@ -266,9 +266,9 @@ object Similarity {
   }
 
   // DuckDB mirror of quant/dot/cosine (64 dims, index-based).
-  private val sqlQuant =
+  private[queries] val sqlQuant =
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000000 + 0.5) AS BIGINT))"
-  private def sqlDot(a: String, b: String) =
+  private[queries] def sqlDot(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
   private def sqlCos(a: String, b: String) =
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)

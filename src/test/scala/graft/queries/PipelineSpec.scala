@@ -245,6 +245,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q82 assembly composes gates, split, and embedding norm exactly") {
+    val rows = q("q82_example_assembly").collect()
+    // one record per document that has an embedding (inner join on id —
+    // at sf0.1 only a subset of documents carries the second modality)
+    val docIds = Tables.load(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val vecIds = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.length == (docIds & vecIds).size)
+    // gates must equal q41 AND q66's verdicts; split must equal q56's
+    val quality = q("q41_text_quality").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val rep = q("q66_repetition").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val split = q("q56_train_split").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // driver-side exact integer norm from the quantization grid
+    val n2 = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](1)
+      r.getLong(0) -> v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+        .map(g => g * g).sum
+    }.toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getBoolean(4) == (quality(id) && rep.getOrElse(id, true)), s"doc $id gates")
+      assert(r.getString(5) == split(id), s"doc $id split")
+      assert(r.getLong(6) == n2(id), s"doc $id n2")
+    }
+  }
+
+  test("q83 corpus report aggregates the per-doc verdicts by stratum") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
+    val contaminated = q("q72_decontaminate").collect().map(_.getLong(0)).toSet
+    val gates = q("q82_example_assembly").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val want = docs.groupBy(x => (x._2, x._3)).map { case (k, g) =>
+      k -> ((g.length.toLong,
+        g.map(_._5.split(" ").length.toLong).sum,
+        g.count(x => gates(x._1)).toLong,
+        g.count(x => contaminated(x._1)).toLong,
+        g.map(_._4).min, g.map(_._4).max))
+    }
+    val got = q("q83_corpus_report").collect().map { r =>
+      (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(6), r.getLong(7), r.getLong(8)))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"stratum $k") }
+  }
+
   test("q80 quantization is map-only (no hash exchange)") {
     val plan = q("q80_embed_quantize").queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
