@@ -191,5 +191,51 @@ object Curation {
              |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
              |FROM g GROUP BY lang, source
              |ORDER BY lang, source""".stripMargin)),
+
+    // ---- Sequence-length histogram: the batch-shape planning input -------
+    // Power-of-two length buckets with cumulative coverage — what a
+    // trainer reads to pick context length and packing capacity (q69/q70's
+    // W and cap). Integer CASE ladder, not floor(log2(n)): float log is
+    // not bit-portable at exact powers of two. Scale shape: one map-side
+    // bucket assignment + a tiny groupBy; the cumulative window runs over
+    // the HANDFUL of bucket rows (aggregate-bounded, never over corpus
+    // rows).
+    QueryDef("q84_len_histogram", (s, d) => {
+      val n = size(split(col("text"), " "))
+      val bucket = when(n < 16, 0).when(n < 32, 16).when(n < 64, 32)
+        .when(n < 128, 64).otherwise(128)
+      val byB = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val all = org.apache.spark.sql.expressions.Window
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      t(s, d, "documents")
+        .select(bucket.as("bucket_lo"), n.as("n"))
+        .groupBy("bucket_lo")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+        .withColumn("cum_docs", sum("n_docs").over(byB))
+        .withColumn("cum_frac",
+          col("cum_docs").cast("double") / sum("n_docs").over(all))
+        .orderBy("bucket_lo")
+    },
+      Some("""WITH m AS (
+             |  SELECT CASE WHEN len(string_split(text, ' ')) < 16 THEN 0
+             |              WHEN len(string_split(text, ' ')) < 32 THEN 16
+             |              WHEN len(string_split(text, ' ')) < 64 THEN 32
+             |              WHEN len(string_split(text, ' ')) < 128 THEN 64
+             |              ELSE 128 END AS bucket_lo,
+             |         len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |h AS (
+             |  SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+             |         CAST(sum(n) AS BIGINT) AS sum_tokens
+             |  FROM m GROUP BY bucket_lo)
+             |SELECT bucket_lo, n_docs, sum_tokens,
+             |  CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+             |  CAST(sum(n_docs) OVER (ORDER BY bucket_lo
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    / sum(n_docs) OVER () AS cum_frac
+             |FROM h ORDER BY bucket_lo""".stripMargin)),
   )
 }

@@ -601,5 +601,41 @@ object Dedup {
              |  CAST(coalesce(cov.cv, 0) AS DOUBLE) / len(tk) AS dup_frac
              |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- Near-dup provenance: which sources copy from which --------------
+    // The investigative rollup over the verified near-dup pair set: joins
+    // each pair to its documents' `source` labels and counts pairs per
+    // unordered source pair — the matrix that tells a pipeline operator
+    // whether duplication is within-crawl (diagonal) or cross-source
+    // mirroring (off-diagonal), i.e. where to point the dedup budget.
+    // Scale shape: the pair set is the q45 LSH+verify output (never an
+    // O(n^2) join); the two id->source lookups are id-keyed equi-joins;
+    // the final rollup groups on source pairs (tiny).
+    QueryDef("q85_dup_provenance", (s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      nearDupPairsOf(docs)
+        .select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
+          greatest(col("src_a"), col("src_b")).as("src_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    },
+      Some(s"""WITH s AS ($sqlShingles),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+             |SELECT least(da.source, db.source) AS src_lo,
+             |  greatest(da.source, db.source) AS src_hi,
+             |  CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM pairs
+             |JOIN documents da ON pairs.doc_a = da.doc_id
+             |JOIN documents db ON pairs.doc_b = db.doc_id
+             |GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+             |ORDER BY src_lo, src_hi""".stripMargin)),
   )
 }

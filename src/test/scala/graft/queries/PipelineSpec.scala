@@ -297,6 +297,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     want.foreach { case (k, v) => assert(got(k) == v, s"stratum $k") }
   }
 
+  test("q84 length histogram matches a driver-side bucket count") {
+    val ns = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0).split(" ").length)
+    def bucket(n: Int) = if (n < 16) 0 else if (n < 32) 16 else if (n < 64) 32
+      else if (n < 128) 64 else 128
+    val want = ns.groupBy(bucket).view.mapValues(g => (g.length.toLong, g.map(_.toLong).sum)).toMap
+    val got = q("q84_len_histogram").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(got.map(_._1).toSet == want.keySet)
+    var cum = 0L
+    got.sortBy(_._1).foreach { case (b, (nd, st, cd, cf)) =>
+      assert((nd, st) == want(b), s"bucket $b")
+      cum += nd
+      assert(cd == cum && cf == cum.toDouble / ns.length, s"bucket $b cumulative")
+    }
+  }
+
+  test("q85 provenance matrix aggregates q45's pairs by source") {
+    val src = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pairs.map { case (a, b) =>
+      val (x, y) = (src(a), src(b))
+      (if (x <= y) x else y, if (x <= y) y else x)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = q("q85_dup_provenance").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want && got.values.sum == pairs.length)
+  }
+
   test("q80 quantization is map-only (no hash exchange)") {
     val plan = q("q80_embed_quantize").queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
