@@ -213,6 +213,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q78/q79 shuffle the exploded token stream (no Generate-side broadcast)") {
+    // Catalyst's size estimate under a Generate is the PRE-explode relation
+    // size, so without the shuffle_hash hint it would broadcast the
+    // corpus-sized window/trigram stream (the q65 hazard). The hinted join
+    // must survive optimization as a shuffled hash join.
+    Seq("q78_dup_spans", "q79_lm_familiarity").foreach { name =>
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$name lost its shuffle-hash token-stream join:\n${plan.take(1200)}")
+    }
+  }
+
   test("q81 training order equals a driver-side global hash sort") {
     val M = 2147483647L
     val docs = Tables.load(spark, sfDir, "documents")
