@@ -637,5 +637,46 @@ object Dedup {
              |JOIN documents db ON pairs.doc_b = db.doc_id
              |GROUP BY least(da.source, db.source), greatest(da.source, db.source)
              |ORDER BY src_lo, src_hi""".stripMargin)),
+
+    // ---- Multi-signal dedup: fuse text and embedding near-dup evidence ---
+    // Production dedup is MULTI-SIGNAL: a pair can be caught by lexical
+    // overlap (MinHash-verified Jaccard, q45) or by semantic similarity
+    // (embedding cosine, q47) — the real drop set is the transitive
+    // closure over the UNION of both edge sets (ids are shared across the
+    // text and embedding modalities here, as in q82's assembly). Scale
+    // shape: both pair generators keep their audited shapes (LSH buckets;
+    // balanced tiles), the union is free, and the closure is the same
+    // large-star/small-star O(log diameter) machinery as q52.
+    QueryDef("q86_multisignal_dedup", (s, d) => {
+      val textPairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+      val embPairs = Similarity.tiledNearPairs(t(s, d, "embeddings"), 0.45)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      val (labels, _) = connectedComponents(textPairs.union(embPairs))
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
+             |tp AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |q AS (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
+             |n AS (SELECT vec_id, qv, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q),
+             |ep AS (
+             |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+             |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+             |  WHERE ${Similarity.sqlCos("a", "b")} >= 0.45),
+             |pairs AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
+             |edges AS (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+             |SELECT a AS doc_id,
+             |  least(a, min(b)) AS cluster_id
+             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -270,7 +270,7 @@ object Similarity {
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000000 + 0.5) AS BIGINT))"
   private[queries] def sqlDot(a: String, b: String) =
     s"CAST(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i])) AS BIGINT)"
-  private def sqlCos(a: String, b: String) =
+  private[queries] def sqlCos(a: String, b: String) =
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
 

@@ -340,6 +340,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.values.sum == pairs.length)
   }
 
+  test("q86 multi-signal clusters equal union-find over q45 + q47 pairs") {
+    val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ep = q("q47_embed_near_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.nonEmpty && ep.nonEmpty, "both signals must contribute edges")
+    val edges = (tp ++ ep).toSet
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = edges.flatMap(e => Seq(e._1, e._2)).map(n => n -> find(n)).toMap
+    val got = q("q86_multisignal_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // fusing the embedding signal must change the picture vs text-only
+    val textOnly = q("q52_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got != textOnly)
+  }
+
   test("q80 quantization is map-only (no hash exchange)") {
     val plan = q("q80_embed_quantize").queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
