@@ -7,8 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, rest @ _*) = args: @unchecked
     // optional extra args: restrict to the named queries (builder-side
-    // iteration; the driver always passes exactly two args = full dump)
+    // iteration; the driver always passes exactly two args = full dump).
+    // Unknown names fail fast — a typo must not produce an empty dump
+    // that exits 0.
     val only = rest.toSet
+    val unknown = only -- SparkEntry.queries.keySet
+    require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -37,6 +37,29 @@ object Curation {
     nTok >= 20 && nStop > 0 && dup2 <= 0.05 && ratio <= 0.12
   }
 
+  // Oracle-side mirror of [[gatesOk]], shared by every gate-consuming
+  // oracle (q68/q82/q83) so the thresholds exist in exactly TWO places —
+  // the Column above and this CTE pair — never per-query copies that
+  // could drift. `m` carries the superset of columns the consumers need.
+  private val sqlGateCtes =
+    """m AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    len(string_split(text, ' ')) AS n,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
+      |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+      |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
+      |  FROM documents),
+      |mx AS (
+      |  SELECT doc_id, max(c) AS mx FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    GROUP BY doc_id, tok) GROUP BY doc_id)""".stripMargin
+
+  private val sqlGateOk =
+    """(n >= 20 AND nstop > 0
+      |    AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+      |    AND CAST(mx AS DOUBLE) / n <= 0.12)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q68_curation_pipeline", (s, d) => {
@@ -59,26 +82,13 @@ object Curation {
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |m AS (
-             |  SELECT doc_id, lang,
-             |    len(string_split(text, ' ')) AS n,
-             |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
-             |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
-             |  FROM documents),
-             |mx AS (
-             |  SELECT doc_id, max(c) AS mx FROM (
-             |    SELECT doc_id, tok, count(*) AS c
-             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-             |    GROUP BY doc_id, tok) GROUP BY doc_id)
+             |$sqlGateCtes
              |SELECT m.doc_id, lang, n AS n_tokens,
              |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
              |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
              |       ELSE 'test' END AS split
              |FROM m JOIN mx ON m.doc_id = mx.doc_id
-             |WHERE n >= 20 AND nstop > 0
-             |  AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
-             |  AND CAST(mx AS DOUBLE) / n <= 0.12
+             |WHERE $sqlGateOk
              |  AND m.doc_id NOT IN (SELECT doc_id FROM drops)
              |ORDER BY m.doc_id""".stripMargin)),
 
@@ -104,24 +114,11 @@ object Curation {
         .join(e, "doc_id")
         .orderBy("doc_id")
     },
-      Some(s"""WITH m AS (
-             |  SELECT doc_id, lang, source,
-             |    len(string_split(text, ' ')) AS n,
-             |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
-             |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
-             |  FROM documents),
-             |mx AS (
-             |  SELECT doc_id, max(c) AS mx FROM (
-             |    SELECT doc_id, tok, count(*) AS c
-             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-             |    GROUP BY doc_id, tok) GROUP BY doc_id),
+      Some(s"""WITH $sqlGateCtes,
              |q AS (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
              |e AS (SELECT vec_id, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q)
              |SELECT m.doc_id, lang, source, n AS n_tokens,
-             |  (n >= 20 AND nstop > 0
-             |    AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
-             |    AND CAST(mx AS DOUBLE) / n <= 0.12) AS gates_ok,
+             |  $sqlGateOk AS gates_ok,
              |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
              |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
              |       ELSE 'test' END AS split,
@@ -163,23 +160,10 @@ object Curation {
              |tr AS (SELECT doc_id, unnest(sh) AS tok FROM s
              |       WHERE doc_id % 97 != 0),
              |contam AS (SELECT DISTINCT tr.doc_id FROM tr JOIN b ON tr.tok = b.tok),
-             |m AS (
-             |  SELECT doc_id, lang, source, n_chars,
-             |    len(string_split(text, ' ')) AS n,
-             |    len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS nstop,
-             |    len(list_distinct(list_transform(range(1, len(string_split(text, ' '))),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')))) AS d2
-             |  FROM documents),
-             |mx AS (
-             |  SELECT doc_id, max(c) AS mx FROM (
-             |    SELECT doc_id, tok, count(*) AS c
-             |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-             |    GROUP BY doc_id, tok) GROUP BY doc_id),
+             |$sqlGateCtes,
              |g AS (
              |  SELECT m.doc_id, lang, source, n_chars, n,
-             |    (n >= 20 AND nstop > 0
-             |      AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
-             |      AND CAST(mx AS DOUBLE) / n <= 0.12) AS ok,
+             |    $sqlGateOk AS ok,
              |    CASE WHEN m.doc_id IN (SELECT doc_id FROM contam) THEN 1 ELSE 0 END AS contam
              |  FROM m JOIN mx ON m.doc_id = mx.doc_id)
              |SELECT lang, source,

@@ -145,8 +145,10 @@ object Streams {
     * picked up without restart. */
   def decontaminatedIngest(incoming: DataFrame, evalDocs: DataFrame): DataFrame = {
     def sh = graft.functions.ArrayExprs.shingles(split(col("text"), " "), 3)
+    // collect_set deduplicates on its own — no pre-distinct, which would
+    // add an exchange re-executed on the static side of every micro-batch
     val evalShingles = evalDocs
-      .select(explode(sh).as("t")).distinct()
+      .select(explode(sh).as("t"))
       .agg(collect_set(col("t")).as("ev"))
     incoming.crossJoin(evalShingles)
       .filter(!arrays_overlap(sh, col("ev")))

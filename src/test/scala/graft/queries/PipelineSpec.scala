@@ -292,8 +292,14 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       .select("doc_id", "lang", "source", "n_chars", "text").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getString(4)))
     val contaminated = q("q72_decontaminate").collect().map(_.getLong(0)).toSet
-    val gates = q("q82_example_assembly").collect()
+    // gate verdicts from the per-doc queries, NOT from q82's output: the
+    // assembly inner-joins embeddings, which at sf0.1 cover only a subset
+    // of documents — q83 reports on every document
+    val quality = q("q41_text_quality").collect()
       .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val rep = q("q66_repetition").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    val gates = quality.map { case (id, ok) => id -> (ok && rep.getOrElse(id, true)) }
     val want = docs.groupBy(x => (x._2, x._3)).map { case (k, g) =>
       k -> ((g.length.toLong,
         g.map(_._5.split(" ").length.toLong).sum,
