@@ -1,0 +1,70 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle/spill/input byte audit — the host-noise-immune
+  * performance surface. Wall-clock on a contended shared host swings 3x
+  * between runs (see README, round 6), but BYTES MOVED is a property of
+  * the plan: at 100 TB the dominant cost is shuffle volume, so this is
+  * the number a plan change must be judged by. Runs each registered
+  * query against a noop sink (full execution, no result materialization
+  * on the driver) and prints one line per query:
+  *
+  *   SHUFFLE <name> in=<input> sread=<shuffle read> swrite=<shuffle write>
+  *           spillMem=<memory spill> spillDisk=<disk spill>
+  *
+  * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.ShuffleAudit <sfDir> [namePrefix...]
+  */
+object ShuffleAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val prefixes = args.drop(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val input = new AtomicLong; val sread = new AtomicLong
+    val swrite = new AtomicLong; val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null) {
+          input.addAndGet(m.inputMetrics.bytesRead)
+          sread.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          swrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          memSpill.addAndGet(m.memoryBytesSpilled)
+          diskSpill.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
+    def fmt(b: Long): String =
+      if (b >= (1L << 20)) f"${b / 1048576.0}%.1fMiB"
+      else if (b >= (1L << 10)) f"${b / 1024.0}%.1fKiB"
+      else s"${b}B"
+
+    graft.SparkEntry.registry
+      .filter(q => prefixes.isEmpty || prefixes.exists(q.name.startsWith))
+      .foreach { q =>
+        Seq(input, sread, swrite, memSpill, diskSpill).foreach(_.set(0L))
+        try {
+          q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+          // listener events are posted asynchronously; drain before reading
+          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
+          println(s"SHUFFLE ${q.name} in=${fmt(input.get)} " +
+            s"sread=${fmt(sread.get)} swrite=${fmt(swrite.get)} " +
+            s"spillMem=${fmt(memSpill.get)} spillDisk=${fmt(diskSpill.get)}")
+        } catch {
+          case e: Throwable => println(s"SHUFFLE ${q.name} FAILED ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}
