@@ -195,14 +195,28 @@ object Similarity {
     val e = quantize(emb)
     val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
-    val assigned = e.crossJoin(broadcast(cents))
+    IvfIndex(cents, assignTo(cents, e))
+  }
+
+  /** Assign quantized vectors to their nearest centroid of `cents`. */
+  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
       .groupBy("vec_id")
       .agg(max_by(col("c_id"), struct(col("c_cos"), (-col("c_id")).as("t"))).as("cell"))
       .join(e, "vec_id")
       .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"), col("cell"))
-    IvfIndex(cents, assigned)
-  }
+
+  /** Incremental index maintenance: assign an ingest batch to the
+    * EXISTING coarse quantizer and append — the per-batch operation a
+    * production ANN index runs between (rare, full) retrains. Cost is
+    * O(batch x centroids) cosines plus one narrow shuffle of batch rows;
+    * the corpus-sized `assigned` side is untouched (in production it is
+    * a persisted table the batch appends to). Centroids deliberately do
+    * NOT change: the quantizer drifts only at retrain, which is what
+    * keeps incremental assignment deterministic and cheap. */
+  def ivfExtend(index: IvfIndex, batch: DataFrame): IvfIndex =
+    index.copy(assigned = index.assigned.union(assignTo(index.cents, quantize(batch))))
 
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     * the corpus with the IVF coarse quantizer, then WITHIN each cluster

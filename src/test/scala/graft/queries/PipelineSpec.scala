@@ -346,6 +346,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want && got.values.sum == pairs.length)
   }
 
+  test("ivfExtend assigns a batch to the existing quantizer without rebuild") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    val idx = Similarity.ivfIndex(corpus, centroids = 16)
+    val ext = Similarity.ivfExtend(idx, batch)
+    // old assignments are untouched; every batch vector gains exactly one
+    val before = idx.assigned.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val after = ext.assigned.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(after.size == emb.count())
+    before.foreach { case (id, cell) => assert(after(id) == cell, s"vec $id moved") }
+    // each new vector's cell is its argmax-cosine centroid (driver check
+    // on the exact integer grid, ties broken by smaller centroid id)
+    val cents = idx.cents.collect().map { r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2))
+    }
+    def quant(v: Seq[Float]) = v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong).toArray
+    batch.collect().foreach { r =>
+      val q = quant(r.getSeq[Float](1))
+      val n2 = q.map(x => x * x).sum
+      val best = cents.map { case (cid, cv, cn) =>
+        val d = q.zip(cv).map { case (a, b) => a * b }.sum
+        (d.toDouble / math.sqrt(n2.toDouble) / math.sqrt(cn.toDouble), -cid)
+      }.zip(cents.map(_._1)).maxBy(_._1)._2
+      assert(after(r.getLong(0)) == best, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("q86 multi-signal clusters equal union-find over q45 + q47 pairs") {
     val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
     val ep = q("q47_embed_near_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
