@@ -146,5 +146,64 @@ object Events {
              |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
              |      FROM events)
              |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Gap filling + LOCF: regularize an event series ------------------
+    // The time-series resampling op every metrics pipeline needs: build a
+    // dense hourly spine per event type between the corpus's min and max
+    // hour, left-join the observed hourly aggregates, zero-fill counts,
+    // and carry the last observed sum forward over gaps (LOCF via
+    // last(ignoreNulls) — IGNORE NULLS exists in both engines). Hours are
+    // exact integer hour-indexes (epoch_us div 3600e6), sums exact
+    // DECIMAL cast to double at the end (the q30 parity pattern).
+    //
+    // Scale shape: the raw stream collapses to hourly aggregates FIRST
+    // (map-side partial count/sum, one shuffle), so the spine, join, and
+    // LOCF window all run over (types x hours) rows — bounded by
+    // calendar time, not data volume: a century of hours is <1M rows per
+    // type. The per-type LOCF window sorts spine rows only, never events.
+    QueryDef("q87_gap_fill", (s, d) => {
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, d, "events")
+        .withColumn("h_idx", expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs"))
+      val hourly = ev.groupBy("event_type", "h_idx")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).as("sv"))
+      val bounds = ev.agg(min("h_idx").as("lo"), max("h_idx").as("hi"))
+      val spine = ev.select("event_type").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h_idx"))
+      val w = Window.partitionBy("event_type").orderBy("h_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      spine.join(hourly, Seq("event_type", "h_idx"), "left")
+        .withColumn("is_gap", col("sv").isNull)
+        .withColumn("locf_sum_value", last(col("sv"), ignoreNulls = true).over(w).cast("double"))
+        .select(col("event_type"),
+          timestamp_micros(col("h_idx") * hourUs).as("h"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          col("is_gap"), col("locf_sum_value"))
+        .orderBy("event_type", "h")
+    },
+      Some("""WITH ev AS (
+             |  SELECT event_type,
+             |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS h_idx,
+             |    CAST(value AS DECIMAL(12,2)) AS v
+             |  FROM events),
+             |hourly AS (SELECT event_type, h_idx, count(*) AS n, sum(v) AS sv
+             |           FROM ev GROUP BY 1, 2),
+             |b AS (SELECT min(h_idx) AS lo, max(h_idx) AS hi FROM ev),
+             |types AS (SELECT DISTINCT event_type FROM ev),
+             |spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS h_idx
+             |          FROM types CROSS JOIN b)
+             |SELECT spine.event_type,
+             |  make_timestamp(spine.h_idx * 3600000000) AS h,
+             |  coalesce(n, 0) AS n,
+             |  sv IS NULL AS is_gap,
+             |  CAST(last_value(sv IGNORE NULLS) OVER (
+             |    PARTITION BY spine.event_type ORDER BY spine.h_idx
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS locf_sum_value
+             |FROM spine LEFT JOIN hourly
+             |  ON spine.event_type = hourly.event_type AND spine.h_idx = hourly.h_idx
+             |ORDER BY spine.event_type, h""".stripMargin)),
   )
 }

@@ -375,6 +375,39 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q87 gap fill covers the dense spine and carries sums forward") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(date_trunc("hour", col("ts"))).as("us"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 3600000000L, r.getDouble(2)))
+    val types = ev.map(_._1).distinct.sorted
+    val (lo, hi) = (ev.map(_._2).min, ev.map(_._2).max)
+    val hourly = ev.groupBy(x => (x._1, x._2)).map { case (k, g) =>
+      k -> ((g.length.toLong,
+        g.map(x => JBD.valueOf(x._3).setScale(2, RoundingMode.HALF_UP))
+          .reduce(_.add(_))))
+    }
+    val rows = q("q87_gap_fill").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toInstant.toEpochMilli * 1000L / 3600000000L,
+        r.getLong(2), r.getBoolean(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.length == types.length * (hi - lo + 1))
+    types.foreach { t =>
+      var carry: Option[Double] = None
+      rows.filter(_._1 == t).sortBy(_._2).foreach { case (_, h, n, gap, locf) =>
+        hourly.get((t, h)) match {
+          case Some((cnt, sum)) =>
+            assert(n == cnt && !gap, s"$t@$h")
+            carry = Some(sum.doubleValue)
+          case None =>
+            assert(n == 0L && gap, s"$t@$h should be a gap")
+        }
+        assert(locf == carry, s"$t@$h locf $locf vs $carry")
+      }
+    }
+    assert(rows.exists(_._4), "the spine must contain filled gaps")
+  }
+
   test("q86 multi-signal clusters equal union-find over q45 + q47 pairs") {
     val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
     val ep = q("q47_embed_near_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
