@@ -836,7 +836,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing",
-      "q73_semdedup", "q76_domain_mix", "q81_train_order")
+      "q73_semdedup", "q76_domain_mix", "q81_train_order", "q87_gap_fill")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
