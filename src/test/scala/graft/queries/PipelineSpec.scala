@@ -180,6 +180,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
   }
 
+  test("dupSpans pins planted partial-copy coverage exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1 and 2 share one 8-token run at different positions; doc 3 is
+    // unique. An 8-token shared run yields exactly 4 duplicated 5-windows
+    // whose interval union covers exactly 8 tokens — boundary windows mix
+    // in differing context and must NOT count.
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val df = Seq(
+      (1L, s"a1 a2 a3 $shared b1 b2"),
+      (2L, s"c1 $shared e1 e2 e3 e4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")).toDF("doc_id", "text")
+    val got = Dedup.dupSpans(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == ((4L, 8L)))
+    assert(got(2L) == ((4L, 8L)))
+    assert(got(3L) == ((0L, 0L)))
+  }
+
+  test("lmFamiliarity scores a planted repeated-trigram corpus exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // doc 1: "x y z x y z" -> trigrams [xyz, yzx, zxy, xyz]; doc 2 shares
+    // only "x y z". Corpus counts: xyz=3, all others 1.
+    val df = Seq((1L, "x y z x y z"), (2L, "x y z q r s")).toDF("doc_id", "text")
+    val got = Text.lmFamiliarity(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(6))))
+      .toMap
+    assert(got(1L) == ((4L, 8L, 2L, true)))  // fam 3+1+1+3, novel yzx/zxy
+    assert(got(2L) == ((4L, 6L, 3L, false))) // fam 3+1+1+1 < 2*4
+  }
+
   test("q79 LM familiarity matches driver-side trigram counting") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
