@@ -309,6 +309,67 @@ object Text {
              |  regexp_replace(text, '\b(customer|vector|stream)\b', '[*]', 'g') AS clean_text
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // ---- BM25 retrieval scoring (fixed query, corpus ranking) ------------
+    // The retrieval-side ranking op a RAG pipeline runs over the corpus:
+    // Okapi BM25 with k1 = 1.2, b = 0.75 against a fixed query term set.
+    // Two portability choices, both in the q67 tradition: (1) idf uses the
+    // RATIONAL surrogate (2(N-df)+1)/(2df+1) — ln() is not bit-portable
+    // across engines (monotone per term, so per-term ordering is
+    // preserved); (2) per-term scores are converted to FIXED-POINT int64
+    // (floor(score * 1e9)) BEFORE the per-document sum — double addition
+    // is order-dependent under parallel aggregation, integer addition is
+    // not, so the total is engine- and partition-order-exact. Constants
+    // are double literals (2.2, not 1.2+1: computed constants round
+    // differently than parsed literals).
+    //
+    // Scale shape: the query-term filter prunes the exploded token stream
+    // AT THE SCAN (predicate pushdown on the term), tf is one grouped
+    // count, df one more over the tf set, the corpus stats a one-row
+    // broadcast — per-query cost is proportional to the posting lists,
+    // not the corpus.
+    QueryDef("q88_bm25", (s, d) => {
+      val terms = Seq("data", "stream", "table")
+      val docs = t(s, d, "documents")
+      val e = docs.select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
+        .filter(col("term").isin(terms: _*))
+      val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
+      val tf = e.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), min("len").as("len"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "term").crossJoin(broadcast(stats))
+        .withColumn("idf", (lit(2) * (col("n") - col("df")) + 1).cast("double") /
+          (lit(2) * col("df") + 1).cast("double"))
+        .withColumn("norm", col("len").cast("double") * col("n") / col("sumlen"))
+        .withColumn("tscore", col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("norm"))))
+        .withColumn("fixed", floor(col("tscore") * lit(1e9)).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum("fixed").as("score_fixed"), count(lit(1)).as("n_query_terms"))
+        .orderBy(col("score_fixed").desc, col("doc_id"))
+        .limit(50)
+    },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS sumlen FROM d),
+             |e AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM d),
+             |tf AS (
+             |  SELECT doc_id, term, count(*) AS tf, min(len) AS len
+             |  FROM e WHERE term IN ('data', 'stream', 'table')
+             |  GROUP BY doc_id, term),
+             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(floor(
+             |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+             |      * (CAST(tf AS DOUBLE) * 2.2)
+             |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             |          (CAST(len AS DOUBLE) * n / sumlen)))
+             |      * 1000000000.0) AS BIGINT) AS fixed
+             |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+             |SELECT doc_id, CAST(sum(fixed) AS BIGINT) AS score_fixed,
+             |  CAST(count(*) AS BIGINT) AS n_query_terms
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_fixed DESC, doc_id LIMIT 50""".stripMargin)),
+
     // ---- Corpus-LM familiarity: n-gram frequency quality filter ----------
     // The CCNet/KenLM perplexity gate's exact-arithmetic stand-in: score
     // every document by how familiar its trigram instances are to the

@@ -212,6 +212,37 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((4L, 6L, 3L, false))) // fam 3+1+1+1 < 2*4
   }
 
+  test("q88 BM25 ranking matches a driver-side computation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val terms = Seq("data", "stream", "table")
+    val n = docs.size.toLong
+    val sumlen = docs.values.map(_.length.toLong).sum
+    val tf = docs.toSeq.flatMap { case (id, tk) =>
+      terms.flatMap { t =>
+        val c = tk.count(_ == t)
+        if (c > 0) Some((id, t, c.toLong, tk.length.toLong)) else None
+      }
+    }
+    val dfm = tf.groupBy(_._2).map { case (t, g) => t -> g.size.toLong }
+    val want = tf.groupBy(_._1).map { case (id, g) =>
+      val fixed = g.map { case (_, t, c, len) =>
+        val idf = (2 * (n - dfm(t)) + 1).toDouble / (2 * dfm(t) + 1).toDouble
+        val norm = len.toDouble * n / sumlen
+        val ts = idf * (c.toDouble * 2.2) / (c.toDouble + 1.2 * (0.25 + 0.75 * norm))
+        math.floor(ts * 1e9).toLong
+      }.sum
+      id -> ((fixed, g.size.toLong))
+    }
+    val got = q("q88_bm25").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // rows are the global top-50 under (score desc, id)
+    val wantTop = want.toSeq.map { case (id, (f, nt)) => (id, f, nt) }
+      .sortBy(x => (-x._2, x._1)).take(50)
+    assert(got.toSeq == wantTop)
+  }
+
   test("q79 LM familiarity matches driver-side trigram counting") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
@@ -868,7 +899,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing",
-      "q73_semdedup", "q76_domain_mix", "q81_train_order", "q87_gap_fill")
+      "q73_semdedup", "q76_domain_mix", "q81_train_order", "q87_gap_fill",
+      "q88_bm25")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
