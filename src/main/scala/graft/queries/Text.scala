@@ -277,6 +277,36 @@ object Text {
              |FROM e GROUP BY doc_id, pos // 16
              |ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // ---- Overlapping (strided) chunking: the RAG/retrieval windowing -----
+    // q69's tumbling chunks suit a fixed-context trainer; retrieval
+    // pipelines instead cut OVERLAPPING windows (16 tokens, stride 8) so
+    // no answer span is split across chunk boundaries. Starts are
+    // 0, 8, 16, ... while start < n (floor((n-1)/8)+1 chunks); the last
+    // window clips at the document end. Map-only: chunk enumeration is
+    // pure arithmetic on the token array (posexplode of a transformed
+    // sequence — no token-level shuffle at all), ordering aside.
+    QueryDef("q89_overlap_chunks", (s, d) => {
+      val (w, stride) = (16, 8)
+      t(s, d, "documents")
+        .select(col("doc_id"), toks.as("tk"), size(toks).as("n"))
+        .select(col("doc_id"), col("tk"), col("n"), posexplode(transform(
+          sequence(lit(0), expr(s"(n - 1) div $stride")),
+          i => (i * stride).cast("int"))).as(Seq("chunk_id", "start")))
+        .select(col("doc_id"), col("chunk_id"), col("start"),
+          array_join(slice(col("tk"), col("start") + 1, lit(w)), " ").as("chunk_text"),
+          least(lit(w), col("n") - col("start")).as("n_tokens"))
+        .orderBy("doc_id", "chunk_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |                  len(string_split(text, ' ')) AS n FROM documents),
+             |c AS (SELECT doc_id, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS chunk_id
+             |      FROM t)
+             |SELECT doc_id, chunk_id, CAST(chunk_id * 8 AS INTEGER) AS start,
+             |  array_to_string(tk[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ') AS chunk_text,
+             |  least(16, n - chunk_id * 8) AS n_tokens
+             |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // ---- Blocklist scrub: wordlist hit counting + redaction --------------
     // The C4/Dolma-style badword gate: count whole-word blocklist hits per
     // document, flag documents whose hit RATIO crosses a threshold (an

@@ -212,6 +212,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((4L, 6L, 3L, false))) // fam 3+1+1+1 < 2*4
   }
 
+  test("q89 overlap chunks slide by the stride and clip at the end") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val got = q("q89_overlap_chunks").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getInt(2), r.getString(3), r.getInt(4))))
+      .toMap
+    docs.foreach { case (id, tk) =>
+      val nChunks = (tk.length - 1) / 8 + 1
+      (0 until nChunks).foreach { c =>
+        val start = c * 8
+        val want = tk.slice(start, math.min(start + 16, tk.length))
+        val (gs, gt, gn) = got((id, c))
+        assert(gs == start && gt == want.mkString(" ") && gn == want.length,
+          s"doc $id chunk $c")
+      }
+      assert(!got.contains((id, nChunks)), s"doc $id has excess chunks")
+    }
+    assert(got.size == docs.values.map(tk => (tk.length - 1) / 8 + 1).sum)
+  }
+
   test("q88 BM25 ranking matches a driver-side computation") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
