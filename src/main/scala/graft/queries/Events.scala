@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -19,6 +19,38 @@ import graft.{QueryDef, Tables}
   */
 object Events {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Gap filling + LOCF over an (event_type, ts, value) stream — see q87
+    * below for the distributed shape. Exposed as a library function so
+    * degenerate inputs are spec-testable.
+    *
+    * Degenerate inputs are guarded so `sequence(lo, hi)` never sees
+    * nulls: rows with a null timestamp are excluded up front (they have
+    * no place on an hourly spine), and the bounds row is dropped when
+    * empty input leaves min/max null — both cases yield an EMPTY result
+    * rather than a runtime error. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = events.filter(col("ts").isNotNull)
+      .withColumn("h_idx", expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs"))
+    val hourly = ev.groupBy("event_type", "h_idx")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("sv"))
+    val bounds = ev.agg(min("h_idx").as("lo"), max("h_idx").as("hi"))
+      .filter(col("lo").isNotNull)
+    val spine = ev.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h_idx"))
+    val w = Window.partitionBy("event_type").orderBy("h_idx")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(hourly, Seq("event_type", "h_idx"), "left")
+      .withColumn("is_gap", col("sv").isNull)
+      .withColumn("locf_sum_value", last(col("sv"), ignoreNulls = true).over(w).cast("double"))
+      .select(col("event_type"),
+        timestamp_micros(col("h_idx") * hourUs).as("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("is_gap"), col("locf_sum_value"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -161,28 +193,8 @@ object Events {
     // LOCF window all run over (types x hours) rows — bounded by
     // calendar time, not data volume: a century of hours is <1M rows per
     // type. The per-type LOCF window sorts spine rows only, never events.
-    QueryDef("q87_gap_fill", (s, d) => {
-      val hourUs = 3600L * 1000000L
-      val ev = t(s, d, "events")
-        .withColumn("h_idx", expr(s"unix_micros(date_trunc('hour', ts)) div $hourUs"))
-      val hourly = ev.groupBy("event_type", "h_idx")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).as("sv"))
-      val bounds = ev.agg(min("h_idx").as("lo"), max("h_idx").as("hi"))
-      val spine = ev.select("event_type").distinct()
-        .crossJoin(broadcast(bounds))
-        .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("h_idx"))
-      val w = Window.partitionBy("event_type").orderBy("h_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      spine.join(hourly, Seq("event_type", "h_idx"), "left")
-        .withColumn("is_gap", col("sv").isNull)
-        .withColumn("locf_sum_value", last(col("sv"), ignoreNulls = true).over(w).cast("double"))
-        .select(col("event_type"),
-          timestamp_micros(col("h_idx") * hourUs).as("h"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          col("is_gap"), col("locf_sum_value"))
-        .orderBy("event_type", "h")
-    },
+    QueryDef("q87_gap_fill", (s, d) =>
+      gapFillHourly(t(s, d, "events")).orderBy("event_type", "h"),
       Some("""WITH ev AS (
              |  SELECT event_type,
              |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS h_idx,

@@ -240,6 +240,15 @@ object Similarity {
     * (see [[ivfIndex]]). */
   def semDedup(emb: DataFrame, threshold: Double, centroids: Int = 64): DataFrame = {
     val asg = ivfIndex(emb, centroids).assigned.localCheckpoint()
+    val drops = withinCellPairs(asg, threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    asg.select(col("n_id").as("vec_id"), col("cell"))
+      .join(drops, Seq("vec_id"), "left_anti")
+  }
+
+  /** Within-cell near-dup pairs over an IVF `assigned` table:
+    * (vec_a < vec_b, cos_sim) for cluster-mates with cosine >= threshold. */
+  private def withinCellPairs(asg: DataFrame, threshold: Double): DataFrame = {
     val a = asg.select(col("cell"), col("n_id").as("vec_a"),
       col("qb").as("qa"), col("nb").as("na"))
     val b = asg.select(col("cell"), col("n_id").as("vec_b"),
@@ -247,14 +256,25 @@ object Similarity {
     // divide by the SMALLER id's norm first — double division is not
     // associative-commutative and the oracle's a-then-b order must be
     // reproduced exactly (vec_a < vec_b by construction here)
-    val drops = a.join(b, Seq("cell"))
+    a.join(b, Seq("cell"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .filter(col("cos_sim") >= threshold)
-      .select(col("vec_b").as("vec_id")).distinct()
-    asg.select(col("n_id").as("vec_id"), col("cell"))
-      .join(drops, Seq("vec_id"), "left_anti")
   }
+
+  /** Cluster-local semantic near-dup PAIRS — the SemDeDup edge generator
+    * (q73's comparison rule) exposed as a pair set: (vec_a < vec_b,
+    * cos_sim) for vectors sharing an IVF cell with cosine >= threshold.
+    * The scale-safe default edge source for multi-signal dedup (q86):
+    * comparisons are sum(cell^2) ~ n^2/centroids instead of the exact
+    * join's n^2/2, and every cell is an ordinary AQE-splittable
+    * shuffle-join task. Cross-cell pairs are missed by construction —
+    * the published SemDeDup contract (the exact path stays available as
+    * [[tiledNearPairs]]). */
+  def clusterLocalNearPairs(emb: DataFrame, threshold: Double,
+      centroids: Int = 64): DataFrame =
+    withinCellPairs(ivfIndex(emb, centroids).assigned.localCheckpoint(), threshold)
+      .select("vec_a", "vec_b", "cos_sim")
 
   /** Top-k neighbors from a built index for an arbitrary (vec_id,
     * embedding) query batch — queries need not be corpus members. Each

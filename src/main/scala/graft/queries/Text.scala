@@ -352,15 +352,21 @@ object Text {
     // are double literals (2.2, not 1.2+1: computed constants round
     // differently than parsed literals).
     //
-    // Scale shape: the query-term filter prunes the exploded token stream
-    // AT THE SCAN (predicate pushdown on the term), tf is one grouped
-    // count, df one more over the tf set, the corpus stats a one-row
-    // broadcast — per-query cost is proportional to the posting lists,
-    // not the corpus.
+    // Scale shape: documents containing NO query term are dropped BEFORE
+    // the Generate by an arrays_overlap predicate on the token array —
+    // map-side in the scan stage (the per-term isin predicate sits on the
+    // explode's output column and cannot move below the Generate, so
+    // without the pre-filter the full token stream of every document
+    // materializes). tf is one grouped count, df one more over the tf
+    // set, the corpus stats a one-row broadcast — per-query cost is
+    // proportional to the matching documents' posting lists, not the
+    // corpus.
     QueryDef("q88_bm25", (s, d) => {
       val terms = Seq("data", "stream", "table")
       val docs = t(s, d, "documents")
-      val e = docs.select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
+      val e = docs
+        .filter(arrays_overlap(toks, array(terms.map(lit): _*)))
+        .select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
         .filter(col("term").isin(terms: _*))
       val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
       val tf = e.groupBy("doc_id", "term")

@@ -142,8 +142,20 @@ object Streams {
     * into each micro-batch and tested with `arrays_overlap` — fully
     * stateless, no aggregation state, no stream-side shuffle. The static
     * side is re-planned per micro-batch, so an updated eval table is
-    * picked up without restart. */
-  def decontaminatedIngest(incoming: DataFrame, evalDocs: DataFrame): DataFrame = {
+    * picked up without restart.
+    *
+    * The bounded-eval-set contract is ENFORCED, not assumed: a corpus
+    * passed as `evalDocs` would silently build a multi-GB single array
+    * cell (and eventually hit the 2 GB array limit) — so construction
+    * runs one bounded job (a limit-capped count, cost O(maxEvalDocs)
+    * regardless of the table's size) and fails fast instead. */
+  def decontaminatedIngest(incoming: DataFrame, evalDocs: DataFrame,
+      maxEvalDocs: Int = 100000): DataFrame = {
+    val n = evalDocs.limit(maxEvalDocs + 1).count()
+    require(n <= maxEvalDocs,
+      s"decontaminatedIngest: eval set exceeds $maxEvalDocs documents — its " +
+        "distinct shingle set must broadcast as ONE array cell per micro-batch; " +
+        "raise maxEvalDocs only if executor memory allows")
     def sh = graft.functions.ArrayExprs.shingles(split(col("text"), " "), 3)
     // collect_set deduplicates on its own — no pre-distinct, which would
     // add an exchange re-executed on the static side of every micro-batch

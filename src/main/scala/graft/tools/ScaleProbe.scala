@@ -161,6 +161,17 @@ object ScaleProbe {
         graft.queries.Similarity.semDedup(replicateEmb(m), 0.45,
           centroids = (64 * math.sqrt(m)).toInt).count()
       }
+      // multi-signal dedup, full q86 composition: LSH text edges ∪
+      // cluster-local semantic edges (centroids ~ sqrt(n), the scale
+      // contract) -> large-star/small-star closure — every piece is
+      // bucketed, so the composition must scale ~linearly (the doc/vec
+      // id spaces drift apart under replication, which only thins the
+      // cross-modality fusion; the probe measures plan cost, not labels)
+      time(s"multisignal_dedup_x$m") {
+        graft.queries.Dedup.multiSignalDedup(docs, replicateEmb(m),
+          graft.queries.Dedup.SemanticEdges.ClusterLocal(0.45,
+            centroids = (64 * math.sqrt(m)).toInt)).count()
+      }
       // duplicated-span coverage: window groups never mix across
       // Caesar-rotated replicas (disjoint vocabularies), so the count
       // shuffle, the join-back, and the per-doc interval merge must all

@@ -35,7 +35,9 @@ object ShuffleAudit {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
-        if (m != null) {
+        // failed/retried stage attempts would double-count their bytes —
+        // only successful attempts describe the plan
+        if (m != null && sc.stageInfo.failureReason.isEmpty) {
           input.addAndGet(m.inputMetrics.bytesRead)
           sread.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           swrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
@@ -56,11 +58,19 @@ object ShuffleAudit {
         Seq(input, sread, swrite, memSpill, diskSpill).foreach(_.set(0L))
         try {
           q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
-          // listener events are posted asynchronously; drain before reading
-          org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
+          // listener events are posted asynchronously; drain before reading.
+          // A drain timeout means the QUERY succeeded but the bus lagged —
+          // report the (possibly partial) bytes with a marker, not FAILED.
+          val marker =
+            try {
+              org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext, 60000L)
+              ""
+            } catch {
+              case _: java.util.concurrent.TimeoutException => " metrics-incomplete"
+            }
           println(s"SHUFFLE ${q.name} in=${fmt(input.get)} " +
             s"sread=${fmt(sread.get)} swrite=${fmt(swrite.get)} " +
-            s"spillMem=${fmt(memSpill.get)} spillDisk=${fmt(diskSpill.get)}")
+            s"spillMem=${fmt(memSpill.get)} spillDisk=${fmt(diskSpill.get)}$marker")
         } catch {
           case e: Throwable => println(s"SHUFFLE ${q.name} FAILED ${e.getMessage}")
         }

@@ -492,11 +492,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_._4), "the spine must contain filled gaps")
   }
 
-  test("q86 multi-signal clusters equal union-find over q45 + q47 pairs") {
-    val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
-    val ep = q("q47_embed_near_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(tp.nonEmpty && ep.nonEmpty, "both signals must contribute edges")
-    val edges = (tp ++ ep).toSet
+  test("gapFillHourly is total on degenerate inputs (empty / null ts / singleton)") {
+    import spark.implicits._
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    def df(rows: Seq[(String, java.sql.Timestamp, Double)]) =
+      rows.toDF("event_type", "ts", "value")
+    // empty input -> empty spine, no sequence(null, null) error
+    assert(Events.gapFillHourly(df(Seq.empty)).count() == 0L)
+    // all-null timestamps -> no spine position exists -> empty
+    assert(Events.gapFillHourly(df(Seq(("click", nullTs, 1.0)))).count() == 0L)
+    // a single event -> a one-hour spine
+    val one = Events.gapFillHourly(
+      df(Seq(("click", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 2.5)))).collect()
+    assert(one.length == 1 && one(0).getLong(2) == 1L && !one(0).getBoolean(3) &&
+      one(0).getDouble(4) == 2.5)
+    // null-ts rows are excluded, not crashed on, when real rows exist too
+    val mixed = Events.gapFillHourly(df(Seq(
+      ("click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("view", nullTs, 9.0))))
+    assert(mixed.collect().map(_.getString(0)).toSet == Set("click"))
+  }
+
+  // driver-side union-find over an edge list: the reference closure for
+  // the multi-signal dedup tests
+  private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElse(x, x)
@@ -506,14 +525,65 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val want = edges.flatMap(e => Seq(e._1, e._2)).map(n => n -> find(n)).toMap
-    val got = q("q86_multisignal_dedup").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    edges.flatMap(e => Seq(e._1, e._2)).map(n => n -> find(n)).toMap
+  }
+
+  test("q86 default (cluster-local) clusters equal union-find over q45 + SemDeDup pairs") {
+    // 8 centroids at sf0.001 (50 vectors): the registered query's 64 would
+    // make every vector its own centroid and the semantic signal vacuous —
+    // the sf0.01 driver gate exercises the registered 64-centroid default
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ep = Similarity.clusterLocalNearPairs(emb, 0.45, centroids = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.nonEmpty && ep.nonEmpty, "both signals must contribute edges")
+    val want = unionFind((tp ++ ep).toSet)
+    val got = Dedup.multiSignalDedup(docs, emb,
+        Dedup.SemanticEdges.ClusterLocal(0.45, centroids = 8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
     // fusing the embedding signal must change the picture vs text-only
     val textOnly = q("q52_dedup_components").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got != textOnly)
+  }
+
+  test("q86 exact variant clusters equal union-find over q45 + q47 pairs") {
+    val tp = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ep = q("q47_embed_near_pairs").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tp.nonEmpty && ep.nonEmpty, "both signals must contribute edges")
+    val want = unionFind((tp ++ ep).toSet)
+    val got = Dedup.multiSignalDedup(
+        Tables.load(spark, sfDir, "documents"),
+        Tables.load(spark, sfDir, "embeddings"),
+        Dedup.SemanticEdges.ExactTiled(0.45))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("q86 default edge-generator plan carries no tiled-explosion Generate") {
+    // the closure's localCheckpoint truncates lineage, so the registered
+    // query's own plan cannot show the pair generators — assert on the
+    // edge-generator plan that FEEDS the checkpoint. The exact tiled
+    // join's signature is a Generate exploding a sequence() tile range;
+    // the cluster-local default must never plan one (its Generates, if
+    // any, explode band-hash ARRAYS — 'sequence' isolates the tile
+    // expansion exactly).
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // both halves of the default generator: the assignment pipeline that
+    // feeds the checkpoint, and the within-cell pair join above it
+    val asg = Similarity.ivfIndex(emb, 64).assigned
+      .queryExecution.optimizedPlan.toString
+    val dflt = Dedup.SemanticEdges.ClusterLocal()
+      .pairs(emb).queryExecution.optimizedPlan.toString
+    Seq(asg, dflt).foreach(p =>
+      assert(!p.toLowerCase.contains("sequence("),
+        s"default q86 edges must not contain the tiled sequence() expansion:\n${p.take(1500)}"))
+    // the opt-in exact variant DOES (sanity check of the assert itself)
+    val exact = Dedup.SemanticEdges.ExactTiled(0.45)
+      .pairs(emb).queryExecution.optimizedPlan.toString
+    assert(exact.toLowerCase.contains("sequence("))
   }
 
   test("q80 quantization is map-only (no hash exchange)") {
