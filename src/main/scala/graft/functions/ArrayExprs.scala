@@ -54,6 +54,11 @@ object ArrayExprs {
   def topTokenCount(tokens: Column): Column =
     ColumnBridge.column(TopTokenCount(ColumnBridge.expression(tokens)))
 
+  /** 62-bit hashes of the n-w+1 space-joined w-token windows of an
+    * ARRAY<STRING> token sequence — the narrow dup-span group/join key. */
+  def windowHashes(tokens: Column, w: Int): Column =
+    ColumnBridge.column(WindowHashes(ColumnBridge.expression(tokens), w))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
@@ -167,6 +172,45 @@ object ArrayOps {
       i += 1
     }
     fp
+  }
+
+  /** Per-window 62-bit hashes of the space-joined w-token windows:
+    * out(i) = h131 * 2^31 + (h137 mod 2^31), where h_base is [[polyHash]]
+    * with that base over the window's codepoints INCLUDING the single
+    * joining spaces — i.e. exactly polyHash(array_to_string(window, ' ')),
+    * so the DuckDB oracle reproduces every value from the window string.
+    * Max value (2^32-6)*2^31 + 2^31-1 < 2^63, so the combine never
+    * overflows a signed 64-bit. Collisions exist in principle (62-bit
+    * space) but at ~10^10 windows the expected count is ~0.003 — the
+    * price of shuffling 8-byte keys instead of ~30-byte strings. */
+  def windowHashes(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(new Array[Any](0))
+    val out = new Array[Long](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      var h1 = 0L
+      var h2 = 0L
+      var j = i
+      while (j < i + w) {
+        val s = arr.getUTF8String(j).toString
+        var k = 0
+        while (k < s.length) {
+          val cp = s.codePointAt(k)
+          h1 = (h1 * 131L + cp) % 4294967291L
+          h2 = (h2 * 137L + cp) % 4294967291L
+          k += Character.charCount(cp)
+        }
+        if (j < i + w - 1) {
+          h1 = (h1 * 131L + 32L) % 4294967291L
+          h2 = (h2 * 137L + 32L) % 4294967291L
+        }
+        j += 1
+      }
+      out(i) = h1 * 2147483648L + (h2 % 2147483648L)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Deterministic Rademacher (+-1) hyperplane sign masks: plane p's mask
@@ -307,6 +351,25 @@ case class TopTokenCount(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.topTokenCount($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TopTokenCount =
+    copy(child = newChild)
+}
+
+/** 62-bit hashes of the space-joined w-token windows of a token sequence
+  * ([[ArrayOps.windowHashes]]) — replaces the raw window STRINGS as the
+  * dup-span group/join key: the shuffle carries 8-byte longs instead of
+  * reconstructed text. */
+case class WindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.windowHashes(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.windowHashes($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
 }
 

@@ -30,7 +30,8 @@ object GraftFunctions {
     "graft_fingerprint" -> (es => PolyFingerprint(es(0))),
     "graft_hyperplane_bands" -> (es =>
       HyperplaneBands(es(0), intArg(es(1), "bands"), intArg(es(2), "bits"))),
-    "graft_top_token_count" -> (es => TopTokenCount(es(0))))
+    "graft_top_token_count" -> (es => TopTokenCount(es(0))),
+    "graft_window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

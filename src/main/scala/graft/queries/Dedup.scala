@@ -164,10 +164,13 @@ object Dedup {
   def dupSpans(documents: DataFrame, W: Int = 5): DataFrame = {
     val docs = documents.select(col("doc_id"), split(col("text"), " ").as("tk"))
     val base = docs.select(col("doc_id"), size(col("tk")).as("n_tokens"))
+    // the window KEY is a 62-bit hash of the window content, not the
+    // reconstructed string: the count shuffle and the join-back carry
+    // 8-byte longs instead of ~W-token text (the 100 TB plan; collision
+    // odds are ~10^-9 per 10^5-window corpus — see WindowHashes)
     val w = docs.filter(size(col("tk")) >= W)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tk")) - W),
-        i => array_join(slice(col("tk"), i + 1, lit(W)), " "))).as(Seq("p", "win")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.ArrayExprs.windowHashes(col("tk"), W)).as(Seq("p", "win")))
     val dup = w.groupBy("win")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("win")
@@ -609,24 +612,34 @@ object Dedup {
     // similarity) this finds PARTIAL copies: a paragraph pasted into an
     // otherwise unique document.
     //
-    // Scale shape: (1) one groupBy on the window content to find windows
-    // in >= 2 docs (map-side partial agg; at 100 TB the group key would be
-    // a 128-bit window hash rather than the string — same plan, narrower
-    // shuffle); (2) join the positional stream back on the window (the dup
+    // Scale shape: (1) one groupBy on the 62-bit WINDOW HASH to find
+    // windows in >= 2 docs (map-side partial agg; the key is 8 bytes, not
+    // the reconstructed window string — the narrow-shuffle plan at
+    // 100 TB); (2) join the positional stream back on the hash (the dup
     // side exits its aggregation hash-partitioned on the key, so the
     // shuffled-hash join reuses that exchange — hinted because under a
     // Generate the token-stream side's size is under-estimated and would
     // broadcast); (3) per-doc interval merge — gaps-and-islands with a
     // running max(end), doc_id-partitioned windows (millions of small
-    // groups, no low-cardinality skew).
+    // groups, no low-cardinality skew). The oracle computes the identical
+    // window hash from the window string (polyHash fold, q43/q46 family).
     QueryDef("q78_dup_spans", (s, d) =>
       dupSpans(t(s, d, "documents")).orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |w AS (
+             |w0 AS (
              |  SELECT doc_id, CAST(unnest(range(len(tk) - 4)) AS BIGINT) AS p,
              |         unnest(list_transform(range(1, len(tk) - 3),
              |           i -> array_to_string(tk[i:i+4], ' '))) AS win
              |  FROM t WHERE len(tk) >= 5),
+             |w AS (
+             |  SELECT doc_id, p,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+             |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS win
+             |  FROM w0),
              |dup AS (SELECT win FROM w GROUP BY win HAVING count(DISTINCT doc_id) >= 2),
              |dw AS (SELECT doc_id, p, p + 4 AS e FROM w JOIN dup USING (win)),
              |isl AS (

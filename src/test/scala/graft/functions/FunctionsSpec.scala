@@ -67,6 +67,33 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("WindowHashes equals polyHash of the space-joined window strings") {
+    // reference: the portable two-base polynomial fold over the window
+    // STRING — what the DuckDB oracle computes
+    def ph(s: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    def ref(text: String, w: Int): Seq[Long] =
+      text.split(" ").sliding(w).filter(_.length == w)
+        .map(_.mkString(" ")).map(s => ph(s, 131L) * 2147483648L + ph(s, 137L) % 2147483648L)
+        .toSeq
+    val texts = Seq("a b c d e f g", "one two three four five", "x y", "solo")
+    val got = texts.toDF("text")
+      .select(ArrayExprs.windowHashes(split(col("text"), " "), 5))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t, 5), s"'$t'")
+    }
+    // shorter-than-W sequences yield no windows
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     Seq("a b c d e").toDF("text").createOrReplaceTempView("fdocs")
@@ -110,7 +137,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
           ArrayExprs.shingles(tok, 3).as("sh"),
           ArrayExprs.simhash64(tok).as("sim"),
           ArrayExprs.polyFingerprint(tok).as("fp"),
-          ArrayExprs.topTokenCount(tok).as("mx"))
+          ArrayExprs.topTokenCount(tok).as("mx"),
+          ArrayExprs.windowHashes(tok, 3).as("wh"))
         .withColumn("sig", ArrayExprs.minhashSig(col("sh"), 8))
         .collect().map(_.toSeq).toSeq
       val r2 = vecs.toDF("qv")
@@ -131,7 +159,7 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
       classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
-      classOf[HyperplaneBands], classOf[TopTokenCount])
+      classOf[HyperplaneBands], classOf[TopTokenCount], classOf[WindowHashes])
     classes.foreach(c =>
       assert(!classOf[CodegenFallback].isAssignableFrom(c),
         s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))
