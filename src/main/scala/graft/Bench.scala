@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: times every registered query at the scale factor in
@@ -10,6 +13,16 @@ import org.apache.spark.sql.SparkSession
   * warmup — without it the first queries absorb multi-second one-time
   * costs — and the minimum over three damps the +-25% run-to-run noise
   * observed on a shared host, so round-over-round deltas mean something.
+  *
+  * Besides seconds, the line carries per-query BYTE metrics under
+  * `"bytes"` — input read, shuffle read/write, memory/disk spill — from
+  * a stage listener (the ShuffleAudit surface, embedded). Bytes moved
+  * is a property of the PLAN, immune to host contention: when a
+  * contended run makes wall-clock meaningless (round 6: a 6x-loaded
+  * host turned q65's 3.8s into 46s), the byte columns still adjudicate
+  * whether the plan changed. Per-metric minimum across the three
+  * passes, so a retried stage's double-counted bytes can't inflate the
+  * reported value.
   *
   * A query that throws in either pass is a FAILURE: its stack trace goes
   * to stderr, it is reported as -1 in the per-query map, listed in the
@@ -30,26 +43,55 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // stage-level byte counters (only successful attempts — failed/retried
+    // stages would double-count); reset per query, drained before reading
+    val counters = Array.fill(5)(new AtomicLong)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        if (m != null && sc.stageInfo.failureReason.isEmpty) {
+          counters(0).addAndGet(m.inputMetrics.bytesRead)
+          counters(1).addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          counters(2).addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          counters(3).addAndGet(m.memoryBytesSpilled)
+          counters(4).addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
+
     // optional args: restrict to queries whose name starts with any arg
     // (local iteration aid; the driver passes none and times everything)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
-    def timeOnce(name: String): Double = {
+    def timeOnce(name: String): (Double, Option[Array[Long]]) = {
+      counters.foreach(_.set(0L))
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
           e.printStackTrace()
-          return -1.0
+          return (-1.0, None)
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus AFTER the clock stops; a drain
+      // timeout leaves this pass's bytes partial — the cross-pass
+      // minimum still reports a clean pass if any pass drained fully
+      try org.apache.spark.graft.ListenerBridge
+        .waitUntilEmpty(spark.sparkContext, 60000L)
+      catch { case _: java.util.concurrent.TimeoutException => () }
+      (sec, Some(counters.map(_.get())))
     }
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
     // a failure in ANY pass marks the query failed
     val best = names.map { n =>
-      val ts = passes.map(_(n))
+      val ts = passes.map(_(n)._1)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
+    }.toMap
+    val bytes: Map[String, Array[Long]] = names.flatMap { n =>
+      val ms = passes.flatMap(_(n)._2)
+      if (ms.isEmpty) None
+      else Some(n -> Array.tabulate(5)(i => ms.map(_(i)).min))
     }.toMap
     val failed = names.filter(best(_) < 0)
     failed.foreach(n => System.err.println(s"[bench] query $n FAILED — excluded from total"))
@@ -88,6 +130,11 @@ object Bench {
     // comma-decimal locale would emit invalid JSON
     def jnum(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", d)
     val qs = names.map(n => "\"" + n + "\":" + jnum(best(n))).mkString("{", ",", "}")
+    val byteKeys = Seq("in", "sread", "swrite", "spillMem", "spillDisk")
+    val bytesJson = names.flatMap(n => bytes.get(n).map(b =>
+      "\"" + n + "\":" + byteKeys.zip(b)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")))
+      .mkString("{", ",", "}")
     val total = best.values.filter(_ >= 0).sum
     val headlineTotal = SparkEntry.headline.flatMap(best.get).filter(_ >= 0).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -97,7 +144,7 @@ object Bench {
       }).mkString("{", ",", "}")
       s""","prev_round":"$round","delta_vs_prev":$ds"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"headline_total":${jnum(headlineTotal)},"failed":$failedJson$deltaJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","queries":$qs,"headline_total":${jnum(headlineTotal)},"bytes":$bytesJson,"failed":$failedJson$deltaJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
