@@ -59,6 +59,11 @@ object ArrayExprs {
   def windowHashes(tokens: Column, w: Int): Column =
     ColumnBridge.column(WindowHashes(ColumnBridge.expression(tokens), w))
 
+  /** Greedy longest-match subword tokenization of an ARRAY<STRING> word
+    * sequence under a fixed merge vocabulary (see [[SubwordVocab]]). */
+  def subwordTokens(words: Column, vocab: Seq[String] = SubwordVocab.Default): Column =
+    ColumnBridge.column(SubwordTokens(ColumnBridge.expression(words), vocab))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }

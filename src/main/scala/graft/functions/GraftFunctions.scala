@@ -31,7 +31,8 @@ object GraftFunctions {
     "graft_hyperplane_bands" -> (es =>
       HyperplaneBands(es(0), intArg(es(1), "bands"), intArg(es(2), "bits"))),
     "graft_top_token_count" -> (es => TopTokenCount(es(0))),
-    "graft_window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))))
+    "graft_window_hashes" -> (es => WindowHashes(es(0), intArg(es(1), "w"))),
+    "graft_subword_tokens" -> (es => SubwordTokens(es(0), SubwordVocab.Default)))
 
   /** Register on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -406,6 +406,67 @@ object Text {
              |FROM sc GROUP BY doc_id
              |ORDER BY score_fixed DESC, doc_id LIMIT 50""".stripMargin)),
 
+    // ---- Subword tokenization: greedy longest-match merge table ----------
+    // The real token-counting pass an LLM pipeline budgets by (packing,
+    // quotas, context capacity): greedy longest-match inference over a
+    // fixed merge vocabulary (graft.functions.SubwordVocab — single
+    // [a-z0-9] chars + 2-4 char merges), the WordPiece/BPE inference
+    // algorithm with single-codepoint fallback. Per document: word count,
+    // subword count, fertility (subwords per word — THE tokenizer quality
+    // metric), 128-token context capacity, and the full segmented stream
+    // (so the oracle hash pins every token, not just counts).
+    //
+    // Scale shape: map-only — one native codegen'd expression per row,
+    // zero shuffles besides the output ordering; at 100 TB this is a pure
+    // scan -> project pass. The oracle replays the greedy scan as a
+    // recursive CTE over (word, offset) states with a longest-match CASE
+    // ladder — the emitted streams agree token-for-token (candidate
+    // windows that clip at word end or touch non-ASCII never match the
+    // vocabulary in either engine, so the unit-vs-codepoint difference
+    // is unobservable; see SubwordTokens).
+    QueryDef("q90_subword_tokens", (s, d) => {
+      val st = graft.functions.ArrayExprs.subwordTokens(toks)
+      t(s, d, "documents")
+        .select(col("doc_id"), size(toks).as("n_words"), st.as("st"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("st")).cast("long").as("n_subwords"),
+          (size(col("st")).cast("double") / col("n_words")).as("fertility"),
+          expr("CAST((size(st) + 127) div 128 AS BIGINT)").as("n_contexts_128"),
+          array_join(col("st"), " ").as("subword_text"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |wd AS (SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS wi,
+             |         unnest(tk) AS w FROM t),
+             |step(doc_id, wi, w, off, toks) AS (
+             |  SELECT doc_id, wi, w, 0, CAST([] AS VARCHAR[]) FROM wd
+             |  UNION ALL
+             |  SELECT doc_id, wi, w, off + length(tok), list_append(toks, tok) FROM (
+             |    SELECT doc_id, wi, w, off, toks,
+             |      CASE
+             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 4))
+             |          THEN substr(w, off+1, 4)
+             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 3))
+             |          THEN substr(w, off+1, 3)
+             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 2))
+             |          THEN substr(w, off+1, 2)
+             |        ELSE substr(w, off+1, 1) END AS tok
+             |    FROM step WHERE off < length(w))),
+             |fin AS (SELECT doc_id, wi, toks FROM step
+             |        WHERE off >= length(w) AND len(toks) > 0),
+             |agg AS (
+             |  SELECT doc_id,
+             |    CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
+             |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi) AS subword_text
+             |  FROM fin GROUP BY doc_id)
+             |SELECT t.doc_id, len(t.tk) AS n_words,
+             |  coalesce(a.n_subwords, 0) AS n_subwords,
+             |  CAST(coalesce(a.n_subwords, 0) AS DOUBLE) / len(t.tk) AS fertility,
+             |  (coalesce(a.n_subwords, 0) + 127) // 128 AS n_contexts_128,
+             |  coalesce(a.subword_text, '') AS subword_text
+             |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ---- Corpus-LM familiarity: n-gram frequency quality filter ----------
     // The CCNet/KenLM perplexity gate's exact-arithmetic stand-in: score
     // every document by how familiar its trigram instances are to the

@@ -94,6 +94,48 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2).isEmpty && got(3).isEmpty)
   }
 
+  test("SubwordTokens greedy longest-match against a hand-verified fixture vocab") {
+    val vocab = Seq("a", "b", "c", "d", "x", "ab", "cd", "abc")
+    def tok(words: String*): Seq[String] =
+      Seq(words.mkString(" ")).toDF("text")
+        .select(ArrayExprs.subwordTokens(split(col("text"), " "), vocab))
+        .first().getSeq[String](0).toSeq
+    // longest match wins: "abc" beats "ab"
+    assert(tok("abcd") == Seq("abc", "d"))
+    // after a match the scan resumes AFTER the consumed span
+    assert(tok("abab") == Seq("ab", "ab"))
+    // no match at position 0 -> single char, then "cd" merges
+    assert(tok("acd") == Seq("a", "cd"))
+    // unknown characters fall through as single-codepoint tokens
+    assert(tok("zq!") == Seq("z", "q", "!"))
+    // multiple words flatten in order
+    assert(tok("abcd", "acd", "x") == Seq("abc", "d", "a", "cd", "x"))
+    // non-BMP codepoint: fallback must not split the surrogate pair
+    assert(tok("a𝕏b") == Seq("a", "𝕏", "b"))
+  }
+
+  test("SubwordTokens default vocab is lossless (concat of tokens = concat of words)") {
+    val texts = Seq("the streaming data table sort merge window batch",
+      "a query joins customer rows against sorted filter batches")
+    val got = texts.toDF("text")
+      .select(col("text"), ArrayExprs.subwordTokens(split(col("text"), " ")).as("st"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[String](1).mkString == r.getString(0).replace(" ", ""))
+    }
+    // and it must actually MERGE, not degrade to chars: fewer tokens than
+    // characters, more than words
+    val st = got(0).getSeq[String](1)
+    val words = texts(0).split(" ")
+    assert(st.length > words.length && st.length < texts(0).replace(" ", "").length)
+    // spot-check one segmentation end-to-end ("the" is a 3-char merge;
+    // "streaming" = stre|am|ing under the default table)
+    val one = Seq("the streaming").toDF("text")
+      .select(ArrayExprs.subwordTokens(split(col("text"), " ")))
+      .first().getSeq[String](0).toSeq
+    assert(one == Seq("the", "stre", "am", "ing"))
+  }
+
   test("SQL registration exposes the functions to spark.sql") {
     GraftFunctions.register(spark)
     Seq("a b c d e").toDF("text").createOrReplaceTempView("fdocs")
@@ -138,7 +180,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
           ArrayExprs.simhash64(tok).as("sim"),
           ArrayExprs.polyFingerprint(tok).as("fp"),
           ArrayExprs.topTokenCount(tok).as("mx"),
-          ArrayExprs.windowHashes(tok, 3).as("wh"))
+          ArrayExprs.windowHashes(tok, 3).as("wh"),
+          ArrayExprs.subwordTokens(tok).as("sw"))
         .withColumn("sig", ArrayExprs.minhashSig(col("sh"), 8))
         .collect().map(_.toSeq).toSeq
       val r2 = vecs.toDF("qv")
@@ -159,7 +202,8 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
       classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
-      classOf[HyperplaneBands], classOf[TopTokenCount], classOf[WindowHashes])
+      classOf[HyperplaneBands], classOf[TopTokenCount], classOf[WindowHashes],
+      classOf[SubwordTokens])
     classes.foreach(c =>
       assert(!classOf[CodegenFallback].isAssignableFrom(c),
         s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))

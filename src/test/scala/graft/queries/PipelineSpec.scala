@@ -144,6 +144,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     got.foreach { case (id, sp) => assert(sp == split(id), s"doc $id") }
   }
 
+  test("q90 subword stream is lossless and counts are consistent") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("q90_subword_tokens").collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, text) = (r.getLong(0), docs(r.getLong(0)))
+      // concatenating the subword stream reproduces the document exactly
+      assert(r.getString(5).replace(" ", "") == text.replace(" ", ""), s"doc $id")
+      val (nWords, nSub) = (r.getInt(1), r.getLong(2))
+      assert(nWords == text.split(" ").length)
+      // each word yields at least one and at most len(word) tokens
+      assert(nSub >= nWords && nSub <= text.replace(" ", "").length, s"doc $id")
+      assert(r.getDouble(3) == nSub.toDouble / nWords)
+      assert(r.getLong(4) == (nSub + 127) / 128)
+    }
+    // the merge table must do real work on this corpus: mean fertility
+    // well below chars-per-word (pure char fallback) and above 1
+    val fert = rows.map(_.getDouble(3))
+    assert(fert.sum / fert.length > 1.0 && fert.sum / fert.length < 3.0)
+    // map-only at scale: no hash exchange anywhere (ordering aside)
+    val plan = q("q90_subword_tokens").queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"q90 should be a pure scan->project pass:\n${plan.take(1200)}")
+  }
+
   test("q78 duplicated-span coverage matches a driver-side interval union") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
