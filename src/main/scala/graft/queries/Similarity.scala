@@ -512,6 +512,59 @@ object Similarity {
              |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- IVF index lifecycle: build -> extend -> query -------------------
+    // The maintenance path a production ANN index actually runs: build the
+    // coarse quantizer + assignment over the ACCUMULATED corpus (vec_id %
+    // 3 != 0 playing the historical 2/3), ivfExtend with today's ingest
+    // batch (the remaining 1/3 — assigned to the EXISTING centroids, one
+    // O(batch x centroids) pass, corpus untouched), then serve a query
+    // batch against the merged index. Centroids deliberately come from
+    // the base slice only — the quantizer drifts only at full retrain —
+    // so probes and assignments are deterministic and the whole lifecycle
+    // hash-matches an oracle whose centroid CTE ranks over the slice.
+    QueryDef("q91_ivf_lifecycle", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = ivfExtend(
+        ivfIndex(emb.filter(col("vec_id") % 3 =!= 0)),
+        emb.filter(col("vec_id") % 3 === 0))
+      ivfQuery(idx, emb.filter(queryFilter)).orderBy("q_id", "rank")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n WHERE vec_id % 3 != 0
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |corpus AS (
+             |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell
+             |  FROM asg a JOIN n ON a.vec_id = n.vec_id),
+             |probes AS (
+             |  SELECT q_id, qv, n2, cell FROM (
+             |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+             |    FROM n CROSS JOIN c WHERE n.vec_id < 50)
+             |  WHERE crn <= 16),
+             |scored AS (
+             |  SELECT p.q_id, s.n_id,
+             |    ${sqlCos("p", "s")} AS cos_sim
+             |  FROM probes p JOIN corpus s ON p.cell = s.cell
+             |  WHERE p.q_id != s.n_id),
+             |ranked AS (
+             |  SELECT q_id, n_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim
+             |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression
     // for serving/storing 100 TB of embeddings (4x smaller than float32,

@@ -1016,7 +1016,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // constant. Everything else — in particular every pairwise
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
-      "q49_knn_ivf", "q57_quota_sample", "q70_seq_packing",
+      "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q73_semdedup", "q76_domain_mix", "q81_train_order", "q87_gap_fill",
       "q88_bm25")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
