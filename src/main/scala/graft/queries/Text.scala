@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -18,6 +19,37 @@ object Text {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
   private val toks: Column = split(col("text"), " ")
+
+  /** Shared DuckDB CTE scaffold replaying the greedy longest-match
+    * subword scan (see q90): per-word recursive (offset, tokens) states
+    * with a longest-match CASE ladder over the fixed merge vocabulary,
+    * aggregated to per-document counts + the segmented stream. Used by
+    * both q90 (tokenization stats) and q92 (subword-budget packing) so
+    * the two oracles cannot drift. */
+  private val sqlSubwordCtes: String = {
+    val v = graft.functions.SubwordVocab.sqlList
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |wd AS (SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS wi,
+       |         unnest(tk) AS w FROM t),
+       |step(doc_id, wi, w, off, toks) AS (
+       |  SELECT doc_id, wi, w, 0, CAST([] AS VARCHAR[]) FROM wd
+       |  UNION ALL
+       |  SELECT doc_id, wi, w, off + length(tok), list_append(toks, tok) FROM (
+       |    SELECT doc_id, wi, w, off, toks,
+       |      CASE
+       |        WHEN list_contains($v, substr(w, off+1, 4)) THEN substr(w, off+1, 4)
+       |        WHEN list_contains($v, substr(w, off+1, 3)) THEN substr(w, off+1, 3)
+       |        WHEN list_contains($v, substr(w, off+1, 2)) THEN substr(w, off+1, 2)
+       |        ELSE substr(w, off+1, 1) END AS tok
+       |    FROM step WHERE off < length(w))),
+       |fin AS (SELECT doc_id, wi, toks FROM step
+       |        WHERE off >= length(w) AND len(toks) > 0),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
+       |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi) AS subword_text
+       |  FROM fin GROUP BY doc_id)""".stripMargin
+  }
 
   /** Corpus-LM familiarity scoring over a (doc_id, text) DataFrame — see
     * q79 below. Exposed for library use and the scale probe. */
@@ -435,30 +467,7 @@ object Text {
           array_join(col("st"), " ").as("subword_text"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |wd AS (SELECT doc_id, CAST(unnest(range(len(tk))) AS BIGINT) AS wi,
-             |         unnest(tk) AS w FROM t),
-             |step(doc_id, wi, w, off, toks) AS (
-             |  SELECT doc_id, wi, w, 0, CAST([] AS VARCHAR[]) FROM wd
-             |  UNION ALL
-             |  SELECT doc_id, wi, w, off + length(tok), list_append(toks, tok) FROM (
-             |    SELECT doc_id, wi, w, off, toks,
-             |      CASE
-             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 4))
-             |          THEN substr(w, off+1, 4)
-             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 3))
-             |          THEN substr(w, off+1, 3)
-             |        WHEN list_contains(${graft.functions.SubwordVocab.sqlList}, substr(w, off+1, 2))
-             |          THEN substr(w, off+1, 2)
-             |        ELSE substr(w, off+1, 1) END AS tok
-             |    FROM step WHERE off < length(w))),
-             |fin AS (SELECT doc_id, wi, toks FROM step
-             |        WHERE off >= length(w) AND len(toks) > 0),
-             |agg AS (
-             |  SELECT doc_id,
-             |    CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
-             |    string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi) AS subword_text
-             |  FROM fin GROUP BY doc_id)
+      Some(s"""WITH RECURSIVE $sqlSubwordCtes
              |SELECT t.doc_id, len(t.tk) AS n_words,
              |  coalesce(a.n_subwords, 0) AS n_subwords,
              |  CAST(coalesce(a.n_subwords, 0) AS DOUBLE) / len(t.tk) AS fertility,
@@ -466,6 +475,55 @@ object Text {
              |  coalesce(a.subword_text, '') AS subword_text
              |FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
+
+    // ---- Subword-budget sequence packing ----------------------------------
+    // q70 packs by WHITESPACE token counts; a real trainer's packer fills
+    // contexts by SUBWORD counts — this is q70's greedy fill re-based on
+    // the q90 tokenizer: lay documents end-to-end in doc_id order, cut
+    // every 256 subwords, a document rides with the sequence it starts
+    // in. seq_id = floor(subwords_before_doc / 256).
+    //
+    // Scale shape: the subword count is the map-only native expression
+    // (never materializing the token stream); the GLOBAL running sum is
+    // the q57/q70 two-phase prefix pattern — phase 1 sums within
+    // data-derived doc_id range-buckets, phase 2 adds the tiny broadcast
+    // per-bucket offsets. No corpus-wide single-task window anywhere.
+    QueryDef("q92_subword_packing", (s, d) => {
+      val cap = 256
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          size(graft.functions.ArrayExprs.subwordTokens(toks)).cast("long").as("n_sub"))
+      val mx = base.agg(max("doc_id").as("mx"), count(lit(1)).as("cnt"))
+      val sub = base.crossJoin(broadcast(mx))
+        .withColumn("nb", Sampling.prefixBuckets(col("cnt")))
+        .withColumn("sub", expr("doc_id div (mx div nb + 1)"))
+        .drop("mx", "cnt", "nb")
+      val wLocal = Window.partitionBy("sub").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOffset = Window.orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = sub.groupBy("sub").agg(sum("n_sub").as("tot"))
+        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
+        .select("sub", "off")
+      sub
+        .withColumn("local_cum", sum("n_sub").over(wLocal))
+        .join(broadcast(offsets), "sub")
+        .withColumn("cum_subwords", col("local_cum") + col("off"))
+        .withColumn("seq_id", expr(s"(cum_subwords - n_sub) div $cap"))
+        .select(col("doc_id"), col("n_sub").as("n_subwords"),
+          col("seq_id"), col("cum_subwords"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $sqlSubwordCtes,
+             |c AS (
+             |  SELECT t.doc_id, coalesce(a.n_subwords, 0) AS n_sub,
+             |    sum(coalesce(a.n_subwords, 0)) OVER (ORDER BY t.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id)
+             |SELECT doc_id, n_sub AS n_subwords,
+             |  CAST((cum - n_sub) // 256 AS BIGINT) AS seq_id,
+             |  CAST(cum AS BIGINT) AS cum_subwords
+             |FROM c ORDER BY doc_id""".stripMargin)),
 
     // ---- Corpus-LM familiarity: n-gram frequency quality filter ----------
     // The CCNet/KenLM perplexity gate's exact-arithmetic stand-in: score

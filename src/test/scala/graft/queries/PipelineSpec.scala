@@ -171,6 +171,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"q90 should be a pure scan->project pass:\n${plan.take(1200)}")
   }
 
+  test("q92 subword packing is the exact running sum of q90's counts") {
+    val counts = q("q90_subword_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val rows = q("q92_subword_packing").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, n, seq, c) =>
+      assert(n == counts(id), s"doc $id count")
+      assert(seq == cum / 256, s"doc $id starts in the wrong sequence")
+      cum += n
+      assert(c == cum, s"doc $id cumulative")
+    }
+    // the packer must actually produce multi-doc sequences AND multiple
+    // sequences (i.e. the cap is binding in both directions)
+    val seqs = rows.map(_._3)
+    assert(seqs.distinct.length > 1 && seqs.length > seqs.distinct.length)
+  }
+
   test("q78 duplicated-span coverage matches a driver-side interval union") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
@@ -1017,8 +1036,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
-      "q73_semdedup", "q76_domain_mix", "q81_train_order", "q87_gap_fill",
-      "q88_bm25")
+      "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
+      "q87_gap_fill", "q88_bm25")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
