@@ -14,6 +14,15 @@ import org.apache.spark.sql.SparkSession
   * costs — and the minimum over three damps the +-25% run-to-run noise
   * observed on a shared host, so round-over-round deltas mean something.
   *
+  * Execution is a NOOP WRITE, not count(): under count() Catalyst
+  * legitimately eliminates everything cardinality-irrelevant — left
+  * joins to aggregates (q78/q87's whole pipeline collapsed to a base
+  * count) and every map-only project (q40-q43/q58/q80/q90 became bare
+  * parquet row counts) — so rounds 1-6 under-measured those queries.
+  * The noop sink consumes every output column, so the timed work is the
+  * full plan. Round-7 `delta_vs_prev` is therefore NOT comparable for
+  * map-only and pruned-join queries (they got honest, not slower).
+  *
   * Besides seconds, the line carries per-query BYTE metrics under
   * `"bytes"` — input read, shuffle read/write, memory/disk spill — from
   * a stage listener (the ShuffleAudit surface, embedded). Bytes moved
@@ -66,7 +75,8 @@ object Bench {
     def timeOnce(name: String): (Double, Option[Array[Long]]) = {
       counters.foreach(_.set(0L))
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] FAILED $name: $e")
