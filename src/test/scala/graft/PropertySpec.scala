@@ -179,6 +179,75 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("subword tokenization equals the greedy reference on random words") {
+    // driver-side replay of the greedy longest-match scan, including the
+    // single-codepoint fallback — the law the expression and the DuckDB
+    // recursive-CTE oracle both implement
+    val vocab = graft.functions.SubwordVocab.Default.toSet
+    val maxLen = vocab.map(_.length).max
+    def ref(w: String): Seq[String] = {
+      val out = scala.collection.mutable.Buffer[String]()
+      var off = 0
+      while (off < w.length) {
+        val tok = (math.min(maxLen, w.length - off) to 2 by -1)
+          .collectFirst { case l if vocab(w.substring(off, off + l)) => w.substring(off, off + l) }
+          .getOrElse {
+            val cc = Character.charCount(w.codePointAt(off))
+            w.substring(off, off + cc)
+          }
+        out += tok
+        off += tok.length
+      }
+      out.toSeq
+    }
+    // mixed alphabet: vocab-dense chars, digits, punctuation, a non-BMP
+    // codepoint — every fallback and boundary class represented. The
+    // non-BMP char must stay a whole codepoint (a lone surrogate is not
+    // valid UTF-8 and would be mangled in transit to UTF8String).
+    val genWord = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("datastremingbatch0159!.-".toCharArray.map(_.toString).toSeq :+ "𝕏"))
+        .map(_.mkString))
+    val genDoc = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, genWord))
+    samples(genDoc, 40).foreach { words =>
+      val got = Seq(words.mkString(" ")).toDF("text")
+        .select(graft.functions.ArrayExprs.subwordTokens(split(col("text"), " ")))
+        .first().getSeq[String](0).toSeq
+      val want = words.flatMap(ref)
+      assert(got == want, s"words=$words")
+      // laws implied but asserted directly: lossless + bounded tokens
+      assert(got.mkString == words.mkString)
+      assert(got.forall(t => t.nonEmpty && t.length <= maxLen))
+    }
+  }
+
+  test("window hashes equal the window-string polyhash on random sequences") {
+    def ph(s: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val genTok = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("abcdez19".toCharArray.map(_.toString).toSeq)).map(_.mkString))
+    val genSeq = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, genTok))
+    Seq(2, 5).foreach { w =>
+      samples(genSeq, 25).foreach { tks =>
+        val got = Seq(tks.mkString(" ")).toDF("text")
+          .select(graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), w))
+          .first().getSeq[Long](0).toSeq
+        // split of "" yields [""], matching the expression's input there
+        val toks = if (tks.isEmpty) Seq("") else tks
+        val want = toks.sliding(w).filter(_.length == w).map(_.mkString(" "))
+          .map(s => ph(s, 131L) * 2147483648L + ph(s, 137L) % 2147483648L).toSeq
+        assert(got == want, s"w=$w toks=$tks")
+        assert(got.length == math.max(0, toks.length - w + 1))
+      }
+    }
+  }
+
   test("prefix-filter jaccard join equals brute force on random corpora") {
     // completeness is a THEOREM about the prefix length; random corpora
     // with a tiny vocabulary maximize shingle collisions and boundary
