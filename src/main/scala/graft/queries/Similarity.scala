@@ -159,6 +159,63 @@ object Similarity {
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
 
+  /** Lloyd's k-means refinement on the exact integer grid — the cluster
+    * "training" step the hash-rank quantizer (ivfIndex) deliberately
+    * skips. Seeds are the same deterministic hash-rank sample; each
+    * iteration assigns every vector to its nearest centroid by squared
+    * Euclidean distance and recomputes each centroid as the coordinate
+    * mean of its members, rounded back onto the 1e-7 quantization grid
+    * (one IEEE double divide + floor per coordinate — bit-identical in
+    * DuckDB). Returns the assignment against the final centroids:
+    * (vec_id, cell, d2), d2 exact int64 on the grid.
+    *
+    * Determinism: distances are exact integers (d2 = |a|^2 + |c|^2 -
+    * 2<a,c>, all < 2^55 for 64 dims on the 1e-7 grid), argmin ties break
+    * on centroid id, per-dimension sums are exact int64 (map-side
+    * combined), and the mean's single double division is IEEE-identical
+    * across engines while the sums stay < 2^53 (holds to ~10^8 rows
+    * per cell x 1e7 grid; beyond that the mean is still deterministic
+    * per engine but the oracle comparison would need a wider type).
+    *
+    * Scale shape per iteration: one O(n x k) broadcast-assign pass whose
+    * partial agg shuffles n rows, one id-keyed equi-join back to the
+    * corpus, and a (cell, dim) sum whose map-side combine caps the
+    * exchange at tasks x k x 64 rows — no corpus x corpus anything, no
+    * driver-side data. Empty cells drop (standard Lloyd), so the result
+    * can have fewer than k clusters. k and iters are fixed, bounded
+    * knobs, exactly like the IVF centroid count. */
+  def kmeansRefine(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = quantize(emb).localCheckpoint()
+    var cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    for (_ <- 1 to iters) {
+      val sums = kmAssign(cents, e).join(e, "vec_id")
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i",
+          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long"))
+      cents = sums.groupBy("cell")
+        .agg(collect_list(struct(col("dim"), col("cv_i"))).as("ps"))
+        .select(col("cell").as("c_id"),
+          transform(array_sort(col("ps")), p => p.getField("cv_i")).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv")))
+    }
+    kmAssign(cents, e).orderBy("vec_id")
+  }
+
+  /** Nearest-centroid assignment by exact squared grid distance:
+    * (vec_id, cell, d2), ties broken on the lower centroid id. min over
+    * a (d2, c_id) struct is partially aggregable, so the exchange after
+    * the broadcast cross-join carries one row per vector. */
+  private def kmAssign(cents: DataFrame, e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("n2") + col("cn") - lit(2L) * dot(col("qv"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("m.c_id").as("cell"), col("m.d2").as("d2"))
+
   /** IVF (inverted-file) approximate top-k — the 100 TB ANN path.
     *
     * The coarse quantizer is a FIXED-size centroid set, picked by
@@ -307,6 +364,36 @@ object Similarity {
   private[queries] def sqlCos(a: String, b: String) =
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
+
+  /** Exact squared grid distance between a corpus row `a` (qv, n2) and a
+    * centroid row `c` (cv, cn) — the kmeansRefine metric. */
+  private def sqlD2(a: String, c: String) =
+    s"($a.n2 + $c.cn - 2 * ${sqlDot(s"$a.qv", s"$c.cv")})"
+
+  /** One unrolled Lloyd iteration: assignment `asg` against centroid CTE
+    * `prev`, then recomputed centroids `next` (per-dim exact int64 sums,
+    * mean rounded back onto the grid with the same single double divide
+    * + floor as the Spark side). */
+  private def sqlKmIter(prev: String, asg: String, next: String) =
+    s"""$asg AS (
+       |  SELECT vec_id, cell, d2 FROM (
+       |    SELECT n.vec_id, c.c_id AS cell, ${sqlD2("n", "c")} AS d2,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlD2("n", "c")} ASC, c.c_id ASC) AS rn
+       |    FROM n CROSS JOIN $prev c)
+       |  WHERE rn = 1),
+       |${next}_m AS (
+       |  SELECT a.cell, n.qv FROM $asg a JOIN n ON a.vec_id = n.vec_id),
+       |${next}_s AS (
+       |  SELECT cell, r.i AS dim, SUM(qv[r.i]) AS sv, COUNT(*) AS cnt
+       |  FROM ${next}_m, range(1, 65) r(i)
+       |  GROUP BY cell, r.i),
+       |$next AS (
+       |  SELECT c_id, cv, ${sqlDot("cv", "cv")} AS cn FROM (
+       |    SELECT cell AS c_id,
+       |      list(CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)
+       |        ORDER BY dim) AS cv
+       |    FROM ${next}_s GROUP BY cell))""".stripMargin
 
   /** Brute-force threshold self-join oracle (shared by q47/q55). */
   private def sqlNearPairs(threshold: Double) =
@@ -620,5 +707,31 @@ object Similarity {
              |    / sqrt(CAST(${sqlDot("rv", "rv")} AS DOUBLE)) AS cos_fid,
              |  array_to_string(q8, ',') AS q8_csv
              |FROM r ORDER BY vec_id""".stripMargin)),
+
+    // ---- Lloyd's k-means refinement on the exact integer grid ------------
+    // See kmeansRefine above: hash-rank seeds, 2 refinement iterations,
+    // final assignment (vec_id, cell, d2). The oracle unrolls both
+    // iterations as CTE chains — every arithmetic step (int64 distance,
+    // int64 per-dim sum, one IEEE double divide + floor per mean) is
+    // reproduced bit-for-bit, so the whole trained clustering hash-matches.
+    QueryDef("q93_kmeans", (s, d) =>
+      kmeansRefine(t(s, d, "embeddings"), k = 8, iters = 2),
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c0 AS (
+             |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 8),
+             |${sqlKmIter("c0", "asg1", "c1")},
+             |${sqlKmIter("c1", "asg2", "c2")},
+             |fin AS (
+             |  SELECT vec_id, cell, d2 FROM (
+             |    SELECT n.vec_id, c.c_id AS cell, ${sqlD2("n", "c")} AS d2,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlD2("n", "c")} ASC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c2 c)
+             |  WHERE rn = 1)
+             |SELECT vec_id, cell, d2 FROM fin ORDER BY vec_id""".stripMargin)),
   )
 }

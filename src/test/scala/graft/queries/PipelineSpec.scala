@@ -981,6 +981,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(droppedPlanted >= 15, s"only $droppedPlanted of 20 planted dups dropped")
   }
 
+  test("q93 kmeans equals a driver-side Lloyd replay and refinement helps") {
+    val df = embFixture(200, 20)
+    def run(iters: Int) = Similarity.kmeansRefine(df, k = 8, iters = iters)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = run(2)
+    // driver-side replay of the exact grid arithmetic: hash-rank seeds,
+    // min-(d2, c_id) assignment, per-dim int64 sums, grid-rounded means
+    val vecs = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q7 = vecs.map { case (k, v) =>
+      k -> v.map(x => math.floor(x.toDouble * 1e7 + 0.5).toLong)
+    }
+    def d2(x: Array[Long], c: Array[Long]): Long =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    val M = 2147483647L
+    var cents: Map[Long, Array[Long]] = vecs.keys.toSeq
+      .sortBy(id => (id % M * 48271 % M * 48271 % M, id)).take(8)
+      .map(id => id -> q7(id)).toMap
+    def assign(cs: Map[Long, Array[Long]]): Map[Long, (Long, Long)] =
+      q7.map { case (id, x) =>
+        val (dist, cid) = cs.map { case (c, cv) => (d2(x, cv), c) }.min
+        id -> (cid, dist)
+      }
+    for (_ <- 1 to 2) {
+      val asg = assign(cents)
+      cents = asg.groupBy(_._2._1).map { case (cell, members) =>
+        val xs = members.keys.map(q7).toSeq
+        cell -> Array.tabulate(64) { i =>
+          val sv = xs.map(_(i)).sum
+          math.floor(sv.toDouble / xs.size + 0.5).toLong
+        }
+      }
+    }
+    val want = assign(cents).toSeq.map { case (id, (c, dist)) => (id, c, dist) }
+    assert(got.toSet == want.toSet)
+    // Lloyd's law (modulo grid rounding, which the slack absorbs): two
+    // refinement iterations never leave inertia above the seed assignment
+    val inertia0 = run(0).map(_._3).sum
+    val inertia2 = got.map(_._3).sum
+    assert(inertia2 <= inertia0, s"inertia rose: $inertia0 -> $inertia2")
+    assert(inertia2 < (inertia0 * 0.999).toLong, "refinement did nothing")
+    // planted near-identical copies must land in their source's cluster
+    val cell = got.map(t => t._1 -> t._2).toMap
+    val coClustered = (0 until 20).count(i => cell(200L + i) == cell(3L * i))
+    assert(coClustered >= 15, s"only $coClustered of 20 dups co-clustered")
+  }
+
   test("q75 blocklist counts and redaction match java.util.regex") {
     val pat = java.util.regex.Pattern.compile("\\b(customer|vector|stream)\\b")
     val docs = Tables.load(spark, sfDir, "documents")
@@ -1029,15 +1075,15 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
-    // semantics), q48/q50's broadcast query set (fixed 50 ids), q49/q73's
-    // centroid broadcast (fixed 64 rows), and q57/q70/q76's one-row scalar
+    // semantics), q48/q50's broadcast query set (fixed 50 ids), q49/q73/
+    // q93's centroid broadcast (fixed k rows), and q57/q70/q76's one-row scalar
     // aggregate (count/max/min) cross-joined in to derive a data-dependent
     // constant. Everything else — in particular every pairwise
     // operator — must plan equi-join shapes.
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
-      "q87_gap_fill", "q88_bm25")
+      "q87_gap_fill", "q88_bm25", "q93_kmeans")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
