@@ -52,6 +52,25 @@ object Events {
         col("is_gap"), col("locf_sum_value"))
   }
 
+  /** Trailing one-hour rolling features per user — see q94 below. The
+    * RANGE frame is defined by the microsecond ORDER BY value, so events
+    * sharing a timestamp are frame peers (each sees the other) in both
+    * engines, and null timestamps are excluded up front (no place on the
+    * time axis). */
+  def rollingHour(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events
+      .filter(col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("value").cast(DecimalType(12, 2)).as("v"))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_sum", sum(col("v")).over(w).cast("double"))
+      .withColumn("roll_max", max(col("v")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        col("roll_n"), col("roll_sum"), col("roll_max"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -217,5 +236,34 @@ object Events {
              |FROM spine LEFT JOIN hourly
              |  ON spine.event_type = hourly.event_type AND spine.h_idx = hourly.h_idx
              |ORDER BY spine.event_type, h""".stripMargin)),
+
+    // ---- Rolling time-range features per user ----------------------------
+    // Trailing one-hour activity features for every event — the standard
+    // feature-generation shape (fraud scores, rate limits, engagement
+    // features) and the one RANGE-frame window in the inventory: the frame
+    // is defined by the ORDER BY *value* (microseconds), not row position,
+    // so ties and irregular event spacing are handled by the frame
+    // semantics identically in both engines. Sums run on exact DECIMAL,
+    // timestamps on exact integer microseconds.
+    //
+    // Scale shape: one shuffle on user_id, then WindowExec's sliding
+    // accumulation — per-task cost is linear in the user's history. The
+    // partition key is the entity, so skew is bounded by the busiest
+    // user; a pathological single-entity stream would be pre-sliced by
+    // (user_id, day) with frame-width overlap, same as sessionization.
+    QueryDef("q94_rolling_window", (s, d) =>
+      rollingHour(t(s, d, "events")).orderBy("event_id"),
+      Some("""WITH ev AS (
+             |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(value AS DECIMAL(12,2)) AS v
+             |  FROM events WHERE ts IS NOT NULL)
+             |SELECT event_id, user_id, us,
+             |  count(*) OVER w AS roll_n,
+             |  CAST(sum(v) OVER w AS DOUBLE) AS roll_sum,
+             |  CAST(max(v) OVER w AS DOUBLE) AS roll_max
+             |FROM ev
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin)),
   )
 }

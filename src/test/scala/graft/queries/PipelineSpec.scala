@@ -559,6 +559,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(mixed.collect().map(_.getString(0)).toSet == Set("click"))
   }
 
+  test("q94 rolling features equal a driver-side frame replay (ties, boundary)") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val nullTs = null.asInstanceOf[java.sql.Timestamp]
+    // user 1: irregular spacing including an event EXACTLY 3600s before
+    // another (inclusive frame edge) and one 3601s before (outside);
+    // user 2: two events at the SAME microsecond (frame peers see each
+    // other); plus a null-ts row that must be excluded, not crashed on
+    val rows = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), 5.0),
+      (2L, 1L, ts("2024-01-01 11:00:00"), 1.5),   // 10:00 is IN its frame
+      (3L, 1L, ts("2024-01-01 11:59:59"), 2.0),   // 11:00 in, 10:00 out
+      (4L, 2L, ts("2024-01-01 10:30:00"), 3.25),
+      (5L, 2L, ts("2024-01-01 10:30:00"), 4.75),  // tie: peers
+      (6L, 2L, nullTs, 9.0))
+    val got = Events.rollingHour(rows.toDF("event_id", "user_id", "ts", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    val us = rows.filter(_._3 != null)
+      .map(r => (r._1, r._2, r._3.getTime * 1000L, BigDecimal(r._4).setScale(2)))
+    val want = us.map { case (id, u, t0, _) =>
+      val frame = us.filter(o => o._2 == u && o._3 >= t0 - 3600000000L && o._3 <= t0)
+      (id, frame.size.toLong, frame.map(_._4).sum.toDouble, frame.map(_._4).max.toDouble)
+    }.toSet
+    assert(got == want)
+    // the boundary cases actually bound: event 2 saw event 1, event 3 did
+    // not see event 1, and the tied pair both count 2
+    assert(want.exists(t => t._1 == 2L && t._2 == 2L))
+    assert(want.exists(t => t._1 == 3L && t._2 == 2L))
+    assert(Seq(4L, 5L).forall(id => want.exists(t => t._1 == id && t._2 == 2L)))
+  }
+
   // driver-side union-find over an edge list: the reference closure for
   // the multi-signal dedup tests
   private def unionFind(edges: Set[(Long, Long)]): Map[Long, Long] = {
