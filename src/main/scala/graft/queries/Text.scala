@@ -51,6 +51,32 @@ object Text {
        |  FROM fin GROUP BY doc_id)""".stripMargin
   }
 
+  /** Bigram collocation extraction by lift over a (text) DataFrame — see
+    * q95 below. Exposed for library use and the scale probe. */
+  def collocations(documents: DataFrame, minCount: Int, topK: Int): DataFrame = {
+    val tk = documents.select(toks.as("tk"))
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum("c").as("n"))
+    val big = tk
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    big
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        (col("c_ab").cast("double") * col("n")) /
+          (col("c_a").cast("double") * col("c_b")))
+      .select("w1", "w2", "c_ab", "lift")
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Corpus-LM familiarity scoring over a (doc_id, text) DataFrame — see
     * q79 below. Exposed for library use and the scale probe. */
   def lmFamiliarity(documents: DataFrame): DataFrame = {
@@ -557,5 +583,43 @@ object Text {
              |  CAST(sum(c) AS BIGINT) >= CAST(count(*) AS BIGINT) * 2 AS lm_ok
              |FROM bg JOIN cf USING (g)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Collocation extraction: bigram lift ranking ---------------------
+    // Corpus-level multiword-expression detection — the statistical
+    // companion to q90's tokenizer (the same signal BPE vocabulary
+    // induction maximizes): rank adjacent token pairs by lift =
+    // P(ab) / (P(a)P(b)) = c_ab * N / (c_a * c_b). Classic PMI is
+    // log(lift); log is rank-invariant and ln() is not bit-portable
+    // across engines (q67's precedent), so the score stays one double
+    // expression over exact int64 counts. A count floor prunes the
+    // one-off tail before any join.
+    //
+    // Scale shape: the same two token-keyed count shuffles as tf-idf;
+    // the lift joins run over POST-aggregation vocabulary tables (real
+    // row estimates — broadcast when the vocab is small, vocabulary-keyed
+    // equi-joins at web scale), the token total is a one-row broadcast,
+    // and top-50 is a distributed TakeOrderedAndProject, never a global
+    // single-task window.
+    QueryDef("q95_collocations", (s, d) =>
+      collocations(t(s, d, "documents"), minCount = 5, topK = 50),
+      Some("""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             |uni AS (
+             |  SELECT tok, count(*) AS c
+             |  FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+             |big AS (
+             |  SELECT g[1] AS w1, g[2] AS w2, count(*) AS c_ab FROM (
+             |    SELECT unnest(list_transform(range(1, len(tk)),
+             |      i -> [tk[i], tk[i + 1]])) AS g
+             |    FROM t)
+             |  GROUP BY 1, 2
+             |  HAVING count(*) >= 5)
+             |SELECT w1, w2, c_ab,
+             |  (CAST(c_ab AS DOUBLE) * n) / (CAST(a.c AS DOUBLE) * b.c) AS lift
+             |FROM big
+             |JOIN uni a ON big.w1 = a.tok
+             |JOIN uni b ON big.w2 = b.tok
+             |CROSS JOIN tot
+             |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
   )
 }

@@ -1013,6 +1013,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(droppedPlanted >= 15, s"only $droppedPlanted of 20 planted dups dropped")
   }
 
+  test("q95 collocations equal a driver-side lift ranking (planted phrase wins)") {
+    import spark.implicits._
+    // "fast car" is a planted collocation: both words are rare but always
+    // adjacent, so its lift must dominate bigrams of the common filler
+    val docs = ((1 to 6).map(i => (i.toLong, "the cat sat on the mat fast car")) ++
+      (7 to 12).map(i => (i.toLong, "the dog sat on the rug and the cat ran")))
+      .toDF("doc_id", "text")
+    val got = Text.collocations(docs, minCount = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val words = docs.collect().flatMap(_.getString(1).split(" "))
+    val uni = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = docs.collect().flatMap(_.getString(1).split(" ").sliding(2))
+      .map(a => (a(0), a(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = bigrams.filter(_._2 >= 3).toSeq
+      .map { case ((a, b), cab) =>
+        (a, b, cab, cab.toDouble * words.length / (uni(a).toDouble * uni(b)))
+      }
+      .sortBy { case (a, b, _, l) => (-l, a, b) }.take(10)
+    assert(got.toSeq == want)
+    assert(got.head._1 == "fast" && got.head._2 == "car")
+  }
+
   test("q93 kmeans equals a driver-side Lloyd replay and refinement helps") {
     val df = embFixture(200, 20)
     def run(iters: Int) = Similarity.kmeansRefine(df, k = 8, iters = iters)
@@ -1115,7 +1138,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
-      "q87_gap_fill", "q88_bm25", "q93_kmeans")
+      "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
