@@ -174,6 +174,9 @@ object Streams {
       event_type: String, tsWatermark: java.sql.Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class Session(user_id: Long, start_us: Long, n_events: Int, dur_us: Long)
+  case class RollState(times: Vector[Long])
+  case class Rolled(user_id: Long, event_id: Long, ts_us: Long,
+      roll_n: Int, limited: Boolean)
 
   def typedEvents(events: DataFrame): Dataset[Event] = {
     import events.sparkSession.implicits._
@@ -220,6 +223,55 @@ object Streams {
             state.setTimeoutTimestamp(s.last / 1000 + gapUs / 1000)
           }
           closed.result().iterator
+      }
+  }
+
+  /** Streaming twin of the batch q94 rolling window: per-user trailing
+    * one-hour event count, with a rate-limit verdict — the online form
+    * of the feature (fraud gates, API throttles) where the batch query
+    * is the backfill.
+    *
+    * State per user is the timestamp buffer of the last hour only —
+    * pruned as the user's clock advances, timed out by the event clock
+    * one frame after the last event, so state is bounded by the busiest
+    * user's events-per-hour regardless of stream length. Timestamp TIES
+    * are processed as one group (all peers counted before any is
+    * emitted), matching the batch RANGE-frame peer semantics; equality
+    * with the batch holds for per-user in-order delivery, which the
+    * batch-equality spec drives (late arrivals get the state as of
+    * processing — the online contract). */
+  def rollingLimits(events: Dataset[Event], frameUs: Long = 3600L * 1000000L,
+      limit: Int = 100): Dataset[Rolled] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RollState, Rolled](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[RollState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[Rolled]
+            var times = state.getOption.map(_.times).getOrElse(Vector.empty)
+            batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
+              .groupBy(_.ts_us).toSeq.sortBy(_._1)
+              .foreach { case (us, peers) =>
+                // entries below this frame can never re-enter a later
+                // frame; keep the buffer sorted so the timeout bound
+                // (last element) survives out-of-order arrivals too
+                times = (times.filter(_ >= us - frameUs) ++
+                  peers.map(_.ts_us)).sorted
+                val n = times.count(t => t >= us - frameUs && t <= us)
+                peers.foreach(e =>
+                  out += Rolled(userId, e.event_id, e.ts_us, n, n > limit))
+              }
+            if (times.nonEmpty) {
+              state.update(RollState(times))
+              state.setTimeoutTimestamp(times.last / 1000 + frameUs / 1000)
+            }
+            out.result().iterator
+          }
       }
   }
 }

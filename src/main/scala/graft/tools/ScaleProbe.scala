@@ -119,8 +119,18 @@ object ScaleProbe {
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val docs0 = graft.Tables.load(spark, sfDir, "documents")
     val emb0 = graft.Tables.load(spark, sfDir, "embeddings")
+    val ev0 = graft.Tables.load(spark, sfDir, "events")
     val maxDoc = docs0.agg(max("doc_id")).first().getLong(0) + 1
     val maxVec = emb0.agg(max("vec_id")).first().getLong(0) + 1
+    val maxEv = ev0.agg(max("event_id")).first().getLong(0) + 1
+    val maxUser = ev0.agg(max("user_id")).first().getLong(0) + 1
+    // events replicate as NEW USERS (ids shifted): the 100x contract for
+    // entity-keyed windows is more entities, not deeper per-entity history
+    def replicateEvents(m: Int): DataFrame =
+      (0 until m).map { i =>
+        ev0.withColumn("event_id", col("event_id") + lit(i * maxEv))
+          .withColumn("user_id", col("user_id") + lit(i * maxUser))
+      }.reduce(_ union _)
     def replicateDocs(m: Int): DataFrame =
       (0 until m).map { i =>
         docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
@@ -180,6 +190,21 @@ object ScaleProbe {
       // LM familiarity: same two-shuffle envelope as tf-idf; trigram
       // postings stay per-replica under rotation
       time(s"lm_familiarity_x$m") { graft.queries.Text.lmFamiliarity(docs).count() }
+      // k-means: fixed k=8 and 2 iterations, so per-iteration cost is
+      // O(n x k) assignment + map-combined (cell, dim) sums — linear in n
+      time(s"kmeans_x$m") {
+        graft.queries.Similarity.kmeansRefine(replicateEmb(m), k = 8, iters = 2).count()
+      }
+      // collocations: the tf-idf two-shuffle envelope; Caesar rotation
+      // keeps replica vocabularies disjoint, so counts stay per-replica
+      time(s"collocations_x$m") {
+        graft.queries.Text.collocations(docs, minCount = 5, topK = 50).count()
+      }
+      // rolling window: replicas are new users, so the user_id shuffle
+      // fans out across more partitions while per-task frames stay fixed
+      time(s"rolling_window_x$m") {
+        graft.queries.Events.rollingHour(replicateEvents(m)).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

@@ -112,6 +112,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("streaming rolling limits equal the batch q94 frame counts") {
+    // one file = one micro-batch = per-user in-order delivery, the regime
+    // where the online rolling count must equal the batch RANGE frame
+    // exactly (including timestamp-tie peer semantics)
+    val want = SparkEntry.queries("q94_rolling_window")(spark, sfDir)
+      .select(col("event_id"), col("roll_n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // derive the limit from the batch distribution so BOTH verdicts are
+    // exercised regardless of scale factor (sanity-check it can be)
+    assert(want.values.max > want.values.min, "degenerate frame counts")
+    val limit = (want.values.max - 1).toInt
+    val events = Streams.typedEvents(Streams.source(spark, eventsDir))
+    val q = Streams.rollingLimits(events, limit = limit)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("roll_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("roll_out")
+      .select(col("event_id"), col("roll_n").cast("long"), col("limited"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got.size == want.size)
+    assert(got.view.mapValues(_._1).toMap == want)
+    // the verdict column is exactly the frame count vs the limit
+    assert(got.forall { case (_, (n, lim)) => lim == (n > limit) })
+    assert(got.values.exists(_._2) && got.values.exists(!_._2))
+  }
+
   test("stream-stream interval join equals the batch join") {
     val q = Streams.clickToPurchase(
         Streams.source(spark, eventsDir), Streams.source(spark, eventsDir))
