@@ -221,5 +221,51 @@ object Curation {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              |    / sum(n_docs) OVER () AS cum_frac
              |FROM h ORDER BY bucket_lo""".stripMargin)),
+
+    // ---- Equi-depth length bucketing (quantile partitioner) --------------
+    // q84's histogram uses FIXED bucket edges; length-balanced batch
+    // construction wants EQUI-DEPTH buckets — k partitions with ~equal
+    // document counts whatever the length distribution. Exact rule, by
+    // VALUE so it is deterministic and rerun-stable: a document of length
+    // v lands in bucket floor(k * rank_before(v) / n), where
+    // rank_before(v) counts documents strictly shorter — all ties share a
+    // bucket (the honest equi-depth contract without arbitrary row
+    // splitting), cutpoints are exact integer arithmetic over the length
+    // DISTRIBUTION, never a corpus-sized sort.
+    //
+    // Scale shape: one groupBy(value) histogram shuffle; the running sum
+    // window is over DISTINCT length values (bounded by the value domain,
+    // not the corpus — q64's distribution pattern); assignment is an
+    // equi-join of the corpus against the tiny distribution table
+    // (broadcast here; vocabulary-keyed shuffle join if the domain were
+    // ever corpus-sized) plus a one-row total broadcast. Map-side after
+    // that — no global sort, no per-row window.
+    QueryDef("q96_equidepth_buckets", (s, d) => {
+      val k = 8
+      val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val hist = t(s, d, "documents")
+        .groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("cumb", coalesce(sum("cnt").over(w), lit(0L)))
+        .select("n_chars", "cumb")
+      val tot = t(s, d, "documents").agg(count(lit(1)).as("n"))
+      t(s, d, "documents")
+        .join(hist, "n_chars")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_chars"),
+          expr(s"cumb * $k div n").as("bucket"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH h AS (
+             |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+             |c AS (
+             |  SELECT n_chars, CAST(coalesce(sum(cnt) OVER (ORDER BY n_chars
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |    AS cumb
+             |  FROM h),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+             |SELECT d.doc_id, d.n_chars, CAST(c.cumb * 8 // n AS BIGINT) AS bucket
+             |FROM documents d JOIN c ON d.n_chars = c.n_chars CROSS JOIN tot
+             |ORDER BY d.doc_id""".stripMargin)),
   )
 }

@@ -462,6 +462,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q96 equi-depth buckets follow the rank-before rule and balance") {
+    val lens = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = lens.size
+    val got = q("q96_equidepth_buckets").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // driver replay: bucket = floor(k * rank_before(v) / n), ties share
+    val want = lens.map { case (id, v) =>
+      id -> 8L * lens.values.count(_ < v) / n
+    }
+    assert(got == want)
+    // equi-depth has teeth: every bucket materializes and the loads stay
+    // within 2x of ideal on the testdata's spread-out length distribution
+    val loads = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(loads.keySet == (0L until 8L).toSet, loads.toString)
+    assert(loads.values.max <= 2 * (n / 8), loads.toString)
+  }
+
   test("q85 provenance matrix aggregates q45's pairs by source") {
     val src = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "source").collect()
@@ -1138,7 +1157,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val allowed = Set("q08_theta_join", "q48_knn_brute", "q50_knn_topk_agg",
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
-      "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations")
+      "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations",
+      "q96_equidepth_buckets")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
