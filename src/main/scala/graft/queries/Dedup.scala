@@ -750,5 +750,92 @@ object Dedup {
              |SELECT a AS doc_id,
              |  least(a, min(b)) AS cluster_id
              |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+
+    // ---- Cross-source overlap matrix: shingle-set Jaccard per source pair
+    // The curation question behind decontamination and source weighting:
+    // how much CONTENT (not just documents) do two crawls/sources share?
+    // Computed on distinct (source, shingle): per-shingle source sets are
+    // bounded by the source count (tens), so the pair explosion is
+    // O(#sources^2) per shingle worst case and the whole query is two
+    // map-combined shuffles (distinct + per-shingle collect) plus a tiny
+    // rollup — no doc x doc or source-corpus x source-corpus join at any
+    // scale. Jaccard = shared / (n_a + n_b - shared), one IEEE division
+    // of exact int64 counts (q45's portability precedent).
+    QueryDef("q97_source_overlap", (s, d) => {
+      val ss = t(s, d, "documents")
+        .select(col("source"), explode(shingleCol).as("sh"))
+        .distinct()
+      val counts = ss.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = ss.groupBy("sh")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) > 1)
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+        .agg(count(lit(1)).as("shared"))
+      pairs
+        .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+        .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("shared"), col("n_a"), col("n_b"),
+          (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+            .as("jaccard"))
+        .orderBy("source_a", "source_b")
+    },
+      Some("""WITH ss AS (
+             |  SELECT DISTINCT source,
+             |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+             |  FROM documents),
+             |cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
+             |pr AS (
+             |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+             |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, shared, ca.n AS n_a, cb.n AS n_b,
+             |  CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
+             |FROM pr JOIN cnt ca ON source_a = ca.source
+             |        JOIN cnt cb ON source_b = cb.source
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---- Marginal novelty per source: first-seen shingle attribution -----
+    // "Which source actually adds new content?" — the incremental-value
+    // metric behind source-acquisition decisions. Sources are processed in
+    // a FIXED curation order (lexicographic here — any total order works,
+    // and rerun-invariance is the point); each distinct shingle is credited
+    // to the first source that contributes it, so novel_frac is the
+    // fraction of a source's content unseen in everything ordered before
+    // it. Shape: distinct (source, shingle), then a min-combine per
+    // shingle, then a tiny per-source rollup — all map-combined shuffles
+    // on the shingle key; nothing is pairwise.
+    QueryDef("q100_source_novelty", (s, d) => {
+      val ss = t(s, d, "documents")
+        .select(col("source"), explode(shingleCol).as("sh"))
+        .distinct()
+      val counts = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+      val novel = ss.groupBy("sh").agg(min("source").as("source"))
+        .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
+      counts.join(novel, Seq("source"), "left")
+        .select(col("source"), col("n_shingles"),
+          coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+          (coalesce(col("novel_shingles"), lit(0L)).cast("double") / col("n_shingles"))
+            .as("novel_frac"))
+        .orderBy("source")
+    },
+      Some("""WITH ss AS (
+             |  SELECT DISTINCT source,
+             |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+             |  FROM documents),
+             |cnt AS (SELECT source, count(*) AS n_shingles FROM ss GROUP BY source),
+             |nv AS (
+             |  SELECT source, count(*) AS novel_shingles FROM (
+             |    SELECT sh, min(source) AS source FROM ss GROUP BY sh)
+             |  GROUP BY source)
+             |SELECT cnt.source, n_shingles,
+             |  coalesce(novel_shingles, 0) AS novel_shingles,
+             |  CAST(coalesce(novel_shingles, 0) AS DOUBLE) / n_shingles AS novel_frac
+             |FROM cnt LEFT JOIN nv ON cnt.source = nv.source
+             |ORDER BY source""".stripMargin)),
   )
 }

@@ -296,5 +296,64 @@ object Sampling {
              |  CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS batch_id
              |FROM (SELECT doc_id, $sqlLehmer AS h FROM documents)
              |ORDER BY global_idx""".stripMargin)),
+
+    // ---- DSIR-style importance weights: hashed n-gram domain relevance ---
+    // Data Selection via Importance Resampling (Xie et al. 2023) scores
+    // raw documents by how target-like their hashed token features are:
+    // weight(f) ~ p_target(f) / p_raw(f) with add-one smoothing, and a
+    // document's score is the sum of its tokens' feature weights. The
+    // target here is the `lang = 'en'` slice — the "domain" a curation
+    // pass upsamples toward. DSIR sums LOG ratios; ln() is not
+    // bit-portable across engines (q95's precedent), so the registered
+    // variant uses the linear ratio in exact integer arithmetic:
+    // w(f) = ((t_cnt+1) * 1e6) div (r_cnt+1) — the global N_r/N_t
+    // normalizer is a constant factor across features and cannot change
+    // any ordering, so it is dropped. avg_weight (per-token integer mean)
+    // is the length-debiased ranking key.
+    // Scale shape: token stream -> 4096 hashed features; the feature
+    // stats are ONE map-combined shuffle on a key space capped at 4096;
+    // the weight table is a 4096-row broadcast; the per-doc score is one
+    // map-combined shuffle on doc_id. Nothing in the plan grows faster
+    // than the token stream, and the feature hash is the portable
+    // polynomial fold (q43's family), so DuckDB rebuilds it bit-for-bit.
+    QueryDef("q98_importance_weights", (s, d) => {
+      val docs = t(s, d, "documents")
+      val feats = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("lang"),
+          (graft.functions.ArrayExprs.polyFingerprint(array(col("tok"))) % 4096).as("f"))
+      val weights = feats.groupBy("f")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
+          count(lit(1)).as("r_cnt"))
+        .select(col("f"), expr("((t_cnt + 1) * 1000000) div (r_cnt + 1)").as("wf"))
+      feats.join(broadcast(weights), "f")
+        .groupBy("doc_id")
+        .agg(sum("wf").as("score"), count(lit(1)).as("n_tokens"))
+        .select(col("doc_id"), col("score"), col("n_tokens"),
+          expr("score div n_tokens").as("avg_weight"))
+        .orderBy(col("avg_weight").desc, col("doc_id"))
+        .limit(300)
+    },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |ft AS (
+             |  SELECT doc_id, lang,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+             |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
+             |  FROM tok),
+             |fs AS (
+             |  SELECT f,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             |    CAST(count(*) AS BIGINT) AS r_cnt
+             |  FROM ft GROUP BY f),
+             |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
+             |sc AS (
+             |  SELECT doc_id, CAST(sum(wf) AS BIGINT) AS score,
+             |    CAST(count(*) AS BIGINT) AS n_tokens
+             |  FROM ft JOIN w USING (f) GROUP BY doc_id)
+             |SELECT doc_id, score, n_tokens, score // n_tokens AS avg_weight
+             |FROM sc ORDER BY avg_weight DESC, doc_id LIMIT 300""".stripMargin)),
   )
 }

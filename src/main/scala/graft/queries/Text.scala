@@ -621,5 +621,83 @@ object Text {
              |JOIN uni b ON big.w2 = b.tok
              |CROSS JOIN tot
              |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // ---- TextRank keyword centrality: PageRank on the co-occurrence graph
+    // TextRank (Mihalcea & Tarau 2004): rank tokens by weighted PageRank
+    // over the token-adjacency graph — the graph-centrality upgrade of
+    // q95's pairwise lift, and the keyword-extraction primitive. The
+    // iteration runs in FIXED-POINT int64 (scale S = 1e10) so both
+    // engines compute bit-identical ranks: per-edge contribution
+    // floor(pr_u * w_uv / W_u) uses the exact two-term decomposition
+    // (pr div W)*w + ((pr mod W)*w) div W — never forming pr*w, which
+    // would overflow; damping 0.85 as integer (85*acc) div 100. Exact in
+    // int64 while vocab * S * 85 < 2^63 (vocab < ~1e7) and
+    // W_u * w_uv < 2^63 (total adjacency < ~3e9 per token) — renormalize
+    // S for corpora beyond that.
+    // Scale shape: the corpus is touched ONCE (bigram counts, one
+    // map-combined shuffle); all 8 iterations run over the VOCAB-sized
+    // edge list — at 100 TB the iteration input is vocabulary-bounded,
+    // orders of magnitude smaller than the corpus, with localCheckpoint
+    // truncating lineage per round (q52's pattern). The oracle unrolls
+    // the 8 iterations as chained CTEs.
+    QueryDef("q99_textrank", (s, d) => {
+      val S = 10000000000L
+      val tk = t(s, d, "documents").select(toks.as("tk"))
+      val bgd = tk.select(explode(arrays_zip(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+        .select(col("bg.0").as("u"), col("bg.1").as("v"))
+        .filter(col("u") =!= col("v"))
+      val edges = bgd.union(bgd.select(col("v").as("u"), col("u").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .localCheckpoint()
+      val deg = edges.groupBy("u").agg(sum("w").as("wu")).localCheckpoint()
+      var pr = deg.select(col("u").as("node"), lit(S).as("pr"))
+      for (_ <- 1 to 8) {
+        val acc = edges
+          .join(pr.withColumnRenamed("node", "u"), "u")
+          .join(deg, "u")
+          .select(col("v").as("node"),
+            expr("(pr div wu) * w + ((pr % wu) * w) div wu").as("c"))
+          .groupBy("node").agg(sum("c").as("acc"))
+        pr = deg.select(col("u").as("node"))
+          .join(acc, Seq("node"), "left")
+          .select(col("node"),
+            (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node").as("token"), col("pr"))
+        .orderBy(col("pr").desc, col("token"))
+        .limit(100)
+    }, {
+      val iters = (1 to 8).map { k =>
+        s"""pr$k AS (
+           |  SELECT d.u AS node,
+           |    1500000000 + (85 * coalesce(s.acc, 0)) // 100 AS pr
+           |  FROM deg d LEFT JOIN (
+           |    SELECT e.v AS node,
+           |      CAST(sum((p.pr // g.wu) * e.w + ((p.pr % g.wu) * e.w) // g.wu)
+           |        AS BIGINT) AS acc
+           |    FROM edges e JOIN pr${k - 1} p ON e.u = p.node
+           |                 JOIN deg g ON g.u = e.u
+           |    GROUP BY e.v) s ON d.u = s.node)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH t AS (SELECT string_split(text, ' ') AS tk FROM documents),
+             |bgd AS (
+             |  SELECT g[1] AS u, g[2] AS v FROM (
+             |    SELECT unnest(list_transform(range(1, len(tk)),
+             |      i -> [tk[i], tk[i + 1]])) AS g
+             |    FROM t)
+             |  WHERE g[1] <> g[2]),
+             |edges AS (
+             |  SELECT u, v, CAST(count(*) AS BIGINT) AS w FROM (
+             |    SELECT u, v FROM bgd UNION ALL SELECT v AS u, u AS v FROM bgd)
+             |  GROUP BY u, v),
+             |deg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY u),
+             |pr0 AS (SELECT u AS node, CAST(10000000000 AS BIGINT) AS pr FROM deg),
+             |$iters
+             |SELECT node AS token, pr FROM pr8
+             |ORDER BY pr DESC, token LIMIT 100""".stripMargin)
+    }),
   )
 }

@@ -1144,6 +1144,109 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // --- cross-source content analytics (q97 / q100) ------------------------
+
+  private def shingleSetsBySource(): Map[String, Set[String]] =
+    Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(r =>
+        r.getString(1).split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" "))).toSet)
+      .toMap
+
+  test("q97 source overlap matrix equals a driver-side set replay") {
+    val sets = shingleSetsBySource()
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      shared = (sets(a) & sets(b)).size if shared > 0
+    } yield (a, b, shared.toLong, sets(a).size.toLong, sets(b).size.toLong,
+        shared.toDouble / (sets(a).size + sets(b).size - shared)))
+      .toSeq.sortBy(t => (t._1, t._2))
+    val got = q("q97_source_overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
+  test("q100 novelty partitions the shingle universe across sources") {
+    val sets = shingleSetsBySource()
+    val rows = q("q100_source_novelty").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // per-source distinct counts and the first-seen attribution replay
+    val firstSeen = sets.toSeq.flatMap { case (s, sh) => sh.map(_ -> s) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (src, n, novel, frac) =>
+      assert(n == sets(src).size.toLong, src)
+      assert(novel == firstSeen.getOrElse(src, 0L), src)
+      assert(frac == novel.toDouble / n)
+    }
+    // credited-novel counts partition the global distinct-shingle universe
+    assert(rows.map(_._3).sum == sets.values.reduce(_ ++ _).size.toLong)
+    // the lexicographically first source sees everything fresh
+    assert(rows.minBy(_._1)._4 == 1.0)
+  }
+
+  // --- DSIR importance weights (q98) ---------------------------------------
+
+  test("q98 importance weights equal a driver-side replay and favor the target") {
+    def tokHash(w: String): Long = {
+      var h = 0L; var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        h = (h * 131L + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val feats = docs.flatMap { case (_, lang, tk) =>
+      tk.map(w => (tokHash(w) % 1000000007L % 4096L, lang == "en")) }
+    val stats = feats.groupBy(_._1).view.mapValues(fs =>
+      (fs.count(_._2).toLong, fs.length.toLong)).toMap
+    val wf = stats.view.mapValues { case (t, r) => ((t + 1) * 1000000L) / (r + 1) }.toMap
+    val want = docs.map { case (id, _, tk) =>
+      val score = tk.map(w => wf(tokHash(w) % 1000000007L % 4096L)).sum
+      (id, score, tk.length.toLong, score / tk.length)
+    }.sortBy { case (id, _, _, avg) => (-avg, id) }.take(300).toSeq
+    val got = q("q98_importance_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the weights must actually point at the target: mean avg_weight of
+    // target-language docs exceeds the non-target mean
+    val avgByTarget = got.map(t => (docs.find(_._1 == t._1).get._2 == "en", t._4))
+      .groupBy(_._1).view.mapValues(v => v.map(_._2).sum.toDouble / v.size).toMap
+    assert(avgByTarget(true) > avgByTarget(false))
+  }
+
+  // --- TextRank keyword centrality (q99) -----------------------------------
+
+  test("q99 textrank equals a driver-side fixed-point PageRank replay") {
+    val S = 10000000000L
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val bgd = docs.flatMap(_.sliding(2).filter(a => a.length == 2 && a(0) != a(1))
+      .map(a => (a(0), a(1))))
+    val edges = (bgd ++ bgd.map(_.swap)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val deg = edges.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    var pr = deg.keys.map(_ -> S).toMap
+    for (_ <- 1 to 8) {
+      val acc = edges.toSeq.map { case ((u, v), w) =>
+        v -> ((pr(u) / deg(u)) * w + (pr(u) % deg(u)) * w / deg(u))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = deg.keys.map(n => n -> (1500000000L + 85L * acc.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val want = pr.toSeq.sortBy { case (tok, p) => (-p, tok) }.take(100)
+    val got = q("q99_textrank").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // centrality must separate the vocabulary, not emit a constant
+    assert(got.map(_._2).distinct.size > 1)
+  }
+
   // --- whole-registry plan audit ------------------------------------------
 
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
