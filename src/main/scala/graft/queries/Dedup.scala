@@ -48,6 +48,34 @@ object Dedup {
       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
       |  FROM documents) WHERE len(sh) > 0""".stripMargin
 
+  /** Distinct (source, 62-bit shingle hash) pairs — the shared input of
+    * the cross-source content analytics (q97/q100). The hash is the
+    * q78 window-hash family ([[graft.functions.ArrayOps.windowHashes]]
+    * over 3-token windows): 8-byte shuffle keys instead of raw shingle
+    * strings, bit-reproduced by [[sqlHashedShinglesBySource]]. */
+  private def hashedShinglesBySource(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("sh"))
+      .distinct()
+
+  /** DuckDB mirror of [[hashedShinglesBySource]]: the identical 3-token
+    * windows and the identical h131 * 2^31 + (h137 mod 2^31) combine
+    * (q78's oracle pattern). */
+  private[queries] val sqlHashedShinglesBySource =
+    """SELECT DISTINCT source,
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+      |      win ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |          (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+      |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS sh
+      |  FROM documents""".stripMargin
+
   /** MinHash signature via the native [[graft.functions.MinHashSig]]
     * expression: one pass over the shingles, k seeded mixes per shingle —
     * the "k independent permutations" construction without materializing
@@ -759,12 +787,14 @@ object Dedup {
     // O(#sources^2) per shingle worst case and the whole query is two
     // map-combined shuffles (distinct + per-shingle collect) plus a tiny
     // rollup — no doc x doc or source-corpus x source-corpus join at any
-    // scale. Jaccard = shared / (n_a + n_b - shared), one IEEE division
-    // of exact int64 counts (q45's portability precedent).
+    // scale. The shuffle key is the 62-BIT WINDOW HASH (q78's narrow-key
+    // plan: 8 bytes instead of ~20-byte window strings; the oracle
+    // recomputes the identical hash, so parity is exact and the ~0.003
+    // expected collisions at 10^10 windows are shared by both engines).
+    // Jaccard = shared / (n_a + n_b - shared), one IEEE division of
+    // exact int64 counts (q45's portability precedent).
     QueryDef("q97_source_overlap", (s, d) => {
-      val ss = t(s, d, "documents")
-        .select(col("source"), explode(shingleCol).as("sh"))
-        .distinct()
+      val ss = hashedShinglesBySource(t(s, d, "documents"))
       val counts = ss.groupBy("source").agg(count(lit(1)).as("n"))
       val pairs = ss.groupBy("sh")
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
@@ -782,11 +812,7 @@ object Dedup {
             .as("jaccard"))
         .orderBy("source_a", "source_b")
     },
-      Some("""WITH ss AS (
-             |  SELECT DISTINCT source,
-             |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
-             |  FROM documents),
+      Some(s"""WITH ss AS ($sqlHashedShinglesBySource),
              |cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
              |pr AS (
              |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
@@ -807,11 +833,10 @@ object Dedup {
     // fraction of a source's content unseen in everything ordered before
     // it. Shape: distinct (source, shingle), then a min-combine per
     // shingle, then a tiny per-source rollup — all map-combined shuffles
-    // on the shingle key; nothing is pairwise.
+    // on the 62-bit window-hash key (q78's narrow-key plan, oracle
+    // recomputes the identical hash); nothing is pairwise.
     QueryDef("q100_source_novelty", (s, d) => {
-      val ss = t(s, d, "documents")
-        .select(col("source"), explode(shingleCol).as("sh"))
-        .distinct()
+      val ss = hashedShinglesBySource(t(s, d, "documents"))
       val counts = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
       val novel = ss.groupBy("sh").agg(min("source").as("source"))
         .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
@@ -822,11 +847,7 @@ object Dedup {
             .as("novel_frac"))
         .orderBy("source")
     },
-      Some("""WITH ss AS (
-             |  SELECT DISTINCT source,
-             |    unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
-             |  FROM documents),
+      Some(s"""WITH ss AS ($sqlHashedShinglesBySource),
              |cnt AS (SELECT source, count(*) AS n_shingles FROM ss GROUP BY source),
              |nv AS (
              |  SELECT source, count(*) AS novel_shingles FROM (
@@ -836,6 +857,6 @@ object Dedup {
              |  coalesce(novel_shingles, 0) AS novel_shingles,
              |  CAST(coalesce(novel_shingles, 0) AS DOUBLE) / n_shingles AS novel_frac
              |FROM cnt LEFT JOIN nv ON cnt.source = nv.source
-             |ORDER BY source""".stripMargin)),
+             |ORDER BY cnt.source""".stripMargin)),
   )
 }

@@ -1146,14 +1146,25 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   // --- cross-source content analytics (q97 / q100) ------------------------
 
-  private def shingleSetsBySource(): Map[String, Set[String]] =
+  private def shingleSetsBySource(): Map[String, Set[Long]] = {
+    def ph(s: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
     Tables.load(spark, sfDir, "documents")
       .select("source", "text").collect()
       .groupBy(_.getString(0))
       .view.mapValues(_.flatMap(r =>
         r.getString(1).split(" ", -1).sliding(3).filter(_.length == 3)
-          .map(_.mkString(" "))).toSet)
+          .map(_.mkString(" "))
+          .map(w => ph(w, 131L) * 2147483648L + ph(w, 137L) % 2147483648L)).toSet)
       .toMap
+  }
 
   test("q97 source overlap matrix equals a driver-side set replay") {
     val sets = shingleSetsBySource()
