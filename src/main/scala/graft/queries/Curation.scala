@@ -23,19 +23,35 @@ import graft.{QueryDef, Tables}
 object Curation {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** The full curation gate over a `text` column — length + stopword
-    * evidence, duplicate-2-gram fraction, top-token ratio. THE single
-    * definition: the batch pipeline (q68) and the streaming twin
-    * ([[graft.streaming.Streams.curatedIngest]]) must never drift. */
-  def gatesOk: org.apache.spark.sql.Column = {
-    val toks = split(col("text"), " ")
-    val nTok = size(toks)
-    val nStop = size(filter(toks, x => x === "the" || x === "a"))
-    val d2 = size(graft.functions.ArrayExprs.shingles(toks, 2))
-    val dup2 = (nTok - 1 - d2).cast("double") / (nTok - 1)
-    val ratio = graft.functions.ArrayExprs.topTokenCount(toks).cast("double") / nTok
-    nTok >= 20 && nStop > 0 && dup2 <= 0.05 && ratio <= 0.12
+  /** The curation gates over a `text` column, individually named so the
+    * funnel (q102) can attribute attrition per gate IN PIPELINE ORDER
+    * while the combined [[gatesOk]] stays their conjunction. THE single
+    * definition: the batch pipeline (q68), the attrition funnel (q102)
+    * and the streaming twin ([[graft.streaming.Streams.curatedIngest]])
+    * must never drift. */
+  private val gateToks = split(col("text"), " ")
+
+  /** length gate: at least 20 whitespace tokens */
+  def gateLen: org.apache.spark.sql.Column = size(gateToks) >= 20
+
+  /** stopword-evidence gate: at least one closed-class token */
+  def gateStop: org.apache.spark.sql.Column =
+    size(filter(gateToks, x => x === "the" || x === "a")) > 0
+
+  /** repetition gate: duplicate-2-gram fraction at most 5% */
+  def gateRep: org.apache.spark.sql.Column = {
+    val nTok = size(gateToks)
+    val d2 = size(graft.functions.ArrayExprs.shingles(gateToks, 2))
+    (nTok - 1 - d2).cast("double") / (nTok - 1) <= 0.05
   }
+
+  /** top-token gate: most frequent token at most 12% of the doc */
+  def gateTok: org.apache.spark.sql.Column =
+    graft.functions.ArrayExprs.topTokenCount(gateToks).cast("double") / size(gateToks) <= 0.12
+
+  /** The full curation gate: conjunction of the four component gates. */
+  def gatesOk: org.apache.spark.sql.Column =
+    gateLen && gateStop && gateRep && gateTok
 
   // Oracle-side mirror of [[gatesOk]], shared by every gate-consuming
   // oracle (q68/q82/q83) so the thresholds exist in exactly TWO places —
@@ -267,5 +283,81 @@ object Curation {
              |SELECT d.doc_id, d.n_chars, CAST(c.cumb * 8 // n AS BIGINT) AS bucket
              |FROM documents d JOIN c ON d.n_chars = c.n_chars CROSS JOIN tot
              |ORDER BY d.doc_id""".stripMargin)),
+
+    // ---- Curation funnel: per-gate attrition in pipeline order -----------
+    // The ops dashboard behind q68: how many documents each gate removes,
+    // applied cumulatively in the pipeline's order (length -> stopword
+    // evidence -> repetition -> top-token -> near-dup). One corpus pass
+    // computes all four gate booleans map-side from the SAME component
+    // gate Columns q68's conjunction uses (no thresholds duplicated), the
+    // dedup drop set is the audited LSH pair set, and the whole funnel
+    // collapses to a single 6-field aggregate exploded into rows — the
+    // output is O(gates), the work is one scan plus the pair pipeline.
+    QueryDef("q102_curation_funnel", (s, d) => {
+      val docs = t(s, d, "documents")
+      val drop = Dedup.nearDupPairsOf(docs)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val flags = docs
+        .join(drop.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+        .select(gateLen.as("g1"),
+          (gateLen && gateStop).as("g2"),
+          (gateLen && gateStop && gateRep).as("g3"),
+          (gateLen && gateStop && gateRep && gateTok).as("g4"),
+          (gateLen && gateStop && gateRep && gateTok && col("is_dup").isNull).as("g5"))
+      def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as("s" + c.drop(1))
+      flags.agg(count(lit(1)).as("s0"), cnt("g1"), cnt("g2"), cnt("g3"), cnt("g4"), cnt("g5"))
+        .select(explode(array(
+          struct(lit(0).as("stage"), lit("total").as("gate"),
+            col("s0").as("n_docs"), lit(0L).as("dropped")),
+          struct(lit(1).as("stage"), lit("min_length").as("gate"),
+            col("s1").as("n_docs"), (col("s0") - col("s1")).as("dropped")),
+          struct(lit(2).as("stage"), lit("stopword_evidence").as("gate"),
+            col("s2").as("n_docs"), (col("s1") - col("s2")).as("dropped")),
+          struct(lit(3).as("stage"), lit("repetition").as("gate"),
+            col("s3").as("n_docs"), (col("s2") - col("s3")).as("dropped")),
+          struct(lit(4).as("stage"), lit("top_token").as("gate"),
+            col("s4").as("n_docs"), (col("s3") - col("s4")).as("dropped")),
+          struct(lit(5).as("stage"), lit("near_dup").as("gate"),
+            col("s5").as("n_docs"), (col("s4") - col("s5")).as("dropped")))).as("r"))
+        .select("r.*")
+        .orderBy("stage")
+    },
+      Some(s"""WITH s AS (${Dedup.sqlShingles}),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |$sqlGateCtes,
+             |j AS (
+             |  SELECT
+             |    (n >= 20) AS g1,
+             |    (n >= 20 AND nstop > 0) AS g2,
+             |    (n >= 20 AND nstop > 0
+             |      AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05) AS g3,
+             |    (n >= 20 AND nstop > 0
+             |      AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+             |      AND CAST(mx AS DOUBLE) / n <= 0.12) AS g4,
+             |    (n >= 20 AND nstop > 0
+             |      AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
+             |      AND CAST(mx AS DOUBLE) / n <= 0.12
+             |      AND m.doc_id NOT IN (SELECT doc_id FROM drops)) AS g5
+             |  FROM m JOIN mx ON m.doc_id = mx.doc_id),
+             |a AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS s0,
+             |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+             |    CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+             |    CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+             |    CAST(sum(CASE WHEN g5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+             |  FROM j)
+             |SELECT 0 AS stage, 'total' AS gate, s0 AS n_docs,
+             |  CAST(0 AS BIGINT) AS dropped FROM a
+             |UNION ALL SELECT 1, 'min_length', s1, s0 - s1 FROM a
+             |UNION ALL SELECT 2, 'stopword_evidence', s2, s1 - s2 FROM a
+             |UNION ALL SELECT 3, 'repetition', s3, s2 - s3 FROM a
+             |UNION ALL SELECT 4, 'top_token', s4, s3 - s4 FROM a
+             |UNION ALL SELECT 5, 'near_dup', s5, s4 - s5 FROM a
+             |ORDER BY stage""".stripMargin)),
   )
 }

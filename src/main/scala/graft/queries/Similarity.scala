@@ -733,5 +733,52 @@ object Similarity {
              |    FROM n CROSS JOIN c2 c)
              |  WHERE rn = 1)
              |SELECT vec_id, cell, d2 FROM fin ORDER BY vec_id""".stripMargin)),
+
+    // ---- Cluster quality report over the trained k-means partition -------
+    // The ML-ops readout after q93: per-cluster population, share of the
+    // corpus, and dispersion (mean / max exact grid distance-to-centroid
+    // — avg as int64 floor division, portable). A pipeline reads this to
+    // decide k, spot degenerate cells (radius outliers) and skew (share
+    // imbalance) before committing a 100 TB partition layout. Shape: the
+    // q93 training plan plus ONE 8-row rollup; the share fraction runs a
+    // window over the k-row summary, never the corpus.
+    QueryDef("q103_cluster_quality", (s, d) => {
+      val asg = kmeansRefine(t(s, d, "embeddings"), k = 8, iters = 2)
+      asg.groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), sum("d2").as("sum_d2"),
+          max("d2").as("radius_d2"))
+        .withColumn("total",
+          sum("n_vectors").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+        .select(col("cell"), col("n_vectors"),
+          (col("n_vectors").cast("double") / col("total")).as("share"),
+          expr("sum_d2 div n_vectors").as("avg_d2"),
+          col("radius_d2"))
+        .orderBy("cell")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c0 AS (
+             |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 8),
+             |${sqlKmIter("c0", "asg1", "c1")},
+             |${sqlKmIter("c1", "asg2", "c2")},
+             |fin AS (
+             |  SELECT vec_id, cell, d2 FROM (
+             |    SELECT n.vec_id, c.c_id AS cell, ${sqlD2("n", "c")} AS d2,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlD2("n", "c")} ASC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c2 c)
+             |  WHERE rn = 1),
+             |r AS (
+             |  SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+             |    CAST(sum(d2) AS BIGINT) AS sum_d2,
+             |    CAST(max(d2) AS BIGINT) AS radius_d2
+             |  FROM fin GROUP BY cell)
+             |SELECT cell, n_vectors,
+             |  CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER () AS share,
+             |  sum_d2 // n_vectors AS avg_d2, radius_d2
+             |FROM r ORDER BY cell""".stripMargin)),
   )
 }

@@ -699,5 +699,85 @@ object Text {
              |SELECT node AS token, pr FROM pr8
              |ORDER BY pr DESC, token LIMIT 100""".stripMargin)
     }),
+
+    // ---- Language-ID confusion matrix: declared vs predicted -------------
+    // The quality-audit rollup over q42's n-gram language detector:
+    // counts per (declared lang, predicted lang) cell plus the
+    // within-declared-lang fraction — the matrix that tells a curation
+    // operator whether the declared metadata can be trusted and where the
+    // detector needs work. Map pass + a tiny groupBy; the per-lang
+    // fraction runs a window over the MATRIX (≤ langs x 2 rows), never
+    // the corpus.
+    QueryDef("q101_lang_confusion", (s, d) => {
+      val nTok = size(toks)
+      val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
+      val cells = t(s, d, "documents")
+        .select(col("lang"),
+          when(nEn.cast("double") / nTok >= 0.05, "en").otherwise("und").as("pred_lang"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      cells
+        .withColumn("lang_total",
+          sum("n").over(Window.partitionBy("lang")))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          (col("n").cast("double") / col("lang_total")).as("frac_of_lang"))
+        .orderBy("lang", "pred_lang")
+    },
+      Some("""WITH p AS (
+             |  SELECT lang,
+             |    CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+             |          x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |      / len(string_split(text, ' ')) >= 0.05
+             |      THEN 'en' ELSE 'und' END AS pred_lang
+             |  FROM documents),
+             |cells AS (
+             |  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+             |  FROM p GROUP BY lang, pred_lang)
+             |SELECT lang, pred_lang, n,
+             |  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) AS frac_of_lang
+             |FROM cells ORDER BY lang, pred_lang""".stripMargin)),
+
+    // ---- Vocabulary coverage curve: corpus mass vs vocab size ------------
+    // The tokenizer-design question: what fraction of corpus tokens does
+    // a top-V vocabulary cover, as V grows? One map-combined shuffle for
+    // the term frequencies, then EVERYTHING runs over the vocabulary
+    // distribution (rank/cumsum windows over vocab rows, q96's
+    // "window over the distribution, never the corpus" rule) — the
+    // vocab x |V-grid| expansion is bounded by the vocabulary size.
+    QueryDef("q104_vocab_coverage", (s, d) => {
+      val vGrid = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+      val tf = t(s, d, "documents")
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+      val w = Window.orderBy(col("tf").desc, col("token"))
+      val ranked = tf
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum", sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total", sum("tf").over(Window.partitionBy()))
+      ranked
+        .select(col("*"), explode(array(vGrid.map(lit): _*)).as("v"))
+        .filter(col("rank") <= col("v"))
+        .groupBy("v")
+        .agg(max("rank").as("n_vocab"), max("cum").as("covered"), max("total").as("total"))
+        .select(col("v"), col("n_vocab"), col("covered"), col("total"),
+          (col("covered").cast("double") / col("total")).as("coverage"))
+        .orderBy("v")
+    },
+      Some("""WITH tf AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+             |  GROUP BY token),
+             |rk AS (
+             |  SELECT token, tf,
+             |    CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+             |    CAST(sum(tf) OVER (ORDER BY tf DESC, token
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             |    CAST(sum(tf) OVER () AS BIGINT) AS total
+             |  FROM tf)
+             |SELECT v, max(rank) AS n_vocab, max(cum) AS covered,
+             |  max(total) AS total,
+             |  CAST(max(cum) AS DOUBLE) / max(total) AS coverage
+             |FROM rk CROSS JOIN (SELECT unnest([1,2,4,8,16,32,64,128]) AS v)
+             |WHERE rank <= v
+             |GROUP BY v ORDER BY v""".stripMargin)),
   )
 }

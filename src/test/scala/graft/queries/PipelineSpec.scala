@@ -1258,6 +1258,71 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._2).distinct.size > 1)
   }
 
+  // --- audit rollups (q101 / q102 / q103 / q104) ---------------------------
+
+  test("q101 confusion matrix reconciles with q42 row-level predictions") {
+    val preds = q("q42_langid").collect()
+      .map(r => (r.getString(1), r.getString(3)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = q("q101_lang_confusion").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(t => t._1 -> t._2).toMap == want)
+    // per-lang fractions sum to 1
+    rows.groupBy(_._1._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-12, lang)
+    }
+  }
+
+  test("q102 funnel is monotone and reconciles with q68's surviving set") {
+    val rows = q("q102_curation_funnel").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0 to 5))
+    // cumulative gates only remove documents, and dropped = step delta
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3)
+      assert(cur._4 == prev._3 - cur._3)
+    }
+    // the funnel's survivor count equals the assembled pipeline's output
+    assert(rows.last._3 == q("q68_curation_pipeline").count())
+    // stage 4 equals the conjunction gate population
+    val gateCount = Tables.load(spark, sfDir, "documents")
+      .filter(Curation.gatesOk).count()
+    assert(rows(4)._3 == gateCount)
+  }
+
+  test("q103 cluster quality is the exact rollup of q93 assignments") {
+    val asg = q("q93_kmeans").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val want = asg.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = q("q103_cluster_quality").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSet == want.keySet)
+    rows.foreach { case (cell, n, _, avg, radius) =>
+      val ds = want(cell)
+      assert(n == ds.size)
+      assert(avg == ds.sum / ds.size)
+      assert(radius == ds.max)
+    }
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-12)
+  }
+
+  test("q104 coverage curve is monotone and replays q53 frequencies") {
+    val tf = q("q53_token_freq").collect().map(r => (r.getString(0), r.getLong(1)))
+    val ranked = tf.sortBy { case (tok, c) => (-c, tok) }
+    val total = tf.map(_._2).sum
+    val rows = q("q104_vocab_coverage").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    rows.foreach { case (v, nv, covered, tot, cov) =>
+      assert(nv == math.min(v.toLong, ranked.length.toLong))
+      assert(covered == ranked.take(v).map(_._2).sum)
+      assert(tot == total)
+      assert(cov == covered.toDouble / total)
+    }
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq)
+    // once the grid passes the vocabulary size, coverage is total
+    if (rows.last._1 >= ranked.length) assert(rows.last._5 == 1.0)
+  }
+
   // --- whole-registry plan audit ------------------------------------------
 
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
@@ -1272,7 +1337,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
       "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations",
-      "q96_equidepth_buckets")
+      "q96_equidepth_buckets", "q103_cluster_quality")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
