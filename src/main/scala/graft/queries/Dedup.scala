@@ -76,6 +76,43 @@ object Dedup {
       |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS sh
       |  FROM documents""".stripMargin
 
+  /** Cross-source shingle-set Jaccard overlap matrix — see q97 below.
+    * Exposed for library use and the scale probe. */
+  def sourceOverlap(documents: DataFrame): DataFrame = {
+    val ss = hashedShinglesBySource(documents)
+    val counts = ss.groupBy("source").agg(count(lit(1)).as("n"))
+    val pairs = ss.groupBy("sh")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+          struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
+      .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"), col("n_a"), col("n_b"),
+        (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** First-seen shingle attribution per source in fixed curation order —
+    * see q100 below. Exposed for library use and the scale probe. */
+  def sourceNovelty(documents: DataFrame): DataFrame = {
+    val ss = hashedShinglesBySource(documents)
+    val counts = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val novel = ss.groupBy("sh").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
+    counts.join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
+        (coalesce(col("novel_shingles"), lit(0L)).cast("double") / col("n_shingles"))
+          .as("novel_frac"))
+      .orderBy("source")
+  }
+
   /** MinHash signature via the native [[graft.functions.MinHashSig]]
     * expression: one pass over the shingles, k seeded mixes per shingle —
     * the "k independent permutations" construction without materializing
@@ -793,25 +830,7 @@ object Dedup {
     // expected collisions at 10^10 windows are shared by both engines).
     // Jaccard = shared / (n_a + n_b - shared), one IEEE division of
     // exact int64 counts (q45's portability precedent).
-    QueryDef("q97_source_overlap", (s, d) => {
-      val ss = hashedShinglesBySource(t(s, d, "documents"))
-      val counts = ss.groupBy("source").agg(count(lit(1)).as("n"))
-      val pairs = ss.groupBy("sh")
-        .agg(sort_array(collect_set(col("source"))).as("srcs"))
-        .filter(size(col("srcs")) > 1)
-        .select(explode(flatten(transform(col("srcs"), (a, i) =>
-          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
-            struct(a.as("source_a"), b.as("source_b")))))).as("p"))
-        .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
-        .agg(count(lit(1)).as("shared"))
-      pairs
-        .join(broadcast(counts.select(col("source").as("source_a"), col("n").as("n_a"))), "source_a")
-        .join(broadcast(counts.select(col("source").as("source_b"), col("n").as("n_b"))), "source_b")
-        .select(col("source_a"), col("source_b"), col("shared"), col("n_a"), col("n_b"),
-          (col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-            .as("jaccard"))
-        .orderBy("source_a", "source_b")
-    },
+    QueryDef("q97_source_overlap", (s, d) => sourceOverlap(t(s, d, "documents")),
       Some(s"""WITH ss AS ($sqlHashedShinglesBySource),
              |cnt AS (SELECT source, count(*) AS n FROM ss GROUP BY source),
              |pr AS (
@@ -835,18 +854,7 @@ object Dedup {
     // shingle, then a tiny per-source rollup — all map-combined shuffles
     // on the 62-bit window-hash key (q78's narrow-key plan, oracle
     // recomputes the identical hash); nothing is pairwise.
-    QueryDef("q100_source_novelty", (s, d) => {
-      val ss = hashedShinglesBySource(t(s, d, "documents"))
-      val counts = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
-      val novel = ss.groupBy("sh").agg(min("source").as("source"))
-        .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
-      counts.join(novel, Seq("source"), "left")
-        .select(col("source"), col("n_shingles"),
-          coalesce(col("novel_shingles"), lit(0L)).as("novel_shingles"),
-          (coalesce(col("novel_shingles"), lit(0L)).cast("double") / col("n_shingles"))
-            .as("novel_frac"))
-        .orderBy("source")
-    },
+    QueryDef("q100_source_novelty", (s, d) => sourceNovelty(t(s, d, "documents")),
       Some(s"""WITH ss AS ($sqlHashedShinglesBySource),
              |cnt AS (SELECT source, count(*) AS n_shingles FROM ss GROUP BY source),
              |nv AS (

@@ -50,6 +50,27 @@ object Sampling {
 
   private[queries] val sqlLehmer = sqlLehmerOf("doc_id")
 
+  /** DSIR-style hashed-feature importance scoring — see q98 below.
+    * Exposed for library use and the scale probe. */
+  def importanceWeights(documents: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en", topK: Int = 300): org.apache.spark.sql.DataFrame = {
+    val feats = documents
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.ArrayExprs.polyFingerprint(array(col("tok"))) % 4096).as("f"))
+    val weights = feats.groupBy("f")
+      .agg(sum(when(col("lang") === targetLang, 1L).otherwise(0L)).as("t_cnt"),
+        count(lit(1)).as("r_cnt"))
+      .select(col("f"), expr("((t_cnt + 1) * 1000000) div (r_cnt + 1)").as("wf"))
+    feats.join(broadcast(weights), "f")
+      .groupBy("doc_id")
+      .agg(sum("wf").as("score"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        expr("score div n_tokens").as("avg_weight"))
+      .orderBy(col("avg_weight").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Train/val/test split: stable, salt-free, rerun-invariant --------
@@ -316,24 +337,8 @@ object Sampling {
     // map-combined shuffle on doc_id. Nothing in the plan grows faster
     // than the token stream, and the feature hash is the portable
     // polynomial fold (q43's family), so DuckDB rebuilds it bit-for-bit.
-    QueryDef("q98_importance_weights", (s, d) => {
-      val docs = t(s, d, "documents")
-      val feats = docs
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("lang"),
-          (graft.functions.ArrayExprs.polyFingerprint(array(col("tok"))) % 4096).as("f"))
-      val weights = feats.groupBy("f")
-        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_cnt"),
-          count(lit(1)).as("r_cnt"))
-        .select(col("f"), expr("((t_cnt + 1) * 1000000) div (r_cnt + 1)").as("wf"))
-      feats.join(broadcast(weights), "f")
-        .groupBy("doc_id")
-        .agg(sum("wf").as("score"), count(lit(1)).as("n_tokens"))
-        .select(col("doc_id"), col("score"), col("n_tokens"),
-          expr("score div n_tokens").as("avg_weight"))
-        .orderBy(col("avg_weight").desc, col("doc_id"))
-        .limit(300)
-    },
+    QueryDef("q98_importance_weights", (s, d) =>
+      importanceWeights(t(s, d, "documents")),
       Some("""WITH tok AS (
              |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
              |  FROM documents),

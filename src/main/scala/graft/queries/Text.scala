@@ -77,6 +77,39 @@ object Text {
       .limit(topK)
   }
 
+  /** TextRank keyword centrality — see q99 below. Exposed for library
+    * use and the scale probe. */
+  def textrank(documents: DataFrame, iters: Int = 8, topK: Int = 100): DataFrame = {
+    val S = 10000000000L
+    val tk = documents.select(toks.as("tk"))
+    val bgd = tk.select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("bg.0").as("u"), col("bg.1").as("v"))
+      .filter(col("u") =!= col("v"))
+    val edges = bgd.union(bgd.select(col("v").as("u"), col("u").as("v")))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val deg = edges.groupBy("u").agg(sum("w").as("wu")).localCheckpoint()
+    var pr = deg.select(col("u").as("node"), lit(S).as("pr"))
+    for (_ <- 1 to iters) {
+      val acc = edges
+        .join(pr.withColumnRenamed("node", "u"), "u")
+        .join(deg, "u")
+        .select(col("v").as("node"),
+          expr("(pr div wu) * w + ((pr % wu) * w) div wu").as("c"))
+        .groupBy("node").agg(sum("c").as("acc"))
+      pr = deg.select(col("u").as("node"))
+        .join(acc, Seq("node"), "left")
+        .select(col("node"),
+          (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("token"), col("pr"))
+      .orderBy(col("pr").desc, col("token"))
+      .limit(topK)
+  }
+
   /** Corpus-LM familiarity scoring over a (doc_id, text) DataFrame — see
     * q79 below. Exposed for library use and the scale probe. */
   def lmFamiliarity(documents: DataFrame): DataFrame = {
@@ -640,36 +673,7 @@ object Text {
     // orders of magnitude smaller than the corpus, with localCheckpoint
     // truncating lineage per round (q52's pattern). The oracle unrolls
     // the 8 iterations as chained CTEs.
-    QueryDef("q99_textrank", (s, d) => {
-      val S = 10000000000L
-      val tk = t(s, d, "documents").select(toks.as("tk"))
-      val bgd = tk.select(explode(arrays_zip(
-          slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
-        .select(col("bg.0").as("u"), col("bg.1").as("v"))
-        .filter(col("u") =!= col("v"))
-      val edges = bgd.union(bgd.select(col("v").as("u"), col("u").as("v")))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .localCheckpoint()
-      val deg = edges.groupBy("u").agg(sum("w").as("wu")).localCheckpoint()
-      var pr = deg.select(col("u").as("node"), lit(S).as("pr"))
-      for (_ <- 1 to 8) {
-        val acc = edges
-          .join(pr.withColumnRenamed("node", "u"), "u")
-          .join(deg, "u")
-          .select(col("v").as("node"),
-            expr("(pr div wu) * w + ((pr % wu) * w) div wu").as("c"))
-          .groupBy("node").agg(sum("c").as("acc"))
-        pr = deg.select(col("u").as("node"))
-          .join(acc, Seq("node"), "left")
-          .select(col("node"),
-            (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
-          .localCheckpoint()
-      }
-      pr.select(col("node").as("token"), col("pr"))
-        .orderBy(col("pr").desc, col("token"))
-        .limit(100)
-    }, {
+    QueryDef("q99_textrank", (s, d) => textrank(t(s, d, "documents")), {
       val iters = (1 to 8).map { k =>
         s"""pr$k AS (
            |  SELECT d.u AS node,

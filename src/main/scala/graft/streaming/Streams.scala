@@ -167,6 +167,44 @@ object Streams {
       .drop("ev")
   }
 
+  /** One first-seen shingle credit: the shingle's 62-bit hash and the
+    * source it is attributed to. */
+  final case class NovelHit(sh: Long, source: String)
+
+  /** Streaming twin of the batch q100 source-novelty attribution: emit
+    * each distinct 3-token shingle (62-bit window hash, q78's narrow
+    * key) EXACTLY ONCE, credited to the source that first delivers it —
+    * the online form of "which source adds new content", accumulated as
+    * the crawl streams in. Within a micro-batch the batch rule applies
+    * (min source among the batch's carriers), so replaying sources in
+    * curation order reproduces q100 exactly (the batch-equality spec
+    * drives that); out-of-order arrival credits the earlier ARRIVAL,
+    * the online contract.
+    *
+    * State is one boolean per distinct shingle ever seen — the novelty
+    * question is inherently corpus-lifetime state (same contract as
+    * [[dedupedIngest]]'s hash state, documented there); at scale the
+    * state store shards by shingle hash across executors. Downstream,
+    * per-source counts are a stateless rollup of this append stream. */
+  def noveltyIngest(docs: DataFrame): Dataset[NovelHit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("source"),
+        explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("sh"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, NovelHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sh: Long, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(NovelHit(sh, rows.map(_._1).min))
+          }
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -205,6 +205,27 @@ object ScaleProbe {
       time(s"rolling_window_x$m") {
         graft.queries.Events.rollingHour(replicateEvents(m)).count()
       }
+      // source overlap/novelty: replicas keep the SAME source labels but
+      // disjoint shingle vocabularies, so per-shingle source sets stay
+      // bounded and the distinct/min-combine shuffles must grow linearly
+      time(s"source_overlap_x$m") {
+        graft.queries.Dedup.sourceOverlap(docs).count()
+      }
+      time(s"source_novelty_x$m") {
+        graft.queries.Dedup.sourceNovelty(docs).count()
+      }
+      // importance weights: feature space is FIXED at 4096 whatever the
+      // corpus, so the stats shuffle stays capped and the token stream
+      // dominates — must be linear
+      time(s"importance_weights_x$m") {
+        graft.queries.Sampling.importanceWeights(docs).count()
+      }
+      // textrank: one corpus pass for bigram counts, then 8 iterations
+      // over the VOCAB-sized graph (rotation grows vocab m-fold, still
+      // tiny vs the corpus) — near-linear with a fixed iteration floor
+      time(s"textrank_x$m") {
+        graft.queries.Text.textrank(docs).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

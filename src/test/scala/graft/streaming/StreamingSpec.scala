@@ -245,6 +245,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty && contaminated.nonEmpty)
   }
 
+  test("streaming novelty replayed in curation order equals batch q100") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String)]
+    val q = Streams.noveltyIngest(ms.toDF.toDF("source", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("novelty_out").start()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    try {
+      // one micro-batch per source, ascending — the curation order q100
+      // attributes against; each shingle must be credited exactly once,
+      // to the first source that streamed it
+      docs.map(_._1).distinct.sorted.foreach { src =>
+        ms.addData(docs.filter(_._1 == src).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("novelty_out")
+      .groupBy("source").agg(count(lit(1)).as("novel"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q100_source_novelty")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+    // no shingle credited twice
+    val out = spark.table("novelty_out")
+    assert(out.select("sh").distinct().count() == out.count())
+  }
+
   test("parquet sink + checkpoint: no duplicates across a restart") {
     // the writeStream face: a real file sink with a checkpoint, stopped
     // and restarted with replayed input — the checkpointed dedup state
