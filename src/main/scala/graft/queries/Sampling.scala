@@ -42,6 +42,39 @@ object Sampling {
   private[queries] def prefixBuckets(n: Column, target: Long = 100000L): Column =
     greatest(lit(32L), floor(n / lit(target)).cast("long"))
 
+  /** Hierarchical phase-2 of the two-phase prefix sums: EXCLUSIVE
+    * cumulative offsets over per-chunk totals, computed in two window
+    * levels so no single task ever scans the whole chunk table. Chunks
+    * group into supers of `fan`; level 1 accumulates within each super
+    * (parallel windows over <= fan rows), level 2 accumulates the super
+    * totals (one task over nChunks/fan rows — with chunks ~ n/1e5 and
+    * fan 1024 that is ~n/1e8 rows, negligible to beyond 10^12 corpus
+    * rows, closing the bound the flat window documented). The result is
+    * bit-identical to the flat single-window form (pure int64 sum
+    * reassociation), so every consumer's oracle is untouched.
+    *
+    * @param totals   one row per (partCols..., chunkCol) with `totCol`
+    * @return (partCols..., chunkCol, off) — off = sum of totals at
+    *         strictly smaller chunk ids within the partition
+    */
+  private[queries] def chunkOffsets(totals: org.apache.spark.sql.DataFrame,
+      chunkCol: String, totCol: String, partCols: Seq[String] = Nil,
+      fan: Long = 1024L): org.apache.spark.sql.DataFrame = {
+    val pc = partCols.map(col)
+    val sup = totals.withColumn("_sup", expr(s"$chunkCol div $fan"))
+    val wLoc = Window.partitionBy(pc :+ col("_sup"): _*).orderBy(chunkCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSup = Window.partitionBy(pc: _*).orderBy("_sup")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val supOff = sup.groupBy(pc :+ col("_sup"): _*).agg(sum(totCol).as("_stot"))
+      .withColumn("_soff", coalesce(sum("_stot").over(wSup), lit(0L)))
+      .select(pc :+ col("_sup") :+ col("_soff"): _*)
+    sup.withColumn("_loff", coalesce(sum(totCol).over(wLoc), lit(0L)))
+      .join(broadcast(supOff), partCols :+ "_sup")
+      .withColumn("off", col("_soff") + col("_loff"))
+      .select(pc :+ col(chunkCol) :+ col("off"): _*)
+  }
+
   /** SQL-side mirror of [[lehmer]] over an arbitrary column — the SINGLE
     * definition of the hash formula both engines must share; every
     * oracle string derives from it so the constants cannot drift. */
@@ -123,12 +156,9 @@ object Sampling {
       val wLocal = Window.partitionBy("lang", "chunk")
         .orderBy(col("h"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOffset = Window.partitionBy("lang").orderBy("chunk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = chunked.groupBy("lang", "chunk")
-        .agg(sum("n_chars").as("tot")) // <= nLangs * chunks rows
-        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
-        .select("lang", "chunk", "off")
+      val offsets = chunkOffsets(
+        chunked.groupBy("lang", "chunk").agg(sum("n_chars").as("tot")),
+        "chunk", "tot", partCols = Seq("lang")) // <= nLangs * chunks rows
       chunked
         .withColumn("local_cum", sum("n_chars").over(wLocal))
         .join(broadcast(offsets), Seq("lang", "chunk"))
@@ -180,11 +210,8 @@ object Sampling {
         .drop("mx", "cnt", "nb")
       val wLocal = Window.partitionBy("sub").orderBy("doc_id", "chunk_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOffset = Window.orderBy("sub")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = sub.groupBy("sub").agg(sum("n_tokens").as("tot"))
-        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
-        .select("sub", "off")
+      val offsets = chunkOffsets(
+        sub.groupBy("sub").agg(sum("n_tokens").as("tot")), "sub", "tot")
       sub
         .withColumn("local_cum", sum("n_tokens").over(wLocal))
         .join(broadcast(offsets), "sub")
@@ -300,10 +327,8 @@ object Sampling {
         .withColumn("chunk", expr(s"(h * nb) div $M"))
         .drop("cnt", "nb")
       val wLocal = Window.partitionBy("chunk").orderBy("h", "doc_id")
-      val wOffset = Window.orderBy("chunk").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = chunked.groupBy("chunk").agg(count(lit(1)).as("tot"))
-        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
-        .select("chunk", "off")
+      val offsets = chunkOffsets(
+        chunked.groupBy("chunk").agg(count(lit(1)).as("tot")), "chunk", "tot")
       chunked
         .withColumn("local_rn", row_number().over(wLocal).cast("long"))
         .join(broadcast(offsets), "chunk")

@@ -559,11 +559,8 @@ object Text {
         .drop("mx", "cnt", "nb")
       val wLocal = Window.partitionBy("sub").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wOffset = Window.orderBy("sub")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = sub.groupBy("sub").agg(sum("n_sub").as("tot"))
-        .withColumn("off", coalesce(sum("tot").over(wOffset), lit(0L)))
-        .select("sub", "off")
+      val offsets = Sampling.chunkOffsets(
+        sub.groupBy("sub").agg(sum("n_sub").as("tot")), "sub", "tot")
       sub
         .withColumn("local_cum", sum("n_sub").over(wLocal))
         .join(broadcast(offsets), "sub")

@@ -1323,6 +1323,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     if (rows.last._1 >= ranked.length) assert(rows.last._5 == 1.0)
   }
 
+  // --- hierarchical phase-2 prefix offsets ---------------------------------
+
+  test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
+    import spark.implicits._
+    // irregular totals incl. missing chunk ids and multiple partitions;
+    // fan=4 forces several super-groups at this size
+    val totals = (0 until 100).filter(_ % 7 != 3)
+      .flatMap(c => Seq(("p1", c.toLong, (c * 13 % 17 + 1).toLong),
+        ("p2", c.toLong, (c * 5 % 11 + 1).toLong)))
+      .toDF("part", "chunk", "tot")
+    val got = Sampling.chunkOffsets(totals, "chunk", "tot",
+        partCols = Seq("part"), fan = 4L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val rows = totals.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (p, c, _) =>
+      val want = rows.filter(t => t._1 == p && t._2 < c).map(_._3).sum
+      assert(got((p, c)) == want, s"($p, $c)")
+    }
+    assert(got.size == rows.length)
+  }
+
   // --- whole-registry plan audit ------------------------------------------
 
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
