@@ -359,5 +359,49 @@ object Curation {
              |UNION ALL SELECT 4, 'top_token', s4, s3 - s4 FROM a
              |UNION ALL SELECT 5, 'near_dup', s5, s4 - s5 FROM a
              |ORDER BY stage""".stripMargin)),
+
+    // ---- Corpus snapshot diff: added / removed / modified / unchanged ----
+    // The change report between two corpus versions — what a pipeline
+    // operator reads before re-running downstream stages (and what makes
+    // incremental reprocessing auditable). Versions are derived
+    // deterministically from the fixture (v1 drops ids ending in 7, v2
+    // drops ids ending in 3 and revises ids ending in 5) so both engines
+    // construct identical snapshots; the diff itself is the production
+    // shape: one id-keyed FULL OUTER equi-join of content hashes (at
+    // 100 TB both snapshots live id-bucketed — q82's zero-shuffle join
+    // layout), classified per row and rolled up per (source, status).
+    QueryDef("q106_snapshot_diff", (s, d) => {
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("source").as("source1"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id"), col("source").as("source2"),
+          md5(when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("source1"), col("source2")).as("source"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "modified")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n"))
+        .orderBy("source", "status")
+    },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, source, md5(text) AS h1 FROM documents
+             |  WHERE doc_id % 10 <> 7),
+             |v2 AS (
+             |  SELECT doc_id, source,
+             |    md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2'
+             |        ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 10 <> 3)
+             |SELECT coalesce(v1.source, v2.source) AS source,
+             |  CASE WHEN h1 IS NULL THEN 'added'
+             |       WHEN h2 IS NULL THEN 'removed'
+             |       WHEN h1 <> h2 THEN 'modified'
+             |       ELSE 'unchanged' END AS status,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
   )
 }

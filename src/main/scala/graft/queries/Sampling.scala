@@ -385,5 +385,72 @@ object Sampling {
              |  FROM ft JOIN w USING (f) GROUP BY doc_id)
              |SELECT doc_id, score, n_tokens, score // n_tokens AS avg_weight
              |FROM sc ORDER BY avg_weight DESC, doc_id LIMIT 300""".stripMargin)),
+
+    // ---- Stratified eval allocation: largest-remainder apportionment -----
+    // Building an eval set of EXACTLY K documents proportional to the
+    // strata (languages here) needs an apportionment rule — floor quotas
+    // under-fill and naive rounding over/under-shoots. This is Hamilton's
+    // largest-remainder method in exact integer arithmetic: quota_s =
+    // floor(K*n_s/N), and the K - sum(quota) leftover seats go to the
+    // strata with the largest scaled remainders K*n_s - quota_s*N (ties
+    // by stratum name — total order, rerun-stable). Within each stratum
+    // the quota picks the docs with the smallest (lehmer, id) — q57's
+    // deterministic per-group sample.
+    // Scale shape: the allocation runs entirely over the STRATA table
+    // (#langs rows — windows over the distribution, q96's rule); the
+    // per-stratum pick is one lang-keyed window over the corpus (many
+    // small groups, no low-cardinality skew at real lang counts) against
+    // a broadcast quota table.
+    QueryDef("q105_eval_allocation", (s, d) => {
+      val K = 100
+      val docs = t(s, d, "documents")
+      val wAll = Window.partitionBy()
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
+        .withColumn("n", sum("n_s").over(wAll))
+        .withColumn("quota0", expr(s"($K * n_s) div n"))
+        .withColumn("rem", expr(s"$K * n_s - quota0 * n"))
+        .withColumn("leftover", lit(K) - sum("quota0").over(wAll))
+        .withColumn("rr",
+          row_number().over(Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+        .select(col("lang"),
+          (col("quota0") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
+            .as("quota"))
+      val picked = docs
+        .select(col("lang"), col("doc_id"), lehmer(col("doc_id")).as("h"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
+        .join(broadcast(counts), "lang")
+        .filter(col("rn") <= col("quota"))
+      picked.select(col("lang"), col("doc_id"), col("rn"), col("quota"))
+        .orderBy("lang", "rn")
+    },
+      Some(s"""WITH c AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents
+             |  GROUP BY lang),
+             |a AS (
+             |  SELECT lang, n_s,
+             |    CAST(sum(n_s) OVER () AS BIGINT) AS n,
+             |    (100 * n_s) // CAST(sum(n_s) OVER () AS BIGINT) AS quota0
+             |  FROM c),
+             |b AS (
+             |  SELECT lang, quota0,
+             |    100 * n_s - quota0 * n AS rem,
+             |    100 - CAST(sum(quota0) OVER () AS BIGINT) AS leftover,
+             |    CAST(row_number() OVER (ORDER BY (100 * n_s - quota0 * n) DESC,
+             |      lang) AS BIGINT) AS rr
+             |  FROM a),
+             |q AS (
+             |  SELECT lang,
+             |    quota0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+             |  FROM b),
+             |p AS (
+             |  SELECT lang, doc_id, $sqlLehmer AS h,
+             |    CAST(row_number() OVER (PARTITION BY lang
+             |      ORDER BY $sqlLehmer, doc_id) AS BIGINT) AS rn
+             |  FROM documents)
+             |SELECT p.lang, doc_id, rn, quota
+             |FROM p JOIN q ON p.lang = q.lang
+             |WHERE rn <= quota
+             |ORDER BY p.lang, rn""".stripMargin)),
   )
 }

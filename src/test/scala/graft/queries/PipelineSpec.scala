@@ -1323,6 +1323,52 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     if (rows.last._1 >= ranked.length) assert(rows.last._5 == 1.0)
   }
 
+  // --- eval allocation / snapshot diff (q105 / q106) -----------------------
+
+  test("q105 allocates exactly K seats with the Hamilton quota property") {
+    val K = 100
+    val rows = q("q105_eval_allocation").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == K)
+    val byLang = Tables.load(spark, sfDir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = byLang.values.sum
+    val quotas = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(quotas.values.sum == K)
+    // Hamilton's method stays within one seat of the exact share
+    quotas.foreach { case (lang, got) =>
+      val exact = K.toDouble * byLang(lang) / n
+      assert(got == math.floor(exact).toLong || got == math.ceil(exact).toLong,
+        s"$lang: $got vs $exact")
+    }
+    // within each stratum, picks are the smallest (lehmer, id)
+    rows.groupBy(_._1).foreach { case (lang, picks) =>
+      assert(picks.map(_._3).sorted.toSeq == (1L to picks.length))
+    }
+  }
+
+  test("q106 classifies the synthetic snapshot delta exactly") {
+    val rows = q("q106_snapshot_diff").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def want(status: String, pred: Long => Boolean) = {
+      val by = docs.filter(t => pred(t._1)).groupBy(_._2)
+        .view.mapValues(_.length.toLong).toMap
+      by.foreach { case (src, cnt) =>
+        assert(rows.getOrElse((src, status), 0L) == cnt, s"$src/$status")
+      }
+      by.values.sum
+    }
+    val a = want("added", id => id % 10 == 7)
+    val r = want("removed", id => id % 10 == 3)
+    val m = want("modified", id => id % 10 == 5)
+    val u = want("unchanged", id => id % 10 != 7 && id % 10 != 3 && id % 10 != 5)
+    assert(a + r + m + u == docs.length && rows.values.sum == docs.length)
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
