@@ -265,5 +265,100 @@ object Events {
              |WINDOW w AS (PARTITION BY user_id ORDER BY us
              |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin)),
+
+    // ---- Retention cohort matrix: day-0 cohorts x day offsets ------------
+    // The product-analytics staple: users cohorted by first-seen day,
+    // activity counted per (cohort, day-offset) cell with the retention
+    // rate against the cohort's size. All time arithmetic on integer day
+    // indices (exact microseconds div day — never raw ns timestamps).
+    // Scale shape: per-user first day and distinct activity days are
+    // map-combined user/user-day shuffles; the cohort join is id-keyed;
+    // the matrix rollup is (days x offsets) — tiny. Nothing is pairwise,
+    // nothing windows over the corpus.
+    QueryDef("q107_retention_cohorts", (s, d) => {
+      val dayUs = 86400L * 1000000L
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("day", expr(s"unix_micros(ts) div $dayUs"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      val act = ev.select("user_id", "day").distinct()
+      val cohortSize = firstDay.groupBy("cohort").agg(count(lit(1)).as("n_users"))
+      act.join(firstDay, "user_id")
+        .groupBy(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cohortSize), "cohort")
+        .select(col("cohort"), col("day_offset"), col("n_active"), col("n_users"),
+          (col("n_active").cast("double") / col("n_users")).as("retention"))
+        .orderBy("cohort", "day_offset")
+    },
+      Some("""WITH ev AS (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events WHERE ts IS NOT NULL),
+             |fd AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, day FROM ev),
+             |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+             |       FROM fd GROUP BY cohort)
+             |SELECT fd.cohort, day - fd.cohort AS day_offset,
+             |  CAST(count(*) AS BIGINT) AS n_active, n_users,
+             |  CAST(count(*) AS DOUBLE) / n_users AS retention
+             |FROM act JOIN fd ON act.user_id = fd.user_id
+             |         JOIN cs ON fd.cohort = cs.cohort
+             |GROUP BY fd.cohort, day - fd.cohort, n_users
+             |ORDER BY fd.cohort, day_offset""".stripMargin)),
+
+    // ---- Session path mining: top within-session event-type 3-grams ------
+    // "What do users actually do?" — the path-frequency readout over
+    // q31's gap sessionization. Each session's event types are ordered
+    // by exact (microsecond, event_id) — a total order, so the collected
+    // sequence is deterministic in both engines — and every CONSECUTIVE
+    // 3-step path is counted with multiplicity (unlike the dedup
+    // shingles, repetition is the signal here).
+    // Scale shape: one user_id window (q31's), one session collect
+    // (bounded by session length), a map-side 3-gram expansion, and a
+    // map-combined path count with a distributed top-20 — no corpus-wide
+    // window, no pairwise joins.
+    QueryDef("q108_session_paths", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val seqs = sess.groupBy("user_id", "session_id")
+        .agg(sort_array(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+        .select(transform(col("evs"), e => e.getField("event_type")).as("seq"))
+        .filter(size(col("seq")) >= 3)
+      seqs
+        .select(explode(transform(sequence(lit(0), size(col("seq")) - 3),
+          i => array_join(slice(col("seq"), i + 1, lit(3)), " "))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+             |), sx AS (
+             |  SELECT user_id, event_type, us, event_id,
+             |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM e),
+             |sq AS (
+             |  SELECT list(event_type ORDER BY us, event_id) AS seq
+             |  FROM sx GROUP BY user_id, session_id),
+             |g AS (
+             |  SELECT unnest(list_transform(range(1, len(seq) - 1),
+             |    i -> array_to_string(seq[i:i+2], ' '))) AS path
+             |  FROM sq WHERE len(seq) >= 3)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n
+             |FROM g GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin)),
   )
 }

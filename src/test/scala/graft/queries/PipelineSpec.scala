@@ -1369,6 +1369,55 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(a + r + m + u == docs.length && rows.values.sum == docs.length)
   }
 
+  // --- event analytics (q107 / q108) ---------------------------------------
+
+  private def eventRows(): Array[(Long, Long, Long, String)] =
+    Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("q107 retention cohorts replay driver-side; day 0 is always 1.0") {
+    val dayUs = 86400L * 1000000L
+    val ev = eventRows().map(e => (e._2, e._3 / dayUs))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = ev.distinct
+      .map { case (u, day) => (cohort(u), day - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = q("q107_retention_cohorts").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(t => t._1 -> t._2).toMap == cells)
+    rows.foreach { case ((c, off), nActive, nUsers, rate) =>
+      assert(nUsers == sizes(c))
+      assert(rate == nActive.toDouble / nUsers)
+      if (off == 0L) assert(rate == 1.0, s"cohort $c day 0")
+    }
+  }
+
+  test("q108 session paths replay the gap-session 3-gram counts") {
+    val gapUs = 1800L * 1000000L
+    val paths = eventRows()
+      .groupBy(_._2).values.flatMap { evs =>
+        val sorted = evs.toSeq.sortBy(e => (e._3, e._1))
+        // split on >30min inactivity, then count consecutive type 3-grams
+        val sessions = sorted.foldLeft(List.empty[List[(Long, Long, Long, String)]]) {
+          case (acc, e) => acc match {
+            case cur :: rest if e._3 - cur.head._3 <= gapUs => (e :: cur) :: rest
+            case _ => List(e) :: acc
+          }
+        }.map(_.reverse.map(_._4))
+        sessions.filter(_.length >= 3)
+          .flatMap(_.sliding(3).map(_.mkString(" ")))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    val got = q("q108_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == paths)
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
