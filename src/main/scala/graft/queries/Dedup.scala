@@ -48,18 +48,32 @@ object Dedup {
       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
       |  FROM documents) WHERE len(sh) > 0""".stripMargin
 
-  /** Distinct (source, 62-bit shingle hash) pairs — the shared input of
-    * the cross-source content analytics (q97/q100). The hash is the
-    * q78 window-hash family ([[graft.functions.ArrayOps.windowHashes]]
-    * over 3-token windows): 8-byte shuffle keys instead of raw shingle
-    * strings, bit-reproduced by [[sqlHashedShinglesBySource]]. */
-  private def hashedShinglesBySource(docs: DataFrame): DataFrame =
+  /** Per-shingle SORTED source sets — the shared input of the
+    * cross-source content analytics (q97/q100), produced by ONE
+    * sh-keyed shuffle: collect_set deduplicates in its map-side partial
+    * step, so the corpus stream is touched once and everything
+    * downstream (per-source distinct counts, pair explosion, first-seen
+    * attribution) derives from the distinct-shingle table, which is
+    * orders of magnitude smaller than the corpus. The shingle key is
+    * the q78 window-hash family ([[graft.functions.ArrayOps
+    * .windowHashes]] over 3-token windows): 8-byte shuffle keys instead
+    * of raw shingle strings, bit-reproduced by
+    * [[sqlHashedShinglesBySource]]. Set size is bounded by the source
+    * count (tens) — never corpus-proportional. */
+  private def shingleSourceSets(docs: DataFrame): DataFrame =
     docs.select(col("source"),
         explode(array_distinct(
           graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("sh"))
-      .distinct()
+      .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))
 
-  /** DuckDB mirror of [[hashedShinglesBySource]]: the identical 3-token
+  /** Per-source distinct-shingle counts off the [[shingleSourceSets]]
+    * table (no second corpus pass). */
+  private def sourceShingleCounts(sets: DataFrame, outCol: String): DataFrame =
+    sets.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as(outCol))
+
+  /** DuckDB mirror of the distinct (source, shingle-hash) pairs the
+    * source-set table is built from: the identical 3-token
     * windows and the identical h131 * 2^31 + (h137 mod 2^31) combine
     * (q78's oracle pattern). */
   private[queries] val sqlHashedShinglesBySource =
@@ -79,10 +93,13 @@ object Dedup {
   /** Cross-source shingle-set Jaccard overlap matrix — see q97 below.
     * Exposed for library use and the scale probe. */
   def sourceOverlap(documents: DataFrame): DataFrame = {
-    val ss = hashedShinglesBySource(documents)
-    val counts = ss.groupBy("source").agg(count(lit(1)).as("n"))
-    val pairs = ss.groupBy("sh")
-      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    // the source-set table feeds two consumers (counts + pair set): the
+    // aggregation subtree is identical on both branches, so ReuseExchange
+    // shares the one corpus shuffle — no materialization needed (q45's
+    // "recompute beats persisting corpus-sized state" rule)
+    val sets = shingleSourceSets(documents)
+    val counts = sourceShingleCounts(sets, "n")
+    val pairs = sets
       .filter(size(col("srcs")) > 1)
       .select(explode(flatten(transform(col("srcs"), (a, i) =>
         transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
@@ -101,9 +118,10 @@ object Dedup {
   /** First-seen shingle attribution per source in fixed curation order —
     * see q100 below. Exposed for library use and the scale probe. */
   def sourceNovelty(documents: DataFrame): DataFrame = {
-    val ss = hashedShinglesBySource(documents)
-    val counts = ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
-    val novel = ss.groupBy("sh").agg(min("source").as("source"))
+    val sets = shingleSourceSets(documents)
+    val counts = sourceShingleCounts(sets, "n_shingles")
+    // the set is sorted, so first-seen in curation order = element 1
+    val novel = sets.select(element_at(col("srcs"), 1).as("source"))
       .groupBy("source").agg(count(lit(1)).as("novel_shingles"))
     counts.join(novel, Seq("source"), "left")
       .select(col("source"), col("n_shingles"),

@@ -1180,6 +1180,18 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  test("q97/q100 share the one corpus shuffle via ReusedExchange") {
+    // counts and pair/first-seen branches hang off the same sh-keyed
+    // collect_set aggregate; the corpus must be shuffled once, not per
+    // consumer (and never materialized — q45's recompute rule)
+    Seq("q97_source_overlap", "q100_source_novelty").foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE settles stage reuse at runtime, not in the static plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"), s"$name: no exchange reuse")
+    }
+  }
+
   test("q100 novelty partitions the shingle universe across sources") {
     val sets = shingleSetsBySource()
     val rows = q("q100_source_novelty").collect()
