@@ -403,5 +403,78 @@ object Curation {
              |  CAST(count(*) AS BIGINT) AS n
              |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
              |GROUP BY 1, 2 ORDER BY source, status""".stripMargin)),
+
+    // ---- Incremental invalidation: what must re-run after a snapshot diff
+    // The composition that makes incremental reprocessing SOUND: a
+    // changed document does not only invalidate itself — any near-dup
+    // cluster it belongs to changes membership, so every member needs
+    // its dedup verdict recomputed. Invalidated = changed docs (added or
+    // modified, from the q106 hash diff) plus ALL members of any v2
+    // near-dup cluster containing one. Shapes: the q106 id-keyed diff,
+    // the q45 LSH pair set over v2, the q52 large-star/small-star
+    // closure, and two id-keyed semi-joins — every piece already audited;
+    // the output is the re-run manifest, tagged direct vs cluster.
+    QueryDef("q109_invalidation", (s, d) => {
+      val docs = t(s, d, "documents")
+      val v2 = docs.filter(col("doc_id") % 10 =!= 3)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      val v1h = docs.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), md5(col("text")).as("h1"))
+      val changed = v2.select(col("doc_id"), md5(col("text")).as("h2"))
+        .join(v1h, Seq("doc_id"), "left")
+        .filter(col("h1").isNull || col("h1") =!= col("h2"))
+        .select("doc_id")
+      val (labels, _) = Dedup.connectedComponents(
+        Dedup.nearDupPairsOf(v2).select("doc_a", "doc_b"))
+      val clusters = v2.select("doc_id")
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      val bad = clusters.join(changed, Seq("doc_id"), "left_semi")
+        .select("cluster").distinct()
+      clusters.join(bad, Seq("cluster"), "left_semi")
+        .join(changed.withColumn("direct", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("direct"), "direct").otherwise("cluster").as("reason"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH RECURSIVE v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 10 <> 3),
+             |v1h AS (
+             |  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 10 <> 7),
+             |chg AS (
+             |  SELECT v2.doc_id FROM v2 LEFT JOIN v1h ON v2.doc_id = v1h.doc_id
+             |  WHERE h1 IS NULL OR h1 <> md5(v2.text)),
+             |s AS (
+             |  SELECT doc_id, sh FROM (
+             |    SELECT doc_id,
+             |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
+             |    FROM v2) WHERE len(sh) > 0),
+             |tp AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT doc_a, doc_b FROM tp UNION SELECT doc_b, doc_a FROM tp),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lbl AS (SELECT a AS node, least(a, min(b)) AS cl FROM reach GROUP BY a),
+             |cl AS (
+             |  SELECT v2.doc_id, coalesce(l.cl, v2.doc_id) AS cluster
+             |  FROM v2 LEFT JOIN lbl l ON v2.doc_id = l.node),
+             |bad AS (
+             |  SELECT DISTINCT cluster FROM cl JOIN chg ON cl.doc_id = chg.doc_id)
+             |SELECT cl.doc_id,
+             |  CASE WHEN cl.doc_id IN (SELECT doc_id FROM chg)
+             |       THEN 'direct' ELSE 'cluster' END AS reason
+             |FROM cl WHERE cl.cluster IN (SELECT cluster FROM bad)
+             |ORDER BY cl.doc_id""".stripMargin)),
   )
 }

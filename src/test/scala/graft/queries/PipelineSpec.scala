@@ -1430,6 +1430,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got == paths)
   }
 
+  test("q109 invalidation equals a driver-side union-find over v2 near-dups") {
+    val v2 = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 10 =!= 3)
+      .withColumn("text",
+        when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")))
+    val ids = v2.select("doc_id").collect().map(_.getLong(0))
+    val changed = ids.filter(id => id % 10 == 5 || id % 10 == 7).toSet
+    val pairs = Dedup.nearDupPairsOf(v2).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find over the verified pair set
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val badRoots = changed.map(find)
+    val wantInvalid = ids.filter(id => badRoots.contains(find(id))).toSet
+    val got = q("q109_invalidation").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.map(_._1).toSet == wantInvalid)
+    got.foreach { case (id, reason) =>
+      assert(reason == (if (changed(id)) "direct" else "cluster"), s"doc $id")
+    }
+    // the diff actually pulls in un-changed cluster members
+    assert(got.exists(_._2 == "cluster"))
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
