@@ -360,5 +360,66 @@ object Events {
              |  FROM sq WHERE len(seq) >= 3)
              |SELECT path, CAST(count(*) AS BIGINT) AS n
              |FROM g GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin)),
+
+    // ---- Winsorized robust statistics per event type ---------------------
+    // Outlier-robust aggregation the q64 way: the p05/p95 cut points come
+    // from the exact VALUE DISTRIBUTION (rank covers over a groupBy(value)
+    // histogram — windows over distinct values, never the event stream),
+    // ranks in exact integer arithmetic (ceil(p*n) as (p*n + 99) div 100),
+    // values clamped map-side, and both means emitted as exact DECIMAL
+    // sums cast to double at the very end (q94's portability pattern —
+    // never a partition-order-dependent double sum).
+    // Scale shape: one histogram shuffle + a per-type threshold broadcast
+    // + one map-combined final aggregate.
+    QueryDef("q110_winsorized_stats", (s, d) => {
+      val ev = t(s, d, "events").select(col("event_type"), col("value"))
+      val wCum = Window.partitionBy("event_type").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hist = ev.groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      val cuts = hist.groupBy("event_type")
+        .agg(max("n").as("n"),
+          min(when(col("cum") >= expr("(5 * n + 99) div 100"), col("value"))).as("lo"),
+          min(when(col("cum") >= expr("(95 * n + 99) div 100"), col("value"))).as("hi"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(18, 6))
+      ev.join(broadcast(cuts), "event_type")
+        .withColumn("w",
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("w") =!= col("value"), 1L).otherwise(0L)).as("n_clipped"),
+          max("lo").as("p05"), max("hi").as("p95"),
+          (sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean"),
+          (sum(dec(col("w"))).cast("double") / count(lit(1))).as("winsorized_mean"))
+        .orderBy("event_type")
+    },
+      Some("""WITH h AS (
+             |  SELECT event_type, value, count(*) AS cnt
+             |  FROM events GROUP BY event_type, value),
+             |c AS (
+             |  SELECT event_type, value, cnt,
+             |    sum(cnt) OVER (PARTITION BY event_type ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER (PARTITION BY event_type) AS n
+             |  FROM h),
+             |cuts AS (
+             |  SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             |    min(CASE WHEN cum >= (5 * n + 99) // 100 THEN value END) AS lo,
+             |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN value END) AS hi
+             |  FROM c GROUP BY event_type)
+             |SELECT e.event_type,
+             |  CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_clipped,
+             |  max(lo) AS p05, max(hi) AS p95,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean,
+             |  CAST(sum(CAST(CASE WHEN value < lo THEN lo
+             |    WHEN value > hi THEN hi ELSE value END AS DECIMAL(18,6)))
+             |    AS DOUBLE) / count(*) AS winsorized_mean
+             |FROM events e JOIN cuts ON e.event_type = cuts.event_type
+             |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
   )
 }

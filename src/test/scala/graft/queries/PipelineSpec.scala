@@ -1457,6 +1457,31 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.exists(_._2 == "cluster"))
   }
 
+  test("q110 winsorized stats replay the exact rank cuts and decimal means") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val rows = q("q110_winsorized_stats").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    rows.foreach { case (et, n, nClip, p05, p95, mean, wmean) =>
+      val vs = ev.filter(_._1 == et).map(_._2).sorted
+      assert(n == vs.length)
+      // rank covers: smallest value whose 1-based rank reaches ceil(p*n)
+      def cut(p: Int) = vs(((p.toLong * n + 99) / 100 - 1).toInt)
+      assert(p05 == cut(5) && p95 == cut(95), et)
+      assert(nClip == vs.count(v => v < p05 || v > p95))
+      def decMean(xs: Seq[Double]) =
+        (xs.map(v => BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / n)
+      assert(mean == decMean(vs.toSeq), s"$et mean")
+      assert(wmean == decMean(vs.toSeq.map(v => math.min(math.max(v, p05), p95))),
+        s"$et wmean")
+      assert(p05 <= wmean && wmean <= p95)
+    }
+    assert(rows.nonEmpty && rows.exists(_._3 > 0))
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
