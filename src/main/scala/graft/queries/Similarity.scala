@@ -365,6 +365,20 @@ object Similarity {
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
 
+  /** Brute-force exact cosine top-k for the bounded query set — q48's
+    * body, shared with the q112 recall attestation. */
+  private def bruteTopK(e: DataFrame, k: Int = 10): DataFrame = {
+    val queries = e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+    val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
+
   /** Exact squared grid distance between a corpus row `a` (qv, n2) and a
     * centroid row `c` (cv, cn) — the kmeansRefine metric. */
   private def sqlD2(a: String, c: String) =
@@ -450,19 +464,8 @@ object Similarity {
       Some(sqlNearPairs(0.9))),
 
     // ---- Brute-force cosine top-k (the exact ANN baseline) ---------------
-    QueryDef("q48_knn_brute", (s, d) => {
-      val e = quantized(s, d)
-      val queries = e.filter(queryFilter)
-        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
-      val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
-      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
-        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select("q_id", "rank", "n_id", "cos_sim")
-        .orderBy("q_id", "rank")
-    },
+    QueryDef("q48_knn_brute", (s, d) =>
+      bruteTopK(quantized(s, d)).orderBy("q_id", "rank"),
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
              |n AS (
@@ -780,5 +783,129 @@ object Similarity {
              |  CAST(n_vectors AS DOUBLE) / sum(n_vectors) OVER () AS share,
              |  sum_d2 // n_vectors AS avg_d2, radius_d2
              |FROM r ORDER BY cell""".stripMargin)),
+
+    // ---- Embedding-space outliers vs the trained cluster dispersion ------
+    // Data-quality pruning for the embedding modality: a vector whose
+    // exact grid distance to its trained centroid exceeds 1.1x the
+    // cluster's mean dispersion is flagged (mislabeled, corrupt, or
+    // genuinely novel — either way, reviewed before training). The
+    // multiplier is a tunable: the fixture's uniform within-cluster
+    // noise is so tight (max ratio 1.104) that production's usual 2-3x
+    // would flag nothing, so the registered query pins the tail at
+    // 1.1x. The threshold test runs in exact integer arithmetic
+    // (10*d2 > 11*avg_d2 — no division, no doubles), so the flags
+    // hash-match.
+    // Scale shape: the q93 training plan + an 8-row stats broadcast +
+    // one map pass.
+    QueryDef("q111_embed_outliers", (s, d) => {
+      val asg = kmeansRefine(t(s, d, "embeddings"), k = 8, iters = 2)
+      val stats = asg.groupBy("cell")
+        .agg(count(lit(1)).as("nv"), sum("d2").as("sum_d2"))
+        .select(col("cell"), expr("sum_d2 div nv").as("avg_d2"))
+      asg.join(broadcast(stats), "cell")
+        .select(col("vec_id"), col("cell"), col("d2"), col("avg_d2"),
+          (col("d2") * 10 > col("avg_d2") * 11).as("is_outlier"))
+        .orderBy("vec_id")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c0 AS (
+             |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 8),
+             |${sqlKmIter("c0", "asg1", "c1")},
+             |${sqlKmIter("c1", "asg2", "c2")},
+             |fin AS (
+             |  SELECT vec_id, cell, d2 FROM (
+             |    SELECT n.vec_id, c.c_id AS cell, ${sqlD2("n", "c")} AS d2,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlD2("n", "c")} ASC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c2 c)
+             |  WHERE rn = 1),
+             |st AS (
+             |  SELECT cell,
+             |    CAST(sum(d2) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_d2
+             |  FROM fin GROUP BY cell)
+             |SELECT vec_id, fin.cell, d2, avg_d2,
+             |  d2 * 10 > avg_d2 * 11 AS is_outlier
+             |FROM fin JOIN st ON fin.cell = st.cell
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- IVF recall attestation against exact brute force ----------------
+    // The honesty query for the ANN path: per bounded query, how many of
+    // the IVF top-10 appear in the exact top-10 (both fully
+    // deterministic, so recall itself is hash-matchable — the q33/q34
+    // attestation pattern applied to retrieval). A pipeline reads this
+    // to tune centroids/nprobe before committing an index layout.
+    // Scale shape: the audited q49 + q48 plans plus an id-keyed
+    // count — query-set-bounded throughout.
+    QueryDef("q112_ivf_recall", (s, d) => {
+      val e = quantized(s, d)
+      val ivf = ivfTopK(t(s, d, "embeddings"), queryFilter)
+        .select(col("q_id"), col("n_id"))
+      val brute = bruteTopK(e).select(col("q_id"), col("n_id"))
+      val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      e.filter(queryFilter).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |bscored AS (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    ${sqlCos("a", "b")} AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 50),
+             |branked AS (
+             |  SELECT q_id, n_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM bscored),
+             |c AS (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |corpus AS (
+             |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell
+             |  FROM asg a JOIN n ON a.vec_id = n.vec_id),
+             |probes AS (
+             |  SELECT q_id, qv, n2, cell FROM (
+             |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+             |    FROM n CROSS JOIN c WHERE n.vec_id < 50)
+             |  WHERE crn <= 16),
+             |iscored AS (
+             |  SELECT p.q_id, s.n_id,
+             |    ${sqlCos("p", "s")} AS cos_sim
+             |  FROM probes p JOIN corpus s ON p.cell = s.cell
+             |  WHERE p.q_id != s.n_id),
+             |iranked AS (
+             |  SELECT q_id, n_id,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM iscored),
+             |hits AS (
+             |  SELECT i.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM iranked i JOIN branked b
+             |    ON i.q_id = b.q_id AND i.n_id = b.n_id
+             |  WHERE i.rank <= 10 AND b.rank <= 10
+             |  GROUP BY i.q_id)
+             |SELECT qs.q_id, coalesce(n_hits, 0) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+             |FROM (SELECT DISTINCT vec_id AS q_id FROM n WHERE vec_id < 50) qs
+             |LEFT JOIN hits ON qs.q_id = hits.q_id
+             |ORDER BY qs.q_id""".stripMargin)),
   )
 }

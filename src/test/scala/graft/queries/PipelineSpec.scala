@@ -1482,6 +1482,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.nonEmpty && rows.exists(_._3 > 0))
   }
 
+  test("q111 outlier flags replay the q93 assignment rollup") {
+    val asg = q("q93_kmeans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val avg = asg.groupBy(_._2).view
+      .mapValues(ds => ds.map(_._3).sum / ds.size).toMap
+    val rows = q("q111_embed_outliers").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(rows.length == asg.length)
+    rows.foreach { case (vid, cell, d2, avgD2, flag) =>
+      assert(avgD2 == avg(cell))
+      assert(flag == (d2 * 10 > avgD2 * 11), s"vec $vid")
+    }
+    // flags must separate the population, not blanket it
+    val nf = rows.count(_._5)
+    assert(nf > 0 && nf < rows.length / 4)
+  }
+
+  test("q112 recall equals the q48/q49 top-10 intersection per query") {
+    def top10(name: String) = q(name).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val brute = top10("q48_knn_brute")
+    val ivf = top10("q49_knn_ivf")
+    val rows = q("q112_ivf_recall").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == brute.keys.toSeq.sorted)
+    rows.foreach { case (qid, nHits, recall) =>
+      val want = (ivf.getOrElse(qid, Set.empty) & brute(qid)).size.toLong
+      assert(nHits == want, s"query $qid")
+      assert(recall == nHits.toDouble / 10)
+    }
+    // the 16-of-64-probe config must actually retrieve (q49's recall spec
+    // pins the calibrated value; this is the attestation consistency)
+    assert(rows.map(_._3).sum / rows.length > 0.5)
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
@@ -1517,7 +1553,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q49_knn_ivf", "q91_ivf_lifecycle", "q57_quota_sample", "q70_seq_packing",
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
       "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations",
-      "q96_equidepth_buckets", "q103_cluster_quality")
+      "q96_equidepth_buckets", "q103_cluster_quality", "q111_embed_outliers",
+      "q112_ivf_recall")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
