@@ -832,6 +832,63 @@ object Similarity {
              |FROM fin JOIN st ON fin.cell = st.cell
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- Greedy k-center coreset selection -------------------------------
+    // Diverse exemplar selection (the k-center greedy / farthest-point
+    // rule behind coreset selection for active learning): start from the
+    // smallest id, then repeatedly add the vector FARTHEST (exact grid
+    // d2) from everything already selected — ties to the smaller id, so
+    // the whole trajectory is deterministic and the oracle unrolls it as
+    // one CTE per step. Each step is one corpus pass against a broadcast
+    // of the <=k selected rows (min over k distances, map-side) and a
+    // distributed argmax (TakeOrderedAndProject) — the driver never sees
+    // a vector; localCheckpoint keeps the k-step lineage flat.
+    QueryDef("q113_coreset_kcenter", (s, d) => {
+      val K = 8
+      val e = quantize(t(s, d, "embeddings")).localCheckpoint()
+      val seed = e.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
+      var sel = seed.withColumn("pick_order", lit(0L)).localCheckpoint()
+      for (k <- 1 until K) {
+        val dmin = e.join(sel.select(col("s_id"), col("sv"), col("sn")),
+            col("vec_id") =!= col("s_id"))
+          .withColumn("d2", col("n2") + col("sn") - lit(2L) * dot(col("qv"), col("sv")))
+          .groupBy("vec_id").agg(min("d2").as("md"), first(col("qv")).as("qv"),
+            first(col("n2")).as("n2"))
+          .join(sel.select(col("s_id").as("vec_id")), Seq("vec_id"), "left_anti")
+        val next = dmin.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
+          .withColumn("pick_order", lit(k.toLong))
+        sel = sel.union(next).localCheckpoint()
+      }
+      sel.select(col("pick_order"), col("s_id").as("vec_id"))
+        .orderBy("pick_order")
+    }, {
+      val steps = (1 until 8).map { k =>
+        s"""cand$k AS (
+           |  SELECT n.vec_id, min(${sqlD2("n", "s")}) AS md
+           |  FROM n CROSS JOIN sel${k - 1} s
+           |  WHERE n.vec_id NOT IN (SELECT c_id FROM sel${k - 1})
+           |  GROUP BY n.vec_id),
+           |pick$k AS (
+           |  SELECT vec_id FROM cand$k ORDER BY md DESC, vec_id LIMIT 1),
+           |sel$k AS (
+           |  SELECT c_id, cv, cn, pick_order FROM sel${k - 1}
+           |  UNION ALL
+           |  SELECT n.vec_id, n.qv, n.n2, $k FROM n JOIN pick$k p
+           |    ON n.vec_id = p.vec_id)""".stripMargin
+      }.mkString(",\n")
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |sel0 AS (
+             |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn, 0 AS pick_order
+             |  FROM n ORDER BY vec_id LIMIT 1),
+             |$steps
+             |SELECT CAST(pick_order AS BIGINT) AS pick_order, c_id AS vec_id
+             |FROM sel7 ORDER BY pick_order""".stripMargin)
+    }),
+
     // ---- IVF recall attestation against exact brute force ----------------
     // The honesty query for the ANN path: per bounded query, how many of
     // the IVF top-10 appear in the exact top-10 (both fully

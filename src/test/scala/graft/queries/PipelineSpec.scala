@@ -1518,6 +1518,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._3).sum / rows.length > 0.5)
   }
 
+  test("q113 k-center trajectory replays greedy farthest-point exactly") {
+    val vs = Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var selected = Vector(vs.head._1)
+    val byId = vs.toMap
+    val radii = Vector.newBuilder[Long]
+    for (_ <- 1 until 8) {
+      val (pick, md) = vs.filterNot(v => selected.contains(v._1))
+        .map { case (id, v) => (id, selected.map(s => d2(v, byId(s))).min) }
+        .maxBy { case (id, md) => (md, -id) }
+      radii += md
+      selected :+= pick
+    }
+    val got = q("q113_coreset_kcenter").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).toSeq == selected)
+    assert(got.map(_._1).toSeq == (0L to 7L))
+    // greedy coverage radius is non-increasing along the trajectory
+    val rs = radii.result()
+    assert(rs.zip(rs.tail).forall { case (a, b) => b <= a })
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
@@ -1554,7 +1581,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
       "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations",
       "q96_equidepth_buckets", "q103_cluster_quality", "q111_embed_outliers",
-      "q112_ivf_recall")
+      "q112_ivf_recall", "q113_coreset_kcenter")
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
