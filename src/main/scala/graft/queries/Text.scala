@@ -780,5 +780,103 @@ object Text {
              |FROM rk CROSS JOIN (SELECT unnest([1,2,4,8,16,32,64,128]) AS v)
              |WHERE rank <= v
              |GROUP BY v ORDER BY v""".stripMargin)),
+
+    // ---- PII scan + redaction --------------------------------------------
+    // The compliance gate: find and redact email-shaped spans before a
+    // corpus ships. The fixture text carries no PII, so the query PLANTS
+    // it deterministically (docs with id % 20 == 0 get a synthetic
+    // contact line — both engines construct the identical input, q106's
+    // versioning trick), which keeps the operator's hit path exercised
+    // and hash-verified instead of trivially zero. The pattern uses only
+    // syntax Java regex and RE2 interpret identically (character
+    // classes, +, bounded repetition — no backrefs, no lookaround).
+    // Map-only: detection and redaction ride the scan.
+    QueryDef("q114_pii_scrub", (s, d) => {
+      val pii = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+      val withPii = when(col("doc_id") % 20 === 0,
+        concat(col("text"), lit(" contact me at user"), col("doc_id"),
+          lit("@example.com please"))).otherwise(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), withPii.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(pii), lit(0))).as("n_pii"),
+          regexp_replace(col("t"), pii, "[EMAIL]").as("redacted"))
+        .select(col("doc_id"), col("n_pii"),
+          (col("n_pii") > 0).as("has_pii"),
+          md5(col("redacted")).as("redacted_hash"),
+          length(col("redacted")).as("redacted_len"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH v AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 20 = 0
+             |      THEN text || ' contact me at user' || doc_id || '@example.com please'
+             |      ELSE text END AS t
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+'))
+             |    AS n_pii,
+             |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+')) > 0
+             |    AS has_pii,
+             |  md5(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+',
+             |    '[EMAIL]', 'g')) AS redacted_hash,
+             |  length(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+',
+             |    '[EMAIL]', 'g')) AS redacted_len
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // ---- Heaps-law vocabulary growth curve -------------------------------
+    // How fast does new content appear as the corpus is ingested in id
+    // order? Distinct shingles seen by each doc-count checkpoint (powers
+    // of two) — the curve whose flattening says "this source is mined
+    // out" (and whose exponent is Heaps' law). One shuffle attributes
+    // each distinct shingle to its FIRST document (min doc_id — the
+    // min-combine shape, map-side partial); checkpoints then count
+    // first-occurrences at or below each cut over the distinct-shingle
+    // table. The doc rank comes from a corpus-ordered window at rank
+    // granularity doc_id (exact ids may be sparse, so checkpoints are
+    // defined on ingest RANK, not raw id).
+    QueryDef("q115_vocab_growth", (s, d) => {
+      val docs = t(s, d, "documents")
+      val ranked = docs
+        .withColumn("rk", row_number()
+          .over(Window.orderBy("doc_id")).cast("long"))
+      val firstSeen = ranked
+        .select(col("rk"), explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(toks, 3))).as("sh"))
+        .groupBy("sh").agg(min("rk").as("first_rk"))
+      val cks = Seq(16, 32, 64, 128, 256, 512).map(_.toLong)
+      firstSeen
+        .select(col("first_rk"), explode(array(cks.map(lit): _*)).as("checkpoint"))
+        .filter(col("first_rk") <= col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(count(lit(1)).as("distinct_shingles"))
+        .orderBy("checkpoint")
+    },
+      Some("""WITH rk AS (
+             |  SELECT text,
+             |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rk
+             |  FROM documents),
+             |fs AS (
+             |  SELECT sh, min(rk) AS first_rk FROM (
+             |    SELECT rk,
+             |      unnest(list_distinct(list_transform(
+             |        list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |          i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+             |        win ->
+             |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(range(1, length(win)+1),
+             |              ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |            (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+             |        + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |            list_transform(range(1, length(win)+1),
+             |              ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |            (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS sh
+             |    FROM rk)
+             |  GROUP BY sh)
+             |SELECT CAST(checkpoint AS BIGINT) AS checkpoint,
+             |  CAST(count(*) AS BIGINT) AS distinct_shingles
+             |FROM fs CROSS JOIN (SELECT unnest([16,32,64,128,256,512]) AS checkpoint)
+             |WHERE first_rk <= checkpoint
+             |GROUP BY checkpoint ORDER BY checkpoint""".stripMargin)),
   )
 }

@@ -1545,6 +1545,58 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rs.zip(rs.tail).forall { case (a, b) => b <= a })
   }
 
+  test("q114 PII scrub finds every planted email and redacts to the replayed hash") {
+    val pii = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rows = q("q114_pii_scrub").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getString(3)))
+    assert(rows.length == docs.length)
+    val byId = docs.toMap
+    rows.foreach { case (id, nPii, hasPii, redHash) =>
+      val planted = if (id % 20 == 0)
+        byId(id) + s" contact me at user$id@example.com please" else byId(id)
+      val want = pii.r.findAllIn(planted).size
+      assert(nPii == want && hasPii == (want > 0), s"doc $id")
+      if (id % 20 == 0) assert(nPii >= 1)
+      val red = planted.replaceAll(pii, "[EMAIL]")
+      assert(pii.r.findFirstIn(red).isEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(red.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(redHash == md, s"doc $id hash")
+    }
+  }
+
+  test("q115 vocab growth is monotone and saturates at the shingle universe") {
+    def ph(w: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i); h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val firstRk = scala.collection.mutable.Map.empty[Long, Long]
+    docs.zipWithIndex.foreach { case ((_, text), i) =>
+      text.split(" ", -1).sliding(3).filter(_.length == 3).foreach { w3 =>
+        val w = w3.mkString(" ")
+        val h = ph(w, 131L) * 2147483648L + ph(w, 137L) % 2147483648L
+        if (!firstRk.contains(h)) firstRk(h) = i + 1L
+      }
+    }
+    val rows = q("q115_vocab_growth").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { case (ck, n) =>
+      assert(n == firstRk.values.count(_ <= ck), s"checkpoint $ck")
+    }
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.last._2 == firstRk.size)
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {
