@@ -476,5 +476,74 @@ object Curation {
              |       THEN 'direct' ELSE 'cluster' END AS reason
              |FROM cl WHERE cl.cluster IN (SELECT cluster FROM bad)
              |ORDER BY cl.doc_id""".stripMargin)),
+
+    // ---- Multi-signal ensemble quality score -----------------------------
+    // Production filtering is never one signal: this fuses the q41/q66
+    // rule gates (hard evidence), q79's corpus-LM familiarity (fluency
+    // proxy), and q98's DSIR importance (domain proxy) into ONE integer
+    // score — gate pass worth 1e6, then familiarity (x10) and importance
+    // as tie-breaking signal strength; top-200 is the curated slice. All
+    // components are exact int64 (familiarity and importance averages as
+    // floor divisions), so the fused ranking hash-matches. Scale shape:
+    // the three signal pipelines keep their audited shapes (map-side
+    // gates; two bigram shuffles; capped feature shuffle + broadcast),
+    // fused by id-keyed equi-joins — at 100 TB all sides bucket by id.
+    QueryDef("q116_ensemble_score", (s, d) => {
+      val docs = t(s, d, "documents")
+      val fam = Text.lmFamiliarity(docs)
+        .select(col("doc_id"), expr("fam_sum div n_trigrams").as("fam_avg"))
+      val imp = Sampling.importanceScores(docs)
+        .select(col("doc_id"), col("avg_weight"))
+      docs.select(col("doc_id"), gatesOk.as("gate_ok"))
+        .join(fam, Seq("doc_id"), "left")
+        .join(imp, Seq("doc_id"))
+        .select(col("doc_id"), col("gate_ok"),
+          coalesce(col("fam_avg"), lit(0L)).as("fam_avg"), col("avg_weight"),
+          (when(col("gate_ok"), 1000000L).otherwise(0L) +
+            coalesce(col("fam_avg"), lit(0L)) * 10 + col("avg_weight"))
+            .as("ensemble_score"))
+        .orderBy(col("ensemble_score").desc, col("doc_id"))
+        .limit(200)
+    },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+             |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+             |  FROM t WHERE len(tk) >= 3),
+             |cf AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
+             |fam AS (
+             |  SELECT doc_id,
+             |    CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS fam_avg
+             |  FROM bg JOIN cf USING (g) GROUP BY doc_id),
+             |tok AS (
+             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+             |  FROM documents),
+             |ft AS (
+             |  SELECT doc_id, lang,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+             |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
+             |  FROM tok),
+             |fs AS (
+             |  SELECT f,
+             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+             |    CAST(count(*) AS BIGINT) AS r_cnt
+             |  FROM ft GROUP BY f),
+             |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
+             |imp AS (
+             |  SELECT doc_id,
+             |    CAST(sum(wf) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_weight
+             |  FROM ft JOIN w USING (f) GROUP BY doc_id),
+             |$sqlGateCtes,
+             |gt AS (
+             |  SELECT m.doc_id, $sqlGateOk AS gate_ok
+             |  FROM m JOIN mx ON m.doc_id = mx.doc_id)
+             |SELECT gt.doc_id, gate_ok,
+             |  coalesce(fam_avg, 0) AS fam_avg, avg_weight,
+             |  CASE WHEN gate_ok THEN 1000000 ELSE 0 END
+             |    + coalesce(fam_avg, 0) * 10 + avg_weight AS ensemble_score
+             |FROM gt LEFT JOIN fam ON gt.doc_id = fam.doc_id
+             |        JOIN imp ON gt.doc_id = imp.doc_id
+             |ORDER BY ensemble_score DESC, gt.doc_id LIMIT 200""".stripMargin)),
   )
 }

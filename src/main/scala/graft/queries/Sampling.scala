@@ -83,10 +83,10 @@ object Sampling {
 
   private[queries] val sqlLehmer = sqlLehmerOf("doc_id")
 
-  /** DSIR-style hashed-feature importance scoring — see q98 below.
-    * Exposed for library use and the scale probe. */
-  def importanceWeights(documents: org.apache.spark.sql.DataFrame,
-      targetLang: String = "en", topK: Int = 300): org.apache.spark.sql.DataFrame = {
+  /** DSIR-style importance scores for EVERY document (no ranking cut) —
+    * the ensemble consumer's form (q116). */
+  def importanceScores(documents: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en"): org.apache.spark.sql.DataFrame = {
     val feats = documents
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
@@ -100,9 +100,15 @@ object Sampling {
       .agg(sum("wf").as("score"), count(lit(1)).as("n_tokens"))
       .select(col("doc_id"), col("score"), col("n_tokens"),
         expr("score div n_tokens").as("avg_weight"))
+  }
+
+  /** DSIR-style hashed-feature importance scoring — see q98 below.
+    * Exposed for library use and the scale probe. */
+  def importanceWeights(documents: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en", topK: Int = 300): org.apache.spark.sql.DataFrame =
+    importanceScores(documents, targetLang)
       .orderBy(col("avg_weight").desc, col("doc_id"))
       .limit(topK)
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

@@ -167,6 +167,19 @@ object Streams {
       .drop("ev")
   }
 
+  /** Streaming PII scrub: the stateless online face of the q114 email
+    * redaction — detection and replacement are pure per-row column
+    * expressions, so the scrub rides each micro-batch ahead of the
+    * stateful ingest stages (the same composition order as
+    * [[curatedIngest]]'s gates: cheap stateless filters first). The
+    * pattern is the single shared q114 definition. */
+  def scrubbedIngest(incoming: DataFrame): DataFrame = {
+    val pii = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    incoming
+      .withColumn("n_pii", size(regexp_extract_all(col("text"), lit(pii), lit(0))))
+      .withColumn("text", regexp_replace(col("text"), pii, "[EMAIL]"))
+  }
+
   /** One first-seen shingle credit: the shingle's 62-bit hash and the
     * source it is attributed to. */
   final case class NovelHit(sh: Long, source: String)

@@ -1597,6 +1597,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.last._2 == firstRk.size)
   }
 
+  test("q116 ensemble score fuses the registered component signals exactly") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val fam = q("q79_lm_familiarity").collect()
+      .map(r => r.getLong(0) -> r.getLong(2) / r.getLong(1)).toMap
+    val imp = Sampling.importanceScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val gates = docs.select(col("doc_id"), Curation.gatesOk.as("g")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val want = gates.keys.toSeq.map { id =>
+      val f = fam.getOrElse(id, 0L)
+      (id, gates(id), f, imp(id),
+        (if (gates(id)) 1000000L else 0L) + f * 10 + imp(id))
+    }.sortBy { case (id, _, _, _, sc) => (-sc, id) }.take(200)
+    val got = q("q116_ensemble_score").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want)
+    // the fusion must actually discriminate: gate failures cannot outrank
+    // any gate pass inside the slice
+    val (passes, fails) = got.partition(_._2)
+    if (fails.nonEmpty && passes.nonEmpty)
+      assert(passes.map(_._5).min > fails.map(_._5).max)
+  }
+
   // --- hierarchical phase-2 prefix offsets ---------------------------------
 
   test("chunkOffsets (hierarchical) equals the flat exclusive prefix sum") {

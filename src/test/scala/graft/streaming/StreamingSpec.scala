@@ -277,6 +277,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("sh").distinct().count() == out.count())
   }
 
+  test("streaming PII scrub matches the batch redaction per row") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Streams.scrubbedIngest(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scrub_out").start()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+        r.getString(1) + (if (r.getLong(0) % 20 == 0)
+          s" contact me at user${r.getLong(0)}@example.com please" else "")))
+    try {
+      ms.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val pii = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    val got = spark.table("scrub_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_pii"))).toMap
+    docs.foreach { case (id, text) =>
+      val (red, n) = got(id)
+      assert(red == text.replaceAll(pii, "[EMAIL]"), s"doc $id")
+      assert(n == pii.r.findAllIn(text).size)
+      if (id % 20 == 0) assert(n >= 1)
+    }
+  }
+
   test("parquet sink + checkpoint: no duplicates across a restart") {
     // the writeStream face: a real file sink with a checkpoint, stopped
     // and restarted with replayed input — the checkpointed dedup state
