@@ -53,6 +53,26 @@ object Curation {
   def gatesOk: org.apache.spark.sql.Column =
     gateLen && gateStop && gateRep && gateTok
 
+  /** Multi-signal ensemble quality ranking — see q116 below. Exposed
+    * for library use and the scale probe. */
+  def ensembleScore(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 200): org.apache.spark.sql.DataFrame = {
+    val fam = Text.lmFamiliarity(docs)
+      .select(col("doc_id"), expr("fam_sum div n_trigrams").as("fam_avg"))
+    val imp = Sampling.importanceScores(docs)
+      .select(col("doc_id"), col("avg_weight"))
+    docs.select(col("doc_id"), gatesOk.as("gate_ok"))
+      .join(fam, Seq("doc_id"), "left")
+      .join(imp, Seq("doc_id"))
+      .select(col("doc_id"), col("gate_ok"),
+        coalesce(col("fam_avg"), lit(0L)).as("fam_avg"), col("avg_weight"),
+        (when(col("gate_ok"), 1000000L).otherwise(0L) +
+          coalesce(col("fam_avg"), lit(0L)) * 10 + col("avg_weight"))
+          .as("ensemble_score"))
+      .orderBy(col("ensemble_score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // Oracle-side mirror of [[gatesOk]], shared by every gate-consuming
   // oracle (q68/q82/q83) so the thresholds exist in exactly TWO places —
   // the Column above and this CTE pair — never per-query copies that
@@ -488,23 +508,7 @@ object Curation {
     // the three signal pipelines keep their audited shapes (map-side
     // gates; two bigram shuffles; capped feature shuffle + broadcast),
     // fused by id-keyed equi-joins — at 100 TB all sides bucket by id.
-    QueryDef("q116_ensemble_score", (s, d) => {
-      val docs = t(s, d, "documents")
-      val fam = Text.lmFamiliarity(docs)
-        .select(col("doc_id"), expr("fam_sum div n_trigrams").as("fam_avg"))
-      val imp = Sampling.importanceScores(docs)
-        .select(col("doc_id"), col("avg_weight"))
-      docs.select(col("doc_id"), gatesOk.as("gate_ok"))
-        .join(fam, Seq("doc_id"), "left")
-        .join(imp, Seq("doc_id"))
-        .select(col("doc_id"), col("gate_ok"),
-          coalesce(col("fam_avg"), lit(0L)).as("fam_avg"), col("avg_weight"),
-          (when(col("gate_ok"), 1000000L).otherwise(0L) +
-            coalesce(col("fam_avg"), lit(0L)) * 10 + col("avg_weight"))
-            .as("ensemble_score"))
-        .orderBy(col("ensemble_score").desc, col("doc_id"))
-        .limit(200)
-    },
+    QueryDef("q116_ensemble_score", (s, d) => ensembleScore(t(s, d, "documents")),
       Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |bg AS (
              |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),

@@ -365,6 +365,29 @@ object Similarity {
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
 
+  /** Greedy k-center (farthest-point) coreset selection — see q113
+    * below. Exposed for library use and the scale probe. */
+  def kcenterPick(emb: DataFrame, k: Int): DataFrame = {
+    val e = quantize(emb).localCheckpoint()
+    val seed = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
+    var sel = seed.withColumn("pick_order", lit(0L)).localCheckpoint()
+    for (i <- 1 until k) {
+      val dmin = e.join(sel.select(col("s_id"), col("sv"), col("sn")),
+          col("vec_id") =!= col("s_id"))
+        .withColumn("d2", col("n2") + col("sn") - lit(2L) * dot(col("qv"), col("sv")))
+        .groupBy("vec_id").agg(min("d2").as("md"), first(col("qv")).as("qv"),
+          first(col("n2")).as("n2"))
+        .join(sel.select(col("s_id").as("vec_id")), Seq("vec_id"), "left_anti")
+      val next = dmin.orderBy(col("md").desc, col("vec_id")).limit(1)
+        .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
+        .withColumn("pick_order", lit(i.toLong))
+      sel = sel.union(next).localCheckpoint()
+    }
+    sel.select(col("pick_order"), col("s_id").as("vec_id"))
+      .orderBy("pick_order")
+  }
+
   /** Brute-force exact cosine top-k for the bounded query set — q48's
     * body, shared with the q112 recall attestation. */
   private def bruteTopK(e: DataFrame, k: Int = 10): DataFrame = {
@@ -842,27 +865,8 @@ object Similarity {
     // of the <=k selected rows (min over k distances, map-side) and a
     // distributed argmax (TakeOrderedAndProject) — the driver never sees
     // a vector; localCheckpoint keeps the k-step lineage flat.
-    QueryDef("q113_coreset_kcenter", (s, d) => {
-      val K = 8
-      val e = quantize(t(s, d, "embeddings")).localCheckpoint()
-      val seed = e.orderBy("vec_id").limit(1)
-        .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
-      var sel = seed.withColumn("pick_order", lit(0L)).localCheckpoint()
-      for (k <- 1 until K) {
-        val dmin = e.join(sel.select(col("s_id"), col("sv"), col("sn")),
-            col("vec_id") =!= col("s_id"))
-          .withColumn("d2", col("n2") + col("sn") - lit(2L) * dot(col("qv"), col("sv")))
-          .groupBy("vec_id").agg(min("d2").as("md"), first(col("qv")).as("qv"),
-            first(col("n2")).as("n2"))
-          .join(sel.select(col("s_id").as("vec_id")), Seq("vec_id"), "left_anti")
-        val next = dmin.orderBy(col("md").desc, col("vec_id")).limit(1)
-          .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
-          .withColumn("pick_order", lit(k.toLong))
-        sel = sel.union(next).localCheckpoint()
-      }
-      sel.select(col("pick_order"), col("s_id").as("vec_id"))
-        .orderBy("pick_order")
-    }, {
+    QueryDef("q113_coreset_kcenter", (s, d) =>
+      kcenterPick(t(s, d, "embeddings"), 8), {
       val steps = (1 until 8).map { k =>
         s"""cand$k AS (
            |  SELECT n.vec_id, min(${sqlD2("n", "s")}) AS md

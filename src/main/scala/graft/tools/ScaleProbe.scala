@@ -226,6 +226,16 @@ object ScaleProbe {
       time(s"textrank_x$m") {
         graft.queries.Text.textrank(docs).count()
       }
+      // k-center coreset: K fixed passes over the corpus against a <=K
+      // broadcast — cost must be ~K x one scan, linear in the corpus
+      time(s"coreset_x$m") {
+        graft.queries.Similarity.kcenterPick(replicateEmb(m), 8).count()
+      }
+      // ensemble scoring: three audited signal pipelines fused by id —
+      // each keeps its own scale shape, the fusion adds id-keyed joins
+      time(s"ensemble_x$m") {
+        graft.queries.Curation.ensembleScore(docs).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the
