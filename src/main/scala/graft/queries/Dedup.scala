@@ -90,6 +90,18 @@ object Dedup {
       |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS sh
       |  FROM documents""".stripMargin
 
+  /** DuckDB mirror of the 62-bit string hash over a single column
+    * expression — the same h131 * 2^31 + (h137 mod 2^31) combine as
+    * [[graft.functions.ArrayOps.windowHashes]] applied to a one-element
+    * window (q117's paragraph key). */
+  private[queries] def sqlStringHash62(c: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, length($c)+1), ci -> CAST(unicode($c[ci]) AS BIGINT))),
+       |          (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+       |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |          list_transform(range(1, length($c)+1), ci -> CAST(unicode($c[ci]) AS BIGINT))),
+       |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648""".stripMargin
+
   /** Cross-source shingle-set Jaccard overlap matrix — see q97 below.
     * Exposed for library use and the scale probe. */
   def sourceOverlap(documents: DataFrame): DataFrame = {
@@ -884,5 +896,80 @@ object Dedup {
              |  CAST(coalesce(novel_shingles, 0) AS DOUBLE) / n_shingles AS novel_frac
              |FROM cnt LEFT JOIN nv ON cnt.source = nv.source
              |ORDER BY cnt.source""".stripMargin)),
+
+    // ---- Paragraph-level dedup (CCNet-style) -----------------------------
+    // Sub-document dedup: boilerplate paragraphs (headers, licenses,
+    // navigation chrome) repeat across millions of pages that are NOT
+    // document-level duplicates, so CCNet dedups at paragraph granularity
+    // — every paragraph keeps exactly its globally FIRST occurrence
+    // (min (doc_id, para_id) over the corpus) and later copies are cut
+    // from the reassembled text. Paragraphs here are tumbling 8-token
+    // chunks (q69's windowing; this corpus has no newlines) keyed by the
+    // portable 62-bit hash (q78's narrow-key plan — 8-byte shuffle keys,
+    // not ~40-byte strings). Shape at scale: map-only chunk enumeration
+    // (q89's slice arithmetic, no token-level shuffle), one map-combined
+    // min/count agg on the hash, one hash-keyed join-back whose build
+    // side is (h, first, occ) — narrow — and a per-doc rollup that
+    // reassembles retained text from (para_id, text) pairs, never from
+    // driver state. Nothing is pairwise; the dominant cost is the
+    // paragraph-hash exchange, which is the data's paragraph count x 8B.
+    QueryDef("q117_paragraph_dedup", (s, d) => paragraphDedup(t(s, d, "documents")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |            len(string_split(text, ' ')) AS n FROM documents),
+             |p AS (SELECT doc_id, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text,
+             |        least(8, n - para_id * 8) AS n_tokens FROM p),
+             |ph AS (SELECT doc_id, para_id, para_text, n_tokens,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |fk AS (SELECT doc_id, para_id, para_text, n_tokens,
+             |        row_number() OVER (PARTITION BY h
+             |          ORDER BY doc_id, para_id) = 1 AS keep FROM ph)
+             |SELECT doc_id,
+             |  count(*) AS n_paras,
+             |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_paras,
+             |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS retained_tokens,
+             |  md5(coalesce(string_agg(para_text, ' ' ORDER BY para_id)
+             |    FILTER (WHERE keep), '')) AS retained_hash
+             |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
+
+  /** CCNet-style paragraph dedup — q117's body, exposed for library use
+    * and the scale probe. Keeps each paragraph's first (doc_id, para_id)
+    * occurrence corpus-wide; returns per-doc retention stats + an md5 of
+    * the reassembled retained text. */
+  def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
+    val tk = split(col("text"), " ")
+    val paras = documents
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n - 1) div $w")),
+          i => (i * w).cast("int"))).as(Seq("para_id", "start")))
+      .select(col("doc_id"), col("para_id"),
+        array_join(slice(col("tk"), col("start") + 1, lit(w)), " ").as("para_text"),
+        least(lit(w), col("n") - col("start")).as("n_tokens"))
+      .withColumn("h", element_at(
+        graft.functions.ArrayExprs.windowHashes(array(col("para_text")), 1), 1))
+    val first = paras
+      .groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_id"))).as("f"))
+    paras.join(first, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("para_id") === col("f.para_id"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_paras"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L)))
+          .as("retained_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("para_id"), col("para_text"))))),
+          x => x.getField("para_text")), " ")).as("retained_hash"))
+      .orderBy("doc_id")
+  }
 }

@@ -458,5 +458,73 @@ object Sampling {
              |FROM p JOIN q ON p.lang = q.lang
              |WHERE rn <= quota
              |ORDER BY p.lang, rn""".stripMargin)),
+
+    // ---- Token-balanced shard manifests (snake packing) ------------------
+    // The output-layout op: assign documents to a fixed shard count so
+    // every shard carries ~equal TOKENS (not equal docs — a doc-count
+    // split leaves shards 2-3x apart when lengths are skewed, and the
+    // longest-shard straggler sets the wall-clock of every downstream
+    // pass). Rule: rank docs by (n_tokens DESC, doc_id), deal rank r to
+    // shard via BOUSTROPHEDON (snake) order — pass p = r div S alternates
+    // direction, so each shard gets one doc per pass and consecutive
+    // passes cancel the within-pass bias; for sorted inputs this is the
+    // classic greedy-balance approximation with a deterministic,
+    // driver-free rule. The global rank never sorts the corpus: rank =
+    // per-length offset (a window over the LENGTH DISTRIBUTION — bounded
+    // by distinct lengths, q96/q110's rule) + row_number within the
+    // length group (per-length partitions; a pathological single-length
+    // corpus would re-chunk by doc id, q81's trick — noted, not needed).
+    // Output = S manifest rows: doc/token totals, extremes, token_frac
+    // (int/int IEEE divide, bit-exact both engines).
+    QueryDef("q120_shard_manifest", (s, d) => {
+      val S = 8
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      val wDist = Window.orderBy(col("n").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offs = docs.groupBy("n").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(sum("cnt").over(wDist), lit(0L)))
+        .select("n", "off")
+      val wLen = Window.partitionBy("n").orderBy("doc_id")
+      val grand = docs.agg(sum("n").as("grand"))
+      docs
+        .withColumn("lrn", row_number().over(wLen).cast("long"))
+        .join(broadcast(offs), "n")
+        .withColumn("r0", col("off") + col("lrn") - 1)
+        .withColumn("shard_id",
+          when(expr(s"(r0 div $S) % 2") === 0, col("r0") % S)
+            .otherwise(lit(S - 1) - col("r0") % S))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+          min("n").as("min_tokens"), max("n").as("max_tokens"))
+        .crossJoin(broadcast(grand))
+        .withColumn("token_frac",
+          col("total_tokens").cast("double") / col("grand"))
+        .select("shard_id", "n_docs", "total_tokens", "min_tokens",
+          "max_tokens", "token_frac")
+        .orderBy("shard_id")
+    },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, n,
+             |    CAST(row_number() OVER (ORDER BY n DESC, doc_id) AS BIGINT) - 1
+             |      AS r0
+             |  FROM t),
+             |sh AS (
+             |  SELECT doc_id, n,
+             |    CASE WHEN (r0 // 8) % 2 = 0 THEN r0 % 8
+             |         ELSE 7 - (r0 % 8) END AS shard_id
+             |  FROM r),
+             |g AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM t)
+             |SELECT shard_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  min(n) AS min_tokens, max(n) AS max_tokens,
+             |  CAST(sum(n) AS DOUBLE) / grand AS token_frac
+             |FROM sh CROSS JOIN g
+             |GROUP BY shard_id, grand ORDER BY shard_id""".stripMargin)),
   )
 }

@@ -968,5 +968,54 @@ object Similarity {
              |FROM (SELECT DISTINCT vec_id AS q_id FROM n WHERE vec_id < 50) qs
              |LEFT JOIN hits ON qs.q_id = hits.q_id
              |ORDER BY qs.q_id""".stripMargin)),
+
+    // ---- Hard-negative mining for contrastive training -------------------
+    // The retrieval-training data op: for each anchor (the bounded query
+    // set — q48's contract), the top-5 most-similar vectors with a
+    // DIFFERENT class label. These maximally-confusable cross-class
+    // neighbors are what contrastive/triplet losses need as negatives —
+    // random negatives are too easy and contribute no gradient. Shape =
+    // q48's broadcast-anchors scan (one corpus pass, label filter fused
+    // into the join condition so same-class rows never reach the scorer)
+    // + the per-anchor top-k window over anchor-keyed groups; swap in
+    // q50's bounded TopKAgg when per-anchor candidate volume warrants.
+    // margin = cos(anchor, negative) for curriculum-ordering the
+    // negatives downstream; exact integer cosine, same grid as q47/q48.
+    QueryDef("q119_hard_negatives", (s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+      val anchors = q.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("qa"), col("n2").as("na"))
+      val corpus = q.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("qv").as("qb"), col("n2").as("nb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      broadcast(anchors)
+        .join(corpus, col("q_label") =!= col("n_label"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "q_label", "rank", "n_id", "n_label", "cos_sim")
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, a.label AS q_label,
+             |    b.vec_id AS n_id, b.label AS n_label,
+             |    ${sqlCos("a", "b")} AS cos_sim
+             |  FROM n a JOIN n b ON a.label != b.label
+             |  WHERE a.vec_id < 50),
+             |ranked AS (
+             |  SELECT q_id, q_label, n_id, n_label, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM scored)
+             |SELECT q_id, q_label, CAST(rank AS INTEGER) AS rank, n_id, n_label,
+             |  cos_sim
+             |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
   )
 }

@@ -1643,6 +1643,98 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
 
   // --- whole-registry plan audit ------------------------------------------
 
+  test("q117 paragraph dedup keeps exactly the first occurrence of every paragraph") {
+    def ph(s: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // reference replay: tumbling 8-token paragraphs, first (doc, para) wins
+    val paras = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).grouped(8).zipWithIndex.map { case (p, i) =>
+        val s = p.mkString(" ")
+        (id, i, s, p.length, ph(s, 131L) * 2147483648L + ph(s, 137L) % 2147483648L)
+      }
+    }
+    val firstOf = paras.groupBy(_._5).map { case (h, ps) =>
+      h -> ps.map(p => (p._1, p._2)).min
+    }
+    val want = paras.groupBy(_._1).map { case (id, ps) =>
+      val kept = ps.filter(p => firstOf(p._5) == ((p._1, p._2))).sortBy(_._2)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.map(_._3).mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      id -> ((ps.length.toLong, kept.length.toLong, kept.map(_._4.toLong).sum, md))
+    }
+    val got = q("q117_paragraph_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))).toMap
+    assert(got == want)
+    // the corpus plants real cross-doc duplication: some paragraph must drop
+    assert(want.values.map(v => v._1 - v._2).sum > 0,
+      "fixture has no duplicate paragraphs — spec is vacuous")
+  }
+
+  test("q119 hard negatives are the exact top cross-label neighbors") {
+    val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
+      (r.getLong(0), r.getInt(2), v, v.map(x => x * x).sum)
+    }
+    val got = q("q119_hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getInt(4),
+        r.getDouble(5)))
+      .groupBy(_._1)
+    val anchors = rows.filter(_._1 < 50)
+    assert(got.size == anchors.length)
+    anchors.foreach { case (qid, qlab, qv, qn) =>
+      val negs = rows.filter(_._2 != qlab).map { case (nid, nlab, nv, nn) =>
+        val dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+        (nid, nlab, dot.toDouble / math.sqrt(qn.toDouble) / math.sqrt(nn.toDouble))
+      }.sortBy(p => (-p._3, p._1)).take(5)
+      val g = got(qid).sortBy(_._2) // by rank
+      assert(g.map(x => (x._3, x._4)).toSeq == negs.map(n => (n._1, n._2)).toSeq,
+        s"anchor $qid ids")
+      assert(g.map(_._5).toSeq == negs.map(_._3).toSeq, s"anchor $qid cosines")
+      // every mined negative is genuinely cross-label
+      assert(g.forall(_._4 != qlab))
+    }
+  }
+
+  test("q120 shard manifest balances tokens and conserves the corpus") {
+    val lens = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).length.toLong))
+    val grand = lens.map(_._2).sum
+    // reference replay: rank by (tokens desc, id), snake-deal to 8 shards
+    val want = lens.sortBy(p => (-p._2, p._1)).zipWithIndex.map { case ((id, n), r0) =>
+      val pos = r0 % 8
+      val shard = if ((r0 / 8) % 2 == 0) pos else 7 - pos
+      (shard.toLong, n)
+    }.groupBy(_._1).map { case (s, g) =>
+      s -> ((g.length.toLong, g.map(_._2).sum, g.map(_._2).min, g.map(_._2).max))
+    }
+    val got = q("q120_shard_manifest").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.size == 8)
+    got.foreach { case (s, (nd, tt, mn, mx, frac)) =>
+      val (wnd, wtt, wmn, wmx) = want(s)
+      assert((nd, tt, mn, mx) == ((wnd, wtt, wmn, wmx)), s"shard $s")
+      assert(frac == tt.toDouble / grand, s"shard $s frac")
+    }
+    assert(got.values.map(_._1).sum == lens.length && got.values.map(_._2).sum == grand)
+    // the point of snake dealing: per-shard token loads stay within 2%
+    val loads = got.values.map(_._2).toSeq
+    assert(loads.max.toDouble / loads.min <= 1.02,
+      s"snake balance broken: $loads")
+  }
+
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
@@ -1656,7 +1748,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q92_subword_packing", "q73_semdedup", "q76_domain_mix", "q81_train_order",
       "q87_gap_fill", "q88_bm25", "q93_kmeans", "q95_collocations",
       "q96_equidepth_buckets", "q103_cluster_quality", "q111_embed_outliers",
-      "q112_ivf_recall", "q113_coreset_kcenter")
+      "q112_ivf_recall", "q113_coreset_kcenter",
+      "q119_hard_negatives", // q48's bounded-anchor broadcast, label-filtered
+      "q120_shard_manifest") // one-row grand-total cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
