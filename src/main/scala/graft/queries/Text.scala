@@ -878,5 +878,98 @@ object Text {
              |FROM fs CROSS JOIN (SELECT unnest([16,32,64,128,256,512]) AS checkpoint)
              |WHERE first_rk <= checkpoint
              |GROUP BY checkpoint ORDER BY checkpoint""".stripMargin)),
+
+    // ---- BPE vocabulary TRAINING (merge-table induction) -----------------
+    // q90 runs subword INFERENCE under a fixed vocabulary; this trains
+    // the vocabulary itself — byte-pair encoding (Sennrich et al. 2016):
+    // repeatedly merge the corpus's most frequent adjacent symbol pair.
+    // Distributed shape: BPE statistics live on the WORD-TYPE table
+    // (distinct word + its corpus count — one corpus pass, then the
+    // loop never touches the corpus again; the type table is
+    // vocabulary-bounded, exactly how reference BPE trainers batch).
+    // Each of the 6 unrolled steps is: adjacent-pair counts weighted by
+    // type count (explode of zipped slices -> map-combined sum), a
+    // distributed argmax with (count DESC, pair) tie-break
+    // (TakeOrderedAndProject — the driver never sees a pair), and the
+    // merge applied as a codegen'd left-to-right aggregate() fold over
+    // each symbol array (state = space-joined prefix whose LAST symbol
+    // is the pending merge candidate; a symbol just created by this
+    // step's merge can never re-merge because it no longer string-equals
+    // the left element — the single-pass greedy rule). localCheckpoint
+    // keeps the 6-step lineage flat (q113's trick). The oracle unrolls
+    // the identical three CTEs per step; the merge fold is the same
+    // CASE expression under DuckDB's list_reduce, whose no-init first
+    // element equals the fold's acc='' seed branch.
+    QueryDef("q118_bpe_train", (s, d) => bpeTrain(t(s, d, "documents"), 6), {
+      val steps = (1 to 6).map { i =>
+        val prev = s"s${i - 1}"
+        s"""p$i AS (
+           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |    SELECT cnt,
+           |      unnest(list_transform(range(1, len(syms)), x -> syms[x])) AS l,
+           |      unnest(list_transform(range(1, len(syms)), x -> syms[x+1])) AS r
+           |    FROM $prev)
+           |  GROUP BY l, r),
+           |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+           |s$i AS (
+           |  SELECT cnt, string_split(list_reduce(syms, (acc, x) ->
+           |    CASE WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+           |         THEN left(acc, length(acc) - length(l)) || l || r
+           |         ELSE acc || ' ' || x END), ' ') AS syms
+           |  FROM $prev CROSS JOIN b$i)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to 6).map { i =>
+        s"""SELECT CAST($i AS INTEGER) AS step, l AS lhs, r AS rhs,
+           |  l || r AS merged, pc AS pair_count FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      Some(s"""WITH w0 AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY w),
+             |s0 AS (
+             |  SELECT cnt, list_transform(range(1, length(w) + 1),
+             |    x -> w[x]) AS syms FROM w0),
+             |$steps
+             |$out
+             |ORDER BY step""".stripMargin)
+    }),
   )
+
+  /** BPE merge-table training — q118's body, exposed for library use and
+    * the scale probe. Returns the `steps`-row merge table
+    * (step, lhs, rhs, merged, pair_count) in training order. */
+  def bpeTrain(documents: DataFrame, steps: Int): DataFrame = {
+    var wt = documents
+      .select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .localCheckpoint()
+    var merges: Option[DataFrame] = None
+    for (i <- 1 to steps) {
+      val best = wt
+        .select(col("cnt"), explode(arrays_zip(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .groupBy(col("p.0").as("l"), col("p.1").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .withColumn("step", lit(i))
+        .localCheckpoint()
+      merges = Some(merges.map(_.union(best)).getOrElse(best))
+      wt = wt.crossJoin(broadcast(best.select("l", "r")))
+        .select(col("cnt"), expr(
+          """split(aggregate(syms, '', (acc, x) ->
+            |  CASE WHEN acc = '' THEN x
+            |       WHEN (acc = l OR endswith(acc, concat(' ', l))) AND x = r
+            |       THEN concat(substring(acc, 1, length(acc) - length(l)), l, r)
+            |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin).as("syms"))
+        .localCheckpoint()
+    }
+    merges.get
+      .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
+        concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
+      .orderBy("step")
+  }
 }

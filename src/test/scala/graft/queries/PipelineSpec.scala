@@ -1681,6 +1681,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "fixture has no duplicate paragraphs — spec is vacuous")
   }
 
+  test("q118 BPE training replays reference merge induction exactly") {
+    // plain-Scala reference BPE (Sennrich et al. 2016) on type counts
+    def refBpe(words: Seq[String], steps: Int): Seq[(Int, String, String, Long)] = {
+      var types = words.groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+        .map { case (w, c) => (w.map(_.toString).toVector, c) }
+      (1 to steps).map { i =>
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        types.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.length == 2).foreach { p =>
+            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        types = types.map { case (syms, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.toVector, c)
+        }
+        (i, l, r, cnt)
+      }
+    }
+    // the greedy left-to-right overlap rule on a hand fixture: "aaa"
+    // under pair (a,a) must become [aa, a], and the merged symbol must
+    // not chain-merge within the same step
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((0L, "aaa aaa ab"), (1L, "aaa ab ab")).toDF("doc_id", "text")
+    val tinyGot = Text.bpeTrain(tiny, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    val tinyWant = refBpe("aaa aaa ab aaa ab ab".split(" ").toSeq, 2)
+    assert(tinyGot.toSeq == tinyWant, s"fixture: got ${tinyGot.toSeq}")
+    // and the registered query against the corpus
+    val words = Tables.load(spark, sfDir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1)).toSeq
+    val want = refBpe(words, 6)
+    val got = q("q118_bpe_train").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == want, s"corpus: got ${got.toSeq}")
+    got.foreach { case (_, l, r, _) => assert((l + r).nonEmpty) }
+  }
+
   test("q119 hard negatives are the exact top cross-label neighbors") {
     val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
       val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
@@ -1750,7 +1797,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q96_equidepth_buckets", "q103_cluster_quality", "q111_embed_outliers",
       "q112_ivf_recall", "q113_coreset_kcenter",
       "q119_hard_negatives", // q48's bounded-anchor broadcast, label-filtered
-      "q120_shard_manifest") // one-row grand-total cross join (q76's class)
+      "q120_shard_manifest", // one-row grand-total cross join (q76's class)
+      "q118_bpe_train") // one-row best-pair cross join per unrolled step
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
