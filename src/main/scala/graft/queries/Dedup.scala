@@ -897,6 +897,65 @@ object Dedup {
              |FROM cnt LEFT JOIN nv ON cnt.source = nv.source
              |ORDER BY cnt.source""".stripMargin)),
 
+    // ---- Canonical selection per near-dup cluster ------------------------
+    // q51 keeps the min-id member of every duplicate pair; production
+    // dedup usually keeps the BEST member per cluster — here the keep-
+    // longest rule (max n_chars, ties to the smaller id: the most
+    // complete copy survives, truncated mirrors drop). Composes the
+    // audited q45 LSH pair generator with the q52 large-star/small-star
+    // closure, then picks each cluster's canonical via a row_number
+    // window over CLUSTER-sized partitions (near-dup clusters are small
+    // by construction — no skew; a pathological mega-cluster is already
+    // the q86 design discussion, not this query). Output is one row per
+    // multi-doc cluster: size, canonical member, chars kept, docs cut.
+    QueryDef("q121_canonical_select", (s, d) => {
+      val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+      val (labels, _) = connectedComponents(pairs)
+      val members = labels
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      members
+        .withColumn("rk", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"),
+          max(when(col("rk") === 1, col("doc_id"))).as("canonical_doc"),
+          max(when(col("rk") === 1, col("n_chars"))).as("canonical_chars"),
+          (count(lit(1)) - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lab AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a),
+             |mem AS (
+             |  SELECT l.doc_id, l.cluster_id, d.n_chars
+             |  FROM lab l JOIN documents d USING (doc_id)),
+             |rk AS (
+             |  SELECT doc_id, cluster_id, n_chars,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY n_chars DESC, doc_id) AS rk
+             |  FROM mem)
+             |SELECT cluster_id,
+             |  CAST(count(*) AS BIGINT) AS cluster_size,
+             |  max(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc,
+             |  max(CASE WHEN rk = 1 THEN n_chars END) AS canonical_chars,
+             |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+             |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
+
     // ---- Paragraph-level dedup (CCNet-style) -----------------------------
     // Sub-document dedup: boilerplate paragraphs (headers, licenses,
     // navigation chrome) repeat across millions of pages that are NOT

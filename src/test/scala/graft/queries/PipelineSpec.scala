@@ -1681,6 +1681,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "fixture has no duplicate paragraphs — spec is vacuous")
   }
 
+  test("q121 canonical selection keeps the longest member of every q45 cluster") {
+    val pairs = q("q45_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val labels = unionFind(pairs.toSet)
+    val chars = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = labels.groupBy(_._2).map { case (cl, ms) =>
+      val members = ms.keys.toSeq
+      val canon = members.minBy(id => (-chars(id), id))
+      cl -> ((members.length.toLong, canon, chars(canon),
+        members.length.toLong - 1))
+    }
+    val got = q("q121_canonical_select").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == want)
+    // every cluster's canonical is at least as long as every member
+    got.foreach { case (cl, (_, canon, cchars, _)) =>
+      labels.filter(_._2 == cl).keys.foreach { m =>
+        assert(chars(m) <= cchars)
+        if (chars(m) == cchars) assert(m >= canon)
+      }
+    }
+  }
+
   test("q118 BPE training replays reference merge induction exactly") {
     // plain-Scala reference BPE (Sennrich et al. 2016) on type counts
     def refBpe(words: Seq[String], steps: Int): Seq[(Int, String, String, Long)] = {
