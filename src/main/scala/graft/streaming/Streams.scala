@@ -218,6 +218,48 @@ object Streams {
       }
   }
 
+  /** One retained paragraph occurrence: its 62-bit hash and the
+    * (doc_id, para_id) slot that keeps it. */
+  final case class ParaKeep(h: Long, doc_id: Long, para_id: Int)
+
+  /** Streaming twin of the batch q117 paragraph dedup: emit each
+    * distinct paragraph (tumbling 8-token chunk, 62-bit hash key)
+    * EXACTLY ONCE, attributed to the (doc_id, para_id) slot that first
+    * delivers it. Within a micro-batch the batch rule applies (min
+    * (doc_id, para_id) among the batch's carriers), so replaying the
+    * corpus in id order reproduces q117's keep set exactly (the
+    * batch-equality spec drives that); out-of-order arrival keeps the
+    * earlier ARRIVAL — the online contract. State is one boolean per
+    * distinct paragraph ever seen ([[noveltyIngest]]'s lifetime-state
+    * contract, sharded by hash across executors at scale); the per-doc
+    * retention rollup downstream is stateless over this append stream. */
+  def paragraphDedupIngest(docs: DataFrame, w: Int = 8): Dataset[ParaKeep] = {
+    import docs.sparkSession.implicits._
+    val tk = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n - 1) div $w")),
+          i => (i * w).cast("int"))).as(Seq("para_id", "start")))
+      .select(col("doc_id"), col("para_id"),
+        element_at(graft.functions.ArrayExprs.windowHashes(
+          array(array_join(slice(col("tk"), col("start") + 1, lit(w)), " ")), 1), 1)
+          .as("h"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, ParaKeep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: Long, rows: Iterator[(Long, Int, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val first = rows.map(r => (r._1, r._2)).min
+            Iterator.single(ParaKeep(h, first._1, first._2))
+          }
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -333,4 +333,35 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val n2 = spark.read.parquet(outDir).count()
     assert(n2 == n1, s"restart produced duplicates: $n1 -> $n2")
   }
+
+  test("streaming paragraph dedup replayed in id order equals batch q117") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Streams.paragraphDedupIngest(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("para_out").start()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    try {
+      // four id-ordered micro-batches: the replay order under which the
+      // online first-arrival rule coincides with q117's batch keep rule
+      docs.grouped((docs.length + 3) / 4).foreach { g =>
+        ms.addData(g.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = spark.table("para_out")
+      .groupBy("doc_id").agg(count(lit(1)).as("kept"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = SparkEntry.queries("q117_paragraph_dedup")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    assert(got == want)
+    // no paragraph kept twice
+    val out = spark.table("para_out")
+    assert(out.select("h").distinct().count() == out.count())
+  }
 }
