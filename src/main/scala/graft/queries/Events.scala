@@ -421,5 +421,28 @@ object Events {
              |    AS DOUBLE) / count(*) AS winsorized_mean
              |FROM events e JOIN cuts ON e.event_type = cuts.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
+
+    // ---- k-anonymity suppression gate ------------------------------------
+    // The release gate for exporting aggregate telemetry: any cell of
+    // the (event_type, hour) contingency table naming fewer than k = 5
+    // DISTINCT users is suppressed before publication — small cells
+    // re-identify. One grouped exact distinct (partial aggregation
+    // map-side, q30's hourly bucketing for timestamp parity); the
+    // suppression flag rides the same pass. At privacy review scale the
+    // identical shape runs per release slice; the approximate
+    // pre-screen for much wider tables is q33's HLL with this exact
+    // pass only over its borderline cells.
+    QueryDef("q123_kanon_suppress", (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .withColumn("suppress", col("n_users") < 5)
+        .orderBy("h", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
+             |  event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT user_id) < 5 AS suppress
+             |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
   )
 }

@@ -459,6 +459,61 @@ object Sampling {
              |WHERE rn <= quota
              |ORDER BY p.lang, rn""".stripMargin)),
 
+    // ---- Temperature epoch scheduling under a token budget ---------------
+    // The mixture scheduler a trainer consumes: given per-source token
+    // counts and a fixed total budget, allocate target tokens by
+    // TEMPERATURE weights (alpha = 0.5 — upweights small sources like
+    // q76, but at corpus granularity) and convert to per-source epoch
+    // counts with a repetition cap (no source repeats more than 4x
+    // regardless of weight — the data-quality guard against tiny-source
+    // overfit). Everything is exact integer arithmetic: the alpha=0.5
+    // weight is floor(sqrt(tokens)) — IEEE sqrt on an integer < 2^53 is
+    // correctly rounded, so floor(sqrt) is bit-identical on both
+    // engines; epochs carried as ppm (1e6 = one epoch). Shape: one
+    // map-combined shuffle to source granularity (tens of rows), then a
+    // one-row total broadcast — corpus-proportional work ends at the
+    // first aggregate.
+    QueryDef("q122_epoch_schedule", (s, d) => {
+      val B = 2000000L
+      val capPpm = 4000000L
+      val src = t(s, d, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        .withColumn("weight",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      src.crossJoin(broadcast(src.agg(sum("weight").as("tw"))))
+        .withColumn("target_tokens", expr(s"($B * weight) div tw"))
+        .withColumn("raw_ppm", expr("(target_tokens * 1000000) div n_tokens"))
+        .withColumn("epochs_ppm", least(col("raw_ppm"), lit(capPpm)))
+        .withColumn("capped", col("raw_ppm") > capPpm)
+        .withColumn("alloc_tokens", expr("(epochs_ppm * n_tokens) div 1000000"))
+        .select("source", "n_tokens", "weight", "target_tokens",
+          "epochs_ppm", "capped", "alloc_tokens")
+        .orderBy("source")
+    },
+      Some("""WITH s AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, n_tokens,
+             |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+             |  FROM s),
+             |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
+             |a AS (
+             |  SELECT source, n_tokens, weight,
+             |    (2000000 * weight) // tw AS target_tokens
+             |  FROM w CROSS JOIN tw),
+             |e AS (
+             |  SELECT source, n_tokens, weight, target_tokens,
+             |    (target_tokens * 1000000) // n_tokens AS raw_ppm
+             |  FROM a)
+             |SELECT source, n_tokens, weight, target_tokens,
+             |  least(raw_ppm, 4000000) AS epochs_ppm,
+             |  raw_ppm > 4000000 AS capped,
+             |  (least(raw_ppm, 4000000) * n_tokens) // 1000000 AS alloc_tokens
+             |FROM e ORDER BY source""".stripMargin)),
+
     // ---- Token-balanced shard manifests (snake packing) ------------------
     // The output-layout op: assign documents to a fixed shard count so
     // every shard carries ~equal TOKENS (not equal docs — a doc-count

@@ -236,6 +236,19 @@ object ScaleProbe {
       time(s"ensemble_x$m") {
         graft.queries.Curation.ensembleScore(docs).count()
       }
+      // paragraph dedup: Caesar-rotated replicas have disjoint paragraph
+      // vocabularies, so the hash agg, join-back, and per-doc rollup all
+      // carry m x the base volume — must be linear
+      time(s"paragraph_dedup_x$m") {
+        graft.queries.Dedup.paragraphDedup(docs).count()
+      }
+      // BPE training: the corpus pass (word-type counts) grows with m;
+      // the 6 merge steps run on the TYPE table (vocab-sized — rotation
+      // grows it m-fold, still corpus-independent) — near-linear with a
+      // fixed per-step floor
+      time(s"bpe_train_x$m") {
+        graft.queries.Text.bpeTrain(docs, 6).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

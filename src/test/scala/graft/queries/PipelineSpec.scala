@@ -1808,6 +1808,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q122 epoch schedule replays the integer temperature allocation") {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+    val weights = toks.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble)).toLong
+    }
+    val tw = weights.values.sum
+    val got = q("q122_epoch_schedule").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5), r.getLong(6)))).toMap
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (s, (n, w, target, ppm, capped, alloc)) =>
+      assert(n == toks(s) && w == weights(s))
+      assert(target == 2000000L * w / tw)
+      val raw = target * 1000000L / n
+      assert(ppm == math.min(raw, 4000000L) && capped == (raw > 4000000L))
+      assert(alloc == ppm * n / 1000000L)
+      // the cap bounds every source at 4 epochs
+      assert(ppm <= 4000000L && alloc <= 4L * n)
+    }
+    // budget is respected: allocations never exceed the 2M target total
+    assert(got.values.map(_._6).sum <= 2000000L)
+  }
+
+  test("q123 suppression flags exactly the cells naming fewer than 5 users") {
+    val cells = Tables.load(spark, sfDir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type"),
+        col("user_id")).collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1)
+    val got = q("q123_kanon_suppress").collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got.keySet == cells.keySet)
+    got.foreach { case (cell, (nEvents, nUsers, suppress)) =>
+      val g = cells(cell)
+      assert(nEvents == g.length && nUsers == g.map(_._2).distinct.length)
+      assert(suppress == (nUsers < 5), s"cell $cell")
+    }
+    // at sf0.001 every hourly cell is small, so everything suppresses;
+    // the mixed regime (500 publishable vs 2885 suppressed cells) is
+    // exercised by the sf0.01 driver gate
+    assert(got.values.exists(_._3))
+  }
+
   test("no registered query plans an unintended BroadcastNestedLoopJoin") {
     // BNLJ is legitimate only where one side is genuinely tiny by
     // construction: q08's theta join (the reference quirk, real theta
@@ -1824,7 +1871,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q112_ivf_recall", "q113_coreset_kcenter",
       "q119_hard_negatives", // q48's bounded-anchor broadcast, label-filtered
       "q120_shard_manifest", // one-row grand-total cross join (q76's class)
-      "q118_bpe_train") // one-row best-pair cross join per unrolled step
+      "q118_bpe_train", // one-row best-pair cross join per unrolled step
+      "q122_epoch_schedule") // one-row weight-total cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
