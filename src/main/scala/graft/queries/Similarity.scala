@@ -1017,5 +1017,70 @@ object Similarity {
              |SELECT q_id, q_label, CAST(rank AS INTEGER) AS rank, n_id, n_label,
              |  cos_sim
              |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- Retrieval quality metrics (precision@10, MRR) -------------------
+    // The eval harness for every ANN structure in this file: treat
+    // same-label vectors as the relevant set and score exact cosine
+    // retrieval per anchor — precision@10 and reciprocal rank of the
+    // first relevant hit, with the macro numbers left to the caller
+    // (per-anchor rows keep the output auditable). q48's bounded-anchor
+    // broadcast scan + per-anchor rank window; 1/rank is int-ratio IEEE
+    // division, bit-identical both engines. Run it against q49's IVF
+    // top-k instead of the exact scan to price the recall trade (q112
+    // measures overlap; this measures what the user feels).
+    QueryDef("q124_retrieval_metrics", (s, d) => {
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+      val anchors = q.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("qa"), col("n2").as("na"))
+      val corpus = q.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("qv").as("qb"), col("n2").as("nb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      broadcast(anchors)
+        .join(corpus, col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("rel", col("n_label") === col("q_label"))
+        .groupBy("q_id", "q_label")
+        .agg(
+          sum(when(col("rel"), 1L).otherwise(0L)).as("n_relevant"),
+          sum(when(col("rel") && col("rank") <= 10, 1L).otherwise(0L))
+            .as("rel_at_10"),
+          min(when(col("rel"), col("rank"))).as("first_rel_rank"))
+        .withColumn("p_at_10", col("rel_at_10").cast("double") / 10)
+        .withColumn("mrr",
+          coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
+        .select("q_id", "q_label", "n_relevant", "rel_at_10", "p_at_10",
+          "first_rel_rank", "mrr")
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |scored AS (
+             |  SELECT a.vec_id AS q_id, a.label AS q_label,
+             |    b.vec_id AS n_id, b.label AS n_label,
+             |    ${sqlCos("a", "b")} AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 50),
+             |ranked AS (
+             |  SELECT q_id, q_label, n_label,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank,
+             |    n_label = q_label AS rel
+             |  FROM scored)
+             |SELECT q_id, q_label,
+             |  CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+             |  CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS rel_at_10,
+             |  CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / 10 AS p_at_10,
+             |  min(CASE WHEN rel THEN rank END) AS first_rel_rank,
+             |  coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN rel THEN rank END),
+             |    CAST(0 AS DOUBLE)) AS mrr
+             |FROM ranked GROUP BY q_id, q_label ORDER BY q_id""".stripMargin)),
   )
 }

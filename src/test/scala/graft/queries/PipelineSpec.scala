@@ -1808,6 +1808,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q124 retrieval metrics replay exact label-relevance ranking") {
+    val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
+      (r.getLong(0), r.getInt(2), v, v.map(x => x * x).sum)
+    }
+    val got = q("q124_retrieval_metrics").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+    val anchors = rows.filter(_._1 < 50)
+    assert(got.size == anchors.length)
+    anchors.foreach { case (qid, qlab, qv, qn) =>
+      val ranked = rows.filter(_._1 != qid).map { case (nid, nlab, nv, nn) =>
+        val dot = qv.zip(nv).map { case (a, b) => a * b }.sum
+        (nid, nlab,
+          dot.toDouble / math.sqrt(qn.toDouble) / math.sqrt(nn.toDouble))
+      }.sortBy(p => (-p._3, p._1)).zipWithIndex
+        .map { case ((nid, nlab, _), i) => (nid, nlab, i + 1L) }
+      val rel = ranked.filter(_._2 == qlab)
+      val (lab, nRel, relAt10, p10, firstRank, mrr) = got(qid)
+      assert(lab == qlab && nRel == rel.length.toLong)
+      assert(relAt10 == rel.count(_._3 <= 10).toLong)
+      assert(p10 == rel.count(_._3 <= 10).toDouble / 10)
+      assert(firstRank == rel.map(_._3).min)
+      assert(mrr == 1.0 / rel.map(_._3).min)
+    }
+  }
+
   test("q122 epoch schedule replays the integer temperature allocation") {
     val toks = Tables.load(spark, sfDir, "documents")
       .select("source", "text").collect()
@@ -1872,7 +1899,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q119_hard_negatives", // q48's bounded-anchor broadcast, label-filtered
       "q120_shard_manifest", // one-row grand-total cross join (q76's class)
       "q118_bpe_train", // one-row best-pair cross join per unrolled step
-      "q122_epoch_schedule") // one-row weight-total cross join (q76's class)
+      "q122_epoch_schedule", // one-row weight-total cross join (q76's class)
+      "q124_retrieval_metrics") // q48's bounded-anchor broadcast scan
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
