@@ -879,6 +879,51 @@ object Text {
              |WHERE first_rk <= checkpoint
              |GROUP BY checkpoint ORDER BY checkpoint""".stripMargin)),
 
+    // ---- Code-switching detection (per-half language divergence) ---------
+    // Mixed-language documents poison monolingual training slices but
+    // pass whole-document language ID (the dominant language wins), so
+    // curation pipelines also test language CONSISTENCY: score each
+    // half of the token stream independently with q42's stopword-ratio
+    // heuristic and flag documents whose halves diverge — a cheap,
+    // deterministic stand-in for per-span langid (the real model rides
+    // the same per-span plumbing). Map-only: the halves are slice
+    // arithmetic on the token array, both scores ride the scan; the
+    // divergence is a subtraction of two exact int/int IEEE ratios, so
+    // the flag is bit-identical on both engines.
+    QueryDef("q125_code_switch", (s, d) => {
+      val n = size(toks)
+      def score(h: org.apache.spark.sql.Column) =
+        size(filter(h, x => x === "the" || x === "a" || x === "data"))
+          .cast("double") / size(h)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), toks.as("tk"), n.as("n"))
+        .filter(col("n") >= 2)
+        .select(col("doc_id"), col("lang"),
+          score(slice(col("tk"), lit(1), expr("n div 2"))).as("s_head"),
+          score(slice(col("tk"), expr("n div 2 + 1"), expr("n - n div 2")))
+            .as("s_tail"))
+        .withColumn("divergence", abs(col("s_head") - col("s_tail")))
+        .withColumn("mixed", col("divergence") >= 0.05)
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (
+             |  SELECT doc_id, lang, string_split(text, ' ') AS tk,
+             |    len(string_split(text, ' ')) AS n
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id, lang,
+             |    CAST(len(list_filter(tk[1 : n // 2],
+             |      x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |      / (n // 2) AS s_head,
+             |    CAST(len(list_filter(tk[n // 2 + 1 : n],
+             |      x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |      / (n - n // 2) AS s_tail
+             |  FROM t WHERE n >= 2)
+             |SELECT doc_id, lang, s_head, s_tail,
+             |  abs(s_head - s_tail) AS divergence,
+             |  abs(s_head - s_tail) >= 0.05 AS mixed
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
     // ---- BPE vocabulary TRAINING (merge-table induction) -----------------
     // q90 runs subword INFERENCE under a fixed vocabulary; this trains
     // the vocabulary itself — byte-pair encoding (Sennrich et al. 2016):

@@ -1808,6 +1808,27 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q125 code-switch divergence replays per-half stopword scoring") {
+    val stop = Set("the", "a", "data")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val want = docs.filter(_._2.length >= 2).map { case (id, tk) =>
+      val (h, t) = tk.splitAt(tk.length / 2)
+      def sc(a: Array[String]) = a.count(stop).toDouble / a.length
+      id -> ((sc(h), sc(t), math.abs(sc(h) - sc(t))))
+    }.toMap
+    val got = q("q125_code_switch").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(got.size == want.size)
+    got.foreach { case (id, (sh, st, dv, mixed)) =>
+      val (wh, wt, wd) = want(id)
+      assert(sh == wh && st == wt && dv == wd, s"doc $id")
+      assert(mixed == (dv >= 0.05))
+    }
+  }
+
   test("q124 retrieval metrics replay exact label-relevance ranking") {
     val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
       val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
