@@ -994,25 +994,80 @@ object Dedup {
              |  md5(coalesce(string_agg(para_text, ' ' ORDER BY para_id)
              |    FILTER (WHERE keep), '')) AS retained_hash
              |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Boilerplate report: the paragraphs q117 drops, ranked ----------
+    // Before a dedup pass ships, review WHAT it cuts: the most-repeated
+    // paragraphs with their document and source spread — headers,
+    // license blocks, navigation chrome surface here, and a surprise at
+    // the top of this list is a bug in the chunker, not the corpus.
+    // Same paraTable as q117 (one chunking rule), one map-combined agg
+    // on the 62-bit key, multi-doc groups only, top-20 by occurrence
+    // via distributed TakeOrderedAndProject. min(para_text) is the
+    // exact text for the hash (62-bit collisions are the documented
+    // ~0.003-at-10^10 tail) and keeps the rollup fully map-combinable.
+    QueryDef("q126_boilerplate_report", (s, d) =>
+      paraTable(t(s, d, "documents"), 8, carry = Seq("source"))
+        .groupBy("h")
+        .agg(count(lit(1)).as("n_occurrences"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"),
+          min("para_text").as("para_text"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_occurrences").desc, col("h"))
+        .limit(20)
+        .select(col("h").as("para_hash"), col("n_occurrences"),
+          col("n_docs"), col("n_sources"), col("para_text")),
+      Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+             |            len(string_split(text, ' ')) AS n FROM documents),
+             |p AS (SELECT doc_id, source, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, source,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text FROM p),
+             |ph AS (SELECT doc_id, source, para_text,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |agg AS (
+             |  SELECT h, count(*) AS n_occurrences,
+             |    count(DISTINCT doc_id) AS n_docs,
+             |    count(DISTINCT source) AS n_sources,
+             |    min(para_text) AS para_text
+             |  FROM ph GROUP BY h)
+             |SELECT h AS para_hash, n_occurrences, n_docs, n_sources, para_text
+             |FROM agg WHERE n_docs >= 2
+             |ORDER BY n_occurrences DESC, h LIMIT 20""".stripMargin)),
   )
+
+  /** Tumbling w-token paragraph enumeration over a documents frame —
+    * (doc_id [, source], para_id, para_text, n_tokens, h) with the
+    * portable 62-bit hash key. Map-only (q89's slice arithmetic — no
+    * token-level shuffle); shared by q117 and the q126 boilerplate
+    * report so the chunking rule exists once. */
+  private def paraTable(documents: DataFrame, w: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    val tk = split(col("text"), " ")
+    documents
+      .select((Seq(col("doc_id"), tk.as("tk"), size(tk).as("n")) ++
+        carry.map(col)): _*)
+      .select((Seq(col("doc_id"), col("tk"), col("n"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(n - 1) div $w")),
+          i => (i * w).cast("int"))).as(Seq("para_id", "start"))) ++
+        carry.map(col)): _*)
+      .select((Seq(col("doc_id"), col("para_id"),
+        array_join(slice(col("tk"), col("start") + 1, lit(w)), " ").as("para_text"),
+        least(lit(w), col("n") - col("start")).as("n_tokens")) ++
+        carry.map(col)): _*)
+      .withColumn("h", element_at(
+        graft.functions.ArrayExprs.windowHashes(array(col("para_text")), 1), 1))
+  }
 
   /** CCNet-style paragraph dedup — q117's body, exposed for library use
     * and the scale probe. Keeps each paragraph's first (doc_id, para_id)
     * occurrence corpus-wide; returns per-doc retention stats + an md5 of
     * the reassembled retained text. */
   def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
-    val tk = split(col("text"), " ")
-    val paras = documents
-      .select(col("doc_id"), tk.as("tk"), size(tk).as("n"))
-      .select(col("doc_id"), col("tk"), col("n"),
-        posexplode(transform(
-          sequence(lit(0), expr(s"(n - 1) div $w")),
-          i => (i * w).cast("int"))).as(Seq("para_id", "start")))
-      .select(col("doc_id"), col("para_id"),
-        array_join(slice(col("tk"), col("start") + 1, lit(w)), " ").as("para_text"),
-        least(lit(w), col("n") - col("start")).as("n_tokens"))
-      .withColumn("h", element_at(
-        graft.functions.ArrayExprs.windowHashes(array(col("para_text")), 1), 1))
+    val paras = paraTable(documents, w)
     val first = paras
       .groupBy("h")
       .agg(min(struct(col("doc_id"), col("para_id"))).as("f"))

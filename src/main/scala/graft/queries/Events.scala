@@ -422,6 +422,50 @@ object Events {
              |FROM events e JOIN cuts ON e.event_type = cuts.event_type
              |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)),
 
+    // ---- Event-mix temporal drift ---------------------------------------
+    // The ingest monitor: per-day share of each event type, and its
+    // day-over-day delta — a pipeline reading "purchase share fell 5
+    // points overnight" catches upstream schema/source breaks before
+    // they poison a training snapshot. One shuffle to the (day, type)
+    // contingency table; day totals and the lag ride windows over that
+    // DISTRIBUTION table (days x types rows — bounded, never the event
+    // stream; q96/q110's rule). share is int/int IEEE division and
+    // drift a subtraction of two such exact doubles — bit-identical on
+    // both engines. First day of each type reports drift 0 (coalesce):
+    // no baseline, no alert.
+    QueryDef("q127_event_drift", (s, d) => {
+      val daily = t(s, d, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wDay = Window.partitionBy("day")
+      val wType = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("day_total", sum("n").over(wDay))
+        .withColumn("share", col("n").cast("double") / col("day_total"))
+        .withColumn("drift",
+          coalesce(col("share") - lag("share", 1).over(wType), lit(0.0)))
+        .withColumn("alert", abs(col("drift")) > 0.02)
+        .select("day", "event_type", "n", "day_total", "share", "drift", "alert")
+        .orderBy("day", "event_type")
+    },
+      Some("""WITH daily AS (
+             |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             |      AS day,
+             |    event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM events GROUP BY 1, 2),
+             |sh AS (
+             |  SELECT day, event_type, n,
+             |    CAST(sum(n) OVER (PARTITION BY day) AS BIGINT) AS day_total,
+             |    CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS BIGINT)
+             |      AS share
+             |  FROM daily)
+             |SELECT day, event_type, n, day_total, share,
+             |  coalesce(share - lag(share, 1) OVER (PARTITION BY event_type
+             |    ORDER BY day), CAST(0 AS DOUBLE)) AS drift,
+             |  abs(coalesce(share - lag(share, 1) OVER (PARTITION BY event_type
+             |    ORDER BY day), CAST(0 AS DOUBLE))) > 0.02 AS alert
+             |FROM sh ORDER BY day, event_type""".stripMargin)),
+
     // ---- k-anonymity suppression gate ------------------------------------
     // The release gate for exporting aggregate telemetry: any cell of
     // the (event_type, hour) contingency table naming fewer than k = 5

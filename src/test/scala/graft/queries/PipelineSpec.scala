@@ -1808,6 +1808,66 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q126 boilerplate report ranks the replayed multi-doc paragraphs") {
+    def ph(s: String, base: Long): Long = {
+      var h = 0L; var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i); h = (h * base + cp) % 4294967291L
+        i += Character.charCount(cp)
+      }
+      h
+    }
+    val paras = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .flatMap { r =>
+        r.getString(2).split(" ", -1).grouped(8).map { p =>
+          val s = p.mkString(" ")
+          (ph(s, 131L) * 2147483648L + ph(s, 137L) % 2147483648L,
+            r.getLong(0), r.getString(1), s)
+        }
+      }
+    val want = paras.groupBy(_._1).map { case (h, g) =>
+      (h, g.length.toLong, g.map(_._2).distinct.length.toLong,
+        g.map(_._3).distinct.length.toLong, g.map(_._4).min)
+    }.filter(_._3 >= 2).toSeq
+      .sortBy(t => (-t._2, t._1)).take(20)
+    val got = q("q126_boilerplate_report").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == want, s"got ${got.toSeq.take(3)}")
+    assert(got.nonEmpty && got.head._2 >= got.last._2)
+  }
+
+  test("q127 event drift replays day-over-day share deltas exactly") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)))
+    val daily = ev.groupBy(identity).map { case ((d, t), g) =>
+      ((d, t), g.length.toLong)
+    }
+    val dayTotals = daily.groupBy(_._1._1).map { case (d, g) =>
+      d -> g.values.sum
+    }
+    val share = daily.map { case ((d, t), n) =>
+      ((d, t), (n, dayTotals(d), n.toDouble / dayTotals(d)))
+    }
+    val got = q("q127_event_drift").collect()
+      .map(r => ((r.getTimestamp(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getBoolean(6)))).toMap
+    assert(got.keySet == share.keySet)
+    got.foreach { case (key @ (d, t), (n, tot, sh, drift, alert)) =>
+      val (wn, wtot, wsh) = share(key)
+      assert(n == wn && tot == wtot && sh == wsh, s"cell $key")
+      val prevDays = share.keys.filter(k => k._2 == t && k._1.before(d))
+      val wantDrift =
+        if (prevDays.isEmpty) 0.0
+        else sh - share(prevDays.maxBy(_._1.getTime))._3
+      assert(drift == wantDrift, s"drift $key")
+      assert(alert == (math.abs(drift) > 0.02))
+    }
+  }
+
   test("q125 code-switch divergence replays per-half stopword scoring") {
     val stop = Set("the", "a", "data")
     val docs = Tables.load(spark, sfDir, "documents")
