@@ -946,48 +946,79 @@ object Text {
     // CASE expression under DuckDB's list_reduce, whose no-init first
     // element equals the fold's acc='' seed branch.
     QueryDef("q118_bpe_train", (s, d) => bpeTrain(t(s, d, "documents"), 6), {
-      val steps = (1 to 6).map { i =>
-        val prev = s"s${i - 1}"
-        s"""p$i AS (
-           |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
-           |    SELECT cnt,
-           |      unnest(list_transform(range(1, len(syms)), x -> syms[x])) AS l,
-           |      unnest(list_transform(range(1, len(syms)), x -> syms[x+1])) AS r
-           |    FROM $prev)
-           |  GROUP BY l, r),
-           |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
-           |s$i AS (
-           |  SELECT cnt, string_split(list_reduce(syms, (acc, x) ->
-           |    CASE WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
-           |         THEN left(acc, length(acc) - length(l)) || l || r
-           |         ELSE acc || ' ' || x END), ' ') AS syms
-           |  FROM $prev CROSS JOIN b$i)""".stripMargin
-      }.mkString(",\n")
       val out = (1 to 6).map { i =>
         s"""SELECT CAST($i AS INTEGER) AS step, l AS lhs, r AS rhs,
            |  l || r AS merged, pc AS pair_count FROM b$i""".stripMargin
       }.mkString("\nUNION ALL\n")
-      Some(s"""WITH w0 AS (
-             |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
-             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-             |  GROUP BY w),
-             |s0 AS (
-             |  SELECT cnt, list_transform(range(1, length(w) + 1),
-             |    x -> w[x]) AS syms FROM w0),
-             |$steps
+      Some(s"""WITH ${sqlBpeCtes(6)}
              |$out
              |ORDER BY step""".stripMargin)
     }),
+
+    // ---- Trained-tokenizer application (the q118 -> corpus loop) ---------
+    // q91 closed the IVF lifecycle (build -> extend -> query); this
+    // closes the tokenizer's: segment the corpus under the merge table
+    // q118 just trained, reporting per-document subword counts and
+    // fertility. The segmented TYPE table is vocabulary-bounded, so the
+    // application pass is a single broadcast equi-join on the word — the
+    // corpus is touched once after training. Oracle reuses q118's exact
+    // unrolled CTE chain (the word column rides the whole chain) and
+    // joins it back to the token stream.
+    QueryDef("q128_bpe_apply", (s, d) => bpeApply(t(s, d, "documents"), 6),
+      Some(s"""WITH ${sqlBpeCtes(6)},
+             |seg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM s6),
+             |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |      FROM documents)
+             |SELECT doc_id,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility
+             |FROM e JOIN seg USING (w)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
   )
 
-  /** BPE merge-table training — q118's body, exposed for library use and
-    * the scale probe. Returns the `steps`-row merge table
-    * (step, lhs, rhs, merged, pair_count) in training order. */
-  def bpeTrain(documents: DataFrame, steps: Int): DataFrame = {
+  /** Shared DuckDB CTE chain replaying the q118 BPE training loop with
+    * the word column carried end-to-end: w0 (type counts) -> s0 (char
+    * symbols) -> [p_i pair counts, b_i best pair, s_i merged] x steps.
+    * q118 reads the b_i tables; q128 reads the final s_steps. */
+  private def sqlBpeCtes(steps: Int): String = {
+    val chain = (1 to steps).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (
+         |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT cnt,
+         |      unnest(list_transform(range(1, len(syms)), x -> syms[x])) AS l,
+         |      unnest(list_transform(range(1, len(syms)), x -> syms[x+1])) AS r
+         |    FROM $prev)
+         |  GROUP BY l, r),
+         |b$i AS (SELECT l, r, pc FROM p$i ORDER BY pc DESC, l, r LIMIT 1),
+         |s$i AS (
+         |  SELECT w, cnt, string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN (acc = l OR ends_with(acc, ' ' || l)) AND x = r
+         |         THEN left(acc, length(acc) - length(l)) || l || r
+         |         ELSE acc || ' ' || x END), ' ') AS syms
+         |  FROM $prev CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS (
+       |  SELECT w, cnt, list_transform(range(1, length(w) + 1),
+       |    x -> w[x]) AS syms FROM w0),
+       |$chain""".stripMargin
+  }
+
+  /** The BPE training loop shared by q118 (merge table) and q128
+    * (trained segmentation): returns (merge table, final word-type
+    * table (w, cnt, syms)). The word column rides the whole chain so
+    * the trained segmentation stays joinable back to the corpus. */
+  private def bpeStates(documents: DataFrame, steps: Int)
+      : (DataFrame, DataFrame) = {
     var wt = documents
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"),
+      .select(col("w"), col("cnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
       .localCheckpoint()
@@ -1004,7 +1035,7 @@ object Text {
         .localCheckpoint()
       merges = Some(merges.map(_.union(best)).getOrElse(best))
       wt = wt.crossJoin(broadcast(best.select("l", "r")))
-        .select(col("cnt"), expr(
+        .select(col("w"), col("cnt"), expr(
           """split(aggregate(syms, '', (acc, x) ->
             |  CASE WHEN acc = '' THEN x
             |       WHEN (acc = l OR endswith(acc, concat(' ', l))) AND x = r
@@ -1012,9 +1043,33 @@ object Text {
             |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin).as("syms"))
         .localCheckpoint()
     }
-    merges.get
+    (merges.get, wt)
+  }
+
+  /** BPE merge-table training — q118's body, exposed for library use and
+    * the scale probe. Returns the `steps`-row merge table
+    * (step, lhs, rhs, merged, pair_count) in training order. */
+  def bpeTrain(documents: DataFrame, steps: Int): DataFrame =
+    bpeStates(documents, steps)._1
       .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
         concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
       .orderBy("step")
+
+  /** Trained-tokenizer application — q128's body: per-document subword
+    * counts under the q118-trained merge table (the train -> apply
+    * lifecycle). The segmented TYPE table is vocabulary-bounded, so the
+    * corpus pass is one broadcast equi-join on the word. */
+  def bpeApply(documents: DataFrame, steps: Int): DataFrame = {
+    val seg = bpeStates(documents, steps)._2
+      .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+    documents
+      .select(col("doc_id"), explode(toks).as("w"))
+      .join(broadcast(seg), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+      .withColumn("fertility",
+        col("n_subwords").cast("double") / col("n_words"))
+      .select("doc_id", "n_words", "n_subwords", "fertility")
+      .orderBy("doc_id")
   }
 }

@@ -1707,33 +1707,38 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
-  test("q118 BPE training replays reference merge induction exactly") {
-    // plain-Scala reference BPE (Sennrich et al. 2016) on type counts
-    def refBpe(words: Seq[String], steps: Int): Seq[(Int, String, String, Long)] = {
-      var types = words.groupBy(identity).view
-        .mapValues(_.length.toLong).toMap
-        .map { case (w, c) => (w.map(_.toString).toVector, c) }
-      (1 to steps).map { i =>
-        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-        types.foreach { case (syms, c) =>
-          syms.sliding(2).filter(_.length == 2).foreach { p =>
-            pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + c
-          }
+  // plain-Scala reference BPE (Sennrich et al. 2016) on type counts:
+  // returns the merge trajectory and the final word -> symbols map
+  // (shared by the q118 training and q128 application specs)
+  private def refBpe(words: Seq[String], steps: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Vector[String]]) = {
+    var types = words.distinct
+      .map(w => w -> w.map(_.toString).toVector).toMap
+    val counts = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val merges = (1 to steps).map { i =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      types.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + counts(w)
         }
-        val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
-        types = types.map { case (syms, c) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var j = 0
-          while (j < syms.length) {
-            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
-              out += l + r; j += 2
-            } else { out += syms(j); j += 1 }
-          }
-          (out.toVector, c)
-        }
-        (i, l, r, cnt)
       }
+      val ((l, r), cnt) = pc.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      types = types.map { case (w, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+            out += l + r; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        w -> out.toVector
+      }
+      (i, l, r, cnt)
     }
+    (merges, types)
+  }
+
+  test("q118 BPE training replays reference merge induction exactly") {
     // the greedy left-to-right overlap rule on a hand fixture: "aaa"
     // under pair (a,a) must become [aa, a], and the merged symbol must
     // not chain-merge within the same step
@@ -1742,16 +1747,41 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     val tiny = Seq((0L, "aaa aaa ab"), (1L, "aaa ab ab")).toDF("doc_id", "text")
     val tinyGot = Text.bpeTrain(tiny, 2).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
-    val tinyWant = refBpe("aaa aaa ab aaa ab ab".split(" ").toSeq, 2)
+    val tinyWant = refBpe("aaa aaa ab aaa ab ab".split(" ").toSeq, 2)._1
     assert(tinyGot.toSeq == tinyWant, s"fixture: got ${tinyGot.toSeq}")
     // and the registered query against the corpus
     val words = Tables.load(spark, sfDir, "documents")
       .select("text").collect().flatMap(_.getString(0).split(" ", -1)).toSeq
-    val want = refBpe(words, 6)
+    val want = refBpe(words, 6)._1
     val got = q("q118_bpe_train").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
     assert(got.toSeq == want, s"corpus: got ${got.toSeq}")
     got.foreach { case (_, l, r, _) => assert((l + r).nonEmpty) }
+  }
+
+  test("q128 trained-tokenizer application matches the reference segmentation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val types = refBpe(docs.flatMap(_._2).toSeq, 6)._2
+    val want = docs.map { case (id, ws) =>
+      id -> ((ws.length.toLong, ws.map(w => types(w).length.toLong).sum))
+    }.toMap
+    val got = q("q128_bpe_apply").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (nw, ns, fert)) =>
+      val (wnw, wns) = want(id)
+      assert(nw == wnw && ns == wns, s"doc $id")
+      assert(fert == ns.toDouble / nw)
+    }
+    // merges only shrink the stream: one subword per word at minimum,
+    // one per character at maximum
+    docs.foreach { case (id, ws) =>
+      val (nw, ns, _) = got(id)
+      assert(ns >= nw && ns <= ws.map(_.length.toLong).sum)
+    }
   }
 
   test("q119 hard negatives are the exact top cross-label neighbors") {
@@ -1981,7 +2011,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q120_shard_manifest", // one-row grand-total cross join (q76's class)
       "q118_bpe_train", // one-row best-pair cross join per unrolled step
       "q122_epoch_schedule", // one-row weight-total cross join (q76's class)
-      "q124_retrieval_metrics") // q48's bounded-anchor broadcast scan
+      "q124_retrieval_metrics", // q48's bounded-anchor broadcast scan
+      "q128_bpe_apply") // q118's one-row best-pair cross joins
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
