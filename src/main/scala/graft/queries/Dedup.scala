@@ -897,6 +897,139 @@ object Dedup {
              |FROM cnt LEFT JOIN nv ON cnt.source = nv.source
              |ORDER BY cnt.source""".stripMargin)),
 
+    // ---- Eval-set n-gram coverage (contamination's complement) -----------
+    // q72 asks "which TRAINING docs leak eval content"; this asks the
+    // eval-design question — "is the benchmark even in-domain?": for
+    // each eval document, the fraction of its distinct shingles that
+    // occur anywhere in the training corpus. Near-zero coverage means
+    // the benchmark tests content the model never saw (fine for
+    // generalization claims, fatal for knowledge probes); near-one
+    // coverage flags memorization risk q72 then localizes. Scale shape
+    // = q72's contract inverted: the corpus is touched ONCE, map-side
+    // semi-filtered by the broadcast eval shingle set, and everything
+    // after the filter is eval-bounded (the distinct covered set can
+    // never exceed the eval vocabulary).
+    QueryDef("q129_eval_coverage", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), shingleCol.as("sh"))
+        .filter(size(col("sh")) > 0)
+      val isEval = col("doc_id") % 97 === 0
+      val evalToks = docs.filter(isEval)
+        .select(col("doc_id"), explode(col("sh")).as("tok"))
+      val hit = docs.filter(!isEval)
+        .select(explode(col("sh")).as("tok"))
+        .join(broadcast(evalToks.select("tok").distinct()), "tok")
+        .distinct()
+        .withColumn("hit", lit(1L))
+      evalToks.join(hit, Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_covered"))
+        .withColumn("coverage",
+          col("n_covered").cast("double") / col("n_shingles"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH s AS ($sqlShingles),
+             |ev AS (SELECT doc_id, unnest(sh) AS tok FROM s WHERE doc_id % 97 = 0),
+             |tr AS (SELECT DISTINCT unnest(sh) AS tok FROM s
+             |       WHERE doc_id % 97 != 0),
+             |hit AS (SELECT DISTINCT ev.tok FROM ev JOIN tr ON ev.tok = tr.tok)
+             |SELECT ev.doc_id,
+             |  count(*) AS n_shingles,
+             |  CAST(sum(CASE WHEN hit.tok IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_covered,
+             |  CAST(sum(CASE WHEN hit.tok IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / count(*) AS coverage
+             |FROM ev LEFT JOIN hit ON ev.tok = hit.tok
+             |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin)),
+
+    // ---- Dedup attrition funnel ------------------------------------------
+    // q102 reports per-gate QUALITY attrition; this is the dedup
+    // counterpart — the four-stage funnel a curation report actually
+    // quotes: raw corpus -> exact-dup canonicals (q44's min-id rule) ->
+    // near-dup keep set (q51's drop rule) -> paragraph-level retention
+    // (q117's kept tokens) applied cumulatively, each row carrying doc
+    // and token totals and the fraction of raw tokens surviving. Each
+    // signal keeps its audited shape (content-hash agg; LSH pair set;
+    // paragraph first-occurrence) and the funnel is four tiny rollups
+    // unioned — the corpus-proportional work is the three signal passes
+    // it already shares with q44/q51/q117.
+    QueryDef("q130_dedup_funnel", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      val exactKeep = t(s, d, "documents")
+        .groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val nearDrop = nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
+      val kept1 = docs.join(exactKeep, "doc_id")
+      val kept2 = kept1.join(nearDrop, Seq("doc_id"), "left_anti")
+      val paraTok = paragraphDedup(t(s, d, "documents"))
+        .select(col("doc_id"), col("retained_tokens"))
+      val kept3 = kept2.join(paraTok, "doc_id")
+      def stage(name: String, df: DataFrame, tokCol: String) =
+        df.agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_tokens"))
+          .withColumn("stage", lit(name))
+      stage("0_raw", docs, "n")
+        .unionByName(stage("1_exact", kept1, "n"))
+        .unionByName(stage("2_neardup", kept2, "n"))
+        .unionByName(stage("3_paragraph", kept3, "retained_tokens"))
+        .crossJoin(broadcast(docs.agg(sum("n").as("raw_tokens"))))
+        .withColumn("token_frac",
+          col("n_tokens").cast("double") / col("raw_tokens"))
+        .select("stage", "n_docs", "n_tokens", "token_frac")
+        .orderBy("stage")
+    },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |raw_tot AS (SELECT CAST(sum(n) AS BIGINT) AS raw_tokens FROM d),
+             |ek AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |s AS ($sqlShingles),
+             |nd AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |k1 AS (SELECT d.doc_id, d.n FROM d JOIN ek USING (doc_id)),
+             |k2 AS (SELECT doc_id, n FROM k1
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |        len(string_split(text, ' ')) AS n FROM documents),
+             |p AS (SELECT doc_id, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text,
+             |        least(8, n - para_id * 8) AS n_tokens FROM p),
+             |ph AS (SELECT doc_id, para_id, n_tokens,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |fk AS (SELECT doc_id, n_tokens,
+             |        row_number() OVER (PARTITION BY h
+             |          ORDER BY doc_id, para_id) = 1 AS keep FROM ph),
+             |pt AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             |          AS retained_tokens
+             |       FROM fk GROUP BY doc_id),
+             |k3 AS (SELECT k2.doc_id, pt.retained_tokens
+             |       FROM k2 JOIN pt ON k2.doc_id = pt.doc_id),
+             |funnel AS (
+             |  SELECT '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS n_tokens FROM d
+             |  UNION ALL
+             |  SELECT '1_exact', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT) FROM k1
+             |  UNION ALL
+             |  SELECT '2_neardup', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT) FROM k2
+             |  UNION ALL
+             |  SELECT '3_paragraph', CAST(count(*) AS BIGINT),
+             |    CAST(sum(retained_tokens) AS BIGINT) FROM k3)
+             |SELECT stage, n_docs, n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / raw_tokens AS token_frac
+             |FROM funnel CROSS JOIN raw_tot ORDER BY stage""".stripMargin)),
+
     // ---- Canonical selection per near-dup cluster ------------------------
     // q51 keeps the min-id member of every duplicate pair; production
     // dedup usually keeps the BEST member per cluster — here the keep-

@@ -1838,6 +1838,53 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q129 eval coverage replays shingle-set membership exactly") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        (r.getLong(0), tk.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+    val trainSet = docs.filter(_._1 % 97 != 0).flatMap(_._2).toSet
+    val want = docs.filter(_._1 % 97 == 0).map { case (id, sh) =>
+      id -> ((sh.size.toLong, sh.count(trainSet).toLong))
+    }.toMap
+    val got = q("q129_eval_coverage").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (id, (n, cov, frac)) =>
+      val (wn, wcov) = want(id)
+      assert(n == wn && cov == wcov, s"doc $id")
+      assert(frac == wcov.toDouble / wn)
+    }
+  }
+
+  test("q130 dedup funnel is monotone and replays the three keep rules") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }.toMap
+    val exactKeep = docs.groupBy(_._2).values.map(_.map(_._1).min).toSet
+    val nearDrop = q("q45_minhash_lsh").collect().map(_.getLong(1)).toSet
+    val kept2 = exactKeep -- nearDrop
+    val paraTok = q("q117_paragraph_dedup").collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val raw = toks.values.sum
+    val want = Seq(
+      ("0_raw", docs.length.toLong, raw),
+      ("1_exact", exactKeep.size.toLong, exactKeep.toSeq.map(toks).sum),
+      ("2_neardup", kept2.size.toLong, kept2.toSeq.map(toks).sum),
+      ("3_paragraph", kept2.size.toLong, kept2.toSeq.map(paraTok).sum))
+    val got = q("q130_dedup_funnel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want)
+    got.foreach { case (_, _, n, frac) => assert(frac == n.toDouble / raw) }
+    // funnel only ever shrinks
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("q126 boilerplate report ranks the replayed multi-doc paragraphs") {
     def ph(s: String, base: Long): Long = {
       var h = 0L; var i = 0
@@ -2012,7 +2059,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q118_bpe_train", // one-row best-pair cross join per unrolled step
       "q122_epoch_schedule", // one-row weight-total cross join (q76's class)
       "q124_retrieval_metrics", // q48's bounded-anchor broadcast scan
-      "q128_bpe_apply") // q118's one-row best-pair cross joins
+      "q128_bpe_apply", // q118's one-row best-pair cross joins
+      "q130_dedup_funnel") // one-row raw-total cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
