@@ -549,5 +549,46 @@ object Curation {
              |FROM gt LEFT JOIN fam ON gt.doc_id = fam.doc_id
              |        JOIN imp ON gt.doc_id = imp.doc_id
              |ORDER BY ensemble_score DESC, gt.doc_id LIMIT 200""".stripMargin)),
+
+    // ---- Cross-modality referential integrity ----------------------------
+    // The audit every multimodal assembly (q82) should run first: do the
+    // text and embedding modalities actually cover the same id space?
+    // Orphans on either side mean silent row loss in the inner-join
+    // assembly (docs with no vector never become training examples;
+    // vectors with no doc are unattributable). One full-outer hash join
+    // on the id (q106's compare shape), rolled up to one row per match
+    // class with the id range that localizes the gap.
+    QueryDef("q132_modality_integrity", (s, d) =>
+      modalityIntegrity(t(s, d, "documents"), t(s, d, "embeddings")),
+      Some("""WITH d AS (SELECT doc_id AS id FROM documents),
+             |v AS (SELECT vec_id AS id FROM embeddings),
+             |j AS (
+             |  SELECT coalesce(d.id, v.id) AS id,
+             |    CASE WHEN d.id IS NOT NULL AND v.id IS NOT NULL THEN 'both'
+             |         WHEN d.id IS NOT NULL THEN 'doc_only'
+             |         ELSE 'vec_only' END AS status
+             |  FROM d FULL OUTER JOIN v ON d.id = v.id)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n_ids,
+             |  min(id) AS min_id, max(id) AS max_id
+             |FROM j GROUP BY status ORDER BY status""".stripMargin)),
   )
+
+  /** Cross-modality id-space audit — q132's body, exposed for the
+    * orphan-fixture spec. */
+  def modalityIntegrity(documents: org.apache.spark.sql.DataFrame,
+      embeddings: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val docs = documents.select(col("doc_id").as("id"))
+      .withColumn("has_doc", lit(1L))
+    val vecs = embeddings.select(col("vec_id").as("id"))
+      .withColumn("has_vec", lit(1L))
+    docs.join(vecs, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("has_doc").isNotNull && col("has_vec").isNotNull, "both")
+          .when(col("has_doc").isNotNull, "doc_only")
+          .otherwise("vec_only"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_ids"),
+        min("id").as("min_id"), max("id").as("max_id"))
+      .orderBy("status")
+  }
 }

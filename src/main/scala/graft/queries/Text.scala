@@ -924,6 +924,45 @@ object Text {
              |  abs(s_head - s_tail) >= 0.05 AS mixed
              |FROM h ORDER BY doc_id""".stripMargin)),
 
+    // ---- Language-ID calibration (reliability diagram) -------------------
+    // Is the q42 language scorer trustworthy enough to gate on? The
+    // classifier-eval answer is a reliability diagram: bucket the score
+    // into deciles and compare each bucket's mean score against the
+    // OBSERVED fraction of truly-English documents — a calibrated
+    // scorer's curve hugs the diagonal, and the gap column is the
+    // actionable number (which score range over/under-claims). Bucket =
+    // floor(score * 10) clamped to 9; exact int arithmetic on the
+    // int/int score grid (score = k/n with k,n ints, so score*10's
+    // floor is exact in IEEE); one map-combined rollup to <= 10 rows.
+    QueryDef("q131_langid_calibration", (s, d) => {
+      val nTok = size(toks)
+      val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
+      t(s, d, "documents")
+        .select((nEn.cast("double") / nTok).as("en_score"),
+          (col("lang") === "en").as("is_en"))
+        .withColumn("bucket",
+          least(floor(col("en_score") * 10).cast("int"), lit(9)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))
+        .withColumn("observed_en", col("n_en").cast("double") / col("n_docs"))
+        .select("bucket", "n_docs", "n_en", "observed_en")
+        .orderBy("bucket")
+    },
+      Some("""WITH sc AS (
+             |  SELECT
+             |    CAST(len(list_filter(string_split(text, ' '),
+             |          x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |      / len(string_split(text, ' ')) AS en_score,
+             |    lang = 'en' AS is_en
+             |  FROM documents)
+             |SELECT CAST(least(floor(en_score * 10), 9) AS INTEGER) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+             |  CAST(sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             |    AS observed_en
+             |FROM sc GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // ---- BPE vocabulary TRAINING (merge-table induction) -----------------
     // q90 runs subword INFERENCE under a fixed vocabulary; this trains
     // the vocabulary itself — byte-pair encoding (Sennrich et al. 2016):

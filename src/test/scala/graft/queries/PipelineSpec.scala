@@ -1838,6 +1838,49 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       s"snake balance broken: $loads")
   }
 
+  test("q131 calibration buckets replay the scorer against truth labels") {
+    val stop = Set("the", "a", "data")
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("lang", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        val score = tk.count(stop).toDouble / tk.length
+        (math.min(math.floor(score * 10).toInt, 9), r.getString(0) == "en")
+      }
+    val want = docs.groupBy(_._1).map { case (b, g) =>
+      b -> ((g.length.toLong, g.count(_._2).toLong))
+    }
+    val got = q("q131_langid_calibration").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (b, (n, nEn, obs)) =>
+      val (wn, wEn) = want(b)
+      assert(n == wn && nEn == wEn, s"bucket $b")
+      assert(obs == wEn.toDouble / wn)
+    }
+    assert(got.values.map(_._1).sum == docs.length.toLong)
+  }
+
+  test("q132 modality integrity classifies planted orphans on both sides") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(0L, 1L, 2L, 7L).toDF("doc_id")
+    val vecs = Seq(1L, 2L, 3L, 4L).toDF("vec_id")
+    val got = Curation.modalityIntegrity(docs, vecs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == Map(
+      "both" -> ((2L, 1L, 2L)),
+      "doc_only" -> ((2L, 0L, 7L)),
+      "vec_only" -> ((2L, 3L, 4L))))
+    // and the registered query: the testdata id spaces fully overlap
+    val reg = q("q132_modality_integrity").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(reg.toSeq == Seq(("both",
+      Tables.load(spark, sfDir, "documents").count())))
+  }
+
   test("q129 eval coverage replays shingle-set membership exactly") {
     val docs = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
