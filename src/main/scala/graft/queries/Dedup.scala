@@ -954,31 +954,7 @@ object Dedup {
     // paragraph first-occurrence) and the funnel is four tiny rollups
     // unioned — the corpus-proportional work is the three signal passes
     // it already shares with q44/q51/q117.
-    QueryDef("q130_dedup_funnel", (s, d) => {
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-      val exactKeep = t(s, d, "documents")
-        .groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
-      val nearDrop = nearDupPairs(s, d).select(col("doc_b").as("doc_id")).distinct()
-      val kept1 = docs.join(exactKeep, "doc_id")
-      val kept2 = kept1.join(nearDrop, Seq("doc_id"), "left_anti")
-      val paraTok = paragraphDedup(t(s, d, "documents"))
-        .select(col("doc_id"), col("retained_tokens"))
-      val kept3 = kept2.join(paraTok, "doc_id")
-      def stage(name: String, df: DataFrame, tokCol: String) =
-        df.agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_tokens"))
-          .withColumn("stage", lit(name))
-      stage("0_raw", docs, "n")
-        .unionByName(stage("1_exact", kept1, "n"))
-        .unionByName(stage("2_neardup", kept2, "n"))
-        .unionByName(stage("3_paragraph", kept3, "retained_tokens"))
-        .crossJoin(broadcast(docs.agg(sum("n").as("raw_tokens"))))
-        .withColumn("token_frac",
-          col("n_tokens").cast("double") / col("raw_tokens"))
-        .select("stage", "n_docs", "n_tokens", "token_frac")
-        .orderBy("stage")
-    },
+    QueryDef("q130_dedup_funnel", (s, d) => dedupFunnel(t(s, d, "documents")),
       Some(s"""WITH d AS (
              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
              |  FROM documents),
@@ -1193,6 +1169,37 @@ object Dedup {
         carry.map(col)): _*)
       .withColumn("h", element_at(
         graft.functions.ArrayExprs.windowHashes(array(col("para_text")), 1), 1))
+  }
+
+  /** Cumulative dedup attrition funnel — q130's body, exposed for
+    * library use and the scale probe: raw -> exact canonicals -> near-dup
+    * keep set -> paragraph retention, one row per stage with doc/token
+    * totals and the surviving fraction of raw tokens. */
+  def dedupFunnel(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val exactKeep = documents
+      .groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val nearDrop = nearDupPairsOf(documents)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val kept1 = docs.join(exactKeep, "doc_id")
+    val kept2 = kept1.join(nearDrop, Seq("doc_id"), "left_anti")
+    val kept3 = kept2.join(
+      paragraphDedup(documents).select(col("doc_id"), col("retained_tokens")),
+      "doc_id")
+    def stage(name: String, df: DataFrame, tokCol: String) =
+      df.agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_tokens"))
+        .withColumn("stage", lit(name))
+    stage("0_raw", docs, "n")
+      .unionByName(stage("1_exact", kept1, "n"))
+      .unionByName(stage("2_neardup", kept2, "n"))
+      .unionByName(stage("3_paragraph", kept3, "retained_tokens"))
+      .crossJoin(broadcast(docs.agg(sum("n").as("raw_tokens"))))
+      .withColumn("token_frac",
+        col("n_tokens").cast("double") / col("raw_tokens"))
+      .select("stage", "n_docs", "n_tokens", "token_frac")
+      .orderBy("stage")
   }
 
   /** CCNet-style paragraph dedup — q117's body, exposed for library use

@@ -249,6 +249,12 @@ object ScaleProbe {
       time(s"bpe_train_x$m") {
         graft.queries.Text.bpeTrain(docs, 6).count()
       }
+      // dedup funnel: three audited signal passes (content hash, LSH
+      // pairs, paragraph first-occurrence) + four tiny rollups — the
+      // composition must inherit the linear shape of its parts
+      time(s"dedup_funnel_x$m") {
+        graft.queries.Dedup.dedupFunnel(docs).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the
