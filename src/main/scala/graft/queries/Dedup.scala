@@ -1006,6 +1006,99 @@ object Dedup {
              |  CAST(n_tokens AS DOUBLE) / raw_tokens AS token_frac
              |FROM funnel CROSS JOIN raw_tot ORDER BY stage""".stripMargin)),
 
+    // ---- Per-source dedup attrition --------------------------------------
+    // q130's funnel answers "how much survives"; acquisition decisions
+    // need "per SOURCE, how much survives" — a crawl whose tokens are
+    // 60% boilerplate-duplicate is priced very differently from one
+    // that dedups clean. Same three audited signals, attributed per
+    // source; token_frac is each source's surviving fraction of its OWN
+    // raw tokens. Stages stay cumulative (exact -> near-dup -> paragraph
+    // retention); the rollup key gains the source column and everything
+    // else keeps q130's shape.
+    QueryDef("q133_source_funnel", (s, d) => {
+      val base = t(s, d, "documents")
+      val docs = base.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      val exactKeep = base
+        .groupBy(md5(col("text")).as("ch")).agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val nearDrop = nearDupPairsOf(base)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val kept1 = docs.join(exactKeep, "doc_id")
+      val kept2 = kept1.join(nearDrop, Seq("doc_id"), "left_anti")
+      val kept3 = kept2.join(
+        paragraphDedup(base).select(col("doc_id"), col("retained_tokens")),
+        "doc_id")
+      def stage(name: String, df: DataFrame, tokCol: String) =
+        df.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(tokCol).as("n_tokens"))
+          .withColumn("stage", lit(name))
+      val raw = docs.groupBy("source").agg(sum("n").as("raw_tokens"))
+      stage("0_raw", docs, "n")
+        .unionByName(stage("1_exact", kept1, "n"))
+        .unionByName(stage("2_neardup", kept2, "n"))
+        .unionByName(stage("3_paragraph", kept3, "retained_tokens"))
+        .join(broadcast(raw), "source")
+        .withColumn("token_frac",
+          col("n_tokens").cast("double") / col("raw_tokens"))
+        .select("source", "stage", "n_docs", "n_tokens", "token_frac")
+        .orderBy("source", "stage")
+    },
+      Some(s"""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |raw_tot AS (
+             |  SELECT source, CAST(sum(n) AS BIGINT) AS raw_tokens
+             |  FROM d GROUP BY source),
+             |ek AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |s AS ($sqlShingles),
+             |nd AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |k1 AS (SELECT d.doc_id, d.source, d.n FROM d JOIN ek USING (doc_id)),
+             |k2 AS (SELECT doc_id, source, n FROM k1
+             |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |        len(string_split(text, ' ')) AS n FROM documents),
+             |p AS (SELECT doc_id, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text,
+             |        least(8, n - para_id * 8) AS n_tokens FROM p),
+             |ph AS (SELECT doc_id, para_id, n_tokens,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |fk AS (SELECT doc_id, n_tokens,
+             |        row_number() OVER (PARTITION BY h
+             |          ORDER BY doc_id, para_id) = 1 AS keep FROM ph),
+             |pt AS (SELECT doc_id,
+             |        CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             |          AS retained_tokens
+             |       FROM fk GROUP BY doc_id),
+             |k3 AS (SELECT k2.doc_id, k2.source, pt.retained_tokens
+             |       FROM k2 JOIN pt ON k2.doc_id = pt.doc_id),
+             |funnel AS (
+             |  SELECT source, '0_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS n_tokens FROM d GROUP BY source
+             |  UNION ALL
+             |  SELECT source, '1_exact', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT) FROM k1 GROUP BY source
+             |  UNION ALL
+             |  SELECT source, '2_neardup', CAST(count(*) AS BIGINT),
+             |    CAST(sum(n) AS BIGINT) FROM k2 GROUP BY source
+             |  UNION ALL
+             |  SELECT source, '3_paragraph', CAST(count(*) AS BIGINT),
+             |    CAST(sum(retained_tokens) AS BIGINT) FROM k3 GROUP BY source)
+             |SELECT f.source, stage, n_docs, n_tokens,
+             |  CAST(n_tokens AS DOUBLE) / raw_tokens AS token_frac
+             |FROM funnel f JOIN raw_tot r ON f.source = r.source
+             |ORDER BY f.source, stage""".stripMargin)),
+
     // ---- Canonical selection per near-dup cluster ------------------------
     // q51 keeps the min-id member of every duplicate pair; production
     // dedup usually keeps the BEST member per cluster — here the keep-

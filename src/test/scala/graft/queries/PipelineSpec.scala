@@ -1928,6 +1928,29 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
   }
 
+  test("q133 per-source funnel sums to q130 and shrinks monotonically") {
+    val global = q("q130_dedup_funnel").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = q("q133_source_funnel").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // every (source, stage) cell sums back to the global funnel
+    rows.groupBy(_._2).foreach { case (stage, g) =>
+      assert((g.map(_._3).sum, g.map(_._4).sum) == global(stage), stage)
+    }
+    // within each source the funnel only shrinks, and fracs are exact
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val byStage = g.sortBy(_._2)
+      val toks = byStage.map(_._4)
+      assert(toks.toSeq == toks.sorted.reverse.toSeq, s"source $src")
+      val raw = byStage.head._4
+      byStage.foreach { case (_, _, _, n, frac) =>
+        assert(frac == n.toDouble / raw, s"source $src")
+      }
+    }
+    assert(rows.map(_._1).distinct.length > 1)
+  }
+
   test("q126 boilerplate report ranks the replayed multi-doc paragraphs") {
     def ph(s: String, base: Long): Long = {
       var h = 0L; var i = 0
