@@ -1238,6 +1238,61 @@ object Dedup {
              |SELECT h AS para_hash, n_occurrences, n_docs, n_sources, para_text
              |FROM agg WHERE n_docs >= 2
              |ORDER BY n_occurrences DESC, h LIMIT 20""".stripMargin)),
+
+    // ---- Leakage-safe train/val/test split -------------------------------
+    // q56 splits by doc hash — near-duplicates of a test doc land in train
+    // with probability ~80%, leaking eval content into training. The
+    // correct unit of assignment is the near-dup CLUSTER: every member of
+    // a q52 component gets the component's split, decided by the Lehmer
+    // hash of the cluster label, so no near-dup pair ever straddles a
+    // split boundary. Singletons (docs in no pair) are their own cluster.
+    // Scale shape: the pair set + closure are q45/q52's audited machinery
+    // (banded LSH buckets, O(log d) star rounds); the split itself is one
+    // map-side hash on the label and a left join of labels back to the
+    // corpus — no new shuffle class beyond q52.
+    QueryDef("q134_leakage_safe_split", (s, d) => {
+      val pairs = nearDupPairs(s, d).select("doc_a", "doc_b")
+      val (labels, _) = connectedComponents(pairs)
+      val clustered = t(s, d, "documents")
+        .select(col("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      val bucket = Sampling.lehmer(col("cluster_id")) % 1000
+      clustered
+        .select(col("doc_id"), col("cluster_id"), bucket.as("bucket"),
+          when(bucket < 800, "train")
+            .when(bucket < 900, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |edges AS (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lbl AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a),
+             |cl AS (
+             |  SELECT d.doc_id,
+             |    COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.doc_id)
+             |SELECT doc_id, cluster_id,
+             |  ${Sampling.sqlLehmerOf("cluster_id")} % 1000 AS bucket,
+             |  CASE WHEN ${Sampling.sqlLehmerOf("cluster_id")} % 1000 < 800
+             |         THEN 'train'
+             |       WHEN ${Sampling.sqlLehmerOf("cluster_id")} % 1000 < 900
+             |         THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM cl ORDER BY doc_id""".stripMargin)),
   )
 
   /** Tumbling w-token paragraph enumeration over a documents frame —

@@ -1951,6 +1951,43 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.map(_._1).distinct.length > 1)
   }
 
+  test("q134 leakage-safe split never splits a near-dup pair or cluster") {
+    val rows = q("q134_leakage_safe_split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // total coverage: one row per document
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    assert(rows.size.toLong == nDocs)
+    // THE guarantee: both ends of every verified near-dup pair share a
+    // cluster AND a split — leakage through near-duplicates is impossible
+    val pairs = q("q45_minhash_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rows(a)._1 == rows(b)._1, s"pair ($a,$b) cluster")
+      assert(rows(a)._3 == rows(b)._3, s"pair ($a,$b) split")
+    }
+    // cluster labels agree with q52's components; singletons label
+    // themselves
+    val comp = q("q52_dedup_components").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, (cl, _, _)) =>
+      assert(cl == comp.getOrElse(id, id), s"doc $id")
+    }
+    // bucket is the composed Lehmer hash of the CLUSTER id, and the split
+    // names follow the 800/100/100 rule
+    val M = 2147483647L
+    def lehmer(x: Long) = ((x % M) * 48271 % M) * 48271 % M
+    rows.foreach { case (id, (cl, bucket, split)) =>
+      assert(bucket == lehmer(cl) % 1000, s"doc $id")
+      val wantSplit =
+        if (bucket < 800) "train" else if (bucket < 900) "val" else "test"
+      assert(split == wantSplit, s"doc $id")
+    }
+    // and the assignment actually uses more than one split at this SF
+    assert(rows.values.map(_._3).toSet.size >= 2)
+  }
+
   test("q126 boilerplate report ranks the replayed multi-doc paragraphs") {
     def ph(s: String, base: Long): Long = {
       var h = 0L; var i = 0
