@@ -1082,5 +1082,115 @@ object Similarity {
              |  coalesce(CAST(1 AS DOUBLE) / min(CASE WHEN rel THEN rank END),
              |    CAST(0 AS DOUBLE)) AS mrr
              |FROM ranked GROUP BY q_id, q_label ORDER BY q_id""".stripMargin)),
+
+    // ---- Margin-based cross-lingual pair mining --------------------------
+    // Bitext mining a la Artetxe & Schwenk: a raw cosine threshold
+    // over-selects hubs (vectors close to everything), so each candidate
+    // pair is scored by its cosine RELATIVE to what both endpoints score
+    // against their own top-k neighborhoods — margin(x,y) =
+    // cos(x,y) / (avg_k(x->tgt)/2 + avg_k(y->src)/2) — and only each
+    // anchor's best-margin candidate above 1.05 is accepted.
+    // Exactness: cosines are IEEE doubles over exact integer dots (q47's
+    // grid); the k-neighborhood sums fold over array_sort'ed value lists
+    // (left-to-right, mirrored by DuckDB list_reduce) so no
+    // aggregation-order nondeterminism reaches the margin division.
+    // Scale shape: anchors are a BOUNDED broadcast set (q48's contract)
+    // scanned against the target side; the backward penalty only needs
+    // the <= k*|anchors| forward candidates, broadcast back against the
+    // source side — two bounded-set corpus scans, no corpus x corpus
+    // join. At production scale the two top-k scans swap in the IVF path
+    // (q49) unchanged, margin arithmetic identical.
+    QueryDef("q135_margin_mining", (s, d) => {
+      val k = 4
+      val lang = t(s, d, "documents")
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = quantized(s, d).join(lang, "vec_id")
+      val src = e.filter(col("lang") === "en")
+        .select(col("vec_id").as("s_id"), col("qv").as("qs"), col("n2").as("ns"))
+      val anchors = src.filter(col("s_id") < 100)
+      val tgt = e.filter(col("lang") === "de")
+        .select(col("vec_id").as("t_id"), col("qv").as("qt"), col("n2").as("nt"))
+      val wf = Window.partitionBy("s_id").orderBy(col("cos_sim").desc, col("t_id"))
+      val fwd = tgt.crossJoin(broadcast(anchors))
+        .withColumn("cos_sim", cosine(col("qs"), col("ns"), col("qt"), col("nt")))
+        .withColumn("rk", row_number().over(wf))
+        .filter(col("rk") <= k)
+        .select("s_id", "t_id", "cos_sim")
+        .localCheckpoint() // 3 consumers; the scan must not re-run per use
+      def foldSum(c: Column) =
+        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      val aAvg = fwd.groupBy("s_id")
+        .agg(foldSum(col("cos_sim")).as("sum_s"), count(lit(1)).as("cnt_s"))
+      val candVecs = fwd.select("t_id").distinct().join(tgt, "t_id")
+      val wb = Window.partitionBy("t_id").orderBy(col("cos_sim").desc, col("s_id"))
+      val bwd = src.crossJoin(broadcast(candVecs))
+        .withColumn("cos_sim", cosine(col("qs"), col("ns"), col("qt"), col("nt")))
+        .withColumn("rk", row_number().over(wb))
+        .filter(col("rk") <= k)
+      val bAvg = bwd.groupBy("t_id")
+        .agg(foldSum(col("cos_sim")).as("sum_t"), count(lit(1)).as("cnt_t"))
+      val margin = col("cos_sim") /
+        (col("sum_s") / (col("cnt_s") * 2).cast("double") +
+          col("sum_t") / (col("cnt_t") * 2).cast("double"))
+      val wm = Window.partitionBy("s_id").orderBy(col("margin").desc, col("t_id"))
+      fwd.join(aAvg, "s_id").join(bAvg, "t_id")
+        .withColumn("margin", margin)
+        .withColumn("best", row_number().over(wm))
+        .filter(col("best") === 1)
+        .select(col("s_id"), col("t_id"), col("cos_sim"),
+          col("margin"), (col("margin") > lit(1.05)).as("accepted"))
+        .orderBy("s_id")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |e AS (
+             |  SELECT n.vec_id, d.lang, n.qv, n.n2
+             |  FROM n JOIN documents d ON n.vec_id = d.doc_id),
+             |src AS (SELECT vec_id AS s_id, qv, n2 FROM e WHERE lang = 'en'),
+             |anch AS (SELECT * FROM src WHERE s_id < 100),
+             |tgt AS (SELECT vec_id AS t_id, qv, n2 FROM e WHERE lang = 'de'),
+             |fwd0 AS (
+             |  SELECT a.s_id, b.t_id, ${sqlCos("a", "b")} AS cos_sim
+             |  FROM anch a CROSS JOIN tgt b),
+             |fwd AS (
+             |  SELECT s_id, t_id, cos_sim FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY s_id
+             |      ORDER BY cos_sim DESC, t_id) AS rk FROM fwd0)
+             |  WHERE rk <= 4),
+             |aavg AS (
+             |  SELECT s_id,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_sort(list(cos_sim))), (acc, x) -> acc + x) AS sum_s,
+             |    count(*) AS cnt_s
+             |  FROM fwd GROUP BY s_id),
+             |cand AS (
+             |  SELECT t.t_id, t.qv, t.n2
+             |  FROM tgt t JOIN (SELECT DISTINCT t_id FROM fwd) c USING (t_id)),
+             |bwd0 AS (
+             |  SELECT b.t_id, a.s_id, ${sqlCos("a", "b")} AS cos_sim
+             |  FROM src a CROSS JOIN cand b),
+             |bwd AS (
+             |  SELECT t_id, cos_sim FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY t_id
+             |      ORDER BY cos_sim DESC, s_id) AS rk FROM bwd0)
+             |  WHERE rk <= 4),
+             |bavg AS (
+             |  SELECT t_id,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_sort(list(cos_sim))), (acc, x) -> acc + x) AS sum_t,
+             |    count(*) AS cnt_t
+             |  FROM bwd GROUP BY t_id),
+             |m AS (
+             |  SELECT f.s_id, f.t_id, f.cos_sim,
+             |    f.cos_sim / (a.sum_s / CAST(a.cnt_s * 2 AS DOUBLE)
+             |               + b.sum_t / CAST(b.cnt_t * 2 AS DOUBLE)) AS margin
+             |  FROM fwd f JOIN aavg a USING (s_id) JOIN bavg b USING (t_id))
+             |SELECT s_id, t_id, cos_sim, margin, margin > 1.05 AS accepted
+             |FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY s_id
+             |    ORDER BY margin DESC, t_id) AS best FROM m)
+             |WHERE best = 1 ORDER BY s_id""".stripMargin)),
   )
 }

@@ -1809,6 +1809,54 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q135 margin mining replays the exact two-sided margin rule") {
+    val langs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
+      val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
+      (r.getLong(0), v, v.map(x => x * x).sum)
+    }
+    def cos(a: (Long, Array[Long], Long), b: (Long, Array[Long], Long)) = {
+      val dot = a._2.zip(b._2).map { case (x, y) => x * y }.sum
+      dot.toDouble / math.sqrt(a._3.toDouble) / math.sqrt(b._3.toDouble)
+    }
+    val src = rows.filter(r => langs(r._1) == "en")
+    val anchors = src.filter(_._1 < 100)
+    val tgt = rows.filter(r => langs(r._1) == "de")
+    val k = 4
+    // forward top-k per anchor; sums fold over ASCENDING-sorted values —
+    // the same deterministic order both engines use
+    def foldSum(xs: Seq[Double]) = xs.sorted.foldLeft(0.0)(_ + _)
+    val fwd = anchors.map { a =>
+      a._1 -> tgt.map(b => (b._1, cos(a, b))).sortBy(p => (-p._2, p._1)).take(k)
+    }.toMap
+    val aAvg = fwd.map { case (s, ns) => s -> ((foldSum(ns.map(_._2)), ns.length)) }
+    val cand = fwd.values.flatten.map(_._1).toSet
+    val bAvg = tgt.filter(t => cand(t._1)).map { b =>
+      val ns = src.map(a => (a._1, cos(a, b))).sortBy(p => (-p._2, p._1)).take(k)
+      b._1 -> ((foldSum(ns.map(_._2)), ns.length))
+    }.toMap
+    val want = fwd.map { case (s, ns) =>
+      val best = ns.map { case (tid, c) =>
+        val (ss, cs) = aAvg(s); val (st, ct) = bAvg(tid)
+        (tid, c, c / (ss / (cs * 2).toDouble + st / (ct * 2).toDouble))
+      }.sortBy(p => (-p._3, p._1)).head
+      s -> best
+    }
+    val got = q("q135_margin_mining").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    want.foreach { case (s, (tid, c, m)) =>
+      val (gt, gc, gm, acc) = got(s)
+      assert(gt == tid && gc == c && gm == m, s"anchor $s")
+      assert(acc == (m > 1.05), s"anchor $s")
+    }
+    // the hub penalty genuinely discriminates: margins are not constant
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("q120 shard manifest balances tokens and conserves the corpus") {
     val lens = Tables.load(spark, sfDir, "documents")
       .select("doc_id", "text").collect()
