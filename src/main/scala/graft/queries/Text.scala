@@ -1014,6 +1014,47 @@ object Text {
              |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility
              |FROM e JOIN seg USING (w)
              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Tokenizer fertility by language ---------------------------------
+    // The multilingual-equity report for the q118-trained tokenizer:
+    // fertility (subwords per word) and compression (chars per subword)
+    // PER LANGUAGE. A tokenizer trained on a skewed mix charges
+    // under-represented languages more subwords per word — this is the
+    // table that prices that, and the reason teams retrain with
+    // temperature-balanced mixes (q76/q122). Same trained segmentation
+    // as q128 (bpeStates is shared, so engine and oracle cannot drift);
+    // the rollup key is just lang instead of doc_id — one broadcast join
+    // on the bounded word-TYPE table plus a 5-row aggregate.
+    QueryDef("q136_tokenizer_fertility", (s, d) => {
+      val docs = t(s, d, "documents")
+      val seg = bpeStates(docs, 6)._2
+        .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
+      docs.select(col("lang"), explode(toks).as("w"))
+        .join(broadcast(seg), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sub").as("n_subwords"),
+          sum(length(col("w")).cast("long")).as("n_chars"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words"))
+        .withColumn("chars_per_subword",
+          col("n_chars").cast("double") / col("n_subwords"))
+        .select("lang", "n_words", "n_subwords", "n_chars", "fertility",
+          "chars_per_subword")
+        .orderBy("lang")
+    },
+      Some(s"""WITH ${sqlBpeCtes(6)},
+             |seg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM s6),
+             |e AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+             |      FROM documents)
+             |SELECT lang,
+             |  CAST(count(*) AS BIGINT) AS n_words,
+             |  CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+             |  CAST(sum(length(w)) AS BIGINT) AS n_chars,
+             |  CAST(sum(n_sub) AS DOUBLE) / count(*) AS fertility,
+             |  CAST(sum(length(w)) AS DOUBLE) / sum(n_sub) AS chars_per_subword
+             |FROM e JOIN seg USING (w)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

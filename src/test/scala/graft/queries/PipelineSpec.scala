@@ -1784,6 +1784,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q136 fertility by language aggregates q128's per-doc segmentation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val langOf = docs.map(d => d._1 -> d._2).toMap
+    // per-language word/subword totals from the ALREADY-SPEC'D q128
+    val perDoc = q("q128_bpe_apply").collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (l, g) =>
+      l -> ((g.map(_._2).sum, g.map(_._3).sum))
+    }
+    // char totals independently, by codepoint count per word
+    val chars = docs.groupBy(_._2).map { case (l, g) =>
+      l -> g.flatMap(_._3.split(" ", -1))
+        .map(w => w.codePointCount(0, w.length).toLong).sum
+    }
+    val got = q("q136_tokenizer_fertility").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == want.keySet && got.size >= 2)
+    got.foreach { case (l, (nw, ns, nc, fert, cps)) =>
+      assert((nw, ns) == want(l), s"lang $l totals")
+      assert(nc == chars(l), s"lang $l chars")
+      assert(fert == ns.toDouble / nw && cps == nc.toDouble / ns, s"lang $l")
+    }
+  }
+
   test("q119 hard negatives are the exact top cross-label neighbors") {
     val rows = Tables.load(spark, sfDir, "embeddings").collect().map { r =>
       val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong).toArray
