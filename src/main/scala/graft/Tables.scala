@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver's testdata layout
   * (`<sfDir>/<table>.parquet`, see TESTDATA.md).
@@ -17,25 +18,60 @@ object Tables {
 
   /** True when [[load]] REWRITES the data relative to a raw parquet scan
     * (so a catalog table registered over the raw file would silently read
-    * different values). Owned here, next to the quirk list, so the two
-    * can never drift: any new quirk case in [[load]] must flip this too. */
-  def rewritesOnLoad(name: String): Boolean = name == "events"
+    * different values). Events is only rewritten when the file carries
+    * int64 nanos (see [[load]]); a plain timestamp column passes through
+    * with at most a zero-cost session-TZ cast, which DuckDB applies
+    * identically, so it does not count as a rewrite. */
+  def rewritesOnLoad(spark: SparkSession, sfDir: String, name: String): Boolean =
+    name == "events" && eventsTsIsRawNanos(spark, sfDir)
+
+  private def eventsTsIsRawNanos(spark: SparkSession, sfDir: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType == LongType
+  }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects outright. Read the physical int64 nanos and truncate to
-      // microseconds — the same ns→µs truncation DuckDB applies on
-      // CAST(ts AS TIMESTAMP), so oracle comparisons stay exact.
+      // The driver has shipped events.ts under two physical schemas across
+      // rounds: parquet TIMESTAMP(NANOS) (which Spark's vectorized reader
+      // rejects, surfacing as int64 nanos under the legacy flag) and plain
+      // timestamp[us]. Branch on the *loaded* dtype instead of hard-coding
+      // either generation, so a testdata regeneration can't break loads.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // int64 nanos → truncate to µs, same as DuckDB's CAST(ts AS TIMESTAMP).
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // timestamp[us] without TZ annotation loads as TIMESTAMP_NTZ; cast
+          // to the session type (UTC) so downstream code sees one type.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ =>
+          raw
+      }
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** Register every table as a temp view so `spark.sql` / the dialect
-    * frontend can resolve unqualified table names. */
+    * frontend can resolve unqualified table names.
+    *
+    * Per-table fault isolation: one broken loader (e.g. an events schema
+    * drift) must not take down queries over unrelated tables — a query
+    * that never touches the broken table still resolves and runs. The
+    * failure is logged loudly and any stale same-named view is dropped,
+    * so a query that DOES touch the broken table fails fast with
+    * TABLE_OR_VIEW_NOT_FOUND instead of silently reading stale data.
+    */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try load(spark, sfDir, n).createOrReplaceTempView(n)
+      catch {
+        case e: Exception =>
+          System.err.println(s"[Tables] WARNING: failed to load '$n' from $sfDir: ${e.getMessage}")
+          spark.catalog.dropTempView(n)
+      }
+    }
 }

@@ -77,7 +77,7 @@ object QueryRunner {
           else scala.util.Try {
             val db = statDb(dir)
             spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-            if (has(s"$name.parquet") && !graft.Tables.rewritesOnLoad(name)) {
+            if (has(s"$name.parquet") && !graft.Tables.rewritesOnLoad(spark, dir, name)) {
               spark.sql(s"DROP TABLE IF EXISTS `$db`.`$name`")
               spark.catalog.createTable(s"`$db`.`$name`", s"$dir/$name.parquet", "parquet")
             } else graft.sources.Stats.saveAsCatalogTable(spark, name, d, Some(db))
