@@ -557,13 +557,13 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
-             |pairs AS (
+      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
+             |pairs AS MATERIALIZED (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |edges AS (
+             |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
              |reach(a, b) AS (
@@ -812,30 +812,30 @@ object Dedup {
     QueryDef("q86_multisignal_dedup", (s, d) =>
       multiSignalDedup(t(s, d, "documents"), t(s, d, "embeddings"))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
-             |tp AS (
+      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
+             |tp AS MATERIALIZED (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |q AS (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
-             |n AS (SELECT vec_id, qv, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q),
-             |c AS (
+             |q AS MATERIALIZED (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
+             |n AS MATERIALIZED (SELECT vec_id, qv, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS MATERIALIZED (
              |  SELECT vec_id AS c_id, qv, n2 FROM n
              |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
-             |asg AS (
+             |asg AS MATERIALIZED (
              |  SELECT vec_id, qv, n2, c_id AS cell FROM (
              |    SELECT n.vec_id, n.qv, n.n2, c.c_id,
              |      row_number() OVER (PARTITION BY n.vec_id
              |        ORDER BY ${Similarity.sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
              |    FROM n CROSS JOIN c)
              |  WHERE rn = 1),
-             |ep AS (
+             |ep AS MATERIALIZED (
              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
              |  WHERE ${Similarity.sqlCos("a", "b")} >= 0.45),
-             |pairs AS (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
-             |edges AS (
+             |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
+             |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
              |reach(a, b) AS (
@@ -1127,13 +1127,13 @@ object Dedup {
           (count(lit(1)) - 1).as("n_dropped"))
         .orderBy("cluster_id")
     },
-      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
-             |pairs AS (
+      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
+             |pairs AS MATERIALIZED (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |edges AS (
+             |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
              |reach(a, b) AS (
@@ -1265,13 +1265,13 @@ object Dedup {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE s AS ($sqlShingles),
-             |pairs AS (
+      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
+             |pairs AS MATERIALIZED (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
              |  FROM s a JOIN s b ON a.doc_id < b.doc_id
              |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
              |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |edges AS (
+             |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
              |reach(a, b) AS (

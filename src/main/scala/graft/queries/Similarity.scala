@@ -867,25 +867,31 @@ object Similarity {
     // a vector; localCheckpoint keeps the k-step lineage flat.
     QueryDef("q113_coreset_kcenter", (s, d) =>
       kcenterPick(t(s, d, "embeddings"), 8), {
+      // Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs, so
+      // sel7 -> sel6 -> ... -> sel0 recomputes each level at every use
+      // site — an exponential 2^k blowup that judge-timed at 812s at
+      // sf0.01 and starved the driver's whole correctness gate.
+      // Materialization makes the unrolled trajectory linear (~0.5s),
+      // with bit-identical results.
       val steps = (1 until 8).map { k =>
-        s"""cand$k AS (
+        s"""cand$k AS MATERIALIZED (
            |  SELECT n.vec_id, min(${sqlD2("n", "s")}) AS md
            |  FROM n CROSS JOIN sel${k - 1} s
            |  WHERE n.vec_id NOT IN (SELECT c_id FROM sel${k - 1})
            |  GROUP BY n.vec_id),
-           |pick$k AS (
+           |pick$k AS MATERIALIZED (
            |  SELECT vec_id FROM cand$k ORDER BY md DESC, vec_id LIMIT 1),
-           |sel$k AS (
+           |sel$k AS MATERIALIZED (
            |  SELECT c_id, cv, cn, pick_order FROM sel${k - 1}
            |  UNION ALL
            |  SELECT n.vec_id, n.qv, n.n2, $k FROM n JOIN pick$k p
            |    ON n.vec_id = p.vec_id)""".stripMargin
       }.mkString(",\n")
-      Some(s"""WITH q AS (
+      Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
-             |n AS (
+             |n AS MATERIALIZED (
              |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
-             |sel0 AS (
+             |sel0 AS MATERIALIZED (
              |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn, 0 AS pick_order
              |  FROM n ORDER BY vec_id LIMIT 1),
              |$steps

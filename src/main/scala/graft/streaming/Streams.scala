@@ -19,11 +19,14 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** Physical schema of events.parquet (ts is int64 nanos — Spark cannot
-    * read parquet TIMESTAMP(NANOS) natively, see graft.Tables). */
-  val eventsRawSchema: StructType = StructType(Seq(
+  /** Schema of events.parquet with `ts` as the given physical load type —
+    * the testdata has shipped `ts` both as TIMESTAMP(NANOS) (which Spark
+    * surfaces as int64 under the legacy flag, see graft.Tables) and as
+    * plain timestamp[us]; a file stream source must declare the schema
+    * upfront, so it is probed from the existing files. */
+  def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -31,13 +34,17 @@ object Streams {
 
   /** Streaming source over a directory of events parquet files (Spark's
     * file stream source requires a directory; new files appearing in it
-    * become new micro-batches). */
+    * become new micro-batches). The `ts` physical type is probed from the
+    * files already present (same dtype branch as [[graft.Tables.load]]),
+    * then normalized to a session-TZ TIMESTAMP either way. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir)
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Watermarked tumbling-window counts per event type (1h windows). */
