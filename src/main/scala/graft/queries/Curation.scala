@@ -112,12 +112,8 @@ object Curation {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH s AS (${Dedup.sqlShingles}),
-             |drops AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH ${Dedup.sqlPairCtes()},
+             |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
              |$sqlGateCtes
              |SELECT m.doc_id, lang, n AS n_tokens,
              |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
@@ -342,12 +338,8 @@ object Curation {
         .select("r.*")
         .orderBy("stage")
     },
-      Some(s"""WITH s AS (${Dedup.sqlShingles}),
-             |drops AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH ${Dedup.sqlPairCtes()},
+             |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
              |$sqlGateCtes,
              |j AS (
              |  SELECT
@@ -468,18 +460,24 @@ object Curation {
              |chg AS (
              |  SELECT v2.doc_id FROM v2 LEFT JOIN v1h ON v2.doc_id = v1h.doc_id
              |  WHERE h1 IS NULL OR h1 <> md5(v2.text)),
-             |s AS (
+             |s AS MATERIALIZED (
              |  SELECT doc_id, sh FROM (
              |    SELECT doc_id,
              |      list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
              |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
              |    FROM v2) WHERE len(sh) > 0),
-             |tp AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
-             |edges AS (
+             |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM s),
+             |cnt AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s),
+             |shp AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |tp AS MATERIALIZED (
+             |  SELECT doc_a, doc_b
+             |  FROM shp JOIN cnt ca ON doc_a = ca.doc_id
+             |           JOIN cnt cb ON doc_b = cb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8),
+             |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM tp UNION SELECT doc_b, doc_a FROM tp),
              |reach(a, b) AS (
              |  SELECT doc_a, doc_b FROM edges

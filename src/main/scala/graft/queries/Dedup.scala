@@ -48,6 +48,36 @@ object Dedup {
       |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS sh
       |  FROM documents) WHERE len(sh) > 0""".stripMargin
 
+  /** Shingle table + exploded token form + per-doc counts (`s`, `u`,
+    * `cnt`) — the shared prefix of every near-dup oracle. MATERIALIZED:
+    * plain CTEs inline and recompute per use site (the q113 lesson). */
+  private[queries] val sqlShingleTokens =
+    s"""s AS MATERIALIZED ($sqlShingles),
+       |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM s),
+       |cnt AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
+
+  /** Near-dup pair CTEs ending in `pairs(doc_a < doc_b, jaccard)` at
+    * `threshold`, via a shingle-token EQUIJOIN + group-count instead of
+    * the O(n^2) `list_intersect` self-join the oracles previously ran
+    * (~13s -> ~0.2s at sf0.01 in DuckDB; at 10 queries sharing the shape
+    * that cost starved the driver's gate — VERDICT r7). Bit-identical
+    * jaccard: c = |A∩B| and n_a + n_b - c = |A∪B| are the same integers
+    * the list form produced, so the single double division is the same
+    * IEEE operation; pairs sharing zero shingles have jaccard 0 and
+    * cannot pass any positive threshold, so the equijoin's candidate set
+    * is complete. */
+  private[queries] def sqlPairCtes(threshold: Double = 0.8): String =
+    s"""$sqlShingleTokens,
+       |shared AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM u a JOIN u b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       |  FROM shared JOIN cnt ca ON doc_a = ca.doc_id
+       |              JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= $threshold)""".stripMargin
+
   /** Per-shingle SORTED source sets — the shared input of the
     * cross-source content analytics (q97/q100), produced by ONE
     * sh-keyed shuffle: collect_set deduplicates in its map-side partial
@@ -514,13 +544,8 @@ object Dedup {
       nearDupPairs(s, d)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH s AS ($sqlShingles)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8
+      Some(s"""WITH ${sqlPairCtes()}
+             |SELECT doc_a, doc_b, jaccard FROM pairs
              |ORDER BY doc_a, doc_b""".stripMargin),
       headline = true),
 
@@ -536,12 +561,8 @@ object Dedup {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
-      Some(s"""WITH s AS ($sqlShingles),
-             |drops AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+      Some(s"""WITH ${sqlPairCtes()},
+             |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
              |SELECT doc_id, lang, n_chars FROM documents
              |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
              |ORDER BY doc_id""".stripMargin)),
@@ -557,12 +578,7 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
-             |pairs AS MATERIALIZED (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
              |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -646,18 +662,22 @@ object Dedup {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
-      Some(s"""WITH s AS ($sqlShingles),
+      Some(s"""WITH $sqlShingleTokens,
              |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
              |exi AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
              |drop_exact AS (
              |  SELECT DISTINCT i.doc_id FROM inc i
              |  JOIN exi e ON md5(i.text) = md5(e.text)),
+             |shared_ie AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM u a JOIN u b
+             |    ON a.t = b.t AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+             |  GROUP BY 1, 2),
              |drop_near AS (
-             |  SELECT DISTINCT a.doc_id
-             |  FROM s a JOIN s b
-             |    ON a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+             |  SELECT DISTINCT doc_a AS doc_id
+             |  FROM shared_ie JOIN cnt ca ON doc_a = ca.doc_id
+             |                 JOIN cnt cb ON doc_b = cb.doc_id
+             |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8)
              |SELECT doc_id, lang, n_chars FROM inc
              |WHERE doc_id NOT IN (SELECT doc_id FROM drop_exact)
              |  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
@@ -671,13 +691,8 @@ object Dedup {
     QueryDef("q65_jaccard_join", (s, d) =>
       jaccardJoin(t(s, d, "documents"), 0.6)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH s AS ($sqlShingles)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / len(list_distinct(list_cat(a.sh, b.sh))) AS jaccard
-             |FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |    / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.6
+      Some(s"""WITH ${sqlPairCtes(0.6)}
+             |SELECT doc_a, doc_b, jaccard FROM pairs
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- Train/test decontamination: n-gram overlap vs an eval set -------
@@ -687,7 +702,7 @@ object Dedup {
     QueryDef("q72_decontaminate", (s, d) =>
       decontaminate(t(s, d, "documents"), col("doc_id") % 97 === 0)
         .orderBy("doc_id"),
-      Some(s"""WITH s AS ($sqlShingles),
+      Some(s"""WITH s AS MATERIALIZED ($sqlShingles),
              |b AS (SELECT doc_id AS bench_id, unnest(sh) AS tok FROM s
              |      WHERE doc_id % 97 = 0),
              |tr AS (SELECT doc_id, unnest(sh) AS tok FROM s
@@ -782,12 +797,7 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("src_lo", "src_hi")
     },
-      Some(s"""WITH s AS ($sqlShingles),
-             |pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8)
+      Some(s"""WITH ${sqlPairCtes()}
              |SELECT least(da.source, db.source) AS src_lo,
              |  greatest(da.source, db.source) AS src_hi,
              |  CAST(count(*) AS BIGINT) AS n_pairs
@@ -812,12 +822,7 @@ object Dedup {
     QueryDef("q86_multisignal_dedup", (s, d) =>
       multiSignalDedup(t(s, d, "documents"), t(s, d, "embeddings"))
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
-             |tp AS MATERIALIZED (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
              |q AS MATERIALIZED (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
              |n AS MATERIALIZED (SELECT vec_id, qv, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q),
              |c AS MATERIALIZED (
@@ -834,10 +839,11 @@ object Dedup {
              |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
              |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
              |  WHERE ${Similarity.sqlCos("a", "b")} >= 0.45),
-             |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM tp UNION SELECT doc_a, doc_b FROM ep),
+             |allp AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM pairs UNION SELECT doc_a, doc_b FROM ep),
              |edges AS MATERIALIZED (
-             |  SELECT doc_a, doc_b FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |  SELECT doc_a, doc_b FROM allp
+             |  UNION SELECT doc_b, doc_a FROM allp),
              |reach(a, b) AS (
              |  SELECT doc_a, doc_b FROM edges
              |  UNION
@@ -929,7 +935,7 @@ object Dedup {
           col("n_covered").cast("double") / col("n_shingles"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH s AS ($sqlShingles),
+      Some(s"""WITH s AS MATERIALIZED ($sqlShingles),
              |ev AS (SELECT doc_id, unnest(sh) AS tok FROM s WHERE doc_id % 97 = 0),
              |tr AS (SELECT DISTINCT unnest(sh) AS tok FROM s
              |       WHERE doc_id % 97 != 0),
@@ -961,12 +967,8 @@ object Dedup {
              |raw_tot AS (SELECT CAST(sum(n) AS BIGINT) AS raw_tokens FROM d),
              |ek AS (
              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-             |s AS ($sqlShingles),
-             |nd AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |${sqlPairCtes()},
+             |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
              |k1 AS (SELECT d.doc_id, d.n FROM d JOIN ek USING (doc_id)),
              |k2 AS (SELECT doc_id, n FROM k1
              |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
@@ -1053,12 +1055,8 @@ object Dedup {
              |  FROM d GROUP BY source),
              |ek AS (
              |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-             |s AS ($sqlShingles),
-             |nd AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+             |${sqlPairCtes()},
+             |nd AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
              |k1 AS (SELECT d.doc_id, d.source, d.n FROM d JOIN ek USING (doc_id)),
              |k2 AS (SELECT doc_id, source, n FROM k1
              |       WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
@@ -1127,12 +1125,7 @@ object Dedup {
           (count(lit(1)) - 1).as("n_dropped"))
         .orderBy("cluster_id")
     },
-      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
-             |pairs AS MATERIALIZED (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
              |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -1265,12 +1258,7 @@ object Dedup {
             .otherwise("test").as("split"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE s AS MATERIALIZED ($sqlShingles),
-             |pairs AS MATERIALIZED (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             |      / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.8),
+      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
              |edges AS MATERIALIZED (
              |  SELECT doc_a, doc_b FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs),

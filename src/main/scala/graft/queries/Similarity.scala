@@ -275,6 +275,117 @@ object Similarity {
   def ivfExtend(index: IvfIndex, batch: DataFrame): IvfIndex =
     index.copy(assigned = index.assigned.union(assignTo(index.cents, quantize(batch))))
 
+  /** Bounded-degree kNN graph — the base layer of a graph ANN index
+    * (the DiskANN/Vamana/HNSW family: per-node neighbor lists navigated
+    * by greedy search, the production alternative to IVF posting lists).
+    *
+    * Candidate generation is MULTI-PROBE cluster-local: every vector
+    * joins its `probes` nearest coarse cells (same deterministic
+    * hash-rank quantizer as [[ivfIndex]]), and candidate pairs are nodes
+    * sharing any probed cell. probes >= 2 is what makes the graph
+    * NAVIGABLE: single-cell candidates would leave each cell a
+    * disconnected island the greedy search could never leave. Each node
+    * keeps its `degree` highest-cosine candidates (ties to the smaller
+    * neighbor id), so the edge table is exactly <= n * degree rows.
+    *
+    * Scale shape: comparisons are sum over cells of (probes * cell)^2
+    * ~ probes^2 * n^2 / centroids — cell-keyed shuffle-join tasks, AQE-
+    * splittable, no corpus x corpus join; the top-degree window
+    * partitions by node (n groups of bounded size). With centroids ~
+    * sqrt(n) the build is ~n^1.5 comparisons, the standard graph-ANN
+    * build budget. In production the edge table persists (parquet,
+    * bucketed by node) and amortizes over every query batch. */
+  def knnGraph(emb: DataFrame, degree: Int = 6, centroids: Int = 64,
+      probes: Int = 2): DataFrame =
+    knnGraphOf(quantize(emb).localCheckpoint(), degree, centroids, probes)
+
+  /** [[knnGraph]] over an already-quantized corpus (vec_id, qv, n2) —
+    * shared so graphSearch builds index and search from ONE quantized
+    * scan. Input must be materialized (localCheckpoint/cache): the
+    * assignment and both pair sides re-read it. */
+  private def knnGraphOf(e: DataFrame, degree: Int, centroids: Int,
+      probes: Int): DataFrame = {
+    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
+    val asg = e.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= probes)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val cp = asg.select(col("cell"), col("vec_id").as("node"))
+      .join(asg.select(col("cell"), col("vec_id").as("nbr")), Seq("cell"))
+      .filter(col("node") =!= col("nbr"))
+      .select("node", "nbr").distinct()
+    val wn = Window.partitionBy("node").orderBy(col("cos_sim").desc, col("nbr"))
+    cp.join(e.select(col("vec_id").as("node"), col("qv").as("qa"), col("n2").as("na")), "node")
+      .join(e.select(col("vec_id").as("nbr"), col("qv").as("qb"), col("n2").as("nb")), "nbr")
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rank", row_number().over(wn))
+      .filter(col("rank") <= degree)
+      .select(col("node"), col("rank"), col("nbr"), col("cos_sim"))
+  }
+
+  /** Greedy beam search over the [[knnGraph]] edge lists — the query
+    * path of the graph ANN index. Two-level hierarchy: the entry beam
+    * comes from the O(centroids) coarse layer (best `ef` centroid NODES
+    * per query — the medoid-entry rule of the DiskANN family, the
+    * degenerate top layer of an HNSW), then `hops` rounds of expansion:
+    * the current beam's out-edges are scored against the query and the
+    * beam keeps the global top-`ef` (cos desc, ties to smaller id) of
+    * everything seen. Fixed hop count instead of a convergence loop
+    * keeps the operator a finite, deterministic dataflow — both engines
+    * unroll the same `hops` rounds, so results hash-match; in practice
+    * the beam is stationary after 2-3 hops at these graph diameters.
+    *
+    * Scale shape per hop: the beam table is |queries| * ef rows; the
+    * expansion is a beam-to-edge equi-join on node id (edge side
+    * bucketed by node in production), the scoring joins are id-keyed,
+    * and the per-query top-ef is a window over bounded groups. Nothing
+    * scales with corpus size except the (persisted) edge build. */
+  def graphSearch(emb: DataFrame, queryPred: Column, k: Int = 10,
+      degree: Int = 6, centroids: Int = 64, probes: Int = 2,
+      hops: Int = 3, ef: Int = 10): DataFrame = {
+    val e = quantize(emb).localCheckpoint()
+    val edges = knnGraphOf(e, degree, centroids, probes)
+      .select(col("node"), col("nbr")).localCheckpoint()
+    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      .localCheckpoint()
+    val wq = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    var beam = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qa"), col("na"),
+        col("c_id").as("n_id"), col("cv").as("qb"), col("cn").as("nb"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= ef)
+      .select("q_id", "n_id", "cos_sim")
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = beam.select(col("q_id"), col("n_id"))
+      val expanded = frontier.join(edges, frontier("n_id") === edges("node"))
+        .select(col("q_id"), col("nbr").as("n_id"))
+        .union(frontier)
+        .distinct()
+      beam = expanded
+        .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
+        .join(broadcast(qs), "q_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= ef)
+        .select("q_id", "n_id", "cos_sim")
+        .localCheckpoint()
+    }
+    beam.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     * the corpus with the IVF coarse quantizer, then WITHIN each cluster
     * drop every vector that has a lower-id cluster-mate with cosine >=
@@ -431,6 +542,80 @@ object Similarity {
        |      list(CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)
        |        ORDER BY dim) AS cv
        |    FROM ${next}_s GROUP BY cell))""".stripMargin
+
+  /** Shared oracle prefix for the graph-ANN family (q137–q139): quantized
+    * corpus `n`, coarse layer `c`, multi-probe assignment `asg`, candidate
+    * pairs `cp`, and the bounded-degree edge table `graph`. Every CTE is
+    * MATERIALIZED — the chained-CTE inlining blowup documented on q113
+    * applies with full force to a graph build feeding an unrolled search. */
+  private def sqlGraphCtes(degree: Int, centroids: Int, probes: Int): String =
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+       |c AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, qv, n2 FROM n
+       |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT $centroids),
+       |asg AS MATERIALIZED (
+       |  SELECT vec_id, c_id AS cell FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+       |    FROM n CROSS JOIN c)
+       |  WHERE rn <= $probes),
+       |cp AS MATERIALIZED (
+       |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |graph AS MATERIALIZED (
+       |  SELECT node, rank, nbr, cos_sim FROM (
+       |    SELECT node, nbr, cos_sim,
+       |      row_number() OVER (PARTITION BY node
+       |        ORDER BY cos_sim DESC, nbr) AS rank
+       |    FROM (
+       |      SELECT cp.node, cp.nbr, ${sqlCos("x", "y")} AS cos_sim
+       |      FROM cp JOIN n x ON cp.node = x.vec_id
+       |              JOIN n y ON cp.nbr = y.vec_id))
+       |  WHERE rank <= $degree)""".stripMargin
+
+  /** Oracle CTEs for the unrolled beam search over `graph` (appended
+    * after [[sqlGraphCtes]]): bounded query set `qs`, centroid-layer
+    * entry beam `beam0`, then per hop an expansion `expH` (beam ∪ beam's
+    * out-edges) re-ranked to the top-ef `beamH`. Mirrors
+    * [[graphSearch]]'s loop exactly, one CTE pair per hop. */
+  private def sqlBeamCtes(hops: Int, ef: Int): String = {
+    val entry =
+      s"""qs AS MATERIALIZED (
+         |  SELECT vec_id AS q_id, qv, n2 FROM n WHERE vec_id < $nQueries),
+         |beam0 AS MATERIALIZED (
+         |  SELECT q_id, n_id, cos_sim FROM (
+         |    SELECT q_id, n_id, cos_sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_sim DESC, n_id) AS rn
+         |    FROM (
+         |      SELECT f.q_id, c.c_id AS n_id, ${sqlCos("f", "c")} AS cos_sim
+         |      FROM qs f CROSS JOIN c WHERE c.c_id != f.q_id))
+         |  WHERE rn <= $ef)""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      s"""exp$h AS MATERIALIZED (
+         |  SELECT DISTINCT q_id, n_id FROM (
+         |    SELECT bd.q_id, g.nbr AS n_id
+         |    FROM beam${h - 1} bd JOIN graph g ON bd.n_id = g.node
+         |    UNION ALL
+         |    SELECT q_id, n_id FROM beam${h - 1})),
+         |beam$h AS MATERIALIZED (
+         |  SELECT q_id, n_id, cos_sim FROM (
+         |    SELECT q_id, n_id, cos_sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos_sim DESC, n_id) AS rn
+         |    FROM (
+         |      SELECT x.q_id, x.n_id, ${sqlCos("f", "y")} AS cos_sim
+         |      FROM exp$h x JOIN qs f ON x.q_id = f.q_id
+         |                   JOIN n y ON x.n_id = y.vec_id
+         |      WHERE x.n_id != x.q_id))
+         |  WHERE rn <= $ef)""".stripMargin
+    }
+    (entry +: hopCtes).mkString(",\n")
+  }
 
   /** Brute-force threshold self-join oracle (shared by q47/q55). */
   private def sqlNearPairs(threshold: Double) =
@@ -1198,5 +1383,96 @@ object Similarity {
              |  SELECT *, row_number() OVER (PARTITION BY s_id
              |    ORDER BY margin DESC, t_id) AS best FROM m)
              |WHERE best = 1 ORDER BY s_id""".stripMargin)),
+
+    // ---- Graph-ANN index build: bounded-degree kNN graph -----------------
+    // The production alternative to IVF posting lists (DiskANN/Vamana/
+    // HNSW family): per-node neighbor lists navigated by greedy search.
+    // Candidates are multi-probe cluster-local (each node joins its 2
+    // nearest coarse cells — 2 probes is what makes the graph navigable
+    // across cell boundaries), each node keeps its 6 highest-cosine
+    // candidates, so the index is exactly <= 6n edges. Comparisons
+    // ~ probes^2 * n^2 / centroids as cell-keyed AQE-splittable shuffle
+    // tasks; see [[knnGraph]] for the full scale contract. The edge
+    // table itself is the registered, hash-verified artifact — exactly
+    // like q91 attests the IVF index lifecycle.
+    QueryDef("q137_knn_graph", (s, d) =>
+      knnGraph(t(s, d, "embeddings"))
+        .orderBy("node", "rank"),
+      Some(s"""WITH ${sqlGraphCtes(6, 64, 2)}
+             |SELECT node, CAST(rank AS INTEGER) AS rank, nbr, cos_sim
+             |FROM graph ORDER BY node, rank""".stripMargin)),
+
+    // ---- Graph-ANN query: greedy beam search over the edge lists ---------
+    // The query path of q137's index: entry beam from the O(centroids)
+    // coarse layer (the DiskANN medoid-entry rule — the degenerate top
+    // layer of an HNSW), then 3 unrolled expand-and-rerank hops with
+    // beam width ef=10. A fixed hop count instead of a convergence loop
+    // keeps the operator a finite deterministic dataflow — Spark's loop
+    // and the oracle's CTE chain unroll the SAME rounds, so the full
+    // search hash-matches. Per-hop cost is |queries| * ef edge lookups +
+    // id-keyed scoring joins — nothing scales with the corpus at query
+    // time; recall is attested by q139.
+    QueryDef("q138_graph_search", (s, d) =>
+      graphSearch(t(s, d, "embeddings"), queryFilter),
+      Some(s"""WITH ${sqlGraphCtes(6, 64, 2)},
+             |${sqlBeamCtes(3, 10)}
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim FROM (
+             |  SELECT q_id, n_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM beam3)
+             |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- Graph-ANN recall attestation against exact brute force ----------
+    // q112's honesty query applied to the graph path: per bounded query,
+    // how many of the beam-search top-10 appear in the exact top-10.
+    // Both sides fully deterministic, so recall itself hash-matches. A
+    // pipeline reads this to tune (degree, probes, hops, ef) before
+    // committing an index layout — and it is the regression gate that
+    // catches a graph-build change silently degrading retrieval.
+    QueryDef("q139_graph_recall", (s, d) => {
+      val e = quantized(s, d)
+      val g = graphSearch(t(s, d, "embeddings"), queryFilter)
+        .select("q_id", "n_id")
+      val brute = bruteTopK(e).select("q_id", "n_id")
+      val hits = g.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      e.filter(queryFilter).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH ${sqlGraphCtes(6, 64, 2)},
+             |${sqlBeamCtes(3, 10)},
+             |gtop AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cos_sim DESC, n_id) AS rank
+             |    FROM beam3)
+             |  WHERE rank <= 10),
+             |bscored AS MATERIALIZED (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    ${sqlCos("a", "b")} AS cos_sim
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < $nQueries),
+             |branked AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id,
+             |      row_number() OVER (PARTITION BY q_id
+             |        ORDER BY cos_sim DESC, n_id) AS rank
+             |    FROM bscored)
+             |  WHERE rank <= 10),
+             |hits AS (
+             |  SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM gtop g JOIN branked b ON g.q_id = b.q_id AND g.n_id = b.n_id
+             |  GROUP BY g.q_id)
+             |SELECT qs2.q_id, coalesce(n_hits, 0) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
+             |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $nQueries) qs2
+             |LEFT JOIN hits ON qs2.q_id = hits.q_id
+             |ORDER BY qs2.q_id""".stripMargin)),
   )
 }

@@ -2238,7 +2238,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q122_epoch_schedule", // one-row weight-total cross join (q76's class)
       "q124_retrieval_metrics", // q48's bounded-anchor broadcast scan
       "q128_bpe_apply", // q118's one-row best-pair cross joins
-      "q130_dedup_funnel") // one-row raw-total cross join (q76's class)
+      "q130_dedup_funnel", // one-row raw-total cross join (q76's class)
+      "q135_margin_mining", // bounded anchor + bounded candidate broadcasts (q48's class)
+      "q137_knn_graph", // fixed 64-row centroid broadcast (q49's class)
+      "q138_graph_search", // centroid-layer entry beam: same fixed broadcast
+      "q139_graph_recall") // composes q138 + q48's bounded-anchor scan
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
