@@ -488,5 +488,109 @@ object Events {
              |  count(DISTINCT user_id) AS n_users,
              |  count(DISTINCT user_id) < 5 AS suppress
              |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    // ---- Ingestion dedup by content, first arrival wins ------------------
+    // Batch twin of streaming.Streams.dedupedEvents (VERDICT r7 item 6b:
+    // every streaming twin's batch side must ride the driver's
+    // correctness gate, not just a spec). At-least-once ingestion can
+    // re-deliver the same logical event under a fresh event_id, so the
+    // dedup key is the CONTENT (user_id, event_type, value, props) and
+    // the keep rule is first arrival — min(ts, event_id), the same
+    // first-occurrence-wins contract as the streaming dropDuplicates.
+    // One map-combined agg on the content key + an id-keyed semi-join;
+    // at scale the content key would be a hash (q44's pattern).
+    QueryDef("q140_event_dedup", (s, d) => {
+      val ev = t(s, d, "events")
+      val keep = ev
+        .groupBy("user_id", "event_type", "value", "props")
+        .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("first.event_id").as("event_id"))
+      ev.join(keep, Seq("event_id"), "left_semi")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    },
+      Some("""WITH k AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    row_number() OVER (
+             |      PARTITION BY user_id, event_type, value, props
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM events)
+             |SELECT event_id, user_id, event_type, value
+             |FROM k WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // ---- Stream-static enrichment, batch form ----------------------------
+    // Batch twin of streaming.Streams.enriched: the event stream joined
+    // to the customer dimension on user_id. A plain left equi-join —
+    // broadcast when the dimension fits, user-keyed shuffle otherwise;
+    // the streaming side re-plans the same join per micro-batch.
+    QueryDef("q141_event_enrich", (s, d) => {
+      val ev = t(s, d, "events")
+      val cust = t(s, d, "customer")
+      ev.join(cust, ev("user_id") === cust("c_custkey"), "left_outer")
+        .select(ev("event_id"), ev("event_type"), ev("value"),
+          cust("c_mktsegment"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, event_type, value, c_mktsegment
+             |FROM events LEFT JOIN customer ON user_id = c_custkey
+             |ORDER BY event_id""".stripMargin)),
+
+    // ---- Click-to-purchase attribution (interval join, batch form) -------
+    // Batch twin of streaming.Streams.clickToPurchase: for every
+    // purchase, the same user's clicks in the preceding hour, with the
+    // exact µs gap. The join is user-keyed equi + a time-range residual —
+    // a user-partitioned shuffle join at any scale (the stream form adds
+    // watermarks so the SAME predicate also bounds join state). Gap
+    // arithmetic on integer microseconds, bit-equal in both engines.
+    QueryDef("q142_click_attribution", (s, d) => {
+      val ev = t(s, d, "events")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("click_id"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+      c.join(p,
+        col("c_user") === col("p_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"),
+          (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+        .orderBy("purchase_id", "click_id")
+    },
+      Some("""WITH c AS (
+             |  SELECT user_id AS c_user, ts AS c_ts, event_id AS click_id
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT user_id AS p_user, ts AS p_ts, event_id AS purchase_id
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT purchase_id, click_id, p_user AS user_id,
+             |  epoch_us(p_ts) - epoch_us(c_ts) AS gap_us
+             |FROM c JOIN p ON c_user = p_user
+             |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR
+             |ORDER BY purchase_id, click_id""".stripMargin)),
+
+    // ---- Sliding-window event rates (1h window, 15m slide), batch form ---
+    // Batch twin of streaming.Streams.slidingRates. Spark's window()
+    // assigns each event to its 4 enclosing epoch-aligned slots; the
+    // oracle reproduces the slot arithmetic with time_bucket - k*15min.
+    // One explode (x4) + a map-combined count — the slide factor, not
+    // the corpus, sets the expansion, so the shape holds at any scale.
+    QueryDef("q143_sliding_rates", (s, d) =>
+      t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+        .orderBy("w_start", "event_type"),
+      Some("""WITH slots AS (
+             |  SELECT event_type, ts,
+             |    time_bucket(INTERVAL '15 minutes', ts)
+             |      - k.k * INTERVAL '15 minutes' AS w_start
+             |  FROM events, (SELECT unnest(range(4)) AS k) k)
+             |SELECT w_start, event_type, count(*) AS n
+             |FROM slots
+             |WHERE ts >= w_start AND ts < w_start + INTERVAL '1 hour'
+             |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
   )
 }

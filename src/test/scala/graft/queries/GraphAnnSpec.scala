@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Graph-ANN index family (q137–q139): structural contracts of the
+  * bounded-degree kNN graph and end-to-end navigability of the beam
+  * search. Hash-parity with DuckDB is the driver gate's job; these
+  * specs assert the properties the oracle can't see — degree bounds,
+  * symmetry of candidate generation, recall floors, and that a planted
+  * near-duplicate is actually FOUND by walking the graph.
+  */
+class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("q137: edge table respects the degree bound and has no self-loops") {
+    val g = Similarity.knnGraph(emb).cache()
+    val perNode = g.groupBy("node").agg(count(lit(1)).as("deg"),
+      max("rank").as("mx"))
+    assert(perNode.filter(col("deg") > 12).count() == 0)
+    assert(perNode.filter(col("mx") > 12).count() == 0)
+    assert(g.filter(col("node") === col("nbr")).count() == 0)
+    // ranks are contiguous from 1: rank r implies a rank r-1 exists
+    assert(g.filter(col("rank") < 1).count() == 0)
+    val deg = perNode.agg(min("deg"), max("deg")).head()
+    assert(deg.getLong(0) >= 1 && deg.getLong(1) <= 12)
+  }
+
+  test("q137: neighbor lists are sorted by descending cosine") {
+    val g = Similarity.knnGraph(emb)
+    val bad = g.alias("a").join(g.alias("b"),
+        col("a.node") === col("b.node") &&
+          col("a.rank") === col("b.rank") - 1 &&
+          col("a.cos_sim") < col("b.cos_sim"))
+    assert(bad.count() == 0)
+  }
+
+  test("q139: graph-search recall stays above the IVF-comparable floor") {
+    val rec = SparkEntry.queries("q139_graph_recall")(spark, sfDir)
+      .agg(avg("recall")).head().getDouble(0)
+    // brute-force exact recall is 1.0 by definition; the graph path at
+    // (degree=12, probes=2, hops=3, ef=24) measures 0.912 at sf0.001
+    // (GraphParamProbe sweep) — a drop below the floor means the build
+    // or search shape broke, not noise (everything is deterministic)
+    assert(rec >= 0.7, s"mean graph recall $rec below floor")
+  }
+
+  test("graph search finds a planted near-duplicate at rank 1") {
+    import spark.implicits._
+    // clone vector 0 under a fresh id: beam search from the coarse layer
+    // must navigate to the clone (cos = 1.0) for query 0
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(clone)
+    val hit = Similarity.graphSearch(corpus, col("vec_id") === 0)
+      .filter(col("rank") === 1).head()
+    assert(hit.getLong(2) == 900000L, s"expected clone at rank 1, got $hit")
+    assert(math.abs(hit.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("q138 beam results are a subset of corpus ids, self-excluded") {
+    val res = SparkEntry.queries("q138_graph_search")(spark, sfDir).cache()
+    assert(res.filter(col("q_id") === col("n_id")).count() == 0)
+    val orphan = res.join(emb.select(col("vec_id").as("n_id")), Seq("n_id"), "left_anti")
+    assert(orphan.count() == 0)
+    // every query returns a full top-10 page (corpus >> k here)
+    val pages = res.groupBy("q_id").agg(count(lit(1)).as("n"))
+    assert(pages.filter(col("n") =!= 10).count() == 0)
+  }
+}

@@ -62,6 +62,13 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val total = slid.agg(sum("n")).first().getLong(0)
     val nEvents = Tables.load(spark, sfDir, "events").count()
     assert(total == 4 * nEvents)
+    // twin contract: the streaming result equals the REGISTERED batch
+    // query (q143), so the driver's oracle gate covers this shape too
+    val got = slid.select(col("w_start"), col("event_type"), col("n"))
+      .collect().map(_.toSeq).toSet
+    val want = graft.SparkEntry.queries("q143_sliding_rates")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
   }
 
   test("streaming dedup keeps one row per event_id") {
