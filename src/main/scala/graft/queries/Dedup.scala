@@ -56,6 +56,28 @@ object Dedup {
        |u AS MATERIALIZED (SELECT doc_id, unnest(sh) AS t FROM s),
        |cnt AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM s)""".stripMargin
 
+  /** Per-doc distinct 62-bit hashed shingles — the DuckDB mirror of
+    * explode(array_distinct(windowHashes(split(text, ' '), 3))), q115's
+    * oracle fragment shared (documents with fewer than 3 tokens have no
+    * shingles and produce no rows in either engine). Declared before
+    * `defs` — object vals initialize in source order, and a forward
+    * reference from an oracle string interpolates as null. */
+  private[queries] val sqlDocHashedShingles =
+    """SELECT doc_id,
+      |    unnest(list_distinct(list_transform(
+      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+      |      win ->
+      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(win)+1),
+      |            ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |          (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+      |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(win)+1),
+      |            ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS h
+      |  FROM documents""".stripMargin
+
   /** Near-dup pair CTEs ending in `pairs(doc_a < doc_b, jaccard)` at
     * `threshold`, via a shingle-token EQUIJOIN + group-count instead of
     * the O(n^2) `list_intersect` self-join the oracles previously ran
@@ -1281,7 +1303,93 @@ object Dedup {
              |         THEN 'val'
              |       ELSE 'test' END AS split
              |FROM cl ORDER BY doc_id""".stripMargin)),
+
+    // ---- Bloom-filter decontamination (the 100 TB shape of q72/q129) -----
+    // q72/q129 broadcast the EVAL SHINGLE SET to semi-join the corpus —
+    // fine while the eval set is small, but the broadcast grows with it.
+    // The production shape is a BLOOM FILTER over the eval shingles: a
+    // fixed 64 Kbit / 8 KB bitmap (1024 x int64 words, bit_or-merged in
+    // one map-combined pass) that broadcasts at constant cost no matter
+    // how the eval set grows, probed map-side with zero extra shuffles.
+    // DETERMINISTIC by construction: k=3 probe positions are disjoint
+    // 16-bit slices of the portable 62-bit window hash (bits 0-15,
+    // 16-31, 32-47), so both engines set and test identical bits and
+    // the false positives themselves hash-match. FP rate at load factor
+    // n/m: (1 - exp(-kn/m))^k — ~0.4% at n = 4k eval shingles; flagged
+    // docs go to the exact q72 path for confirmation, the standard
+    // two-tier contract (the filter may only over-flag, never miss).
+    QueryDef("q145_bloom_decontaminate", (s, d) =>
+      bloomDecontaminate(t(s, d, "documents"), col("doc_id") % 97 === 0), {
+      // DuckDB raises on `1::BIGINT << 63` (signed overflow) where Spark's
+      // shiftleft wraps to the sign bit; the CASE produces that exact
+      // two's-complement value so masks stay bit-identical
+      def bit(b: String) =
+        s"""(CASE WHEN ($b) = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+           |      ELSE CAST(1 AS BIGINT) << CAST($b AS INTEGER) END)""".stripMargin
+      Some(s"""WITH hs AS MATERIALIZED ($sqlDocHashedShingles),
+             |bloom AS MATERIALIZED (
+             |  SELECT s // 64 AS w, bit_or(${bit("s % 64")}) AS mask
+             |  FROM (
+             |    SELECT (h // 1) % 65536 AS s FROM hs WHERE doc_id % 97 = 0
+             |    UNION ALL
+             |    SELECT (h // 65536) % 65536 FROM hs WHERE doc_id % 97 = 0
+             |    UNION ALL
+             |    SELECT (h // 4294967296) % 65536 FROM hs WHERE doc_id % 97 = 0)
+             |  GROUP BY 1),
+             |tr AS MATERIALIZED (
+             |  SELECT doc_id, h FROM hs WHERE doc_id % 97 != 0),
+             |flag AS MATERIALIZED (
+             |  SELECT t.doc_id,
+             |    coalesce((b0.mask
+             |      & ${bit("((t.h // 1) % 65536) % 64")}) != 0, FALSE)
+             |    AND coalesce((b1.mask
+             |      & ${bit("((t.h // 65536) % 65536) % 64")}) != 0, FALSE)
+             |    AND coalesce((b2.mask
+             |      & ${bit("((t.h // 4294967296) % 65536) % 64")}) != 0, FALSE)
+             |      AS flagged
+             |  FROM tr t
+             |  LEFT JOIN bloom b0 ON ((t.h // 1) % 65536) // 64 = b0.w
+             |  LEFT JOIN bloom b1 ON ((t.h // 65536) % 65536) // 64 = b1.w
+             |  LEFT JOIN bloom b2 ON ((t.h // 4294967296) % 65536) // 64 = b2.w)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             |  CAST(sum(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_flagged,
+             |  sum(CASE WHEN flagged THEN 1 ELSE 0 END) > 0 AS contaminated
+             |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    }),
   )
+
+  /** Deterministic Bloom-filter decontamination — see q145 above for the
+    * contract. Returns (doc_id, n_shingles, n_flagged, contaminated)
+    * for every non-eval document with at least one shingle. */
+  def bloomDecontaminate(documents: DataFrame, evalPred: Column): DataFrame = {
+    val bits = 65536L
+    def hashes(df: DataFrame) = df.select(col("doc_id"),
+      explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+    def sliceAt(i: Int) = expr(s"(h div ${1L << (16 * i)}) % $bits")
+    val bloom = hashes(documents.filter(evalPred))
+      .select(explode(array((0 until 3).map(sliceAt): _*)).as("s"))
+      .select(expr("s div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(s % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("mask"))
+    var probed = hashes(documents.filter(!evalPred))
+    for (i <- 0 until 3) {
+      probed = probed.withColumn(s"s$i", sliceAt(i))
+        .join(broadcast(bloom.select(col("w").as(s"w$i"), col("mask").as(s"m$i"))),
+          expr(s"s$i div 64") === col(s"w$i"), "left")
+    }
+    val flagged = (0 until 3).map(i =>
+      coalesce(expr(
+        s"(m$i & shiftleft(CAST(1 AS BIGINT), CAST(s$i % 64 AS INT))) != 0"),
+        lit(false))).reduce(_ && _)
+    probed.withColumn("flagged", flagged)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("flagged").cast("long")).as("n_flagged"))
+      .withColumn("contaminated", col("n_flagged") > 0)
+      .orderBy("doc_id")
+  }
 
   /** Tumbling w-token paragraph enumeration over a documents frame —
     * (doc_id [, source], para_id, para_text, n_tokens, h) with the

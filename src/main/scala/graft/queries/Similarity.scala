@@ -307,23 +307,83 @@ object Similarity {
       probes: Int): DataFrame = {
     val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val asg = assignProbed(cents, e, probes)
+    edgesOf(asg, asg, e, degree)
+  }
+
+  /** A built graph-ANN index: the frozen coarse layer, the quantized
+    * corpus vectors, the multi-probe cell assignment, and the
+    * bounded-degree edge lists. In production all four persist
+    * (parquet, edges bucketed by node) and amortize over query
+    * batches — exactly [[IvfIndex]]'s contract, graph-shaped. */
+  case class KnnGraphIndex(cents: DataFrame, vecs: DataFrame,
+      assigned: DataFrame, edges: DataFrame)
+
+  /** Build the full graph index over a (vec_id, embedding) corpus. */
+  def knnGraphIndex(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
+      probes: Int = 2): KnnGraphIndex = {
+    val e = quantize(emb).localCheckpoint()
+    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val asg = assignProbed(cents, e, probes).localCheckpoint()
+    KnnGraphIndex(cents, e, asg, edgesOf(asg, asg, e, degree))
+  }
+
+  /** Multi-probe cell assignment: (vec_id, cell), `probes` rows per
+    * vector, cells ranked by cosine to the frozen coarse layer. */
+  private def assignProbed(cents: DataFrame, e: DataFrame,
+      probes: Int): DataFrame = {
     val wc = Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("c_id"))
-    val asg = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("c_cos", cosine(col("qv"), col("n2"), col("cv"), col("cn")))
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= probes)
       .select(col("vec_id"), col("c_id").as("cell"))
-    val cp = asg.select(col("cell"), col("vec_id").as("node"))
-      .join(asg.select(col("cell"), col("vec_id").as("nbr")), Seq("cell"))
+  }
+
+  /** Bounded-degree edge lists for the nodes of `left`: candidates are
+    * `left`-to-`right` cell-mates under the probed assignment, scored
+    * with the node-side norm first, top-`degree` kept per node. */
+  private def edgesOf(left: DataFrame, right: DataFrame, vecs: DataFrame,
+      degree: Int): DataFrame = {
+    val cp = left.select(col("cell"), col("vec_id").as("node"))
+      .join(right.select(col("cell"), col("vec_id").as("nbr")), Seq("cell"))
       .filter(col("node") =!= col("nbr"))
       .select("node", "nbr").distinct()
     val wn = Window.partitionBy("node").orderBy(col("cos_sim").desc, col("nbr"))
-    cp.join(e.select(col("vec_id").as("node"), col("qv").as("qa"), col("n2").as("na")), "node")
-      .join(e.select(col("vec_id").as("nbr"), col("qv").as("qb"), col("n2").as("nb")), "nbr")
+    cp.join(vecs.select(col("vec_id").as("node"), col("qv").as("qa"), col("n2").as("na")), "node")
+      .join(vecs.select(col("vec_id").as("nbr"), col("qv").as("qb"), col("n2").as("nb")), "nbr")
       .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .withColumn("rank", row_number().over(wn))
       .filter(col("rank") <= degree)
       .select(col("node"), col("rank"), col("nbr"), col("cos_sim"))
+  }
+
+  /** Incremental graph maintenance — [[ivfExtend]]'s contract for the
+    * graph index: assign an ingest batch to the FROZEN coarse layer,
+    * give each batch node a bounded-degree neighbor list against
+    * everything (corpus + batch) in its probed cells, and append. The
+    * existing corpus lists deliberately do NOT refresh — like the
+    * frozen quantizer, back-links drift until the (rare, full) rebuild,
+    * which is what keeps the per-batch cost O(batch-cell work) and the
+    * operation deterministic. Returns the extended index; the new rows
+    * are `extendedEdgesOf` below. Cost: O(batch x centroids) assignment
+    * cosines + cell-keyed candidate joins touching only the batch's
+    * probed cells — the corpus-sized edge table is untouched. */
+  def knnGraphExtend(index: KnnGraphIndex, batch: DataFrame,
+      degree: Int = 12, probes: Int = 2): KnnGraphIndex = {
+    val inc = extendedEdgesOf(index, batch, degree, probes)
+    index.copy(edges = index.edges.union(inc))
+  }
+
+  /** The edge increment [[knnGraphExtend]] appends: the batch nodes'
+    * neighbor lists, candidates drawn from corpus + batch members of
+    * the batch's probed cells. */
+  def extendedEdgesOf(index: KnnGraphIndex, batch: DataFrame,
+      degree: Int = 12, probes: Int = 2): DataFrame = {
+    val b = quantize(batch).localCheckpoint()
+    val asgB = assignProbed(index.cents, b, probes).localCheckpoint()
+    edgesOf(asgB, index.assigned.union(asgB), index.vecs.union(b), degree)
   }
 
   /** Greedy beam search over the [[knnGraph]] edge lists — the query
@@ -1475,5 +1535,63 @@ object Similarity {
              |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $nQueries) qs2
              |LEFT JOIN hits ON qs2.q_id = hits.q_id
              |ORDER BY qs2.q_id""".stripMargin)),
+
+    // ---- Incremental graph-index maintenance (the q91 lifecycle, graph-
+    // shaped) -------------------------------------------------------------
+    // Build the index on the corpus slice (vec_id % 5 != 0), then extend
+    // it with the ingest batch (vec_id % 5 == 0): the batch assigns to
+    // the FROZEN coarse layer and each batch node gets a bounded-degree
+    // neighbor list against corpus + batch members of its probed cells.
+    // Existing lists deliberately do not refresh — back-links drift
+    // until the rare full rebuild, the same frozen-quantizer contract as
+    // ivfExtend, which is what keeps the per-batch cost O(batch-cell
+    // work) and the result deterministic. Output = the appended edge
+    // increment, hash-verified; per-batch cost never touches the
+    // corpus-sized edge table.
+    QueryDef("q144_graph_extend", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = knnGraphIndex(emb.filter(col("vec_id") % 5 =!= 0))
+      extendedEdgesOf(idx, emb.filter(col("vec_id") % 5 === 0))
+        .orderBy("node", "rank")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |nc AS MATERIALIZED (SELECT * FROM n WHERE vec_id % 5 != 0),
+             |nb AS MATERIALIZED (SELECT * FROM n WHERE vec_id % 5 = 0),
+             |c AS MATERIALIZED (
+             |  SELECT vec_id AS c_id, qv, n2 FROM nc
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asgc AS MATERIALIZED (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT nc.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY nc.vec_id
+             |        ORDER BY ${sqlCos("nc", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM nc CROSS JOIN c)
+             |  WHERE rn <= 2),
+             |asgb AS MATERIALIZED (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT nb.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY nb.vec_id
+             |        ORDER BY ${sqlCos("nb", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM nb CROSS JOIN c)
+             |  WHERE rn <= 2),
+             |alla AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM asgc
+             |  UNION ALL SELECT vec_id, cell FROM asgb),
+             |cp AS MATERIALIZED (
+             |  SELECT DISTINCT b.vec_id AS node, a.vec_id AS nbr
+             |  FROM asgb b JOIN alla a
+             |    ON b.cell = a.cell AND b.vec_id != a.vec_id)
+             |SELECT node, CAST(rank AS INTEGER) AS rank, nbr, cos_sim FROM (
+             |  SELECT node, nbr, cos_sim,
+             |    row_number() OVER (PARTITION BY node
+             |      ORDER BY cos_sim DESC, nbr) AS rank
+             |  FROM (
+             |    SELECT cp.node, cp.nbr, ${sqlCos("x", "y")} AS cos_sim
+             |    FROM cp JOIN n x ON cp.node = x.vec_id
+             |            JOIN n y ON cp.nbr = y.vec_id))
+             |WHERE rank <= 12 ORDER BY node, rank""".stripMargin)),
   )
 }

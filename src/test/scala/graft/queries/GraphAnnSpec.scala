@@ -61,6 +61,43 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(hit.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("q144: extension covers exactly the batch nodes, base edges untouched") {
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val idx = Similarity.knnGraphIndex(corpus)
+    val baseEdges = idx.edges.cache()
+    val inc = Similarity.extendedEdgesOf(idx, batch).cache()
+    // increment nodes are precisely batch ids; base lists never refresh
+    assert(inc.filter(col("node") % 5 =!= 0).count() == 0)
+    val batchWithShingles = inc.select("node").distinct().count()
+    assert(batchWithShingles == batch.count())
+    val ext = Similarity.knnGraphExtend(idx, batch)
+    assert(ext.edges.count() == baseEdges.count() + inc.count())
+    // degree bound holds on the increment too
+    assert(inc.groupBy("node").count().filter(col("count") > 12).count() == 0)
+    // extending with an empty batch is a no-op
+    val noop = Similarity.knnGraphExtend(idx, batch.limit(0))
+    assert(noop.edges.count() == baseEdges.count())
+  }
+
+  test("q145: bloom decontamination never misses an exact overlap") {
+    val q145 = graft.SparkEntry.queries("q145_bloom_decontaminate")(spark, sfDir)
+      .cache()
+    val exact = graft.SparkEntry.queries("q72_decontaminate")(spark, sfDir)
+      .select(col("doc_id"), col("n_shared")).cache()
+    // the filter may over-flag (false positives), never under-flag: every
+    // doc with an exact shingle overlap must be contaminated, and its
+    // flagged count must cover at least the truly-shared shingles
+    val joined = exact.join(q145, Seq("doc_id"), "left")
+    assert(joined.filter(col("contaminated").isNull || !col("contaminated")).count() == 0)
+    assert(joined.filter(col("n_flagged") < col("n_shared")).count() == 0)
+    // false positives exist in principle but stay rare at this load
+    // factor ((1-e^(-kn/m))^k ~ 0.4%): bound them loosely
+    val fp = q145.filter(col("contaminated"))
+      .join(exact, Seq("doc_id"), "left_anti").count()
+    assert(fp <= math.max(2L, (q145.count() * 0.05).toLong), s"$fp false positives")
+  }
+
   test("q138 beam results are a subset of corpus ids, self-excluded") {
     val res = SparkEntry.queries("q138_graph_search")(spark, sfDir).cache()
     assert(res.filter(col("q_id") === col("n_id")).count() == 0)

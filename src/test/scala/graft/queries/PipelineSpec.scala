@@ -2242,7 +2242,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q135_margin_mining", // bounded anchor + bounded candidate broadcasts (q48's class)
       "q137_knn_graph", // fixed 64-row centroid broadcast (q49's class)
       "q138_graph_search", // centroid-layer entry beam: same fixed broadcast
-      "q139_graph_recall") // composes q138 + q48's bounded-anchor scan
+      "q139_graph_recall", // composes q138 + q48's bounded-anchor scan
+      "q144_graph_extend") // frozen-coarse-layer assignment broadcast (q49's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
