@@ -22,15 +22,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -43,9 +34,32 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is written FIRST: if the dump is killed mid-pass
+    // (the round-7 failure mode — a gate timeout), the partial output
+    // still carries every oracle, so a rerun or a partial compare is
+    // possible instead of an empty artifact.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val status = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          name -> "ok"
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            name -> s"err: ${e.getMessage.linesIterator.next()}"
+        }
+      }
+    // explicit per-query status so an aborted harness run is
+    // distinguishable from a clean run over zero queries (ADVICE r7):
+    // absent file = Verify never finished; "err" rows = loud failures.
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }

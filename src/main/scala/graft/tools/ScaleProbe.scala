@@ -255,6 +255,27 @@ object ScaleProbe {
       time(s"dedup_funnel_x$m") {
         graft.queries.Dedup.dedupFunnel(docs).count()
       }
+      // graph-ANN build: centroids ~ sqrt(n) keeps cell populations
+      // ~sqrt(n), so candidate comparisons grow ~n^1.5 spread over
+      // cell-keyed tasks and the kept edges stay <= 12n
+      time(s"knn_graph_x$m") {
+        graft.queries.Similarity.knnGraph(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      // graph-ANN search: query-time cost is corpus-independent (bounded
+      // beam x bounded degree per hop) — only the build pays for scale
+      time(s"graph_search_x$m") {
+        graft.queries.Similarity.graphSearch(replicateEmb(m),
+          col("vec_id") < 50, centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      // bloom decontamination: the eval side is fixed (base replica) and
+      // the 8 KB filter broadcast is CONSTANT however the eval set grows
+      // — probing rides the corpus scan, so cost must be linear with no
+      // broadcast growth (decontaminate's broadcast grows with eval)
+      time(s"bloom_decontaminate_x$m") {
+        graft.queries.Dedup.bloomDecontaminate(docs,
+          col("doc_id") % 97 === 0 && col("doc_id") < maxDoc).count()
+      }
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the
