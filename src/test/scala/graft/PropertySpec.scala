@@ -271,4 +271,39 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       assert(got == want, s"theta=$theta docs=${docs.take(3)}...")
     }
   }
+
+  test("round-8 operators are partition-invariant") {
+    // the distributed-determinism law: a repartitioned input must yield
+    // the SAME rows — a violation means some aggregation or window rides
+    // partition order (the bug class that surfaces only on real clusters,
+    // where partitioning differs run to run). Each operator here is
+    // deterministic by construction (total-order tie-breaks, commutative
+    // combines), so the law must hold exactly, not approximately.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val docs = Tables.load(spark, sfDir, "documents")
+    val events = Tables.load(spark, sfDir, "events")
+    assertSameRows(
+      graft.queries.Similarity.knnGraph(emb.repartition(7)),
+      graft.queries.Similarity.knnGraph(emb))
+    assertSameRows(
+      graft.queries.Similarity.graphSearch(emb.repartition(5), col("vec_id") < 10),
+      graft.queries.Similarity.graphSearch(emb, col("vec_id") < 10))
+    assertSameRows(
+      graft.queries.Dedup.bloomDecontaminate(docs.repartition(9),
+        col("doc_id") % 97 === 0),
+      graft.queries.Dedup.bloomDecontaminate(docs, col("doc_id") % 97 === 0))
+    val dedup = graft.SparkEntry.queries("q140_event_dedup")
+    assertSameRows(
+      dedup(spark, sfDir),
+      // same computation over a shuffled-view registration is not
+      // possible through the registry, so rebuild on shuffled input
+      {
+        val ev = events.repartition(11)
+        val keep = ev.groupBy("user_id", "event_type", "value", "props")
+          .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+          .select(col("first.event_id").as("event_id"))
+        ev.join(keep, Seq("event_id"), "left_semi")
+          .select("event_id", "user_id", "event_type", "value")
+      })
+  }
 }
