@@ -462,6 +462,25 @@ object Dedup {
       def pairs(emb: DataFrame): DataFrame =
         Similarity.tiledNearPairs(emb, threshold)
     }
+    /** q137's kNN-graph edges thresholded into a pair set — the natural
+      * edge source when a graph-ANN index ALREADY EXISTS for retrieval:
+      * dedup rides the persisted index instead of paying a second
+      * candidate generation. Every emitted pair carries a true cosine
+      * >= threshold (edges score exactly), so it is a SUBSET of
+      * ExactTiled at the same threshold; recall is bounded by degree x
+      * probes like any graph method (spec'd in GraphAnnSpec). */
+    final case class Graph(threshold: Double = 0.45, degree: Int = 12,
+        centroids: Int = 64, probes: Int = 2) extends SemanticEdges {
+      def pairs(emb: DataFrame): DataFrame =
+        Similarity.knnGraph(emb, degree, centroids, probes)
+          .filter(col("cos_sim") >= threshold)
+          .select(least(col("node"), col("nbr")).as("vec_a"),
+            greatest(col("node"), col("nbr")).as("vec_b"), col("cos_sim"))
+          // the two directions of one unordered pair divide by norms in
+          // opposite order and can differ in the last ulp — max is the
+          // deterministic representative
+          .groupBy("vec_a", "vec_b").agg(max("cos_sim").as("cos_sim"))
+    }
   }
 
   /** Multi-signal dedup: transitive closure over the UNION of lexical

@@ -150,5 +150,71 @@ object Sketches {
              |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS median_chars
              |FROM r WHERE rn = (n+1)//2 OR rn = (n+2)//2
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- Count-Min-Sketch heavy hitters ----------------------------------
+    // The counting companion to q33's HLL: a fixed 4 x 1024 int64 counter
+    // matrix (32 KB however large the corpus) whose cells are sums of
+    // token counts hashing there; estimate = min over the 4 rows — never
+    // an UNDERestimate, overestimate bounded by colliding mass (~2N/w
+    // per row in expectation, min over 4 rows in practice far tighter).
+    // Unlike the HLL attestation, this sketch is built from exact
+    // integer arithmetic on the portable 62-bit hash (4 probe rows =
+    // disjoint 10-bit hash slices), so the WHOLE sketch — including its
+    // overestimates — hash-matches the DuckDB oracle bit for bit.
+    // Scale shape: one token pass map-combined into <= 4096 cells (the
+    // sketch merges by cell-wise addition — the partial-agg step IS the
+    // merge), exact top-20 via TakeOrderedAndProject, probe by 4
+    // broadcast joins against the tiny counter table. At 100 TB the
+    // exact count table this query also carries is replaced by the
+    // sketch alone + a candidate stream; the error column here is the
+    // evidence for that trade.
+    QueryDef("q146_cms_heavy_hitters", (s, d) => {
+      val w = 1024
+      val toks = t(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("t"))
+      val cnt = toks.groupBy("t").agg(count(lit(1)).as("n"))
+        .withColumn("h", element_at(
+          graft.functions.ArrayExprs.windowHashes(array(col("t")), 1), 1))
+        .localCheckpoint() // feeds the sketch AND the top-k probe
+      def sliceAt(i: Int) = expr(s"(h div ${1L << (10 * i)}) % $w")
+      val cms = cnt
+        .select(col("n"),
+          posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
+        .groupBy("i", "s").agg(sum("n").as("c"))
+      var probed = cnt.orderBy(col("n").desc, col("t")).limit(20)
+      for (i <- 0 until 4) {
+        probed = probed.withColumn(s"s$i", sliceAt(i))
+          .join(broadcast(cms.filter(col("i") === i)
+            .select(col("s").as(s"s$i"), col("c").as(s"c$i"))), Seq(s"s$i"))
+      }
+      probed.select(col("t").as("token"), col("n").as("exact_n"),
+          least(col("c0"), col("c1"), col("c2"), col("c3")).as("cms_n"))
+        .withColumn("overestimate", col("cms_n") - col("exact_n"))
+        .orderBy(col("exact_n").desc, col("token"))
+    },
+      Some(s"""WITH tok AS MATERIALIZED (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |cnt AS MATERIALIZED (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS n,
+             |    ${Dedup.sqlStringHash62("t")} AS h
+             |  FROM tok GROUP BY t),
+             |cms AS MATERIALIZED (
+             |  SELECT i, s, CAST(sum(n) AS BIGINT) AS c FROM (
+             |    SELECT 0 AS i, (h // 1) % 1024 AS s, n FROM cnt
+             |    UNION ALL SELECT 1, (h // 1024) % 1024, n FROM cnt
+             |    UNION ALL SELECT 2, (h // 1048576) % 1024, n FROM cnt
+             |    UNION ALL SELECT 3, (h // 1073741824) % 1024, n FROM cnt)
+             |  GROUP BY 1, 2),
+             |top AS MATERIALIZED (
+             |  SELECT t, n, h FROM cnt ORDER BY n DESC, t LIMIT 20)
+             |SELECT top.t AS token, top.n AS exact_n,
+             |  least(c0.c, c1.c, c2.c, c3.c) AS cms_n,
+             |  least(c0.c, c1.c, c2.c, c3.c) - top.n AS overestimate
+             |FROM top
+             |JOIN cms c0 ON c0.i = 0 AND c0.s = (top.h // 1) % 1024
+             |JOIN cms c1 ON c1.i = 1 AND c1.s = (top.h // 1024) % 1024
+             |JOIN cms c2 ON c2.i = 2 AND c2.s = (top.h // 1048576) % 1024
+             |JOIN cms c3 ON c3.i = 3 AND c3.s = (top.h // 1073741824) % 1024
+             |ORDER BY exact_n DESC, token""".stripMargin)),
   )
 }

@@ -98,6 +98,19 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(fp <= math.max(2L, (q145.count() * 0.05).toLong), s"$fp false positives")
   }
 
+  test("SemanticEdges.Graph is a sound subset of the exact pair set") {
+    val graphPairs = Dedup.SemanticEdges.Graph(0.45).pairs(emb)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = Similarity.tiledNearPairs(emb, 0.45)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // soundness: every graph edge scored a true cosine >= threshold, so
+    // graph pairs can never leave the exact set; completeness is bounded
+    // by degree x probes (a graph method's contract, not a bug)
+    assert(graphPairs.subsetOf(exactPairs),
+      s"unsound pairs: ${(graphPairs -- exactPairs).take(3)}")
+    assert(graphPairs.nonEmpty || exactPairs.isEmpty)
+  }
+
   test("q138 beam results are a subset of corpus ids, self-excluded") {
     val res = SparkEntry.queries("q138_graph_search")(spark, sfDir).cache()
     assert(res.filter(col("q_id") === col("n_id")).count() == 0)

@@ -66,4 +66,21 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaMerge == direct, s"merge $viaMerge vs direct $direct")
   }
+
+  test("q146: CMS never underestimates and overestimates stay bounded") {
+    val rows = graft.SparkEntry.queries("q146_cms_heavy_hitters")(spark, sfDir)
+      .collect()
+    assert(rows.length == 20)
+    // the structural CMS guarantee: estimate >= exact, always
+    rows.foreach { r =>
+      val (exact, cms, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cms >= exact, s"underestimate on ${r.getString(0)}")
+      assert(over == cms - exact)
+    }
+    // practical bound: the min over 4 rows keeps the collision mass far
+    // below the single-row expectation (2N/w); on heavy hitters the
+    // relative error must be small or the sketch is useless
+    val worstRel = rows.map(r => r.getLong(3).toDouble / r.getLong(1)).max
+    assert(worstRel <= 1.0, s"relative overestimate $worstRel")
+  }
 }
