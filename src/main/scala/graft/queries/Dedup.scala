@@ -78,6 +78,24 @@ object Dedup {
       |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS h
       |  FROM documents""".stripMargin
 
+  /** [[sqlPairCtes]] over HASHED shingles — the oracle mirror of
+    * [[jaccardJoin]]'s narrow-key token stream: the equijoin keys on the
+    * identical 62-bit window hash, so Jaccard (and any hash collision)
+    * is shared bit-for-bit between engines. Ends in
+    * `pairs(doc_a < doc_b, jaccard)`. */
+  private[queries] def sqlHashedPairCtes(threshold: Double): String =
+    s"""hu AS MATERIALIZED (SELECT doc_id, h AS t FROM ($sqlDocHashedShingles)),
+       |hcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hu GROUP BY doc_id),
+       |shared AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM hu a JOIN hu b ON a.t = b.t AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS MATERIALIZED (
+       |  SELECT doc_a, doc_b, CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       |  FROM shared JOIN hcnt ca ON doc_a = ca.doc_id
+       |              JOIN hcnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= $threshold)""".stripMargin
+
   /** Near-dup pair CTEs ending in `pairs(doc_a < doc_b, jaccard)` at
     * `threshold`, via a shingle-token EQUIJOIN + group-count instead of
     * the O(n^2) `list_intersect` self-join the oracles previously ran
@@ -366,7 +384,15 @@ object Dedup {
     * float round-up can only ever LENGTHEN a prefix (over-generating
     * candidates is safe; under-generating would lose pairs). */
   def jaccardJoin(documents: DataFrame, theta: Double): DataFrame = {
-    val docs = documents.select(col("doc_id"), shingleCol.as("sh"))
+    // 62-BIT HASHED shingles, not strings (q78's narrow-key rule): every
+    // downstream shuffle — df counts, prefix ranks, posting lists, the
+    // two verify joins — keys on 8 bytes instead of ~20-byte trigram
+    // strings, on the HEAVIEST query in the suite. Jaccard over the
+    // hashed sets equals the string version up to 62-bit collisions
+    // (the documented ~0.003-at-10^10 tail); the oracle recomputes the
+    // identical hash, so both engines share even the collisions.
+    val docs = documents.select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
     val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
       explode(col("sh")).as("tok"))
@@ -732,7 +758,7 @@ object Dedup {
     QueryDef("q65_jaccard_join", (s, d) =>
       jaccardJoin(t(s, d, "documents"), 0.6)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH ${sqlPairCtes(0.6)}
+      Some(s"""WITH ${sqlHashedPairCtes(0.6)}
              |SELECT doc_a, doc_b, jaccard FROM pairs
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
