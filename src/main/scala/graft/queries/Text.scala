@@ -113,10 +113,14 @@ object Text {
   /** Corpus-LM familiarity scoring over a (doc_id, text) DataFrame — see
     * q79 below. Exposed for library use and the scale probe. */
   def lmFamiliarity(documents: DataFrame): DataFrame = {
-    val g3 = transform(sequence(lit(0), size(toks) - 3),
-      i => array_join(slice(toks, i + 1, lit(3)), " "))
+    // 62-bit hashed trigram keys (q78's narrow-key rule, applied to the
+    // second-heaviest text query): the count shuffle and the join back
+    // key on 8 bytes instead of ~20-byte trigram strings; the oracle
+    // recomputes the identical hash, so counts — and the collision tail
+    // — are shared bit-for-bit
     val bg = documents.filter(size(toks) >= 3)
-      .select(col("doc_id"), explode(g3).as("g"))
+      .select(col("doc_id"), explode(
+        graft.functions.ArrayExprs.windowHashes(toks, 3)).as("g"))
     val cf = bg.groupBy("g").agg(count(lit(1)).as("c"))
     bg.join(cf.hint("shuffle_hash"), "g")
       .groupBy("doc_id")
@@ -598,12 +602,14 @@ object Text {
     // Same cost envelope as q67's tf-idf — two shuffles per corpus pass.
     QueryDef("q79_lm_familiarity", (s, d) =>
       lmFamiliarity(t(s, d, "documents")).orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |bg AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-             |    i -> array_to_string(tk[i:i+2], ' '))) AS g
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |bg AS MATERIALIZED (
+             |  SELECT doc_id, unnest(list_transform(
+             |    list_transform(range(1, len(tk) - 1),
+             |      i -> array_to_string(tk[i:i+2], ' ')),
+             |    win -> ${graft.queries.Dedup.sqlStringHash62("win")})) AS g
              |  FROM t WHERE len(tk) >= 3),
-             |cf AS (SELECT g, count(*) AS c FROM bg GROUP BY g)
+             |cf AS MATERIALIZED (SELECT g, count(*) AS c FROM bg GROUP BY g)
              |SELECT doc_id,
              |  CAST(count(*) AS BIGINT) AS n_trigrams,
              |  CAST(sum(c) AS BIGINT) AS fam_sum,

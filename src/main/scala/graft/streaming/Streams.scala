@@ -187,6 +187,25 @@ object Streams {
       .withColumn("text", regexp_replace(col("text"), pii, "[EMAIL]"))
   }
 
+  /** Streaming twin of the batch q146 Count-Min sketch: the running
+    * 4 x 1024 heavy-hitter counter matrix over an unbounded document
+    * stream. CMS is the canonical STREAMING sketch — cells are sums, so
+    * the micro-batch partial aggregation IS the sketch merge, state is
+    * the fixed <= 4096 counter rows forever (no watermark needed — the
+    * state cannot grow), and at any instant the materialized counters
+    * equal the batch sketch over everything ingested so far
+    * (spec-asserted). Probing for estimates is the same 4-row min as
+    * the batch side, done against the sink table. */
+  def heavyHitterCounters(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", element_at(
+        graft.functions.ArrayExprs.windowHashes(array(col("t")), 1), 1))
+    def sliceAt(i: Int) = expr(s"(h div ${1L << (10 * i)}) % 1024")
+    toks
+      .select(posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
+      .groupBy("i", "s").agg(count(lit(1)).as("c"))
+  }
+
   /** One first-seen shingle credit: the shingle's 62-bit hash and the
     * source it is attributed to. */
   final case class NovelHit(sh: Long, source: String)

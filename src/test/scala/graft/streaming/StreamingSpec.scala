@@ -197,6 +197,26 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.select("content_hash").distinct().count() == got.count())
   }
 
+  test("streaming CMS counters equal the batch sketch over the ingested corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("cms-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = Streams.heavyHitterCounters(incoming)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cms_out")
+    // the twin contract: the materialized counter matrix equals the batch
+    // sketch over everything ingested so far, cell for cell — CMS merge
+    // is cell-wise addition, so replay order cannot matter
+    val want = Streams.heavyHitterCounters(docs)
+    assert(got.count() > 0 && got.count() <= 4096)
+    assertSameRows(got, want)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
