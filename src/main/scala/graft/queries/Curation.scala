@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -53,25 +54,33 @@ object Curation {
   def gatesOk: org.apache.spark.sql.Column =
     gateLen && gateStop && gateRep && gateTok
 
-  /** Multi-signal ensemble quality ranking — see q116 below. Exposed
-    * for library use and the scale probe. */
-  def ensembleScore(docs: org.apache.spark.sql.DataFrame,
-      topK: Int = 200): org.apache.spark.sql.DataFrame = {
+  /** Multi-signal ensemble quality scores for EVERY document — the
+    * un-truncated form the budget selector (q148) and classifier
+    * assembly consume; q116 is its top-K cut. Carries n_tokens so
+    * budget arithmetic needs no second corpus pass. */
+  def ensembleScores(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val fam = Text.lmFamiliarity(docs)
       .select(col("doc_id"), expr("fam_sum div n_trigrams").as("fam_avg"))
     val imp = Sampling.importanceScores(docs)
-      .select(col("doc_id"), col("avg_weight"))
+      .select(col("doc_id"), col("avg_weight"), col("n_tokens"))
     docs.select(col("doc_id"), gatesOk.as("gate_ok"))
       .join(fam, Seq("doc_id"), "left")
       .join(imp, Seq("doc_id"))
       .select(col("doc_id"), col("gate_ok"),
         coalesce(col("fam_avg"), lit(0L)).as("fam_avg"), col("avg_weight"),
+        col("n_tokens"),
         (when(col("gate_ok"), 1000000L).otherwise(0L) +
           coalesce(col("fam_avg"), lit(0L)) * 10 + col("avg_weight"))
           .as("ensemble_score"))
+  }
+
+  /** Multi-signal ensemble quality ranking — see q116 below. Exposed
+    * for library use and the scale probe. */
+  def ensembleScore(docs: org.apache.spark.sql.DataFrame,
+      topK: Int = 200): org.apache.spark.sql.DataFrame =
+    ensembleScores(docs).drop("n_tokens")
       .orderBy(col("ensemble_score").desc, col("doc_id"))
       .limit(topK)
-  }
 
   // Oracle-side mirror of [[gatesOk]], shared by every gate-consuming
   // oracle (q68/q82/q83) so the thresholds exist in exactly TWO places —
@@ -95,6 +104,57 @@ object Curation {
     """(n >= 20 AND nstop > 0
       |    AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
       |    AND CAST(mx AS DOUBLE) / n <= 0.12)""".stripMargin
+
+  /** Oracle-side mirror of [[ensembleScores]] — ends in
+    * `ens(doc_id, gate_ok, fam_avg, avg_weight, n_tokens,
+    * ensemble_score)`, shared by q116/q148 so the score formula exists
+    * once per engine. Trigram keys are the hashed narrow keys (q79's
+    * oracle form — the Spark side hashes, so the oracle must too for
+    * shared collisions). */
+  private val sqlEnsembleCtes =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+       |bg AS MATERIALIZED (
+       |  SELECT doc_id, unnest(list_transform(
+       |    list_transform(range(1, len(tk) - 1),
+       |      i -> array_to_string(tk[i:i+2], ' ')),
+       |    win -> ${Dedup.sqlStringHash62("win")})) AS g
+       |  FROM t WHERE len(tk) >= 3),
+       |cf AS MATERIALIZED (SELECT g, count(*) AS c FROM bg GROUP BY g),
+       |fam AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS fam_avg
+       |  FROM bg JOIN cf USING (g) GROUP BY doc_id),
+       |tok AS (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |ft AS MATERIALIZED (
+       |  SELECT doc_id, lang,
+       |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+       |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
+       |  FROM tok),
+       |fs AS (
+       |  SELECT f,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+       |    CAST(count(*) AS BIGINT) AS r_cnt
+       |  FROM ft GROUP BY f),
+       |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
+       |imp AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(sum(wf) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_weight,
+       |    CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM ft JOIN w USING (f) GROUP BY doc_id),
+       |$sqlGateCtes,
+       |gt AS (
+       |  SELECT m.doc_id, $sqlGateOk AS gate_ok
+       |  FROM m JOIN mx ON m.doc_id = mx.doc_id),
+       |ens AS MATERIALIZED (
+       |  SELECT gt.doc_id, gate_ok,
+       |    coalesce(fam_avg, 0) AS fam_avg, avg_weight, n_tokens,
+       |    CASE WHEN gate_ok THEN 1000000 ELSE 0 END
+       |      + coalesce(fam_avg, 0) * 10 + avg_weight AS ensemble_score
+       |  FROM gt LEFT JOIN fam ON gt.doc_id = fam.doc_id
+       |          JOIN imp ON gt.doc_id = imp.doc_id)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -507,46 +567,81 @@ object Curation {
     // gates; two bigram shuffles; capped feature shuffle + broadcast),
     // fused by id-keyed equi-joins — at 100 TB all sides bucket by id.
     QueryDef("q116_ensemble_score", (s, d) => ensembleScore(t(s, d, "documents")),
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |bg AS (
-             |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
-             |    i -> array_to_string(tk[i:i+2], ' '))) AS g
-             |  FROM t WHERE len(tk) >= 3),
-             |cf AS (SELECT g, count(*) AS c FROM bg GROUP BY g),
-             |fam AS (
-             |  SELECT doc_id,
-             |    CAST(sum(c) AS BIGINT) // CAST(count(*) AS BIGINT) AS fam_avg
-             |  FROM bg JOIN cf USING (g) GROUP BY doc_id),
-             |tok AS (
-             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-             |  FROM documents),
-             |ft AS (
-             |  SELECT doc_id, lang,
-             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
-             |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
-             |  FROM tok),
-             |fs AS (
-             |  SELECT f,
-             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
-             |    CAST(count(*) AS BIGINT) AS r_cnt
-             |  FROM ft GROUP BY f),
-             |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
-             |imp AS (
-             |  SELECT doc_id,
-             |    CAST(sum(wf) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_weight
-             |  FROM ft JOIN w USING (f) GROUP BY doc_id),
-             |$sqlGateCtes,
-             |gt AS (
-             |  SELECT m.doc_id, $sqlGateOk AS gate_ok
-             |  FROM m JOIN mx ON m.doc_id = mx.doc_id)
-             |SELECT gt.doc_id, gate_ok,
-             |  coalesce(fam_avg, 0) AS fam_avg, avg_weight,
-             |  CASE WHEN gate_ok THEN 1000000 ELSE 0 END
-             |    + coalesce(fam_avg, 0) * 10 + avg_weight AS ensemble_score
-             |FROM gt LEFT JOIN fam ON gt.doc_id = fam.doc_id
-             |        JOIN imp ON gt.doc_id = imp.doc_id
-             |ORDER BY ensemble_score DESC, gt.doc_id LIMIT 200""".stripMargin)),
+      Some(s"""WITH $sqlEnsembleCtes
+             |SELECT doc_id, gate_ok, fam_avg, avg_weight, ensemble_score
+             |FROM ens ORDER BY ensemble_score DESC, doc_id LIMIT 200""".stripMargin)),
+
+    // ---- Quality-classifier training-data assembly -----------------------
+    // The fastText-quality-classifier dataset op (GPT-3/CCNet lineage):
+    // balanced positive (gate-passing) and negative (gate-failing)
+    // classes, each capped at 150 docs picked by deterministic Lehmer
+    // hash rank — a rerun-invariant uniform sample, never a
+    // corpus-fraction rule. Scale shape: gates ride the scan map-side;
+    // each class is a distributed TakeOrderedAndProject (per-partition
+    // top-K + tiny driver merge), NOT a global window — no
+    // low-cardinality partition skew at any corpus size.
+    QueryDef("q147_classifier_pairs", (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("n_tokens"), gatesOk.as("gate_ok"))
+      def side(pred: org.apache.spark.sql.Column, label: Int) =
+        base.filter(pred)
+          .orderBy(Sampling.lehmer(col("doc_id")), col("doc_id")).limit(150)
+          .select(col("doc_id"), lit(label).as("label"),
+            col("n_tokens"), col("lang"))
+      side(col("gate_ok"), 1).unionByName(side(!col("gate_ok"), 0))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH $sqlGateCtes,
+             |gl AS MATERIALIZED (
+             |  SELECT m.doc_id, m.lang, m.n AS n_tokens, $sqlGateOk AS gate_ok
+             |  FROM m JOIN mx ON m.doc_id = mx.doc_id),
+             |pos AS (
+             |  SELECT doc_id, 1 AS label, n_tokens, lang FROM gl WHERE gate_ok
+             |  ORDER BY ${Sampling.sqlLehmer}, doc_id LIMIT 150),
+             |neg AS (
+             |  SELECT doc_id, 0 AS label, n_tokens, lang FROM gl WHERE NOT gate_ok
+             |  ORDER BY ${Sampling.sqlLehmer}, doc_id LIMIT 150)
+             |SELECT * FROM (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Token-budget quality selection (data-constrained curriculum) ----
+    // "The best data that fits N tokens": documents in descending
+    // ensemble-score order admitted while the cumulative token count
+    // stays within budget — the selection rule behind quality-thresholded
+    // pretraining mixes when the compute budget, not the corpus, is the
+    // binding constraint. Scale shape: NO corpus-wide window — scores
+    // bucket by score band (bounded distribution table), per-band token
+    // totals prefix-sum via the hierarchical chunkOffsets machinery
+    // (q57/q81's audited shape), and the within-band window partitions
+    // by band (bounded groups). The oracle's single ORDER BY window is
+    // the semantic spec; the engine plan is the distributed form.
+    QueryDef("q148_quality_budget", (s, d) => {
+      val budget = 20000L
+      val scored = ensembleScores(t(s, d, "documents")).localCheckpoint()
+      val b = scored.withColumn("bkt", expr("-(ensemble_score div 1024)"))
+      val totals = b.groupBy("bkt").agg(sum("n_tokens").as("tot"))
+      val offs = Sampling.chunkOffsets(totals, "bkt", "tot")
+      val wIn = Window.partitionBy("bkt")
+        .orderBy(col("ensemble_score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.join(broadcast(offs), Seq("bkt"))
+        .withColumn("cum_tokens", col("off") + sum("n_tokens").over(wIn))
+        .filter(col("cum_tokens") <= budget)
+        .select(col("doc_id"), col("ensemble_score"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("ensemble_score").desc, col("doc_id"))
+    },
+      Some(s"""WITH $sqlEnsembleCtes,
+             |sel AS (
+             |  SELECT doc_id, ensemble_score, n_tokens,
+             |    CAST(sum(n_tokens) OVER (ORDER BY ensemble_score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |      AS cum_tokens
+             |  FROM ens)
+             |SELECT doc_id, ensemble_score, n_tokens, cum_tokens
+             |FROM sel WHERE cum_tokens <= 20000
+             |ORDER BY ensemble_score DESC, doc_id""".stripMargin)),
 
     // ---- Cross-modality referential integrity ----------------------------
     // The audit every multimodal assembly (q82) should run first: do the
