@@ -1536,6 +1536,56 @@ object Similarity {
              |LEFT JOIN hits ON qs2.q_id = hits.q_id
              |ORDER BY qs2.q_id""".stripMargin)),
 
+    // ---- Cluster topic-mix report (composition over the trained cells) ---
+    // The curation readout AFTER clustering: what does each trained
+    // k-means cell contain, by language and acquisition source? A
+    // skewed cell (one lang dominating an unexpectedly mixed cluster,
+    // or one source flooding a cell) is how topic collapse and crawler
+    // pathologies surface before a 100 TB partition layout ships.
+    // Shape: the q93 training plan, one id-keyed equi-join to the
+    // document metadata, a (cell, lang) map-combined rollup, and the
+    // share window over the tiny rollup table only — never the corpus.
+    QueryDef("q149_cluster_mix", (s, d) => {
+      val asg = kmeansRefine(t(s, d, "embeddings"), k = 8, iters = 2)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val meta = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val cellTot = Window.partitionBy("cell")
+      asg.join(meta, "doc_id")
+        .groupBy("cell", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("source")).as("n_sources"))
+        .withColumn("cell_docs", sum("n_docs").over(cellTot))
+        .withColumn("share", col("n_docs").cast("double") / col("cell_docs"))
+        .orderBy("cell", "lang")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c0 AS (
+             |  SELECT vec_id AS c_id, qv AS cv, n2 AS cn FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 8),
+             |${sqlKmIter("c0", "asg1", "c1")},
+             |${sqlKmIter("c1", "asg2", "c2")},
+             |fin AS MATERIALIZED (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT n.vec_id, c.c_id AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlD2("n", "c")} ASC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c2 c)
+             |  WHERE rn = 1),
+             |mix AS MATERIALIZED (
+             |  SELECT f.cell, d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+             |  FROM fin f JOIN documents d ON f.vec_id = d.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT cell, lang, n_docs, n_sources,
+             |  CAST(sum(n_docs) OVER (PARTITION BY cell) AS BIGINT) AS cell_docs,
+             |  CAST(n_docs AS DOUBLE)
+             |    / CAST(sum(n_docs) OVER (PARTITION BY cell) AS BIGINT) AS share
+             |FROM mix ORDER BY cell, lang""".stripMargin)),
+
     // ---- Incremental graph-index maintenance (the q91 lifecycle, graph-
     // shaped) -------------------------------------------------------------
     // Build the index on the corpus slice (vec_id % 5 != 0), then extend

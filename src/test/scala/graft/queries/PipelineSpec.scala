@@ -2243,7 +2243,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q137_knn_graph", // fixed 64-row centroid broadcast (q49's class)
       "q138_graph_search", // centroid-layer entry beam: same fixed broadcast
       "q139_graph_recall", // composes q138 + q48's bounded-anchor scan
-      "q144_graph_extend") // frozen-coarse-layer assignment broadcast (q49's class)
+      "q144_graph_extend", // frozen-coarse-layer assignment broadcast (q49's class)
+      "q149_cluster_mix") // q93's k-row centroid broadcast (Lloyd assignment)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
