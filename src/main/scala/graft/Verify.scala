@@ -50,16 +50,23 @@ object Verify {
           name -> "ok"
         } catch {
           case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-            name -> s"err: ${e.getMessage.linesIterator.next()}"
+            // null-safe: a messageless exception (bare NPE etc.) must not
+            // kill the status loop that exists to report exactly this
+            val msg = Option(e.getMessage).filter(_.nonEmpty)
+              .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
+            System.err.println(s"[verify] $name failed: $msg")
+            name -> s"err: $msg"
         }
       }
     // explicit per-query status so an aborted harness run is
     // distinguishable from a clean run over zero queries (ADVICE r7):
     // absent file = Verify never finished; "err" rows = loud failures.
-    Files.writeString(Paths.get(s"$outDir/verify_status.json"),
-      status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
-        .mkString("{", ",", "}"))
+    // Written only for FULL runs — a name-filtered builder iteration
+    // must not clobber a full run's status with its subset.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/verify_status.json"),
+        status.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+          .mkString("{", ",", "}"))
     spark.stop()
   }
 }

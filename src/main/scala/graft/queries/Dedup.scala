@@ -63,20 +63,12 @@ object Dedup {
     * `defs` — object vals initialize in source order, and a forward
     * reference from an oracle string interpolates as null. */
   private[queries] val sqlDocHashedShingles =
-    """SELECT doc_id,
-      |    unnest(list_distinct(list_transform(
-      |      list_transform(range(1, len(string_split(text, ' ')) - 1),
-      |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
-      |      win ->
-      |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(range(1, length(win)+1),
-      |            ci -> CAST(unicode(win[ci]) AS BIGINT))),
-      |          (a,c) -> (a*131 + c) % 4294967291) * 2147483648
-      |      + list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |          list_transform(range(1, length(win)+1),
-      |            ci -> CAST(unicode(win[ci]) AS BIGINT))),
-      |          (a,c) -> (a*137 + c) % 4294967291) % 2147483648))) AS h
-      |  FROM documents""".stripMargin
+    s"""SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      list_transform(range(1, len(string_split(text, ' ')) - 1),
+       |        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')),
+       |      win -> ${sqlStringHash62("win")}))) AS h
+       |  FROM documents""".stripMargin
 
   /** [[sqlPairCtes]] over HASHED shingles — the oracle mirror of
     * [[jaccardJoin]]'s narrow-key token stream: the equijoin keys on the

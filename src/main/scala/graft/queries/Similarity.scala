@@ -305,11 +305,16 @@ object Similarity {
     * assignment and both pair sides re-read it. */
   private def knnGraphOf(e: DataFrame, degree: Int, centroids: Int,
       probes: Int): DataFrame = {
-    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
-    val asg = assignProbed(cents, e, probes)
+    val asg = assignProbed(centsOf(e, centroids), e, probes)
     edgesOf(asg, asg, e, degree)
   }
+
+  /** The frozen coarse layer: deterministic hash-rank sample — THE single
+    * centroid-selection rule for the graph family (build, search entry,
+    * index struct), so the three can never drift. */
+  private def centsOf(e: DataFrame, centroids: Int): DataFrame =
+    e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
+      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
 
   /** A built graph-ANN index: the frozen coarse layer, the quantized
     * corpus vectors, the multi-probe cell assignment, and the
@@ -317,16 +322,18 @@ object Similarity {
     * (parquet, edges bucketed by node) and amortize over query
     * batches — exactly [[IvfIndex]]'s contract, graph-shaped. */
   case class KnnGraphIndex(cents: DataFrame, vecs: DataFrame,
-      assigned: DataFrame, edges: DataFrame)
+      assigned: DataFrame, edges: DataFrame, degree: Int, probes: Int)
 
-  /** Build the full graph index over a (vec_id, embedding) corpus. */
+  /** Build the full graph index over a (vec_id, embedding) corpus. The
+    * index CARRIES its build parameters — maintenance (knnGraphExtend)
+    * reuses them, so a batch can never be appended under a different
+    * degree/probe contract than the corpus was built with. */
   def knnGraphIndex(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
       probes: Int = 2): KnnGraphIndex = {
     val e = quantize(emb).localCheckpoint()
-    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
+    val cents = centsOf(e, centroids)
     val asg = assignProbed(cents, e, probes).localCheckpoint()
-    KnnGraphIndex(cents, e, asg, edgesOf(asg, asg, e, degree))
+    KnnGraphIndex(cents, e, asg, edgesOf(asg, asg, e, degree), degree, probes)
   }
 
   /** Multi-probe cell assignment: (vec_id, cell), `probes` rows per
@@ -370,20 +377,17 @@ object Similarity {
     * are `extendedEdgesOf` below. Cost: O(batch x centroids) assignment
     * cosines + cell-keyed candidate joins touching only the batch's
     * probed cells — the corpus-sized edge table is untouched. */
-  def knnGraphExtend(index: KnnGraphIndex, batch: DataFrame,
-      degree: Int = 12, probes: Int = 2): KnnGraphIndex = {
-    val inc = extendedEdgesOf(index, batch, degree, probes)
-    index.copy(edges = index.edges.union(inc))
-  }
+  def knnGraphExtend(index: KnnGraphIndex, batch: DataFrame): KnnGraphIndex =
+    index.copy(edges = index.edges.union(extendedEdgesOf(index, batch)))
 
   /** The edge increment [[knnGraphExtend]] appends: the batch nodes'
     * neighbor lists, candidates drawn from corpus + batch members of
-    * the batch's probed cells. */
-  def extendedEdgesOf(index: KnnGraphIndex, batch: DataFrame,
-      degree: Int = 12, probes: Int = 2): DataFrame = {
+    * the batch's probed cells — under the INDEX's own degree/probe
+    * parameters, never caller-supplied ones. */
+  def extendedEdgesOf(index: KnnGraphIndex, batch: DataFrame): DataFrame = {
     val b = quantize(batch).localCheckpoint()
-    val asgB = assignProbed(index.cents, b, probes).localCheckpoint()
-    edgesOf(asgB, index.assigned.union(asgB), index.vecs.union(b), degree)
+    val asgB = assignProbed(index.cents, b, index.probes).localCheckpoint()
+    edgesOf(asgB, index.assigned.union(asgB), index.vecs.union(b), index.degree)
   }
 
   /** Greedy beam search over the [[knnGraph]] edge lists — the query
@@ -407,10 +411,10 @@ object Similarity {
       degree: Int = 12, centroids: Int = 64, probes: Int = 2,
       hops: Int = 3, ef: Int = 24): DataFrame = {
     val e = quantize(emb).localCheckpoint()
-    val edges = knnGraphOf(e, degree, centroids, probes)
+    val cents = centsOf(e, centroids)
+    val asg = assignProbed(cents, e, probes)
+    val edges = edgesOf(asg, asg, e, degree)
       .select(col("node"), col("nbr")).localCheckpoint()
-    val cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(centroids)
-      .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
       .localCheckpoint()

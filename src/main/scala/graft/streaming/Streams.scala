@@ -39,7 +39,14 @@ object Streams {
     * then normalized to a session-TZ TIMESTAMP either way. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // Probe the ts physical type from files already present; an EMPTY
+    // source directory (the normal startup order — start the query,
+    // files arrive later) cannot be probed, so fall back to the current
+    // testdata generation (timestamp[us], which loads as NTZ). The
+    // fallback only matters until the first file lands; a nanos-era
+    // directory always has its files present before replay.
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(TimestampNTZType)
     val raw = spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir)
     tsType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
