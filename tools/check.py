@@ -9,6 +9,7 @@ tables, sorts columns by name, and compares row-by-row.
 """
 import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -31,6 +32,8 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
         oracles = json.load(f)
 
     n_pass = n_fail = 0
+    slow = []  # (seconds, name) — oracle cost is part of the product
+    t_start = time.time()
     for name, sql in sorted(oracles.items()):
         if any(s and s in name for s in skip):
             print(f"SKIP {name}")
@@ -43,7 +46,9 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
             n_fail += 1
             continue
         try:
+            t0 = time.time()
             want = con.execute(sql).df()
+            slow.append((time.time() - t0, name))
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -65,7 +70,16 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:400]}")
             n_fail += 1
-    print(f"\n{n_pass} pass / {n_fail} fail")
+    total = time.time() - t_start
+    print(f"\n{n_pass} pass / {n_fail} fail ({total:.1f}s)")
+    # a slow oracle starves the driver's gate (round-7 postmortem: one
+    # 13-minute oracle zeroed the round) — surface creep loudly
+    for dt, name in sorted(slow, reverse=True)[:3]:
+        if dt > 10:
+            print(f"WARN slow oracle {name}: {dt:.1f}s — keep the suite in "
+                  f"single-digit minutes (MATERIALIZED CTEs / equijoin pair sets)")
+    if total > 300:
+        print(f"WARN oracle suite took {total:.0f}s — the driver gate may time out")
     return 1 if n_fail else 0
 
 
