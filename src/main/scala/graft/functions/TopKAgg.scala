@@ -34,3 +34,37 @@ final class TopKAgg(k: Int)
   override def outputEncoder: Encoder[Seq[(Double, Long)]] =
     ExpressionEncoder[Seq[(Double, Long)]]()
 }
+
+/** Bounded bottom-k aggregator over EXACT int64 scores: keeps the k
+  * smallest (score, id) pairs per group, ordered by (score asc, id asc).
+  *
+  * The Double-scored [[TopKAgg]] cannot rank exact squared grid
+  * distances — 64-dim int64 d2 values reach ~2.6e16, past Double's 2^53
+  * exact-integer range, so a Double round-trip can swap neighbors whose
+  * distances differ in the low bits. This variant buffers the native
+  * int64 score, so the ranking (and the hash-compare against an integer
+  * oracle) stays exact. Same scale shape: partial-aggregable O(k) buffer,
+  * the exchange carries k rows per (group, task) instead of every
+  * candidate.
+  */
+final class BottomKLongAgg(k: Int)
+    extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
+
+  private def insert(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
+    // ascending score, ascending id; list stays sorted and <= k long
+    val (better, rest) = buf.span(b => b._1 < x._1 || (b._1 == x._1 && b._2 < x._2))
+    val merged = better ::: (x :: rest)
+    if (merged.length > k) merged.take(k) else merged
+  }
+
+  override def zero: List[(Long, Long)] = Nil
+  override def reduce(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] =
+    if (buf.length == k && x._1 > buf.last._1) buf else insert(buf, x)
+  override def merge(a: List[(Long, Long)], b: List[(Long, Long)]): List[(Long, Long)] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = buf
+  override def bufferEncoder: Encoder[List[(Long, Long)]] =
+    ExpressionEncoder[List[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    ExpressionEncoder[Seq[(Long, Long)]]()
+}

@@ -693,6 +693,197 @@ object Similarity {
        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
        |WHERE cos_sim >= $threshold ORDER BY vec_a, vec_b""".stripMargin
 
+  // ===== Product quantization (PQ) — the memory-bound ANN scale path =====
+  //
+  // IVF (q49/q91) and the kNN graph (q137) shrink the SEARCH; PQ shrinks
+  // the VECTORS: a 64-dim float vector (256 B) becomes m=4 one-byte codes
+  // after training one k=16-entry codebook per 16-dim subspace — 64x
+  // compression, so a 100 TB embedding corpus fits the aggregate RAM of a
+  // modest cluster and distance evaluation becomes m table lookups (ADC)
+  // instead of a 64-dim dot product. Training is per-subspace Lloyd's on
+  // the exact integer grid (the q93 arithmetic applied to vector slices),
+  // seeded by the SAME global hash-rank rule (the k lowest-Lehmer vectors,
+  // sliced) so no per-subspace top-k pass is needed; every step is
+  // deterministic, so the trained codebook, the encoding, and even the
+  // approximation error of the ADC ranking hash-match a DuckDB oracle.
+  // Scale shape per iteration: one broadcast-assign over m*k codewords
+  // (map-side, the exchange carries one row per sub-vector), one id-keyed
+  // equi-join, and a (sub, code, dim) sum capped by map-side combine at
+  // tasks x m x k x dsub rows. Nothing grows with the corpus but the two
+  // linear passes.
+
+  private val pqM = 4       // subspaces
+  private val pqDsub = 16   // dims per subspace (m * dsub = 64)
+  private val pqK = 16      // codewords per subspace (4-bit codes)
+  private val pqAnchors = 8 // bounded ADC query set, same contract as nQueries
+
+  /** Sub-vector table: (vec_id, sub, sv, sn) — one row per (vector,
+    * subspace), sv the 16-dim slice on the integer grid, sn its norm. */
+  private[queries] def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), explode(sequence(lit(0L), lit(pqM - 1L))).as("sub"),
+        col("qv"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("qv"), col("sub") * lit(pqDsub) + lit(1), lit(pqDsub)).as("sv"))
+      .withColumn("sn", dot(col("sv"), col("sv")))
+
+  /** Nearest-codeword assignment per (vector, subspace): (vec_id, sub,
+    * code, d2). Broadcast is m*k codewords; min over a (d2, c_id) struct
+    * is partially aggregable, so the exchange carries one row per
+    * sub-vector. */
+  private[queries] def pqAssign(cb: DataFrame, subs: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .withColumn("d2",
+        col("sn") + col("cn") - lit(2L) * dot(col("sv"), col("cv")))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("c_id"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.c_id").as("code"),
+        col("m.d2").as("d2"))
+
+  /** Train the PQ codebook (per-subspace Lloyd's, `iters` refinements)
+    * and return (codebook (sub, c_id, cv, cn), sub-vector table). */
+  def pqCodebook(emb: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
+    val e = quantize(emb).localCheckpoint()
+    val subs = pqSubs(e).localCheckpoint()
+    var cb = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(pqK)
+      .select(col("vec_id").as("c_id"),
+        explode(sequence(lit(0L), lit(pqM - 1L))).as("sub"), col("qv"))
+      .select(col("sub"), col("c_id"),
+        slice(col("qv"), col("sub") * lit(pqDsub) + lit(1), lit(pqDsub)).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    for (_ <- 1 to iters) {
+      val sums = pqAssign(cb, subs).join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "v")))
+        .groupBy("sub", "code", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i",
+          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long"))
+      cb = sums.groupBy("sub", "code")
+        .agg(collect_list(struct(col("dim"), col("cv_i"))).as("ps"))
+        .select(col("sub"), col("code").as("c_id"),
+          transform(array_sort(col("ps")), p => p.getField("cv_i")).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv")))
+    }
+    (cb, subs)
+  }
+
+  /** ADC (asymmetric distance computation) top-k: encode the corpus with
+    * the trained codebook, build the per-anchor lookup table (anchor
+    * sub-vector x codeword partial d2 — anchors x m x k rows, broadcast),
+    * then score every corpus vector as the SUM of m looked-up partials
+    * and keep the k best per anchor via the exact int64 bottom-k
+    * aggregator (partial-aggregable: the exchange carries k rows per
+    * (anchor, task), never the scored corpus). */
+  def pqAdcTopK(spark: SparkSession, cb: DataFrame, subs: DataFrame,
+      k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val enc = pqAssign(cb, subs)
+    val anchors = subs.filter(col("vec_id") < pqAnchors)
+      .select(col("vec_id").as("q_id"), col("sub"), col("sv").as("av"),
+        col("sn").as("an"))
+    val lut = anchors.join(cb, "sub")
+      .select(col("q_id"), col("sub"), col("c_id").as("code"),
+        (col("an") + col("cn") - lit(2L) * dot(col("av"), col("cv"))).as("pd2"))
+    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("pd2").as("adc_d2"))
+      .select(col("q_id"), col("adc_d2"), col("vec_id"))
+      .as[(Long, Long, Long)]
+    val bottomk = new graft.functions.BottomKLongAgg(k).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(bottomk.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("t._2").as("n_id"), col("t._1").as("adc_d2"))
+  }
+
+  // DuckDB mirrors for the PQ family (16-dim slices, same grid ints).
+  private def sqlDotLen(a: String, b: String, len: Int) =
+    s"CAST(list_sum(list_transform(range(1, ${len + 1}), i -> $a[i] * $b[i])) AS BIGINT)"
+  private def sqlPqD2(n: String, c: String) =
+    s"($n.sn + $c.cn - 2 * ${sqlDotLen(s"$n.sv", s"$c.cv", pqDsub)})"
+
+  /** One unrolled per-subspace Lloyd iteration: assignment `asg` against
+    * codebook CTE `prev`, recomputed codebook `next` (per-dim exact int64
+    * sums, mean rounded back onto the grid — the sqlKmIter arithmetic on
+    * vector slices). */
+  private def sqlPqIter(prev: String, asg: String, next: String) =
+    s"""$asg AS MATERIALIZED (
+       |  SELECT vec_id, sub, code, d2 FROM (
+       |    SELECT n.vec_id, n.sub, c.c_id AS code, ${sqlPqD2("n", "c")} AS d2,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.sub
+       |        ORDER BY ${sqlPqD2("n", "c")} ASC, c.c_id ASC) AS rn
+       |    FROM subn n JOIN $prev c ON n.sub = c.sub)
+       |  WHERE rn = 1),
+       |${next}_m AS MATERIALIZED (
+       |  SELECT a.sub, a.code, n.sv
+       |  FROM $asg a JOIN subn n ON a.vec_id = n.vec_id AND a.sub = n.sub),
+       |${next}_s AS MATERIALIZED (
+       |  SELECT sub, code, r.i AS dim, SUM(sv[r.i]) AS sv, COUNT(*) AS cnt
+       |  FROM ${next}_m, range(1, ${pqDsub + 1}) r(i)
+       |  GROUP BY sub, code, r.i),
+       |$next AS MATERIALIZED (
+       |  SELECT sub, c_id, cv, ${sqlDotLen("cv", "cv", pqDsub)} AS cn FROM (
+       |    SELECT sub, code AS c_id,
+       |      list(CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)
+       |        ORDER BY dim) AS cv
+       |    FROM ${next}_s GROUP BY sub, code))""".stripMargin
+
+  /** Shared oracle prefix for the PQ family: quantized corpus `q`,
+    * sub-vector table `subn`, sliced hash-rank seed codebook `cb0`, two
+    * unrolled train iterations (-> `cb2`), and the final corpus encoding
+    * `enc` against cb2. Every CTE MATERIALIZED (chained-CTE inlining —
+    * see the q113 postmortem). */
+  private def sqlPqCtes: String =
+    s"""q AS MATERIALIZED (
+       |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+       |subn AS MATERIALIZED (
+       |  SELECT vec_id, sub, sv, ${sqlDotLen("sv", "sv", pqDsub)} AS sn FROM (
+       |    SELECT q.vec_id, s.sub,
+       |      list_slice(q.qv, s.sub * $pqDsub + 1, s.sub * $pqDsub + $pqDsub) AS sv
+       |    FROM q, range(0, $pqM) s(sub))),
+       |sd AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, qv FROM q
+       |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT $pqK),
+       |cb0 AS MATERIALIZED (
+       |  SELECT sub, c_id, cv, ${sqlDotLen("cv", "cv", pqDsub)} AS cn FROM (
+       |    SELECT s.sub, d.c_id,
+       |      list_slice(d.qv, s.sub * $pqDsub + 1, s.sub * $pqDsub + $pqDsub) AS cv
+       |    FROM sd d, range(0, $pqM) s(sub))),
+       |${sqlPqIter("cb0", "asg1", "cb1")},
+       |${sqlPqIter("cb1", "asg2", "cb2")},
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, sub, code, d2 FROM (
+       |    SELECT n.vec_id, n.sub, c.c_id AS code, ${sqlPqD2("n", "c")} AS d2,
+       |      row_number() OVER (PARTITION BY n.vec_id, n.sub
+       |        ORDER BY ${sqlPqD2("n", "c")} ASC, c.c_id ASC) AS rn
+       |    FROM subn n JOIN cb2 c ON n.sub = c.sub)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** ADC scoring + ranking oracle suffix (expects [[sqlPqCtes]] before
+    * it): per-anchor lookup table over cb2, partial-d2 sum per (anchor,
+    * corpus vector), rank ascending. */
+  private def sqlAdcCtes: String =
+    s"""lut AS MATERIALIZED (
+       |  SELECT a.vec_id AS q_id, a.sub, c.c_id AS code,
+       |    (a.sn + c.cn - 2 * ${sqlDotLen("a.sv", "c.cv", pqDsub)}) AS pd2
+       |  FROM (SELECT * FROM subn WHERE vec_id < $pqAnchors) a
+       |  JOIN cb2 c ON a.sub = c.sub),
+       |adcscore AS MATERIALIZED (
+       |  SELECT l.q_id, e.vec_id AS n_id, CAST(SUM(l.pd2) AS BIGINT) AS adc_d2
+       |  FROM enc e JOIN lut l ON e.sub = l.sub AND e.code = l.code
+       |  WHERE l.q_id != e.vec_id
+       |  GROUP BY l.q_id, e.vec_id),
+       |adc AS MATERIALIZED (
+       |  SELECT q_id, rank, n_id, adc_d2 FROM (
+       |    SELECT q_id, n_id, adc_d2,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY adc_d2 ASC, n_id ASC) AS rank
+       |    FROM adcscore)
+       |  WHERE rank <= 10)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Near-duplicate pairs by cosine threshold (EXACT) ----------------
@@ -1647,5 +1838,104 @@ object Similarity {
              |    FROM cp JOIN n x ON cp.node = x.vec_id
              |            JOIN n y ON cp.nbr = y.vec_id))
              |WHERE rank <= 12 ORDER BY node, rank""".stripMargin)),
+
+    // ---- PQ codebook training (per-subspace Lloyd's on the grid) ---------
+    // See the PQ block above. Output: the trained codebook with its
+    // population and mean residual per codeword — the distortion readout
+    // a pipeline checks (dead codewords, skewed cells, residual blowup)
+    // before committing a corpus-wide re-encode. Codewords that end the
+    // final assignment empty drop (standard Lloyd), matching the inner
+    // join here.
+    QueryDef("q150_pq_train", (s, d) => {
+      val (cb, subs) = pqCodebook(t(s, d, "embeddings"))
+      pqAssign(cb, subs)
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("n_assigned"), sum("d2").as("sd"))
+        .join(cb.select(col("sub"), col("c_id").as("code"), col("cv")),
+          Seq("sub", "code"))
+        .select(col("sub"), col("code"), col("n_assigned"),
+          expr("sd div n_assigned").as("avg_d2"),
+          array_join(transform(col("cv"), x => x.cast("string")), ",").as("cv_csv"))
+        .orderBy("sub", "code")
+    },
+      Some(s"""WITH $sqlPqCtes
+             |SELECT e.sub, e.code, CAST(count(*) AS BIGINT) AS n_assigned,
+             |  CAST(sum(e.d2) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_d2,
+             |  array_to_string(c.cv, ',') AS cv_csv
+             |FROM enc e JOIN cb2 c ON e.sub = c.sub AND e.code = c.c_id
+             |GROUP BY e.sub, e.code, array_to_string(c.cv, ',')
+             |ORDER BY e.sub, e.code""".stripMargin)),
+
+    // ---- PQ encode + ADC top-k (the compressed-corpus search path) -------
+    // The corpus is represented ONLY by its m=4 codes; each anchor
+    // precomputes an m x k partial-distance table and every candidate
+    // distance is 4 lookups + 3 adds. Exact int64 throughout (a 64-dim
+    // grid d2 exceeds Double's 2^53 exact range — hence BottomKLongAgg,
+    // not the Double top-k), so rank order AND the approximate distances
+    // hash-match. Anchor set bounded by contract, like q48/q49.
+    QueryDef("q151_pq_adc", (s, d) => {
+      val (cb, subs) = pqCodebook(t(s, d, "embeddings"))
+      pqAdcTopK(s, cb, subs).orderBy("q_id", "rank")
+    },
+      Some(s"""WITH $sqlPqCtes,
+             |$sqlAdcCtes
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, adc_d2
+             |FROM adc ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- PQ recall attestation vs exact L2 top-k -------------------------
+    // The eval harness for the compressed path (the q112/q139 pattern,
+    // but against the exact GRID-DISTANCE ranking — PQ approximates L2,
+    // so the reference ranking must too). Per anchor: |ADC top-10 ∩
+    // exact top-10| / 10. On the pure-noise test corpus this is honestly
+    // LOW (mean 0.16 at sf0.001): isotropic noise has no cluster
+    // structure, so the within-cell quantization error is the same scale
+    // as the spread separating the true top-10 from the rest — exactly
+    // the regime quantization theory says 2-byte codes cannot resolve,
+    // and exactly why this attestation query exists (a pipeline reads it
+    // to size m/k against ITS corpus before re-encoding; on real
+    // embedding corpora with cluster structure the same codebook size
+    // scores far higher). What PQ must do even here: put a planted
+    // near-duplicate at rank 1 and rank ADC top-10 well inside the true
+    // distance distribution — both pinned in PqSpec.
+    QueryDef("q152_pq_recall", (s, d) => {
+      val e = quantized(s, d)
+      val anchors = e.filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+        col("n2").as("nb"))
+      val w = Window.partitionBy("q_id").orderBy(col("d2").asc, col("n_id").asc)
+      val exact = broadcast(anchors).join(corpus, col("q_id") =!= col("n_id"))
+        .withColumn("d2", col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("n_id"))
+      val (cb, subs) = pqCodebook(t(s, d, "embeddings"))
+      val adc = pqAdcTopK(s, cb, subs).select(col("q_id"), col("n_id"))
+      val hits = exact.join(adc, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      e.filter(col("vec_id") < pqAnchors).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall_at_10"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH $sqlPqCtes,
+             |$sqlAdcCtes,
+             |nn AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |ex AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY (a.n2 + b.n2 - 2 * ${sqlDot("a.qv", "b.qv")}) ASC,
+             |          b.vec_id ASC) AS rn
+             |    FROM nn a JOIN nn b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < $pqAnchors)
+             |  WHERE rn <= 10)
+             |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+             |  CAST(count(a.n_id) AS DOUBLE) / 10 AS recall_at_10
+             |FROM ex e LEFT JOIN adc a ON e.q_id = a.q_id AND e.n_id = a.n_id
+             |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
   )
 }

@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Product-quantization family (q150–q152): structural contracts of the
+  * trained codebook, exactness of the int64 ADC ranking, and the
+  * properties the hash oracle can't see — partition invariance, planted
+  * near-duplicate navigation, and that the ADC ranking is informative
+  * (selects from the near tail of the true distance distribution) even
+  * on the pure-noise corpus where top-10 recall is honestly low.
+  */
+class PqSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+
+  test("q150: codebook is m x k, 16-dim codewords, populations sum to n") {
+    val report = SparkEntry.queries("q150_pq_train")(spark, sfDir).cache()
+    val n = emb.count()
+    // 4 subspaces, at most 16 codewords each, every one 16-dim
+    assert(report.select("sub").distinct().count() == 4)
+    val perSub = report.groupBy("sub").agg(
+      count(lit(1)).as("codes"), sum("n_assigned").as("assigned"))
+    assert(perSub.filter(col("codes") > 16).count() == 0)
+    assert(perSub.filter(col("assigned") =!= n).count() == 0)
+    assert(report.filter(size(split(col("cv_csv"), ",")) =!= 16).count() == 0)
+    // codewords carry real populations (no dead codes survived the join)
+    assert(report.filter(col("n_assigned") < 1).count() == 0)
+  }
+
+  test("pq codebook and ADC ranking are partition-invariant") {
+    val (cb1, subs1) = Similarity.pqCodebook(emb.repartition(7))
+    val (cb2, subs2) = Similarity.pqCodebook(emb)
+    assertSameRows(cb1.select(col("sub"), col("c_id"),
+      array_join(transform(col("cv"), x => x.cast("string")), ",").as("csv")),
+      cb2.select(col("sub"), col("c_id"),
+        array_join(transform(col("cv"), x => x.cast("string")), ",").as("csv")))
+    assertSameRows(Similarity.pqAdcTopK(spark, cb1, subs1),
+      Similarity.pqAdcTopK(spark, cb2, subs2))
+  }
+
+  test("ADC puts a planted near-duplicate at rank 1") {
+    // clone vector 0 under a fresh id: the clone encodes to the SAME m
+    // codes as the anchor (encoding is deterministic on the vector), and
+    // the anchor's own codes minimize every per-subspace partial
+    // distance, so the clone achieves the global ADC minimum — PQ's
+    // actual production contract (find the near-duplicate), independent
+    // of noise-tail recall
+    val clone = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+    val corpus = emb.select("vec_id", "embedding", "label").union(clone)
+    val (cb, subs) = Similarity.pqCodebook(corpus)
+    val hit = Similarity.pqAdcTopK(spark, cb, subs)
+      .filter(col("q_id") === 0 && col("rank") === 1).head()
+    assert(hit.getLong(2) == 900000L, s"expected clone at rank 1, got $hit")
+  }
+
+  test("ADC top-10 selects from the near tail of the true distance distribution") {
+    // recall@10 on isotropic noise is low by theory (see q152's note) —
+    // what must still hold for the ranking to be USEFUL is that the
+    // ADC-selected candidates are genuinely near: their mean TRUE grid
+    // distance sits well below the anchor's mean distance to the corpus
+    val e = Similarity.quantize(emb)
+    val dotq = graft.functions.ArrayExprs.dotq _
+    val (cb, subs) = Similarity.pqCodebook(emb)
+    val adc = Similarity.pqAdcTopK(spark, cb, subs).select("q_id", "n_id")
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+    val all = anchors.join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+        col("n2").as("nb")), col("q_id") =!= col("n_id"))
+      .withColumn("d2", col("na") + col("nb") - lit(2L) * dotq(col("qa"), col("qb")))
+    val meanAll = all.agg(avg("d2")).head().getDouble(0)
+    val meanSel = all.join(adc, Seq("q_id", "n_id"), "left_semi")
+      .agg(avg("d2")).head().getDouble(0)
+    assert(meanSel < 0.9 * meanAll,
+      s"ADC selection not informative: selected mean d2 $meanSel vs corpus $meanAll")
+  }
+}
