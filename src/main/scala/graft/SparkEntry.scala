@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Multimodal.defs ++
       graft.queries.Sketches.defs ++
       graft.queries.Sampling.defs ++
-      graft.queries.Curation.defs
+      graft.queries.Curation.defs ++
+      graft.queries.Layout.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

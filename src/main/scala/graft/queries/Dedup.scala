@@ -1394,6 +1394,43 @@ object Dedup {
              |  sum(CASE WHEN flagged THEN 1 ELSE 0 END) > 0 AS contaminated
              |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)
     }),
+
+    // ---- Blocked fuzzy entity-resolution join (edit distance) ------------
+    // Character-level near-duplicate detection for SHORT strings — the
+    // ER complement to the token/shingle near-dup family (q45/q65): find
+    // catalog entries that differ by a few character edits. Classic
+    // blocked ER shape: a cheap structured blocking key (here the name's
+    // head noun + brand + size) bounds candidate pairs to within-block
+    // products, and the exact Levenshtein DP verifies each candidate —
+    // both engines implement the same integer DP, so distances
+    // hash-match. Blocking-key choice IS the scale contract: candidates
+    // are sum-of-block-squares, so the key must keep blocks bounded (the
+    // structured attributes do; max block is 9 rows at sf0.1), exactly
+    // like the LSH band contract in q45.
+    QueryDef("q156_fuzzy_match", (s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"),
+          element_at(split(col("p_name"), " "), 2).as("noun"))
+      val a = p.select(col("p_partkey").as("part_a"), col("p_name").as("name_a"),
+        col("noun"), col("p_brand"), col("p_size"))
+      val b = p.select(col("p_partkey").as("part_b"), col("p_name").as("name_b"),
+        col("noun"), col("p_brand"), col("p_size"))
+      a.join(b, Seq("noun", "p_brand", "p_size"))
+        .filter(col("part_a") < col("part_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("part_a", "part_b", "name_a", "name_b", "dist")
+        .orderBy("part_a", "part_b")
+    },
+      Some("""SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+             |  a.p_name AS name_a, b.p_name AS name_b,
+             |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+             |FROM part a JOIN part b
+             |  ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+             |  AND a.p_brand = b.p_brand AND a.p_size = b.p_size
+             |  AND a.p_partkey < b.p_partkey
+             |WHERE levenshtein(a.p_name, b.p_name) <= 3
+             |ORDER BY part_a, part_b""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

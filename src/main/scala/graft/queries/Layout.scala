@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Physical-layout operators: the lake-management side of a 100 TB
+  * engine. Nothing here touches query semantics — these are the
+  * operators a pipeline runs to decide HOW the data should sit on disk:
+  * multi-dimensional clustering (z-order) so point/range scans prune
+  * files on more than one key, and small-file compaction planning so the
+  * file count stays bounded as ingest fragments accumulate.
+  *
+  * Both are deliberately shaped as pure dataflow (no global sort, no
+  * driver loop): the z-order "write" is an equi-width range partition on
+  * the interleaved key — exactly the partition function a real z-order
+  * writer shuffles by — and the per-file min/max stats it reports are
+  * the parquet footer bounds a scan would prune on. The compaction
+  * planner runs entirely on the file MANIFEST (one row per file), which
+  * stays small even when the data is 100 TB — windows over it are
+  * rollup-table windows, never corpus windows.
+  */
+object Layout {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Bit-interleave two 16-bit values (x in even bits, y in odd bits) —
+    * the Morton / z-order curve key. Constants are precomputed in Scala
+    * so both engines evaluate identical 32-term integer arithmetic; only
+    * the bit-extract spelling differs (Spark SQL `shiftright`, DuckDB
+    * `>>`). */
+  private def zTerms(px: String, sy: String, sparkSide: Boolean): String =
+    (0 until 16).map { i =>
+      val (ex, ey) = (1L << (2 * i), 1L << (2 * i + 1))
+      if (sparkSide)
+        s"(shiftright($px, $i) & 1L) * ${ex}L + (shiftright($sy, $i) & 1L) * ${ey}L"
+      else
+        s"(($px >> $i) & 1) * $ex + (($sy >> $i) & 1) * $ey"
+    }.mkString(" + ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Z-order clustering effectiveness report -------------------------
+    // The layout decision for a fact table probed on TWO keys: linear
+    // order (sorted by l_partkey) gives perfect partkey pruning and NO
+    // suppkey pruning (every file spans the whole suppkey domain);
+    // z-order interleaves the bits of both keys so each of the 64 files
+    // covers a bounded rectangle of the (partkey, suppkey) grid. The
+    // report computes, per layout and per key, the mean normalized
+    // min/max span of the 64 files — exactly the expected fraction of
+    // files a point query on that key must scan given footer-stats
+    // pruning. A pipeline reads this before committing a 100 TB rewrite.
+    //
+    // Scale shape: one max() broadcast (two grid bounds), one map pass
+    // to compute the 32-term interleave, and a 64-row rollup per layout.
+    // File assignment is equi-width on the z value — the range-partition
+    // function a real z-order writer shuffles by — so NO global sort
+    // appears anywhere. Exact integers until one final double divide.
+    QueryDef("q153_zorder_layout", (s, d) => {
+      val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val mx = li.agg(max("l_partkey").as("maxpk"), max("l_suppkey").as("maxsk"))
+      val rows = li.crossJoin(broadcast(mx))
+        .withColumn("px", expr("l_partkey * 65536L div (maxpk + 1)"))
+        .withColumn("sy", expr("l_suppkey * 65536L div (maxsk + 1)"))
+        .withColumn("z", expr(zTerms("px", "sy", sparkSide = true)))
+        .withColumn("zfile", expr(s"z div ${1L << 26}L"))
+        .withColumn("linfile", expr("px div 1024L"))
+      def spans(fileCol: String, layout: String) =
+        rows.groupBy(col(fileCol).as("file"))
+          .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+            min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(expr("pmx - pmn + 1L")).as("pspan"),
+            sum(expr("smx - smn + 1L")).as("sspan"))
+          .crossJoin(broadcast(mx))
+          .select(lit(layout).as("layout"), col("n_files"),
+            (col("pspan").cast("double") / (col("n_files") * (col("maxpk") + 1)))
+              .as("avg_part_span"),
+            (col("sspan").cast("double") / (col("n_files") * (col("maxsk") + 1)))
+              .as("avg_supp_span"))
+      spans("zfile", "zorder").union(spans("linfile", "linear"))
+        .orderBy("layout")
+    },
+      Some(s"""WITH mx AS (
+             |  SELECT max(l_partkey) AS maxpk, max(l_suppkey) AS maxsk
+             |  FROM lineitem),
+             |r AS MATERIALIZED (
+             |  SELECT l_partkey, l_suppkey, px, sy,
+             |    ${zTerms("px", "sy", sparkSide = false)} AS z
+             |  FROM (
+             |    SELECT l_partkey, l_suppkey,
+             |      l_partkey * 65536 // (maxpk + 1) AS px,
+             |      l_suppkey * 65536 // (maxsk + 1) AS sy
+             |    FROM lineitem, mx)),
+             |f AS MATERIALIZED (
+             |  SELECT 'zorder' AS layout, z // ${1L << 26} AS file,
+             |    l_partkey, l_suppkey FROM r
+             |  UNION ALL
+             |  SELECT 'linear' AS layout, px // 1024 AS file,
+             |    l_partkey, l_suppkey FROM r),
+             |g AS (
+             |  SELECT layout, file,
+             |    min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+             |    min(l_suppkey) AS smn, max(l_suppkey) AS smx
+             |  FROM f GROUP BY layout, file)
+             |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(CAST(sum(pmx - pmn + 1) AS BIGINT) AS DOUBLE)
+             |    / (CAST(count(*) AS BIGINT) * (maxpk + 1)) AS avg_part_span,
+             |  CAST(CAST(sum(smx - smn + 1) AS BIGINT) AS DOUBLE)
+             |    / (CAST(count(*) AS BIGINT) * (maxsk + 1)) AS avg_supp_span
+             |FROM g, mx GROUP BY layout, maxpk, maxsk ORDER BY layout""".stripMargin)),
+
+    // ---- Small-file compaction plan (Next-Fit shelf packing) -------------
+    // Ingest leaves one fragment per (source, lang) micro-batch; the
+    // planner assigns fragments to output bins of ~target size by
+    // cumulative-size bucketing in manifest order: bin = floor(bytes
+    // written before this file / target). That is Next-Fit packing as a
+    // PREFIX SUM — no sequential driver loop, no sort by size — and it
+    // preserves manifest order, so each bin stays a contiguous
+    // (source, lang) range and the compacted files keep their partition
+    // locality. A file larger than the target gets a bin of its own
+    // (shelf packing never splits a file). The window runs over the
+    // manifest (one row per FILE — ~hundreds of rows when the corpus is
+    // 100 TB), never over the corpus.
+    QueryDef("q154_compaction_plan", (s, d) => {
+      val files = t(s, d, "documents").groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_bytes"))
+      val w = Window.orderBy("source", "lang")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      files
+        .withColumn("cum_before", coalesce(sum("file_bytes").over(w), lit(0L)))
+        .withColumn("bin", expr("cum_before div 32768L"))
+        .select("source", "lang", "n_docs", "file_bytes", "bin")
+        .orderBy("source", "lang")
+    },
+      Some("""WITH files AS (
+             |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS file_bytes
+             |  FROM documents GROUP BY source, lang),
+             |planned AS (
+             |  SELECT source, lang, n_docs, file_bytes,
+             |    COALESCE(SUM(file_bytes) OVER (ORDER BY source, lang
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |      0) AS cum_before
+             |  FROM files)
+             |SELECT source, lang, n_docs, file_bytes,
+             |  cum_before // 32768 AS bin
+             |FROM planned ORDER BY source, lang""".stripMargin)),
+  )
+}

@@ -1061,6 +1061,56 @@ object Text {
              |  CAST(sum(length(w)) AS DOUBLE) / sum(n_sub) AS chars_per_subword
              |FROM e JOIN seg USING (w)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- Inverted-index build (posting lists, delta-encoded) -------------
+    // The IR-side index structure: per token, document frequency,
+    // collection frequency, and the HEAD of the sorted posting list
+    // (first 20 doc ids) delta-encoded — the varint-friendly form a real
+    // index shard serializes. The head is ranked by the exact int64
+    // bottom-k aggregator, NOT collect_list-then-sort: a stop word's
+    // posting list is the size of the corpus, so per-group state must be
+    // bounded (O(k) buffer, map-side partials) for the build to survive
+    // 100 TB. df/cf stay full-corpus counts (O(1) state). Two keyed
+    // aggregations + a token-keyed join of two token-sized tables.
+    QueryDef("q155_inverted_index", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val posting = t(s, d, "documents")
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      val stats = posting.groupBy("token")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val bottomk = new graft.functions.BottomKLongAgg(20).toColumn
+      val heads = posting.select(col("token"), col("doc_id")).as[(String, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._2))
+        .agg(bottomk.name("top"))
+        .toDF("token", "top")
+        .select(col("token"), transform(col("top"), p => p.getField("_1")).as("p"))
+      stats.join(heads, "token")
+        .withColumn("deltas", zip_with(col("p"),
+          concat(array(lit(0L)), slice(col("p"), lit(1), size(col("p")) - 1)),
+          (a, b) => a - b))
+        .select(col("token"), col("df"), col("cf"),
+          array_join(transform(col("deltas"), x => x.cast("string")), ",")
+            .as("postings_delta_csv"))
+        .orderBy("token")
+    },
+      Some("""WITH pl AS MATERIALIZED (
+             |  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |        FROM documents)
+             |  GROUP BY token, doc_id),
+             |agg AS (
+             |  SELECT token, CAST(count(*) AS BIGINT) AS df,
+             |    CAST(sum(tf) AS BIGINT) AS cf,
+             |    (list(doc_id ORDER BY doc_id))[1:20] AS p
+             |  FROM pl GROUP BY token)
+             |SELECT token, df, cf,
+             |  array_to_string(list_transform(range(1, len(p) + 1),
+             |    i -> CAST(p[i] - (CASE WHEN i = 1 THEN 0 ELSE p[i - 1] END)
+             |      AS VARCHAR)), ',') AS postings_delta_csv
+             |FROM agg ORDER BY token""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

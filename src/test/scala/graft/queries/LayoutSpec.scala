@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Layout family (q153/q154) + the index/ER additions (q155/q156):
+  * the laws the hash oracle can't see — that z-order actually BUYS
+  * multi-key pruning, that the compaction plan respects packing
+  * invariants, that delta-encoded postings decode to the true sorted
+  * head, and that blocked fuzzy ER finds a planted typo.
+  */
+class LayoutSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q153: z-order prunes the second key, linear cannot") {
+    val r = SparkEntry.queries("q153_zorder_layout")(spark, sfDir).collect()
+      .map(x => x.getString(0) -> (x.getDouble(2), x.getDouble(3))).toMap
+    val (linPart, linSupp) = r("linear")
+    val (zPart, zSupp) = r("zorder")
+    // linear: near-perfect partkey locality, zero suppkey pruning
+    assert(linPart < 0.1 && linSupp > 0.99)
+    // z-order: BOTH keys prune — bounded rectangles, not stripes
+    assert(zSupp < 0.5 * linSupp, s"zorder supp span $zSupp vs linear $linSupp")
+    assert(zPart < 0.5, s"zorder part span $zPart not bounded")
+  }
+
+  test("q154: bins are contiguous in manifest order and respect the target") {
+    val plan = SparkEntry.queries("q154_compaction_plan")(spark, sfDir)
+      .orderBy("source", "lang").collect()
+    val bins = plan.map(_.getLong(4))
+    // monotone non-decreasing: Next-Fit never reopens a shelf
+    assert(bins.zip(bins.tail).forall { case (a, b) => a <= b })
+    // a bin holding >1 file STARTED under the target (files can straddle,
+    // but a second file only lands in a bin whose prefix was < target)
+    val byBin = plan.groupBy(_.getLong(4))
+    byBin.foreach { case (_, files) =>
+      if (files.length > 1) {
+        val sizes = files.map(_.getLong(3))
+        // all but the last file fit within one target width of the start
+        assert(sizes.init.sum < 32768L,
+          s"bin packs ${sizes.mkString(",")} beyond one target width")
+      }
+    }
+  }
+
+  test("q155: delta-encoded heads decode to the true 20 smallest postings") {
+    val got = SparkEntry.queries("q155_inverted_index")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val truth = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(collect_set(col("doc_id")).as("ids"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Long](1).sorted.take(20)).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (tok, csv) =>
+      val decoded = csv.split(",").map(_.toLong)
+        .scanLeft(0L)(_ + _).drop(1).toSeq // undo delta encoding
+      assert(decoded == truth(tok), s"postings for '$tok' decode wrong")
+      assert(decoded == decoded.sorted, s"postings for '$tok' not ascending")
+    }
+  }
+
+  test("q156: blocked ER finds a planted one-edit typo and nothing cross-block") {
+    import spark.implicits._
+    val part = graft.Tables.load(spark, sfDir, "part")
+    // plant a typo'd clone of part 0 under a fresh key: same brand/size/
+    // noun (same block), name one substitution away
+    val row0 = part.filter(col("p_partkey") === 0).head()
+    val name0 = row0.getString(part.columns.indexOf("p_name"))
+    val typo = name0.updated(0, if (name0(0) == 'x') 'y' else 'x')
+    val extra = part.filter(col("p_partkey") === 0)
+      .withColumn("p_partkey", lit(900000L))
+      .withColumn("p_name", lit(typo))
+    val p = part.unionByName(extra)
+    val pairs = p.select(col("p_partkey").as("part_a"), col("p_name").as("name_a"),
+        element_at(split(col("p_name"), " "), 2).as("noun"), col("p_brand"), col("p_size"))
+      .join(p.select(col("p_partkey").as("part_b"), col("p_name").as("name_b"),
+        element_at(split(col("p_name"), " "), 2).as("noun"), col("p_brand"), col("p_size")),
+        Seq("noun", "p_brand", "p_size"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+    assert(pairs.filter(col("part_a") === 0 && col("part_b") === 900000L).count() == 1)
+    // block soundness: every reported pair shares the full blocking key
+    val bad = pairs.join(p.select(col("p_partkey").as("part_a"),
+        col("p_brand").as("ba"), col("p_size").as("sa")), "part_a")
+      .join(p.select(col("p_partkey").as("part_b"),
+        col("p_brand").as("bb"), col("p_size").as("sb")), "part_b")
+      .filter(col("ba") =!= col("bb") || col("sa") =!= col("sb"))
+    assert(bad.count() == 0)
+  }
+}
