@@ -1937,5 +1937,69 @@ object Similarity {
              |  CAST(count(a.n_id) AS DOUBLE) / 10 AS recall_at_10
              |FROM ex e LEFT JOIN adc a ON e.q_id = a.q_id AND e.n_id = a.n_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
+    // ---- Triangle counting + clustering coefficients on the kNN graph ----
+    // The graph-quality readout over the q137 index: per node, its
+    // undirected degree, triangle count, and local clustering
+    // coefficient 2T/(d(d-1)). A navigable small-world graph needs real
+    // transitivity (neighbors-of-neighbors reconnect); a coefficient
+    // collapse says the candidate generator produced a star/bipartite
+    // artifact that beam search cannot traverse. Classic distributed
+    // shape: symmetrize, then count each triangle once as an ordered
+    // wedge a<b<c closed by a third edge — two equi-joins whose cost is
+    // sum-of-degrees-squared, BOUNDED here because the graph is
+    // degree-bounded by construction (<= 12), so the whole count is
+    // O(144·n) pairs however large the corpus: the degree bound is what
+    // makes graph analytics affordable at 100 TB. One double division
+    // per node at the end.
+    QueryDef("q158_triangle_count", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings"))
+      val e = g.select(least(col("node"), col("nbr")).as("a"),
+        greatest(col("node"), col("nbr")).as("b")).distinct()
+      val deg = e.select(col("a").as("node"))
+        .union(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      val tri = w.as("w").join(e.as("e3"),
+        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+        .select("w.a", "w.b", "w.c")
+      val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      deg.join(perNode, Seq("node"), "left")
+        .select(col("node"), col("degree"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          when(col("degree") >= 2,
+            (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+              (col("degree") * (col("degree") - 1)))
+            .otherwise(lit(0.0)).as("clustering"))
+        .orderBy("node")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+             |  FROM graph),
+             |degs AS MATERIALIZED (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+             |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY node),
+             |tri AS MATERIALIZED (
+             |  SELECT e1.a, e1.b, e2.b AS c
+             |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+             |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |pern AS MATERIALIZED (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+             |    SELECT a AS node FROM tri
+             |    UNION ALL SELECT b FROM tri
+             |    UNION ALL SELECT c FROM tri)
+             |  GROUP BY node)
+             |SELECT d.node, d.degree,
+             |  COALESCE(p.n_triangles, 0) AS n_triangles,
+             |  CASE WHEN d.degree >= 2
+             |    THEN CAST(COALESCE(p.n_triangles, 0) * 2 AS DOUBLE)
+             |      / (d.degree * (d.degree - 1))
+             |    ELSE 0.0 END AS clustering
+             |FROM degs d LEFT JOIN pern p ON d.node = p.node
+             |ORDER BY d.node""".stripMargin)),
   )
 }

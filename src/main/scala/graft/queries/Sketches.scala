@@ -25,6 +25,21 @@ import graft.{QueryDef, Tables}
 object Sketches {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** KMV numerator (k-1)·M for k=64. M is the EXACT size of the window
+    * hash's range — h131·2^31 + (h137 mod 2^31) with h131 < 2^32-5, so
+    * M = (2^32-5)·2^31 (see ArrayExprs.windowHashes), not a rounded
+    * power of two: the estimator is M-sensitive at the 1e-9 level but
+    * the hash-match oracle is sensitive to the last bit. Computed once
+    * in Scala and interpolated into BOTH engines so the double constant
+    * is bit-identical (shortest round-trip repr). Declared BEFORE
+    * `defs`: object vals initialize in source order and a forward
+    * reference would interpolate 0.0 into the oracle. */
+  private val kmvNum: Double = 63.0 * (4294967291L << 31).toDouble
+
+  private def sqlKmvEst(ks: String): String =
+    s"""CASE WHEN len($ks) < 64 THEN CAST(len($ks) AS DOUBLE)
+       |    ELSE $kmvNum / CAST($ks[64] AS DOUBLE) END""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- HyperLogLog++ distinct counting ---------------------------------
@@ -216,5 +231,79 @@ object Sketches {
              |JOIN cms c2 ON c2.i = 2 AND c2.s = (top.h // 1048576) % 1024
              |JOIN cms c3 ON c3.i = 3 AND c3.s = (top.h // 1073741824) % 1024
              |ORDER BY exact_n DESC, token""".stripMargin)),
+
+    // ---- KMV (k-minimum-values) sketch: distinct + INTERSECTION ----------
+    // The sketch that closes the gap HLL leaves: HLL unions but cannot
+    // intersect, and pairwise content overlap between sources is exactly
+    // what a curation pipeline asks before merging crawls (q97 is the
+    // exact twin — it shuffles every shingle; this is its O(k)-per-source
+    // sketch). KMV keeps the k=64 smallest 62-bit shingle hashes per
+    // source: distinct ≈ (k-1)·M/h_k, and because a KMV sketch of a
+    // union is computable from the two sketches (k smallest of the
+    // merge), Jaccard ≈ |union-sketch ∩ A_k ∩ B_k|/k gives the
+    // intersection estimate — sketch algebra, no corpus rescan. Like
+    // q146's CMS (and unlike HLL's opaque internals), every value here
+    // derives from the shared 62-bit hashes, so the WHOLE sketch —
+    // estimates included — hash-matches the oracle bit for bit.
+    // Scale shape: per-source state is O(k) via the bounded bottom-k
+    // aggregator (map-side partials — this is a mergeable sketch, the
+    // same merge a streaming twin would run); the pairwise table is
+    // sources², a catalog-bounded rollup, never corpus². SketchesSpec
+    // bounds the estimation error against exact counts.
+    QueryDef("q157_kmv_overlap", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val hs = t(s, d, "documents")
+        .select(col("source"), explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+        .distinct()
+      val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
+      val sk = hs.as[(String, Long)].groupByKey(_._1)
+        .mapValues(r => (r._2, r._2))
+        .agg(bottomk.name("kp"))
+        .toDF("source", "kp")
+        .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
+      def estOf(ks: Column) =
+        when(size(ks) < 64, size(ks).cast("double"))
+          .otherwise(lit(kmvNum) / element_at(ks, 64).cast("double"))
+      val a = sk.select(col("source").as("source_a"), col("ks").as("ka"))
+      val b = sk.select(col("source").as("source_b"), col("ks").as("kb"))
+      a.join(broadcast(b), col("source_a") < col("source_b"))
+        .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))), 1, 64))
+        .withColumn("ic",
+          size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))))
+        .select(col("source_a"), col("source_b"),
+          estOf(col("ka")).as("est_a"), estOf(col("kb")).as("est_b"),
+          estOf(col("ku")).as("est_union"),
+          (col("ic").cast("double") / size(col("ku"))).as("jaccard_est"),
+          ((col("ic").cast("double") / size(col("ku"))) * estOf(col("ku")))
+            .as("est_intersection"))
+        .orderBy("source_a", "source_b")
+    },
+      Some(s"""WITH hs AS MATERIALIZED (
+             |  SELECT DISTINCT d.source, x.h
+             |  FROM (${Dedup.sqlDocHashedShingles}) x
+             |  JOIN documents d USING (doc_id)),
+             |sk AS MATERIALIZED (
+             |  SELECT source, (list(h ORDER BY h))[1:64] AS ks
+             |  FROM hs GROUP BY source),
+             |p AS MATERIALIZED (
+             |  SELECT a.source AS source_a, b.source AS source_b,
+             |    a.ks AS ka, b.ks AS kb,
+             |    (list_sort(list_distinct(a.ks || b.ks)))[1:64] AS ku
+             |  FROM sk a JOIN sk b ON a.source < b.source),
+             |q AS MATERIALIZED (
+             |  SELECT source_a, source_b, ka, kb, ku,
+             |    len(list_filter(ku,
+             |      x -> list_contains(ka, x) AND list_contains(kb, x))) AS ic
+             |  FROM p)
+             |SELECT source_a, source_b,
+             |  ${sqlKmvEst("ka")} AS est_a,
+             |  ${sqlKmvEst("kb")} AS est_b,
+             |  ${sqlKmvEst("ku")} AS est_union,
+             |  CAST(ic AS DOUBLE) / len(ku) AS jaccard_est,
+             |  (CAST(ic AS DOUBLE) / len(ku)) * ${sqlKmvEst("ku")}
+             |    AS est_intersection
+             |FROM q ORDER BY source_a, source_b""".stripMargin)),
   )
 }

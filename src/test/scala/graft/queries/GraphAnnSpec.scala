@@ -120,4 +120,28 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     val pages = res.groupBy("q_id").agg(count(lit(1)).as("n"))
     assert(pages.filter(col("n") =!= 10).count() == 0)
   }
+
+  test("q158: triangle counts match an in-memory brute force on the same graph") {
+    val res = SparkEntry.queries("q158_triangle_count")(spark, sfDir).collect()
+    // independent recount: collect the symmetrized edge set and count
+    // closed wedges directly (500 nodes, degree-bounded, fits trivially)
+    val g = Similarity.knnGraph(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val und = g.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nbrs = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triOf = nbrs.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count(p => und.contains(
+        (math.min(p(0), p(1)), math.max(p(0), p(1)))))
+    }
+    res.foreach { r =>
+      val (node, deg, tri, cc) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg == nbrs(node).size, s"degree mismatch at $node")
+      assert(tri == triOf(node).toLong, s"triangle mismatch at $node")
+      assert(cc >= 0.0 && cc <= 1.0, s"clustering out of range at $node")
+    }
+    // global identity: per-node triangle counts sum to 3x total
+    assert(res.map(_.getLong(2)).sum % 3 == 0)
+  }
 }

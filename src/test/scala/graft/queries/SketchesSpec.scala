@@ -83,4 +83,29 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     val worstRel = rows.map(r => r.getLong(3).toDouble / r.getLong(1)).max
     assert(worstRel <= 1.0, s"relative overestimate $worstRel")
   }
+
+  test("q157: KMV estimates land inside sketch-theory error bounds") {
+    // KMV with k=64 has relative standard error ~ 1/sqrt(k-1) = 12.6%
+    // on distinct counts; everything is deterministic, so these pins
+    // guard the estimator arithmetic (hash domain size M, the (k-1)/h_k
+    // form, the union-sketch jaccard), not luck
+    val got = graft.SparkEntry.queries("q157_kmv_overlap")(spark, sfDir).cache()
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val hs = docs.select(col("source"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+      .distinct()
+    val exact = hs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val errs = got.collect().flatMap { r =>
+      Seq(math.abs(r.getDouble(2) - exact(r.getString(0))) / exact(r.getString(0)),
+        math.abs(r.getDouble(3) - exact(r.getString(1))) / exact(r.getString(1)))
+    }
+    assert(errs.sum / errs.length < 0.25, s"mean rel err ${errs.sum / errs.length}")
+    assert(errs.max < 0.8, s"max rel err ${errs.max}")
+    // jaccard estimates live in [0,1]; intersection <= min marginal est
+    got.collect().foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getDouble(6) <= math.min(r.getDouble(2), r.getDouble(3)) * 1.5)
+    }
+  }
 }
