@@ -592,5 +592,118 @@ object Events {
              |FROM slots
              |WHERE ts >= w_start AND ts < w_start + INTERVAL '1 hour'
              |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin)),
+
+    // ---- SCD type-2 dimension build (event-sourced history) --------------
+    // The warehouse-side CDC consumer: collapse each user's property
+    // stream (the JSON `k` prop, the q32 extraction) into type-2 history
+    // rows — one row per VALUE CHANGE with [valid_from, valid_to)
+    // microsecond intervals, a per-user version number, and an
+    // is_current flag on the open interval. Change detection is a lag()
+    // comparison, interval closing a lead() — two window passes over one
+    // user_id shuffle, the q31 sessionize shape: keyed by a
+    // high-cardinality column, so it scales like any grouped aggregation
+    // (no corpus window). Ties on ts break on event_id, total order.
+    QueryDef("q159_scd2_history", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val e = t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("pk", lag("k", 1).over(w))
+      e.filter(col("pk").isNull || col("k") =!= col("pk"))
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_to_us", lead("us", 1).over(w))
+        .select(col("user_id"), col("version"), col("k"),
+          col("us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+        .orderBy("user_id", "version")
+    },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events),
+             |c AS MATERIALIZED (
+             |  SELECT user_id, event_id, us, k,
+             |    lag(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pk
+             |  FROM e),
+             |ch AS MATERIALIZED (
+             |  SELECT user_id, event_id, us, k FROM c
+             |  WHERE pk IS NULL OR k != pk)
+             |SELECT user_id,
+             |  CAST(row_number() OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS INTEGER) AS version,
+             |  k, us AS valid_from_us,
+             |  lead(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS valid_to_us,
+             |  (lead(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id)) IS NULL AS is_current
+             |FROM ch ORDER BY user_id, version""".stripMargin)),
+
+    // ---- Item co-occurrence similarity (collaborative filtering) ---------
+    // The recommendation-side projection of a user x item interaction
+    // log: items (the `k` prop) that the same users touch, scored by
+    // co-occurrence cosine n_co / sqrt(n_a * n_b). The scale hazard in
+    // this shape is the POWER USER — a user with a million items emits a
+    // million² pairs from the self-join — so every basket is capped at
+    // 20 items first, chosen by deterministic hash rank (the bounded
+    // bottom-k aggregator again: O(cap) state per user, map-side
+    // partials), the standard practice in production co-occurrence
+    // pipelines. After the cap the pair matrix is bounded by
+    // catalog² and each user contributes at most C(20,2) = 190 pairs.
+    QueryDef("q162_cooccur_items", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val items = t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select(col("user_id"), col("k").cast("long").as("item"))
+        .distinct()
+      val bottomk = new graft.functions.BottomKLongAgg(20).toColumn
+      val capped = items
+        .select(col("user_id"), Sampling.lehmer(col("item")).as("hk"), col("item"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(bottomk.name("top"))
+        .toDF("user_id", "top")
+        .select(col("user_id"), explode(col("top")).as("t"))
+        .select(col("user_id"), col("t._2").as("item"))
+      val n = capped.groupBy("item").agg(count(lit(1)).as("n_users"))
+      val co = capped.as("x")
+        .join(capped.as("y"),
+          col("x.user_id") === col("y.user_id") && col("x.item") < col("y.item"))
+        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+        .agg(count(lit(1)).as("n_co"))
+        .filter(col("n_co") >= 2)
+      co.join(n.select(col("item").as("item_a"), col("n_users").as("n_a")), "item_a")
+        .join(n.select(col("item").as("item_b"), col("n_users").as("n_b")), "item_b")
+        .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"), col("n_b"),
+          (col("n_co").cast("double") /
+            sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
+        .orderBy("item_a", "item_b")
+    },
+      Some(s"""WITH it AS MATERIALIZED (
+             |  SELECT DISTINCT user_id,
+             |    CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)
+             |      AS BIGINT) AS item
+             |  FROM events),
+             |rk AS MATERIALIZED (
+             |  SELECT user_id, item FROM (
+             |    SELECT user_id, item,
+             |      row_number() OVER (PARTITION BY user_id
+             |        ORDER BY ${Sampling.sqlLehmerOf("item")}, item) AS rn
+             |    FROM it)
+             |  WHERE rn <= 20),
+             |n AS MATERIALIZED (
+             |  SELECT item, CAST(count(*) AS BIGINT) AS n_users
+             |  FROM rk GROUP BY item),
+             |co AS MATERIALIZED (
+             |  SELECT x.item AS item_a, y.item AS item_b,
+             |    CAST(count(*) AS BIGINT) AS n_co
+             |  FROM rk x JOIN rk y
+             |    ON x.user_id = y.user_id AND x.item < y.item
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT item_a, item_b, n_co, na.n_users AS n_a, nb.n_users AS n_b,
+             |  CAST(n_co AS DOUBLE) / sqrt(CAST(na.n_users * nb.n_users AS DOUBLE))
+             |    AS cosine
+             |FROM co JOIN n na ON item_a = na.item JOIN n nb ON item_b = nb.item
+             |ORDER BY item_a, item_b""".stripMargin)),
   )
 }

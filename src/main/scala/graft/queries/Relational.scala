@@ -669,5 +669,52 @@ object Relational {
              |WHERE o_orderpriority = '1-URGENT'
              |  AND o_orderdate >= TIMESTAMP '1998-01-01'
              |GROUP BY month(o_orderdate) ORDER BY omonth""".stripMargin)),
+
+    // ---- ANALYZE: per-column statistics collection -----------------------
+    // The engine-maintenance operator behind every optimizer estimate
+    // (and behind the reference's `.stat` sidecar files — sources/
+    // Stats.scala reads them; this is the collector that would write
+    // them): exact NDV, null count, and min/max per column, emitted as
+    // one catalog row per column. Single scan — the 24 aggregates
+    // compute in one pass and `stack` pivots the 1-row result into the
+    // catalog shape, so collecting stats on a 100 TB table costs exactly
+    // one read. Exact NDV (not HLL) keeps the row hash-matchable; the
+    // sketch twin for stats at scale is q33's attested HLL.
+    QueryDef("q160_table_stats", (s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_returnflag", "l_linestatus")
+      val aggs = cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c"))
+      }
+      val stackArgs = cols.map(c =>
+        s"'$c', ndv_$c, nn_$c, mn_$c, mx_$c").mkString(", ")
+      t(s, d, "lineitem")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
+          "(column_name, ndv, n_nulls, min_s, max_s)"))
+        .orderBy("column_name")
+    },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_returnflag", "l_linestatus")
+        val aggs = cols.map(c =>
+          s"""count(DISTINCT $c) AS ndv_$c,
+             |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS nn_$c,
+             |    CAST(min($c) AS VARCHAR) AS mn_$c,
+             |    CAST(max($c) AS VARCHAR) AS mx_$c""".stripMargin).mkString(",\n    ")
+        val rows = cols.map(c =>
+          s"SELECT '$c' AS column_name, ndv_$c AS ndv, nn_$c AS n_nulls, " +
+            s"mn_$c AS min_s, mx_$c AS max_s FROM a").mkString("\n  UNION ALL ")
+        s"""WITH a AS MATERIALIZED (
+           |  SELECT $aggs
+           |  FROM lineitem)
+           |SELECT * FROM (
+           |  $rows)
+           |ORDER BY column_name""".stripMargin
+      }),
   )
 }

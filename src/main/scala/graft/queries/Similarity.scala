@@ -2001,5 +2001,81 @@ object Similarity {
              |    ELSE 0.0 END AS clustering
              |FROM degs d LEFT JOIN pern p ON d.node = p.node
              |ORDER BY d.node""".stripMargin)),
+
+    // ---- Personalized PageRank over the kNN graph (graph diffusion) ------
+    // The "more like these, transitively" expansion a curation pipeline
+    // runs from a seed set: 3 unrolled power iterations of
+    // p' = 0.15·e_q + 0.85·Pᵀp per anchor, in FIXED-POINT int64 (R=1e9
+    // mass units; per-edge flow = (val·85) div (100·outdeg), floor
+    // division, so every intermediate is an exact integer and the whole
+    // diffusion hash-matches — the q93/q118 unrolled-iteration pattern
+    // applied to a graph walk). Beam search (q138) follows best-first
+    // edges; PPR weights ALL paths by length-discounted mass — it finds
+    // hub-connected items the beam never visits. Scale shape per
+    // iteration: one (node)-keyed equi-join of the frontier against the
+    // degree-bounded edge list (≤ 12 flows per frontier row) and one
+    // (q_id, node) sum — linear in frontier size, anchors bounded by the
+    // q48 contract. Truncation after 3 hops is deliberate: 0.85³ of the
+    // mass is still in flight and that tail is the same on both engines.
+    QueryDef("q161_ppr", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings"))
+        .select(col("node"), col("nbr")).localCheckpoint()
+      val outdeg = g.groupBy("node").agg(count(lit(1)).as("deg"))
+      val ge = g.join(outdeg, "node")
+      val anchors = quantized(s, d).filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"))
+      val teleport = anchors.select(col("q_id"), col("q_id").as("node"),
+        lit(150000000L).as("val"))
+      var p = anchors.select(col("q_id"), col("q_id").as("node"),
+        lit(1000000000L).as("val"))
+      for (_ <- 1 to 3) {
+        val flows = p.join(ge, "node")
+          .select(col("q_id"), col("nbr").as("node"),
+            expr("(val * 85) div (100 * deg)").as("val"))
+        p = flows.union(teleport)
+          .groupBy("q_id", "node").agg(sum("val").as("val"))
+      }
+      val w = Window.partitionBy("q_id").orderBy(col("val").desc, col("node").asc)
+      p.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank").cast("int").as("rank"),
+          col("node"), col("val").as("ppr_scaled"))
+        .orderBy("q_id", "rank")
+    },
+      Some {
+        def iter(prev: String, f: String, next: String) =
+          s"""$f AS MATERIALIZED (
+             |  SELECT p.q_id, g.nbr AS node,
+             |    CAST(SUM((p.val * 85) // (100 * od.deg)) AS BIGINT) AS val
+             |  FROM $prev p JOIN graph g ON p.node = g.node
+             |  JOIN od ON p.node = od.node
+             |  GROUP BY 1, 2),
+             |$next AS MATERIALIZED (
+             |  SELECT q_id, node, CAST(SUM(val) AS BIGINT) AS val FROM (
+             |    SELECT q_id, node, val FROM $f
+             |    UNION ALL
+             |    SELECT q_id, q_id AS node, CAST(150000000 AS BIGINT) AS val
+             |    FROM qs)
+             |  GROUP BY 1, 2)""".stripMargin
+        s"""WITH ${sqlGraphCtes(12, 64, 2)},
+           |od AS MATERIALIZED (
+           |  SELECT node, CAST(count(*) AS BIGINT) AS deg
+           |  FROM graph GROUP BY node),
+           |qs AS MATERIALIZED (
+           |  SELECT vec_id AS q_id FROM n WHERE vec_id < $pqAnchors),
+           |p0 AS MATERIALIZED (
+           |  SELECT q_id, q_id AS node, CAST(1000000000 AS BIGINT) AS val
+           |  FROM qs),
+           |${iter("p0", "f1", "p1")},
+           |${iter("p1", "f2", "p2")},
+           |${iter("p2", "f3", "p3")}
+           |SELECT q_id, CAST(rank AS INTEGER) AS rank, node, val AS ppr_scaled
+           |FROM (
+           |  SELECT q_id, node, val,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY val DESC, node ASC) AS rank
+           |  FROM p3)
+           |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+      }),
   )
 }

