@@ -664,6 +664,52 @@ object Curation {
              |SELECT status, CAST(count(*) AS BIGINT) AS n_ids,
              |  min(id) AS min_id, max(id) AS max_id
              |FROM j GROUP BY status ORDER BY status""".stripMargin)),
+
+    // ---- Temperature-scaled source mixing weights ------------------------
+    // The multilingual/multi-source sampling rule used when assembling a
+    // training mix: raw source shares p_s get flattened to p_s^alpha so
+    // low-resource sources are up-sampled (alpha=1 keeps the natural
+    // mix, alpha=0 is uniform). alpha is pinned at 0.5 because sqrt is
+    // the one power IEEE-754 requires CORRECTLY ROUNDED — pow(x, 0.7)
+    // has no cross-engine bit guarantee, sqrt does, so the whole weight
+    // table hash-matches. The normalizer is a LEFT FOLD over the
+    // source-ordered weight list (Spark `aggregate`, DuckDB
+    // `list_reduce` — both sequential in list order), never a
+    // parallel-summation double aggregate, so association order is
+    // pinned on both engines. Shape: one per-source rollup (catalog
+    // rows), a 1-row broadcast of the fold, one map pass.
+    QueryDef("q165_temperature_mix", (s, d) => {
+      val bySrc = t(s, d, "documents").groupBy("source")
+        .agg(sum("n_chars").as("src_bytes"), count(lit(1)).as("n_docs"))
+      val z = bySrc
+        .agg(collect_list(struct(col("source"), sqrt(col("src_bytes").cast("double"))
+          .as("w"))).as("ws"),
+          sum("src_bytes").as("total_bytes"))
+        .select(aggregate(transform(array_sort(col("ws")), x => x.getField("w")),
+          lit(0.0), (acc, x) => acc + x).as("z"), col("total_bytes"))
+      bySrc.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("src_bytes"),
+          (sqrt(col("src_bytes").cast("double")) / col("z")).as("weight"),
+          ((sqrt(col("src_bytes").cast("double")) / col("z")) *
+            col("total_bytes") / col("src_bytes")).as("sample_mult"))
+        .orderBy("source")
+    },
+      Some("""WITH bysrc AS MATERIALIZED (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_bytes,
+             |    CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY source),
+             |z AS MATERIALIZED (
+             |  SELECT list_reduce(
+             |      list_prepend(CAST(0 AS DOUBLE),
+             |        list(sqrt(CAST(src_bytes AS DOUBLE)) ORDER BY source)),
+             |      (a, b) -> a + b) AS z,
+             |    CAST(sum(src_bytes) AS BIGINT) AS total_bytes
+             |  FROM bysrc)
+             |SELECT source, n_docs, src_bytes,
+             |  sqrt(CAST(src_bytes AS DOUBLE)) / z AS weight,
+             |  (sqrt(CAST(src_bytes AS DOUBLE)) / z) * total_bytes / src_bytes
+             |    AS sample_mult
+             |FROM bysrc, z ORDER BY source""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

@@ -71,6 +71,52 @@ object Events {
         col("roll_n"), col("roll_sum"), col("roll_max"))
   }
 
+  /** SCD2 inputs: (user_id, event_id, us, k) from the raw event stream —
+    * the q32 JSON extraction + exact microseconds. */
+  private def scd2Prep(ev: DataFrame): DataFrame =
+    ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("us", unix_micros(col("ts")))
+      .select("user_id", "event_id", "us", "k")
+
+  /** Type-2 history over a prepared event set — shared by the full build
+    * (q159) and the incremental merge (q163), so the two can't drift. */
+  private def scd2Of(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    e.withColumn("pk", lag("k", 1).over(w))
+      .filter(col("pk").isNull || col("k") =!= col("pk"))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .withColumn("valid_to_us", lead("us", 1).over(w))
+      .select(col("user_id"), col("version"), col("k"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Shared oracle for the SCD2 family: q163's incremental merge must
+    * produce EXACTLY the full rebuild, so both queries verify against
+    * this one statement — the strongest possible statement of the
+    * incremental-maintenance law. */
+  private val sqlScd2 =
+    """WITH e AS MATERIALIZED (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+      |  FROM events),
+      |c AS MATERIALIZED (
+      |  SELECT user_id, event_id, us, k,
+      |    lag(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pk
+      |  FROM e),
+      |ch AS MATERIALIZED (
+      |  SELECT user_id, event_id, us, k FROM c
+      |  WHERE pk IS NULL OR k != pk)
+      |SELECT user_id,
+      |  CAST(row_number() OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS INTEGER) AS version,
+      |  k, us AS valid_from_us,
+      |  lead(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id) AS valid_to_us,
+      |  (lead(us) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id)) IS NULL AS is_current
+      |FROM ch ORDER BY user_id, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -603,40 +649,33 @@ object Events {
     // user_id shuffle, the q31 sessionize shape: keyed by a
     // high-cardinality column, so it scales like any grouped aggregation
     // (no corpus window). Ties on ts break on event_id, total order.
-    QueryDef("q159_scd2_history", (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      val e = t(s, d, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("pk", lag("k", 1).over(w))
-      e.filter(col("pk").isNull || col("k") =!= col("pk"))
-        .withColumn("version", row_number().over(w).cast("int"))
-        .withColumn("valid_to_us", lead("us", 1).over(w))
-        .select(col("user_id"), col("version"), col("k"),
-          col("us").as("valid_from_us"), col("valid_to_us"),
-          col("valid_to_us").isNull.as("is_current"))
-        .orderBy("user_id", "version")
+    QueryDef("q159_scd2_history", (s, d) =>
+      scd2Of(scd2Prep(t(s, d, "events"))).orderBy("user_id", "version"),
+      Some(sqlScd2)),
+
+    // ---- Incremental SCD2 maintenance (the MERGE form) -------------------
+    // The production form of q159: history exists, a new event batch
+    // lands, and the warehouse must NOT rebuild 100 TB of history — it
+    // recomputes only the TOUCHED users (the batch's user set, a
+    // left-semi prune on the partition key) and unions untouched history
+    // through unchanged (left-anti). Cutoff = midpoint of the observed
+    // time range (a 1-row broadcast), so the demo splits deterministically
+    // at every SF. The incremental-maintenance LAW — merge(old, batch) ==
+    // full rebuild — is stated in the strongest way available: this query
+    // verifies against the SAME oracle statement as q159.
+    QueryDef("q163_scd2_merge", (s, d) => {
+      val ev = scd2Prep(t(s, d, "events"))
+      val cut = ev.agg(expr("(min(us) + max(us)) div 2").as("cut"))
+      val evb = ev.crossJoin(broadcast(cut))
+      val oldEv = evb.filter(col("us") <= col("cut")).drop("cut")
+      val batch = evb.filter(col("us") > col("cut")).drop("cut")
+      val touched = batch.select("user_id").distinct()
+      val untouched = scd2Of(oldEv)
+        .join(touched, Seq("user_id"), "left_anti")
+      val rebuilt = scd2Of(ev.join(touched, Seq("user_id"), "left_semi"))
+      untouched.union(rebuilt).orderBy("user_id", "version")
     },
-      Some("""WITH e AS MATERIALIZED (
-             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
-             |  FROM events),
-             |c AS MATERIALIZED (
-             |  SELECT user_id, event_id, us, k,
-             |    lag(k) OVER (PARTITION BY user_id ORDER BY us, event_id) AS pk
-             |  FROM e),
-             |ch AS MATERIALIZED (
-             |  SELECT user_id, event_id, us, k FROM c
-             |  WHERE pk IS NULL OR k != pk)
-             |SELECT user_id,
-             |  CAST(row_number() OVER (PARTITION BY user_id
-             |    ORDER BY us, event_id) AS INTEGER) AS version,
-             |  k, us AS valid_from_us,
-             |  lead(us) OVER (PARTITION BY user_id
-             |    ORDER BY us, event_id) AS valid_to_us,
-             |  (lead(us) OVER (PARTITION BY user_id
-             |    ORDER BY us, event_id)) IS NULL AS is_current
-             |FROM ch ORDER BY user_id, version""".stripMargin)),
+      Some(sqlScd2)),
 
     // ---- Item co-occurrence similarity (collaborative filtering) ---------
     // The recommendation-side projection of a user x item interaction

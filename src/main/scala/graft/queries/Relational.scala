@@ -716,5 +716,67 @@ object Relational {
            |  $rows)
            |ORDER BY column_name""".stripMargin
       }),
+
+    // ---- Join-cardinality estimation attestation -------------------------
+    // What the q160 stats are FOR: the textbook equi-join estimate
+    // |R ⋈ S| ≈ |R|·|S| / max(ndv_R(k), ndv_S(k)) (uniformity +
+    // containment assumptions — the formula every cost-based optimizer
+    // runs), computed from collected stats and attested against the true
+    // join count. The ratio column is the estimator's error — the signal
+    // that decides when an optimizer must fall back to sampling or
+    // runtime re-planning (AQE). Exact integer arithmetic (floor-div
+    // estimate), one double divide for the ratio. Scale: three stats
+    // scans + the three real joins (the attestation cost; production
+    // reads the stats catalog instead).
+    QueryDef("q164_join_cardinality", (s, d) => {
+      val li = t(s, d, "lineitem")
+      def caseOf(name: String, left: org.apache.spark.sql.DataFrame,
+          lk: String, right: org.apache.spark.sql.DataFrame, rk: String) = {
+        val stats = left.agg(count(lit(1)).as("n_left"),
+            countDistinct(col(lk)).as("ndv_left"))
+          .crossJoin(right.agg(count(lit(1)).as("n_right"),
+            countDistinct(col(rk)).as("ndv_right")))
+        val actual = left.join(right, col(lk) === col(rk))
+          .agg(count(lit(1)).as("actual_rows"))
+        stats.crossJoin(actual)
+          .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+            col("ndv_left"), col("ndv_right"),
+            expr("(n_left * n_right) div greatest(ndv_left, ndv_right)")
+              .as("est_rows"),
+            col("actual_rows"),
+            (col("actual_rows").cast("double") /
+              expr("(n_left * n_right) div greatest(ndv_left, ndv_right)"))
+              .as("ratio"))
+      }
+      caseOf("lineitem_orders", li, "l_orderkey",
+          t(s, d, "orders"), "o_orderkey")
+        .union(caseOf("lineitem_part", li, "l_partkey",
+          t(s, d, "part"), "p_partkey"))
+        .union(caseOf("lineitem_supplier", li, "l_suppkey",
+          t(s, d, "supplier"), "s_suppkey"))
+        .orderBy("join_name")
+    },
+      Some {
+        def c(name: String, lt: String, lk: String, rt: String, rk: String) =
+          s"""SELECT '$name' AS join_name, n_left, n_right, ndv_left,
+             |  ndv_right,
+             |  (n_left * n_right) // greatest(ndv_left, ndv_right) AS est_rows,
+             |  actual_rows,
+             |  CAST(actual_rows AS DOUBLE)
+             |    / ((n_left * n_right) // greatest(ndv_left, ndv_right)) AS ratio
+             |FROM (SELECT CAST(count(*) AS BIGINT) AS n_left,
+             |        CAST(count(DISTINCT $lk) AS BIGINT) AS ndv_left FROM $lt),
+             |     (SELECT CAST(count(*) AS BIGINT) AS n_right,
+             |        CAST(count(DISTINCT $rk) AS BIGINT) AS ndv_right FROM $rt),
+             |     (SELECT CAST(count(*) AS BIGINT) AS actual_rows
+             |      FROM $lt JOIN $rt ON $lk = $rk)""".stripMargin
+        s"""SELECT * FROM (
+           |${c("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey")}
+           |UNION ALL
+           |${c("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey")}
+           |UNION ALL
+           |${c("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")})
+           |ORDER BY join_name""".stripMargin
+      }),
   )
 }

