@@ -46,13 +46,20 @@ final class TopKAgg(k: Int)
   * oracle) stays exact. Same scale shape: partial-aggregable O(k) buffer,
   * the exchange carries k rows per (group, task) instead of every
   * candidate.
+  *
+  * SET semantics: an exact duplicate (score, id) pair is inserted once.
+  * Every ranking consumer feeds unique pairs anyway (ids are unique per
+  * group), and it makes the buffer a true KMV sketch — the k smallest
+  * DISTINCT hashes — so the streaming twin can run it over a raw stream
+  * without a cross-batch distinct (Streams.kmvSketches).
   */
 final class BottomKLongAgg(k: Int)
     extends Aggregator[(Long, Long), List[(Long, Long)], Seq[(Long, Long)]] {
 
   private def insert(buf: List[(Long, Long)], x: (Long, Long)): List[(Long, Long)] = {
-    // ascending score, ascending id; list stays sorted and <= k long
+    // ascending score, ascending id; list stays sorted, distinct, <= k long
     val (better, rest) = buf.span(b => b._1 < x._1 || (b._1 == x._1 && b._2 < x._2))
+    if (rest.headOption.contains(x)) return buf
     val merged = better ::: (x :: rest)
     if (merged.length > k) merged.take(k) else merged
   }

@@ -91,12 +91,12 @@ object Events {
         col("valid_to_us").isNull.as("is_current"))
   }
 
-  /** Shared oracle for the SCD2 family: q163's incremental merge must
-    * produce EXACTLY the full rebuild, so both queries verify against
-    * this one statement — the strongest possible statement of the
-    * incremental-maintenance law. */
-  private val sqlScd2 =
-    """WITH e AS MATERIALIZED (
+  /** SCD2 history as a reusable CTE chain ending in
+    * `hist(user_id, version, k, valid_from_us, valid_to_us, is_current)`
+    * — shared by q159/q163 (whose oracle is one SELECT over it) and the
+    * q166 point-in-time join. */
+  private val sqlScd2Ctes =
+    """e AS MATERIALIZED (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
       |  FROM events),
@@ -106,16 +106,26 @@ object Events {
       |  FROM e),
       |ch AS MATERIALIZED (
       |  SELECT user_id, event_id, us, k FROM c
-      |  WHERE pk IS NULL OR k != pk)
-      |SELECT user_id,
-      |  CAST(row_number() OVER (PARTITION BY user_id
-      |    ORDER BY us, event_id) AS INTEGER) AS version,
-      |  k, us AS valid_from_us,
-      |  lead(us) OVER (PARTITION BY user_id
-      |    ORDER BY us, event_id) AS valid_to_us,
-      |  (lead(us) OVER (PARTITION BY user_id
-      |    ORDER BY us, event_id)) IS NULL AS is_current
-      |FROM ch ORDER BY user_id, version""".stripMargin
+      |  WHERE pk IS NULL OR k != pk),
+      |hist AS MATERIALIZED (
+      |  SELECT user_id,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS INTEGER) AS version,
+      |    k, us AS valid_from_us,
+      |    lead(us) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id) AS valid_to_us,
+      |    (lead(us) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id)) IS NULL AS is_current
+      |  FROM ch)""".stripMargin
+
+  /** Shared oracle for the SCD2 family: q163's incremental merge must
+    * produce EXACTLY the full rebuild, so both queries verify against
+    * this one statement — the strongest possible statement of the
+    * incremental-maintenance law. */
+  private val sqlScd2 =
+    s"""WITH $sqlScd2Ctes
+       |SELECT user_id, version, k, valid_from_us, valid_to_us, is_current
+       |FROM hist ORDER BY user_id, version""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -744,5 +754,107 @@ object Events {
              |    AS cosine
              |FROM co JOIN n na ON item_a = na.item JOIN n nb ON item_b = nb.item
              |ORDER BY item_a, item_b""".stripMargin)),
+
+    // ---- Point-in-time feature join (feature-store training set) ---------
+    // The leakage-safe training-set assembly rule: each label row (here,
+    // purchase events) joins the feature value that was VALID AT THE
+    // LABEL'S TIMESTAMP — never the current one, which would leak the
+    // future into training. Features come from the q159 SCD2 history;
+    // the join is an equi-join on the entity key with an interval
+    // residual (us ∈ [valid_from, valid_to)), the q142 shape — keyed and
+    // shuffle-bounded, never an unkeyed interval cross. Intervals tile
+    // (WarehouseSpec law), so each label matches exactly one version.
+    QueryDef("q166_pit_features", (s, d) => {
+      val hist = scd2Of(scd2Prep(t(s, d, "events")))
+      val labels = t(s, d, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      labels.join(hist, Seq("user_id"))
+        .filter(col("us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("us") < col("valid_to_us")))
+        .select(col("event_id"), col("user_id"), col("us"), col("value"),
+          col("k").as("k_at_label"), col("version"))
+        .orderBy("event_id")
+    },
+      Some(s"""WITH $sqlScd2Ctes,
+             |lab AS MATERIALIZED (
+             |  SELECT event_id, user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT l.event_id, l.user_id, l.us, l.value,
+             |  h.k AS k_at_label, h.version
+             |FROM lab l JOIN hist h ON l.user_id = h.user_id
+             |WHERE l.us >= h.valid_from_us
+             |  AND (h.valid_to_us IS NULL OR l.us < h.valid_to_us)
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // ---- Negative sampling with exclusion (contrastive training) ---------
+    // The other half of the q162/q119 training-pair story: per user, 5
+    // pseudo-random NON-interacted items. Candidates are deterministic
+    // hash draws (15 per user, Lehmer over user⊕draw-index, mapped onto
+    // the ranked item catalog), the exclusion is a left-anti join
+    // against the interaction set, survivors keep their draw order.
+    // Rejection sampling without resampling loops: a bounded
+    // over-draw (3x) makes a short fill astronomically unlikely yet
+    // keeps per-user work CONSTANT — the property that lets the same
+    // plan run on a 10^9-user log. Catalog windows (item ranking) run
+    // over catalog rows only.
+    QueryDef("q167_negative_samples", (s, d) => {
+      val inter = t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .select(col("user_id"), col("k").cast("long").as("item"))
+        .distinct()
+      val items = inter.select("item").distinct()
+      val ranked = items
+        .withColumn("rn",
+          row_number().over(Window.orderBy("item")).cast("long"))
+      val nItems = items.agg(count(lit(1)).as("n_items"))
+      val wSel = Window.partitionBy("user_id").orderBy("i", "item")
+      inter.select("user_id").distinct()
+        .select(col("user_id"), explode(sequence(lit(0L), lit(14L))).as("i"))
+        .crossJoin(broadcast(nItems))
+        .withColumn("rn",
+          pmod(Sampling.lehmer(col("user_id") * lit(131L) + col("i")),
+            col("n_items")) + lit(1L))
+        .join(broadcast(ranked), "rn")
+        .join(inter, Seq("user_id", "item"), "left_anti")
+        .groupBy("user_id", "item").agg(min("i").as("i"))
+        .withColumn("neg_rank", row_number().over(wSel).cast("int"))
+        .filter(col("neg_rank") <= 5)
+        .select(col("user_id"), col("neg_rank"), col("item"))
+        .orderBy("user_id", "neg_rank")
+    },
+      Some(s"""WITH it AS MATERIALIZED (
+             |  SELECT DISTINCT user_id,
+             |    CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)
+             |      AS BIGINT) AS item
+             |  FROM events),
+             |items AS MATERIALIZED (SELECT DISTINCT item FROM it),
+             |ranked AS MATERIALIZED (
+             |  SELECT item, CAST(row_number() OVER (ORDER BY item) AS BIGINT) AS rn
+             |  FROM items),
+             |ni AS (SELECT CAST(count(*) AS BIGINT) AS n_items FROM items),
+             |cand AS MATERIALIZED (
+             |  SELECT u.user_id, s.i,
+             |    (${Sampling.sqlLehmerOf("(u.user_id * 131 + s.i)")}) % ni.n_items
+             |      + 1 AS rn
+             |  FROM (SELECT DISTINCT user_id FROM it) u,
+             |       range(0, 15) s(i), ni),
+             |mapped AS MATERIALIZED (
+             |  SELECT c.user_id, c.i, r.item
+             |  FROM cand c JOIN ranked r ON c.rn = r.rn),
+             |surv AS MATERIALIZED (
+             |  SELECT m.user_id, m.item, min(m.i) AS i
+             |  FROM mapped m
+             |  WHERE NOT EXISTS (SELECT 1 FROM it
+             |    WHERE it.user_id = m.user_id AND it.item = m.item)
+             |  GROUP BY m.user_id, m.item)
+             |SELECT user_id, CAST(neg_rank AS INTEGER) AS neg_rank, item FROM (
+             |  SELECT user_id, item,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY i, item) AS neg_rank
+             |  FROM surv)
+             |WHERE neg_rank <= 5 ORDER BY user_id, neg_rank""".stripMargin)),
   )
 }

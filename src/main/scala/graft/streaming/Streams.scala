@@ -203,6 +203,28 @@ object Streams {
     * equal the batch sketch over everything ingested so far
     * (spec-asserted). Probing for estimates is the same 4-row min as
     * the batch side, done against the sink table. */
+  /** Streaming twin of the batch q157 KMV sketch build: per source, the
+    * running set of the k=64 smallest 62-bit shingle hashes.
+    * BottomKLongAgg's merge IS the KMV sketch union (set semantics, so
+    * duplicate hashes across micro-batches collapse exactly like the
+    * batch side's distinct()), state is <= 64 pairs per source forever,
+    * and at any instant the materialized sketch equals the batch sketch
+    * over everything ingested so far (spec-asserted). Distinct-count /
+    * overlap estimates derive from the sink table exactly as q157
+    * derives them from the batch sketch. */
+  def kmvSketches(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
+    docs.select(col("source"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+      .as[(String, Long)].groupByKey(_._1)
+      .mapValues(r => (r._2, r._2))
+      .agg(bottomk.name("kp"))
+      .toDF("source", "kp")
+      .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
+  }
+
   def heavyHitterCounters(docs: DataFrame): DataFrame = {
     val toks = docs.select(explode(split(col("text"), " ")).as("t"))
       .withColumn("h", element_at(

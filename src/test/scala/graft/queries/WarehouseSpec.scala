@@ -118,4 +118,37 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
       assert(mult > 0.0)
     }
   }
+
+  test("q166: every label row gets exactly one point-in-time feature, no leakage") {
+    val pit = SparkEntry.queries("q166_pit_features")(spark, sfDir).cache()
+    val purchases = Tables.load(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+    // one feature row per label — intervals tile, so no dup/loss
+    assert(pit.count() == purchases.count())
+    assert(pit.select("event_id").distinct().count() == purchases.count())
+    // no leakage: the joined version's valid_from never exceeds the
+    // label timestamp (checked via the history join itself)
+    val hist = SparkEntry.queries("q159_scd2_history")(spark, sfDir)
+      .select(col("user_id"), col("version"), col("valid_from_us"))
+    val bad = pit.join(hist, Seq("user_id", "version"))
+      .filter(col("valid_from_us") > col("us"))
+    assert(bad.count() == 0, "a feature from the future leaked into a label")
+  }
+
+  test("q167: negatives are truly non-interacted, capped at 5, deterministic") {
+    val neg = SparkEntry.queries("q167_negative_samples")(spark, sfDir).cache()
+    val inter = Tables.load(spark, sfDir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(col("user_id"), col("k").cast("long").as("item"))
+      .distinct()
+    // exclusion law: no sampled pair exists in the interaction set
+    assert(neg.join(inter, Seq("user_id", "item"), "left_semi").count() == 0)
+    // cap and rank contiguity
+    val per = neg.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max("neg_rank").as("mx"))
+    assert(per.filter(col("n") > 5).count() == 0)
+    assert(per.filter(col("mx") =!= col("n")).count() == 0)
+    // determinism across runs (fresh build, same rows)
+    assertSameRows(neg, SparkEntry.queries("q167_negative_samples")(spark, sfDir))
+  }
 }

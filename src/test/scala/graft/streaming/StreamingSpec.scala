@@ -217,6 +217,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming KMV sketches equal the batch sketch over the ingested corpus") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("kmv-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = Streams.kmvSketches(incoming)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // the twin contract: bottom-k set-merge is the KMV sketch union, so
+    // the running sketch equals the batch sketch cell for cell and the
+    // q157 estimates derived from it are identical
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"), posexplode(col("ks")).as(Seq("i", "h")))
+    val got = flat(spark.table("kmv_out"))
+    val want = flat(Streams.kmvSketches(docs))
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+    // per-source sketch never exceeds k
+    assert(spark.table("kmv_out")
+      .filter(size(col("ks")) > 64).count() == 0)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
