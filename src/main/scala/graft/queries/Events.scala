@@ -78,6 +78,10 @@ object Events {
       .withColumn("us", unix_micros(col("ts")))
       .select("user_id", "event_id", "us", "k")
 
+  /** Full SCD2 build from raw events — the q159 body, exposed for the
+    * scale probe (history cost must scale with events, not users²). */
+  def scd2History(ev: DataFrame): DataFrame = scd2Of(scd2Prep(ev))
+
   /** Type-2 history over a prepared event set — shared by the full build
     * (q159) and the incremental merge (q163), so the two can't drift. */
   private def scd2Of(e: DataFrame): DataFrame = {
@@ -126,6 +130,38 @@ object Events {
     s"""WITH $sqlScd2Ctes
        |SELECT user_id, version, k, valid_from_us, valid_to_us, is_current
        |FROM hist ORDER BY user_id, version""".stripMargin
+
+  /** Item co-occurrence with power-user capping — the q162 body, exposed
+    * for the scale probe (pair volume must stay bounded by cap²·users). */
+  def cooccurItems(ev: DataFrame): DataFrame = {
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val items = ev
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(col("user_id"), col("k").cast("long").as("item"))
+      .distinct()
+    val bottomk = new graft.functions.BottomKLongAgg(20).toColumn
+    val capped = items
+      .select(col("user_id"), Sampling.lehmer(col("item")).as("hk"), col("item"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1).mapValues(r => (r._2, r._3))
+      .agg(bottomk.name("top"))
+      .toDF("user_id", "top")
+      .select(col("user_id"), explode(col("top")).as("t"))
+      .select(col("user_id"), col("t._2").as("item"))
+    val n = capped.groupBy("item").agg(count(lit(1)).as("n_users"))
+    val co = capped.as("x")
+      .join(capped.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= 2)
+    co.join(n.select(col("item").as("item_a"), col("n_users").as("n_a")), "item_a")
+      .join(n.select(col("item").as("item_b"), col("n_users").as("n_b")), "item_b")
+      .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"), col("n_b"),
+        (col("n_co").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -660,7 +696,7 @@ object Events {
     // high-cardinality column, so it scales like any grouped aggregation
     // (no corpus window). Ties on ts break on event_id, total order.
     QueryDef("q159_scd2_history", (s, d) =>
-      scd2Of(scd2Prep(t(s, d, "events"))).orderBy("user_id", "version"),
+      scd2History(t(s, d, "events")).orderBy("user_id", "version"),
       Some(sqlScd2)),
 
     // ---- Incremental SCD2 maintenance (the MERGE form) -------------------
@@ -698,36 +734,8 @@ object Events {
     // partials), the standard practice in production co-occurrence
     // pipelines. After the cap the pair matrix is bounded by
     // catalog² and each user contributes at most C(20,2) = 190 pairs.
-    QueryDef("q162_cooccur_items", (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val items = t(s, d, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .select(col("user_id"), col("k").cast("long").as("item"))
-        .distinct()
-      val bottomk = new graft.functions.BottomKLongAgg(20).toColumn
-      val capped = items
-        .select(col("user_id"), Sampling.lehmer(col("item")).as("hk"), col("item"))
-        .as[(Long, Long, Long)]
-        .groupByKey(_._1).mapValues(r => (r._2, r._3))
-        .agg(bottomk.name("top"))
-        .toDF("user_id", "top")
-        .select(col("user_id"), explode(col("top")).as("t"))
-        .select(col("user_id"), col("t._2").as("item"))
-      val n = capped.groupBy("item").agg(count(lit(1)).as("n_users"))
-      val co = capped.as("x")
-        .join(capped.as("y"),
-          col("x.user_id") === col("y.user_id") && col("x.item") < col("y.item"))
-        .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
-        .agg(count(lit(1)).as("n_co"))
-        .filter(col("n_co") >= 2)
-      co.join(n.select(col("item").as("item_a"), col("n_users").as("n_a")), "item_a")
-        .join(n.select(col("item").as("item_b"), col("n_users").as("n_b")), "item_b")
-        .select(col("item_a"), col("item_b"), col("n_co"), col("n_a"), col("n_b"),
-          (col("n_co").cast("double") /
-            sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
-        .orderBy("item_a", "item_b")
-    },
+    QueryDef("q162_cooccur_items", (s, d) =>
+      cooccurItems(t(s, d, "events")).orderBy("item_a", "item_b"),
       Some(s"""WITH it AS MATERIALIZED (
              |  SELECT DISTINCT user_id,
              |    CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)

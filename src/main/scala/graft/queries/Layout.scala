@@ -39,6 +39,34 @@ object Layout {
         s"(($px >> $i) & 1) * $ex + (($sy >> $i) & 1) * $ey"
     }.mkString(" + ")
 
+  /** Z-order vs linear layout pruning report — the q153 body, exposed
+    * for the scale probe (one broadcast, one map pass, 64-row rollups —
+    * must scale linearly with the fact table). */
+  def zorderReport(lineitem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val li = lineitem.select("l_partkey", "l_suppkey")
+    val mx = li.agg(max("l_partkey").as("maxpk"), max("l_suppkey").as("maxsk"))
+    val rows = li.crossJoin(broadcast(mx))
+      .withColumn("px", expr("l_partkey * 65536L div (maxpk + 1)"))
+      .withColumn("sy", expr("l_suppkey * 65536L div (maxsk + 1)"))
+      .withColumn("z", expr(zTerms("px", "sy", sparkSide = true)))
+      .withColumn("zfile", expr(s"z div ${1L << 26}L"))
+      .withColumn("linfile", expr("px div 1024L"))
+    def spans(fileCol: String, layout: String) =
+      rows.groupBy(col(fileCol).as("file"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(expr("pmx - pmn + 1L")).as("pspan"),
+          sum(expr("smx - smn + 1L")).as("sspan"))
+        .crossJoin(broadcast(mx))
+        .select(lit(layout).as("layout"), col("n_files"),
+          (col("pspan").cast("double") / (col("n_files") * (col("maxpk") + 1)))
+            .as("avg_part_span"),
+          (col("sspan").cast("double") / (col("n_files") * (col("maxsk") + 1)))
+            .as("avg_supp_span"))
+    spans("zfile", "zorder").union(spans("linfile", "linear"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Z-order clustering effectiveness report -------------------------
@@ -57,31 +85,8 @@ object Layout {
     // File assignment is equi-width on the z value — the range-partition
     // function a real z-order writer shuffles by — so NO global sort
     // appears anywhere. Exact integers until one final double divide.
-    QueryDef("q153_zorder_layout", (s, d) => {
-      val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
-      val mx = li.agg(max("l_partkey").as("maxpk"), max("l_suppkey").as("maxsk"))
-      val rows = li.crossJoin(broadcast(mx))
-        .withColumn("px", expr("l_partkey * 65536L div (maxpk + 1)"))
-        .withColumn("sy", expr("l_suppkey * 65536L div (maxsk + 1)"))
-        .withColumn("z", expr(zTerms("px", "sy", sparkSide = true)))
-        .withColumn("zfile", expr(s"z div ${1L << 26}L"))
-        .withColumn("linfile", expr("px div 1024L"))
-      def spans(fileCol: String, layout: String) =
-        rows.groupBy(col(fileCol).as("file"))
-          .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
-            min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
-          .agg(count(lit(1)).as("n_files"),
-            sum(expr("pmx - pmn + 1L")).as("pspan"),
-            sum(expr("smx - smn + 1L")).as("sspan"))
-          .crossJoin(broadcast(mx))
-          .select(lit(layout).as("layout"), col("n_files"),
-            (col("pspan").cast("double") / (col("n_files") * (col("maxpk") + 1)))
-              .as("avg_part_span"),
-            (col("sspan").cast("double") / (col("n_files") * (col("maxsk") + 1)))
-              .as("avg_supp_span"))
-      spans("zfile", "zorder").union(spans("linfile", "linear"))
-        .orderBy("layout")
-    },
+    QueryDef("q153_zorder_layout", (s, d) =>
+      zorderReport(t(s, d, "lineitem")).orderBy("layout"),
       Some(s"""WITH mx AS (
              |  SELECT max(l_partkey) AS maxpk, max(l_suppkey) AS maxsk
              |  FROM lineitem),
@@ -147,5 +152,81 @@ object Layout {
              |SELECT source, lang, n_docs, file_bytes,
              |  cum_before // 32768 AS bin
              |FROM planned ORDER BY source, lang""".stripMargin)),
+
+    // ---- Join-key skew diagnosis report ----------------------------------
+    // The decision input for salting / AQE skew-join handling: per
+    // candidate shuffle key, the key-count distribution (exact p50/p99/
+    // max selected by RANK over the key-count table — a distribution
+    // table of n_keys rows, never the corpus), the imbalance factor
+    // max/avg (the straggler multiplier a plain hash-partition would
+    // suffer), and the top-3 heavy keys. An imbalance near 1 says hash
+    // partitioning is fine; 10x says salt or let AQE split — this report
+    // is how that call gets made BEFORE burning a 100 TB shuffle.
+    // Exact integers until the single imbalance divide.
+    QueryDef("q168_skew_report", (s, d) => {
+      def statsFor(df: org.apache.spark.sql.DataFrame, keyCol: String,
+          name: String) = {
+        val cnt = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("c"))
+        val ranked = cnt.withColumn("rn",
+          row_number().over(Window.orderBy(col("c"), col("key"))))
+        val base = cnt.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_c"))
+        val p50 = ranked.crossJoin(broadcast(base))
+          .filter(col("rn") === expr("(n_keys + 1) div 2"))
+          .select(col("c").as("p50_c"))
+        val p99 = ranked.crossJoin(broadcast(base))
+          .filter(col("rn") === expr("(n_keys * 99 + 99) div 100"))
+          .select(col("c").as("p99_c"))
+        val top = cnt
+          .orderBy(col("c").desc, col("key")).limit(3)
+          .agg(array_join(transform(
+            array_sort(collect_list(struct((-col("c")).as("nc"), col("key")))),
+            x => concat(x.getField("key").cast("string"), lit(":"),
+              (-x.getField("nc")).cast("string"))), ",").as("top_keys"))
+        base.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+          .crossJoin(broadcast(top))
+          .select(lit(name).as("join_key"), col("n_keys"), col("n_rows"),
+            col("p50_c"), col("p99_c"), col("max_c"),
+            (col("max_c").cast("double") * col("n_keys") / col("n_rows"))
+              .as("imbalance"),
+            col("top_keys"))
+      }
+      statsFor(t(s, d, "lineitem"), "l_partkey", "lineitem.l_partkey")
+        .union(statsFor(t(s, d, "lineitem"), "l_suppkey", "lineitem.l_suppkey"))
+        .union(statsFor(t(s, d, "orders"), "o_custkey", "orders.o_custkey"))
+        .orderBy("join_key")
+    },
+      Some {
+        def c(table: String, key: String, name: String) =
+          s"""SELECT '$name' AS join_key, n_keys, n_rows, p50_c, p99_c, max_c,
+             |  CAST(max_c AS DOUBLE) * n_keys / n_rows AS imbalance,
+             |  top_keys
+             |FROM
+             |  (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |     CAST(sum(c) AS BIGINT) AS n_rows,
+             |     CAST(max(c) AS BIGINT) AS max_c
+             |   FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key)),
+             |  (SELECT CAST(c AS BIGINT) AS p50_c FROM (
+             |     SELECT c, row_number() OVER (ORDER BY c, $key) AS rn,
+             |       count(*) OVER () AS nk
+             |     FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key))
+             |   WHERE rn = (nk + 1) // 2),
+             |  (SELECT CAST(c AS BIGINT) AS p99_c FROM (
+             |     SELECT c, row_number() OVER (ORDER BY c, $key) AS rn,
+             |       count(*) OVER () AS nk
+             |     FROM (SELECT $key, count(*) AS c FROM $table GROUP BY $key))
+             |   WHERE rn = (nk * 99 + 99) // 100),
+             |  (SELECT string_agg(CAST($key AS VARCHAR) || ':' || CAST(c AS VARCHAR),
+             |     ',' ORDER BY c DESC, $key) AS top_keys
+             |   FROM (SELECT $key, CAST(count(*) AS BIGINT) AS c FROM $table
+             |         GROUP BY $key ORDER BY c DESC, $key LIMIT 3))""".stripMargin
+        s"""SELECT * FROM (
+           |${c("lineitem", "l_partkey", "lineitem.l_partkey")}
+           |UNION ALL
+           |${c("lineitem", "l_suppkey", "lineitem.l_suppkey")}
+           |UNION ALL
+           |${c("orders", "o_custkey", "orders.o_custkey")})
+           |ORDER BY join_key""".stripMargin
+      }),
   )
 }

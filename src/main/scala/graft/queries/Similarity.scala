@@ -862,6 +862,62 @@ object Similarity {
        |    FROM subn n JOIN cb2 c ON n.sub = c.sub)
        |  WHERE rn = 1)""".stripMargin
 
+  /** Per-node triangle counts + clustering coefficients on the
+    * symmetrized [[knnGraph]] — the q158 body, exposed for the scale
+    * probe. Cost bound: ordered-wedge joins over a degree-bounded edge
+    * set, O(degree² · n) pairs at any corpus size. */
+  def triangleStats(emb: DataFrame): DataFrame = {
+    val g = knnGraph(emb)
+    val e = g.select(least(col("node"), col("nbr")).as("a"),
+      greatest(col("node"), col("nbr")).as("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+    val tri = w.as("w").join(e.as("e3"),
+      col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
+      .select("w.a", "w.b", "w.c")
+    val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("degree") >= 2,
+          (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
+            (col("degree") * (col("degree") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Personalized PageRank over [[knnGraph]] — the q161 body, exposed
+    * for the scale probe. 3 fixed-point int64 power iterations; per
+    * iteration one frontier×edges equi-join (≤ degree flows per row)
+    * and one keyed sum. */
+  def pprTopK(emb: DataFrame, anchors: Int = pqAnchors, iters: Int = 3,
+      k: Int = 10): DataFrame = {
+    val g = knnGraph(emb).select(col("node"), col("nbr")).localCheckpoint()
+    val outdeg = g.groupBy("node").agg(count(lit(1)).as("deg"))
+    val ge = g.join(outdeg, "node")
+    val anchorIds = quantize(emb).filter(col("vec_id") < anchors)
+      .select(col("vec_id").as("q_id"))
+    val teleport = anchorIds.select(col("q_id"), col("q_id").as("node"),
+      lit(150000000L).as("val"))
+    var p = anchorIds.select(col("q_id"), col("q_id").as("node"),
+      lit(1000000000L).as("val"))
+    for (_ <- 1 to iters) {
+      val flows = p.join(ge, "node")
+        .select(col("q_id"), col("nbr").as("node"),
+          expr("(val * 85) div (100 * deg)").as("val"))
+      p = flows.union(teleport)
+        .groupBy("q_id", "node").agg(sum("val").as("val"))
+    }
+    val w = Window.partitionBy("q_id").orderBy(col("val").desc, col("node").asc)
+    p.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("int").as("rank"),
+        col("node"), col("val").as("ppr_scaled"))
+  }
+
   /** ADC scoring + ranking oracle suffix (expects [[sqlPqCtes]] before
     * it): per-anchor lookup table over cb2, partial-d2 sum per (anchor,
     * corpus vector), rank ascending. */
@@ -1952,29 +2008,8 @@ object Similarity {
     // O(144·n) pairs however large the corpus: the degree bound is what
     // makes graph analytics affordable at 100 TB. One double division
     // per node at the end.
-    QueryDef("q158_triangle_count", (s, d) => {
-      val g = knnGraph(t(s, d, "embeddings"))
-      val e = g.select(least(col("node"), col("nbr")).as("a"),
-        greatest(col("node"), col("nbr")).as("b")).distinct()
-      val deg = e.select(col("a").as("node"))
-        .union(e.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
-      val w = e.as("e1").join(e.as("e2"), col("e1.b") === col("e2.a"))
-        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
-      val tri = w.as("w").join(e.as("e3"),
-        col("w.a") === col("e3.a") && col("w.c") === col("e3.b"))
-        .select("w.a", "w.b", "w.c")
-      val perNode = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-      deg.join(perNode, Seq("node"), "left")
-        .select(col("node"), col("degree"),
-          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-          when(col("degree") >= 2,
-            (coalesce(col("n_triangles"), lit(0L)) * 2).cast("double") /
-              (col("degree") * (col("degree") - 1)))
-            .otherwise(lit(0.0)).as("clustering"))
-        .orderBy("node")
-    },
+    QueryDef("q158_triangle_count", (s, d) =>
+      triangleStats(t(s, d, "embeddings")).orderBy("node"),
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |und AS MATERIALIZED (
              |  SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
@@ -2017,31 +2052,8 @@ object Similarity {
     // (q_id, node) sum — linear in frontier size, anchors bounded by the
     // q48 contract. Truncation after 3 hops is deliberate: 0.85³ of the
     // mass is still in flight and that tail is the same on both engines.
-    QueryDef("q161_ppr", (s, d) => {
-      val g = knnGraph(t(s, d, "embeddings"))
-        .select(col("node"), col("nbr")).localCheckpoint()
-      val outdeg = g.groupBy("node").agg(count(lit(1)).as("deg"))
-      val ge = g.join(outdeg, "node")
-      val anchors = quantized(s, d).filter(col("vec_id") < pqAnchors)
-        .select(col("vec_id").as("q_id"))
-      val teleport = anchors.select(col("q_id"), col("q_id").as("node"),
-        lit(150000000L).as("val"))
-      var p = anchors.select(col("q_id"), col("q_id").as("node"),
-        lit(1000000000L).as("val"))
-      for (_ <- 1 to 3) {
-        val flows = p.join(ge, "node")
-          .select(col("q_id"), col("nbr").as("node"),
-            expr("(val * 85) div (100 * deg)").as("val"))
-        p = flows.union(teleport)
-          .groupBy("q_id", "node").agg(sum("val").as("val"))
-      }
-      val w = Window.partitionBy("q_id").orderBy(col("val").desc, col("node").asc)
-      p.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("q_id"), col("rank").cast("int").as("rank"),
-          col("node"), col("val").as("ppr_scaled"))
-        .orderBy("q_id", "rank")
-    },
+    QueryDef("q161_ppr", (s, d) =>
+      pprTopK(t(s, d, "embeddings")).orderBy("q_id", "rank"),
       Some {
         def iter(prev: String, f: String, next: String) =
           s"""$f AS MATERIALIZED (

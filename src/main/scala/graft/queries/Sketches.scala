@@ -40,6 +40,38 @@ object Sketches {
     s"""CASE WHEN len($ks) < 64 THEN CAST(len($ks) AS DOUBLE)
        |    ELSE $kmvNum / CAST($ks[64] AS DOUBLE) END""".stripMargin
 
+  /** Pairwise KMV source-overlap estimates — the q157 body, exposed for
+    * the scale probe (per-source state O(k), pair table sources²). */
+  def kmvOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hs = docs
+      .select(col("source"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+      .distinct()
+    val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
+    val sk = hs.as[(String, Long)].groupByKey(_._1)
+      .mapValues(r => (r._2, r._2))
+      .agg(bottomk.name("kp"))
+      .toDF("source", "kp")
+      .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
+    def estOf(ks: Column) =
+      when(size(ks) < 64, size(ks).cast("double"))
+        .otherwise(lit(kmvNum) / element_at(ks, 64).cast("double"))
+    val a = sk.select(col("source").as("source_a"), col("ks").as("ka"))
+    val b = sk.select(col("source").as("source_b"), col("ks").as("kb"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))), 1, 64))
+      .withColumn("ic",
+        size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))))
+      .select(col("source_a"), col("source_b"),
+        estOf(col("ka")).as("est_a"), estOf(col("kb")).as("est_b"),
+        estOf(col("ku")).as("est_union"),
+        (col("ic").cast("double") / size(col("ku"))).as("jaccard_est"),
+        ((col("ic").cast("double") / size(col("ku"))) * estOf(col("ku")))
+          .as("est_intersection"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- HyperLogLog++ distinct counting ---------------------------------
@@ -250,36 +282,8 @@ object Sketches {
     // same merge a streaming twin would run); the pairwise table is
     // sources², a catalog-bounded rollup, never corpus². SketchesSpec
     // bounds the estimation error against exact counts.
-    QueryDef("q157_kmv_overlap", (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val hs = t(s, d, "documents")
-        .select(col("source"), explode(array_distinct(
-          graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
-        .distinct()
-      val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
-      val sk = hs.as[(String, Long)].groupByKey(_._1)
-        .mapValues(r => (r._2, r._2))
-        .agg(bottomk.name("kp"))
-        .toDF("source", "kp")
-        .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
-      def estOf(ks: Column) =
-        when(size(ks) < 64, size(ks).cast("double"))
-          .otherwise(lit(kmvNum) / element_at(ks, 64).cast("double"))
-      val a = sk.select(col("source").as("source_a"), col("ks").as("ka"))
-      val b = sk.select(col("source").as("source_b"), col("ks").as("kb"))
-      a.join(broadcast(b), col("source_a") < col("source_b"))
-        .withColumn("ku", slice(array_sort(array_union(col("ka"), col("kb"))), 1, 64))
-        .withColumn("ic",
-          size(array_intersect(array_intersect(col("ku"), col("ka")), col("kb"))))
-        .select(col("source_a"), col("source_b"),
-          estOf(col("ka")).as("est_a"), estOf(col("kb")).as("est_b"),
-          estOf(col("ku")).as("est_union"),
-          (col("ic").cast("double") / size(col("ku"))).as("jaccard_est"),
-          ((col("ic").cast("double") / size(col("ku"))) * estOf(col("ku")))
-            .as("est_intersection"))
-        .orderBy("source_a", "source_b")
-    },
+    QueryDef("q157_kmv_overlap", (s, d) =>
+      kmvOverlap(t(s, d, "documents")).orderBy("source_a", "source_b"),
       Some(s"""WITH hs AS MATERIALIZED (
              |  SELECT DISTINCT d.source, x.h
              |  FROM (${Dedup.sqlDocHashedShingles}) x

@@ -276,6 +276,45 @@ object ScaleProbe {
         graft.queries.Dedup.bloomDecontaminate(docs,
           col("doc_id") % 97 === 0 && col("doc_id") < maxDoc).count()
       }
+      // PQ train: per-iteration cost is one broadcast-assign over m·k
+      // codewords (linear in sub-vectors) + a bounded (sub, code, dim)
+      // sum — must scale linearly with the corpus
+      time(s"pq_train_x$m") {
+        graft.queries.Similarity.pqCodebook(replicateEmb(m))._1.count()
+      }
+      // ADC search: encode (linear) + LUT join + bottom-k; anchors fixed
+      time(s"pq_adc_x$m") {
+        val (cb, subs) = graft.queries.Similarity.pqCodebook(replicateEmb(m))
+        graft.queries.Similarity.pqAdcTopK(spark, cb, subs).count()
+      }
+      // triangles: wedge joins bounded by the degree bound — O(d²·n)
+      time(s"triangles_x$m") {
+        graft.queries.Similarity.triangleStats(replicateEmb(m)).count()
+      }
+      // PPR: 3 frontier×edges joins, ≤ degree flows per frontier row;
+      // anchor count fixed, so cost rides the graph build
+      time(s"ppr_x$m") {
+        graft.queries.Similarity.pprTopK(replicateEmb(m)).count()
+      }
+      // KMV sketches: O(k) state per source however many shingles — the
+      // pairwise table is sources², constant here
+      time(s"kmv_overlap_x$m") {
+        graft.queries.Sketches.kmvOverlap(docs).count()
+      }
+      // SCD2: two window passes over one user-keyed shuffle; replicas
+      // are NEW USERS, so cost must scale with events
+      time(s"scd2_x$m") {
+        graft.queries.Events.scd2History(replicateEvents(m)).count()
+      }
+      // co-occurrence: per-user pair fan-out capped at C(20,2)
+      time(s"cooccur_x$m") {
+        graft.queries.Events.cooccurItems(replicateEvents(m)).count()
+      }
+    }
+    // z-order layout report rides the big lineitem replica: one
+    // broadcast + one map pass + 64-row rollups
+    time("zorder_layout") {
+      graft.queries.Layout.zorderReport(bigLi).count()
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

@@ -90,4 +90,20 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("ba") =!= col("bb") || col("sa") =!= col("sb"))
     assert(bad.count() == 0)
   }
+
+  test("q168: skew report quantiles are ordered and the top key is the max") {
+    val r = SparkEntry.queries("q168_skew_report")(spark, sfDir).collect()
+    assert(r.length == 3)
+    r.foreach { row =>
+      val (nKeys, nRows) = (row.getLong(1), row.getLong(2))
+      val (p50, p99, mx) = (row.getLong(3), row.getLong(4), row.getLong(5))
+      assert(p50 <= p99 && p99 <= mx, s"quantiles out of order in $row")
+      // imbalance = max/avg >= 1 by definition
+      assert(row.getDouble(6) >= 1.0)
+      assert(row.getDouble(6) == mx.toDouble * nKeys / nRows)
+      // the first reported heavy key carries exactly max_c rows
+      val firstCnt = row.getString(7).split(",")(0).split(":")(1).toLong
+      assert(firstCnt == mx)
+    }
+  }
 }
