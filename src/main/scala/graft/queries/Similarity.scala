@@ -866,8 +866,8 @@ object Similarity {
     * symmetrized [[knnGraph]] — the q158 body, exposed for the scale
     * probe. Cost bound: ordered-wedge joins over a degree-bounded edge
     * set, O(degree² · n) pairs at any corpus size. */
-  def triangleStats(emb: DataFrame): DataFrame = {
-    val g = knnGraph(emb)
+  def triangleStats(emb: DataFrame, centroids: Int = 64): DataFrame = {
+    val g = knnGraph(emb, centroids = centroids)
     val e = g.select(least(col("node"), col("nbr")).as("a"),
       greatest(col("node"), col("nbr")).as("b")).distinct()
     val deg = e.select(col("a").as("node"))
@@ -894,8 +894,9 @@ object Similarity {
     * iteration one frontier×edges equi-join (≤ degree flows per row)
     * and one keyed sum. */
   def pprTopK(emb: DataFrame, anchors: Int = pqAnchors, iters: Int = 3,
-      k: Int = 10): DataFrame = {
-    val g = knnGraph(emb).select(col("node"), col("nbr")).localCheckpoint()
+      k: Int = 10, centroids: Int = 64): DataFrame = {
+    val g = knnGraph(emb, centroids = centroids)
+      .select(col("node"), col("nbr")).localCheckpoint()
     val outdeg = g.groupBy("node").agg(count(lit(1)).as("deg"))
     val ge = g.join(outdeg, "node")
     val anchorIds = quantize(emb).filter(col("vec_id") < anchors)
@@ -2036,6 +2037,137 @@ object Similarity {
              |    ELSE 0.0 END AS clustering
              |FROM degs d LEFT JOIN pern p ON d.node = p.node
              |ORDER BY d.node""".stripMargin)),
+
+    // ---- Hybrid retrieval: BM25 ⊕ embedding cosine via RRF fusion --------
+    // The modern "more-like-this" retrieval shape: for each anchor
+    // document, a LEXICAL ranking (q88's fixed-point BM25, the anchor's
+    // distinct tokens as the query) and a SEMANTIC ranking (exact grid
+    // cosine — q48's path; embeddings and documents share the id space),
+    // fused by reciprocal-rank fusion score 1/(60+r_lex) + 1/(60+r_sem)
+    // — the standard k=60 RRF constant, robust to the two scores living
+    // on incomparable scales. A doc missing from one list contributes 0
+    // from it, so lexical-only and semantic-only hits both surface.
+    // Scale shape: the lexical side is a token equijoin whose cost is
+    // the matching POSTING LISTS (anchor-term semi-join prunes the
+    // stream); the semantic side is the bounded-anchor broadcast; fusion
+    // is a (q_id, doc)-keyed outer join of two rank-50 lists — 100 rows
+    // per anchor, whatever the corpus. BM25 sums in fixed-point int64
+    // (q88's rule), RRF in two fixed-order double terms, so the fused
+    // ranking hash-matches.
+    QueryDef("q169_hybrid_rrf", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = split(col("text"), " ")
+      // lexical: anchor-term set -> posting-filtered tf/df -> BM25 pairs
+      val aTerms = docs.filter(col("doc_id") < pqAnchors)
+        .select(col("doc_id").as("q_id"), explode(array_distinct(toks)).as("term"))
+      val e = docs
+        .select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
+        .join(broadcast(aTerms.select("term").distinct()), Seq("term"), "left_semi")
+      val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
+      val tf = e.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), min("len").as("len"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = broadcast(aTerms).join(tf, "term").join(dfreq, "term")
+        .crossJoin(broadcast(stats))
+        .filter(col("doc_id") =!= col("q_id"))
+        .withColumn("idf", (lit(2) * (col("n") - col("df")) + 1).cast("double") /
+          (lit(2) * col("df") + 1).cast("double"))
+        .withColumn("norm", col("len").cast("double") * col("n") / col("sumlen"))
+        .withColumn("tscore", col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("norm"))))
+        .withColumn("fixed", floor(col("tscore") * lit(1e9)).cast("long"))
+        .groupBy("q_id", "doc_id").agg(sum("fixed").as("score_fixed"))
+      val wLex = Window.partitionBy("q_id")
+        .orderBy(col("score_fixed").desc, col("doc_id"))
+      val lex = scored.withColumn("lex_rank", row_number().over(wLex))
+        .filter(col("lex_rank") <= 50).select("q_id", "doc_id", "lex_rank")
+      // semantic: exact grid cosine, bounded anchors, rank <= 50
+      val eq = quantized(s, d)
+      val qs = eq.filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val wSem = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("doc_id"))
+      val sem = broadcast(qs)
+        .join(eq.select(col("vec_id").as("doc_id"), col("qv").as("qb"),
+          col("n2").as("nb")), col("q_id") =!= col("doc_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("sem_rank", row_number().over(wSem))
+        .filter(col("sem_rank") <= 50).select("q_id", "doc_id", "sem_rank")
+      // RRF fusion over the union of both lists
+      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full")
+        .withColumn("rrf_score",
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      val wF = Window.partitionBy("q_id")
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wF))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("rank").cast("int").as("rank"), col("doc_id"),
+          col("rrf_score"), col("lex_rank").cast("int").as("lex_rank"),
+          col("sem_rank").cast("int").as("sem_rank"))
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH d AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |at AS MATERIALIZED (
+             |  SELECT doc_id AS q_id, unnest(list_distinct(tk)) AS term
+             |  FROM d WHERE doc_id < $pqAnchors),
+             |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS sumlen
+             |  FROM d),
+             |e AS MATERIALIZED (
+             |  SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM d),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, count(*) AS tf, min(len) AS len
+             |  FROM e WHERE term IN (SELECT DISTINCT term FROM at)
+             |  GROUP BY doc_id, term),
+             |dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |pairsc AS MATERIALIZED (
+             |  SELECT a.q_id, tf.doc_id, CAST(sum(
+             |    CAST(floor(
+             |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+             |      * (CAST(tf AS DOUBLE) * 2.2)
+             |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+             |          (CAST(len AS DOUBLE) * n / sumlen)))
+             |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_fixed
+             |  FROM at a JOIN tf ON a.term = tf.term
+             |  JOIN dfq ON tf.term = dfq.term CROSS JOIN st
+             |  WHERE tf.doc_id != a.q_id
+             |  GROUP BY a.q_id, tf.doc_id),
+             |lex AS MATERIALIZED (
+             |  SELECT q_id, doc_id, lex_rank FROM (
+             |    SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY score_fixed DESC, doc_id) AS lex_rank
+             |    FROM pairsc)
+             |  WHERE lex_rank <= 50),
+             |q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |sem AS MATERIALIZED (
+             |  SELECT q_id, doc_id, sem_rank FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS doc_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id) AS sem_rank
+             |    FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < $pqAnchors)
+             |  WHERE sem_rank <= 50),
+             |fused AS MATERIALIZED (
+             |  SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+             |    COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             |    COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0.0)
+             |      + COALESCE(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0.0) AS rrf_score,
+             |    l.lex_rank, s.sem_rank
+             |  FROM lex l FULL OUTER JOIN sem s
+             |    ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+             |SELECT q_id, CAST(rank AS INTEGER) AS rank, doc_id, rrf_score,
+             |  CAST(lex_rank AS INTEGER) AS lex_rank,
+             |  CAST(sem_rank AS INTEGER) AS sem_rank
+             |FROM (
+             |  SELECT q_id, doc_id, rrf_score, lex_rank, sem_rank,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY rrf_score DESC, doc_id) AS rank
+             |  FROM fused)
+             |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
 
     // ---- Personalized PageRank over the kNN graph (graph diffusion) ------
     // The "more like these, transitively" expansion a curation pipeline

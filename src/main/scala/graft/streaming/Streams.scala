@@ -235,6 +235,47 @@ object Streams {
       .groupBy("i", "s").agg(count(lit(1)).as("c"))
   }
 
+  final case class Scd2Ev(user_id: Long, event_id: Long, us: Long, k: Int)
+  final case class Scd2State(lastK: Int, version: Int, openFrom: Long)
+  final case class Scd2Closed(user_id: Long, version: Int, k: Int,
+      valid_from_us: Long, valid_to_us: Long)
+
+  /** Streaming twin of the batch q159 SCD2 build: per user, emit each
+    * CLOSED type-2 interval the moment the property changes (the open
+    * interval lives in state — it is by definition not final until the
+    * next change). Replaying the event log in per-user time order
+    * reproduces exactly q159's closed rows (the batch-equality spec
+    * drives that); out-of-order arrival versions by arrival, the online
+    * contract. State is one (lastK, version, openFrom) record per
+    * entity — profile state is entity-lifetime by nature (same contract
+    * as [[noveltyIngest]]'s seen-set, documented there); at scale the
+    * state store shards by user across executors. */
+  def scd2Ingest(events: DataFrame): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .as[Scd2Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Scd2Ev], state: GroupState[Scd2State]) =>
+          val out = Seq.newBuilder[Scd2Closed]
+          var cur = state.getOption
+          batch.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            cur match {
+              case None => cur = Some(Scd2State(e.k, 1, e.us))
+              case Some(st) if st.lastK != e.k =>
+                out += Scd2Closed(userId, st.version, st.lastK, st.openFrom, e.us)
+                cur = Some(Scd2State(e.k, st.version + 1, e.us))
+              case _ => ()
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** One first-seen shingle credit: the shingle's 62-bit hash and the
     * source it is attributed to. */
   final case class NovelHit(sh: Long, source: String)

@@ -289,12 +289,14 @@ object ScaleProbe {
       }
       // triangles: wedge joins bounded by the degree bound — O(d²·n)
       time(s"triangles_x$m") {
-        graft.queries.Similarity.triangleStats(replicateEmb(m)).count()
+        graft.queries.Similarity.triangleStats(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
       }
       // PPR: 3 frontier×edges joins, ≤ degree flows per frontier row;
       // anchor count fixed, so cost rides the graph build
       time(s"ppr_x$m") {
-        graft.queries.Similarity.pprTopK(replicateEmb(m)).count()
+        graft.queries.Similarity.pprTopK(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
       }
       // KMV sketches: O(k) state per source however many shingles — the
       // pairwise table is sources², constant here

@@ -77,4 +77,24 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     assert(meanSel < 0.9 * meanAll,
       s"ADC selection not informative: selected mean d2 $meanSel vs corpus $meanAll")
   }
+
+  test("q169: RRF fusion is consistent with its component ranks") {
+    val r = SparkEntry.queries("q169_hybrid_rrf")(spark, sfDir).cache()
+    // full pages, contiguous ranks
+    val pages = r.groupBy("q_id").agg(count(lit(1)).as("n"),
+      max("rank").as("mx"))
+    assert(pages.filter(col("n") =!= 10 || col("mx") =!= 10).count() == 0)
+    // the reported score is exactly the RRF formula over the reported
+    // component ranks (nulls contribute zero)
+    val bad = r.withColumn("recomputed",
+      coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)))
+      .filter(col("recomputed") =!= col("rrf_score"))
+    assert(bad.count() == 0)
+    // fusion actually mixes: the result set references both components
+    assert(r.filter(col("lex_rank").isNotNull).count() > 0)
+    assert(r.filter(col("sem_rank").isNotNull).count() > 0)
+    // no anchor retrieves itself
+    assert(r.filter(col("q_id") === col("doc_id")).count() == 0)
+  }
 }

@@ -242,6 +242,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .filter(size(col("ks")) > 64).count() == 0)
   }
 
+  test("streaming SCD2 closed intervals equal the batch history's closed rows") {
+    val events = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("scd2-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val incoming = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val q = Streams.scd2Ingest(incoming)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scd2_out")
+    // the twin contract: replay in per-user time order == every CLOSED
+    // interval of the batch build (the open interval lives in state)
+    val want = graft.SparkEntry.queries("q159_scd2_history")(spark, sfDir)
+      .filter(col("valid_to_us").isNotNull)
+      .select("user_id", "version", "k", "valid_from_us", "valid_to_us")
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
