@@ -163,6 +163,29 @@ object Events {
           sqrt((col("n_a") * col("n_b")).cast("double"))).as("cosine"))
   }
 
+  /** Grouped OLS trend fit — the q171 body, exposed for fixture specs.
+    * Slope/intercept are reported on the 1e-2 value grid (y is
+    * floor(value*100+0.5)), per day of x. */
+  def trendFit(ev: DataFrame): DataFrame = {
+    val e = ev
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .withColumn("y", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+    val mn = e.agg(min("day").as("d0"))
+    val sums = e.crossJoin(broadcast(mn))
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+    sums
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select("event_type", "n", "slope", "intercept")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -864,5 +887,155 @@ object Events {
              |      ORDER BY i, item) AS neg_rank
              |  FROM surv)
              |WHERE neg_rank <= 5 ORDER BY user_id, neg_rank""".stripMargin)),
+
+    // ---- Skip-gram pair extraction (embedding training data) -------------
+    // The data-prep step for item/word embedding training: from each
+    // user's time-ordered interaction sequence, (center, context) pairs
+    // within a ±2 offset window — the skip-gram corpus word2vec-style
+    // trainers consume. Each event contributes ≤ 4 pairs (2 ahead via
+    // lead; both directions covered because a j-ahead pair IS the
+    // reverse j-behind pair, emitted once per direction here for the
+    // standard symmetric corpus). One user-keyed shuffle, two lead()
+    // passes, one pair rollup — per-event work constant at any log
+    // size.
+    QueryDef("q170_skipgram_pairs", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val seq0 = t(s, d, "events")
+        .withColumn("item", get_json_object(col("props"), "$.k").cast("int")
+          .cast("long"))
+        .withColumn("us", unix_micros(col("ts")))
+      val ahead = Seq(1, 2).map { j =>
+        seq0.select(col("item").as("center"),
+          lead("item", j).over(w).as("context"))
+      }.reduce(_ union _)
+      val fwd = ahead.filter(col("context").isNotNull)
+      val both = fwd.union(fwd.select(col("context").as("center"),
+        col("center").as("context")))
+      both
+        .groupBy("center", "context").agg(count(lit(1)).as("n_pairs"))
+        .filter(col("n_pairs") >= 3)
+        .orderBy("center", "context")
+    },
+      Some(s"""WITH e AS MATERIALIZED (
+             |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             |    CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)
+             |      AS BIGINT) AS item
+             |  FROM events),
+             |ahead AS MATERIALIZED (
+             |  SELECT item AS center,
+             |    lead(item, 1) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS context
+             |  FROM e
+             |  UNION ALL
+             |  SELECT item AS center,
+             |    lead(item, 2) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS context
+             |  FROM e),
+             |fwd AS MATERIALIZED (
+             |  SELECT center, context FROM ahead WHERE context IS NOT NULL),
+             |bidir AS MATERIALIZED (
+             |  SELECT center, context FROM fwd
+             |  UNION ALL SELECT context, center FROM fwd)
+             |SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM bidir
+             |GROUP BY center, context HAVING count(*) >= 3
+             |ORDER BY center, context""".stripMargin)),
+
+    // ---- Grouped OLS trend fit (exact-sum linear regression) -------------
+    // Per event type, the least-squares slope/intercept of value over
+    // time — the metric-drift readout ("is error rate trending up").
+    // The whole regression reduces to FIVE exact int64 sums (n, Σx,
+    // Σy, Σxy, Σx²) with x = day index from a 1-row min broadcast and
+    // y = value on a 1e-2 grid, so the distributed part is one grouped
+    // aggregation with map-side combine; slope = (nΣxy−ΣxΣy)/(nΣx²−
+    // (Σx)²) and intercept are two IEEE ops at the very end, identical
+    // on both engines. The textbook decomposition that makes regression
+    // a one-pass distributed aggregate.
+    QueryDef("q171_trend_fit", (s, d) =>
+      trendFit(t(s, d, "events")).orderBy("event_type"),
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+             |  FROM events),
+             |mn AS (SELECT min(day) AS d0 FROM e),
+             |sums AS MATERIALIZED (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(day - d0) AS BIGINT) AS sx,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum((day - d0) * y) AS BIGINT) AS sxy,
+             |    CAST(sum((day - d0) * (day - d0)) AS BIGINT) AS sxx
+             |  FROM e, mn GROUP BY event_type)
+             |SELECT event_type, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             |  (CAST(sy AS DOUBLE)
+             |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept
+             |FROM sums ORDER BY event_type""".stripMargin)),
+
+    // ---- Multi-touch conversion attribution ------------------------------
+    // Marketing-analytics closer for the q142 attribution family: each
+    // purchase credits the user's clicks in the preceding 7 days —
+    // touch count, first/last touch (min/max over a (ts, event_id)
+    // struct, partially aggregable), and the per-touch linear credit
+    // value/n. Keyed equi-join on user + time-range residual, grouped
+    // per purchase — the scale-safe interval shape throughout;
+    // purchases with no touches survive via left join with zero count
+    // and null credit (the unattributable bucket every report needs).
+    QueryDef("q172_attribution", (s, d) => {
+      val ev = t(s, d, "events").withColumn("us", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("us").as("p_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("c_id"),
+          col("us").as("c_us"))
+      val touched = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_us") < col("p_us") &&
+          col("c_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_touches"),
+          min(struct(col("c_us"), col("c_id"))).as("ft"),
+          max(struct(col("c_us"), col("c_id"))).as("lt"))
+        .select(col("p_id"), col("n_touches"),
+          col("ft.c_id").as("first_touch"), col("lt.c_id").as("last_touch"))
+      purchases.join(touched, Seq("p_id"), "left")
+        .select(col("p_id"), col("user_id"), col("value"),
+          coalesce(col("n_touches"), lit(0L)).as("n_touches"),
+          col("first_touch"), col("last_touch"),
+          (col("value") / col("n_touches")).as("linear_credit"))
+        .orderBy("p_id")
+    },
+      Some("""WITH ev AS MATERIALIZED (
+             |  SELECT event_id, user_id, event_type, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |p AS MATERIALIZED (
+             |  SELECT event_id AS p_id, user_id, us AS p_us, value
+             |  FROM ev WHERE event_type = 'purchase'),
+             |c AS MATERIALIZED (
+             |  SELECT user_id, event_id AS c_id, us AS c_us
+             |  FROM ev WHERE event_type = 'click'),
+             |tr AS MATERIALIZED (
+             |  SELECT p_id, c_id,
+             |    row_number() OVER (PARTITION BY p_id
+             |      ORDER BY c_us, c_id) AS rf,
+             |    row_number() OVER (PARTITION BY p_id
+             |      ORDER BY c_us DESC, c_id DESC) AS rl
+             |  FROM p JOIN c ON p.user_id = c.user_id
+             |  WHERE c_us < p_us AND c_us >= p_us - 604800000000),
+             |touched AS MATERIALIZED (
+             |  SELECT p_id, CAST(count(*) AS BIGINT) AS n_touches,
+             |    min(CASE WHEN rf = 1 THEN c_id END) AS first_touch,
+             |    min(CASE WHEN rl = 1 THEN c_id END) AS last_touch
+             |  FROM tr GROUP BY p_id)
+             |SELECT p.p_id, p.user_id, p.value,
+             |  COALESCE(t.n_touches, 0) AS n_touches,
+             |  t.first_touch, t.last_touch,
+             |  p.value / t.n_touches AS linear_credit
+             |FROM p LEFT JOIN touched t ON p.p_id = t.p_id
+             |ORDER BY p.p_id""".stripMargin)),
   )
 }

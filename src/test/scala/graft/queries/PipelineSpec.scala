@@ -2244,7 +2244,16 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q138_graph_search", // centroid-layer entry beam: same fixed broadcast
       "q139_graph_recall", // composes q138 + q48's bounded-anchor scan
       "q144_graph_extend", // frozen-coarse-layer assignment broadcast (q49's class)
-      "q149_cluster_mix") // q93's k-row centroid broadcast (Lloyd assignment)
+      "q149_cluster_mix", // q93's k-row centroid broadcast (Lloyd assignment)
+      "q153_zorder_layout", // one-row grid-bounds cross join (q76's class)
+      "q157_kmv_overlap", // catalog-bounded sources^2 sketch-pair join
+      "q163_scd2_merge", // one-row cutoff cross join (q76's class)
+      "q164_join_cardinality", // one-row stats/actual cross joins (q76's class)
+      "q165_temperature_mix", // one-row fold-normalizer cross join (q76's class)
+      "q167_negative_samples", // one-row catalog-size cross join (q76's class)
+      "q168_skew_report", // one-row distribution-stats cross joins (q76's class)
+      "q169_hybrid_rrf", // q88's one-row corpus-stats cross + bounded anchors
+      "q171_trend_fit") // one-row min-day cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

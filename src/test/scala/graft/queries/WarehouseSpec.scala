@@ -151,4 +151,54 @@ class WarehouseSpec extends AnyFunSuite with SparkTestBase {
     // determinism across runs (fresh build, same rows)
     assertSameRows(neg, SparkEntry.queries("q167_negative_samples")(spark, sfDir))
   }
+
+  test("q170: skip-gram pair matrix is symmetric") {
+    val p = SparkEntry.queries("q170_skipgram_pairs")(spark, sfDir).cache()
+    // (a,b) and (b,a) must carry identical counts — the bidirectional
+    // emission guarantees it, and no null item ever leaks through
+    val mirrored = p.select(col("context").as("center"),
+      col("center").as("context"), col("n_pairs").as("m"))
+    val joined = p.join(mirrored, Seq("center", "context"), "full")
+    assert(joined.filter(col("n_pairs").isNull || col("m").isNull ||
+      col("n_pairs") =!= col("m")).count() == 0)
+    assert(p.filter(col("center").isNull || col("context").isNull).count() == 0)
+  }
+
+  test("q171: OLS recovers a planted exact linear trend") {
+    import spark.implicits._
+    // value = 2*day + 3 on the 1e-2 grid -> slope 200, intercept 300,
+    // both EXACT (integer sums, one final divide)
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 30).map { i =>
+      (java.sql.Timestamp.from(base.plusSeconds(i * 86400L)),
+        "linear", 2.0 * i + 3.0)
+    }
+    val ev = rows.toDF("ts", "event_type", "value")
+    val fit = Events.trendFit(ev).head()
+    assert(fit.getDouble(2) == 200.0, s"slope ${fit.getDouble(2)}")
+    assert(fit.getDouble(3) == 300.0, s"intercept ${fit.getDouble(3)}")
+  }
+
+  test("q172: attribution credits are conserved and touch windows respected") {
+    val a = SparkEntry.queries("q172_attribution")(spark, sfDir).cache()
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    // every purchase appears exactly once
+    assert(a.count() == ev.filter(col("event_type") === "purchase").count())
+    // touched rows: credit * n == value; untouched rows: null credit
+    val touched = a.filter(col("n_touches") > 0)
+    assert(touched.filter(
+      abs(col("linear_credit") * col("n_touches") - col("value")) > 1e-9)
+      .count() == 0)
+    assert(a.filter(col("n_touches") === 0 &&
+      col("linear_credit").isNotNull).count() == 0)
+    // recount one purchase's touches independently
+    val p0 = touched.orderBy("p_id").head()
+    val (pid, uid) = (p0.getLong(0), p0.getLong(1))
+    val pUs = ev.filter(col("event_id") === pid).head()
+      .getAs[Long]("us")
+    val n = ev.filter(col("user_id") === uid && col("event_type") === "click" &&
+      col("us") < pUs && col("us") >= pUs - 7L * 86400L * 1000000L).count()
+    assert(n == p0.getLong(3), s"touch recount $n vs ${p0.getLong(3)}")
+  }
 }
