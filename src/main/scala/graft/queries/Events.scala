@@ -72,8 +72,10 @@ object Events {
   }
 
   /** SCD2 inputs: (user_id, event_id, us, k) from the raw event stream —
-    * the q32 JSON extraction + exact microseconds. */
-  private def scd2Prep(ev: DataFrame): DataFrame =
+    * the q32 JSON extraction + exact microseconds. Shared with the
+    * streaming twin (Streams.scd2Ingest) so the extraction rule cannot
+    * drift between the batch and online paths. */
+  private[graft] def scd2Prep(ev: DataFrame): DataFrame =
     ev.withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .withColumn("us", unix_micros(col("ts")))
       .select("user_id", "event_id", "us", "k")

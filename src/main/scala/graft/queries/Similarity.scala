@@ -2070,12 +2070,7 @@ object Similarity {
       val scored = broadcast(aTerms).join(tf, "term").join(dfreq, "term")
         .crossJoin(broadcast(stats))
         .filter(col("doc_id") =!= col("q_id"))
-        .withColumn("idf", (lit(2) * (col("n") - col("df")) + 1).cast("double") /
-          (lit(2) * col("df") + 1).cast("double"))
-        .withColumn("norm", col("len").cast("double") * col("n") / col("sumlen"))
-        .withColumn("tscore", col("idf") * (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("norm"))))
-        .withColumn("fixed", floor(col("tscore") * lit(1e9)).cast("long"))
+        .withColumn("fixed", Text.bm25Fixed)
         .groupBy("q_id", "doc_id").agg(sum("fixed").as("score_fixed"))
       val wLex = Window.partitionBy("q_id")
         .orderBy(col("score_fixed").desc, col("doc_id"))
@@ -2122,13 +2117,8 @@ object Similarity {
              |  GROUP BY doc_id, term),
              |dfq AS MATERIALIZED (SELECT term, count(*) AS df FROM tf GROUP BY term),
              |pairsc AS MATERIALIZED (
-             |  SELECT a.q_id, tf.doc_id, CAST(sum(
-             |    CAST(floor(
-             |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
-             |      * (CAST(tf AS DOUBLE) * 2.2)
-             |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-             |          (CAST(len AS DOUBLE) * n / sumlen)))
-             |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS score_fixed
+             |  SELECT a.q_id, tf.doc_id,
+             |    CAST(sum(${Text.sqlBm25Fixed}) AS BIGINT) AS score_fixed
              |  FROM at a JOIN tf ON a.term = tf.term
              |  JOIN dfq ON tf.term = dfq.term CROSS JOIN st
              |  WHERE tf.doc_id != a.q_id

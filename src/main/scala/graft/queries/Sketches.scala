@@ -43,18 +43,9 @@ object Sketches {
   /** Pairwise KMV source-overlap estimates — the q157 body, exposed for
     * the scale probe (per-source state O(k), pair table sources²). */
   def kmvOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val hs = docs
-      .select(col("source"), explode(array_distinct(
-        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
-      .distinct()
-    val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
-    val sk = hs.as[(String, Long)].groupByKey(_._1)
-      .mapValues(r => (r._2, r._2))
-      .agg(bottomk.name("kp"))
-      .toDF("source", "kp")
-      .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
+    // the sketch builder IS the streaming twin's aggregation — one
+    // definition, so the batch/stream equality contract cannot drift
+    val sk = graft.streaming.Streams.kmvSketches(docs)
     def estOf(ks: Column) =
       when(size(ks) < 64, size(ks).cast("double"))
         .otherwise(lit(kmvNum) / element_at(ks, 64).cast("double"))

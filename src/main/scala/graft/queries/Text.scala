@@ -133,6 +133,31 @@ object Text {
         (col("fam_sum") >= col("n_trigrams") * 2).as("lm_ok"))
   }
 
+  /** Fixed-point BM25 term score — THE single definition shared by q88
+    * and the q169 hybrid-retrieval fusion (Spark face here, DuckDB face
+    * in [[sqlBm25Fixed]]), so the idf surrogate, the k1/b constants and
+    * the 1e9 fixed-point rule cannot drift between consumers. Expects
+    * columns (tf, len, df, n, sumlen) in scope; emits int64 so the
+    * per-document sum is exact and partition-order-free. */
+  private[queries] def bm25Fixed: Column = {
+    val idf = (lit(2) * (col("n") - col("df")) + 1).cast("double") /
+      (lit(2) * col("df") + 1).cast("double")
+    val norm = col("len").cast("double") * col("n") / col("sumlen")
+    val tscore = idf * (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * norm))
+    floor(tscore * lit(1e9)).cast("long")
+  }
+
+  /** DuckDB mirror of [[bm25Fixed]] — identical arithmetic, identical
+    * operation order. */
+  private[queries] def sqlBm25Fixed: String =
+    """CAST(floor(
+      |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+      |      * (CAST(tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+      |          (CAST(len AS DOUBLE) * n / sumlen)))
+      |      * 1000000000.0) AS BIGINT)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Token / character statistics ------------------------------------
@@ -468,18 +493,13 @@ object Text {
         .agg(count(lit(1)).as("tf"), min("len").as("len"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       tf.join(dfreq, "term").crossJoin(broadcast(stats))
-        .withColumn("idf", (lit(2) * (col("n") - col("df")) + 1).cast("double") /
-          (lit(2) * col("df") + 1).cast("double"))
-        .withColumn("norm", col("len").cast("double") * col("n") / col("sumlen"))
-        .withColumn("tscore", col("idf") * (col("tf").cast("double") * lit(2.2)) /
-          (col("tf").cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * col("norm"))))
-        .withColumn("fixed", floor(col("tscore") * lit(1e9)).cast("long"))
+        .withColumn("fixed", bm25Fixed)
         .groupBy("doc_id")
         .agg(sum("fixed").as("score_fixed"), count(lit(1)).as("n_query_terms"))
         .orderBy(col("score_fixed").desc, col("doc_id"))
         .limit(50)
     },
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS sumlen FROM d),
              |e AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM d),
              |tf AS (
@@ -488,13 +508,7 @@ object Text {
              |  GROUP BY doc_id, term),
              |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
              |sc AS (
-             |  SELECT doc_id,
-             |    CAST(floor(
-             |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
-             |      * (CAST(tf AS DOUBLE) * 2.2)
-             |      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-             |          (CAST(len AS DOUBLE) * n / sumlen)))
-             |      * 1000000000.0) AS BIGINT) AS fixed
+             |  SELECT doc_id, $sqlBm25Fixed AS fixed
              |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
              |SELECT doc_id, CAST(sum(fixed) AS BIGINT) AS score_fixed,
              |  CAST(count(*) AS BIGINT) AS n_query_terms

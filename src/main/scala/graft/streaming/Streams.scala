@@ -203,6 +203,16 @@ object Streams {
     * equal the batch sketch over everything ingested so far
     * (spec-asserted). Probing for estimates is the same 4-row min as
     * the batch side, done against the sink table. */
+  def heavyHitterCounters(docs: DataFrame): DataFrame = {
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+      .withColumn("h", element_at(
+        graft.functions.ArrayExprs.windowHashes(array(col("t")), 1), 1))
+    def sliceAt(i: Int) = expr(s"(h div ${1L << (10 * i)}) % 1024")
+    toks
+      .select(posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
+      .groupBy("i", "s").agg(count(lit(1)).as("c"))
+  }
+
   /** Streaming twin of the batch q157 KMV sketch build: per source, the
     * running set of the k=64 smallest 62-bit shingle hashes.
     * BottomKLongAgg's merge IS the KMV sketch union (set semantics, so
@@ -225,16 +235,6 @@ object Streams {
       .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
   }
 
-  def heavyHitterCounters(docs: DataFrame): DataFrame = {
-    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
-      .withColumn("h", element_at(
-        graft.functions.ArrayExprs.windowHashes(array(col("t")), 1), 1))
-    def sliceAt(i: Int) = expr(s"(h div ${1L << (10 * i)}) % 1024")
-    toks
-      .select(posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
-      .groupBy("i", "s").agg(count(lit(1)).as("c"))
-  }
-
   final case class Scd2Ev(user_id: Long, event_id: Long, us: Long, k: Int)
   final case class Scd2State(lastK: Int, version: Int, openFrom: Long)
   final case class Scd2Closed(user_id: Long, version: Int, k: Int,
@@ -252,9 +252,7 @@ object Streams {
     * state store shards by user across executors. */
   def scd2Ingest(events: DataFrame): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._
-    events.select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"))
+    graft.queries.Events.scd2Prep(events)
       .as[Scd2Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[Scd2State, Scd2Closed](

@@ -282,10 +282,13 @@ object ScaleProbe {
       time(s"pq_train_x$m") {
         graft.queries.Similarity.pqCodebook(replicateEmb(m))._1.count()
       }
-      // ADC search: encode (linear) + LUT join + bottom-k; anchors fixed
+      // ADC search: encode (linear) + LUT join + bottom-k; anchors
+      // fixed. The codebook is trained AND MATERIALIZED outside the
+      // timed block so this number is the search path alone
+      val (cbAdc, subsAdc) = graft.queries.Similarity.pqCodebook(replicateEmb(m))
+      val cbM = cbAdc.localCheckpoint()
       time(s"pq_adc_x$m") {
-        val (cb, subs) = graft.queries.Similarity.pqCodebook(replicateEmb(m))
-        graft.queries.Similarity.pqAdcTopK(spark, cb, subs).count()
+        graft.queries.Similarity.pqAdcTopK(spark, cbM, subsAdc).count()
       }
       // triangles: wedge joins bounded by the degree bound — O(d²·n)
       time(s"triangles_x$m") {

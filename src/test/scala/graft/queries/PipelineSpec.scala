@@ -2245,7 +2245,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q139_graph_recall", // composes q138 + q48's bounded-anchor scan
       "q144_graph_extend", // frozen-coarse-layer assignment broadcast (q49's class)
       "q149_cluster_mix", // q93's k-row centroid broadcast (Lloyd assignment)
+      "q152_pq_recall", // q48's bounded-anchor broadcast (exact side of the attestation)
       "q153_zorder_layout", // one-row grid-bounds cross join (q76's class)
+      "q158_triangle_count", // builds on q137's fixed centroid broadcast
+      "q161_ppr", // builds on q137's fixed centroid broadcast
       "q157_kmv_overlap", // catalog-bounded sources^2 sketch-pair join
       "q163_scd2_merge", // one-row cutoff cross join (q76's class)
       "q164_join_cardinality", // one-row stats/actual cross joins (q76's class)
