@@ -710,6 +710,62 @@ object Curation {
              |  (sqrt(CAST(src_bytes AS DOUBLE)) / z) * total_bytes / src_bytes
              |    AS sample_mult
              |FROM bysrc, z ORDER BY source""".stripMargin)),
+
+    // ---- Per-source quantile normalization -------------------------------
+    // Make a per-source score comparable across sources by mapping each
+    // value to the GLOBAL distribution's quantile function at the same
+    // cumulative rank (classic quantile normalization): norm(v | src) =
+    // min{ g : F_global(g) >= F_src(v) }. The knob that lets one quality
+    // threshold apply to every source regardless of its length/score
+    // distribution. Output is the per-(source, value) mapping table —
+    // value-domain-sized, never corpus-sized.
+    //
+    // Scale shape: both CDFs are built rank-over-DISTRIBUTION (group by
+    // value first, then cumulate over the distinct-value table), so no
+    // corpus row is ever sorted — the windows run over tables bounded by
+    // the value domain, not the row count. The quantile lookup is an
+    // inequality join of the two distribution tables (global side
+    // broadcast): |src_dist| x |global_dist| candidate pairs, bounded by
+    // domain^2 whatever the corpus size. The >= test cross-multiplies
+    // exact int64 counts (gc·n_s >= sc·N ⟺ gc/N >= sc/n_s) instead of
+    // comparing rounded double fractions — exact to corpora of ~3e9 rows
+    // (past that, promote the products to DECIMAL(38)); the reported
+    // src_cum_frac is presentation-only.
+    QueryDef("q176_quantile_normalize", (s, d) => {
+      val docs = t(s, d, "documents").select(col("source"), col("n_chars"))
+      val wS = Window.partitionBy("source").orderBy("n_chars")
+      val sdist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("cnt"))
+        .withColumn("sc", sum("cnt").over(wS))
+        .withColumn("ns", sum("cnt").over(Window.partitionBy("source")))
+      val gdist = docs.groupBy("n_chars").agg(count(lit(1)).as("gcnt"))
+        .withColumn("gc", sum("gcnt").over(Window.orderBy("n_chars")))
+        .withColumn("n", sum("gcnt").over(Window.partitionBy()))
+        .select(col("n_chars").as("gv"), col("gc"), col("n"))
+      sdist.join(broadcast(gdist), col("gc") * col("ns") >= col("sc") * col("n"))
+        .groupBy("source", "n_chars", "cnt", "sc", "ns")
+        .agg(min("gv").as("norm_value"))
+        .select(col("source"), col("n_chars"), col("cnt").as("n_docs"),
+          (col("sc").cast("double") / col("ns")).as("src_cum_frac"),
+          col("norm_value"))
+        .orderBy("source", "n_chars")
+    },
+      Some("""WITH sdist AS MATERIALIZED (
+             |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(count(*)) OVER (PARTITION BY source
+             |      ORDER BY n_chars) AS BIGINT) AS sc,
+             |    CAST(sum(count(*)) OVER (PARTITION BY source) AS BIGINT) AS ns
+             |  FROM documents GROUP BY source, n_chars),
+             |gdist AS MATERIALIZED (
+             |  SELECT n_chars AS gv,
+             |    CAST(sum(count(*)) OVER (ORDER BY n_chars) AS BIGINT) AS gc,
+             |    CAST(sum(count(*)) OVER () AS BIGINT) AS n
+             |  FROM documents GROUP BY n_chars)
+             |SELECT source, n_chars, cnt AS n_docs,
+             |  CAST(sc AS DOUBLE) / ns AS src_cum_frac,
+             |  min(gv) AS norm_value
+             |FROM sdist JOIN gdist ON gc * ns >= sc * n
+             |GROUP BY source, n_chars, cnt, sc, ns
+             |ORDER BY source, n_chars""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

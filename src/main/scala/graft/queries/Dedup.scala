@@ -446,6 +446,52 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Directed shingle-containment join at threshold `tau` — see q173.
+    * Returns (doc_sub, doc_sup, shared, n_sub, n_sup, containment,
+    * jaccard) for every ordered pair with |sh(sub) ∩ sh(sup)| / |sh(sub)|
+    * >= tau. Prefix filtering is asymmetric: only the sub side is
+    * trimmed to its (n − ceil(tau·n) + 1) globally-rarest shingles
+    * (complete by pigeonhole — see the q173 comment); the super side is
+    * fully indexed, pruned only by n_sup >= ceil(tau·n_sub). */
+  def containmentJoin(documents: DataFrame, tau: Double): DataFrame = {
+    val docs = documents.select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // shuffle_hash for the same reason as jaccardJoin: Catalyst's size
+    // estimate under a Generate is pre-explode, so it would broadcast the
+    // exploded token stream.
+    val prefix = toks.join(dfreq.hint("shuffle_hash"), "tok")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= col("len") - ceil(lit(tau) * col("len") - lit(1e-9)) + 1)
+      .select(col("doc_id").as("doc_sub"), col("len").as("n_sub"), col("tok"))
+    val cand = prefix
+      .join(toks.select(col("doc_id").as("doc_sup"), col("len").as("n_sup"),
+        col("tok")).hint("shuffle_hash"), "tok")
+      .filter(col("doc_sub") =!= col("doc_sup") &&
+        col("n_sup") >= ceil(lit(tau) * col("n_sub") - lit(1e-9)))
+      .select("doc_sub", "n_sub", "doc_sup", "n_sup").distinct()
+    // Exact verify via two codegen'd equi-joins over the token stream
+    // (the q65 rule: no per-row array set ops on the hot path).
+    cand
+      .join(toks.select(col("doc_id").as("doc_sub"), col("tok")).hint("shuffle_hash"),
+        "doc_sub")
+      .join(toks.select(col("doc_id").as("doc_sup"), col("tok")).hint("shuffle_hash"),
+        Seq("doc_sup", "tok"))
+      .groupBy("doc_sub", "doc_sup")
+      .agg(count(lit(1)).as("shared"), min("n_sub").as("n_sub"),
+        min("n_sup").as("n_sup"))
+      .withColumn("containment", col("shared").cast("double") / col("n_sub"))
+      .filter(col("containment") >= tau)
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_sub") + col("n_sup") - col("shared")))
+      .select("doc_sub", "doc_sup", "shared", "n_sub", "n_sup",
+        "containment", "jaccard")
+  }
+
   /** Semantic (embedding-side) edge source for [[multiSignalDedup]] — the
     * strategy knob the judge-facing contract turns on: WHICH pair
     * generator supplies the embedding edges decides whether the operator
@@ -1431,6 +1477,108 @@ object Dedup {
              |  AND a.p_partkey < b.p_partkey
              |WHERE levenshtein(a.p_name, b.p_name) <= 3
              |ORDER BY part_a, part_b""".stripMargin)),
+
+    // ---- Directed containment join (subset/quote duplication) ------------
+    // Containment C(sub→sup) = |sh(sub) ∩ sh(sup)| / |sh(sub)| — the
+    // ASYMMETRIC complement of the Jaccard family: a short document
+    // wholly quoted inside a long one has high containment but low
+    // Jaccard (the length mismatch inflates the union), so q45/q65 never
+    // see it. At τ = 0.9 this finds "sub is ≥90% contained in sup".
+    //
+    // Scale shape: the q65 prefix-filter contract, adapted to the
+    // asymmetric overlap bound. Containment ≥ τ needs o ≥ ceil(τ·n_sub)
+    // shared shingles, so if a pair misses ALL of the sub's
+    // (n_sub − ceil(τ·n_sub) + 1) rarest shingles, o ≤ ceil(τ·n_sub) − 1
+    // < required — pigeonhole says the candidate set from joining the
+    // SUB-side prefix against the FULL super-side token stream is
+    // complete. Only the sub side is prefix-trimmed (containment puts no
+    // upper bound on the super's size, so the super must be fully
+    // indexed); the only super-side pruning is n_sup ≥ ceil(τ·n_sub)
+    // (o ≤ n_sup). Everything keys on the 62-bit window hash (q78's
+    // narrow-key rule) and the verify is the same two codegen'd
+    // equi-joins as q65 — never an array intersect, never a cross join.
+    QueryDef("q173_containment_join", (s, d) =>
+      containmentJoin(t(s, d, "documents"), 0.9)
+        .orderBy("doc_sub", "doc_sup"),
+      Some(s"""WITH hu AS MATERIALIZED (
+             |  SELECT doc_id, h AS t FROM ($sqlDocHashedShingles)),
+             |hcnt AS MATERIALIZED (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+             |  FROM hu GROUP BY doc_id),
+             |shared AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+             |    CAST(count(*) AS BIGINT) AS o
+             |  FROM hu a JOIN hu b ON a.t = b.t AND a.doc_id != b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_sub, doc_sup, o AS shared,
+             |  ca.n AS n_sub, cb.n AS n_sup,
+             |  CAST(o AS DOUBLE) / ca.n AS containment,
+             |  CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
+             |FROM shared JOIN hcnt ca ON doc_sub = ca.doc_id
+             |            JOIN hcnt cb ON doc_sup = cb.doc_id
+             |WHERE CAST(o AS DOUBLE) / ca.n >= 0.9
+             |ORDER BY doc_sub, doc_sup""".stripMargin)),
+
+    // ---- Sorted-neighborhood entity resolution ---------------------------
+    // The OTHER classic blocked-ER pass (Hernández & Stolfo's
+    // merge/purge): sort the catalog on a fuzzy key and compare each row
+    // only to its w nearest neighbors in that order — catches name twins
+    // that q156's structured blocking (brand+size+noun) splits across
+    // blocks, at w·n candidate cost instead of sum-of-block-squares.
+    //
+    // Scale shape: the sort key's FIRST TOKEN doubles as the window
+    // partition key, so the "global sort" is really per-prefix
+    // partitioned sorts + partitioned lead() windows — no single-task
+    // window, no global range exchange feeding one partition. Pairs
+    // whose names straddle a first-token boundary are out of any
+    // neighborhood by construction (the standard multi-pass SN answer is
+    // a second pass on a different key — that is q156). Each row emits
+    // ≤ w = 4 candidates whatever the catalog size; the exact
+    // Levenshtein DP verifies each.
+    QueryDef("q174_sorted_neighborhood", (s, d) => {
+      val p = t(s, d, "part")
+        .select(col("p_partkey"), col("p_name"),
+          element_at(split(col("p_name"), " "), 1).as("blk"))
+      val w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+      val cand = (1 to 4).map { j =>
+        p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+          lead(struct(col("p_partkey"), col("p_name")), j).over(w).as("nb"),
+          lit(j).as("gap"))
+      }.reduce(_ union _)
+      cand.filter(col("nb").isNotNull)
+        .select(least(col("id_a"), col("nb.p_partkey")).as("part_a"),
+          greatest(col("id_a"), col("nb.p_partkey")).as("part_b"),
+          col("name_a"), col("nb.p_name").as("name_b"), col("gap"),
+          levenshtein(col("name_a"), col("nb.p_name")).as("dist"))
+        .filter(col("dist") <= 4)
+        .orderBy("part_a", "part_b", "gap")
+    },
+      Some("""WITH p AS MATERIALIZED (
+             |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+             |  FROM part),
+             |leads AS MATERIALIZED (
+             |  SELECT p_partkey AS id_a, p_name AS name_a,
+             |    lead(p_partkey, 1) OVER w AS i1, lead(p_name, 1) OVER w AS n1,
+             |    lead(p_partkey, 2) OVER w AS i2, lead(p_name, 2) OVER w AS n2,
+             |    lead(p_partkey, 3) OVER w AS i3, lead(p_name, 3) OVER w AS n3,
+             |    lead(p_partkey, 4) OVER w AS i4, lead(p_name, 4) OVER w AS n4
+             |  FROM p
+             |  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)),
+             |cand AS MATERIALIZED (
+             |  SELECT id_a, name_a, 1 AS gap, i1 AS id_b, n1 AS name_b FROM leads
+             |  UNION ALL
+             |  SELECT id_a, name_a, 2, i2, n2 FROM leads
+             |  UNION ALL
+             |  SELECT id_a, name_a, 3, i3, n3 FROM leads
+             |  UNION ALL
+             |  SELECT id_a, name_a, 4, i4, n4 FROM leads)
+             |SELECT least(id_a, id_b) AS part_a,
+             |  greatest(id_a, id_b) AS part_b, name_a, name_b,
+             |  CAST(gap AS INTEGER) AS gap,
+             |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+             |FROM cand
+             |WHERE id_b IS NOT NULL AND levenshtein(name_a, name_b) <= 4
+             |ORDER BY part_a, part_b, gap""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

@@ -188,6 +188,39 @@ object Events {
       .select("event_type", "n", "slope", "intercept")
   }
 
+  /** Theil–Sen robust trend — the q177 body, exposed for fixture specs.
+    * Median pairwise slope of the DAILY MEANS per event_type (means on
+    * the 1e-2 fixed-point grid, like [[trendFit]]); the O(days²) pair
+    * set lives on the day-level distribution table, never the corpus. */
+  def theilSen(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .withColumn("m", col("sy").cast("double") / col("n"))
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("m").as("m1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("m").as("m2"))
+    val slopes = a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .select(col("event_type"), col("d1"), col("d2"),
+        ((col("m2") - col("m1")) / (col("d2") - col("d1")).cast("double"))
+          .as("slope"))
+    val wR = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    val ranked = slopes
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+    ranked
+      .filter(col("rn") === expr("(np + 1) div 2") ||
+        col("rn") === expr("np div 2 + 1"))
+      .groupBy("event_type")
+      .agg(min("np").as("n_pairs"),
+        ((min("slope") + max("slope")) / 2).as("median_slope"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .select("event_type", "n_days", "n_pairs", "median_slope")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -1039,5 +1072,53 @@ object Events {
              |  p.value / t.n_touches AS linear_credit
              |FROM p LEFT JOIN touched t ON p.p_id = t.p_id
              |ORDER BY p.p_id""".stripMargin)),
+
+    // ---- Theil–Sen robust trend (median of pairwise slopes) --------------
+    // The robust complement to q171's OLS: the median over all pairwise
+    // slopes of the DAILY MEANS tolerates up to ~29% outlier days, where
+    // one bad day drags least squares arbitrarily. Pairwise work happens
+    // on the day-level DISTRIBUTION table (one row per (event_type,
+    // day) after the grouped aggregation), so the O(days²) slope set is
+    // bounded by the date range — C(30, 2) ≈ 435 pairs per metric at a
+    // month of data — regardless of how many events each day holds; the
+    // corpus itself is touched by exactly one grouped aggregation with
+    // map-side combine. Determinism: daily means are sums of 1e-2
+    // fixed-point int64s divided once (correctly-rounded IEEE, both
+    // engines), slopes one subtraction + one division of those, and the
+    // even-count median is (min+max)/2 of the two middle slopes — no
+    // transcendentals, no order-dependent double sums.
+    QueryDef("q177_theilsen_trend", (s, d) =>
+      theilSen(t(s, d, "events")).orderBy("event_type"),
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS sy
+             |  FROM events GROUP BY 1, 2),
+             |dm AS MATERIALIZED (
+             |  SELECT event_type, day, CAST(sy AS DOUBLE) / n AS m FROM daily),
+             |slopes AS MATERIALIZED (
+             |  SELECT a.event_type, a.day AS d1, b.day AS d2,
+             |    (b.m - a.m) / CAST(b.day - a.day AS DOUBLE) AS slope
+             |  FROM dm a JOIN dm b
+             |    ON a.event_type = b.event_type AND a.day < b.day),
+             |ranked AS MATERIALIZED (
+             |  SELECT event_type, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, d1, d2) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+             |  FROM slopes),
+             |med AS (
+             |  SELECT event_type, min(np) AS n_pairs,
+             |    (min(slope) + max(slope)) / 2 AS median_slope
+             |  FROM ranked
+             |  WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1
+             |  GROUP BY event_type)
+             |SELECT m.event_type,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM daily d
+             |   WHERE d.event_type = m.event_type) AS n_days,
+             |  n_pairs, median_slope
+             |FROM med m ORDER BY event_type""".stripMargin)),
   )
 }

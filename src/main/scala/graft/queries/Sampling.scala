@@ -110,6 +110,28 @@ object Sampling {
       .orderBy(col("avg_weight").desc, col("doc_id"))
       .limit(topK)
 
+  /** Priority sampling (q175's body) over a (doc_id, n_chars) frame,
+    * exposed for fixture specs: the k highest-priority rows under
+    * q_i = w_i / u_i with the Lehmer-hash uniform, plus the τ-capped
+    * weight estimate max(w_i, τ). Assumes the frame has > k rows (the
+    * n <= k degenerate case would need τ = 0). */
+  def prioritySample(documents: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val pri = documents
+      .select(col("doc_id"), col("n_chars"),
+        (col("n_chars").cast("double") /
+          ((lehmer(col("doc_id")) + 1).cast("double") / lit(M.toDouble)))
+          .as("pri"))
+    val top = pri.orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
+    top
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("pri").desc, col("doc_id"))))
+      .withColumn("tau", min("pri").over(Window.partitionBy()))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("n_chars"), col("pri"), col("tau"),
+        greatest(col("n_chars").cast("double"), col("tau")).as("est_weight"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Train/val/test split: stable, salt-free, rerun-invariant --------
@@ -581,5 +603,41 @@ object Sampling {
              |  CAST(sum(n) AS DOUBLE) / grand AS token_frac
              |FROM sh CROSS JOIN g
              |GROUP BY shard_id, grand ORDER BY shard_id""".stripMargin)),
+
+    // ---- Priority sampling (weighted, without replacement) ---------------
+    // Duffield–Lund–Thorup priority sampling: each row gets priority
+    // q_i = w_i / u_i with u_i uniform in (0,1]; the k highest-priority
+    // rows are the sample, and each kept row's weight ESTIMATE is
+    // max(w_i, τ) where τ is the (k+1)-th priority — subset-sum
+    // estimates over the sample are then unbiased with near-optimal
+    // variance (the published result). Weight = n_chars; u_i derives
+    // from the Lehmer hash so the sample is deterministic and
+    // rerun-invariant like q56/q57.
+    //
+    // Scale shape: priorities are map-only; the top-(k+1) cut is
+    // TakeOrderedAndProject (per-partition top-k + a k-row driver merge
+    // — never a global sort); τ and the final ranks come from windows
+    // over the ALREADY-LIMITED 101-row frame, so the single-partition
+    // window is bounded by k, not the corpus. Double determinism: u =
+    // (h+1)/M and q = w/u are single correctly-rounded IEEE divisions of
+    // exactly-representable int64s — bit-identical on both engines (no
+    // transcendentals; the classic exp(ln(u)/w) form would forfeit the
+    // oracle). Corpora with fewer than k+1 rows would need the n <= k
+    // degenerate rule (τ = 0, estimate = w); the gate corpus is larger.
+    QueryDef("q175_priority_sample", (s, d) =>
+      prioritySample(t(s, d, "documents"), 100).orderBy("doc_id"),
+      Some(s"""WITH p AS MATERIALIZED (
+             |  SELECT doc_id, n_chars,
+             |    CAST(n_chars AS DOUBLE)
+             |      / (CAST($sqlLehmer + 1 AS DOUBLE) / $M.0) AS pri
+             |  FROM documents),
+             |r AS MATERIALIZED (
+             |  SELECT doc_id, n_chars, pri,
+             |    row_number() OVER (ORDER BY pri DESC, doc_id) AS rn
+             |  FROM p),
+             |t AS (SELECT min(pri) AS tau FROM r WHERE rn <= 101)
+             |SELECT doc_id, n_chars, pri, tau,
+             |  greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
+             |FROM r, t WHERE rn <= 100 ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -158,6 +158,23 @@ object Text {
       |          (CAST(len AS DOUBLE) * n / sumlen)))
       |      * 1000000000.0) AS BIGINT)""".stripMargin
 
+  /** Per-source lexical diversity — the q178 body, exposed for fixture
+    * specs: type-token ratio, inverse Simpson ("effective vocabulary"),
+    * and top-token concentration off one (source, token) count shuffle. */
+  def tokenDiversity(documents: DataFrame): DataFrame = {
+    val counts = documents
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sumsq"), max("c").as("max_c"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        (col("n_tokens").cast("double") * col("n_tokens").cast("double") /
+          col("sumsq").cast("double")).as("inv_simpson"),
+        (col("max_c").cast("double") / col("n_tokens")).as("top_share"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Token / character statistics ------------------------------------
@@ -1125,6 +1142,41 @@ object Text {
              |    i -> CAST(p[i] - (CASE WHEN i = 1 THEN 0 ELSE p[i - 1] END)
              |      AS VARCHAR)), ',') AS postings_delta_csv
              |FROM agg ORDER BY token""".stripMargin)),
+
+    // ---- Per-source lexical diversity profile ----------------------------
+    // The data-mixing diagnostic behind "is this source template spam":
+    // type-token ratio, top-token concentration, and the INVERSE SIMPSON
+    // index N²/Σc_i² — the "effective vocabulary size" (how many equally
+    // common tokens would produce the same repeat-collision rate). A
+    // rational diversity measure chosen over Shannon entropy
+    // deliberately: entropy needs ln(), which is not IEEE-reproducible
+    // across engines (the q67 idf rule), while Simpson is two exact
+    // int64 sums and a couple of correctly-rounded double ops.
+    //
+    // Scale shape: one (source, token)-keyed count shuffle with map-side
+    // combine, then a per-source rollup over the vocabulary-bounded
+    // count table — no corpus sort, no per-doc state. Σc² fits int64 to
+    // ~3e9 occurrences of a single token per source; past that the sums
+    // promote to DECIMAL(38) (exact and order-free, unlike double sums).
+    QueryDef("q178_token_diversity", (s, d) =>
+      tokenDiversity(t(s, d, "documents")).orderBy("source"),
+      Some("""WITH counts AS MATERIALIZED (
+             |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY source, tok),
+             |roll AS (
+             |  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(count(*) AS BIGINT) AS n_types,
+             |    CAST(sum(c * c) AS BIGINT) AS sumsq,
+             |    CAST(max(c) AS BIGINT) AS max_c
+             |  FROM counts GROUP BY source)
+             |SELECT source, n_tokens, n_types,
+             |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+             |  CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE)
+             |    / CAST(sumsq AS DOUBLE) AS inv_simpson,
+             |  CAST(max_c AS DOUBLE) / n_tokens AS top_share
+             |FROM roll ORDER BY source""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

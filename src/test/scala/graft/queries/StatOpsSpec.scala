@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Structural laws for the robust-stats / ER / sampling additions
+  * (q173–q178): prefix-filter completeness against brute force,
+  * sorted-neighborhood recounted via an independent rank join, the
+  * priority-sampling estimator contract, quantile-map minimality, and
+  * planted fixtures for Theil–Sen robustness and the diversity indices.
+  */
+class StatOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("q173: containment prefix filter equals the unfiltered brute force") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val hu = docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))).as("h"))
+    val cnt = hu.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val brute = hu.as("a")
+      .join(hu.as("b"), col("a.h") === col("b.h") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_sub"), col("b.doc_id").as("doc_sup"))
+      .agg(count(lit(1)).as("shared"))
+      .join(cnt.select(col("doc_id").as("doc_sub"), col("n").as("n_sub")), "doc_sub")
+      .join(cnt.select(col("doc_id").as("doc_sup"), col("n").as("n_sup")), "doc_sup")
+      .withColumn("containment", col("shared").cast("double") / col("n_sub"))
+      .filter(col("containment") >= 0.9)
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("n_sub") + col("n_sup") - col("shared")))
+      .select("doc_sub", "doc_sup", "shared", "n_sub", "n_sup",
+        "containment", "jaccard")
+    assertSameRows(Dedup.containmentJoin(docs, 0.9), brute)
+  }
+
+  test("q173: a quoted document is contained but invisible to Jaccard") {
+    import spark.implicits._
+    val short = (0 until 20).map(i => s"a$i").mkString(" ")
+    val long = short + " " + (0 until 40).map(i => s"b$i").mkString(" ")
+    val other = (0 until 30).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.containmentJoin(docs, 0.9).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_sub") == 1L && r.getAs[Long]("doc_sup") == 2L)
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is BELOW every Jaccard threshold the near-dup family
+    // uses — this is the directional signal's reason to exist
+    assert(r.getAs[Double]("jaccard") < 0.6)
+  }
+
+  test("q174: neighborhood pairs match an independent within-block rank join") {
+    val out = SparkEntry.queries("q174_sorted_neighborhood")(spark, sfDir).cache()
+    // independent derivation: dense rank positions per block via a join,
+    // pair rows whose positions differ by 1..4, then the same verify
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.load(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"),
+        element_at(split(col("p_name"), " "), 1).as("blk"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("blk").orderBy("p_name", "p_partkey")))
+    val a = p.select(col("blk"), col("pos").as("pos_a"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("blk"), col("pos").as("pos_b"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val brute = a.join(b, Seq("blk"))
+      .filter(col("pos_b") > col("pos_a") &&
+        col("pos_b") - col("pos_a") <= 4)
+      .select(least(col("id_a"), col("id_b")).as("part_a"),
+        greatest(col("id_a"), col("id_b")).as("part_b"),
+        col("name_a"), col("name_b"),
+        (col("pos_b") - col("pos_a")).cast("int").as("gap"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"))
+      .filter(col("dist") <= 4)
+    assertSameRows(out, brute)
+    // every row respects the window contract
+    assert(out.filter(!col("gap").between(1, 4)).count() == 0)
+    assert(out.filter(col("part_a") >= col("part_b")).count() == 0)
+  }
+
+  test("q175: sample is the true top-k by priority and the estimator is sane") {
+    import spark.implicits._
+    // heavy-tailed weights: doc i has weight (i % 97)^2 + 1
+    val docs = (1L to 400L).map(i => (i, (i % 97) * (i % 97) + 1L))
+      .toDF("doc_id", "n_chars")
+    val out = Sampling.prioritySample(docs, 100).cache()
+    assert(out.count() == 100)
+    // independent top-k: recompute priorities brute force
+    val m = 2147483647L
+    val brute = docs.select(col("doc_id"),
+        (col("n_chars").cast("double") /
+          ((expr(s"((doc_id % $m) * 48271 % $m) * 48271 % $m") + 1)
+            .cast("double") / lit(m.toDouble))).as("pri"))
+      .orderBy(col("pri").desc, col("doc_id")).limit(100)
+      .select("doc_id")
+    assertSameRows(out.select("doc_id"), brute)
+    // every kept priority clears τ, and est = max(w, τ) >= w
+    assert(out.filter(col("pri") < col("tau")).count() == 0)
+    assert(out.filter(col("est_weight") < col("n_chars").cast("double"))
+      .count() == 0)
+    // the Duffield–Lund–Thorup estimator: Σ est over the sample is an
+    // unbiased estimate of Σ w — on one draw of 100 from 400 it should
+    // land well within ±30%
+    val total = docs.agg(sum("n_chars")).head().getLong(0).toDouble
+    val est = out.agg(sum("est_weight")).head().getDouble(0)
+    assert(math.abs(est - total) / total < 0.3, s"est $est vs total $total")
+  }
+
+  test("q176: quantile map is monotone and minimal") {
+    val out = SparkEntry.queries("q176_quantile_normalize")(spark, sfDir).cache()
+    // monotone: within a source, norm_value never decreases with n_chars
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    assert(out.withColumn("prev", lag("norm_value", 1).over(w))
+      .filter(col("prev").isNotNull && col("norm_value") < col("prev"))
+      .count() == 0)
+    // minimality law, recomputed from the raw table: F_global(norm) >=
+    // F_src(v), and no smaller global value qualifies
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("source", "n_chars")
+    val n = docs.count()
+    val gcum = docs.groupBy("n_chars").count().collect()
+      .sortBy(_.getAs[Long]("n_chars"))
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), r) =>
+        (r.getAs[Long]("n_chars"), acc + r.getAs[Long]("count")) }.drop(1)
+    val nsBySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    val scLookup = docs.groupBy("source", "n_chars").count().collect()
+      .groupBy(_.getString(0)).map { case (src, rows) =>
+        src -> rows.sortBy(_.getAs[Long]("n_chars"))
+          .scanLeft((Long.MinValue, 0L)) { case ((_, acc), r) =>
+            (r.getAs[Long]("n_chars"), acc + r.getAs[Long]("count")) }.drop(1).toMap
+      }
+    out.collect().foreach { r =>
+      val (src, v, norm) = (r.getString(0), r.getAs[Long]("n_chars"),
+        r.getAs[Long]("norm_value"))
+      val sc = scLookup(src)(v)
+      val ns = nsBySrc(src)
+      val gcAt = gcum.filter(_._1 <= norm).map(_._2).maxOption.getOrElse(0L)
+      assert(gcAt * ns >= sc * n, s"$src/$v: norm $norm does not cover")
+      val prev = gcum.filter(_._1 < norm).map(_._2).maxOption.getOrElse(0L)
+      assert(prev * ns < sc * n, s"$src/$v: norm $norm is not minimal")
+    }
+  }
+
+  test("q177: Theil–Sen shrugs off an outlier day that wrecks OLS") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val rows = (0 until 30).map { i =>
+      val v = if (i == 15) 10000.0 else 2.0 * i + 3.0
+      (java.sql.Timestamp.from(base.plusSeconds(i * 86400L)), "linear", v)
+    }
+    val ev = rows.toDF("ts", "event_type", "value")
+    // 29 of 435 pairwise slopes touch the outlier; the median is still the
+    // EXACT planted slope on the 1e-2 grid
+    val ts = Events.theilSen(ev).head()
+    assert(ts.getAs[Double]("median_slope") == 200.0,
+      s"median ${ts.getAs[Double]("median_slope")}")
+    assert(ts.getAs[Long]("n_days") == 30 && ts.getAs[Long]("n_pairs") == 435)
+    // while least squares is dragged far off
+    val ols = Events.trendFit(ev).head().getAs[Double]("slope")
+    assert(math.abs(ols - 200.0) > 50.0, s"OLS unexpectedly robust: $ols")
+  }
+
+  test("q178: diversity indices hit their closed forms on planted sources") {
+    import spark.implicits._
+    val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
+    val spam = Seq.fill(50)("t0").mkString(" ")
+    val docs = Seq((1L, uniform, "uniformS"), (2L, spam, "spamS"))
+      .toDF("doc_id", "text", "source")
+    val out = Text.tokenDiversity(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val u = out("uniformS")
+    assert(u.getAs[Long]("n_tokens") == 50 && u.getAs[Long]("n_types") == 50)
+    assert(u.getAs[Double]("ttr") == 1.0)
+    assert(u.getAs[Double]("inv_simpson") == 50.0)
+    assert(u.getAs[Double]("top_share") == 0.02)
+    val sp = out("spamS")
+    assert(sp.getAs[Long]("n_types") == 1)
+    assert(sp.getAs[Double]("inv_simpson") == 1.0)
+    assert(sp.getAs[Double]("top_share") == 1.0)
+  }
+}
