@@ -221,6 +221,44 @@ object Events {
       .select("event_type", "n_days", "n_pairs", "median_slope")
   }
 
+  /** Tabular CUSUM change-point detector — the q179 body, exposed for
+    * fixture specs. Per event_type, S⁺/S⁻ via the prefix-sum-minus-
+    * running-min unrolling on an exact integer grid (1 value unit =
+    * 100000 scaled); baseline μ₀ = mean of the first 7 days, slack
+    * K = 0.05 units, threshold h = 0.25 units. */
+  def cusum(ev: DataFrame): DataFrame = {
+    val K = 5000L  // 0.05 value units on the scaled grid
+    val H = 25000L // 0.25 value units
+    val daily = ev
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+      .withColumn("m", expr("sy * 1000 div n"))
+    val wDay = Window.partitionBy("event_type").orderBy("day")
+    val base = daily
+      .withColumn("rk", row_number().over(wDay))
+      .filter(col("rk") <= 7)
+      .groupBy("event_type")
+      .agg(sum("sy").as("bsy"), sum("n").as("bn"))
+      .select(col("event_type"), expr("bsy * 1000 div bn").as("mu0"))
+    val wCum = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(base), "event_type")
+      .withColumn("dpos", col("m") - col("mu0") - K)
+      .withColumn("dneg", col("mu0") - col("m") - K)
+      .withColumn("ppos", sum("dpos").over(wCum))
+      .withColumn("pneg", sum("dneg").over(wCum))
+      .withColumn("cusum_pos",
+        col("ppos") - least(lit(0L), min("ppos").over(wCum)))
+      .withColumn("cusum_neg",
+        col("pneg") - least(lit(0L), min("pneg").over(wCum)))
+      .withColumn("shift_flag",
+        col("cusum_pos") > H || col("cusum_neg") > H)
+      .select("event_type", "day", "n", "m", "mu0",
+        "cusum_pos", "cusum_neg", "shift_flag")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -1120,5 +1158,62 @@ object Events {
              |   WHERE d.event_type = m.event_type) AS n_days,
              |  n_pairs, median_slope
              |FROM med m ORDER BY event_type""".stripMargin)),
+
+    // ---- CUSUM change-point detection over daily means -------------------
+    // The metric-shift alarm q171/q177 can't give: WHEN did the level
+    // change. Tabular CUSUM per event_type against a baseline μ₀ (mean
+    // of the first 7 days): S⁺_t = max(0, S⁺_{t−1} + (x_t − μ₀ − K)),
+    // mirrored for downward shifts; a day flags when either side
+    // crosses h. The recursion is not a window function — but it
+    // UNROLLS to one: S_t = P_t − min(0, min_{j≤t} P_j) where P is the
+    // ordered prefix sum of the deviations, so the whole detector is
+    // two cumulative windows per side over the day-level distribution
+    // table (bounded by the date range, never corpus-sized; the corpus
+    // is touched by exactly one grouped aggregation).
+    //
+    // Determinism: everything runs on an integer grid — daily means as
+    // (Σy·1000) div n with y the 1e-2 value grid (so 1 value unit =
+    // 100000 scaled), slack K = 0.05 units, threshold h = 0.25 units —
+    // prefix sums, running mins, and comparisons are all exact int64;
+    // no ordered double accumulation whose rounding could diverge
+    // between engines' window implementations.
+    QueryDef("q179_cusum_changepoints", (s, d) =>
+      cusum(t(s, d, "events")).orderBy("event_type", "day"),
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS sy
+             |  FROM events GROUP BY 1, 2),
+             |dm AS MATERIALIZED (
+             |  SELECT event_type, day, n, sy, sy * 1000 // n AS m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rk
+             |  FROM daily),
+             |base AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(sum(sy) AS BIGINT) * 1000 // CAST(sum(n) AS BIGINT)
+             |      AS mu0
+             |  FROM dm WHERE rk <= 7 GROUP BY event_type),
+             |dev AS MATERIALIZED (
+             |  SELECT d.event_type, d.day, d.n, d.m, b.mu0,
+             |    sum(d.m - b.mu0 - 5000) OVER w AS ppos,
+             |    sum(b.mu0 - d.m - 5000) OVER w AS pneg
+             |  FROM dm d JOIN base b USING (event_type)
+             |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |cs AS MATERIALIZED (
+             |  SELECT event_type, day, n, m, mu0,
+             |    ppos - least(0, min(ppos) OVER w) AS cusum_pos,
+             |    pneg - least(0, min(pneg) OVER w) AS cusum_neg
+             |  FROM dev
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, n, m, mu0,
+             |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+             |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+             |  cusum_pos > 25000 OR cusum_neg > 25000 AS shift_flag
+             |FROM cs ORDER BY event_type, day""".stripMargin)),
   )
 }

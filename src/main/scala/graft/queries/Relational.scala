@@ -55,6 +55,14 @@ object Relational {
   // exact in both engines), then one int64->double conversion and one IEEE
   // division, identical on both sides. Factors are cast to small decimals
   // so Spark's 38-precision cap never forces scale reduction.
+  // The q181 range-predicate test set — single definition shared by the
+  // engine and its oracle SQL so the predicates cannot drift. Bounds are
+  // plain doubles inside lineitem's price domain; each range must be
+  // non-empty at every gate SF (rel_err divides by the true count).
+  private val selRanges: Seq[(Int, Double, Double)] = Seq(
+    (1, 1000.0, 20000.0), (2, 20000.0, 50000.0), (3, 45000.0, 55000.0),
+    (4, 60000.0, 105000.0), (5, 90000.0, 95000.0))
+
   private val k1000 = lit(1000).cast(DecimalType(4, 0))
   private def sumOut(c: Column): Column =
     (sum(c).cast(DecimalType(24, 6)) * k1000 * k1000)
@@ -777,6 +785,93 @@ object Relational {
            |UNION ALL
            |${c("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey")})
            |ORDER BY join_name""".stripMargin
+      }),
+
+    // ---- Histogram-based selectivity estimation attestation --------------
+    // The other half of the q160/q164 optimizer surface: estimate range-
+    // predicate selectivity from a 32-bucket equi-width histogram
+    // (uniform-within-bucket interpolation — the System R assumption
+    // every cost model starts from) and attest each estimate against
+    // the true count. Scale: TWO corpus scans total (histogram build +
+    // the 5 conditional true counts in one aggregate), then arithmetic
+    // over the 32-row histogram; production reads the stats catalog and
+    // pays only the arithmetic.
+    //
+    // Determinism: bucket bounds, overlap widths, and fractions are
+    // identical IEEE expression trees on both engines; each bucket's
+    // contribution is floored onto a 1e-6 integer grid BEFORE summation
+    // so the cross-bucket sum is exact int64 (a double sum's rounding
+    // would depend on each engine's accumulation order).
+    QueryDef("q181_histogram_selectivity", (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("v"))
+      val bounds = li.agg(min("v").as("mn"), max("v").as("mx"))
+        .withColumn("w", (col("mx") - col("mn")) / lit(32.0))
+      val hist = li.crossJoin(broadcast(bounds))
+        .withColumn("bk",
+          least(floor((col("v") - col("mn")) / col("w")).cast("int"), lit(31)))
+        .groupBy("bk").agg(count(lit(1)).as("cnt"))
+      val ranges = {
+        import s.implicits._
+        selRanges.toDF("range_id", "lo", "hi")
+      }
+      val est = ranges.crossJoin(broadcast(hist))
+        .crossJoin(broadcast(bounds))
+        .withColumn("lb", col("mn") + col("bk").cast("double") * col("w"))
+        .withColumn("ub", col("mn") + (col("bk") + 1).cast("double") * col("w"))
+        .withColumn("ov",
+          greatest(lit(0.0), least(col("hi"), col("ub")) -
+            greatest(col("lo"), col("lb"))))
+        .withColumn("contrib",
+          floor(col("cnt").cast("double") * (col("ov") / col("w")) * lit(1e6)))
+        .groupBy("range_id", "lo", "hi").agg(sum("contrib").as("num"))
+      val truthCols = selRanges.map { case (id, lo, hi) =>
+        sum(when(col("v") >= lo && col("v") < hi, 1L).otherwise(0L)).as(s"t$id")
+      }
+      val truth = li.agg(truthCols.head, truthCols.tail: _*)
+        .select(expr(s"stack(${selRanges.size}, " +
+          selRanges.map { case (id, _, _) => s"$id, t$id" }.mkString(", ") +
+          ") AS (range_id, true_rows)"))
+      est.join(broadcast(truth), "range_id")
+        .withColumn("est_rows", col("num").cast("double") / lit(1e6))
+        .withColumn("rel_err",
+          (col("num").cast("double") / lit(1e6) - col("true_rows").cast("double"))
+            / col("true_rows").cast("double"))
+        .select("range_id", "lo", "hi", "est_rows", "true_rows", "rel_err")
+        .orderBy("range_id")
+    },
+      Some {
+        val vals = selRanges.map { case (id, lo, hi) =>
+          s"($id, CAST($lo AS DOUBLE), CAST($hi AS DOUBLE))" }.mkString(", ")
+        s"""WITH b AS MATERIALIZED (
+           |  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+           |    (max(l_extendedprice) - min(l_extendedprice))
+           |      / CAST(32.0 AS DOUBLE) AS w
+           |  FROM lineitem),
+           |hist AS MATERIALIZED (
+           |  SELECT least(CAST(floor((l_extendedprice - b.mn) / b.w)
+           |      AS INTEGER), 31) AS bk,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM lineitem, b GROUP BY 1),
+           |r(range_id, lo, hi) AS (VALUES $vals),
+           |est AS MATERIALIZED (
+           |  SELECT range_id, lo, hi,
+           |    CAST(sum(CAST(floor(CAST(cnt AS DOUBLE)
+           |      * (greatest(CAST(0.0 AS DOUBLE),
+           |           least(hi, b.mn + (bk + 1) * b.w)
+           |           - greatest(lo, b.mn + bk * b.w)) / b.w)
+           |      * 1000000.0) AS BIGINT)) AS BIGINT) AS num
+           |  FROM r, hist, b GROUP BY 1, 2, 3),
+           |tr AS MATERIALIZED (
+           |  SELECT r.range_id, CAST(count(*) AS BIGINT) AS true_rows
+           |  FROM r JOIN lineitem
+           |    ON l_extendedprice >= lo AND l_extendedprice < hi
+           |  GROUP BY 1)
+           |SELECT est.range_id, lo, hi,
+           |  CAST(num AS DOUBLE) / 1000000.0 AS est_rows, true_rows,
+           |  (CAST(num AS DOUBLE) / 1000000.0 - CAST(true_rows AS DOUBLE))
+           |    / CAST(true_rows AS DOUBLE) AS rel_err
+           |FROM est JOIN tr ON est.range_id = tr.range_id
+           |ORDER BY est.range_id""".stripMargin
       }),
   )
 }

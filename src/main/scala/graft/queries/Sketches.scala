@@ -300,5 +300,67 @@ object Sketches {
              |  (CAST(ic AS DOUBLE) / len(ku)) * ${sqlKmvEst("ku")}
              |    AS est_intersection
              |FROM q ORDER BY source_a, source_b""".stripMargin)),
+
+    // ---- Sampled GROUP BY with confidence intervals (AQP) ----------------
+    // The approximate-query-processing contract: answer a grouped count
+    // from a p = 10% deterministic row sample, report a ±2σ interval,
+    // and ATTEST it against the exact answer in the same result (the
+    // attestation is the query's point; production reads only the
+    // sample). Membership hashes (l_orderkey·8 + l_linenumber) — the
+    // unique row id — through the Lehmer step, so the sample is
+    // rerun-invariant and needs no stored sample table. Bernoulli
+    // estimator: est = n_s/p, se = sqrt(n_s·(1−p))/p; sqrt is
+    // IEEE-correctly-rounded (the q165 rule), so both engines agree
+    // bit-for-bit.
+    //
+    // Scale shape: ONE scan, one grouped aggregation with map-side
+    // combine — the exact count and the conditional sample count ride
+    // the same agg. At 100 TB the production variant drops the exact
+    // column and scans only a pre-materialized sample partition; the
+    // estimator math is unchanged.
+    QueryDef("q180_sampled_groupby_ci", (s, d) => {
+      val m = 2147483647L
+      val samp = expr(
+        s"(((l_orderkey * 8 + l_linenumber) % $m) * 48271 % $m) * 48271 % $m % 10 = 0")
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("exact_rows"),
+          sum(when(samp, 1L).otherwise(0L)).as("n_sample"))
+        .withColumn("est_rows", col("n_sample").cast("double") * 10.0)
+        .withColumn("se",
+          sqrt(col("n_sample").cast("double") * 0.9) * 10.0)
+        .withColumn("covered",
+          abs(col("est_rows") - col("exact_rows").cast("double")) <=
+            lit(2.0) * col("se"))
+        .select("l_returnflag", "l_linestatus", "exact_rows", "n_sample",
+          "est_rows", "se", "covered")
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+             |  CAST(count(*) AS BIGINT) AS exact_rows,
+             |  CAST(sum(CASE WHEN
+             |      ${Sampling.sqlLehmerOf("(l_orderkey * 8 + l_linenumber)")}
+             |        % 10 = 0
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+             |  CAST(sum(CASE WHEN
+             |      ${Sampling.sqlLehmerOf("(l_orderkey * 8 + l_linenumber)")}
+             |        % 10 = 0
+             |    THEN 1 ELSE 0 END) AS DOUBLE) * 10.0 AS est_rows,
+             |  sqrt(CAST(sum(CASE WHEN
+             |      ${Sampling.sqlLehmerOf("(l_orderkey * 8 + l_linenumber)")}
+             |        % 10 = 0
+             |    THEN 1 ELSE 0 END) AS DOUBLE) * 0.9) * 10.0 AS se,
+             |  abs(CAST(sum(CASE WHEN
+             |      ${Sampling.sqlLehmerOf("(l_orderkey * 8 + l_linenumber)")}
+             |        % 10 = 0
+             |    THEN 1 ELSE 0 END) AS DOUBLE) * 10.0
+             |    - CAST(count(*) AS DOUBLE))
+             |  <= 2.0 * sqrt(CAST(sum(CASE WHEN
+             |      ${Sampling.sqlLehmerOf("(l_orderkey * 8 + l_linenumber)")}
+             |        % 10 = 0
+             |    THEN 1 ELSE 0 END) AS DOUBLE) * 0.9) * 10.0 AS covered
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
   )
 }

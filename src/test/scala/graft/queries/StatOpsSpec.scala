@@ -163,6 +163,71 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(ols - 200.0) > 50.0, s"OLS unexpectedly robust: $ols")
   }
 
+  test("q179: window unrolling equals the textbook CUSUM recursion, and a planted shift flags") {
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    // level 1.0 for 15 days, then a +1.0 shift
+    val rows = (0 until 30).map { i =>
+      val v = if (i < 15) 1.0 else 2.0
+      (java.sql.Timestamp.from(base.plusSeconds(i * 86400L)), "m", v)
+    }
+    val out = Events.cusum(rows.toDF("ts", "event_type", "value"))
+      .orderBy("day").collect()
+    // replay the recursion directly: S_t = max(0, S_{t-1} + d_t)
+    var (sp, sn) = (0L, 0L)
+    out.foreach { r =>
+      val (m, mu0) = (r.getAs[Long]("m"), r.getAs[Long]("mu0"))
+      sp = math.max(0L, sp + (m - mu0 - 5000L))
+      sn = math.max(0L, sn + (mu0 - m - 5000L))
+      assert(r.getAs[Long]("cusum_pos") == sp && r.getAs[Long]("cusum_neg") == sn,
+        s"day ${r.getAs[Long]("day")}: unrolled (${r.getAs[Long]("cusum_pos")}, " +
+          s"${r.getAs[Long]("cusum_neg")}) vs recursion ($sp, $sn)")
+    }
+    // nothing flags before the shift; the shift flags within 2 days
+    val flaggedDays = out.filter(_.getAs[Boolean]("shift_flag"))
+      .map(_.getAs[Long]("day") - out.head.getAs[Long]("day"))
+    assert(flaggedDays.forall(_ >= 15), s"pre-shift flag at $flaggedDays")
+    assert(flaggedDays.nonEmpty && flaggedDays.min <= 16,
+      s"shift not detected promptly: $flaggedDays")
+  }
+
+  test("q180: sampled estimates attest against exact counts honestly") {
+    val out = SparkEntry.queries("q180_sampled_groupby_ci")(spark, sfDir).cache()
+    // exact side recounted independently
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus").count()
+    assertSameRows(out.select("l_returnflag", "l_linestatus", "exact_rows"),
+      exact)
+    // estimator identities: est = 10 * n_sample; covered consistent
+    assert(out.filter(col("est_rows") =!=
+      col("n_sample").cast("double") * 10.0).count() == 0)
+    assert(out.filter(col("covered") =!=
+      (abs(col("est_rows") - col("exact_rows").cast("double")) <=
+        lit(2.0) * col("se"))).count() == 0)
+    // ±2σ covers ~95% per group, so with 6 groups one (deterministic)
+    // miss is within expectation — but most groups must cover
+    assert(out.filter(!col("covered")).count() <= 1)
+  }
+
+  test("q181: histogram estimates reconstruct totals and true counts recount") {
+    val out = SparkEntry.queries("q181_histogram_selectivity")(spark, sfDir)
+      .cache()
+    val li = Tables.load(spark, sfDir, "lineitem")
+    // true counts recomputed directly
+    out.collect().foreach { r =>
+      val n = li.filter(col("l_extendedprice") >= r.getAs[Double]("lo") &&
+        col("l_extendedprice") < r.getAs[Double]("hi")).count()
+      assert(n == r.getAs[Long]("true_rows"),
+        s"range ${r.getInt(0)}: recount $n vs ${r.getAs[Long]("true_rows")}")
+    }
+    // the two wide ranges partitioning most of the domain should estimate
+    // within 25% each on near-uniform prices
+    out.filter(col("range_id").isin(1, 2, 4)).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("rel_err")) < 0.25,
+        s"range ${r.getInt(0)} rel_err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("q178: diversity indices hit their closed forms on planted sources") {
     import spark.implicits._
     val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
