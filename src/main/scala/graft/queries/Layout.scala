@@ -228,5 +228,177 @@ object Layout {
            |${c("orders", "o_custkey", "orders.o_custkey")})
            |ORDER BY join_key""".stripMargin
       }),
+
+    // ---- Zone-map pruning attestation ------------------------------------
+    // The payoff side of q153's layout story: per-"file" min/max zone
+    // maps (parquet footer stats; files = ingest-order row ranges,
+    // l_orderkey div 256) decide which files a range scan can SKIP, and
+    // the report attests both the SOUNDNESS law (zero matching rows in
+    // any skipped file — the law a reader's correctness rests on) and
+    // the EFFECTIVENESS gap: a predicate on the ingest-correlated key
+    // prunes nearly everything, the same-width predicate on an
+    // uncorrelated column prunes nothing — the measurement that says
+    // "re-cluster (q153) before trusting zone maps on that column".
+    //
+    // Scale shape: one corpus scan builds the manifest (grouped min/max,
+    // map-side combine) and one conditional aggregation per corpus scan
+    // answers the true-match side; every window/rollup after that runs
+    // on the file MANIFEST, bounded by the file count.
+    QueryDef("q182_zonemap_pruning", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("file", expr("l_orderkey div 256"))
+      val manifest = li.groupBy("file")
+        .agg(min("l_orderkey").as("omn"), max("l_orderkey").as("omx"),
+          min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+          count(lit(1)).as("n_rows"))
+      def predCase(id: Int, cmn: String, cmx: String, rowCol: String,
+          lo: Long, hi: Long) = {
+        val scan = manifest
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(col(cmx) >= lo && col(cmn) < hi, 1L).otherwise(0L))
+              .as("n_scanned"),
+            sum(when(col(cmx) >= lo && col(cmn) < hi, col("n_rows"))
+              .otherwise(0L)).as("rows_scanned"))
+        val truth = li
+          .agg(sum(when(col(rowCol) >= lo && col(rowCol) < hi, 1L)
+              .otherwise(0L)).as("rows_matched"),
+            countDistinct(when(col(rowCol) >= lo && col(rowCol) < hi,
+              col("file"))).as("n_matching_files"))
+        // rows_missed: matching rows inside files the zone map skipped —
+        // the soundness attestation (must be 0; min/max bounds are sound)
+        val missed = li.join(broadcast(manifest
+              .filter(!(col(cmx) >= lo && col(cmn) < hi))
+              .select(col("file"))), Seq("file"), "left_semi")
+          .agg(sum(when(col(rowCol) >= lo && col(rowCol) < hi, 1L)
+            .otherwise(0L)).as("rows_missed"))
+        scan.withColumn("pred_id", lit(id))
+          .join(truth.withColumn("pred_id", lit(id)), "pred_id")
+          .join(missed.withColumn("pred_id", lit(id)), "pred_id")
+          .select(col("pred_id"), col("n_files"), col("n_scanned"),
+            (col("n_files") - col("n_scanned")).as("n_skipped"),
+            col("n_matching_files"),
+            (col("n_scanned") - col("n_matching_files")).as("false_pos_files"),
+            col("rows_matched"), coalesce(col("rows_missed"), lit(0L))
+              .as("rows_missed"),
+            (lit(1.0) - col("n_scanned").cast("double") / col("n_files"))
+              .as("prune_ratio"))
+      }
+      predCase(1, "omn", "omx", "l_orderkey", 10000L, 12000L)
+        .union(predCase(2, "pmn", "pmx", "l_partkey", 100L, 140L))
+        .orderBy("pred_id")
+    },
+      Some {
+        def c(id: Int, cmn: String, cmx: String, rowCol: String,
+            lo: Long, hi: Long) =
+          s"""SELECT $id AS pred_id, n_files, n_scanned,
+             |  n_files - n_scanned AS n_skipped, n_matching_files,
+             |  n_scanned - n_matching_files AS false_pos_files,
+             |  rows_matched, COALESCE(rows_missed, 0) AS rows_missed,
+             |  1.0 - CAST(n_scanned AS DOUBLE) / n_files AS prune_ratio
+             |FROM
+             |  (SELECT CAST(count(*) AS BIGINT) AS n_files,
+             |     CAST(sum(CASE WHEN $cmx >= $lo AND $cmn < $hi
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+             |   FROM mf),
+             |  (SELECT CAST(sum(CASE WHEN $rowCol >= $lo AND $rowCol < $hi
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched,
+             |     CAST(count(DISTINCT CASE WHEN $rowCol >= $lo
+             |       AND $rowCol < $hi THEN file END) AS BIGINT)
+             |       AS n_matching_files
+             |   FROM fl),
+             |  (SELECT CAST(sum(CASE WHEN $rowCol >= $lo AND $rowCol < $hi
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS rows_missed
+             |   FROM fl WHERE file IN (
+             |     SELECT file FROM mf
+             |     WHERE NOT ($cmx >= $lo AND $cmn < $hi)))""".stripMargin
+        s"""WITH fl AS MATERIALIZED (
+           |  SELECT l_orderkey // 256 AS file, l_orderkey, l_partkey
+           |  FROM lineitem),
+           |mf AS MATERIALIZED (
+           |  SELECT file, min(l_orderkey) AS omn, max(l_orderkey) AS omx,
+           |    min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+           |    CAST(count(*) AS BIGINT) AS n_rows
+           |  FROM fl GROUP BY file)
+           |SELECT * FROM (
+           |${c(1, "omn", "omx", "l_orderkey", 10000L, 12000L)}
+           |UNION ALL
+           |${c(2, "pmn", "pmx", "l_partkey", 100L, 140L)})
+           |ORDER BY pred_id""".stripMargin
+      }),
+
+    // ---- Columnar encoding advisor ---------------------------------------
+    // The storage-layout question after q153/q154 decide file boundaries:
+    // which ENCODING should each column get inside a file. Per (file,
+    // column): run count in write order (RLE's cost driver), NDV
+    // (dictionary's), and the maximum absolute delta between consecutive
+    // values (delta-bitpacking's) — then the standard advisory rule
+    // (mostly-constant → RLE, small deltas → DELTA, small NDV → DICT,
+    // else PLAIN). Every statistic is windows/rollups PARTITIONED BY
+    // FILE in write order — bounded rows per partition by the file-size
+    // contract, no global sort, all exact integers.
+    QueryDef("q183_encoding_advisor", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .withColumn("file", expr("l_orderkey div 1024"))
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata, so the
+      // value itself is the final tiebreak — rows that still tie carry
+      // equal v, leaving the value SEQUENCE (all these stats see)
+      // well-defined on both engines.
+      val wf = Window.partitionBy("file")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("v"))
+      def colCase(cname: String) = {
+        val v = col(cname).cast("long")
+        li.select(col("file"), col("l_orderkey"), col("l_linenumber"),
+            v.as("v"))
+          .withColumn("pv", lag("v", 1).over(wf))
+          .groupBy("file")
+          .agg(lit(cname).as("column_name"),
+            count(lit(1)).as("n_rows"),
+            (sum(when(col("pv").isNull || col("v") =!= col("pv"), 1L)
+              .otherwise(0L))).as("n_runs"),
+            countDistinct("v").as("ndv"),
+            max(when(col("pv").isNotNull, abs(col("v") - col("pv")))
+              .otherwise(0L)).as("max_abs_delta"))
+      }
+      Seq("l_orderkey", "l_partkey", "l_quantity").map(colCase)
+        .reduce(_ union _)
+        .withColumn("advice",
+          when(col("n_runs") * 4 <= col("n_rows"), "rle")
+            .when(col("max_abs_delta") <= 65535L, "delta")
+            .when(col("ndv") * 16 <= col("n_rows"), "dict")
+            .otherwise("plain"))
+        .select("file", "column_name", "n_rows", "n_runs", "ndv",
+          "max_abs_delta", "advice")
+        .orderBy("column_name", "file")
+    },
+      Some {
+        def c(cname: String) =
+          s"""SELECT file, '$cname' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN pv IS NULL OR v != pv THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_runs,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+             |  CAST(max(CASE WHEN pv IS NOT NULL THEN abs(v - pv)
+             |    ELSE 0 END) AS BIGINT) AS max_abs_delta
+             |FROM (
+             |  SELECT l_orderkey // 1024 AS file, CAST($cname AS BIGINT) AS v,
+             |    lag(CAST($cname AS BIGINT), 1) OVER (
+             |      PARTITION BY l_orderkey // 1024
+             |      ORDER BY l_orderkey, l_linenumber, CAST($cname AS BIGINT))
+             |      AS pv
+             |  FROM lineitem)
+             |GROUP BY file""".stripMargin
+        s"""SELECT file, column_name, n_rows, n_runs, ndv, max_abs_delta,
+           |  CASE WHEN n_runs * 4 <= n_rows THEN 'rle'
+           |       WHEN max_abs_delta <= 65535 THEN 'delta'
+           |       WHEN ndv * 16 <= n_rows THEN 'dict'
+           |       ELSE 'plain' END AS advice
+           |FROM (
+           |${c("l_orderkey")}
+           |UNION ALL
+           |${c("l_partkey")}
+           |UNION ALL
+           |${c("l_quantity")})
+           |ORDER BY column_name, file""".stripMargin
+      }),
   )
 }

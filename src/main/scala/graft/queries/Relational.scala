@@ -873,5 +873,80 @@ object Relational {
            |FROM est JOIN tr ON est.range_id = tr.range_id
            |ORDER BY est.range_id""".stripMargin
       }),
+
+    // ---- Join-order advisor attestation ----------------------------------
+    // What q160's stats and q164's formula exist FOR: pick a join order.
+    // For the customer ⋈ orders ⋈ lineitem chain, estimate the
+    // INTERMEDIATE cardinality of each left-deep order with the textbook
+    // |R|·|S| / max(ndv) rule, choose the order with the smaller
+    // intermediate (the System R greedy), and attest both estimates and
+    // the choice against the real intermediate sizes. The final join's
+    // size is order-invariant; the intermediate is the whole game — it
+    // prices the shuffle a 100 TB run would actually pay. Exact integer
+    // estimates (floor div); stats scans + the two real intermediates as
+    // the attestation cost (production reads the q160 catalog instead).
+    QueryDef("q185_join_order_advisor", (s, d) => {
+      val cu = t(s, d, "customer")
+      val or = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      def stats(df: org.apache.spark.sql.DataFrame, k: String,
+          pfx: String) =
+        df.agg(count(lit(1)).as(s"n_$pfx"),
+          countDistinct(col(k)).as(s"ndv_$pfx"))
+      val st = stats(cu, "c_custkey", "c")
+        .crossJoin(stats(or, "o_custkey", "o"))
+        .crossJoin(stats(li, "l_orderkey", "l"))
+        .crossJoin(or.agg(countDistinct(col("o_orderkey")).as("ndv_ook")))
+      val actualCO = cu.join(or, col("c_custkey") === col("o_custkey"))
+        .agg(count(lit(1)).as("act_co"))
+      val actualOL = or.join(li, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)).as("act_ol"))
+      val est = st.crossJoin(actualCO).crossJoin(actualOL)
+        .withColumn("est_co",
+          expr("(n_c * n_o) div greatest(ndv_c, ndv_o)"))
+        .withColumn("est_ol",
+          expr("(n_o * n_l) div greatest(ndv_ook, ndv_l)"))
+      est.select(
+          lit("customer_orders_first").as("plan"),
+          col("est_co").as("est_intermediate"),
+          col("act_co").as("actual_intermediate"),
+          (col("est_co") <= col("est_ol")).as("advised"))
+        .union(est.select(
+          lit("orders_lineitem_first"),
+          col("est_ol"), col("act_ol"),
+          col("est_ol") < col("est_co")))
+        .orderBy("plan")
+    },
+      Some("""WITH st AS MATERIALIZED (
+             |  SELECT * FROM
+             |    (SELECT CAST(count(*) AS BIGINT) AS n_c,
+             |       CAST(count(DISTINCT c_custkey) AS BIGINT) AS ndv_c
+             |     FROM customer),
+             |    (SELECT CAST(count(*) AS BIGINT) AS n_o,
+             |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv_o,
+             |       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv_ook
+             |     FROM orders),
+             |    (SELECT CAST(count(*) AS BIGINT) AS n_l,
+             |       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS ndv_l
+             |     FROM lineitem),
+             |    (SELECT CAST(count(*) AS BIGINT) AS act_co
+             |     FROM customer JOIN orders ON c_custkey = o_custkey),
+             |    (SELECT CAST(count(*) AS BIGINT) AS act_ol
+             |     FROM orders JOIN lineitem ON o_orderkey = l_orderkey)),
+             |e AS MATERIALIZED (
+             |  SELECT *,
+             |    (n_c * n_o) // greatest(ndv_c, ndv_o) AS est_co,
+             |    (n_o * n_l) // greatest(ndv_ook, ndv_l) AS est_ol
+             |  FROM st)
+             |SELECT * FROM (
+             |  SELECT 'customer_orders_first' AS plan,
+             |    est_co AS est_intermediate, act_co AS actual_intermediate,
+             |    est_co <= est_ol AS advised
+             |  FROM e
+             |  UNION ALL
+             |  SELECT 'orders_lineitem_first', est_ol, act_ol,
+             |    est_ol < est_co
+             |  FROM e)
+             |ORDER BY plan""".stripMargin)),
   )
 }

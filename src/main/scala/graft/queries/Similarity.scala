@@ -2211,5 +2211,124 @@ object Similarity {
            |  FROM p3)
            |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
       }),
+
+    // ---- MMR diversified re-ranking --------------------------------------
+    // Maximal Marginal Relevance (Carbonell & Goldstein): from each
+    // anchor's top-12 cosine candidates, greedily pick 5 maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — the standard answer to
+    // "the top-k are 5 copies of the same document" after dedup ran out.
+    // The greedy recursion is data-dependent like q113's k-center, and
+    // gets the same treatment: the candidate pool is BOUNDED (12 per
+    // anchor) before any iterative work, so the 4 unrolled steps run
+    // joins over an anchors×12 table and a 12×12-per-anchor sim matrix —
+    // driver-side loop over tiny frames, corpus touched once by the
+    // candidate scan (q48's bounded-anchor broadcast). λ = 0.7; scores
+    // are the same cosine doubles both engines already share, combined
+    // by one literal-weighted subtraction.
+    QueryDef("q184_mmr_rerank", (s, d) => {
+      val nAnchors = 10
+      val e = quantize(t(s, d, "embeddings"))
+      val q = e.filter(col("vec_id") < nAnchors)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+        col("n2").as("nb"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("rel").desc, col("n_id"))
+      val cand = broadcast(q).join(corpus, col("q_id") =!= col("n_id"))
+        .withColumn("rel", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 12)
+        .select("q_id", "n_id", "rel", "qb", "nb")
+        .localCheckpoint()
+      val sims = cand.select(col("q_id"), col("n_id").as("c1"),
+          col("qb").as("v1"), col("nb").as("m1"))
+        .join(cand.select(col("q_id"), col("n_id").as("c2"),
+          col("qb").as("v2"), col("nb").as("m2")), "q_id")
+        .filter(col("c1") =!= col("c2"))
+        .withColumn("sim", cosine(col("v1"), col("m1"), col("v2"), col("m2")))
+        .select("q_id", "c1", "c2", "sim")
+        .localCheckpoint()
+      val lean = cand.select("q_id", "n_id", "rel")
+      val wPick = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))
+      var selected = lean
+        .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * lit(0.0))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("n_id"), lit(1).as("pick_order"),
+          col("rel"), col("mmr"))
+      for (k <- 2 to 5) {
+        val rem = lean.join(selected.select("q_id", "n_id"),
+          Seq("q_id", "n_id"), "left_anti")
+        val ms = sims
+          .join(selected.select(col("q_id"), col("n_id").as("c2")),
+            Seq("q_id", "c2"))
+          .groupBy(col("q_id"), col("c1").as("n_id"))
+          .agg(max("sim").as("msim"))
+        val next = rem.join(ms, Seq("q_id", "n_id"))
+          .withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("msim"))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id"), lit(k).as("pick_order"),
+            col("rel"), col("mmr"))
+        selected = selected.union(next).localCheckpoint()
+      }
+      selected.orderBy("q_id", "pick_order")
+    },
+      Some {
+        val steps = (2 to 5).map { k =>
+          val selPrev = (1 until k).map(i => s"SELECT * FROM s$i")
+            .mkString(" UNION ALL ")
+          s"""ms$k AS MATERIALIZED (
+             |  SELECT p.q_id, p.c1 AS n_id, max(p.sim) AS msim
+             |  FROM sims p JOIN ($selPrev) sel
+             |    ON p.q_id = sel.q_id AND p.c2 = sel.n_id
+             |  GROUP BY 1, 2),
+             |s$k AS MATERIALIZED (
+             |  SELECT q_id, n_id, $k AS pick_order, rel, mmr FROM (
+             |    SELECT c.q_id, c.n_id, c.rel,
+             |      0.7 * c.rel - 0.3 * m.msim AS mmr,
+             |      row_number() OVER (PARTITION BY c.q_id
+             |        ORDER BY 0.7 * c.rel - 0.3 * m.msim DESC, c.n_id) AS rn
+             |    FROM c12 c JOIN ms$k m
+             |      ON c.q_id = m.q_id AND c.n_id = m.n_id
+             |    WHERE NOT EXISTS (SELECT 1 FROM ($selPrev) sel
+             |      WHERE sel.q_id = c.q_id AND sel.n_id = c.n_id))
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+           |c12 AS MATERIALIZED (
+           |  SELECT q_id, n_id, rel FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      ${sqlCos("a", "b")} AS rel,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY ${sqlCos("a", "b")} DESC, b.vec_id) AS rk
+           |    FROM n a JOIN n b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < 10)
+           |  WHERE rk <= 12),
+           |sims AS MATERIALIZED (
+           |  SELECT x.q_id, x.n_id AS c1, y.n_id AS c2,
+           |    ${sqlCos("nx", "ny")} AS sim
+           |  FROM c12 x JOIN c12 y
+           |    ON x.q_id = y.q_id AND x.n_id != y.n_id
+           |  JOIN n nx ON nx.vec_id = x.n_id
+           |  JOIN n ny ON ny.vec_id = y.n_id),
+           |s1 AS MATERIALIZED (
+           |  SELECT q_id, n_id, 1 AS pick_order, rel,
+           |    0.7 * rel - 0.3 * 0.0 AS mmr FROM (
+           |    SELECT q_id, n_id, rel,
+           |      row_number() OVER (PARTITION BY q_id
+           |        ORDER BY rel DESC, n_id) AS rn
+           |    FROM c12)
+           |  WHERE rn = 1),
+           |$steps
+           |SELECT q_id, n_id, CAST(pick_order AS INTEGER) AS pick_order,
+           |  rel, mmr
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+           |  UNION ALL SELECT * FROM s5)
+           |ORDER BY q_id, pick_order""".stripMargin
+      }),
   )
 }

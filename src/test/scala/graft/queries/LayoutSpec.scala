@@ -106,4 +106,50 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(firstCnt == mx)
     }
   }
+
+  test("q182: zone maps are sound everywhere and prune only the clustered key") {
+    val r = SparkEntry.queries("q182_zonemap_pruning")(spark, sfDir).collect()
+      .map(x => x.getInt(0) -> x).toMap
+    // soundness: NO matching row ever sits in a skipped file, either pred
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("rows_missed") == 0L,
+        s"pred ${row.getInt(0)} missed ${row.getAs[Long]("rows_missed")} rows")
+      // file accounting closes
+      assert(row.getAs[Long]("n_scanned") + row.getAs[Long]("n_skipped") ==
+        row.getAs[Long]("n_files"))
+      assert(row.getAs[Long]("false_pos_files") >= 0L)
+    }
+    // effectiveness gap: the ingest-correlated key prunes most files, the
+    // uncorrelated key prunes (almost) none
+    assert(r(1).getAs[Double]("prune_ratio") > 0.5,
+      s"clustered pred prune ${r(1).getAs[Double]("prune_ratio")}")
+    assert(r(2).getAs[Double]("prune_ratio") < 0.2,
+      s"uncorrelated pred prune ${r(2).getAs[Double]("prune_ratio")}")
+  }
+
+  test("q183: encoding stats recount and the advisor picks the obvious choices") {
+    val out = SparkEntry.queries("q183_encoding_advisor")(spark, sfDir).cache()
+    // structural bounds: runs and ndv never exceed rows; deltas nonneg
+    assert(out.filter(col("n_runs") > col("n_rows") ||
+      col("ndv") > col("n_rows") || col("max_abs_delta") < 0).count() == 0)
+    // l_orderkey is the clustering key: sorted within file, so deltas are
+    // bounded by the (sparse) key gaps — delta-codable, never 'plain'
+    val ok = out.filter(col("column_name") === "l_orderkey")
+    assert(ok.filter(col("max_abs_delta") > 100).count() == 0)
+    assert(ok.filter(col("advice") === "plain").count() == 0)
+    // l_quantity has 50 distinct values per file: dict or rle territory,
+    // and its ndv law holds exactly
+    val q = out.filter(col("column_name") === "l_quantity")
+    assert(q.filter(col("ndv") > 50).count() == 0)
+    // the advisor's rule is a function of the reported stats (recheck)
+    out.collect().foreach { row =>
+      val (runs, rows, delta, ndv) = (row.getAs[Long]("n_runs"),
+        row.getAs[Long]("n_rows"), row.getAs[Long]("max_abs_delta"),
+        row.getAs[Long]("ndv"))
+      val want = if (runs * 4 <= rows) "rle"
+        else if (delta <= 65535L) "delta"
+        else if (ndv * 16 <= rows) "dict" else "plain"
+      assert(row.getAs[String]("advice") == want)
+    }
+  }
 }

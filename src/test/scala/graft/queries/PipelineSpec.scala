@@ -2258,7 +2258,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q169_hybrid_rrf", // q88's one-row corpus-stats cross + bounded anchors
       "q171_trend_fit", // one-row min-day cross join (q76's class)
       "q176_quantile_normalize", // value-domain-bounded dist x dist range join (q157's class)
-      "q181_histogram_selectivity") // 1-row bounds + 5x32 range x histogram crosses (q76/q157's classes)
+      "q181_histogram_selectivity", // 1-row bounds + 5x32 range x histogram crosses (q76/q157's classes)
+      "q184_mmr_rerank", // q48's bounded-anchor broadcast + 12-candidate greedy steps
+      "q185_join_order_advisor") // one-row stats/actual cross joins (q164's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

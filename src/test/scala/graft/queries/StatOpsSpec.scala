@@ -228,6 +228,66 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q184: MMR picks replay the greedy recursion exactly") {
+    val out = SparkEntry.queries("q184_mmr_rerank")(spark, sfDir).cache()
+    // shape: 5 distinct picks per anchor, pick_order 1..5
+    val byAnchor = out.collect().groupBy(_.getAs[Long]("q_id"))
+    byAnchor.foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("pick_order")).sorted.toSeq == (1 to 5),
+        s"anchor $qid pick orders")
+      assert(rows.map(_.getAs[Long]("n_id")).distinct.length == 5)
+    }
+    // replay the greedy on the collected candidate pool: rebuild rel and
+    // pairwise sims from the raw embeddings (exact integer grid)
+    val emb = Tables.load(spark, sfDir, "embeddings").collect()
+      .map { r =>
+        val v = r.getSeq[Float](1).map(x => math.floor(x * 1e7 + 0.5).toLong)
+        r.getLong(0) -> v
+      }.toMap
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble) /
+        math.sqrt(b.map(x => x * x).sum.toDouble)
+    }
+    byAnchor.foreach { case (qid, rows) =>
+      val qv = emb(qid)
+      val cand = emb.keys.filter(_ != qid).toSeq
+        .map(n => n -> cos(qv, emb(n)))
+        .sortBy { case (n, c) => (-c, n) }.take(12)
+      var selected = Vector.empty[Long]
+      (1 to 5).foreach { k =>
+        val scored = cand.filterNot { case (n, _) => selected.contains(n) }
+          .map { case (n, rel) =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(s => cos(emb(n), emb(s))).max
+            (n, 0.7 * rel - 0.3 * ms)
+          }
+        val pick = scored.sortBy { case (n, m) => (-m, n) }.head._1
+        val got = rows.find(_.getAs[Int]("pick_order") == k).get
+          .getAs[Long]("n_id")
+        assert(got == pick, s"anchor $qid step $k: engine $got vs replay $pick")
+        selected :+= pick
+      }
+    }
+  }
+
+  test("q185: intermediates recount and the advisor picks the smaller estimate") {
+    val out = SparkEntry.queries("q185_join_order_advisor")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cu = Tables.load(spark, sfDir, "customer")
+    val or = Tables.load(spark, sfDir, "orders")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val actCO = cu.join(or, col("c_custkey") === col("o_custkey")).count()
+    val actOL = or.join(li, col("o_orderkey") === col("l_orderkey")).count()
+    assert(out("customer_orders_first").getAs[Long]("actual_intermediate") == actCO)
+    assert(out("orders_lineitem_first").getAs[Long]("actual_intermediate") == actOL)
+    // exactly one plan is advised, and it has the smaller estimate
+    val advised = out.values.filter(_.getAs[Boolean]("advised")).toSeq
+    assert(advised.length == 1)
+    assert(advised.head.getAs[Long]("est_intermediate") ==
+      out.values.map(_.getAs[Long]("est_intermediate")).min)
+  }
+
   test("q178: diversity indices hit their closed forms on planted sources") {
     import spark.implicits._
     val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
