@@ -274,6 +274,78 @@ object Streams {
       }
   }
 
+  final case class CusumEv(event_type: String, day: Long, us: Long,
+      event_id: Long, y: Long)
+  final case class CusumDay(day: Long, n: Long, sy: Long)
+  final case class CusumState(open: Option[CusumDay],
+      buffered: List[CusumDay], mu0: Option[Long], sPos: Long, sNeg: Long)
+  final case class CusumPoint(event_type: String, day: Long, n: Long,
+      m: Long, mu0: Long, cusum_pos: Long, cusum_neg: Long,
+      shift_flag: Boolean)
+
+  /** Streaming twin of the batch q179 CUSUM detector: per event_type,
+    * emit each day's CUSUM point the moment the day CLOSES (a later-day
+    * event arrives — the open day lives in state, not final until then;
+    * q159's open-interval contract). The batch baseline (μ₀ = mean of
+    * the first 7 days) is honored online by buffering the first 7
+    * closed days in state and flushing them through the recursion once
+    * the baseline completes, so replaying the log in time order
+    * reproduces exactly q179's rows for every closed day (the
+    * batch-equality spec drives that). State per metric is one open-day
+    * accumulator, the ≤7-day baseline buffer, and two int64 CUSUM
+    * registers — constant size forever after the baseline closes. */
+  def cusumIngest(events: DataFrame): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    val K = 5000L
+    val H = 25000L
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .as[CusumEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[CusumEv], state: GroupState[CusumState]) =>
+          val out = Seq.newBuilder[CusumPoint]
+          var st = state.getOption.getOrElse(
+            CusumState(None, Nil, None, 0L, 0L))
+          def runDay(d: CusumDay, mu0: Long): Unit = {
+            val m = d.sy * 1000L / d.n
+            st = st.copy(
+              sPos = math.max(0L, st.sPos + (m - mu0 - K)),
+              sNeg = math.max(0L, st.sNeg + (mu0 - m - K)))
+            out += CusumPoint(etype, d.day, d.n, m, mu0, st.sPos, st.sNeg,
+              st.sPos > H || st.sNeg > H)
+          }
+          def closeDay(d: CusumDay): Unit = st.mu0 match {
+            case Some(mu0) => runDay(d, mu0)
+            case None =>
+              val buf = st.buffered :+ d
+              if (buf.length < 7) st = st.copy(buffered = buf)
+              else {
+                val mu0 = buf.map(_.sy).sum * 1000L / buf.map(_.n).sum
+                st = st.copy(buffered = Nil, mu0 = Some(mu0))
+                buf.foreach(runDay(_, mu0))
+              }
+          }
+          batch.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st.open match {
+              case Some(o) if o.day == e.day =>
+                st = st.copy(open = Some(o.copy(n = o.n + 1, sy = o.sy + e.y)))
+              case Some(o) =>
+                closeDay(o)
+                st = st.copy(open = Some(CusumDay(e.day, 1L, e.y)))
+              case None =>
+                st = st.copy(open = Some(CusumDay(e.day, 1L, e.y)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** One first-seen shingle credit: the shingle's 62-bit hash and the
     * source it is attributed to. */
   final case class NovelHit(sh: Long, source: String)

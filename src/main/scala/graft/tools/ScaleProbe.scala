@@ -315,6 +315,31 @@ object ScaleProbe {
       time(s"cooccur_x$m") {
         graft.queries.Events.cooccurItems(replicateEvents(m)).count()
       }
+      // directed containment: the jaccard join's df-bucketed prefix
+      // contract with the asymmetric (sub-side-only) prefix — disjoint
+      // replica vocabularies keep postings per-replica, so linear
+      time(s"containment_x$m") {
+        graft.queries.Dedup.containmentJoin(docs, 0.9).count()
+      }
+      // robust trend + CUSUM: the corpus is touched by ONE grouped
+      // aggregation each; the pairwise slopes / cumulative windows run
+      // on the bounded (event_type, day) table — must ride the scan
+      time(s"theilsen_x$m") {
+        graft.queries.Events.theilSen(replicateEvents(m)).count()
+      }
+      time(s"cusum_x$m") {
+        graft.queries.Events.cusum(replicateEvents(m)).count()
+      }
+      // lexical diversity: one (source, token) count shuffle with
+      // map-side combine, vocab-bounded per-source rollup
+      time(s"token_diversity_x$m") {
+        graft.queries.Text.tokenDiversity(docs).count()
+      }
+      // priority sampling: map-only priorities + per-partition top-k
+      // merge (TakeOrdered), windows only over the k+1 kept rows
+      time(s"priority_sample_x$m") {
+        graft.queries.Sampling.prioritySample(docs, 100).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups

@@ -263,6 +263,31 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming CUSUM replayed in time order equals batch q179 on closed days") {
+    val events = Tables.load(spark, sfDir, "events")
+    val dir = java.nio.file.Files.createTempDirectory("cusum-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val incoming = spark.readStream.schema(events.schema).parquet(dir.toString)
+    val q = Streams.cusumIngest(incoming)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cusum_out")
+    // the twin contract: every CLOSED day (all but each metric's last —
+    // the open day lives in state) matches the batch detector exactly
+    import org.apache.spark.sql.expressions.Window
+    val lastDay = Window.partitionBy("event_type")
+    val want = graft.SparkEntry.queries("q179_cusum_changepoints")(spark, sfDir)
+      .withColumn("mx", max("day").over(lastDay))
+      .filter(col("day") < col("mx"))
+      .select("event_type", "day", "n", "m", "mu0",
+        "cusum_pos", "cusum_neg", "shift_flag")
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
