@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -132,5 +133,60 @@ object Multimodal {
              |       THEN (31*ucsum + frame_idx) % 18446744073709551616 - 18446744073709551616
              |       ELSE (31*ucsum + frame_idx) % 18446744073709551616 END AS BIGINT) AS frame_checksum
              |FROM f ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- Modality-interleaved batch packing ------------------------------
+    // The assembly step a multimodal trainer consumes: fixed 8-slot
+    // batches with a pinned modality ratio (6 text slots + 2 media
+    // slots), each modality stream filling its slot range in id order.
+    // Either stream running out leaves later batches partially filled —
+    // the honest tail, reported rather than silently rebalanced.
+    //
+    // Scale shape: each stream's global position comes from the q70
+    // two-phase prefix rank (stride bucketing + hierarchical chunk
+    // offsets — no single-task window, no corpus sort); batch and slot
+    // are then pure arithmetic on the rank. One shuffle per stream.
+    QueryDef("q188_modality_pack", (s, d) => {
+      def ranked(df: org.apache.spark.sql.DataFrame, idCol: String) = {
+        val mx = df.agg(max(col(idCol)).as("mx"), count(lit(1)).as("cnt"))
+        val sub = df.crossJoin(broadcast(mx))
+          .withColumn("nb", Sampling.prefixBuckets(col("cnt")))
+          .withColumn("sub", expr(s"$idCol div (mx div nb + 1)"))
+          .drop("mx", "cnt", "nb")
+        val offsets = Sampling.chunkOffsets(
+          sub.groupBy("sub").agg(count(lit(1)).as("tot")), "sub", "tot")
+        val wLoc = Window.partitionBy("sub").orderBy(idCol)
+        sub.withColumn("lrn", row_number().over(wLoc).cast("long"))
+          .join(broadcast(offsets), "sub")
+          .select(col(idCol).as("item_id"),
+            (col("off") + col("lrn")).as("rank"))
+      }
+      val texts = ranked(t(s, d, "documents").select("doc_id"), "doc_id")
+        .select(expr("(rank - 1) div 6").as("batch_id"),
+          expr("CAST((rank - 1) % 6 AS INT)").as("slot"),
+          lit("text").as("modality"), col("item_id"))
+      val media = ranked(t(s, d, "embeddings").select("vec_id"), "vec_id")
+        .select(expr("(rank - 1) div 2").as("batch_id"),
+          expr("CAST(6 + (rank - 1) % 2 AS INT)").as("slot"),
+          lit("media").as("modality"), col("item_id"))
+      texts.union(media).orderBy("batch_id", "slot")
+    },
+      Some("""WITH tr AS MATERIALIZED (
+             |  SELECT doc_id AS item_id,
+             |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS rank
+             |  FROM documents),
+             |ir AS MATERIALIZED (
+             |  SELECT vec_id AS item_id,
+             |    CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) AS rank
+             |  FROM embeddings)
+             |SELECT * FROM (
+             |  SELECT (rank - 1) // 6 AS batch_id,
+             |    CAST((rank - 1) % 6 AS INTEGER) AS slot,
+             |    'text' AS modality, item_id
+             |  FROM tr
+             |  UNION ALL
+             |  SELECT (rank - 1) // 2,
+             |    CAST(6 + (rank - 1) % 2 AS INTEGER), 'media', item_id
+             |  FROM ir)
+             |ORDER BY batch_id, slot""".stripMargin)),
   )
 }

@@ -25,6 +25,29 @@ import graft.{QueryDef, Tables}
 object Sketches {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** q64's covers-weight exact median over the VALUE DISTRIBUTION, in
+    * integer form: per group, med2 = lower middle + upper middle (twice
+    * the median — stays int64 so downstream deviation arithmetic is
+    * exact) and the group count n. Windows run over the bounded
+    * distinct-value table, never corpus rows. */
+  private def twiceMedian(df: org.apache.spark.sql.DataFrame,
+      grp: String, valCol: String): org.apache.spark.sql.DataFrame = {
+    val wCum = Window.partitionBy(grp).orderBy(valCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = df.groupBy(grp, valCol).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy(grp)))
+      .withColumn("lo", expr("(n+1) div 2"))
+      .withColumn("hi", expr("(n+2) div 2"))
+    val covers = (r: Column) => col("cum") - col("cnt") < r && r <= col("cum")
+    hist
+      .withColumn("w", when(covers(col("lo")), 1L).otherwise(0L) +
+        when(covers(col("hi")), 1L).otherwise(0L))
+      .filter(col("w") > 0)
+      .groupBy(grp)
+      .agg(sum(col(valCol) * col("w")).as("med2"), max("n").as("n"))
+  }
+
   /** KMV numerator (k-1)·M for k=64. M is the EXACT size of the window
     * hash's range — h131·2^31 + (h137 mod 2^31) with h131 < 2^32-5, so
     * M = (2^32-5)·2^31 (see ArrayExprs.windowHashes), not a rounded
@@ -362,5 +385,80 @@ object Sketches {
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ---- Grouped MAD robust outlier statistics ---------------------------
+    // The robust companion to q38's moment stats: per group, the median,
+    // the Median Absolute Deviation, and the count of rows outside the
+    // 3σ-equivalent robust fence |x − med| > 3·1.4826·MAD — the outlier
+    // rule that (unlike mean ± 3σ) the outliers themselves cannot drag.
+    // Both medians use q64's covers-weight trick over the VALUE
+    // DISTRIBUTION (group by value first; windows run over the bounded
+    // distinct-value table, never corpus rows), kept in integer form:
+    // med2 = lo+hi middles (twice the median) so deviations dev2 =
+    // |2x − med2| stay exact int64, mad4 = lo+hi of the dev2
+    // distribution (4× the MAD), and the fence is the exact integer
+    // cross-multiplication 20000·dev2 > 44478·mad4 (3·1.4826 = 4.4478)
+    // — no engine-dependent double accumulation anywhere; the reported
+    // median/MAD divide once at the very end.
+    QueryDef("q187_grouped_mad", (s, d) => {
+      val cents = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      val m = twiceMedian(cents, "flag", "v")
+        .select(col("flag"), col("med2"), col("n").as("n_rows"))
+      val dev = cents.join(broadcast(m), "flag")
+        .select(col("flag"), abs(lit(2L) * col("v") - col("med2")).as("v"))
+      val md = twiceMedian(dev, "flag", "v")
+        .select(col("flag"), col("med2").as("mad4"))
+      val outliers = dev.join(broadcast(md), "flag")
+        .groupBy("flag")
+        .agg(sum(when(lit(20000L) * col("v") > lit(44478L) * col("mad4"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      m.join(md, "flag").join(outliers, "flag")
+        .select(col("flag").as("l_returnflag"), col("n_rows"),
+          (col("med2").cast("double") / 2.0).as("median_price"),
+          (col("mad4").cast("double") / 4.0).as("mad"),
+          col("n_outliers"))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+             |  FROM lineitem),
+             |r1 AS MATERIALIZED (
+             |  SELECT flag, v,
+             |    row_number() OVER (PARTITION BY flag ORDER BY v) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM c),
+             |m AS MATERIALIZED (
+             |  SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN rn = (n+1)//2 THEN v ELSE 0 END)
+             |       + sum(CASE WHEN rn = (n+2)//2 THEN v ELSE 0 END)
+             |       AS BIGINT) AS med2
+             |  FROM r1 GROUP BY flag),
+             |d AS MATERIALIZED (
+             |  SELECT c.flag, abs(2 * v - med2) AS dv
+             |  FROM c JOIN m USING (flag)),
+             |r2 AS MATERIALIZED (
+             |  SELECT flag, dv,
+             |    row_number() OVER (PARTITION BY flag ORDER BY dv) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM d),
+             |md AS MATERIALIZED (
+             |  SELECT flag,
+             |    CAST(sum(CASE WHEN rn = (n+1)//2 THEN dv ELSE 0 END)
+             |       + sum(CASE WHEN rn = (n+2)//2 THEN dv ELSE 0 END)
+             |       AS BIGINT) AS mad4
+             |  FROM r2 GROUP BY flag),
+             |o AS (
+             |  SELECT d.flag,
+             |    CAST(sum(CASE WHEN 20000 * dv > 44478 * mad4
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |  FROM d JOIN md USING (flag) GROUP BY d.flag)
+             |SELECT m.flag AS l_returnflag, n_rows,
+             |  CAST(med2 AS DOUBLE) / 2.0 AS median_price,
+             |  CAST(mad4 AS DOUBLE) / 4.0 AS mad, n_outliers
+             |FROM m JOIN md USING (flag) JOIN o USING (flag)
+             |ORDER BY l_returnflag""".stripMargin)),
   )
 }

@@ -1177,6 +1177,61 @@ object Text {
              |    / CAST(sumsq AS DOUBLE) AS inv_simpson,
              |  CAST(max_c AS DOUBLE) / n_tokens AS top_share
              |FROM roll ORDER BY source""".stripMargin)),
+
+    // ---- Positional phrase search ----------------------------------------
+    // The query side of the q155 inverted index: find every occurrence
+    // (doc, token position) of an exact multi-word phrase. Phrases here
+    // are the corpus's own 3 most frequent trigrams (data-derived, so
+    // the query is self-contained and non-empty at every SF); the match
+    // primitive — a phrase IS an n-token window — is the same positional
+    // window stream q78's substring dedup runs on, so phrase search
+    // costs one posexplode pass + a 3-row broadcast join, no positional
+    // posting intersection needed at any corpus size. Output carries
+    // corpus frequency and document frequency per phrase plus every
+    // (doc_id, pos) hit.
+    QueryDef("q186_phrase_search", (s, d) => {
+      // positional (NON-deduped) windows: ArrayExprs.shingles dedupes per
+      // doc (the near-dup unit), which would both drop repeat occurrences
+      // and renumber positions — phrase search needs the raw window stream
+      val tk = split(col("text"), " ")
+      val tri = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(
+          when(size(tk) >= 3,
+            transform(sequence(lit(0), size(tk) - 3), i =>
+              concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
+                element_at(tk, i + 3))))
+            .otherwise(array().cast("array<string>")))
+          .as(Seq("pos", "phrase")))
+      val top = tri.groupBy("phrase")
+        .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("cf").desc, col("phrase")).limit(3)
+        .withColumn("phrase_rank",
+          row_number().over(Window.orderBy(col("cf").desc, col("phrase"))))
+      tri.join(broadcast(top), "phrase")
+        .select("phrase_rank", "phrase", "cf", "df", "doc_id", "pos")
+        .orderBy("phrase_rank", "doc_id", "pos")
+    },
+      Some("""WITH s AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+             |      AS sh
+             |  FROM documents),
+             |p AS MATERIALIZED (
+             |  SELECT doc_id, unnest(sh) AS phrase,
+             |    CAST(unnest(range(len(sh))) AS INTEGER) AS pos
+             |  FROM s),
+             |top AS MATERIALIZED (
+             |  SELECT phrase, cf, df,
+             |    CAST(row_number() OVER (ORDER BY cf DESC, phrase) AS INTEGER)
+             |      AS phrase_rank
+             |  FROM (SELECT phrase, CAST(count(*) AS BIGINT) AS cf,
+             |          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+             |        FROM p GROUP BY phrase
+             |        ORDER BY cf DESC, phrase LIMIT 3))
+             |SELECT phrase_rank, p.phrase, cf, df, doc_id, pos
+             |FROM p JOIN top ON p.phrase = top.phrase
+             |ORDER BY phrase_rank, doc_id, pos""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

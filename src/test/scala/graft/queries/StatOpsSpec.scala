@@ -288,6 +288,83 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       out.values.map(_.getAs[Long]("est_intermediate")).min)
   }
 
+  test("q186: phrase hits replay a driver-side tokenizer scan exactly") {
+    val out = SparkEntry.queries("q186_phrase_search")(spark, sfDir).cache()
+    // independent replay: tokenize every document in plain Scala and
+    // count trigram occurrences + positions
+    val docs = Tables.load(spark, sfDir, "documents").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def hits(phrase: String): Seq[(Long, Int)] = {
+      val p = phrase.split(" ").toSeq
+      docs.toSeq.flatMap { case (id, toks) =>
+        toks.sliding(3).zipWithIndex.collect {
+          case (w, i) if w == p => (id, i)
+        }
+      }.sortBy(identity)
+    }
+    val byPhrase = out.collect().groupBy(_.getAs[String]("phrase"))
+    assert(byPhrase.size == 3)
+    byPhrase.foreach { case (phrase, rows) =>
+      val want = hits(phrase)
+      val got = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")))
+        .sortBy(identity).toSeq
+      assert(got == want, s"'$phrase': $got vs $want")
+      assert(rows.head.getAs[Long]("cf") == want.size)
+      assert(rows.head.getAs[Long]("df") == want.map(_._1).distinct.size)
+    }
+    // and the three reported phrases really are the corpus's most common
+    val allTri = docs.values.flatMap(_.sliding(3).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size)
+    val top3 = allTri.toSeq.sortBy { case (p, c) => (-c, p) }.take(3).map(_._1)
+    assert(byPhrase.keySet == top3.toSet)
+  }
+
+  test("q187: median/MAD/outliers replay a driver-side exact computation") {
+    val out = SparkEntry.queries("q187_grouped_mad")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    rows.groupBy(_._1).foreach { case (flag, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      val med2 = sorted((n - 1) / 2) + sorted(n / 2)
+      val dev2 = sorted.map(v => math.abs(2 * v - med2)).sorted
+      val mad4 = dev2((n - 1) / 2) + dev2(n / 2)
+      val outl = dev2.count(d => 20000L * d > 44478L * mad4)
+      val got = out(flag)
+      assert(got.getAs[Long]("n_rows") == n)
+      assert(got.getAs[Double]("median_price") == med2.toDouble / 2.0)
+      assert(got.getAs[Double]("mad") == mad4.toDouble / 4.0)
+      assert(got.getAs[Long]("n_outliers") == outl,
+        s"$flag outliers ${got.getAs[Long]("n_outliers")} vs $outl")
+    }
+  }
+
+  test("q188: batches respect the 6:2 modality layout and id order") {
+    val out = SparkEntry.queries("q188_modality_pack")(spark, sfDir).cache()
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val nVecs = Tables.load(spark, sfDir, "embeddings").count()
+    assert(out.count() == nDocs + nVecs)
+    // slot ranges are modality-pinned and unique within a batch
+    assert(out.filter(col("modality") === "text" &&
+      !col("slot").between(0, 5)).count() == 0)
+    assert(out.filter(col("modality") === "media" &&
+      !col("slot").between(6, 7)).count() == 0)
+    assert(out.groupBy("batch_id", "slot").count()
+      .filter(col("count") > 1).count() == 0)
+    // within each modality, (batch_id, slot) order IS id order — the
+    // deterministic-replay property shard consumers rely on
+    out.collect().groupBy(_.getAs[String]("modality")).foreach {
+      case (_, rows) =>
+        val inLayout = rows.sortBy(r =>
+          (r.getAs[Long]("batch_id"), r.getAs[Int]("slot")))
+          .map(_.getAs[Long]("item_id")).toSeq
+        assert(inLayout == inLayout.sorted)
+    }
+  }
+
   test("q178: diversity indices hit their closed forms on planted sources") {
     import spark.implicits._
     val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
