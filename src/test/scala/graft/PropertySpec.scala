@@ -305,5 +305,23 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
         ev.join(keep, Seq("event_id"), "left_semi")
           .select("event_id", "user_id", "event_type", "value")
       })
+    // this round's additions: same law. CUSUM and Theil–Sen are int64
+    // fixed-point end-to-end; containment/priority/diversity carry
+    // total-order tie-breaks — all must be EXACTLY layout-invariant.
+    assertSameRows(
+      graft.queries.Dedup.containmentJoin(docs.repartition(7), 0.9),
+      graft.queries.Dedup.containmentJoin(docs, 0.9))
+    assertSameRows(
+      graft.queries.Events.theilSen(events.repartition(5)),
+      graft.queries.Events.theilSen(events))
+    assertSameRows(
+      graft.queries.Events.cusum(events.repartition(9)),
+      graft.queries.Events.cusum(events))
+    assertSameRows(
+      graft.queries.Text.tokenDiversity(docs.repartition(6)),
+      graft.queries.Text.tokenDiversity(docs))
+    assertSameRows(
+      graft.queries.Sampling.prioritySample(docs.repartition(8), 20),
+      graft.queries.Sampling.prioritySample(docs, 20))
   }
 }

@@ -2259,6 +2259,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q171_trend_fit", // one-row min-day cross join (q76's class)
       "q176_quantile_normalize", // value-domain-bounded dist x dist range join (q157's class)
       "q181_histogram_selectivity", // 1-row bounds + 5x32 range x histogram crosses (q76/q157's classes)
+      "q182_zonemap_pruning", // one-row manifest/truth/missed aggregate joins (q76's class)
       "q184_mmr_rerank", // q48's bounded-anchor broadcast + 12-candidate greedy steps
       "q185_join_order_advisor", // one-row stats/actual cross joins (q164's class)
       "q188_modality_pack") // one-row max/count cross join per stream (q70's class)
