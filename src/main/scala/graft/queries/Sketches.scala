@@ -25,18 +25,32 @@ import graft.{QueryDef, Tables}
 object Sketches {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
-  /** q64's covers-weight exact median over the VALUE DISTRIBUTION, in
-    * integer form: per group, med2 = lower middle + upper middle (twice
-    * the median — stays int64 so downstream deviation arithmetic is
-    * exact) and the group count n. Windows run over the bounded
-    * distinct-value table, never corpus rows. */
-  private def twiceMedian(df: org.apache.spark.sql.DataFrame,
+  /** q64's covers-weight exact median over a pre-grouped VALUE
+    * DISTRIBUTION `(grp, valCol, cnt)`, in integer form: per group,
+    * med2 = lower middle + upper middle (twice the median — stays int64
+    * so downstream deviation arithmetic is exact) and the group count n.
+    *
+    * Unlike q64 (whose value domain is small), callers here feed
+    * near-unique domains (prices: distribution ≈ corpus size), so a
+    * per-group cumulative window would put a group's whole distribution
+    * in ONE task. The cumulative is therefore the two-phase prefix sum:
+    * value-stride chunks bound each local window, and
+    * [[Sampling.chunkOffsets]] supplies the cross-chunk offsets
+    * (bit-identical int64 reassociation — oracles unchanged). */
+  private def twiceMedianDist(dist0: org.apache.spark.sql.DataFrame,
       grp: String, valCol: String): org.apache.spark.sql.DataFrame = {
-    val wCum = Window.partitionBy(grp).orderBy(valCol)
+    val dist = dist0.withColumn("chunk", expr(s"$valCol div 16384"))
+    val wLoc = Window.partitionBy(grp, "chunk").orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val hist = df.groupBy(grp, valCol).agg(count(lit(1)).as("cnt"))
-      .withColumn("cum", sum("cnt").over(wCum))
-      .withColumn("n", sum("cnt").over(Window.partitionBy(grp)))
+    val offs = Sampling.chunkOffsets(
+      dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot")),
+      "chunk", "tot", Seq(grp))
+    val totals = dist.groupBy(grp).agg(sum("cnt").as("n"))
+    val hist = dist
+      .withColumn("lc", sum("cnt").over(wLoc))
+      .join(broadcast(offs), Seq(grp, "chunk"))
+      .withColumn("cum", col("lc") + col("off"))
+      .join(broadcast(totals), grp)
       .withColumn("lo", expr("(n+1) div 2"))
       .withColumn("hi", expr("(n+2) div 2"))
     val covers = (r: Column) => col("cum") - col("cnt") < r && r <= col("cum")
@@ -401,19 +415,32 @@ object Sketches {
     // — no engine-dependent double accumulation anywhere; the reported
     // median/MAD divide once at the very end.
     QueryDef("q187_grouped_mad", (s, d) => {
-      val cents = t(s, d, "lineitem")
+      // ONE corpus aggregation total: the deviation DISTRIBUTION derives
+      // from the cents distribution (dev2 = |2v − med2| maps value
+      // counts to value counts — no second corpus pass), and even the
+      // outlier count is a rollup of the deviation distribution. The two
+      // distribution tables are localCheckpoint-materialized because
+      // each feeds three consumers (local cums, chunk totals, group
+      // totals) whose aliases would otherwise each recompute the
+      // upstream aggregation.
+      val centsDist = t(s, d, "lineitem")
         .select(col("l_returnflag").as("flag"),
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
-      val m = twiceMedian(cents, "flag", "v")
+        .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val m = twiceMedianDist(centsDist, "flag", "v")
         .select(col("flag"), col("med2"), col("n").as("n_rows"))
-      val dev = cents.join(broadcast(m), "flag")
-        .select(col("flag"), abs(lit(2L) * col("v") - col("med2")).as("v"))
-      val md = twiceMedian(dev, "flag", "v")
+      val devDist = centsDist.join(broadcast(m), "flag")
+        .select(col("flag"), abs(lit(2L) * col("v") - col("med2")).as("v"),
+          col("cnt"))
+        .groupBy("flag", "v").agg(sum("cnt").as("cnt"))
+        .localCheckpoint()
+      val md = twiceMedianDist(devDist, "flag", "v")
         .select(col("flag"), col("med2").as("mad4"))
-      val outliers = dev.join(broadcast(md), "flag")
+      val outliers = devDist.join(broadcast(md), "flag")
         .groupBy("flag")
-        .agg(sum(when(lit(20000L) * col("v") > lit(44478L) * col("mad4"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+        .agg(sum(when(lit(20000L) * col("v") > lit(44478L) * col("mad4"),
+          col("cnt")).otherwise(0L)).as("n_outliers"))
       m.join(md, "flag").join(outliers, "flag")
         .select(col("flag").as("l_returnflag"), col("n_rows"),
           (col("med2").cast("double") / 2.0).as("median_price"),

@@ -1190,48 +1190,58 @@ object Text {
     // corpus frequency and document frequency per phrase plus every
     // (doc_id, pos) hit.
     QueryDef("q186_phrase_search", (s, d) => {
-      // positional (NON-deduped) windows: ArrayExprs.shingles dedupes per
-      // doc (the near-dup unit), which would both drop repeat occurrences
-      // and renumber positions — phrase search needs the raw window stream
+      // Positional NON-deduped windows (ArrayExprs.shingles dedupes per
+      // doc, which would drop repeat occurrences and renumber positions),
+      // on the 62-bit WINDOW HASH (q78's narrow-key rule): counting runs
+      // over 8-byte keys via the codegen'd windowHashes expression — a
+      // per-window string concat + string-keyed shuffle measured 5x
+      // slower on this, the corpus-heaviest pass of the query. Phrase
+      // TEXT is reconstructed only for the top-3 matches (a bounded
+      // row set) by re-slicing the matching documents' token arrays;
+      // the oracle recomputes the identical hash, so parity includes
+      // any collision.
       val tk = split(col("text"), " ")
       val tri = t(s, d, "documents")
         .select(col("doc_id"), posexplode(
-          when(size(tk) >= 3,
-            transform(sequence(lit(0), size(tk) - 3), i =>
-              concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
-                element_at(tk, i + 3))))
-            .otherwise(array().cast("array<string>")))
-          .as(Seq("pos", "phrase")))
-      val top = tri.groupBy("phrase")
+          graft.functions.ArrayExprs.windowHashes(tk, 3)).as(Seq("pos", "h")))
+      val top = tri.groupBy("h")
         .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
-        .orderBy(col("cf").desc, col("phrase")).limit(3)
+        .orderBy(col("cf").desc, col("h")).limit(3)
         .withColumn("phrase_rank",
-          row_number().over(Window.orderBy(col("cf").desc, col("phrase"))))
-      tri.join(broadcast(top), "phrase")
-        .select("phrase_rank", "phrase", "cf", "df", "doc_id", "pos")
+          row_number().over(Window.orderBy(col("cf").desc, col("h"))))
+      tri.join(broadcast(top), "h")
+        .join(t(s, d, "documents").select(col("doc_id"), tk.as("tk")), "doc_id")
+        .select(col("phrase_rank"),
+          array_join(slice(col("tk"), col("pos") + 1, lit(3)), " ").as("phrase"),
+          col("cf"), col("df"), col("doc_id"), col("pos"))
         .orderBy("phrase_rank", "doc_id", "pos")
     },
-      Some("""WITH s AS MATERIALIZED (
+      Some(s"""WITH s AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |hw AS MATERIALIZED (
              |  SELECT doc_id,
-             |    list_transform(range(1, len(string_split(text, ' ')) - 1),
-             |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
-             |      AS sh
-             |  FROM documents),
-             |p AS MATERIALIZED (
-             |  SELECT doc_id, unnest(sh) AS phrase,
-             |    CAST(unnest(range(len(sh))) AS INTEGER) AS pos
+             |    list_transform(range(1, len(tk) - 1),
+             |      i -> ${Dedup.sqlStringHash62("array_to_string(tk[i:i+2], ' ')")})
+             |      AS hs
              |  FROM s),
+             |p AS MATERIALIZED (
+             |  SELECT doc_id, unnest(hs) AS h,
+             |    CAST(unnest(range(len(hs))) AS INTEGER) AS pos
+             |  FROM hw),
              |top AS MATERIALIZED (
-             |  SELECT phrase, cf, df,
-             |    CAST(row_number() OVER (ORDER BY cf DESC, phrase) AS INTEGER)
+             |  SELECT h, cf, df,
+             |    CAST(row_number() OVER (ORDER BY cf DESC, h) AS INTEGER)
              |      AS phrase_rank
-             |  FROM (SELECT phrase, CAST(count(*) AS BIGINT) AS cf,
+             |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS cf,
              |          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-             |        FROM p GROUP BY phrase
-             |        ORDER BY cf DESC, phrase LIMIT 3))
-             |SELECT phrase_rank, p.phrase, cf, df, doc_id, pos
-             |FROM p JOIN top ON p.phrase = top.phrase
-             |ORDER BY phrase_rank, doc_id, pos""".stripMargin)),
+             |        FROM p GROUP BY h
+             |        ORDER BY cf DESC, h LIMIT 3))
+             |SELECT phrase_rank,
+             |  array_to_string(s.tk[pos+1:pos+3], ' ') AS phrase,
+             |  cf, df, p.doc_id, pos
+             |FROM p JOIN top ON p.h = top.h
+             |JOIN s ON p.doc_id = s.doc_id
+             |ORDER BY phrase_rank, p.doc_id, pos""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

@@ -313,9 +313,17 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.head.getAs[Long]("df") == want.map(_._1).distinct.size)
     }
     // and the three reported phrases really are the corpus's most common
+    // (count ties broken by the engine's 62-bit window hash, recomputed
+    // here from the same polynomial bases)
+    def h62(p: String): Long = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(p)
+      graft.functions.ArrayOps.polyHash(u, 131) * 2147483648L +
+        graft.functions.ArrayOps.polyHash(u, 137) % 2147483648L
+    }
     val allTri = docs.values.flatMap(_.sliding(3).map(_.mkString(" ")))
       .groupBy(identity).view.mapValues(_.size)
-    val top3 = allTri.toSeq.sortBy { case (p, c) => (-c, p) }.take(3).map(_._1)
+    val top3 = allTri.toSeq.sortBy { case (p, c) => (-c, h62(p)) }
+      .take(3).map(_._1)
     assert(byPhrase.keySet == top3.toSet)
   }
 
