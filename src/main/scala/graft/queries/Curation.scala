@@ -766,6 +766,39 @@ object Curation {
              |FROM sdist JOIN gdist ON gc * ns >= sc * n
              |GROUP BY source, n_chars, cnt, sc, ns
              |ORDER BY source, n_chars""".stripMargin)),
+
+    // ---- Quota-diversified (fair) top-k ----------------------------------
+    // Plain top-k by score lets one dominant source fill every slot; the
+    // standard fix caps each source's contribution (here: top-20 docs by
+    // length-score, at most 2 per source) — the per-source quota rule
+    // used for fair rankings and for mixing-aware seed selection.
+    //
+    // Scale shape: the quota filter is a per-source window (rank ≤ 2 in
+    // source-partitioned order — bounded partitions of the corpus), and
+    // the global cut runs on the quota SURVIVORS (≤ 2·|sources| rows)
+    // via TakeOrderedAndProject — no global sort ever sees the corpus.
+    QueryDef("q190_fair_topk", (s, d) => {
+      val wSrc = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("src_rank", row_number().over(wSrc))
+        .filter(col("src_rank") <= 2)
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select("rank", "doc_id", "source", "n_chars", "src_rank")
+        .orderBy("rank")
+    },
+      Some("""WITH q AS MATERIALIZED (
+             |  SELECT doc_id, source, n_chars,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id) AS INTEGER) AS src_rank
+             |  FROM documents QUALIFY src_rank <= 2)
+             |SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+             |    AS INTEGER) AS rank,
+             |  doc_id, source, n_chars, src_rank
+             |FROM q ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

@@ -110,6 +110,25 @@ object Dedup {
        |              JOIN cnt cb ON doc_b = cb.doc_id
        |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= $threshold)""".stripMargin
 
+  /** Full-rebuild connected-components oracle: recursive reachability
+    * closure over the COMPLETE verified pair set, labels = component
+    * minimum. The SINGLE statement both q52 (full build) and q191
+    * (incremental maintenance) must hash-match — sharing it is what
+    * makes the gate enforce the incremental-equals-rebuild law
+    * (the q163 pattern). Declared before `defs` (source-order init). */
+  private[queries] lazy val sqlComponentsOracle: String =
+    s"""WITH RECURSIVE ${sqlPairCtes()},
+       |edges AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc_a, doc_b FROM edges
+       |  UNION
+       |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
+       |SELECT a AS doc_id,
+       |  least(a, min(b)) AS cluster_id
+       |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin
+
   /** Per-shingle SORTED source sets — the shared input of the
     * cross-source content analytics (q97/q100), produced by ONE
     * sh-keyed shuffle: collect_set deduplicates in its map-side partial
@@ -255,6 +274,33 @@ object Dedup {
       .filter(col("jaccard") >= 0.8)
   }
 
+  /** (doc_id, sh) with empty-shingle docs dropped — the shared prep of
+    * the asymmetric-LSH consumers. */
+  private def prepShingled(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), shingleCol.as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Banded signature explosion of a [[prepShingled]] frame:
+    * (doc_id, sh, band, bh). */
+  private def bandedSig(df: DataFrame): DataFrame =
+    df.withColumn("sig", signature)
+      .select(col("doc_id"), col("sh"), posexplode(bandHashCol).as(Seq("band", "bh")))
+
+  /** Verified cross-side near-dup pairs (Jaccard >= 0.8) between an
+    * `incoming` batch and an `existing` corpus via the asymmetric LSH
+    * bucket join — candidates cost batch x buckets, never corpus². */
+  private def crossPairs(existing: DataFrame, incoming: DataFrame): DataFrame =
+    bandedSig(prepShingled(incoming))
+      .select(col("doc_id").as("i_id"), col("sh").as("i_sh"), col("band"), col("bh"))
+      .join(bandedSig(prepShingled(existing))
+          .select(col("doc_id").as("e_id"), col("sh").as("e_sh"),
+            col("band").as("band2"), col("bh").as("bh2")),
+        col("band") === col("band2") && col("bh") === col("bh2"))
+      .select("i_id", "i_sh", "e_id", "e_sh").distinct()
+      .filter(size(array_intersect(col("i_sh"), col("e_sh"))).cast("double") /
+        size(array_union(col("i_sh"), col("e_sh"))) >= 0.8)
+      .select(col("i_id"), col("e_id"))
+
   /** Incremental dedup: drop every `incoming` document that is an exact
     * or near (Jaccard >= 0.8) duplicate of an `existing` document — the
     * shape a production pipeline runs per ingest batch against the
@@ -269,22 +315,30 @@ object Dedup {
       .join(existing.select(md5(col("text")).as("eh")).distinct(),
         md5(col("text")) === col("eh"), "left_semi")
       .select("doc_id")
-    def prep(df: DataFrame) = df.select(col("doc_id"), shingleCol.as("sh"))
-      .filter(size(col("sh")) > 0)
-    def bandsOf(df: DataFrame) = df.withColumn("sig", signature)
-      .select(col("doc_id"), col("sh"), posexplode(bandHashCol).as(Seq("band", "bh")))
-    val cand = bandsOf(prep(incoming))
-      .select(col("doc_id").as("i_id"), col("sh").as("i_sh"), col("band"), col("bh"))
-      .join(bandsOf(prep(existing))
-          .select(col("doc_id").as("e_id"), col("sh").as("e_sh"),
-            col("band").as("band2"), col("bh").as("bh2")),
-        col("band") === col("band2") && col("bh") === col("bh2"))
-      .select("i_id", "i_sh", "e_id", "e_sh").distinct()
-    val nearDrop = cand
-      .filter(size(array_intersect(col("i_sh"), col("e_sh"))).cast("double") /
-        size(array_union(col("i_sh"), col("e_sh"))) >= 0.8)
+    val nearDrop = crossPairs(existing, incoming)
       .select(col("i_id").as("doc_id")).distinct()
     incoming.join(exactDrop.union(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental connected-components maintenance — see q191. The
+    * accumulated corpus's components collapse to their STAR EDGES
+    * (node → label; in production these labels are already
+    * materialized from the previous run), the ingest batch contributes
+    * its batch-batch pairs plus asymmetric-LSH batch-corpus pairs, and
+    * one large-star/small-star run over (star edges ∪ new edges) —
+    * a graph of |nodes| + |new edges| edges, NOT the old pair set —
+    * yields labels identical to a full rebuild (min-label components
+    * are invariant under star compression; the driver gate enforces
+    * equality by running this against the full-rebuild oracle). */
+  def incrementalComponents(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val oldLabels = connectedComponents(
+      nearDupPairsOf(existing).select("doc_a", "doc_b"))._1
+    val starEdges = oldLabels.filter(col("node") =!= col("lbl"))
+      .select(col("node").as("doc_a"), col("lbl").as("doc_b"))
+    val batchEdges = nearDupPairsOf(incoming).select("doc_a", "doc_b")
+    val bridgeEdges = crossPairs(existing, incoming)
+      .select(col("i_id").as("doc_a"), col("e_id").as("doc_b"))
+    connectedComponents(starEdges.union(batchEdges).union(bridgeEdges))._1
   }
 
   /** Train/test decontamination: for every training document, count the
@@ -683,17 +737,7 @@ object Dedup {
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy("doc_id")
     },
-      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
-             |edges AS MATERIALIZED (
-             |  SELECT doc_a, doc_b FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(a, b) AS (
-             |  SELECT doc_a, doc_b FROM edges
-             |  UNION
-             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a)
-             |SELECT a AS doc_id,
-             |  least(a, min(b)) AS cluster_id
-             |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin)),
+      Some(sqlComponentsOracle)),
 
     // ---- SimHash near-dup: 64-bit signature + 4-block index --------------
     // The signature's per-token hash is the portable polynomial hash
@@ -1579,6 +1623,26 @@ object Dedup {
              |FROM cand
              |WHERE id_b IS NOT NULL AND levenshtein(name_a, name_b) <= 4
              |ORDER BY part_a, part_b, gap""".stripMargin)),
+
+    // ---- Incremental connected-components maintenance --------------------
+    // The cluster-side companion to q63's incremental dedup and q163's
+    // incremental SCD2 merge: per ingest batch (doc_id % 5 == 0 playing
+    // "today"), update the accumulated corpus's near-dup components
+    // WITHOUT re-running closure over the old pair set — old components
+    // collapse to node→label star edges, the batch adds batch-batch +
+    // asymmetric batch-corpus pairs, and one LS/SS run over that
+    // compressed graph (|nodes| + |new edges|) reproduces the full
+    // rebuild exactly. The oracle IS q52's full-rebuild statement — the
+    // driver gate itself enforces the incremental-maintenance law.
+    QueryDef("q191_components_incremental", (s, d) => {
+      val docs = t(s, d, "documents")
+      incrementalComponents(
+        existing = docs.filter(col("doc_id") % 5 =!= 0),
+        incoming = docs.filter(col("doc_id") % 5 === 0))
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy("doc_id")
+    },
+      Some(sqlComponentsOracle)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

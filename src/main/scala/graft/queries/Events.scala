@@ -259,6 +259,40 @@ object Events {
         "cusum_pos", "cusum_neg", "shift_flag")
   }
 
+  /** Watermark lateness report — the q189 body, exposed for fixture
+    * specs. Replays the log in arrival (event_id) order against a
+    * `wUs`-microsecond watermark; the arrival-order running max is the
+    * two-phase prefix aggregation described at q189. */
+  def latenessReport(events: DataFrame,
+      wUs: Long = 2L * 3600L * 1000000L): DataFrame = {
+    val ev = events
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chunk", expr("event_id div 65536"))
+    val wLoc = Window.partitionBy("chunk").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wChunk = Window.orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkMax = ev.groupBy("chunk").agg(max("us").as("cmx"))
+      .withColumn("pmax", max("cmx").over(wChunk))
+      .select("chunk", "pmax")
+    ev
+      .withColumn("lmax", max("us").over(wLoc))
+      .join(broadcast(chunkMax), "chunk")
+      .withColumn("hwm", greatest(coalesce(col("lmax"), lit(Long.MinValue)),
+        coalesce(col("pmax"), lit(Long.MinValue))))
+      .withColumn("late_us",
+        when(col("hwm") =!= Long.MinValue && col("us") < col("hwm") - wUs,
+          col("hwm") - wUs - col("us")).otherwise(lit(0L)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        max("late_us").as("max_late_us"))
+      .withColumn("late_frac",
+        col("n_late").cast("double") / col("n_events"))
+      .select("event_type", "n_events", "n_late", "late_frac", "max_late_us")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -1215,5 +1249,43 @@ object Events {
              |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
              |  cusum_pos > 25000 OR cusum_neg > 25000 AS shift_flag
              |FROM cs ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Watermark lateness report ---------------------------------------
+    // The diagnostic that SIZES a streaming watermark before a pipeline
+    // ships: replaying the log in ARRIVAL order (event_id — the ingest
+    // sequence), how many events arrive with an event-time older than
+    // the high-water mark minus W, per type — exactly the rows a
+    // W-watermarked streaming job (Streams.typedEvents uses 2 hours)
+    // would silently drop, plus the max lateness observed (what W would
+    // have had to be). The arrival-order running maximum is a prefix
+    // aggregation, computed two-phase like every prefix sum here:
+    // arrival-stride chunks bound the local windows, per-chunk maxima
+    // cumulate on the chunk table (bounded at n/64k rows — the same
+    // documented envelope as the flat chunk window chunkOffsets
+    // replaced), and the exclusive cross-chunk max joins back broadcast.
+    // All exact int64 microseconds.
+    QueryDef("q189_lateness_report", (s, d) =>
+      latenessReport(t(s, d, "events")).orderBy("event_type"),
+      Some(s"""WITH ev AS MATERIALIZED (
+             |  SELECT event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |hw AS MATERIALIZED (
+             |  SELECT event_id, event_type, us,
+             |    max(us) OVER (ORDER BY event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+             |  FROM ev),
+             |lt AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CASE WHEN hwm IS NOT NULL AND us < hwm - ${2L * 3600L * 1000000L}
+             |      THEN hwm - ${2L * 3600L * 1000000L} - us ELSE 0 END AS late_us
+             |  FROM hw)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_late,
+             |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*) AS late_frac,
+             |  CAST(max(late_us) AS BIGINT) AS max_late_us
+             |FROM lt GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

@@ -340,6 +340,19 @@ object ScaleProbe {
       time(s"priority_sample_x$m") {
         graft.queries.Sampling.prioritySample(docs, 100).count()
       }
+      // lateness report: one grouped agg + chunk-partitioned prefix-max
+      // windows; replicas are new arrival ranges, so linear
+      time(s"lateness_x$m") {
+        graft.queries.Events.latenessReport(replicateEvents(m)).count()
+      }
+      // incremental components: old pair set collapses to star edges, the
+      // batch adds asymmetric-LSH bridges — the LS/SS closure runs on the
+      // compressed graph, so cost rides the two pair generators (linear)
+      time(s"incr_components_x$m") {
+        graft.queries.Dedup.incrementalComponents(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0)).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups

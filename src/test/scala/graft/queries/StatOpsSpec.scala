@@ -373,6 +373,65 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q189: lateness replays an arrival-order scan; a planted straggler counts") {
+    // real-data replay: running max over event_id order, computed serially
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val wUs = 2L * 3600L * 1000000L
+    var hwm = Long.MinValue
+    val agg = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    ev.foreach { case (_, t, us) =>
+      val late = if (hwm != Long.MinValue && us < hwm - wUs) hwm - wUs - us else 0L
+      val (n, nl, mx) = agg.getOrElse(t, (0L, 0L, 0L))
+      agg(t) = (n + 1, nl + (if (late > 0) 1 else 0), math.max(mx, late))
+      hwm = math.max(hwm, us)
+    }
+    SparkEntry.queries("q189_lateness_report")(spark, sfDir).collect()
+      .foreach { r =>
+        val (n, nl, mx) = agg(r.getString(0))
+        assert(r.getAs[Long]("n_events") == n)
+        assert(r.getAs[Long]("n_late") == nl, s"${r.getString(0)} late")
+        assert(r.getAs[Long]("max_late_us") == mx)
+      }
+    // planted fixture: one straggler arriving (by id) after much newer
+    // events, 3h older than the high-water mark -> exactly 1h late
+    import spark.implicits._
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def ts(h: Long) = java.sql.Timestamp.from(base.plusSeconds(h * 3600))
+    val fx = Seq((1L, ts(0), "m"), (2L, ts(5), "m"), (3L, ts(2), "m"))
+      .toDF("event_id", "ts", "event_type")
+    val row = Events.latenessReport(fx).head()
+    assert(row.getAs[Long]("n_late") == 1)
+    assert(row.getAs[Long]("max_late_us") == 3600L * 1000000L)
+  }
+
+  test("q190: fair top-k equals the quota-then-cut replay and caps every source") {
+    val out = SparkEntry.queries("q190_fair_topk")(spark, sfDir).cache()
+    assert(out.count() == 20)
+    assert(out.groupBy("source").count().filter(col("count") > 2).count() == 0)
+    // replay: per-source quota of 2 by (n_chars desc, doc_id), then a
+    // global cut of 20 in the same order
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).values.flatMap(
+        _.sortBy { case (id, _, n) => (-n, id) }.take(2))
+      .toSeq.sortBy { case (id, _, n) => (-n, id) }.take(20).map(_._1)
+    val got = out.orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == want)
+  }
+
+  test("q191: incremental component maintenance equals the full rebuild") {
+    // the law the shared oracle enforces in the gate, asserted in-suite
+    // too: star-compressed old components + batch/bridge edges == full
+    // closure over everything
+    assertSameRows(
+      SparkEntry.queries("q191_components_incremental")(spark, sfDir),
+      SparkEntry.queries("q52_dedup_components")(spark, sfDir))
+  }
+
   test("q178: diversity indices hit their closed forms on planted sources") {
     import spark.implicits._
     val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
