@@ -1287,5 +1287,129 @@ object Events {
              |    / count(*) AS late_frac,
              |  CAST(max(late_us) AS BIGINT) AS max_late_us
              |FROM lt GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ---- Event-pattern matching (CEP primitive) --------------------------
+    // The MATCH_RECOGNIZE-shaped primitive funnels (q59) don't give:
+    // "A then B within T with NO C between" — here each view followed by
+    // a purchase within 1 hour with no error event in between. The next
+    // purchase/error after each row comes from conditional windowed
+    // minima over the FOLLOWING frame of the user's (us, event_id)-
+    // ordered stream — per-user partitioned windows, one shuffle, no
+    // self-join, each view emits ≤ 1 match (nearest-purchase
+    // semantics, the standard CEP skip-to-next contract). Betweenness
+    // compares (us, event_id) structs so simultaneous timestamps
+    // resolve identically on both engines.
+    QueryDef("q192_event_pattern", (s, d) => {
+      val wF = Window.partitionBy("user_id").orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      ev
+        .withColumn("np", min(when(col("event_type") === "purchase",
+          struct(col("us"), col("event_id")))).over(wF))
+        .withColumn("ne", min(when(col("event_type") === "error",
+          struct(col("us"), col("event_id")))).over(wF))
+        .filter(col("event_type") === "view" && col("np").isNotNull)
+        .withColumn("gap_us", col("np.us") - col("us"))
+        .filter(col("gap_us") <= 3600L * 1000000L &&
+          (col("ne").isNull || !(col("ne") < col("np"))))
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("np.event_id").as("purchase_id"), col("gap_us"))
+        .orderBy("view_id")
+    },
+      Some("""WITH ev AS MATERIALIZED (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |nx AS MATERIALIZED (
+             |  SELECT user_id, event_id, event_type, us,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN {'us': us, 'event_id': event_id} END) OVER w AS np,
+             |    min(CASE WHEN event_type = 'error'
+             |      THEN {'us': us, 'event_id': event_id} END) OVER w AS ne
+             |  FROM ev
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, event_id AS view_id,
+             |  (np).event_id AS purchase_id, (np).us - us AS gap_us
+             |FROM nx
+             |WHERE event_type = 'view' AND np IS NOT NULL
+             |  AND (np).us - us <= 3600000000
+             |  AND (ne IS NULL OR NOT (ne < np))
+             |ORDER BY view_id""".stripMargin)),
+
+    // ---- Linear-interpolation gap fill (time-series resampling) ----------
+    // The interpolating complement to q87's LOCF: resample each metric
+    // onto the full hourly grid, filling missing hours with the linear
+    // blend of the nearest observed neighbors — what a feature pipeline
+    // feeds a model instead of stale carry-forward values. The grid is
+    // generated per metric from its own min/max hour (a 1-row aggregate
+    // exploded — bounded by the date range, never event-count-sized);
+    // neighbor lookup is two IGNORE NULLS window passes over the grid
+    // table. Hourly means are 1e-2 fixed-point int64 sums divided once;
+    // the interpolation weight (h−hp)/(hn−hp) and blend are identical
+    // IEEE trees on both engines.
+    QueryDef("q193_interpolate", (s, d) => {
+      val hourly = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+        .groupBy("event_type", "h")
+        .agg(count(lit(1)).as("n"), sum("y").as("sy"))
+        .withColumn("m", col("sy").cast("double") / col("n"))
+      val grid = hourly.groupBy("event_type")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val wPrev = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("event_type").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      grid.join(hourly.select(col("event_type"), col("h"), col("m")),
+          Seq("event_type", "h"), "left")
+        .withColumn("pm", last(when(col("m").isNotNull,
+          struct(col("h").as("ph"), col("m").as("pv"))), ignoreNulls = true)
+          .over(wPrev))
+        .withColumn("nm", first(when(col("m").isNotNull,
+          struct(col("h").as("nh"), col("m").as("nv"))), ignoreNulls = true)
+          .over(wNext))
+        .withColumn("value", when(col("m").isNotNull, col("m"))
+          .otherwise(col("pm.pv") + (col("nm.nv") - col("pm.pv")) *
+            ((col("h") - col("pm.ph")).cast("double") /
+              (col("nm.nh") - col("pm.ph")).cast("double"))))
+        .select(col("event_type"), col("h"), col("value"),
+          col("m").isNull.as("filled"))
+        .orderBy("event_type", "h")
+    },
+      Some("""WITH hourly AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |      / count(*) AS m
+             |  FROM events GROUP BY 1, 2),
+             |grid AS MATERIALIZED (
+             |  SELECT event_type, unnest(range(h0, h1 + 1)) AS h
+             |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+             |        FROM hourly GROUP BY event_type)),
+             |j AS MATERIALIZED (
+             |  SELECT g.event_type, g.h, hr.m,
+             |    last_value(CASE WHEN hr.m IS NOT NULL
+             |        THEN {'ph': g.h, 'pv': hr.m} END IGNORE NULLS)
+             |      OVER (PARTITION BY g.event_type ORDER BY g.h
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm,
+             |    first_value(CASE WHEN hr.m IS NOT NULL
+             |        THEN {'nh': g.h, 'nv': hr.m} END IGNORE NULLS)
+             |      OVER (PARTITION BY g.event_type ORDER BY g.h
+             |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nm
+             |  FROM grid g LEFT JOIN hourly hr
+             |    ON g.event_type = hr.event_type AND g.h = hr.h)
+             |SELECT event_type, h,
+             |  CASE WHEN m IS NOT NULL THEN m
+             |       ELSE (pm).pv + ((nm).nv - (pm).pv)
+             |         * (CAST(h - (pm).ph AS DOUBLE)
+             |            / CAST((nm).nh - (pm).ph AS DOUBLE)) END AS value,
+             |  m IS NULL AS filled
+             |FROM j ORDER BY event_type, h""".stripMargin)),
   )
 }

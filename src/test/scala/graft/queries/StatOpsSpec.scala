@@ -432,6 +432,74 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       SparkEntry.queries("q52_dedup_components")(spark, sfDir))
   }
 
+  test("q192: pattern matches replay a per-user serial scan") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._2)).toSeq
+      ordered.zipWithIndex.flatMap {
+        case ((_, vid, "view", vus), i) =>
+          val after = ordered.drop(i + 1)
+          val np = after.find(_._3 == "purchase")
+          val ne = after.find(_._3 == "error")
+          np.flatMap { case (_, pid, _, pus) =>
+            val errBetween = ne.exists { case (_, eid, _, eus) =>
+              eus < pus || (eus == pus && eid < pid) }
+            if (pus - vus <= 3600L * 1000000L && !errBetween)
+              Some((uid, vid, pid, pus - vus)) else None
+          }
+        case _ => None
+      }
+    }.sortBy(_._2)
+    val got = SparkEntry.queries("q192_event_pattern")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got ${got.size} vs want ${want.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("q193: grid is complete, observed hours exact, fills bounded by neighbors") {
+    val out = SparkEntry.queries("q193_interpolate")(spark, sfDir).cache()
+    val hourly = Tables.load(spark, sfDir, "events")
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("y"))
+      .groupBy("event_type", "h")
+      .agg((sum("y").cast("double") / count(lit(1))).as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every metric's grid is contiguous from its min to its max hour
+    val byType = out.collect().groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val hs = rows.map(_.getLong(1)).sorted
+      assert(hs.head == hs.min && hs.last == hs.max &&
+        hs.length == (hs.last - hs.head + 1), s"$t grid has holes")
+      // boundary hours are observed by construction
+      assert(!rows.minBy(_.getLong(1)).getBoolean(3))
+      assert(!rows.maxBy(_.getLong(1)).getBoolean(3))
+    }
+    out.collect().foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      if (!r.getBoolean(3)) assert(r.getDouble(2) == hourly(key))
+      else {
+        // a filled value lies between its observed neighbors
+        val (t, h) = key
+        val prev = hourly.keys.filter(k => k._1 == t && k._2 < h)
+          .maxBy(_._2)
+        val next = hourly.keys.filter(k => k._1 == t && k._2 > h)
+          .minBy(_._2)
+        val (lo, hi) = (math.min(hourly(prev), hourly(next)),
+          math.max(hourly(prev), hourly(next)))
+        assert(r.getDouble(2) >= lo && r.getDouble(2) <= hi,
+          s"$key fill ${r.getDouble(2)} outside [$lo, $hi]")
+        // and exactly on the line between them
+        val expect = hourly(prev) + (hourly(next) - hourly(prev)) *
+          ((h - prev._2).toDouble / (next._2 - prev._2).toDouble)
+        assert(r.getDouble(2) == expect)
+      }
+    }
+  }
+
   test("q178: diversity indices hit their closed forms on planted sources") {
     import spark.implicits._
     val uniform = (0 until 50).map(i => s"t$i").mkString(" ")
