@@ -1,0 +1,325 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Data-quality auditing over the star schema — the validation layer a
+  * production ingest runs BEFORE any query in the other families trusts
+  * the data: referential integrity, key/functional-dependency audits,
+  * declarative value contracts, and distributional forensics (Benford).
+  *
+  * The reference engine trusts its catalog blindly (a `.md` schema file
+  * names columns/types but nothing checks values — reference:
+  * src/qp/utils/Schema.java holds only names/types); these operators are
+  * the missing trust layer, expressed as plain aggregations so the same
+  * audit runs unchanged on 100 TB: every rule is a one-pass conditional
+  * sum (map-side partial agg), every FK probe a keyed join that Catalyst
+  * broadcasts when the parent is a dimension and shuffles when it is not.
+  * Nothing here collects to the driver; each audit emits a bounded
+  * per-rule report (rows = number of rules, not number of violations).
+  */
+object Quality {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** One FK edge audit: rows of `child` whose non-null `ck` has no match
+    * in `parent.pk`. LEFT JOIN against the distinct parent keys (dup-safe
+    * even if the "primary" key is dirty — this is an audit, it must not
+    * assume what it is checking) + a conditional sum, so the whole edge
+    * costs one keyed join and one aggregation. Exposed for library use. */
+  def fkEdge(name: String, child: DataFrame, ck: String,
+      parent: DataFrame, pk: String): DataFrame = {
+    val p = parent.select(col(pk).as("k")).distinct().withColumn("hit", lit(1))
+    child.filter(col(ck).isNotNull).select(col(ck).as("k"))
+      .join(p, Seq("k"), "left")
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .select(lit(name).as("fk_name"), col("n_checked"), col("n_orphans"),
+        (col("n_orphans").cast("double") / col("n_checked").cast("double"))
+          .as("orphan_frac"))
+  }
+
+  /** Uniqueness audit: how many key-groups exist, how many collide, and
+    * the worst collision width. Two-level aggregation — the inner
+    * groupBy partial-aggregates map-side, the outer is a 1-row fold. */
+  def keyRule(rule: String, df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("cnt")).as("worst"))
+      .select(lit(rule).as("rule"), lit("key").as("kind"),
+        col("n_groups"), col("n_violating"), col("worst"))
+
+  /** Functional-dependency audit lhs → rhs: a violating group is an lhs
+    * value that maps to more than one distinct rhs; `worst` is the
+    * widest fan-out. Same two-level aggregation shape as [[keyRule]]. */
+  def fdRule(rule: String, df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df.filter(col(lhs).isNotNull)
+      .groupBy(lhs).agg(countDistinct(col(rhs)).as("ndv"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("ndv") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max(col("ndv")).as("worst"))
+      .select(lit(rule).as("rule"), lit("fd").as("kind"),
+        col("n_groups"), col("n_violating"), col("worst"))
+
+  private def sqlFkEdge(name: String, child: String, ck: String,
+      parent: String, pk: String): String =
+    s"""SELECT '$name' AS fk_name,
+       |  CAST(count(*) AS BIGINT) AS n_checked,
+       |  CAST(sum(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_orphans,
+       |  CAST(sum(CASE WHEN p.hit IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS orphan_frac
+       |FROM (SELECT $ck AS k FROM $child WHERE $ck IS NOT NULL) c
+       |LEFT JOIN (SELECT DISTINCT $pk AS k, 1 AS hit FROM $parent) p
+       |  ON c.k = p.k""".stripMargin
+
+  private def sqlKeyRule(rule: String, table: String, keys: Seq[String]): String =
+    s"""SELECT '$rule' AS rule, 'key' AS kind,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating,
+       |  CAST(max(cnt) AS BIGINT) AS worst
+       |FROM (SELECT count(*) AS cnt FROM $table
+       |      GROUP BY ${keys.mkString(", ")}) g""".stripMargin
+
+  private def sqlFdRule(rule: String, table: String, lhs: String, rhs: String): String =
+    s"""SELECT '$rule' AS rule, 'fd' AS kind,
+       |  CAST(count(*) AS BIGINT) AS n_groups,
+       |  CAST(sum(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_violating,
+       |  CAST(max(ndv) AS BIGINT) AS worst
+       |FROM (SELECT count(DISTINCT $rhs) AS ndv FROM $table
+       |      WHERE $lhs IS NOT NULL GROUP BY $lhs) g""".stripMargin
+
+  /** Benford expected first-digit probabilities, log10(1 + 1/d), as
+    * 17-significant-digit E-NOTATION literals: exponent form parses as
+    * DOUBLE (not DECIMAL) in both engines, and decimal-to-double literal
+    * parsing is correctly rounded in both — so neither engine's runtime
+    * log10 (untrusted in the last ulp) is ever called. */
+  private[queries] val benfordP: Seq[(Int, String)] = Seq(
+    1 -> "3.0102999566398120e-1", 2 -> "1.7609125905568124e-1",
+    3 -> "1.2493873660829993e-1", 4 -> "9.6910013008056414e-2",
+    5 -> "7.9181246047624818e-2", 6 -> "6.6946789630613198e-2",
+    7 -> "5.7991946977686754e-2", 8 -> "5.1152522447381288e-2",
+    9 -> "4.5757490560675125e-2")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Referential-integrity audit (FK orphan scan) --------------------
+    // Every foreign-key edge of the star schema probed in one keyed
+    // join apiece: child keys LEFT JOIN distinct parent keys, orphans =
+    // unmatched rows. Output is one row per edge (7 rows total),
+    // whatever the data size — the audit's cost is the joins, its
+    // result is a bounded report. Scale: dimension parents (nation,
+    // region, part, supplier, customer) broadcast automatically; the
+    // one fact-to-fact edge (lineitem→orders) shuffles on the join key
+    // exactly like the production join it certifies (q05). A 100 TB
+    // ingest runs this nightly and alarms on orphan_frac > 0.
+    QueryDef("q194_referential_integrity", (s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      Seq(
+        fkEdge("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey"),
+        fkEdge("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey"),
+        fkEdge("lineitem.l_partkey -> part", li, "l_partkey", t(s, d, "part"), "p_partkey"),
+        fkEdge("lineitem.l_suppkey -> supplier", li, "l_suppkey", su, "s_suppkey"),
+        fkEdge("nation.n_regionkey -> region", n, "n_regionkey", t(s, d, "region"), "r_regionkey"),
+        fkEdge("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"),
+        fkEdge("supplier.s_nationkey -> nation", su, "s_nationkey", n, "n_nationkey"))
+        .reduce(_.unionAll(_))
+        .orderBy("fk_name")
+    },
+      Some(Seq(
+        sqlFkEdge("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        sqlFkEdge("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        sqlFkEdge("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        sqlFkEdge("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        sqlFkEdge("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+        sqlFkEdge("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        sqlFkEdge("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_name"))),
+
+    // ---- Key & functional-dependency audit -------------------------------
+    // Declared-key uniqueness and candidate FDs checked as two-level
+    // aggregations: the inner groupBy partial-aggregates map-side (the
+    // shuffle carries one row per key-group, not per row), the outer
+    // folds to a single report row per rule. The synthetic lineitem
+    // deliberately collides on (l_orderkey, l_linenumber) — the audit
+    // REPORTS that rather than assuming TPC-H's clean keys, which is
+    // the point: profile what holds, don't trust what's declared.
+    QueryDef("q195_fd_audit", (s, d) => {
+      val li = t(s, d, "lineitem")
+      Seq(
+        keyRule("key:documents(doc_id)", t(s, d, "documents"), Seq("doc_id")),
+        keyRule("key:lineitem(l_orderkey,l_linenumber)", li,
+          Seq("l_orderkey", "l_linenumber")),
+        keyRule("key:orders(o_orderkey)", t(s, d, "orders"), Seq("o_orderkey")),
+        fdRule("fd:events.user_id->event_type", t(s, d, "events"),
+          "user_id", "event_type"),
+        fdRule("fd:lineitem.l_partkey->l_suppkey", li, "l_partkey", "l_suppkey"),
+        fdRule("fd:nation.n_nationkey->n_regionkey", t(s, d, "nation"),
+          "n_nationkey", "n_regionkey"),
+        fdRule("fd:orders.o_custkey->o_orderpriority", t(s, d, "orders"),
+          "o_custkey", "o_orderpriority"))
+        .reduce(_.unionAll(_))
+        .orderBy("rule")
+    },
+      Some(Seq(
+        sqlKeyRule("key:documents(doc_id)", "documents", Seq("doc_id")),
+        sqlKeyRule("key:lineitem(l_orderkey,l_linenumber)", "lineitem",
+          Seq("l_orderkey", "l_linenumber")),
+        sqlKeyRule("key:orders(o_orderkey)", "orders", Seq("o_orderkey")),
+        sqlFdRule("fd:events.user_id->event_type", "events", "user_id", "event_type"),
+        sqlFdRule("fd:lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+        sqlFdRule("fd:nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+        sqlFdRule("fd:orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule"))),
+
+    // ---- Declarative value contracts (expectations suite) ----------------
+    // Great-Expectations-style data contracts: range, domain, positivity,
+    // non-null, and one cross-table temporal rule (a lineitem must not
+    // ship before its order is placed). All per-table rules evaluate in
+    // ONE scan of that table — conditional sums in a single aggregate,
+    // `stack` pivots the 1-row result into the per-rule report (q160's
+    // collector shape) — so contracting a 100 TB table costs exactly one
+    // read. The cross-table rule is the same keyed join as the
+    // production query path it protects.
+    QueryDef("q196_expectations", (s, d) => {
+      def vio(c: Column) = sum(when(c, 1L).otherwise(0L))
+      val liRules = Seq(
+        "lineitem.l_discount_in_0_0.1" ->
+          (col("l_discount").isNull || col("l_discount") < 0.0 || col("l_discount") > 0.1),
+        "lineitem.l_extendedprice_positive" ->
+          (col("l_extendedprice").isNull || col("l_extendedprice") <= 0.0),
+        "lineitem.l_quantity_in_1_50" ->
+          (col("l_quantity").isNull || col("l_quantity") < 1.0 || col("l_quantity") > 50.0),
+        "lineitem.l_returnflag_domain" ->
+          (col("l_returnflag").isNull || !col("l_returnflag").isin("A", "N", "R")),
+        "lineitem.l_tax_in_0_0.08" ->
+          (col("l_tax").isNull || col("l_tax") < 0.0 || col("l_tax") > 0.08))
+      val oRules = Seq(
+        "orders.o_orderdate_not_null" -> col("o_orderdate").isNull,
+        "orders.o_orderstatus_domain" ->
+          (col("o_orderstatus").isNull || !col("o_orderstatus").isin("F", "O", "P")),
+        "orders.o_totalprice_positive" ->
+          (col("o_totalprice").isNull || col("o_totalprice") <= 0.0))
+      def block(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+        val aggs = count(lit(1)).as("n_all") +:
+          rules.zipWithIndex.map { case ((_, c), i) => vio(c).as(s"v$i") }
+        val stackArgs = rules.zipWithIndex
+          .map { case ((r, _), i) => s"'$r', n_all, v$i" }.mkString(", ")
+        df.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(${rules.length}, $stackArgs) AS " +
+            "(rule, n_checked, n_violations)"))
+      }
+      val cross = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate").isNotNull && col("o_orderdate").isNotNull)
+        .agg(count(lit(1)).as("n_checked"),
+          vio(col("l_shipdate") < col("o_orderdate")).as("n_violations"))
+        .select(lit("lineitem.l_shipdate_after_o_orderdate").as("rule"),
+          col("n_checked"), col("n_violations"))
+      block(t(s, d, "lineitem"), liRules)
+        .unionAll(block(t(s, d, "orders"), oRules))
+        .unionAll(cross)
+        .withColumn("violation_frac",
+          col("n_violations").cast("double") / col("n_checked").cast("double"))
+        .orderBy("rule")
+    },
+      Some {
+        val li = Seq(
+          "lineitem.l_discount_in_0_0.1" ->
+            "l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1",
+          "lineitem.l_extendedprice_positive" ->
+            "l_extendedprice IS NULL OR l_extendedprice <= 0.0",
+          "lineitem.l_quantity_in_1_50" ->
+            "l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0",
+          "lineitem.l_returnflag_domain" ->
+            "l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')",
+          "lineitem.l_tax_in_0_0.08" ->
+            "l_tax IS NULL OR l_tax < 0.0 OR l_tax > 0.08")
+        val o = Seq(
+          "orders.o_orderdate_not_null" -> "o_orderdate IS NULL",
+          "orders.o_orderstatus_domain" ->
+            "o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P')",
+          "orders.o_totalprice_positive" ->
+            "o_totalprice IS NULL OR o_totalprice <= 0.0")
+        def rows(table: String, rules: Seq[(String, String)]) = rules.map {
+          case (r, cond) =>
+            s"""SELECT '$r' AS rule, CAST(count(*) AS BIGINT) AS n_checked,
+               |  CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+               |    AS n_violations FROM $table""".stripMargin
+        }
+        val cross =
+          """SELECT 'lineitem.l_shipdate_after_o_orderdate' AS rule,
+            |  CAST(count(*) AS BIGINT) AS n_checked,
+            |  CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_violations
+            |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            |WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL""".stripMargin
+        (rows("lineitem", li) ++ rows("orders", o) :+ cross)
+          .mkString(
+            "SELECT rule, n_checked, n_violations,\n" +
+              "  CAST(n_violations AS DOUBLE) / CAST(n_checked AS DOUBLE)\n" +
+              "    AS violation_frac FROM (\n",
+            "\nUNION ALL\n",
+            "\n) ORDER BY rule")
+      }),
+
+    // ---- Benford first-digit forensics -----------------------------------
+    // Distributional fraud/corruption detector: the leading-digit
+    // histogram of a naturally-generated amount column follows
+    // log10(1+1/d); a synthetic or truncated column does not. One
+    // groupBy over a map-computed digit + a 1-row total broadcast; the
+    // per-digit chi-square contribution localizes WHERE the distribution
+    // bends (so the report is actionable, not just a global statistic).
+    // Expected probabilities are shared decimal literals, not runtime
+    // log10 calls — both engines parse the identical double, so the
+    // arithmetic ((n-e)²/e, same operation order) is bit-equal.
+    QueryDef("q197_benford", (s, d) => {
+      val base = t(s, d, "lineitem")
+        .filter(col("l_extendedprice") >= 1.0)
+        .select(substring(expr("cast(floor(l_extendedprice) as bigint)")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val total = base.agg(count(lit(1)).as("n_total"))
+      val expected = benfordP.tail.foldLeft(
+        when(col("digit") === benfordP.head._1, lit(benfordP.head._2.toDouble))) {
+        case (acc, (dd, p)) => acc.when(col("digit") === dd, lit(p.toDouble))
+      }
+      val e = col("n_total").cast("double") * col("expected_frac")
+      val diff = col("n").cast("double") - e
+      base.groupBy("digit").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .withColumn("expected_frac", expected)
+        .select(col("digit"), col("n"),
+          (col("n").cast("double") / col("n_total").cast("double")).as("frac"),
+          col("expected_frac"),
+          (diff * diff / e).as("chi2_part"))
+        .orderBy("digit")
+    },
+      Some {
+        val cases = benfordP
+          .map { case (dd, p) => s"WHEN digit = $dd THEN $p" }
+          .mkString("CASE ", " ", " END")
+        s"""WITH base AS (
+           |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+           |    AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           |  FROM lineitem WHERE l_extendedprice >= 1.0),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base),
+           |g AS (
+           |  SELECT digit, CAST(count(*) AS BIGINT) AS n FROM base
+           |  GROUP BY digit)
+           |SELECT digit, n,
+           |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac,
+           |  ($cases) AS expected_frac,
+           |  (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * ($cases))
+           |    * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * ($cases))
+           |    / (CAST(n_total AS DOUBLE) * ($cases)) AS chi2_part
+           |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+      }))
+}
