@@ -293,6 +293,26 @@ object Events {
       .select("event_type", "n_events", "n_late", "late_frac", "max_late_us")
   }
 
+  /** Per-(event_type, day) counts keyed on an exact integer day index
+    * (days since epoch, from integer-µs truncation) — the shared base
+    * for the time-series family (q198–q200). One grouped aggregation;
+    * the output is a DISTRIBUTION table (types × days), so everything
+    * built on it costs O(series length), never O(events). */
+  private def dailyCounts(ev: DataFrame): DataFrame =
+    ev.filter(col("ts").isNotNull)
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d_idx"))
+      .agg(count(lit(1)).as("x"))
+
+  /** DuckDB mirror of [[dailyCounts]]. */
+  private val sqlDaily =
+    """daily AS MATERIALIZED (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP))) // 86400000000
+      |      AS d_idx,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Tumbling-window (hourly) aggregation per event type -------------
@@ -1411,5 +1431,202 @@ object Events {
              |            / CAST((nm).nh - (pm).ph AS DOUBLE)) END AS value,
              |  m IS NULL AS filled
              |FROM j ORDER BY event_type, h""".stripMargin)),
+
+    // ---- Autocorrelation function (ACF) per event-type daily series ------
+    // Pearson correlation of the daily-count series against itself at
+    // lags 1..7 — the seasonality detector that decides whether q199's
+    // weekday profile is even worth building. Shape: the corpus
+    // collapses to the daily DISTRIBUTION table first (one grouped agg),
+    // then ONE window pass materializes all 7 lags, `stack` unpivots
+    // them, and a second grouped agg folds each (type, lag) to exact
+    // int64 moment sums. r = (n·Σxy − ΣxΣy)/(√dx·√dy) with dx, dy kept
+    // as separate int64→double sqrt operands so nothing overflows and
+    // both engines run the identical IEEE op sequence. Cost at 100 TB:
+    // the one corpus aggregation; everything after is series-length work.
+    QueryDef("q198_acf", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("d_idx")
+      val lagged = (1 to 7).foldLeft(dailyCounts(t(s, d, "events"))) {
+        (df, l) => df.withColumn(s"y$l", lag(col("x"), l).over(w))
+      }
+      val stacked = lagged.select(col("event_type"), col("x"),
+        expr("stack(7, " + (1 to 7).map(l => s"$l, y$l").mkString(", ") +
+          ") AS (lag_k, y)"))
+        .filter(col("y").isNotNull)
+      val g = stacked.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val dx = (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dy = (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")
+      g.select(col("event_type"), col("lag_k"), col("n_pairs"),
+        when(dx > 0.0 && dy > 0.0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(dx) * sqrt(dy))).as("acf"))
+        .orderBy("event_type", "lag_k")
+    },
+      Some {
+        val lags = (1 to 7).map(l => s"lag(x, $l) OVER w AS y$l").mkString(",\n    ")
+        val arms = (1 to 7).map(l =>
+          s"SELECT event_type, $l AS lag_k, x, y$l AS y FROM lagged WHERE y$l IS NOT NULL")
+          .mkString("\n  UNION ALL ")
+        s"""WITH $sqlDaily,
+           |lagged AS MATERIALIZED (
+           |  SELECT event_type, x,
+           |    $lags
+           |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d_idx)),
+           |st AS MATERIALIZED (
+           |  $arms),
+           |g AS (
+           |  SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(y * y) AS BIGINT) AS syy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy
+           |  FROM st GROUP BY 1, 2)
+           |SELECT event_type, lag_k, n_pairs,
+           |  CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0.0
+           |        AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0.0
+           |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+           |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+           |         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+           |  END AS acf
+           |FROM g ORDER BY event_type, lag_k""".stripMargin
+      }),
+
+    // ---- Weekday-seasonal anomaly detection (seasonal z-score) -----------
+    // Each (event_type, weekday) gets a profile (mean/variance of its
+    // daily counts) and each day is scored against its own weekday's
+    // profile — the seasonal z-score that flags "low for a Monday"
+    // where a global z-score (q111's shape) would see a normal day.
+    // Weekday is pure integer arithmetic on the epoch-day index
+    // ((d_idx+3) mod 7, 0 = Monday) — NOT the engines' dayofweek(),
+    // which disagree on numbering. z = (cnt·x − Σx)/√(cnt·Σx² − (Σx)²)
+    // keeps every operand an exact int64 until the single sqrt+divide,
+    // so the flag is bit-stable; zero-variance profiles yield NULL z
+    // and never flag. Cost: one corpus agg + distribution-table joins.
+    QueryDef("q199_seasonal_anomaly", (s, d) => {
+      val daily = dailyCounts(t(s, d, "events"))
+        .withColumn("dow", expr("(d_idx + 3) % 7"))
+      val prof = daily.groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+          sum(col("x") * col("x")).as("sum_xx"))
+        .withColumn("var_num",
+          col("cnt") * col("sum_xx") - col("sum_x") * col("sum_x"))
+      val z = (col("cnt") * col("x") - col("sum_x")).cast("double") /
+        sqrt(col("var_num").cast("double"))
+      daily.join(prof, Seq("event_type", "dow"))
+        .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
+          (col("sum_x").cast("double") / col("cnt").cast("double")).as("dow_mean"),
+          when(col("var_num") > 0, z).as("z"),
+          (col("var_num") > 0 && abs(when(col("var_num") > 0, z)) > 2.0)
+            .as("is_anomaly"))
+        .orderBy("event_type", "d_idx")
+    },
+      Some(s"""WITH $sqlDaily,
+             |dd AS MATERIALIZED (
+             |  SELECT event_type, d_idx, (d_idx + 3) % 7 AS dow, x FROM daily),
+             |prof AS MATERIALIZED (
+             |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(x) AS BIGINT) AS sum_x,
+             |    CAST(sum(x * x) AS BIGINT) AS sum_xx
+             |  FROM dd GROUP BY 1, 2),
+             |j AS (
+             |  SELECT dd.event_type, dd.d_idx, dd.dow, dd.x,
+             |    p.cnt, p.sum_x,
+             |    p.cnt * p.sum_xx - p.sum_x * p.sum_x AS var_num
+             |  FROM dd JOIN prof p
+             |    ON dd.event_type = p.event_type AND dd.dow = p.dow)
+             |SELECT event_type, d_idx, dow, x,
+             |  CAST(sum_x AS DOUBLE) / CAST(cnt AS DOUBLE) AS dow_mean,
+             |  CASE WHEN var_num > 0 THEN
+             |    CAST(cnt * x - sum_x AS DOUBLE) / sqrt(CAST(var_num AS DOUBLE))
+             |  END AS z,
+             |  coalesce(var_num > 0 AND abs(CASE WHEN var_num > 0 THEN
+             |      CAST(cnt * x - sum_x AS DOUBLE)
+             |        / sqrt(CAST(var_num AS DOUBLE)) END) > 2.0, FALSE)
+             |    AS is_anomaly
+             |FROM j ORDER BY event_type, d_idx""".stripMargin)),
+
+    // ---- EWMA smoothing (α = 1/2, 16-term truncation) --------------------
+    // Exponentially-weighted moving average of the daily series — the
+    // smoother behind alerting baselines and rate limiters. The
+    // recursion is truncated to 16 terms (the dropped tail weight is
+    // 2⁻¹⁶ ≈ 1.5e-5 of the total): s_t = Σ_{k<16} x_{t−k}/2^{k+1}. With
+    // α = 1/2 every term is an exact dyadic rational, so the 16-term sum
+    // is EXACT in IEEE doubles — no summation-order sensitivity at all,
+    // the one floating-point trap a truncated-window formulation has.
+    // One window pass over the distribution table; rows without 16 days
+    // of history are withheld rather than emitted half-warmed.
+    QueryDef("q200_ewma", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("d_idx")
+      val ewma = (0 to 15).map { k =>
+        (if (k == 0) col("x") else lag(col("x"), k).over(w)).cast("double") /
+          lit((1L << (k + 1)).toDouble)
+      }.reduce(_ + _)
+      dailyCounts(t(s, d, "events"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma", ewma)
+        .filter(col("rn") >= 16)
+        .select("event_type", "d_idx", "x", "ewma")
+        .orderBy("event_type", "d_idx")
+    },
+      Some {
+        val terms = (0 to 15).map { k =>
+          val src = if (k == 0) "x" else s"lag(x, $k) OVER w"
+          s"CAST($src AS DOUBLE) / ${1L << (k + 1)}.0"
+        }.mkString("\n      + ")
+        s"""WITH $sqlDaily,
+           |lagged AS MATERIALIZED (
+           |  SELECT event_type, d_idx, x, row_number() OVER w AS rn,
+           |    $terms AS ewma
+           |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d_idx))
+           |SELECT event_type, d_idx, x, ewma
+           |FROM lagged WHERE rn >= 16 ORDER BY event_type, d_idx""".stripMargin
+      }),
+
+    // ---- Sequential-pattern support: consecutive event bigrams -----------
+    // Market-basket over event ORDER rather than co-presence (q162's
+    // complement): which event follows which, how often, across how
+    // many distinct users. One window-lag pass partitioned by user (the
+    // same per-user shuffle every session op pays — at scale this rides
+    // the q31 sessionization partitioning), then a grouped count over
+    // the BOUNDED transition alphabet (|types|² rows). Deterministic
+    // ordering inside a user via the (ts, event_id) tiebreak; top-20 by
+    // support with a full tiebreak so the cut is stable.
+    QueryDef("q201_event_bigrams", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .filter(col("prev_type").isNotNull)
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      pairs.groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(tot))
+        .select(col("prev_type"), col("next_type"), col("n_occ"), col("n_users"),
+          (col("n_occ").cast("double") / col("n_total").cast("double"))
+            .as("support"))
+        .orderBy(col("n_occ").desc, col("prev_type"), col("next_type"))
+        .limit(20)
+    },
+      Some("""WITH p AS MATERIALIZED (
+             |  SELECT user_id, event_type AS next_type,
+             |    lag(event_type, 1) OVER
+             |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+             |  FROM events WHERE ts IS NOT NULL),
+             |pp AS MATERIALIZED (
+             |  SELECT * FROM p WHERE prev_type IS NOT NULL),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM pp),
+             |g AS (
+             |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_occ,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |  FROM pp GROUP BY 1, 2)
+             |SELECT prev_type, next_type, n_occ, n_users,
+             |  CAST(n_occ AS DOUBLE) / CAST(n_total AS DOUBLE) AS support
+             |FROM g CROSS JOIN tot
+             |ORDER BY n_occ DESC, prev_type, next_type LIMIT 20""".stripMargin)),
   )
 }
