@@ -321,5 +321,74 @@ object Quality {
            |    * (CAST(n AS DOUBLE) - CAST(n_total AS DOUBLE) * ($cases))
            |    / (CAST(n_total AS DOUBLE) * ($cases)) AS chi2_part
            |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
-      }))
+      }),
+
+    // ---- Categorical association: chi-square + Cramér's V ----------------
+    // Are two categorical columns independent? The profiling question
+    // behind stratification design (q205), mixture reweighting (q76),
+    // and drift alarms: here lang × source on documents. The full r×c
+    // grid is reconstructed (marginal × marginal, LEFT JOIN observed,
+    // zero-fill) because zero cells still contribute e to chi² —
+    // dropping them understates association. All counts are exact
+    // int64; each cell term (o−e)²/e is IEEE ops in one fixed order,
+    // and the cell-term sum folds over a SORTED bounded list (q135's
+    // fold rule — cells = |langs|·|sources|, a distribution table, so
+    // the collect is bounded by category cardinality, not corpus size).
+    // V = √(χ²/(n·(min(r,c)−1))) normalizes to [0,1].
+    QueryDef("q206_cramers_v", (s, d) => {
+      val docs = t(s, d, "documents")
+      val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rt = docs.groupBy("lang").agg(count(lit(1)).as("rt"))
+      val ct = docs.groupBy("source").agg(count(lit(1)).as("ct"))
+      val tot = docs.agg(count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c"))
+      val e = (col("rt") * col("ct")).cast("double") / col("n").cast("double")
+      val od = col("o").cast("double")
+      def foldSum(c0: Column) =
+        aggregate(array_sort(collect_list(c0)), lit(0.0), (acc, x) => acc + x)
+      rt.crossJoin(ct)
+        .join(cells, Seq("lang", "source"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", (od - e) * (od - e) / e)
+        .groupBy("n", "r", "c")
+        .agg(foldSum(col("term")).as("chi2"))
+        .select(col("n"), col("r"), col("c"), col("chi2"),
+          sqrt(col("chi2") /
+            (col("n") * (least(col("r"), col("c")) - 1)).cast("double"))
+            .as("cramers_v"))
+    },
+      Some("""WITH cells AS MATERIALIZED (
+             |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+             |  FROM documents GROUP BY 1, 2),
+             |rt AS (SELECT lang, CAST(count(*) AS BIGINT) AS rt
+             |       FROM documents GROUP BY 1),
+             |ct AS (SELECT source, CAST(count(*) AS BIGINT) AS ct
+             |       FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT lang) AS BIGINT) AS r,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS c FROM documents),
+             |grid AS MATERIALIZED (
+             |  SELECT rt.lang, ct.source, rt.rt, ct.ct,
+             |    coalesce(cells.o, 0) AS o
+             |  FROM rt CROSS JOIN ct
+             |  LEFT JOIN cells ON rt.lang = cells.lang
+             |    AND ct.source = cells.source),
+             |terms AS (
+             |  SELECT
+             |    (CAST(o AS DOUBLE)
+             |       - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    * (CAST(o AS DOUBLE)
+             |       - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+             |    / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)) AS term,
+             |    n, r, c
+             |  FROM grid CROSS JOIN tot)
+             |SELECT n, r, c,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_sort(list(term))), (acc, x) -> acc + x) AS chi2,
+             |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_sort(list(term))), (acc, x) -> acc + x)
+             |    / CAST(n * (least(r, c) - 1) AS DOUBLE)) AS cramers_v
+             |FROM terms GROUP BY n, r, c""".stripMargin)))
 }

@@ -639,5 +639,47 @@ object Sampling {
              |SELECT doc_id, n_chars, pri, tau,
              |  greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
              |FROM r, t WHERE rn <= 100 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Stratified k-fold cross-validation assignment -------------------
+    // Deterministic 5-fold CV splits, stratified by (lang, source):
+    // fold = (rank-within-stratum − 1) mod k over a doc_id-ordered
+    // rank, so every stratum's folds differ in size by at most one —
+    // the property that makes per-fold metrics comparable — and the
+    // SAME document lands in the SAME fold on every run and every
+    // cluster size (partition-count invariant by construction). The
+    // report attests the allocation: per (fold, stratum) counts plus
+    // each fold's share of its stratum. One window pass partitioned by
+    // stratum + one grouped count; at 100 TB the window partitions by
+    // the stratum key exactly like q57's quota sampler. For leakage-safe
+    // assignment over near-duplicate clusters, compose with q134 (use
+    // the cluster representative's fold).
+    QueryDef("q205_stratified_kfold", (s, d) => {
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+        .groupBy("lang", "source", "fold")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("stratum_n",
+          sum(col("n")).over(Window.partitionBy("lang", "source")))
+        .withColumn("fold_share",
+          col("n").cast("double") / col("stratum_n").cast("double"))
+        .orderBy("lang", "source", "fold")
+    },
+      Some("""WITH a AS MATERIALIZED (
+             |  SELECT lang, source,
+             |    CAST((row_number() OVER (PARTITION BY lang, source
+             |      ORDER BY doc_id) - 1) % 5 AS INTEGER) AS fold
+             |  FROM documents),
+             |g AS (
+             |  SELECT lang, source, fold, CAST(count(*) AS BIGINT) AS n
+             |  FROM a GROUP BY 1, 2, 3)
+             |SELECT lang, source, fold, n,
+             |  CAST(sum(n) OVER (PARTITION BY lang, source) AS BIGINT)
+             |    AS stratum_n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(sum(n) OVER (PARTITION BY lang, source) AS DOUBLE)
+             |    AS fold_share
+             |FROM g ORDER BY lang, source, fold""".stripMargin)),
   )
 }

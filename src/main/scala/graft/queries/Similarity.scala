@@ -2330,5 +2330,141 @@ object Similarity {
            |  UNION ALL SELECT * FROM s5)
            |ORDER BY q_id, pick_order""".stripMargin
       }),
+
+    // ---- Local Outlier Factor over the kNN graph (q137) ------------------
+    // Density-based embedding outlier scoring: a point is anomalous when
+    // its local density is low RELATIVE to its neighbors' densities —
+    // the detector that catches outliers inside a sparse cluster that
+    // q111's global z-score misses. Runs on the squared-Euclidean metric
+    // so every distance, k-distance, and reachability value is an EXACT
+    // int64 on the quantization grid (d² = n2ₐ + n2ᵦ − 2·dot); lrd stays
+    // a ratio of int64s and each neighbor's density ratio is ONE IEEE
+    // divide — the only float sum is the final per-node fold, which
+    // sorts first (q135's fold rule) so aggregation order can't leak in.
+    // Neighborhood = the ANN graph's out-edges (production LOF at 100 TB
+    // always runs over an ANN graph, not exact kNN); a neighbor with no
+    // graph entry contributes d² as its own reach (kdist→0) and edges to
+    // density-less neighbors drop from the ratio fold — both conventions
+    // applied identically in both engines.
+    QueryDef("q202_lof", (s, d) => {
+      val e = quantize(t(s, d, "embeddings")).localCheckpoint()
+      val g = knnGraphOf(e, 12, 64, 2)
+      val ed = g.select(col("node"), col("nbr"))
+        .join(e.select(col("vec_id").as("node"), col("qv").as("qa"),
+          col("n2").as("na")), "node")
+        .join(e.select(col("vec_id").as("nbr"), col("qv").as("qb"),
+          col("n2").as("nb")), "nbr")
+        .select(col("node"), col("nbr"),
+          (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb"))).as("d2"))
+        .localCheckpoint() // 2 consumers below
+      val kd = ed.groupBy("node")
+        .agg(max(col("d2")).as("kdist2"), count(lit(1)).as("deg"))
+      val ss = ed
+        .join(kd.select(col("node").as("nbr"), col("kdist2").as("kd_o")),
+          Seq("nbr"), "left")
+        .select(col("node"), greatest(coalesce(col("kd_o"), lit(0L)), col("d2"))
+          .as("reach2"))
+        .groupBy("node").agg(sum(col("reach2")).as("s_sum"))
+      val self = kd.join(ss, "node")
+        .select(col("node"), col("deg"), col("s_sum"))
+      def foldSum(c: Column) =
+        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      val ratio = (col("deg_o") * col("s_sum")).cast("double") /
+        (col("s_o") * col("deg")).cast("double")
+      ed.join(self, "node")
+        .join(self.select(col("node").as("nbr"), col("deg").as("deg_o"),
+          col("s_sum").as("s_o")), "nbr")
+        .withColumn("ratio", ratio)
+        .groupBy("node", "deg")
+        .agg((foldSum(col("ratio")) / count(lit(1)).cast("double")).as("lof"),
+          count(lit(1)).as("n_used"))
+        .select("node", "deg", "n_used", "lof")
+        .orderBy("node")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |ed AS MATERIALIZED (
+             |  SELECT g.node, g.nbr,
+             |    x.n2 + y.n2 - 2 * ${sqlDot("x.qv", "y.qv")} AS d2
+             |  FROM graph g JOIN n x ON g.node = x.vec_id
+             |               JOIN n y ON g.nbr = y.vec_id),
+             |kd AS MATERIALIZED (
+             |  SELECT node, CAST(max(d2) AS BIGINT) AS kdist2,
+             |    CAST(count(*) AS BIGINT) AS deg
+             |  FROM ed GROUP BY node),
+             |ss AS MATERIALIZED (
+             |  SELECT e.node,
+             |    CAST(sum(greatest(coalesce(k.kdist2, 0), e.d2)) AS BIGINT)
+             |      AS s_sum
+             |  FROM ed e LEFT JOIN kd k ON e.nbr = k.node
+             |  GROUP BY e.node),
+             |self AS MATERIALIZED (
+             |  SELECT kd.node, kd.deg, ss.s_sum
+             |  FROM kd JOIN ss ON kd.node = ss.node)
+             |SELECT e.node, p.deg, CAST(count(*) AS BIGINT) AS n_used,
+             |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_sort(list(CAST(o.deg * p.s_sum AS DOUBLE)
+             |      / CAST(o.s_sum * p.deg AS DOUBLE)))),
+             |    (acc, x) -> acc + x) / CAST(count(*) AS DOUBLE) AS lof
+             |FROM ed e JOIN self p ON e.node = p.node
+             |          JOIN self o ON e.nbr = o.node
+             |GROUP BY e.node, p.deg
+             |ORDER BY e.node""".stripMargin)),
+
+    // ---- Link prediction: resource-allocation index over the kNN graph ---
+    // Which unlinked pairs SHOULD be linked — the retrieval-graph
+    // repair/growth op (and the classic Zhou-Lü-Zhang RA index, the
+    // strongest of the local link predictors): for a candidate pair
+    // (u,v) at graph distance 2, score = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w),
+    // carried as FIXED-POINT int64 (10¹² div deg) so the sum is exact
+    // integer arithmetic — no float-order nondeterminism, no log()
+    // parity risk (vs Adamic-Adar). Wedge enumeration over the
+    // symmetrized bounded-degree graph: per-hub work is deg² ≤ (2k)², so
+    // candidates are O(n·k²) — linear in corpus at fixed degree, the
+    // only join keys are node ids, and existing edges drop via one
+    // anti-join. Top-50 with full tiebreak keeps the report bounded.
+    QueryDef("q203_link_predict", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings"))
+      val und = g.select(col("node").as("u"), col("nbr").as("v"))
+        .union(g.select(col("nbr").as("u"), col("node").as("v")))
+        .distinct()
+        .localCheckpoint() // 4 consumers: deg, 2 wedge sides, anti join
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg_w"))
+        .select(col("u").as("w"), col("deg_w"))
+      und.select(col("v").as("u"), col("u").as("w"))
+        .join(und.select(col("u").as("w"), col("v")), "w")
+        .filter(col("u") < col("v"))
+        .join(deg, "w")
+        .groupBy("u", "v")
+        .agg(sum(expr("1000000000000 div deg_w")).as("score_fp"),
+          count(lit(1)).as("n_common"))
+        .join(und, Seq("u", "v"), "left_anti")
+        .orderBy(col("score_fp").desc, col("u"), col("v"))
+        .limit(50)
+        .select("u", "v", "n_common", "score_fp")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT u, v FROM (
+             |    SELECT node AS u, nbr AS v FROM graph
+             |    UNION ALL
+             |    SELECT nbr AS u, node AS v FROM graph)),
+             |dg AS MATERIALIZED (
+             |  SELECT u AS w, CAST(count(*) AS BIGINT) AS deg_w
+             |  FROM und GROUP BY u),
+             |wedge AS MATERIALIZED (
+             |  SELECT a.v AS u, b.v AS v, a.u AS w
+             |  FROM und a JOIN und b ON a.u = b.u
+             |  WHERE a.v < b.v),
+             |scored AS MATERIALIZED (
+             |  SELECT u, v,
+             |    CAST(sum(1000000000000 // deg_w) AS BIGINT) AS score_fp,
+             |    CAST(count(*) AS BIGINT) AS n_common
+             |  FROM wedge JOIN dg USING (w)
+             |  GROUP BY u, v)
+             |SELECT u, v, n_common, score_fp
+             |FROM scored s
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.v)
+             |ORDER BY score_fp DESC, u, v LIMIT 50""".stripMargin)),
   )
 }

@@ -1242,6 +1242,89 @@ object Text {
              |FROM p JOIN top ON p.h = top.h
              |JOIN s ON p.doc_id = s.doc_id
              |ORDER BY phrase_rank, p.doc_id, pos""".stripMargin)),
+
+    // ---- Lexical-complexity profile (syllable proxy) ---------------------
+    // The readability-filter ingredients (Flesch/Gunning-Fog family)
+    // that survive a sentence-less corpus: per-document syllable proxy
+    // (vowel groups — the standard cheap estimator), mean syllables per
+    // word, and the fraction of "complex" (≥3-syllable) words. Pure
+    // map-side per-row expressions — ONE regexp pass for the global
+    // count plus a higher-order filter over the token array, no
+    // shuffle at all until the final presentation sort; at 100 TB this
+    // is the same embarrassingly-parallel shape as q40/q41 and composes
+    // into the q116 ensemble score as one more signal. All ratios are
+    // single IEEE divides over exact ints.
+    QueryDef("q204_lexical_complexity", (s, d) => {
+      val nSyl = size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0)))
+      val nComplex = size(filter(toks,
+        w => size(regexp_extract_all(w, lit("[aeiou]+"), lit(0))) >= 3))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          nSyl.cast("long").as("n_syllables"),
+          nComplex.cast("long").as("n_complex"),
+          (nSyl.cast("double") / size(toks).cast("double")).as("syl_per_word"),
+          (nComplex.cast("double") / size(toks).cast("double")).as("complex_frac"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT doc_id, lang,
+             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+             |    AS n_syllables,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3)) AS BIGINT)
+             |    AS n_complex,
+             |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS syl_per_word,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    w -> len(regexp_extract_all(w, '[aeiou]+')) >= 3)) AS DOUBLE)
+             |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS complex_frac
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Corpus dispersion: variance-to-mean ratio per token type --------
+    // Burstiness profiling (Church & Gale's VMR): a token whose
+    // occurrences CLUMP into few documents (VMR >> 1) is topical or
+    // boilerplate; a token spread evenly (VMR ≈ 1, Poisson) is
+    // function-like. The signal behind stopword induction and
+    // boilerplate screens that raw frequency (q53) can't give. Shape:
+    // per-(token, doc) counts (the q53 aggregation), folded to exact
+    // int64 moments per TYPE — output is bounded by vocabulary, not
+    // corpus — with the all-docs zeros handled algebraically
+    // (VMR = (N·Σx² − (Σx)²)/(N·Σx) over nonzero counts only), so the
+    // zero-inflated docs cost nothing. One corpus scan, two keyed aggs.
+    QueryDef("q207_token_dispersion", (s, d) => {
+      val docs = t(s, d, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      docs.select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tok"), col("df"), col("total"),
+          (col("total").cast("double") / col("n_docs").cast("double"))
+            .as("mean_per_doc"),
+          ((col("n_docs") * col("sumsq") - col("total") * col("total"))
+            .cast("double") / (col("n_docs") * col("total")).cast("double"))
+            .as("vmr"))
+        .orderBy("tok")
+    },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS c
+             |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |        FROM documents)
+             |  GROUP BY tok, doc_id),
+             |m AS (
+             |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+             |    CAST(sum(c) AS BIGINT) AS total,
+             |    CAST(sum(c * c) AS BIGINT) AS sumsq
+             |  FROM c GROUP BY tok),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+             |SELECT tok, df, total,
+             |  CAST(total AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_per_doc,
+             |  CAST(n_docs * sumsq - total * total AS DOUBLE)
+             |    / CAST(n_docs * total AS DOUBLE) AS vmr
+             |FROM m CROSS JOIN nd ORDER BY tok""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with
