@@ -298,11 +298,87 @@ object Events {
     * for the time-series family (q198–q200). One grouped aggregation;
     * the output is a DISTRIBUTION table (types × days), so everything
     * built on it costs O(series length), never O(events). */
-  private def dailyCounts(ev: DataFrame): DataFrame =
+  private[graft] def dailyCounts(ev: DataFrame): DataFrame =
     ev.filter(col("ts").isNotNull)
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d_idx"))
       .agg(count(lit(1)).as("x"))
+
+  /** ACF over the per-type daily series — see q198. Library form so the
+    * exactness law (a linear series correlates to 1 at every lag) is
+    * spec-testable on synthetic streams. */
+  def acfDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("d_idx")
+    val lagged = (1 to maxLag).foldLeft(dailyCounts(events)) {
+      (df, l) => df.withColumn(s"y$l", lag(col("x"), l).over(w))
+    }
+    val stacked = lagged.select(col("event_type"), col("x"),
+      expr(s"stack($maxLag, " +
+        (1 to maxLag).map(l => s"$l, y$l").mkString(", ") + ") AS (lag_k, y)"))
+      .filter(col("y").isNotNull)
+    val g = stacked.groupBy("event_type", "lag_k")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val dx = (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")
+    g.select(col("event_type"), col("lag_k"), col("n_pairs"),
+      when(dx > 0.0 && dy > 0.0,
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(dx) * sqrt(dy))).as("acf"))
+  }
+
+  /** Weekday-seasonal z-scores — see q199. */
+  def seasonalAnomalyDaily(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events).withColumn("dow", expr("(d_idx + 3) % 7"))
+    val prof = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
+        sum(col("x") * col("x")).as("sum_xx"))
+      .withColumn("var_num",
+        col("cnt") * col("sum_xx") - col("sum_x") * col("sum_x"))
+    val z = (col("cnt") * col("x") - col("sum_x")).cast("double") /
+      sqrt(col("var_num").cast("double"))
+    daily.join(prof, Seq("event_type", "dow"))
+      .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
+        (col("sum_x").cast("double") / col("cnt").cast("double")).as("dow_mean"),
+        when(col("var_num") > 0, z).as("z"),
+        (col("var_num") > 0 && abs(when(col("var_num") > 0, z)) > 2.0)
+          .as("is_anomaly"))
+  }
+
+  /** Truncated-EWMA smoothing of the daily series — see q200. */
+  def ewmaDaily(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("d_idx")
+    val ewma = (0 to 15).map { k =>
+      (if (k == 0) col("x") else lag(col("x"), k).over(w)).cast("double") /
+        lit((1L << (k + 1)).toDouble)
+    }.reduce(_ + _)
+    dailyCounts(events)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ewma", ewma)
+      .filter(col("rn") >= 16)
+      .select("event_type", "d_idx", "x", "ewma")
+  }
+
+  /** Consecutive-pair transition support — see q201 (unbounded form;
+    * the registered query keeps the top-20 cut). */
+  def eventBigrams(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("next_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"))
+      .filter(col("prev_type").isNotNull)
+    val tot = pairs.agg(count(lit(1)).as("n_total"))
+    pairs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(tot))
+      .select(col("prev_type"), col("next_type"), col("n_occ"), col("n_users"),
+        (col("n_occ").cast("double") / col("n_total").cast("double"))
+          .as("support"))
+  }
 
   /** DuckDB mirror of [[dailyCounts]]. */
   private val sqlDaily =
@@ -1443,29 +1519,8 @@ object Events {
     // as separate int64→double sqrt operands so nothing overflows and
     // both engines run the identical IEEE op sequence. Cost at 100 TB:
     // the one corpus aggregation; everything after is series-length work.
-    QueryDef("q198_acf", (s, d) => {
-      val w = Window.partitionBy("event_type").orderBy("d_idx")
-      val lagged = (1 to 7).foldLeft(dailyCounts(t(s, d, "events"))) {
-        (df, l) => df.withColumn(s"y$l", lag(col("x"), l).over(w))
-      }
-      val stacked = lagged.select(col("event_type"), col("x"),
-        expr("stack(7, " + (1 to 7).map(l => s"$l, y$l").mkString(", ") +
-          ") AS (lag_k, y)"))
-        .filter(col("y").isNotNull)
-      val g = stacked.groupBy("event_type", "lag_k")
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
-      val dx = (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
-      val dy = (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")
-      g.select(col("event_type"), col("lag_k"), col("n_pairs"),
-        when(dx > 0.0 && dy > 0.0,
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt(dx) * sqrt(dy))).as("acf"))
-        .orderBy("event_type", "lag_k")
-    },
+    QueryDef("q198_acf", (s, d) =>
+      acfDaily(t(s, d, "events")).orderBy("event_type", "lag_k"),
       Some {
         val lags = (1 to 7).map(l => s"lag(x, $l) OVER w AS y$l").mkString(",\n    ")
         val arms = (1 to 7).map(l =>
@@ -1506,24 +1561,8 @@ object Events {
     // keeps every operand an exact int64 until the single sqrt+divide,
     // so the flag is bit-stable; zero-variance profiles yield NULL z
     // and never flag. Cost: one corpus agg + distribution-table joins.
-    QueryDef("q199_seasonal_anomaly", (s, d) => {
-      val daily = dailyCounts(t(s, d, "events"))
-        .withColumn("dow", expr("(d_idx + 3) % 7"))
-      val prof = daily.groupBy("event_type", "dow")
-        .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
-          sum(col("x") * col("x")).as("sum_xx"))
-        .withColumn("var_num",
-          col("cnt") * col("sum_xx") - col("sum_x") * col("sum_x"))
-      val z = (col("cnt") * col("x") - col("sum_x")).cast("double") /
-        sqrt(col("var_num").cast("double"))
-      daily.join(prof, Seq("event_type", "dow"))
-        .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
-          (col("sum_x").cast("double") / col("cnt").cast("double")).as("dow_mean"),
-          when(col("var_num") > 0, z).as("z"),
-          (col("var_num") > 0 && abs(when(col("var_num") > 0, z)) > 2.0)
-            .as("is_anomaly"))
-        .orderBy("event_type", "d_idx")
-    },
+    QueryDef("q199_seasonal_anomaly", (s, d) =>
+      seasonalAnomalyDaily(t(s, d, "events")).orderBy("event_type", "d_idx"),
       Some(s"""WITH $sqlDaily,
              |dd AS MATERIALIZED (
              |  SELECT event_type, d_idx, (d_idx + 3) % 7 AS dow, x FROM daily),
@@ -1559,19 +1598,8 @@ object Events {
     // the one floating-point trap a truncated-window formulation has.
     // One window pass over the distribution table; rows without 16 days
     // of history are withheld rather than emitted half-warmed.
-    QueryDef("q200_ewma", (s, d) => {
-      val w = Window.partitionBy("event_type").orderBy("d_idx")
-      val ewma = (0 to 15).map { k =>
-        (if (k == 0) col("x") else lag(col("x"), k).over(w)).cast("double") /
-          lit((1L << (k + 1)).toDouble)
-      }.reduce(_ + _)
-      dailyCounts(t(s, d, "events"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("ewma", ewma)
-        .filter(col("rn") >= 16)
-        .select("event_type", "d_idx", "x", "ewma")
-        .orderBy("event_type", "d_idx")
-    },
+    QueryDef("q200_ewma", (s, d) =>
+      ewmaDaily(t(s, d, "events")).orderBy("event_type", "d_idx"),
       Some {
         val terms = (0 to 15).map { k =>
           val src = if (k == 0) "x" else s"lag(x, $k) OVER w"
@@ -1595,23 +1623,10 @@ object Events {
     // the BOUNDED transition alphabet (|types|² rows). Deterministic
     // ordering inside a user via the (ts, event_id) tiebreak; top-20 by
     // support with a full tiebreak so the cut is stable.
-    QueryDef("q201_event_bigrams", (s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val pairs = t(s, d, "events").filter(col("ts").isNotNull)
-        .select(col("user_id"), col("event_type").as("next_type"),
-          lag(col("event_type"), 1).over(w).as("prev_type"))
-        .filter(col("prev_type").isNotNull)
-      val tot = pairs.agg(count(lit(1)).as("n_total"))
-      pairs.groupBy("prev_type", "next_type")
-        .agg(count(lit(1)).as("n_occ"),
-          countDistinct(col("user_id")).as("n_users"))
-        .crossJoin(broadcast(tot))
-        .select(col("prev_type"), col("next_type"), col("n_occ"), col("n_users"),
-          (col("n_occ").cast("double") / col("n_total").cast("double"))
-            .as("support"))
+    QueryDef("q201_event_bigrams", (s, d) =>
+      eventBigrams(t(s, d, "events"))
         .orderBy(col("n_occ").desc, col("prev_type"), col("next_type"))
-        .limit(20)
-    },
+        .limit(20),
       Some("""WITH p AS MATERIALIZED (
              |  SELECT user_id, event_type AS next_type,
              |    lag(event_type, 1) OVER

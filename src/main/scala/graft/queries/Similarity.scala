@@ -612,7 +612,11 @@ object Similarity {
     * pairs `cp`, and the bounded-degree edge table `graph`. Every CTE is
     * MATERIALIZED — the chained-CTE inlining blowup documented on q113
     * applies with full force to a graph build feeding an unrolled search. */
-  private def sqlGraphCtes(degree: Int, centroids: Int, probes: Int): String =
+  /** Oracle CTEs up to the candidate pair set `cp` (quantize → norms →
+    * hash-rank centroids → probed assignment → cell-mate pairs) —
+    * shared by the cosine graph ([[sqlGraphCtes]]) and the
+    * distance-ranked LOF neighborhood (q202). */
+  private def sqlCandCtes(centroids: Int, probes: Int): String =
     s"""q AS MATERIALIZED (
        |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
        |n AS MATERIALIZED (
@@ -629,7 +633,11 @@ object Similarity {
        |  WHERE rn <= $probes),
        |cp AS MATERIALIZED (
        |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
-       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id),
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id != b.vec_id)"""
+      .stripMargin
+
+  private def sqlGraphCtes(degree: Int, centroids: Int, probes: Int): String =
+    s"""${sqlCandCtes(centroids, probes)},
        |graph AS MATERIALIZED (
        |  SELECT node, rank, nbr, cos_sim FROM (
        |    SELECT node, nbr, cos_sim,
@@ -940,6 +948,78 @@ object Similarity {
        |        ORDER BY adc_d2 ASC, n_id ASC) AS rank
        |    FROM adcscore)
        |  WHERE rank <= 10)""".stripMargin
+
+  /** Local Outlier Factor over the cell-probed ANN neighborhood on the
+    * squared-Euclidean grid metric — see q202. The edge ranking uses
+    * the SAME d² metric LOF scores with (not the retrieval graph's
+    * cosine): a metric mismatch would let a far outlier infiltrate its
+    * neighbors' edge lists (high cosine, huge distance) and pollute
+    * their reachability sums until the outlier no longer stands out —
+    * the planted-outlier law in QualityTsSpec pins this down. */
+  def lofOverGraph(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
+      probes: Int = 2): DataFrame = {
+    val e = quantize(emb).localCheckpoint()
+    val asg = assignProbed(centsOf(e, centroids), e, probes)
+    val cp = asg.select(col("cell"), col("vec_id").as("node"))
+      .join(asg.select(col("cell"), col("vec_id").as("nbr")), Seq("cell"))
+      .filter(col("node") =!= col("nbr"))
+      .select("node", "nbr").distinct()
+    val wn = Window.partitionBy("node").orderBy(col("d2").asc, col("nbr"))
+    val ed = cp
+      .join(e.select(col("vec_id").as("node"), col("qv").as("qa"),
+        col("n2").as("na")), "node")
+      .join(e.select(col("vec_id").as("nbr"), col("qv").as("qb"),
+        col("n2").as("nb")), "nbr")
+      .withColumn("d2",
+        col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(wn))
+      .filter(col("rank") <= degree)
+      .select("node", "nbr", "d2")
+      .localCheckpoint() // 3 consumers below
+    val kd = ed.groupBy("node")
+      .agg(max(col("d2")).as("kdist2"), count(lit(1)).as("deg"))
+    val ss = ed
+      .join(kd.select(col("node").as("nbr"), col("kdist2").as("kd_o")),
+        Seq("nbr"), "left")
+      .select(col("node"), greatest(coalesce(col("kd_o"), lit(0L)), col("d2"))
+        .as("reach2"))
+      .groupBy("node").agg(sum(col("reach2")).as("s_sum"))
+    val self = kd.join(ss, "node")
+      .select(col("node"), col("deg"), col("s_sum"))
+    def foldSum(c: Column) =
+      aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+    val ratio = (col("deg_o") * col("s_sum")).cast("double") /
+      (col("s_o") * col("deg")).cast("double")
+    ed.join(self, "node")
+      .join(self.select(col("node").as("nbr"), col("deg").as("deg_o"),
+        col("s_sum").as("s_o")), "nbr")
+      .withColumn("ratio", ratio)
+      .groupBy("node", "deg")
+      .agg((foldSum(col("ratio")) / count(lit(1)).cast("double")).as("lof"),
+        count(lit(1)).as("n_used"))
+      .select("node", "deg", "n_used", "lof")
+  }
+
+  /** Resource-allocation link prediction over the symmetrized kNN graph
+    * — see q203 (unbounded form; the registered query keeps top-50). */
+  def linkPredictRA(emb: DataFrame): DataFrame = {
+    val g = knnGraph(emb)
+    val und = g.select(col("node").as("u"), col("nbr").as("v"))
+      .union(g.select(col("nbr").as("u"), col("node").as("v")))
+      .distinct()
+      .localCheckpoint() // 4 consumers: deg, 2 wedge sides, anti join
+    val deg = und.groupBy("u").agg(count(lit(1)).as("deg_w"))
+      .select(col("u").as("w"), col("deg_w"))
+    und.select(col("v").as("u"), col("u").as("w"))
+      .join(und.select(col("u").as("w"), col("v")), "w")
+      .filter(col("u") < col("v"))
+      .join(deg, "w")
+      .groupBy("u", "v")
+      .agg(sum(expr("1000000000000 div deg_w")).as("score_fp"),
+        count(lit(1)).as("n_common"))
+      .join(und, Seq("u", "v"), "left_anti")
+      .select("u", "v", "n_common", "score_fp")
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -2331,7 +2411,7 @@ object Similarity {
            |ORDER BY q_id, pick_order""".stripMargin
       }),
 
-    // ---- Local Outlier Factor over the kNN graph (q137) ------------------
+    // ---- Local Outlier Factor over the ANN neighborhood ------------------
     // Density-based embedding outlier scoring: a point is anomalous when
     // its local density is low RELATIVE to its neighbors' densities —
     // the detector that catches outliers inside a sparse cluster that
@@ -2341,52 +2421,27 @@ object Similarity {
     // a ratio of int64s and each neighbor's density ratio is ONE IEEE
     // divide — the only float sum is the final per-node fold, which
     // sorts first (q135's fold rule) so aggregation order can't leak in.
-    // Neighborhood = the ANN graph's out-edges (production LOF at 100 TB
-    // always runs over an ANN graph, not exact kNN); a neighbor with no
-    // graph entry contributes d² as its own reach (kdist→0) and edges to
-    // density-less neighbors drop from the ratio fold — both conventions
-    // applied identically in both engines.
-    QueryDef("q202_lof", (s, d) => {
-      val e = quantize(t(s, d, "embeddings")).localCheckpoint()
-      val g = knnGraphOf(e, 12, 64, 2)
-      val ed = g.select(col("node"), col("nbr"))
-        .join(e.select(col("vec_id").as("node"), col("qv").as("qa"),
-          col("n2").as("na")), "node")
-        .join(e.select(col("vec_id").as("nbr"), col("qv").as("qb"),
-          col("n2").as("nb")), "nbr")
-        .select(col("node"), col("nbr"),
-          (col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb"))).as("d2"))
-        .localCheckpoint() // 2 consumers below
-      val kd = ed.groupBy("node")
-        .agg(max(col("d2")).as("kdist2"), count(lit(1)).as("deg"))
-      val ss = ed
-        .join(kd.select(col("node").as("nbr"), col("kdist2").as("kd_o")),
-          Seq("nbr"), "left")
-        .select(col("node"), greatest(coalesce(col("kd_o"), lit(0L)), col("d2"))
-          .as("reach2"))
-        .groupBy("node").agg(sum(col("reach2")).as("s_sum"))
-      val self = kd.join(ss, "node")
-        .select(col("node"), col("deg"), col("s_sum"))
-      def foldSum(c: Column) =
-        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
-      val ratio = (col("deg_o") * col("s_sum")).cast("double") /
-        (col("s_o") * col("deg")).cast("double")
-      ed.join(self, "node")
-        .join(self.select(col("node").as("nbr"), col("deg").as("deg_o"),
-          col("s_sum").as("s_o")), "nbr")
-        .withColumn("ratio", ratio)
-        .groupBy("node", "deg")
-        .agg((foldSum(col("ratio")) / count(lit(1)).cast("double")).as("lof"),
-          count(lit(1)).as("n_used"))
-        .select("node", "deg", "n_used", "lof")
-        .orderBy("node")
-    },
-      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
-             |ed AS MATERIALIZED (
-             |  SELECT g.node, g.nbr,
+    // Neighborhood = q137's cell-probed candidates re-ranked by d² (LOF
+    // must rank edges in its OWN metric — see lofOverGraph; production
+    // LOF at 100 TB always runs over an ANN neighborhood, not exact
+    // kNN); a neighbor with no edge list contributes d² as its own
+    // reach (kdist→0) and edges to density-less neighbors drop from the
+    // ratio fold — both conventions applied identically in both engines.
+    QueryDef("q202_lof", (s, d) =>
+      lofOverGraph(t(s, d, "embeddings")).orderBy("node"),
+      Some(s"""WITH ${sqlCandCtes(64, 2)},
+             |ed0 AS MATERIALIZED (
+             |  SELECT cp.node, cp.nbr,
              |    x.n2 + y.n2 - 2 * ${sqlDot("x.qv", "y.qv")} AS d2
-             |  FROM graph g JOIN n x ON g.node = x.vec_id
-             |               JOIN n y ON g.nbr = y.vec_id),
+             |  FROM cp JOIN n x ON cp.node = x.vec_id
+             |          JOIN n y ON cp.nbr = y.vec_id),
+             |ed AS MATERIALIZED (
+             |  SELECT node, nbr, d2 FROM (
+             |    SELECT node, nbr, d2,
+             |      row_number() OVER (PARTITION BY node
+             |        ORDER BY d2 ASC, nbr) AS rank
+             |    FROM ed0)
+             |  WHERE rank <= 12),
              |kd AS MATERIALIZED (
              |  SELECT node, CAST(max(d2) AS BIGINT) AS kdist2,
              |    CAST(count(*) AS BIGINT) AS deg
@@ -2422,26 +2477,10 @@ object Similarity {
     // candidates are O(n·k²) — linear in corpus at fixed degree, the
     // only join keys are node ids, and existing edges drop via one
     // anti-join. Top-50 with full tiebreak keeps the report bounded.
-    QueryDef("q203_link_predict", (s, d) => {
-      val g = knnGraph(t(s, d, "embeddings"))
-      val und = g.select(col("node").as("u"), col("nbr").as("v"))
-        .union(g.select(col("nbr").as("u"), col("node").as("v")))
-        .distinct()
-        .localCheckpoint() // 4 consumers: deg, 2 wedge sides, anti join
-      val deg = und.groupBy("u").agg(count(lit(1)).as("deg_w"))
-        .select(col("u").as("w"), col("deg_w"))
-      und.select(col("v").as("u"), col("u").as("w"))
-        .join(und.select(col("u").as("w"), col("v")), "w")
-        .filter(col("u") < col("v"))
-        .join(deg, "w")
-        .groupBy("u", "v")
-        .agg(sum(expr("1000000000000 div deg_w")).as("score_fp"),
-          count(lit(1)).as("n_common"))
-        .join(und, Seq("u", "v"), "left_anti")
+    QueryDef("q203_link_predict", (s, d) =>
+      linkPredictRA(t(s, d, "embeddings"))
         .orderBy(col("score_fp").desc, col("u"), col("v"))
-        .limit(50)
-        .select("u", "v", "n_common", "score_fp")
-    },
+        .limit(50),
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |und AS MATERIALIZED (
              |  SELECT DISTINCT u, v FROM (

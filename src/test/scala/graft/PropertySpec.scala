@@ -324,4 +324,32 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
       graft.queries.Sampling.prioritySample(docs.repartition(8), 20),
       graft.queries.Sampling.prioritySample(docs, 20))
   }
+
+  test("time-series, LOF and link-prediction operators are partition-invariant") {
+    // same distributed-determinism law for the quality/time-series
+    // additions: exact int64 moments (ACF, seasonal z, bigrams), exact
+    // dyadic sums (EWMA), sorted folds (LOF), and fixed-point integer
+    // scores (RA link prediction) — all must agree EXACTLY across
+    // physical layouts.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val events = Tables.load(spark, sfDir, "events")
+    assertSameRows(
+      graft.queries.Events.acfDaily(events.repartition(5)),
+      graft.queries.Events.acfDaily(events))
+    assertSameRows(
+      graft.queries.Events.ewmaDaily(events.repartition(7)),
+      graft.queries.Events.ewmaDaily(events))
+    assertSameRows(
+      graft.queries.Events.seasonalAnomalyDaily(events.repartition(9)),
+      graft.queries.Events.seasonalAnomalyDaily(events))
+    assertSameRows(
+      graft.queries.Events.eventBigrams(events.repartition(11)),
+      graft.queries.Events.eventBigrams(events))
+    assertSameRows(
+      graft.queries.Similarity.lofOverGraph(emb.repartition(6)),
+      graft.queries.Similarity.lofOverGraph(emb))
+    assertSameRows(
+      graft.queries.Similarity.linkPredictRA(emb.repartition(7)),
+      graft.queries.Similarity.linkPredictRA(emb))
+  }
 }

@@ -2262,7 +2262,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q182_zonemap_pruning", // one-row manifest/truth/missed aggregate joins (q76's class)
       "q184_mmr_rerank", // q48's bounded-anchor broadcast + 12-candidate greedy steps
       "q185_join_order_advisor", // one-row stats/actual cross joins (q164's class)
-      "q188_modality_pack") // one-row max/count cross join per stream (q70's class)
+      "q188_modality_pack", // one-row max/count cross join per stream (q70's class)
+      "q197_benford", // one-row digit-total cross join (q76's class)
+      "q201_event_bigrams", // one-row transition-total cross join (q76's class)
+      "q202_lof", // q137's fixed 64-row centroid broadcast (q49's class)
+      "q203_link_predict", // builds on q137's fixed centroid broadcast
+      "q206_cramers_v", // one-row totals + |langs|x|sources| marginal grid cross
+      "q207_token_dispersion") // one-row corpus-size cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

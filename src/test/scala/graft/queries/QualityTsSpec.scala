@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Planted-fixture and structural laws for the data-quality family
+  * (q194–q197, q205–q206) and the time-series / graph additions
+  * (q198–q203, q207): known orphans/dup-keys/FD-violations must be
+  * counted exactly, analytically-solvable series must hit their
+  * closed-form values, and a planted far-away embedding must take the
+  * corpus-maximum LOF.
+  */
+class QualityTsSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Midnight-UTC timestamp for an integer epoch-day column. */
+  private def usTs(day: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros(day * 86400000000L)
+
+  test("fkEdge counts planted orphans and ignores null FKs") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(99L), None).toDF("ck")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = Quality.fkEdge("t", child, "ck", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_checked") == 3L) // null FK is not checked
+    assert(r.getAs[Long]("n_orphans") == 1L) // only 99
+    assert(r.getAs[Double]("orphan_frac") == 1.0 / 3.0)
+  }
+
+  test("fkEdge is duplicate-parent-safe: dirty parent keys don't multiply children") {
+    import spark.implicits._
+    val child = Seq(1L, 1L, 2L).toDF("ck")
+    val parent = Seq(1L, 1L, 1L).toDF("pk") // dirty "primary" key
+    val r = Quality.fkEdge("t", child, "ck", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_checked") == 3L)
+    assert(r.getAs[Long]("n_orphans") == 1L)
+  }
+
+  test("keyRule and fdRule report planted violations exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "c"), (3L, "c"))
+      .toDF("k", "v")
+    val key = Quality.keyRule("key", df, Seq("k")).collect().head
+    assert(key.getAs[Long]("n_groups") == 3L)
+    assert(key.getAs[Long]("n_violating") == 2L) // k=1 (2 rows), k=3 (2 rows)
+    assert(key.getAs[Long]("worst") == 2L)
+    val fd = Quality.fdRule("fd", df, "k", "v").collect().head
+    assert(fd.getAs[Long]("n_groups") == 3L)
+    assert(fd.getAs[Long]("n_violating") == 1L) // only k=1 maps to {a,b}
+    assert(fd.getAs[Long]("worst") == 2L)
+  }
+
+  test("q197: Benford fractions sum to 1 and chi2 terms are non-negative") {
+    val out = SparkEntry.queries("q197_benford")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val fracSum = out.map(_.getAs[Double]("frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-12)
+    out.foreach { r =>
+      assert(r.getAs[Double]("chi2_part") >= 0.0)
+      val d = r.getAs[Int]("digit")
+      assert(d >= 1 && d <= 9)
+      val p = Quality.benfordP.toMap.apply(d).toDouble
+      assert(r.getAs[Double]("expected_frac") == p)
+    }
+  }
+
+  test("acfDaily: an exactly-linear daily series correlates to 1 at every lag") {
+    import spark.implicits._
+    // day i carries i+1 events -> x_t = t+1, and any lagged pair set of a
+    // linear series is itself exactly linear -> Pearson r = 1 (up to the
+    // two sqrt roundings).
+    val rows = for { day <- 0 until 20; k <- 0 to day } yield (day.toLong, k.toLong)
+    val ev = rows.toDF("day", "k")
+      .select(usTs(col("day")).as("ts"), lit("a").as("event_type"))
+    val out = Events.acfDaily(ev).collect()
+    assert(out.length == 7)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_pairs") == 20L - r.getAs[Int]("lag_k"))
+      assert(math.abs(r.getAs[Double]("acf") - 1.0) < 1e-12)
+    }
+  }
+
+  test("ewmaDaily: a constant series smooths to c*(1 - 2^-16) exactly") {
+    import spark.implicits._
+    val rows = for { day <- 0 until 20; k <- 0 until 5 } yield (day.toLong, k.toLong)
+    val ev = rows.toDF("day", "k")
+      .select(usTs(col("day")).as("ts"), lit("a").as("event_type"))
+    val out = Events.ewmaDaily(ev).collect()
+    assert(out.length == 5) // days 16..20 have full history
+    val want = 5.0 * (1.0 - 1.0 / 65536.0)
+    out.foreach(r => assert(r.getAs[Double]("ewma") == want))
+  }
+
+  test("seasonalAnomalyDaily flags only the planted weekday spike") {
+    import spark.implicits._
+    // 42 days of 10 events; day 35 spikes to 150 -> its weekday profile is
+    // [10,10,10,10,10,150]: z = 700/sqrt(98000) = 2.24 > 2. Every other
+    // weekday profile is constant (variance 0) -> never flagged.
+    val rows = for {
+      day <- 0 until 42
+      k <- 0 until (if (day == 35) 150 else 10)
+    } yield (day.toLong, k.toLong)
+    val ev = rows.toDF("day", "k")
+      .select(usTs(col("day")).as("ts"), lit("a").as("event_type"))
+    val out = Events.seasonalAnomalyDaily(ev).collect()
+    assert(out.length == 42)
+    val flagged = out.filter(_.getAs[Boolean]("is_anomaly"))
+    assert(flagged.map(_.getAs[Long]("d_idx")).toSeq == Seq(35L))
+    assert(flagged.head.getAs[Double]("z") > 2.0)
+    // constant-weekday rows carry NULL z, never a spurious flag
+    assert(out.count(r => r.isNullAt(r.fieldIndex("z"))) == 36)
+  }
+
+  test("eventBigrams counts planted transitions with per-user ordering") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, "a"), (2L, 1L, 1L, "b"), (3L, 1L, 2L, "a"), (4L, 1L, 3L, "b"),
+      (5L, 2L, 0L, "a"), (6L, 2L, 1L, "b"))
+      .toDF("event_id", "user_id", "off", "event_type")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("off") * 1000000L).as("ts"), col("event_type"))
+    val out = Events.eventBigrams(ev).collect()
+      .map(r => (r.getAs[String]("prev_type"), r.getAs[String]("next_type")) ->
+        (r.getAs[Long]("n_occ"), r.getAs[Long]("n_users"),
+          r.getAs[Double]("support"))).toMap
+    assert(out(("a", "b")) == ((3L, 2L, 0.75)))
+    assert(out(("b", "a")) == ((1L, 1L, 0.25)))
+    assert(out.size == 2)
+  }
+
+  test("lofOverGraph: a planted far-away vector takes the corpus-maximum LOF") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    // 2.5 per dim: far outside the corpus (coords are within ±0.5) while
+    // the int64 headroom contract still holds — worst edge d² ≈ 5.7e16,
+    // so deg·Σreach² ≤ 12·12·5.7e16 ≈ 8.2e18 < 2⁶³
+    val planted = emb.limit(1)
+      .select(lit(999999L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(2.5 AS FLOAT))").as("embedding"),
+        col("label"))
+    val out = Similarity.lofOverGraph(emb.unionByName(planted)).collect()
+    val top = out.maxBy(_.getAs[Double]("lof"))
+    assert(top.getAs[Long]("node") == 999999L)
+    assert(top.getAs[Double]("lof") > 2.0)
+    out.foreach(r => assert(r.getAs[Double]("lof") > 0.0))
+  }
+
+  test("linkPredictRA proposes only non-edges at distance 2, with positive scores") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val pred = Similarity.linkPredictRA(emb).cache()
+    assert(pred.filter(col("u") >= col("v")).count() == 0)
+    assert(pred.filter(col("n_common") < 1 || col("score_fp") <= 0).count() == 0)
+    // no predicted pair may already be a graph edge (in either direction)
+    val g = Similarity.knnGraph(emb)
+    val und = g.select(col("node").as("u"), col("nbr").as("v"))
+      .union(g.select(col("nbr").as("u"), col("node").as("v")))
+      .distinct()
+    assert(pred.join(und, Seq("u", "v"), "left_semi").count() == 0)
+  }
+
+  test("q205: every stratum's folds are balanced to within one document") {
+    val out = SparkEntry.queries("q205_stratified_kfold")(spark, sfDir)
+    val skew = out.groupBy("lang", "source")
+      .agg((max("n") - min("n")).as("skew"))
+      .filter(col("skew") > 1)
+    assert(skew.count() == 0)
+    // fold shares partition each stratum exactly
+    val bad = out.groupBy("lang", "source")
+      .agg(sum("n").as("s"), first("stratum_n").as("t"))
+      .filter(col("s") =!= col("t"))
+    assert(bad.count() == 0)
+  }
+
+  test("q206: Cramer's V lies in [0,1]; chi2 non-negative") {
+    val r = SparkEntry.queries("q206_cramers_v")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("chi2") >= 0.0)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("q207: dispersion moments are internally consistent") {
+    val nDocs = Tables.load(spark, sfDir, "documents").count()
+    val out = SparkEntry.queries("q207_token_dispersion")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs)
+      assert(r.getAs[Long]("total") >= r.getAs[Long]("df"))
+      assert(r.getAs[Double]("vmr") > 0.0)
+    }
+  }
+
+  test("q204: complex words imply at least three syllables each") {
+    val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
+    assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)
+    assert(out.filter(col("syl_per_word") <= 0.0).count() == 0)
+  }
+}
