@@ -1643,5 +1643,86 @@ object Events {
              |  CAST(n_occ AS DOUBLE) / CAST(n_total AS DOUBLE) AS support
              |FROM g CROSS JOIN tot
              |ORDER BY n_occ DESC, prev_type, next_type LIMIT 20""".stripMargin)),
+
+    // ---- Forecast-baseline attestation: seasonal-naive MASE --------------
+    // The eval harness for the time-series family (the q112-recall role
+    // for forecasting): score the seasonal-naive forecast x̂ₜ = xₜ₋₇
+    // against the naive-1 baseline with MASE = MAE₇/MAE₁ — MASE < 1
+    // means weekly seasonality is real signal (and q199's weekday
+    // profile is worth running); MASE ≥ 1 means the series is drift-
+    // dominated. Absolute errors are exact int64 over the daily
+    // distribution table; both MAEs and MASE are single closing divides
+    // (MASE cross-multiplied to stay integer-exact until its one
+    // divide). Degenerate flat series (MAE₁ = 0) yield NULL, not a
+    // division artifact.
+    QueryDef("q210_forecast_baseline", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("d_idx")
+      val lagged = dailyCounts(t(s, d, "events"))
+        .withColumn("l1", lag(col("x"), 1).over(w))
+        .withColumn("l7", lag(col("x"), 7).over(w))
+      lagged.groupBy("event_type")
+        .agg(sum(when(col("l7").isNotNull, 1L)).as("n7"),
+          sum(when(col("l7").isNotNull, abs(col("x") - col("l7")))).as("s7"),
+          sum(when(col("l1").isNotNull, 1L)).as("n1"),
+          sum(when(col("l1").isNotNull, abs(col("x") - col("l1")))).as("s1"))
+        .select(col("event_type"), col("n7").as("n_forecast"),
+          (col("s7").cast("double") / col("n7").cast("double"))
+            .as("mae_seasonal"),
+          (col("s1").cast("double") / col("n1").cast("double")).as("mae_naive"),
+          when(col("s1") > 0,
+            (col("s7") * col("n1")).cast("double")
+              / (col("s1") * col("n7")).cast("double")).as("mase"))
+        .orderBy("event_type")
+    },
+      Some(s"""WITH $sqlDaily,
+             |lagged AS MATERIALIZED (
+             |  SELECT event_type, x,
+             |    lag(x, 1) OVER w AS l1, lag(x, 7) OVER w AS l7
+             |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d_idx)),
+             |g AS (
+             |  SELECT event_type,
+             |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN 1 END) AS BIGINT) AS n7,
+             |    CAST(sum(CASE WHEN l7 IS NOT NULL THEN abs(x - l7) END)
+             |      AS BIGINT) AS s7,
+             |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN 1 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN abs(x - l1) END)
+             |      AS BIGINT) AS s1
+             |  FROM lagged GROUP BY event_type)
+             |SELECT event_type, n7 AS n_forecast,
+             |  CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE) AS mae_seasonal,
+             |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae_naive,
+             |  CASE WHEN s1 > 0 THEN CAST(s7 * n1 AS DOUBLE)
+             |    / CAST(s1 * n7 AS DOUBLE) END AS mase
+             |FROM g ORDER BY event_type""".stripMargin)),
+
+    // ---- l-diversity audit over the k-anonymity cohorts ------------------
+    // q123 suppresses quasi-identifier cohorts with too FEW users
+    // (k-anonymity); this audits the orthogonal leak k-anonymity
+    // misses: a cohort whose SENSITIVE attribute is homogeneous exposes
+    // every member even at k ≥ 5 (Machanavajjhala's l-diversity). Same
+    // (hour, event_type) cohorts, sensitive attribute = the extracted
+    // numeric payload key (q32's rule); a cohort violates at l < 3.
+    // One grouped aggregation — count + two distincts — over the same
+    // shuffle key as q123, so the two audits pipeline together at scale.
+    QueryDef("q211_ldiversity", (s, d) =>
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"),
+          count_distinct(col("k")).as("l_div"))
+        .withColumn("violates_l3", col("l_div") < 3)
+        .orderBy("h", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             |    AS h,
+             |  event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  count(DISTINCT k) AS l_div,
+             |  count(DISTINCT k) < 3 AS violates_l3
+             |FROM (SELECT ts, event_type, user_id,
+             |        CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+             |          AS k
+             |      FROM events)
+             |GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
   )
 }

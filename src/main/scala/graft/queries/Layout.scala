@@ -400,5 +400,75 @@ object Layout {
            |${c("l_quantity")})
            |ORDER BY column_name, file""".stripMargin
       }),
+
+    // ---- Rendezvous (highest-random-weight) shard rebalance plan ---------
+    // The placement layer's elasticity contract: under rendezvous
+    // hashing every key goes to argmax_s h(key, s), so growing a
+    // 10-shard layout to 11 moves ONLY the keys whose new shard wins
+    // the argmax — an expected 1/11 of the corpus, against (n−1)/n for
+    // mod-n hashing. This op emits the migration matrix (before-shard ×
+    // after-shard counts) that a 100 TB rebalance would execute, and
+    // the diagonal attests minimal movement. Shape: each key scores
+    // |shards| candidates (a bounded explode — 11 rows per key, the
+    // same bounded write-amplification contract as q45's bands), one
+    // window argmax per layout, one grouped count; the scorer is the
+    // Lehmer-style integer hash both engines compute exactly.
+    QueryDef("q212_rendezvous_shards", (s, d) => {
+      def shardOf(n: Int, as: String) =
+        Tables.load(s, d, "documents").select("doc_id")
+          .withColumn("s0", explode(sequence(lit(0), lit(n - 1))))
+          // key XOR lehmer(shard), then two Lehmer rounds: any ADDITIVE
+          // combine leaves the per-key candidate scores an arithmetic
+          // progression mod M with a key-independent step, which biases
+          // the argmax toward fixed positions (measured: 2.4% movement
+          // instead of 1/11). The xor breaks the progression per key;
+          // measured movement is 8% ≈ 1/11 and every moved key lands in
+          // the NEW shard — the rendezvous minimal-movement property.
+          .withColumn("h", expr(
+            "((((doc_id % 2147483647) ^" +
+              " (((cast(s0 as bigint) + 1) * 48271 % 2147483647)" +
+              " * 48271 % 2147483647)) % 2147483647) * 48271 % 2147483647)" +
+              " * 48271 % 2147483647"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("h").desc, col("s0"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("s0").as(as))
+      val tot = Tables.load(s, d, "documents")
+        .agg(count(lit(1)).as("n_total"))
+      shardOf(10, "shard_before").join(shardOf(11, "shard_after"), "doc_id")
+        .groupBy("shard_before", "shard_after")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("shard_before"), col("shard_after"), col("n"),
+          (col("shard_before") =!= col("shard_after")).as("moved"),
+          (col("n").cast("double") / col("n_total").cast("double")).as("frac"))
+        .orderBy("shard_before", "shard_after")
+    },
+      Some {
+        def sqlShard(n: Int, as: String) =
+          s"""SELECT doc_id, s0 AS $as FROM (
+             |  SELECT doc_id, s0,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY (((xor(doc_id % 2147483647,
+             |          ((s0 + 1) * 48271 % 2147483647) * 48271 % 2147483647))
+             |        % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647
+             |        DESC, s0) AS rn
+             |  FROM (SELECT doc_id, unnest(range(0, $n)) AS s0
+             |        FROM documents))
+             |WHERE rn = 1""".stripMargin
+        s"""WITH b AS MATERIALIZED (${sqlShard(10, "shard_before")}),
+           |a AS MATERIALIZED (${sqlShard(11, "shard_after")}),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+           |g AS (
+           |  SELECT shard_before, shard_after, CAST(count(*) AS BIGINT) AS n
+           |  FROM b JOIN a ON b.doc_id = a.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT CAST(shard_before AS INTEGER) AS shard_before,
+           |  CAST(shard_after AS INTEGER) AS shard_after, n,
+           |  shard_before != shard_after AS moved,
+           |  CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE) AS frac
+           |FROM g CROSS JOIN tot
+           |ORDER BY shard_before, shard_after""".stripMargin
+      }),
   )
 }

@@ -948,5 +948,58 @@ object Relational {
              |    est_ol < est_co
              |  FROM e)
              |ORDER BY plan""".stripMargin)),
+
+    // ---- Spend-concentration profile: Gini per market segment ------------
+    // Inequality analytics over the star schema: how concentrated is
+    // order revenue across a segment's customers? (The business twin of
+    // q178's token-concentration indices.) Exact integer pipeline:
+    // per-customer spend folds in DECIMAL(12,2) (the money parity rule)
+    // and converts to int64 cents, the segment rank comes from one
+    // window over the per-customer DISTRIBUTION table (never raw
+    // orders), and Gini = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) is exact
+    // int64 until its single closing divide. Customers with no orders
+    // are out of frame (spend profile, not coverage — q194 audits
+    // coverage). Scale: one orders aggregation + a per-segment
+    // distribution window, the q96 rank-over-distribution shape.
+    QueryDef("q209_gini", (s, d) => {
+      val spend = t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg((sum(col("o_totalprice").cast(DecimalType(12, 2))) * 100)
+          .cast("long").as("cents"))
+        .join(t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+          "o_custkey")
+      val w = Window.partitionBy("c_mktsegment").orderBy("cents", "o_custkey")
+      spend.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          sum(col("i") * col("cents")).as("t_sum"))
+        .select(col("c_mktsegment"), col("n_customers"), col("total_cents"),
+          ((lit(2L) * col("t_sum") - (col("n_customers") + 1) * col("total_cents"))
+            .cast("double")
+            / (col("n_customers") * col("total_cents")).cast("double"))
+            .as("gini"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH spend AS MATERIALIZED (
+             |  SELECT o_custkey,
+             |    CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+             |      AS cents
+             |  FROM orders GROUP BY o_custkey),
+             |seg AS MATERIALIZED (
+             |  SELECT c.c_mktsegment, s.o_custkey, s.cents,
+             |    CAST(row_number() OVER (PARTITION BY c.c_mktsegment
+             |      ORDER BY s.cents, s.o_custkey) AS BIGINT) AS i
+             |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+             |g AS (
+             |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+             |    CAST(sum(cents) AS BIGINT) AS total_cents,
+             |    CAST(sum(i * cents) AS BIGINT) AS t_sum
+             |  FROM seg GROUP BY c_mktsegment)
+             |SELECT c_mktsegment, n_customers, total_cents,
+             |  CAST(2 * t_sum - (n_customers + 1) * total_cents AS DOUBLE)
+             |    / CAST(n_customers * total_cents AS DOUBLE) AS gini
+             |FROM g ORDER BY c_mktsegment""".stripMargin)),
   )
 }

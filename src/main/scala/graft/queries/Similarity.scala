@@ -2477,6 +2477,74 @@ object Similarity {
     // candidates are O(n·k²) — linear in corpus at fixed degree, the
     // only join keys are node ids, and existing edges drop via one
     // anti-join. Top-50 with full tiebreak keeps the report bounded.
+    // ---- k-core peeling over the thresholded similarity graph ------------
+    // Dense-region extraction: the k-core is the maximal subgraph where
+    // every node keeps >= k neighbors — the standard "hub community"
+    // cut used to pick high-confidence dedup/retrieval cores (a
+    // near-dup cluster's core survives; thin chains peel away). The
+    // graph is q137's kNN edges THRESHOLDED at cos >= 0.2 first: a raw
+    // symmetrized kNN graph has min degree = its out-degree, so every
+    // core cut is degenerate (k <= degree keeps all, k > degree
+    // cascades to nothing) — cores only exist where edge density
+    // varies, i.e. on the similarity-thresholded graph. Bounded unroll
+    // (4 peeling rounds, the q138 fixed-dataflow rule): each round
+    // recomputes degrees (one grouped count) and drops sub-k nodes from
+    // both endpoint sides via two semi-joins — all id-keyed, no row
+    // ever carries more than an edge, so a 100 TB graph peels in 4
+    // shuffle rounds. Spark's loop and the oracle's CTE chain unroll
+    // the SAME rounds, so survivors and degrees hash-match exactly.
+    QueryDef("q208_kcore", (s, d) => {
+      val K = 6
+      val g = knnGraph(t(s, d, "embeddings")).filter(col("cos_sim") >= 0.2)
+      val und = g.select(col("node").as("u"), col("nbr").as("v"))
+        .union(g.select(col("nbr").as("u"), col("node").as("v")))
+        .distinct()
+        .localCheckpoint()
+      def degOf(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      val deg0 = degOf(und)
+      var edges = und
+      for (_ <- 1 to 4) {
+        val keep = degOf(edges).filter(col("deg") >= K).select("u")
+          .localCheckpoint() // both endpoint filters read it
+        edges = edges.join(keep, Seq("u"), "left_semi")
+          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+          .select("u", "v")
+          .localCheckpoint() // next round + final degree read it
+      }
+      degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
+        .join(deg0.select(col("u").as("node"), col("deg").as("deg_initial")),
+          "node")
+        .select("node", "deg_initial", "deg_final")
+        .orderBy("node")
+    },
+      Some {
+        val rounds = (1 to 4).map { r =>
+          val prev = if (r == 1) "und" else s"e${r - 1}"
+          s"""k$r AS MATERIALIZED (
+             |  SELECT u FROM (
+             |    SELECT u, count(*) AS deg FROM $prev GROUP BY u)
+             |  WHERE deg >= 6),
+             |e$r AS MATERIALIZED (
+             |  SELECT p.u, p.v FROM $prev p
+             |  JOIN k$r a ON p.u = a.u
+             |  JOIN k$r b ON p.v = b.u)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${sqlGraphCtes(12, 64, 2)},
+           |und AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT node AS u, nbr AS v FROM graph WHERE cos_sim >= 0.2
+           |    UNION ALL
+           |    SELECT nbr AS u, node AS v FROM graph WHERE cos_sim >= 0.2)),
+           |d0 AS MATERIALIZED (
+           |  SELECT u, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY u),
+           |$rounds
+           |SELECT f.u AS node, d0.deg AS deg_initial,
+           |  CAST(f.deg AS BIGINT) AS deg_final
+           |FROM (SELECT u, count(*) AS deg FROM e4 GROUP BY u) f
+           |JOIN d0 ON f.u = d0.u
+           |ORDER BY node""".stripMargin
+      }),
+
     QueryDef("q203_link_predict", (s, d) =>
       linkPredictRA(t(s, d, "embeddings"))
         .orderBy(col("score_fp").desc, col("u"), col("v"))

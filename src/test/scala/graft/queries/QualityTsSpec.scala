@@ -189,6 +189,43 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q208: peeling never raises a degree and only returns graph nodes") {
+    val out = SparkEntry.queries("q208_kcore")(spark, sfDir).cache()
+    assert(out.filter(col("deg_final") > col("deg_initial")).count() == 0)
+    assert(out.filter(col("deg_final") < 1).count() == 0)
+  }
+
+  test("q209: Gini lies in [0,1) and covers every ordering customer") {
+    val out = SparkEntry.queries("q209_gini")(spark, sfDir).cache()
+    assert(out.filter(col("gini") < 0.0 || col("gini") >= 1.0).count() == 0)
+    val nOrdering = Tables.load(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(out.agg(sum("n_customers")).collect().head.getLong(0) == nOrdering)
+  }
+
+  test("q210: MASE is exactly the ratio of the two MAEs") {
+    val out = SparkEntry.queries("q210_forecast_baseline")(spark, sfDir).collect()
+    out.filter(r => !r.isNullAt(r.fieldIndex("mase"))).foreach { r =>
+      val want = r.getAs[Double]("mae_seasonal") / r.getAs[Double]("mae_naive")
+      assert(math.abs(r.getAs[Double]("mase") - want) < 1e-12)
+    }
+  }
+
+  test("q211: the violation flag is exactly l_div < 3") {
+    val out = SparkEntry.queries("q211_ldiversity")(spark, sfDir).cache()
+    assert(out.filter(col("violates_l3") =!= (col("l_div") < 3)).count() == 0)
+    assert(out.filter(col("l_div") > col("n_events")).count() == 0)
+  }
+
+  test("q212: growing the layout moves keys ONLY into the new shard") {
+    val out = SparkEntry.queries("q212_rendezvous_shards")(spark, sfDir).cache()
+    // the rendezvous minimal-movement property: a key changes shard iff
+    // the NEW shard wins its argmax — no old-to-old reshuffling ever
+    assert(out.filter(col("moved") && col("shard_after") =!= 10).count() == 0)
+    val fracSum = out.agg(sum("frac")).collect().head.getDouble(0)
+    assert(math.abs(fracSum - 1.0) < 1e-9)
+  }
+
   test("q204: complex words imply at least three syllables each") {
     val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
     assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)
