@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -330,23 +330,35 @@ object Events {
           / (sqrt(dx) * sqrt(dy))).as("acf"))
   }
 
-  /** Weekday-seasonal z-scores — see q199. */
-  def seasonalAnomalyDaily(events: DataFrame): DataFrame = {
-    val daily = dailyCounts(events).withColumn("dow", expr("(d_idx + 3) % 7"))
-    val prof = daily.groupBy("event_type", "dow")
+  /** The (event_type, weekday) count moments q199 scores against —
+    * exposed so the streaming twin (Streams.seasonalAlarm) broadcasts
+    * the SAME profile the batch side aggregates. */
+  def weekdayProfile(events: DataFrame): DataFrame =
+    dailyCounts(events).withColumn("dow", expr("(d_idx + 3) % 7"))
+      .groupBy("event_type", "dow")
       .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"),
         sum(col("x") * col("x")).as("sum_xx"))
       .withColumn("var_num",
         col("cnt") * col("sum_xx") - col("sum_x") * col("sum_x"))
+
+  /** z-scoring of (event_type, d_idx, dow, x) rows joined against a
+    * [[weekdayProfile]] — shared by the batch (q199) and streaming
+    * (Streams.seasonalAlarm) paths so the flag rule cannot drift. */
+  private[graft] def seasonalScore(joined: DataFrame): DataFrame = {
     val z = (col("cnt") * col("x") - col("sum_x")).cast("double") /
       sqrt(col("var_num").cast("double"))
-    daily.join(prof, Seq("event_type", "dow"))
-      .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
-        (col("sum_x").cast("double") / col("cnt").cast("double")).as("dow_mean"),
-        when(col("var_num") > 0, z).as("z"),
-        (col("var_num") > 0 && abs(when(col("var_num") > 0, z)) > 2.0)
-          .as("is_anomaly"))
+    joined.select(col("event_type"), col("d_idx"), col("dow"), col("x"),
+      (col("sum_x").cast("double") / col("cnt").cast("double")).as("dow_mean"),
+      when(col("var_num") > 0, z).as("z"),
+      (col("var_num") > 0 && abs(when(col("var_num") > 0, z)) > 2.0)
+        .as("is_anomaly"))
   }
+
+  /** Weekday-seasonal z-scores — see q199. */
+  def seasonalAnomalyDaily(events: DataFrame): DataFrame =
+    seasonalScore(
+      dailyCounts(events).withColumn("dow", expr("(d_idx + 3) % 7"))
+        .join(weekdayProfile(events), Seq("event_type", "dow")))
 
   /** Truncated-EWMA smoothing of the daily series — see q200. */
   def ewmaDaily(events: DataFrame): DataFrame = {
@@ -1724,5 +1736,234 @@ object Events {
              |          AS k
              |      FROM events)
              |GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin)),
+
+    // ---- Two-regressor OLS: purchases ~ clicks + trend -------------------
+    // q171 fits y~t per group; this is the MULTI-feature step every
+    // metrics team eventually needs (does purchase volume follow click
+    // volume after controlling for drift?): closed-form normal
+    // equations over exact int64 moments, solved by Cramer's rule in a
+    // FIXED expression tree — no iterative solver, no aggregation-order
+    // float sums, so both engines produce bit-identical coefficients.
+    // The trend regressor is centered to day-offset-from-start (bounds
+    // via a 1-row broadcast) to keep the 3×3 determinant well-scaled.
+    // Cost: two rows per day out of the daily distribution table, nine
+    // moment sums, one output row — corpus work is the one daily agg.
+    QueryDef("q213_multivar_ols", (s, d) => {
+      val daily = dailyCounts(t(s, d, "events"))
+      val y = daily.filter(col("event_type") === "purchase")
+        .select(col("d_idx"), col("x").as("y"))
+      val x1 = daily.filter(col("event_type") === "click")
+        .select(col("d_idx"), col("x").as("x1"))
+      val base = y.join(x1, "d_idx")
+      val bounds = base.agg(min("d_idx").as("d0"))
+      val rows = base.crossJoin(broadcast(bounds))
+        .select(col("y"), col("x1"), (col("d_idx") - col("d0")).as("x2"))
+      val m = rows.agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      def det3(a: Column, b: Column, c: Column, dd: Column, e: Column,
+          f: Column, g: Column, h: Column, i: Column): Column =
+        a * (e * i - f * h) - b * (dd * i - f * g) + c * (dd * h - e * g)
+      val (n, s1, s2, sy) = (col("n").cast("double"), col("s1").cast("double"),
+        col("s2").cast("double"), col("sy").cast("double"))
+      val (s11, s12, s22) = (col("s11").cast("double"),
+        col("s12").cast("double"), col("s22").cast("double"))
+      val (s1y, s2y, syy) = (col("s1y").cast("double"),
+        col("s2y").cast("double"), col("syy").cast("double"))
+      val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+      val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / dd
+      val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / dd
+      val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / dd
+      val sse = syy - b0 * sy - b1 * s1y - b2 * s2y
+      val sst = syy - sy * sy / n
+      m.select(col("n").as("n_days"), b0.as("b_intercept"),
+        b1.as("b_clicks"), b2.as("b_trend"),
+        (lit(1.0) - sse / sst).as("r2"))
+    },
+      Some {
+        def det3(a: String, b: String, c: String, dd: String, e: String,
+            f: String, g: String, h: String, i: String): String =
+          s"$a * ($e * $i - $f * $h) - $b * ($dd * $i - $f * $g)" +
+            s" + $c * ($dd * $h - $e * $g)"
+        val Seq(n, s1, s2, sy, s11, s12, s22, s1y, s2y, syy) =
+          Seq("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y", "syy")
+            .map(c => s"CAST($c AS DOUBLE)")
+        val dd = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+        val n0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+        val n1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+        val n2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+        s"""WITH $sqlDaily,
+           |y AS (SELECT d_idx, x AS y FROM daily WHERE event_type = 'purchase'),
+           |x1 AS (SELECT d_idx, x AS x1 FROM daily WHERE event_type = 'click'),
+           |base AS MATERIALIZED (
+           |  SELECT y.y, x1.x1, y.d_idx FROM y JOIN x1 ON y.d_idx = x1.d_idx),
+           |bounds AS (SELECT min(d_idx) AS d0 FROM base),
+           |rows_ AS (
+           |  SELECT y, x1, d_idx - d0 AS x2 FROM base CROSS JOIN bounds),
+           |m AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+           |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+           |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+           |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+           |    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM rows_),
+           |sol AS (
+           |  SELECT n, sy, s1y, s2y, syy, ($dd) AS dd,
+           |    ($n0) AS n0, ($n1) AS n1x, ($n2) AS n2x
+           |  FROM m)
+           |SELECT n AS n_days, n0 / dd AS b_intercept, n1x / dd AS b_clicks,
+           |  n2x / dd AS b_trend,
+           |  1.0 - (CAST(syy AS DOUBLE) - (n0 / dd) * CAST(sy AS DOUBLE)
+           |      - (n1x / dd) * CAST(s1y AS DOUBLE)
+           |      - (n2x / dd) * CAST(s2y AS DOUBLE))
+           |    / (CAST(syy AS DOUBLE)
+           |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+           |         / CAST(n AS DOUBLE)) AS r2
+           |FROM sol""".stripMargin
+      }),
+
+    // ---- Mann-Kendall trend test (with tie correction) -------------------
+    // The nonparametric SIGNIFICANCE companion to q177's Theil–Sen
+    // slope: S = Σ_{i<j} sign(xⱼ − xᵢ) over each type's daily series,
+    // variance with the tie-group correction, and the standard
+    // continuity-corrected z. All-pairs is the textbook formulation and
+    // is safe here ONLY because it runs on the bounded daily
+    // DISTRIBUTION table (days², not events²) — the same bounded-pair
+    // contract as q177. S and the variance numerator are exact int64;
+    // z is one sqrt + one divide in a fixed order.
+    QueryDef("q214_mann_kendall", (s, d) => {
+      val daily = dailyCounts(t(s, d, "events")).localCheckpoint()
+      val a = daily.select(col("event_type"), col("d_idx").as("di"),
+        col("x").as("xi"))
+      val b = daily.select(col("event_type"), col("d_idx").as("dj"),
+        col("x").as("xj"))
+      val sStat = a.join(b, "event_type").filter(col("di") < col("dj"))
+        .groupBy("event_type")
+        .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s_stat"))
+      val nd = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("tie_num"))
+      val varNum = col("n_days") * (col("n_days") - 1) *
+        (lit(2L) * col("n_days") + 5) - col("tie_num")
+      val varS = varNum.cast("double") / lit(18.0)
+      val z = when(col("s_stat") > 0,
+          (col("s_stat") - 1).cast("double") / sqrt(varS))
+        .when(col("s_stat") < 0,
+          (col("s_stat") + 1).cast("double") / sqrt(varS))
+        .otherwise(lit(0.0))
+      sStat.join(nd, "event_type").join(ties, "event_type")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          varS.as("var_s"), z.as("z"),
+          when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+            .otherwise("none").as("trend"))
+        .orderBy("event_type")
+    },
+      Some(s"""WITH $sqlDaily,
+             |sp AS MATERIALIZED (
+             |  SELECT a.event_type,
+             |    CAST(sum(CASE WHEN b.x > a.x THEN 1
+             |                  WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+             |      AS s_stat
+             |  FROM daily a JOIN daily b
+             |    ON a.event_type = b.event_type AND a.d_idx < b.d_idx
+             |  GROUP BY a.event_type),
+             |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+             |       FROM daily GROUP BY event_type),
+             |ties AS (
+             |  SELECT event_type,
+             |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_num
+             |  FROM (SELECT event_type, x, CAST(count(*) AS BIGINT) AS t
+             |        FROM daily GROUP BY event_type, x)
+             |  GROUP BY event_type),
+             |j AS (
+             |  SELECT sp.event_type, nd.n_days, sp.s_stat,
+             |    CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+             |         - ties.tie_num AS DOUBLE) / 18.0 AS var_s
+             |  FROM sp JOIN nd ON sp.event_type = nd.event_type
+             |  JOIN ties ON sp.event_type = ties.event_type)
+             |SELECT event_type, n_days, s_stat, var_s,
+             |  CASE WHEN s_stat > 0
+             |         THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             |       WHEN s_stat < 0
+             |         THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             |       ELSE 0.0 END AS z,
+             |  CASE WHEN (CASE WHEN s_stat > 0
+             |               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             |             WHEN s_stat < 0
+             |               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             |             ELSE 0.0 END) > 1.96 THEN 'increasing'
+             |       WHEN (CASE WHEN s_stat > 0
+             |               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(var_s)
+             |             WHEN s_stat < 0
+             |               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(var_s)
+             |             ELSE 0.0 END) < -1.96 THEN 'decreasing'
+             |       ELSE 'none' END AS trend
+             |FROM j ORDER BY event_type""".stripMargin)),
+
+    // ---- Additive seasonal decomposition (weekly) ------------------------
+    // The classical decomposition x = trend + seasonal + remainder that
+    // turns q199's anomaly z into an explainable picture: trend is the
+    // centered 7-day moving average (exact int sum, ONE divide),
+    // seasonal is each weekday's mean detrended value (a SORTED fold
+    // over per-dow lists — q135's rule, the only place float addition
+    // reassociates), remainder is what's left. Edge days without a full
+    // MA window are withheld, not half-smoothed. Everything runs on the
+    // daily distribution table: one corpus agg, one 7-row window, two
+    // joins against |type|×7 profiles.
+    QueryDef("q215_seasonal_decompose", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("d_idx")
+        .rowsBetween(-3, 3)
+      val withTrend = dailyCounts(t(s, d, "events"))
+        .withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_sum", sum(col("x")).over(w))
+        .filter(col("win_n") === 7)
+        .withColumn("trend", col("win_sum").cast("double") / lit(7.0))
+        .withColumn("dow", expr("(d_idx + 3) % 7"))
+        .withColumn("detr", col("x").cast("double") - col("trend"))
+      def foldSum(c: Column) =
+        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
+      val seasonal = withTrend.groupBy("event_type", "dow")
+        .agg((foldSum(col("detr")) / count(lit(1)).cast("double"))
+          .as("seasonal"))
+      withTrend.join(seasonal, Seq("event_type", "dow"))
+        .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
+          col("trend"), col("seasonal"),
+          (col("detr") - col("seasonal")).as("remainder"))
+        .orderBy("event_type", "d_idx")
+    },
+      Some(s"""WITH $sqlDaily,
+             |tr AS MATERIALIZED (
+             |  SELECT event_type, d_idx, x, (d_idx + 3) % 7 AS dow,
+             |    CAST(win_sum AS DOUBLE) / 7.0 AS trend,
+             |    CAST(x AS DOUBLE) - CAST(win_sum AS DOUBLE) / 7.0 AS detr
+             |  FROM (
+             |    SELECT event_type, d_idx, x,
+             |      count(*) OVER w AS win_n, sum(x) OVER w AS win_sum
+             |    FROM daily
+             |    WINDOW w AS (PARTITION BY event_type ORDER BY d_idx
+             |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+             |  WHERE win_n = 7),
+             |se AS MATERIALIZED (
+             |  SELECT event_type, dow,
+             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |      list_sort(list(detr))), (acc, x) -> acc + x)
+             |      / CAST(count(*) AS DOUBLE) AS seasonal
+             |  FROM tr GROUP BY event_type, dow)
+             |SELECT tr.event_type, tr.d_idx, tr.dow, tr.x, tr.trend,
+             |  se.seasonal, tr.detr - se.seasonal AS remainder
+             |FROM tr JOIN se
+             |  ON tr.event_type = se.event_type AND tr.dow = se.dow
+             |ORDER BY tr.event_type, tr.d_idx""".stripMargin)),
   )
 }

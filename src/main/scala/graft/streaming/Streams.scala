@@ -294,6 +294,28 @@ object Streams {
     * batch-equality spec drives that). State per metric is one open-day
     * accumulator, the ≤7-day baseline buffer, and two int64 CUSUM
     * registers — constant size forever after the baseline closes. */
+  /** Streaming twin of q199's weekday-seasonal anomaly alarm: daily
+    * tumbling counts per event type under a 25-hour watermark (one full
+    * day of lateness before a day closes), each closed day z-scored
+    * against a BROADCAST static weekday profile
+    * (queries.Events.weekdayProfile — trained on history, refreshed
+    * per micro-batch like every stream-static dimension). The scoring
+    * expression is literally the batch side's
+    * (queries.Events.seasonalScore), so a closed day flags online iff
+    * q199 flags it offline — the batch-equality spec drives that. State
+    * is one open-day aggregate per event type, expired by the
+    * watermark; the profile join is stateless. */
+  def seasonalAlarm(events: DataFrame, profile: DataFrame): DataFrame =
+    graft.queries.Events.seasonalScore(
+      events
+        .withWatermark("ts", "25 hours")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("x"))
+        .select(expr("unix_micros(window.start) div 86400000000").as("d_idx"),
+          col("event_type"), col("x"))
+        .withColumn("dow", expr("(d_idx + 3) % 7"))
+        .join(broadcast(profile), Seq("event_type", "dow")))
+
   def cusumIngest(events: DataFrame): Dataset[CusumPoint] = {
     import events.sparkSession.implicits._
     val K = 5000L

@@ -2270,7 +2270,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q206_cramers_v", // one-row totals + |langs|x|sources| marginal grid cross
       "q207_token_dispersion", // one-row corpus-size cross join (q76's class)
       "q208_kcore", // builds on q137's fixed centroid broadcast
-      "q212_rendezvous_shards") // one-row corpus-size cross join (q76's class)
+      "q212_rendezvous_shards", // one-row corpus-size cross join (q76's class)
+      "q213_multivar_ols") // one-row min-day cross join (q171's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

@@ -226,6 +226,37 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(fracSum - 1.0) < 1e-9)
   }
 
+  test("q213: the OLS fit explains no more than all the variance") {
+    val r = SparkEntry.queries("q213_multivar_ols")(spark, sfDir).collect().head
+    assert(r.getAs[Double]("r2") <= 1.0 + 1e-12)
+    Seq("b_intercept", "b_clicks", "b_trend").foreach { c =>
+      assert(!r.getAs[Double](c).isNaN && !r.getAs[Double](c).isInfinite)
+    }
+  }
+
+  test("q214: S is bounded by the pair count and the trend label matches z") {
+    val out = SparkEntry.queries("q214_mann_kendall")(spark, sfDir).collect()
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_days")
+      assert(math.abs(r.getAs[Long]("s_stat")) <= n * (n - 1) / 2)
+      val z = r.getAs[Double]("z")
+      val want = if (z > 1.96) "increasing"
+        else if (z < -1.96) "decreasing" else "none"
+      assert(r.getAs[String]("trend") == want)
+    }
+  }
+
+  test("q215: the decomposition reconstructs the series") {
+    val out = SparkEntry.queries("q215_seasonal_decompose")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val x = r.getAs[Long]("x").toDouble
+      val rebuilt = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("remainder")
+      assert(math.abs(rebuilt - x) < 1e-9)
+    }
+  }
+
   test("q204: complex words imply at least three syllables each") {
     val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
     assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)

@@ -288,6 +288,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming seasonal alarm equals batch q199 on watermark-closed days") {
+    val events = Tables.load(spark, sfDir, "events")
+    val profile = graft.queries.Events.weekdayProfile(events)
+    val q = Streams.seasonalAlarm(Streams.source(spark, eventsDir), profile)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seasonal_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("seasonal_out")
+    // twin contract: every day the 25h watermark has CLOSED carries the
+    // identical z and flag as the batch scorer (shared seasonalScore);
+    // the open tail days live in state and are withheld
+    val closed = got.agg(max("d_idx")).collect().head.getLong(0)
+    val want = graft.queries.Events.seasonalAnomalyDaily(events)
+      .filter(col("d_idx") <= closed)
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
