@@ -1965,5 +1965,319 @@ object Events {
              |FROM tr JOIN se
              |  ON tr.event_type = se.event_type AND tr.dow = se.dow
              |ORDER BY tr.event_type, tr.d_idx""".stripMargin)),
+
+    // ---- Cross-correlation (lead-lag): clicks vs purchases ---------------
+    // The ACF's (q198) bivariate sibling and the causal-screening
+    // workhorse: at which offset does the click series best predict the
+    // purchase series? r(l) = corr(clicks_t, purchases_{t+l}) for
+    // l ∈ [−7, 7]; a peak at positive l means clicks LEAD purchases by
+    // l days. Shape: the two daily series come from the one corpus
+    // aggregation; each lag's pair set is an integer-shifted equi-join
+    // on the day index (15 bounded self-joins over a 30-row
+    // distribution table, via one explode — never a corpus operation);
+    // moments are exact int64 and r is the q198 two-sqrt form.
+    QueryDef("q216_ccf", (s, d) => {
+      val daily = dailyCounts(t(s, d, "events")).localCheckpoint()
+      val dx = daily.filter(col("event_type") === "click")
+        .select(col("d_idx"), col("x"))
+        .withColumn("l", explode(sequence(lit(-7), lit(7))))
+      val dy = daily.filter(col("event_type") === "purchase")
+        .select((col("d_idx")).as("dj"), col("x").as("y"))
+      val g = dx.join(dy, col("d_idx") + col("l") === col("dj"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val dxv = (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val dyv = (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")
+      g.select(col("l").as("lag_days"), col("n_pairs"),
+        when(dxv > 0.0 && dyv > 0.0,
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt(dxv) * sqrt(dyv))).as("ccf"))
+        .orderBy("lag_days")
+    },
+      Some(s"""WITH $sqlDaily,
+             |dx AS (SELECT d_idx, x FROM daily WHERE event_type = 'click'),
+             |dy AS (SELECT d_idx AS dj, x AS y FROM daily
+             |       WHERE event_type = 'purchase'),
+             |pairs AS MATERIALIZED (
+             |  SELECT l, dx.x, dy.y
+             |  FROM dx CROSS JOIN (SELECT unnest(range(-7, 8)) AS l) ls
+             |  JOIN dy ON dx.d_idx + ls.l = dy.dj),
+             |g AS (
+             |  SELECT l, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy
+             |  FROM pairs GROUP BY l)
+             |SELECT CAST(l AS INTEGER) AS lag_days, n_pairs,
+             |  CASE WHEN CAST(n_pairs * sxx - sx * sx AS DOUBLE) > 0.0
+             |        AND CAST(n_pairs * syy - sy * sy AS DOUBLE) > 0.0
+             |    THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+             |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+             |         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))
+             |  END AS ccf
+             |FROM g ORDER BY lag_days""".stripMargin)),
+
+    // ---- Hampel filter: rolling-median/MAD series outliers ---------------
+    // The ROBUST pointwise outlier detector for the daily series — where
+    // q199 scores against a weekday mean/σ profile (which one extreme
+    // day can poison), the Hampel filter scores each day against its
+    // own 7-day neighborhood's MEDIAN and MAD, both breakdown-point-0.5
+    // statistics, so a single spike cannot mask itself. ENTIRELY integer
+    // arithmetic: the window's 7 counts sort in-expression, median and
+    // MAD are element picks, and the flag is |x − med| > 3·MAD on int64
+    // — no floats anywhere, bit-equality for free. Edge days without a
+    // full window are withheld (half-windows bias the median).
+    QueryDef("q217_hampel_filter", (s, d) => {
+      val w = Window.partitionBy("event_type").orderBy("d_idx")
+        .rowsBetween(-3, 3)
+      dailyCounts(t(s, d, "events"))
+        .withColumn("win", collect_list(col("x")).over(w))
+        .filter(size(col("win")) === 7)
+        .withColumn("med7", element_at(array_sort(col("win")), 4))
+        .withColumn("mad7", element_at(array_sort(
+          transform(col("win"), v => abs(v - col("med7")))), 4))
+        .withColumn("is_outlier",
+          abs(col("x") - col("med7")) > lit(3L) * col("mad7"))
+        .select("event_type", "d_idx", "x", "med7", "mad7", "is_outlier")
+        .orderBy("event_type", "d_idx")
+    },
+      Some(s"""WITH $sqlDaily,
+             |win AS MATERIALIZED (
+             |  SELECT event_type, d_idx, x, list(x) OVER w AS win
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d_idx
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |m AS (
+             |  SELECT event_type, d_idx, x,
+             |    list_sort(win)[4] AS med7,
+             |    list_sort(list_transform(win,
+             |      v -> abs(v - list_sort(win)[4])))[4] AS mad7
+             |  FROM win WHERE len(win) = 7)
+             |SELECT event_type, d_idx, x, med7, mad7,
+             |  abs(x - med7) > 3 * mad7 AS is_outlier
+             |FROM m ORDER BY event_type, d_idx""".stripMargin)),
+
+    // ---- Peak session concurrency (sweep-line over intervals) ------------
+    // Interval analytics the grouped operators can't express: how many
+    // sessions were open SIMULTANEOUSLY, and when did each day peak?
+    // Classic sweep-line: each q31 session emits +1 at its start and −1
+    // just after its end (end+1µs keeps touching sessions counted as
+    // concurrent), and the running delta sum IS the concurrency. The
+    // running sum is computed two-phase (hour-chunk local windows +
+    // Sampling.chunkOffsets carry-ins — bit-identical to the flat
+    // window by int64 reassociation), so no single task ever scans the
+    // whole boundary stream; the oracle uses the flat window form.
+    // Output: each day's peak and the first instant it is reached.
+    QueryDef("q218_session_concurrency", (s, d) => {
+      val hourUs = 3600L * 1000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sess = t(s, d, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag("us", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("is_new")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(min("us").as("start_us"), max("us").as("end_us"))
+      val bounds = sess
+        .select(col("start_us").as("us"), lit(1L).as("delta"),
+          col("user_id"), col("session_id"))
+        .unionAll(sess.select((col("end_us") + 1).as("us"),
+          lit(-1L).as("delta"), col("user_id"), col("session_id")))
+        .withColumn("chunk", expr(s"us div $hourUs"))
+        .localCheckpoint() // chunk totals + local sweep both read it
+      val offs = Sampling.chunkOffsets(
+        bounds.groupBy("chunk").agg(sum("delta").as("tot")), "chunk", "tot")
+      val wLoc = Window.partitionBy("chunk")
+        .orderBy(col("us"), col("delta").desc, col("user_id"), col("session_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = bounds
+        .withColumn("loc", sum("delta").over(wLoc))
+        .join(offs, "chunk")
+        .withColumn("conc", col("loc") + col("off"))
+        .filter(col("delta") === 1)
+        .withColumn("day_idx", expr("us div 86400000000"))
+        .localCheckpoint() // peak + first-instant both read it
+      val peaks = conc.groupBy("day_idx").agg(max("conc").as("peak"))
+      conc.join(peaks, "day_idx")
+        .filter(col("conc") === col("peak"))
+        .groupBy("day_idx", "peak")
+        .agg(min("us").as("first_peak_us"))
+        .orderBy("day_idx")
+    },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY CAST(ts AS TIMESTAMP), event_id)),
+             |sx AS (
+             |  SELECT user_id, us,
+             |    sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+             |        THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY us, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS session_id
+             |  FROM e),
+             |sess AS MATERIALIZED (
+             |  SELECT user_id, session_id,
+             |    CAST(min(us) AS BIGINT) AS start_us,
+             |    CAST(max(us) AS BIGINT) AS end_us
+             |  FROM sx GROUP BY user_id, session_id),
+             |b AS MATERIALIZED (
+             |  SELECT start_us AS us, 1 AS delta, user_id, session_id FROM sess
+             |  UNION ALL
+             |  SELECT end_us + 1, -1, user_id, session_id FROM sess),
+             |r AS MATERIALIZED (
+             |  SELECT us, delta,
+             |    CAST(sum(delta) OVER (ORDER BY us, delta DESC,
+             |      user_id, session_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS conc
+             |  FROM b),
+             |p AS (
+             |  SELECT us // 86400000000 AS day_idx, us, conc
+             |  FROM r WHERE delta = 1),
+             |pk AS (SELECT day_idx, max(conc) AS peak FROM p GROUP BY day_idx)
+             |SELECT p.day_idx, pk.peak,
+             |  CAST(min(p.us) AS BIGINT) AS first_peak_us
+             |FROM p JOIN pk ON p.day_idx = pk.day_idx AND p.conc = pk.peak
+             |GROUP BY p.day_idx, pk.peak
+             |ORDER BY p.day_idx""".stripMargin)),
+
+    // ---- Exact daily value percentiles (P50/P90) per event type ----------
+    // The SLO/latency-report shape: exact per-(type, day) order
+    // statistics of the event value, not approximations — q34's sketch
+    // is the scale path for corpus-wide quantiles; DAILY groups are
+    // bounded (one day of one type), so the exact rank pick is cheap
+    // and auditable. Money-grade exactness: values become int64 cents
+    // through DECIMAL (the q30 parity rule), ranks come from ONE window
+    // per group with a full (cents, event_id) tie-break, and the
+    // percentile indices are the shared integer formulas
+    // p50 = (n+1) div 2, p90 = (9n+9) div 10 — no float rank math.
+    QueryDef("q219_daily_percentiles", (s, d) => {
+      val w = Window.partitionBy("event_type", "d_idx")
+        .orderBy("cents", "event_id")
+      val wn = Window.partitionBy("event_type", "d_idx")
+      val ranked = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(date_trunc('day', ts)) div 86400000000").as("d_idx"),
+          col("event_id"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+      ranked.groupBy("event_type", "d_idx")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("cents")))
+            .as("p50_cents"),
+          max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
+            .as("p90_cents"))
+        .orderBy("event_type", "d_idx")
+    },
+      Some("""WITH r AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+             |      // 86400000000 AS d_idx,
+             |    event_id,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY event_type,
+             |      epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+             |        // 86400000000
+             |      ORDER BY CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+             |        event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type,
+             |      epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+             |        // 86400000000) AS n
+             |  FROM events WHERE ts IS NOT NULL)
+             |SELECT event_type, d_idx, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS p50_cents,
+             |  max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END)
+             |    AS p90_cents
+             |FROM r GROUP BY event_type, d_idx
+             |ORDER BY event_type, d_idx""".stripMargin)),
+
+    // ---- Two-proportion z-test on funnel conversion (A/B harness) --------
+    // The experimentation primitive: split users into two deterministic
+    // arms (user_id parity — in production the hashed assignment of
+    // q212's family), measure each arm's click→purchase conversion
+    // (q59's funnel rule), and test the difference with the pooled
+    // two-proportion z. Counts are exact int64 from ONE user-grouped
+    // pass + one 2-row pivot; the z is a fixed chain of IEEE ops over
+    // those counts, so both engines agree bitwise. A |z| > 1.96 flag
+    // closes the loop the q180 CI machinery opened: is the measured
+    // lift real or noise?
+    QueryDef("q220_ab_proportion_test", (s, d) => {
+      val us = unix_micros(col("ts"))
+      val perUser = t(s, d, "events")
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", us)).as("fc"),
+          min(when(col("event_type") === "purchase", us)).as("fp"))
+        .filter(col("fc").isNotNull)
+        .select((col("user_id") % 2).as("arm"),
+          when(col("fp").isNotNull && col("fp") >= col("fc"), 1L)
+            .otherwise(0L).as("conv"))
+      val arms = perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+      val a0 = arms.filter(col("arm") === 0)
+        .select(col("n").as("n0"), col("c").as("c0"))
+      val a1 = arms.filter(col("arm") === 1)
+        .select(col("n").as("n1"), col("c").as("c1"))
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pPool = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val z = (p0 - p1) / sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))
+      a0.crossJoin(a1)
+        .select(col("n0"), col("c0"), col("n1"), col("c1"),
+          p0.as("p_arm0"), p1.as("p_arm1"), z.as("z"),
+          (abs(z) > 1.96).as("significant"))
+    },
+      Some("""WITH pu AS MATERIALIZED (
+             |  SELECT user_id % 2 AS arm,
+             |    CASE WHEN fp IS NOT NULL AND fp >= fc THEN 1 ELSE 0 END
+             |      AS conv
+             |  FROM (
+             |    SELECT user_id,
+             |      min(CASE WHEN event_type = 'click'
+             |          THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fc,
+             |      min(CASE WHEN event_type = 'purchase'
+             |          THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS fp
+             |    FROM events GROUP BY user_id)
+             |  WHERE fc IS NOT NULL),
+             |arms AS (
+             |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(conv) AS BIGINT) AS c
+             |  FROM pu GROUP BY arm),
+             |j AS (
+             |  SELECT a0.n AS n0, a0.c AS c0, a1.n AS n1, a1.c AS c1
+             |  FROM (SELECT n, c FROM arms WHERE arm = 0) a0
+             |  CROSS JOIN (SELECT n, c FROM arms WHERE arm = 1) a1)
+             |SELECT n0, c0, n1, c1,
+             |  CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p_arm0,
+             |  CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p_arm1,
+             |  (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |   - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |  / sqrt(
+             |      (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+             |    AS z,
+             |  abs((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |       - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |  / sqrt(
+             |      (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |      * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))
+             |    > 1.96 AS significant
+             |FROM j""".stripMargin)),
   )
 }

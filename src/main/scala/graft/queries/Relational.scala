@@ -1001,5 +1001,91 @@ object Relational {
              |  CAST(2 * t_sum - (n_customers + 1) * total_cents AS DOUBLE)
              |    / CAST(n_customers * total_cents AS DOUBLE) AS gini
              |FROM g ORDER BY c_mktsegment""".stripMargin)),
+
+    // ---- Pairwise column correlations (stats-collector companion) --------
+    // The q160 ANALYZE collector's next column: pairwise Pearson
+    // correlation between lineitem's numeric columns, the statistic a
+    // cost-based optimizer needs to stop assuming predicate
+    // independence (correlated columns make conjunctive selectivity
+    // estimates collapse — q181's histograms can't see cross-column
+    // structure). ONE scan computes all 14 moment sums (n + 4 sums +
+    // 4 squares + 6 cross products) as exact int64 on the cent/unit
+    // grid (quantity, discount·100, tax·100 via DECIMAL, ship-day
+    // index), then `stack` pivots 6 correlation rows from the 1-row
+    // aggregate. The r formula is q198's two-sqrt form. Bounds: every
+    // sum is < 2^63 up to ~10^12 rows (shipday² ≈ 4·10⁸ dominates).
+    QueryDef("q222_column_correlations", (s, d) => {
+      val base = t(s, d, "lineitem").select(
+        (col("l_quantity").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("v1"),
+        (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("v2"),
+        (col("l_tax").cast(DecimalType(12, 2)) * 100).cast("long").as("v3"),
+        expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000")
+          .as("v4"))
+      val cols = Seq("v1", "v2", "v3", "v4")
+      val names = Map("v1" -> "quantity", "v2" -> "discount",
+        "v3" -> "tax", "v4" -> "shipday")
+      val pairs = for {
+        i <- cols.indices; j <- cols.indices if i < j
+      } yield (cols(i), cols(j))
+      val aggs = (count(lit(1)).as("n") +:
+        cols.map(c => sum(col(c)).as(s"s_$c"))) ++
+        cols.map(c => sum(col(c) * col(c)).as(s"q_$c")) ++
+        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"x_${a}_$b") }
+      // 1-row moment table, materialized once — the 6 pair rows below
+      // must not re-run the corpus scan per pair
+      val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      def r(a: String, b: String): Column = {
+        val da = (col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a"))
+          .cast("double")
+        val db = (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))
+          .cast("double")
+        when(da > 0.0 && db > 0.0,
+          (col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+            .cast("double") / (sqrt(da) * sqrt(db)))
+      }
+      val out = pairs.map { case (a, b) =>
+        m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
+          col("n"), r(a, b).as("r"))
+      }
+      out.reduce(_.unionAll(_)).orderBy("pair")
+    },
+      Some {
+        val cols = Seq("v1", "v2", "v3", "v4")
+        val names = Map("v1" -> "quantity", "v2" -> "discount",
+          "v3" -> "tax", "v4" -> "shipday")
+        val pairs = for {
+          i <- cols.indices; j <- cols.indices if i < j
+        } yield (cols(i), cols(j))
+        def rSql(a: String, b: String) =
+          s"""CASE WHEN CAST(n * q_$a - s_$a * s_$a AS DOUBLE) > 0.0
+             |      AND CAST(n * q_$b - s_$b * s_$b AS DOUBLE) > 0.0
+             |    THEN CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE)
+             |      / (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE))
+             |         * sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE)))
+             |  END""".stripMargin
+        val arms = pairs.map { case (a, b) =>
+          s"SELECT '${names(a)}_${names(b)}' AS pair, n, ${rSql(a, b)} AS r FROM m"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT
+           |    CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS v1,
+           |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS v2,
+           |    CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS v3,
+           |    epoch_us(date_trunc('day', CAST(l_shipdate AS TIMESTAMP)))
+           |      // 86400000000 AS v4
+           |  FROM lineitem),
+           |m AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    ${cols.map(c => s"CAST(sum($c) AS BIGINT) AS s_$c").mkString(",\n    ")},
+           |    ${cols.map(c => s"CAST(sum($c * $c) AS BIGINT) AS q_$c").mkString(",\n    ")},
+           |    ${pairs.map { case (a, b) =>
+                 s"CAST(sum($a * $b) AS BIGINT) AS x_${a}_$b" }.mkString(",\n    ")}
+           |  FROM base)
+           |SELECT * FROM (
+           |  $arms)
+           |ORDER BY pair""".stripMargin
+      }),
   )
 }

@@ -2545,6 +2545,80 @@ object Similarity {
            |ORDER BY node""".stripMargin
       }),
 
+    // ---- BFS expansion profile from seed nodes ---------------------------
+    // How fast does the kNN graph spread? Per-seed frontier sizes for 3
+    // unrolled BFS hops — the connectivity diagnostic behind graph-ANN
+    // parameter choice (a graph whose 3-hop ball doesn't grow is
+    // under-connected and q138's beam search will miss; one that
+    // saturates instantly wastes degree). 10 seed nodes ride each hop
+    // as (seed, node) pairs: one edge join + one per-seed anti-join
+    // against the visited set per hop — all id-keyed, frontier rows
+    // bounded by 10 × corpus. The same fixed-unroll dataflow rule as
+    // q138/q208, so both engines replay identical rounds.
+    QueryDef("q221_bfs_expansion", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings"))
+      val und = g.select(col("node").as("u"), col("nbr").as("v"))
+        .union(g.select(col("nbr").as("u"), col("node").as("v")))
+        .distinct()
+        .localCheckpoint() // read once per hop
+      val seeds = und.select(col("u").as("seed")).distinct()
+        .filter(col("seed") < 10)
+      var visited = seeds.select(col("seed"), col("seed").as("node"))
+      var frontier = visited
+      val perHop = Seq.newBuilder[DataFrame]
+      perHop += frontier.groupBy("seed")
+        .agg(count(lit(1)).as("frontier_n"))
+        .withColumn("hop", lit(0))
+      for (h <- 1 to 3) {
+        val expanded = frontier
+          .join(und, col("node") === col("u"))
+          .select(col("seed"), col("v").as("node")).distinct()
+        frontier = expanded.join(visited, Seq("seed", "node"), "left_anti")
+          .localCheckpoint() // next hop + count read it
+        visited = visited.unionAll(frontier).localCheckpoint()
+        perHop += frontier.groupBy("seed")
+          .agg(count(lit(1)).as("frontier_n"))
+          .withColumn("hop", lit(h))
+      }
+      perHop.result().reduce(_.unionAll(_))
+        .select(col("seed"), col("hop"), col("frontier_n"))
+        .orderBy("seed", "hop")
+    },
+      Some {
+        val hops = (1 to 3).map { h =>
+          s"""x$h AS MATERIALIZED (
+             |  SELECT DISTINCT f.seed, und.v AS node
+             |  FROM f${h - 1} f JOIN und ON f.node = und.u),
+             |f$h AS MATERIALIZED (
+             |  SELECT x.seed, x.node FROM x$h x
+             |  WHERE NOT EXISTS (SELECT 1 FROM v${h - 1} vv
+             |    WHERE vv.seed = x.seed AND vv.node = x.node)),
+             |v$h AS MATERIALIZED (
+             |  SELECT seed, node FROM v${h - 1}
+             |  UNION ALL SELECT seed, node FROM f$h)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${sqlGraphCtes(12, 64, 2)},
+           |und AS MATERIALIZED (
+           |  SELECT DISTINCT u, v FROM (
+           |    SELECT node AS u, nbr AS v FROM graph
+           |    UNION ALL
+           |    SELECT nbr AS u, node AS v FROM graph)),
+           |seeds AS (SELECT DISTINCT u AS seed FROM und WHERE u < 10),
+           |f0 AS MATERIALIZED (SELECT seed, seed AS node FROM seeds),
+           |v0 AS MATERIALIZED (SELECT seed, node FROM f0),
+           |$hops
+           |SELECT seed, hop, frontier_n FROM (
+           |  SELECT seed, 0 AS hop, CAST(count(*) AS BIGINT) AS frontier_n
+           |  FROM f0 GROUP BY seed
+           |  UNION ALL SELECT seed, 1, CAST(count(*) AS BIGINT)
+           |  FROM f1 GROUP BY seed
+           |  UNION ALL SELECT seed, 2, CAST(count(*) AS BIGINT)
+           |  FROM f2 GROUP BY seed
+           |  UNION ALL SELECT seed, 3, CAST(count(*) AS BIGINT)
+           |  FROM f3 GROUP BY seed)
+           |ORDER BY seed, hop""".stripMargin
+      }),
+
     QueryDef("q203_link_predict", (s, d) =>
       linkPredictRA(t(s, d, "embeddings"))
         .orderBy(col("score_fp").desc, col("u"), col("v"))

@@ -2271,7 +2271,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q207_token_dispersion", // one-row corpus-size cross join (q76's class)
       "q208_kcore", // builds on q137's fixed centroid broadcast
       "q212_rendezvous_shards", // one-row corpus-size cross join (q76's class)
-      "q213_multivar_ols") // one-row min-day cross join (q171's class)
+      "q213_multivar_ols", // one-row min-day cross join (q171's class)
+      "q220_ab_proportion_test", // 1-row-per-arm cross join (q164's class)
+      "q221_bfs_expansion") // builds on q137's fixed centroid broadcast
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

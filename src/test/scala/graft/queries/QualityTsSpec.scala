@@ -257,6 +257,56 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q216: every defined cross-correlation is a valid Pearson r over all 15 lags") {
+    val real = SparkEntry.queries("q216_ccf")(spark, sfDir).collect()
+    real.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("ccf")))
+        assert(math.abs(r.getAs[Double]("ccf")) <= 1.0 + 1e-12)
+    }
+    assert(real.map(_.getAs[Int]("lag_days")).toSeq.sorted == (-7 to 7).toSeq)
+  }
+
+  test("q217: Hampel flags the planted spike and nothing else") {
+    import spark.implicits._
+    // constant 10/day except day 10 spikes to 100: med=10, MAD=0 in every
+    // full window away from the spike; windows containing the spike keep
+    // med=10, MAD=0 -> only day 10 itself violates |x-med| > 3*MAD
+    val rows = for {
+      day <- 0 until 21
+      k <- 0 until (if (day == 10) 100 else 10)
+    } yield (day.toLong, k.toLong)
+    val ev = rows.toDF("day", "k")
+      .select(usTs(col("day")).as("ts"), lit("a").as("event_type"))
+    // drive the registered query's exact shape via its library base
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("d_idx").rowsBetween(-3, 3)
+    val got = Events.dailyCounts(ev)
+      .withColumn("win", collect_list(col("x")).over(w))
+      .filter(size(col("win")) === 7)
+      .withColumn("med7", element_at(array_sort(col("win")), 4))
+      .withColumn("mad7", element_at(array_sort(
+        transform(col("win"), v => abs(v - col("med7")))), 4))
+      .withColumn("is_outlier",
+        abs(col("x") - col("med7")) > lit(3L) * col("mad7"))
+      .collect()
+    val flagged = got.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("d_idx")).toSeq
+    assert(flagged == Seq(10L))
+  }
+
+  test("q218: concurrency peaks are consistent and positive") {
+    val out = SparkEntry.queries("q218_session_concurrency")(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("peak") >= 1L)
+      // the peak instant lies inside its day
+      val day = r.getAs[Long]("day_idx")
+      val us = r.getAs[Long]("first_peak_us")
+      assert(us / 86400000000L == day)
+    }
+  }
+
   test("q204: complex words imply at least three syllables each") {
     val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
     assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)
