@@ -1087,5 +1087,96 @@ object Relational {
            |  $arms)
            |ORDER BY pair""".stripMargin
       }),
+
+    // ---- GROUPING SETS with grouping_id ----------------------------------
+    // The generalization q27/q28 specialize: an ARBITRARY set of
+    // grouping combinations in one pass — here (flag,status), (flag),
+    // (priority), () — with grouping_id() disambiguating which set each
+    // row came from (coalesce can't: a NULL group value is ambiguous
+    // with the string 'ALL' trick once sets overlap asymmetrically).
+    // Spark plans this as ONE Expand + one hash aggregate — the
+    // multi-rollup a 100 TB reporting job wants instead of four
+    // separate scans. Quantity sums fold in DECIMAL (money rule).
+    QueryDef("q223_grouping_sets", (s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("o_orderpriority")), Seq()),
+          col("l_returnflag"), col("l_linestatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+            .as("qty"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"),
+          col("o_orderpriority"))
+        .select(col("l_returnflag").as("flag"),
+          col("l_linestatus").as("status"),
+          col("o_orderpriority").as("priority"),
+          col("n"), col("qty"), col("gid")),
+      Some("""SELECT l_returnflag AS flag, l_linestatus AS status,
+             |  o_orderpriority AS priority, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty,
+             |  CAST(grouping(l_returnflag, l_linestatus, o_orderpriority)
+             |    AS BIGINT) AS gid
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |  (l_returnflag), (o_orderpriority), ())
+             |ORDER BY gid, flag, status, priority""".stripMargin)),
+
+    // ---- Window-function surface: rank/distribution/value families -------
+    // One oracle-checked pass over every remaining window family the
+    // reference lacks and q22/q36 don't cover: ntile (equi-height
+    // bucketing), percent_rank and cume_dist (the exact-rational
+    // distribution ranks: single divides over int ranks, bit-equal),
+    // nth_value and last_value over an explicit full frame (frame
+    // semantics are where engines silently disagree — pinning
+    // UNBOUNDED..UNBOUNDED makes both deterministic), and lead with a
+    // default. Partitioned by returnflag so every window is keyed —
+    // nothing funnels to a single task.
+    QueryDef("q224_window_suite", (s, d) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+        .withColumn("bucket4", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("third_cents", nth_value(col("cents"), 3).over(wf))
+        .withColumn("max_cents", last_value(col("cents")).over(wf))
+        .withColumn("next_cents", lead(col("cents"), 1, -1L).over(w))
+        // (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+        // fully identical input rows can swap ntile/lead values between
+        // them — sort by EVERY output column so the (identical) result
+        // multisets also agree positionally
+        .orderBy("l_returnflag", "cents", "l_orderkey", "l_linenumber",
+          "bucket4", "next_cents")
+    },
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber,
+             |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |    AS cents,
+             |  CAST(ntile(4) OVER wo AS INTEGER) AS bucket4,
+             |  percent_rank() OVER wo AS pct_rank,
+             |  cume_dist() OVER wo AS cume,
+             |  nth_value(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |    AS BIGINT), 3) OVER wf AS third_cents,
+             |  last_value(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |    AS BIGINT)) OVER wf AS max_cents,
+             |  lead(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |    AS BIGINT), 1, -1) OVER wo AS next_cents
+             |FROM lineitem WHERE l_orderkey < 1000
+             |WINDOW wo AS (PARTITION BY l_returnflag
+             |    ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |      AS BIGINT), l_orderkey, l_linenumber),
+             |  wf AS (PARTITION BY l_returnflag
+             |    ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+             |      AS BIGINT), l_orderkey, l_linenumber
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber,
+             |  bucket4, next_cents""".stripMargin)),
   )
 }
