@@ -110,6 +110,31 @@ object Sampling {
       .orderBy(col("avg_weight").desc, col("doc_id"))
       .limit(topK)
 
+  /** Shared DuckDB CTE chain for [[importanceScores]] — tok → hashed
+    * feature → per-feature ratio weights → per-doc `sc` (doc_id, score,
+    * n_tokens). q98 and q225 both read `sc`, so the weight rule cannot
+    * drift between the ranker and its downstream consumers. */
+  private[queries] val sqlImportanceCtes: String =
+    """tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |ft AS (
+      |  SELECT doc_id, lang,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
+      |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
+      |  FROM tok),
+      |fs AS (
+      |  SELECT f,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+      |    CAST(count(*) AS BIGINT) AS r_cnt
+      |  FROM ft GROUP BY f),
+      |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
+      |sc AS (
+      |  SELECT doc_id, CAST(sum(wf) AS BIGINT) AS score,
+      |    CAST(count(*) AS BIGINT) AS n_tokens
+      |  FROM ft JOIN w USING (f) GROUP BY doc_id)""".stripMargin
+
   /** Priority sampling (q175's body) over a (doc_id, n_chars) frame,
     * exposed for fixture specs: the k highest-priority rows under
     * q_i = w_i / u_i with the Lehmer-hash uniform, plus the τ-capped
@@ -392,25 +417,7 @@ object Sampling {
     // polynomial fold (q43's family), so DuckDB rebuilds it bit-for-bit.
     QueryDef("q98_importance_weights", (s, d) =>
       importanceWeights(t(s, d, "documents")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-             |  FROM documents),
-             |ft AS (
-             |  SELECT doc_id, lang,
-             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |       list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i]) AS BIGINT))),
-             |       (a,c) -> (a*131 + c) % 4294967291) % 1000000007) % 4096 AS f
-             |  FROM tok),
-             |fs AS (
-             |  SELECT f,
-             |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
-             |    CAST(count(*) AS BIGINT) AS r_cnt
-             |  FROM ft GROUP BY f),
-             |w AS (SELECT f, ((t_cnt + 1) * 1000000) // (r_cnt + 1) AS wf FROM fs),
-             |sc AS (
-             |  SELECT doc_id, CAST(sum(wf) AS BIGINT) AS score,
-             |    CAST(count(*) AS BIGINT) AS n_tokens
-             |  FROM ft JOIN w USING (f) GROUP BY doc_id)
+      Some(s"""WITH $sqlImportanceCtes
              |SELECT doc_id, score, n_tokens, score // n_tokens AS avg_weight
              |FROM sc ORDER BY avg_weight DESC, doc_id LIMIT 300""".stripMargin)),
 
@@ -639,6 +646,64 @@ object Sampling {
              |SELECT doc_id, n_chars, pri, tau,
              |  greatest(CAST(n_chars AS DOUBLE), tau) AS est_weight
              |FROM r, t WHERE rn <= 100 ORDER BY doc_id""".stripMargin)),
+
+    // ---- Weighted quartiles of document length (importance-weighted) -----
+    // Composition op: what does the corpus look like UNDER the q98
+    // importance weighting? Weighted order statistics are the honest
+    // answer (an unweighted median of a reweighted corpus misleads):
+    // the weighted p-quantile is the first value v (in (n_chars,
+    // doc_id) order) whose inclusive cumulative weight crosses p·W. The
+    // cumulative is the q57/q218 two-phase prefix sum (value-bucket
+    // chunks + chunkOffsets carry-ins, bit-identical to the oracle's
+    // flat window), the crossing tests are pure int64 comparisons
+    // (4·cum vs k·W — no float quantile math at all), and the q98
+    // weight rule is shared with its oracle via sqlImportanceCtes.
+    QueryDef("q225_weighted_median", (s, d) => {
+      val docs = t(s, d, "documents")
+      val frame = docs.select(col("doc_id"), col("n_chars"))
+        .join(importanceScores(docs)
+          .select(col("doc_id"), col("avg_weight").as("wt")), "doc_id")
+        .withColumn("chunk", expr("n_chars div 64"))
+        .localCheckpoint() // chunk totals + local cumsum both read it
+      val offs = chunkOffsets(
+        frame.groupBy("chunk").agg(sum("wt").as("tot")), "chunk", "tot")
+      val wLoc = Window.partitionBy("chunk").orderBy("n_chars", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = frame.agg(sum("wt").as("w_total"))
+      def crossing(k: Int) = // first row where 4*cum crosses k*W
+        lit(4L) * col("cum") >= lit(k.toLong) * col("w_total") &&
+          lit(4L) * (col("cum") - col("wt")) < lit(k.toLong) * col("w_total")
+      frame.withColumn("loc", sum("wt").over(wLoc))
+        .join(offs, "chunk")
+        .withColumn("cum", col("loc") + col("off"))
+        .crossJoin(broadcast(tot))
+        .agg(max("w_total").as("w_total"),
+          max(when(crossing(1), col("n_chars"))).as("p25_chars"),
+          max(when(crossing(2), col("n_chars"))).as("p50_chars"),
+          max(when(crossing(3), col("n_chars"))).as("p75_chars"))
+    },
+      Some(s"""WITH $sqlImportanceCtes,
+             |wd AS MATERIALIZED (
+             |  SELECT d.doc_id, d.n_chars, sc.score // sc.n_tokens AS wt
+             |  FROM documents d JOIN sc ON d.doc_id = sc.doc_id),
+             |cum AS (
+             |  SELECT n_chars, wt,
+             |    CAST(sum(wt) OVER (ORDER BY n_chars, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM wd),
+             |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS w_total FROM wd)
+             |SELECT w_total,
+             |  max(CASE WHEN 4 * cum >= 1 * w_total
+             |        AND 4 * (cum - wt) < 1 * w_total THEN n_chars END)
+             |    AS p25_chars,
+             |  max(CASE WHEN 4 * cum >= 2 * w_total
+             |        AND 4 * (cum - wt) < 2 * w_total THEN n_chars END)
+             |    AS p50_chars,
+             |  max(CASE WHEN 4 * cum >= 3 * w_total
+             |        AND 4 * (cum - wt) < 3 * w_total THEN n_chars END)
+             |    AS p75_chars
+             |FROM cum CROSS JOIN tot GROUP BY w_total""".stripMargin)),
 
     // ---- Stratified k-fold cross-validation assignment -------------------
     // Deterministic 5-fold CV splits, stratified by (lang, source):

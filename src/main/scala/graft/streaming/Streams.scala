@@ -305,6 +305,65 @@ object Streams {
     * q199 flags it offline — the batch-equality spec drives that. State
     * is one open-day aggregate per event type, expired by the
     * watermark; the profile join is stateless. */
+  final case class HampelEv(event_type: String, day: Long, us: Long,
+      event_id: Long)
+  final case class HampelDay(day: Long, n: Long)
+  final case class HampelState(open: Option[HampelDay], closed: Seq[HampelDay])
+  final case class HampelPoint(event_type: String, d_idx: Long, x: Long,
+      med7: Long, mad7: Long, is_outlier: Boolean)
+
+  /** Streaming twin of q217's Hampel filter: per event type, daily
+    * counts accumulate in one open-day register; each day CLOSE pushes
+    * onto a 7-deep ring of closed days, and once the ring is full the
+    * CENTER day (4th-newest) gets its median/MAD verdict — i.e. a day
+    * is judged exactly 3 closed days after it, the online face of the
+    * batch side's rows-between(-3,3) window. All-integer state (at most
+    * 8 (day, count) pairs per type — constant forever) and all-integer
+    * verdicts, so replaying the log in time order reproduces q217's
+    * rows bit-for-bit for every day with a complete window (the
+    * batch-equality spec drives that). */
+  def hampelIngest(events: DataFrame): Dataset[HampelPoint] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[HampelEv]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[HampelState, HampelPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, batch: Iterator[HampelEv],
+            state: GroupState[HampelState]) =>
+          val out = Seq.newBuilder[HampelPoint]
+          var st = state.getOption.getOrElse(HampelState(None, Nil))
+          def closeDay(d: HampelDay): Unit = {
+            val ring = (st.closed :+ d).takeRight(7)
+            st = st.copy(closed = ring)
+            if (ring.length == 7) {
+              val center = ring(3)
+              val sorted = ring.map(_.n).sorted
+              val med = sorted(3)
+              val mad = ring.map(r => math.abs(r.n - med)).sorted.apply(3)
+              out += HampelPoint(etype, center.day, center.n, med, mad,
+                math.abs(center.n - med) > 3L * mad)
+            }
+          }
+          batch.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            st.open match {
+              case Some(o) if o.day == e.day =>
+                st = st.copy(open = Some(o.copy(n = o.n + 1)))
+              case Some(o) =>
+                closeDay(o)
+                st = st.copy(open = Some(HampelDay(e.day, 1L)))
+              case None =>
+                st = st.copy(open = Some(HampelDay(e.day, 1L)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   def seasonalAlarm(events: DataFrame, profile: DataFrame): DataFrame =
     graft.queries.Events.seasonalScore(
       events

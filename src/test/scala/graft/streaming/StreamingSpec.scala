@@ -306,6 +306,24 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming Hampel replayed in time order equals batch q217 on judged days") {
+    val q = Streams.hampelIngest(Streams.source(spark, eventsDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hampel_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hampel_out")
+      .select("event_type", "d_idx", "x", "med7", "mad7", "is_outlier")
+    // twin contract: a day is judged once 3 later days CLOSE, so the
+    // online run covers every batch full-window row up to each type's
+    // last judged day; past that the batch rows await more stream
+    val cut = got.groupBy("event_type").agg(max("d_idx").as("mx"))
+    val want = SparkEntry.queries("q217_hampel_filter")(spark, sfDir)
+      .join(cut, "event_type").filter(col("d_idx") <= col("mx"))
+      .select("event_type", "d_idx", "x", "med7", "mad7", "is_outlier")
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+  }
+
   test("streaming curation applies the full stateless q68 gate set before dedup") {
     val docs = Tables.load(spark, sfDir, "documents")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
