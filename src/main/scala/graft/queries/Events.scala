@@ -374,6 +374,46 @@ object Events {
       .select("event_type", "d_idx", "x", "ewma")
   }
 
+  /** Daily peak session concurrency (sweep-line) — see q218. */
+  def sessionConcurrency(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val bounds = sess
+      .select(col("start_us").as("us"), lit(1L).as("delta"),
+        col("user_id"), col("session_id"))
+      .unionAll(sess.select((col("end_us") + 1).as("us"),
+        lit(-1L).as("delta"), col("user_id"), col("session_id")))
+      .withColumn("chunk", expr(s"us div $hourUs"))
+      .localCheckpoint() // chunk totals + local sweep both read it
+    val offs = Sampling.chunkOffsets(
+      bounds.groupBy("chunk").agg(sum("delta").as("tot")), "chunk", "tot")
+    val wLoc = Window.partitionBy("chunk")
+      .orderBy(col("us"), col("delta").desc, col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val conc = bounds
+      .withColumn("loc", sum("delta").over(wLoc))
+      .join(offs, "chunk")
+      .withColumn("conc", col("loc") + col("off"))
+      .filter(col("delta") === 1)
+      .withColumn("day_idx", expr("us div 86400000000"))
+      .localCheckpoint() // peak + first-instant both read it
+    val peaks = conc.groupBy("day_idx").agg(max("conc").as("peak"))
+    conc.join(peaks, "day_idx")
+      .filter(col("conc") === col("peak"))
+      .groupBy("day_idx", "peak")
+      .agg(min("us").as("first_peak_us"))
+  }
+
   /** Consecutive-pair transition support — see q201 (unbounded form;
     * the registered query keeps the top-20 cut). */
   def eventBigrams(events: DataFrame): DataFrame = {
@@ -2073,45 +2113,8 @@ object Events {
     // window by int64 reassociation), so no single task ever scans the
     // whole boundary stream; the oracle uses the flat window form.
     // Output: each day's peak and the first instant it is reached.
-    QueryDef("q218_session_concurrency", (s, d) => {
-      val hourUs = 3600L * 1000000L
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val sess = t(s, d, "events")
-        .withColumn("us", unix_micros(col("ts")))
-        .withColumn("prev_us", lag("us", 1).over(w))
-        .withColumn("is_new",
-          when(col("prev_us").isNull ||
-            col("us") - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
-        .withColumn("session_id", sum("is_new")
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "session_id")
-        .agg(min("us").as("start_us"), max("us").as("end_us"))
-      val bounds = sess
-        .select(col("start_us").as("us"), lit(1L).as("delta"),
-          col("user_id"), col("session_id"))
-        .unionAll(sess.select((col("end_us") + 1).as("us"),
-          lit(-1L).as("delta"), col("user_id"), col("session_id")))
-        .withColumn("chunk", expr(s"us div $hourUs"))
-        .localCheckpoint() // chunk totals + local sweep both read it
-      val offs = Sampling.chunkOffsets(
-        bounds.groupBy("chunk").agg(sum("delta").as("tot")), "chunk", "tot")
-      val wLoc = Window.partitionBy("chunk")
-        .orderBy(col("us"), col("delta").desc, col("user_id"), col("session_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val conc = bounds
-        .withColumn("loc", sum("delta").over(wLoc))
-        .join(offs, "chunk")
-        .withColumn("conc", col("loc") + col("off"))
-        .filter(col("delta") === 1)
-        .withColumn("day_idx", expr("us div 86400000000"))
-        .localCheckpoint() // peak + first-instant both read it
-      val peaks = conc.groupBy("day_idx").agg(max("conc").as("peak"))
-      conc.join(peaks, "day_idx")
-        .filter(col("conc") === col("peak"))
-        .groupBy("day_idx", "peak")
-        .agg(min("us").as("first_peak_us"))
-        .orderBy("day_idx")
-    },
+    QueryDef("q218_session_concurrency", (s, d) =>
+      sessionConcurrency(t(s, d, "events")).orderBy("day_idx"),
       Some("""WITH e AS (
              |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
              |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us

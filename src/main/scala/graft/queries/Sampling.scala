@@ -135,6 +135,32 @@ object Sampling {
       |    CAST(count(*) AS BIGINT) AS n_tokens
       |  FROM ft JOIN w USING (f) GROUP BY doc_id)""".stripMargin
 
+  /** Importance-weighted length quartiles — see q225. */
+  def weightedLengthQuartiles(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val frame = docs.select(col("doc_id"), col("n_chars"))
+      .join(importanceScores(docs)
+        .select(col("doc_id"), col("avg_weight").as("wt")), "doc_id")
+      .withColumn("chunk", expr("n_chars div 64"))
+      .localCheckpoint() // chunk totals + local cumsum both read it
+    val offs = chunkOffsets(
+      frame.groupBy("chunk").agg(sum("wt").as("tot")), "chunk", "tot")
+    val wLoc = Window.partitionBy("chunk").orderBy("n_chars", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = frame.agg(sum("wt").as("w_total"))
+    def crossing(k: Int) = // first row where 4*cum crosses k*W
+      lit(4L) * col("cum") >= lit(k.toLong) * col("w_total") &&
+        lit(4L) * (col("cum") - col("wt")) < lit(k.toLong) * col("w_total")
+    frame.withColumn("loc", sum("wt").over(wLoc))
+      .join(offs, "chunk")
+      .withColumn("cum", col("loc") + col("off"))
+      .crossJoin(broadcast(tot))
+      .agg(max("w_total").as("w_total"),
+        max(when(crossing(1), col("n_chars"))).as("p25_chars"),
+        max(when(crossing(2), col("n_chars"))).as("p50_chars"),
+        max(when(crossing(3), col("n_chars"))).as("p75_chars"))
+  }
+
   /** Priority sampling (q175's body) over a (doc_id, n_chars) frame,
     * exposed for fixture specs: the k highest-priority rows under
     * q_i = w_i / u_i with the Lehmer-hash uniform, plus the τ-capped
@@ -658,30 +684,8 @@ object Sampling {
     // flat window), the crossing tests are pure int64 comparisons
     // (4·cum vs k·W — no float quantile math at all), and the q98
     // weight rule is shared with its oracle via sqlImportanceCtes.
-    QueryDef("q225_weighted_median", (s, d) => {
-      val docs = t(s, d, "documents")
-      val frame = docs.select(col("doc_id"), col("n_chars"))
-        .join(importanceScores(docs)
-          .select(col("doc_id"), col("avg_weight").as("wt")), "doc_id")
-        .withColumn("chunk", expr("n_chars div 64"))
-        .localCheckpoint() // chunk totals + local cumsum both read it
-      val offs = chunkOffsets(
-        frame.groupBy("chunk").agg(sum("wt").as("tot")), "chunk", "tot")
-      val wLoc = Window.partitionBy("chunk").orderBy("n_chars", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = frame.agg(sum("wt").as("w_total"))
-      def crossing(k: Int) = // first row where 4*cum crosses k*W
-        lit(4L) * col("cum") >= lit(k.toLong) * col("w_total") &&
-          lit(4L) * (col("cum") - col("wt")) < lit(k.toLong) * col("w_total")
-      frame.withColumn("loc", sum("wt").over(wLoc))
-        .join(offs, "chunk")
-        .withColumn("cum", col("loc") + col("off"))
-        .crossJoin(broadcast(tot))
-        .agg(max("w_total").as("w_total"),
-          max(when(crossing(1), col("n_chars"))).as("p25_chars"),
-          max(when(crossing(2), col("n_chars"))).as("p50_chars"),
-          max(when(crossing(3), col("n_chars"))).as("p75_chars"))
-    },
+    QueryDef("q225_weighted_median", (s, d) =>
+      weightedLengthQuartiles(t(s, d, "documents")),
       Some(s"""WITH $sqlImportanceCtes,
              |wd AS MATERIALIZED (
              |  SELECT d.doc_id, d.n_chars, sc.score // sc.n_tokens AS wt

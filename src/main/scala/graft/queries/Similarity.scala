@@ -1000,10 +1000,38 @@ object Similarity {
       .select("node", "deg", "n_used", "lof")
   }
 
+  /** Thresholded-graph k-core peeling — see q208 (the registered query
+    * orders by node). Exposed for the scale probe: at corpus scale the
+    * centroid count follows the ~sqrt(n) cell contract. */
+  def kcoreProfile(emb: DataFrame, k: Int = 6, tau: Double = 0.2,
+      rounds: Int = 4, centroids: Int = 64): DataFrame = {
+    val g = knnGraph(emb, 12, centroids, 2).filter(col("cos_sim") >= tau)
+    val und = g.select(col("node").as("u"), col("nbr").as("v"))
+      .union(g.select(col("nbr").as("u"), col("node").as("v")))
+      .distinct()
+      .localCheckpoint()
+    def degOf(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
+    val deg0 = degOf(und)
+    var edges = und
+    for (_ <- 1 to rounds) {
+      val keep = degOf(edges).filter(col("deg") >= k).select("u")
+        .localCheckpoint() // both endpoint filters read it
+      edges = edges.join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint() // next round + final degree read it
+    }
+    degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
+      .join(deg0.select(col("u").as("node"), col("deg").as("deg_initial")),
+        "node")
+      .select("node", "deg_initial", "deg_final")
+  }
+
   /** Resource-allocation link prediction over the symmetrized kNN graph
     * — see q203 (unbounded form; the registered query keeps top-50). */
-  def linkPredictRA(emb: DataFrame): DataFrame = {
-    val g = knnGraph(emb)
+  def linkPredictRA(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
+      probes: Int = 2): DataFrame = {
+    val g = knnGraph(emb, degree, centroids, probes)
     val und = g.select(col("node").as("u"), col("nbr").as("v"))
       .union(g.select(col("nbr").as("u"), col("node").as("v")))
       .distinct()
@@ -2493,30 +2521,8 @@ object Similarity {
     // ever carries more than an edge, so a 100 TB graph peels in 4
     // shuffle rounds. Spark's loop and the oracle's CTE chain unroll
     // the SAME rounds, so survivors and degrees hash-match exactly.
-    QueryDef("q208_kcore", (s, d) => {
-      val K = 6
-      val g = knnGraph(t(s, d, "embeddings")).filter(col("cos_sim") >= 0.2)
-      val und = g.select(col("node").as("u"), col("nbr").as("v"))
-        .union(g.select(col("nbr").as("u"), col("node").as("v")))
-        .distinct()
-        .localCheckpoint()
-      def degOf(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
-      val deg0 = degOf(und)
-      var edges = und
-      for (_ <- 1 to 4) {
-        val keep = degOf(edges).filter(col("deg") >= K).select("u")
-          .localCheckpoint() // both endpoint filters read it
-        edges = edges.join(keep, Seq("u"), "left_semi")
-          .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-          .select("u", "v")
-          .localCheckpoint() // next round + final degree read it
-      }
-      degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
-        .join(deg0.select(col("u").as("node"), col("deg").as("deg_initial")),
-          "node")
-        .select("node", "deg_initial", "deg_final")
-        .orderBy("node")
-    },
+    QueryDef("q208_kcore", (s, d) =>
+      kcoreProfile(t(s, d, "embeddings")).orderBy("node"),
       Some {
         val rounds = (1 to 4).map { r =>
           val prev = if (r == 1) "und" else s"e${r - 1}"

@@ -353,11 +353,62 @@ object ScaleProbe {
           docs.filter(col("doc_id") % 5 =!= 0),
           docs.filter(col("doc_id") % 5 === 0)).count()
       }
+      // LOF / link prediction / k-core all ride the cell-probed graph:
+      // centroids follow the ~sqrt(n) cell contract so per-cell work
+      // stays bounded; degrees are fixed, so the post-graph stages
+      // (reach sums, wedges, peeling) are linear in nodes
+      time(s"lof_x$m") {
+        graft.queries.Similarity.lofOverGraph(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      time(s"link_predict_x$m") {
+        graft.queries.Similarity.linkPredictRA(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      time(s"kcore_x$m") {
+        graft.queries.Similarity.kcoreProfile(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      // time-series family: ONE corpus aggregation to the daily
+      // distribution table; everything after is series-length work, so
+      // these must ride the scan
+      time(s"acf_x$m") {
+        graft.queries.Events.acfDaily(replicateEvents(m)).count()
+      }
+      time(s"event_bigrams_x$m") {
+        graft.queries.Events.eventBigrams(replicateEvents(m)).count()
+      }
+      // sweep-line concurrency: sessionization's user-keyed windows +
+      // the two-phase prefix sum over hour chunks — both linear
+      time(s"session_concurrency_x$m") {
+        graft.queries.Events.sessionConcurrency(replicateEvents(m)).count()
+      }
+      // weighted quartiles: two corpus passes (weights join + chunked
+      // cumsum); the crossing test is a map filter — linear
+      time(s"weighted_median_x$m") {
+        graft.queries.Sampling.weightedLengthQuartiles(docs).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups
     time("zorder_layout") {
       graft.queries.Layout.zorderReport(bigLi).count()
+    }
+    // referential-integrity probe on the replicated fact pair: the
+    // audit is exactly the production join it certifies, so it must
+    // cost one keyed join + one fold at any scale
+    time("fk_audit_fact_fact") {
+      graft.queries.Quality.fkEdge("lineitem->orders", bigLi, "l_orderkey",
+        bigOrders, "o_orderkey").count()
+    }
+    // grouping sets over the big fact: ONE Expand + one hash aggregate
+    // (vs four separate scans) — the probe shows the single-pass cost
+    time("grouping_sets") {
+      bigLi.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n")).count()
     }
     // the EXACT threshold join is Omega(n^2) comparisons by nature (see
     // queries/Similarity.scala q47 note) — probe it at 1x/4x to show the

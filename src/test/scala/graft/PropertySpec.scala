@@ -351,5 +351,15 @@ class PropertySpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(
       graft.queries.Similarity.linkPredictRA(emb.repartition(7)),
       graft.queries.Similarity.linkPredictRA(emb))
+    assertSameRows(
+      graft.queries.Similarity.kcoreProfile(emb.repartition(5)),
+      graft.queries.Similarity.kcoreProfile(emb))
+    assertSameRows(
+      graft.queries.Events.sessionConcurrency(events.repartition(7)),
+      graft.queries.Events.sessionConcurrency(events))
+    val docs2 = Tables.load(spark, sfDir, "documents")
+    assertSameRows(
+      graft.queries.Sampling.weightedLengthQuartiles(docs2.repartition(9)),
+      graft.queries.Sampling.weightedLengthQuartiles(docs2))
   }
 }
