@@ -2625,6 +2625,56 @@ object Similarity {
            |ORDER BY seed, hop""".stripMargin
       }),
 
+    // ---- Per-dimension robust scaler statistics --------------------------
+    // The feature-normalization prep every embedding pipeline runs
+    // before distance math is trustworthy: per-coordinate median and
+    // IQR (the robust scaler — mean/σ is poisoned by the exact
+    // outliers q202 hunts). One posexplode turns the corpus into
+    // (dim, value) rows — a 64-way fan-out bounded by the declared
+    // dimensionality, the q45 band-explode contract — and each
+    // dimension's quartiles are exact rank picks on the quantization
+    // grid (q219's integer index formulas), partitioned per dim so the
+    // sort parallelizes across dimensions. 64 output rows at any
+    // corpus size; the normalization itself is then a map-only
+    // (v − med)/IQR against this broadcast table.
+    QueryDef("q226_dim_stats", (s, d) => {
+      val e = quantize(t(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("qv")).as(Seq("dim", "qval")))
+      val w = Window.partitionBy("dim").orderBy("qval", "vec_id")
+      val wn = Window.partitionBy("dim")
+      e.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .groupBy("dim")
+        .agg(max("n").as("n"),
+          max(when(col("rn") === expr("(n + 1) div 4"), col("qval")))
+            .as("p25_q"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("qval")))
+            .as("med_q"),
+          max(when(col("rn") === expr("(3 * (n + 1)) div 4"), col("qval")))
+            .as("p75_q"))
+        .withColumn("iqr_q", col("p75_q") - col("p25_q"))
+        .orderBy("dim")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |e AS MATERIALIZED (
+             |  SELECT vec_id, unnest(qv) AS qval,
+             |    CAST(unnest(range(len(qv))) AS INTEGER) AS dim
+             |  FROM q),
+             |r AS (
+             |  SELECT dim, qval,
+             |    row_number() OVER (PARTITION BY dim ORDER BY qval, vec_id)
+             |      AS rn,
+             |    count(*) OVER (PARTITION BY dim) AS n
+             |  FROM e)
+             |SELECT dim, CAST(max(n) AS BIGINT) AS n,
+             |  max(CASE WHEN rn = (n + 1) // 4 THEN qval END) AS p25_q,
+             |  max(CASE WHEN rn = (n + 1) // 2 THEN qval END) AS med_q,
+             |  max(CASE WHEN rn = (3 * (n + 1)) // 4 THEN qval END) AS p75_q,
+             |  max(CASE WHEN rn = (3 * (n + 1)) // 4 THEN qval END)
+             |    - max(CASE WHEN rn = (n + 1) // 4 THEN qval END) AS iqr_q
+             |FROM r GROUP BY dim ORDER BY dim""".stripMargin)),
+
     QueryDef("q203_link_predict", (s, d) =>
       linkPredictRA(t(s, d, "embeddings"))
         .orderBy(col("score_fp").desc, col("u"), col("v"))
