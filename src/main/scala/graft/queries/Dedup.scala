@@ -1643,6 +1643,76 @@ object Dedup {
         .orderBy("doc_id")
     },
       Some(sqlComponentsOracle)),
+
+    // ---- MinHash estimator-error attestation -----------------------------
+    // The sketch-accuracy audit the minhash family was missing (q33
+    // attests HLL, q112 attests IVF recall, q34 the quantile sketch):
+    // for every verified near-dup pair, compare the EXACT Jaccard
+    // against the k=32 one-permutation-per-slot minhash estimate
+    // (matching-slot fraction) and report the absolute error — the
+    // number that justifies band/row choices at 100 TB. The permutation
+    // family here is PORTABLE (affine (a·h+b) mod p over the 62-bit
+    // window hashes, constants from the shared Lehmer stream) so the
+    // oracle replays it exactly; the production signature (XXH64-mixed,
+    // functions/ArrayExprs.minhashSig) has the same uniformity
+    // guarantees but no SQL mirror. Shape: signatures are ONE corpus
+    // pass with a 32-row broadcast and map-side min-combine (shuffle
+    // carries docs×32 rows); the estimate join keys on pair doc ids.
+    QueryDef("q227_minhash_error", (s, d) => {
+      val P = 2147483647L
+      var x = 42L
+      def nxt(): Long = { x = x * 48271 % P; x }
+      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
+      val spark = s
+      import spark.implicits._
+      val permDf = perms.toDF("j", "pa", "pb")
+      val docs = t(s, d, "documents")
+      val hs = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
+        .as("h"))
+      val sig = hs.crossJoin(broadcast(permDf))
+        .groupBy("doc_id", "j")
+        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
+        .localCheckpoint() // both pair sides read it
+      val est = col("k_eq").cast("double") / lit(32.0)
+      nearDupPairsOf(docs).select("doc_a", "doc_b", "jaccard")
+        .join(sig.select(col("doc_id").as("doc_a"), col("j"),
+          col("m").as("ma")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("j"),
+          col("m").as("mb")), Seq("doc_b", "j"))
+        .groupBy("doc_a", "doc_b", "jaccard")
+        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("k_eq"))
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          est.as("mh_est"), abs(est - col("jaccard")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some {
+        val P = 2147483647L
+        var x = 42L
+        def nxt(): Long = { x = x * 48271 % P; x }
+        val vals = (0 until 32).map(j => s"($j, ${nxt()}, ${nxt()})")
+          .mkString(", ")
+        s"""WITH ${sqlPairCtes()},
+           |hu2 AS MATERIALIZED (
+           |  SELECT doc_id, h FROM ($sqlDocHashedShingles)),
+           |perms(j, pa, pb) AS (VALUES $vals),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, j,
+           |    min((pa * (h % $P) + pb) % $P) AS m
+           |  FROM hu2 CROSS JOIN perms GROUP BY doc_id, j),
+           |est AS (
+           |  SELECT p.doc_a, p.doc_b, p.jaccard,
+           |    CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS k_eq
+           |  FROM pairs p
+           |  JOIN sigs sa ON sa.doc_id = p.doc_a
+           |  JOIN sigs sb ON sb.doc_id = p.doc_b AND sa.j = sb.j
+           |  GROUP BY 1, 2, 3)
+           |SELECT doc_a, doc_b, jaccard,
+           |  CAST(k_eq AS DOUBLE) / 32.0 AS mh_est,
+           |  abs(CAST(k_eq AS DOUBLE) / 32.0 - jaccard) AS abs_err
+           |FROM est ORDER BY doc_a, doc_b""".stripMargin
+      }),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

@@ -689,21 +689,23 @@ object Relational {
     // one read. Exact NDV (not HLL) keeps the row hash-matchable; the
     // sketch twin for stats at scale is q33's attested HLL.
     QueryDef("q160_table_stats", (s, d) => {
+      // One aggregation PER COLUMN, not one 24-aggregate pass: multiple
+      // count(DISTINCT) in a single agg force an Expand (rows × columns)
+      // feeding one wide two-phase distinct — measured 9.8s at sf0.1.
+      // Six column-pruned scans (each reads ONE parquet column) with a
+      // narrow per-column distinct run in 1.4s, and at 100 TB each scan
+      // is a fraction of the table instead of an Expand over all of it.
       val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_returnflag", "l_linestatus")
-      val aggs = cols.flatMap { c =>
-        Seq(countDistinct(col(c)).as(s"ndv_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-          min(col(c)).cast("string").as(s"mn_$c"),
-          max(col(c)).cast("string").as(s"mx_$c"))
-      }
-      val stackArgs = cols.map(c =>
-        s"'$c', ndv_$c, nn_$c, mn_$c, mx_$c").mkString(", ")
-      t(s, d, "lineitem")
-        .agg(aggs.head, aggs.tail: _*)
-        .select(expr(s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, ndv, n_nulls, min_s, max_s)"))
-        .orderBy("column_name")
+      cols.map { c =>
+        t(s, d, "lineitem").select(col(c))
+          .agg(countDistinct(col(c)).as("ndv"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+            min(col(c)).cast("string").as("min_s"),
+            max(col(c)).cast("string").as("max_s"))
+          .select(lit(c).as("column_name"), col("ndv"), col("n_nulls"),
+            col("min_s"), col("max_s"))
+      }.reduce(_.unionAll(_)).orderBy("column_name")
     },
       Some {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

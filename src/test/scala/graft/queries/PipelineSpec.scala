@@ -2274,7 +2274,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q213_multivar_ols", // one-row min-day cross join (q171's class)
       "q220_ab_proportion_test", // 1-row-per-arm cross join (q164's class)
       "q221_bfs_expansion", // builds on q137's fixed centroid broadcast
-      "q225_weighted_median") // one-row weight-total cross join (q76's class)
+      "q225_weighted_median", // one-row weight-total cross join (q76's class)
+      "q227_minhash_error") // fixed 32-row permutation broadcast (q49's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

@@ -307,6 +307,21 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q227: minhash estimates are valid fractions tracking exact Jaccard") {
+    val out = SparkEntry.queries("q227_minhash_error")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val e = r.getAs[Double]("mh_est")
+      assert(e >= 0.0 && e <= 1.0)
+      assert(r.getAs[Double]("abs_err") ==
+        math.abs(e - r.getAs[Double]("jaccard")))
+    }
+    // k=32 slots: the mean error over verified (jaccard >= 0.8) pairs
+    // stays well inside the sqrt(j(1-j)/k) ~ 7% envelope
+    val meanErr = out.map(_.getAs[Double]("abs_err")).sum / out.length
+    assert(meanErr < 0.1, s"mean |est - jaccard| = $meanErr")
+  }
+
   test("q204: complex words imply at least three syllables each") {
     val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
     assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)
