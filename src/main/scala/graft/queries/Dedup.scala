@@ -1713,6 +1713,39 @@ object Dedup {
            |  abs(CAST(k_eq AS DOUBLE) / 32.0 - jaccard) AS abs_err
            |FROM est ORDER BY doc_a, doc_b""".stripMargin
       }),
+
+    // ---- Dedup threshold-sweep histogram ---------------------------------
+    // The tuning table behind every Jaccard threshold choice: pair
+    // counts per 0.05 similarity bin down to 0.5, with the
+    // top-cumulative column reading directly as "pairs a threshold of
+    // bucket_lo would catch". One exact prefix-filtered pair join at
+    // the LOOSEST threshold (q65's machinery at 0.5 — one run instead
+    // of one per candidate threshold), then a bounded ≤11-row bucket
+    // rollup; the cumulative window runs over those 11 rows only.
+    // Bit-stable binning: both engines compute the identical jaccard
+    // double and the identical floor(j·20).
+    QueryDef("q229_jaccard_histogram", (s, d) => {
+      val b = jaccardJoin(t(s, d, "documents"), 0.5)
+        .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      val w = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      b.withColumn("bucket_lo", col("bucket").cast("double") / 20.0)
+        .withColumn("cum_at_or_above", sum("n_pairs").over(w))
+        .select("bucket", "bucket_lo", "n_pairs", "cum_at_or_above")
+        .orderBy("bucket")
+    },
+      Some(s"""WITH ${sqlHashedPairCtes(0.5)},
+             |b AS (
+             |  SELECT CAST(floor(jaccard * 20) AS INTEGER) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM pairs GROUP BY 1)
+             |SELECT bucket, CAST(bucket AS DOUBLE) / 20.0 AS bucket_lo,
+             |  n_pairs,
+             |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS BIGINT) AS cum_at_or_above
+             |FROM b ORDER BY bucket""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

@@ -390,5 +390,62 @@ object Quality {
              |  sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
              |    list_sort(list(term))), (acc, x) -> acc + x)
              |    / CAST(n * (least(r, c) - 1) AS DOUBLE)) AS cramers_v
-             |FROM terms GROUP BY n, r, c""".stripMargin)))
+             |FROM terms GROUP BY n, r, c""".stripMargin)),
+
+    // ---- Ingestion freshness / coverage report ---------------------------
+    // The on-call dashboard row per stream: volume, time span, density,
+    // and STALENESS — each type's lag behind the corpus high-water mark
+    // (the signal that one upstream feed silently died while the others
+    // kept flowing; a global max(ts) alone can't see it). One grouped
+    // aggregation over exact integer microseconds + a 1-row broadcast
+    // of the corpus maximum; staleness flags at > 24h. The per-day
+    // density divides span+1 days so single-day streams stay defined.
+    QueryDef("q228_freshness_report", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      val g = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          min(expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+            .as("first_day"),
+          max(expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+            .as("last_day"),
+          countDistinct(
+            expr("unix_micros(date_trunc('day', ts)) div 86400000000"))
+            .as("days_seen"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      val hwm = ev.agg(max(unix_micros(col("ts"))).as("hwm_us"))
+      g.crossJoin(broadcast(hwm))
+        .select(col("event_type"), col("n_events"), col("first_day"),
+          col("last_day"), col("days_seen"),
+          (col("days_seen").cast("double") /
+            (col("last_day") - col("first_day") + 1).cast("double"))
+            .as("day_coverage"),
+          (col("n_events").cast("double") / col("days_seen").cast("double"))
+            .as("events_per_day"),
+          expr("(hwm_us - last_us) div 3600000000").as("stale_hours"),
+          ((col("hwm_us") - col("last_us")) > 24L * 3600000000L)
+            .as("is_stale"))
+        .orderBy("event_type")
+    },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+             |      // 86400000000 AS d_idx,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events WHERE ts IS NOT NULL),
+             |g AS (
+             |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             |    CAST(min(d_idx) AS BIGINT) AS first_day,
+             |    CAST(max(d_idx) AS BIGINT) AS last_day,
+             |    CAST(count(DISTINCT d_idx) AS BIGINT) AS days_seen,
+             |    CAST(max(us) AS BIGINT) AS last_us
+             |  FROM e GROUP BY event_type),
+             |hwm AS (SELECT CAST(max(us) AS BIGINT) AS hwm_us FROM e)
+             |SELECT event_type, n_events, first_day, last_day, days_seen,
+             |  CAST(days_seen AS DOUBLE)
+             |    / CAST(last_day - first_day + 1 AS DOUBLE) AS day_coverage,
+             |  CAST(n_events AS DOUBLE) / CAST(days_seen AS DOUBLE)
+             |    AS events_per_day,
+             |  (hwm_us - last_us) // 3600000000 AS stale_hours,
+             |  (hwm_us - last_us) > 86400000000 AS is_stale
+             |FROM g CROSS JOIN hwm ORDER BY event_type""".stripMargin)))
 }

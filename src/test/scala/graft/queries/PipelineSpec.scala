@@ -2275,7 +2275,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q220_ab_proportion_test", // 1-row-per-arm cross join (q164's class)
       "q221_bfs_expansion", // builds on q137's fixed centroid broadcast
       "q225_weighted_median", // one-row weight-total cross join (q76's class)
-      "q227_minhash_error") // fixed 32-row permutation broadcast (q49's class)
+      "q227_minhash_error", // fixed 32-row permutation broadcast (q49's class)
+      "q228_freshness_report") // one-row high-water-mark cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
