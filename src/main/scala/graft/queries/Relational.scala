@@ -1023,8 +1023,13 @@ object Relational {
         (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
           .as("v2"),
         (col("l_tax").cast(DecimalType(12, 2)) * 100).cast("long").as("v3"),
-        expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000")
-          .as("v4"))
+        // shipday centered by a FIXED epoch offset (1991-11-22, day 8000):
+        // raw epoch-day indexes (~10⁴) push n·Σv4² past 2⁶³ at sf0.1 —
+        // the overflow the first cut hit in bench. Centering is
+        // correctness-neutral for Pearson (shift-invariant) and keeps
+        // the int64 moments exact far past 10⁹ rows.
+        expr("unix_micros(date_trunc('day', l_shipdate)) div 86400000000" +
+          " - 8000").as("v4"))
       val cols = Seq("v1", "v2", "v3", "v4")
       val names = Map("v1" -> "quantity", "v2" -> "discount",
         "v3" -> "tax", "v4" -> "shipday")
@@ -1038,14 +1043,18 @@ object Relational {
       // 1-row moment table, materialized once — the 6 pair rows below
       // must not re-run the corpus scan per pair
       val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      // the r-formula PRODUCTS run in double space (each int64 moment
+      // converts exactly below 2^53, and both engines round identically
+      // above it): n·q and s·s as int64 products overflow at 6·10⁵ rows
+      // even with centered inputs — the moments are int64-exact, the
+      // combination must not be
+      def mm(c: String) = col(c).cast("double")
       def r(a: String, b: String): Column = {
-        val da = (col("n") * col(s"q_$a") - col(s"s_$a") * col(s"s_$a"))
-          .cast("double")
-        val db = (col("n") * col(s"q_$b") - col(s"s_$b") * col(s"s_$b"))
-          .cast("double")
+        val da = mm("n") * mm(s"q_$a") - mm(s"s_$a") * mm(s"s_$a")
+        val db = mm("n") * mm(s"q_$b") - mm(s"s_$b") * mm(s"s_$b")
         when(da > 0.0 && db > 0.0,
-          (col("n") * col(s"x_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
-            .cast("double") / (sqrt(da) * sqrt(db)))
+          (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
+            / (sqrt(da) * sqrt(db)))
       }
       val out = pairs.map { case (a, b) =>
         m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
@@ -1060,12 +1069,16 @@ object Relational {
         val pairs = for {
           i <- cols.indices; j <- cols.indices if i < j
         } yield (cols(i), cols(j))
+        def dd(c: String) = s"CAST($c AS DOUBLE)"
+        def dSql(c: String) =
+          s"${dd("n")} * ${dd(s"q_$c")} - ${dd(s"s_$c")} * ${dd(s"s_$c")}"
         def rSql(a: String, b: String) =
-          s"""CASE WHEN CAST(n * q_$a - s_$a * s_$a AS DOUBLE) > 0.0
-             |      AND CAST(n * q_$b - s_$b * s_$b AS DOUBLE) > 0.0
-             |    THEN CAST(n * x_${a}_$b - s_$a * s_$b AS DOUBLE)
-             |      / (sqrt(CAST(n * q_$a - s_$a * s_$a AS DOUBLE))
-             |         * sqrt(CAST(n * q_$b - s_$b * s_$b AS DOUBLE)))
+          s"""CASE WHEN ${dSql(a)} > 0.0
+             |      AND ${dSql(b)} > 0.0
+             |    THEN (${dd("n")} * ${dd(s"x_${a}_$b")}
+             |          - ${dd(s"s_$a")} * ${dd(s"s_$b")})
+             |      / (sqrt(${dSql(a)})
+             |         * sqrt(${dSql(b)}))
              |  END""".stripMargin
         val arms = pairs.map { case (a, b) =>
           s"SELECT '${names(a)}_${names(b)}' AS pair, n, ${rSql(a, b)} AS r FROM m"
@@ -1076,7 +1089,7 @@ object Relational {
            |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS v2,
            |    CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS v3,
            |    epoch_us(date_trunc('day', CAST(l_shipdate AS TIMESTAMP)))
-           |      // 86400000000 AS v4
+           |      // 86400000000 - 8000 AS v4
            |  FROM lineitem),
            |m AS MATERIALIZED (
            |  SELECT CAST(count(*) AS BIGINT) AS n,
