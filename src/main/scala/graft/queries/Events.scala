@@ -2155,6 +2155,48 @@ object Events {
              |GROUP BY p.day_idx, pk.peak
              |ORDER BY p.day_idx""".stripMargin)),
 
+    // ---- CDC changelog apply (latest-wins with delete tombstones) --------
+    // The change-data-capture compaction every lakehouse MERGE runs:
+    // the event stream read as a per-user changelog — 'error' rows are
+    // DELETE tombstones, everything else upserts the payload — and the
+    // materialized snapshot keeps each key's LATEST surviving state.
+    // Latest-wins is the exact (ts, event_id) total order (at-least-once
+    // ingestion ties break on event_id, q140's rule); a key whose final
+    // change is a tombstone leaves the snapshot entirely — the
+    // distinction that separates CDC apply from dedup (q140: drop
+    // re-deliveries) and SCD2 (q163: KEEP history). One per-key window
+    // pass, payload in exact DECIMAL cents.
+    QueryDef("q230_cdc_apply", (s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val wn = Window.partitionBy("user_id")
+      t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_changes", count(lit(1)).over(wn))
+        .filter(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type").as("last_type"),
+          col("us").as("last_us"), col("cents").as("last_cents"),
+          col("n_changes"))
+        .orderBy("user_id")
+    },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+             |        event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM events WHERE ts IS NOT NULL)
+             |SELECT user_id, event_type AS last_type, us AS last_us,
+             |  cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
+             |FROM c WHERE rn = 1 AND event_type != 'error'
+             |ORDER BY user_id""".stripMargin)),
+
     // ---- Exact daily value percentiles (P50/P90) per event type ----------
     // The SLO/latency-report shape: exact per-(type, day) order
     // statistics of the event value, not approximations — q34's sketch
