@@ -29,6 +29,25 @@ import graft.{QueryDef, Tables}
 object Relational {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Day-spine calendar dimension spanning the fact's order dates —
+    * see q231 (q232 joins it). Generated in-plan: 1-row bounds
+    * aggregate + sequence explode, rows = span days at any fact size. */
+  private def calendarDim(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .agg(
+        min(expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000"))
+          .as("lo"),
+        max(expr("unix_micros(date_trunc('day', o_orderdate)) div 86400000000"))
+          .as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("d_idx"))
+      .withColumn("dt", expr("date_add(DATE '1970-01-01', CAST(d_idx AS INT))"))
+      .select(col("d_idx"), col("dt"),
+        year(col("dt")).as("y"), quarter(col("dt")).as("q"),
+        month(col("dt")).as("m"), dayofmonth(col("dt")).as("dom"),
+        expr("(d_idx + 3) % 7").cast("int").as("dow_mon0"),
+        (expr("(d_idx + 3) % 7") >= 5).as("is_weekend"),
+        (col("dt") === last_day(col("dt"))).as("is_month_end"))
+
   // Money arithmetic runs in exact DECIMAL and is cast to double only at the
   // end: double-sum results depend on partition/summation order, so a
   // hash-exact oracle compare needs order-independent (exact) aggregation.
@@ -1193,5 +1212,87 @@ object Relational {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
              |ORDER BY l_returnflag, cents, l_orderkey, l_linenumber,
              |  bucket4, next_cents""".stripMargin)),
+
+    // ---- Calendar dimension generator ------------------------------------
+    // The date dimension every star schema joins instead of re-deriving
+    // date parts in each query: a dense day spine spanning the fact's
+    // order dates, with calendar attributes precomputed once. Generated
+    // in-plan from a 1-row bounds aggregate + sequence explode (the q87
+    // spine pattern — no external table, rows = span days regardless of
+    // fact size). Weekday is the integer epoch-day class (q199's rule —
+    // the engines' dayofweek() numberings disagree); year/month/
+    // quarter/last_day exercise the date-part surface both engines
+    // define identically.
+    QueryDef("q231_calendar_dim", (s, d) =>
+      calendarDim(s, d).orderBy("d_idx"),
+      Some("""WITH b AS (
+             |  SELECT
+             |    min(epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             |      // 86400000000) AS lo,
+             |    max(epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             |      // 86400000000) AS hi
+             |  FROM orders),
+             |s AS (SELECT unnest(range(lo, hi + 1)) AS d_idx FROM b),
+             |c AS (SELECT d_idx,
+             |        DATE '1970-01-01' + CAST(d_idx AS INTEGER) AS dt
+             |      FROM s)
+             |SELECT d_idx, dt,
+             |  CAST(year(dt) AS INTEGER) AS y,
+             |  CAST(quarter(dt) AS INTEGER) AS q,
+             |  CAST(month(dt) AS INTEGER) AS m,
+             |  CAST(day(dt) AS INTEGER) AS dom,
+             |  CAST((d_idx + 3) % 7 AS INTEGER) AS dow_mon0,
+             |  (d_idx + 3) % 7 >= 5 AS is_weekend,
+             |  dt = last_day(dt) AS is_month_end
+             |FROM c ORDER BY d_idx""".stripMargin)),
+
+    // ---- Star date-dimension join: quarterly revenue rollup --------------
+    // The q231 dimension IN USE: facts join the day spine on the
+    // integer day index (never re-deriving date parts per row — at
+    // 100 TB the dim broadcasts and the date logic runs once per
+    // distinct day, not once per fact row) and roll up to
+    // (year, quarter, month) with DECIMAL-exact revenue and
+    // weekend-share analytics the raw fact couldn't answer without
+    // embedded calendar math.
+    QueryDef("q232_month_rollup", (s, d) =>
+      t(s, d, "orders")
+        .select(expr("unix_micros(date_trunc('day', o_orderdate))" +
+          " div 86400000000").as("d_idx"),
+          col("o_totalprice").cast(DecimalType(12, 2)).as("price"))
+        .join(broadcast(
+          calendarDim(s, d).select("d_idx", "y", "q", "m", "is_weekend")),
+          "d_idx")
+        .groupBy("y", "q", "m")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("revenue"),
+          sum(when(col("is_weekend"), col("price"))
+            .otherwise(expr("CAST(0 AS DECIMAL(12,2))")))
+            .cast("double").as("weekend_revenue"))
+        .orderBy("y", "q", "m"),
+      Some("""WITH cal AS MATERIALIZED (
+             |  SELECT lo + g.d AS d_idx,
+             |    DATE '1970-01-01' + CAST(lo + g.d AS INTEGER) AS dt
+             |  FROM (SELECT
+             |      min(epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             |        // 86400000000) AS lo,
+             |      max(epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             |        // 86400000000) AS hi
+             |    FROM orders) b
+             |    CROSS JOIN LATERAL (SELECT unnest(range(0, hi - lo + 1)) AS d) g),
+             |f AS (
+             |  SELECT epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
+             |      // 86400000000 AS d_idx,
+             |    CAST(o_totalprice AS DECIMAL(12,2)) AS price
+             |  FROM orders)
+             |SELECT CAST(year(dt) AS INTEGER) AS y,
+             |  CAST(quarter(dt) AS INTEGER) AS q,
+             |  CAST(month(dt) AS INTEGER) AS m,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(price) AS DOUBLE) AS revenue,
+             |  CAST(sum(CASE WHEN (f.d_idx + 3) % 7 >= 5 THEN price
+             |    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             |    AS weekend_revenue
+             |FROM f JOIN cal ON f.d_idx = cal.d_idx
+             |GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin)),
   )
 }
