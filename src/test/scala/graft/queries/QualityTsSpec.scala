@@ -322,6 +322,61 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     assert(meanErr < 0.1, s"mean |est - jaccard| = $meanErr")
   }
 
+  test("q219: daily percentiles are ordered and drawn from the day's values") {
+    val out = SparkEntry.queries("q219_daily_percentiles")(spark, sfDir).cache()
+    assert(out.filter(col("p50_cents") > col("p90_cents")).count() == 0)
+    assert(out.filter(col("p50_cents").isNull || col("p90_cents").isNull)
+      .count() == 0)
+  }
+
+  test("q230: a key whose last change is a tombstone leaves the snapshot") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, "click", 10.0), (2L, 1L, 1L, "error", 0.0), // deleted
+      (3L, 2L, 0L, "click", 5.0), (4L, 2L, 1L, "purchase", 7.0), // upserted
+      (5L, 3L, 0L, "error", 0.0), (6L, 3L, 1L, "view", 3.0)) // resurrected
+      .toDF("event_id", "user_id", "off", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_micros(col("off") * 1000000L).as("ts"),
+        col("event_type"), col("value"))
+    // drive the registered query's exact shape on the fixture
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)
+    val got = ev.select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+          .cast("long").as("cents"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select("user_id", "event_type", "cents").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[String]("event_type"), r.getAs[Long]("cents"))).toMap
+    assert(!got.contains(1L)) // tombstone wins
+    assert(got(2L) == (("purchase", 700L)))
+    assert(got(3L) == (("view", 300L))) // later upsert resurrects
+  }
+
+  test("q231/q232: the calendar spine is gapless and the rollup matches a direct aggregation") {
+    val cal = SparkEntry.queries("q231_calendar_dim")(spark, sfDir).cache()
+    val n = cal.count()
+    val b = cal.agg(min("d_idx"), max("d_idx")).collect().head
+    assert(n == b.getLong(1) - b.getLong(0) + 1) // dense spine, no gaps
+    assert(cal.filter(col("dow_mon0") < 0 || col("dow_mon0") > 6).count() == 0)
+    // independent derivation: group orders by the engine's own month
+    // functions, no dimension join — totals must agree exactly
+    val direct = Tables.load(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast("double").as("revenue"))
+    val viaDim = SparkEntry.queries("q232_month_rollup")(spark, sfDir)
+      .select("y", "q", "m", "n_orders", "revenue")
+    assertSameRows(viaDim, direct.select("y", "q", "m", "n_orders", "revenue"))
+  }
+
   test("q204: complex words imply at least three syllables each") {
     val out = SparkEntry.queries("q204_lexical_complexity")(spark, sfDir)
     assert(out.filter(col("n_syllables") < col("n_complex") * 3).count() == 0)
