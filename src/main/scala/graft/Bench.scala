@@ -108,15 +108,30 @@ object Bench {
     val failed = names.filter(best(_) < 0)
     failed.foreach(n => System.err.println(s"[bench] query $n FAILED — excluded from total"))
 
-    // previous round's numbers, if a BENCH_r*.json sits in the cwd
+    // Round number: one past the newest driver-written BENCH_r*.json
+    // (the driver writes it when a round closes, so during round N the
+    // cwd holds BENCH_r{N-1}). Self-written BENCH_SELF files don't count
+    // — rerunning Bench within a round must overwrite, not advance.
+    val allFiles = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    val driverRx = "BENCH_r(\\d+)\\.json".r
+    val selfRx = "BENCH_SELF_r(\\d+)\\.json".r
+    val driverFiles = allFiles.flatMap(f => f.getName match {
+      case driverRx(n) => Some((n.toInt, f))
+      case _ => None
+    }).sortBy(_._1)
+    val round = driverFiles.lastOption.map(_._1 + 1).getOrElse(1)
+
+    // previous round's numbers: prefer self-written BENCH_SELF_r*.json
+    // (complete by construction) over the driver's BENCH_r*.json (tail
+    // capture chopped the queries map head in rounds 6-8 -> parsed:null).
+    // Exclude this round's own SELF file — deltas compare across rounds.
     val prev: Option[(String, Map[String, Double])] = {
-      val dir = new java.io.File(".")
-      val rx = "BENCH_r(\\d+)\\.json".r
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .flatMap(f => f.getName match {
-          case rx(n) => Some((n.toInt, f))
-          case _ => None
-        }).sortBy(_._1)
+      val selfFiles = allFiles.flatMap(f => f.getName match {
+        case selfRx(n) if n.toInt < round => Some((n.toInt, f))
+        case _ => None
+      }).sortBy(_._1)
+      val files = if (selfFiles.nonEmpty) selfFiles else driverFiles
       files.lastOption.map { case (n, f) =>
         val txt = scala.io.Source.fromFile(f).mkString
         // Parse ONLY the "queries":{...} object: the file also carries
@@ -156,20 +171,26 @@ object Bench {
       }).mkString("{", ",", "}")
       s""","prev_round":"$round","delta_vs_prev":$ds"""
     }.getOrElse("")
-    // TRUNCATION-PROOF LAYOUT (round-7 postmortem): the driver keeps only
-    // the tail of the sbt output, and r7's single giant line lost its
-    // queries/headline_total head — parsed:null, deltas dead. So: the
-    // compact line that matters ({total, headline_total, failed, queries})
-    // is printed FIRST (for head-biased capture) and repeated LAST (for
-    // literal tail capture); the big per-query bytes map and the
-    // delta_vs_prev section ride a separate middle line whose loss costs
-    // diagnostics, never the round's numbers. Both compact copies are
-    // byte-identical, so any "first JSON line" / "last JSON line" parse
-    // sees the same truth.
-    val compact = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_total":${jnum(headlineTotal)},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(compact)
-    println(s"""{"metric":"bytes","bytes":$bytesJson$deltaJson,"sf":"$sfDir"}""")
-    println(compact)
+    // TRUNCATION-PROOF LAYOUT (round-8 postmortem, third iteration): the
+    // driver keeps only ~2.2 KB of output TAIL, and a compact line
+    // carrying a 232-entry queries map is ~6 KB — its leading
+    // total/headline_total/failed fields were chopped three rounds
+    // running (parsed:null). So the LAST printed line is now TINY
+    // (summary only, no per-query map — ~200 bytes, survives any
+    // plausible tail window), and the complete per-query seconds/bytes/
+    // delta payload is WRITTEN TO DISK as BENCH_SELF_r{N}.json (committed
+    // with the round; the prev-round parser above prefers it). The full
+    // line is still printed FIRST for head-biased captures and humans.
+    val selfFile = s"BENCH_SELF_r$round.json"
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_total":${jnum(headlineTotal)},"failed":$failedJson,"n_queries":${names.size},"queries":$qs,"bytes":$bytesJson$deltaJson,"sf":"$sfDir"}"""
+    // subset runs (args given) are local iteration — never let a partial
+    // queries map overwrite the round's committed full record
+    if (args.isEmpty) {
+      val fw = new java.io.PrintWriter(selfFile, "UTF-8")
+      try fw.println(full) finally fw.close()
+    }
+    println(full)
+    println(s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_total":${jnum(headlineTotal)},"failed":$failedJson,"n_queries":${names.size},"self":"$selfFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,7 +175,7 @@ object Curation {
       Some(s"""WITH ${Dedup.sqlPairCtes()},
              |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
              |$sqlGateCtes
-             |SELECT m.doc_id, lang, n AS n_tokens,
+             |SELECT m.doc_id, lang, CAST(n AS INTEGER) AS n_tokens,
              |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
              |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
              |       ELSE 'test' END AS split
@@ -209,7 +209,7 @@ object Curation {
       Some(s"""WITH $sqlGateCtes,
              |q AS (SELECT vec_id, ${Similarity.sqlQuant} AS qv FROM embeddings),
              |e AS (SELECT vec_id, ${Similarity.sqlDot("qv", "qv")} AS n2 FROM q)
-             |SELECT m.doc_id, lang, source, n AS n_tokens,
+             |SELECT m.doc_id, lang, source, CAST(n AS INTEGER) AS n_tokens,
              |  $sqlGateOk AS gates_ok,
              |  CASE WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 800 THEN 'train'
              |       WHEN ${Sampling.sqlLehmerOf("m.doc_id")} % 1000 < 900 THEN 'val'
@@ -594,7 +594,8 @@ object Curation {
     },
       Some(s"""WITH $sqlGateCtes,
              |gl AS MATERIALIZED (
-             |  SELECT m.doc_id, m.lang, m.n AS n_tokens, $sqlGateOk AS gate_ok
+             |  SELECT m.doc_id, m.lang, CAST(m.n AS INTEGER) AS n_tokens,
+             |    $sqlGateOk AS gate_ok
              |  FROM m JOIN mx ON m.doc_id = mx.doc_id),
              |pos AS (
              |  SELECT doc_id, 1 AS label, n_tokens, lang FROM gl WHERE gate_ok

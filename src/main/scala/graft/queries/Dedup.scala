@@ -917,8 +917,8 @@ object Dedup {
              |         CAST(sum(mx - mn + 1) AS BIGINT) AS cv FROM (
              |    SELECT doc_id, g, min(p) AS mn, max(e) AS mx, count(*) AS c
              |    FROM grp GROUP BY doc_id, g) q GROUP BY doc_id)
-             |SELECT t.doc_id, len(tk) AS n_tokens,
-             |  greatest(len(tk) - 4, 0) AS n_windows,
+             |SELECT t.doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             |  CAST(greatest(len(tk) - 4, 0) AS INTEGER) AS n_windows,
              |  coalesce(cov.ndw, 0) AS n_dup_windows,
              |  coalesce(cov.cv, 0) AS covered_tokens,
              |  CAST(coalesce(cov.cv, 0) AS DOUBLE) / len(tk) AS dup_frac
@@ -1333,8 +1333,10 @@ object Dedup {
              |          ORDER BY doc_id, para_id) = 1 AS keep FROM ph)
              |SELECT doc_id,
              |  count(*) AS n_paras,
-             |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS kept_paras,
-             |  sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS retained_tokens,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS kept_paras,
+             |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS retained_tokens,
              |  md5(coalesce(string_agg(para_text, ' ' ORDER BY para_id)
              |    FILTER (WHERE keep), '')) AS retained_hash
              |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
@@ -1555,7 +1557,7 @@ object Dedup {
              |  FROM hu a JOIN hu b ON a.t = b.t AND a.doc_id != b.doc_id
              |  GROUP BY 1, 2)
              |SELECT doc_sub, doc_sup, o AS shared,
-             |  ca.n AS n_sub, cb.n AS n_sup,
+             |  CAST(ca.n AS INTEGER) AS n_sub, CAST(cb.n AS INTEGER) AS n_sup,
              |  CAST(o AS DOUBLE) / ca.n AS containment,
              |  CAST(o AS DOUBLE) / (ca.n + cb.n - o) AS jaccard
              |FROM shared JOIN hcnt ca ON doc_sub = ca.doc_id

@@ -150,7 +150,7 @@ object Layout {
              |      0) AS cum_before
              |  FROM files)
              |SELECT source, lang, n_docs, file_bytes,
-             |  cum_before // 32768 AS bin
+             |  CAST(cum_before // 32768 AS BIGINT) AS bin
              |FROM planned ORDER BY source, lang""".stripMargin)),
 
     // ---- Join-key skew diagnosis report ----------------------------------
@@ -167,16 +167,25 @@ object Layout {
       def statsFor(df: org.apache.spark.sql.DataFrame, keyCol: String,
           name: String) = {
         val cnt = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("c"))
-        val ranked = cnt.withColumn("rn",
-          row_number().over(Window.orderBy(col("c"), col("key"))))
+        // Percentiles come from the counts-of-counts DISTRIBUTION (one
+        // row per distinct count value — bounded by max key multiplicity,
+        // not by key count), never from ranking every distinct key in one
+        // task: for the very keys a skew report exists for, the key table
+        // is corpus-scaled (the r8 verdict's q168 scale flag). The rank-r
+        // element of the (c, key)-ordered key table is exactly the c
+        // whose cumulative frequency first reaches r (the q64/q219
+        // crossing trick), so results are unchanged.
+        val dist = cnt.groupBy("c").agg(count(lit(1)).as("freq"))
+          .withColumn("cum", sum("freq").over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val base = cnt.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
           max("c").as("max_c"))
-        val p50 = ranked.crossJoin(broadcast(base))
-          .filter(col("rn") === expr("(n_keys + 1) div 2"))
-          .select(col("c").as("p50_c"))
-        val p99 = ranked.crossJoin(broadcast(base))
-          .filter(col("rn") === expr("(n_keys * 99 + 99) div 100"))
-          .select(col("c").as("p99_c"))
+        def pick(rank: String, out: String) = dist.crossJoin(broadcast(base))
+          .filter(col("cum") >= expr(rank) &&
+            col("cum") - col("freq") < expr(rank))
+          .select(col("c").as(out))
+        val p50 = pick("(n_keys + 1) div 2", "p50_c")
+        val p99 = pick("(n_keys * 99 + 99) div 100", "p99_c")
         val top = cnt
           .orderBy(col("c").desc, col("key")).limit(3)
           .agg(array_join(transform(

@@ -33,7 +33,7 @@ object Multimodal {
           (octet_length(col("text")).cast("bigint") * 104729 % 768).as("height"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
-             |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+             |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
              |  sha256(text) AS sha,
              |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 7919 % 1024 AS width,
              |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 104729 % 768 AS height

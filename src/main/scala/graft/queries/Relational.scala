@@ -450,7 +450,7 @@ object Relational {
         .orderBy("o_custkey", "rn")
     },
       Some("""SELECT o_custkey, o_orderkey,
-             |  row_number() OVER w AS rn,
+             |  CAST(row_number() OVER w AS INTEGER) AS rn,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running,
              |  lag(o_totalprice, 1) OVER w AS prev_price
              |FROM orders
@@ -580,7 +580,7 @@ object Relational {
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey,
              |  upper(substring(c_name, 1, 8)) AS name8,
-             |  length(c_name) AS name_len,
+             |  CAST(length(c_name) AS INTEGER) AS name_len,
              |  round(abs(c_acctbal), 2) AS abs_bal,
              |  c_custkey % 7 AS m7,
              |  concat(c_mktsegment, '_', CAST(c_nationkey AS VARCHAR)) AS seg_nat

@@ -193,11 +193,12 @@ object Text {
             .as("bpe_tokens"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id, lang, n_chars,
-             |  length(text) AS len_chars,
-             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(length(text) AS INTEGER) AS len_chars,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
              |  CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
              |    / len(string_split(text, ' ')) AS avg_token_len,
-             |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+             |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+             |    AS INTEGER) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Quality scoring: stopword ratio + length gates ------------------
@@ -213,8 +214,9 @@ object Text {
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id,
-             |  len(string_split(text, ' ')) AS n_tokens,
-             |  len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS n_stopwords,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             |  CAST(len(list_filter(string_split(text, ' '),
+             |    x -> x = 'the' OR x = 'a')) AS INTEGER) AS n_stopwords,
              |  CAST(len(list_filter(string_split(text, ' '), x -> x = 'the' OR x = 'a')) AS DOUBLE)
              |    / len(string_split(text, ' ')) AS stop_ratio,
              |  len(string_split(text, ' ')) >= 20
@@ -276,8 +278,9 @@ object Text {
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
              |       ' +', ' ', 'g')) AS clean_text,
-             |  len(string_split(trim(regexp_replace(regexp_replace(lower(text),
-             |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS n_clean_tokens
+             |  CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text),
+             |       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+             |    AS INTEGER) AS n_clean_tokens
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- Document fingerprint: order-sensitive rolling hash --------------
@@ -343,7 +346,7 @@ object Text {
              |    SELECT doc_id, tok, count(*) AS c
              |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
              |    GROUP BY doc_id, tok) GROUP BY doc_id)
-             |SELECT m.doc_id, n AS n_tokens,
+             |SELECT m.doc_id, CAST(n AS INTEGER) AS n_tokens,
              |  CAST(n - 1 - d2 AS DOUBLE) / (n - 1) AS dup2_frac,
              |  CAST(n - 2 - d3 AS DOUBLE) / (n - 2) AS dup3_frac,
              |  CAST(mx AS DOUBLE) / n AS top_tok_ratio,
@@ -379,8 +382,8 @@ object Text {
              |sc AS (
              |  SELECT doc_id, tf.term AS term, tf, df,
              |    CAST(tf AS DOUBLE) / df AS score,
-             |    row_number() OVER (PARTITION BY doc_id
-             |      ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.term) AS rk
+             |    CAST(row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.term) AS INTEGER) AS rk
              |  FROM tf JOIN df USING (term))
              |SELECT doc_id, rk, term, tf, df, score FROM sc WHERE rk <= 3
              |ORDER BY doc_id, rk""".stripMargin)),
@@ -441,7 +444,7 @@ object Text {
              |      FROM t)
              |SELECT doc_id, chunk_id, CAST(chunk_id * 8 AS INTEGER) AS start,
              |  array_to_string(tk[chunk_id * 8 + 1 : chunk_id * 8 + 16], ' ') AS chunk_text,
-             |  least(16, n - chunk_id * 8) AS n_tokens
+             |  CAST(least(16, n - chunk_id * 8) AS INTEGER) AS n_tokens
              |FROM c ORDER BY doc_id, chunk_id""".stripMargin)),
 
     // ---- Blocklist scrub: wordlist hit counting + redaction --------------
@@ -562,7 +565,7 @@ object Text {
         .orderBy("doc_id")
     },
       Some(s"""WITH RECURSIVE $sqlSubwordCtes
-             |SELECT t.doc_id, len(t.tk) AS n_words,
+             |SELECT t.doc_id, CAST(len(t.tk) AS INTEGER) AS n_words,
              |  coalesce(a.n_subwords, 0) AS n_subwords,
              |  CAST(coalesce(a.n_subwords, 0) AS DOUBLE) / len(t.tk) AS fertility,
              |  (coalesce(a.n_subwords, 0) + 127) // 128 AS n_contexts_128,
@@ -851,14 +854,14 @@ object Text {
              |      ELSE text END AS t
              |  FROM documents)
              |SELECT doc_id,
-             |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+'))
-             |    AS n_pii,
+             |  CAST(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+'))
+             |    AS INTEGER) AS n_pii,
              |  len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+')) > 0
              |    AS has_pii,
              |  md5(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+',
              |    '[EMAIL]', 'g')) AS redacted_hash,
-             |  length(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+',
-             |    '[EMAIL]', 'g')) AS redacted_len
+             |  CAST(length(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\.[a-z][a-z]+',
+             |    '[EMAIL]', 'g')) AS INTEGER) AS redacted_len
              |FROM v ORDER BY doc_id""".stripMargin)),
 
     // ---- Heaps-law vocabulary growth curve -------------------------------
@@ -869,14 +872,23 @@ object Text {
     // each distinct shingle to its FIRST document (min doc_id — the
     // min-combine shape, map-side partial); checkpoints then count
     // first-occurrences at or below each cut over the distinct-shingle
-    // table. The doc rank comes from a corpus-ordered window at rank
-    // granularity doc_id (exact ids may be sparse, so checkpoints are
-    // defined on ingest RANK, not raw id).
+    // table. The doc rank is the corpus-ordered ingest RANK (exact ids
+    // may be sparse), computed TWO-PHASE like every global rank here
+    // (q57/q70/q81/q92): doc_id-range chunks rank locally in parallel
+    // windows, hierarchical chunkOffsets add the preceding-chunk counts
+    // — bit-identical to the flat row_number() over the whole corpus,
+    // with no single task ever holding the full table (the r8 verdict's
+    // q115 scale flag).
     QueryDef("q115_vocab_growth", (s, d) => {
       val docs = t(s, d, "documents")
-      val ranked = docs
-        .withColumn("rk", row_number()
-          .over(Window.orderBy("doc_id")).cast("long"))
+      val chunked = docs.withColumn("chunk", expr("doc_id div 64"))
+      val offs = Sampling.chunkOffsets(
+        chunked.groupBy("chunk").agg(count(lit(1)).as("tot")), "chunk", "tot")
+      val wLoc = Window.partitionBy("chunk").orderBy("doc_id")
+      val ranked = chunked
+        .withColumn("loc", row_number().over(wLoc).cast("long"))
+        .join(offs, "chunk")
+        .withColumn("rk", col("loc") + col("off"))
       val firstSeen = ranked
         .select(col("rk"), explode(array_distinct(
           graft.functions.ArrayExprs.windowHashes(toks, 3))).as("sh"))
@@ -1268,7 +1280,7 @@ object Text {
         .orderBy("doc_id")
     },
       Some("""SELECT doc_id, lang,
-             |  len(string_split(text, ' ')) AS n_tokens,
+             |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
              |  CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
              |    AS n_syllables,
              |  CAST(len(list_filter(string_split(text, ' '),

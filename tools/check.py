@@ -62,6 +62,19 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
             print(f"FAIL {name}: rows {len(got_n)} vs {len(want_n)}")
             n_fail += 1
             continue
+        # dtype pinning: the driver's hasher canonicalizes per-dtype, so an
+        # oracle column whose pandas dtype differs from the Spark parquet
+        # dtype can hash-diverge even when values compare equal (round-8
+        # postmortem: uncast DuckDB SUM -> HUGEINT -> float64 vs int64 on
+        # q117/q154). Every oracle must arrive dtype-identical.
+        bad_types = [(c, str(got_n[c].dtype), str(want_n[c].dtype))
+                     for c in got_n.columns
+                     if str(got_n[c].dtype) != str(want_n[c].dtype)]
+        if bad_types:
+            print(f"FAIL {name}: oracle dtype mismatch (uncast aggregate?): "
+                  f"{bad_types}")
+            n_fail += 1
+            continue
         try:
             pd.testing.assert_frame_equal(got_n, want_n,
                                           check_dtype=False, check_exact=True)
