@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The unpartitioned-window law (round-9, the BNLJ-allowlist pattern
+  * applied to windows): a `Window.orderBy(...)` without `partitionBy` —
+  * or an explicit empty `Window.partitionBy()` — moves EVERY row of its
+  * input into one task. That is the q115/q168 scale-killer class the
+  * round-8 verdict flagged, and it is only acceptable when the window's
+  * input is bounded BY CONSTRUCTION: a limit-k pool, a fixed bucket/
+  * threshold grid, a strata/centroid catalog, or a value DISTRIBUTION
+  * table (one row per distinct value — q96's "window over the
+  * distribution, never the corpus" rule).
+  *
+  * This spec scans the main source tree for both construction forms and
+  * anchors each site to its enclosing QueryDef/def. Any NEW site fails
+  * the suite until it is added here with a boundedness argument; any
+  * REMOVED site fails too, so the list cannot go stale.
+  *
+  * Not matched textually (parameterized, audited here in prose):
+  * `Sampling.chunkOffsets`'s phase-2 super-window
+  * (`Window.partitionBy(pc: _*)` with pc possibly empty) runs over
+  * per-super totals — n/(1e5*1024) rows by the prefixBuckets contract,
+  * negligible beyond 10^12-row corpora (see its Scaladoc).
+  */
+class WindowLawSpec extends AnyFunSuite {
+
+  // anchor -> boundedness argument (the WHY is load-bearing: a reviewer
+  // must be able to re-derive the bound from the source)
+  private val allowed: Seq[(String, String)] = Seq(
+    "Curation.scala:q84_len_histogram" ->
+      "window over the fixed 64-char-wide length-bucket grid, not docs",
+    "Curation.scala:q96_equidepth_buckets" ->
+      "cumulative window over the n_chars DISTRIBUTION (counts-of-values)",
+    "Curation.scala:q176_quantile_normalize" ->
+      "rank window over the source value distribution (q96's rule)",
+    "Curation.scala:q176_quantile_normalize" ->
+      "rank window over the reference value distribution (q96's rule)",
+    "Curation.scala:q190_fair_topk" ->
+      "round-robin rank over the per-group limit-k winner pool (<= k*|groups| rows)",
+    "Dedup.scala:q229_jaccard_histogram" ->
+      "cumulative window over the fixed 20-bucket similarity grid",
+    "Events.scala:latenessReport" ->
+      ("running max over 65536-event chunk totals: n/65536 rows, the " +
+        "documented sublinear envelope of the two-phase prefix pattern " +
+        "(at 10^12 events this table is ~15M rows in ONE window task — " +
+        "raise the chunk width or nest chunkOffsets before that scale)"),
+    "Events.scala:q167_negative_samples" ->
+      "dense rank over the distinct-item CATALOG (items, not interactions)",
+    "Layout.scala:q154_compaction_plan" ->
+      ("Next-Fit prefix sum over the file MANIFEST (one row per " +
+        "(source,lang) fragment — hundreds of rows at 100 TB)"),
+    "Layout.scala:statsFor" ->
+      ("q168 percentile crossing over the counts-of-counts distribution " +
+        "(one row per distinct multiplicity, the q64/q219 trick)"),
+    "Sampling.scala:prioritySample" ->
+      "rank over the limit(k+1) priority pool",
+    "Sampling.scala:prioritySample" ->
+      "tau = min over the same limit(k+1) pool",
+    "Sampling.scala:q105_eval_allocation" ->
+      "largest-remainder totals over the per-lang STRATA table",
+    "Sampling.scala:q105_eval_allocation" ->
+      "largest-remainder rank over the same strata table",
+    "Sampling.scala:q120_shard_manifest" ->
+      "offset window over the doc-length DISTRIBUTION (counts-of-lengths)",
+    "Similarity.scala:q103_cluster_quality" ->
+      "share-of-total window over the k-row centroid table",
+    "Text.scala:q104_vocab_coverage" ->
+      ("rank/cumsum over the VOCABULARY table — sublinear but unbounded " +
+        "(Heaps' law ~n^0.5: ~30M window rows at 10^12 corpus tokens; " +
+        "acceptable at any plausible scale, re-derive before 10^14)"),
+    "Text.scala:q104_vocab_coverage" ->
+      "grand-total window over the same vocabulary table",
+    "Text.scala:q186_phrase_search" ->
+      "phrase rank over the limit(3) top-phrase pool"
+  )
+
+  test("every unpartitioned window site is allowlisted with a boundedness argument") {
+    val sitePat = "Window\\.orderBy\\(|Window\\.partitionBy\\(\\)".r
+    val anchorPat =
+      "QueryDef\\(\"(q\\d+[0-9a-z_]*)\"|def ([A-Za-z0-9_]+)".r
+    val root = new java.io.File("src/main/scala/graft")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val found = scalaFiles(root).sortBy(_.getName).flatMap { f =>
+      val lines = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.getLines().toVector finally src.close()
+      }
+      lines.zipWithIndex.collect {
+        case (ln, i) if sitePat.findFirstIn(ln).isDefined =>
+          val anchor = (i to 0 by -1).iterator
+            .flatMap(j => anchorPat.findFirstMatchIn(lines(j)))
+            .map(m => Option(m.group(1)).getOrElse(m.group(2)))
+            .nextOption().getOrElse("<top>")
+          s"${f.getName}:$anchor"
+      }
+    }
+    val want = allowed.map(_._1).sorted
+    assert(found.sorted == want,
+      s"""unpartitioned-window sites changed.
+         |  new sites (add with a boundedness argument or re-shape the plan):
+         |    ${(found.diff(want)).mkString("\n    ")}
+         |  stale allowlist entries (remove):
+         |    ${(want.diff(found)).mkString("\n    ")}""".stripMargin)
+  }
+}
