@@ -487,5 +487,135 @@ object Sketches {
              |  CAST(mad4 AS DOUBLE) / 4.0 AS mad, n_outliers
              |FROM m JOIN md USING (flag) JOIN o USING (flag)
              |ORDER BY l_returnflag""".stripMargin)),
+
+    // ---- Mergeable quantile sketch with in-query error attestation -------
+    // Closes the sketch-algebra gap: CMS covers counts (q146), KMV/HLL
+    // cover distincts (q157/q33) — this covers QUANTILES without the
+    // exact distribution pass q64/q219 need. functions.LogHistAgg is a
+    // log-scale fixed-boundary histogram (HDR-histogram design — the
+    // deterministic, merge-order-independent cousin of KLL, which makes
+    // it a commutative monoid and therefore hash-matchable): <= 976
+    // int64 counters cover the full non-negative int64 range, so a
+    // group's sketch is a few KB whatever its cardinality, and map-side
+    // partials reduce each task to one sketch before the exchange.
+    // Attestation (the q33/q227 pattern): per (group, percentile), the
+    // sketch estimate rides next to the exact rank value (computed via
+    // the two-phase chunked distribution crossing — 3 groups, so a flat
+    // per-group window would be a corpus-scale single task), with the
+    // integer-exact bound 16*(est-exact) < exact that the bucket math
+    // guarantees by construction (est = bucket upper bound, exact >=
+    // bucket lower bound >= 16 * bucket width). QuantileSketchSpec pins
+    // the bound for adversarial inputs; Streams.logHistSketches is the
+    // streaming twin (same Aggregator, complete-mode).
+    QueryDef("q233_quantile_sketch", (s, d) => {
+      val pcts = Seq(50, 90, 99)
+      val v = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("c"))
+      // the sketch builder IS the streaming twin's aggregation — one
+      // definition, so the batch/stream equality contract cannot drift
+      val hist = graft.streaming.Streams.logHistSketches(t(s, d, "lineitem"))
+      val buckets = hist.select(col("flag"), explode(col("hist")).as("b"))
+        .select(col("flag"), col("b._1").as("idx"), col("b._2").as("cnt"))
+      val wB = Window.partitionBy("flag").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sk = buckets
+        .withColumn("cum", sum("cnt").over(wB))
+        .join(broadcast(buckets.groupBy("flag").agg(sum("cnt").as("n"))), "flag")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("flag"), col("pct"),
+          expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
+      val dist = v.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
+        .withColumn("chunk", expr("c div 16384"))
+        .localCheckpoint() // feeds local cums, chunk totals, group totals
+      val wLoc = Window.partitionBy("flag", "chunk").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")),
+        "chunk", "tot", Seq("flag"))
+      val totals = dist.groupBy("flag").agg(sum("cnt").as("n"))
+      val ex = dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("flag", "chunk"))
+        .withColumn("cum", col("lc") + col("off"))
+        .join(broadcast(totals), "flag")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("flag"), col("pct"), col("c").as("exact_value"))
+      sk.join(ex, Seq("flag", "pct"))
+        .select(col("flag").as("l_returnflag"), col("pct"), col("est"),
+          col("exact_value"),
+          ((col("est") - col("exact_value")).cast("double") /
+            col("exact_value").cast("double")).as("rel_err"),
+          (lit(16L) * (col("est") - col("exact_value")) < col("exact_value"))
+            .as("within_bound"))
+        .orderBy("l_returnflag", "pct")
+    },
+      Some(s"""WITH v AS MATERIALIZED (
+             |  SELECT l_returnflag AS flag,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |b AS (
+             |  SELECT flag, ${graft.functions.LogHist.sqlBucketOf("c")} AS idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM v GROUP BY 1, 2),
+             |cb AS (
+             |  SELECT flag, idx, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY idx) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM b),
+             |pq AS (SELECT CAST(unnest([50, 90, 99]) AS INTEGER) AS pct),
+             |sk AS (
+             |  SELECT flag, pct, ${graft.functions.LogHist.sqlBucketHi("idx")} AS est
+             |  FROM cb CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100),
+             |dd AS MATERIALIZED (
+             |  SELECT flag, c, CAST(count(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT flag, c, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY c) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM dd),
+             |ex AS (
+             |  SELECT flag, pct, c AS exact_value
+             |  FROM cd CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100)
+             |SELECT sk.flag AS l_returnflag, sk.pct, est, exact_value,
+             |  CAST(est - exact_value AS DOUBLE) / CAST(exact_value AS DOUBLE)
+             |    AS rel_err,
+             |  16 * (est - exact_value) < exact_value AS within_bound
+             |FROM sk JOIN ex ON sk.flag = ex.flag AND sk.pct = ex.pct
+             |ORDER BY l_returnflag, sk.pct""".stripMargin)),
+
+    // ---- KMV sketch cells as a registered oracle query -------------------
+    // The streaming twin contract, driver-gated (r8 verdict ask): q157's
+    // estimates derive from Streams.kmvSketches, whose batch/stream
+    // equality lived only in StreamingSpec — this query registers the
+    // sketch CELLS themselves (per source, the 64 smallest distinct
+    // 62-bit shingle hashes, in rank order), so the driver's DuckDB gate
+    // hash-verifies the exact sketch content the streaming path
+    // accumulates. A KMV sketch is order-independent by construction
+    // (bottom-k of a distinct set), hence exactly SQL-expressible:
+    // the oracle ranks the distinct hash set per source and keeps 64.
+    // Scale shape: the sketch build is the partial-aggregable
+    // BottomKLongAgg (O(k) per task before the exchange); the oracle's
+    // full-distinct rank is the VERIFICATION, not the production path.
+    QueryDef("q234_kmv_cells", (s, d) =>
+      graft.streaming.Streams.kmvSketches(t(s, d, "documents"))
+        .select(col("source"), posexplode(col("ks")).as(Seq("i0", "h")))
+        .select(col("source"), (col("i0") + 1).cast("int").as("i"), col("h"))
+        .orderBy("source", "i"),
+      Some(s"""WITH hs AS MATERIALIZED (${Dedup.sqlDocHashedShingles}),
+             |ds AS (SELECT DISTINCT d.source, hs.h
+             |       FROM hs JOIN documents d USING (doc_id)),
+             |r AS (SELECT source, h,
+             |        row_number() OVER (PARTITION BY source ORDER BY h) AS i
+             |      FROM ds)
+             |SELECT source, CAST(i AS INTEGER) AS i, h
+             |FROM r WHERE i <= 64 ORDER BY source, i""".stripMargin)),
   )
 }

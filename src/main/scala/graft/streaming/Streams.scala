@@ -235,6 +235,25 @@ object Streams {
       .select(col("source"), transform(col("kp"), p => p.getField("_1")).as("ks"))
   }
 
+  /** Streaming twin of q233's quantile-sketch build: per l_returnflag,
+    * the LogHist bucket->count histogram over exact price cents. The
+    * Aggregator is a commutative monoid (fixed bucket universe, counter
+    * addition), so complete-mode streaming accumulation equals the
+    * batch sketch cell for cell whatever the micro-batch split — the
+    * same argument as [[heavyHitterCounters]]'s CMS matrix. q233 builds
+    * its batch sketch through THIS function, so the twin contract
+    * cannot drift. */
+  def logHistSketches(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    import spark.implicits._
+    lineitem
+      .select(col("l_returnflag").as("flag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+      .agg(new graft.functions.LogHistAgg().toColumn.name("hist"))
+      .toDF("flag", "hist")
+  }
+
   final case class Scd2Ev(user_id: Long, event_id: Long, us: Long, k: Int)
   final case class Scd2State(lastK: Int, version: Int, openFrom: Long)
   final case class Scd2Closed(user_id: Long, version: Int, k: Int,

@@ -242,6 +242,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       .filter(size(col("ks")) > 64).count() == 0)
   }
 
+  test("streaming LogHist quantile sketches equal the batch sketch") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val dir = java.nio.file.Files.createTempDirectory("loghist-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("lineitem.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/lineitem.parquet"))
+    val incoming = spark.readStream.schema(li.schema).parquet(dir.toString)
+    val q = Streams.logHistSketches(incoming)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("loghist_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // the twin contract: the fixed-bucket histogram is a commutative
+    // monoid, so the streamed sketch equals the batch sketch cell for
+    // cell — which is exactly the structure q233's estimates read
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("flag"), explode(col("hist")).as("b"))
+        .select(col("flag"), col("b._1"), col("b._2"))
+    val got = flat(spark.table("loghist_out"))
+    val want = flat(Streams.logHistSketches(li))
+    assert(got.count() > 0)
+    assertSameRows(got, want)
+    // bounded state: the bucket universe is <= 976 cells per group
+    assert(spark.table("loghist_out")
+      .filter(size(col("hist")) > 976).count() == 0)
+  }
+
   test("streaming SCD2 closed intervals equal the batch history's closed rows") {
     val events = Tables.load(spark, sfDir, "events")
     val dir = java.nio.file.Files.createTempDirectory("scd2-stream")
