@@ -2324,5 +2324,121 @@ object Events {
              |      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))))
              |    > 1.96 AS significant
              |FROM j""".stripMargin)),
+
+    // ---- Kaplan-Meier time-to-conversion survival curve ------------------
+    // The product-limit estimator over right-censored durations — the
+    // standard survival op behind retention/conversion dashboards.
+    // Duration = days from a user's first event to their first HIGH-VALUE
+    // purchase (value >= 18), administratively censored at a fixed 7-day
+    // follow-up horizon (the users who have not converted by day 7 are
+    // at risk through every step but never die — real censoring, which a
+    // naive conversion-rate cut ignores and thereby biases low). Cohort
+    // = first-event day.
+    //
+    // S(t) = prod_{u <= t} (1 - d(u)/n(u)) with d = deaths at u and
+    // n = at-risk (T >= u). Portability: each factor is an int64/int64
+    // IEEE division; the product folds over the VALUE-SORTED factor list
+    // (multiplication is commutative, so sorting fixes one association
+    // order both engines share — the array_sort/list_sort fold pattern).
+    // Scale shape: one per-user rollup (user-keyed, map-combined), then
+    // everything runs on the (cohort x 7-day grid) table — at-risk from
+    // a cohort-partitioned window over the GRID (7 rows per cohort),
+    // prefix products from a cohort-equi-keyed grid self-join. No
+    // corpus-scale window or cross join anywhere.
+    QueryDef("q237_kaplan_meier", (s, d) => {
+      val H = 7
+      val dayUs = 86400000000L
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr(s"unix_micros(ts) div $dayUs").as("day"))
+      val users = ev.groupBy("user_id")
+        .agg(min("day").as("f"),
+          min(when(col("event_type") === "purchase" && col("value") >= 18.0,
+            col("day"))).as("pd"))
+        .select(col("user_id"), col("f").as("cohort_day"),
+          when(col("pd").isNotNull && col("pd") - col("f") + 1 <= H,
+            col("pd") - col("f") + 1).otherwise(lit(H.toLong)).as("T"),
+          (col("pd").isNotNull && col("pd") - col("f") + 1 <= H).as("death"))
+      val byDay = users.groupBy("cohort_day", "T")
+        .agg(sum(when(col("death"), 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("e"))
+      val cohorts = users.groupBy("cohort_day")
+        .agg(count(lit(1)).as("n_cohort"))
+      val grid = cohorts
+        .withColumn("t", explode(array((1 to H).map(i => lit(i.toLong)): _*)))
+        .join(byDay.withColumnRenamed("T", "t"), Seq("cohort_day", "t"), "left")
+        .withColumn("d", coalesce(col("d"), lit(0L)))
+        .withColumn("e", coalesce(col("e"), lit(0L)))
+      val wG = Window.partitionBy("cohort_day").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = grid
+        .withColumn("at_risk",
+          col("n_cohort") - coalesce(sum("e").over(wG), lit(0L)))
+        .withColumn("factor", when(col("d") === 0L, lit(1.0)).otherwise(
+          lit(1.0) - col("d").cast("double") / col("at_risk").cast("double")))
+      val sv = risk.select(col("cohort_day"), col("t").as("ft"), col("factor"))
+        .join(risk.select(col("cohort_day"), col("t")), "cohort_day")
+        .filter(col("ft") <= col("t"))
+        .groupBy("cohort_day", "t")
+        .agg(expr("aggregate(array_sort(collect_list(factor)), " +
+          "CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)").as("survival"))
+      risk.select(col("cohort_day"), col("t"), col("at_risk"),
+          col("d").as("deaths"))
+        .join(sv, Seq("cohort_day", "t"))
+        .select(col("cohort_day"), col("t").cast("int").as("t"),
+          col("at_risk"), col("deaths"), col("survival"))
+        .orderBy("cohort_day", "t")
+    },
+      Some("""WITH ev AS MATERIALIZED (
+             |  SELECT user_id, event_type, value,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events),
+             |users AS MATERIALIZED (
+             |  SELECT user_id, f AS cohort_day,
+             |    CASE WHEN pd IS NOT NULL AND pd - f + 1 <= 7
+             |      THEN pd - f + 1 ELSE 7 END AS T,
+             |    (pd IS NOT NULL AND pd - f + 1 <= 7) AS death
+             |  FROM (
+             |    SELECT user_id, min(day) AS f,
+             |      min(CASE WHEN event_type = 'purchase' AND value >= 18.0
+             |          THEN day END) AS pd
+             |    FROM ev GROUP BY user_id)),
+             |byday AS (
+             |  SELECT cohort_day, T AS t,
+             |    CAST(sum(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(count(*) AS BIGINT) AS e
+             |  FROM users GROUP BY 1, 2),
+             |cohorts AS (
+             |  SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_cohort
+             |  FROM users GROUP BY 1),
+             |grid AS MATERIALIZED (
+             |  SELECT c.cohort_day, CAST(g.t AS BIGINT) AS t, c.n_cohort,
+             |    coalesce(b.d, 0) AS d, coalesce(b.e, 0) AS e
+             |  FROM cohorts c
+             |  CROSS JOIN (SELECT unnest(range(1, 8)) AS t) g
+             |  LEFT JOIN byday b ON b.cohort_day = c.cohort_day AND b.t = g.t),
+             |risk AS MATERIALIZED (
+             |  SELECT cohort_day, t, d, n_cohort
+             |    - CAST(coalesce(sum(e) OVER (PARTITION BY cohort_day ORDER BY t
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS at_risk
+             |  FROM grid),
+             |fct AS (
+             |  SELECT cohort_day, t,
+             |    CASE WHEN d = 0 THEN 1.0
+             |         ELSE 1.0 - CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE)
+             |    END AS factor
+             |  FROM risk),
+             |sv AS (
+             |  SELECT r.cohort_day, r.t,
+             |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |      list_sort(list(f.factor))), (acc, x) -> acc * x) AS survival
+             |  FROM risk r JOIN fct f
+             |    ON f.cohort_day = r.cohort_day AND f.t <= r.t
+             |  GROUP BY 1, 2)
+             |SELECT r.cohort_day, CAST(r.t AS INTEGER) AS t, at_risk,
+             |  d AS deaths, survival
+             |FROM risk r JOIN sv ON sv.cohort_day = r.cohort_day AND sv.t = r.t
+             |ORDER BY r.cohort_day, r.t""".stripMargin)),
   )
 }

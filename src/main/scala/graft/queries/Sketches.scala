@@ -617,5 +617,225 @@ object Sketches {
              |      FROM ds)
              |SELECT source, CAST(i AS INTEGER) AS i, h
              |FROM r WHERE i <= 64 ORDER BY source, i""".stripMargin)),
+
+    // ---- Quantile-sketch mergeability law (q77's pattern for quantiles) --
+    // The property that makes the LogHist sketch usable as a 100 TB
+    // rollup primitive: sub-sketches built per (flag, linestatus) merge
+    // by counter addition into EXACTLY the sketch built directly per
+    // flag — no approximation stacking, unlike merged KLL/t-digest whose
+    // error grows with merge depth. The query attests that law in-query:
+    // per flag, every merged cell equals its direct cell, and the three
+    // percentile estimates read from the merged sketch equal the direct
+    // ones bit-for-bit (plus the q233 bound vs the exact rank is
+    // implied; q233 carries that attestation). At scale this is the
+    // pre-aggregated-cube shape: daily/per-partition sketches persist a
+    // few KB each, and any ad-hoc rollup merges them without touching
+    // rows.
+    QueryDef("q235_sketch_rollup", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val pcts = Seq(50, 90, 99)
+      val v = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("ls"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("c"))
+      // sub-sketches per (flag, ls) through the real Aggregator...
+      val sub = v.as[(String, String, Long)].groupByKey(r => (r._1, r._2))
+        .mapValues(_._3)
+        .agg(new graft.functions.LogHistAgg().toColumn.name("hist"))
+        .toDF("key", "hist")
+        .select(col("key._1").as("flag"), explode(col("hist")).as("b"))
+        .select(col("flag"), col("b._1").as("idx"), col("b._2").as("cnt"))
+      // ...merged up to flag: sketch merge IS counter addition
+      val merged = sub.groupBy("flag", "idx").agg(sum("cnt").as("cnt"))
+      // direct per-flag sketch (the q233 builder)
+      val direct = graft.streaming.Streams
+        .logHistSketches(t(s, d, "lineitem"))
+        .select(col("flag"), explode(col("hist")).as("b"))
+        .select(col("flag"), col("b._1").as("idx"), col("b._2").as("cnt"))
+      val cells = merged.withColumnRenamed("cnt", "mc")
+        .join(direct.withColumnRenamed("cnt", "dc"),
+          Seq("flag", "idx"), "full_outer")
+        .groupBy("flag")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(when(col("mc") <=> col("dc"), 1L).otherwise(0L)).as("cells_eq"))
+      def estOf(cellDf: org.apache.spark.sql.DataFrame, out: String) = {
+        val wB = Window.partitionBy("flag").orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cellDf
+          .withColumn("cum", sum("cnt").over(wB))
+          .join(broadcast(cellDf.groupBy("flag").agg(sum("cnt").as("n"))), "flag")
+          .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+          .withColumn("r", expr("(n * pct + 99) div 100"))
+          .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+          .select(col("flag"), col("pct"), col("n"),
+            expr(graft.functions.LogHist.sparkBucketHi("idx")).as(out))
+      }
+      estOf(merged, "est_merged")
+        .join(estOf(direct, "est_direct").drop("n"), Seq("flag", "pct"))
+        .join(cells, "flag")
+        .select(col("flag").as("l_returnflag"), col("pct"), col("n").as("n_rows"),
+          col("est_merged"), col("est_direct"),
+          (col("est_merged") === col("est_direct")).as("merge_exact"),
+          col("n_cells"), (col("cells_eq") === col("n_cells")).as("cells_match"))
+        .orderBy("l_returnflag", "pct")
+    },
+      Some(s"""WITH v AS MATERIALIZED (
+             |  SELECT l_returnflag AS flag, l_linestatus AS ls,
+             |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM lineitem),
+             |sub AS (
+             |  SELECT flag, ls, ${graft.functions.LogHist.sqlBucketOf("c")} AS idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM v GROUP BY 1, 2, 3),
+             |mrg AS MATERIALIZED (
+             |  SELECT flag, idx, CAST(sum(cnt) AS BIGINT) AS cnt
+             |  FROM sub GROUP BY 1, 2),
+             |dir AS MATERIALIZED (
+             |  SELECT flag, ${graft.functions.LogHist.sqlBucketOf("c")} AS idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM v GROUP BY 1, 2),
+             |cells AS (
+             |  SELECT coalesce(m.flag, d.flag) AS flag,
+             |    CAST(count(*) AS BIGINT) AS n_cells,
+             |    CAST(sum(CASE WHEN m.cnt IS NOT DISTINCT FROM d.cnt
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS cells_eq
+             |  FROM mrg m FULL OUTER JOIN dir d
+             |    ON m.flag = d.flag AND m.idx = d.idx
+             |  GROUP BY 1),
+             |pq AS (SELECT CAST(unnest([50, 90, 99]) AS INTEGER) AS pct),
+             |cm AS (
+             |  SELECT flag, idx, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY idx) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM mrg),
+             |em AS (
+             |  SELECT flag, pct, n, ${graft.functions.LogHist.sqlBucketHi("idx")} AS est_merged
+             |  FROM cm CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100),
+             |cdct AS (
+             |  SELECT flag, idx, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY idx) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+             |  FROM dir),
+             |ed AS (
+             |  SELECT flag, pct, ${graft.functions.LogHist.sqlBucketHi("idx")} AS est_direct
+             |  FROM cdct CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100)
+             |SELECT em.flag AS l_returnflag, em.pct, n AS n_rows,
+             |  est_merged, est_direct,
+             |  est_merged = est_direct AS merge_exact,
+             |  n_cells, cells_eq = n_cells AS cells_match
+             |FROM em JOIN ed ON em.flag = ed.flag AND em.pct = ed.pct
+             |JOIN cells ON em.flag = cells.flag
+             |ORDER BY l_returnflag, em.pct""".stripMargin)),
+
+    // ---- Event inter-arrival latency percentiles via the sketch ----------
+    // The ops-dashboard use the LogHist sketch exists for: per event
+    // type, p50/p95/p99 of the per-user inter-arrival gap (microseconds)
+    // — latency-style long-tail data where a mean hides everything. The
+    // gap derivation is a per-user lag window (millions of small user
+    // partitions — no skew); the sketch collapses each task's gaps into
+    // <= 976 counters before the exchange, so the percentile query costs
+    // one narrow shuffle however many events there are. Attestation as
+    // in q233, with `<=` in the bound because a gap can be 0 (same-
+    // microsecond events; est = exact = 0 in the exact low regime). The
+    // absolute error est - exact_value rides along in exact int64 —
+    // rel_err would be 0/0 for zero gaps, which is not hash-portable.
+    QueryDef("q236_latency_percentiles", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val pcts = Seq(50, 95, 99)
+      val wU = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val gaps = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag("us", 1).over(wU))
+        .filter(col("gap").isNotNull)
+        .select(col("event_type").as("etype"), col("gap"))
+      val hist = gaps.as[(String, Long)].groupByKey(_._1).mapValues(_._2)
+        .agg(new graft.functions.LogHistAgg().toColumn.name("hist"))
+        .toDF("etype", "hist")
+      val buckets = hist.select(col("etype"), explode(col("hist")).as("b"))
+        .select(col("etype"), col("b._1").as("idx"), col("b._2").as("cnt"))
+      val wB = Window.partitionBy("etype").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sk = buckets
+        .withColumn("cum", sum("cnt").over(wB))
+        .join(broadcast(buckets.groupBy("etype").agg(sum("cnt").as("n"))), "etype")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("etype"), col("pct"),
+          expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
+      val dist = gaps.groupBy("etype", "gap").agg(count(lit(1)).as("cnt"))
+        .withColumn("chunk", expr("gap div 16384"))
+        .localCheckpoint() // feeds local cums, chunk totals, group totals
+      val wLoc = Window.partitionBy("etype", "chunk").orderBy("gap")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("etype", "chunk").agg(sum("cnt").as("tot")),
+        "chunk", "tot", Seq("etype"))
+      val totals = dist.groupBy("etype").agg(sum("cnt").as("n"))
+      val ex = dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("etype", "chunk"))
+        .withColumn("cum", col("lc") + col("off"))
+        .join(broadcast(totals), "etype")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("etype"), col("pct"), col("gap").as("exact_value"))
+      sk.join(ex, Seq("etype", "pct"))
+        .select(col("etype").as("event_type"), col("pct"), col("est"),
+          col("exact_value"), (col("est") - col("exact_value")).as("abs_err"),
+          (lit(16L) * (col("est") - col("exact_value")) <= col("exact_value"))
+            .as("within_bound"))
+        .orderBy("event_type", "pct")
+    },
+      Some(s"""WITH e AS MATERIALIZED (
+             |  SELECT event_id, user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |g AS MATERIALIZED (
+             |  SELECT event_type AS etype,
+             |    us - lag(us) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS gap
+             |  FROM e),
+             |gg AS MATERIALIZED (
+             |  SELECT etype, gap FROM g WHERE gap IS NOT NULL),
+             |b AS (
+             |  SELECT etype, ${graft.functions.LogHist.sqlBucketOf("gap")} AS idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM gg GROUP BY 1, 2),
+             |cb AS (
+             |  SELECT etype, idx, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY etype ORDER BY idx) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY etype) AS BIGINT) AS n
+             |  FROM b),
+             |pq AS (SELECT CAST(unnest([50, 95, 99]) AS INTEGER) AS pct),
+             |sk AS (
+             |  SELECT etype, pct, ${graft.functions.LogHist.sqlBucketHi("idx")} AS est
+             |  FROM cb CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100),
+             |dd AS MATERIALIZED (
+             |  SELECT etype, gap, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM gg GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT etype, gap, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY etype ORDER BY gap) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY etype) AS BIGINT) AS n
+             |  FROM dd),
+             |ex AS (
+             |  SELECT etype, pct, gap AS exact_value
+             |  FROM cd CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100)
+             |SELECT sk.etype AS event_type, sk.pct, est, exact_value,
+             |  est - exact_value AS abs_err,
+             |  16 * (est - exact_value) <= exact_value AS within_bound
+             |FROM sk JOIN ex ON sk.etype = ex.etype AND sk.pct = ex.pct
+             |ORDER BY event_type, sk.pct""".stripMargin)),
   )
 }
