@@ -100,3 +100,27 @@ final class LogHistAgg extends Aggregator[Long, Map[Int, Long], Seq[(Int, Long)]
   override def outputEncoder: Encoder[Seq[(Int, Long)]] =
     ExpressionEncoder[Seq[(Int, Long)]]()
 }
+
+/** Weighted variant: each (value, weight) row adds `weight` to the
+  * value's bucket, so the crossing rank runs over cumulative WEIGHT —
+  * weighted percentiles ("which value does the median unit of weight
+  * live at") from the same fixed bucket universe and merge algebra.
+  * Weights must be non-negative; int64 weight sums are the caller's
+  * overflow contract (token counts against doc lengths stay far below
+  * 2^63 at any real corpus size). */
+final class LogHistWeightedAgg
+    extends Aggregator[(Long, Long), Map[Int, Long], Seq[(Int, Long)]] {
+  override def zero: Map[Int, Long] = Map.empty
+  override def reduce(b: Map[Int, Long], vw: (Long, Long)): Map[Int, Long] = {
+    require(vw._2 >= 0, s"negative weight ${vw._2}")
+    val i = LogHist.bucketOf(vw._1)
+    b.updated(i, b.getOrElse(i, 0L) + vw._2)
+  }
+  override def merge(a: Map[Int, Long], b: Map[Int, Long]): Map[Int, Long] =
+    b.foldLeft(a) { case (acc, (i, c)) => acc.updated(i, acc.getOrElse(i, 0L) + c) }
+  override def finish(b: Map[Int, Long]): Seq[(Int, Long)] = b.toSeq.sortBy(_._1)
+  override def bufferEncoder: Encoder[Map[Int, Long]] =
+    ExpressionEncoder[Map[Int, Long]]()
+  override def outputEncoder: Encoder[Seq[(Int, Long)]] =
+    ExpressionEncoder[Seq[(Int, Long)]]()
+}

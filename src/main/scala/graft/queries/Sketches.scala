@@ -837,5 +837,190 @@ object Sketches {
              |  16 * (est - exact_value) <= exact_value AS within_bound
              |FROM sk JOIN ex ON sk.etype = ex.etype AND sk.pct = ex.pct
              |ORDER BY event_type, sk.pct""".stripMargin)),
+
+    // ---- Token-WEIGHTED length percentiles via the weighted sketch -------
+    // The packing-relevant length statistic: "the document the median
+    // TOKEN lives in" — a document-count median (q64) over-weights short
+    // docs, but context-window packing and compute budgeting care about
+    // where the token mass sits. LogHistWeightedAgg adds each doc's
+    // token count to its n_chars bucket, and the crossing rank runs over
+    // cumulative WEIGHT; the attestation compares against the exact
+    // weighted crossing over the (lang, n_chars)->weight distribution
+    // (q225's exact machinery, distribution-sized windows). Same merge
+    // algebra and bucket-width bound as q233, in weighted form.
+    QueryDef("q238_weighted_percentiles", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val pcts = Seq(25, 50, 90)
+      val v = t(s, d, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("c"),
+          size(split(col("text"), " ")).cast("long").as("w"))
+      val hist = v.as[(String, Long, Long)].groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.LogHistWeightedAgg().toColumn.name("hist"))
+        .toDF("lang", "hist")
+      val buckets = hist.select(col("lang"), explode(col("hist")).as("b"))
+        .select(col("lang"), col("b._1").as("idx"), col("b._2").as("cnt"))
+      val wB = Window.partitionBy("lang").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sk = buckets
+        .withColumn("cum", sum("cnt").over(wB))
+        .join(broadcast(buckets.groupBy("lang").agg(sum("cnt").as("n"))), "lang")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("lang"), col("pct"),
+          expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
+      val dist = v.groupBy("lang", "c").agg(sum("w").as("cnt"))
+        .withColumn("chunk", expr("c div 16384"))
+        .localCheckpoint() // feeds local cums, chunk totals, group totals
+      val wLoc = Window.partitionBy("lang", "chunk").orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("lang", "chunk").agg(sum("cnt").as("tot")),
+        "chunk", "tot", Seq("lang"))
+      val totals = dist.groupBy("lang").agg(sum("cnt").as("n"))
+      val ex = dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("lang", "chunk"))
+        .withColumn("cum", col("lc") + col("off"))
+        .join(broadcast(totals), "lang")
+        .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
+        .withColumn("r", expr("(n * pct + 99) div 100"))
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .select(col("lang"), col("pct"), col("c").as("exact_value"),
+          col("n").as("total_tokens"))
+      sk.join(ex, Seq("lang", "pct"))
+        .select(col("lang"), col("pct"), col("total_tokens"), col("est"),
+          col("exact_value"),
+          (lit(16L) * (col("est") - col("exact_value")) <= col("exact_value"))
+            .as("within_bound"))
+        .orderBy("lang", "pct")
+    },
+      Some(s"""WITH v AS MATERIALIZED (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS c,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+             |  FROM documents),
+             |b AS (
+             |  SELECT lang, ${graft.functions.LogHist.sqlBucketOf("c")} AS idx,
+             |    CAST(sum(w) AS BIGINT) AS cnt
+             |  FROM v GROUP BY 1, 2),
+             |cb AS (
+             |  SELECT lang, idx, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY idx) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM b),
+             |pq AS (SELECT CAST(unnest([25, 50, 90]) AS INTEGER) AS pct),
+             |sk AS (
+             |  SELECT lang, pct, ${graft.functions.LogHist.sqlBucketHi("idx")} AS est
+             |  FROM cb CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100),
+             |dd AS MATERIALIZED (
+             |  SELECT lang, c, CAST(sum(w) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+             |cd AS (
+             |  SELECT lang, c, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY c) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+             |  FROM dd),
+             |ex AS (
+             |  SELECT lang, pct, c AS exact_value, n AS total_tokens
+             |  FROM cd CROSS JOIN pq
+             |  WHERE cum >= (n * pct + 99) // 100
+             |    AND cum - cnt < (n * pct + 99) // 100)
+             |SELECT sk.lang, sk.pct, total_tokens, est, exact_value,
+             |  16 * (est - exact_value) <= exact_value AS within_bound
+             |FROM sk JOIN ex ON sk.lang = ex.lang AND sk.pct = ex.pct
+             |ORDER BY sk.lang, sk.pct""".stripMargin)),
+
+    // ---- Distribution drift via two-sample KS on sketch CDFs -------------
+    // The monitoring op the sketch family exists for at 100 TB: is this
+    // year's price distribution the same as last year's? Exact two-
+    // sample Kolmogorov-Smirnov needs a global co-sort of both samples;
+    // on LogHist sketches, D = max |cdf_a - cdf_b| evaluated on the
+    // fixed bucket grid costs a per-pair window over <= 976 rows — the
+    // sketches are the only thing that ever leaves the year partitions.
+    // Grid evaluation under-reads the true D by at most the probability
+    // mass of one bucket-width slice (the step functions are compared at
+    // every bucket boundary), the documented resolution trade. Decision
+    // at the classical 5% critical value 1.36*sqrt((n1+n2)/(n1*n2)),
+    // computed in double space so n1*n2 cannot overflow int64 at scale.
+    QueryDef("q239_sketch_ks", (s, d) => {
+      val buckets = t(s, d, "orders")
+        .select(year(col("o_orderdate")).as("yr"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+        .groupBy(col("yr"), expr(
+          "CASE WHEN c < 32 THEN CAST(c AS INT) ELSE " +
+            "CAST(((length(bin(c)) - 5) * 16) + shiftright(c, length(bin(c)) - 5) AS INT) END")
+          .as("idx"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds both pair sides and the year totals
+      val sides = buckets.select((col("yr")).as("pair"), col("idx"),
+          col("cnt").as("ca"), lit(0L).as("cb"))
+        .unionByName(buckets.select((col("yr") - 1).as("pair"), col("idx"),
+          lit(0L).as("ca"), col("cnt").as("cb")))
+        .groupBy("pair", "idx")
+        .agg(sum("ca").as("ca"), sum("cb").as("cb"))
+      val wP = Window.partitionBy("pair").orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = sides.groupBy("pair")
+        .agg(sum("ca").as("na"), sum("cb").as("nb"))
+        .filter(col("na") > 0 && col("nb") > 0)
+      sides
+        .withColumn("cuma", sum("ca").over(wP))
+        .withColumn("cumb", sum("cb").over(wP))
+        .join(broadcast(totals), "pair")
+        .groupBy("pair", "na", "nb")
+        .agg(max(abs(col("cuma").cast("double") / col("na").cast("double") -
+          col("cumb").cast("double") / col("nb").cast("double"))).as("ks_d"))
+        .select(col("pair").cast("int").as("year_a"),
+          (col("pair") + 1).cast("int").as("year_b"),
+          col("na").as("n_a"), col("nb").as("n_b"), col("ks_d"),
+          (lit(1.36) * sqrt((col("na").cast("double") + col("nb").cast("double")) /
+            (col("na").cast("double") * col("nb").cast("double"))))
+            .as("critical_5pct"))
+        .withColumn("drift", col("ks_d") > col("critical_5pct"))
+        .orderBy("year_a")
+    },
+      Some(s"""WITH v AS MATERIALIZED (
+             |  SELECT year(o_orderdate) AS yr,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+             |  FROM orders),
+             |b AS MATERIALIZED (
+             |  SELECT yr, ${graft.functions.LogHist.sqlBucketOf("c")} AS idx,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM v GROUP BY 1, 2),
+             |sides AS (
+             |  SELECT pair, idx, CAST(sum(ca) AS BIGINT) AS ca,
+             |    CAST(sum(cb) AS BIGINT) AS cb
+             |  FROM (
+             |    SELECT yr AS pair, idx, cnt AS ca, 0 AS cb FROM b
+             |    UNION ALL
+             |    SELECT yr - 1 AS pair, idx, 0 AS ca, cnt AS cb FROM b)
+             |  GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT pair, CAST(sum(ca) AS BIGINT) AS na,
+             |    CAST(sum(cb) AS BIGINT) AS nb
+             |  FROM sides GROUP BY 1
+             |  HAVING sum(ca) > 0 AND sum(cb) > 0),
+             |cum AS (
+             |  SELECT s.pair, na, nb,
+             |    CAST(sum(ca) OVER (PARTITION BY s.pair ORDER BY idx) AS BIGINT)
+             |      AS cuma,
+             |    CAST(sum(cb) OVER (PARTITION BY s.pair ORDER BY idx) AS BIGINT)
+             |      AS cumb
+             |  FROM sides s JOIN tot ON s.pair = tot.pair),
+             |ks AS (
+             |  SELECT pair, na, nb,
+             |    max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+             |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d
+             |  FROM cum GROUP BY 1, 2, 3)
+             |SELECT CAST(pair AS INTEGER) AS year_a,
+             |  CAST(pair + 1 AS INTEGER) AS year_b,
+             |  na AS n_a, nb AS n_b, ks_d,
+             |  1.36e0 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS critical_5pct,
+             |  ks_d > 1.36e0 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drift
+             |FROM ks ORDER BY year_a""".stripMargin)),
   )
 }

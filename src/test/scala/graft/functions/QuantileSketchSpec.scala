@@ -85,6 +85,37 @@ class QuantileSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"))
   }
 
+  test("weighted sketch equals the unweighted one under unit weights and merges") {
+    val vals = (1L to 500L) ++ Seq.fill(40)(77L)
+    val u = new LogHistAgg
+    val w = new LogHistWeightedAgg
+    val unwtd = vals.foldLeft(u.zero)(u.reduce)
+    val unit = vals.map((_, 1L)).foldLeft(w.zero)(w.reduce)
+    assert(unit == unwtd)
+    // weight w == w repetitions
+    val weighted = Seq((10L, 3L), (100L, 5L)).foldLeft(w.zero)(w.reduce)
+    val repeated = (Seq.fill(3)(10L) ++ Seq.fill(5)(100L)).foldLeft(u.zero)(u.reduce)
+    assert(weighted == repeated)
+    // merge is counter addition either way
+    val (a, b) = vals.map((_, 2L)).splitAt(123)
+    assert(w.merge(a.foldLeft(w.zero)(w.reduce), b.foldLeft(w.zero)(w.reduce)) ==
+      vals.map((_, 2L)).foldLeft(w.zero)(w.reduce))
+  }
+
+  test("q238 weighted attestation and q239 KS bounds hold on the real testdata") {
+    val wp = graft.SparkEntry.queries("q238_weighted_percentiles")(spark, sfDir)
+      .collect()
+    assert(wp.nonEmpty)
+    wp.foreach(r => assert(r.getAs[Boolean]("within_bound"), s"bound broken: $r"))
+    val ks = graft.SparkEntry.queries("q239_sketch_ks")(spark, sfDir).collect()
+    assert(ks.nonEmpty)
+    ks.foreach { r =>
+      val d = r.getAs[Double]("ks_d")
+      assert(d >= 0.0 && d <= 1.0, s"KS statistic out of [0,1]: $r")
+      assert(r.getAs[Double]("critical_5pct") > 0.0)
+    }
+  }
+
   test("q233 attestation holds on the real testdata") {
     val df = graft.SparkEntry.queries("q233_quantile_sketch")(spark, sfDir)
       .collect()
