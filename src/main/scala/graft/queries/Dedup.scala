@@ -1748,6 +1748,56 @@ object Dedup {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              |    AS BIGINT) AS cum_at_or_above
              |FROM b ORDER BY bucket""".stripMargin)),
+
+    // ---- LSH banding advisor: the S-curve that prices q45's parameters ---
+    // Before a 100 TB MinHash pass, the (bands, rows) choice decides both
+    // recall and the candidate-pair bill. For a fixed 128-hash signature
+    // budget, each factorization b*r = 128 has detection probability
+    // P(s) = 1 - (1 - s^r)^b — this emits the full S-curve table a
+    // pipeline operator reads to place the curve's knee at the intended
+    // threshold (more rows/band = sharper + right-shifted knee; q45's
+    // 32x4 puts ~0.5 detection near s = 0.55). In-plan generated like
+    // the q231 calendar dim (the advisor consumes no corpus — pairing it
+    // with q229's measured similarity histogram prices a concrete run).
+    // Portability: no pow() (not bit-identical across engines) — s^r and
+    // (1-s^r)^b are LEFT FOLDS of repeated multiplication, mirrored by
+    // DuckDB list_reduce over the same sequence, so every double is
+    // bit-equal. Fixed 6x6 grid, no shuffle at all.
+    QueryDef("q241_lsh_advisor", (s, d) => {
+      val configs = Seq((64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64))
+      val sims = Seq(0.3, 0.5, 0.6, 0.7, 0.8, 0.9)
+      s.range(1)
+        .select(explode(array(configs.map { case (b, r) =>
+          struct(lit(b).as("b"), lit(r).as("r"))
+        }: _*)).as("cfg"))
+        .select(col("cfg.b").as("bands"), col("cfg.r").as("rows_per_band"))
+        .withColumn("sim", explode(array(sims.map(x => lit(x)): _*)))
+        .withColumn("p_band", expr("aggregate(sequence(1, rows_per_band), " +
+          "CAST(1.0 AS DOUBLE), (acc, i) -> acc * sim)"))
+        .withColumn("p_detect", lit(1.0) - expr(
+          "aggregate(sequence(1, bands), CAST(1.0 AS DOUBLE), " +
+            "(acc, i) -> acc * (CAST(1.0 AS DOUBLE) - p_band))"))
+        .select(col("bands"), col("rows_per_band"), col("sim"),
+          col("p_band"), col("p_detect"))
+        .orderBy("bands", "sim")
+    },
+      Some("""WITH cfg(bands, rows_per_band) AS (
+             |  VALUES (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64)),
+             |sg AS (SELECT unnest([3e-1, 5e-1, 6e-1, 7e-1, 8e-1, 9e-1]) AS sim),
+             |g AS (
+             |  SELECT bands, rows_per_band, sim,
+             |    list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+             |      list_transform(range(1, rows_per_band + 1), i -> sim)),
+             |      (acc, x) -> acc * x) AS p_band
+             |  FROM cfg CROSS JOIN sg)
+             |SELECT CAST(bands AS INTEGER) AS bands,
+             |  CAST(rows_per_band AS INTEGER) AS rows_per_band, sim, p_band,
+             |  CAST(1.0 AS DOUBLE) - list_reduce(
+             |    list_prepend(CAST(1.0 AS DOUBLE),
+             |      list_transform(range(1, bands + 1),
+             |        i -> CAST(1.0 AS DOUBLE) - p_band)),
+             |    (acc, x) -> acc * x) AS p_detect
+             |FROM g ORDER BY bands, sim""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

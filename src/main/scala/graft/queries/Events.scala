@@ -2440,5 +2440,75 @@ object Events {
              |  d AS deaths, survival
              |FROM risk r JOIN sv ON sv.cohort_day = r.cohort_day AND sv.t = r.t
              |ORDER BY r.cohort_day, r.t""".stripMargin)),
+
+    // ---- Incremental view maintenance of the CDC snapshot ----------------
+    // The nightly-pipeline shape q230 implies but never exercises: the
+    // materialized latest-wins snapshot is MAINTAINED, not recomputed —
+    // snapshot(base) merged with snapshot(delta batch) must equal
+    // snapshot(base ++ delta). This query computes the snapshot through
+    // the INCREMENTAL path (split the changelog at min+15 days, snapshot
+    // each side INCLUDING tombstone-finals — the IVM state needs the
+    // tombstone marker or a deleted key would resurrect — then full-outer
+    // merge per key: the delta side wins when present, because a
+    // time-split guarantees every delta change is later than every base
+    // change; change counts add). The ORACLE computes the DIRECT
+    // snapshot, so the driver's hash-match IS the IVM correctness proof
+    // — any divergence between the maintained and recomputed view fails
+    // the gate. `src` records which side supplied each key's final
+    // state (= last_us >= split, the property the merge relies on).
+    // Scale shape: two user-keyed window passes + one user-keyed merge
+    // join; the split bound is a 1-row broadcast (q76's class).
+    QueryDef("q240_ivm_snapshot", (s, d) => {
+      val dayUs = 86400000000L
+      val c = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          (col("value").cast(DecimalType(12, 2)) * 100).cast("long")
+            .as("cents"))
+      val split = c.agg((min("us") + lit(15L * dayUs)).as("split_us"))
+      val cc = c.crossJoin(broadcast(split))
+      def snap(side: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)
+        val wn = Window.partitionBy("user_id")
+        side.withColumn("rn", row_number().over(w))
+          .withColumn("nc", count(lit(1)).over(wn))
+          .filter(col("rn") === 1) // tombstone-finals stay: IVM state
+          .select(col("user_id"), col("event_type"), col("us"),
+            col("cents"), col("nc"))
+      }
+      val b = snap(cc.filter(col("us") < col("split_us")))
+      val dl = snap(cc.filter(col("us") >= col("split_us")))
+      b.withColumnRenamed("event_type", "bt").withColumnRenamed("us", "bu")
+        .withColumnRenamed("cents", "bc").withColumnRenamed("nc", "bn")
+        .join(dl.withColumnRenamed("event_type", "dt")
+          .withColumnRenamed("us", "du").withColumnRenamed("cents", "dc")
+          .withColumnRenamed("nc", "dn"), Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("dt"), col("bt")).as("last_type"),
+          coalesce(col("du"), col("bu")).as("last_us"),
+          coalesce(col("dc"), col("bc")).as("last_cents"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_changes"),
+          when(col("dt").isNotNull, "delta").otherwise("base").as("src"))
+        .filter(col("last_type") =!= "error")
+        .orderBy("user_id")
+    },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC,
+             |        event_id DESC) AS rn,
+             |    count(*) OVER (PARTITION BY user_id) AS n_changes
+             |  FROM events WHERE ts IS NOT NULL),
+             |mn AS (SELECT min(us) + 15 * 86400000000 AS split_us FROM c)
+             |SELECT user_id, event_type AS last_type, us AS last_us,
+             |  cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes,
+             |  CASE WHEN us >= split_us THEN 'delta' ELSE 'base' END AS src
+             |FROM c CROSS JOIN mn
+             |WHERE rn = 1 AND event_type != 'error'
+             |ORDER BY user_id""".stripMargin)),
   )
 }

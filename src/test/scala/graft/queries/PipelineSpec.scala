@@ -2276,7 +2276,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q221_bfs_expansion", // builds on q137's fixed centroid broadcast
       "q225_weighted_median", // one-row weight-total cross join (q76's class)
       "q227_minhash_error", // fixed 32-row permutation broadcast (q49's class)
-      "q228_freshness_report") // one-row high-water-mark cross join (q76's class)
+      "q228_freshness_report", // one-row high-water-mark cross join (q76's class)
+      "q240_ivm_snapshot") // one-row split-bound cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
