@@ -1294,5 +1294,70 @@ object Relational {
              |    AS weekend_revenue
              |FROM f JOIN cal ON f.d_idx = cal.d_idx
              |GROUP BY 1, 2, 3 ORDER BY y, q, m""".stripMargin)),
+
+    // ---- NULL-semantics parity suite -------------------------------------
+    // The testdata carries no NULLs, so the engine's null behavior was
+    // only ever exercised incidentally (outer-join extension, lag at
+    // partition edges). This suite injects them deterministically and
+    // pins the full contract against the oracle in one query: a NULL
+    // grouping key forms its own group; count(*) counts rows while
+    // count(col) skips nulls; sum/max ignore nulls and return NULL for
+    // all-null groups (rare_max exercises null AGGREGATE OUTPUT cells);
+    // count(DISTINCT CASE...) sees only the non-null branch; a NULL join
+    // key matches nothing in a left join (null-extended tier); and the
+    // output ordering pins NULLS FIRST explicitly — Spark's ascending
+    // default, but DuckDB defaults NULLS LAST, the classic silent
+    // divergence. Map-only + one low-cardinality groupBy.
+    QueryDef("q242_null_suite", (s, d) => {
+      val cents = (col("c_acctbal").cast(DecimalType(12, 2)) * 100)
+        .cast("long")
+      val c = t(s, d, "customer").select(
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        when(col("c_custkey") % 3 === 0, lit(null).cast("long"))
+          .otherwise(cents).as("bal"),
+        when(col("c_custkey") % 1000 === 999, cents).as("rare"),
+        col("c_nationkey"))
+      val agg = c.groupBy("seg").agg(
+        count(lit(1)).as("n"),
+        count(col("bal")).as("n_bal"),
+        sum("bal").as("sum_bal"),
+        max("rare").as("rare_max"),
+        countDistinct(when(col("bal").isNull, col("c_nationkey")))
+          .as("null_bal_nations"))
+      val meta = s.range(1).select(explode(array(
+          Seq(("AUTOMOBILE", 1), ("FURNITURE", 2), ("HOUSEHOLD", 3),
+            ("MACHINERY", 4)).map { case (m, r) =>
+            struct(lit(m).as("seg"), lit(r).as("tier"))
+          }: _*)).as("m"))
+        .select(col("m.seg").as("seg"), col("m.tier").as("tier"))
+      agg.join(meta, Seq("seg"), "left")
+        .select(col("seg"), col("n"), col("n_bal"), col("sum_bal"),
+          col("rare_max"), col("null_bal_nations"), col("tier"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+             |    CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |         ELSE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |    END AS bal,
+             |    CASE WHEN c_custkey % 1000 = 999
+             |         THEN CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+             |    END AS rare,
+             |    c_nationkey
+             |  FROM customer),
+             |a AS (
+             |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(bal) AS BIGINT) AS n_bal,
+             |    CAST(sum(bal) AS BIGINT) AS sum_bal,
+             |    max(rare) AS rare_max,
+             |    CAST(count(DISTINCT CASE WHEN bal IS NULL THEN c_nationkey END)
+             |      AS BIGINT) AS null_bal_nations
+             |  FROM c GROUP BY seg),
+             |m(seg, tier) AS (VALUES ('AUTOMOBILE', 1), ('FURNITURE', 2),
+             |  ('HOUSEHOLD', 3), ('MACHINERY', 4))
+             |SELECT a.seg, n, n_bal, sum_bal, rare_max, null_bal_nations,
+             |  CAST(tier AS INTEGER) AS tier
+             |FROM a LEFT JOIN m ON a.seg = m.seg
+             |ORDER BY a.seg NULLS FIRST""".stripMargin)),
   )
 }

@@ -2703,5 +2703,90 @@ object Similarity {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.v)
              |ORDER BY score_fp DESC, u, v LIMIT 50""".stripMargin)),
+
+    // ---- Matryoshka truncation evaluation --------------------------------
+    // The embedding-efficiency question behind MRL-style models: how
+    // much retrieval quality survives if only the first 16 of 64 dims
+    // are stored/shipped? Per query, exact top-10 by full-dim cosine vs
+    // top-10 by truncated-dim cosine, overlap@10 as the per-query
+    // retention score. Both rankings run on the exact integer grid
+    // (int64 dot products, IEEE sqrt/divide on identical ints — fully
+    // hash-portable) through the partial-aggregable TopKAgg, so each map
+    // task pre-reduces to 10 candidates per query before the exchange —
+    // the q50 scale path, run twice on the same broadcast-scored join.
+    // At 100 TB this query IS the decision artifact for a 4x index-size
+    // cut: overlap distribution tells you what recall the cheap index
+    // loses before you build it.
+    QueryDef("q243_matryoshka_eval", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val tDim = 16
+      val e = quantize(t(s, d, "embeddings"))
+        .withColumn("tv", slice(col("qv"), 1, tDim))
+      val eT = e.withColumn("tn2",
+        graft.functions.ArrayExprs.dotq(col("tv"), col("tv")))
+      val queries = eT.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+          col("n2").as("na"), col("tv").as("ta"), col("tn2").as("tna"))
+      val corpus = eT.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+        col("n2").as("nb"), col("tv").as("tb"), col("tn2").as("tnb"))
+      val scored = broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"),
+          cosine(col("qa"), col("na"), col("qb"), col("nb")).as("cf"),
+          (graft.functions.ArrayExprs.dotq(col("ta"), col("tb")).cast("double") /
+            sqrt(col("tna").cast("double")) / sqrt(col("tnb").cast("double")))
+            .as("ct"))
+      def top10(scoreCol: String) = scored
+        .select(col("q_id"), col(scoreCol), col("n_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1).mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAgg(10).toColumn.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), explode(col("top")).as("t"))
+        .select(col("q_id"), col("t._2").as("n_id"))
+      val overlap = top10("cf").join(top10("ct"), Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("overlap10"))
+      queries.select("q_id").join(overlap, Seq("q_id"), "left")
+        .withColumn("overlap10",
+          coalesce(col("overlap10"), lit(0L)))
+        .withColumn("recall10",
+          col("overlap10").cast("double") / lit(10.0))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, qv[1:16] AS tv,
+             |    ${sqlDot("qv", "qv")} AS n2,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |      i -> qv[i] * qv[i])) AS BIGINT) AS tn2
+             |  FROM q),
+             |scored AS MATERIALIZED (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    CAST(${sqlDot("a.qv", "b.qv")} AS DOUBLE)
+             |      / sqrt(CAST(a.n2 AS DOUBLE)) / sqrt(CAST(b.n2 AS DOUBLE))
+             |      AS cf,
+             |    CAST(list_sum(list_transform(range(1, 17),
+             |        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             |      / sqrt(CAST(a.tn2 AS DOUBLE)) / sqrt(CAST(b.tn2 AS DOUBLE))
+             |      AS ct
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 50),
+             |rf AS (
+             |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY cf DESC, n_id) AS rk FROM scored),
+             |rt AS (
+             |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY ct DESC, n_id) AS rk FROM scored),
+             |ov AS (
+             |  SELECT rf.q_id, CAST(count(*) AS BIGINT) AS overlap10
+             |  FROM rf JOIN rt ON rf.q_id = rt.q_id AND rf.n_id = rt.n_id
+             |  WHERE rf.rk <= 10 AND rt.rk <= 10
+             |  GROUP BY rf.q_id)
+             |SELECT q.vec_id AS q_id, coalesce(overlap10, 0) AS overlap10,
+             |  CAST(coalesce(overlap10, 0) AS DOUBLE) / 1e1 AS recall10
+             |FROM q LEFT JOIN ov ON q.vec_id = ov.q_id
+             |WHERE q.vec_id < 50
+             |ORDER BY q_id""".stripMargin)),
   )
 }

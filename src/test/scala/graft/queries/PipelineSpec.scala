@@ -2277,7 +2277,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q225_weighted_median", // one-row weight-total cross join (q76's class)
       "q227_minhash_error", // fixed 32-row permutation broadcast (q49's class)
       "q228_freshness_report", // one-row high-water-mark cross join (q76's class)
-      "q240_ivm_snapshot") // one-row split-bound cross join (q76's class)
+      "q240_ivm_snapshot", // one-row split-bound cross join (q76's class)
+      "q243_matryoshka_eval") // q48's bounded 50-query broadcast, scored twice
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
