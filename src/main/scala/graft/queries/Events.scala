@@ -2510,5 +2510,164 @@ object Events {
              |FROM c CROSS JOIN mn
              |WHERE rn = 1 AND event_type != 'error'
              |ORDER BY user_id""".stripMargin)),
+
+    // ---- Next-event Markov baseline with temporal-split evaluation -------
+    // The ML-ops loop in miniature, all in one plan: TRAIN a first-order
+    // Markov predictor (per previous event type, the most frequent next
+    // type) on the changelog BEFORE a time split, then EVALUATE top-1
+    // accuracy on transitions strictly AFTER it — the temporal split a
+    // leaking random split would get wrong (q134's lesson, applied to
+    // sequence models). Transitions are per-user lag pairs computed
+    // WITHIN each side, so no train-test boundary pair leaks a test
+    // label into training. Argmax by (count desc, type asc) — exact,
+    // deterministic; accuracy is an int/int IEEE divide. Unseen
+    // prev-types predict NULL and score zero hits (the honest cold-start
+    // accounting). Scale shape: two per-user window passes, a 5x5
+    // transition table, and a broadcast model join onto test pairs.
+    QueryDef("q244_markov_eval", (s, d) => {
+      val dayUs = 86400000000L
+      val e = t(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val split = e.agg((min("us") + lit(15L * dayUs)).as("split_us"))
+      val ee = e.crossJoin(broadcast(split))
+      def pairs(side: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        side
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .select(col("event_type").as("prev_type"), col("next_type"))
+      }
+      val train = pairs(ee.filter(col("us") < col("split_us")))
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("cnt"))
+      val wP = Window.partitionBy("prev_type")
+        .orderBy(col("cnt").desc, col("next_type"))
+      val model = train
+        .withColumn("rk", row_number().over(wP))
+        .withColumn("n_train", sum("cnt").over(Window.partitionBy("prev_type")))
+        .filter(col("rk") === 1)
+        .select(col("prev_type"), col("next_type").as("predicted"),
+          col("n_train"))
+      val test = pairs(ee.filter(col("us") >= col("split_us")))
+      test.join(broadcast(model), Seq("prev_type"), "left")
+        .groupBy("prev_type", "predicted", "n_train")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("next_type") === col("predicted"), 1L).otherwise(0L))
+            .as("hits"))
+        .select(col("prev_type"), col("predicted"), col("n_train"),
+          col("n_test"), col("hits"),
+          (col("hits").cast("double") / col("n_test").cast("double"))
+            .as("accuracy"))
+        .orderBy("prev_type")
+    },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT user_id, event_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |mn AS (SELECT min(us) + 15 * 86400000000 AS split_us FROM e),
+             |tr AS MATERIALIZED (
+             |  SELECT event_type AS prev_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS next_type
+             |  FROM e CROSS JOIN mn WHERE us < split_us),
+             |trc AS (
+             |  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tr WHERE next_type IS NOT NULL GROUP BY 1, 2),
+             |model AS (
+             |  SELECT prev_type, next_type AS predicted, n_train FROM (
+             |    SELECT prev_type, next_type,
+             |      row_number() OVER (PARTITION BY prev_type
+             |        ORDER BY cnt DESC, next_type) AS rk,
+             |      CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT)
+             |        AS n_train
+             |    FROM trc) WHERE rk = 1),
+             |te AS MATERIALIZED (
+             |  SELECT event_type AS prev_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS next_type
+             |  FROM e CROSS JOIN mn WHERE us >= split_us)
+             |SELECT t.prev_type, predicted, n_train,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN t.next_type = predicted THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS hits,
+             |  CAST(sum(CASE WHEN t.next_type = predicted THEN 1 ELSE 0 END)
+             |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy
+             |FROM te t LEFT JOIN model ON t.prev_type = model.prev_type
+             |WHERE t.next_type IS NOT NULL
+             |GROUP BY 1, 2, 3 ORDER BY t.prev_type""".stripMargin)),
+
+    // ---- Holt double-exponential forecast with holdout MAE ---------------
+    // q200's EWMA tracks LEVEL only and lags any trending series; Holt's
+    // linear method carries (level, trend) state — the standard next
+    // step for capacity forecasting on daily volumes. The recursion
+    // l' = a*y + (1-a)(l+b); b' = g*(l'-l) + (1-g)*b folds over the
+    // day-ordered series with a STRUCT accumulator (Spark `aggregate`
+    // with named_struct mirrored by DuckDB list_reduce with a struct
+    // lambda — both fold left over the identical list, so every double
+    // is bit-equal). The last 3 days are held out; forecasts l + h*b
+    // score MAE against them — the honest eval a fit-on-everything
+    // report skips. Per-type series are bounded (days, not events):
+    // the corpus-scale work is dailyCounts' one map-combined rollup.
+    QueryDef("q245_holt_forecast", (s, d) => {
+      val series = dailyCounts(t(s, d, "events"))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(d_idx, x))), " +
+          "p -> CAST(p.x AS DOUBLE))").as("ys"))
+        .filter(size(col("ys")) >= 6)
+        .withColumn("n", size(col("ys")))
+        .withColumn("train", expr("slice(ys, 1, n - 3)"))
+      val fitted = series.withColumn("state", expr(
+        "aggregate(slice(train, 2, n - 4), " +
+          "named_struct('l', train[0], 'b', 0.0d), " +
+          "(acc, y) -> named_struct(" +
+          "'l', 0.5d * y + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * y + 0.5d * (acc.l + acc.b)) - acc.l) " +
+          "+ 0.7d * acc.b))"))
+      fitted.select(col("event_type"), col("n").cast("int").as("n_days"),
+          expr("state.l").as("level"), expr("state.b").as("trend"),
+          expr("state.l + 1.0d * state.b").as("f1"),
+          expr("state.l + 2.0d * state.b").as("f2"),
+          expr("state.l + 3.0d * state.b").as("f3"),
+          expr("element_at(ys, n - 2)").as("a1"),
+          expr("element_at(ys, n - 1)").as("a2"),
+          expr("element_at(ys, n)").as("a3"))
+        .withColumn("mae", expr(
+          "(abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3.0d"))
+        .orderBy("event_type")
+    },
+      // NOTE: the fold is mirrored with a RECURSIVE CTE, not list_reduce —
+      // DuckDB 1.0's list_reduce gives a struct lambda inconsistent acc
+      // bindings when one output field recomputes another (measured: the
+      // 'b' field saw the freshly computed 'l' from step 2 onward). The
+      // recursive CTE reads only the prior row's columns, so the
+      // arithmetic order is exactly Spark's aggregate() fold.
+      Some(s"""WITH RECURSIVE $sqlDaily,
+             |series AS MATERIALIZED (
+             |  SELECT event_type,
+             |    list_transform(list_sort(list({'d': d_idx, 'x': x})),
+             |      p -> CAST(p.x AS DOUBLE)) AS ys
+             |  FROM daily GROUP BY 1),
+             |f AS MATERIALIZED (
+             |  SELECT event_type, ys, len(ys) AS n, ys[1:len(ys)-3] AS train
+             |  FROM series WHERE len(ys) >= 6),
+             |rec AS (
+             |  SELECT event_type, 1 AS i, train[1] AS l, 0e0 AS b, train, n, ys
+             |  FROM f
+             |  UNION ALL
+             |  SELECT event_type, i + 1,
+             |    5e-1 * train[i + 1] + 5e-1 * (l + b),
+             |    3e-1 * ((5e-1 * train[i + 1] + 5e-1 * (l + b)) - l)
+             |      + 7e-1 * b,
+             |    train, n, ys
+             |  FROM rec WHERE i < n - 3),
+             |o AS (
+             |  SELECT event_type, CAST(n AS INTEGER) AS n_days,
+             |    l AS level, b AS trend,
+             |    l + 1e0 * b AS f1, l + 2e0 * b AS f2, l + 3e0 * b AS f3,
+             |    ys[n - 2] AS a1, ys[n - 1] AS a2, ys[n] AS a3
+             |  FROM rec WHERE i = n - 3)
+             |SELECT event_type, n_days, level, trend, f1, f2, f3, a1, a2, a3,
+             |  (abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3e0 AS mae
+             |FROM o ORDER BY event_type""".stripMargin)),
   )
 }

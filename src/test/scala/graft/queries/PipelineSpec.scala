@@ -2278,7 +2278,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q227_minhash_error", // fixed 32-row permutation broadcast (q49's class)
       "q228_freshness_report", // one-row high-water-mark cross join (q76's class)
       "q240_ivm_snapshot", // one-row split-bound cross join (q76's class)
-      "q243_matryoshka_eval") // q48's bounded 50-query broadcast, scored twice
+      "q243_matryoshka_eval", // q48's bounded 50-query broadcast, scored twice
+      "q244_markov_eval") // one-row split-bound cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
