@@ -2669,5 +2669,93 @@ object Events {
              |SELECT event_type, n_days, level, trend, f1, f2, f3, a1, a2, a3,
              |  (abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3e0 AS mae
              |FROM o ORDER BY event_type""".stripMargin)),
+
+    // ---- Split-conformal prediction intervals on the Holt forecast -------
+    // q245 emits point forecasts; an on-call engineer needs to know how
+    // wrong they typically are. Split conformal gives distribution-free
+    // intervals: the one-step-ahead absolute residuals |y_{i+1} -
+    // (l_i + b_i)| collected DURING the training fold are the
+    // calibration scores, and the 90% interval is f_h +- q with q the
+    // ceil(0.9(m+1))-th smallest residual — finite-sample valid with no
+    // noise model. The fold accumulator carries (l, b, residual array)
+    // so calibration costs nothing extra; the oracle's recursive CTE
+    // emits one residual per step (q245's mirror, one more column).
+    // Coverage of the 3 held-out days rides along as the honesty check.
+    QueryDef("q247_conformal_forecast", (s, d) => {
+      val series = dailyCounts(t(s, d, "events"))
+        .groupBy("event_type")
+        .agg(expr("transform(array_sort(collect_list(struct(d_idx, x))), " +
+          "p -> CAST(p.x AS DOUBLE))").as("ys"))
+        .filter(size(col("ys")) >= 8)
+        .withColumn("n", size(col("ys")))
+        .withColumn("train", expr("slice(ys, 1, n - 3)"))
+      val fitted = series.withColumn("state", expr(
+        "aggregate(slice(train, 2, n - 4), " +
+          "named_struct('l', train[0], 'b', 0.0d, " +
+          "'res', CAST(array() AS ARRAY<DOUBLE>)), " +
+          "(acc, y) -> named_struct(" +
+          "'l', 0.5d * y + 0.5d * (acc.l + acc.b), " +
+          "'b', 0.3d * ((0.5d * y + 0.5d * (acc.l + acc.b)) - acc.l) " +
+          "+ 0.7d * acc.b, " +
+          "'res', array_append(acc.res, abs(y - (acc.l + acc.b)))))"))
+        .withColumn("m", expr("size(state.res)"))
+        .withColumn("k", expr(
+          "least(m, CAST(ceil(0.9d * CAST(m + 1 AS DOUBLE)) AS INT))"))
+        .withColumn("conf_q", expr("element_at(array_sort(state.res), k)"))
+      fitted
+        .withColumn("h", explode(array(lit(1), lit(2), lit(3))))
+        .withColumn("fh", expr("state.l + CAST(h AS DOUBLE) * state.b"))
+        .withColumn("actual", expr("element_at(ys, n - 3 + h)"))
+        .select(col("event_type"), col("h"), col("m"), col("conf_q"),
+          col("fh").as("forecast"),
+          (col("fh") - col("conf_q")).as("lo"),
+          (col("fh") + col("conf_q")).as("hi"), col("actual"))
+        .withColumn("covered",
+          col("actual") >= col("lo") && col("actual") <= col("hi"))
+        .orderBy("event_type", "h")
+    },
+      Some(s"""WITH RECURSIVE $sqlDaily,
+             |series AS MATERIALIZED (
+             |  SELECT event_type,
+             |    list_transform(list_sort(list({'d': d_idx, 'x': x})),
+             |      p -> CAST(p.x AS DOUBLE)) AS ys
+             |  FROM daily GROUP BY 1),
+             |f AS MATERIALIZED (
+             |  SELECT event_type, ys, len(ys) AS n, ys[1:len(ys)-3] AS train
+             |  FROM series WHERE len(ys) >= 8),
+             |rec AS (
+             |  SELECT event_type, 1 AS i, train[1] AS l, 0e0 AS b,
+             |    CAST(NULL AS DOUBLE) AS res, train, n, ys
+             |  FROM f
+             |  UNION ALL
+             |  SELECT event_type, i + 1,
+             |    5e-1 * train[i + 1] + 5e-1 * (l + b),
+             |    3e-1 * ((5e-1 * train[i + 1] + 5e-1 * (l + b)) - l)
+             |      + 7e-1 * b,
+             |    abs(train[i + 1] - (l + b)),
+             |    train, n, ys
+             |  FROM rec WHERE i < n - 3),
+             |cal AS (
+             |  SELECT event_type, list_sort(list(res)) AS sres,
+             |    CAST(count(res) AS INTEGER) AS m
+             |  FROM rec WHERE res IS NOT NULL GROUP BY 1),
+             |qv AS (
+             |  SELECT event_type, m,
+             |    sres[least(m, CAST(ceil(9e-1 * CAST(m + 1 AS DOUBLE))
+             |      AS INTEGER))] AS conf_q
+             |  FROM cal),
+             |fin AS (
+             |  SELECT event_type, l, b, n, ys FROM rec WHERE i = n - 3),
+             |o AS (
+             |  SELECT fin.event_type, CAST(g.h AS INTEGER) AS h, m, conf_q,
+             |    l + CAST(g.h AS DOUBLE) * b AS forecast,
+             |    ys[n - 3 + g.h] AS actual
+             |  FROM fin JOIN qv ON fin.event_type = qv.event_type
+             |  CROSS JOIN (SELECT unnest(range(1, 4)) AS h) g)
+             |SELECT event_type, h, m, conf_q, forecast,
+             |  forecast - conf_q AS lo, forecast + conf_q AS hi, actual,
+             |  actual >= forecast - conf_q AND actual <= forecast + conf_q
+             |    AS covered
+             |FROM o ORDER BY event_type, h""".stripMargin)),
   )
 }

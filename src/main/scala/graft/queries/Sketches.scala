@@ -932,6 +932,74 @@ object Sketches {
              |FROM sk JOIN ex ON sk.lang = ex.lang AND sk.pct = ex.pct
              |ORDER BY sk.lang, sk.pct""".stripMargin)),
 
+    // ---- Distribution-free median confidence interval --------------------
+    // A point median without an interval invites over-reading (q64 gives
+    // the point; two languages' medians can differ by less than either's
+    // sampling noise). The classical order-statistics CI needs NO
+    // distributional assumption: the 95% interval for the median is
+    // [X_(l), X_(u)] with l = floor((n - 1.96*sqrt(n))/2) and
+    // u = ceil((n + 1.96*sqrt(n))/2) + 1 (normal approximation to the
+    // binomial rank distribution — sqrt/floor/ceil on doubles, bit-equal
+    // both engines). All three order statistics come from the same
+    // cumulative crossing over the per-lang VALUE DISTRIBUTION (q64's
+    // bounded-domain argument), so the corpus is touched once.
+    QueryDef("q246_median_ci", (s, d) => {
+      val dist = t(s, d, "documents")
+        .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = Window.partitionBy("lang").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = dist.withColumn("cum", sum("cnt").over(wCum))
+      val ranks = dist.groupBy("lang").agg(sum("cnt").as("n"))
+        .withColumn("which", explode(array(lit("1_lo"), lit("2_med"), lit("3_hi"))))
+        .withColumn("r", expr(
+          "CASE WHEN which = '2_med' THEN (n + 1) div 2 " +
+            "WHEN which = '1_lo' THEN greatest(1L, CAST(floor(" +
+            "(CAST(n AS DOUBLE) - 1.96d * sqrt(CAST(n AS DOUBLE))) / 2.0d" +
+            ") AS BIGINT)) " +
+            "ELSE least(n, CAST(ceil(" +
+            "(CAST(n AS DOUBLE) + 1.96d * sqrt(CAST(n AS DOUBLE))) / 2.0d" +
+            ") + 1.0d AS BIGINT)) END"))
+      cum.join(broadcast(ranks), "lang")
+        .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
+        .groupBy("lang", "n")
+        .agg(max(when(col("which") === "2_med", col("v"))).as("median"),
+          max(when(col("which") === "1_lo", col("v"))).as("ci_lo"),
+          max(when(col("which") === "3_hi", col("v"))).as("ci_hi"))
+        .orderBy("lang")
+    },
+      Some("""WITH dist AS MATERIALIZED (
+             |  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |cum AS (
+             |  SELECT lang, v, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT)
+             |      AS cum
+             |  FROM dist),
+             |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+             |        FROM dist GROUP BY 1),
+             |ranks AS (
+             |  SELECT lang, n, which,
+             |    CASE WHEN which = '2_med' THEN (n + 1) // 2
+             |         WHEN which = '1_lo' THEN greatest(1, CAST(floor(
+             |           (CAST(n AS DOUBLE) - 196e-2 * sqrt(CAST(n AS DOUBLE)))
+             |             / 2e0) AS BIGINT))
+             |         ELSE least(n, CAST(ceil(
+             |           (CAST(n AS DOUBLE) + 196e-2 * sqrt(CAST(n AS DOUBLE)))
+             |             / 2e0) + 1e0 AS BIGINT)) END AS r
+             |  FROM tot
+             |  CROSS JOIN (SELECT unnest(['1_lo', '2_med', '3_hi']) AS which)),
+             |hit AS (
+             |  SELECT c.lang, n, which, v
+             |  FROM cum c JOIN ranks k ON c.lang = k.lang
+             |  WHERE cum >= r AND cum - cnt < r)
+             |SELECT lang, n,
+             |  max(CASE WHEN which = '2_med' THEN v END) AS median,
+             |  max(CASE WHEN which = '1_lo' THEN v END) AS ci_lo,
+             |  max(CASE WHEN which = '3_hi' THEN v END) AS ci_hi
+             |FROM hit GROUP BY 1, 2 ORDER BY lang""".stripMargin)),
+
     // ---- Distribution drift via two-sample KS on sketch CDFs -------------
     // The monitoring op the sketch family exists for at 100 TB: is this
     // year's price distribution the same as last year's? Exact two-
