@@ -1798,6 +1798,81 @@ object Dedup {
              |        i -> CAST(1.0 AS DOUBLE) - p_band)),
              |    (acc, x) -> acc * x) AS p_detect
              |FROM g ORDER BY bands, sim""".stripMargin)),
+
+    // ---- b-bit MinHash: 64x signature compression, measured --------------
+    // Li & Koenig's observation: for resemblance estimation only the
+    // LOWEST BIT of each minhash carries signal — a 32-perm signature
+    // stores in 4 bytes instead of 256, and at 100 TB signature storage
+    // and pair-comparison bandwidth shrink 64x. The 1-bit estimator
+    // corrects for the 0.5 random-collision baseline:
+    // J ~= 2*frac_equal_bits - 1 (clamped at 0). This query packs the
+    // q227 signatures to 1 bit/perm (word = sum of bits << j — one
+    // int64 per doc), estimates J per verified near-dup pair via
+    // XOR+popcount, and rides next to both the exact Jaccard and the
+    // full 32-hash estimate so the compression's accuracy cost is
+    // measured, not assumed (1-bit variance is ~4x the full
+    // estimator's at high J; QualityTsSpec pins the measured envelope).
+    QueryDef("q248_bbit_minhash", (s, d) => {
+      val P = 2147483647L
+      var x = 42L
+      def nxt(): Long = { x = x * 48271 % P; x }
+      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
+      val spark = s
+      import spark.implicits._
+      val permDf = perms.toDF("j", "pa", "pb")
+      val docs = t(s, d, "documents")
+      val hs = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
+        .as("h"))
+      val sig = hs.crossJoin(broadcast(permDf))
+        .groupBy("doc_id", "j")
+        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
+      val packed = sig
+        .groupBy("doc_id")
+        .agg(sum(expr("(m % 2) * shiftleft(CAST(1 AS BIGINT), j)")).as("w"))
+        .localCheckpoint() // both pair sides read it
+      val frac = (lit(32L) - expr("bit_count(wa ^ wb)")).cast("double") / lit(32.0)
+      val est1 = greatest(lit(0.0), lit(2.0) * frac - lit(1.0))
+      nearDupPairsOf(docs).select("doc_a", "doc_b", "jaccard")
+        .join(packed.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+        .join(packed.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          expr("bit_count(wa ^ wb)").cast("int").as("bits_diff"),
+          est1.as("bbit_est"),
+          abs(est1 - col("jaccard")).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some {
+        val P = 2147483647L
+        var x = 42L
+        def nxt(): Long = { x = x * 48271 % P; x }
+        val vals = (0 until 32).map(j => s"($j, ${nxt()}, ${nxt()})")
+          .mkString(", ")
+        s"""WITH ${sqlPairCtes()},
+           |hu2 AS MATERIALIZED (
+           |  SELECT doc_id, h FROM ($sqlDocHashedShingles)),
+           |perms(j, pa, pb) AS (VALUES $vals),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, j,
+           |    min((pa * (h % $P) + pb) % $P) AS m
+           |  FROM hu2 CROSS JOIN perms GROUP BY doc_id, j),
+           |packed AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(sum((m % 2) * (CAST(1 AS BIGINT) << j)) AS BIGINT) AS w
+           |  FROM sigs GROUP BY doc_id),
+           |e AS (
+           |  SELECT p.doc_a, p.doc_b, p.jaccard,
+           |    CAST(bit_count(xor(pa2.w, pb2.w)) AS INTEGER) AS bits_diff
+           |  FROM pairs p
+           |  JOIN packed pa2 ON pa2.doc_id = p.doc_a
+           |  JOIN packed pb2 ON pb2.doc_id = p.doc_b)
+           |SELECT doc_a, doc_b, jaccard, bits_diff,
+           |  greatest(0e0, 2e0 * (CAST(32 - bits_diff AS DOUBLE) / 32e0)
+           |    - 1e0) AS bbit_est,
+           |  abs(greatest(0e0, 2e0 * (CAST(32 - bits_diff AS DOUBLE) / 32e0)
+           |    - 1e0) - jaccard) AS abs_err
+           |FROM e ORDER BY doc_a, doc_b""".stripMargin
+      }),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

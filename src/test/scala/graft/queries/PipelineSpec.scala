@@ -2279,7 +2279,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q228_freshness_report", // one-row high-water-mark cross join (q76's class)
       "q240_ivm_snapshot", // one-row split-bound cross join (q76's class)
       "q243_matryoshka_eval", // q48's bounded 50-query broadcast, scored twice
-      "q244_markov_eval") // one-row split-bound cross join (q76's class)
+      "q244_markov_eval", // one-row split-bound cross join (q76's class)
+      "q248_bbit_minhash") // fixed 32-row permutation broadcast (q227's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

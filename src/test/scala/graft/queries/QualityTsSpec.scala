@@ -322,6 +322,22 @@ class QualityTsSpec extends AnyFunSuite with SparkTestBase {
     assert(meanErr < 0.1, s"mean |est - jaccard| = $meanErr")
   }
 
+  test("q248: 1-bit minhash estimates stay in range and inside the widened envelope") {
+    val out = SparkEntry.queries("q248_bbit_minhash")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val bd = r.getAs[Int]("bits_diff")
+      assert(bd >= 0 && bd <= 32)
+      val e = r.getAs[Double]("bbit_est")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+    // 1-bit variance is ~4x the full estimator's: std ~ sqrt(4p(1-p)/32)
+    // ~ 0.08 at J = 0.9 — the mean error over verified pairs must stay
+    // inside a 2.5-sigma-ish envelope (vs q227's 0.1 for full hashes)
+    val meanErr = out.map(_.getAs[Double]("abs_err")).sum / out.length
+    assert(meanErr < 0.2, s"mean |bbit_est - jaccard| = $meanErr")
+  }
+
   test("q219: daily percentiles are ordered and drawn from the day's values") {
     val out = SparkEntry.queries("q219_daily_percentiles")(spark, sfDir).cache()
     assert(out.filter(col("p50_cents") > col("p90_cents")).count() == 0)
