@@ -1873,6 +1873,111 @@ object Dedup {
            |    - 1e0) - jaccard) AS abs_err
            |FROM e ORDER BY doc_a, doc_b""".stripMargin
       }),
+
+    // ---- LSH banding precision/recall vs exact ground truth --------------
+    // q241 predicts the S-curve from theory; this MEASURES the banding
+    // config on the corpus: candidates from an 8-band x 4-row split of
+    // the q227 signature (pairs sharing >= 1 identical band — the exact
+    // candidate set a production LSH join would verify) scored against
+    // exact-Jaccard ground truth at a threshold sweep. recall@theta is
+    // the S-curve realized; precision@theta prices the verification
+    // bill. Band identity is a 62-bit double Lehmer fold of the band's
+    // j-ordered minhash values (two independent scalar left folds, both
+    // engines — a 31-bit single fold would birthday-collide at corpus
+    // band-key counts). Ground truth reuses jaccardJoin's prefix-filter
+    // exact join at theta = 0.5, so nothing here is O(n^2).
+    QueryDef("q251_lsh_pr", (s, d) => {
+      val P = 2147483647L
+      var x = 42L
+      def nxt(): Long = { x = x * 48271 % P; x }
+      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
+      val spark = s
+      import spark.implicits._
+      val permDf = perms.toDF("j", "pa", "pb")
+      val docs = t(s, d, "documents")
+      val hs = docs.select(col("doc_id"), explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
+        .as("h"))
+      val sig = hs.crossJoin(broadcast(permDf))
+        .groupBy("doc_id", "j")
+        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
+      val bands = sig
+        .groupBy(col("doc_id"), expr("CAST(j div 4 AS INT)").as("band"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, m))), " +
+          "p -> p.m)").as("ms"))
+        .select(col("doc_id"), col("band"), expr(
+          "aggregate(ms, CAST(0 AS BIGINT), " +
+            "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
+            "aggregate(ms, CAST(0 AS BIGINT), " +
+            "(acc, v) -> (acc * 48271 + v) % 2147483629)").as("bkey"))
+        .localCheckpoint() // both self-join sides read it
+      val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+        .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
+          Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint() // counted once, joined once
+      val candN = cand.agg(count(lit(1)).as("n_cand"))
+      val thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      jaccardJoin(docs, 0.5)
+        .join(cand.withColumn("is_cand", lit(true)),
+          Seq("doc_a", "doc_b"), "left")
+        .withColumn("theta", explode(array(thetas.map(x0 => lit(x0)): _*)))
+        .filter(col("jaccard") >= col("theta"))
+        .groupBy("theta")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_hit"))
+        .crossJoin(broadcast(candN))
+        .select(col("theta"), col("n_truth"), col("n_cand"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_cand").cast("double"))
+            .as("precision"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"))
+        .orderBy("theta")
+    },
+      Some {
+        val P = 2147483647L
+        var x = 42L
+        def nxt(): Long = { x = x * 48271 % P; x }
+        val vals = (0 until 32).map(j => s"($j, ${nxt()}, ${nxt()})")
+          .mkString(", ")
+        s"""WITH ${sqlHashedPairCtes(0.5)},
+           |perms(j, pa, pb) AS (VALUES $vals),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, j, min((pa * (h % $P) + pb) % $P) AS m
+           |  FROM (SELECT doc_id, t AS h FROM hu) CROSS JOIN perms
+           |  GROUP BY doc_id, j),
+           |bms AS (
+           |  SELECT doc_id, j // 4 AS band,
+           |    list_transform(list_sort(list({'j': j, 'm': m})), p -> p.m)
+           |      AS ms
+           |  FROM sigs GROUP BY doc_id, j // 4),
+           |bk AS MATERIALIZED (
+           |  SELECT doc_id, band,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+           |      (acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648
+           |    + list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+           |      (acc, v) -> (acc * 48271 + v) % 2147483629) AS bkey
+           |  FROM bms),
+           |cand AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bk a JOIN bk b
+           |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+           |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+           |tg AS (SELECT unnest([5e-1, 6e-1, 7e-1, 8e-1, 9e-1]) AS theta),
+           |pr AS (
+           |  SELECT theta, CAST(count(*) AS BIGINT) AS n_truth,
+           |    CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_hit
+           |  FROM pairs p
+           |  CROSS JOIN tg
+           |  LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+           |  WHERE p.jaccard >= theta GROUP BY theta)
+           |SELECT theta, n_truth, n_cand, n_hit,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE) AS precision,
+           |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
+           |FROM pr CROSS JOIN cn ORDER BY theta""".stripMargin
+      }),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

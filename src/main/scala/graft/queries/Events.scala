@@ -2670,6 +2670,119 @@ object Events {
              |  (abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3e0 AS mae
              |FROM o ORDER BY event_type""".stripMargin)),
 
+    // ---- Group-sequential A/B test (O'Brien-Fleming boundaries) ----------
+    // q220 tests once at a fixed horizon; real experiments PEEK — and
+    // naive repeated z-tests inflate false positives badly. The group-
+    // sequential answer: test at K scheduled looks against inflated
+    // early boundaries b_k = c*sqrt(K/k) (the O'Brien-Fleming shape:
+    // nearly impossible to stop at look 1, the nominal level at the
+    // final look), stop at the first crossing. Metric and z-formula are
+    // exactly q220's (click->purchase conversion, pooled two-proportion
+    // z) evaluated on the users whose first click happened by each look
+    // day. Degenerate looks (an empty arm, pooled rate 0 or 1) emit a
+    // NULL z and never cross — the honest early-experiment state, and
+    // NaN-free for the oracle hash. Scale shape: one per-user rollup,
+    // a 6-look explode on the USER table (map-combined counts), and a
+    // one-row broadcast for the stop summary.
+    QueryDef("q250_sequential_test", (s, d) => {
+      val dayUs = 86400000000L
+      val K = 6
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val u = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "click", col("us"))).as("fc"),
+          min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+        .filter(col("fc").isNotNull)
+        .select((col("user_id") % 2).as("arm"),
+          expr(s"fc div $dayUs").as("fc_day"),
+          when(col("fp").isNotNull && col("fp") >= col("fc"),
+            expr(s"fp div $dayUs")).as("conv_day"))
+      val d0 = ev.agg(min(expr(s"us div $dayUs")).as("d0"))
+      val looks = u.crossJoin(broadcast(d0))
+        .withColumn("k", explode(array((1 to K).map(i => lit(i)): _*)))
+        .withColumn("look_day", col("d0") + col("k") * 4)
+        .filter(col("fc_day") <= col("look_day"))
+        .groupBy("k", "look_day")
+        .agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 0 &&
+            col("conv_day") <= col("look_day"), 1L).otherwise(0L)).as("c0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("arm") === 1 &&
+            col("conv_day") <= col("look_day"), 1L).otherwise(0L)).as("c1"))
+        .filter(col("n0") > 0 && col("n1") > 0)
+      val p0 = col("c0").cast("double") / col("n0").cast("double")
+      val p1 = col("c1").cast("double") / col("n1").cast("double")
+      val pPool = (col("c0") + col("c1")).cast("double") /
+        (col("n0") + col("n1")).cast("double")
+      val zRaw = (p0 - p1) / sqrt(pPool * (lit(1.0) - pPool) *
+        (lit(1.0) / col("n0").cast("double") +
+          lit(1.0) / col("n1").cast("double")))
+      val scored = looks
+        .withColumn("z", when(col("c0") + col("c1") === 0L ||
+          col("c0") + col("c1") === col("n0") + col("n1"), lit(null))
+          .otherwise(zRaw))
+        .withColumn("boundary", lit(2.05) *
+          sqrt(lit(K.toDouble) / col("k").cast("double")))
+        .withColumn("crossed", coalesce(abs(col("z")) > col("boundary"),
+          lit(false)))
+      val stop = scored.agg(min(when(col("crossed"), col("k"))).as("stopped_at"))
+      scored.crossJoin(broadcast(stop))
+        .select(col("k"), col("look_day"), col("n0"), col("c0"), col("n1"),
+          col("c1"), col("z"), col("boundary"), col("crossed"),
+          col("stopped_at"))
+        .orderBy("k")
+    },
+      Some(s"""WITH ev AS MATERIALIZED (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |u AS MATERIALIZED (
+             |  SELECT user_id % 2 AS arm, fc // 86400000000 AS fc_day,
+             |    CASE WHEN fp IS NOT NULL AND fp >= fc
+             |      THEN fp // 86400000000 END AS conv_day
+             |  FROM (
+             |    SELECT user_id,
+             |      min(CASE WHEN event_type = 'click' THEN us END) AS fc,
+             |      min(CASE WHEN event_type = 'purchase' THEN us END) AS fp
+             |    FROM ev GROUP BY user_id)
+             |  WHERE fc IS NOT NULL),
+             |d0 AS (SELECT min(us // 86400000000) AS d0 FROM ev),
+             |lk AS (
+             |  SELECT k, d0 + k * 4 AS look_day,
+             |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN arm = 0 AND conv_day <= d0 + k * 4
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN arm = 1 AND conv_day <= d0 + k * 4
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS c1
+             |  FROM u CROSS JOIN d0
+             |  CROSS JOIN (SELECT CAST(unnest(range(1, 7)) AS INTEGER) AS k)
+             |  WHERE fc_day <= d0 + k * 4
+             |  GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
+             |     AND sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0),
+             |sc AS (
+             |  SELECT k, look_day, n0, c0, n1, c1,
+             |    CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN NULL
+             |      ELSE (CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+             |        - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+             |      / sqrt((CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |        * (1e0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+             |        * (1e0 / CAST(n0 AS DOUBLE) + 1e0 / CAST(n1 AS DOUBLE)))
+             |    END AS z,
+             |    205e-2 * sqrt(6e0 / CAST(k AS DOUBLE)) AS boundary
+             |  FROM lk),
+             |cr AS (
+             |  SELECT sc.*, coalesce(abs(z) > boundary, false) AS crossed
+             |  FROM sc),
+             |st AS (
+             |  SELECT min(CASE WHEN crossed THEN k END) AS stopped_at FROM cr)
+             |SELECT k, look_day, n0, c0, n1, c1, z, boundary, crossed,
+             |  CAST(stopped_at AS INTEGER) AS stopped_at
+             |FROM cr CROSS JOIN st ORDER BY k""".stripMargin)),
+
     // ---- Split-conformal prediction intervals on the Holt forecast -------
     // q245 emits point forecasts; an on-call engineer needs to know how
     // wrong they typically are. Split conformal gives distribution-free

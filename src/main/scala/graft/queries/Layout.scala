@@ -238,6 +238,58 @@ object Layout {
            |ORDER BY join_key""".stripMargin
       }),
 
+    // ---- Skew salting plan: the ACTION on q168's diagnosis ---------------
+    // q168 says WHETHER a key is skewed; this emits the executable plan:
+    // every key whose row count exceeds the per-task target T gets a
+    // salt factor ceil(c/T) — its rows spread over that many synthetic
+    // sub-keys, and the build side replicates by the same factor. The
+    // output is the broadcast side of a salted join (bounded by n/T keys
+    // BY CONSTRUCTION — a key only appears here by having > T rows), and
+    // the before/after straggler ceiling rides along: after_max is the
+    // largest surviving chunk across ALL keys, the number that says what
+    // the salted shuffle's slowest task actually processes. Exact
+    // integer arithmetic end to end; one count aggregation total.
+    QueryDef("q249_salting_plan", (s, d) => {
+      val T = 16L
+      val cnt = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("c"))
+        .withColumn("salt_factor",
+          when(col("c") > T, expr(s"(c + $T - 1) div $T")).otherwise(lit(1L)))
+        .withColumn("chunk_rows",
+          expr("(c + salt_factor - 1) div salt_factor"))
+      val summary = cnt.agg(max("c").as("before_max"),
+        max("chunk_rows").as("after_max"))
+      cnt.filter(col("salt_factor") > 1)
+        .crossJoin(broadcast(summary))
+        .select(col("key"), col("c"), col("salt_factor"), col("chunk_rows"),
+          col("before_max"), col("after_max"),
+          (col("before_max").cast("double") / col("after_max").cast("double"))
+            .as("straggler_reduction"))
+        .orderBy(col("c").desc, col("key"))
+    },
+      Some("""WITH cnt AS MATERIALIZED (
+             |  SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS c
+             |  FROM orders GROUP BY 1),
+             |pl AS MATERIALIZED (
+             |  SELECT key, c,
+             |    CASE WHEN c > 16 THEN (c + 15) // 16 ELSE 1 END AS salt_factor
+             |  FROM cnt),
+             |ch AS MATERIALIZED (
+             |  SELECT key, c, salt_factor,
+             |    (c + salt_factor - 1) // salt_factor AS chunk_rows
+             |  FROM pl),
+             |sm AS (
+             |  SELECT CAST(max(c) AS BIGINT) AS before_max,
+             |    CAST(max(chunk_rows) AS BIGINT) AS after_max
+             |  FROM ch)
+             |SELECT key, c, CAST(salt_factor AS BIGINT) AS salt_factor,
+             |  CAST(chunk_rows AS BIGINT) AS chunk_rows, before_max, after_max,
+             |  CAST(before_max AS DOUBLE) / CAST(after_max AS DOUBLE)
+             |    AS straggler_reduction
+             |FROM ch CROSS JOIN sm
+             |WHERE salt_factor > 1
+             |ORDER BY c DESC, key""".stripMargin)),
+
     // ---- Zone-map pruning attestation ------------------------------------
     // The payoff side of q153's layout story: per-"file" min/max zone
     // maps (parquet footer stats; files = ingest-order row ranges,
