@@ -2704,6 +2704,93 @@ object Similarity {
              |  SELECT 1 FROM und e WHERE e.u = s.u AND e.v = s.v)
              |ORDER BY score_fp DESC, u, v LIMIT 50""".stripMargin)),
 
+    // ---- Nearest-centroid classifier with held-out evaluation ------------
+    // The simplest supervised baseline the embeddings' `label` column
+    // supports — and the one a labeling pipeline actually runs first,
+    // because if nearest-centroid already separates the classes, a
+    // heavier model is optional. Train/eval split by vec_id parity
+    // (deterministic); per-label centroids are the exact grid means
+    // (q93's one-divide-one-floor rounding, bit-identical in DuckDB);
+    // classification is argmin exact int64 d2 against a 10-row centroid
+    // broadcast with the (d2, label) struct-min partial aggregation, so
+    // the exchange carries one row per eval vector. Output is the full
+    // confusion matrix with per-label accuracy — the artifact that shows
+    // WHICH classes blur, not just a headline number.
+    QueryDef("q252_centroid_classifier", (s, d) => {
+      val base = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+        .localCheckpoint() // train side, eval side, and centroids read it
+      val train = base.filter(col("vec_id") % 2 === 0)
+      val evalSide = base.filter(col("vec_id") % 2 === 1)
+      val sums = train
+        .select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("cv_i",
+          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long"))
+      val cents = sums.groupBy("label")
+        .agg(collect_list(struct(col("dim"), col("cv_i"))).as("ps"))
+        .select(col("label").as("c_label"),
+          transform(array_sort(col("ps")), p => p.getField("cv_i")).as("cv"))
+        .withColumn("cn", dot(col("cv"), col("cv")))
+      val pred = evalSide.crossJoin(broadcast(cents))
+        .withColumn("d2",
+          col("n2") + col("cn") - lit(2L) * dot(col("qv"), col("cv")))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(min(struct(col("d2"), col("c_label"))).as("best"))
+        .select(col("vec_id"), col("label"),
+          col("best.c_label").as("predicted"))
+      val conf = pred.groupBy("label", "predicted").agg(count(lit(1)).as("n"))
+      val totals = pred.groupBy("label")
+        .agg(count(lit(1)).as("label_total"),
+          sum(when(col("label") === col("predicted"), 1L).otherwise(0L))
+            .as("correct"))
+      conf.join(totals, "label")
+        .select(col("label"), col("predicted"), col("n"), col("label_total"),
+          (col("correct").cast("double") / col("label_total").cast("double"))
+            .as("label_accuracy"))
+        .orderBy("label", "predicted")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |tr AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+             |ev AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+             |cs AS (
+             |  SELECT label, r.i AS dim, SUM(qv[r.i]) AS sv, COUNT(*) AS cnt
+             |  FROM tr, range(1, 65) r(i) GROUP BY label, r.i),
+             |cent AS MATERIALIZED (
+             |  SELECT c_label, cv, ${sqlDot("cv", "cv")} AS cn FROM (
+             |    SELECT label AS c_label,
+             |      list(CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)
+             |        ORDER BY dim) AS cv
+             |    FROM cs GROUP BY label)),
+             |sc AS (
+             |  SELECT ev.vec_id, ev.label, c.c_label,
+             |    ev.n2 + c.cn - 2 * ${sqlDot("ev.qv", "c.cv")} AS d2
+             |  FROM ev CROSS JOIN cent c),
+             |pred AS MATERIALIZED (
+             |  SELECT vec_id, label, c_label AS predicted FROM (
+             |    SELECT vec_id, label, c_label,
+             |      row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY d2, c_label) AS rn
+             |    FROM sc) WHERE rn = 1),
+             |conf AS (
+             |  SELECT label, predicted, CAST(count(*) AS BIGINT) AS n
+             |  FROM pred GROUP BY 1, 2),
+             |tot AS (
+             |  SELECT label, CAST(count(*) AS BIGINT) AS label_total,
+             |    CAST(sum(CASE WHEN label = predicted THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS correct
+             |  FROM pred GROUP BY 1)
+             |SELECT conf.label, predicted, n, label_total,
+             |  CAST(correct AS DOUBLE) / CAST(label_total AS DOUBLE)
+             |    AS label_accuracy
+             |FROM conf JOIN tot ON conf.label = tot.label
+             |ORDER BY conf.label, predicted""".stripMargin)),
+
     // ---- Matryoshka truncation evaluation --------------------------------
     // The embedding-efficiency question behind MRL-style models: how
     // much retrieval quality survives if only the first 16 of 64 dims
