@@ -1885,7 +1885,10 @@ object Dedup {
     // j-ordered minhash values (two independent scalar left folds, both
     // engines — a 31-bit single fold would birthday-collide at corpus
     // band-key counts). Ground truth reuses jaccardJoin's prefix-filter
-    // exact join at theta = 0.5, so nothing here is O(n^2).
+    // exact join at theta = 0.5, so nothing here is O(n^2) — but 0.5 is
+    // the LOOSE threshold, so this carries q229's documented sweep cost
+    // (~190 MB shuffle at sf0.1): an evaluation you run once per config
+    // choice, not per pipeline run.
     QueryDef("q251_lsh_pr", (s, d) => {
       val P = 2147483647L
       var x = 42L

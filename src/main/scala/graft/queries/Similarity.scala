@@ -2791,6 +2791,87 @@ object Similarity {
              |FROM conf JOIN tot ON conf.label = tot.label
              |ORDER BY conf.label, predicted""".stripMargin)),
 
+    // ---- Similarity AUC: is cosine a good same-label predictor? ----------
+    // The standard embedding-quality number: for each anchor, the
+    // Mann-Whitney AUC of cosine score as a classifier of "same label"
+    // over the whole corpus — P(score(pos) > score(neg)), ties at 1/2.
+    // Exact and integer until the final divide: with tie groups
+    // (q_id, score) -> (cnt, pos_cnt) and cum the inclusive rank sum,
+    // each group contributes pos_cnt*(2*cum - cnt + 1) to TWICE the
+    // positive rank sum, so AUC = (r2 - np(np+1)) / (2*np*nn) — the
+    // tie-averaged U statistic with no float accumulation anywhere.
+    // The per-anchor rank is the two-phase chunked cumulative (score
+    // buckets x chunkOffsets partitioned by anchor), so no task holds
+    // an anchor's whole distribution. At 100 TB the int64 envelope of
+    // r2 (~n_pos * 2n) forces a negative SAMPLE per anchor first — the
+    // standard practice this query's bounded-anchor shape already
+    // mirrors.
+    QueryDef("q253_similarity_auc", (s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+      val queries = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("qa"), col("n2").as("na"))
+      val corpus = e.select(col("vec_id").as("n_id"),
+        col("label").as("n_label"), col("qv").as("qb"), col("n2").as("nb"))
+      val scored = broadcast(queries).join(corpus, col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("q_label"),
+          cosine(col("qa"), col("na"), col("qb"), col("nb")).as("score"),
+          (col("n_label") === col("q_label")).as("pos"))
+      val dist = scored.groupBy("q_id", "q_label", "score")
+        .agg(count(lit(1)).as("cnt"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
+        .withColumn("chunk", expr("CAST(floor(score * 32.0d) AS INT) + 64"))
+        .localCheckpoint() // chunk totals + local cums both read it
+      val wLoc = Window.partitionBy("q_id", "chunk").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("q_id", "chunk").agg(sum("cnt").as("tot")),
+        "chunk", "tot", Seq("q_id"))
+      dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("q_id", "chunk"))
+        .withColumn("cum", col("lc") + col("off"))
+        .groupBy("q_id", "q_label")
+        .agg(sum(expr("pos_cnt * (2 * cum - cnt + 1)")).as("r2"),
+          sum("pos_cnt").as("np"), sum(expr("cnt - pos_cnt")).as("nn"))
+        .select(col("q_id"), col("q_label"), col("np").as("n_pos"),
+          col("nn").as("n_neg"),
+          expr("CAST(r2 - np * (np + 1) AS DOUBLE) " +
+            "/ CAST(2 * np * nn AS DOUBLE)").as("auc"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |scored AS MATERIALIZED (
+             |  SELECT a.vec_id AS q_id, a.label AS q_label,
+             |    ${sqlCos("a", "b")} AS score,
+             |    (b.label = a.label) AS pos
+             |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |  WHERE a.vec_id < 50),
+             |d AS (
+             |  SELECT q_id, q_label, score, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS pos_cnt
+             |  FROM scored GROUP BY 1, 2, 3),
+             |c AS (
+             |  SELECT q_id, q_label, cnt, pos_cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY q_id ORDER BY score)
+             |      AS BIGINT) AS cum
+             |  FROM d),
+             |a AS (
+             |  SELECT q_id, q_label,
+             |    CAST(sum(pos_cnt * (2 * cum - cnt + 1)) AS BIGINT) AS r2,
+             |    CAST(sum(pos_cnt) AS BIGINT) AS np,
+             |    CAST(sum(cnt - pos_cnt) AS BIGINT) AS nn
+             |  FROM c GROUP BY 1, 2)
+             |SELECT q_id, q_label, np AS n_pos, nn AS n_neg,
+             |  CAST(r2 - np * (np + 1) AS DOUBLE)
+             |    / CAST(2 * np * nn AS DOUBLE) AS auc
+             |FROM a ORDER BY q_id""".stripMargin)),
+
     // ---- Matryoshka truncation evaluation --------------------------------
     // The embedding-efficiency question behind MRL-style models: how
     // much retrieval quality survives if only the first 16 of 64 dims

@@ -2284,7 +2284,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q249_salting_plan", // one-row before/after-ceiling cross join (q76's class)
       "q250_sequential_test", // one-row d0/stop-summary cross joins (q76's class)
       "q251_lsh_pr", // 32-row permutation broadcast + one-row n_cand cross (q227/q76)
-      "q252_centroid_classifier") // 10-row label-centroid broadcast (q49's class)
+      "q252_centroid_classifier", // 10-row label-centroid broadcast (q49's class)
+      "q253_similarity_auc") // q48's bounded 50-anchor broadcast
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
