@@ -67,11 +67,13 @@ object LogHist {
       s"((length(bin($c)) - ${SubBits + 1}) * $SubBuckets) + " +
       s"($c >> (length(bin($c)) - ${SubBits + 1})) END"
 
-  /** DuckDB mirror of [[bucketHi]] over a bucket-index expression. */
+  /** DuckDB mirror of [[bucketHi]] over a bucket-index expression. The
+    * base is cast BIGINT before the shift — an INTEGER-typed index
+    * would otherwise overflow DuckDB's 32-bit left shift at idx >= 512. */
   def sqlBucketHi(c: String): String =
     s"CASE WHEN $c < $SubBuckets THEN CAST($c AS BIGINT) ELSE " +
-      s"CAST(((($c % $SubBuckets) + ${SubBuckets + 1}) << " +
-      s"(($c // $SubBuckets) - 1)) - 1 AS BIGINT) END"
+      s"(CAST(($c % $SubBuckets) + ${SubBuckets + 1} AS BIGINT) << " +
+      s"(($c // $SubBuckets) - 1)) - 1 END"
 
   /** Spark-SQL mirror of [[bucketHi]] over a bucket-index column. */
   def sparkBucketHi(c: String): String =

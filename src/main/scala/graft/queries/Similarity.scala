@@ -55,6 +55,34 @@ object Similarity {
   private def quantized(s: SparkSession, d: String): DataFrame =
     quantize(t(s, d, "embeddings"))
 
+  /** q252/q254 shared scoring: vec_id-parity train/eval split, per-label
+    * exact grid-mean centroids (q93's one-divide-one-floor rounding),
+    * and every eval vector scored against each centroid by exact int64
+    * d2 over a 10-row broadcast. Returns (vec_id, label, c_label, d2). */
+  private def centroidScores(s: SparkSession, d: String): DataFrame = {
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+      .withColumn("n2", dot(col("qv"), col("qv")))
+      .localCheckpoint() // train side, eval side, and centroids read it
+    val train = base.filter(col("vec_id") % 2 === 0)
+    val evalSide = base.filter(col("vec_id") % 2 === 1)
+    val sums = train
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("cv_i",
+        floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long"))
+    val cents = sums.groupBy("label")
+      .agg(collect_list(struct(col("dim"), col("cv_i"))).as("ps"))
+      .select(col("label").as("c_label"),
+        transform(array_sort(col("ps")), p => p.getField("cv_i")).as("cv"))
+      .withColumn("cn", dot(col("cv"), col("cv")))
+    evalSide.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        col("n2") + col("cn") - lit(2L) * dot(col("qv"), col("cv")))
+      .select(col("vec_id"), col("label"), col("c_label"), col("d2"))
+  }
+
   /** Tiles for ~rowsPerTile rows per tile side, never fewer than 4 and
     * never more than 4096: the lhs side duplicates each row into ~B/2
     * tiles, so B bounds the write amplification, and a stats artifact
@@ -2717,26 +2745,7 @@ object Similarity {
     // confusion matrix with per-label accuracy — the artifact that shows
     // WHICH classes blur, not just a headline number.
     QueryDef("q252_centroid_classifier", (s, d) => {
-      val base = t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
-        .withColumn("n2", dot(col("qv"), col("qv")))
-        .localCheckpoint() // train side, eval side, and centroids read it
-      val train = base.filter(col("vec_id") % 2 === 0)
-      val evalSide = base.filter(col("vec_id") % 2 === 1)
-      val sums = train
-        .select(col("label"), posexplode(col("qv")).as(Seq("dim", "v")))
-        .groupBy("label", "dim")
-        .agg(sum("v").as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("cv_i",
-          floor(col("sv").cast("double") / col("cnt") + lit(0.5)).cast("long"))
-      val cents = sums.groupBy("label")
-        .agg(collect_list(struct(col("dim"), col("cv_i"))).as("ps"))
-        .select(col("label").as("c_label"),
-          transform(array_sort(col("ps")), p => p.getField("cv_i")).as("cv"))
-        .withColumn("cn", dot(col("cv"), col("cv")))
-      val pred = evalSide.crossJoin(broadcast(cents))
-        .withColumn("d2",
-          col("n2") + col("cn") - lit(2L) * dot(col("qv"), col("cv")))
+      val pred = centroidScores(s, d)
         .groupBy(col("vec_id"), col("label"))
         .agg(min(struct(col("d2"), col("c_label"))).as("best"))
         .select(col("vec_id"), col("label"),
@@ -2790,6 +2799,83 @@ object Similarity {
              |    AS label_accuracy
              |FROM conf JOIN tot ON conf.label = tot.label
              |ORDER BY conf.label, predicted""".stripMargin)),
+
+    // ---- Classifier margin reliability diagram ---------------------------
+    // Does the classifier KNOW when it's unsure? Margin = runner-up d2
+    // minus best d2 (exact int64); if predictions with small margins are
+    // no more accurate than chance, margin is a usable abstention signal
+    // and the pipeline can route low-margin items to review. Margins
+    // span orders of magnitude on the grid, so the diagram buckets them
+    // with the LogHist bucket function (q233's integer-only bucket math,
+    // shared both engines) — per occupied bucket: count, correct count,
+    // empirical accuracy. Same 10-row centroid broadcast as q252; the
+    // per-vector runner-up comes from sorting each vector's 10 scores.
+    QueryDef("q254_margin_reliability", (s, d) => {
+      val ranked = centroidScores(s, d)
+        .groupBy(col("vec_id"), col("label"))
+        .agg(expr("array_sort(collect_list(struct(d2, c_label)))").as("cand"))
+        .select(col("vec_id"), col("label"),
+          expr("cand[0].c_label").as("predicted"),
+          expr("cand[1].d2 - cand[0].d2").as("margin"))
+      ranked
+        .withColumn("bucket", expr(
+          "CASE WHEN margin < 32 THEN CAST(margin AS INT) ELSE " +
+            "CAST(((length(bin(margin)) - 5) * 16) " +
+            "+ shiftright(margin, length(bin(margin)) - 5) AS INT) END"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label") === col("predicted"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .select(col("bucket"),
+          expr(graft.functions.LogHist.sparkBucketHi("bucket"))
+            .as("margin_hi"),
+          col("n"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n").cast("double"))
+            .as("accuracy"))
+        .orderBy("bucket")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |tr AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+             |ev AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+             |cs AS (
+             |  SELECT label, r.i AS dim, SUM(qv[r.i]) AS sv, COUNT(*) AS cnt
+             |  FROM tr, range(1, 65) r(i) GROUP BY label, r.i),
+             |cent AS MATERIALIZED (
+             |  SELECT c_label, cv, ${sqlDot("cv", "cv")} AS cn FROM (
+             |    SELECT label AS c_label,
+             |      list(CAST(floor(CAST(sv AS DOUBLE) / cnt + 0.5) AS BIGINT)
+             |        ORDER BY dim) AS cv
+             |    FROM cs GROUP BY label)),
+             |sc AS MATERIALIZED (
+             |  SELECT ev.vec_id, ev.label, c.c_label,
+             |    ev.n2 + c.cn - 2 * ${sqlDot("ev.qv", "c.cv")} AS d2
+             |  FROM ev CROSS JOIN cent c),
+             |rk AS MATERIALIZED (
+             |  SELECT vec_id, label, c_label, d2,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY d2, c_label) AS rn
+             |  FROM sc),
+             |mg AS (
+             |  SELECT a.vec_id, a.label, a.c_label AS predicted,
+             |    b.d2 - a.d2 AS margin
+             |  FROM (SELECT * FROM rk WHERE rn = 1) a
+             |  JOIN (SELECT * FROM rk WHERE rn = 2) b ON a.vec_id = b.vec_id),
+             |bk AS (
+             |  SELECT CAST(${graft.functions.LogHist.sqlBucketOf("margin")}
+             |      AS INTEGER) AS bucket,
+             |    (label = predicted) AS ok
+             |  FROM mg)
+             |SELECT bucket, ${graft.functions.LogHist.sqlBucketHi("bucket")}
+             |    AS margin_hi,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_correct,
+             |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS accuracy
+             |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin)),
 
     // ---- Similarity AUC: is cosine a good same-label predictor? ----------
     // The standard embedding-quality number: for each anchor, the

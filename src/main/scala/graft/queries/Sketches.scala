@@ -932,6 +932,30 @@ object Sketches {
              |FROM sk JOIN ex ON sk.lang = ex.lang AND sk.pct = ex.pct
              |ORDER BY sk.lang, sk.pct""".stripMargin)),
 
+    // ---- CMS counter cells as a registered oracle query ------------------
+    // q234's pattern applied to the second streaming sketch: the
+    // count-min counter matrix Streams.heavyHitterCounters accumulates
+    // (4 depth slices x 1024 buckets over the portable 62-bit token
+    // hash) is registered cell-for-cell, so the driver's DuckDB gate
+    // hash-verifies the exact state the streaming CMS twin carries —
+    // counter addition is order-independent, which is the whole twin
+    // contract (StreamingSpec asserts the stream side equals this).
+    // Scale shape: one map-combined groupBy into a fixed <= 4096-cell
+    // matrix per depth; the matrix, not the tokens, is all that moves.
+    QueryDef("q255_cms_cells", (s, d) =>
+      graft.streaming.Streams.heavyHitterCounters(t(s, d, "documents"))
+        .orderBy("i", "s"),
+      Some(s"""WITH tok AS MATERIALIZED (
+             |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+             |hh AS MATERIALIZED (
+             |  SELECT ${Dedup.sqlStringHash62("t")} AS h FROM tok),
+             |cells AS (
+             |  SELECT CAST(g.i AS INTEGER) AS i,
+             |    (h // (CAST(1 AS BIGINT) << (10 * g.i))) % 1024 AS s
+             |  FROM hh CROSS JOIN (SELECT unnest(range(0, 4)) AS i) g)
+             |SELECT i, s, CAST(count(*) AS BIGINT) AS c
+             |FROM cells GROUP BY 1, 2 ORDER BY i, s""".stripMargin)),
+
     // ---- Distribution-free median confidence interval --------------------
     // A point median without an interval invites over-reading (q64 gives
     // the point; two languages' medians can differ by less than either's

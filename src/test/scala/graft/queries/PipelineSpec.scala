@@ -2285,7 +2285,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q250_sequential_test", // one-row d0/stop-summary cross joins (q76's class)
       "q251_lsh_pr", // 32-row permutation broadcast + one-row n_cand cross (q227/q76)
       "q252_centroid_classifier", // 10-row label-centroid broadcast (q49's class)
-      "q253_similarity_auc") // q48's bounded 50-anchor broadcast
+      "q253_similarity_auc", // q48's bounded 50-anchor broadcast
+      "q254_margin_reliability") // 10-row label-centroid broadcast (q49's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
