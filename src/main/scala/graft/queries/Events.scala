@@ -2670,6 +2670,151 @@ object Events {
              |  (abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3e0 AS mae
              |FROM o ORDER BY event_type""".stripMargin)),
 
+    // ---- DAU / WAU / MAU active-user series with stickiness --------------
+    // The product dashboard's backbone: per calendar day, distinct users
+    // active that day, over the trailing 7 days, and over the trailing
+    // 28 days, plus the DAU/WAU and DAU/MAU stickiness ratios. Distinct-
+    // over-trailing-window computes by WINDOW MEMBERSHIP: each distinct
+    // (user, day) activity row contributes itself to the <= 7 (resp.
+    // <= 28) window anchors it falls inside, then one distinct count per
+    // anchor — 35x map-side row amplification into a map-combined
+    // distinct, instead of re-scanning the corpus once per window
+    // (the HLL-merge variant trades exactness for an 8-byte-per-day
+    // state; q77 carries that algebra). The day spine is dense
+    // (generated d0..d1), so inactive days report zeros, not gaps.
+    QueryDef("q257_active_users", (s, d) => {
+      val dayUs = 86400000000L
+      val ud = t(s, d, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .distinct()
+      val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+      val spine = bounds
+        .select(explode(expr("sequence(d0, d1)")).as("day_idx"))
+      def windowed(w: Int, out: String) = ud.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(expr(s"sequence(day, least(day + ${w - 1}, d1))"))
+            .as("day_idx"))
+        .groupBy("day_idx")
+        .agg(countDistinct(col("user_id")).as(out))
+      val dau = ud.groupBy(col("day").as("day_idx"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      spine
+        .join(dau, Seq("day_idx"), "left")
+        .join(windowed(7, "wau"), Seq("day_idx"), "left")
+        .join(windowed(28, "mau"), Seq("day_idx"), "left")
+        .select(col("day_idx"),
+          coalesce(col("dau"), lit(0L)).as("dau"),
+          coalesce(col("wau"), lit(0L)).as("wau"),
+          coalesce(col("mau"), lit(0L)).as("mau"))
+        .withColumn("dau_wau", when(col("wau") > 0,
+          col("dau").cast("double") / col("wau").cast("double")))
+        .withColumn("dau_mau", when(col("mau") > 0,
+          col("dau").cast("double") / col("mau").cast("double")))
+        .orderBy("day_idx")
+    },
+      Some("""WITH ud AS MATERIALIZED (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+             |spine AS (
+             |  SELECT unnest(range(d0, d1 + 1)) AS day_idx FROM b),
+             |dau AS (
+             |  SELECT day AS day_idx, CAST(count(DISTINCT user_id) AS BIGINT)
+             |    AS dau
+             |  FROM ud GROUP BY 1),
+             |wau AS (
+             |  SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+             |  FROM (SELECT user_id, unnest(range(day,
+             |          least(day + 7, (SELECT d1 + 1 FROM b)))) AS day_idx
+             |        FROM ud)
+             |  GROUP BY 1),
+             |mau AS (
+             |  SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+             |  FROM (SELECT user_id, unnest(range(day,
+             |          least(day + 28, (SELECT d1 + 1 FROM b)))) AS day_idx
+             |        FROM ud)
+             |  GROUP BY 1)
+             |SELECT spine.day_idx,
+             |  coalesce(dau, 0) AS dau, coalesce(wau, 0) AS wau,
+             |  coalesce(mau, 0) AS mau,
+             |  CASE WHEN coalesce(wau, 0) > 0 THEN
+             |    CAST(coalesce(dau, 0) AS DOUBLE) / CAST(wau AS DOUBLE) END
+             |    AS dau_wau,
+             |  CASE WHEN coalesce(mau, 0) > 0 THEN
+             |    CAST(coalesce(dau, 0) AS DOUBLE) / CAST(mau AS DOUBLE) END
+             |    AS dau_mau
+             |FROM spine
+             |LEFT JOIN dau ON spine.day_idx = dau.day_idx
+             |LEFT JOIN wau ON spine.day_idx = wau.day_idx
+             |LEFT JOIN mau ON spine.day_idx = mau.day_idx
+             |ORDER BY spine.day_idx""".stripMargin)),
+
+    // ---- A/B sample-size and duration advisor ----------------------------
+    // The question asked BEFORE q220/q250 ever run: how many users per
+    // arm does detecting an absolute lift of `mde` over baseline `p`
+    // take, and how long is that at this product's observed traffic?
+    // Classical two-proportion formula n = (z_a + z_b)^2 *
+    // (p1(1-p1) + p2(1-p2)) / mde^2 over a (baseline x MDE x power)
+    // grid — z constants as shared literals (1.96 matches q220/q250's
+    // critical value; 0.8416/1.2816 are the 80%/90% power quantiles),
+    // every step +,*,/,ceil on identically-parsed doubles. Duration
+    // grounds the grid in the corpus: days = ceil(2n / avg daily
+    // distinct actives), the one measured input (exact int ratio).
+    QueryDef("q258_power_analysis", (s, d) => {
+      val dayUs = 86400000000L
+      val ud = t(s, d, "events")
+        .select(col("user_id"), expr(s"unix_micros(ts) div $dayUs").as("day"))
+        .distinct()
+      val traffic = ud.agg((count(lit(1)).cast("double") /
+        countDistinct(col("day")).cast("double")).as("avg_dau"))
+      val grid = s.range(1)
+        .select(explode(array(Seq(0.02, 0.05, 0.10, 0.20, 0.50)
+          .map(lit): _*)).as("p_base"))
+        .withColumn("mde", explode(array(Seq(0.005, 0.01, 0.02, 0.05)
+          .map(lit): _*)))
+        .withColumn("power_pct", explode(array(lit(80), lit(90))))
+      grid.crossJoin(broadcast(traffic))
+        .withColumn("zb", when(col("power_pct") === 80, lit(0.8416))
+          .otherwise(lit(1.2816)))
+        .withColumn("p2", col("p_base") + col("mde"))
+        .withColumn("n_per_arm", expr(
+          "CAST(ceil((1.96d + zb) * (1.96d + zb) * " +
+            "(p_base * (1.0d - p_base) + p2 * (1.0d - p2)) " +
+            "/ (mde * mde)) AS BIGINT)"))
+        .withColumn("days_needed", expr(
+          "CAST(ceil(2.0d * CAST(n_per_arm AS DOUBLE) / avg_dau) AS BIGINT)"))
+        .select(col("p_base"), col("mde"), col("power_pct"),
+          col("n_per_arm"), col("avg_dau"), col("days_needed"))
+        .orderBy("p_base", "mde", "power_pct")
+    },
+      Some("""WITH ud AS MATERIALIZED (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events),
+             |tr AS (
+             |  SELECT CAST(count(*) AS DOUBLE)
+             |    / CAST(count(DISTINCT day) AS DOUBLE) AS avg_dau FROM ud),
+             |g AS (
+             |  SELECT p_base, mde, power_pct,
+             |    CASE WHEN power_pct = 80 THEN 8416e-4 ELSE 12816e-4 END AS zb,
+             |    p_base + mde AS p2
+             |  FROM (SELECT unnest([2e-2, 5e-2, 1e-1, 2e-1, 5e-1]) AS p_base)
+             |  CROSS JOIN (SELECT unnest([5e-3, 1e-2, 2e-2, 5e-2]) AS mde)
+             |  CROSS JOIN (SELECT CAST(unnest([80, 90]) AS INTEGER)
+             |              AS power_pct)),
+             |n AS (
+             |  SELECT p_base, mde, power_pct,
+             |    CAST(ceil((196e-2 + zb) * (196e-2 + zb)
+             |      * (p_base * (1e0 - p_base) + p2 * (1e0 - p2))
+             |      / (mde * mde)) AS BIGINT) AS n_per_arm
+             |  FROM g)
+             |SELECT p_base, mde, power_pct, n_per_arm, avg_dau,
+             |  CAST(ceil(2e0 * CAST(n_per_arm AS DOUBLE) / avg_dau)
+             |    AS BIGINT) AS days_needed
+             |FROM n CROSS JOIN tr
+             |ORDER BY p_base, mde, power_pct""".stripMargin)),
+
     // ---- Group-sequential A/B test (O'Brien-Fleming boundaries) ----------
     // q220 tests once at a fixed horizon; real experiments PEEK — and
     // naive repeated z-tests inflate false positives badly. The group-

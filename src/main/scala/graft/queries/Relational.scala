@@ -1359,5 +1359,76 @@ object Relational {
              |  CAST(tier AS INTEGER) AS tier
              |FROM a LEFT JOIN m ON a.seg = m.seg
              |ORDER BY a.seg NULLS FIRST""".stripMargin)),
+
+    // ---- OUTER explode semantics (row preservation under generators) -----
+    // The generator corner every flattening pipeline eventually hits:
+    // plain explode DROPS rows whose array is empty or NULL — silently
+    // deleting the very documents a completeness report must count —
+    // while explode_outer keeps them with a NULL element. This query
+    // builds token arrays that are empty for short documents and NULL
+    // for a deterministic subset, runs BOTH generators, and reconciles:
+    // per lang, source-row count, outer-exploded row count (>= rows),
+    // inner-exploded count (loses the empty/null rows), and the
+    // loss accounting n_empty/n_null that explains the difference
+    // exactly. DuckDB mirrors explode_outer with LEFT JOIN LATERAL
+    // unnest; inner explode with the plain lateral join.
+    QueryDef("q256_explode_outer", (s, d) => {
+      val arr = when(col("doc_id") % 13 === 0, lit(null))
+        .otherwise(expr("CASE WHEN n_chars < 300 THEN array() " +
+          "ELSE slice(split(text, ' '), 1, 3) END"))
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), arr.as("tk"))
+      val outer = base
+        .select(col("lang"), col("doc_id"), explode_outer(col("tk")).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("outer_rows"),
+          count(col("tok")).as("outer_toks"),
+          countDistinct(col("doc_id")).as("outer_docs"))
+      val inner = base
+        .select(col("lang"), col("doc_id"), explode(col("tk")).as("tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("inner_rows"),
+          countDistinct(col("doc_id")).as("inner_docs"))
+      val src = base.groupBy("lang")
+        .agg(count(lit(1)).as("src_rows"),
+          sum(when(col("tk").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(when(col("tk").isNotNull && size(col("tk")) === 0, 1L)
+            .otherwise(0L)).as("n_empty"))
+      src.join(outer, "lang").join(inner, "lang")
+        .select(col("lang"), col("src_rows"), col("n_null"), col("n_empty"),
+          col("outer_rows"), col("outer_toks"), col("outer_docs"),
+          col("inner_rows"), col("inner_docs"),
+          (col("outer_docs") - col("inner_docs")).as("docs_lost_by_inner"))
+        .orderBy("lang")
+    },
+      Some("""WITH b AS MATERIALIZED (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id % 13 = 0 THEN NULL
+             |         WHEN n_chars < 300 THEN []
+             |         ELSE string_split(text, ' ')[1:3] END AS tk
+             |  FROM documents),
+             |o AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS outer_rows,
+             |    CAST(count(tok) AS BIGINT) AS outer_toks,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS outer_docs
+             |  FROM b LEFT JOIN LATERAL (SELECT unnest(tk) AS tok) u ON true
+             |  GROUP BY lang),
+             |i AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS inner_rows,
+             |    CAST(count(DISTINCT doc_id) AS BIGINT) AS inner_docs
+             |  FROM b JOIN LATERAL (SELECT unnest(tk) AS tok) u ON true
+             |  GROUP BY lang),
+             |s AS (
+             |  SELECT lang, CAST(count(*) AS BIGINT) AS src_rows,
+             |    CAST(sum(CASE WHEN tk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_null,
+             |    CAST(sum(CASE WHEN tk IS NOT NULL AND len(tk) = 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+             |  FROM b GROUP BY lang)
+             |SELECT s.lang, src_rows, n_null, n_empty,
+             |  outer_rows, outer_toks, outer_docs, inner_rows, inner_docs,
+             |  outer_docs - inner_docs AS docs_lost_by_inner
+             |FROM s JOIN o ON s.lang = o.lang JOIN i ON s.lang = i.lang
+             |ORDER BY s.lang""".stripMargin)),
   )
 }
