@@ -800,6 +800,69 @@ object Curation {
              |    AS INTEGER) AS rank,
              |  doc_id, source, n_chars, src_rank
              |FROM q ORDER BY n_chars DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // ---- Gate-length bias diagnostic (point-biserial correlation) --------
+    // Is the quality gate secretly a LENGTH filter? Per source, the
+    // point-biserial correlation between gate_ok and n_chars:
+    // r_pb = (M_pass - M_fail) * sqrt(n_pass*n_fail) /
+    // sqrt(n*Sxx - Sx^2). |r| near 1 says the gate adds nothing a
+    // length cut wouldn't; near 0 says it measures something else —
+    // the check that keeps a curation pipeline from silently biasing
+    // the corpus short or long. Moments are exact int64 (x <= chars,
+    // Sxx stays in range through ~10^10 docs per source; past that,
+    // center x first — the q222 rule) combined in double space;
+    // degenerate sources (all pass / all fail) emit NULL, not NaN.
+    QueryDef("q259_gate_length_bias", (s, d) => {
+      val c = t(s, d, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("x"),
+          gatesOk.as("ok"))
+      c.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("ok"), col("x")).otherwise(0L)).as("s1"),
+          sum(when(!col("ok"), col("x")).otherwise(0L)).as("s0"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x")).as("sx"))
+        .select(col("source"), col("n"), col("n_pass"),
+          expr("CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE)").as("pass_rate"),
+          expr("CASE WHEN n_pass > 0 THEN CAST(s1 AS DOUBLE) " +
+            "/ CAST(n_pass AS DOUBLE) END").as("mean_pass_chars"),
+          expr("CASE WHEN n - n_pass > 0 THEN CAST(s0 AS DOUBLE) " +
+            "/ CAST(n - n_pass AS DOUBLE) END").as("mean_fail_chars"),
+          expr("CASE WHEN n_pass > 0 AND n - n_pass > 0 THEN " +
+            "(CAST(s1 AS DOUBLE) / CAST(n_pass AS DOUBLE) " +
+            " - CAST(s0 AS DOUBLE) / CAST(n - n_pass AS DOUBLE)) " +
+            "* sqrt(CAST(n_pass AS DOUBLE) * CAST(n - n_pass AS DOUBLE)) " +
+            "/ sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("r_pb"))
+        .orderBy("source")
+    },
+      Some(s"""WITH $sqlGateCtes,
+             |c AS MATERIALIZED (
+             |  SELECT m.source, CAST(m.n_chars AS BIGINT) AS x,
+             |    $sqlGateOk AS ok
+             |  FROM m JOIN mx ON m.doc_id = mx.doc_id),
+             |a AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+             |    CAST(sum(CASE WHEN ok THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN NOT ok THEN x ELSE 0 END) AS BIGINT) AS s0,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x) AS BIGINT) AS sx
+             |  FROM c GROUP BY 1)
+             |SELECT source, n, n_pass,
+             |  CAST(n_pass AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate,
+             |  CASE WHEN n_pass > 0 THEN CAST(s1 AS DOUBLE)
+             |    / CAST(n_pass AS DOUBLE) END AS mean_pass_chars,
+             |  CASE WHEN n - n_pass > 0 THEN CAST(s0 AS DOUBLE)
+             |    / CAST(n - n_pass AS DOUBLE) END AS mean_fail_chars,
+             |  CASE WHEN n_pass > 0 AND n - n_pass > 0 THEN
+             |    (CAST(s1 AS DOUBLE) / CAST(n_pass AS DOUBLE)
+             |     - CAST(s0 AS DOUBLE) / CAST(n - n_pass AS DOUBLE))
+             |    * sqrt(CAST(n_pass AS DOUBLE) * CAST(n - n_pass AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS r_pb
+             |FROM a ORDER BY source""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

@@ -1981,6 +1981,60 @@ object Dedup {
            |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall
            |FROM pr CROSS JOIN cn ORDER BY theta""".stripMargin
       }),
+
+    // ---- Dedup cluster cohesion: the transitivity audit ------------------
+    // Connected-components dedup (q52) closes TRANSITIVELY: A~B and B~C
+    // chain A and C into one cluster even when J(A, C) is far below the
+    // threshold — so "keep one per cluster" can silently drop documents
+    // dissimilar to the kept representative. This audit reports, per
+    // cluster: size, verified edge count, whether the cluster is a
+    // CLIQUE (every pair passed verification — n_edges = k(k-1)/2; a
+    // clique cluster cannot be a chaining artifact), and the min/max
+    // edge Jaccard (a low min on a large cluster = a weak bridge worth
+    // re-verifying before the cluster collapses to one doc). Costs one
+    // cluster-keyed rollup over the pair set already built for q52 —
+    // nothing new touches the corpus.
+    QueryDef("q260_cluster_cohesion", (s, d) => {
+      val pj = nearDupPairs(s, d).localCheckpoint() // edges + cohesion rollup
+      val (labels, _) = connectedComponents(pj.select("doc_a", "doc_b"))
+      val comp = labels.select(col("node").as("doc_id"),
+        col("lbl").as("cluster_id"))
+      val sz = comp.groupBy("cluster_id").agg(count(lit(1)).as("k"))
+      val ed = pj
+        .join(comp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_edges"), min("jaccard").as("min_edge_j"),
+          max("jaccard").as("max_edge_j"))
+      sz.join(ed, "cluster_id")
+        .select(col("cluster_id"), col("k"), col("n_edges"),
+          (col("n_edges") === expr("k * (k - 1) div 2")).as("is_clique"),
+          col("min_edge_j"), col("max_edge_j"))
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE ${sqlPairCtes()},
+             |edges AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |comp AS MATERIALIZED (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a),
+             |sz AS (
+             |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+             |  FROM comp GROUP BY 1),
+             |ed AS (
+             |  SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+             |    min(p.jaccard) AS min_edge_j, max(p.jaccard) AS max_edge_j
+             |  FROM pairs p JOIN comp c ON p.doc_a = c.doc_id
+             |  GROUP BY 1)
+             |SELECT s.cluster_id, k, n_edges,
+             |  n_edges = k * (k - 1) // 2 AS is_clique,
+             |  min_edge_j, max_edge_j
+             |FROM sz s JOIN ed e ON s.cluster_id = e.cluster_id
+             |ORDER BY s.cluster_id""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the
