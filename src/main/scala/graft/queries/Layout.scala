@@ -290,6 +290,91 @@ object Layout {
              |WHERE salt_factor > 1
              |ORDER BY c DESC, key""".stripMargin)),
 
+    // ---- Output-partitioning scheme advisor ------------------------------
+    // Choosing a sink's PARTITION BY is a one-way door: too coarse and
+    // readers scan everything, too fine and the table shatters into
+    // millions of small files (the q154 compactor's whole caseload).
+    // This prices three candidate schemes for the events sink from one
+    // counts pass each: partition count, row-count envelope (p50 via
+    // the q168 counts-of-counts crossing — the window runs over the
+    // multiplicity distribution, never the partition table), skew
+    // factor max/avg, and the small-partition fraction (< 4096 rows —
+    // partitions that will emit undersized files). The report reads
+    // directly: scheme B's p50 under the floor says don't partition
+    // that fine.
+    QueryDef("q261_partition_advisor", (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          (col("user_id") % 16).as("ub"))
+      def schemeStats(keys: Seq[String], name: String) = {
+        val cnt = ev.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        val dist = cnt.groupBy("c").agg(count(lit(1)).as("freq"))
+          .withColumn("cum", sum("freq").over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val base = cnt.agg(count(lit(1)).as("n_parts"), sum("c").as("n_rows"),
+          max("c").as("max_rows"),
+          sum(when(col("c") < 4096L, 1L).otherwise(0L)).as("small_parts"))
+        val p50 = dist.crossJoin(broadcast(base))
+          .filter(col("cum") >= expr("(n_parts + 1) div 2") &&
+            col("cum") - col("freq") < expr("(n_parts + 1) div 2"))
+          .select(col("c").as("p50_rows"))
+        base.crossJoin(broadcast(p50))
+          .select(lit(name).as("scheme"), col("n_parts"), col("n_rows"),
+            (col("n_rows").cast("double") / col("n_parts").cast("double"))
+              .as("avg_rows"),
+            col("p50_rows"), col("max_rows"),
+            (col("max_rows").cast("double") * col("n_parts").cast("double") /
+              col("n_rows").cast("double")).as("skew"),
+            (col("small_parts").cast("double") / col("n_parts").cast("double"))
+              .as("small_frac"))
+      }
+      schemeStats(Seq("event_type"), "A:type")
+        .unionByName(schemeStats(Seq("event_type", "day"), "B:type,day"))
+        .unionByName(schemeStats(Seq("event_type", "day", "ub"),
+          "C:type,day,bucket16"))
+        .orderBy("scheme")
+    },
+      Some {
+        def c(keys: String, name: String) =
+          s"""SELECT '$name' AS scheme, n_parts, n_rows,
+             |  CAST(n_rows AS DOUBLE) / CAST(n_parts AS DOUBLE) AS avg_rows,
+             |  p50_rows, max_rows,
+             |  CAST(max_rows AS DOUBLE) * CAST(n_parts AS DOUBLE)
+             |    / CAST(n_rows AS DOUBLE) AS skew,
+             |  CAST(small_parts AS DOUBLE) / CAST(n_parts AS DOUBLE)
+             |    AS small_frac
+             |FROM
+             |  (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             |     CAST(sum(c) AS BIGINT) AS n_rows,
+             |     CAST(max(c) AS BIGINT) AS max_rows,
+             |     CAST(sum(CASE WHEN c < 4096 THEN 1 ELSE 0 END) AS BIGINT)
+             |       AS small_parts
+             |   FROM (SELECT count(*) AS c FROM ev GROUP BY $keys)),
+             |  (SELECT CAST(c AS BIGINT) AS p50_rows FROM (
+             |     SELECT c, CAST(sum(freq) OVER (ORDER BY c) AS BIGINT)
+             |         AS cum,
+             |       freq,
+             |       CAST(sum(freq) OVER () AS BIGINT) AS np
+             |     FROM (SELECT c, count(*) AS freq FROM
+             |       (SELECT count(*) AS c FROM ev GROUP BY $keys)
+             |       GROUP BY c))
+             |   WHERE cum >= (np + 1) // 2
+             |     AND cum - freq < (np + 1) // 2)""".stripMargin
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT event_type,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+           |    user_id % 16 AS ub
+           |  FROM events)
+           |SELECT * FROM (
+           |${c("event_type", "A:type")}
+           |UNION ALL
+           |${c("event_type, day", "B:type,day")}
+           |UNION ALL
+           |${c("event_type, day, ub", "C:type,day,bucket16")})
+           |ORDER BY scheme""".stripMargin
+      }),
+
     // ---- Zone-map pruning attestation ------------------------------------
     // The payoff side of q153's layout story: per-"file" min/max zone
     // maps (parquet footer stats; files = ingest-order row ranges,

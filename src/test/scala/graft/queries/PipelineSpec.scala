@@ -2288,7 +2288,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q253_similarity_auc", // q48's bounded 50-anchor broadcast
       "q254_margin_reliability", // 10-row label-centroid broadcast (q49's class)
       "q257_active_users", // one-row day-bounds cross join (q76's class)
-      "q258_power_analysis") // one-row traffic cross join (q76's class)
+      "q258_power_analysis", // one-row traffic cross join (q76's class)
+      "q261_partition_advisor") // one-row scheme-stats cross joins (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

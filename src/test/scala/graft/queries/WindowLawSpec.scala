@@ -50,6 +50,9 @@ class WindowLawSpec extends AnyFunSuite {
     "Layout.scala:q154_compaction_plan" ->
       ("Next-Fit prefix sum over the file MANIFEST (one row per " +
         "(source,lang) fragment — hundreds of rows at 100 TB)"),
+    "Layout.scala:schemeStats" ->
+      ("q261 partition-advisor p50: window over the counts-of-counts " +
+        "distribution (one row per distinct partition size, q168's rule)"),
     "Layout.scala:statsFor" ->
       ("q168 percentile crossing over the counts-of-counts distribution " +
         "(one row per distinct multiplicity, the q64/q219 trick)"),
