@@ -375,6 +375,86 @@ object Layout {
            |ORDER BY scheme""".stripMargin
       }),
 
+    // ---- Sort-key clustering factor (ingest-order sortedness) ------------
+    // q182 shows zone maps only prune on ingest-CORRELATED columns; this
+    // measures that correlation per candidate column before anyone pays
+    // for a q153 re-sort: over adjacent document pairs in ingest
+    // (doc_id) order, the fraction whose candidate value is
+    // non-decreasing, and the run count (1 + descents — the number of
+    // contiguous sorted segments a range reader effectively sees).
+    // sortedness ~ 1: the column is born clustered, zone maps work as
+    // is; ~ 0.5: random, re-cluster first. EXACT adjacency at scale:
+    // in-chunk pairs from chunk-partitioned lag windows, and the n/64
+    // chunk-BOUNDARY pairs recovered by joining each chunk's max-id row
+    // to the next chunk's min-id row — no corpus-wide window anywhere.
+    QueryDef("q262_clustering_factor", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("v_chars"),
+          Sampling.lehmer(col("doc_id")).as("v_hash"))
+        .withColumn("chunk", expr("doc_id div 64"))
+        .localCheckpoint() // three candidate passes share it
+      def factorOf(vCol: String, name: String) = {
+        val w = Window.partitionBy("chunk").orderBy("doc_id")
+        val inChunk = docs
+          .withColumn("pv", lag(vCol, 1).over(w))
+          .filter(col("pv").isNotNull)
+          .agg(count(lit(1)).as("np"),
+            sum(when(col(vCol) >= col("pv"), 1L).otherwise(0L)).as("nd"))
+        // boundary pairs between CONSECUTIVE EXISTING chunks (gap-proof:
+        // a lag over the n/64-row chunk-edge table, latenessReport's
+        // sublinear class), pairing each chunk's first row with the
+        // previous chunk's last row — exactly the pairs the in-chunk
+        // windows cannot see
+        val edges = docs.groupBy("chunk")
+          .agg(min(struct(col("doc_id").as("id"), col(vCol).as("vv"))).as("f"),
+            max(struct(col("doc_id").as("id"), col(vCol).as("vv"))).as("l"))
+          .select(col("chunk"), col("f.vv").as("v"), col("l.vv").as("lv"))
+        val boundary = edges
+          .withColumn("pv", lag("lv", 1).over(Window.orderBy("chunk")))
+          .filter(col("pv").isNotNull)
+          .agg(count(lit(1)).as("np"),
+            sum(when(col("v") >= col("pv"), 1L).otherwise(0L)).as("nd"))
+        inChunk.unionByName(boundary)
+          .agg(sum("np").as("n_pairs"), sum("nd").as("n_nondecreasing"))
+          .select(lit(name).as("candidate"), col("n_pairs"),
+            col("n_nondecreasing"),
+            (col("n_nondecreasing").cast("double") /
+              col("n_pairs").cast("double")).as("sortedness"),
+            (lit(1L) + col("n_pairs") - col("n_nondecreasing")).as("n_runs"))
+      }
+      factorOf("doc_id", "doc_id")
+        .unionByName(factorOf("v_chars", "n_chars"))
+        .unionByName(factorOf("v_hash", "lehmer_hash"))
+        .orderBy("candidate")
+    },
+      Some {
+        def c(v: String, name: String) =
+          s"""SELECT '$name' AS candidate,
+             |  CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CASE WHEN v >= pv THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nondecreasing,
+             |  CAST(sum(CASE WHEN v >= pv THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS sortedness,
+             |  1 + CAST(count(*) AS BIGINT)
+             |    - CAST(sum(CASE WHEN v >= pv THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_runs
+             |FROM (
+             |  SELECT $v AS v,
+             |    lag($v) OVER (ORDER BY doc_id) AS pv
+             |  FROM docs) WHERE pv IS NOT NULL""".stripMargin
+        s"""WITH docs AS MATERIALIZED (
+           |  SELECT doc_id, CAST(n_chars AS BIGINT) AS v_chars,
+           |    ${Sampling.sqlLehmerOf("doc_id")} AS v_hash
+           |  FROM documents)
+           |SELECT * FROM (
+           |${c("doc_id", "doc_id")}
+           |UNION ALL
+           |${c("v_chars", "n_chars")}
+           |UNION ALL
+           |${c("v_hash", "lehmer_hash")})
+           |ORDER BY candidate""".stripMargin
+      }),
+
     // ---- Zone-map pruning attestation ------------------------------------
     // The payoff side of q153's layout story: per-"file" min/max zone
     // maps (parquet footer stats; files = ingest-order row ranges,

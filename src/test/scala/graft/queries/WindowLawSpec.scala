@@ -50,6 +50,9 @@ class WindowLawSpec extends AnyFunSuite {
     "Layout.scala:q154_compaction_plan" ->
       ("Next-Fit prefix sum over the file MANIFEST (one row per " +
         "(source,lang) fragment — hundreds of rows at 100 TB)"),
+    "Layout.scala:factorOf" ->
+      ("q262 boundary pairs: lag over the n/64-row chunk-edge table " +
+        "(latenessReport's sublinear class — re-chunk before 10^14 rows)"),
     "Layout.scala:schemeStats" ->
       ("q261 partition-advisor p50: window over the counts-of-counts " +
         "distribution (one row per distinct partition size, q168's rule)"),
