@@ -863,6 +863,67 @@ object Curation {
              |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
              |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS r_pb
              |FROM a ORDER BY source""".stripMargin)),
+
+    // ---- Padding-waste advisor for length-bucketed batching --------------
+    // A trainer that pads every sequence to the batch max burns compute
+    // on pad tokens; length bucketing bounds that waste. This prices
+    // three bucketing schemes from the token-length distribution alone:
+    // no bucketing (pad to the global max), LogHist buckets (q233's
+    // log-scale grid — <= 6.25% width by construction), and 64-wide
+    // linear buckets. Per scheme: bucket count, real tokens, padded
+    // tokens (each bucket pads to ITS max — the per-batch max is
+    // bounded above by the bucket max, so this is the scheme's
+    // worst-case waste), and the waste fraction the trainer would eat.
+    // Pure integer aggregation + one divide; n*max stays in int64
+    // through ~10^13 corpus tokens per bucket.
+    QueryDef("q264_padding_waste", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("len"))
+        .localCheckpoint() // three scheme passes share it
+      def scheme(bucketExpr: String, name: String) = toks
+        .withColumn("b", expr(bucketExpr))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), max("len").as("mx"),
+          sum("len").as("sl"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("sl").as("total_tokens"),
+          sum(expr("n * mx")).as("padded_tokens"))
+        .select(lit(name).as("scheme"), col("n_buckets"),
+          col("total_tokens"), col("padded_tokens"),
+          ((col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens").cast("double")).as("waste_frac"))
+      scheme("CAST(0 AS BIGINT)", "A:none")
+        .unionByName(scheme(
+          "CASE WHEN len < 32 THEN len ELSE " +
+            "((length(bin(len)) - 5) * 16) " +
+            "+ shiftright(len, length(bin(len)) - 5) END", "B:loghist"))
+        .unionByName(scheme("len div 64", "C:linear64"))
+        .orderBy("scheme")
+    },
+      Some {
+        def c(bucket: String, name: String) =
+          s"""SELECT '$name' AS scheme,
+             |  CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(sum(sl) AS BIGINT) AS total_tokens,
+             |  CAST(sum(n * mx) AS BIGINT) AS padded_tokens,
+             |  CAST(CAST(sum(n * mx) AS BIGINT)
+             |      - CAST(sum(sl) AS BIGINT) AS DOUBLE)
+             |    / CAST(CAST(sum(n * mx) AS BIGINT) AS DOUBLE) AS waste_frac
+             |FROM (
+             |  SELECT $bucket AS b, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(max(len) AS BIGINT) AS mx, CAST(sum(len) AS BIGINT) AS sl
+             |  FROM tk GROUP BY 1)""".stripMargin
+        s"""WITH tk AS MATERIALIZED (
+           |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+           |  FROM documents)
+           |SELECT * FROM (
+           |${c("CAST(0 AS BIGINT)", "A:none")}
+           |UNION ALL
+           |${c("CASE WHEN len < 32 THEN len ELSE ((length(bin(len)) - 5) * 16) + (len >> (length(bin(len)) - 5)) END", "B:loghist")}
+           |UNION ALL
+           |${c("len // 64", "C:linear64")})
+           |ORDER BY scheme""".stripMargin
+      }),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

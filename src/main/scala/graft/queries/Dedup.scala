@@ -1982,6 +1982,140 @@ object Dedup {
            |FROM pr CROSS JOIN cn ORDER BY theta""".stripMargin
       }),
 
+    // ---- Dedup savings planner: what does each threshold buy? ------------
+    // q229 counts PAIRS per similarity bucket; budget decisions need
+    // TOKENS: at candidate threshold theta, how many documents and how
+    // many tokens does dedup remove? Drop rule is q44/q51's canonical
+    // keep-lowest-id (dropped = distinct doc_b over pairs with
+    // J >= theta — pairwise, not transitive, so each theta's drop set
+    // is THE set that pairwise dedup at that threshold removes). One
+    // exact prefix-filtered pair join at the loosest theta (q229's
+    // documented cost class), one doc-length join, one theta-grid
+    // explode over the DISTINCT (theta, doc_b) drop rows. The report
+    // reads as the dedup ROI curve: tokens_saved_frac vs theta.
+    QueryDef("q263_dedup_savings", (s, d) => {
+      val docs = t(s, d, "documents")
+      val thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+      val toks = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val tot = toks.agg(count(lit(1)).as("n_docs_total"),
+        sum("n_tokens").as("n_tokens_total"))
+      val dropped = jaccardJoin(docs, 0.5)
+        .withColumn("theta", explode(array(thetas.map(x0 => lit(x0)): _*)))
+        .filter(col("jaccard") >= col("theta"))
+        .select(col("theta"), col("doc_b")).distinct()
+        .join(toks.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .groupBy("theta")
+        .agg(count(lit(1)).as("docs_dropped"),
+          sum("n_tokens").as("tokens_dropped"))
+      dropped.crossJoin(broadcast(tot))
+        .select(col("theta"), col("docs_dropped"), col("tokens_dropped"),
+          col("n_docs_total"), col("n_tokens_total"),
+          (col("tokens_dropped").cast("double") /
+            col("n_tokens_total").cast("double")).as("tokens_saved_frac"))
+        .orderBy("theta")
+    },
+      Some(s"""WITH ${sqlHashedPairCtes(0.5)},
+             |tk AS MATERIALIZED (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+             |    AS n_tokens
+             |  FROM documents),
+             |tot AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_docs_total,
+             |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total FROM tk),
+             |tg AS (SELECT unnest([5e-1, 6e-1, 7e-1, 8e-1, 9e-1]) AS theta),
+             |dr AS (
+             |  SELECT DISTINCT theta, doc_b
+             |  FROM pairs CROSS JOIN tg WHERE jaccard >= theta),
+             |agg AS (
+             |  SELECT theta, CAST(count(*) AS BIGINT) AS docs_dropped,
+             |    CAST(sum(n_tokens) AS BIGINT) AS tokens_dropped
+             |  FROM dr JOIN tk ON dr.doc_b = tk.doc_id
+             |  GROUP BY 1)
+             |SELECT theta, docs_dropped, tokens_dropped,
+             |  n_docs_total, n_tokens_total,
+             |  CAST(tokens_dropped AS DOUBLE) / CAST(n_tokens_total AS DOUBLE)
+             |    AS tokens_saved_frac
+             |FROM agg CROSS JOIN tot ORDER BY theta""".stripMargin)),
+
+    // ---- Near-dup split leakage audit ------------------------------------
+    // The measurement that motivates q134's cluster-unit split: under
+    // the naive per-document hash split (q56/q68's lehmer-bucket rule),
+    // how many verified near-dup pairs STRADDLE split boundaries? A
+    // train-test straddle is direct eval contamination — the test doc's
+    // near-copy was trained on. Per unordered split-pair class: observed
+    // pair count, the expected count under independent assignment
+    // (2*fa*fb or fa^2 of all pairs — exact split fractions, one double
+    // product), and the observed/expected ratio. ratio >> 1 on the
+    // diagonal would say dups cluster within splits (harmless); ~1
+    // everywhere says leakage scales with the off-diagonal mass — the
+    // number q134 drives to zero. One split-column join onto q45's
+    // verified pair set; totals ride a one-row broadcast.
+    QueryDef("q265_split_leakage", (s, d) => {
+      val docs = t(s, d, "documents")
+      val bucket = Sampling.lehmer(col("doc_id")) % 1000
+      val splits = docs.select(col("doc_id"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("sp"))
+      val pairs = nearDupPairsOf(docs).select("doc_a", "doc_b")
+        .join(splits.select(col("doc_id").as("doc_a"), col("sp").as("sa")),
+          "doc_a")
+        .join(splits.select(col("doc_id").as("doc_b"), col("sp").as("sb")),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("sp_a"),
+          greatest(col("sa"), col("sb")).as("sp_b"))
+      val counts = pairs.groupBy("sp_a", "sp_b").agg(count(lit(1)).as("n_pairs"))
+      val totals = counts.agg(sum("n_pairs").as("n_total"))
+      val fracs = splits.groupBy("sp").agg(count(lit(1)).as("ns"))
+        .crossJoin(broadcast(splits.agg(count(lit(1)).as("nd"))))
+        .select(col("sp"), (col("ns").cast("double") / col("nd").cast("double"))
+          .as("f"))
+      counts.crossJoin(broadcast(totals))
+        .join(broadcast(fracs.select(col("sp").as("sp_a"), col("f").as("fa"))),
+          "sp_a")
+        .join(broadcast(fracs.select(col("sp").as("sp_b"), col("f").as("fb"))),
+          "sp_b")
+        .select(col("sp_a"), col("sp_b"), col("n_pairs"),
+          (col("n_pairs").cast("double") / col("n_total").cast("double"))
+            .as("obs_frac"),
+          when(col("sp_a") === col("sp_b"), col("fa") * col("fb"))
+            .otherwise(lit(2.0) * col("fa") * col("fb")).as("exp_frac"),
+          (col("sp_a") =!= col("sp_b")).as("is_leak"))
+        .withColumn("obs_over_exp", col("obs_frac") / col("exp_frac"))
+        .orderBy("sp_a", "sp_b")
+    },
+      Some(s"""WITH ${sqlPairCtes()},
+             |sp AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CASE WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 800
+             |      THEN 'train'
+             |    WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 900
+             |      THEN 'val' ELSE 'test' END AS s
+             |  FROM documents),
+             |pc AS MATERIALIZED (
+             |  SELECT least(a.s, b.s) AS sp_a, greatest(a.s, b.s) AS sp_b,
+             |    CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM pairs p JOIN sp a ON p.doc_a = a.doc_id
+             |  JOIN sp b ON p.doc_b = b.doc_id
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total FROM pc),
+             |fr AS (
+             |  SELECT s, CAST(count(*) AS DOUBLE)
+             |    / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS f
+             |  FROM sp GROUP BY 1)
+             |SELECT sp_a, sp_b, n_pairs,
+             |  CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE) AS obs_frac,
+             |  CASE WHEN sp_a = sp_b THEN fa.f * fb.f
+             |       ELSE 2e0 * fa.f * fb.f END AS exp_frac,
+             |  sp_a != sp_b AS is_leak,
+             |  (CAST(n_pairs AS DOUBLE) / CAST(n_total AS DOUBLE))
+             |    / (CASE WHEN sp_a = sp_b THEN fa.f * fb.f
+             |       ELSE 2e0 * fa.f * fb.f END) AS obs_over_exp
+             |FROM pc CROSS JOIN tot
+             |JOIN fr fa ON pc.sp_a = fa.s
+             |JOIN fr fb ON pc.sp_b = fb.s
+             |ORDER BY sp_a, sp_b""".stripMargin)),
+
     // ---- Dedup cluster cohesion: the transitivity audit ------------------
     // Connected-components dedup (q52) closes TRANSITIVELY: A~B and B~C
     // chain A and C into one cluster even when J(A, C) is far below the

@@ -2289,7 +2289,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q254_margin_reliability", // 10-row label-centroid broadcast (q49's class)
       "q257_active_users", // one-row day-bounds cross join (q76's class)
       "q258_power_analysis", // one-row traffic cross join (q76's class)
-      "q261_partition_advisor") // one-row scheme-stats cross joins (q76's class)
+      "q261_partition_advisor", // one-row scheme-stats cross joins (q76's class)
+      "q263_dedup_savings", // one-row corpus-total cross join (q76's class)
+      "q265_split_leakage") // one-row totals/fraction cross joins (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
