@@ -2116,6 +2116,109 @@ object Dedup {
              |JOIN fr fb ON pc.sp_b = fb.s
              |ORDER BY sp_a, sp_b""".stripMargin)),
 
+    // ---- LSH band bucket-load report -------------------------------------
+    // The LSH join's cost is SUM over buckets of k(k-1)/2 — one hot
+    // bucket (a boilerplate band shared by thousands of docs) can
+    // dominate the whole candidate bill, and it hides inside averages.
+    // Per band of the q251 8x4 banding: bucket count, the size envelope
+    // (p99/max via the counts-of-counts crossing — windows over the
+    // multiplicity distribution, never the bucket table), candidate
+    // pairs generated, and the share of pairs the single largest bucket
+    // contributes. A max_share near 1 says cap or drop that bucket (the
+    // stop-band rule) before running the join at 100 TB.
+    QueryDef("q266_lsh_bucket_load", (s, d) => {
+      val P = 2147483647L
+      var x = 42L
+      def nxt(): Long = { x = x * 48271 % P; x }
+      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
+      val spark = s
+      import spark.implicits._
+      val permDf = perms.toDF("j", "pa", "pb")
+      val hs = t(s, d, "documents").select(col("doc_id"),
+        explode(array_distinct(graft.functions.ArrayExprs
+          .windowHashes(split(col("text"), " "), 3))).as("h"))
+      val buckets = hs.crossJoin(broadcast(permDf))
+        .groupBy("doc_id", "j")
+        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
+        .groupBy(col("doc_id"), expr("CAST(j div 4 AS INT)").as("band"))
+        .agg(expr("transform(array_sort(collect_list(struct(j, m))), " +
+          "p -> p.m)").as("ms"))
+        .select(col("doc_id"), col("band"), expr(
+          "aggregate(ms, CAST(0 AS BIGINT), " +
+            "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
+            "aggregate(ms, CAST(0 AS BIGINT), " +
+            "(acc, v) -> (acc * 48271 + v) % 2147483629)").as("bkey"))
+        .groupBy("band", "bkey").agg(count(lit(1)).as("k"))
+      val dist = buckets.groupBy("band", "k").agg(count(lit(1)).as("freq"))
+        .withColumn("cum", sum("freq").over(Window.partitionBy("band")
+          .orderBy("k").rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      val base = buckets.groupBy("band")
+        .agg(count(lit(1)).as("n_buckets"), max("k").as("max_k"),
+          sum(expr("k * (k - 1) div 2")).as("pairs_generated"))
+      val p99 = dist.join(broadcast(base), "band")
+        .filter(col("cum") >= expr("(n_buckets * 99 + 99) div 100") &&
+          col("cum") - col("freq") < expr("(n_buckets * 99 + 99) div 100"))
+        .select(col("band"), col("k").as("p99_k"))
+      base.join(p99, "band")
+        .select(col("band"), col("n_buckets"), col("p99_k"), col("max_k"),
+          col("pairs_generated"),
+          when(col("pairs_generated") > 0,
+            expr("CAST(max_k * (max_k - 1) div 2 AS DOUBLE)") /
+              col("pairs_generated").cast("double")).as("max_share"))
+        .orderBy("band")
+    },
+      Some {
+        val P = 2147483647L
+        var x = 42L
+        def nxt(): Long = { x = x * 48271 % P; x }
+        val vals = (0 until 32).map(j => s"($j, ${nxt()}, ${nxt()})")
+          .mkString(", ")
+        s"""WITH hu2 AS MATERIALIZED (
+           |  SELECT doc_id, h FROM ($sqlDocHashedShingles)),
+           |perms(j, pa, pb) AS (VALUES $vals),
+           |sigs AS MATERIALIZED (
+           |  SELECT doc_id, j, min((pa * (h % $P) + pb) % $P) AS m
+           |  FROM hu2 CROSS JOIN perms GROUP BY doc_id, j),
+           |bms AS (
+           |  SELECT doc_id, j // 4 AS band,
+           |    list_transform(list_sort(list({'j': j, 'm': m})), p -> p.m)
+           |      AS ms
+           |  FROM sigs GROUP BY doc_id, j // 4),
+           |bk AS MATERIALIZED (
+           |  SELECT band,
+           |    list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+           |      (acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648
+           |    + list_reduce(list_prepend(CAST(0 AS BIGINT), ms),
+           |      (acc, v) -> (acc * 48271 + v) % 2147483629) AS bkey
+           |  FROM bms),
+           |bu AS MATERIALIZED (
+           |  SELECT band, bkey, CAST(count(*) AS BIGINT) AS k
+           |  FROM bk GROUP BY 1, 2),
+           |dist AS (
+           |  SELECT band, k, CAST(count(*) AS BIGINT) AS freq,
+           |    CAST(sum(count(*)) OVER (PARTITION BY band ORDER BY k)
+           |      AS BIGINT) AS cum
+           |  FROM bu GROUP BY band, k),
+           |base AS (
+           |  SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    CAST(max(k) AS BIGINT) AS max_k,
+           |    CAST(sum(k * (k - 1) // 2) AS BIGINT) AS pairs_generated
+           |  FROM bu GROUP BY 1),
+           |p99 AS (
+           |  SELECT d.band, d.k AS p99_k
+           |  FROM dist d JOIN base b ON d.band = b.band
+           |  WHERE cum >= (n_buckets * 99 + 99) // 100
+           |    AND cum - freq < (n_buckets * 99 + 99) // 100)
+           |SELECT CAST(b.band AS INTEGER) AS band, n_buckets, p99_k, max_k,
+           |  pairs_generated,
+           |  CASE WHEN pairs_generated > 0 THEN
+           |    CAST(max_k * (max_k - 1) // 2 AS DOUBLE)
+           |      / CAST(pairs_generated AS DOUBLE) END AS max_share
+           |FROM base b JOIN p99 ON b.band = p99.band
+           |ORDER BY band""".stripMargin
+      }),
+
     // ---- Dedup cluster cohesion: the transitivity audit ------------------
     // Connected-components dedup (q52) closes TRANSITIVELY: A~B and B~C
     // chain A and C into one cluster even when J(A, C) is far below the
