@@ -81,6 +81,22 @@ object Sampling {
   private[queries] def sqlLehmerOf(c: String): String =
     s"(($c % $M) * 48271 % $M) * 48271 % $M"
 
+  /** Poisson(1) inverse-CDF cutoffs on the [0, M) Lehmer value, as
+    * PRECOMPUTED int64 literals: cutoff k = floor(P(X <= k) * M) with
+    * P from e^-1/k!. Draw w = #cutoffs below h (so h < cuts(0) -> 0,
+    * h >= cuts(6) -> 7). Both engines compare the SAME int64 hash to
+    * the SAME literals — no runtime exp()/factorial is ever evaluated,
+    * so the draw is bit-exact by construction (the Benford-literal
+    * rule, applied to a sampling distribution). */
+  private[queries] val poissonCuts: Seq[Long] = Seq(
+    790015083L, 1580030167L, 1975037709L, 2106706890L,
+    2139624185L, 2146207644L, 2147304887L)
+
+  private[queries] def sqlPoissonW(h: String): String =
+    poissonCuts.zipWithIndex
+      .map { case (c, k) => s"WHEN $h < $c THEN $k" }
+      .mkString("CASE ", " ", s" ELSE ${poissonCuts.size} END")
+
   private[queries] val sqlLehmer = sqlLehmerOf("doc_id")
 
   /** DSIR-style importance scores for EVERY document (no ranking cut) —
@@ -750,5 +766,95 @@ object Sampling {
              |    / CAST(sum(n) OVER (PARTITION BY lang, source) AS DOUBLE)
              |    AS fold_share
              |FROM g ORDER BY lang, source, fold""".stripMargin)),
+
+    // ---- Poisson bootstrap CI for a grouped mean -------------------------
+    // The resampling-based uncertainty readout the analytic CIs (q180's
+    // normal-approx, q246's order-statistics) cannot give for arbitrary
+    // statistics: B = 64 bootstrap replicates of mean tokens-per-doc per
+    // source, via POISSON(1) resampling weights — the only bootstrap
+    // that distributes, because each row draws its replicate weights
+    // independently from a hash (no shared "pick n of n" state, the
+    // Google "Poisson bootstrap" construction). w(doc, b) counts the
+    // Lehmer draws under precomputed inverse-CDF literal cutoffs
+    // ([[poissonCuts]]), so both engines see identical integer weights;
+    // replicate means are one int64 (source, b)-keyed aggregation —
+    // map-side combine collapses the B-fold explode to |sources|*64
+    // rows per task, which is why this holds at 100 TB: the blowup
+    // never reaches the shuffle. The CI is the percentile interval over
+    // the 64 replicate means (drop lowest + highest -> central 96.9%),
+    // picked by rank inside a BOUNDED 64-row-per-source window.
+    QueryDef("q267_bootstrap_ci", (s, d) => {
+      val b = 64L
+      val x = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("x"))
+      val h = lehmer(col("doc_id") * lit(b) + col("b"))
+      val w = poissonCuts.zipWithIndex
+        .foldRight(lit(poissonCuts.size): Column) { case ((c, k), e) =>
+          when(h < c, k).otherwise(e)
+        }.cast("long")
+      val rep = x
+        .withColumn("b", explode(sequence(lit(0L), lit(b - 1))))
+        .select(col("source"), col("b"), w.as("w"), col("x"))
+        .groupBy("source", "b")
+        .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+        .filter(col("sw") > 0)
+        .select(col("source"), col("b"),
+          (col("swx").cast("double") / col("sw").cast("double")).as("mb"))
+      val wr = Window.partitionBy("source").orderBy(col("mb"), col("b"))
+      val wn = Window.partitionBy("source")
+      val ci = rep
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("nr", count(lit(1)).over(wn))
+        .groupBy("source")
+        .agg(min(when(col("rn") === 2, col("mb"))).as("boot_lo"),
+          min(when(col("rn") === col("nr") - 1, col("mb"))).as("boot_hi"),
+          max(col("nr")).cast("long").as("n_reps"))
+      val ex = x.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("x").cast("double") / count(lit(1)).cast("double"))
+            .as("mean_exact"))
+      ex.join(ci, "source")
+        .select(col("source"), col("n_docs"), col("mean_exact"),
+          col("boot_lo"), col("boot_hi"), col("n_reps"))
+        .orderBy("source")
+    },
+      Some(s"""WITH x AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, x, b,
+             |    ${sqlPoissonW(sqlLehmerOf("(doc_id * 64 + b)"))} AS w
+             |  FROM (SELECT doc_id, source, x,
+             |          CAST(unnest(range(64)) AS BIGINT) AS b FROM x)),
+             |rep AS (
+             |  SELECT source, b,
+             |    CAST(sum(w * x) AS BIGINT) AS swx,
+             |    CAST(sum(w) AS BIGINT) AS sw
+             |  FROM r GROUP BY source, b),
+             |m AS (
+             |  SELECT source, b,
+             |    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS mb
+             |  FROM rep WHERE sw > 0),
+             |rk AS (
+             |  SELECT source, mb,
+             |    row_number() OVER (PARTITION BY source ORDER BY mb, b) AS rn,
+             |    count(*) OVER (PARTITION BY source) AS nr
+             |  FROM m),
+             |ci AS (
+             |  SELECT source,
+             |    min(CASE WHEN rn = 2 THEN mb END) AS boot_lo,
+             |    min(CASE WHEN rn = nr - 1 THEN mb END) AS boot_hi,
+             |    CAST(max(nr) AS BIGINT) AS n_reps
+             |  FROM rk GROUP BY source),
+             |ex AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |      AS mean_exact
+             |  FROM x GROUP BY source)
+             |SELECT ex.source, n_docs, mean_exact, boot_lo, boot_hi, n_reps
+             |FROM ex JOIN ci ON ex.source = ci.source
+             |ORDER BY ex.source""".stripMargin)),
   )
 }

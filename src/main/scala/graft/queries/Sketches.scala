@@ -73,6 +73,11 @@ object Sketches {
     * reference would interpolate 0.0 into the oracle. */
   private val kmvNum: Double = 63.0 * (4294967291L << 31).toDouble
 
+  /** q268's per-hash-function XOR salts (see the posOf note there):
+    * arbitrary fixed 62-bit constants, index 0 the identity. */
+  private[queries] val bloomSalts: Seq[Long] =
+    Seq(0L, 1181783497276652981L, 2685821657736338717L)
+
   private def sqlKmvEst(ks: String): String =
     s"""CASE WHEN len($ks) < 64 THEN CAST(len($ks) AS DOUBLE)
        |    ELSE $kmvNum / CAST($ks[64] AS DOUBLE) END""".stripMargin
@@ -1114,5 +1119,118 @@ object Sketches {
              |  ks_d > 1.36e0 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drift
              |FROM ks ORDER BY year_a""".stripMargin)),
+
+    // ---- Bloom filter: measured FPR attestation --------------------------
+    // The missing QA readout behind q74/q145's Bloom consumers: build the
+    // filter EXPLICITLY (m = 2^18 bits, k = 3 positions per key from
+    // salted Lehmer re-hashes of the 62-bit shingle hash) over the
+    // even-numbered sources' shingle universe, then probe it with the
+    // odd-numbered sources' universe and MEASURE what the sizing math
+    // only predicts: zero false negatives (structural — the query
+    // reports the count so the driver gate would catch a violation),
+    // the realized load factor, and the realized false-positive rate
+    // vs the independence-model prediction load^k. Distributed shape:
+    // the filter IS a DataFrame of set bit indices (<= m rows, int
+    // keys), membership is a pos-keyed LEFT JOIN (present iff NO
+    // position missing), so build and probe are plain keyed
+    // joins/aggregations that scale to any corpus — no driver-side
+    // bitset materializes at any point (contrast: Spark's own
+    // might_contain needs the whole filter broadcast; this form keeps
+    // 100 TB probe sets fully shuffled). One-row summary via the q76
+    // broadcast-cross class.
+    QueryDef("q268_bloom_fpr", (s, d) => {
+      val mBits = 262144L
+      val half = expr("CAST(substring(source, 4, 8) AS INT) % 2")
+      val sh = t(s, d, "documents")
+        .select(half.as("half"), explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
+          .as("h"))
+      val members = sh.filter(col("half") === 0).select("h").distinct()
+        .localCheckpoint() // feeds the bit table AND the membership join
+      // XOR salts, not additive: lehmer(h + c) is lehmer(h) + const mod M,
+      // so additive salts make the k positions an arithmetic progression
+      // (one degree of freedom -> measured FPR 12x the load^k model at
+      // sf0.01, same failure as q212's rendezvous combine); XOR before
+      // the Lehmer rounds decorrelates them.
+      def posOf(i: Int): Column =
+        pmod(Sampling.lehmer(col("h").bitwiseXOR(lit(bloomSalts(i)))),
+          lit(mBits))
+      val positions = array(posOf(0), posOf(1), posOf(2))
+      val bits = members.select(explode(positions).as("pos")).distinct()
+        .localCheckpoint() // probed once, counted once
+      val probeEval = sh.filter(col("half") === 1).select("h").distinct()
+        .select(col("h"), explode(positions).as("pos")).distinct()
+        .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+        .groupBy("h")
+        .agg(max(when(col("hit").isNull, 1).otherwise(0)).as("missed"))
+        .join(members.withColumn("is_m", lit(1)), Seq("h"), "left")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("is_m") === 1, 1L).otherwise(0L)).as("n_probe_members"),
+          sum(when(col("is_m").isNull, 1L).otherwise(0L)).as("n_nonmembers"),
+          sum(when(col("is_m") === 1 && col("missed") === 1, 1L)
+            .otherwise(0L)).as("n_false_neg"),
+          sum(when(col("is_m").isNull && col("missed") === 0, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+      val mrow = members.agg(count(lit(1)).as("n_members"))
+      val brow = bits.agg(count(lit(1)).as("n_bits_set"))
+      val load = col("n_bits_set").cast("double") / lit(mBits.toDouble)
+      probeEval.crossJoin(broadcast(mrow)).crossJoin(broadcast(brow))
+        .select(lit(mBits).as("m_bits"), lit(3L).as("k_hashes"),
+          col("n_members"), col("n_bits_set"), load.as("load_factor"),
+          col("n_probes"), col("n_probe_members"), col("n_nonmembers"),
+          col("n_false_neg"), col("n_false_pos"),
+          (col("n_false_pos").cast("double") /
+            col("n_nonmembers").cast("double")).as("fpr_measured"),
+          (load * load * load).as("fpr_independence"))
+    },
+      Some(s"""WITH hs AS MATERIALIZED (
+             |  SELECT d.source, s.h
+             |  FROM (${Dedup.sqlDocHashedShingles}) s
+             |  JOIN documents d USING (doc_id)),
+             |mem AS MATERIALIZED (
+             |  SELECT DISTINCT h FROM hs
+             |  WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 0),
+             |pr AS MATERIALIZED (
+             |  SELECT DISTINCT h FROM hs
+             |  WHERE CAST(substr(source, 4) AS INTEGER) % 2 = 1),
+             |bits AS MATERIALIZED (
+             |  SELECT DISTINCT ${Sampling.sqlLehmerOf("xor(h, s.x)")}
+             |    % 262144 AS pos
+             |  FROM mem, (SELECT unnest([${bloomSalts.mkString(", ")}]) AS x) s),
+             |pp AS MATERIALIZED (
+             |  SELECT DISTINCT h, ${Sampling.sqlLehmerOf("xor(h, s.x)")}
+             |    % 262144 AS pos
+             |  FROM pr, (SELECT unnest([${bloomSalts.mkString(", ")}]) AS x) s),
+             |pe AS (
+             |  SELECT pp.h,
+             |    max(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS missed
+             |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+             |  GROUP BY pp.h),
+             |agg AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             |    CAST(sum(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_probe_members,
+             |    CAST(sum(CASE WHEN m.h IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_nonmembers,
+             |    CAST(sum(CASE WHEN m.h IS NOT NULL AND pe.missed = 1
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+             |    CAST(sum(CASE WHEN m.h IS NULL AND pe.missed = 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+             |  FROM pe LEFT JOIN mem m ON pe.h = m.h),
+             |mc AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM mem),
+             |bc AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+             |SELECT CAST(262144 AS BIGINT) AS m_bits,
+             |  CAST(3 AS BIGINT) AS k_hashes,
+             |  n_members, n_bits_set,
+             |  CAST(n_bits_set AS DOUBLE) / 262144e0 AS load_factor,
+             |  n_probes, n_probe_members, n_nonmembers,
+             |  n_false_neg, n_false_pos,
+             |  CAST(n_false_pos AS DOUBLE) / CAST(n_nonmembers AS DOUBLE)
+             |    AS fpr_measured,
+             |  (CAST(n_bits_set AS DOUBLE) / 262144e0)
+             |    * (CAST(n_bits_set AS DOUBLE) / 262144e0)
+             |    * (CAST(n_bits_set AS DOUBLE) / 262144e0)
+             |    AS fpr_independence
+             |FROM agg CROSS JOIN mc CROSS JOIN bc""".stripMargin)),
   )
 }
