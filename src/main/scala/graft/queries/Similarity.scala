@@ -568,6 +568,18 @@ object Similarity {
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
 
+  /** q271's Rademacher sign matrix: 64x8 +-1 constants from the Lehmer
+    * parity of the flat index, computed ONCE in Scala and interpolated
+    * into both engines (the Benford/poissonCuts literal rule). Declared
+    * before `defs` — object vals initialize in source order. */
+  private val jlDim = 8
+  private[queries] val jlSigns: Seq[Seq[Long]] = {
+    def lm(x: Long): Long =
+      ((x % 2147483647L) * 48271 % 2147483647L) * 48271 % 2147483647L
+    (0 until jlDim).map(j => (0 until 64).map(i =>
+      if (lm((i * jlDim + j + 1).toLong) % 2 == 0) 1L else -1L))
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — see q113
     * below. Exposed for library use and the scale probe. */
   def kcenterPick(emb: DataFrame, k: Int): DataFrame = {
@@ -3042,5 +3054,176 @@ object Similarity {
              |FROM q LEFT JOIN ov ON q.vec_id = ov.q_id
              |WHERE q.vec_id < 50
              |ORDER BY q_id""".stripMargin)),
+
+    // ---- Johnson-Lindenstrauss projection: measured distance distortion --
+    // The third embedding-compression primitive next to PQ (q150-q152)
+    // and matryoshka truncation (q243): a DATA-OBLIVIOUS Rademacher
+    // (+-1) random projection from 64 to 8 dims — no codebook to train,
+    // so it applies to a stream before any statistics exist. The sign
+    // matrix is 512 precomputed Scala constants (Lehmer parity of the
+    // flat index) interpolated into BOTH engines; vectors are quantized
+    // to an integer grid first (q93's rule, 1e5 here so the adversarial
+    // bound 8*(2*64*1e5)^2 stays far inside int64), making projection,
+    // norms, and both distances EXACT int64 — the only doubles are the
+    // final ratio r = (d2_proj/8) / d2_orig and one fraction. The query
+    // MEASURES what JL promises, per anchor over the whole corpus:
+    // banded counts of r (the estimator concentrates around 1) and the
+    // within-+-25% fraction. All conditional integer sums — no window,
+    // no per-anchor sort — so the 100 TB shape is a bounded 16-row
+    // broadcast against the scan (q48's class), map-side combined into
+    // 16 output rows.
+    QueryDef("q271_jl_distortion", (s, d) => {
+      val qj = transform(col("embedding").cast("array<double>"),
+        x => floor(x * lit(100000) + lit(0.5)).cast("long"))
+      val base = t(s, d, "embeddings").select(col("vec_id"), qj.as("qv"))
+        .withColumn("y", array((0 until jlDim).map(j =>
+          graft.functions.ArrayExprs.dotq(col("qv"), typedLit(jlSigns(j)))): _*))
+        .withColumn("n2",
+          graft.functions.ArrayExprs.dotq(col("qv"), col("qv")))
+        .withColumn("p2",
+          graft.functions.ArrayExprs.dotq(col("y"), col("y")))
+        .localCheckpoint() // anchor side and corpus side read it
+      val a = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+          col("y").as("ya"), col("n2").as("na"), col("p2").as("pa2"))
+      val r = (col("d2p").cast("double") / lit(8.0)) /
+        col("d2o").cast("double")
+      def band(lo: Double, hi: Double): Column =
+        sum(when(col("d2o") > 0 && r >= lo && r < hi, 1L).otherwise(0L))
+      broadcast(a).join(base, col("q_id") =!= col("vec_id"))
+        .withColumn("d2o", col("na") + col("n2") -
+          lit(2L) * graft.functions.ArrayExprs.dotq(col("qa"), col("qv")))
+        .withColumn("d2p", col("pa2") + col("p2") -
+          lit(2L) * graft.functions.ArrayExprs.dotq(col("ya"), col("y")))
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("d2o") === 0, 1L).otherwise(0L)).as("n_zero_dist"),
+          sum(when(col("d2o") > 0 && r < 0.5, 1L).otherwise(0L)).as("n_lt_50"),
+          band(0.5, 0.75).as("n_50_75"),
+          band(0.75, 0.9).as("n_75_90"),
+          band(0.9, 1.1).as("n_90_110"),
+          band(1.1, 1.25).as("n_110_125"),
+          band(1.25, 1.5).as("n_125_150"),
+          sum(when(col("d2o") > 0 && r >= 1.5, 1L).otherwise(0L))
+            .as("n_ge_150"))
+        .withColumn("frac_within_25",
+          (col("n_75_90") + col("n_90_110") + col("n_110_125")).cast("double")
+            / (col("n_pairs") - col("n_zero_dist")).cast("double"))
+        .orderBy("q_id")
+    },
+      Some {
+        val sqlY = (0 until jlDim).map(j =>
+          sqlDot("qv", s"[${jlSigns(j).mkString(", ")}]")).mkString("[", ",\n      ", "]")
+        def dot8(a: String, b: String) =
+          s"CAST(list_sum(list_transform(range(1, 9), i -> $a[i] * $b[i])) AS BIGINT)"
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+           |    x -> CAST(floor(x * 100000 + 0.5) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |b AS MATERIALIZED (
+           |  SELECT vec_id, qv, $sqlY AS y,
+           |    ${sqlDot("qv", "qv")} AS n2
+           |  FROM q),
+           |c AS MATERIALIZED (
+           |  SELECT vec_id, qv, y, n2, ${dot8("y", "y")} AS p2 FROM b),
+           |pr AS MATERIALIZED (
+           |  SELECT a.vec_id AS q_id,
+           |    a.n2 + o.n2 - 2 * ${sqlDot("a.qv", "o.qv")} AS d2o,
+           |    a.p2 + o.p2 - 2 * ${dot8("a.y", "o.y")} AS d2p
+           |  FROM c a JOIN c o ON a.vec_id != o.vec_id
+           |  WHERE a.vec_id < 16),
+           |g AS (
+           |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(sum(CASE WHEN d2o = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_zero_dist,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r < 0.5 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_lt_50,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 0.5 AND r < 0.75
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_50_75,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 0.75 AND r < 0.9
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_75_90,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 0.9 AND r < 1.1
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_90_110,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 1.1 AND r < 1.25
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_110_125,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 1.25 AND r < 1.5
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_125_150,
+           |    CAST(sum(CASE WHEN d2o > 0 AND r >= 1.5 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_ge_150
+           |  FROM (SELECT q_id, d2o,
+           |          (CAST(d2p AS DOUBLE) / 8e0) / CAST(d2o AS DOUBLE) AS r
+           |        FROM pr)
+           |  GROUP BY q_id)
+           |SELECT q_id, n_pairs, n_zero_dist, n_lt_50, n_50_75, n_75_90,
+           |  n_90_110, n_110_125, n_125_150, n_ge_150,
+           |  CAST(n_75_90 + n_90_110 + n_110_125 AS DOUBLE)
+           |    / CAST(n_pairs - n_zero_dist AS DOUBLE) AS frac_within_25
+           |FROM g ORDER BY q_id""".stripMargin
+      }),
+
+    // ---- Label propagation communities on the kNN graph ------------------
+    // Community detection one notch finer than connectivity: q52/q191's
+    // connected components merge everything reachable, but a near-dup
+    // or topic CLUSTER is a locally-dense region inside one giant
+    // component — synchronous label propagation (Raghavan et al.) finds
+    // those with no parameter beyond the round count. Each node starts
+    // as its own label; per round every node adopts its neighbors' MOST
+    // FREQUENT label (tie -> smallest label, so the update is a pure
+    // deterministic function of the round's input and both engines
+    // replay it exactly; 3 fixed rounds, the q138/q208 bounded-unroll
+    // rule — fixed-point iteration can oscillate on bipartite regions,
+    // a bounded unroll cannot). Distributed shape: the symmetrized kNN
+    // graph is degree-bounded (<= 2x12 edges/node), so a round is one
+    // edge-keyed join + a (node, label) grouped count + a struct-max
+    // argmax — every aggregation partial-aggregates map-side, labels
+    // are 8-byte ids, and cost is O(E) per round at any corpus size.
+    QueryDef("q269_label_prop", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings")).select(col("node"), col("nbr"))
+      val sym = g.union(g.select(col("nbr").as("node"), col("node").as("nbr")))
+        .distinct()
+        .localCheckpoint() // read once per round
+      var l = sym.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+      for (_ <- 1 to 3) {
+        l = sym.join(l.select(col("node").as("nbr"), col("label")), "nbr")
+          .groupBy("node", "label").agg(count(lit(1)).as("c"))
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label"))
+      }
+      val sizes = l.groupBy("label").agg(count(lit(1)).as("comm_size"))
+      l.join(sizes, "label")
+        .select(col("node"), col("label"), col("comm_size"))
+        .orderBy("node")
+    },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          val prev = if (r == 1) "l0" else s"l${r - 1}"
+          s"""c$r AS MATERIALIZED (
+             |  SELECT s.node, l.label, count(*) AS c
+             |  FROM sym s JOIN $prev l ON s.nbr = l.node
+             |  GROUP BY s.node, l.label),
+             |l$r AS MATERIALIZED (
+             |  SELECT node, label FROM (
+             |    SELECT node, label, row_number() OVER (PARTITION BY node
+             |      ORDER BY c DESC, label ASC) AS rn FROM c$r)
+             |  WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${sqlGraphCtes(12, 64, 2)},
+           |sym AS MATERIALIZED (
+           |  SELECT DISTINCT node, nbr FROM (
+           |    SELECT node, nbr FROM graph
+           |    UNION ALL
+           |    SELECT nbr, node FROM graph)),
+           |l0 AS MATERIALIZED (
+           |  SELECT DISTINCT node, node AS label FROM sym),
+           |$rounds,
+           |sz AS (
+           |  SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+           |  FROM l3 GROUP BY label)
+           |SELECT l3.node, l3.label, sz.comm_size
+           |FROM l3 JOIN sz USING (label)
+           |ORDER BY node""".stripMargin
+      }),
   )
 }

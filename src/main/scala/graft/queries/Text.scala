@@ -1337,6 +1337,75 @@ object Text {
              |  CAST(n_docs * sumsq - total * total AS DOUBLE)
              |    / CAST(n_docs * total AS DOUBLE) AS vmr
              |FROM m CROSS JOIN nd ORDER BY tok""".stripMargin)),
+
+    // ---- Chance-corrected labeler agreement (Cohen's kappa) --------------
+    // The missing scalar behind q101's confusion matrix and q131's
+    // calibration: raw agreement between the q42 heuristic and the
+    // stored label is inflated by class prevalence (a majority-class
+    // predictor "agrees" often by luck). Cohen's kappa corrects with
+    // the marginal-product expected agreement — the standard QA gate
+    // before a cheap labeler is trusted to route training data. Binary
+    // task here (en vs not), per source so drift localizes to a feed.
+    // One pass: four conditional int64 sums per source (map-side
+    // combinable), then a handful of double ops per group — nothing
+    // scales with corpus size after the scan. pe = 1 (degenerate
+    // single-class marginals on BOTH sides) is reported as kappa = 1
+    // when agreement is also perfect, the standard convention.
+    QueryDef("q270_langid_kappa", (s, d) => {
+      val nTok = size(toks)
+      val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
+      val predEn = nEn.cast("double") / nTok >= 0.05
+      val truthEn = col("lang") === "en"
+      val g = t(s, d, "documents")
+        .select(col("source"), truthEn.as("te"), predEn.as("pe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("te") && col("pe"), 1L).otherwise(0L)).as("n11"),
+          sum(when(!col("te") && !col("pe"), 1L).otherwise(0L)).as("n00"),
+          sum(when(col("te") && !col("pe"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("te") && col("pe"), 1L).otherwise(0L)).as("n01"))
+      val nD = col("n_docs").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / nD
+      val pa = (col("n11") + col("n10")).cast("double") / nD
+      val pb = (col("n11") + col("n01")).cast("double") / nD
+      val pexp = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+      g.select(col("source"), col("n_docs"), col("n11"), col("n00"),
+        col("n10"), col("n01"), po.as("p_observed"), pexp.as("p_expected"),
+        when(pexp === 1.0, lit(1.0))
+          .otherwise((po - pexp) / (lit(1.0) - pexp)).as("kappa"))
+        .orderBy("source")
+    },
+      Some("""WITH g AS MATERIALIZED (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(CASE WHEN te AND pe THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n11,
+             |    CAST(sum(CASE WHEN NOT te AND NOT pe THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n00,
+             |    CAST(sum(CASE WHEN te AND NOT pe THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n10,
+             |    CAST(sum(CASE WHEN NOT te AND pe THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n01
+             |  FROM (
+             |    SELECT source, lang = 'en' AS te,
+             |      CAST(len(list_filter(string_split(text, ' '),
+             |            x -> x = 'the' OR x = 'a' OR x = 'data')) AS DOUBLE)
+             |        / len(string_split(text, ' ')) >= 0.05 AS pe
+             |    FROM documents)
+             |  GROUP BY source),
+             |r AS (
+             |  SELECT source, n_docs, n11, n00, n10, n01,
+             |    CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+             |    (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |    + (1e0 - CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |      * (1e0 - CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+             |      AS pex
+             |  FROM g)
+             |SELECT source, n_docs, n11, n00, n10, n01,
+             |  po AS p_observed, pex AS p_expected,
+             |  CASE WHEN pex = 1e0 THEN 1e0
+             |       ELSE (po - pex) / (1e0 - pex) END AS kappa
+             |FROM r ORDER BY source""".stripMargin)),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

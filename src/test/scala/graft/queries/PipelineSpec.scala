@@ -2293,7 +2293,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q263_dedup_savings", // one-row corpus-total cross join (q76's class)
       "q265_split_leakage", // one-row totals/fraction cross joins (q76's class)
       "q266_lsh_bucket_load", // 32-row permutation broadcast (q227's class)
-      "q268_bloom_fpr") // one-row member/bit-count cross joins (q76's class)
+      "q268_bloom_fpr", // one-row member/bit-count cross joins (q76's class)
+      "q269_label_prop", // builds on q137's fixed centroid broadcast
+      "q271_jl_distortion") // q48's bounded 16-anchor broadcast scan
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
