@@ -1354,25 +1354,8 @@ object Text {
     QueryDef("q270_langid_kappa", (s, d) => {
       val nTok = size(toks)
       val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
-      val predEn = nEn.cast("double") / nTok >= 0.05
-      val truthEn = col("lang") === "en"
-      val g = t(s, d, "documents")
-        .select(col("source"), truthEn.as("te"), predEn.as("pe"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("te") && col("pe"), 1L).otherwise(0L)).as("n11"),
-          sum(when(!col("te") && !col("pe"), 1L).otherwise(0L)).as("n00"),
-          sum(when(col("te") && !col("pe"), 1L).otherwise(0L)).as("n10"),
-          sum(when(!col("te") && col("pe"), 1L).otherwise(0L)).as("n01"))
-      val nD = col("n_docs").cast("double")
-      val po = (col("n11") + col("n00")).cast("double") / nD
-      val pa = (col("n11") + col("n10")).cast("double") / nD
-      val pb = (col("n11") + col("n01")).cast("double") / nD
-      val pexp = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
-      g.select(col("source"), col("n_docs"), col("n11"), col("n00"),
-        col("n10"), col("n01"), po.as("p_observed"), pexp.as("p_expected"),
-        when(pexp === 1.0, lit(1.0))
-          .otherwise((po - pexp) / (lit(1.0) - pexp)).as("kappa"))
+      kappaAgreement(t(s, d, "documents"),
+        col("lang") === "en", nEn.cast("double") / nTok >= 0.05, "source")
         .orderBy("source")
     },
       Some("""WITH g AS MATERIALIZED (
@@ -1485,6 +1468,31 @@ object Text {
       .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
         concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
       .orderBy("step")
+
+  /** Cohen's kappa between two BOOLEAN labelers per group — q270's body,
+    * exposed for fixture laws. po = raw agreement, pe = marginal-product
+    * chance agreement, kappa = (po - pe) / (1 - pe); the degenerate
+    * pe = 1 case (both labelers single-class) reports 1. */
+  def kappaAgreement(df: DataFrame, truth: Column, pred: Column,
+      grp: String): DataFrame = {
+    val g = df
+      .select(col(grp), truth.as("te"), pred.as("pe"))
+      .groupBy(grp)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("te") && col("pe"), 1L).otherwise(0L)).as("n11"),
+        sum(when(!col("te") && !col("pe"), 1L).otherwise(0L)).as("n00"),
+        sum(when(col("te") && !col("pe"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("te") && col("pe"), 1L).otherwise(0L)).as("n01"))
+    val nD = col("n_docs").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pa = (col("n11") + col("n10")).cast("double") / nD
+    val pb = (col("n11") + col("n01")).cast("double") / nD
+    val pexp = pa * pb + (lit(1.0) - pa) * (lit(1.0) - pb)
+    g.select(col(grp), col("n_docs"), col("n11"), col("n00"),
+      col("n10"), col("n01"), po.as("p_observed"), pexp.as("p_expected"),
+      when(pexp === 1.0, lit(1.0))
+        .otherwise((po - pexp) / (lit(1.0) - pexp)).as("kappa"))
+  }
 
   /** Trained-tokenizer application — q128's body: per-document subword
     * counts under the q118-trained merge table (the train -> apply

@@ -144,4 +144,30 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     // global identity: per-node triangle counts sum to 3x total
     assert(res.map(_.getLong(2)).sum % 3 == 0)
   }
+
+  test("q269: label propagation yields reachable labels and real coarsening") {
+    val res = SparkEntry.queries("q269_label_prop")(spark, sfDir).collect()
+    val nodes = res.map(_.getLong(0)).toSet
+    // labels are node ids (propagation can only copy an existing label)
+    assert(res.forall(r => nodes.contains(r.getLong(1))))
+    // comm_size is consistent: it equals the label's row count
+    val sizes = res.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    res.foreach(r => assert(r.getLong(2) == sizes(r.getLong(1)).toLong))
+    // 3 rounds on a 12-degree kNN graph must coarsen well below one
+    // label per node, and labels can spread at most 3 hops — so no
+    // label swallows everything either
+    val nLabels = sizes.size
+    assert(nLabels < nodes.size / 2, s"no coarsening: $nLabels labels")
+    assert(sizes.values.max < nodes.size / 2, "one label swallowed the graph")
+    // every label reaches its node within 3 hops of the symmetrized graph
+    val g = Similarity.knnGraph(emb).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val adj = (g ++ g.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    res.filter(r => r.getLong(0) != r.getLong(1)).foreach { r =>
+      val (n, lbl) = (r.getLong(0), r.getLong(1))
+      var ball = Set(n)
+      for (_ <- 1 to 3) ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+      assert(ball.contains(lbl), s"label $lbl unreachable from $n in 3 hops")
+    }
+  }
 }

@@ -97,4 +97,27 @@ class PqSpec extends AnyFunSuite with SparkTestBase {
     // no anchor retrieves itself
     assert(r.filter(col("q_id") === col("doc_id")).count() == 0)
   }
+
+  test("q271: JL band accounting is exhaustive and the estimator centers near 1") {
+    val rows = SparkEntry.queries("q271_jl_distortion")(spark, sfDir).collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      def l(c: String) = r.getLong(r.fieldIndex(c))
+      // the seven bands + zero-distance pairs partition every pair
+      val banded = l("n_lt_50") + l("n_50_75") + l("n_75_90") +
+        l("n_90_110") + l("n_110_125") + l("n_125_150") + l("n_ge_150")
+      assert(banded + l("n_zero_dist") == l("n_pairs"))
+      assert(r.getDouble(r.fieldIndex("frac_within_25")) >= 0.05,
+        s"anchor ${l("q_id")} lost all distance signal")
+    }
+    // pooled: the Rademacher estimator is unbiased, so mass concentrates
+    // around ratio 1 — the +-25% band beats what a CONSTANT predictor in
+    // any single band could claim if distances carried no signal; at 8
+    // dims the relative sd is ~0.5 so the pin is deliberately loose
+    def pooled(c: String) = rows.map(r => r.getLong(r.fieldIndex(c))).sum
+    val within = pooled("n_75_90") + pooled("n_90_110") + pooled("n_110_125")
+    val live = pooled("n_pairs") - pooled("n_zero_dist")
+    val frac = within.toDouble / live
+    assert(frac > 0.1 && frac < 0.8, s"pooled within-25% fraction $frac")
+  }
 }

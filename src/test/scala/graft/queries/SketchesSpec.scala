@@ -108,4 +108,25 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getDouble(6) <= math.min(r.getDouble(2), r.getDouble(3)) * 1.5)
     }
   }
+
+  test("q268: Bloom filter has zero false negatives and a modeled FPR") {
+    val r = SparkEntry.queries("q268_bloom_fpr")(spark, sfDir).collect().head
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    def d(c: String) = r.getDouble(r.fieldIndex(c))
+    // structural: a Bloom filter CANNOT miss a member — the query
+    // measures it end-to-end through the distributed bit-table join
+    assert(l("n_false_neg") == 0L)
+    // probe partition is exhaustive
+    assert(l("n_probe_members") + l("n_nonmembers") == l("n_probes"))
+    // the filter is in its designed load regime, and the bit table
+    // never exceeds the address space
+    assert(l("n_bits_set") <= l("m_bits") && d("load_factor") < 0.5)
+    assert(l("n_bits_set") <= 3L * l("n_members"))
+    // measured FPR tracks the independence model: within 3x plus a
+    // +-5-count Poisson slack (the XOR-salt law — the additive-salt
+    // form measured 12x the model before the fix)
+    val slack = 5.0 / l("n_nonmembers")
+    assert(d("fpr_measured") <= 3.0 * d("fpr_independence") + slack,
+      s"measured ${d("fpr_measured")} vs model ${d("fpr_independence")}")
+  }
 }

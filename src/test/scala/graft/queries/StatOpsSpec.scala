@@ -518,4 +518,50 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(sp.getAs[Double]("inv_simpson") == 1.0)
     assert(sp.getAs[Double]("top_share") == 1.0)
   }
+
+  test("q267: bootstrap CI brackets the point estimate with sane width") {
+    val rows = SparkEntry.queries("q267_bootstrap_ci")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      def d(c: String) = r.getDouble(r.fieldIndex(c))
+      // all 64 Poisson replicates are live (P(sum w = 0) = e^-25 per
+      // source here — structurally zero)
+      assert(r.getLong(r.fieldIndex("n_reps")) == 64L)
+      assert(d("boot_lo") <= d("boot_hi"))
+      // percentile CI of the mean contains the exact mean on this data
+      // (deterministic pin — fixed corpus, fixed hash stream)
+      assert(d("boot_lo") <= d("mean_exact") && d("mean_exact") <= d("boot_hi"),
+        s"${r.getString(0)}: [${d("boot_lo")}, ${d("boot_hi")}] misses ${d("mean_exact")}")
+      // non-degenerate and not absurdly wide for a mean over 25 docs
+      assert(d("boot_hi") - d("boot_lo") > 0.0)
+      assert(d("boot_hi") - d("boot_lo") < d("mean_exact"))
+    }
+  }
+
+  test("q270 kappa: fixture laws — perfect, chance-level, and inverted labelers") {
+    import spark.implicits._
+    // two groups, mixed truth
+    val df = Seq(("g1", true), ("g1", true), ("g1", false), ("g1", false),
+      ("g1", true), ("g2", false), ("g2", true), ("g2", false))
+      .toDF("g", "t")
+    def kOf(pred: org.apache.spark.sql.Column): Map[String, Double] =
+      Text.kappaAgreement(df, col("t"), pred, "g").collect()
+        .map(r => r.getString(0) -> r.getAs[Double]("kappa")).toMap
+    // identical labelers: kappa exactly 1
+    assert(kOf(col("t")).values.forall(_ == 1.0))
+    // constant-true predictor: pb = 1 makes pe and po the SAME division,
+    // so kappa is exactly 0; constant-false goes through 1-pa (a
+    // different rounding path) and lands within an ulp of 0
+    assert(kOf(lit(true)).values.forall(_ == 0.0))
+    assert(kOf(lit(false)).values.forall(k => math.abs(k) < 1e-12))
+    // inverted labeler: systematically below chance
+    assert(kOf(!col("t")).values.forall(_ < 0.0))
+    // registry query on real data stays in [-1, 1]
+    val reg = SparkEntry.queries("q270_langid_kappa")(spark, sfDir).collect()
+    assert(reg.length == 20)
+    reg.foreach { r =>
+      val k = r.getAs[Double]("kappa")
+      assert(k >= -1.0 && k <= 1.0)
+    }
+  }
 }
