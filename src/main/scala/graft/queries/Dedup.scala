@@ -442,6 +442,16 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
       explode(col("sh")).as("tok"))
+    ppJoinKeys(toks, theta)
+  }
+
+  /** PPJoin core over an arbitrary per-doc DISTINCT key stream
+    * `(doc_id, len, tok)` with `len` = the doc's key-set size: prefix
+    * filter by global rarity, posting-list pairing, positional filter,
+    * exact equijoin verify. q65 feeds hashed shingle SETS; q272 feeds
+    * occurrence-indexed shingles, which makes the identical set
+    * machinery compute MULTISET Jaccard. */
+  private[queries] def ppJoinKeys(toks: DataFrame, theta: Double): DataFrame = {
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
     // shuffle_hash everywhere a TOKEN-STREAM side could be broadcast:
@@ -498,6 +508,34 @@ object Dedup {
         col("o").cast("double") / (col("la") + col("lb") - col("o")))
       .filter(col("jaccard") >= theta)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Exact MULTISET Jaccard join — q272's body. Identity that makes it
+    * distribute: the multiset Jaccard sum(min c)/sum(max c) over shingle
+    * COUNTS equals the set Jaccard over occurrence-indexed keys
+    * {(shingle, 1..count)}, so expanding each window hash with its
+    * per-doc occurrence rank (XOR-combined, the q268 salt rule) reduces
+    * the problem to [[ppJoinKeys]] — prefix filter, positional filter,
+    * and verify all apply UNCHANGED, with their completeness proofs.
+    * This is the near-dup signal set-Jaccard saturates on: a document
+    * that repeats one template paragraph 50 times shares its full
+    * shingle SET with a single copy (set-J high), but the occurrence
+    * keys of the 49 extra repeats match nothing (multiset-J low). */
+  def multisetJaccardJoin(documents: DataFrame, theta: Double): DataFrame = {
+    val w = documents
+      .select(col("doc_id"), posexplode(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))
+        .as(Seq("p", "h")))
+    val occ = w
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("doc_id", "h").orderBy("p")))
+      .select(col("doc_id"),
+        col("h").bitwiseXOR(Sampling.lehmer(col("occ"))).as("tok"))
+    val toks = occ
+      .withColumn("len",
+        count(lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+      .select("doc_id", "len", "tok")
+    ppJoinKeys(toks, theta)
   }
 
   /** Directed shingle-containment join at threshold `tau` — see q173.
@@ -842,6 +880,42 @@ object Dedup {
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${sqlHashedPairCtes(0.6)}
              |SELECT doc_a, doc_b, jaccard FROM pairs
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Exact MULTISET Jaccard join (frequency-weighted near-dup) -------
+    // See multisetJaccardJoin above: set Jaccard over occurrence-indexed
+    // shingle keys == multiset Jaccard over shingle counts, so the q65
+    // machinery runs unchanged and the oracle is the same equijoin
+    // shape over the expanded keys. theta = 0.5 — multiset J is <= set J
+    // whenever repeats differ, so thresholds sit lower than q65's.
+    QueryDef("q272_multiset_jaccard", (s, d) =>
+      multisetJaccardJoin(t(s, d, "documents"), 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH tmj AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |w0 AS MATERIALIZED (
+             |  SELECT doc_id, CAST(unnest(range(len(tk) - 2)) AS BIGINT) AS p,
+             |    unnest(list_transform(range(1, len(tk) - 1),
+             |      i -> array_to_string(tk[i:i+2], ' '))) AS win
+             |  FROM tmj WHERE len(tk) >= 3),
+             |wh AS MATERIALIZED (
+             |  SELECT doc_id, p, ${sqlStringHash62("win")} AS h FROM w0),
+             |ok AS MATERIALIZED (
+             |  SELECT doc_id, xor(h, ${Sampling.sqlLehmerOf("occ")}) AS t
+             |  FROM (SELECT doc_id, h, row_number() OVER (
+             |          PARTITION BY doc_id, h ORDER BY p) AS occ
+             |        FROM wh)),
+             |mcnt AS MATERIALIZED (
+             |  SELECT doc_id, count(*) AS n FROM ok GROUP BY doc_id),
+             |mshared AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+             |  FROM ok a JOIN ok b ON a.t = b.t AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+             |FROM mshared JOIN mcnt ca ON doc_a = ca.doc_id
+             |             JOIN mcnt cb ON doc_b = cb.doc_id
+             |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // ---- Train/test decontamination: n-gram overlap vs an eval set -------

@@ -1120,6 +1120,89 @@ object Sketches {
              |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS drift
              |FROM ks ORDER BY year_a""".stripMargin)),
 
+    // ---- Exact interpolated quartiles (percentile_cont semantics) --------
+    // The ANSI-SQL percentile_cont corner the rank-pick family (q64's
+    // covers-weight median, q238's weighted rank picks) deliberately
+    // avoids: the continuous quantile INTERPOLATES between adjacent
+    // order statistics, Q_k = v[i] + f*(v[i+1] - v[i]) at zero-based
+    // position (n-1)*k/4 = i + f/4. The fraction's denominator is
+    // exactly 4, so 4*Q_k = (4-m)*v[i] + m*v[i+1] with m = (n-1)*k mod 4
+    // stays EXACT int64 end to end — no engine round-off can diverge,
+    // and the one division by 4.0 happens at the very end (q187's
+    // discipline). Distributed shape: quartiles come off the grouped
+    // VALUE DISTRIBUTION via the covers-weight trick — per group the
+    // cumulative runs over value-stride chunks with two-phase offsets
+    // ([[Sampling.chunkOffsets]]), so no task ever scans a whole
+    // group's distribution however large the corpus.
+    QueryDef("q273_exact_quartiles", (s, d) => {
+      val dist = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"),
+          expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
+        .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("chunk", expr("v div 16384"))
+        .localCheckpoint() // feeds local cums, chunk totals, group totals
+      val wLoc = Window.partitionBy("flag", "chunk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")),
+        "chunk", "tot", Seq("flag"))
+      val totals = dist.groupBy("flag").agg(sum("cnt").as("n"))
+      val hist = dist
+        .withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("flag", "chunk"))
+        .withColumn("cum", col("lc") + col("off"))
+        .join(broadcast(totals), "flag")
+      def covers(r: Column) = col("cum") - col("cnt") < r && r <= col("cum")
+      def q4(k: Int): Column = {
+        val i = expr(s"((n - 1) * $k) div 4")
+        val m = expr(s"((n - 1) * $k) % 4")
+        sum(when(covers(i + 1), col("v") * (lit(4L) - m)).otherwise(0L) +
+          when(covers(i + 2), col("v") * m).otherwise(0L))
+      }
+      hist.groupBy("flag")
+        .agg(max("n").as("n_rows"), q4(1).as("q41"), q4(2).as("q42"),
+          q4(3).as("q43"))
+        .select(col("flag").as("l_returnflag"), col("n_rows"),
+          (col("q41").cast("double") / 4.0).as("q1_price"),
+          (col("q42").cast("double") / 4.0).as("median_price"),
+          (col("q43").cast("double") / 4.0).as("q3_price"),
+          ((col("q43") - col("q41")).cast("double") / 4.0).as("iqr"))
+        .orderBy("l_returnflag")
+    },
+      Some {
+        val q4Sql = (1 to 3).map { k =>
+          val lo = s"((n - 1) * $k) // 4 + 1"
+          val m = s"((n - 1) * $k) % 4"
+          s"""CAST(sum(CASE WHEN cum - cnt < $lo AND $lo <= cum
+             |      THEN v * (4 - $m) ELSE 0 END)
+             |    + sum(CASE WHEN cum - cnt < $lo + 1 AND $lo + 1 <= cum
+             |      THEN v * ($m) ELSE 0 END) AS BIGINT) AS q4$k""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c AS MATERIALIZED (
+           |  SELECT l_returnflag AS flag,
+           |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+           |  FROM lineitem),
+           |dq AS MATERIALIZED (
+           |  SELECT flag, v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM c GROUP BY 1, 2),
+           |rq AS MATERIALIZED (
+           |  SELECT flag, v, cnt,
+           |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY v) AS BIGINT)
+           |      AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY flag) AS BIGINT) AS n
+           |  FROM dq),
+           |g AS (
+           |  SELECT flag, CAST(max(n) AS BIGINT) AS n_rows,
+           |$q4Sql
+           |  FROM rq GROUP BY flag)
+           |SELECT flag AS l_returnflag, n_rows,
+           |  CAST(q41 AS DOUBLE) / 4e0 AS q1_price,
+           |  CAST(q42 AS DOUBLE) / 4e0 AS median_price,
+           |  CAST(q43 AS DOUBLE) / 4e0 AS q3_price,
+           |  CAST(q43 - q41 AS DOUBLE) / 4e0 AS iqr
+           |FROM g ORDER BY l_returnflag""".stripMargin
+      }),
+
     // ---- Bloom filter: measured FPR attestation --------------------------
     // The missing QA readout behind q74/q145's Bloom consumers: build the
     // filter EXPLICITLY (m = 2^18 bits, k = 3 positions per key from
