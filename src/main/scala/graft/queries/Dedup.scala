@@ -918,6 +918,68 @@ object Dedup {
              |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.5
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // ---- Reciprocal best match across two corpus halves ------------------
+    // The cross-corpus ALIGNMENT shape (entity alignment, parallel-text
+    // mining, snapshot reconciliation): treat even- and odd-numbered
+    // sources as two corpora; for each left doc take its best-Jaccard
+    // right partner and vice versa, and keep only MUTUAL argmax pairs —
+    // the standard reciprocal filter that kills hub matches (one
+    // boilerplate doc attracting everything) without any threshold
+    // tuning beyond the candidate floor. Distributed shape: candidates
+    // come from the prefix-filtered exact join (jaccardJoin at 0.4 —
+    // complete by the PPJoin bound, never all-pairs); each side's
+    // argmax is one struct-max aggregation (ties -> smaller partner id,
+    // deterministic); the reciprocal check is an equi-join of the two
+    // argmax tables. Everything after the candidate join is keyed on
+    // doc ids.
+    QueryDef("q275_reciprocal_match", (s, d) => {
+      val docs = t(s, d, "documents")
+      val half = docs.select(col("doc_id"),
+        (expr("CAST(substring(source, 4, 8) AS INT)") % 2).as("half"))
+      val pairs = jaccardJoin(docs, 0.4)
+        .join(half.select(col("doc_id").as("doc_a"), col("half").as("ha")), "doc_a")
+        .join(half.select(col("doc_id").as("doc_b"), col("half").as("hb")), "doc_b")
+        .filter(col("ha") =!= col("hb"))
+        .select(when(col("ha") === 0, col("doc_a")).otherwise(col("doc_b")).as("l"),
+          when(col("ha") === 0, col("doc_b")).otherwise(col("doc_a")).as("r"),
+          col("jaccard"))
+      val bestL = pairs.groupBy("l")
+        .agg(max(struct(col("jaccard"), (-col("r")).as("nr"))).as("m"))
+        .select(col("l"), (-col("m.nr")).as("r"), col("m.jaccard").as("jl"))
+      val bestR = pairs.groupBy("r")
+        .agg(max(struct(col("jaccard"), (-col("l")).as("nl"))).as("m"))
+        .select(col("r"), (-col("m.nl")).as("l"), col("m.jaccard").as("jr"))
+      bestL.join(bestR, Seq("l", "r"))
+        .select(col("l").as("doc_left"), col("r").as("doc_right"),
+          col("jl").as("jaccard"))
+        .orderBy("doc_left")
+    },
+      Some(s"""WITH ${sqlHashedPairCtes(0.4)},
+             |hv AS MATERIALIZED (
+             |  SELECT doc_id, CAST(substr(source, 4) AS INTEGER) % 2 AS half
+             |  FROM documents),
+             |cx AS MATERIALIZED (
+             |  SELECT CASE WHEN a.half = 0 THEN doc_a ELSE doc_b END AS l,
+             |    CASE WHEN a.half = 0 THEN doc_b ELSE doc_a END AS r,
+             |    jaccard
+             |  FROM pairs
+             |  JOIN hv a ON pairs.doc_a = a.doc_id
+             |  JOIN hv b ON pairs.doc_b = b.doc_id
+             |  WHERE a.half != b.half),
+             |bl AS (
+             |  SELECT l, r, jaccard FROM (
+             |    SELECT l, r, jaccard, row_number() OVER (PARTITION BY l
+             |      ORDER BY jaccard DESC, r ASC) AS rn FROM cx)
+             |  WHERE rn = 1),
+             |br AS (
+             |  SELECT l, r FROM (
+             |    SELECT l, r, row_number() OVER (PARTITION BY r
+             |      ORDER BY jaccard DESC, l ASC) AS rn FROM cx)
+             |  WHERE rn = 1)
+             |SELECT bl.l AS doc_left, bl.r AS doc_right, bl.jaccard
+             |FROM bl JOIN br ON bl.l = br.l AND bl.r = br.r
+             |ORDER BY doc_left""".stripMargin)),
+
     // ---- Train/test decontamination: n-gram overlap vs an eval set -------
     // The benchmark stand-in is doc_id % 97 = 0 (a deterministic slice; in
     // production a separate eval table). Output: every OTHER document that

@@ -188,5 +188,59 @@ object Multimodal {
              |    CAST(6 + (rank - 1) % 2 AS INTEGER), 'media', item_id
              |  FROM ir)
              |ORDER BY batch_id, slot""".stripMargin)),
+
+    // ---- Video frame-sampling plan --------------------------------------
+    // The planning stage in front of a frame-extract decode (the
+    // mapInPandas batch whose codec this container lacks): per blob,
+    // derive duration/fps from metadata (stub arithmetic on the blob,
+    // q60's rule), then emit the frame-request rows a decoder batch
+    // would consume — uniform stride capped at 16 frames per clip, each
+    // with its timestamp and estimated byte offset. The generator is
+    // `explode(sequence(...))` — rows fan out in the SCAN stage with no
+    // shuffle at all (the plan is embarrassingly parallel at any
+    // corpus size), and every derived number is exact int64 arithmetic
+    // so the oracle replays it with generate_series. Stride is
+    // ceil(duration/16) via (d + 15) div 16 — never 0, at most 16
+    // frames, SHORT clips sample every ms.
+    QueryDef("q274_frame_sample_plan", (s, d) => {
+      val nb = octet_length(col("text")).cast("bigint")
+      val blobs = t(s, d, "documents")
+        .select(col("doc_id"), nb.as("n_bytes"),
+          (nb * 3 + 40).as("duration_ms"),
+          (lit(24L) + nb % 8).as("fps"))
+      blobs
+        .withColumn("stride_ms", expr("(duration_ms + 15) div 16"))
+        .select(col("doc_id"), col("n_bytes"), col("duration_ms"),
+          col("fps"), col("stride_ms"),
+          posexplode(sequence(lit(0L), col("duration_ms") - 1,
+            col("stride_ms"))).as(Seq("frame_idx", "ts_ms")))
+        .withColumn("frame_no", expr("ts_ms * fps div 1000"))
+        .withColumn("byte_offset", expr("ts_ms * n_bytes div duration_ms"))
+        .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+          col("ts_ms"), col("frame_no"), col("byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH b AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) * 3 + 40
+             |      AS duration_ms,
+             |    24 + CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 8
+             |      AS fps
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, n_bytes, duration_ms, fps,
+             |    (duration_ms + 15) // 16 AS stride_ms
+             |  FROM b)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ts_ms)
+             |    - 1 AS INTEGER) AS frame_idx,
+             |  CAST(ts_ms AS BIGINT) AS ts_ms,
+             |  CAST(ts_ms * fps // 1000 AS BIGINT) AS frame_no,
+             |  CAST(ts_ms * n_bytes // duration_ms AS BIGINT) AS byte_offset
+             |FROM p, LATERAL (
+             |  SELECT unnest(generate_series(0, duration_ms - 1, stride_ms))
+             |    AS ts_ms)
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
   )
 }
