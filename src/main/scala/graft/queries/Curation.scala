@@ -924,6 +924,79 @@ object Curation {
            |${c("len // 64", "C:linear64")})
            |ORDER BY scheme""".stripMargin
       }),
+
+    // ---- Water-filling token-budget allocation across sources ------------
+    // The allocation step q76/q165's mixing weights hand off to: spread
+    // a corpus-level token budget (95% of total here) across sources
+    // EQUALLY — except a source cannot give more than it has, and its
+    // unused share must flow back to the still-open sources. That is
+    // water-filling: 3 unrolled rounds (the q138/q208 bounded-unroll
+    // rule), each giving every open source min(remaining_capacity,
+    // remaining_budget div open_count). All int64 — the only state per
+    // round is one (sum alloc, open count) row broadcast back against
+    // the per-source table (q76's class), so the iteration costs 3
+    // tiny aggregations however large the corpus behind the per-source
+    // totals. Small sources fill and cap out in round 1; the freed
+    // budget cascades to the big ones; `leftover` reports what 3
+    // rounds could not place (0 here — attested by the driver gate).
+    QueryDef("q277_waterfill_alloc", (s, d) => {
+      val avail = t(s, d, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+        .groupBy("source").agg(sum("len").as("avail"))
+        .localCheckpoint() // read by the budget row and every round
+      val budget = avail.agg(expr("(sum(avail) * 19) div 20").as("b"))
+      var st = avail.crossJoin(broadcast(budget))
+        .select(col("source"), col("avail"), col("b"), lit(0L).as("alloc"))
+      for (_ <- 1 to 3) {
+        val stats = st.agg(sum("alloc").as("sal"),
+          sum(when(col("alloc") < col("avail"), 1L).otherwise(0L)).as("na"))
+        st = st.crossJoin(broadcast(stats))
+          .withColumn("give", when(col("alloc") < col("avail") && col("na") > 0,
+            least(col("avail") - col("alloc"),
+              expr("(b - sal) div na"))).otherwise(0L))
+          .select(col("source"), col("avail"), col("b"),
+            (col("alloc") + col("give")).as("alloc"))
+      }
+      val fin = st.agg(sum("alloc").as("placed"))
+      st.crossJoin(broadcast(fin))
+        .select(col("source"), col("avail").as("avail_tokens"),
+          col("alloc").as("alloc_tokens"),
+          (col("alloc").cast("double") / col("avail").cast("double"))
+            .as("fill_frac"),
+          (col("alloc") === col("avail")).as("filled"),
+          col("b").as("budget"), (col("b") - col("placed")).as("leftover"))
+        .orderBy("source")
+    },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""g$r AS (
+             |  SELECT CAST(sum(alloc) AS BIGINT) AS sal,
+             |    CAST(sum(CASE WHEN alloc < avail THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS na
+             |  FROM st${r - 1}),
+             |st$r AS MATERIALIZED (
+             |  SELECT source, avail, b, alloc
+             |    + CASE WHEN alloc < avail AND na > 0
+             |        THEN least(avail - alloc, (b - sal) // na)
+             |        ELSE 0 END AS alloc
+             |  FROM st${r - 1} CROSS JOIN g$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH s0 AS MATERIALIZED (
+           |  SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+           |  FROM documents GROUP BY source),
+           |bb AS (SELECT (CAST(sum(avail) AS BIGINT) * 19) // 20 AS b FROM s0),
+           |st0 AS MATERIALIZED (
+           |  SELECT source, avail, b, CAST(0 AS BIGINT) AS alloc
+           |  FROM s0 CROSS JOIN bb),
+           |$rounds,
+           |fin AS (SELECT CAST(sum(alloc) AS BIGINT) AS placed FROM st3)
+           |SELECT source, avail AS avail_tokens, alloc AS alloc_tokens,
+           |  CAST(alloc AS DOUBLE) / CAST(avail AS DOUBLE) AS fill_frac,
+           |  alloc = avail AS filled, b AS budget,
+           |  b - placed AS leftover
+           |FROM st3 CROSS JOIN fin ORDER BY source""".stripMargin
+      }),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

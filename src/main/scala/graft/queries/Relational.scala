@@ -1430,5 +1430,29 @@ object Relational {
              |  outer_docs - inner_docs AS docs_lost_by_inner
              |FROM s JOIN o ON s.lang = o.lang JOIN i ON s.lang = i.lang
              |ORDER BY s.lang""".stripMargin)),
+
+    // ---- UNPIVOT (melt): the inverse of q29's pivot ----------------------
+    // Wide-to-long reshaping via Spark's native Unpivot plan node
+    // (Expand under the hood — one pass, no join): q29's pivoted
+    // status-total matrix melts back to (priority, status, total) rows.
+    // Empty cells (a priority with no orders in a status) pivot to NULL
+    // and are filtered on the way back, so unpivot(pivot(x)) equals the
+    // plain long-form aggregation — which is exactly what the oracle
+    // computes, closing the round-trip law in the driver gate itself.
+    QueryDef("q276_unpivot",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec2(col("o_totalprice"))).cast("double"))
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "total")
+        .filter(col("total").isNotNull)
+        .orderBy("o_orderpriority", "status"),
+      Some("""SELECT o_orderpriority, o_orderstatus AS status,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             |    AS total
+             |FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
+             |GROUP BY 1, 2
+             |ORDER BY o_orderpriority, status""".stripMargin)),
   )
 }

@@ -2295,7 +2295,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q266_lsh_bucket_load", // 32-row permutation broadcast (q227's class)
       "q268_bloom_fpr", // one-row member/bit-count cross joins (q76's class)
       "q269_label_prop", // builds on q137's fixed centroid broadcast
-      "q271_jl_distortion") // q48's bounded 16-anchor broadcast scan
+      "q271_jl_distortion", // q48's bounded 16-anchor broadcast scan
+      "q277_waterfill_alloc") // one-row budget/round-state cross joins (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
