@@ -3015,5 +3015,77 @@ object Events {
              |  actual >= forecast - conf_q AND actual <= forecast + conf_q
              |    AS covered
              |FROM o ORDER BY event_type, h""".stripMargin)),
+
+    // ---- Day-over-day top-k churn ----------------------------------------
+    // The leaderboard-stability monitor: per day the top-20 items by
+    // event count (ties -> smaller item id), then for each consecutive
+    // day pair the set overlap, Jaccard, and entrant count. A stable
+    // catalog churns a little; a feed bug or bot flood swaps the whole
+    // head in one day — this is the cheap alarm for it. Shapes: the
+    // rank window runs over the per-(day, item) COUNT table (bounded by
+    // the day's distinct items, never raw events); the overlap is a
+    // (day, item)-keyed self-equi-join of two <= 20-row-per-day sets;
+    // day pairing is an equi-join on day+1. Everything downstream of
+    // the first grouped count is catalog-sized.
+    QueryDef("q279_topk_churn", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+          .as("day"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .filter(col("item").isNotNull)
+      val top = ev.groupBy("day", "item").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("day").orderBy(col("c").desc, col("item"))))
+        .filter(col("rn") <= 20)
+        .localCheckpoint() // read three times: sizes and both join sides
+      val sz = top.groupBy("day").agg(count(lit(1)).as("nk"))
+      val ov = top.select(col("day").as("day_a"), col("item"))
+        .join(top.select((col("day") - 1).as("day_a"), col("item")),
+          Seq("day_a", "item"))
+        .groupBy("day_a").agg(count(lit(1)).as("overlap"))
+      sz.select(col("day").as("day_a"), col("nk").as("n_a"))
+        .join(sz.select((col("day") - 1).as("day_a"), col("nk").as("n_b")),
+          "day_a")
+        .join(ov, Seq("day_a"), "left")
+        .select(col("day_a"), (col("day_a") + 1).as("day_b"),
+          col("n_a"), col("n_b"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          (coalesce(col("overlap"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("overlap"), lit(0L)))
+              .cast("double")).as("jaccard"),
+          (col("n_b") - coalesce(col("overlap"), lit(0L))).as("new_items"))
+        .orderBy("day_a")
+    },
+      Some("""WITH e AS MATERIALIZED (
+             |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+             |      // 86400000000 AS day,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+             |      AS item
+             |  FROM events
+             |  WHERE ts IS NOT NULL
+             |    AND regexp_extract(props, '"k":\s*(\d+)', 1) != ''),
+             |top AS MATERIALIZED (
+             |  SELECT day, item FROM (
+             |    SELECT day, item, row_number() OVER (PARTITION BY day
+             |      ORDER BY count(*) DESC, item ASC) AS rn
+             |    FROM e GROUP BY day, item)
+             |  WHERE rn <= 20),
+             |sz AS MATERIALIZED (
+             |  SELECT day, CAST(count(*) AS BIGINT) AS nk FROM top
+             |  GROUP BY day),
+             |ov AS MATERIALIZED (
+             |  SELECT a.day AS day_a, CAST(count(*) AS BIGINT) AS overlap
+             |  FROM top a JOIN top b ON a.item = b.item AND b.day = a.day + 1
+             |  GROUP BY 1)
+             |SELECT sa.day AS day_a, sa.day + 1 AS day_b,
+             |  sa.nk AS n_a, sb.nk AS n_b,
+             |  coalesce(ov.overlap, 0) AS overlap,
+             |  CAST(coalesce(ov.overlap, 0) AS DOUBLE)
+             |    / CAST(sa.nk + sb.nk - coalesce(ov.overlap, 0) AS DOUBLE)
+             |    AS jaccard,
+             |  sb.nk - coalesce(ov.overlap, 0) AS new_items
+             |FROM sz sa JOIN sz sb ON sb.day = sa.day + 1
+             |LEFT JOIN ov ON ov.day_a = sa.day
+             |ORDER BY day_a""".stripMargin)),
   )
 }

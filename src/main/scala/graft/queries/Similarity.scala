@@ -3161,6 +3161,67 @@ object Similarity {
            |FROM g ORDER BY q_id""".stripMargin
       }),
 
+    // ---- kNN-vote classifier over the graph index (held-out eval) --------
+    // The nonparametric companion to q252's centroid classifier: an odd
+    // vec_id (eval half) is labeled by MAJORITY VOTE of its even-id
+    // (train half) neighbors in the q137 kNN graph — no training beyond
+    // the index that retrieval already maintains, which is why kNN-vote
+    // is the standard "free" baseline on top of an ANN deployment. Vote
+    // = one grouped count + struct-max argmax (ties -> smaller label);
+    // eval nodes whose graph neighborhood is all-eval get pred = -1
+    // (reported, not dropped — at 100 TB that count is the signal the
+    // graph degree is too low for the split). Output is the confusion
+    // matrix with per-true-label shares — bounded by label cardinality.
+    QueryDef("q278_knn_vote", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val g = knnGraph(emb)
+        .filter(col("node") % 2 === 1 && col("nbr") % 2 === 0)
+      val votes = g
+        .join(emb.select(col("vec_id").as("nbr"), col("label").as("nlbl")), "nbr")
+        .groupBy("node", "nlbl").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("nlbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("pred"))
+      val conf = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("node"), col("label").as("true_label"))
+        .join(votes, Seq("node"), "left")
+        .groupBy(col("true_label"),
+          coalesce(col("pred"), lit(-1)).as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+      val wt = Window.partitionBy("true_label")
+      conf
+        .withColumn("n_true", sum("n").over(wt))
+        .select(col("true_label"), col("pred_label"), col("n"),
+          (col("n").cast("double") / col("n_true").cast("double"))
+            .as("share_of_true"))
+        .orderBy("true_label", "pred_label")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |lb AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
+             |vt AS MATERIALIZED (
+             |  SELECT g.node, l.label AS nlbl, count(*) AS c
+             |  FROM graph g JOIN lb l ON g.nbr = l.vec_id
+             |  WHERE g.node % 2 = 1 AND g.nbr % 2 = 0
+             |  GROUP BY 1, 2),
+             |pv AS MATERIALIZED (
+             |  SELECT node, nlbl AS pred FROM (
+             |    SELECT node, nlbl, row_number() OVER (PARTITION BY node
+             |      ORDER BY c DESC, nlbl ASC) AS rn FROM vt)
+             |  WHERE rn = 1),
+             |cf AS (
+             |  SELECT e.label AS true_label,
+             |    CAST(coalesce(pv.pred, -1) AS INTEGER) AS pred_label,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM (SELECT vec_id AS node, label FROM embeddings
+             |        WHERE vec_id % 2 = 1) e
+             |  LEFT JOIN pv USING (node)
+             |  GROUP BY 1, 2)
+             |SELECT true_label, pred_label, n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(sum(n) OVER (PARTITION BY true_label) AS DOUBLE)
+             |    AS share_of_true
+             |FROM cf ORDER BY true_label, pred_label""".stripMargin)),
+
     // ---- Label propagation communities on the kNN graph ------------------
     // Community detection one notch finer than connectivity: q52/q191's
     // connected components merge everything reachable, but a near-dup

@@ -2296,7 +2296,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q268_bloom_fpr", // one-row member/bit-count cross joins (q76's class)
       "q269_label_prop", // builds on q137's fixed centroid broadcast
       "q271_jl_distortion", // q48's bounded 16-anchor broadcast scan
-      "q277_waterfill_alloc") // one-row budget/round-state cross joins (q76's class)
+      "q277_waterfill_alloc", // one-row budget/round-state cross joins (q76's class)
+      "q278_knn_vote") // builds on q137's fixed centroid broadcast
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
