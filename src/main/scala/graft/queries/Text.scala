@@ -148,6 +148,31 @@ object Text {
     floor(tscore * lit(1e9)).cast("long")
   }
 
+  /** [[bm25Fixed]] with free (k1, b) — q280's sweep cells. The constants
+    * k1+1 and 1-b are computed ONCE in Scala and surface in both engines
+    * through shortest-round-trip rendering, so each cell's fixed-point
+    * score is bit-identical. bm25ParamFixed(1.2, 0.75) == bm25Fixed. */
+  private[queries] def bm25ParamFixed(k1: Double, b: Double): Column = {
+    val idf = (lit(2) * (col("n") - col("df")) + 1).cast("double") /
+      (lit(2) * col("df") + 1).cast("double")
+    val norm = col("len").cast("double") * col("n") / col("sumlen")
+    val tscore = idf * (col("tf").cast("double") * lit(k1 + 1)) /
+      (col("tf").cast("double") + lit(k1) * (lit(1 - b) + lit(b) * norm))
+    floor(tscore * lit(1e9)).cast("long")
+  }
+
+  private[queries] def sqlBm25Param(k1: Double, b: Double): String =
+    s"""CAST(floor(
+       |      (CAST(2 * (n - df) + 1 AS DOUBLE) / CAST(2 * df + 1 AS DOUBLE))
+       |      * (CAST(tf AS DOUBLE) * ${k1 + 1})
+       |      / (CAST(tf AS DOUBLE) + $k1 * (${1 - b} + $b *
+       |          (CAST(len AS DOUBLE) * n / sumlen)))
+       |      * 1000000000.0) AS BIGINT)""".stripMargin
+
+  /** q280's (k1, b) sweep grid. */
+  private[queries] val bm25Grid: Seq[(Double, Double)] =
+    Seq((0.9, 0.4), (0.9, 0.75), (1.2, 0.4), (1.2, 0.75), (1.5, 0.4), (1.5, 0.75))
+
   /** DuckDB mirror of [[bm25Fixed]] — identical arithmetic, identical
     * operation order. */
   private[queries] def sqlBm25Fixed: String =
@@ -1389,6 +1414,138 @@ object Text {
              |  CASE WHEN pex = 1e0 THEN 1e0
              |       ELSE (po - pex) / (1e0 - pex) END AS kappa
              |FROM r ORDER BY source""".stripMargin)),
+
+    // ---- BM25 parameter sweep scored against known near-dup targets ------
+    // The retrieval-tuning loop as ONE query: six (k1, b) cells scored
+    // in a single posting-list pass (each cell is just another
+    // conditional sum column in the same aggregation — the q229 "sweep
+    // without rescanning" rule applied to ranking), evaluated by where
+    // each anchor's VERIFIED near-dup partner (q45's pair set — free
+    // relevance labels, the standard trick when no judgments exist)
+    // lands in the cell's ranking. The partner's rank is computed
+    // WITHOUT any ranking window: rank = 1 + count(candidates scoring
+    // strictly better, ties to smaller id) — one keyed aggregation, so
+    // nothing sorts a corpus-sized candidate list even at 100 TB.
+    // Bounded: <= 32 eval cases (q48's anchor contract). Scores are
+    // q88's fixed-point int64, so cross-cell comparisons are exact.
+    QueryDef("q280_bm25_sweep", (s, d) => {
+      val docs = t(s, d, "documents")
+      val cases = graft.queries.Dedup.nearDupPairsOf(docs)
+        .select(col("doc_a").as("q_id"), col("doc_b").as("target"))
+        .orderBy("q_id", "target").limit(32)
+        .localCheckpoint() // broadcast into the case and partner joins
+      val aTerms = docs
+        .join(broadcast(cases.select("q_id").distinct()),
+          col("doc_id") === col("q_id"))
+        .select(col("q_id"), explode(array_distinct(toks)).as("term"))
+      val e = docs
+        .select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
+        .join(broadcast(aTerms.select("term").distinct()), Seq("term"), "left_semi")
+      val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
+      val tf = e.groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"), min("len").as("len"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val cellSums = bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+        sum(bm25ParamFixed(k1, b)).as(s"s$i")
+      }
+      val scored = broadcast(aTerms).join(tf, "term").join(dfreq, "term")
+        .crossJoin(broadcast(stats))
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy("q_id", "doc_id")
+        .agg(cellSums.head, cellSums.tail: _*)
+        .join(broadcast(cases), "q_id")
+      val pScores = scored.filter(col("doc_id") === col("target"))
+        .select(col("q_id") +: col("target") +:
+          bm25Grid.indices.map(i => col(s"s$i").as(s"p$i")): _*)
+      val rankCols = bm25Grid.indices.map { i =>
+        (lit(1L) + sum(when(col(s"s$i") > col(s"p$i") ||
+          (col(s"s$i") === col(s"p$i") && col("doc_id") < col("target")),
+          1L).otherwise(0L))).as(s"r$i")
+      }
+      val ranks = scored
+        .join(broadcast(pScores), Seq("q_id", "target"))
+        .groupBy("q_id", "target")
+        .agg(rankCols.head, rankCols.tail: _*)
+      val finCols = bm25Grid.indices.flatMap { i =>
+        Seq(sum(col(s"r$i")).as(s"sr$i"),
+          sum(when(col(s"r$i") === 1, 1L).otherwise(0L)).as(s"h1_$i"),
+          sum(when(col(s"r$i") <= 10, 1L).otherwise(0L)).as(s"h10_$i"))
+      } :+ count(lit(1)).as("n_eval")
+      val fin = ranks.agg(finCols.head, finCols.tail: _*).localCheckpoint()
+      bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+        fin.select(lit(k1).as("k1"), lit(b).as("b"), col("n_eval"),
+          (col(s"sr$i").cast("double") / col("n_eval").cast("double"))
+            .as("mean_rank"),
+          col(s"h1_$i").as("hits_at_1"), col(s"h10_$i").as("hits_at_10"))
+      }.reduce(_.union(_)).orderBy("k1", "b")
+    },
+      Some {
+        val cellScores = Text.bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+          s"CAST(sum(${sqlBm25Param(k1, b)}) AS BIGINT) AS s$i"
+        }.mkString(",\n    ")
+        val pCols = bm25Grid.indices.map(i => s"s.s$i AS p$i").mkString(", ")
+        val rCols = bm25Grid.indices.map { i =>
+          s"""CAST(1 + sum(CASE WHEN s.s$i > p.p$i
+             |      OR (s.s$i = p.p$i AND s.doc_id < p.target)
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS r$i""".stripMargin
+        }.mkString(",\n    ")
+        val fCols = bm25Grid.indices.flatMap { i =>
+          Seq(s"CAST(sum(r$i) AS BIGINT) AS sr$i",
+            s"CAST(sum(CASE WHEN r$i = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1_$i",
+            s"CAST(sum(CASE WHEN r$i <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS h10_$i")
+        }.mkString(",\n    ")
+        val cells = Text.bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+          s"""SELECT CAST($k1 AS DOUBLE) AS k1, CAST($b AS DOUBLE) AS b,
+             |  n_eval,
+             |  CAST(sr$i AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mean_rank,
+             |  h1_$i AS hits_at_1, h10_$i AS hits_at_10 FROM fin""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${graft.queries.Dedup.sqlPairCtes()},
+           |cases AS MATERIALIZED (
+           |  SELECT doc_a AS q_id, doc_b AS target FROM pairs
+           |  ORDER BY doc_a, doc_b LIMIT 32),
+           |dd AS MATERIALIZED (
+           |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+           |at AS MATERIALIZED (
+           |  SELECT c.q_id, unnest(list_distinct(tk)) AS term
+           |  FROM dd JOIN (SELECT DISTINCT q_id FROM cases) c
+           |    ON dd.doc_id = c.q_id),
+           |ee AS MATERIALIZED (
+           |  SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM dd),
+           |tfq AS MATERIALIZED (
+           |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+           |    CAST(min(len) AS BIGINT) AS len
+           |  FROM ee GROUP BY 1, 2),
+           |dfq AS MATERIALIZED (
+           |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq
+           |  GROUP BY 1),
+           |stats AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(len(tk)) AS BIGINT) AS sumlen FROM dd),
+           |scored AS MATERIALIZED (
+           |  SELECT a.q_id, t.doc_id,
+           |    $cellScores
+           |  FROM at a JOIN tfq t USING (term) JOIN dfq USING (term)
+           |  CROSS JOIN stats
+           |  WHERE t.doc_id != a.q_id
+           |  GROUP BY 1, 2),
+           |ps AS MATERIALIZED (
+           |  SELECT s.q_id, c.target, $pCols
+           |  FROM scored s JOIN cases c
+           |    ON s.q_id = c.q_id AND s.doc_id = c.target),
+           |rk AS MATERIALIZED (
+           |  SELECT s.q_id, p.target,
+           |    $rCols
+           |  FROM scored s JOIN ps p ON s.q_id = p.q_id
+           |  GROUP BY 1, 2),
+           |fin AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_eval,
+           |    $fCols
+           |  FROM rk)
+           |SELECT * FROM (
+           |$cells)
+           |ORDER BY k1, b""".stripMargin
+      }),
   )
 
   /** Shared DuckDB CTE chain replaying the q118 BPE training loop with

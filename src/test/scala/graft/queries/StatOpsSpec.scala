@@ -564,4 +564,23 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(k >= -1.0 && k <= 1.0)
     }
   }
+
+  test("q280: the (1.2, 0.75) sweep cell is exactly q88's scorer") {
+    import spark.implicits._
+    // one synthetic scoring row exercising every input column
+    val frame = Seq((3L, 7L, 120L, 500L, 61L)).toDF("tf", "df", "len", "n", "sumlen")
+    val both = frame.select(Text.bm25ParamFixed(1.2, 0.75).as("p"),
+      Text.bm25Fixed.as("f")).collect().head
+    assert(both.getLong(0) == both.getLong(1))
+    // sweep output is structurally sane on real data: 6 cells, shared
+    // n_eval, hits_at_1 <= hits_at_10 <= n_eval, mean_rank >= 1
+    val rows = SparkEntry.queries("q280_bm25_sweep")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Long]("n_eval")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits_at_1") <= r.getAs[Long]("hits_at_10"))
+      assert(r.getAs[Long]("hits_at_10") <= r.getAs[Long]("n_eval"))
+      assert(r.getAs[Double]("mean_rank") >= 1.0)
+    }
+  }
 }
