@@ -100,10 +100,17 @@ object Curation {
       |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |    GROUP BY doc_id, tok) GROUP BY doc_id)""".stripMargin
 
+  // the four per-gate mirrors, composed below — q281's ablation needs
+  // them individually, q68/q82/q83 the conjunction; one definition each
+  private val sqlGateLenP = "n >= 20"
+  private val sqlGateStopP = "nstop > 0"
+  private val sqlGateRepP = "CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05"
+  private val sqlGateTokP = "CAST(mx AS DOUBLE) / n <= 0.12"
+
   private val sqlGateOk =
-    """(n >= 20 AND nstop > 0
-      |    AND CAST(n - 1 - d2 AS DOUBLE) / (n - 1) <= 0.05
-      |    AND CAST(mx AS DOUBLE) / n <= 0.12)""".stripMargin
+    s"""($sqlGateLenP AND $sqlGateStopP
+      |    AND $sqlGateRepP
+      |    AND $sqlGateTokP)""".stripMargin
 
   /** Oracle-side mirror of [[ensembleScores]] — ends in
     * `ens(doc_id, gate_ok, fam_avg, avg_weight, n_tokens,
@@ -923,6 +930,71 @@ object Curation {
            |UNION ALL
            |${c("len // 64", "C:linear64")})
            |ORDER BY scheme""".stripMargin
+      }),
+
+    // ---- Curation gate ablation report ------------------------------------
+    // Which gate earns its keep: for each of the four q68 gates, how
+    // many documents fail it AT ALL vs fail ONLY it — the marginal-kill
+    // decomposition that tells an operator which threshold to tune
+    // (a gate whose kills are all shared with other gates is free to
+    // tighten; one with a large unique kill is the binding constraint).
+    // One corpus pass computes the four booleans per doc, one 1-row
+    // aggregation folds them (all map-side), and the 4-row report is a
+    // union of selects off that row — the q280 cell-reshape pattern, so
+    // the report costs one scan at any corpus size.
+    QueryDef("q281_gate_ablation", (s, d) => {
+      val g = Seq(("length", gateLen), ("stopword", gateStop),
+        ("repetition", gateRep), ("top_token", gateTok))
+      val base = t(s, d, "documents").select(
+        g.map { case (n, c) => c.as(n) }: _*)
+      val aggCols = g.flatMap { case (n, _) =>
+        val others = g.filterNot(_._1 == n).map(x => col(x._1))
+          .reduce(_ && _)
+        Seq(sum(when(!col(n), 1L).otherwise(0L)).as(s"f_$n"),
+          sum(when(!col(n) && others, 1L).otherwise(0L)).as(s"o_$n"))
+      } ++ Seq(count(lit(1)).as("n_docs"),
+        sum(when(g.map(x => col(x._1)).reduce(_ && _), 1L).otherwise(0L))
+          .as("pass_all"))
+      val fin = base.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      g.map { case (n, _) =>
+        fin.select(lit(n).as("gate"), col("n_docs"), col("pass_all"),
+          col(s"f_$n").as("n_fail"), col(s"o_$n").as("n_fail_only"),
+          (col(s"f_$n").cast("double") / col("n_docs").cast("double"))
+            .as("fail_frac"),
+          (col(s"o_$n").cast("double") / col("n_docs").cast("double"))
+            .as("unique_kill_frac"))
+      }.reduce(_.union(_)).orderBy("gate")
+    },
+      Some {
+        val gp = Seq(("length", sqlGateLenP), ("stopword", sqlGateStopP),
+          ("repetition", sqlGateRepP), ("top_token", sqlGateTokP))
+        val aggSql = gp.flatMap { case (n, p) =>
+          val others = gp.filterNot(_._1 == n).map(_._2)
+            .map(x => s"($x)").mkString(" AND ")
+          Seq(
+            s"""CAST(sum(CASE WHEN NOT coalesce($p, FALSE)
+               |      THEN 1 ELSE 0 END) AS BIGINT) AS "f_$n"""".stripMargin,
+            s"""CAST(sum(CASE WHEN NOT coalesce($p, FALSE) AND ($others)
+               |      THEN 1 ELSE 0 END) AS BIGINT) AS "o_$n"""".stripMargin)
+        }.mkString(",\n    ")
+        val cells = gp.map { case (n, _) =>
+          s"""SELECT '$n' AS gate, n_docs, pass_all,
+             |  "f_$n" AS n_fail, "o_$n" AS n_fail_only,
+             |  CAST("f_$n" AS DOUBLE) / CAST(n_docs AS DOUBLE) AS fail_frac,
+             |  CAST("o_$n" AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             |    AS unique_kill_frac
+             |FROM fin""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $sqlGateCtes,
+           |fin AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN $sqlGateOk THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS pass_all,
+           |    $aggSql
+           |  FROM m JOIN mx ON m.doc_id = mx.doc_id)
+           |SELECT * FROM (
+           |$cells)
+           |ORDER BY gate""".stripMargin
       }),
 
     // ---- Water-filling token-budget allocation across sources ------------
