@@ -1454,5 +1454,35 @@ object Relational {
              |FROM orders WHERE o_orderstatus IN ('F', 'O', 'P')
              |GROUP BY 1, 2
              |ORDER BY o_orderpriority, status""".stripMargin)),
+
+    // ---- Salted skew-mitigation join under the correctness gate ----------
+    // [[graft.operators.SaltedJoin]] exercised end-to-end in the driver
+    // gate (previously only spec-proven): the fact-side key is salted
+    // into 8 sub-keys by a content hash and the dimension replicates 8x,
+    // so one hot supplier spreads over 8 reducers — the explicit remedy
+    // for the cases AQE's runtime skew split doesn't cover (broadcast-
+    // ineligible small sides, pre-planned deterministic pipelines). The
+    // oracle is the PLAIN join: salting must be result-invariant, and
+    // this query makes that invariance a driver-checked hash equality
+    // on every run rather than a one-time spec assertion. Quantities
+    // are integral doubles; both engines cast to int64 before summing.
+    QueryDef("q282_salted_join", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_quantity").cast("long").as("qty"),
+          col("l_orderkey"), col("l_linenumber"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_nationkey"))
+      graft.operators.SaltedJoin
+        .join(li, sup, "k", salts = 8,
+          discriminators = Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum("qty").as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+      Some("""SELECT s_nationkey,
+             |  CAST(count(*) AS BIGINT) AS n_items,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
