@@ -568,6 +568,53 @@ object Similarity {
     s"""CAST(${sqlDot(s"$a.qv", s"$b.qv")} AS DOUBLE)
        |      / sqrt(CAST($a.n2 AS DOUBLE)) / sqrt(CAST($b.n2 AS DOUBLE))""".stripMargin
 
+  /** Synchronous label propagation (q269's body, 3 fixed rounds) over
+    * the symmetrized kNN graph — exposed so q283's modularity scoring
+    * composes on the same labels. Returns (symmetrized edges, final
+    * (node, label)). */
+  def labelProp(emb: DataFrame): (DataFrame, DataFrame) = {
+    val g = knnGraph(emb).select(col("node"), col("nbr"))
+    val sym = g.union(g.select(col("nbr").as("node"), col("node").as("nbr")))
+      .distinct()
+      .localCheckpoint() // read once per round
+    var l = sym.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to 3) {
+      l = sym.join(l.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+    }
+    (sym, l)
+  }
+
+  /** Oracle CTE chain for [[labelProp]]: appends to [[sqlGraphCtes]] and
+    * ends in `sym(node, nbr)` and `l3(node, label)` — shared by the
+    * q269 and q283 oracles so the update rule exists once per engine. */
+  private def sqlLpaCtes: String = {
+    val rounds = (1 to 3).map { r =>
+      val prev = if (r == 1) "l0" else s"l${r - 1}"
+      s"""c$r AS MATERIALIZED (
+         |  SELECT s.node, l.label, count(*) AS c
+         |  FROM sym s JOIN $prev l ON s.nbr = l.node
+         |  GROUP BY s.node, l.label),
+         |l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label ASC) AS rn FROM c$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""sym AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM graph
+       |    UNION ALL
+       |    SELECT nbr, node FROM graph)),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS label FROM sym),
+       |$rounds""".stripMargin
+  }
+
   /** q271's Rademacher sign matrix: 64x8 +-1 constants from the Lehmer
     * parity of the flat index, computed ONCE in Scala and interpolated
     * into both engines (the Benford/poissonCuts literal rule). Declared
@@ -3239,52 +3286,94 @@ object Similarity {
     // argmax — every aggregation partial-aggregates map-side, labels
     // are 8-byte ids, and cost is O(E) per round at any corpus size.
     QueryDef("q269_label_prop", (s, d) => {
-      val g = knnGraph(t(s, d, "embeddings")).select(col("node"), col("nbr"))
-      val sym = g.union(g.select(col("nbr").as("node"), col("node").as("nbr")))
-        .distinct()
-        .localCheckpoint() // read once per round
-      var l = sym.select(col("node")).distinct()
-        .select(col("node"), col("node").as("label"))
-      for (_ <- 1 to 3) {
-        l = sym.join(l.select(col("node").as("nbr"), col("label")), "nbr")
-          .groupBy("node", "label").agg(count(lit(1)).as("c"))
-          .groupBy("node")
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("label"))
-      }
+      val (_, l) = labelProp(t(s, d, "embeddings"))
       val sizes = l.groupBy("label").agg(count(lit(1)).as("comm_size"))
       l.join(sizes, "label")
         .select(col("node"), col("label"), col("comm_size"))
         .orderBy("node")
     },
-      Some {
-        val rounds = (1 to 3).map { r =>
-          val prev = if (r == 1) "l0" else s"l${r - 1}"
-          s"""c$r AS MATERIALIZED (
-             |  SELECT s.node, l.label, count(*) AS c
-             |  FROM sym s JOIN $prev l ON s.nbr = l.node
-             |  GROUP BY s.node, l.label),
-             |l$r AS MATERIALIZED (
-             |  SELECT node, label FROM (
-             |    SELECT node, label, row_number() OVER (PARTITION BY node
-             |      ORDER BY c DESC, label ASC) AS rn FROM c$r)
-             |  WHERE rn = 1)""".stripMargin
-        }.mkString(",\n")
-        s"""WITH ${sqlGraphCtes(12, 64, 2)},
-           |sym AS MATERIALIZED (
-           |  SELECT DISTINCT node, nbr FROM (
-           |    SELECT node, nbr FROM graph
-           |    UNION ALL
-           |    SELECT nbr, node FROM graph)),
-           |l0 AS MATERIALIZED (
-           |  SELECT DISTINCT node, node AS label FROM sym),
-           |$rounds,
-           |sz AS (
-           |  SELECT label, CAST(count(*) AS BIGINT) AS comm_size
-           |  FROM l3 GROUP BY label)
-           |SELECT l3.node, l3.label, sz.comm_size
-           |FROM l3 JOIN sz USING (label)
-           |ORDER BY node""".stripMargin
-      }),
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |$sqlLpaCtes,
+             |sz AS (
+             |  SELECT label, CAST(count(*) AS BIGINT) AS comm_size
+             |  FROM l3 GROUP BY label)
+             |SELECT l3.node, l3.label, sz.comm_size
+             |FROM l3 JOIN sz USING (label)
+             |ORDER BY node""".stripMargin)),
+
+    // ---- Modularity score of the label-propagation communities -----------
+    // The quality number behind q269: Newman modularity
+    // Q = sum_c [ e_c/m - (d_c/2m)^2 ] — how much denser inside the
+    // found communities than a degree-preserving random graph. Kept
+    // EXACT: Q*(4m^2) = sum_c (4m*e_c - d_c^2) is pure int64 (bound:
+    // fine to ~10^9 undirected edges, far past any kNN graph this
+    // degree bound can produce; the one division by 4m^2 happens at the
+    // end). Shapes: e_c is an edge->label double equi-join + grouped
+    // count, d_c one grouped sum — everything keyed on 8-byte ids, no
+    // window anywhere. Per-community rows plus the global Q via the
+    // q76 one-row broadcast class.
+    QueryDef("q283_modularity", (s, d) => {
+      val (sym, l) = labelProp(t(s, d, "embeddings"))
+      val und = sym.filter(col("node") < col("nbr"))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val lbl = l.localCheckpoint() // three consumers below
+      val eIn = und
+        .join(lbl.select(col("node"), col("label").as("la")), "node")
+        .join(lbl.select(col("node").as("nbr"), col("label").as("lb")), "nbr")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val dSum = sym.join(lbl, "node")
+        .groupBy("label").agg(count(lit(1)).as("deg_sum"))
+      val nNodes = lbl.groupBy("label").agg(count(lit(1)).as("n_nodes"))
+      val terms = nNodes
+        .join(dSum, "label")
+        .join(eIn, Seq("label"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("label"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"),
+          col("deg_sum"), col("m"),
+          (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L)) -
+            col("deg_sum") * col("deg_sum")).as("t4m2"))
+      val qRow = terms.agg(sum("t4m2").as("tsum"))
+      terms.crossJoin(broadcast(qRow))
+        .select(col("label"), col("n_nodes"), col("e_in"), col("deg_sum"),
+          (col("t4m2").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+            .as("modularity_term"),
+          (col("tsum").cast("double") /
+            (lit(4L) * col("m") * col("m")).cast("double"))
+            .as("q_global"))
+        .orderBy("label")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |$sqlLpaCtes,
+             |und AS MATERIALIZED (
+             |  SELECT node, nbr FROM sym WHERE node < nbr),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+             |ein AS MATERIALIZED (
+             |  SELECT a.label, CAST(count(*) AS BIGINT) AS e_in
+             |  FROM und u JOIN l3 a ON u.node = a.node
+             |             JOIN l3 b ON u.nbr = b.node
+             |  WHERE a.label = b.label
+             |  GROUP BY a.label),
+             |ds AS MATERIALIZED (
+             |  SELECT l3.label, CAST(count(*) AS BIGINT) AS deg_sum,
+             |    CAST(count(DISTINCT l3.node) AS BIGINT) AS n_nodes
+             |  FROM sym JOIN l3 ON sym.node = l3.node
+             |  GROUP BY l3.label),
+             |terms AS MATERIALIZED (
+             |  SELECT ds.label, ds.n_nodes,
+             |    coalesce(ein.e_in, 0) AS e_in, ds.deg_sum, mm.m,
+             |    4 * mm.m * coalesce(ein.e_in, 0)
+             |      - ds.deg_sum * ds.deg_sum AS t4m2
+             |  FROM ds LEFT JOIN ein ON ds.label = ein.label
+             |  CROSS JOIN mm),
+             |qq AS (SELECT CAST(sum(t4m2) AS BIGINT) AS tsum FROM terms)
+             |SELECT label, n_nodes, e_in, deg_sum,
+             |  CAST(t4m2 AS DOUBLE) / CAST(4 * m * m AS DOUBLE)
+             |    AS modularity_term,
+             |  CAST(tsum AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS q_global
+             |FROM terms CROSS JOIN qq
+             |ORDER BY label""".stripMargin)),
   )
 }
