@@ -3301,6 +3301,120 @@ object Similarity {
              |FROM l3 JOIN sz USING (label)
              |ORDER BY node""".stripMargin)),
 
+    // ---- Graph health scalars: reciprocity + degree assortativity --------
+    // Two scalars that predict whether a kNN graph will navigate:
+    // RECIPROCITY (share of directed edges whose reverse exists — low
+    // means "nearest" is one-way, beam search backtracks poorly) and
+    // DEGREE ASSORTATIVITY (Pearson r over edge-endpoint degree pairs —
+    // strongly negative means hubs attach only to leaves, the
+    // small-world shortcut structure collapses). Moments are exact
+    // int64 (degrees bounded by 2x12 so even squared sums stay tiny per
+    // row); the Pearson COMBINATION n*Sxy - Sx^2 happens in double
+    // space (the q222 overflow lesson — at 10^12 edges the int64 form
+    // would wrap even though every moment fits). By x<->y symmetry of
+    // the undirected pair list the denominator needs no sqrt: r =
+    // (n*Sxy - Sx^2) / (n*Sx2 - Sx^2), one division, NaN-free via the
+    // zero-variance guard. One row out; one-row crosses are q76's class.
+    QueryDef("q284_graph_health", (s, d) => {
+      val g = knnGraph(t(s, d, "embeddings")).select(col("node"), col("nbr"))
+        .localCheckpoint() // three consumers: counts, mutual, und
+      val nDir = g.agg(count(lit(1)).as("n_directed"))
+      val mutual = g.as("x").join(g.as("y"),
+        col("x.node") === col("y.nbr") && col("x.nbr") === col("y.node"))
+        .agg((count(lit(1))).as("n_mutual"))
+      val und = g.select(least(col("node"), col("nbr")).as("a"),
+        greatest(col("node"), col("nbr")).as("b")).distinct()
+      val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val mom = und
+        .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+        .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+        .agg(count(lit(1)).as("m"),
+          sum(col("da") + col("db")).as("sx"),
+          sum(col("da") * col("da") + col("db") * col("db")).as("sx2"),
+          sum(lit(2L) * col("da") * col("db")).as("sxy"))
+      val n = (lit(2L) * col("m")).cast("double")
+      val num = n * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      val den = n * col("sx2").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double")
+      mom.crossJoin(broadcast(nDir)).crossJoin(broadcast(mutual))
+        .select(col("n_directed"), col("n_mutual"),
+          (col("n_mutual").cast("double") / col("n_directed").cast("double"))
+            .as("reciprocity"),
+          col("m").as("n_und_edges"),
+          when(den === 0.0, 0.0).otherwise(num / den).as("assortativity"))
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |gd AS MATERIALIZED (SELECT node, nbr FROM graph),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_directed FROM gd),
+             |mu AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_mutual
+             |  FROM gd x JOIN gd y ON x.node = y.nbr AND x.nbr = y.node),
+             |und AS MATERIALIZED (
+             |  SELECT DISTINCT least(node, nbr) AS a, greatest(node, nbr) AS b
+             |  FROM gd),
+             |deg AS MATERIALIZED (
+             |  SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+             |    SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+             |  GROUP BY n),
+             |mom AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS m,
+             |    CAST(sum(da.dg + db.dg) AS BIGINT) AS sx,
+             |    CAST(sum(da.dg * da.dg + db.dg * db.dg) AS BIGINT) AS sx2,
+             |    CAST(sum(2 * da.dg * db.dg) AS BIGINT) AS sxy
+             |  FROM und JOIN deg da ON und.a = da.n JOIN deg db ON und.b = db.n)
+             |SELECT n_directed, n_mutual,
+             |  CAST(n_mutual AS DOUBLE) / CAST(n_directed AS DOUBLE)
+             |    AS reciprocity,
+             |  m AS n_und_edges,
+             |  CASE WHEN CAST(2 * m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0e0 THEN 0e0
+             |    ELSE (CAST(2 * m AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      / (CAST(2 * m AS DOUBLE) * CAST(sx2 AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             |    AS assortativity
+             |FROM mom CROSS JOIN nd CROSS JOIN mu""".stripMargin)),
+
+    // ---- Hubness: in-degree distribution of the directed kNN graph -------
+    // The famous high-dimensional ANN pathology: a few points become
+    // "hubs" appearing in everyone's neighbor list while others are
+    // never retrieved at all (in-degree 0 — invisible to any search
+    // that walks the graph). The readout is the counts-of-counts
+    // in-degree distribution INCLUDING the zero bucket (all corpus ids
+    // left-joined against the in-edge counts), each with its share —
+    // two grouped counts, no window, corpus-scale safe.
+    QueryDef("q285_hubness", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val ind = knnGraph(emb).groupBy(col("nbr").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      val dist = emb.select(col("vec_id").as("node"))
+        .join(ind, Seq("node"), "left")
+        .select(coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .groupBy("in_deg").agg(count(lit(1)).as("n_nodes"))
+      val tot = dist.agg(sum("n_nodes").as("n_total"))
+      dist.crossJoin(broadcast(tot))
+        .select(col("in_deg"), col("n_nodes"),
+          (col("n_nodes").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy("in_deg")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |ind AS MATERIALIZED (
+             |  SELECT nbr AS node, CAST(count(*) AS BIGINT) AS in_deg
+             |  FROM graph GROUP BY nbr),
+             |dist AS MATERIALIZED (
+             |  SELECT coalesce(ind.in_deg, 0) AS in_deg,
+             |    CAST(count(*) AS BIGINT) AS n_nodes
+             |  FROM embeddings e LEFT JOIN ind ON e.vec_id = ind.node
+             |  GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM dist)
+             |SELECT in_deg, n_nodes,
+             |  CAST(n_nodes AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+             |FROM dist CROSS JOIN tt
+             |ORDER BY in_deg""".stripMargin)),
+
     // ---- Modularity score of the label-propagation communities -----------
     // The quality number behind q269: Newman modularity
     // Q = sum_c [ e_c/m - (d_c/2m)^2 ] — how much denser inside the

@@ -2299,7 +2299,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q277_waterfill_alloc", // one-row budget/round-state cross joins (q76's class)
       "q278_knn_vote", // builds on q137's fixed centroid broadcast
       "q280_bm25_sweep", // q88's one-row corpus-stats cross + bounded 32-case anchors
-      "q283_modularity") // q137's centroid broadcast + one-row m/Q crosses (q76's class)
+      "q283_modularity", // q137's centroid broadcast + one-row m/Q crosses (q76's class)
+      "q284_graph_health", // q137's centroid broadcast + one-row scalar crosses
+      "q285_hubness") // q137's centroid broadcast + one-row total cross
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
