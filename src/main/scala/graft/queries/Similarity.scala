@@ -572,8 +572,8 @@ object Similarity {
     * the symmetrized kNN graph — exposed so q283's modularity scoring
     * composes on the same labels. Returns (symmetrized edges, final
     * (node, label)). */
-  def labelProp(emb: DataFrame): (DataFrame, DataFrame) = {
-    val g = knnGraph(emb).select(col("node"), col("nbr"))
+  def labelProp(emb: DataFrame, centroids: Int = 64): (DataFrame, DataFrame) = {
+    val g = knnGraph(emb, centroids = centroids).select(col("node"), col("nbr"))
     val sym = g.union(g.select(col("nbr").as("node"), col("node").as("nbr")))
       .distinct()
       .localCheckpoint() // read once per round

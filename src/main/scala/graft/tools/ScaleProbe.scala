@@ -150,6 +150,11 @@ object ScaleProbe {
       // disjoint-vocabulary replicas must scale ~linearly (prefix postings
       // never mix across replicas)
       time(s"jaccard_join_x$m") { graft.queries.Dedup.jaccardJoin(docs, 0.6).count() }
+      // multiset variant: occurrence-indexed keys are strictly rarer than
+      // their set projections, so the same linear bound applies
+      time(s"multiset_jaccard_x$m") {
+        graft.queries.Dedup.multisetJaccardJoin(docs, 0.5).count()
+      }
       time(s"dedup_components_x$m") {
         val pairs = graft.queries.Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
         graft.queries.Dedup.connectedComponents(pairs)._1.count()
@@ -368,6 +373,12 @@ object ScaleProbe {
       time(s"kcore_x$m") {
         graft.queries.Similarity.kcoreProfile(replicateEmb(m),
           centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      // label propagation: 3 rounds of O(E) joins on a degree-bounded
+      // graph — must ride the graph build's ~linear cost
+      time(s"label_prop_x$m") {
+        graft.queries.Similarity.labelProp(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt)._2.count()
       }
       // time-series family: ONE corpus aggregation to the daily
       // distribution table; everything after is series-length work, so
