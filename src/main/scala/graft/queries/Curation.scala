@@ -997,6 +997,53 @@ object Curation {
            |ORDER BY gate""".stripMargin
       }),
 
+    // ---- Leave-one-out target encoding with prior smoothing --------------
+    // The feature-engineering staple for categorical columns feeding a
+    // model: replace the category by the mean target of ITS OTHER
+    // members (leave-one-out — including the row's own target leaks the
+    // label) blended toward the global prior by pseudo-count m = 100
+    // (rare categories shrink to the prior instead of memorizing).
+    // Exact shape: per-category int64 (sum, count) + the one-row global
+    // prior broadcast; each row's encoding is then two divisions —
+    // LOO = (sum_c - x) / (n_c - 1), smoothed on the loo numerator —
+    // so the whole feature costs one grouped aggregation and a map-side
+    // join at any corpus size, and both engines share bit-identical
+    // doubles because every numerator/denominator is an exact int64.
+    QueryDef("q286_target_encoding", (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority").as("cat"),
+          expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+      val grp = o.groupBy("cat")
+        .agg(sum("y").as("sy"), count(lit(1)).as("nc"))
+      val glob = o.agg(sum("y").as("gy"), count(lit(1)).as("gn"))
+      o.join(broadcast(grp), "cat").crossJoin(broadcast(glob))
+        .select(col("o_orderkey"), col("cat"), col("y"), col("nc"),
+          ((col("sy") - col("y")).cast("double") /
+            (col("nc") - 1).cast("double")).as("loo_mean_cents"),
+          (((col("sy") - col("y")).cast("double") +
+            lit(100.0) * (col("gy").cast("double") / col("gn").cast("double"))) /
+            (col("nc") - 1 + 100).cast("double")).as("smoothed_cents"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH o AS MATERIALIZED (
+             |  SELECT o_orderkey, o_orderpriority AS cat,
+             |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+             |  FROM orders),
+             |g AS MATERIALIZED (
+             |  SELECT cat, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(count(*) AS BIGINT) AS nc
+             |  FROM o GROUP BY cat),
+             |gl AS (SELECT CAST(sum(y) AS BIGINT) AS gy,
+             |         CAST(count(*) AS BIGINT) AS gn FROM o)
+             |SELECT o_orderkey, cat, y, nc,
+             |  CAST(sy - y AS DOUBLE) / CAST(nc - 1 AS DOUBLE)
+             |    AS loo_mean_cents,
+             |  (CAST(sy - y AS DOUBLE)
+             |     + 100e0 * (CAST(gy AS DOUBLE) / CAST(gn AS DOUBLE)))
+             |    / CAST(nc - 1 + 100 AS DOUBLE) AS smoothed_cents
+             |FROM o JOIN g USING (cat) CROSS JOIN gl
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // ---- Water-filling token-budget allocation across sources ------------
     // The allocation step q76/q165's mixing weights hand off to: spread
     // a corpus-level token budget (95% of total here) across sources

@@ -447,5 +447,60 @@ object Quality {
              |    AS events_per_day,
              |  (hwm_us - last_us) // 3600000000 AS stale_hours,
              |  (hwm_us - last_us) > 86400000000 AS is_stale
-             |FROM g CROSS JOIN hwm ORDER BY event_type""".stripMargin)))
+             |FROM g CROSS JOIN hwm ORDER BY event_type""".stripMargin)),
+
+    // ---- Sample-ratio-mismatch audit on the split assignment -------------
+    // The experimentation-ops guardrail (and the q56 split's own
+    // monitor): if the 80/10/10 hash split drifts from its design
+    // ratios, every downstream eval is suspect — SRM is the standard
+    // chi-square test run BEFORE anyone reads a metric. One conditional
+    // aggregation produces the three observed counts; the chi-square
+    // statistic is a fixed-order scalar expression over them (three
+    // literal-ordered terms, no aggregation of doubles — bit-identical
+    // across engines), flagged at the df=2, alpha=0.05 critical value.
+    QueryDef("q287_srm_check", (s, d) => {
+      val bucket = graft.queries.Sampling.lehmer(col("doc_id")) % 1000
+      val g = t(s, d, "documents")
+        .select(when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("nt"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("nv"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("ns"))
+      def term(o: Column, p: Double): Column = {
+        val e = col("n").cast("double") * lit(p)
+        (o.cast("double") - e) * (o.cast("double") - e) / e
+      }
+      val chi2 = term(col("nt"), 0.8) + term(col("nv"), 0.1) +
+        term(col("ns"), 0.1)
+      g.select(col("n"), col("nt").as("n_train"), col("nv").as("n_val"),
+        col("ns").as("n_test"), chi2.as("chi2"),
+        (chi2 > 5.991).as("srm_flag"))
+    },
+      Some {
+        def t(o: String, p: String) =
+          s"""(CAST($o AS DOUBLE) - CAST(n AS DOUBLE) * $p)
+             |    * (CAST($o AS DOUBLE) - CAST(n AS DOUBLE) * $p)
+             |    / (CAST(n AS DOUBLE) * $p)""".stripMargin
+        val chi = s"${t("nt", "0.8")}\n  + ${t("nv", "0.1")}\n  + ${t("ns", "0.1")}"
+        s"""WITH b AS MATERIALIZED (
+           |  SELECT CASE WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 800
+           |      THEN 'train'
+           |    WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 900 THEN 'val'
+           |    ELSE 'test' END AS split
+           |  FROM documents),
+           |g AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nt,
+           |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS nv,
+           |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS ns
+           |  FROM b)
+           |SELECT n, nt AS n_train, nv AS n_val, ns AS n_test,
+           |  $chi AS chi2,
+           |  $chi > 5.991 AS srm_flag
+           |FROM g""".stripMargin
+      }))
 }

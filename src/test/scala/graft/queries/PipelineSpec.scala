@@ -2301,7 +2301,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q280_bm25_sweep", // q88's one-row corpus-stats cross + bounded 32-case anchors
       "q283_modularity", // q137's centroid broadcast + one-row m/Q crosses (q76's class)
       "q284_graph_health", // q137's centroid broadcast + one-row scalar crosses
-      "q285_hubness") // q137's centroid broadcast + one-row total cross
+      "q285_hubness", // q137's centroid broadcast + one-row total cross
+      "q286_target_encoding") // one-row global-prior cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
