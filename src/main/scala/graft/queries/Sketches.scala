@@ -1203,6 +1203,29 @@ object Sketches {
            |FROM g ORDER BY l_returnflag""".stripMargin
       }),
 
+    // ---- Streaming LogHist twin's cells under the driver gate ------------
+    // The q234/q255 pattern applied to the quantile-sketch twin: the
+    // STREAMING LogHist aggregation (graft.streaming.Streams
+    // .logHistSketches — the same LogHistAgg the stateful twin folds)
+    // exploded to (flag, bucket, count) cells, oracle-recomputed from
+    // the bucket formula. StreamingSpec proves stream==batch; this row
+    // makes the batch face itself hash-checked by the driver every
+    // round, so the streaming contract is gate-covered, not spec-only.
+    QueryDef("q289_loghist_cells", (s, d) =>
+      graft.streaming.Streams.logHistSketches(t(s, d, "lineitem"))
+        .select(col("flag"), explode(col("hist")).as("cell"))
+        .select(col("flag"), col("cell._1").as("bucket"),
+          col("cell._2").as("cnt"))
+        .orderBy("flag", "bucket"),
+      Some(s"""SELECT l_returnflag AS flag,
+             |  CAST(${graft.functions.LogHist.sqlBucketOf(
+                 "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")}
+             |    AS INTEGER) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS cnt
+             |FROM lineitem
+             |GROUP BY 1, 2
+             |ORDER BY flag, bucket""".stripMargin)),
+
     // ---- Bloom filter: measured FPR attestation --------------------------
     // The missing QA readout behind q74/q145's Bloom consumers: build the
     // filter EXPLICITLY (m = 2^18 bits, k = 3 positions per key from

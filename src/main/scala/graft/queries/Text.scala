@@ -1415,6 +1415,67 @@ object Text {
              |       ELSE (po - pex) / (1e0 - pex) END AS kappa
              |FROM r ORDER BY source""".stripMargin)),
 
+    // ---- KV prefix-cache savings estimator --------------------------------
+    // The serving/training-loader question behind prefix caching: if
+    // sequences sharing a common k-token prefix are routed to the same
+    // replica, how many prefill tokens never recompute? For k in
+    // {8, 16, 32} (one scan — the q280 sweep-in-one-pass rule, cells as
+    // an exploded 3-struct array): group documents by the 62-bit hash
+    // of their k-prefix (first window of the established window-hash,
+    // so the oracle replays it exactly); a group of size g saves
+    // (g-1)*k prefill tokens. Short documents are ineligible for that
+    // k and counted out. Everything is a grouped count over 8-byte
+    // keys; the one-row corpus-token total is q76's broadcast class.
+    QueryDef("q288_prefix_cache_savings", (s, d) => {
+      val ks = Seq(8, 16, 32)
+      val docs = t(s, d, "documents")
+      val cells = docs
+        .select(array(ks.map(k => struct(lit(k).as("k"),
+          when(size(toks) >= k, element_at(
+            graft.functions.ArrayExprs.windowHashes(slice(toks, 1, k), k), 1))
+            .otherwise(lit(null).cast("long")).as("h"))): _*).as("per"))
+        .select(explode(col("per")).as("c"))
+        .select(col("c.k").as("k"), col("c.h").as("h"))
+        .filter(col("h").isNotNull)
+      val perK = cells.groupBy("k", "h").agg(count(lit(1)).as("ng"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"), sum("ng").as("n_eligible"),
+          sum(when(col("ng") > 1, col("ng")).otherwise(0L)).as("n_shared_docs"),
+          sum((col("ng") - 1) * col("k")).as("tokens_saved"))
+      val tot = docs.agg(sum(size(toks)).as("total_tokens"))
+      perK.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_eligible"), col("n_groups"),
+          col("n_shared_docs"), col("tokens_saved"),
+          (col("tokens_saved").cast("double") /
+            col("total_tokens").cast("double")).as("save_frac"))
+        .orderBy("k")
+    },
+      Some(s"""WITH tkt AS MATERIALIZED (
+             |  SELECT string_split(text, ' ') AS tk FROM documents),
+             |cells AS MATERIALIZED (
+             |  SELECT k,
+             |    ${Dedup.sqlStringHash62("array_to_string(tk[1:k], ' ')")} AS h
+             |  FROM tkt, (SELECT unnest([8, 16, 32]) AS k)
+             |  WHERE len(tk) >= k),
+             |grp AS MATERIALIZED (
+             |  SELECT k, h, CAST(count(*) AS BIGINT) AS ng
+             |  FROM cells GROUP BY 1, 2),
+             |pk AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n_groups,
+             |    CAST(sum(ng) AS BIGINT) AS n_eligible,
+             |    CAST(sum(CASE WHEN ng > 1 THEN ng ELSE 0 END) AS BIGINT)
+             |      AS n_shared_docs,
+             |    CAST(sum((ng - 1) * k) AS BIGINT) AS tokens_saved
+             |  FROM grp GROUP BY k),
+             |tot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS total_tokens
+             |        FROM tkt)
+             |SELECT CAST(k AS INTEGER) AS k, n_eligible, n_groups,
+             |  n_shared_docs, tokens_saved,
+             |  CAST(tokens_saved AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+             |    AS save_frac
+             |FROM pk CROSS JOIN tot
+             |ORDER BY k""".stripMargin)),
+
     // ---- BM25 parameter sweep scored against known near-dup targets ------
     // The retrieval-tuning loop as ONE query: six (k1, b) cells scored
     // in a single posting-list pass (each cell is just another
