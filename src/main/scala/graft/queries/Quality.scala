@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -448,6 +449,93 @@ object Quality {
              |  (hwm_us - last_us) // 3600000000 AS stale_hours,
              |  (hwm_us - last_us) > 86400000000 AS is_stale
              |FROM g CROSS JOIN hwm ORDER BY event_type""".stripMargin)),
+
+    // ---- Split covariate balance: exact KS across train/val/test ---------
+    // q287's SRM checks the split's SIZES; this checks its CONTENT: a
+    // hash split must leave every covariate exchangeable across splits,
+    // or eval metrics measure the split, not the model. Exact two-sample
+    // KS on the token-length distribution for train-vs-val and
+    // train-vs-test (the q239 machinery on the tiny per-length counts
+    // table — one corpus pass to (split, len, cnt), cumulative windows
+    // over the bounded length domain, sup-gap + the 1.36*sqrt((na+nb)/
+    // (na*nb)) 5% critical value). Everything after the scan is
+    // length-domain-sized.
+    QueryDef("q290_split_balance", (s, d) => {
+      val bucket = graft.queries.Sampling.lehmer(col("doc_id")) % 1000
+      val base = t(s, d, "documents")
+        .select(when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"),
+          size(split(col("text"), " ")).cast("long").as("len"))
+        .groupBy("split", "len").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // both pair comparisons read it
+      def ksOf(other: String): org.apache.spark.sql.DataFrame = {
+        val sides = base.filter(col("split").isin("train", other))
+          .select(col("len"),
+            when(col("split") === "train", col("cnt")).otherwise(0L).as("ca"),
+            when(col("split") === other, col("cnt")).otherwise(0L).as("cb"))
+          .groupBy("len").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+        val w = Window.orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // unpartitioned window over the LENGTH DOMAIN (bounded: distinct
+        // token counts, not rows) — the WindowLawSpec distribution-table
+        // class
+        sides
+          .withColumn("cuma", sum("ca").over(w))
+          .withColumn("cumb", sum("cb").over(w))
+          .crossJoin(broadcast(sides.agg(sum("ca").as("na"), sum("cb").as("nb"))))
+          .agg(max(abs(col("cuma").cast("double") / col("na").cast("double") -
+            col("cumb").cast("double") / col("nb").cast("double"))).as("ks_d"),
+            max("na").as("n_a"), max("nb").as("n_b"))
+          .select(lit("train").as("side_a"), lit(other).as("side_b"),
+            col("n_a"), col("n_b"), col("ks_d"),
+            (lit(1.36) * sqrt((col("n_a").cast("double") + col("n_b").cast("double")) /
+              (col("n_a").cast("double") * col("n_b").cast("double"))))
+              .as("critical_5pct"))
+          .withColumn("imbalanced", col("ks_d") > col("critical_5pct"))
+      }
+      ksOf("val").union(ksOf("test")).orderBy("side_b")
+    },
+      Some {
+        def pair(other: String) =
+          s"""SELECT 'train' AS side_a, '$other' AS side_b, na AS n_a,
+             |  nb AS n_b, ks_d,
+             |  1.36e0 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+             |    AS critical_5pct,
+             |  ks_d > 1.36e0 * sqrt((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))) AS imbalanced
+             |FROM (
+             |  SELECT max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE)
+             |      - CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS ks_d,
+             |    CAST(max(na) AS BIGINT) AS na, CAST(max(nb) AS BIGINT) AS nb
+             |  FROM (
+             |    SELECT
+             |      CAST(sum(ca) OVER (ORDER BY len) AS BIGINT) AS cuma,
+             |      CAST(sum(cb) OVER (ORDER BY len) AS BIGINT) AS cumb,
+             |      CAST(sum(ca) OVER () AS BIGINT) AS na,
+             |      CAST(sum(cb) OVER () AS BIGINT) AS nb
+             |    FROM (
+             |      SELECT len,
+             |        CAST(sum(CASE WHEN split = 'train' THEN cnt ELSE 0 END)
+             |          AS BIGINT) AS ca,
+             |        CAST(sum(CASE WHEN split = '$other' THEN cnt ELSE 0 END)
+             |          AS BIGINT) AS cb
+             |      FROM sl WHERE split IN ('train', '$other')
+             |      GROUP BY len)))""".stripMargin
+        s"""WITH sl AS MATERIALIZED (
+           |  SELECT CASE WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 800
+           |      THEN 'train'
+           |    WHEN ${Sampling.sqlLehmerOf("doc_id")} % 1000 < 900 THEN 'val'
+           |    ELSE 'test' END AS split,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM documents GROUP BY 1, 2)
+           |SELECT * FROM (
+           |${pair("val")}
+           |UNION ALL
+           |${pair("test")})
+           |ORDER BY side_b""".stripMargin
+      }),
 
     // ---- Sample-ratio-mismatch audit on the split assignment -------------
     // The experimentation-ops guardrail (and the q56 split's own

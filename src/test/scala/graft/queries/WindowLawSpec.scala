@@ -59,6 +59,9 @@ class WindowLawSpec extends AnyFunSuite {
     "Layout.scala:statsFor" ->
       ("q168 percentile crossing over the counts-of-counts distribution " +
         "(one row per distinct multiplicity, the q64/q219 trick)"),
+    "Quality.scala:ksOf" ->
+      ("q290 cumulative KS window over the token-length DISTRIBUTION " +
+        "(one row per distinct length — q96's rule)"),
     "Sampling.scala:prioritySample" ->
       "rank over the limit(k+1) priority pool",
     "Sampling.scala:prioritySample" ->
