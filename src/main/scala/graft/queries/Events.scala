@@ -3016,6 +3016,65 @@ object Events {
              |    AS covered
              |FROM o ORDER BY event_type, h""".stripMargin)),
 
+    // ---- Session timeout sensitivity sweep -------------------------------
+    // The parameter behind q31's sessionization is a guess (30 min);
+    // this query prices the guess: for timeouts 15/30/60 min, how many
+    // sessions exist and how much splitting each threshold causes — in
+    // ONE pass over the per-user gap table (the q280 sweep rule: each
+    // timeout is just another conditional sum over the same lag gaps,
+    // reshaped to rows off a single 1-row aggregate). n_sessions(T) =
+    // users + gaps exceeding T; no session assembly, no per-T rescan.
+    QueryDef("q291_session_timeout_sweep", (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gaps = t(s, d, "events").filter(col("ts").isNotNull)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("gap", col("us") - lag("us", 1).over(w))
+        .select(col("user_id"), col("gap"))
+      val timeouts = Seq(900L, 1800L, 3600L)
+      val aggCols = Seq(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events")) ++ timeouts.map(t =>
+        sum(when(col("gap") > t * 1000000L, 1L).otherwise(0L)).as(s"brk_$t"))
+      val g = gaps.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      timeouts.map { t =>
+        g.select(lit(t).as("timeout_s"), col("n_users"), col("n_events"),
+          (col("n_users") + col(s"brk_$t")).as("n_sessions"),
+          (col("n_events").cast("double") /
+            (col("n_users") + col(s"brk_$t")).cast("double"))
+            .as("avg_events_per_session"),
+          (col(s"brk_$t").cast("double") /
+            (col("n_events") - col("n_users")).cast("double"))
+            .as("frac_gaps_broken"))
+      }.reduce(_.union(_)).orderBy("timeout_s")
+    },
+      Some {
+        val brks = Seq(900L, 1800L, 3600L).map(t =>
+          s"""CAST(sum(CASE WHEN gap > ${t * 1000000L} THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS brk_$t""".stripMargin).mkString(",\n    ")
+        val cells = Seq(900L, 1800L, 3600L).map(t =>
+          s"""SELECT CAST($t AS BIGINT) AS timeout_s, n_users, n_events,
+             |  n_users + brk_$t AS n_sessions,
+             |  CAST(n_events AS DOUBLE) / CAST(n_users + brk_$t AS DOUBLE)
+             |    AS avg_events_per_session,
+             |  CAST(brk_$t AS DOUBLE) / CAST(n_events - n_users AS DOUBLE)
+             |    AS frac_gaps_broken
+             |FROM g""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT user_id,
+           |    epoch_us(CAST(ts AS TIMESTAMP))
+           |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+           |        (PARTITION BY user_id
+           |         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap
+           |  FROM events WHERE ts IS NOT NULL),
+           |g AS MATERIALIZED (
+           |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           |    CAST(count(*) AS BIGINT) AS n_events,
+           |    $brks
+           |  FROM e)
+           |SELECT * FROM (
+           |$cells)
+           |ORDER BY timeout_s""".stripMargin
+      }),
+
     // ---- Day-over-day top-k churn ----------------------------------------
     // The leaderboard-stability monitor: per day the top-20 items by
     // event count (ties -> smaller item id), then for each consecutive

@@ -3301,6 +3301,110 @@ object Similarity {
              |FROM l3 JOIN sz USING (label)
              |ORDER BY node""".stripMargin)),
 
+    // ---- IVF nprobe sweep: recall vs probe cost in one index build -------
+    // The recall/cost frontier behind q49/q112's fixed nprobe=16: the
+    // SAME index (built and checkpointed once) queried at nprobe 1, 4,
+    // and 16, each scored against the exact brute top-10 (also computed
+    // once). This is the decision artifact an ANN operator reads before
+    // picking the probe budget — at 100 TB each probe step multiplies
+    // the scan fraction, so the marginal-recall-per-probe column is the
+    // whole game. Per-setting work is the bounded-anchor probe scan
+    // (q48's contract); recalls are exact integer hit counts with two
+    // end divisions.
+    QueryDef("q292_nprobe_sweep", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx0 = ivfIndex(emb)
+      val idx = IvfIndex(idx0.cents.localCheckpoint(),
+        idx0.assigned.localCheckpoint()) // one build, three probe runs
+      val e = quantized(s, d)
+      val brute = bruteTopK(e).select("q_id", "n_id").localCheckpoint()
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id")).localCheckpoint()
+      Seq(1, 4, 16).map { p =>
+        val hits = ivfQuery(idx, emb.filter(queryFilter), 10, p)
+          .select("q_id", "n_id")
+          .join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        queries.join(hits, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(coalesce(col("h"), lit(0L))).as("sum_hits"),
+            min(coalesce(col("h"), lit(0L))).as("min_hits"))
+          .select(lit(p).as("nprobe"), col("n_queries"), col("sum_hits"),
+            (col("sum_hits").cast("double") /
+              (col("n_queries") * 10).cast("double")).as("mean_recall"),
+            (col("min_hits").cast("double") / 10.0).as("min_recall"))
+      }.reduce(_.union(_)).orderBy("nprobe")
+    },
+      Some {
+        val perP = Seq(1, 4, 16).map { p =>
+          s"""rk$p AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, n_id) AS rn
+             |    FROM isc WHERE crn <= $p)
+             |  WHERE rn <= 10),
+             |h$p AS MATERIALIZED (
+             |  SELECT r.q_id, CAST(count(*) AS BIGINT) AS h
+             |  FROM rk$p r JOIN branked b
+             |    ON r.q_id = b.q_id AND r.n_id = b.n_id AND b.rank <= 10
+             |  GROUP BY 1),
+             |a$p AS (
+             |  SELECT CAST($p AS INTEGER) AS nprobe,
+             |    CAST(count(*) AS BIGINT) AS n_queries,
+             |    CAST(sum(coalesce(h, 0)) AS BIGINT) AS sum_hits,
+             |    CAST(min(coalesce(h, 0)) AS BIGINT) AS min_hits
+             |  FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $nQueries) qq
+             |  LEFT JOIN h$p USING (q_id))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH q AS MATERIALIZED (
+           |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+           |bscored AS MATERIALIZED (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |    ${sqlCos("a", "b")} AS cos_sim
+           |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+           |  WHERE a.vec_id < $nQueries),
+           |branked AS MATERIALIZED (
+           |  SELECT q_id, n_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos_sim DESC, n_id) AS rank
+           |  FROM bscored),
+           |c AS MATERIALIZED (
+           |  SELECT vec_id AS c_id, qv, n2 FROM n
+           |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+           |asg AS MATERIALIZED (
+           |  SELECT vec_id, c_id AS cell FROM (
+           |    SELECT n.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+           |    FROM n CROSS JOIN c)
+           |  WHERE rn = 1),
+           |corpus AS MATERIALIZED (
+           |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell
+           |  FROM asg a JOIN n ON a.vec_id = n.vec_id),
+           |pr AS MATERIALIZED (
+           |  SELECT q_id, qv, n2, cell, crn FROM (
+           |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+           |    FROM n CROSS JOIN c WHERE n.vec_id < $nQueries)
+           |  WHERE crn <= 16),
+           |isc AS MATERIALIZED (
+           |  SELECT p.q_id, s.n_id, p.crn,
+           |    ${sqlCos("p", "s")} AS cos_sim
+           |  FROM pr p JOIN corpus s ON p.cell = s.cell
+           |  WHERE p.q_id != s.n_id),
+           |$perP
+           |SELECT nprobe, n_queries, sum_hits,
+           |  CAST(sum_hits AS DOUBLE) / CAST(n_queries * 10 AS DOUBLE)
+           |    AS mean_recall,
+           |  CAST(min_hits AS DOUBLE) / 10e0 AS min_recall
+           |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a4
+           |      UNION ALL SELECT * FROM a16)
+           |ORDER BY nprobe""".stripMargin
+      }),
+
     // ---- Graph health scalars: reciprocity + degree assortativity --------
     // Two scalars that predict whether a kNN graph will navigate:
     // RECIPROCITY (share of directed edges whose reverse exists — low
