@@ -2408,6 +2408,94 @@ object Dedup {
              |  min_edge_j, max_edge_j
              |FROM sz s JOIN ed e ON s.cluster_id = e.cluster_id
              |ORDER BY s.cluster_id""".stripMargin)),
+
+    // ---- Winnowing fingerprints (MOSS-style local document sketch) -------
+    // Schleimer/Wilkerson/Aiken winnowing (SIGMOD'03): per position, the
+    // MINIMUM 4-token window hash over the last 8 windows; the distinct
+    // per-doc min set is the fingerprint sketch. Unlike MinHash (q45 —
+    // a GLOBAL sketch that needs the whole doc before emitting) the
+    // window-min is LOCAL: any shared run of >= 11 tokens (w + k - 1)
+    // is GUARANTEED to contribute a shared fingerprint — the detection
+    // guarantee suffix-array substring dedup gives, at ~2/(w+1) the
+    // storage of q78's every-window stream. Pairing shape mirrors LSH:
+    // fingerprints shared by 2..50 docs key the candidate join (the cap
+    // is the stop-fingerprint rule — boilerplate n-grams would
+    // otherwise quadratically explode the bucket, exactly like a hot
+    // LSH band); >= 2 shared fingerprints confirms a pair. Scale: one
+    // doc-partitioned bounded window (8 rows) over the positional
+    // stream, one fp-keyed shuffle, bucket joins AQE-splittable; the
+    // three fp-set consumers share one exchange via ReuseExchange —
+    // nothing corpus-sized is pinned.
+    QueryDef("q295_winnow_fingerprints", (s, d) => {
+      val hashed = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(graft.functions.ArrayExprs
+          .windowHashes(split(col("text"), " "), 4)).as(Seq("p", "h")))
+      val wWin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)
+      val fps = hashed
+        .select(col("doc_id"), min("h").over(wWin).as("fp")).distinct()
+      val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+      val dup = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+        .filter(col("ndocs") >= 2 && col("ndocs") <= 50).select("fp")
+      val fd = fps.join(dup, "fp")
+      val pairs = fd.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+      pairs
+        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+          "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_fp_a"), col("n_fp_b"),
+          (col("n_shared").cast("double") /
+            (col("n_fp_a") + col("n_fp_b") - col("n_shared")).cast("double"))
+            .as("jaccard_est"))
+        .orderBy("doc_a", "doc_b")
+    },
+      Some("""WITH t AS (
+             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |w0 AS (
+             |  SELECT doc_id, CAST(unnest(range(len(tk) - 3)) AS BIGINT) AS p,
+             |         unnest(list_transform(range(1, len(tk) - 2),
+             |           i -> array_to_string(tk[i:i+3], ' '))) AS win
+             |  FROM t WHERE len(tk) >= 4),
+             |w AS (
+             |  SELECT doc_id, p,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+             |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS h
+             |  FROM w0),
+             |fps AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+             |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+             |  FROM w),
+             |nf AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+             |  FROM fps GROUP BY doc_id),
+             |dup AS (
+             |  SELECT fp FROM fps GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 50),
+             |fd AS (SELECT doc_id, f.fp FROM fps f JOIN dup USING (fp)),
+             |pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |  HAVING count(*) >= 2)
+             |SELECT doc_a, doc_b, n_shared, na.n_fp AS n_fp_a,
+             |  nb.n_fp AS n_fp_b,
+             |  CAST(n_shared AS DOUBLE)
+             |    / CAST(na.n_fp + nb.n_fp - n_shared AS DOUBLE) AS jaccard_est
+             |FROM pairs
+             |JOIN nf na ON pairs.doc_a = na.doc_id
+             |JOIN nf nb ON pairs.doc_b = nb.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

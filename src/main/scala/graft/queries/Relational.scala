@@ -1484,5 +1484,130 @@ object Relational {
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- Spearman rank correlation (tie-corrected, distributed) ----------
+    // q222's Pearson collector assumes linearity; Spearman is the
+    // ANALYZE statistic for MONOTONE dependence (what an optimizer's
+    // correlated-predicate logic actually needs — rank agreement, not
+    // linear fit). Ranks are computed WITHOUT a per-row global window:
+    // each column's VALUE DISTRIBUTION (distinct-value-sized) gets a
+    // cumulative count via the q57 two-phase chunked prefix sum, and
+    // the tie-averaged rank is carried back by a value-keyed join. The
+    // integer carrier is the TWICE-average-rank t = 2*cum - cnt + 1
+    // (average rank (min+max)/2 doubled to stay int64-exact through
+    // the moment sums); Spearman rho = Pearson on t (the factor 2
+    // cancels). Moment bound: sum(t^2) <= n*(2n)^2 — int64-exact to
+    // ~1.3e6 rows; beyond that production normalizes ranks to [0,1]
+    // doubles first (rho is scale-invariant), trading bit-exactness
+    // for range exactly like q222's double-space combination step.
+    QueryDef("q294_spearman", (s, d) => {
+      // v4 = gross price modulated by the (independent) discount — the
+      // one strongly-monotone pair in an otherwise independent column
+      // set, so the query demonstrates both regimes: rho ~= 0 for the
+      // generator's independent columns, rho ~= 1 for price vs netprice
+      val base = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("v1"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("v2"),
+        (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
+          .as("v3"),
+        ((col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+          * (lit(100L) - (col("l_discount").cast(DecimalType(12, 2)) * 100)
+            .cast("long"))).as("v4"))
+      // (value -> twice-average-rank) table for one column: chunked
+      // cumulative over the distribution, never a corpus-wide window
+      def rankTable(c: String): org.apache.spark.sql.DataFrame = {
+        val dist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          .withColumn("chunk", expr(s"$c div 16384"))
+        val wLoc = Window.partitionBy("chunk").orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = Sampling.chunkOffsets(
+          dist.groupBy("chunk").agg(sum("cnt").as("tot")), "chunk", "tot")
+        dist.withColumn("lc", sum("cnt").over(wLoc))
+          .join(broadcast(offs), Seq("chunk"))
+          .select(col(c), (lit(2) * (col("lc") + col("off"))
+            - col("cnt") + lit(1)).as(s"t_$c"))
+      }
+      val ranked = base
+        .join(broadcast(rankTable("v1")), Seq("v1"))
+        .join(rankTable("v2"), Seq("v2"))
+        .join(broadcast(rankTable("v3")), Seq("v3"))
+        .join(rankTable("v4"), Seq("v4"))
+      val cols = Seq("v1", "v2", "v3", "v4")
+      val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+        yield (cols(i), cols(j))
+      val aggs = (count(lit(1)).as("n") +:
+        cols.map(c => sum(col(s"t_$c")).as(s"s_$c"))) ++
+        cols.map(c => sum(col(s"t_$c") * col(s"t_$c")).as(s"q_$c")) ++
+        prs.map { case (a, b) =>
+          sum(col(s"t_$a") * col(s"t_$b")).as(s"x_${a}_$b") }
+      val m = ranked.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val names = Map("v1" -> "quantity", "v2" -> "price",
+        "v3" -> "discount", "v4" -> "netprice")
+      def mm(c: String) = col(c).cast("double")
+      def rho(a: String, b: String): Column = {
+        val da = mm("n") * mm(s"q_$a") - mm(s"s_$a") * mm(s"s_$a")
+        val db = mm("n") * mm(s"q_$b") - mm(s"s_$b") * mm(s"s_$b")
+        when(da > 0.0 && db > 0.0,
+          (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
+            / (sqrt(da) * sqrt(db)))
+      }
+      prs.map { case (a, b) =>
+        m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
+          col("n"), rho(a, b).as("rho"))
+      }.reduce(_.unionAll(_)).orderBy("pair")
+    },
+      Some {
+        val cols = Seq("v1", "v2", "v3", "v4")
+        val names = Map("v1" -> "quantity", "v2" -> "price",
+          "v3" -> "discount", "v4" -> "netprice")
+        val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+          yield (cols(i), cols(j))
+        def dd(c: String) = s"CAST($c AS DOUBLE)"
+        def dSql(c: String) =
+          s"${dd("n")} * ${dd(s"q_$c")} - ${dd(s"s_$c")} * ${dd(s"s_$c")}"
+        def rhoSql(a: String, b: String) =
+          s"""CASE WHEN ${dSql(a)} > 0.0
+             |      AND ${dSql(b)} > 0.0
+             |    THEN (${dd("n")} * ${dd(s"x_${a}_$b")}
+             |          - ${dd(s"s_$a")} * ${dd(s"s_$b")})
+             |      / (sqrt(${dSql(a)})
+             |         * sqrt(${dSql(b)}))
+             |  END""".stripMargin
+        val rts = cols.map(c =>
+          s"""r_$c AS MATERIALIZED (
+             |  SELECT $c,
+             |    2 * sum(cnt) OVER (ORDER BY $c) - cnt + 1 AS t_$c
+             |  FROM (SELECT $c, CAST(count(*) AS BIGINT) AS cnt
+             |        FROM base GROUP BY $c))""".stripMargin).mkString(",\n")
+        val arms = prs.map { case (a, b) =>
+          s"SELECT '${names(a)}_${names(b)}' AS pair, n, ${rhoSql(a, b)} AS rho FROM m"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH base AS MATERIALIZED (
+           |  SELECT CAST(l_quantity AS BIGINT) AS v1,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |      AS v2,
+           |    CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS v3,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+           |      * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100
+           |        AS BIGINT)) AS v4
+           |  FROM lineitem),
+           |$rts,
+           |m AS MATERIALIZED (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    ${cols.map(c => s"CAST(sum(t_$c) AS BIGINT) AS s_$c")
+                  .mkString(",\n    ")},
+           |    ${cols.map(c => s"CAST(sum(t_$c * t_$c) AS BIGINT) AS q_$c")
+                  .mkString(",\n    ")},
+           |    ${prs.map { case (a, b) =>
+                  s"CAST(sum(t_$a * t_$b) AS BIGINT) AS x_${a}_$b" }
+                  .mkString(",\n    ")}
+           |  FROM base
+           |  JOIN r_v1 USING (v1) JOIN r_v2 USING (v2) JOIN r_v3 USING (v3)
+           |  JOIN r_v4 USING (v4))
+           |SELECT * FROM (
+           |  $arms)
+           |ORDER BY pair""".stripMargin
+      }),
   )
 }

@@ -1338,5 +1338,115 @@ object Sketches {
              |    * (CAST(n_bits_set AS DOUBLE) / 262144e0)
              |    AS fpr_independence
              |FROM agg CROSS JOIN mc CROSS JOIN bc""".stripMargin)),
+
+    // ---- CMS inner-product join-size estimation --------------------------
+    // The planner statistic behind "can this join run at 100 TB": an
+    // equi-join's output cardinality is sum_k cA(k)*cB(k), which exact
+    // computation prices at per-key counts plus a key join, while the
+    // AGMS/CMS estimate prices at d*w counters PER SIDE — mergeable
+    // map-side state two pipelines can exchange without shuffling keys
+    // (Cormode & Muthukrishnan's inner-product estimator:
+    // min_d sum_w cmsA[d][w]*cmsB[d][w] upper-bounds the true size with
+    // expected slack ||a||1*||b||1/w per row — w = 4096 keeps that
+    // slack under half the true size for these inputs). Uses a 4x4096
+    // CMS (q146's shape, widened) over the shared
+    // over the shared 62-bit key hashes, so the estimate AND its exact
+    // attestation hash-match the oracle bit for bit. Two production
+    // shapes: the skewed SELF-join (lineitem x lineitem on l_partkey —
+    // the F2 moment that prices a skew-join strategy before running it)
+    // and a fact-fact join (events x orders on the customer key — the
+    // "sessionize then attribute" join whose blowup is worth knowing
+    // BEFORE the shuffle). Scale shape: key-count tables are
+    // distinct-key-sized, sketches are 4 KB constants; int64 products
+    // are exact to ~3e9-row inputs per side — past that production
+    // emits DOUBLE counters (the estimate tolerates it; the bit-exact
+    // attestation is a test-scale artifact).
+    QueryDef("q293_cms_join_size", (s, d) => {
+      val w = 4096
+      def keyed(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.filter(col(k).isNotNull)
+          .groupBy(col(k).cast("long").as("k"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("h", element_at(graft.functions.ArrayExprs
+            .windowHashes(array(col("k").cast("string")), 1), 1))
+      def sliceAt(i: Int) = expr(s"(h div ${1L << (12 * i)}) % $w")
+      def cms(cnt: org.apache.spark.sql.DataFrame) = cnt
+        .select(col("n"),
+          posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
+        .groupBy("i", "s").agg(sum("n").as("c"))
+      def est(name: String, a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.join(b.select(col("i"), col("s"), col("c").as("c2")), Seq("i", "s"))
+          .groupBy("i").agg(sum(col("c") * col("c2")).as("t"))
+          .agg(min("t").as("cms_pairs"))
+          .select(lit(name).as("join_name"), col("cms_pairs"))
+      def exact(name: String, a: org.apache.spark.sql.DataFrame,
+          b: org.apache.spark.sql.DataFrame) =
+        a.select("k", "n").join(b.select(col("k"), col("n").as("n2")), "k")
+          .agg(sum(col("n") * col("n2")).as("exact_pairs"))
+          .select(lit(name).as("join_name"), col("exact_pairs"))
+      val li = keyed(t(s, d, "lineitem"), "l_partkey").localCheckpoint()
+      val ev = keyed(t(s, d, "events"), "user_id").localCheckpoint()
+      val oo = keyed(t(s, d, "orders"), "o_custkey").localCheckpoint()
+      val cLi = cms(li).localCheckpoint() // joined with itself below
+      val exacts = exact("lineitem_self_partkey", li, li)
+        .union(exact("events_orders_custkey", ev, oo))
+      val ests = est("lineitem_self_partkey", cLi, cLi)
+        .union(est("events_orders_custkey", cms(ev), cms(oo)))
+      exacts.join(ests, "join_name")
+        .select(col("join_name"), col("exact_pairs"), col("cms_pairs"),
+          (col("cms_pairs") - col("exact_pairs")).as("overestimate"),
+          ((col("cms_pairs") - col("exact_pairs")).cast("double") /
+            col("exact_pairs").cast("double")).as("rel_error"))
+        .orderBy("join_name")
+    },
+      Some {
+        def keyedCte(src: String, k: String) =
+          s"""SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    ${Dedup.sqlStringHash62("CAST(k AS VARCHAR)")} AS h
+             |  FROM (SELECT CAST($k AS BIGINT) AS k FROM $src
+             |        WHERE $k IS NOT NULL) GROUP BY k""".stripMargin
+        def cmsCte(of: String) =
+          s"""SELECT i, s, CAST(sum(n) AS BIGINT) AS c FROM (
+             |    SELECT 0 AS i, (h // 1) % 4096 AS s, n FROM $of
+             |    UNION ALL SELECT 1, (h // 4096) % 4096, n FROM $of
+             |    UNION ALL SELECT 2, (h // 16777216) % 4096, n FROM $of
+             |    UNION ALL SELECT 3, (h // 68719476736) % 4096, n FROM $of)
+             |  GROUP BY 1, 2""".stripMargin
+        def estCte(name: String, a: String, b: String) =
+          s"""SELECT '$name' AS join_name, min(t) AS cms_pairs FROM (
+             |  SELECT a.i, CAST(sum(a.c * b.c) AS BIGINT) AS t
+             |  FROM $a a JOIN $b b ON a.i = b.i AND a.s = b.s
+             |  GROUP BY a.i)""".stripMargin
+        s"""WITH la AS MATERIALIZED (
+           |  ${keyedCte("lineitem", "l_partkey")}),
+           |ev AS MATERIALIZED (
+           |  ${keyedCte("events", "user_id")}),
+           |oo AS MATERIALIZED (
+           |  ${keyedCte("orders", "o_custkey")}),
+           |cla AS MATERIALIZED (
+           |  ${cmsCte("la")}),
+           |cev AS MATERIALIZED (
+           |  ${cmsCte("ev")}),
+           |coo AS MATERIALIZED (
+           |  ${cmsCte("oo")}),
+           |exacts AS (
+           |  SELECT 'lineitem_self_partkey' AS join_name,
+           |    CAST(sum(n * n) AS BIGINT) AS exact_pairs FROM la
+           |  UNION ALL
+           |  SELECT 'events_orders_custkey',
+           |    CAST(sum(ev.n * oo.n) AS BIGINT)
+           |  FROM ev JOIN oo ON ev.k = oo.k),
+           |ests AS (
+           |  ${estCte("lineitem_self_partkey", "cla", "cla")}
+           |  UNION ALL
+           |  ${estCte("events_orders_custkey", "cev", "coo")})
+           |SELECT e.join_name, exact_pairs, cms_pairs,
+           |  cms_pairs - exact_pairs AS overestimate,
+           |  CAST(cms_pairs - exact_pairs AS DOUBLE)
+           |    / CAST(exact_pairs AS DOUBLE) AS rel_error
+           |FROM exacts e JOIN ests USING (join_name)
+           |ORDER BY join_name""".stripMargin
+      }),
   )
 }
