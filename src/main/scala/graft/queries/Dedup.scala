@@ -721,6 +721,41 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** q295's winnowing sketch: distinct per-doc window-min fingerprints
+    * over 4-token k-gram hashes, guarantee window 8 (shared runs of
+    * >= 11 tokens always share a fingerprint). Exposed for the
+    * StatOpsSpec guarantee fixture. */
+  def winnowFingerprints(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), posexplode(graft.functions.ArrayExprs
+        .windowHashes(split(col("text"), " "), 4)).as(Seq("p", "h")))
+    val wWin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)
+    hashed.select(col("doc_id"), min("h").over(wWin).as("fp")).distinct()
+  }
+
+  /** q295's candidate-pair assembly over [[winnowFingerprints]]. */
+  def winnowPairs(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val dup = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2 && col("ndocs") <= 50).select("fp")
+    val fd = fps.join(dup, "fp")
+    fd.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
+        "doc_a")
+      .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        (col("n_shared").cast("double") /
+          (col("n_fp_a") + col("n_fp_b") - col("n_shared")).cast("double"))
+          .as("jaccard_est"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Exact dedup: group on a 128-bit content hash --------------------
@@ -2426,34 +2461,8 @@ object Dedup {
     // stream, one fp-keyed shuffle, bucket joins AQE-splittable; the
     // three fp-set consumers share one exchange via ReuseExchange —
     // nothing corpus-sized is pinned.
-    QueryDef("q295_winnow_fingerprints", (s, d) => {
-      val hashed = t(s, d, "documents")
-        .select(col("doc_id"), posexplode(graft.functions.ArrayExprs
-          .windowHashes(split(col("text"), " "), 4)).as(Seq("p", "h")))
-      val wWin = Window.partitionBy("doc_id").orderBy("p").rowsBetween(-7, 0)
-      val fps = hashed
-        .select(col("doc_id"), min("h").over(wWin).as("fp")).distinct()
-      val nf = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
-      val dup = fps.groupBy("fp").agg(count(lit(1)).as("ndocs"))
-        .filter(col("ndocs") >= 2 && col("ndocs") <= 50).select("fp")
-      val fd = fps.join(dup, "fp")
-      val pairs = fd.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-      pairs
-        .join(nf.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")),
-          "doc_a")
-        .join(nf.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")),
-          "doc_b")
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          col("n_fp_a"), col("n_fp_b"),
-          (col("n_shared").cast("double") /
-            (col("n_fp_a") + col("n_fp_b") - col("n_shared")).cast("double"))
-            .as("jaccard_est"))
-        .orderBy("doc_a", "doc_b")
-    },
+    QueryDef("q295_winnow_fingerprints", (s, d) =>
+      winnowPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
       Some("""WITH t AS (
              |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
              |w0 AS (

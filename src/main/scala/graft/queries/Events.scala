@@ -3146,5 +3146,125 @@ object Events {
              |FROM sz sa JOIN sz sb ON sb.day = sa.day + 1
              |LEFT JOIN ov ON ov.day_a = sa.day
              |ORDER BY day_a""".stripMargin)),
+
+    // ---- Markov transition matrix + stationary distribution --------------
+    // The behavioral-model summary of the event stream: per-user
+    // consecutive event-type transitions build the empirical Markov
+    // matrix, and the long-run state occupancy is the stationary
+    // distribution of the 0.85-damped chain — computed by 7 unrolled
+    // power iterations in FIXED-POINT int64 (q161's PPR arithmetic on
+    // the TYPE graph instead of the kNN graph: R = 1e9 mass units,
+    // per-edge flow = (mass * 85 * c) div (100 * rowtot), floor
+    // division, every intermediate exact — overflow-safe to ~1e9
+    // transitions per matrix cell). The output compares pi against the
+    // EMPIRICAL in-share per state (for a long irreducible chain the
+    // two converge; teleportation and finite length keep them
+    // deliberately distinct here) and carries |p7 - p6| as the
+    // convergence attestation. Scale shape: ONE corpus pass (the
+    // user-partitioned lag window) builds the states^2-bounded matrix;
+    // every iteration is a join over that tiny broadcastable table —
+    // the 1-row/states-row crosses are the allowlisted q76 class.
+    QueryDef("q297_markov_stationary", (s, d) => {
+      val R = 1000000000L
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"), col("event_type").as("cur"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+      val tr = e.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+      val rt = tr.groupBy("prev").agg(sum("c").as("tot"))
+      val trans = tr.join(rt, "prev").localCheckpoint() // states^2 rows
+      val st = trans.select(col("prev").as("state"))
+        .union(trans.select(col("cur"))).distinct()
+      val nS = st.agg(count(lit(1)).as("n"))
+      val base = st.crossJoin(broadcast(nS))
+        .select(col("state"), expr(s"${R}L div n").as("m0"),
+          expr(s"(${R}L * 15) div (100 * n)").as("tele"))
+        .localCheckpoint() // states rows; anchors every iteration
+      // renamed copy for the iteration joins: p derives from trans (via
+      // st/base), so joining p back against trans's own column names
+      // trips the ambiguous-self-join check
+      val tre = trans.select(col("prev").as("t_prev"),
+        col("cur").as("t_cur"), col("c"), col("tot"))
+      var p = base.select(col("state"), col("m0").as("val"))
+      var prev = p
+      for (_ <- 1 to 7) {
+        prev = p
+        val flows = p.join(tre, col("state") === col("t_prev"))
+          .groupBy(col("t_cur").as("state"))
+          .agg(sum(expr("(val * 85 * c) div (100 * tot)")).as("fv"))
+        p = base.join(flows, Seq("state"), "left")
+          .select(col("state"),
+            (coalesce(col("fv"), lit(0L)) + col("tele")).as("val"))
+      }
+      val emp = trans.groupBy(col("cur").as("state"))
+        .agg(sum("c").as("n_in"))
+      val tt = trans.agg(sum("c").as("t_total"))
+      base.select("state")
+        .join(emp, Seq("state"), "left")
+        .join(p.select(col("state"), col("val").as("pi_scaled")), "state")
+        .join(prev.select(col("state"), col("val").as("pv")), "state")
+        .crossJoin(broadcast(tt))
+        .select(col("state"), coalesce(col("n_in"), lit(0L)).as("n_in"),
+          (coalesce(col("n_in"), lit(0L)).cast("double") /
+            col("t_total").cast("double")).as("emp_share"),
+          col("pi_scaled"),
+          (col("pi_scaled").cast("double") / lit(1.0e9)).as("pi"),
+          abs(col("pi_scaled") - col("pv")).as("delta_scaled"))
+        .orderBy("state")
+    },
+      Some {
+        def iter(prevT: String, f: String, next: String) =
+          s"""$f AS MATERIALIZED (
+             |  SELECT t.cur AS state,
+             |    CAST(sum((p.val * 85 * t.c) // (100 * t.tot)) AS BIGINT)
+             |      AS fv
+             |  FROM $prevT p JOIN trans t ON p.state = t.prev
+             |  GROUP BY 1),
+             |$next AS MATERIALIZED (
+             |  SELECT b.state, coalesce(f.fv, 0) + b.tele AS val
+             |  FROM base b LEFT JOIN $f f USING (state))""".stripMargin
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT user_id, event_type AS cur,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+           |  FROM events WHERE ts IS NOT NULL),
+           |tr AS MATERIALIZED (
+           |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+           |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |rt AS (SELECT prev, CAST(sum(c) AS BIGINT) AS tot
+           |       FROM tr GROUP BY 1),
+           |trans AS MATERIALIZED (
+           |  SELECT tr.prev, tr.cur, tr.c, rt.tot FROM tr JOIN rt USING (prev)),
+           |st AS (SELECT prev AS state FROM trans
+           |       UNION SELECT cur FROM trans),
+           |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM st),
+           |base AS MATERIALIZED (
+           |  SELECT state, CAST(1000000000 AS BIGINT) // n AS m0,
+           |    (CAST(1000000000 AS BIGINT) * 15) // (100 * n) AS tele
+           |  FROM st CROSS JOIN ns),
+           |p0 AS (SELECT state, m0 AS val FROM base),
+           |${iter("p0", "f1", "p1")},
+           |${iter("p1", "f2", "p2")},
+           |${iter("p2", "f3", "p3")},
+           |${iter("p3", "f4", "p4")},
+           |${iter("p4", "f5", "p5")},
+           |${iter("p5", "f6", "p6")},
+           |${iter("p6", "f7", "p7")},
+           |emp AS (SELECT cur AS state, CAST(sum(c) AS BIGINT) AS n_in
+           |        FROM trans GROUP BY 1),
+           |tt AS (SELECT CAST(sum(c) AS BIGINT) AS t_total FROM trans)
+           |SELECT b.state, coalesce(e.n_in, 0) AS n_in,
+           |  CAST(coalesce(e.n_in, 0) AS DOUBLE) / CAST(t_total AS DOUBLE)
+           |    AS emp_share,
+           |  p7.val AS pi_scaled,
+           |  CAST(p7.val AS DOUBLE) / 1e9 AS pi,
+           |  abs(p7.val - p6.val) AS delta_scaled
+           |FROM base b
+           |LEFT JOIN emp e USING (state)
+           |JOIN p7 USING (state) JOIN p6 USING (state)
+           |CROSS JOIN tt
+           |ORDER BY b.state""".stripMargin
+      }),
   )
 }

@@ -73,6 +73,10 @@ object Sketches {
     * reference would interpolate 0.0 into the oracle. */
   private val kmvNum: Double = 63.0 * (4294967291L << 31).toDouble
 
+  /** q296's variant of [[kmvNum]] for sketches over the Lehmer-mixed
+    * [0, M) domain (M = 2^31 - 1). */
+  private val kmvNumM: Double = 63.0 * 2147483647.0
+
   /** q268's per-hash-function XOR salts (see the posOf note there):
     * arbitrary fixed 62-bit constants, index 0 the identity. */
   private[queries] val bloomSalts: Seq[Long] =
@@ -1448,5 +1452,94 @@ object Sketches {
            |FROM exacts e JOIN ests USING (join_name)
            |ORDER BY join_name""".stripMargin
       }),
+
+    // ---- Superspreader detection (per-key KMV distinct estimation) -------
+    // The heavy-DISTINCT-hitter problem: q146's CMS finds keys with many
+    // ROWS; a superspreader is a key touching many DISTINCT values
+    // (customers ordering across the whole catalog = the mirror of
+    // network scan detection). Exact per-key COUNT(DISTINCT) at 100 TB
+    // is a full (key, value)-distinct shuffle; the KMV sketch caps
+    // per-key state at k=64 hashes via the partial-aggregable
+    // BottomKLongAgg (the q234 machinery, pointed at a GROUPED distinct
+    // estimate): est = (k-1)*M/h_k, sigma ~ 1/sqrt(k-2) ~ 13%. Keys
+    // below k sit in the exact regime (the sketch IS the value set).
+    // Hash domain: the raw 62-bit polynomial hash of a SHORT digit
+    // string concentrates near the bottom of its domain (h131 << p for
+    // few characters — measured 26x overestimates), so the sketch runs
+    // on the Lehmer-mixed [0, M) image (the q268 Bloom-position
+    // pattern, whose measured-FPR law validated its uniformity).
+    // Output: top-20 customers by exact distinct-part count with the
+    // sketch estimate and an in-query attestation (|err| <= 3 sigma =
+    // 0.4) — both engines derive every value from the same 62-bit
+    // hashes, so estimate, error, and attestation all hash-match.
+    // Scale: ONE distinct shuffle on (cust, part) feeds both the exact
+    // verification and the sketch (ReuseExchange); production keeps
+    // only the O(k)-per-key sketch pass.
+    QueryDef("q296_superspreaders", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val cp = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("cust"),
+          col("l_partkey").cast("long").as("pk")).distinct()
+      val exact = cp.groupBy("cust").agg(count(lit(1)).as("exact_parts"))
+      val hashed = cp
+        .select(col("cust"), Sampling.lehmer(
+          element_at(graft.functions.ArrayExprs
+            .windowHashes(array(col("pk").cast("string")), 1), 1)).as("h"))
+        .distinct() // hash collisions merge — exactly what the sketch sees
+      val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
+      val sk = hashed.as[(Long, Long)].groupByKey(_._1)
+        .mapValues(r => (r._2, r._2))
+        .agg(bottomk.name("kp"))
+        .toDF("cust", "kp")
+        .select(col("cust"),
+          transform(col("kp"), p => p.getField("_1")).as("ks"))
+      val est = when(size(col("ks")) < 64, size(col("ks")).cast("double"))
+        .otherwise(lit(kmvNumM) / element_at(col("ks"), 64).cast("double"))
+      exact.join(sk, "cust")
+        .select(col("cust").as("custkey"), col("exact_parts"),
+          est.as("kmv_est"))
+        .withColumn("rel_err",
+          abs(col("kmv_est") - col("exact_parts").cast("double"))
+            / col("exact_parts").cast("double"))
+        .withColumn("within_bounds", col("rel_err") <= 0.4)
+        .orderBy(col("exact_parts").desc, col("custkey")).limit(20)
+    },
+      Some(s"""WITH cp AS MATERIALIZED (
+             |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+             |    CAST(l_partkey AS BIGINT) AS pk
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |ex AS (
+             |  SELECT cust, CAST(count(*) AS BIGINT) AS exact_parts
+             |  FROM cp GROUP BY cust),
+             |h0 AS (
+             |  SELECT cust,
+             |    ${Dedup.sqlStringHash62("CAST(pk AS VARCHAR)")} AS h0
+             |  FROM cp),
+             |dh AS MATERIALIZED (
+             |  SELECT DISTINCT cust, ${Sampling.sqlLehmerOf("h0")} AS h
+             |  FROM h0),
+             |r AS (
+             |  SELECT cust, h,
+             |    row_number() OVER (PARTITION BY cust ORDER BY h) AS i
+             |  FROM dh),
+             |sk AS (
+             |  SELECT cust, CAST(count(*) AS BIGINT) AS nh,
+             |    max(CASE WHEN i = 64 THEN h END) AS h64
+             |  FROM r WHERE i <= 64 GROUP BY cust),
+             |est AS (
+             |  SELECT ex.cust, exact_parts,
+             |    CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+             |         ELSE $kmvNumM / CAST(h64 AS DOUBLE) END AS kmv_est
+             |  FROM ex JOIN sk ON ex.cust = sk.cust)
+             |SELECT cust AS custkey, exact_parts, kmv_est,
+             |  abs(kmv_est - CAST(exact_parts AS DOUBLE))
+             |    / CAST(exact_parts AS DOUBLE) AS rel_err,
+             |  abs(kmv_est - CAST(exact_parts AS DOUBLE))
+             |    / CAST(exact_parts AS DOUBLE) <= 0.4 AS within_bounds
+             |FROM est
+             |ORDER BY exact_parts DESC, custkey LIMIT 20""".stripMargin)),
   )
 }

@@ -2305,7 +2305,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q286_target_encoding", // one-row global-prior cross join (q76's class)
       "q288_prefix_cache_savings", // one-row corpus-token-total cross (q76's class)
       "q290_split_balance", // one-row per-side-total crosses (q239/q76's class)
-      "q292_nprobe_sweep") // q49's fixed 64-row centroid broadcast + q48 anchors
+      "q292_nprobe_sweep", // q49's fixed 64-row centroid broadcast + q48 anchors
+      "q297_markov_stationary") // one-row state-count/transition-total crosses (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

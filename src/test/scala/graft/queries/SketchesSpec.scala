@@ -129,4 +129,33 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
     assert(d("fpr_measured") <= 3.0 * d("fpr_independence") + slack,
       s"measured ${d("fpr_measured")} vs model ${d("fpr_independence")}")
   }
+
+  test("q293: the CMS inner product one-sidedly overestimates the join size") {
+    val rows = SparkEntry.queries("q293_cms_join_size")(spark, sfDir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      // CMS counters only ever ADD colliding mass — the estimate can
+      // never undershoot (the property that makes it a safe planner
+      // bound), and the w=4096 slack stays under ||a||1*||b||1/w * 3
+      assert(r.getAs[Long]("overestimate") >= 0L)
+      assert(r.getAs[Long]("exact_pairs") > 0L)
+      assert(r.getAs[Long]("cms_pairs") >= r.getAs[Long]("exact_pairs"))
+    }
+  }
+
+  test("q296: exact regime is bit-exact; estimation regime is attested") {
+    val rows = SparkEntry.queries("q296_superspreaders")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_parts")
+      val est = r.getAs[Double]("kmv_est")
+      if (exact < 64L)
+        // below k the sketch IS the distinct hash set — est is exact
+        // (up to 31-bit hash collisions, absent at this scale)
+        assert(est == exact.toDouble, s"cust ${r.getAs[Long]("custkey")}")
+      assert(r.getAs[Boolean]("within_bounds"),
+        s"cust ${r.getAs[Long]("custkey")}: est $est vs exact $exact")
+    }
+  }
 }

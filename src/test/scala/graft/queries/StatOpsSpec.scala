@@ -583,4 +583,85 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Double]("mean_rank") >= 1.0)
     }
   }
+
+  test("q294: Spearman separates the monotone pair from the independent ones") {
+    val rows = SparkEntry.queries("q294_spearman")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val byPair = rows.map(r =>
+      r.getAs[String]("pair") -> r.getAs[Double]("rho")).toMap
+    // netprice = price * (100 - discount) is near-perfectly rank-
+    // concordant with price (discount shifts < 1 rank-decile)
+    assert(byPair("price_netprice") > 0.99, byPair("price_netprice"))
+    // the generator's base columns are independent: |rho| ~ O(1/sqrt(n))
+    for (p <- Seq("quantity_price", "quantity_discount", "price_discount"))
+      assert(math.abs(byPair(p)) < 0.15, s"$p: ${byPair(p)}")
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("rho")) <= 1.0))
+  }
+
+  test("q294: chunked two-phase ranks equal a direct single-window recount") {
+    // independent recomputation of one pair's rho through Spark's own
+    // corr() over flat-window twice-ranks — same value to double ulp
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val base = Tables.load(spark, sfDir, "lineitem").select(
+      col("l_quantity").cast("long").as("v1"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+        .as("v2"))
+    def t2(c: String) = {
+      val dist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(Window.orderBy(c)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col(c), (lit(2) * col("cum") - col("cnt") + lit(1))
+          .as(s"t_$c"))
+      dist
+    }
+    val ranked = base.join(t2("v1"), Seq("v1")).join(t2("v2"), Seq("v2"))
+    val direct = ranked.agg(corr(col("t_v1").cast("double"),
+      col("t_v2").cast("double"))).collect().head.getDouble(0)
+    val rho = SparkEntry.queries("q294_spearman")(spark, sfDir).collect()
+      .find(_.getAs[String]("pair") == "quantity_price").get
+      .getAs[Double]("rho")
+    assert(math.abs(rho - direct) < 1e-9, s"$rho vs $direct")
+  }
+
+  test("q295: winnowing guarantees a shared fingerprint for a >= 11-token run") {
+    import spark.implicits._
+    def words(pfx: String, n: Int) = (0 until n).map(i => s"$pfx$i")
+    val shared = words("s", 40) // 40-token pasted paragraph
+    val docA = (words("a", 30) ++ shared ++ words("x", 25)).mkString(" ")
+    val docB = (words("b", 50) ++ shared ++ words("y", 15)).mkString(" ")
+    val docC = words("c", 60).mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB), (3L, docC)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getAs[Long]("doc_a") == 1L &&
+      pairs.head.getAs[Long]("doc_b") == 2L)
+    // windows fully inside the 37 shared k-gram positions select the
+    // same minima: ~(37-7)/8 >= 3 guaranteed shared fingerprints
+    assert(pairs.head.getAs[Long]("n_shared") >= 3)
+    // density: the per-doc sketch is a fraction of the q78 full stream
+    val fps = Dedup.winnowFingerprints(docs)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    // expected density 2/(w+1) of ~92 windows; allow wide slack
+    assert(fps(1L) <= 50 && fps(1L) >= 10)
+  }
+
+  test("q297: stationary distribution conserves mass and converges") {
+    val rows = SparkEntry.queries("q297_markov_stationary")(spark, sfDir)
+      .collect()
+    assert(rows.length >= 2)
+    val R = 1000000000L
+    val tot = rows.map(_.getAs[Long]("pi_scaled")).sum
+    // floor-division losses only: mass never exceeds R and the damped
+    // fixed point sits within a bounded slice below it
+    assert(tot <= R && tot >= R - 10000L, tot)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("pi_scaled") > 0L)
+      // converged: successive iterations differ by < 1e-5 of the mass
+      assert(r.getAs[Long]("delta_scaled") < 10000L)
+    }
+    val empSum = rows.map(_.getAs[Double]("emp_share")).sum
+    assert(math.abs(empSum - 1.0) < 1e-9)
+  }
 }
