@@ -3266,5 +3266,192 @@ object Events {
            |CROSS JOIN tt
            |ORDER BY b.state""".stripMargin
       }),
+
+    // ---- CUPED variance reduction for the A/B readout ---------------------
+    // Deng et al. (WSDM'13): adjust each user's experiment-period
+    // metric Y by their PRE-period covariate X — Y' = Y - theta(X - Xbar)
+    // with theta = cov(X,Y)/var(X) — and the arm comparison's variance
+    // drops by corr(X,Y)^2 (for per-user event counts, typically the
+    // single biggest sensitivity win an experimentation pipeline has).
+    // Day split: first half of the observed day range is the
+    // pre-period; arms are the rerun-invariant Lehmer split (q56).
+    // Everything derives from int64 moment sums combined in scalar
+    // double arithmetic (the q222 rule): per-user counts -> pooled
+    // theta -> per-arm adjusted means — NO per-row double aggregation
+    // anywhere, so the oracle hash-matches bit for bit and the plan
+    // has no ordering-sensitive float reduction at any scale. The
+    // 1-row day-range/moment crosses are the allowlisted q76 class.
+    QueryDef("q299_cuped", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val dr = ev.agg(min("day").as("d0"), max("day").as("d1"))
+        .select(expr("(d0 + d1 + 1) div 2").as("dmid"))
+      val ux = ev.crossJoin(broadcast(dr))
+        .groupBy("user_id")
+        .agg(sum(when(col("day") < col("dmid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("day") >= col("dmid"), 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", Sampling.lehmer(col("user_id")) % 2)
+      val pooled = ux.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val arms = ux.groupBy("arm").agg(count(lit(1)).as("n_users"),
+        sum("x").as("ax"), sum("y").as("ay"))
+      def dd(c: String) = col(c).cast("double")
+      val varX = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+      val covXY = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+      val varY = dd("n") * dd("syy") - dd("sy") * dd("sy")
+      arms.crossJoin(broadcast(pooled))
+        .withColumn("theta", covXY / varX)
+        .withColumn("xbar", dd("sx") / dd("n"))
+        .select(col("arm"), col("n_users"),
+          (dd("ax") / dd("n_users")).as("mean_pre"),
+          (dd("ay") / dd("n_users")).as("mean_post"),
+          (dd("ay") / dd("n_users")
+            - col("theta") * (dd("ax") / dd("n_users") - col("xbar")))
+            .as("mean_adjusted"),
+          col("theta"),
+          ((covXY / varX) * (covXY / varY)).as("var_reduction"))
+        .orderBy("arm")
+    },
+      Some {
+        val varX = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        val covXY = "CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        val varY = "CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        s"""WITH ev AS MATERIALIZED (
+           |  SELECT user_id,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+           |  FROM events WHERE ts IS NOT NULL),
+           |dr AS (SELECT (min(day) + max(day) + 1) // 2 AS dmid FROM ev),
+           |ux AS MATERIALIZED (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN day < dmid THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS x,
+           |    CAST(sum(CASE WHEN day >= dmid THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS y,
+           |    ${Sampling.sqlLehmerOf("user_id")} % 2 AS arm
+           |  FROM ev CROSS JOIN dr GROUP BY user_id),
+           |pooled AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(y * y) AS BIGINT) AS syy
+           |  FROM ux),
+           |arms AS (
+           |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+           |    CAST(sum(x) AS BIGINT) AS ax, CAST(sum(y) AS BIGINT) AS ay
+           |  FROM ux GROUP BY arm)
+           |SELECT arm, n_users,
+           |  CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_pre,
+           |  CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_post,
+           |  CAST(ay AS DOUBLE) / CAST(n_users AS DOUBLE)
+           |    - (($covXY) / ($varX))
+           |      * (CAST(ax AS DOUBLE) / CAST(n_users AS DOUBLE)
+           |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           |    AS mean_adjusted,
+           |  ($covXY) / ($varX) AS theta,
+           |  (($covXY) / ($varX)) * (($covXY) / ($varY)) AS var_reduction
+           |FROM arms CROSS JOIN pooled
+           |ORDER BY arm""".stripMargin
+      }),
+
+    // ---- Mann-Whitney U test (tie-corrected, distributed) ----------------
+    // The nonparametric two-sample test the stats family still lacked
+    // (q287 compares counts, q290 compares CDFs; this tests LOCATION
+    // without a normality assumption): does the purchase-event value
+    // distribution stochastically dominate the click distribution?
+    // Ranks over the POOLED value distribution use q294's machinery —
+    // twice-average-ranks from a chunked cumulative over the
+    // distinct-value table, never a corpus-wide window. The tie
+    // correction needs only sum(c^3 - c) over tie-group sizes (a
+    // distribution-table aggregate). Exact int64 carriers: 2*ranksum,
+    // 2U = 2R - n_a(n_a+1); z and AUC combine the scalars in double
+    // (sqrt is bit-stable). Overflow: sum(t) <= n*2n and
+    // sum(c^3) <= n^3 — exact past 1e6 rows, same envelope as q294.
+    QueryDef("q300_mann_whitney", (s, d) => {
+      val base = t(s, d, "events")
+        .filter(col("event_type").isin("purchase", "click") &&
+          col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+      val dist = base.groupBy("v").agg(count(lit(1)).as("cnt"))
+        .withColumn("chunk", expr("v div 16384"))
+      val wLoc = Window.partitionBy("chunk").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("chunk").agg(sum("cnt").as("tot")), "chunk", "tot")
+      val ranks = dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("chunk"))
+        .select(col("v"),
+          (lit(2) * (col("lc") + col("off")) - col("cnt") + lit(1)).as("t2"),
+          col("cnt"))
+      val ties = ranks
+        .agg(sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+          .as("tie3"))
+      val g = base.join(ranks.select("v", "t2"), "v")
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("t2").as("st2"))
+      val a = g.filter(col("grp") === "purchase")
+        .select(col("n").as("n_a"), col("st2").as("st2_a"))
+      val b = g.filter(col("grp") === "click")
+        .select(col("n").as("n_b"), col("st2").as("st2_b"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(ties))
+        .withColumn("u2_a", col("st2_a") - col("n_a") * (col("n_a") + 1))
+        .withColumn("u2_b", col("st2_b") - col("n_b") * (col("n_b") + 1))
+        .withColumn("nn", col("n_a") + col("n_b"))
+        .withColumn("var_u",
+          dd(col("n_a")) * dd(col("n_b")) / 12.0
+            * (dd(col("nn")) + 1.0
+              - dd(col("tie3")) / (dd(col("nn")) * (dd(col("nn")) - 1.0))))
+        .select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+          (dd(col("u2_a")) / 2.0 / (dd(col("n_a")) * dd(col("n_b"))))
+            .as("auc"),
+          ((dd(col("u2_a")) / 2.0 - dd(col("n_a")) * dd(col("n_b")) / 2.0)
+            / sqrt(col("var_u"))).as("z"))
+    },
+      Some(s"""WITH base AS MATERIALIZED (
+             |  SELECT event_type AS grp,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+             |  FROM events WHERE event_type IN ('purchase', 'click')
+             |    AND value IS NOT NULL),
+             |dist AS MATERIALIZED (
+             |  SELECT v, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM base GROUP BY v),
+             |ranks AS MATERIALIZED (
+             |  SELECT v, 2 * sum(cnt) OVER (ORDER BY v) - cnt + 1 AS t2,
+             |    cnt
+             |  FROM dist),
+             |ties AS (
+             |  SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
+             |  FROM ranks),
+             |g AS (
+             |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(t2) AS BIGINT) AS st2
+             |  FROM base JOIN ranks USING (v) GROUP BY grp),
+             |ab AS (
+             |  SELECT
+             |    (SELECT n FROM g WHERE grp = 'purchase') AS n_a,
+             |    (SELECT st2 FROM g WHERE grp = 'purchase') AS st2_a,
+             |    (SELECT n FROM g WHERE grp = 'click') AS n_b,
+             |    (SELECT st2 FROM g WHERE grp = 'click') AS st2_b),
+             |uu AS (
+             |  SELECT n_a, n_b,
+             |    st2_a - n_a * (n_a + 1) AS u2_a,
+             |    st2_b - n_b * (n_b + 1) AS u2_b,
+             |    n_a + n_b AS nn, tie3
+             |  FROM ab CROSS JOIN ties)
+             |SELECT n_a, n_b, u2_a, u2_b,
+             |  CAST(u2_a AS DOUBLE) / 2 / (CAST(n_a AS DOUBLE)
+             |    * CAST(n_b AS DOUBLE)) AS auc,
+             |  (CAST(u2_a AS DOUBLE) / 2
+             |    - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+             |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+             |    * (CAST(nn AS DOUBLE) + 1.0
+             |       - CAST(tie3 AS DOUBLE)
+             |         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
+             |    AS z
+             |FROM uu""".stripMargin)),
   )
 }

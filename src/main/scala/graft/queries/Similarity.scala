@@ -3593,5 +3593,109 @@ object Similarity {
              |  CAST(tsum AS DOUBLE) / CAST(4 * m * m AS DOUBLE) AS q_global
              |FROM terms CROSS JOIN qq
              |ORDER BY label""".stripMargin)),
+
+    // ---- SQ8 scalar quantization: build + recall attestation -------------
+    // The 8x-compression tier below PQ (q150-q152): per-dimension
+    // [min, max] over the corpus, each coordinate mapped to an int8
+    // code (x - mn) * 255 div (mx - mn) - 128 — ALL floor-division
+    // integer arithmetic on the shared 1e7 grid, so codes, distances,
+    // and recall hash-match the oracle bit for bit (no dequantization
+    // doubles anywhere). Top-10 by code-space L2 vs exact grid L2 =
+    // the recall price of 8 bits/dim, the number that decides whether
+    // the 100 TB ANN index stores 64 B or 512 B per vector. Scale
+    // shape: the range table is one 64-row aggregate broadcast to the
+    // coder (the q49 centroid class); candidate scoring reuses the
+    // bounded-anchor broadcast contract (8 anchors), and the code-side
+    // dot stays int64-exact (<= 64 * 128^2).
+    QueryDef("q298_sq8_recall", (s, d) => {
+      val e = quantized(s, d)
+      val rng = e.select(posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+      val ranges = rng
+        .agg(collect_list(struct(col("dim"), col("mn"), col("mx"))).as("ps"))
+        .select(
+          transform(array_sort(col("ps")), p => p.getField("mn")).as("mns"),
+          transform(array_sort(col("ps")), p => p.getField("mx")).as("mxs"))
+      val coded = e.crossJoin(broadcast(ranges))
+        .withColumn("cq", expr("transform(sequence(0, size(qv) - 1)," +
+          " i -> (qv[i] - mns[i]) * 255 div greatest(mxs[i] - mns[i], 1)" +
+          " - 128)"))
+        .select(col("vec_id"), col("cq"))
+        .withColumn("c2", dot(col("cq"), col("cq")))
+      val anchors = e.filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+          col("n2").as("na"))
+      val corpus = e.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+        col("n2").as("nb"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("d2").asc, col("n_id").asc)
+      val exact = broadcast(anchors).join(corpus, col("q_id") =!= col("n_id"))
+        .withColumn("d2",
+          col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("n_id"))
+      val cAnchors = coded.filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"), col("cq").as("qa"),
+          col("c2").as("na"))
+      val cCorpus = coded.select(col("vec_id").as("n_id"),
+        col("cq").as("qb"), col("c2").as("nb"))
+      val approx = broadcast(cAnchors)
+        .join(cCorpus, col("q_id") =!= col("n_id"))
+        .withColumn("d2",
+          col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("q_id"), col("n_id"))
+      val hits = exact.join(approx, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      e.filter(col("vec_id") < pqAnchors).select(col("vec_id").as("q_id"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |nn AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |rng AS MATERIALIZED (
+             |  SELECT r.i AS dim, min(qv[r.i]) AS mn, max(qv[r.i]) AS mx
+             |  FROM q, range(1, 65) r(i) GROUP BY r.i),
+             |rl AS (
+             |  SELECT list(mn ORDER BY dim) AS mns,
+             |    list(mx ORDER BY dim) AS mxs FROM rng),
+             |cd AS MATERIALIZED (
+             |  SELECT vec_id,
+             |    list_transform(range(1, 65),
+             |      i -> (qv[i] - mns[i]) * 255 // greatest(mxs[i] - mns[i], 1)
+             |        - 128) AS cq
+             |  FROM q CROSS JOIN rl),
+             |cn AS MATERIALIZED (
+             |  SELECT vec_id, cq, ${sqlDot("cq", "cq")} AS c2 FROM cd),
+             |ex AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY (a.n2 + b.n2 - 2 * ${sqlDot("a.qv", "b.qv")})
+             |          ASC, b.vec_id ASC) AS rn
+             |    FROM nn a JOIN nn b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < $pqAnchors)
+             |  WHERE rn <= 10),
+             |ap AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY (a.c2 + b.c2 - 2 * ${sqlDot("a.cq", "b.cq")})
+             |          ASC, b.vec_id ASC) AS rn
+             |    FROM cn a JOIN cn b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < $pqAnchors)
+             |  WHERE rn <= 10)
+             |SELECT e.q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+             |  CAST(count(a.n_id) AS DOUBLE) / 10 AS recall_at_10
+             |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.n_id = a.n_id
+             |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
   )
 }

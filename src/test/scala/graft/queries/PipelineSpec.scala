@@ -2306,7 +2306,10 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q288_prefix_cache_savings", // one-row corpus-token-total cross (q76's class)
       "q290_split_balance", // one-row per-side-total crosses (q239/q76's class)
       "q292_nprobe_sweep", // q49's fixed 64-row centroid broadcast + q48 anchors
-      "q297_markov_stationary") // one-row state-count/transition-total crosses (q76's class)
+      "q297_markov_stationary", // one-row state-count/transition-total crosses (q76's class)
+      "q298_sq8_recall", // q48's bounded 8-anchor broadcasts + one-row range-table cross
+      "q299_cuped", // one-row day-range/pooled-moment crosses (q76's class)
+      "q300_mann_whitney") // one-row per-group/tie-sum scalar crosses (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

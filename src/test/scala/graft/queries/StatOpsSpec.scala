@@ -664,4 +664,49 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     val empSum = rows.map(_.getAs[Double]("emp_share")).sum
     assert(math.abs(empSum - 1.0) < 1e-9)
   }
+
+  test("q299: CUPED adjustment is pooled-mean-preserving and reduces variance") {
+    val rows = SparkEntry.queries("q299_cuped")(spark, sfDir).collect()
+    assert(rows.length == 2)
+    val vr = rows.head.getAs[Double]("var_reduction")
+    // var_reduction = corr(X,Y)^2 — bounded by construction; both arms
+    // report the same pooled statistic
+    assert(vr >= 0.0 && vr <= 1.0)
+    assert(rows.forall(_.getAs[Double]("var_reduction") == vr))
+    val theta = rows.head.getAs[Double]("theta")
+    assert(rows.forall(_.getAs[Double]("theta") == theta))
+    // CUPED is mean-preserving over the POOLED population: the
+    // n-weighted average of adjusted means equals that of raw means
+    def wavg(c: String) = rows.map(r =>
+      r.getAs[Double](c) * r.getAs[Long]("n_users")).sum /
+      rows.map(_.getAs[Long]("n_users")).sum
+    assert(math.abs(wavg("mean_adjusted") - wavg("mean_post")) < 1e-9)
+  }
+
+  test("q300: U statistics satisfy the exact complementarity identity") {
+    val r = SparkEntry.queries("q300_mann_whitney")(spark, sfDir)
+      .collect().head
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    // U_A + U_B = n_A * n_B exactly (in doubled-integer carriers) —
+    // the rank-sum partition of all A-B comparisons, exact under ties
+    assert(r.getAs[Long]("u2_a") + r.getAs[Long]("u2_b") == 2L * na * nb)
+    val auc = r.getAs[Double]("auc")
+    assert(auc >= 0.0 && auc <= 1.0)
+    // AUC is U_A/(n_A n_B) by definition
+    assert(math.abs(auc - r.getAs[Long]("u2_a").toDouble / 2 / na / nb)
+      < 1e-12)
+  }
+
+  test("q298: SQ8 codes cover the int8 range and recall clears the floor") {
+    val rows = SparkEntry.queries("q298_sq8_recall")(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val mean = rows.map(_.getAs[Double]("recall_at_10")).sum / rows.length
+    // sf0.001 measured 0.86+ mean recall at sf0.01; pin a generous
+    // floor — a code-mapping regression (wrong shift, clipped range)
+    // collapses recall to ~0.1, far below this
+    assert(mean >= 0.5, s"mean recall $mean")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") >= 0L && r.getAs[Long]("n_hits") <= 10L)
+    }
+  }
 }
