@@ -1609,5 +1609,80 @@ object Relational {
            |  $arms)
            |ORDER BY pair""".stripMargin
       }),
+
+    // ---- Functional-dependency profiling (cross-column determinancy) -----
+    // The catalog statistic q160/q222/q294 still miss: does column A
+    // (nearly) DETERMINE column B? strength = sum_a max_b c(a,b) / n —
+    // the fraction of rows whose B is the majority value of their A
+    // group (1.0 = exact FD; the Tane/Metanome g3-style measure). A
+    // 100 TB catalog uses it to pick clustered layouts (an FD means
+    // sorting by A co-sorts B), to validate assumed key constraints,
+    // and to flag denormalization drift. Six candidate pairs spanning
+    // exact FDs (a key determines its row), strong near-FDs, and
+    // independent pairs. Scale shape per pair: one (a,b) count shuffle
+    // + one (a) rollup carrying (max, sum, count) — everything int64
+    // until the final division; no broadcast, no window, no cross.
+    QueryDef("q302_fd_profile", (s, d) => {
+      def fd(name: String, df: org.apache.spark.sql.DataFrame,
+          a: String, b: String) =
+        df.select(col(a).as("a"), col(b).as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("c"))
+          .groupBy("a").agg(max("c").as("mx"), sum("c").as("sc"),
+            count(lit(1)).as("nb"))
+          .agg(sum("mx").as("hits"), sum("sc").as("n"),
+            count(lit(1)).as("n_det"), sum("nb").as("n_pairs"))
+          .select(lit(name).as("pair"), col("n"), col("n_det"),
+            col("n_pairs"), col("hits"),
+            (col("hits").cast("double") / col("n").cast("double"))
+              .as("strength"),
+            (col("hits") === col("n")).as("is_exact_fd"))
+      val li = t(s, d, "lineitem")
+      val oo = t(s, d, "orders")
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      fd("orders: o_orderkey -> o_custkey", oo, "o_orderkey", "o_custkey")
+        .unionAll(fd("lineitem: l_orderkey -> l_returnflag", li,
+          "l_orderkey", "l_returnflag"))
+        .unionAll(fd("lineitem: l_partkey -> l_suppkey", li,
+          "l_partkey", "l_suppkey"))
+        .unionAll(fd("lineitem: l_suppkey -> l_partkey", li,
+          "l_suppkey", "l_partkey"))
+        .unionAll(fd("events: user_id -> event_type", ev,
+          "user_id", "event_type"))
+        .unionAll(fd("orders: o_custkey -> o_orderpriority", oo,
+          "o_custkey", "o_orderpriority"))
+        .orderBy("pair")
+    },
+      Some {
+        def fd(name: String, src: String, a: String, b: String) =
+          s"""SELECT '$name' AS pair,
+             |  CAST(sum(sc) AS BIGINT) AS n,
+             |  CAST(count(*) AS BIGINT) AS n_det,
+             |  CAST(sum(nb) AS BIGINT) AS n_pairs,
+             |  CAST(sum(mx) AS BIGINT) AS hits,
+             |  CAST(sum(mx) AS DOUBLE) / CAST(sum(sc) AS DOUBLE)
+             |    AS strength,
+             |  sum(mx) = sum(sc) AS is_exact_fd
+             |FROM (
+             |  SELECT a, max(c) AS mx, sum(c) AS sc, count(*) AS nb FROM (
+             |    SELECT $a AS a, $b AS b, count(*) AS c FROM $src
+             |    GROUP BY 1, 2)
+             |  GROUP BY a)""".stripMargin
+        Seq(
+          fd("orders: o_orderkey -> o_custkey", "orders",
+            "o_orderkey", "o_custkey"),
+          fd("lineitem: l_orderkey -> l_returnflag", "lineitem",
+            "l_orderkey", "l_returnflag"),
+          fd("lineitem: l_partkey -> l_suppkey", "lineitem",
+            "l_partkey", "l_suppkey"),
+          fd("lineitem: l_suppkey -> l_partkey", "lineitem",
+            "l_suppkey", "l_partkey"),
+          fd("events: user_id -> event_type",
+            "(SELECT * FROM events WHERE ts IS NOT NULL)",
+            "user_id", "event_type"),
+          fd("orders: o_custkey -> o_orderpriority", "orders",
+            "o_custkey", "o_orderpriority"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) ORDER BY pair")
+      }),
   )
 }

@@ -3697,5 +3697,6 @@ object Similarity {
              |  CAST(count(a.n_id) AS DOUBLE) / 10 AS recall_at_10
              |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.n_id = a.n_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
+
   )
 }

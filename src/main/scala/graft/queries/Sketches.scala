@@ -1541,5 +1541,94 @@ object Sketches {
              |    / CAST(exact_parts AS DOUBLE) <= 0.4 AS within_bounds
              |FROM est
              |ORDER BY exact_parts DESC, custkey LIMIT 20""".stripMargin)),
+
+    // ---- CMS heavy-CHANGERS between two corpus halves --------------------
+    // Change detection, not heavy hitters (Cormode & Muthukrishnan
+    // §5.1): which tokens' counts moved most between two corpus slices
+    // — the drift question a crawl-over-crawl monitor asks. Production
+    // keeps one 4x4096 CMS PER SLICE (a few KB, mergeable, exchanged
+    // without shuffling tokens) and diffs the sketches; this query
+    // verifies that machinery end-to-end: top-20 movers by EXACT count
+    // change, each probed against both sketches, with the one-sided
+    // per-slice overestimate attested (the diff of two upper bounds is
+    // NOT one-sided — the per-half bounds are, and that is what the
+    // law pins). LEFT-join probes: a token absent from a slice may hit
+    // an all-empty bucket row. Every value derives from the shared
+    // 62-bit token hashes — fully hash-matchable.
+    QueryDef("q301_heavy_changers", (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(pmod(col("doc_id"), lit(2)).as("half"),
+          explode(split(col("text"), " ")).as("t"))
+      val cnt = toks.groupBy("half", "t").agg(count(lit(1)).as("n"))
+        .withColumn("h", element_at(graft.functions.ArrayExprs
+          .windowHashes(array(col("t")), 1), 1))
+        .localCheckpoint() // feeds both sketches AND the probe set
+      def sliceAt(i: Int) = expr(s"(h div ${1L << (12 * i)}) % 4096")
+      val cms = cnt.select(col("half"), col("n"),
+          posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
+        .groupBy("half", "i", "s").agg(sum("n").as("c"))
+        .localCheckpoint() // 8 bounded probe broadcasts below
+      var probed = cnt.groupBy("t")
+        .agg(max("h").as("h"),
+          sum(when(col("half") === 0, col("n")).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, col("n")).otherwise(0L)).as("n1"))
+        .orderBy(abs(col("n0") - col("n1")).desc, col("t")).limit(20)
+      for (i <- 0 until 4) probed = probed.withColumn(s"s$i", sliceAt(i))
+      for (hf <- 0 to 1; i <- 0 until 4)
+        probed = probed.join(
+          broadcast(cms.filter(col("half") === hf && col("i") === i)
+            .select(col("s").as(s"s$i"), col("c").as(s"c${hf}_$i"))),
+          Seq(s"s$i"), "left")
+      def estOf(hf: Int) = least((0 until 4).map(i =>
+        coalesce(col(s"c${hf}_$i"), lit(0L))): _*)
+      probed.select(col("t").as("token"), col("n0").as("exact_a"),
+          col("n1").as("exact_b"),
+          (col("n0") - col("n1")).as("exact_change"),
+          estOf(0).as("est_a"), estOf(1).as("est_b"))
+        .withColumn("overest_a", col("est_a") - col("exact_a"))
+        .withColumn("overest_b", col("est_b") - col("exact_b"))
+        .orderBy(abs(col("exact_change")).desc, col("token"))
+    },
+      Some {
+        def slices(hf: Int) = (0 until 4).map(i =>
+          s"""LEFT JOIN cms c${hf}_$i ON c${hf}_$i.half = $hf
+             |  AND c${hf}_$i.i = $i
+             |  AND c${hf}_$i.s = (top.h // ${1L << (12 * i)}) % 4096"""
+            .stripMargin).mkString("\n")
+        def estOf(hf: Int) = (0 until 4)
+          .map(i => s"coalesce(c${hf}_$i.c, 0)").mkString("least(", ", ", ")")
+        s"""WITH tok AS MATERIALIZED (
+           |  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS t
+           |  FROM documents),
+           |cnt AS MATERIALIZED (
+           |  SELECT half, t, CAST(count(*) AS BIGINT) AS n,
+           |    ${Dedup.sqlStringHash62("t")} AS h
+           |  FROM tok GROUP BY half, t),
+           |cms AS MATERIALIZED (
+           |  SELECT half, i, s, CAST(sum(n) AS BIGINT) AS c FROM (
+           |    SELECT half, 0 AS i, (h // 1) % 4096 AS s, n FROM cnt
+           |    UNION ALL SELECT half, 1, (h // 4096) % 4096, n FROM cnt
+           |    UNION ALL SELECT half, 2, (h // 16777216) % 4096, n FROM cnt
+           |    UNION ALL SELECT half, 3, (h // 68719476736) % 4096, n
+           |      FROM cnt)
+           |  GROUP BY 1, 2, 3),
+           |top AS MATERIALIZED (
+           |  SELECT t, max(h) AS h,
+           |    CAST(sum(CASE WHEN half = 0 THEN n ELSE 0 END) AS BIGINT)
+           |      AS n0,
+           |    CAST(sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS BIGINT)
+           |      AS n1
+           |  FROM cnt GROUP BY t
+           |  ORDER BY abs(n0 - n1) DESC, t LIMIT 20)
+           |SELECT top.t AS token, top.n0 AS exact_a, top.n1 AS exact_b,
+           |  top.n0 - top.n1 AS exact_change,
+           |  ${estOf(0)} AS est_a, ${estOf(1)} AS est_b,
+           |  ${estOf(0)} - top.n0 AS overest_a,
+           |  ${estOf(1)} - top.n1 AS overest_b
+           |FROM top
+           |${slices(0)}
+           |${slices(1)}
+           |ORDER BY abs(exact_change) DESC, token""".stripMargin
+      }),
   )
 }

@@ -158,4 +158,19 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
         s"cust ${r.getAs[Long]("custkey")}: est $est vs exact $exact")
     }
   }
+
+  test("q301: per-slice CMS estimates are one-sided over both halves") {
+    val rows = SparkEntry.queries("q301_heavy_changers")(spark, sfDir)
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      // each half's sketch can only overestimate its own count — the
+      // attestation that makes the sketch DIFF interpretable as a
+      // bounded-error change signal
+      assert(r.getAs[Long]("overest_a") >= 0L)
+      assert(r.getAs[Long]("overest_b") >= 0L)
+      assert(r.getAs[Long]("exact_change") ==
+        r.getAs[Long]("exact_a") - r.getAs[Long]("exact_b"))
+    }
+  }
 }

@@ -709,4 +709,25 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getAs[Long]("n_hits") >= 0L && r.getAs[Long]("n_hits") <= 10L)
     }
   }
+
+  test("q302: FD strengths satisfy the counting identities; keys are exact FDs") {
+    val rows = SparkEntry.queries("q302_fd_profile")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val (n, nDet, nPairs, hits) = (r.getAs[Long]("n"),
+        r.getAs[Long]("n_det"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("hits"))
+      // every determinant group contributes a majority of >= 1 row and
+      // at most all its rows; the (a,b) pair count nests between
+      assert(hits >= nDet && hits <= n)
+      assert(nPairs >= nDet && nPairs <= n)
+      val strength = r.getAs[Double]("strength")
+      assert(strength > 0.0 && strength <= 1.0)
+      assert(r.getAs[Boolean]("is_exact_fd") == (hits == n))
+    }
+    // a primary key determines every column — by construction
+    val key = rows.find(_.getAs[String]("pair")
+      .startsWith("orders: o_orderkey")).get
+    assert(key.getAs[Boolean]("is_exact_fd"))
+  }
 }
