@@ -1630,5 +1630,203 @@ object Sketches {
            |${slices(1)}
            |ORDER BY abs(exact_change) DESC, token""".stripMargin
       }),
+
+    // ---- Bloom-join shuffle-reduction estimator ---------------------------
+    // q268 measured a Bloom filter's FPR; this prices the JOIN PLAN it
+    // exists for: Spark's runtime row-level filtering builds a filter
+    // on the dimension side (orders at priority 1-URGENT) and drops
+    // probe-side rows (lineitem) BEFORE the shuffle. The query measures
+    // the actual numbers a 100 TB planner needs: probe rows shipped
+    // with vs without the filter, true matches, measured false-passes,
+    // and the load-factor model — all through the distributed
+    // bit-table join (no driver-side bitset; q268's XOR-salt Lehmer
+    // positions, so the whole report hash-matches the oracle).
+    // Per-key evaluation weighted by row counts: the filter decides
+    // per KEY, the benefit is per ROW.
+    QueryDef("q303_bloomjoin_benefit", (s, d) => {
+      val mBits = 262144L
+      def hashed(df: org.apache.spark.sql.DataFrame, k: String) =
+        df.withColumn("h", element_at(graft.functions.ArrayExprs
+          .windowHashes(array(col(k).cast("string")), 1), 1))
+      val build = hashed(t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").cast("long").as("k")).distinct(), "k")
+        .localCheckpoint() // bit table + the match flag join
+      def posOf(i: Int): Column =
+        pmod(Sampling.lehmer(col("h").bitwiseXOR(lit(bloomSalts(i)))),
+          lit(mBits))
+      val positions = array(posOf(0), posOf(1), posOf(2))
+      val bits = build.select(explode(positions).as("pos")).distinct()
+        .localCheckpoint() // probed once, counted once
+      val probe = hashed(t(s, d, "lineitem")
+        .groupBy(col("l_orderkey").cast("long").as("k"))
+        .agg(count(lit(1)).as("nr")), "k")
+        .localCheckpoint() // position probe + final row-weighted sums
+      val passed = probe.select(col("k"), explode(positions).as("pos"))
+        .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+        .groupBy("k")
+        .agg(max(when(col("hit").isNull, 1).otherwise(0)).as("missed"))
+      val flagged = probe.join(passed, "k")
+        .join(build.select(col("k"), lit(1).as("m")), Seq("k"), "left")
+      val agg = flagged.agg(
+        sum(col("nr")).as("probe_rows"),
+        sum(when(col("m") === 1, col("nr")).otherwise(0L)).as("match_rows"),
+        sum(when(col("missed") === 0, col("nr")).otherwise(0L))
+          .as("bloom_pass_rows"),
+        sum(when(col("m").isNull && col("missed") === 0, col("nr"))
+          .otherwise(0L)).as("fp_rows"))
+      val brow = build.agg(count(lit(1)).as("n_build_keys"))
+      val nbits = bits.agg(count(lit(1)).as("n_bits_set"))
+      val load = col("n_bits_set").cast("double") / lit(mBits.toDouble)
+      agg.crossJoin(broadcast(brow)).crossJoin(broadcast(nbits))
+        .select(lit(mBits).as("m_bits"), col("n_build_keys"),
+          col("n_bits_set"), load.as("load_factor"),
+          col("probe_rows"), col("match_rows"), col("bloom_pass_rows"),
+          col("fp_rows"),
+          (col("bloom_pass_rows").cast("double")
+            / col("probe_rows").cast("double")).as("shipped_frac"),
+          (load * load * load).as("fpr_model"))
+    },
+      Some {
+        val salts = s"(SELECT unnest([${bloomSalts.mkString(", ")}]) AS x)"
+        s"""WITH bh AS MATERIALIZED (
+           |  SELECT k, ${Dedup.sqlStringHash62("CAST(k AS VARCHAR)")} AS h
+           |  FROM (SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k
+           |        FROM orders WHERE o_orderpriority = '1-URGENT')),
+           |bits AS MATERIALIZED (
+           |  SELECT DISTINCT ${Sampling.sqlLehmerOf("xor(h, s.x)")}
+           |    % 262144 AS pos
+           |  FROM bh, $salts s),
+           |ph AS MATERIALIZED (
+           |  SELECT k, CAST(count(*) AS BIGINT) AS nr,
+           |    ${Dedup.sqlStringHash62("CAST(k AS VARCHAR)")} AS h
+           |  FROM (SELECT CAST(l_orderkey AS BIGINT) AS k FROM lineitem)
+           |  GROUP BY k),
+           |pp AS MATERIALIZED (
+           |  SELECT DISTINCT k, ${Sampling.sqlLehmerOf("xor(h, s.x)")}
+           |    % 262144 AS pos
+           |  FROM ph, $salts s),
+           |pe AS (
+           |  SELECT pp.k,
+           |    max(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS missed
+           |  FROM pp LEFT JOIN bits b ON pp.pos = b.pos
+           |  GROUP BY pp.k),
+           |fl AS (
+           |  SELECT ph.nr, pe.missed,
+           |    CASE WHEN bh.k IS NOT NULL THEN 1 END AS m
+           |  FROM ph JOIN pe ON ph.k = pe.k
+           |  LEFT JOIN bh ON ph.k = bh.k),
+           |agg AS (
+           |  SELECT CAST(sum(nr) AS BIGINT) AS probe_rows,
+           |    CAST(sum(CASE WHEN m = 1 THEN nr ELSE 0 END) AS BIGINT)
+           |      AS match_rows,
+           |    CAST(sum(CASE WHEN missed = 0 THEN nr ELSE 0 END) AS BIGINT)
+           |      AS bloom_pass_rows,
+           |    CAST(sum(CASE WHEN m IS NULL AND missed = 0 THEN nr
+           |      ELSE 0 END) AS BIGINT) AS fp_rows
+           |  FROM fl),
+           |bc AS (SELECT CAST(count(*) AS BIGINT) AS n_build_keys FROM bh),
+           |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits)
+           |SELECT CAST(262144 AS BIGINT) AS m_bits, n_build_keys,
+           |  n_bits_set,
+           |  CAST(n_bits_set AS DOUBLE) / 262144e0 AS load_factor,
+           |  probe_rows, match_rows, bloom_pass_rows, fp_rows,
+           |  CAST(bloom_pass_rows AS DOUBLE) / CAST(probe_rows AS DOUBLE)
+           |    AS shipped_frac,
+           |  (CAST(n_bits_set AS DOUBLE) / 262144e0)
+           |    * (CAST(n_bits_set AS DOUBLE) / 262144e0)
+           |    * (CAST(n_bits_set AS DOUBLE) / 262144e0) AS fpr_model
+           |FROM agg CROSS JOIN bc CROSS JOIN nb""".stripMargin
+      }),
+
+    // ---- Sliding-window distinct users via KMV merge ----------------------
+    // The mergeable-sketch answer to "distinct users in every trailing
+    // 24-hour window": exact sliding distincts re-shuffle every
+    // (window, user) pair — each event lands in 24 windows, and at
+    // 100 TB that explode is the heaviest shuffle in the pipeline.
+    // The sketch path keeps ONE bottom-64 KMV per hour (the q234
+    // partial-aggregable build over Lehmer-mixed 62-bit user hashes)
+    // and merges 24 tiny arrays per window — bottom-64 of a union of
+    // bottom-64s IS the union's bottom-64 (any window-level minimum is
+    // a fortiori an hour-level minimum), so the oracle verifies the
+    // merge against the directly-ranked window hash set, bit for bit.
+    // Exact distincts computed here as the attestation; production
+    // ships only the per-hour sketches. 31-bit hash collisions shift
+    // the exact-regime estimate by at most the collision count
+    // (expected << 1 at these scales) and stay inside the 0.4 bound.
+    QueryDef("q304_sliding_distinct", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+        .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+          col("user_id").cast("long").as("u"))
+        .withColumn("h", Sampling.lehmer(
+          element_at(graft.functions.ArrayExprs
+            .windowHashes(array(col("u").cast("string")), 1), 1)))
+        .localCheckpoint() // feeds the sketch build AND the exact side
+      val hu = ev.select("hr", "h").distinct()
+      val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
+      val hourSk = hu.as[(Long, Long)].groupByKey(_._1)
+        .mapValues(r => (r._2, r._2))
+        .agg(bottomk.name("kp"))
+        .toDF("hr", "kp")
+        .select(col("hr"),
+          transform(col("kp"), p => p.getField("_1")).as("ks"))
+      val winSk = hourSk
+        .select(explode(expr("sequence(hr, hr + 23)")).as("w"), col("ks"))
+        .groupBy("w")
+        .agg(slice(array_sort(array_distinct(flatten(
+          collect_list(col("ks"))))), 1, 64).as("ks"))
+      val est = when(size(col("ks")) < 64, size(col("ks")).cast("double"))
+        .otherwise(lit(kmvNumM) / element_at(col("ks"), 64).cast("double"))
+      val winExact = ev.select(col("hr"), col("u")).distinct()
+        .select(explode(expr("sequence(hr, hr + 23)")).as("w"), col("u"))
+        .distinct()
+        .groupBy("w").agg(count(lit(1)).as("exact_users"))
+      winExact.join(winSk, "w")
+        .select(col("w").as("window_end_hr"), col("exact_users"),
+          est.as("kmv_est"))
+        .withColumn("rel_err",
+          abs(col("kmv_est") - col("exact_users").cast("double"))
+            / col("exact_users").cast("double"))
+        .withColumn("within_bounds", col("rel_err") <= 0.4)
+        .orderBy("window_end_hr")
+    },
+      Some(s"""WITH ev AS MATERIALIZED (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,
+             |    CAST(user_id AS BIGINT) AS u,
+             |    ${Sampling.sqlLehmerOf("(" +
+                    Dedup.sqlStringHash62(
+                      "CAST(CAST(user_id AS BIGINT) AS VARCHAR)")
+                      .linesIterator.map(_.trim).mkString(" ") + ")")} AS h
+             |  FROM events WHERE ts IS NOT NULL),
+             |wh AS MATERIALIZED (
+             |  SELECT DISTINCT w, h FROM (
+             |    SELECT unnest(range(hr, hr + 24)) AS w, h FROM ev)),
+             |r AS (
+             |  SELECT w, h,
+             |    row_number() OVER (PARTITION BY w ORDER BY h) AS i
+             |  FROM wh),
+             |sk AS (
+             |  SELECT w, CAST(count(*) AS BIGINT) AS nh,
+             |    max(CASE WHEN i = 64 THEN h END) AS h64
+             |  FROM r WHERE i <= 64 GROUP BY w),
+             |we AS (
+             |  SELECT w, CAST(count(DISTINCT u) AS BIGINT) AS exact_users
+             |  FROM (SELECT unnest(range(hr, hr + 24)) AS w, u
+             |        FROM (SELECT DISTINCT hr, u FROM ev))
+             |  GROUP BY w),
+             |est AS (
+             |  SELECT we.w, exact_users,
+             |    CASE WHEN nh < 64 THEN CAST(nh AS DOUBLE)
+             |         ELSE $kmvNumM / CAST(h64 AS DOUBLE) END AS kmv_est
+             |  FROM we JOIN sk ON we.w = sk.w)
+             |SELECT w AS window_end_hr, exact_users, kmv_est,
+             |  abs(kmv_est - CAST(exact_users AS DOUBLE))
+             |    / CAST(exact_users AS DOUBLE) AS rel_err,
+             |  abs(kmv_est - CAST(exact_users AS DOUBLE))
+             |    / CAST(exact_users AS DOUBLE) <= 0.4 AS within_bounds
+             |FROM est
+             |ORDER BY window_end_hr""".stripMargin)),
   )
 }

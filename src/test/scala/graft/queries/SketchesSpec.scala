@@ -173,4 +173,35 @@ class SketchesSpec extends AnyFunSuite with SparkTestBase {
         r.getAs[Long]("exact_a") - r.getAs[Long]("exact_b"))
     }
   }
+
+  test("q303: the Bloom join filter never drops a matching row") {
+    val r = SparkEntry.queries("q303_bloomjoin_benefit")(spark, sfDir)
+      .collect().head
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    // zero false negatives: every matching row passes the filter
+    assert(l("match_rows") <= l("bloom_pass_rows"))
+    // the pass set decomposes exactly into matches + measured FPs
+    assert(l("fp_rows") == l("bloom_pass_rows") - l("match_rows"))
+    assert(l("bloom_pass_rows") <= l("probe_rows"))
+    assert(l("n_bits_set") <= 3L * l("n_build_keys"))
+    val frac = r.getAs[Double]("shipped_frac")
+    assert(frac > 0.0 && frac <= 1.0)
+  }
+
+  test("q304: merged window sketches track exact distincts in both regimes") {
+    val rows = SparkEntry.queries("q304_sliding_distinct")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users")
+      val est = r.getAs[Double]("kmv_est")
+      if (exact < 64L)
+        // exact regime: the merged sketch IS the window's distinct
+        // hash set (collisions shift it by at most the collision count)
+        assert(math.abs(est - exact.toDouble) <= 1.0,
+          s"window ${r.getAs[Long]("window_end_hr")}")
+      assert(r.getAs[Boolean]("within_bounds"),
+        s"window ${r.getAs[Long]("window_end_hr")}: $est vs $exact")
+    }
+  }
 }
