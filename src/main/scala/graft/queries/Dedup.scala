@@ -721,6 +721,31 @@ object Dedup {
     (labels, rounds)
   }
 
+  /** DuckDB mirror of [[winnowFingerprints]] — CTE chain ending in
+    * `fps(doc_id, fp)`; shared by the q295 and q306 oracles. */
+  private[queries] val sqlWinnowCtes: String =
+    """t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |w0 AS (
+      |  SELECT doc_id, CAST(unnest(range(len(tk) - 3)) AS BIGINT) AS p,
+      |         unnest(list_transform(range(1, len(tk) - 2),
+      |           i -> array_to_string(tk[i:i+3], ' '))) AS win
+      |  FROM t WHERE len(tk) >= 4),
+      |w AS (
+      |  SELECT doc_id, p,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+      |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS h
+      |  FROM w0),
+      |fps AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
+      |  FROM w)""".stripMargin
+
   /** q295's winnowing sketch: distinct per-doc window-min fingerprints
     * over 4-token k-gram hashes, guarantee window 8 (shared runs of
     * >= 11 tokens always share a fingerprint). Exposed for the
@@ -2463,27 +2488,7 @@ object Dedup {
     // nothing corpus-sized is pinned.
     QueryDef("q295_winnow_fingerprints", (s, d) =>
       winnowPairs(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
-      Some("""WITH t AS (
-             |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |w0 AS (
-             |  SELECT doc_id, CAST(unnest(range(len(tk) - 3)) AS BIGINT) AS p,
-             |         unnest(list_transform(range(1, len(tk) - 2),
-             |           i -> array_to_string(tk[i:i+3], ' '))) AS win
-             |  FROM t WHERE len(tk) >= 4),
-             |w AS (
-             |  SELECT doc_id, p,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
-             |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
-             |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
-             |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS h
-             |  FROM w0),
-             |fps AS MATERIALIZED (
-             |  SELECT DISTINCT doc_id,
-             |    min(h) OVER (PARTITION BY doc_id ORDER BY p
-             |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fp
-             |  FROM w),
+      Some(s"""WITH $sqlWinnowCtes,
              |nf AS (
              |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
              |  FROM fps GROUP BY doc_id),
@@ -2505,6 +2510,75 @@ object Dedup {
              |JOIN nf na ON pairs.doc_a = na.doc_id
              |JOIN nf nb ON pairs.doc_b = nb.doc_id
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Blocking-quality report: winnowing candidates vs exact truth ----
+    // The standard ER evaluation pair (Christen 2012) the dedup family
+    // reports operator-by-operator but never scores: PAIR COMPLETENESS
+    // (what fraction of true near-dup pairs does the candidate
+    // generator reach — blocking recall) and REDUCTION RATIO (what
+    // fraction of the n(n-1)/2 comparison space it prunes). Ground
+    // truth = the exact PPJoin at Jaccard 0.7 (q65's machinery, no
+    // approximation); candidates = docs sharing >= 1 winnowing
+    // fingerprint under the df<=50 stop-fingerprint cap (q295's
+    // generator at its loosest). A pipeline promotes a blocker only if
+    // completeness stays ~1 while the ratio stays ~1 — this query is
+    // that gate, and at 100 TB it runs on a Lehmer sample of the
+    // corpus (the truth side is the expensive one, not the blocker).
+    // One-row scalar crosses are the allowlisted q76 class.
+    QueryDef("q306_blocking_quality", (s, d) => {
+      val docs = t(s, d, "documents")
+      val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
+        .localCheckpoint() // hit join + count
+      val fps = winnowFingerprints(docs)
+      val dup = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2 && col("nd") <= 50).select("fp")
+      val fd = fps.join(dup, "fp")
+      val cand = fd.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct()
+        .localCheckpoint() // hit join + count
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nc = cand.agg(count(lit(1)).as("n_candidates"))
+      val nh = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+        .crossJoin(broadcast(nh))
+        .select(col("n_docs"), col("n_truth"), col("n_candidates"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("pair_completeness"),
+          (lit(1.0) - col("n_candidates").cast("double")
+            / (col("n_docs") * (col("n_docs") - 1) / 2).cast("double"))
+            .as("reduction_ratio"))
+    },
+      Some(s"""WITH ${sqlHashedPairCtes(0.7)},
+             |$sqlWinnowCtes,
+             |dup AS (
+             |  SELECT fp FROM fps GROUP BY fp
+             |  HAVING count(*) BETWEEN 2 AND 50),
+             |fd AS (SELECT doc_id, f.fp FROM fps f JOIN dup USING (fp)),
+             |cand AS MATERIALIZED (
+             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+             |       FROM documents),
+             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs),
+             |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+             |       FROM cand),
+             |nh AS (
+             |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+             |  FROM pairs p JOIN cand c
+             |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+             |SELECT n_docs, n_truth, n_candidates, n_hit,
+             |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+             |    AS pair_completeness,
+             |  1.0 - CAST(n_candidates AS DOUBLE)
+             |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+             |    AS reduction_ratio
+             |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh"""
+          .stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

@@ -730,4 +730,39 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
       .startsWith("orders: o_orderkey")).get
     assert(key.getAs[Boolean]("is_exact_fd"))
   }
+
+  test("q305: Cramér's V is bounded and ranks association strength sanely") {
+    val rows = SparkEntry.queries("q305_cramers_v")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val byPair = rows.map(r =>
+      r.getAs[String]("pair") -> r.getAs[Double]("cramers_v")).toMap
+    rows.foreach { r =>
+      val v = r.getAs[Double]("cramers_v")
+      assert(v >= -1e-9 && v <= 1.0 + 1e-9, s"${r.getAs[String]("pair")}: $v")
+      // chi2 is non-negative up to the fold's rounding tail
+      assert(r.getAs[Double]("chi2") >= -1e-6)
+    }
+    // the generator ties documents' lang to source; event timing and
+    // order flags are independent — the profile must rank them so
+    assert(byPair("documents: lang x source") >
+      byPair("events: event_type x dow"))
+    assert(byPair("documents: lang x source") >
+      byPair("orders x lineitem: priority x returnflag"))
+  }
+
+  test("q306: blocking metrics respect their counting identities") {
+    val r = SparkEntry.queries("q306_blocking_quality")(spark, sfDir)
+      .collect().head
+    def l(c: String) = r.getLong(r.fieldIndex(c))
+    assert(l("n_hit") <= l("n_truth"))
+    assert(l("n_hit") <= l("n_candidates"))
+    assert(l("n_candidates") <= l("n_docs") * (l("n_docs") - 1) / 2)
+    val pc = r.getAs[Double]("pair_completeness")
+    assert(pc >= 0.0 && pc <= 1.0)
+    // the winnowing guarantee at work: a 0.7-Jaccard near-dup shares
+    // long runs, so the blocker must reach (nearly) every true pair —
+    // at this corpus it reaches ALL of them; pin a strong floor
+    assert(pc >= 0.9, s"pair completeness $pc")
+    assert(r.getAs[Double]("reduction_ratio") >= 0.99)
+  }
 }
