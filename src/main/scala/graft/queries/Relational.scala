@@ -1685,87 +1685,98 @@ object Relational {
             "\n) ORDER BY pair")
       }),
 
-    // ---- Cramér's V association between categorical columns --------------
-    // q302's FD strength is DIRECTIONAL (does A determine B); Cramér's
-    // V is the symmetric association the profiling sweep pairs it
-    // with: V = sqrt(chi2 / (n * (min(r,c) - 1))) over the contingency
-    // table, 0 = independent, 1 = perfectly associated. chi2 uses the
-    // identity n * (sum_cells O^2/(rt*ct) - 1): every O^2 and rt*ct is
-    // an exact int64 (< 2^53, so the per-cell double term is exact),
-    // and the cell-term sum folds in SORTED order (the q199 foldSum
-    // discipline) so both engines add the same doubles in the same
-    // order. Scale shape: one (a,b) count shuffle per pair + two
-    // marginal rollups; cell counts are category^2-bounded, the fold
-    // runs over tens of cells. Three pairs span the regimes:
+    // ---- Goodman–Kruskal lambda: directional association by counts -------
+    // The profiling sweep's third association lens: q302's FD strength
+    // asks "does A literally determine B", q206's Cramér's V scores
+    // SYMMETRIC chi-square association — Goodman–Kruskal λ(B|A) is the
+    // directional, decision-theoretic one: the proportional reduction
+    // in error when guessing B's modal value per A-group instead of
+    // the global mode, λ = (Σ_a max_b O_ab − max_b C_b) / (n − max_b
+    // C_b). Unlike chi-square it is PURE INT64 COUNTS until one final
+    // division, so oracle parity is exact with no fold discipline.
+    // Both directions come from one contingency pass: partition-window
+    // modal cells + marginals over the (a,b) count table, which is
+    // category²-bounded (tens of rows) — the only corpus-sized work is
+    // the count shuffle per pair. Three pairs span the regimes:
     // within-table, cross-table (through the orderkey join), and the
-    // near-independent event pair.
-    QueryDef("q305_cramers_v", (s, d) => {
-      def foldSum(c: Column) =
-        aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
-      def cramer(name: String, df: org.apache.spark.sql.DataFrame,
+    // near-independent event pair (λ collapses to ~0 there).
+    QueryDef("q305_gk_lambda", (s, d) => {
+      def lam(name: String, df: org.apache.spark.sql.DataFrame,
           a: String, b: String) = {
-        val cells = df.select(col(a).as("a"), col(b).as("b"))
+        val wa = Window.partitionBy("a")
+        val wb = Window.partitionBy("b")
+        df.select(col(a).as("a"), col(b).as("b"))
           .groupBy("a", "b").agg(count(lit(1)).as("o"))
-        val rt = cells.groupBy("a").agg(sum("o").as("rt"))
-        val ct = cells.groupBy("b").agg(sum("o").as("ct"))
-        cells.join(rt, "a").join(ct, "b")
-          .withColumn("term", (col("o") * col("o")).cast("double")
-            / (col("rt") * col("ct")).cast("double"))
-          .agg(sum("o").as("n"), countDistinct("a").as("r"),
-            countDistinct("b").as("c"), foldSum(col("term")).as("st"))
-          .select(lit(name).as("pair"), col("n"), col("r"), col("c"),
-            (col("n").cast("double") * (col("st") - lit(1.0))).as("chi2"),
-            sqrt((col("n").cast("double") * (col("st") - lit(1.0)))
-              / (col("n").cast("double")
-                * (least(col("r"), col("c")) - lit(1)).cast("double")))
-              .as("cramers_v"))
+          .select(col("o"),
+            max("o").over(wa).as("rm"), max("o").over(wb).as("cm"),
+            sum("o").over(wa).as("rt"), sum("o").over(wb).as("ct"),
+            (row_number().over(wa.orderBy("b")) === 1).as("fa"),
+            (row_number().over(wb.orderBy("a")) === 1).as("fb"))
+          .agg(sum("o").as("n"),
+            sum(when(col("fa"), col("rm"))).as("srm"),
+            sum(when(col("fb"), col("cm"))).as("scm"),
+            max("ct").as("mct"), max("rt").as("mrt"))
+          .select(lit(name).as("pair"), col("n"),
+            col("srm").as("modal_hits_ab"), col("scm").as("modal_hits_ba"),
+            col("mct").as("base_mode_b"), col("mrt").as("base_mode_a"),
+            ((col("srm") - col("mct")).cast("double")
+              / (col("n") - col("mct")).cast("double"))
+              .as("lambda_b_given_a"),
+            ((col("scm") - col("mrt")).cast("double")
+              / (col("n") - col("mrt")).cast("double"))
+              .as("lambda_a_given_b"))
       }
       val ev = t(s, d, "events").filter(col("ts").isNotNull)
         .withColumn("dow",
           expr("(unix_micros(ts) div 86400000000 + 3) % 7"))
       val ol = t(s, d, "lineitem")
         .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-      cramer("events: event_type x dow", ev, "event_type", "dow")
-        .unionAll(cramer("orders x lineitem: priority x returnflag", ol,
+      lam("events: event_type x dow", ev, "event_type", "dow")
+        .unionAll(lam("orders x lineitem: priority x returnflag", ol,
           "o_orderpriority", "l_returnflag"))
-        .unionAll(cramer("documents: lang x source",
+        .unionAll(lam("documents: lang x source",
           t(s, d, "documents"), "lang", "source"))
         .orderBy("pair")
     },
       Some {
-        def cramer(name: String, src: String, a: String, b: String) =
-          s"""SELECT '$name' AS pair, n, r, c,
-             |  CAST(n AS DOUBLE) * (st - 1.0) AS chi2,
-             |  sqrt((CAST(n AS DOUBLE) * (st - 1.0))
-             |    / (CAST(n AS DOUBLE)
-             |       * CAST(least(r, c) - 1 AS DOUBLE))) AS cramers_v
+        def lam(name: String, src: String, a: String, b: String) =
+          s"""SELECT '$name' AS pair, CAST(n AS BIGINT) AS n,
+             |  CAST(srm AS BIGINT) AS modal_hits_ab,
+             |  CAST(scm AS BIGINT) AS modal_hits_ba,
+             |  CAST(mct AS BIGINT) AS base_mode_b,
+             |  CAST(mrt AS BIGINT) AS base_mode_a,
+             |  CAST(srm - mct AS DOUBLE) / CAST(n - mct AS DOUBLE)
+             |    AS lambda_b_given_a,
+             |  CAST(scm - mrt AS DOUBLE) / CAST(n - mrt AS DOUBLE)
+             |    AS lambda_a_given_b
              |FROM (
-             |  SELECT CAST(sum(o) AS BIGINT) AS n,
-             |    CAST(count(DISTINCT a) AS BIGINT) AS r,
-             |    CAST(count(DISTINCT b) AS BIGINT) AS c,
-             |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-             |      list_sort(list(CAST(o * o AS DOUBLE)
-             |        / CAST(rt * ct AS DOUBLE)))), (acc, x) -> acc + x)
-             |      AS st
+             |  SELECT sum(o) AS n,
+             |    sum(CASE WHEN fa THEN rm END) AS srm,
+             |    sum(CASE WHEN fb THEN cm END) AS scm,
+             |    max(ct) AS mct, max(rt) AS mrt
              |  FROM (
-             |    SELECT a, b, o,
+             |    SELECT o,
+             |      max(o) OVER (PARTITION BY a) AS rm,
+             |      max(o) OVER (PARTITION BY b) AS cm,
              |      sum(o) OVER (PARTITION BY a) AS rt,
-             |      sum(o) OVER (PARTITION BY b) AS ct
+             |      sum(o) OVER (PARTITION BY b) AS ct,
+             |      row_number() OVER (PARTITION BY a ORDER BY b) = 1 AS fa,
+             |      row_number() OVER (PARTITION BY b ORDER BY a) = 1 AS fb
              |    FROM (SELECT $a AS a, $b AS b,
              |            CAST(count(*) AS BIGINT) AS o
              |          FROM $src GROUP BY 1, 2)))""".stripMargin
         Seq(
-          cramer("events: event_type x dow",
+          lam("events: event_type x dow",
             """(SELECT event_type,
               |  (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 + 3) % 7
               |    AS dow
               | FROM events WHERE ts IS NOT NULL)""".stripMargin
               .linesIterator.map(_.trim).mkString(" "),
             "event_type", "dow"),
-          cramer("orders x lineitem: priority x returnflag",
+          lam("orders x lineitem: priority x returnflag",
             "(SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
             "o_orderpriority", "l_returnflag"),
-          cramer("documents: lang x source", "documents", "lang", "source"))
+          lam("documents: lang x source", "documents", "lang", "source"))
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
             "\n) ORDER BY pair")
       }),

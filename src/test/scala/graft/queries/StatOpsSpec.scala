@@ -731,23 +731,32 @@ class StatOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(key.getAs[Boolean]("is_exact_fd"))
   }
 
-  test("q305: Cramér's V is bounded and ranks association strength sanely") {
-    val rows = SparkEntry.queries("q305_cramers_v")(spark, sfDir).collect()
+  test("q305: Goodman-Kruskal lambda is bounded and obeys its count identities") {
+    val rows = SparkEntry.queries("q305_gk_lambda")(spark, sfDir).collect()
     assert(rows.length == 3)
-    val byPair = rows.map(r =>
-      r.getAs[String]("pair") -> r.getAs[Double]("cramers_v")).toMap
     rows.foreach { r =>
-      val v = r.getAs[Double]("cramers_v")
-      assert(v >= -1e-9 && v <= 1.0 + 1e-9, s"${r.getAs[String]("pair")}: $v")
-      // chi2 is non-negative up to the fold's rounding tail
-      assert(r.getAs[Double]("chi2") >= -1e-6)
+      val n = r.getAs[Long]("n")
+      val srm = r.getAs[Long]("modal_hits_ab")
+      val scm = r.getAs[Long]("modal_hits_ba")
+      val mct = r.getAs[Long]("base_mode_b")
+      val mrt = r.getAs[Long]("base_mode_a")
+      // per-group modal guessing can only beat the marginal mode
+      assert(srm >= mct && srm <= n, s"${r.getAs[String]("pair")}")
+      assert(scm >= mrt && scm <= n)
+      val lab = r.getAs[Double]("lambda_b_given_a")
+      val lba = r.getAs[Double]("lambda_a_given_b")
+      assert(lab >= 0.0 && lab <= 1.0)
+      assert(lba >= 0.0 && lba <= 1.0)
+      // lambda is exactly the PRE its counts say it is
+      assert(lab == (srm - mct).toDouble / (n - mct).toDouble)
+      assert(lba == (scm - mrt).toDouble / (n - mrt).toDouble)
     }
-    // the generator ties documents' lang to source; event timing and
-    // order flags are independent — the profile must rank them so
+    val byPair = rows.map(r =>
+      r.getAs[String]("pair") -> r.getAs[Double]("lambda_b_given_a")).toMap
+    // the generator ties documents' lang to source; event timing is
+    // independent of type — the directional profile must rank them so
     assert(byPair("documents: lang x source") >
       byPair("events: event_type x dow"))
-    assert(byPair("documents: lang x source") >
-      byPair("orders x lineitem: priority x returnflag"))
   }
 
   test("q306: blocking metrics respect their counting identities") {
