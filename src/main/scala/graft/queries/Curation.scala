@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -626,7 +627,7 @@ object Curation {
     // the semantic spec; the engine plan is the distributed form.
     QueryDef("q148_quality_budget", (s, d) => {
       val budget = 20000L
-      val scored = ensembleScores(t(s, d, "documents")).localCheckpoint()
+      val scored = ensembleScores(t(s, d, "documents")).materialize
       val b = scored.withColumn("bkt", expr("-(ensemble_score div 1024)"))
       val totals = b.groupBy("bkt").agg(sum("n_tokens").as("tot"))
       val offs = Sampling.chunkOffsets(totals, "bkt", "tot")
@@ -886,7 +887,7 @@ object Curation {
     QueryDef("q264_padding_waste", (s, d) => {
       val toks = t(s, d, "documents")
         .select(size(split(col("text"), " ")).cast("long").as("len"))
-        .localCheckpoint() // three scheme passes share it
+        .materialize // three scheme passes share it
       def scheme(bucketExpr: String, name: String) = toks
         .withColumn("b", expr(bucketExpr))
         .groupBy("b")
@@ -955,7 +956,7 @@ object Curation {
       } ++ Seq(count(lit(1)).as("n_docs"),
         sum(when(g.map(x => col(x._1)).reduce(_ && _), 1L).otherwise(0L))
           .as("pass_all"))
-      val fin = base.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      val fin = base.agg(aggCols.head, aggCols.tail: _*).materialize
       g.map { case (n, _) =>
         fin.select(lit(n).as("gate"), col("n_docs"), col("pass_all"),
           col(s"f_$n").as("n_fail"), col(s"o_$n").as("n_fail_only"),
@@ -1062,7 +1063,7 @@ object Curation {
       val avail = t(s, d, "documents")
         .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
         .groupBy("source").agg(sum("len").as("avail"))
-        .localCheckpoint() // read by the budget row and every round
+        .materialize // read by the budget row and every round
       val budget = avail.agg(expr("(sum(avail) * 19) div 20").as("b"))
       var st = avail.crossJoin(broadcast(budget))
         .select(col("source"), col("avail"), col("b"), lit(0L).as("alloc"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -671,14 +672,14 @@ object Dedup {
     // final labels join) and the iteration seed hang off it, and the
     // caller's pair pipeline (LSH + verify in q52) must not re-execute
     // per consumer
-    val p0 = pairs.localCheckpoint()
+    val p0 = pairs.materialize
     val nodes = p0.select(col("doc_a").as("node"))
       .union(p0.select(col("doc_b").as("node"))).distinct()
     // invariant: every edge oriented large -> small
     var cur = p0.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v")).distinct().materialize
     // Fixpoint test: the edge set is a star forest — no node appears both
     // as a child (u side) and a root (v side), and no child has two
     // parents. Because edges always point large -> small, any star forest
@@ -711,7 +712,7 @@ object Dedup {
         .select(col("v").as("u"), col("mn").as("v"))
         .union(ssMin.select(col("u"), col("mn").as("v")))
         .distinct()
-        .localCheckpoint()
+        .materialize
       rounds += 1
       done = isStarForest(next)
       cur = next
@@ -1871,7 +1872,7 @@ object Dedup {
       val sig = hs.crossJoin(broadcast(permDf))
         .groupBy("doc_id", "j")
         .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
-        .localCheckpoint() // both pair sides read it
+        .materialize // both pair sides read it
       val est = col("k_eq").cast("double") / lit(32.0)
       nearDupPairsOf(docs).select("doc_a", "doc_b", "jaccard")
         .join(sig.select(col("doc_id").as("doc_a"), col("j"),
@@ -2026,7 +2027,7 @@ object Dedup {
       val packed = sig
         .groupBy("doc_id")
         .agg(sum(expr("(m % 2) * shiftleft(CAST(1 AS BIGINT), j)")).as("w"))
-        .localCheckpoint() // both pair sides read it
+        .materialize // both pair sides read it
       val frac = (lit(32L) - expr("bit_count(wa ^ wb)")).cast("double") / lit(32.0)
       val est1 = greatest(lit(0.0), lit(2.0) * frac - lit(1.0))
       nearDupPairsOf(docs).select("doc_a", "doc_b", "jaccard")
@@ -2109,13 +2110,13 @@ object Dedup {
             "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
             "aggregate(ms, CAST(0 AS BIGINT), " +
             "(acc, v) -> (acc * 48271 + v) % 2147483629)").as("bkey"))
-        .localCheckpoint() // both self-join sides read it
+        .materialize // both self-join sides read it
       val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
         .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
           Seq("band", "bkey"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-        .localCheckpoint() // counted once, joined once
+        .materialize // counted once, joined once
       val candN = cand.agg(count(lit(1)).as("n_cand"))
       val thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
       jaccardJoin(docs, 0.5)
@@ -2428,7 +2429,7 @@ object Dedup {
     // cluster-keyed rollup over the pair set already built for q52 —
     // nothing new touches the corpus.
     QueryDef("q260_cluster_cohesion", (s, d) => {
-      val pj = nearDupPairs(s, d).localCheckpoint() // edges + cohesion rollup
+      val pj = nearDupPairs(s, d).materialize // edges + cohesion rollup
       val (labels, _) = connectedComponents(pj.select("doc_a", "doc_b"))
       val comp = labels.select(col("node").as("doc_id"),
         col("lbl").as("cluster_id"))
@@ -2528,7 +2529,7 @@ object Dedup {
     QueryDef("q306_blocking_quality", (s, d) => {
       val docs = t(s, d, "documents")
       val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
-        .localCheckpoint() // hit join + count
+        .materialize // hit join + count
       val fps = winnowFingerprints(docs)
       val dup = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
         .filter(col("nd") >= 2 && col("nd") <= 50).select("fp")
@@ -2537,7 +2538,7 @@ object Dedup {
         .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct()
-        .localCheckpoint() // hit join + count
+        .materialize // hit join + count
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val nt = truth.agg(count(lit(1)).as("n_truth"))
       val nc = cand.agg(count(lit(1)).as("n_candidates"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -394,7 +395,7 @@ object Events {
       .unionAll(sess.select((col("end_us") + 1).as("us"),
         lit(-1L).as("delta"), col("user_id"), col("session_id")))
       .withColumn("chunk", expr(s"us div $hourUs"))
-      .localCheckpoint() // chunk totals + local sweep both read it
+      .materialize // chunk totals + local sweep both read it
     val offs = Sampling.chunkOffsets(
       bounds.groupBy("chunk").agg(sum("delta").as("tot")), "chunk", "tot")
     val wLoc = Window.partitionBy("chunk")
@@ -406,7 +407,7 @@ object Events {
       .withColumn("conc", col("loc") + col("off"))
       .filter(col("delta") === 1)
       .withColumn("day_idx", expr("us div 86400000000"))
-      .localCheckpoint() // peak + first-instant both read it
+      .materialize // peak + first-instant both read it
     val peaks = conc.groupBy("day_idx").agg(max("conc").as("peak"))
     conc.join(peaks, "day_idx")
       .filter(col("conc") === col("peak"))
@@ -1881,7 +1882,7 @@ object Events {
     // contract as q177. S and the variance numerator are exact int64;
     // z is one sqrt + one divide in a fixed order.
     QueryDef("q214_mann_kendall", (s, d) => {
-      val daily = dailyCounts(t(s, d, "events")).localCheckpoint()
+      val daily = dailyCounts(t(s, d, "events")).materialize
       val a = daily.select(col("event_type"), col("d_idx").as("di"),
         col("x").as("xi"))
       val b = daily.select(col("event_type"), col("d_idx").as("dj"),
@@ -2017,7 +2018,7 @@ object Events {
     // distribution table, via one explode — never a corpus operation);
     // moments are exact int64 and r is the q198 two-sqrt form.
     QueryDef("q216_ccf", (s, d) => {
-      val daily = dailyCounts(t(s, d, "events")).localCheckpoint()
+      val daily = dailyCounts(t(s, d, "events")).materialize
       val dx = daily.filter(col("event_type") === "click")
         .select(col("d_idx"), col("x"))
         .withColumn("l", explode(sequence(lit(-7), lit(7))))
@@ -3034,7 +3035,7 @@ object Events {
       val aggCols = Seq(countDistinct(col("user_id")).as("n_users"),
         count(lit(1)).as("n_events")) ++ timeouts.map(t =>
         sum(when(col("gap") > t * 1000000L, 1L).otherwise(0L)).as(s"brk_$t"))
-      val g = gaps.agg(aggCols.head, aggCols.tail: _*).localCheckpoint()
+      val g = gaps.agg(aggCols.head, aggCols.tail: _*).materialize
       timeouts.map { t =>
         g.select(lit(t).as("timeout_s"), col("n_users"), col("n_events"),
           (col("n_users") + col(s"brk_$t")).as("n_sessions"),
@@ -3096,7 +3097,7 @@ object Events {
         .withColumn("rn", row_number().over(
           Window.partitionBy("day").orderBy(col("c").desc, col("item"))))
         .filter(col("rn") <= 20)
-        .localCheckpoint() // read three times: sizes and both join sides
+        .materialize // read three times: sizes and both join sides
       val sz = top.groupBy("day").agg(count(lit(1)).as("nk"))
       val ov = top.select(col("day").as("day_a"), col("item"))
         .join(top.select((col("day") - 1).as("day_a"), col("item")),
@@ -3173,14 +3174,14 @@ object Events {
         .filter(col("prev").isNotNull)
       val tr = e.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
       val rt = tr.groupBy("prev").agg(sum("c").as("tot"))
-      val trans = tr.join(rt, "prev").localCheckpoint() // states^2 rows
+      val trans = tr.join(rt, "prev").materialize // states^2 rows
       val st = trans.select(col("prev").as("state"))
         .union(trans.select(col("cur"))).distinct()
       val nS = st.agg(count(lit(1)).as("n"))
       val base = st.crossJoin(broadcast(nS))
         .select(col("state"), expr(s"${R}L div n").as("m0"),
           expr(s"(${R}L * 15) div (100 * n)").as("tele"))
-        .localCheckpoint() // states rows; anchors every iteration
+        .materialize // states rows; anchors every iteration
       // renamed copy for the iteration joins: p derives from trans (via
       // st/base), so joining p back against trans's own column names
       // trips the ambiguous-self-join check

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -392,7 +393,7 @@ object Layout {
         .select(col("doc_id"), col("n_chars").cast("long").as("v_chars"),
           Sampling.lehmer(col("doc_id")).as("v_hash"))
         .withColumn("chunk", expr("doc_id div 64"))
-        .localCheckpoint() // three candidate passes share it
+        .materialize // three candidate passes share it
       def factorOf(vCol: String, name: String) = {
         val w = Window.partitionBy("chunk").orderBy("doc_id")
         val inChunk = docs

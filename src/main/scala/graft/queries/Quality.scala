@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -467,7 +468,7 @@ object Quality {
           .otherwise("test").as("split"),
           size(split(col("text"), " ")).cast("long").as("len"))
         .groupBy("split", "len").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // both pair comparisons read it
+        .materialize // both pair comparisons read it
       def ksOf(other: String): org.apache.spark.sql.DataFrame = {
         val sides = base.filter(col("split").isin("train", other))
           .select(col("len"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1061,7 +1062,7 @@ object Relational {
         pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"x_${a}_$b") }
       // 1-row moment table, materialized once — the 6 pair rows below
       // must not re-run the corpus scan per pair
-      val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val m = base.agg(aggs.head, aggs.tail: _*).materialize
       // the r-formula PRODUCTS run in double space (each int64 moment
       // converts exactly below 2^53, and both engines round identically
       // above it): n·q and s·s as int64 products overflow at 6·10⁵ rows
@@ -1541,7 +1542,7 @@ object Relational {
         cols.map(c => sum(col(s"t_$c") * col(s"t_$c")).as(s"q_$c")) ++
         prs.map { case (a, b) =>
           sum(col(s"t_$a") * col(s"t_$b")).as(s"x_${a}_$b") }
-      val m = ranked.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      val m = ranked.agg(aggs.head, aggs.tail: _*).materialize
       val names = Map("v1" -> "quantity", "v2" -> "price",
         "v3" -> "discount", "v4" -> "netprice")
       def mm(c: String) = col(c).cast("double")

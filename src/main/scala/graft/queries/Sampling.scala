@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -158,7 +159,7 @@ object Sampling {
       .join(importanceScores(docs)
         .select(col("doc_id"), col("avg_weight").as("wt")), "doc_id")
       .withColumn("chunk", expr("n_chars div 64"))
-      .localCheckpoint() // chunk totals + local cumsum both read it
+      .materialize // chunk totals + local cumsum both read it
     val offs = chunkOffsets(
       frame.groupBy("chunk").agg(sum("wt").as("tot")), "chunk", "tot")
     val wLoc = Window.partitionBy("chunk").orderBy("n_chars", "doc_id")

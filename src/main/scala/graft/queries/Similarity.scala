@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -63,7 +64,7 @@ object Similarity {
     val base = t(s, d, "embeddings")
       .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
-      .localCheckpoint() // train side, eval side, and centroids read it
+      .materialize // train side, eval side, and centroids read it
     val train = base.filter(col("vec_id") % 2 === 0)
     val evalSide = base.filter(col("vec_id") % 2 === 1)
     val sums = train
@@ -176,7 +177,7 @@ object Similarity {
     // otherwise evaluate the full hyperplane signature pipeline on BOTH
     // sides (2x the dominant cost)
     val exploded = sig.select(col("vec_id"), posexplode(col("bands")).as(Seq("band", "bv")))
-      .localCheckpoint()
+      .materialize
     val x = exploded.select(col("vec_id").as("vec_a"), col("band"), col("bv"))
     val y = exploded.select(col("vec_id").as("vec_b"), col("band").as("band2"), col("bv").as("bv2"))
     x.join(y, col("band") === col("band2") && col("bv") === col("bv2") &&
@@ -213,7 +214,7 @@ object Similarity {
     * can have fewer than k clusters. k and iters are fixed, bounded
     * knobs, exactly like the IVF centroid count. */
   def kmeansRefine(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val e = quantize(emb).localCheckpoint()
+    val e = quantize(emb).materialize
     var cents = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(k)
       .select(col("vec_id").as("c_id"), col("qv").as("cv"), col("n2").as("cn"))
     for (_ <- 1 to iters) {
@@ -325,7 +326,7 @@ object Similarity {
     * bucketed by node) and amortizes over every query batch. */
   def knnGraph(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
       probes: Int = 2): DataFrame =
-    knnGraphOf(quantize(emb).localCheckpoint(), degree, centroids, probes)
+    knnGraphOf(quantize(emb).materialize, degree, centroids, probes)
 
   /** [[knnGraph]] over an already-quantized corpus (vec_id, qv, n2) —
     * shared so graphSearch builds index and search from ONE quantized
@@ -358,9 +359,9 @@ object Similarity {
     * degree/probe contract than the corpus was built with. */
   def knnGraphIndex(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
       probes: Int = 2): KnnGraphIndex = {
-    val e = quantize(emb).localCheckpoint()
+    val e = quantize(emb).materialize
     val cents = centsOf(e, centroids)
-    val asg = assignProbed(cents, e, probes).localCheckpoint()
+    val asg = assignProbed(cents, e, probes).materialize
     KnnGraphIndex(cents, e, asg, edgesOf(asg, asg, e, degree), degree, probes)
   }
 
@@ -413,8 +414,8 @@ object Similarity {
     * the batch's probed cells — under the INDEX's own degree/probe
     * parameters, never caller-supplied ones. */
   def extendedEdgesOf(index: KnnGraphIndex, batch: DataFrame): DataFrame = {
-    val b = quantize(batch).localCheckpoint()
-    val asgB = assignProbed(index.cents, b, index.probes).localCheckpoint()
+    val b = quantize(batch).materialize
+    val asgB = assignProbed(index.cents, b, index.probes).materialize
     edgesOf(asgB, index.assigned.union(asgB), index.vecs.union(b), index.degree)
   }
 
@@ -438,14 +439,14 @@ object Similarity {
   def graphSearch(emb: DataFrame, queryPred: Column, k: Int = 10,
       degree: Int = 12, centroids: Int = 64, probes: Int = 2,
       hops: Int = 3, ef: Int = 24): DataFrame = {
-    val e = quantize(emb).localCheckpoint()
+    val e = quantize(emb).materialize
     val cents = centsOf(e, centroids)
     val asg = assignProbed(cents, e, probes)
     val edges = edgesOf(asg, asg, e, degree)
-      .select(col("node"), col("nbr")).localCheckpoint()
+      .select(col("node"), col("nbr")).materialize
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
-      .localCheckpoint()
+      .materialize
     val wq = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     var beam = qs.crossJoin(broadcast(cents))
       .select(col("q_id"), col("qa"), col("na"),
@@ -455,7 +456,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= ef)
       .select("q_id", "n_id", "cos_sim")
-      .localCheckpoint()
+      .materialize
     for (_ <- 1 to hops) {
       val frontier = beam.select(col("q_id"), col("n_id"))
       val expanded = frontier.join(edges, frontier("n_id") === edges("node"))
@@ -470,7 +471,7 @@ object Similarity {
         .withColumn("rn", row_number().over(wq))
         .filter(col("rn") <= ef)
         .select("q_id", "n_id", "cos_sim")
-        .localCheckpoint()
+        .materialize
     }
     beam.withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
@@ -499,7 +500,7 @@ object Similarity {
     * the assignment once; production would persist the index anyway
     * (see [[ivfIndex]]). */
   def semDedup(emb: DataFrame, threshold: Double, centroids: Int = 64): DataFrame = {
-    val asg = ivfIndex(emb, centroids).assigned.localCheckpoint()
+    val asg = ivfIndex(emb, centroids).assigned.materialize
     val drops = withinCellPairs(asg, threshold)
       .select(col("vec_b").as("vec_id")).distinct()
     asg.select(col("n_id").as("vec_id"), col("cell"))
@@ -533,7 +534,7 @@ object Similarity {
     * [[tiledNearPairs]]). */
   def clusterLocalNearPairs(emb: DataFrame, threshold: Double,
       centroids: Int = 64): DataFrame =
-    withinCellPairs(ivfIndex(emb, centroids).assigned.localCheckpoint(), threshold)
+    withinCellPairs(ivfIndex(emb, centroids).assigned.materialize, threshold)
       .select("vec_a", "vec_b", "cos_sim")
 
   /** Top-k neighbors from a built index for an arbitrary (vec_id,
@@ -576,7 +577,7 @@ object Similarity {
     val g = knnGraph(emb, centroids = centroids).select(col("node"), col("nbr"))
     val sym = g.union(g.select(col("nbr").as("node"), col("node").as("nbr")))
       .distinct()
-      .localCheckpoint() // read once per round
+      .materialize // read once per round
     var l = sym.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (_ <- 1 to 3) {
@@ -630,10 +631,10 @@ object Similarity {
   /** Greedy k-center (farthest-point) coreset selection — see q113
     * below. Exposed for library use and the scale probe. */
   def kcenterPick(emb: DataFrame, k: Int): DataFrame = {
-    val e = quantize(emb).localCheckpoint()
+    val e = quantize(emb).materialize
     val seed = e.orderBy("vec_id").limit(1)
       .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
-    var sel = seed.withColumn("pick_order", lit(0L)).localCheckpoint()
+    var sel = seed.withColumn("pick_order", lit(0L)).materialize
     for (i <- 1 until k) {
       val dmin = e.join(sel.select(col("s_id"), col("sv"), col("sn")),
           col("vec_id") =!= col("s_id"))
@@ -644,7 +645,7 @@ object Similarity {
       val next = dmin.orderBy(col("md").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
         .withColumn("pick_order", lit(i.toLong))
-      sel = sel.union(next).localCheckpoint()
+      sel = sel.union(next).materialize
     }
     sel.select(col("pick_order"), col("s_id").as("vec_id"))
       .orderBy("pick_order")
@@ -837,8 +838,8 @@ object Similarity {
   /** Train the PQ codebook (per-subspace Lloyd's, `iters` refinements)
     * and return (codebook (sub, c_id, cv, cn), sub-vector table). */
   def pqCodebook(emb: DataFrame, iters: Int = 2): (DataFrame, DataFrame) = {
-    val e = quantize(emb).localCheckpoint()
-    val subs = pqSubs(e).localCheckpoint()
+    val e = quantize(emb).materialize
+    val subs = pqSubs(e).materialize
     var cb = e.orderBy(lehmer(col("vec_id")), col("vec_id")).limit(pqK)
       .select(col("vec_id").as("c_id"),
         explode(sequence(lit(0L), lit(pqM - 1L))).as("sub"), col("qv"))
@@ -991,7 +992,7 @@ object Similarity {
   def pprTopK(emb: DataFrame, anchors: Int = pqAnchors, iters: Int = 3,
       k: Int = 10, centroids: Int = 64): DataFrame = {
     val g = knnGraph(emb, centroids = centroids)
-      .select(col("node"), col("nbr")).localCheckpoint()
+      .select(col("node"), col("nbr")).materialize
     val outdeg = g.groupBy("node").agg(count(lit(1)).as("deg"))
     val ge = g.join(outdeg, "node")
     val anchorIds = quantize(emb).filter(col("vec_id") < anchors)
@@ -1045,7 +1046,7 @@ object Similarity {
     * the planted-outlier law in QualityTsSpec pins this down. */
   def lofOverGraph(emb: DataFrame, degree: Int = 12, centroids: Int = 64,
       probes: Int = 2): DataFrame = {
-    val e = quantize(emb).localCheckpoint()
+    val e = quantize(emb).materialize
     val asg = assignProbed(centsOf(e, centroids), e, probes)
     val cp = asg.select(col("cell"), col("vec_id").as("node"))
       .join(asg.select(col("cell"), col("vec_id").as("nbr")), Seq("cell"))
@@ -1062,7 +1063,7 @@ object Similarity {
       .withColumn("rank", row_number().over(wn))
       .filter(col("rank") <= degree)
       .select("node", "nbr", "d2")
-      .localCheckpoint() // 3 consumers below
+      .materialize // 3 consumers below
     val kd = ed.groupBy("node")
       .agg(max(col("d2")).as("kdist2"), count(lit(1)).as("deg"))
     val ss = ed
@@ -1096,17 +1097,17 @@ object Similarity {
     val und = g.select(col("node").as("u"), col("nbr").as("v"))
       .union(g.select(col("nbr").as("u"), col("node").as("v")))
       .distinct()
-      .localCheckpoint()
+      .materialize
     def degOf(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
     val deg0 = degOf(und)
     var edges = und
     for (_ <- 1 to rounds) {
       val keep = degOf(edges).filter(col("deg") >= k).select("u")
-        .localCheckpoint() // both endpoint filters read it
+        .materialize // both endpoint filters read it
       edges = edges.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .localCheckpoint() // next round + final degree read it
+        .materialize // next round + final degree read it
     }
     degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
       .join(deg0.select(col("u").as("node"), col("deg").as("deg_initial")),
@@ -1122,7 +1123,7 @@ object Similarity {
     val und = g.select(col("node").as("u"), col("nbr").as("v"))
       .union(g.select(col("nbr").as("u"), col("node").as("v")))
       .distinct()
-      .localCheckpoint() // 4 consumers: deg, 2 wedge sides, anti join
+      .materialize // 4 consumers: deg, 2 wedge sides, anti join
     val deg = und.groupBy("u").agg(count(lit(1)).as("deg_w"))
       .select(col("u").as("w"), col("deg_w"))
     und.select(col("v").as("u"), col("u").as("w"))
@@ -1814,7 +1815,7 @@ object Similarity {
         .withColumn("rk", row_number().over(wf))
         .filter(col("rk") <= k)
         .select("s_id", "t_id", "cos_sim")
-        .localCheckpoint() // 3 consumers; the scan must not re-run per use
+        .materialize // 3 consumers; the scan must not re-run per use
       def foldSum(c: Column) =
         aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
       val aAvg = fwd.groupBy("s_id")
@@ -2433,7 +2434,7 @@ object Similarity {
         .withColumn("rk", row_number().over(wTop))
         .filter(col("rk") <= 12)
         .select("q_id", "n_id", "rel", "qb", "nb")
-        .localCheckpoint()
+        .materialize
       val sims = cand.select(col("q_id"), col("n_id").as("c1"),
           col("qb").as("v1"), col("nb").as("m1"))
         .join(cand.select(col("q_id"), col("n_id").as("c2"),
@@ -2441,7 +2442,7 @@ object Similarity {
         .filter(col("c1") =!= col("c2"))
         .withColumn("sim", cosine(col("v1"), col("m1"), col("v2"), col("m2")))
         .select("q_id", "c1", "c2", "sim")
-        .localCheckpoint()
+        .materialize
       val lean = cand.select("q_id", "n_id", "rel")
       val wPick = Window.partitionBy("q_id").orderBy(col("mmr").desc, col("n_id"))
       var selected = lean
@@ -2464,7 +2465,7 @@ object Similarity {
           .filter(col("rn") === 1)
           .select(col("q_id"), col("n_id"), lit(k).as("pick_order"),
             col("rel"), col("mmr"))
-        selected = selected.union(next).localCheckpoint()
+        selected = selected.union(next).materialize
       }
       selected.orderBy("q_id", "pick_order")
     },
@@ -2653,7 +2654,7 @@ object Similarity {
       val und = g.select(col("node").as("u"), col("nbr").as("v"))
         .union(g.select(col("nbr").as("u"), col("node").as("v")))
         .distinct()
-        .localCheckpoint() // read once per hop
+        .materialize // read once per hop
       val seeds = und.select(col("u").as("seed")).distinct()
         .filter(col("seed") < 10)
       var visited = seeds.select(col("seed"), col("seed").as("node"))
@@ -2667,8 +2668,8 @@ object Similarity {
           .join(und, col("node") === col("u"))
           .select(col("seed"), col("v").as("node")).distinct()
         frontier = expanded.join(visited, Seq("seed", "node"), "left_anti")
-          .localCheckpoint() // next hop + count read it
-        visited = visited.unionAll(frontier).localCheckpoint()
+          .materialize // next hop + count read it
+        visited = visited.unionAll(frontier).materialize
         perHop += frontier.groupBy("seed")
           .agg(count(lit(1)).as("frontier_n"))
           .withColumn("hop", lit(h))
@@ -2968,7 +2969,7 @@ object Similarity {
         .agg(count(lit(1)).as("cnt"),
           sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"))
         .withColumn("chunk", expr("CAST(floor(score * 32.0d) AS INT) + 64"))
-        .localCheckpoint() // chunk totals + local cums both read it
+        .materialize // chunk totals + local cums both read it
       val wLoc = Window.partitionBy("q_id", "chunk").orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offs = Sampling.chunkOffsets(
@@ -3129,7 +3130,7 @@ object Similarity {
           graft.functions.ArrayExprs.dotq(col("qv"), col("qv")))
         .withColumn("p2",
           graft.functions.ArrayExprs.dotq(col("y"), col("y")))
-        .localCheckpoint() // anchor side and corpus side read it
+        .materialize // anchor side and corpus side read it
       val a = base.filter(col("vec_id") < 16)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"),
           col("y").as("ya"), col("n2").as("na"), col("p2").as("pa2"))
@@ -3314,12 +3315,12 @@ object Similarity {
     QueryDef("q292_nprobe_sweep", (s, d) => {
       val emb = t(s, d, "embeddings")
       val idx0 = ivfIndex(emb)
-      val idx = IvfIndex(idx0.cents.localCheckpoint(),
-        idx0.assigned.localCheckpoint()) // one build, three probe runs
+      val idx = IvfIndex(idx0.cents.materialize,
+        idx0.assigned.materialize) // one build, three probe runs
       val e = quantized(s, d)
-      val brute = bruteTopK(e).select("q_id", "n_id").localCheckpoint()
+      val brute = bruteTopK(e).select("q_id", "n_id").materialize
       val queries = e.filter(queryFilter)
-        .select(col("vec_id").as("q_id")).localCheckpoint()
+        .select(col("vec_id").as("q_id")).materialize
       Seq(1, 4, 16).map { p =>
         val hits = ivfQuery(idx, emb.filter(queryFilter), 10, p)
           .select("q_id", "n_id")
@@ -3421,7 +3422,7 @@ object Similarity {
     // zero-variance guard. One row out; one-row crosses are q76's class.
     QueryDef("q284_graph_health", (s, d) => {
       val g = knnGraph(t(s, d, "embeddings")).select(col("node"), col("nbr"))
-        .localCheckpoint() // three consumers: counts, mutual, und
+        .materialize // three consumers: counts, mutual, und
       val nDir = g.agg(count(lit(1)).as("n_directed"))
       val mutual = g.as("x").join(g.as("y"),
         col("x.node") === col("y.nbr") && col("x.nbr") === col("y.node"))
@@ -3534,7 +3535,7 @@ object Similarity {
       val (sym, l) = labelProp(t(s, d, "embeddings"))
       val und = sym.filter(col("node") < col("nbr"))
       val mRow = und.agg(count(lit(1)).as("m"))
-      val lbl = l.localCheckpoint() // three consumers below
+      val lbl = l.materialize // three consumers below
       val eIn = und
         .join(lbl.select(col("node"), col("label").as("la")), "node")
         .join(lbl.select(col("node").as("nbr"), col("label").as("lb")), "nbr")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -259,7 +260,7 @@ object Sketches {
       val cnt = toks.groupBy("t").agg(count(lit(1)).as("n"))
         .withColumn("h", element_at(
           graft.functions.ArrayExprs.windowHashes(array(col("t")), 1), 1))
-        .localCheckpoint() // feeds the sketch AND the top-k probe
+        .materialize // feeds the sketch AND the top-k probe
       def sliceAt(i: Int) = expr(s"(h div ${1L << (10 * i)}) % $w")
       val cms = cnt
         .select(col("n"),
@@ -436,14 +437,14 @@ object Sketches {
         .select(col("l_returnflag").as("flag"),
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
         .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .materialize
       val m = twiceMedianDist(centsDist, "flag", "v")
         .select(col("flag"), col("med2"), col("n").as("n_rows"))
       val devDist = centsDist.join(broadcast(m), "flag")
         .select(col("flag"), abs(lit(2L) * col("v") - col("med2")).as("v"),
           col("cnt"))
         .groupBy("flag", "v").agg(sum("cnt").as("cnt"))
-        .localCheckpoint()
+        .materialize
       val md = twiceMedianDist(devDist, "flag", "v")
         .select(col("flag"), col("med2").as("mad4"))
       val outliers = devDist.join(broadcast(md), "flag")
@@ -538,7 +539,7 @@ object Sketches {
           expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
       val dist = v.groupBy("flag", "c").agg(count(lit(1)).as("cnt"))
         .withColumn("chunk", expr("c div 16384"))
-        .localCheckpoint() // feeds local cums, chunk totals, group totals
+        .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("flag", "chunk").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offs = Sampling.chunkOffsets(
@@ -780,7 +781,7 @@ object Sketches {
           expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
       val dist = gaps.groupBy("etype", "gap").agg(count(lit(1)).as("cnt"))
         .withColumn("chunk", expr("gap div 16384"))
-        .localCheckpoint() // feeds local cums, chunk totals, group totals
+        .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("etype", "chunk").orderBy("gap")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offs = Sampling.chunkOffsets(
@@ -882,7 +883,7 @@ object Sketches {
           expr(graft.functions.LogHist.sparkBucketHi("idx")).as("est"))
       val dist = v.groupBy("lang", "c").agg(sum("w").as("cnt"))
         .withColumn("chunk", expr("c div 16384"))
-        .localCheckpoint() // feeds local cums, chunk totals, group totals
+        .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("lang", "chunk").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offs = Sampling.chunkOffsets(
@@ -1054,7 +1055,7 @@ object Sketches {
             "CAST(((length(bin(c)) - 5) * 16) + shiftright(c, length(bin(c)) - 5) AS INT) END")
           .as("idx"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint() // feeds both pair sides and the year totals
+        .materialize // feeds both pair sides and the year totals
       val sides = buckets.select((col("yr")).as("pair"), col("idx"),
           col("cnt").as("ca"), lit(0L).as("cb"))
         .unionByName(buckets.select((col("yr") - 1).as("pair"), col("idx"),
@@ -1144,7 +1145,7 @@ object Sketches {
           expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"))
         .groupBy("flag", "v").agg(count(lit(1)).as("cnt"))
         .withColumn("chunk", expr("v div 16384"))
-        .localCheckpoint() // feeds local cums, chunk totals, group totals
+        .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("flag", "chunk").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offs = Sampling.chunkOffsets(
@@ -1256,7 +1257,7 @@ object Sketches {
           graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
           .as("h"))
       val members = sh.filter(col("half") === 0).select("h").distinct()
-        .localCheckpoint() // feeds the bit table AND the membership join
+        .materialize // feeds the bit table AND the membership join
       // XOR salts, not additive: lehmer(h + c) is lehmer(h) + const mod M,
       // so additive salts make the k positions an arithmetic progression
       // (one degree of freedom -> measured FPR 12x the load^k model at
@@ -1267,7 +1268,7 @@ object Sketches {
           lit(mBits))
       val positions = array(posOf(0), posOf(1), posOf(2))
       val bits = members.select(explode(positions).as("pos")).distinct()
-        .localCheckpoint() // probed once, counted once
+        .materialize // probed once, counted once
       val probeEval = sh.filter(col("half") === 1).select("h").distinct()
         .select(col("h"), explode(positions).as("pos")).distinct()
         .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
@@ -1389,10 +1390,10 @@ object Sketches {
         a.select("k", "n").join(b.select(col("k"), col("n").as("n2")), "k")
           .agg(sum(col("n") * col("n2")).as("exact_pairs"))
           .select(lit(name).as("join_name"), col("exact_pairs"))
-      val li = keyed(t(s, d, "lineitem"), "l_partkey").localCheckpoint()
-      val ev = keyed(t(s, d, "events"), "user_id").localCheckpoint()
-      val oo = keyed(t(s, d, "orders"), "o_custkey").localCheckpoint()
-      val cLi = cms(li).localCheckpoint() // joined with itself below
+      val li = keyed(t(s, d, "lineitem"), "l_partkey").materialize
+      val ev = keyed(t(s, d, "events"), "user_id").materialize
+      val oo = keyed(t(s, d, "orders"), "o_custkey").materialize
+      val cLi = cms(li).materialize // joined with itself below
       val exacts = exact("lineitem_self_partkey", li, li)
         .union(exact("events_orders_custkey", ev, oo))
       val ests = est("lineitem_self_partkey", cLi, cLi)
@@ -1562,12 +1563,12 @@ object Sketches {
       val cnt = toks.groupBy("half", "t").agg(count(lit(1)).as("n"))
         .withColumn("h", element_at(graft.functions.ArrayExprs
           .windowHashes(array(col("t")), 1), 1))
-        .localCheckpoint() // feeds both sketches AND the probe set
+        .materialize // feeds both sketches AND the probe set
       def sliceAt(i: Int) = expr(s"(h div ${1L << (12 * i)}) % 4096")
       val cms = cnt.select(col("half"), col("n"),
           posexplode(array((0 until 4).map(sliceAt): _*)).as(Seq("i", "s")))
         .groupBy("half", "i", "s").agg(sum("n").as("c"))
-        .localCheckpoint() // 8 bounded probe broadcasts below
+        .materialize // 8 bounded probe broadcasts below
       var probed = cnt.groupBy("t")
         .agg(max("h").as("h"),
           sum(when(col("half") === 0, col("n")).otherwise(0L)).as("n0"),
@@ -1651,17 +1652,17 @@ object Sketches {
       val build = hashed(t(s, d, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").cast("long").as("k")).distinct(), "k")
-        .localCheckpoint() // bit table + the match flag join
+        .materialize // bit table + the match flag join
       def posOf(i: Int): Column =
         pmod(Sampling.lehmer(col("h").bitwiseXOR(lit(bloomSalts(i)))),
           lit(mBits))
       val positions = array(posOf(0), posOf(1), posOf(2))
       val bits = build.select(explode(positions).as("pos")).distinct()
-        .localCheckpoint() // probed once, counted once
+        .materialize // probed once, counted once
       val probe = hashed(t(s, d, "lineitem")
         .groupBy(col("l_orderkey").cast("long").as("k"))
         .agg(count(lit(1)).as("nr")), "k")
-        .localCheckpoint() // position probe + final row-weighted sums
+        .materialize // position probe + final row-weighted sums
       val passed = probe.select(col("k"), explode(positions).as("pos"))
         .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
         .groupBy("k")
@@ -1763,7 +1764,7 @@ object Sketches {
         .withColumn("h", Sampling.lehmer(
           element_at(graft.functions.ArrayExprs
             .windowHashes(array(col("u").cast("string")), 1), 1)))
-        .localCheckpoint() // feeds the sketch build AND the exact side
+        .materialize // feeds the sketch build AND the exact side
       val hu = ev.select("hr", "h").distinct()
       val bottomk = new graft.functions.BottomKLongAgg(64).toColumn
       val hourSk = hu.as[(Long, Long)].groupByKey(_._1)

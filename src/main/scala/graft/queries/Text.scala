@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Materialize._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -89,8 +90,8 @@ object Text {
       .filter(col("u") =!= col("v"))
     val edges = bgd.union(bgd.select(col("v").as("u"), col("u").as("v")))
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
-      .localCheckpoint()
-    val deg = edges.groupBy("u").agg(sum("w").as("wu")).localCheckpoint()
+      .materialize
+    val deg = edges.groupBy("u").agg(sum("w").as("wu")).materialize
     var pr = deg.select(col("u").as("node"), lit(S).as("pr"))
     for (_ <- 1 to iters) {
       val acc = edges
@@ -103,7 +104,7 @@ object Text {
         .join(acc, Seq("node"), "left")
         .select(col("node"),
           (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
-        .localCheckpoint()
+        .materialize
     }
     pr.select(col("node").as("token"), col("pr"))
       .orderBy(col("pr").desc, col("token"))
@@ -1494,7 +1495,7 @@ object Text {
       val cases = graft.queries.Dedup.nearDupPairsOf(docs)
         .select(col("doc_a").as("q_id"), col("doc_b").as("target"))
         .orderBy("q_id", "target").limit(32)
-        .localCheckpoint() // broadcast into the case and partner joins
+        .materialize // broadcast into the case and partner joins
       val aTerms = docs
         .join(broadcast(cases.select("q_id").distinct()),
           col("doc_id") === col("q_id"))
@@ -1532,7 +1533,7 @@ object Text {
           sum(when(col(s"r$i") === 1, 1L).otherwise(0L)).as(s"h1_$i"),
           sum(when(col(s"r$i") <= 10, 1L).otherwise(0L)).as(s"h10_$i"))
       } :+ count(lit(1)).as("n_eval")
-      val fin = ranks.agg(finCols.head, finCols.tail: _*).localCheckpoint()
+      val fin = ranks.agg(finCols.head, finCols.tail: _*).materialize
       bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
         fin.select(lit(k1).as("k1"), lit(b).as("b"), col("n_eval"),
           (col(s"sr$i").cast("double") / col("n_eval").cast("double"))
@@ -1653,7 +1654,7 @@ object Text {
       .select(col("w"), col("cnt"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
-      .localCheckpoint()
+      .materialize
     var merges: Option[DataFrame] = None
     for (i <- 1 to steps) {
       val best = wt
@@ -1664,7 +1665,7 @@ object Text {
         .agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
         .withColumn("step", lit(i))
-        .localCheckpoint()
+        .materialize
       merges = Some(merges.map(_.union(best)).getOrElse(best))
       wt = wt.crossJoin(broadcast(best.select("l", "r")))
         .select(col("w"), col("cnt"), expr(
@@ -1673,7 +1674,7 @@ object Text {
             |       WHEN (acc = l OR endswith(acc, concat(' ', l))) AND x = r
             |       THEN concat(substring(acc, 1, length(acc) - length(l)), l, r)
             |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin).as("syms"))
-        .localCheckpoint()
+        .materialize
     }
     (merges.get, wt)
   }

@@ -1,4 +1,5 @@
 package graft.tools
+import graft.Materialize._
 import org.apache.spark.sql.SparkSession
 object CCProbe {
   def main(args: Array[String]): Unit = {
@@ -10,7 +11,7 @@ object CCProbe {
     val t0 = System.nanoTime()
     val pairs = graft.queries.Dedup.nearDupPairsOf(
       graft.Tables.load(spark, d, "documents")).select("doc_a", "doc_b")
-      .localCheckpoint()
+      .materialize
     println(f"CC pairs ${(System.nanoTime()-t0)/1e9}%.2f s (${pairs.count()} pairs)")
     (1 to 2).foreach { r =>
       val t1 = System.nanoTime()

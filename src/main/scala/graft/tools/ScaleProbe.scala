@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.Materialize._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -291,7 +292,7 @@ object ScaleProbe {
       // fixed. The codebook is trained AND MATERIALIZED outside the
       // timed block so this number is the search path alone
       val (cbAdc, subsAdc) = graft.queries.Similarity.pqCodebook(replicateEmb(m))
-      val cbM = cbAdc.localCheckpoint()
+      val cbM = cbAdc.materialize
       time(s"pq_adc_x$m") {
         graft.queries.Similarity.pqAdcTopK(spark, cbM, subsAdc).count()
       }

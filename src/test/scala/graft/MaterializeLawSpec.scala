@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** The materialization-seam law (round-10): `localCheckpoint()` stores
+  * blocks unreplicated on executors, so a direct call is a
+  * fault-tolerance bug on a real cluster — one lost executor after the
+  * checkpoint fails the job unrecoverably (lineage was truncated). Every
+  * multiply-consumed frame must instead go through
+  * `Materialize.materialize`, whose strategy (local / reliable /
+  * replicated) is a session config. This spec greps the main tree: any
+  * direct `.localCheckpoint(` outside `Materialize.scala` fails the
+  * suite (the WindowLawSpec pattern).
+  */
+class MaterializeLawSpec extends AnyFunSuite with SparkTestBase {
+
+  test("no direct localCheckpoint call sites outside Materialize.scala") {
+    val root = new java.io.File("src/main/scala/graft")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val offenders = scalaFiles(root)
+      .filterNot(_.getName == "Materialize.scala")
+      .flatMap { f =>
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        val lines = try src.getLines().toVector finally src.close()
+        lines.zipWithIndex.collect {
+          case (ln, i) if ln.contains(".localCheckpoint(") =>
+            s"${f.getName}:${i + 1}"
+        }
+      }
+    assert(offenders.isEmpty,
+      s"direct localCheckpoint sites (route through Materialize.materialize): " +
+        offenders.mkString(", "))
+  }
+
+  test("all three materialize modes produce the same rows") {
+    import Materialize._
+    val base = spark.range(0, 1000).select(
+      col("id"), (col("id") % 7).as("k"))
+    def run(mode: String): Seq[(Long, Long)] = {
+      spark.conf.set("graft.materialize.mode", mode)
+      try {
+        val m = base.groupBy("k").agg(sum("id").as("s")).materialize
+        // two consumers, like the real call sites
+        val n = m.count()
+        assert(n == 7)
+        m.orderBy("k").collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      } finally spark.conf.unset("graft.materialize.mode")
+    }
+    val local = run("local")
+    assert(run("replicated") == local)
+    assert(run("reliable") == local)
+  }
+}
