@@ -1498,66 +1498,13 @@ object Relational {
     // (average rank (min+max)/2 doubled to stay int64-exact through
     // the moment sums); Spearman rho = Pearson on t (the factor 2
     // cancels). Moment bound: sum(t^2) <= n*(2n)^2 — int64-exact to
-    // ~1.3e6 rows; beyond that production normalizes ranks to [0,1]
-    // doubles first (rho is scale-invariant), trading bit-exactness
-    // for range exactly like q222's double-space combination step.
-    QueryDef("q294_spearman", (s, d) => {
-      // v4 = gross price modulated by the (independent) discount — the
-      // one strongly-monotone pair in an otherwise independent column
-      // set, so the query demonstrates both regimes: rho ~= 0 for the
-      // generator's independent columns, rho ~= 1 for price vs netprice
-      val base = t(s, d, "lineitem").select(
-        col("l_quantity").cast("long").as("v1"),
-        (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
-          .as("v2"),
-        (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
-          .as("v3"),
-        ((col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
-          * (lit(100L) - (col("l_discount").cast(DecimalType(12, 2)) * 100)
-            .cast("long"))).as("v4"))
-      // (value -> twice-average-rank) table for one column: chunked
-      // cumulative over the distribution, never a corpus-wide window
-      def rankTable(c: String): org.apache.spark.sql.DataFrame = {
-        val dist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-          .withColumn("chunk", expr(s"$c div 16384"))
-        val wLoc = Window.partitionBy("chunk").orderBy(c)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = Sampling.chunkOffsets(
-          dist.groupBy("chunk").agg(sum("cnt").as("tot")), "chunk", "tot")
-        dist.withColumn("lc", sum("cnt").over(wLoc))
-          .join(broadcast(offs), Seq("chunk"))
-          .select(col(c), (lit(2) * (col("lc") + col("off"))
-            - col("cnt") + lit(1)).as(s"t_$c"))
-      }
-      val ranked = base
-        .join(broadcast(rankTable("v1")), Seq("v1"))
-        .join(rankTable("v2"), Seq("v2"))
-        .join(broadcast(rankTable("v3")), Seq("v3"))
-        .join(rankTable("v4"), Seq("v4"))
-      val cols = Seq("v1", "v2", "v3", "v4")
-      val prs = for { i <- cols.indices; j <- cols.indices if i < j }
-        yield (cols(i), cols(j))
-      val aggs = (count(lit(1)).as("n") +:
-        cols.map(c => sum(col(s"t_$c")).as(s"s_$c"))) ++
-        cols.map(c => sum(col(s"t_$c") * col(s"t_$c")).as(s"q_$c")) ++
-        prs.map { case (a, b) =>
-          sum(col(s"t_$a") * col(s"t_$b")).as(s"x_${a}_$b") }
-      val m = ranked.agg(aggs.head, aggs.tail: _*).materialize
-      val names = Map("v1" -> "quantity", "v2" -> "price",
-        "v3" -> "discount", "v4" -> "netprice")
-      def mm(c: String) = col(c).cast("double")
-      def rho(a: String, b: String): Column = {
-        val da = mm("n") * mm(s"q_$a") - mm(s"s_$a") * mm(s"s_$a")
-        val db = mm("n") * mm(s"q_$b") - mm(s"s_$b") * mm(s"s_$b")
-        when(da > 0.0 && db > 0.0,
-          (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
-            / (sqrt(da) * sqrt(db)))
-      }
-      prs.map { case (a, b) =>
-        m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
-          col("n"), rho(a, b).as("rho"))
-      }.reduce(_.unionAll(_)).orderBy("pair")
-    },
+    // ~1.3e6 rows; past that the registered query itself switches
+    // (row-count guard in [[spearman]]) to the production branch that
+    // normalizes ranks to [0,1] doubles first (rho is affine-invariant
+    // in the ranks), trading bit-exactness for range exactly like
+    // q222's double-space combination step. SpearmanBranchSpec asserts
+    // the two branches agree to 1e-12 in the overlap regime.
+    QueryDef("q294_spearman", (s, d) => spearman(s, d),
       Some {
         val cols = Seq("v1", "v2", "v3", "v4")
         val names = Map("v1" -> "quantity", "v2" -> "price",
@@ -1782,4 +1729,85 @@ object Relational {
             "\n) ORDER BY pair")
       }),
   )
+
+  /** q294 core, parameterized by moment space. The exact branch keeps
+    * the twice-average-rank moments int64 (bit-matchable against the
+    * DuckDB oracle) but `sum(t^2) <= 4n^3` overflows 2^63 past
+    * n ~ 1.3e6; the production branch divides t by 2n first — ranks in
+    * (0, 1], every moment summand O(1), overflow-free at any corpus
+    * size, and rho is invariant under that positive scaling. The
+    * registered query takes the exact branch iff the row count is
+    * under the bound (one count job — the row count is needed either
+    * way to pick the branch, and at gate SFs it always lands exact, so
+    * the driver's hash check still covers the int64 path).
+    * `forceNormalized` exists for SpearmanBranchSpec, which pins the
+    * two branches together to 1e-12 in the overlap regime.
+    */
+  private[graft] def spearman(s: SparkSession, d: String,
+      forceNormalized: Boolean = false): DataFrame = {
+    // v4 = gross price modulated by the (independent) discount — the
+    // one strongly-monotone pair in an otherwise independent column
+    // set, so the query demonstrates both regimes: rho ~= 0 for the
+    // generator's independent columns, rho ~= 1 for price vs netprice
+    val base = t(s, d, "lineitem").select(
+      col("l_quantity").cast("long").as("v1"),
+      (col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+        .as("v2"),
+      (col("l_discount").cast(DecimalType(12, 2)) * 100).cast("long")
+        .as("v3"),
+      ((col("l_extendedprice").cast(DecimalType(12, 2)) * 100).cast("long")
+        * (lit(100L) - (col("l_discount").cast(DecimalType(12, 2)) * 100)
+          .cast("long"))).as("v4"))
+    // int64-exact bound: sum(t^2) <= n*(2n)^2 < 2^63  =>  n < ~1.32e6
+    val nRows = base.count()
+    val normalized = forceNormalized || nRows > 1300000L
+    // (value -> twice-average-rank) table for one column: chunked
+    // cumulative over the distribution, never a corpus-wide window
+    def rankTable(c: String): DataFrame = {
+      val dist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("chunk", expr(s"$c div 16384"))
+      val wLoc = Window.partitionBy("chunk").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offs = Sampling.chunkOffsets(
+        dist.groupBy("chunk").agg(sum("cnt").as("tot")), "chunk", "tot")
+      dist.withColumn("lc", sum("cnt").over(wLoc))
+        .join(broadcast(offs), Seq("chunk"))
+        .select(col(c), (lit(2) * (col("lc") + col("off"))
+          - col("cnt") + lit(1)).as(s"t_$c"))
+    }
+    val cols = Seq("v1", "v2", "v3", "v4")
+    val joined = base
+      .join(broadcast(rankTable("v1")), Seq("v1"))
+      .join(rankTable("v2"), Seq("v2"))
+      .join(broadcast(rankTable("v3")), Seq("v3"))
+      .join(rankTable("v4"), Seq("v4"))
+    val ranked =
+      if (!normalized) joined
+      else cols.foldLeft(joined) { (df, c) =>
+        df.withColumn(s"t_$c",
+          col(s"t_$c").cast("double") / lit(2.0 * nRows))
+      }
+    val prs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    val aggs = (count(lit(1)).as("n") +:
+      cols.map(c => sum(col(s"t_$c")).as(s"s_$c"))) ++
+      cols.map(c => sum(col(s"t_$c") * col(s"t_$c")).as(s"q_$c")) ++
+      prs.map { case (a, b) =>
+        sum(col(s"t_$a") * col(s"t_$b")).as(s"x_${a}_$b") }
+    val m = ranked.agg(aggs.head, aggs.tail: _*).materialize
+    val names = Map("v1" -> "quantity", "v2" -> "price",
+      "v3" -> "discount", "v4" -> "netprice")
+    def mm(c: String) = col(c).cast("double")
+    def rho(a: String, b: String): Column = {
+      val da = mm("n") * mm(s"q_$a") - mm(s"s_$a") * mm(s"s_$a")
+      val db = mm("n") * mm(s"q_$b") - mm(s"s_$b") * mm(s"s_$b")
+      when(da > 0.0 && db > 0.0,
+        (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
+          / (sqrt(da) * sqrt(db)))
+    }
+    prs.map { case (a, b) =>
+      m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
+        col("n"), rho(a, b).as("rho"))
+    }.reduce(_.unionAll(_)).orderBy("pair")
+  }
 }
