@@ -3454,5 +3454,81 @@ object Events {
              |         / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1.0))))
              |    AS z
              |FROM uu""".stripMargin)),
+
+    // ---- Streaming SCD2 twin, driver-gated (r9 verdict ask) ---------------
+    // [[graft.streaming.Streams.scd2Ingest]]'s batch/stream equality
+    // lived only in StreamingSpec; this registers the SAME
+    // flatMapGroupsWithState pipeline executed in batch mode (one
+    // iterator per user, state starts empty — Spark's defined batch
+    // semantics for stateful ops), so the driver's DuckDB gate
+    // hash-verifies the stateful logic itself on every run. In batch
+    // replay every interval but each user's open one CLOSES, which is
+    // exactly q159's history minus its is_current rows — the oracle is
+    // q159's CTE chain filtered to closed intervals. Scale shape: state
+    // shards by user_id like any grouped aggregation; the per-user sort
+    // inside the group function is bounded by that user's event count.
+    QueryDef("q307_scd2_ingest_face", (s, d) =>
+      graft.streaming.Streams.scd2Ingest(t(s, d, "events"))
+        .toDF()
+        .select("user_id", "version", "k", "valid_from_us", "valid_to_us")
+        .orderBy("user_id", "version"),
+      Some(s"""WITH $sqlScd2Ctes
+             |SELECT user_id, version, k, valid_from_us, valid_to_us
+             |FROM hist WHERE valid_to_us IS NOT NULL
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // ---- Streaming CUSUM twin, driver-gated (r9 verdict ask) --------------
+    // Same promotion for [[graft.streaming.Streams.cusumIngest]]: the
+    // online detector's buffered-baseline recursion runs in batch mode
+    // under the driver gate. Batch replay closes every day except each
+    // metric's open last day, and the online baseline contract (mu0 =
+    // mean of the first 7 CLOSED days, emitted only once the buffer
+    // fills) means a metric with fewer than 8 days emits nothing — the
+    // oracle states both rules on top of q179's integer-grid CUSUM
+    // unrolling (prefix sum minus running min). All int64-exact.
+    QueryDef("q308_cusum_ingest_face", (s, d) =>
+      graft.streaming.Streams.cusumIngest(t(s, d, "events"))
+        .toDF()
+        .orderBy("event_type", "day"),
+      Some("""WITH daily AS MATERIALIZED (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |      AS sy
+             |  FROM events GROUP BY 1, 2),
+             |dm AS MATERIALIZED (
+             |  SELECT event_type, day, n, sy, sy * 1000 // n AS m,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+             |      AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS n_days,
+             |    max(day) OVER (PARTITION BY event_type) AS max_day
+             |  FROM daily),
+             |base AS MATERIALIZED (
+             |  SELECT event_type,
+             |    CAST(sum(sy) AS BIGINT) * 1000 // CAST(sum(n) AS BIGINT)
+             |      AS mu0
+             |  FROM dm WHERE rk <= 7 GROUP BY event_type),
+             |dev AS MATERIALIZED (
+             |  SELECT d.event_type, d.day, d.n, d.m, b.mu0, d.n_days, d.max_day,
+             |    sum(d.m - b.mu0 - 5000) OVER w AS ppos,
+             |    sum(b.mu0 - d.m - 5000) OVER w AS pneg
+             |  FROM dm d JOIN base b USING (event_type)
+             |  WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |cs AS MATERIALIZED (
+             |  SELECT event_type, day, n, m, mu0, n_days, max_day,
+             |    ppos - least(0, min(ppos) OVER w) AS cusum_pos,
+             |    pneg - least(0, min(pneg) OVER w) AS cusum_neg
+             |  FROM dev
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_type, day, n, m, mu0,
+             |  CAST(cusum_pos AS BIGINT) AS cusum_pos,
+             |  CAST(cusum_neg AS BIGINT) AS cusum_neg,
+             |  cusum_pos > 25000 OR cusum_neg > 25000 AS shift_flag
+             |FROM cs
+             |WHERE day < max_day AND n_days >= 8
+             |ORDER BY event_type, day""".stripMargin)),
   )
 }
