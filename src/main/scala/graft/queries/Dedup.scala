@@ -759,6 +759,76 @@ object Dedup {
     hashed.select(col("doc_id"), min("h").over(wWin).as("fp")).distinct()
   }
 
+  /** Winnowing-blocked candidate pairs at the generator's loosest: docs
+    * sharing >= 1 fingerprint under the df<=50 stop-fingerprint cap —
+    * q306's candidate side, factored out so q306 (which scores it) and
+    * q275 (which pre-blocks with it) run the identical generator. */
+  def winnowCandidates(docs: DataFrame): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val dup = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= 50).select("fp")
+    val fd = fps.join(dup, "fp")
+    fd.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact shingle-Jaccard threshold self-join with WINNOWING-BLOCKED
+    * candidate generation — q275's plan, the shuffle-bill cut of the
+    * r9 verdict. [[jaccardJoin]]'s prefix filter is complete at any
+    * theta but pays for it: at a loose threshold the prefix is most of
+    * each document, so the posting-list pairing shuffles most of the
+    * token stream (the suite's largest shuffle, 279 MiB at sf0.1).
+    * This variant generates candidates from [[winnowCandidates]] (the
+    * q295/q306 fingerprint blocker: ~2/(w+1) of the window stream,
+    * stop-fingerprint-capped) and verifies them with the SAME exact
+    * token-stream machinery, so every emitted pair carries true
+    * Jaccard and every extra candidate dies at the theta filter.
+    *
+    * Completeness is the one property prefix filtering proves and
+    * winnowing only measures: a theta-similar pair that shares no
+    * >= 11-token run shares no fingerprint. On this corpus the blocker
+    * reaches EVERY theta >= 0.4 pair (q306 drives pair_completeness =
+    * 1.0 at 0.7 through the driver gate; tools.WinnowProbe measured
+    * 1.0 at 0.4 on sf0.001/sf0.01/sf0.1, and WinnowBlockSpec pins
+    * plan-equality with [[jaccardJoin]] in the suite) — and the
+    * driver's oracle recomputes the unblocked truth, so any future
+    * corpus that breaks the assumption fails the gate loudly rather
+    * than silently losing pairs. For thresholds below 0.4 use
+    * [[jaccardJoin]]: the require here is the documented floor. */
+  def jaccardJoinWinnowBlocked(documents: DataFrame, theta: Double): DataFrame = {
+    require(theta >= 0.4,
+      s"winnow blocking is completeness-verified only at theta >= 0.4; " +
+        s"use jaccardJoin for theta=$theta")
+    val docs = documents.select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
+      explode(col("sh")).as("tok"))
+    val lens = docs.select(col("doc_id"), size(col("sh")).as("len"))
+    // candidates + the PPJoin length bound (J >= theta forces
+    // theta*|a| <= |b| <= |a|/theta; 1e-9 slack keeps-direction only)
+    val cand = winnowCandidates(documents)
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .filter(col("lb") * lit(theta) <= col("la") + lit(1e-9) &&
+        col("la") * lit(theta) <= col("lb") + lit(1e-9))
+    // exact verify, identical to ppJoinKeys' tail: two codegen'd
+    // equi-joins count the shared tokens, J = o / (la + lb - o)
+    val o = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok"))
+        .hint("shuffle_hash"), Seq("doc_b", "tok"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("o"), min("la").as("la"), min("lb").as("lb"))
+    o.withColumn("jaccard",
+        col("o").cast("double") / (col("la") + col("lb") - col("o")))
+      .filter(col("jaccard") >= theta)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** q295's candidate-pair assembly over [[winnowFingerprints]]. */
   def winnowPairs(docs: DataFrame): DataFrame = {
     val fps = winnowFingerprints(docs)
@@ -987,17 +1057,19 @@ object Dedup {
     // the standard reciprocal filter that kills hub matches (one
     // boilerplate doc attracting everything) without any threshold
     // tuning beyond the candidate floor. Distributed shape: candidates
-    // come from the prefix-filtered exact join (jaccardJoin at 0.4 —
-    // complete by the PPJoin bound, never all-pairs); each side's
-    // argmax is one struct-max aggregation (ties -> smaller partner id,
-    // deterministic); the reciprocal check is an equi-join of the two
-    // argmax tables. Everything after the candidate join is keyed on
-    // doc ids.
+    // come from the winnowing-fingerprint blocker verified by the exact
+    // token-stream machinery (jaccardJoinWinnowBlocked — the r9-verdict
+    // shuffle cut; q306 gates the blocker's completeness, the oracle
+    // recomputes the UNBLOCKED truth so a miss fails the driver gate);
+    // each side's argmax is one struct-max aggregation (ties -> smaller
+    // partner id, deterministic); the reciprocal check is an equi-join
+    // of the two argmax tables. Everything after the candidate join is
+    // keyed on doc ids.
     QueryDef("q275_reciprocal_match", (s, d) => {
       val docs = t(s, d, "documents")
       val half = docs.select(col("doc_id"),
         (expr("CAST(substring(source, 4, 8) AS INT)") % 2).as("half"))
-      val pairs = jaccardJoin(docs, 0.4)
+      val pairs = jaccardJoinWinnowBlocked(docs, 0.4)
         .join(half.select(col("doc_id").as("doc_a"), col("half").as("ha")), "doc_a")
         .join(half.select(col("doc_id").as("doc_b"), col("half").as("hb")), "doc_b")
         .filter(col("ha") =!= col("hb"))
@@ -2530,14 +2602,7 @@ object Dedup {
       val docs = t(s, d, "documents")
       val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
         .materialize // hit join + count
-      val fps = winnowFingerprints(docs)
-      val dup = fps.groupBy("fp").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") >= 2 && col("nd") <= 50).select("fp")
-      val fd = fps.join(dup, "fp")
-      val cand = fd.select(col("fp"), col("doc_id").as("doc_a"))
-        .join(fd.select(col("fp"), col("doc_id").as("doc_b")), "fp")
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").distinct()
+      val cand = winnowCandidates(docs)
         .materialize // hit join + count
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       val nt = truth.agg(count(lit(1)).as("n_truth"))
