@@ -804,18 +804,48 @@ object Dedup {
     val docs = documents.select(col("doc_id"), array_distinct(
         graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val toks = docs.select(col("doc_id"), size(col("sh")).as("len"),
-      explode(col("sh")).as("tok"))
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
     val lens = docs.select(col("doc_id"), size(col("sh")).as("len"))
-    // candidates + the PPJoin length bound (J >= theta forces
-    // theta*|a| <= |b| <= |a|/theta; 1e-9 slack keeps-direction only)
-    val cand = winnowCandidates(documents)
+    blockedVerify(winnowCandidates(documents), toks, lens, theta)
+  }
+
+  /** Multiset counterpart of [[jaccardJoinWinnowBlocked]] — q272's
+    * occurrence-indexed keys (see [[multisetJaccardJoin]]) verified over
+    * winnow-blocked candidates. The same one-sided error contract: a
+    * candidate miss loses a pair, an extra candidate dies at the theta
+    * filter; tools.WinnowProbe measured multiset completeness 1.0 at
+    * theta 0.5 on sf0.001/sf0.01/sf0.1 (truth side:
+    * multisetJaccardJoin), the floor the require pins. */
+  def multisetJaccardJoinWinnowBlocked(documents: DataFrame, theta: Double): DataFrame = {
+    require(theta >= 0.5,
+      s"winnow blocking is multiset-completeness-verified only at " +
+        s"theta >= 0.5; use multisetJaccardJoin for theta=$theta")
+    val w = documents
+      .select(col("doc_id"), posexplode(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))
+        .as(Seq("p", "h")))
+    val occ = w
+      .withColumn("occ", row_number().over(
+        Window.partitionBy("doc_id", "h").orderBy("p")))
+      .select(col("doc_id"),
+        col("h").bitwiseXOR(Sampling.lehmer(col("occ"))).as("tok"))
+    val lens = occ.groupBy("doc_id").agg(count(lit(1)).cast("int").as("len"))
+    blockedVerify(winnowCandidates(documents), occ, lens, theta)
+  }
+
+  /** Shared verify core of the winnow-blocked joins: length-bound the
+    * candidate pairs, count shared keys with two codegen'd equi-joins
+    * over the (distinct-per-doc) key stream, J = o / (la + lb - o) —
+    * ppJoinKeys' exact tail, minus its prefix/posting stages. */
+  private def blockedVerify(cand0: DataFrame, toks: DataFrame,
+      lens: DataFrame, theta: Double): DataFrame = {
+    // PPJoin length bound (J >= theta forces theta*|a| <= |b| <= |a|/theta;
+    // 1e-9 slack keeps-direction only)
+    val cand = cand0
       .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
       .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
       .filter(col("lb") * lit(theta) <= col("la") + lit(1e-9) &&
         col("la") * lit(theta) <= col("lb") + lit(1e-9))
-    // exact verify, identical to ppJoinKeys' tail: two codegen'd
-    // equi-joins count the shared tokens, J = o / (la + lb - o)
     val o = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok"))
         .hint("shuffle_hash"), "doc_a")
@@ -1019,8 +1049,12 @@ object Dedup {
     // machinery runs unchanged and the oracle is the same equijoin
     // shape over the expanded keys. theta = 0.5 — multiset J is <= set J
     // whenever repeats differ, so thresholds sit lower than q65's.
+    // Winnow-blocked (multisetJaccardJoinWinnowBlocked; multiset has no
+    // set-J containment argument, so its completeness at 0.5 is probed
+    // directly — and the oracle recomputes the UNBLOCKED truth, so a
+    // future miss fails the driver gate, never silently loses pairs).
     QueryDef("q272_multiset_jaccard", (s, d) =>
-      multisetJaccardJoin(t(s, d, "documents"), 0.5)
+      multisetJaccardJoinWinnowBlocked(t(s, d, "documents"), 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH tmj AS MATERIALIZED (
              |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -1989,14 +2023,16 @@ object Dedup {
     // The tuning table behind every Jaccard threshold choice: pair
     // counts per 0.05 similarity bin down to 0.5, with the
     // top-cumulative column reading directly as "pairs a threshold of
-    // bucket_lo would catch". One exact prefix-filtered pair join at
-    // the LOOSEST threshold (q65's machinery at 0.5 — one run instead
-    // of one per candidate threshold), then a bounded ≤11-row bucket
+    // bucket_lo would catch". One exact pair join at the LOOSEST
+    // threshold (0.5 — one run instead of one per candidate threshold),
+    // winnow-blocked (theta >= 0.4, so truth(0.5) is inside the
+    // blocker's verified completeness region — see
+    // jaccardJoinWinnowBlocked), then a bounded ≤11-row bucket
     // rollup; the cumulative window runs over those 11 rows only.
     // Bit-stable binning: both engines compute the identical jaccard
     // double and the identical floor(j·20).
     QueryDef("q229_jaccard_histogram", (s, d) => {
-      val b = jaccardJoin(t(s, d, "documents"), 0.5)
+      val b = jaccardJoinWinnowBlocked(t(s, d, "documents"), 0.5)
         .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
       val w = Window.orderBy(col("bucket").desc)
@@ -2153,11 +2189,11 @@ object Dedup {
     // bill. Band identity is a 62-bit double Lehmer fold of the band's
     // j-ordered minhash values (two independent scalar left folds, both
     // engines — a 31-bit single fold would birthday-collide at corpus
-    // band-key counts). Ground truth reuses jaccardJoin's prefix-filter
-    // exact join at theta = 0.5, so nothing here is O(n^2) — but 0.5 is
-    // the LOOSE threshold, so this carries q229's documented sweep cost
-    // (~190 MB shuffle at sf0.1): an evaluation you run once per config
-    // choice, not per pipeline run.
+    // band-key counts). Ground truth is the winnow-blocked exact join
+    // at theta = 0.5 (inside the blocker's verified completeness
+    // region, see jaccardJoinWinnowBlocked; the driver oracle
+    // recomputes the UNBLOCKED truth), so nothing here is O(n^2) and
+    // the old ~190 MB prefix-filter sweep cost is gone.
     QueryDef("q251_lsh_pr", (s, d) => {
       val P = 2147483647L
       var x = 42L
@@ -2191,7 +2227,7 @@ object Dedup {
         .materialize // counted once, joined once
       val candN = cand.agg(count(lit(1)).as("n_cand"))
       val thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
-      jaccardJoin(docs, 0.5)
+      jaccardJoinWinnowBlocked(docs, 0.5)
         .join(cand.withColumn("is_cand", lit(true)),
           Seq("doc_a", "doc_b"), "left")
         .withColumn("theta", explode(array(thetas.map(x0 => lit(x0)): _*)))
@@ -2258,8 +2294,9 @@ object Dedup {
     // keep-lowest-id (dropped = distinct doc_b over pairs with
     // J >= theta — pairwise, not transitive, so each theta's drop set
     // is THE set that pairwise dedup at that threshold removes). One
-    // exact prefix-filtered pair join at the loosest theta (q229's
-    // documented cost class), one doc-length join, one theta-grid
+    // winnow-blocked exact pair join at the loosest theta (inside the
+    // blocker's verified completeness region, see
+    // jaccardJoinWinnowBlocked), one doc-length join, one theta-grid
     // explode over the DISTINCT (theta, doc_b) drop rows. The report
     // reads as the dedup ROI curve: tokens_saved_frac vs theta.
     QueryDef("q263_dedup_savings", (s, d) => {
@@ -2269,7 +2306,7 @@ object Dedup {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       val tot = toks.agg(count(lit(1)).as("n_docs_total"),
         sum("n_tokens").as("n_tokens_total"))
-      val dropped = jaccardJoin(docs, 0.5)
+      val dropped = jaccardJoinWinnowBlocked(docs, 0.5)
         .withColumn("theta", explode(array(thetas.map(x0 => lit(x0)): _*)))
         .filter(col("jaccard") >= col("theta"))
         .select(col("theta"), col("doc_b")).distinct()

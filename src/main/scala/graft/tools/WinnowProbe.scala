@@ -26,7 +26,9 @@ object WinnowProbe {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val docs = graft.Tables.load(spark, dir, "documents")
-      val truth = Dedup.jaccardJoin(docs, theta).select("doc_a", "doc_b")
+      val multiset = args.length > 2 && args(2) == "multiset"
+      val truth = (if (multiset) Dedup.multisetJaccardJoin(docs, theta)
+        else Dedup.jaccardJoin(docs, theta)).select("doc_a", "doc_b")
       val cand = Dedup.winnowCandidates(docs)
       val nTruth = truth.count()
       val nCand = cand.count()

@@ -25,11 +25,23 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
-  test("the theta floor is enforced: below 0.4 callers must use jaccardJoin") {
+  test("winnow-blocked multiset join equals the PPJoin multiset join at theta 0.5") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val want = Dedup.multisetJaccardJoin(docs, 0.5)
+    val got = Dedup.multisetJaccardJoinWinnowBlocked(docs, 0.5)
+    assert(want.count() > 0, "fixture must plant theta>=0.5 multiset pairs")
+    assertSameRows(got, want)
+  }
+
+  test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
       Dedup.jaccardJoinWinnowBlocked(docs, 0.3)
     }
     assert(e.getMessage.contains("theta"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.multisetJaccardJoinWinnowBlocked(docs, 0.4)
+    }
+    assert(e2.getMessage.contains("theta"))
   }
 }
