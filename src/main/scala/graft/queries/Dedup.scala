@@ -2682,6 +2682,49 @@ object Dedup {
              |    AS reduction_ratio
              |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh"""
           .stripMargin)),
+
+    // ---- Streaming source-novelty twin, driver-gated ----------------------
+    // q307/q308/q309's promotion applied to the corpus-lifetime-state
+    // twins: [[graft.streaming.Streams.noveltyIngest]] emits each
+    // distinct 3-token shingle hash exactly once, credited to the
+    // min-source carrier of its first batch. Batch replay = one batch,
+    // so the face is the pure first-seen table: (shingle, min source)
+    // over the per-doc distinct shingle stream — the state cell q100's
+    // per-source rollup reads. State shards by shingle hash; the oracle
+    // is one grouped min over the shared shingle CTE.
+    QueryDef("q310_novelty_ingest_face", (s, d) =>
+      graft.streaming.Streams.noveltyIngest(t(s, d, "documents"))
+        .toDF()
+        .orderBy("sh"),
+      Some(s"""WITH hs AS MATERIALIZED ($sqlDocHashedShingles)
+             |SELECT hs.h AS sh, min(d.source) AS source
+             |FROM hs JOIN documents d USING (doc_id)
+             |GROUP BY hs.h ORDER BY sh""".stripMargin)),
+
+    // ---- Streaming paragraph-dedup twin, driver-gated ---------------------
+    // Same promotion for [[graft.streaming.Streams.paragraphDedupIngest]]:
+    // each distinct 8-token paragraph hash exactly once, attributed to
+    // the min (doc_id, para_id) slot — the keep set q117's retention
+    // rollup is a stateless fold of. The oracle is q117's chunking CTE
+    // chain ending in a per-hash argmin instead of the keep flag.
+    QueryDef("q311_paragraph_ingest_face", (s, d) =>
+      graft.streaming.Streams.paragraphDedupIngest(t(s, d, "documents"))
+        .toDF()
+        .orderBy("h"),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+             |            len(string_split(text, ' ')) AS n FROM documents),
+             |p AS (SELECT doc_id, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER) AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text FROM p),
+             |ph AS (SELECT doc_id, para_id,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp)
+             |SELECT h, doc_id, para_id FROM (
+             |  SELECT h, doc_id, para_id, row_number() OVER (PARTITION BY h
+             |    ORDER BY doc_id, para_id) AS rn FROM ph)
+             |WHERE rn = 1 ORDER BY h""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

@@ -3530,5 +3530,37 @@ object Events {
              |FROM cs
              |WHERE day < max_day AND n_days >= 8
              |ORDER BY event_type, day""".stripMargin)),
+
+    // ---- Streaming Hampel twin, driver-gated ------------------------------
+    // Completes the stateful-twin promotion (q307/q308's pattern) for
+    // [[graft.streaming.Streams.hampelIngest]]: the 7-deep closed-day
+    // ring judges each center day 3 closed days after it. Batch replay
+    // closes every day but each type's open last one, so the judged
+    // centers are q217's full-window rows MINUS those whose window
+    // needs the open day — rank <= n_days - 4 instead of n_days - 3.
+    // All-integer state and verdicts, so the oracle is q217's
+    // sort-and-pick chain with that one extra rank bound.
+    QueryDef("q309_hampel_ingest_face", (s, d) =>
+      graft.streaming.Streams.hampelIngest(t(s, d, "events"))
+        .toDF()
+        .orderBy("event_type", "d_idx"),
+      Some(s"""WITH $sqlDaily,
+             |win AS MATERIALIZED (
+             |  SELECT event_type, d_idx, x, list(x) OVER w AS win,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY d_idx) AS rk,
+             |    count(*) OVER (PARTITION BY event_type) AS nd
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d_idx
+             |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |m AS (
+             |  SELECT event_type, d_idx, x,
+             |    list_sort(win)[4] AS med7,
+             |    list_sort(list_transform(win,
+             |      v -> abs(v - list_sort(win)[4])))[4] AS mad7
+             |  FROM win WHERE len(win) = 7 AND rk <= nd - 4)
+             |SELECT event_type, d_idx, x, med7, mad7,
+             |  abs(x - med7) > 3 * mad7 AS is_outlier
+             |FROM m ORDER BY event_type, d_idx""".stripMargin)),
   )
 }
