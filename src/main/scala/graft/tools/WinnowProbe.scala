@@ -26,9 +26,18 @@ object WinnowProbe {
     spark.sparkContext.setLogLevel("WARN")
     try {
       val docs = graft.Tables.load(spark, dir, "documents")
-      val multiset = args.length > 2 && args(2) == "multiset"
-      val truth = (if (multiset) Dedup.multisetJaccardJoin(docs, theta)
-        else Dedup.jaccardJoin(docs, theta)).select("doc_a", "doc_b")
+      val mode = if (args.length > 2) args(2) else "set"
+      val truth = mode match {
+        case "multiset" =>
+          Dedup.multisetJaccardJoin(docs, theta).select("doc_a", "doc_b")
+        case "containment" =>
+          // containment is directed; compare as unordered pairs
+          Dedup.containmentJoin(docs, theta)
+            .select(least(col("doc_sub"), col("doc_sup")).as("doc_a"),
+              greatest(col("doc_sub"), col("doc_sup")).as("doc_b"))
+            .distinct()
+        case _ => Dedup.jaccardJoin(docs, theta).select("doc_a", "doc_b")
+      }
       val cand = Dedup.winnowCandidates(docs)
       val nTruth = truth.count()
       val nCand = cand.count()

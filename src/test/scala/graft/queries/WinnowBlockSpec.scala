@@ -33,6 +33,14 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("winnow-blocked containment join equals the prefix-filtered join at tau 0.9") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val want = Dedup.containmentJoin(docs, 0.9)
+    val got = Dedup.containmentJoinWinnowBlocked(docs, 0.9)
+    assert(want.count() > 0, "fixture must plant tau>=0.9 containments")
+    assertSameRows(got, want)
+  }
+
   test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
@@ -43,5 +51,9 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
       Dedup.multisetJaccardJoinWinnowBlocked(docs, 0.4)
     }
     assert(e2.getMessage.contains("theta"))
+    val e3 = intercept[IllegalArgumentException] {
+      Dedup.containmentJoinWinnowBlocked(docs, 0.8)
+    }
+    assert(e3.getMessage.contains("tau"))
   }
 }
