@@ -2770,6 +2770,67 @@ object Dedup {
              |  SELECT h, doc_id, para_id, row_number() OVER (PARTITION BY h
              |    ORDER BY doc_id, para_id) AS rn FROM ph)
              |WHERE rn = 1 ORDER BY h""".stripMargin)),
+
+    // ---- LSH parameter designer: (bands, rows) sweep on THIS corpus ------
+    // q251 scores ONE MinHash-LSH config empirically; this is the table
+    // you consult BEFORE that run: every (r, b) split of the 32-hash
+    // budget, its s-curve collision probability at each observed
+    // similarity bucket's midpoint, and the expected caught-pair mass
+    // n_pairs * p(mid) — which config catches this corpus's actual
+    // near-dup distribution (from the winnow-blocked exact join at 0.5,
+    // q229's histogram) at what verification bill. Bit-parity: powers
+    // are UNROLLED multiplication folds over sequence()/range() in the
+    // identical order (both engines' pow() round differently — the
+    // log/exp rule), and the only aggregation is an integer bucket
+    // count; every double is a deterministic expression of (bucket, r,
+    // b). The <= 11x4 config-bucket cross is a bounded broadcast (the
+    // q76 allowlist class). At 100 TB the histogram input is the same
+    // bounded table, so the designer's cost is the pair join it already
+    // shares with q229.
+    QueryDef("q312_lsh_designer", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val hist = jaccardJoinWinnowBlocked(t(s, d, "documents"), 0.5)
+        .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      val cfg = Seq((2, 16), (4, 8), (8, 4), (16, 2)).toDF("r", "b")
+      hist.crossJoin(broadcast(cfg))
+        .withColumn("bucket_lo", expr("CAST(bucket AS DOUBLE) / 2e1"))
+        .withColumn("s", expr("CAST(2 * bucket + 1 AS DOUBLE) / 4e1"))
+        .withColumn("sr",
+          expr("aggregate(sequence(1, r - 1), s, (acc, i) -> acc * s)"))
+        .withColumn("p_mid", expr("1e0 - aggregate(sequence(1, b - 1), " +
+          "1e0 - sr, (acc, i) -> acc * (1e0 - sr))"))
+        .select(col("r"), col("b"), col("bucket_lo"), col("n_pairs"),
+          col("p_mid"),
+          (col("n_pairs").cast("double") * col("p_mid")).as("expected_caught"))
+        .orderBy("r", "bucket_lo")
+    },
+      Some(s"""WITH ${sqlHashedPairCtes(0.5)},
+             |hist AS MATERIALIZED (
+             |  SELECT CAST(floor(jaccard * 20) AS INTEGER) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM pairs GROUP BY 1),
+             |cfg AS (SELECT CAST(r AS INTEGER) AS r, CAST(b AS INTEGER) AS b
+             |        FROM (VALUES (2, 16), (4, 8), (8, 4), (16, 2)) t(r, b)),
+             |x AS (
+             |  SELECT r, b, CAST(bucket AS DOUBLE) / 2e1 AS bucket_lo,
+             |    n_pairs, CAST(2 * bucket + 1 AS DOUBLE) / 4e1 AS s
+             |  FROM hist CROSS JOIN cfg),
+             |sx AS (
+             |  SELECT r, b, bucket_lo, n_pairs, s,
+             |    list_reduce(list_prepend(s, list_transform(range(r - 1),
+             |      i -> s)), (acc, y) -> acc * s) AS sr
+             |  FROM x),
+             |px AS (
+             |  SELECT r, b, bucket_lo, n_pairs,
+             |    1e0 - list_reduce(list_prepend(1e0 - sr,
+             |      list_transform(range(b - 1), i -> 1e0 - sr)),
+             |      (acc, y) -> acc * (1e0 - sr)) AS p_mid
+             |  FROM sx)
+             |SELECT r, b, bucket_lo, n_pairs, p_mid,
+             |  CAST(n_pairs AS DOUBLE) * p_mid AS expected_caught
+             |FROM px ORDER BY r, bucket_lo""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the

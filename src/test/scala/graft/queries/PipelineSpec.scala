@@ -2311,7 +2311,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q299_cuped", // one-row day-range/pooled-moment crosses (q76's class)
       "q300_mann_whitney", // one-row per-group/tie-sum scalar crosses (q76's class)
       "q303_bloomjoin_benefit", // one-row build-key/bit-count crosses (q268's class)
-      "q306_blocking_quality") // one-row truth/candidate-count crosses (q76's class)
+      "q306_blocking_quality", // one-row truth/candidate-count crosses (q76's class)
+      "q312_lsh_designer") // <=11-bucket histogram x 4-row config cross (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
