@@ -2831,6 +2831,43 @@ object Dedup {
              |SELECT r, b, bucket_lo, n_pairs, p_mid,
              |  CAST(n_pairs AS DOUBLE) * p_mid AS expected_caught
              |FROM px ORDER BY r, bucket_lo""".stripMargin)),
+
+    // ---- Winnowing-fingerprint decontamination ---------------------------
+    // The fingerprint-index form of train/eval decontamination — what
+    // ships at real corpus scale: q72's exact shingle equijoin indexes
+    // EVERY 3-gram (recall-complete for any single-shingle overlap, ~5x
+    // the index), while contamination that matters is a VERBATIM RUN of
+    // the eval text inside a train doc, exactly winnowing's >= 11-token
+    // detection guarantee at ~2/(w+1) of the window stream. Train docs
+    // sharing >= 2 fingerprints with the eval slice (q295's precision
+    // rule — one shared window-min can be a generic phrase) are flagged
+    // with their shared-fingerprint and eval-doc counts. The eval-side
+    // index is small by nature (eval sets are bounded); at 100 TB it
+    // broadcasts and the train corpus streams through map-side — here
+    // the equijoin keys on the 62-bit fingerprint either way.
+    QueryDef("q313_winnow_decontaminate", (s, d) => {
+      val fps = winnowFingerprints(t(s, d, "documents"))
+      val ev = fps.filter(col("doc_id") % 97 === 0)
+        .select(col("fp"), col("doc_id").as("eval_id"))
+      val tr = fps.filter(col("doc_id") % 97 =!= 0)
+      tr.join(ev, "fp")
+        .groupBy("doc_id")
+        .agg(countDistinct("fp").as("n_shared_fp"),
+          countDistinct("eval_id").as("n_eval_docs"))
+        .filter(col("n_shared_fp") >= 2)
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH $sqlWinnowCtes,
+             |ev AS (SELECT doc_id AS eval_id, fp FROM fps
+             |       WHERE doc_id % 97 = 0),
+             |tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 != 0)
+             |SELECT tr.doc_id,
+             |  CAST(count(DISTINCT tr.fp) AS BIGINT) AS n_shared_fp,
+             |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+             |FROM tr JOIN ev ON tr.fp = ev.fp
+             |GROUP BY tr.doc_id
+             |HAVING count(DISTINCT tr.fp) >= 2
+             |ORDER BY doc_id""".stripMargin)),
   )
 
   /** Deterministic Bloom-filter decontamination — see q145 above for the
