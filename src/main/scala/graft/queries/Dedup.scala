@@ -2839,17 +2839,19 @@ object Dedup {
     // the index), while contamination that matters is a VERBATIM RUN of
     // the eval text inside a train doc, exactly winnowing's >= 11-token
     // detection guarantee at ~2/(w+1) of the window stream. Train docs
-    // sharing >= 2 fingerprints with the eval slice (q295's precision
-    // rule — one shared window-min can be a generic phrase) are flagged
+    // sharing >= 2 fingerprints with the eval slice (doc_id % 11, wide
+    // enough that every gate SF has contaminated rows; the >= 2 rule is
+    // q295's precision floor — one shared window-min can be a generic
+    // phrase) are flagged
     // with their shared-fingerprint and eval-doc counts. The eval-side
     // index is small by nature (eval sets are bounded); at 100 TB it
     // broadcasts and the train corpus streams through map-side — here
     // the equijoin keys on the 62-bit fingerprint either way.
     QueryDef("q313_winnow_decontaminate", (s, d) => {
       val fps = winnowFingerprints(t(s, d, "documents"))
-      val ev = fps.filter(col("doc_id") % 97 === 0)
+      val ev = fps.filter(col("doc_id") % 11 === 0)
         .select(col("fp"), col("doc_id").as("eval_id"))
-      val tr = fps.filter(col("doc_id") % 97 =!= 0)
+      val tr = fps.filter(col("doc_id") % 11 =!= 0)
       tr.join(ev, "fp")
         .groupBy("doc_id")
         .agg(countDistinct("fp").as("n_shared_fp"),
@@ -2859,8 +2861,8 @@ object Dedup {
     },
       Some(s"""WITH $sqlWinnowCtes,
              |ev AS (SELECT doc_id AS eval_id, fp FROM fps
-             |       WHERE doc_id % 97 = 0),
-             |tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 97 != 0)
+             |       WHERE doc_id % 11 = 0),
+             |tr AS (SELECT doc_id, fp FROM fps WHERE doc_id % 11 != 0)
              |SELECT tr.doc_id,
              |  CAST(count(DISTINCT tr.fp) AS BIGINT) AS n_shared_fp,
              |  CAST(count(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
