@@ -1117,6 +1117,55 @@ object Curation {
            |  b - placed AS leftover
            |FROM st3 CROSS JOIN fin ORDER BY source""".stripMargin
       }),
+
+    // ---- Quality-aware canonical selection per dedup cluster --------------
+    // q44/q51/q52 keep the MIN-ID member of each duplicate cluster — a
+    // fine tie-break for exact copies, but near-dup clusters mix a
+    // clean original with truncated/boilerplate-wrapped variants, and
+    // production dedup keeps the BEST one. Per q52 connected component:
+    // the member maximizing the q116 ensemble score (ties -> smaller
+    // doc_id, deterministic), with member/drop counts — the rule a
+    // curation pipeline actually ships. Shape: the q52 closure over the
+    // verified pair set, one doc-keyed score join, one struct-max per
+    // cluster (map-combinable; clusters key a high-cardinality id).
+    QueryDef("q314_quality_keep", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
+      val (labels, _) = Dedup.connectedComponents(pairs)
+      val scores = ensembleScores(docs).select("doc_id", "ensemble_score")
+      labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(scores, "doc_id")
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("ensemble_score"), (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("cluster_id"), (-col("m.nd")).as("keep_id"),
+          col("m.ensemble_score").as("best_score"),
+          col("n_members"), (col("n_members") - 1).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE ${Dedup.sqlPairCtes()},
+             |edges AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lbl AS MATERIALIZED (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a),
+             |$sqlEnsembleCtes,
+             |k AS (
+             |  SELECT cluster_id, l.doc_id, ensemble_score,
+             |    row_number() OVER (PARTITION BY cluster_id
+             |      ORDER BY ensemble_score DESC, l.doc_id) AS rn,
+             |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             |      AS n_members
+             |  FROM lbl l JOIN ens e ON l.doc_id = e.doc_id)
+             |SELECT cluster_id, doc_id AS keep_id,
+             |  CAST(ensemble_score AS BIGINT) AS best_score,
+             |  n_members, n_members - 1 AS n_dropped
+             |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the
