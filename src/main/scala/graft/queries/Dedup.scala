@@ -905,6 +905,23 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** q313's body: train docs sharing >= 2 winnowing fingerprints with
+    * the `evalPred` slice, with shared-fingerprint and eval-doc counts.
+    * Factored for the ScaleProbe (linear: fingerprints are per-doc
+    * window minima, the join keys on the 62-bit fp). */
+  def winnowDecontaminate(docs: DataFrame, evalPred: Column): DataFrame = {
+    val fps = winnowFingerprints(docs)
+    val evalIds = docs.filter(evalPred).select("doc_id")
+    val ev = fps.join(evalIds.hint("broadcast"), "doc_id")
+      .select(col("fp"), col("doc_id").as("eval_id"))
+    val tr = fps.join(evalIds, Seq("doc_id"), "left_anti")
+    tr.join(ev, "fp")
+      .groupBy("doc_id")
+      .agg(countDistinct("fp").as("n_shared_fp"),
+        countDistinct("eval_id").as("n_eval_docs"))
+      .filter(col("n_shared_fp") >= 2)
+  }
+
   /** q295's candidate-pair assembly over [[winnowFingerprints]]. */
   def winnowPairs(docs: DataFrame): DataFrame = {
     val fps = winnowFingerprints(docs)
@@ -2847,18 +2864,9 @@ object Dedup {
     // index is small by nature (eval sets are bounded); at 100 TB it
     // broadcasts and the train corpus streams through map-side — here
     // the equijoin keys on the 62-bit fingerprint either way.
-    QueryDef("q313_winnow_decontaminate", (s, d) => {
-      val fps = winnowFingerprints(t(s, d, "documents"))
-      val ev = fps.filter(col("doc_id") % 11 === 0)
-        .select(col("fp"), col("doc_id").as("eval_id"))
-      val tr = fps.filter(col("doc_id") % 11 =!= 0)
-      tr.join(ev, "fp")
-        .groupBy("doc_id")
-        .agg(countDistinct("fp").as("n_shared_fp"),
-          countDistinct("eval_id").as("n_eval_docs"))
-        .filter(col("n_shared_fp") >= 2)
-        .orderBy("doc_id")
-    },
+    QueryDef("q313_winnow_decontaminate", (s, d) =>
+      winnowDecontaminate(t(s, d, "documents"), col("doc_id") % 11 === 0)
+        .orderBy("doc_id"),
       Some(s"""WITH $sqlWinnowCtes,
              |ev AS (SELECT doc_id AS eval_id, fp FROM fps
              |       WHERE doc_id % 11 = 0),

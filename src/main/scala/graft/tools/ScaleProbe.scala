@@ -156,6 +156,20 @@ object ScaleProbe {
       time(s"multiset_jaccard_x$m") {
         graft.queries.Dedup.multisetJaccardJoin(docs, 0.5).count()
       }
+      // winnow-blocked family (r10): fingerprints are per-doc window
+      // minima (~2/(w+1) of the window stream), the df<=50 stop-cap
+      // bounds any bucket, and rotated-replica vocabularies keep
+      // fingerprints per-replica — candidates and verify joins linear
+      time(s"winnow_blocked_jaccard_x$m") {
+        graft.queries.Dedup.jaccardJoinWinnowBlocked(docs, 0.5).count()
+      }
+      time(s"winnow_blocked_containment_x$m") {
+        graft.queries.Dedup.containmentJoinWinnowBlocked(docs, 0.9).count()
+      }
+      time(s"winnow_decontaminate_x$m") {
+        graft.queries.Dedup.winnowDecontaminate(docs,
+          col("doc_id") % 11 === 0).count()
+      }
       time(s"dedup_components_x$m") {
         val pairs = graft.queries.Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
         graft.queries.Dedup.connectedComponents(pairs)._1.count()
