@@ -1118,16 +1118,18 @@ object Curation {
            |FROM st3 CROSS JOIN fin ORDER BY source""".stripMargin
       }),
 
-    // ---- Quality-aware canonical selection per dedup cluster --------------
-    // q44/q51/q52 keep the MIN-ID member of each duplicate cluster — a
-    // fine tie-break for exact copies, but near-dup clusters mix a
-    // clean original with truncated/boilerplate-wrapped variants, and
-    // production dedup keeps the BEST one. Per q52 connected component:
-    // the member maximizing the q116 ensemble score (ties -> smaller
-    // doc_id, deterministic), with member/drop counts — the rule a
-    // curation pipeline actually ships. Shape: the q52 closure over the
-    // verified pair set, one doc-keyed score join, one struct-max per
-    // cluster (map-combinable; clusters key a high-cardinality id).
+    // ---- Ensemble-quality canonical selection per dedup cluster -----------
+    // The third keep policy in the canonical-selection family: q51
+    // keeps MIN-ID (exact-copy tie-break), q121 keeps LONGEST (n_chars
+    // — the most complete copy), and this keeps the member maximizing
+    // the q116 multi-signal ensemble score (gates + LM familiarity +
+    // importance weight; ties -> smaller doc_id) — the policy that
+    // prefers the CLEAN original over a longer boilerplate-wrapped
+    // mirror, which keep-longest gets exactly backwards. Shape differs
+    // from q121 too: one struct-max aggregation per cluster
+    // (map-combinable) instead of a rank window over cluster
+    // partitions. Output includes the winning score so downstream can
+    // threshold clusters whose best member is still junk.
     QueryDef("q314_quality_keep", (s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
