@@ -591,5 +591,83 @@ object Quality {
            |  $chi AS chi2,
            |  $chi > 5.991 AS srm_flag
            |FROM g""".stripMargin
-      }))
+      }),
+
+    // ---- Distribution-drift monitor: total-variation distance ------------
+    // The PSI/KL drift dashboards every training-data pipeline runs
+    // between snapshots — except PSI's per-bucket log is engine-rounding
+    // territory (the log/exp rule), so this monitors TOTAL-VARIATION
+    // distance, which is rational: TVD = sum_b |n1_b*N2 - n2_b*N1| /
+    // (2*N1*N2) is exact int64 up to ~2e9 docs per side (N1*N2 < 2^63;
+    // past that, combine in doubles — q294's documented pattern), and
+    // TVD >= |P(A)-Q(A)| for EVERY event A, a stronger guarantee than
+    // PSI's unbounded score. Snapshot stand-in: doc_id parity; buckets:
+    // 16-token-wide length bins (bounded table — windows never touch
+    // the corpus). Per source: TVD, the argmax drift bucket (ties ->
+    // smaller bucket), and its share of the drift mass — where to LOOK
+    // when the alarm fires. One corpus pass; everything after runs on
+    // the (source, bucket) cell table. The snapshot split hashes the id
+    // (q56's Lehmer split rule) — raw parity is perfectly correlated
+    // with source in the generator's id blocks and starves one side.
+    QueryDef("q315_tvd_drift", (s, d) => {
+      val cell = t(s, d, "documents")
+        .select(col("source"),
+          (Sampling.lehmer(col("doc_id")) % 2 === 0).as("g1"),
+          expr("size(split(text, ' ')) div 16").as("b"))
+        .groupBy("source", "b")
+        .agg(sum(when(col("g1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("g1"), 0L).otherwise(1L)).as("n2"))
+      val tot = cell.groupBy("source")
+        .agg(sum("n1").as("n_a"), sum("n2").as("n_b"))
+      cell.join(tot, "source")
+        .select(col("source"), col("b"),
+          abs(col("n1") * col("n_b") - col("n2") * col("n_a")).as("diff"),
+          col("n_a"), col("n_b"))
+        .groupBy("source")
+        .agg(min("n_a").as("n_a"), min("n_b").as("n_b"),
+          count(lit(1)).as("n_buckets"), sum("diff").as("num"),
+          max(struct(col("diff"), (-col("b")).as("nb0"))).as("m"))
+        .select(col("source"), col("n_a"), col("n_b"), col("n_buckets"),
+          when(col("n_a") > 0 && col("n_b") > 0,
+            col("num").cast("double")
+              / (lit(2e0) * col("n_a").cast("double")
+                * col("n_b").cast("double"))).as("tvd"),
+          (-col("m.nb0") * 16).as("top_bucket_lo"),
+          when(col("num") > 0,
+            col("m.diff").cast("double") / col("num").cast("double"))
+            .as("top_share"))
+        .orderBy("source")
+    },
+      Some(s"""WITH cell AS MATERIALIZED (
+             |  SELECT source, len(string_split(text, ' ')) // 16 AS b,
+             |    CAST(sum(CASE WHEN ${Sampling.sqlLehmerOf("doc_id")} % 2 = 0
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN ${Sampling.sqlLehmerOf("doc_id")} % 2 = 0
+             |      THEN 0 ELSE 1 END) AS BIGINT) AS n2
+             |  FROM documents GROUP BY 1, 2),
+             |tot AS (SELECT source, CAST(sum(n1) AS BIGINT) AS n_a,
+             |        CAST(sum(n2) AS BIGINT) AS n_b FROM cell GROUP BY source),
+             |dx AS MATERIALIZED (
+             |  SELECT c.source, b, abs(n1 * n_b - n2 * n_a) AS diff, n_a, n_b
+             |  FROM cell c JOIN tot USING (source)),
+             |g AS (
+             |  SELECT source, min(n_a) AS n_a, min(n_b) AS n_b,
+             |    CAST(count(*) AS BIGINT) AS n_buckets,
+             |    CAST(sum(diff) AS BIGINT) AS num
+             |  FROM dx GROUP BY source),
+             |mx AS (
+             |  SELECT source, b AS top_b, diff AS top_diff FROM (
+             |    SELECT source, b, diff, row_number() OVER (
+             |      PARTITION BY source ORDER BY diff DESC, b) AS rn FROM dx)
+             |  WHERE rn = 1)
+             |SELECT g.source, n_a, n_b, n_buckets,
+             |  CASE WHEN n_a > 0 AND n_b > 0
+             |    THEN CAST(num AS DOUBLE)
+             |      / (2e0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             |  END AS tvd,
+             |  top_b * 16 AS top_bucket_lo,
+             |  CASE WHEN num > 0
+             |    THEN CAST(top_diff AS DOUBLE) / CAST(num AS DOUBLE)
+             |  END AS top_share
+             |FROM g JOIN mx USING (source) ORDER BY source""".stripMargin)))
 }
