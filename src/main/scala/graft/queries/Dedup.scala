@@ -546,7 +546,8 @@ object Dedup {
     * trimmed to its (n − ceil(tau·n) + 1) globally-rarest shingles
     * (complete by pigeonhole — see the q173 comment); the super side is
     * fully indexed, pruned only by n_sup >= ceil(tau·n_sub). */
-  def containmentJoin(documents: DataFrame, tau: Double): DataFrame = {
+  def containmentJoin(documents: DataFrame, tau: Double,
+      subIds: Option[DataFrame] = None): DataFrame = {
     val docs = documents.select(col("doc_id"), array_distinct(
         graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -554,10 +555,16 @@ object Dedup {
       explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    // optional sub-side restriction (the winnow-blocked hybrid routes
+    // only SHORT subs through this provably-complete path): the prefix
+    // stream semi-prunes to the given doc_id set, the super index stays
+    // full — containment puts no upper bound on the container's size
+    val subToks = subIds.fold(toks)(ids =>
+      toks.join(ids.select("doc_id"), Seq("doc_id"), "left_semi"))
     // shuffle_hash for the same reason as jaccardJoin: Catalyst's size
     // estimate under a Generate is pre-explode, so it would broadcast the
     // exploded token stream.
-    val prefix = toks.join(dfreq.hint("shuffle_hash"), "tok")
+    val prefix = subToks.join(dfreq.hint("shuffle_hash"), "tok")
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= col("len") - ceil(lit(tau) * col("len") - lit(1e-9)) + 1)
       .select(col("doc_id").as("doc_sub"), col("len").as("n_sub"), col("tok"))
@@ -615,7 +622,7 @@ object Dedup {
       .join(lens.select(col("doc_id").as("doc_sup"), col("len").as("n_sup")),
         "doc_sup")
       .filter(col("n_sup") >= ceil(lit(tau) * col("n_sub") - lit(1e-9)))
-    cand
+    val blocked = cand
       .join(toks.select(col("doc_id").as("doc_sub"), col("tok"))
         .hint("shuffle_hash"), "doc_sub")
       .join(toks.select(col("doc_id").as("doc_sup"), col("tok"))
@@ -629,6 +636,20 @@ object Dedup {
         (col("n_sub") + col("n_sup") - col("shared")))
       .select("doc_sub", "doc_sup", "shared", "n_sub", "n_sup",
         "containment", "jaccard")
+    // short-SUB hybrid (jaccardJoinWinnowBlocked's rule, asymmetric
+    // form): a sub with few/no fingerprint windows is invisible to the
+    // blocker, and containment bounds nothing on the SUPER side — so
+    // short subs (ShortLen+2 tokens keeps their distinct-shingle count
+    // under ShortLen) go through the pigeonhole prefix path with the
+    // sub stream semi-pruned to them and the full super index intact.
+    val shortSubIds = documents
+      .filter(size(split(col("text"), " ")) < ShortLen + 2)
+      .select("doc_id")
+    val exactShort = containmentJoin(documents, tau, Some(shortSubIds))
+    blocked
+      .join(shortSubIds.withColumnRenamed("doc_id", "doc_sub"),
+        Seq("doc_sub"), "left_anti")
+      .unionAll(exactShort)
   }
 
   /** Semantic (embedding-side) edge source for [[multiSignalDedup]] — the
@@ -842,7 +863,20 @@ object Dedup {
     * driver's oracle recomputes the unblocked truth, so any future
     * corpus that breaks the assumption fails the gate loudly rather
     * than silently losing pairs. For thresholds below 0.4 use
-    * [[jaccardJoin]]: the require here is the documented floor. */
+    * [[jaccardJoin]]: the require here is the documented floor.
+    *
+    * SHORT-DOC HYBRID: the blocker has one PROVABLE hole — a doc with
+    * fewer than 4 tokens has no 4-gram windows, hence no fingerprints
+    * at all (two identical 3-token docs are J = 1.0 and invisible),
+    * and docs with just a few windows carry too few fingerprints for
+    * the empirical argument to mean much. So pairs whose short side
+    * has < [[ShortLen]] distinct shingles are routed through the
+    * PROVABLY-complete prefix-filter join instead: the PPJoin length
+    * bound says both sides of such a pair fit in <= ShortLen/theta
+    * shingles, so the exact branch runs on a corpus slice whose
+    * membership is a cheap per-row filter, and the two branches
+    * partition pairs disjointly on least(la, lb). WinnowBlockSpec's
+    * short-doc fixture drives exactly the 3-token case. */
   def jaccardJoinWinnowBlocked(documents: DataFrame, theta: Double): DataFrame = {
     require(theta >= 0.4,
       s"winnow blocking is completeness-verified only at theta >= 0.4; " +
@@ -852,8 +886,25 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
     val lens = docs.select(col("doc_id"), size(col("sh")).as("len"))
-    blockedVerify(winnowCandidates(documents), toks, lens, theta)
+    val blocked = blockedVerify(winnowCandidates(documents), toks, lens, theta)
+      .filter(least(col("la"), col("lb")) >= ShortLen)
+      .select("doc_a", "doc_b", "jaccard")
+    val smallCorpus = documents.filter(size(array_distinct(
+      graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
+      <= math.ceil(ShortLen / theta).toInt)
+    val exactShort = jaccardJoin(smallCorpus, theta)
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .filter(least(col("la"), col("lb")) < ShortLen)
+      .select("doc_a", "doc_b", "jaccard")
+    blocked.unionAll(exactShort)
   }
+
+  /** Shingle/key-set size below which a pair's short side is routed
+    * through the provably-complete prefix path by the winnow-blocked
+    * hybrids (< 14 distinct shingles ~= < 16 tokens ~= < 13 fingerprint
+    * windows — too few window minima to lean on). */
+  private[queries] val ShortLen = 14
 
   /** Multiset counterpart of [[jaccardJoinWinnowBlocked]] — q272's
     * occurrence-indexed keys (see [[multisetJaccardJoin]]) verified over
@@ -876,13 +927,29 @@ object Dedup {
       .select(col("doc_id"),
         col("h").bitwiseXOR(Sampling.lehmer(col("occ"))).as("tok"))
     val lens = occ.groupBy("doc_id").agg(count(lit(1)).cast("int").as("len"))
-    blockedVerify(winnowCandidates(documents), occ, lens, theta)
+    val blocked = blockedVerify(winnowCandidates(documents), occ, lens, theta)
+      .filter(least(col("la"), col("lb")) >= ShortLen)
+      .select("doc_a", "doc_b", "jaccard")
+    // the same short-side hybrid as jaccardJoinWinnowBlocked; here the
+    // key count is the occurrence-key count = n_tokens - 2, so the
+    // small corpus is a cheap token-length filter
+    val smallCorpus = documents.filter(
+      size(graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))
+        <= math.ceil(ShortLen / theta).toInt)
+    val exactShort = multisetJaccardJoin(smallCorpus, theta)
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .filter(least(col("la"), col("lb")) < ShortLen)
+      .select("doc_a", "doc_b", "jaccard")
+    blocked.unionAll(exactShort)
   }
 
   /** Shared verify core of the winnow-blocked joins: length-bound the
     * candidate pairs, count shared keys with two codegen'd equi-joins
     * over the (distinct-per-doc) key stream, J = o / (la + lb - o) —
-    * ppJoinKeys' exact tail, minus its prefix/posting stages. */
+    * ppJoinKeys' exact tail, minus its prefix/posting stages. Output
+    * keeps (la, lb) so callers can partition pairs by the short-side
+    * hybrid rule. */
   private def blockedVerify(cand0: DataFrame, toks: DataFrame,
       lens: DataFrame, theta: Double): DataFrame = {
     // PPJoin length bound (J >= theta forces theta*|a| <= |b| <= |a|/theta;
@@ -902,7 +969,7 @@ object Dedup {
     o.withColumn("jaccard",
         col("o").cast("double") / (col("la") + col("lb") - col("o")))
       .filter(col("jaccard") >= theta)
-      .select("doc_a", "doc_b", "jaccard")
+      .select("doc_a", "doc_b", "jaccard", "la", "lb")
   }
 
   /** q313's body: train docs sharing >= 2 winnowing fingerprints with

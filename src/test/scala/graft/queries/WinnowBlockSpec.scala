@@ -41,6 +41,43 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("short docs ride the provably-complete branch: the 3-token J=1.0 pair is found") {
+    // the blocker's PROVABLE hole: a doc with < 4 tokens has no 4-gram
+    // windows, hence no fingerprints — two identical 3-token docs are
+    // Jaccard 1.0 and invisible to pure winnow blocking. The hybrid's
+    // short-side branch must carry them (and agree with the unblocked
+    // join on the whole mixed corpus).
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, "a b c"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 zz yy"),
+      (5L, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15 q16 q17 q18 q19 q20")
+    ).toDF("doc_id", "text")
+    val want = Dedup.jaccardJoin(docs, 0.5)
+    val got = Dedup.jaccardJoinWinnowBlocked(docs, 0.5)
+    assertSameRows(got, want)
+    val pairs = got.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the fingerprint-less 3-token pair must be found")
+    assert(pairs.contains((3L, 4L)), "the long near-dup pair must be found")
+    // multiset face of the same corpus
+    assertSameRows(
+      Dedup.multisetJaccardJoinWinnowBlocked(docs, 0.5),
+      Dedup.multisetJaccardJoin(docs, 0.5))
+    // containment: the 3-token sub is wholly inside a long container
+    val cdocs = docs.union(Seq(
+      (6L, "p1 p2 a b c p3 p4 p5 p6 p7 p8 p9 p10 p11 p12")).toDF("doc_id", "text"))
+    val cw = Dedup.containmentJoin(cdocs, 0.9)
+    val cg = Dedup.containmentJoinWinnowBlocked(cdocs, 0.9)
+    assertSameRows(cg, cw)
+    val subs = cg.select("doc_sub", "doc_sup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(subs.contains((1L, 6L)) && subs.contains((2L, 6L)),
+      "fingerprint-less short subs must be found inside their container")
+  }
+
   test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
