@@ -78,6 +78,36 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
       "fingerprint-less short subs must be found inside their container")
   }
 
+  test("one-sided error is a THEOREM: blocked output is a subset of exact truth, even adversarially") {
+    // Completeness of the blocker is empirical (probed + oracle-gated);
+    // SOUNDNESS is not: every emitted pair passed the exact verify, so
+    // blocked \subseteq unblocked holds on ANY corpus. This fixture is
+    // adversarial by design — tiny-vocabulary docs overlap heavily as
+    // shingle SETS while sharing few long runs, the regime where the
+    // fingerprint blocker's recall genuinely degrades (natural-text
+    // near-dups share runs; these don't). The law pinned here is the
+    // one-sided contract, not recall.
+    import spark.implicits._
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs = (1L to 12L).map { i =>
+      // deterministic shuffled-ish tiny-vocab text, 30 tokens
+      val txt = (0 until 30)
+        .map(j => vocab(((i * 31 + j * 17 + j * j * 7) % 5).toInt))
+        .mkString(" ")
+      (i, txt)
+    }.toDF("doc_id", "text")
+    val want = Dedup.jaccardJoin(docs, 0.4)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    val got = Dedup.jaccardJoinWinnowBlocked(docs, 0.4)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    assert(got.subsetOf(want), s"blocked emitted non-pairs: ${got.diff(want)}")
+    val cw = Dedup.containmentJoin(docs, 0.9)
+      .select("doc_sub", "doc_sup").collect().map(_.toSeq).toSet
+    val cg = Dedup.containmentJoinWinnowBlocked(docs, 0.9)
+      .select("doc_sub", "doc_sup").collect().map(_.toSeq).toSet
+    assert(cg.subsetOf(cw), s"blocked emitted non-containments: ${cg.diff(cw)}")
+  }
+
   test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
