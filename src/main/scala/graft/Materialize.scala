@@ -45,8 +45,19 @@ object Materialize {
         case "reliable" =>
           val sc = spark.sparkContext
           if (sc.getCheckpointDir.isEmpty) {
-            sc.setCheckpointDir(spark.conf.get(
-              "graft.materialize.checkpointDir",
+            // A tmpdir default is only sound on local masters: on a
+            // multi-node cluster java.io.tmpdir is a NODE-LOCAL path, so
+            // checkpoint blocks written there are unreadable after
+            // executor loss — exactly the fault the mode exists to
+            // survive. Fail fast instead of silently degrading
+            // (ADVICE r10).
+            val dir = spark.conf.getOption("graft.materialize.checkpointDir")
+            require(dir.isDefined || sc.master.startsWith("local"),
+              "graft.materialize.mode=reliable on a non-local master " +
+                "requires graft.materialize.checkpointDir to name a " +
+                "SHARED filesystem path (HDFS/S3); java.io.tmpdir is " +
+                "node-local and unreadable after executor loss")
+            sc.setCheckpointDir(dir.getOrElse(
               sys.props("java.io.tmpdir") + "/graft-checkpoints"))
           }
           ds.checkpoint()
@@ -58,5 +69,20 @@ object Materialize {
           ds.localCheckpoint()
       }
     }
+
+    /** Release a frame a PREVIOUS loop iteration materialized, once its
+      * successor is materialized. Only `replicated` mode holds releasable
+      * state (persist entries + 2x blocks that would otherwise accumulate
+      * per iteration for the whole session — ADVICE r10); the checkpoint
+      * flavors keep their blocks until the RDD is GC'd, and unpersisting a
+      * checkpointed frame is a no-op we skip rather than pay a
+      * CacheManager round-trip for. Lineage is KEPT in replicated mode,
+      * so a released predecessor merely recomputes from source in the
+      * (double-loss) case where the successor's own blocks are gone —
+      * correctness is unaffected. */
+    def release(): Unit =
+      if (ds.sparkSession.conf.get("graft.materialize.mode", "local")
+          == "replicated")
+        ds.unpersist(blocking = false)
   }
 }

@@ -22,6 +22,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // q294's DuckDB oracle computes only the int64-exact Spearman branch;
+    // the engine itself switches to the normalized-double production
+    // branch past ~1.3e6 lineitem rows (sum(t^2) <= 4n^3 vs 2^63). A gate
+    // SF above that bound would hash-mismatch on a CORRECT engine result,
+    // so fail fast with the real reason instead of letting the driver
+    // record a silent red (ADVICE r10). All shipped gate SFs
+    // (0.001/0.01/0.1 -> <= ~600k rows) sit far under the bound.
+    if (only.isEmpty || only("q294_spearman")) {
+      val n = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      require(n <= 1300000L,
+        s"q294_spearman's oracle covers only the int64-exact branch " +
+          s"(lineitem rows <= 1.3e6); $sfDir has $n rows — run the gate " +
+          s"at a smaller SF or exclude q294_spearman")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -637,13 +637,18 @@ object Dedup {
       .select("doc_sub", "doc_sup", "shared", "n_sub", "n_sup",
         "containment", "jaccard")
     // short-SUB hybrid (jaccardJoinWinnowBlocked's rule, asymmetric
-    // form): a sub with few/no fingerprint windows is invisible to the
+    // form): a sub with a small fingerprint SURFACE is invisible to the
     // blocker, and containment bounds nothing on the SUPER side — so
-    // short subs (ShortLen+2 tokens keeps their distinct-shingle count
-    // under ShortLen) go through the pigeonhole prefix path with the
-    // sub stream semi-pruned to them and the full super index intact.
+    // subs with < ShortLen DISTINCT shingles go through the pigeonhole
+    // prefix path with the sub stream semi-pruned to them and the full
+    // super index intact. Routing on the distinct-shingle count (the
+    // same key count the verify uses), NOT token count: a long
+    // repetitive sub has many tokens but few distinct shingles — hence
+    // few fingerprint windows — and must ride the provably-complete
+    // branch too (ADVICE r10).
     val shortSubIds = documents
-      .filter(size(split(col("text"), " ")) < ShortLen + 2)
+      .filter(size(array_distinct(graft.functions.ArrayExprs
+        .windowHashes(split(col("text"), " "), 3))) < ShortLen)
       .select("doc_id")
     val exactShort = containmentJoin(documents, tau, Some(shortSubIds))
     blocked
@@ -782,6 +787,10 @@ object Dedup {
         .materialize
       rounds += 1
       done = isStarForest(next)
+      // the previous round's edge set is fully superseded — release its
+      // replicated blocks (no-op outside replicated mode; see
+      // Materialize.release)
+      cur.release()
       cur = next
     }
     val labels = nodes.join(cur.withColumnRenamed("u", "node"), Seq("node"), "left")

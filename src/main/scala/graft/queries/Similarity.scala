@@ -463,6 +463,7 @@ object Similarity {
         .select(col("q_id"), col("nbr").as("n_id"))
         .union(frontier)
         .distinct()
+      val prev = beam
       beam = expanded
         .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
         .join(broadcast(qs), "q_id")
@@ -472,6 +473,7 @@ object Similarity {
         .filter(col("rn") <= ef)
         .select("q_id", "n_id", "cos_sim")
         .materialize
+      prev.release() // superseded beam — see Materialize.release
     }
     beam.withColumn("rank", row_number().over(wq))
       .filter(col("rank") <= k)
@@ -645,7 +647,9 @@ object Similarity {
       val next = dmin.orderBy(col("md").desc, col("vec_id")).limit(1)
         .select(col("vec_id").as("s_id"), col("qv").as("sv"), col("n2").as("sn"))
         .withColumn("pick_order", lit(i.toLong))
+      val prev = sel
       sel = sel.union(next).materialize
+      prev.release() // superseded selection set — see Materialize.release
     }
     sel.select(col("pick_order"), col("s_id").as("vec_id"))
       .orderBy("pick_order")

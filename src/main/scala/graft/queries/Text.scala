@@ -100,11 +100,13 @@ object Text {
         .select(col("v").as("node"),
           expr("(pr div wu) * w + ((pr % wu) * w) div wu").as("c"))
         .groupBy("node").agg(sum("c").as("acc"))
+      val prev = pr
       pr = deg.select(col("u").as("node"))
         .join(acc, Seq("node"), "left")
         .select(col("node"),
           (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
         .materialize
+      prev.release() // superseded rank vector — see Materialize.release
     }
     pr.select(col("node").as("token"), col("pr"))
       .orderBy(col("pr").desc, col("token"))
@@ -1667,6 +1669,7 @@ object Text {
         .withColumn("step", lit(i))
         .materialize
       merges = Some(merges.map(_.union(best)).getOrElse(best))
+      val prev = wt
       wt = wt.crossJoin(broadcast(best.select("l", "r")))
         .select(col("w"), col("cnt"), expr(
           """split(aggregate(syms, '', (acc, x) ->
@@ -1675,6 +1678,9 @@ object Text {
             |       THEN concat(substring(acc, 1, length(acc) - length(l)), l, r)
             |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin).as("syms"))
         .materialize
+      // the superseded word-type table releases; each step's `best` stays
+      // persisted — it is retained in the returned merge table
+      prev.release()
     }
     (merges.get, wt)
   }
