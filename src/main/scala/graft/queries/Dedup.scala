@@ -835,6 +835,67 @@ object Dedup {
     hashed.select(col("doc_id"), min("h").over(wWin).as("fp")).distinct()
   }
 
+  /** Rare-key candidate pairs: docs sharing >= 1 VERIFY key (the same
+    * key space the exact verify counts — distinct shingles for the set
+    * join, occurrence keys for the multiset join) whose document
+    * frequency is in [2, cap]. The second candidate tier of the
+    * loose-threshold hybrids (see [[jaccardJoinWinnowBlocked]]): the
+    * winnowing tier reaches every pair sharing an >= 11-token RUN, but
+    * a scattered-edit pair (a token substituted every ~7th position is
+    * Jaccard ~0.4 with NO shared run) shares no fingerprint at any
+    * threshold — the r10 probe corpus had no such pairs, the r11 mid-J
+    * fixture (tools.MidJProbe) plants them. This tier reaches every
+    * pair sharing >= [[RareMinShared]] df-rare keys, which is exactly
+    * the scattered regime (shared content that is not boilerplate).
+    * The documented approximation is the intersection of both tiers'
+    * misses: a pair sharing no >= 11-token run AND all but
+    * (RareMinShared - 1) of whose shared keys are df > cap —
+    * boilerplate-dominated overlap, the same stop-key contract as the
+    * winnow tier's df <= 50 cap. The >= RareMinShared gate is what
+    * keeps the tier's FALSE candidates (and hence the exact-verify
+    * bill, which pays one token-stream join per candidate) bounded: at
+    * sf0.1, >= 1 shared rare key admits 1.13M candidate pairs,
+    * >= 3 admits 10.3k — a 100x verify-cost difference for a contract
+    * a theta >= 0.4 pair cannot feel (both its sides carry >= ShortLen
+    * = 14 keys on the blocked branch, so it shares >= 8 keys; missing
+    * means >= 6 of them are boilerplate while scattered-edit shared
+    * keys are by nature pair-local). Cost is bounded per key at
+    * C(cap, 2) pairings and linear in corpus keys, so the tier scales
+    * like the winnow tier (df-capped posting join, AQE-splittable). */
+  def rareKeyCandidates(keys: DataFrame, cap: Int = RareKeyCap,
+      minShared: Int = RareMinShared): DataFrame = {
+    val dup = keys.groupBy("tok").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= cap).select("tok")
+    val fd = keys.join(dup, "tok")
+    fd.select(col("tok"), col("doc_id").as("doc_a"))
+      .join(fd.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ns"))
+      .filter(col("ns") >= minShared)
+      .select("doc_a", "doc_b")
+  }
+
+  /** Document-frequency cap of [[rareKeyCandidates]] — keys shared by
+    * more docs than this are treated as stop keys (boilerplate), the
+    * analogue of the winnow tier's df <= 50 fingerprint cap. */
+  private[queries] val RareKeyCap = 25
+
+  /** Minimum shared rare keys for a [[rareKeyCandidates]] pair — the
+    * false-candidate throttle (see the method doc for the sf0.1
+    * numbers and why a theta >= 0.4 pair cannot fall under it). */
+  private[queries] val RareMinShared = 3
+
+  /** Thresholds BELOW this add the [[rareKeyCandidates]] tier to the
+    * winnow-blocked joins. At theta >= 0.7 the winnow tier alone is the
+    * measured-complete generator (a scattered-edit pair at J >= 0.7
+    * substitutes at most every ~17th token, leaving >= 16-token shared
+    * runs — above the >= 11-token fingerprint guarantee; q306 attests
+    * 0.7 through the driver gate every round). Below it the scattered
+    * regime can fall under the run guarantee, so the rare-key tier
+    * joins the union — tools.MidJProbe measures the two-tier envelope
+    * on planted pairs at controlled Jaccard 0.35-0.95. */
+  private[queries] val RareTierTheta = 0.7
+
   /** Winnowing-blocked candidate pairs at the generator's loosest: docs
     * sharing >= 1 fingerprint under the df<=50 stop-fingerprint cap —
     * q306's candidate side, factored out so q306 (which scores it) and
@@ -863,16 +924,25 @@ object Dedup {
     * Jaccard and every extra candidate dies at the theta filter.
     *
     * Completeness is the one property prefix filtering proves and
-    * winnowing only measures: a theta-similar pair that shares no
-    * >= 11-token run shares no fingerprint. On this corpus the blocker
-    * reaches EVERY theta >= 0.4 pair (q306 drives pair_completeness =
-    * 1.0 at 0.7 through the driver gate; tools.WinnowProbe measured
-    * 1.0 at 0.4 on sf0.001/sf0.01/sf0.1, and WinnowBlockSpec pins
-    * plan-equality with [[jaccardJoin]] in the suite) — and the
-    * driver's oracle recomputes the unblocked truth, so any future
-    * corpus that breaks the assumption fails the gate loudly rather
-    * than silently losing pairs. For thresholds below 0.4 use
-    * [[jaccardJoin]]: the require here is the documented floor.
+    * blocking only measures: a theta-similar pair that shares no
+    * >= 11-token run shares no fingerprint — the r10 probes never
+    * stressed that hole because every truth pair on the driver corpus
+    * is J >= ~0.8 run-sharing. So below [[RareTierTheta]] the
+    * candidates are a TWO-TIER union: winnow fingerprints (reach every
+    * run-sharing pair) + [[rareKeyCandidates]] over the verify's own
+    * key stream (reach every pair with >= 1 df-rare shared shingle —
+    * the scattered-edit regime, where similarity exists without runs).
+    * tools.MidJProbe measures the union's envelope on a fixture that
+    * PLANTS pairs at controlled Jaccard 0.35-0.95 under both edit
+    * models (contiguous-segment and scattered substitution) on top of
+    * the real corpus at all three SFs; WinnowBlockSpec pins the
+    * fixture in-suite, q306 drives pair_completeness = 1.0 at 0.7
+    * through the driver gate, and the driver's oracle recomputes the
+    * unblocked truth, so any future corpus that breaks the two-tier
+    * contract (a pair ALL of whose shared keys are boilerplate AND
+    * that shares no run) fails the gate loudly rather than silently
+    * losing pairs. For thresholds below 0.4 use [[jaccardJoin]]: the
+    * require here is the documented floor.
     *
     * SHORT-DOC HYBRID: the blocker has one PROVABLE hole — a doc with
     * fewer than 4 tokens has no 4-gram windows, hence no fingerprints
@@ -895,7 +965,14 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
     val lens = docs.select(col("doc_id"), size(col("sh")).as("len"))
-    val blocked = blockedVerify(winnowCandidates(documents), toks, lens, theta)
+    // two-tier candidate generation below RareTierTheta: winnow
+    // fingerprints (run-sharing pairs) + rare verify keys (scattered
+    // pairs) — see rareKeyCandidates for the completeness contract
+    val cand0 =
+      if (theta < RareTierTheta)
+        winnowCandidates(documents).union(rareKeyCandidates(toks)).distinct()
+      else winnowCandidates(documents)
+    val blocked = blockedVerify(cand0, toks, lens, theta)
       .filter(least(col("la"), col("lb")) >= ShortLen)
       .select("doc_a", "doc_b", "jaccard")
     val smallCorpus = documents.filter(size(array_distinct(
@@ -917,10 +994,12 @@ object Dedup {
 
   /** Multiset counterpart of [[jaccardJoinWinnowBlocked]] — q272's
     * occurrence-indexed keys (see [[multisetJaccardJoin]]) verified over
-    * winnow-blocked candidates. The same one-sided error contract: a
-    * candidate miss loses a pair, an extra candidate dies at the theta
-    * filter; tools.WinnowProbe measured multiset completeness 1.0 at
-    * theta 0.5 on sf0.001/sf0.01/sf0.1 (truth side:
+    * the same two-tier candidates (winnow fingerprints + rare
+    * occurrence keys below [[RareTierTheta]]). The same one-sided error
+    * contract: a candidate miss loses a pair, an extra candidate dies
+    * at the theta filter; tools.WinnowProbe measured multiset
+    * completeness 1.0 at theta 0.5 on sf0.001/sf0.01/sf0.1 and
+    * tools.MidJProbe measures the planted mid-J envelope (truth side:
     * multisetJaccardJoin), the floor the require pins. */
   def multisetJaccardJoinWinnowBlocked(documents: DataFrame, theta: Double): DataFrame = {
     require(theta >= 0.5,
@@ -936,7 +1015,13 @@ object Dedup {
       .select(col("doc_id"),
         col("h").bitwiseXOR(Sampling.lehmer(col("occ"))).as("tok"))
     val lens = occ.groupBy("doc_id").agg(count(lit(1)).cast("int").as("len"))
-    val blocked = blockedVerify(winnowCandidates(documents), occ, lens, theta)
+    // the same two-tier rule as jaccardJoinWinnowBlocked, over the
+    // occurrence-key space the multiset verify counts
+    val cand0 =
+      if (theta < RareTierTheta)
+        winnowCandidates(documents).union(rareKeyCandidates(occ)).distinct()
+      else winnowCandidates(documents)
+    val blocked = blockedVerify(cand0, occ, lens, theta)
       .filter(least(col("la"), col("lb")) >= ShortLen)
       .select("doc_a", "doc_b", "jaccard")
     // the same short-side hybrid as jaccardJoinWinnowBlocked; here the

@@ -108,6 +108,29 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
     assert(cg.subsetOf(cw), s"blocked emitted non-containments: ${cg.diff(cw)}")
   }
 
+  test("planted MID-similarity pairs are complete at the floors (the r10 open flank)") {
+    // The r10 probes certified "completeness 1.0 at theta 0.4" against
+    // truth sets whose every pair was J >= ~0.8 — the floor itself was
+    // unstressed. MidJFixture plants pairs at controlled true Jaccard
+    // 0.35-0.95 under three edit models, including the run-free
+    // scattered regime where the winnow tier alone demonstrably misses
+    // (tools.MidJProbe shows the winnow-only misses; the shipping
+    // two-tier generator must not). This law pins blocked == exact AT
+    // the registered floors on that fixture, and pins that the fixture
+    // genuinely contains mid-similarity truth.
+    val (docs, _) = graft.tools.MidJFixture.planted(spark, 2)
+    val want = Dedup.jaccardJoin(docs, 0.4)
+    val mid = want.filter(col("jaccard") < 0.7).count()
+    assert(mid >= 10, s"fixture must carry J in [0.4, 0.7) truth pairs, had $mid")
+    assertSameRows(Dedup.jaccardJoinWinnowBlocked(docs, 0.4), want)
+    assertSameRows(
+      Dedup.multisetJaccardJoinWinnowBlocked(docs, 0.5),
+      Dedup.multisetJaccardJoin(docs, 0.5))
+    assertSameRows(
+      Dedup.containmentJoinWinnowBlocked(docs, 0.9),
+      Dedup.containmentJoin(docs, 0.9))
+  }
+
   test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
