@@ -911,6 +911,64 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
+  /** Blocking-quality report body — q306 runs it on the full corpus,
+    * q316 on a Lehmer document sample (the 100 TB mode): exact PPJoin
+    * truth at Jaccard 0.7 vs the winnowing candidate generator, scored
+    * as pair completeness + reduction ratio over whatever doc set the
+    * caller hands in. One-row scalar crosses are the allowlisted q76
+    * class. */
+  def blockingQualityOf(docs: DataFrame): DataFrame = {
+    val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
+      .materialize // hit join + count
+    val cand = winnowCandidates(docs)
+      .materialize // hit join + count
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nh = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(nh))
+      .select(col("n_docs"), col("n_truth"), col("n_candidates"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / col("n_truth").cast("double"))
+          .as("pair_completeness"),
+        (lit(1.0) - col("n_candidates").cast("double")
+          / (col("n_docs") * (col("n_docs") - 1) / 2).cast("double"))
+          .as("reduction_ratio"))
+  }
+
+  /** Oracle CTE chain + final SELECT of [[blockingQualityOf]] (minus the
+    * leading `WITH `): q306 uses it over the real `documents` view, q316
+    * prepends a shadowing `documents` CTE that Lehmer-samples
+    * `main.documents` — one SQL body, two doc populations. */
+  private[queries] def sqlBlockingQualityCtes: String =
+    s"""${sqlHashedPairCtes(0.7)},
+       |$sqlWinnowCtes,
+       |dup AS (
+       |  SELECT fp FROM fps GROUP BY fp
+       |  HAVING count(*) BETWEEN 2 AND 50),
+       |fd AS (SELECT doc_id, f.fp FROM fps f JOIN dup USING (fp)),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+       |       FROM documents),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
+       |       FROM cand),
+       |nh AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM pairs p JOIN cand c
+       |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
+       |SELECT n_docs, n_truth, n_candidates, n_hit,
+       |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       |    AS pair_completeness,
+       |  1.0 - CAST(n_candidates AS DOUBLE)
+       |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
+       |    AS reduction_ratio
+       |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin
+
   /** Exact shingle-Jaccard threshold self-join with WINNOWING-BLOCKED
     * candidate generation — q275's plan, the shuffle-bill cut of the
     * r9 verdict. [[jaccardJoin]]'s prefix filter is complete at any
@@ -2858,53 +2916,31 @@ object Dedup {
     // that gate, and at 100 TB it runs on a Lehmer sample of the
     // corpus (the truth side is the expensive one, not the blocker).
     // One-row scalar crosses are the allowlisted q76 class.
-    QueryDef("q306_blocking_quality", (s, d) => {
-      val docs = t(s, d, "documents")
-      val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
-        .materialize // hit join + count
-      val cand = winnowCandidates(docs)
-        .materialize // hit join + count
-      val nd = docs.agg(count(lit(1)).as("n_docs"))
-      val nt = truth.agg(count(lit(1)).as("n_truth"))
-      val nc = cand.agg(count(lit(1)).as("n_candidates"))
-      val nh = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("n_hit"))
-      nd.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
-        .crossJoin(broadcast(nh))
-        .select(col("n_docs"), col("n_truth"), col("n_candidates"),
-          col("n_hit"),
-          (col("n_hit").cast("double") / col("n_truth").cast("double"))
-            .as("pair_completeness"),
-          (lit(1.0) - col("n_candidates").cast("double")
-            / (col("n_docs") * (col("n_docs") - 1) / 2).cast("double"))
-            .as("reduction_ratio"))
-    },
-      Some(s"""WITH ${sqlHashedPairCtes(0.7)},
-             |$sqlWinnowCtes,
-             |dup AS (
-             |  SELECT fp FROM fps GROUP BY fp
-             |  HAVING count(*) BETWEEN 2 AND 50),
-             |fd AS (SELECT doc_id, f.fp FROM fps f JOIN dup USING (fp)),
-             |cand AS MATERIALIZED (
-             |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM fd a JOIN fd b ON a.fp = b.fp AND a.doc_id < b.doc_id),
-             |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
-             |       FROM documents),
-             |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM pairs),
-             |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates
-             |       FROM cand),
-             |nh AS (
-             |  SELECT CAST(count(*) AS BIGINT) AS n_hit
-             |  FROM pairs p JOIN cand c
-             |    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b)
-             |SELECT n_docs, n_truth, n_candidates, n_hit,
-             |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
-             |    AS pair_completeness,
-             |  1.0 - CAST(n_candidates AS DOUBLE)
-             |    / CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE)
-             |    AS reduction_ratio
-             |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh"""
-          .stripMargin)),
+    QueryDef("q306_blocking_quality", (s, d) =>
+      blockingQualityOf(t(s, d, "documents")),
+      Some(s"WITH $sqlBlockingQualityCtes")),
+
+    // ---- Sampled blocking-quality gate: the promised 100 TB mode ---------
+    // q306's contract at scale, now CODE instead of documentation (the
+    // r10 verdict's ask #2): the expensive side of the gate is the
+    // exact PPJoin TRUTH, so at 100 TB the gate runs on a deterministic
+    // Lehmer DOCUMENT sample — sample the doc set (hash parity keeps it
+    // rerun-invariant and engine-shared), then compute BOTH the exact
+    // truth and the blocker's candidates WITHIN the sample, so the
+    // reported completeness/reduction estimates are a proper pair-level
+    // subsample (each pair survives iff both endpoints do, rate r^2 —
+    // unbiased for the pair population, with the usual variance
+    // trade-off the rate knob prices). The halving keeps the truth side
+    // at r^2 = 25% of the full bill here; at 100 TB the same query
+    // shape runs at r ~ 1e-3. WinnowBlockSpec relates this estimate to
+    // q306's full-corpus numbers on the spec corpus.
+    QueryDef("q316_blocking_quality_sampled", (s, d) =>
+      blockingQualityOf(t(s, d, "documents")
+        .filter(Sampling.lehmer(col("doc_id")) % 2 === 0)),
+      Some(s"""WITH documents AS MATERIALIZED (
+             |  SELECT * FROM main.documents
+             |  WHERE ${Sampling.sqlLehmer} % 2 = 0),
+             |$sqlBlockingQualityCtes""".stripMargin)),
 
     // ---- Streaming source-novelty twin, driver-gated ----------------------
     // q307/q308/q309's promotion applied to the corpus-lifetime-state

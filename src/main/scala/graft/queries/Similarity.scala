@@ -562,6 +562,29 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos_sim")
   }
 
+  /** PREDICATE-AWARE (filtered) IVF top-k — the retrieval shape
+    * production vector search almost always runs: "top-k WHERE
+    * lang = 'en' AND gate_pass". The predicate (as an allowed-id set)
+    * is pushed into the POSTING STREAM — the assigned table is
+    * semi-pruned BEFORE the probe join scores anything — so the
+    * operator PRE-filters: every scored candidate already satisfies
+    * the predicate and the window ranks only eligible rows. The
+    * alternative (post-filtering an unfiltered top-k) silently
+    * under-fills: at 10% selectivity an unfiltered top-10 keeps ~1
+    * eligible row. In production the metadata columns live ON the
+    * posting table (it is a persisted parquet — see [[IvfIndex]]), so
+    * "allowed" is a pushed-down parquet filter, not a join; the
+    * semi-join form here is the general case (predicate over a side
+    * table). Scale shape is [[ivfQuery]]'s with a smaller posting
+    * side; under-fill remains visible to the caller as < k returned
+    * rows per query (q317 reports it as n_ret). */
+  def ivfQueryFiltered(index: IvfIndex, queries: DataFrame,
+      allowed: DataFrame, k: Int = 10, nprobe: Int = 16): DataFrame =
+    ivfQuery(
+      index.copy(assigned = index.assigned.join(
+        allowed.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")),
+      queries, k, nprobe)
+
   // DuckDB mirror of quant/dot/cosine (64 dims, index-based).
   private[queries] val sqlQuant =
     "list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 10000000 + 0.5) AS BIGINT))"
@@ -1671,6 +1694,135 @@ object Similarity {
              |FROM (SELECT DISTINCT vec_id AS q_id FROM n WHERE vec_id < 50) qs
              |LEFT JOIN hits ON qs.q_id = hits.q_id
              |ORDER BY qs.q_id""".stripMargin)),
+
+    // ---- Filtered (predicate-aware) ANN with recall attestation ----------
+    // The one retrieval shape the ANN family didn't cover (r10 verdict
+    // ask #5): approximate top-k UNDER A PREDICATE. Post-filtering a
+    // fixed top-k under-fills (at ~10% selectivity an unfiltered
+    // top-10 keeps ~1 eligible row); ivfQueryFiltered instead pushes
+    // the predicate into the posting stream BEFORE scoring, so ranks
+    // are over eligible rows only. Two arms at the two selectivities
+    // that matter — narrow (label = 3, ~10%) and broad (even labels,
+    // ~50%) — each attested per query against the exact FILTERED brute
+    // force: n_ret (under-fill visibility), n_hits, recall. One index
+    // build serves both arms (the production amortization contract);
+    // the semi-prune + probe joins are cell-keyed and AQE-splittable
+    // exactly like q49's.
+    QueryDef("q317_ivf_filtered", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val e = quantize(emb).materialize // index build + both brute arms
+      val cents = centsOf(e, 64)
+      val idx = IvfIndex(cents, assignTo(cents, e).materialize)
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      def arm(tag: String, pred: Column): DataFrame = {
+        val allowed = emb.filter(pred).select("vec_id")
+        val ivf = ivfQueryFiltered(idx, emb.filter(queryFilter), allowed)
+          .select(col("q_id"), col("n_id"))
+        val brute = broadcast(queries)
+          .join(e.join(allowed, Seq("vec_id"), "left_semi")
+            .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")),
+            col("q_id") =!= col("n_id"))
+          .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+          .withColumn("rank", row_number().over(wB))
+          .filter(col("rank") <= 10)
+          .select("q_id", "n_id")
+        val nret = ivf.groupBy("q_id").agg(count(lit(1)).as("n_ret"))
+        val bcnt = brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+        val hits = ivf.join(brute, Seq("q_id", "n_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        queries.select("q_id")
+          .join(nret, Seq("q_id"), "left")
+          .join(bcnt, Seq("q_id"), "left")
+          .join(hits, Seq("q_id"), "left")
+          .select(lit(tag).as("sel"), col("q_id"),
+            coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double")
+              / col("n_brute").cast("double")).as("recall"))
+      }
+      arm("broad", col("label") % 2 === 0)
+        .unionAll(arm("narrow", col("label") === 3))
+        .orderBy("sel", "q_id")
+    },
+      Some {
+        def armSql(tag: String, predSql: String) =
+          s"""alw_$tag AS MATERIALIZED (
+             |  SELECT vec_id FROM embeddings WHERE $predSql),
+             |branked_$tag AS MATERIALIZED (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      ${sqlCos("a", "b")} AS cos_sim
+             |    FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |    JOIN alw_$tag w ON b.vec_id = w.vec_id
+             |    WHERE a.vec_id < 50)),
+             |bcnt_$tag AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_brute
+             |  FROM branked_$tag WHERE rank <= 10 GROUP BY 1),
+             |iranked_$tag AS MATERIALIZED (
+             |  SELECT q_id, n_id, row_number() OVER (
+             |    PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM (
+             |    SELECT p.q_id, s.n_id, ${sqlCos("p", "s")} AS cos_sim
+             |    FROM probes p JOIN corpus s ON p.cell = s.cell
+             |    JOIN alw_$tag w ON s.n_id = w.vec_id
+             |    WHERE p.q_id != s.n_id)),
+             |nret_$tag AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_ret
+             |  FROM iranked_$tag WHERE rank <= 10 GROUP BY 1),
+             |hits_$tag AS (
+             |  SELECT i.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM iranked_$tag i JOIN branked_$tag b
+             |    ON i.q_id = b.q_id AND i.n_id = b.n_id
+             |  WHERE i.rank <= 10 AND b.rank <= 10
+             |  GROUP BY i.q_id)""".stripMargin
+        def armSel(tag: String) =
+          s"""SELECT '$tag' AS sel, qs.q_id,
+             |  coalesce(n_ret, 0) AS n_ret,
+             |  coalesce(n_hits, 0) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE)
+             |    / CAST(n_brute AS DOUBLE) AS recall
+             |FROM qs
+             |LEFT JOIN nret_$tag USING (q_id)
+             |LEFT JOIN bcnt_$tag USING (q_id)
+             |LEFT JOIN hits_$tag USING (q_id)""".stripMargin
+        s"""WITH q AS (
+           |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+           |n AS MATERIALIZED (
+           |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+           |c AS MATERIALIZED (
+           |  SELECT vec_id AS c_id, qv, n2 FROM n
+           |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+           |asg AS (
+           |  SELECT vec_id, c_id AS cell FROM (
+           |    SELECT n.vec_id, c.c_id,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+           |    FROM n CROSS JOIN c)
+           |  WHERE rn = 1),
+           |corpus AS MATERIALIZED (
+           |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell
+           |  FROM asg a JOIN n ON a.vec_id = n.vec_id),
+           |probes AS MATERIALIZED (
+           |  SELECT q_id, qv, n2, cell FROM (
+           |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+           |      row_number() OVER (PARTITION BY n.vec_id
+           |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+           |    FROM n CROSS JOIN c WHERE n.vec_id < 50)
+           |  WHERE crn <= 16),
+           |qs AS MATERIALIZED (
+           |  SELECT DISTINCT vec_id AS q_id FROM n WHERE vec_id < 50),
+           |${armSql("broad", "label % 2 = 0")},
+           |${armSql("narrow", "label = 3")}
+           |SELECT * FROM (
+           |${armSel("broad")}
+           |UNION ALL
+           |${armSel("narrow")})
+           |ORDER BY sel, q_id""".stripMargin
+      }),
 
     // ---- Hard-negative mining for contrastive training -------------------
     // The retrieval-training data op: for each anchor (the bounded query

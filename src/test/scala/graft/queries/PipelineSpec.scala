@@ -2312,7 +2312,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q300_mann_whitney", // one-row per-group/tie-sum scalar crosses (q76's class)
       "q303_bloomjoin_benefit", // one-row build-key/bit-count crosses (q268's class)
       "q306_blocking_quality", // one-row truth/candidate-count crosses (q76's class)
-      "q312_lsh_designer") // <=11-bucket histogram x 4-row config cross (q76's class)
+      "q312_lsh_designer", // <=11-bucket histogram x 4-row config cross (q76's class)
+      "q316_blocking_quality_sampled", // q306's one-row crosses on the Lehmer sample
+      "q317_ivf_filtered") // q49's fixed 64-row centroid broadcast + q48's bounded 50-query anchors
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),

@@ -131,6 +131,31 @@ class WinnowBlockSpec extends AnyFunSuite with SparkTestBase {
       Dedup.containmentJoin(docs, 0.9))
   }
 
+  test("the sampled blocking-quality gate estimates the full gate (q316 vs q306)") {
+    // q316 = q306 on a Lehmer HALF of the doc set — both truth and
+    // candidates within the sample, so its statistics are a pair-level
+    // r^2 subsample of the full gate's population. On the spec corpus
+    // both must report the same verdict a pipeline would gate on:
+    // completeness 1.0 (the blocker misses nothing, in the population
+    // or any subsample of it) and a reduction ratio within a couple of
+    // points (the candidate rate is a population property; the sample
+    // estimates it).
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val full = Dedup.blockingQualityOf(docs).collect()(0)
+    val sampled = Dedup.blockingQualityOf(
+      docs.filter(Sampling.lehmer(col("doc_id")) % 2 === 0)).collect()(0)
+    assert(sampled.getAs[Long]("n_docs") > 0 &&
+      sampled.getAs[Long]("n_truth") > 0,
+      "the half-sample must keep a non-empty truth set on the spec corpus")
+    assert(full.getAs[Double]("pair_completeness") == 1.0)
+    assert(sampled.getAs[Double]("pair_completeness") == 1.0,
+      "a complete blocker is complete on every doc-induced subsample")
+    val rrFull = full.getAs[Double]("reduction_ratio")
+    val rrSampled = sampled.getAs[Double]("reduction_ratio")
+    assert(math.abs(rrFull - rrSampled) < 0.02,
+      s"sampled reduction ratio $rrSampled vs full $rrFull")
+  }
+
   test("the theta floors are enforced: below them callers must use the PPJoin paths") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val e = intercept[IllegalArgumentException] {
