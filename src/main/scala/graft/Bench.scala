@@ -10,11 +10,14 @@ import org.apache.spark.sql.SparkSession
   * and last, bracketing a bytes/delta diagnostics line — see the
   * truncation-proof layout note at the bottom of [[main]]).
   *
-  * Queries run in sorted name order, three passes; the reported time is
-  * the per-query minimum. The first pass also acts as the JVM/codegen
-  * warmup — without it the first queries absorb multi-second one-time
-  * costs — and the minimum over three damps the +-25% run-to-run noise
-  * observed on a shared host, so round-over-round deltas mean something.
+  * Queries run in sorted name order, three base passes plus ADAPTIVE
+  * per-query repetitions: a query reruns until its two smallest times
+  * agree within 15% (cap 7 total reps), so the reported minimum is a
+  * REPRODUCED measurement rather than a lucky draw — min-of-3 admitted
+  * ±3x swings on byte-identical plans under host contention (q186,
+  * round 10). The first pass also acts as the JVM/codegen warmup.
+  * Wall-time is the headline; the BYTES surface below is the
+  * regression gate (deterministic per plan).
   *
   * Execution is a NOOP WRITE, not count(): under count() Catalyst
   * legitimately eliminates everything cardinality-irrelevant — left
@@ -95,13 +98,41 @@ object Bench {
       (sec, Some(counters.map(_.get())))
     }
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)
-    // a failure in ANY pass marks the query failed
+    // ADAPTIVE-STABILITY POLICY (round-11; the r10 verdict's ask #4):
+    // min-of-3 admitted ±3x wall-time swings on byte-identical plans
+    // (q186, r10), so sub-5s regressions read as noise. Per query,
+    // after the 3 base passes, keep re-running until the two smallest
+    // times agree within 15% (the reported min is then a reproduced
+    // measurement, not a lucky draw) or a cap of 7 total reps. Queries
+    // that fail any rep stay failed. Wall-time remains the headline
+    // but the BYTES surface ("bytes" below / ShuffleAudit) is the
+    // regression GATE — bytes are a plan property, immune to host
+    // contention; the policy string rides the output JSON.
+    val extraReps = scala.collection.mutable.Map[String, Int]()
+    val allRuns: Map[String, Seq[(Double, Option[Array[Long]])]] =
+      names.map { n =>
+        var runs = passes.map(_(n)).toList
+        def stable(rs: List[(Double, Option[Array[Long]])]): Boolean = {
+          val ts = rs.map(_._1)
+          if (ts.exists(_ < 0)) true // failed: no amount of reps helps
+          else {
+            val s = ts.sorted
+            s(1) <= s(0) * 1.15
+          }
+        }
+        while (!stable(runs) && runs.size < 7) {
+          runs = timeOnce(n) :: runs
+          extraReps(n) = runs.size - 3
+        }
+        n -> (runs: Seq[(Double, Option[Array[Long]])])
+      }.toMap
+    // a failure in ANY rep marks the query failed
     val best = names.map { n =>
-      val ts = passes.map(_(n)._1)
+      val ts = allRuns(n).map(_._1)
       n -> (if (ts.exists(_ < 0)) -1.0 else ts.min)
     }.toMap
     val bytes: Map[String, Array[Long]] = names.flatMap { n =>
-      val ms = passes.flatMap(_(n)._2)
+      val ms = allRuns(n).flatMap(_._2)
       if (ms.isEmpty) None
       else Some(n -> Array.tabulate(5)(i => ms.map(_(i)).min))
     }.toMap
@@ -182,7 +213,12 @@ object Bench {
     // with the round; the prev-round parser above prefers it). The full
     // line is still printed FIRST for head-biased captures and humans.
     val selfFile = s"BENCH_SELF_r$round.json"
-    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_total":${jnum(headlineTotal)},"failed":$failedJson,"n_queries":${names.size},"queries":$qs,"bytes":$bytesJson$deltaJson,"sf":"$sfDir"}"""
+    // total reps for each query that needed MORE than the 3 base passes
+    // (absent = stable within 3)
+    val repsJson = extraReps.toSeq.sortBy(_._1)
+      .map { case (n, e) => "\"" + n + "\":" + (3 + e) }.mkString("{", ",", "}")
+    val policy = s""""policy":"min2-within-15pct-cap7; bytes surface is the regression gate","reps":$repsJson"""
+    val full = s"""{"metric":"total","value":${jnum(total)},"unit":"sec","headline_total":${jnum(headlineTotal)},"failed":$failedJson,"n_queries":${names.size},$policy,"queries":$qs,"bytes":$bytesJson$deltaJson,"sf":"$sfDir"}"""
     // subset runs (args given) are local iteration — never let a partial
     // queries map overwrite the round's committed full record
     if (args.isEmpty) {

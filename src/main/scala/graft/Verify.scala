@@ -14,11 +14,18 @@ object Verify {
     val unknown = only -- SparkEntry.queries.keySet
     require(unknown.isEmpty, s"unknown query names: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // GRAFT_MATERIALIZE_MODE=reliable|replicated runs the whole dump
+    // under a cluster-realistic materialization strategy (see
+    // Materialize.scala) — the close checklist runs one full pass under
+    // each so the non-local modes are verified end-to-end, not only
+    // law-tested on spec inputs (VERDICT r10 ask #3).
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("graft.materialize.mode",
+        sys.env.getOrElse("GRAFT_MATERIALIZE_MODE", "local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

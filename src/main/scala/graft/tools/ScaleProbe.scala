@@ -24,9 +24,12 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def replicate(df: DataFrame, keyCol: String, stride: Long): DataFrame =
-      (0 until mult).map(i =>
+    def replicateN(df: DataFrame, keyCol: String, stride: Long,
+        m: Int): DataFrame =
+      (0 until m).map(i =>
         df.withColumn(keyCol, col(keyCol) + lit(i * stride))).reduce(_ union _)
+    def replicate(df: DataFrame, keyCol: String, stride: Long): DataFrame =
+      replicateN(df, keyCol, stride, mult)
 
     val li = graft.Tables.load(spark, sfDir, "lineitem")
     val orders = graft.Tables.load(spark, sfDir, "orders")
@@ -443,6 +446,48 @@ object ScaleProbe {
     Seq(1, 4).foreach { m =>
       time(s"embed_tiled_exact_x$m") {
         graft.queries.Similarity.tiledNearPairs(replicateEmb(m), 0.45).count()
+      }
+    }
+
+    // --- x64 OVERFLOW PROBE (r11 verdict ask #6) --------------------------
+    // The moment/rank/sketch families carry documented int64 bounds the
+    // sf0.01 and sf0.1 gates sit comfortably under (q222's n*sum(v^2) -
+    // sum(v)^2 fix was only caught at 600k rows; q294's exact-branch
+    // bound is 1.3e6). Push the REGISTERED queries to x64 replicas
+    // (sf0.01 x64 = ~3.84M lineitem rows) via a temp parquet directory
+    // the QueryDefs read like any SF dir, so every documented bound is
+    // either CROSSED in-probe (forcing the guarded production branch —
+    // q294 runs its normalized-double branch here) or measured-safe.
+    // Disjointness rules match the replica builders above (new order
+    // keys / users / Caesar-rotated docs / sign-flipped embeddings).
+    val omult = if (args.length > 2) args(2).toInt else 64
+    if (omult > 0) {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-scale-x64").toString
+      def save(name: String, df: DataFrame): Unit =
+        df.write.mode("overwrite").parquet(s"$tmp/$name.parquet")
+      save("lineitem", replicateN(li, "l_orderkey", maxKey, omult))
+      save("orders", replicateN(orders, "o_orderkey", maxKey, omult))
+      save("events", (0 until omult).map { i =>
+        ev0.withColumn("event_id", col("event_id") + lit(i * maxEv))
+          .withColumn("user_id", col("user_id") + lit(i * maxUser))
+      }.reduce(_ union _))
+      save("documents", replicateDocs(omult))
+      save("embeddings", (0 until omult).map { i =>
+        emb0.withColumn("vec_id", col("vec_id") + lit(i * maxVec))
+          .withColumn("embedding", transform(col("embedding"),
+            (x, k) => x * (pmod(hash(lit(i * 7919) + k), lit(2)) * 2 - 1)
+              .cast("float")))
+      }.reduce(_ union _))
+      Seq("region", "nation", "customer", "supplier", "part")
+        .foreach(n => save(n, graft.Tables.load(spark, sfDir, n)))
+      val overflowProne = Seq("q171_trend_fit", "q197_benford",
+        "q206_cramers_v", "q222_column_correlations",
+        "q253_similarity_auc", "q294_spearman")
+      overflowProne.foreach { name =>
+        time(s"${name}_x$omult") {
+          graft.SparkEntry.queries(name)(spark, tmp).count()
+        }
       }
     }
     spark.stop()
