@@ -1510,6 +1510,81 @@ object Dedup {
              |FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
              |ORDER BY t.doc_id""".stripMargin)),
 
+    // ---- Per-doc contamination FRACTION at the 8-gram standard -----------
+    // The decontamination family (q72 exact counts, q145 Bloom, q313
+    // winnow) DROPS or COUNTS; production pipelines also SOFT-FILTER on
+    // a normalized score — the GPT-3-style statistic: what fraction of
+    // a training doc's distinct 8-token windows also occur in the eval
+    // set. A doc 4% contaminated (one quoted benchmark question) and a
+    // doc 80% contaminated (a mirror of the benchmark) demand different
+    // treatment, which the binary drop can't express. Windows are the
+    // 62-bit hashes (q78's narrow-key rule); the eval window set
+    // broadcasts (bounded — eval sets don't grow with the corpus), the
+    // training side streams map-side through one semi-join, and the
+    // only shuffle is the per-doc count — one corpus pass at any scale.
+    // Docs shorter than 8 tokens have no windows and score 0.0.
+    QueryDef("q320_contamination_fraction", (s, d) => {
+      val benchPred = col("doc_id") % 97 === 0
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val w = docs.filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(col("tk"), 8))).as("win"))
+      val bench = w.filter(benchPred).select("win").distinct()
+      val train = w.filter(!benchPred)
+      val nw = train.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val hits = train.join(broadcast(bench), Seq("win"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      docs.filter(!benchPred).select("doc_id")
+        .join(nw, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_windows").cast("double")).as("contaminated_frac"))
+        .withColumn("flagged", col("contaminated_frac") >= 0.05)
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |w0 AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(tk) - 6),
+             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+             |  FROM t WHERE len(tk) >= 8),
+             |w AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+             |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+             |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS win
+             |  FROM w0),
+             |bench AS (SELECT DISTINCT win FROM w WHERE doc_id % 97 = 0),
+             |train AS (SELECT * FROM w WHERE doc_id % 97 != 0),
+             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+             |       FROM train GROUP BY 1),
+             |hits AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             |  FROM train WHERE win IN (SELECT win FROM bench)
+             |  GROUP BY 1)
+             |SELECT t.doc_id,
+             |  coalesce(n_windows, 0) AS n_windows,
+             |  coalesce(n_contaminated, 0) AS n_contaminated,
+             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+             |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
+             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
+             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+             |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
+             |FROM t
+             |LEFT JOIN nw ON t.doc_id = nw.doc_id
+             |LEFT JOIN hits ON t.doc_id = hits.doc_id
+             |WHERE t.doc_id % 97 != 0
+             |ORDER BY t.doc_id""".stripMargin)),
+
     // ---- Near-dup provenance: which sources copy from which --------------
     // The investigative rollup over the verified near-dup pair set: joins
     // each pair to its documents' `source` labels and counts pairs per

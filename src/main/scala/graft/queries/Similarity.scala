@@ -1824,6 +1824,159 @@ object Similarity {
            |ORDER BY sel, q_id""".stripMargin
       }),
 
+    // ---- Filtered-ANN selectivity sweep: recall/fill vs predicate width --
+    // q317 attests two operating points; THIS is the tuning curve a
+    // production deployment reads before picking nprobe for a filtered
+    // workload: as the predicate narrows, the probed cells hold fewer
+    // eligible rows, fill (returned/k) decays, and recall against the
+    // filtered brute force shifts — the knee tells you when to raise
+    // nprobe or switch to brute force over the eligible set. One
+    // scoring pass serves all 10 selectivity levels (label < t,
+    // t = 1..10 on the uniform 10-label corpus ~= 10%..100%): the
+    // scored candidate set crosses a 10-row selectivity grid (q76's
+    // allowlisted broadcast class) and re-ranks per (t, query) — the
+    // same single-pass sweep shape as q280's BM25 (k1, b) grid and
+    // q292's nprobe sweep. Micro-averaged per level: fill = sum of
+    // returned over 50 queries x k, recall = hits / filtered-brute
+    // rows. All counts int64; the two ratios are single exact double
+    // divisions.
+    QueryDef("q318_filtered_ann_sweep", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val e = quantize(emb).materialize
+      val cents = centsOf(e, 64)
+      val labels = emb.select(col("vec_id").as("n_id"), col("label"))
+      val corpus = assignTo(cents, e).join(labels, "n_id").materialize
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+        .materialize
+      val grid = (1L to 10L).map(Tuple1(_))
+      val gridDf = s.createDataFrame(grid).toDF("t")
+      val wT = Window.partitionBy("t", "q_id")
+        .orderBy(col("cos_sim").desc, col("n_id"))
+      // IVF arm: probe -> score once -> sweep the grid
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= 16)
+        .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
+      val ivfTop = probes.join(corpus, "cell")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .crossJoin(broadcast(gridDf))
+        .filter(col("label") < col("t"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 10)
+        .select("t", "q_id", "n_id")
+      // exact filtered brute arm, same one-pass sweep
+      val bruteTop = broadcast(queries)
+        .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb"))
+          .join(labels, "n_id"), col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .crossJoin(broadcast(gridDf))
+        .filter(col("label") < col("t"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= 10)
+        .select("t", "q_id", "n_id")
+      val nel = emb.crossJoin(broadcast(gridDf)).filter(col("label") < col("t"))
+        .groupBy("t").agg(count(lit(1)).as("n_eligible"))
+      val rets = ivfTop.groupBy("t").agg(count(lit(1)).as("sum_ret"))
+      val bcnt = bruteTop.groupBy("t").agg(count(lit(1)).as("sum_brute"))
+      val hits = ivfTop.join(bruteTop, Seq("t", "q_id", "n_id"), "left_semi")
+        .groupBy("t").agg(count(lit(1)).as("sum_hits"))
+      gridDf
+        .join(nel, Seq("t"), "left").join(rets, Seq("t"), "left")
+        .join(bcnt, Seq("t"), "left").join(hits, Seq("t"), "left")
+        .select(col("t"),
+          coalesce(col("n_eligible"), lit(0L)).as("n_eligible"),
+          coalesce(col("sum_ret"), lit(0L)).as("sum_ret"),
+          coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
+          coalesce(col("sum_brute"), lit(0L)).as("sum_brute"),
+          (coalesce(col("sum_ret"), lit(0L)).cast("double") / lit(500.0))
+            .as("fill"),
+          (coalesce(col("sum_hits"), lit(0L)).cast("double")
+            / col("sum_brute").cast("double")).as("recall"))
+        .orderBy("t")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS MATERIALIZED (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |corpus AS MATERIALIZED (
+             |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell, e.label
+             |  FROM asg a JOIN n ON a.vec_id = n.vec_id
+             |  JOIN embeddings e ON e.vec_id = n.vec_id),
+             |probes AS MATERIALIZED (
+             |  SELECT q_id, qv, n2, cell FROM (
+             |    SELECT n.vec_id AS q_id, n.qv, n.n2, c.c_id AS cell,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS crn
+             |    FROM n CROSS JOIN c WHERE n.vec_id < 50)
+             |  WHERE crn <= 16),
+             |grid AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS t),
+             |ivftop AS MATERIALIZED (
+             |  SELECT t, q_id, n_id FROM (
+             |    SELECT g.t, sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY g.t, sc.q_id
+             |      ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT p.q_id, s.n_id, s.label,
+             |        ${sqlCos("p", "s")} AS cos_sim
+             |      FROM probes p JOIN corpus s ON p.cell = s.cell
+             |      WHERE p.q_id != s.n_id) sc
+             |    CROSS JOIN grid g WHERE sc.label < g.t)
+             |  WHERE rank <= 10),
+             |brutetop AS MATERIALIZED (
+             |  SELECT t, q_id, n_id FROM (
+             |    SELECT g.t, sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY g.t, sc.q_id
+             |      ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT a.vec_id AS q_id, b.vec_id AS n_id, e.label,
+             |        ${sqlCos("a", "b")} AS cos_sim
+             |      FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |      JOIN embeddings e ON e.vec_id = b.vec_id
+             |      WHERE a.vec_id < 50) sc
+             |    CROSS JOIN grid g WHERE sc.label < g.t)
+             |  WHERE rank <= 10),
+             |nel AS (
+             |  SELECT g.t, CAST(count(*) AS BIGINT) AS n_eligible
+             |  FROM embeddings e CROSS JOIN grid g WHERE e.label < g.t
+             |  GROUP BY 1),
+             |rets AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS sum_ret
+             |  FROM ivftop GROUP BY 1),
+             |bcnt AS (
+             |  SELECT t, CAST(count(*) AS BIGINT) AS sum_brute
+             |  FROM brutetop GROUP BY 1),
+             |hits AS (
+             |  SELECT i.t, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM ivftop i JOIN brutetop b
+             |    ON i.t = b.t AND i.q_id = b.q_id AND i.n_id = b.n_id
+             |  GROUP BY 1)
+             |SELECT g.t,
+             |  coalesce(n_eligible, 0) AS n_eligible,
+             |  coalesce(sum_ret, 0) AS sum_ret,
+             |  coalesce(n_hits, 0) AS sum_hits,
+             |  coalesce(sum_brute, 0) AS sum_brute,
+             |  CAST(coalesce(sum_ret, 0) AS DOUBLE) / 500.0 AS fill,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE)
+             |    / CAST(sum_brute AS DOUBLE) AS recall
+             |FROM grid g
+             |LEFT JOIN nel USING (t) LEFT JOIN rets USING (t)
+             |LEFT JOIN bcnt USING (t) LEFT JOIN hits USING (t)
+             |ORDER BY g.t""".stripMargin)),
+
     // ---- Hard-negative mining for contrastive training -------------------
     // The retrieval-training data op: for each anchor (the bounded query
     // set — q48's contract), the top-5 most-similar vectors with a

@@ -142,6 +142,48 @@ object Text {
     * the 1e9 fixed-point rule cannot drift between consumers. Expects
     * columns (tf, len, df, n, sumlen) in scope; emits int64 so the
     * per-document sum is exact and partition-order-free. */
+  /** q88's BM25 body over whatever document population the caller hands
+    * in — q88 runs it on the corpus, q319 on a predicate slice (with
+    * collection statistics scoped to the slice, the pre-filter
+    * semantics; see q319's rationale). */
+  private def bm25TopK(docs: DataFrame): DataFrame = {
+    val terms = Seq("data", "stream", "table")
+    val e = docs
+      .filter(arrays_overlap(toks, array(terms.map(lit): _*)))
+      .select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
+    val tf = e.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), min("len").as("len"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").crossJoin(broadcast(stats))
+      .withColumn("fixed", bm25Fixed)
+      .groupBy("doc_id")
+      .agg(sum("fixed").as("score_fixed"), count(lit(1)).as("n_query_terms"))
+      .orderBy(col("score_fixed").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  /** Oracle for [[bm25TopK]]; `where` scopes the document population
+    * (empty for q88, a WHERE clause for q319). */
+  private def sqlBm25TopK(where: String): String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents $where),
+       |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS sumlen FROM d),
+       |e AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM d),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf, min(len) AS len
+       |  FROM e WHERE term IN ('data', 'stream', 'table')
+       |  GROUP BY doc_id, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT doc_id, $sqlBm25Fixed AS fixed
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+       |SELECT doc_id, CAST(sum(fixed) AS BIGINT) AS score_fixed,
+       |  CAST(count(*) AS BIGINT) AS n_query_terms
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score_fixed DESC, doc_id LIMIT 50""".stripMargin
+
   private[queries] def bm25Fixed: Column = {
     val idf = (lit(2) * (col("n") - col("df")) + 1).cast("double") /
       (lit(2) * col("df") + 1).cast("double")
@@ -529,39 +571,26 @@ object Text {
     // set, the corpus stats a one-row broadcast — per-query cost is
     // proportional to the matching documents' posting lists, not the
     // corpus.
-    QueryDef("q88_bm25", (s, d) => {
-      val terms = Seq("data", "stream", "table")
-      val docs = t(s, d, "documents")
-      val e = docs
-        .filter(arrays_overlap(toks, array(terms.map(lit): _*)))
-        .select(col("doc_id"), size(toks).as("len"), explode(toks).as("term"))
-        .filter(col("term").isin(terms: _*))
-      val stats = docs.agg(count(lit(1)).as("n"), sum(size(toks)).as("sumlen"))
-      val tf = e.groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf"), min("len").as("len"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "term").crossJoin(broadcast(stats))
-        .withColumn("fixed", bm25Fixed)
-        .groupBy("doc_id")
-        .agg(sum("fixed").as("score_fixed"), count(lit(1)).as("n_query_terms"))
-        .orderBy(col("score_fixed").desc, col("doc_id"))
-        .limit(50)
-    },
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |st AS (SELECT count(*) AS n, CAST(sum(len(tk)) AS BIGINT) AS sumlen FROM d),
-             |e AS (SELECT doc_id, len(tk) AS len, unnest(tk) AS term FROM d),
-             |tf AS (
-             |  SELECT doc_id, term, count(*) AS tf, min(len) AS len
-             |  FROM e WHERE term IN ('data', 'stream', 'table')
-             |  GROUP BY doc_id, term),
-             |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-             |sc AS (
-             |  SELECT doc_id, $sqlBm25Fixed AS fixed
-             |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
-             |SELECT doc_id, CAST(sum(fixed) AS BIGINT) AS score_fixed,
-             |  CAST(count(*) AS BIGINT) AS n_query_terms
-             |FROM sc GROUP BY doc_id
-             |ORDER BY score_fixed DESC, doc_id LIMIT 50""".stripMargin)),
+    QueryDef("q88_bm25", (s, d) => bm25TopK(t(s, d, "documents")),
+      Some(sqlBm25TopK(""))),
+
+    // ---- Filtered BM25: retrieval under a metadata predicate -------------
+    // q317/q318's pre-filter principle applied to TEXT retrieval — the
+    // second retrieval shape production runs constantly ("top-k WHERE
+    // lang = 'de'"). The predicate prunes the document set BEFORE the
+    // posting build, which changes more than the candidate list:
+    // COLLECTION STATISTICS are scoped to the eligible corpus — N,
+    // avgdl, and df are the filtered collection's, so idf reflects how
+    // discriminative a term is WITHIN the slice being searched. That is
+    // the semantics post-filtering cannot recover (it ranks by global
+    // idf, then discards — a term common globally but rare in German
+    // docs is under-weighted, and the top-k under-fills exactly like
+    // q317's narrow arm). Scale shape is q88's on the eligible slice:
+    // the lang predicate is a pushed parquet filter, the
+    // arrays_overlap pre-filter still guards the Generate.
+    QueryDef("q319_bm25_filtered", (s, d) =>
+      bm25TopK(t(s, d, "documents").filter(col("lang") === "de")),
+      Some(sqlBm25TopK("WHERE lang = 'de'"))),
 
     // ---- Subword tokenization: greedy longest-match merge table ----------
     // The real token-counting pass an LLM pipeline budgets by (packing,

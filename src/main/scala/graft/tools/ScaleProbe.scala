@@ -291,6 +291,17 @@ object ScaleProbe {
         graft.queries.Similarity.graphSearch(replicateEmb(m),
           col("vec_id") < 50, centroids = (64 * math.sqrt(m)).toInt).count()
       }
+      // filtered IVF (q317): the predicate semi-prunes the posting side
+      // BEFORE scoring, so cost must scale with the ELIGIBLE corpus
+      // (here ~50% of it), never the full corpus x query count
+      time(s"ivf_filtered_x$m") {
+        val e = replicateEmb(m)
+        val idx = graft.queries.Similarity.ivfIndex(e,
+          (64 * math.sqrt(m)).toInt)
+        graft.queries.Similarity.ivfQueryFiltered(idx,
+          e.filter(col("vec_id") < 50),
+          e.filter(col("label") % 2 === 0).select("vec_id")).count()
+      }
       // bloom decontamination: the eval side is fixed (base replica) and
       // the 8 KB filter broadcast is CONSTANT however the eval set grows
       // — probing rides the corpus scan, so cost must be linear with no

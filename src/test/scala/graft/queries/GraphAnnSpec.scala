@@ -81,6 +81,26 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
         s"survivors ${cmp.getLong(1)} at ~10% selectivity")
   }
 
+  test("q318: the selectivity sweep's vacuous level equals unfiltered IVF recall") {
+    // at t = 10 every label passes, so the sweep's filtered plan must
+    // degenerate to exactly q49-vs-q48: micro recall at the vacuous
+    // level == mean of q112's per-query recalls (both are hits/500),
+    // and fill is 1.0 (nothing to under-fill). The narrowest level may
+    // legitimately under-fill — that visibility is the operator's point.
+    val sweep = SparkEntry.queries("q318_filtered_ann_sweep")(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("t") -> r).toMap
+    val top = sweep(10L)
+    assert(top.getAs[Double]("fill") == 1.0)
+    val q112 = SparkEntry.queries("q112_ivf_recall")(spark, sfDir)
+      .agg(avg("recall")).head().getDouble(0)
+    assert(math.abs(top.getAs[Double]("recall") - q112) < 1e-12,
+      s"vacuous-filter recall ${top.getAs[Double]("recall")} != q112 $q112")
+    // fill never exceeds 1.0 and recall is defined at every level
+    sweep.values.foreach { r =>
+      assert(r.getAs[Double]("fill") <= 1.0 && !r.getAs[Double]("recall").isNaN)
+    }
+  }
+
   test("graph search finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     // clone vector 0 under a fresh id: beam search from the coarse layer
