@@ -481,6 +481,72 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Filtered graph-ANN search — [[graphSearch]] under a corpus-side
+    * predicate, completing the filtered-retrieval family (q317 IVF,
+    * q319 BM25). The standard filtered-HNSW recipe: NAVIGATE the
+    * unfiltered graph (restricting the walk to eligible nodes would
+    * disconnect it exactly when the predicate is narrow — hubs that
+    * fail the predicate still route), while RESULTS come from the
+    * eligible subset of everything the walk SAW: the per-hop expansion
+    * sets are accumulated, semi-joined to the allowed ids, scored
+    * once, and top-k ranked. Per query the seen set is bounded by
+    * ef + hops * ef * degree (~900 rows here) whatever the corpus
+    * size, so the final scoring join is query-bounded like the beam
+    * itself; under-fill stays visible as < k returned rows. */
+  def graphSearchFiltered(emb: DataFrame, queryPred: Column,
+      allowed: DataFrame, k: Int = 10, degree: Int = 12,
+      centroids: Int = 64, probes: Int = 2, hops: Int = 3,
+      ef: Int = 24): DataFrame = {
+    val e = quantize(emb).materialize
+    val cents = centsOf(e, centroids)
+    val asg = assignProbed(cents, e, probes)
+    val edges = edgesOf(asg, asg, e, degree)
+      .select(col("node"), col("nbr")).materialize
+    val qs = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      .materialize
+    val wq = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    var beam = qs.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qa"), col("na"),
+        col("c_id").as("n_id"), col("cv").as("qb"), col("cn").as("nb"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= ef)
+      .select("q_id", "n_id", "cos_sim")
+      .materialize
+    var seen: DataFrame = null
+    for (_ <- 1 to hops) {
+      val frontier = beam.select(col("q_id"), col("n_id"))
+      val expanded = frontier.join(edges, frontier("n_id") === edges("node"))
+        .select(col("q_id"), col("nbr").as("n_id"))
+        .union(frontier)
+        .distinct()
+      seen = if (seen == null) expanded else seen.union(expanded)
+      val prev = beam
+      beam = expanded
+        .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
+        .join(broadcast(qs), "q_id")
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= ef)
+        .select("q_id", "n_id", "cos_sim")
+        .materialize
+      prev.release() // superseded beam — see Materialize.release
+    }
+    val wk = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    seen.distinct()
+      .join(allowed.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")
+      .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
+      .join(broadcast(qs), "q_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos_sim")
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al., 2023): cluster
     * the corpus with the IVF coarse quantizer, then WITHIN each cluster
     * drop every vector that has a lower-id cluster-mate with cosine >=
@@ -2291,6 +2357,100 @@ object Similarity {
              |  CAST(coalesce(n_hits, 0) AS DOUBLE) / 10 AS recall
              |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $nQueries) qs2
              |LEFT JOIN hits ON qs2.q_id = hits.q_id
+             |ORDER BY qs2.q_id""".stripMargin)),
+
+    // ---- Filtered graph-ANN search with recall attestation ---------------
+    // q317's predicate-aware retrieval on the GRAPH index (see
+    // graphSearchFiltered): navigation stays unfiltered — restricting
+    // the walk to eligible nodes would disconnect the graph exactly
+    // when the predicate is narrow — and the eligible subset of
+    // everything the walk saw is scored and ranked. Attested per query
+    // against the exact FILTERED brute force at the narrow (~10%)
+    // selectivity, where the design choice matters most; under-fill is
+    // reported as n_ret. The oracle replays the identical 3-hop beam
+    // unroll and ranks the eligible seen set.
+    QueryDef("q321_graph_filtered", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val e = quantized(s, d)
+      val allowed = emb.filter(col("label") === 3).select("vec_id")
+      val g = graphSearchFiltered(emb, queryFilter, allowed)
+        .select("q_id", "n_id")
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val brute = broadcast(queries)
+        .join(e.join(allowed, Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")),
+          col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= 10)
+        .select("q_id", "n_id")
+      val nret = g.groupBy("q_id").agg(count(lit(1)).as("n_ret"))
+      val bcnt = brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+      val hits = g.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      queries.select("q_id")
+        .join(nret, Seq("q_id"), "left")
+        .join(bcnt, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_brute").cast("double")).as("recall"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |${sqlBeamCtes(3, 24)},
+             |seen AS MATERIALIZED (
+             |  SELECT DISTINCT q_id, n_id FROM (
+             |    SELECT q_id, n_id FROM exp1
+             |    UNION ALL SELECT q_id, n_id FROM exp2
+             |    UNION ALL SELECT q_id, n_id FROM exp3)),
+             |alw AS MATERIALIZED (
+             |  SELECT vec_id FROM embeddings WHERE label = 3),
+             |gtop AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT x.q_id, x.n_id, ${sqlCos("f", "y")} AS cos_sim
+             |      FROM seen x JOIN qs f ON x.q_id = f.q_id
+             |                  JOIN n y ON x.n_id = y.vec_id
+             |                  JOIN alw w ON x.n_id = w.vec_id
+             |      WHERE x.n_id != x.q_id) sc)
+             |  WHERE rank <= 10),
+             |nret AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_ret
+             |  FROM gtop GROUP BY 1),
+             |branked AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |        ${sqlCos("a", "b")} AS cos_sim
+             |      FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |      JOIN alw w ON b.vec_id = w.vec_id
+             |      WHERE a.vec_id < $nQueries) sc)
+             |  WHERE rank <= 10),
+             |bcnt AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_brute
+             |  FROM branked GROUP BY 1),
+             |hits AS (
+             |  SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM gtop g JOIN branked b ON g.q_id = b.q_id AND g.n_id = b.n_id
+             |  GROUP BY 1)
+             |SELECT qs2.q_id,
+             |  coalesce(n_ret, 0) AS n_ret,
+             |  coalesce(n_hits, 0) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE)
+             |    / CAST(n_brute AS DOUBLE) AS recall
+             |FROM (SELECT vec_id AS q_id FROM n WHERE vec_id < $nQueries) qs2
+             |LEFT JOIN nret USING (q_id)
+             |LEFT JOIN bcnt USING (q_id)
+             |LEFT JOIN hits USING (q_id)
              |ORDER BY qs2.q_id""".stripMargin)),
 
     // ---- Cluster topic-mix report (composition over the trained cells) ---

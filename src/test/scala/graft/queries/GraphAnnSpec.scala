@@ -101,6 +101,17 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q321: filtered graph search fills and recalls at narrow selectivity") {
+    // unfiltered navigation + eligible-seen ranking must keep recall
+    // well above what post-filtering a fixed top-10 could give
+    // (~selectivity x 10 eligible survivors); measured 0.83 at sf0.01
+    val out = SparkEntry.queries("q321_graph_filtered")(spark, sfDir).cache()
+    val rec = out.agg(avg("recall")).head().getDouble(0)
+    assert(rec >= 0.6, s"filtered graph recall $rec below floor")
+    assert(out.filter(col("n_ret") > 10 || col("n_hits") > col("n_ret"))
+      .count() == 0)
+  }
+
   test("graph search finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     // clone vector 0 under a fresh id: beam search from the coarse layer

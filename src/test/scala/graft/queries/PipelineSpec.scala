@@ -2316,7 +2316,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q316_blocking_quality_sampled", // q306's one-row crosses on the Lehmer sample
       "q317_ivf_filtered", // q49's fixed 64-row centroid broadcast + q48's bounded 50-query anchors
       "q318_filtered_ann_sweep", // q49's centroid broadcast + the 10-row selectivity-grid cross (q76's class)
-      "q319_bm25_filtered") // q88's one-row corpus-stats cross on the predicate slice
+      "q319_bm25_filtered", // q88's one-row corpus-stats cross on the predicate slice
+      "q321_graph_filtered") // q137's fixed centroid broadcast + q48's bounded 50-query anchors
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
