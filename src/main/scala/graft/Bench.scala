@@ -54,6 +54,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Verify.scala: bounds the exponential tree RENDERING of
+      // lineage-keeping iterative plans (the plan executes fine)
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -95,6 +98,10 @@ object Bench {
       try org.apache.spark.graft.ListenerBridge
         .waitUntilEmpty(spark.sparkContext, 60000L)
       catch { case _: java.util.concurrent.TimeoutException => () }
+      // outside the clock: drop any cache entries the query registered
+      // (persist-based materialize modes) so no query measures — or
+      // OOMs on — a predecessor's leftovers; no-op under `local`
+      spark.catalog.clearCache()
       (sec, Some(counters.map(_.get())))
     }
     val passes = (1 to 3).map(_ => names.map(n => n -> timeOnce(n)).toMap)

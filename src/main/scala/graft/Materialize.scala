@@ -27,7 +27,13 @@ import org.apache.spark.storage.StorageLevel
   *     `persist(MEMORY_AND_DISK_2)`. Blocks live on two executors;
   *     lineage is KEPT, so even a double loss merely recomputes. The
   *     usual cluster choice when a checkpoint dir is not provisioned:
-  *     2x memory instead of a distributed-FS round-trip.
+  *     2x memory instead of a distributed-FS round-trip. RETENTION
+  *     CONTRACT (ADVICE r10): persisted entries live until released —
+  *     iterative operators release each superseded iteration via
+  *     [[MaterializeOps.release]], and a multi-query application must
+  *     clear between queries (`spark.catalog.clearCache()`, as
+  *     graft.Verify/Bench do) or entries accumulate for the session
+  *     (measured: OOM after ~265 queries in one JVM).
   *
   * `MaterializeLawSpec` greps the main tree: any direct
   * `.localCheckpoint()` call outside this file fails the suite.

@@ -26,6 +26,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("graft.materialize.mode",
         sys.env.getOrElse("GRAFT_MATERIALIZE_MODE", "local"))
+      // Iterative operators under the lineage-KEEPING materialize modes
+      // (replicated) produce plan DAGs whose TREE rendering is
+      // exponential; execution is fine but the SQL-listener's
+      // physicalPlanDescription string OOM'd the driver (q208, r11
+      // close — OutOfMemoryError inside explainString/
+      // generateTreeString). Bound the rendered string, not the plan.
+      .config("spark.sql.maxPlanStringLength", "1048576")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -68,6 +75,12 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // a query's materialized intermediates die with the query: in
+          // `replicated` mode every .materialize persists eagerly and
+          // CacheManager entries otherwise accumulate across all 321
+          // queries until the heap dies (measured: OOM at query ~265 in
+          // the r11 close). No-op for the checkpoint-based modes.
+          spark.catalog.clearCache()
           name -> "ok"
         } catch {
           case e: Throwable =>
@@ -76,6 +89,7 @@ object Verify {
             val msg = Option(e.getMessage).filter(_.nonEmpty)
               .map(_.linesIterator.next()).getOrElse(e.getClass.getName)
             System.err.println(s"[verify] $name failed: $msg")
+            e.printStackTrace() // stderr — the status line stays one line
             name -> s"err: $msg"
         }
       }
