@@ -75,12 +75,6 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          // a query's materialized intermediates die with the query: in
-          // `replicated` mode every .materialize persists eagerly and
-          // CacheManager entries otherwise accumulate across all 321
-          // queries until the heap dies (measured: OOM at query ~265 in
-          // the r11 close). No-op for the checkpoint-based modes.
-          spark.catalog.clearCache()
           name -> "ok"
         } catch {
           case e: Throwable =>
@@ -91,6 +85,16 @@ object Verify {
             System.err.println(s"[verify] $name failed: $msg")
             e.printStackTrace() // stderr — the status line stays one line
             name -> s"err: $msg"
+        } finally {
+          // a query's materialized intermediates die with the query — on
+          // BOTH outcomes: in `replicated` mode every .materialize
+          // persists eagerly and CacheManager entries otherwise
+          // accumulate across all 321 queries until the heap dies
+          // (measured: OOM at query ~265 in the r11 close), and a FAILED
+          // query that already persisted some intermediates would leak
+          // them into the next query's heap (ADVICE r11). No-op for the
+          // checkpoint-based modes.
+          spark.catalog.clearCache()
         }
       }
     // explicit per-query status so an aborted harness run is

@@ -59,6 +59,12 @@ object ArrayExprs {
   def windowHashes(tokens: Column, w: Int): Column =
     ColumnBridge.column(WindowHashes(ColumnBridge.expression(tokens), w))
 
+  /** |a ∩ b| of two ARRAY<BIGINT> columns whose elements are DISTINCT per
+    * side (the per-doc key-set contract of the winnow-blocked verify). */
+  def overlapCount(a: Column, b: Column): Column =
+    ColumnBridge.column(OverlapCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Greedy longest-match subword tokenization of an ARRAY<STRING> word
     * sequence under a fixed merge vocabulary (see [[SubwordVocab]]). */
   def subwordTokens(words: Column, vocab: Seq[String] = SubwordVocab.Default): Column =
@@ -218,6 +224,45 @@ object ArrayOps {
     new GenericArrayData(out)
   }
 
+  /** |a ∩ b| of two long arrays with DISTINCT elements per side: open-
+    * addressing hash set over the smaller side (keys stored +1 so 0L can
+    * be the empty slot even though 0 is a valid 62-bit hash), probed by
+    * the larger. No boxing, no intersection-array allocation — the
+    * winnow-blocked verify calls this once per candidate pair. */
+  def overlapCount(a: ArrayData, b: ArrayData): Int = {
+    val (s, l) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val n = s.numElements()
+    if (n == 0) return 0
+    var cap = 2
+    while (cap < n * 2) cap <<= 1
+    val tab = new Array[Long](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < n) {
+      val k = s.getLong(i) + 1L
+      var j = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & mask
+      while (tab(j) != 0L && tab(j) != k) j = (j + 1) & mask
+      tab(j) = k
+      i += 1
+    }
+    var cnt = 0
+    val m = l.numElements()
+    i = 0
+    while (i < m) {
+      val k = l.getLong(i) + 1L
+      var j = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & mask
+      var probing = true
+      while (probing) {
+        val v = tab(j)
+        if (v == 0L) probing = false
+        else if (v == k) { cnt += 1; probing = false }
+        else j = (j + 1) & mask
+      }
+      i += 1
+    }
+    cnt
+  }
+
   /** Deterministic Rademacher (+-1) hyperplane sign masks: plane p's mask
     * bit i is the sign of weight w(p, i). Precomputed once per JVM. */
   private val MaxPlanes = 4096
@@ -295,6 +340,27 @@ case class ArrayLongDot(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayLongDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** |a ∩ b| over two ARRAY<BIGINT> columns whose elements are DISTINCT per
+  * side. `size(array_intersect(a, b))` computes the same number but boxes
+  * every long and allocates the intersection array just to take its
+  * length; this is one hash-set pass (see [[ArrayOps.overlapCount]]). */
+case class OverlapCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArrayOps.overlapCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArrayOps.overlapCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): OverlapCount =
     copy(left = newLeft, right = newRight)
 }
 

@@ -518,10 +518,17 @@ object Similarity {
     var seen: DataFrame = null
     for (_ <- 1 to hops) {
       val frontier = beam.select(col("q_id"), col("n_id"))
+      // materialized — NOT released: the hop's expansion IS the seen
+      // set the post-loop scoring scan reads, and holding its blocks is
+      // what lets the superseded beams below release without leaving
+      // `seen` a lineage-only chain through dropped frames (ADVICE r11:
+      // unmaterialized, replicated mode recomputed the full expansion
+      // chain at the final scan). retained: consumed after the loop.
       val expanded = frontier.join(edges, frontier("n_id") === edges("node"))
         .select(col("q_id"), col("nbr").as("n_id"))
         .union(frontier)
         .distinct()
+        .materialize // retained: IS the seen set, scored after the loop
       seen = if (seen == null) expanded else seen.union(expanded)
       val prev = beam
       beam = expanded
@@ -1197,10 +1204,17 @@ object Similarity {
     for (_ <- 1 to rounds) {
       val keep = degOf(edges).filter(col("deg") >= k).select("u")
         .materialize // both endpoint filters read it
-      edges = edges.join(keep, Seq("u"), "left_semi")
+      val next = edges.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
         .materialize // next round + final degree read it
+      // superseded iterations die once their successor holds blocks
+      // (replicated mode otherwise accumulates 2 persisted frames per
+      // round for the query's lifetime); `und` must SURVIVE the loop —
+      // deg0 reads it lazily in the final join
+      keep.release()
+      if (edges ne und) edges.release()
+      edges = next
     }
     degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
       .join(deg0.select(col("u").as("node"), col("deg").as("deg_initial")),
@@ -2453,6 +2467,203 @@ object Similarity {
              |LEFT JOIN hits USING (q_id)
              |ORDER BY qs2.q_id""".stripMargin)),
 
+    // ---- ADAPTIVE filtered ANN: act on q318's tuning knee ----------------
+    // q317 runs a FIXED nprobe=16 and at narrow selectivity honestly
+    // under-fills (n_ret < k); q318 computes the curve that says when.
+    // This is the operator that ACTS on it (the r11 verdict's ask #2):
+    // per query, read the per-cell eligible-mass histogram (metadata a
+    // production IVF index keeps next to its posting lists — here 64
+    // rows from one corpus rollup), accumulate it in probe order
+    // (cells ranked by centroid cosine, the identical order ivfQuery
+    // walks), and probe max(16, first rank whose cumulative eligible
+    // mass >= k) cells — escalating all the way to every cell when the
+    // predicate is so narrow that even the full index holds < k
+    // eligible rows (the brute-over-the-eligible-set endpoint: probing
+    // all cells IS the filtered exact scan, cell-partitioned). The
+    // routing decision costs O(queries x centroids) rows crossed with
+    // a 64-row broadcast histogram — corpus-free, so it scales like
+    // the probe step itself. Guarantees, both spec-pinned
+    // (AdaptiveAnnSpec): fill = k whenever the corpus holds >= k
+    // eligible rows, and per-query recall >= the fixed-nprobe arm
+    // (probed cell sets only ever grow, and candidate-set growth is
+    // hit-monotone against a fixed truth). Self-exclusion: the query's
+    // own row never counts toward the mass that decides its nprobe.
+    QueryDef("q322_filtered_ann_adaptive", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val e = quantize(emb).materialize
+      val cents = centsOf(e, 64)
+      val labels = emb.select(col("vec_id").as("n_id"), col("label"))
+      val corpus = assignTo(cents, e).join(labels, "n_id").materialize
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+        .materialize
+      val k = 10
+      // every cell ranked per query, the ivfQuery probe order
+      val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+      val cellRank = queries.crossJoin(broadcast(cents))
+        .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
+        .withColumn("crn", row_number().over(wProbe))
+        .select(col("q_id"), col("c_id").as("cell"), col("crn"))
+        .materialize // routing + the probe scan read it
+      // per-cell eligible mass (<= 64 rows) and each eligible query's
+      // own cell (for self-exclusion)
+      val cellElig = corpus.filter(col("label") === 3)
+        .groupBy("cell").agg(count(lit(1)).as("ce"))
+      val selfCell = corpus.filter(col("label") === 3 && col("n_id") < nQueries)
+        .select(col("n_id").as("q_id"), col("cell").as("self_cell"))
+      val wCum = Window.partitionBy("q_id").orderBy("crn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val np = cellRank
+        .join(broadcast(cellElig), Seq("cell"), "left")
+        .join(broadcast(selfCell), Seq("q_id"), "left")
+        .withColumn("elig", coalesce(col("ce"), lit(0L)) -
+          when(col("self_cell") === col("cell"), lit(1L)).otherwise(lit(0L)))
+        .withColumn("cum", sum("elig").over(wCum))
+        .groupBy("q_id")
+        .agg(min(when(col("cum") >= k, col("crn"))).as("p_fill"),
+          sum("elig").as("n_eligible"))
+        .withColumn("n_probed",
+          greatest(lit(16), coalesce(col("p_fill"), lit(64))))
+        .withColumn("route",
+          when(col("p_fill").isNull, lit("exhaust"))
+            .when(col("p_fill") <= 16, lit("base"))
+            .otherwise(lit("escalate")))
+        .materialize // probe scan + report read it
+      // the filtered IVF scan over each query's OWN probe depth
+      val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val itop = cellRank
+        .join(np.select("q_id", "n_probed"), "q_id")
+        .filter(col("crn") <= col("n_probed"))
+        .join(queries, "q_id")
+        .join(corpus, "cell")
+        .filter(col("label") === 3 && col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= k)
+        .select("q_id", "n_id")
+      // exact filtered brute truth — q317's narrow arm
+      val brute = broadcast(queries)
+        .join(e.join(emb.filter(col("label") === 3).select("vec_id"),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")),
+          col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= k)
+        .select("q_id", "n_id")
+      val nret = itop.groupBy("q_id").agg(count(lit(1)).as("n_ret"))
+      val bcnt = brute.groupBy("q_id").agg(count(lit(1)).as("n_brute"))
+      val hits = itop.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      np.join(nret, Seq("q_id"), "left")
+        .join(bcnt, Seq("q_id"), "left")
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("route"), col("n_probed"),
+          col("n_eligible"),
+          coalesce(col("n_ret"), lit(0L)).as("n_ret"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double")
+            / col("n_brute").cast("double")).as("recall"))
+        .orderBy("q_id")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS MATERIALIZED (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |corpus AS MATERIALIZED (
+             |  SELECT n.vec_id AS n_id, n.qv, n.n2, a.cell, e.label
+             |  FROM asg a JOIN n ON a.vec_id = n.vec_id
+             |  JOIN embeddings e ON e.vec_id = n.vec_id),
+             |qs AS MATERIALIZED (
+             |  SELECT vec_id AS q_id, qv, n2 FROM n WHERE vec_id < $nQueries),
+             |cellrank AS MATERIALIZED (
+             |  SELECT f.q_id, c.c_id AS cell,
+             |    CAST(row_number() OVER (PARTITION BY f.q_id
+             |      ORDER BY ${sqlCos("f", "c")} DESC, c.c_id ASC) AS INTEGER)
+             |      AS crn
+             |  FROM qs f CROSS JOIN c),
+             |celle AS (
+             |  SELECT cell, CAST(count(*) AS BIGINT) AS ce
+             |  FROM corpus WHERE label = 3 GROUP BY 1),
+             |selfc AS (
+             |  SELECT n_id AS q_id, cell AS self_cell FROM corpus
+             |  WHERE label = 3 AND n_id < $nQueries),
+             |cums AS MATERIALIZED (
+             |  SELECT r.q_id, r.crn,
+             |    sum(coalesce(ce, 0)
+             |      - CASE WHEN s.self_cell = r.cell THEN 1 ELSE 0 END)
+             |      OVER (PARTITION BY r.q_id ORDER BY r.crn
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM cellrank r LEFT JOIN celle USING (cell)
+             |  LEFT JOIN selfc s ON s.q_id = r.q_id),
+             |np AS MATERIALIZED (
+             |  SELECT q_id,
+             |    min(CASE WHEN cum >= 10 THEN crn END) AS p_fill,
+             |    CAST(greatest(16,
+             |      coalesce(min(CASE WHEN cum >= 10 THEN crn END), 64))
+             |      AS INTEGER) AS n_probed,
+             |    CAST(max(cum) AS BIGINT) AS n_eligible
+             |  FROM cums GROUP BY 1),
+             |itop AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id)
+             |      AS rank
+             |    FROM (
+             |      SELECT r.q_id, s.n_id, ${sqlCos("f", "s")} AS cos_sim
+             |      FROM cellrank r
+             |      JOIN np ON np.q_id = r.q_id AND r.crn <= np.n_probed
+             |      JOIN qs f ON f.q_id = r.q_id
+             |      JOIN corpus s ON s.cell = r.cell
+             |      WHERE s.label = 3 AND s.n_id != r.q_id) sc)
+             |  WHERE rank <= 10),
+             |btop AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT sc.q_id, sc.n_id, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id)
+             |      AS rank
+             |    FROM (
+             |      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |        ${sqlCos("a", "b")} AS cos_sim
+             |      FROM n a JOIN n b ON a.vec_id != b.vec_id
+             |      JOIN embeddings e ON e.vec_id = b.vec_id AND e.label = 3
+             |      WHERE a.vec_id < $nQueries) sc)
+             |  WHERE rank <= 10),
+             |nret AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_ret
+             |  FROM itop GROUP BY 1),
+             |bcnt AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_brute
+             |  FROM btop GROUP BY 1),
+             |hits AS (
+             |  SELECT i.q_id, CAST(count(*) AS BIGINT) AS n_hits
+             |  FROM itop i JOIN btop b ON i.q_id = b.q_id AND i.n_id = b.n_id
+             |  GROUP BY 1)
+             |SELECT np.q_id,
+             |  CASE WHEN p_fill IS NULL THEN 'exhaust'
+             |       WHEN p_fill <= 16 THEN 'base'
+             |       ELSE 'escalate' END AS route,
+             |  n_probed, n_eligible,
+             |  coalesce(n_ret, 0) AS n_ret,
+             |  coalesce(n_hits, 0) AS n_hits,
+             |  CAST(coalesce(n_hits, 0) AS DOUBLE)
+             |    / CAST(n_brute AS DOUBLE) AS recall
+             |FROM np
+             |LEFT JOIN nret USING (q_id)
+             |LEFT JOIN bcnt USING (q_id)
+             |LEFT JOIN hits USING (q_id)
+             |ORDER BY np.q_id""".stripMargin)),
+
     // ---- Cluster topic-mix report (composition over the trained cells) ---
     // The curation readout AFTER clustering: what does each trained
     // k-means cell contain, by language and acquisition source? A
@@ -2934,7 +3145,9 @@ object Similarity {
           .filter(col("rn") === 1)
           .select(col("q_id"), col("n_id"), lit(k).as("pick_order"),
             col("rel"), col("mmr"))
+        val prevSel = selected
         selected = selected.union(next).materialize
+        prevSel.release() // superseded pick set — see Materialize.release
       }
       selected.orderBy("q_id", "pick_order")
     },
@@ -3133,15 +3346,24 @@ object Similarity {
         .agg(count(lit(1)).as("frontier_n"))
         .withColumn("hop", lit(0))
       for (h <- 1 to 3) {
+        val prevFrontier = frontier
+        val prevVisited = visited
         val expanded = frontier
           .join(und, col("node") === col("u"))
           .select(col("seed"), col("v").as("node")).distinct()
         frontier = expanded.join(visited, Seq("seed", "node"), "left_anti")
           .materialize // next hop + count read it
         visited = visited.unionAll(frontier).materialize
+        // the per-hop count is materialized (<= 10 rows) so the hop's
+        // frontier has NO lazy consumer left and the superseded
+        // frontier/visited frames can release immediately — otherwise
+        // replicated mode holds 2 frames per hop until the final union
         perHop += frontier.groupBy("seed")
           .agg(count(lit(1)).as("frontier_n"))
           .withColumn("hop", lit(h))
+          .materialize // retained: unioned into the result after the loop
+        prevFrontier.release()
+        prevVisited.release()
       }
       perHop.result().reduce(_.unionAll(_))
         .select(col("seed"), col("hop"), col("frontier_n"))

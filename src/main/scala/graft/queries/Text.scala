@@ -1696,7 +1696,7 @@ object Text {
         .agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
         .withColumn("step", lit(i))
-        .materialize
+        .materialize // retained: a row of the returned merge table
       merges = Some(merges.map(_.union(best)).getOrElse(best))
       val prev = wt
       wt = wt.crossJoin(broadcast(best.select("l", "r")))

@@ -129,7 +129,60 @@ object MidJProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, dir, nPerLevel, mode) finally spark.stop()
+    try {
+      if (mode == "raresweep") runRareSweep(spark, dir, nPerLevel)
+      else run(spark, dir, nPerLevel, mode)
+    } finally spark.stop()
+  }
+
+  /** (cap, minShared) operating-curve sweep for [[Dedup.rareKeyCandidates]]
+    * (the r11 verdict's ask #6): the shipped constants (25, 3) were
+    * certified at one point; this measures, per grid point, the planted
+    * mid-J completeness of the two-tier union on the blocked branch
+    * (pairs with least(la, lb) >= ShortLen — short pairs route through
+    * the provably-complete prefix join regardless of the tier) AGAINST
+    * its cost (rare candidate count, and the rare-only pairs that are
+    * the tier's incremental exact-verify bill). One JSON line per
+    * (cap, minShared, theta).
+    */
+  def runRareSweep(spark: SparkSession, dir: String, nPerLevel: Int): Unit = {
+    import graft.Materialize.MaterializeOps
+    val (pd, _) = MidJFixture.planted(spark, nPerLevel)
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").union(pd).materialize
+    val docsSh = docs.select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))
+        .as("sh"))
+      .filter(size(col("sh")) > 0).materialize
+    val toks = docsSh.select(col("doc_id"), explode(col("sh")).as("tok"))
+      .materialize
+    val lens = docsSh.select(col("doc_id"), size(col("sh")).as("len"))
+    val truth = Dedup.jaccardJoin(docs, 0.4)
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("la")), "doc_a")
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("lb")), "doc_b")
+      .filter(least(col("la"), col("lb")) >= Dedup.ShortLen)
+      .select("doc_a", "doc_b", "jaccard")
+      .materialize
+    val winnow = Dedup.winnowCandidates(docs).materialize
+    for (cap <- Seq(10, 25, 50); minShared <- Seq(2, 3, 4, 5)) {
+      val rare = Dedup.rareKeyCandidates(toks, cap, minShared).materialize
+      val nRare = rare.count()
+      val nRareOnly = rare.join(winnow, Seq("doc_a", "doc_b"), "left_anti")
+        .count()
+      val union = winnow.union(rare).distinct().materialize
+      for (theta <- Seq(0.4, 0.5, 0.6)) {
+        val t = truth.filter(col("jaccard") >= theta)
+        val nTruth = t.count()
+        val miss = t.join(union, Seq("doc_a", "doc_b"), "left_anti").count()
+        val comp = if (nTruth == 0) 1.0 else (nTruth - miss).toDouble / nTruth
+        println(s"""{"probe":"raresweep","sf":"$dir","cap":$cap,""" +
+          s""""min_shared":$minShared,"theta":$theta,"n_truth":$nTruth,""" +
+          s""""missed":$miss,"completeness":$comp,"n_rare_cand":$nRare,""" +
+          s""""n_rare_only":$nRareOnly}""")
+      }
+      union.release()
+      rare.release()
+    }
   }
 
   def run(spark: SparkSession, dir: String, nPerLevel: Int, mode: String): Unit = {

@@ -36,6 +36,56 @@ class MaterializeLawSpec extends AnyFunSuite with SparkTestBase {
         offenders.mkString(", "))
   }
 
+  test("every loop that materializes also releases (or marks retained)") {
+    // The loop-release law (round-12; the r11 verdict's ask #3): a
+    // `for`/`while` body that `.materialize`s accumulates one persisted
+    // frame per iteration in `replicated` mode unless superseded
+    // iterations `.release()` — the exact class that OOM'd the first
+    // replicated gate attempt. A materialize a loop body INTENTIONALLY
+    // keeps (e.g. a per-hop frame the post-loop result reads) must say
+    // so on the call line: `.materialize // retained: <why>`.
+    val root = new java.io.File("src/main/scala/graft")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    val loopStart = """\b(for|while)\s*\(""".r
+    val offenders = scalaFiles(root).flatMap { f =>
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val lines = try src.getLines().toVector finally src.close()
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < lines.length) {
+        val ln = lines(i)
+        if (loopStart.findFirstIn(ln).isDefined && ln.contains("{")) {
+          // brace-count to the loop body's end (good enough for this
+          // tree: no braces inside string literals at loop heads)
+          var depth = 0
+          var j = i
+          val region = Vector.newBuilder[(Int, String)]
+          var open = true
+          while (j < lines.length && open) {
+            depth += lines(j).count(_ == '{') - lines(j).count(_ == '}')
+            region += ((j + 1, lines(j)))
+            j += 1
+            if (depth <= 0) open = false
+          }
+          val body = region.result()
+          val unmarked = body.filter { case (_, l) =>
+            l.contains(".materialize") && !l.contains("retained") }
+          val released = body.exists(_._2.contains(".release()"))
+          if (unmarked.nonEmpty && !released)
+            out += s"${f.getName}:${unmarked.head._1}"
+          i = j
+        } else i += 1
+      }
+      out.result()
+    }
+    assert(offenders.isEmpty,
+      "loops that materialize without releasing (pair superseded " +
+        "iterations with .release(), or mark the line " +
+        "`.materialize // retained: <why>`): " + offenders.mkString(", "))
+  }
+
   test("all three materialize modes produce the same rows") {
     import Materialize._
     val base = spark.range(0, 1000).select(

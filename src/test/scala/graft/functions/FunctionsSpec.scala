@@ -16,6 +16,23 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq(32L, 1L))
   }
 
+  test("OverlapCount equals size(array_intersect) incl. 0L keys and empties") {
+    // 0L is a valid 62-bit hash — the hash-set's empty sentinel is the
+    // +1-shifted slot, so a genuine 0 key must still count
+    val df = Seq(
+      (Array(1L, 2L, 3L, 0L), Array(0L, 3L, 9L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(5L, 6L), Array.empty[Long]),
+      (Array(7L), Array(7L)),
+      (Array(1L, 2L, 3L), Array(4L, 5L)),
+      ((1L to 200L).toArray, (101L to 400L).toArray)).toDF("a", "b")
+    val got = df.select(
+      ArrayExprs.overlapCount(col("a"), col("b")).as("o"),
+      size(array_intersect(col("a"), col("b"))).as("want")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"overlapCount ${r.getInt(0)} != array_intersect ${r.getInt(1)}"))
+  }
+
   test("Shingles matches sliding window semantics incl. short docs") {
     // documents shorter than the shingle width yield NO shingles — the
     // same enumeration as the oracle's range(1, len-1) window (ADVICE r1:

@@ -112,6 +112,47 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0)
   }
 
+  test("q322: adaptive routing fills whenever possible and never loses to fixed-16") {
+    val out = SparkEntry.queries("q322_filtered_ann_adaptive")(spark, sfDir)
+      .cache()
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // LAW 1 (the r11 verdict's done-criterion): fill = k whenever the
+    // corpus holds >= k eligible rows — the probe depth was CHOSEN so
+    // the probed cells hold >= k eligible candidates, so under-fill can
+    // only mean the routing read the histogram wrong
+    val underfilled = out
+      .filter(col("n_eligible") >= 10 && col("n_ret") < 10).count()
+    assert(underfilled == 0,
+      s"$underfilled queries under-filled despite >= k eligible rows")
+    // when even the whole index holds < k eligible, the exhaust route
+    // must return exactly every eligible row
+    val shortChanged = out
+      .filter(col("n_eligible") < 10 &&
+        (col("n_ret") =!= col("n_eligible") || col("route") =!= "exhaust"))
+      .count()
+    assert(shortChanged == 0,
+      "exhaust route must return exactly the eligible set when < k exist")
+    // LAW 2: per-query recall >= the fixed-nprobe arm (q317 narrow) —
+    // adaptive probe sets are supersets of the fixed-16 set, and
+    // candidate-set growth is hit-monotone against a fixed truth
+    val fixed = SparkEntry.queries("q317_ivf_filtered")(spark, sfDir)
+      .filter(col("sel") === "narrow")
+      .select(col("q_id"), col("recall").as("recall_fixed"))
+    val regressed = out.join(fixed, "q_id")
+      .filter(col("recall") < col("recall_fixed") - lit(1e-12)).count()
+    assert(regressed == 0,
+      s"$regressed queries recalled WORSE than the fixed-nprobe arm")
+    // route bookkeeping: base stays at 16 probes, escalate exceeds it,
+    // exhaust probes every cell
+    assert(out.filter(col("route") === "base" && col("n_probed") =!= 16)
+      .count() == 0)
+    assert(out.filter(col("route") === "escalate" && col("n_probed") <= 16)
+      .count() == 0)
+    assert(out.filter(col("route") === "exhaust" && col("n_probed") =!= 64)
+      .count() == 0)
+  }
+
   test("graph search finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     // clone vector 0 under a fresh id: beam search from the coarse layer
