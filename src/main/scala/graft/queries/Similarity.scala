@@ -38,6 +38,18 @@ object Similarity {
   private val nQueries = 50
   private def queryFilter: Column = col("vec_id") < nQueries
 
+  /** Top-k depth of the filtered-retrieval family (q317/q318/q322) — the
+    * q318 fill denominator derives from nQueries * SweepK in BOTH the
+    * plan and the oracle, so the three constants cannot drift apart
+    * (ADVICE r11: an independent literal 500 would stay consistently
+    * wrong if either factor changed). */
+  private val SweepK = 10
+
+  /** q323's cosine threshold, shared between plan and oracle. 0.35 on
+    * the synthetic near-noise embeddings yields a non-degenerate flag
+    * set at every gate SF (q73's 0.45 flags a single doc at sf0.01). */
+  private val DeconTheta = 0.35
+
   /** Quantized vector: ARRAY<BIGINT> on a 1e-7 grid. */
   private def quant(c: Column): Column =
     transform(c.cast("array<double>"), x => floor(x * lit(1e7) + lit(0.5)).cast("long"))
@@ -49,7 +61,7 @@ object Similarity {
     graft.functions.ArrayExprs.dotq(a, b)
 
   /** embeddings with quantized vector + exact squared norm. */
-  private[queries] def quantize(emb: DataFrame): DataFrame =
+  private[graft] def quantize(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), quant(col("embedding")).as("qv"))
       .withColumn("n2", dot(col("qv"), col("qv")))
 
@@ -657,6 +669,117 @@ object Similarity {
       index.copy(assigned = index.assigned.join(
         allowed.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")),
       queries, k, nprobe)
+
+  /** ADAPTIVE filtered IVF query — the operator that ACTS on q318's
+    * tuning knee (q322; the r11 verdict's ask #2). [[ivfQueryFiltered]]
+    * probes a fixed nprobe and at narrow selectivity honestly
+    * under-fills; here each query reads the per-cell eligible-mass
+    * histogram (metadata a production index keeps beside its posting
+    * lists — one rollup of the semi-pruned assignment), accumulates it
+    * in probe order, and probes max(baseNprobe, first rank whose
+    * cumulative mass >= k) cells — escalating to EVERY cell when the
+    * whole index holds < k eligible rows, which is exactly the
+    * brute-force-over-the-eligible-set endpoint, cell-partitioned. The
+    * routing decision is corpus-free (bounded queries x centroids rows
+    * against a centroids-row broadcast histogram); the query's own row
+    * never counts toward the mass that decides its probe depth.
+    * Returns (routing report (q_id, p_fill, n_eligible, n_probed,
+    * route), top-k ids (q_id, n_id)); guarantees spec-pinned in
+    * AdaptiveAnn tests: fill = k whenever >= k eligible rows exist, and
+    * per-query recall >= the fixed-baseNprobe arm (probe sets only ever
+    * grow; candidate growth is hit-monotone against a fixed truth). */
+  def ivfQueryAdaptive(emb: DataFrame, e: DataFrame, allowedPred: Column,
+      k: Int = 10, baseNprobe: Int = 16,
+      centroids: Int = 64): (DataFrame, DataFrame) = {
+    val cents = centsOf(e, centroids)
+    val allowedIds = emb.filter(allowedPred).select(col("vec_id").as("n_id"))
+    val eligible = assignTo(cents, e)
+      .join(allowedIds, Seq("n_id"), "left_semi")
+      .materialize // histogram + self-cell + the probe scan read it
+    val queries = e.filter(queryFilter)
+      .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      .materialize
+    // every cell ranked per query, the ivfQuery probe order
+    val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
+    val cellRank = queries.crossJoin(broadcast(cents))
+      .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
+      .withColumn("crn", row_number().over(wProbe))
+      .select(col("q_id"), col("c_id").as("cell"), col("crn"))
+      .materialize // routing + the probe scan read it
+    val cellElig = eligible.groupBy("cell").agg(count(lit(1)).as("ce"))
+    val selfCell = eligible.filter(col("n_id") < nQueries)
+      .select(col("n_id").as("q_id"), col("cell").as("self_cell"))
+    val wCum = Window.partitionBy("q_id").orderBy("crn")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val np = cellRank
+      .join(broadcast(cellElig), Seq("cell"), "left")
+      .join(broadcast(selfCell), Seq("q_id"), "left")
+      .withColumn("elig", coalesce(col("ce"), lit(0L)) -
+        when(col("self_cell") === col("cell"), lit(1L)).otherwise(lit(0L)))
+      .withColumn("cum", sum("elig").over(wCum))
+      .groupBy("q_id")
+      .agg(min(when(col("cum") >= k, col("crn"))).as("p_fill"),
+        sum("elig").as("n_eligible"))
+      .withColumn("n_probed",
+        greatest(lit(baseNprobe), coalesce(col("p_fill"), lit(centroids))))
+      .withColumn("route",
+        when(col("p_fill").isNull, lit("exhaust"))
+          .when(col("p_fill") <= baseNprobe, lit("base"))
+          .otherwise(lit("escalate")))
+      .materialize // probe scan + report read it
+    // the filtered IVF scan over each query's OWN probe depth
+    val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+    val itop = cellRank
+      .join(np.select("q_id", "n_probed"), "q_id")
+      .filter(col("crn") <= col("n_probed"))
+      .join(queries, "q_id")
+      .join(eligible, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= k)
+      .select("q_id", "n_id")
+    (np, itop)
+  }
+
+  /** Embedding-side (SEMANTIC) decontamination — q323's body, exposed
+    * for the scale probe. Flags every train vector within cosine >=
+    * theta of ANY `evalPred` vector, two arms in one report: the EXACT
+    * arm (eval side bounded by contract -> broadcast against one corpus
+    * pass, q48's shape) carries the per-doc hit count and worst cosine;
+    * the CLUSTER arm (q73's SemDeDup cell-local contract via the shared
+    * IVF assignment — the candidate path when even the eval side is too
+    * wide to broadcast) rides along as a per-doc `cluster_hit` flag, so
+    * its cross-cell misses are IN the output rather than silently
+    * absorbed. Returns (vec_id, n_eval_hits, max_cos, cluster_hit) for
+    * the exact-flagged train docs. */
+  def semanticDecon(emb: DataFrame, evalPred: Column, theta: Double,
+      centroids: Int = 64): DataFrame = {
+    val e = quantize(emb).materialize
+    val cents = centsOf(e, centroids)
+    val asg = assignTo(cents, e).materialize // both arms + both sides
+    val evalIds = emb.filter(evalPred).select(col("vec_id").as("n_id"))
+      .withColumn("is_eval", lit(true))
+    val tagged = asg.join(evalIds, Seq("n_id"), "left")
+    val ev = tagged.filter(col("is_eval"))
+      .select(col("n_id").as("e_id"), col("qb").as("evv"),
+        col("nb").as("en"), col("cell").as("e_cell"))
+    val tr = tagged.filter(col("is_eval").isNull)
+      .select("n_id", "qb", "nb", "cell")
+    val exact = tr.crossJoin(broadcast(ev.drop("e_cell")))
+      .withColumn("cos_sim", cosine(col("qb"), col("nb"), col("evv"), col("en")))
+      .filter(col("cos_sim") >= theta)
+      .groupBy("n_id")
+      .agg(count(lit(1)).as("n_eval_hits"), max("cos_sim").as("max_cos"))
+    val cl = tr.join(broadcast(ev), col("cell") === col("e_cell"))
+      .withColumn("cos_sim", cosine(col("qb"), col("nb"), col("evv"), col("en")))
+      .filter(col("cos_sim") >= theta)
+      .select("n_id").distinct()
+    exact
+      .join(cl.select(col("n_id"), lit(true).as("ch")), Seq("n_id"), "left")
+      .select(col("n_id").as("vec_id"), col("n_eval_hits"), col("max_cos"),
+        coalesce(col("ch"), lit(false)).as("cluster_hit"))
+  }
 
   // DuckDB mirror of quant/dot/cosine (64 dims, index-based).
   private[queries] val sqlQuant =
@@ -1425,6 +1548,63 @@ object Similarity {
              |WHERE vec_id NOT IN (SELECT vec_id FROM drops)
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- SEMANTIC decontamination (embedding-side) ------------------------
+    // The decon family (q72 n-gram, q145 Bloom, q313 winnow-index, q320
+    // contamination fraction) is entirely LEXICAL — a paraphrased eval
+    // item sails through every one of them. This is the embedding-side
+    // member (the r11 verdict's ask #5): flag every train vector whose
+    // embedding is within cosine >= theta of ANY eval-slice vector
+    // (vec_id % 97 — q320's eval-slice rule, embedding-keyed). Two arms
+    // in one output, q317's attestation shape:
+    //   - EXACT arm (the report): the eval side is BOUNDED by contract
+    //     (an eval suite, not a corpus), so broadcasting it against one
+    //     train-corpus pass is the scale-safe exact plan — q48's
+    //     bounded-query brute contract. Per flagged doc: how many eval
+    //     items it collides with and the worst cosine.
+    //   - CLUSTER arm (the 100 TB candidate path when even the eval side
+    //     is too wide to broadcast): SemDeDup cell-local comparison
+    //     (q73's contract via the shared IVF assignment — cross-CELL
+    //     pairs missed by construction), reported per doc as
+    //     cluster_hit, so the approximation's per-doc misses are IN the
+    //     output instead of silently absorbed.
+    QueryDef("q323_semantic_decon", (s, d) =>
+      semanticDecon(t(s, d, "embeddings"), col("vec_id") % 97 === 0,
+        DeconTheta).orderBy("vec_id"),
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS MATERIALIZED (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS MATERIALIZED (
+             |  SELECT vec_id, qv, n2, c_id AS cell FROM (
+             |    SELECT n.vec_id, n.qv, n.n2, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |ev AS MATERIALIZED (
+             |  SELECT vec_id AS e_id, qv, n2, cell FROM asg
+             |  WHERE vec_id % 97 = 0),
+             |tr AS MATERIALIZED (
+             |  SELECT * FROM asg WHERE vec_id % 97 != 0),
+             |ex AS MATERIALIZED (
+             |  SELECT t.vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+             |    max(${sqlCos("t", "e")}) AS max_cos
+             |  FROM tr t CROSS JOIN ev e
+             |  WHERE ${sqlCos("t", "e")} >= $DeconTheta
+             |  GROUP BY 1),
+             |cl AS (
+             |  SELECT DISTINCT t.vec_id
+             |  FROM tr t JOIN ev e ON t.cell = e.cell
+             |  WHERE ${sqlCos("t", "e")} >= $DeconTheta)
+             |SELECT ex.vec_id, n_eval_hits, max_cos,
+             |  coalesce(hit, FALSE) AS cluster_hit
+             |FROM ex LEFT JOIN
+             |  (SELECT vec_id, TRUE AS hit FROM cl) h USING (vec_id)
+             |ORDER BY ex.vec_id""".stripMargin)),
+
     // ---- IVF index lifecycle: build -> extend -> query -------------------
     // The maintenance path a production ANN index actually runs: build the
     // coarse quantizer + assignment over the ACCUMULATED corpus (vec_id %
@@ -1946,7 +2126,7 @@ object Similarity {
         .crossJoin(broadcast(gridDf))
         .filter(col("label") < col("t"))
         .withColumn("rank", row_number().over(wT))
-        .filter(col("rank") <= 10)
+        .filter(col("rank") <= SweepK)
         .select("t", "q_id", "n_id")
       // exact filtered brute arm, same one-pass sweep
       val bruteTop = broadcast(queries)
@@ -1956,7 +2136,7 @@ object Similarity {
         .crossJoin(broadcast(gridDf))
         .filter(col("label") < col("t"))
         .withColumn("rank", row_number().over(wT))
-        .filter(col("rank") <= 10)
+        .filter(col("rank") <= SweepK)
         .select("t", "q_id", "n_id")
       val nel = emb.crossJoin(broadcast(gridDf)).filter(col("label") < col("t"))
         .groupBy("t").agg(count(lit(1)).as("n_eligible"))
@@ -1972,7 +2152,8 @@ object Similarity {
           coalesce(col("sum_ret"), lit(0L)).as("sum_ret"),
           coalesce(col("sum_hits"), lit(0L)).as("sum_hits"),
           coalesce(col("sum_brute"), lit(0L)).as("sum_brute"),
-          (coalesce(col("sum_ret"), lit(0L)).cast("double") / lit(500.0))
+          (coalesce(col("sum_ret"), lit(0L)).cast("double")
+            / lit((nQueries * SweepK).toDouble))
             .as("fill"),
           (coalesce(col("sum_hits"), lit(0L)).cast("double")
             / col("sum_brute").cast("double")).as("recall"))
@@ -2015,7 +2196,7 @@ object Similarity {
              |      FROM probes p JOIN corpus s ON p.cell = s.cell
              |      WHERE p.q_id != s.n_id) sc
              |    CROSS JOIN grid g WHERE sc.label < g.t)
-             |  WHERE rank <= 10),
+             |  WHERE rank <= $SweepK),
              |brutetop AS MATERIALIZED (
              |  SELECT t, q_id, n_id FROM (
              |    SELECT g.t, sc.q_id, sc.n_id, row_number() OVER (
@@ -2028,7 +2209,7 @@ object Similarity {
              |      JOIN embeddings e ON e.vec_id = b.vec_id
              |      WHERE a.vec_id < 50) sc
              |    CROSS JOIN grid g WHERE sc.label < g.t)
-             |  WHERE rank <= 10),
+             |  WHERE rank <= $SweepK),
              |nel AS (
              |  SELECT g.t, CAST(count(*) AS BIGINT) AS n_eligible
              |  FROM embeddings e CROSS JOIN grid g WHERE e.label < g.t
@@ -2049,7 +2230,8 @@ object Similarity {
              |  coalesce(sum_ret, 0) AS sum_ret,
              |  coalesce(n_hits, 0) AS sum_hits,
              |  coalesce(sum_brute, 0) AS sum_brute,
-             |  CAST(coalesce(sum_ret, 0) AS DOUBLE) / 500.0 AS fill,
+             |  CAST(coalesce(sum_ret, 0) AS DOUBLE)
+             |    / ${(nQueries * SweepK).toDouble} AS fill,
              |  CAST(coalesce(n_hits, 0) AS DOUBLE)
              |    / CAST(sum_brute AS DOUBLE) AS recall
              |FROM grid g
@@ -2491,57 +2673,12 @@ object Similarity {
     QueryDef("q322_filtered_ann_adaptive", (s, d) => {
       val emb = t(s, d, "embeddings")
       val e = quantize(emb).materialize
-      val cents = centsOf(e, 64)
-      val labels = emb.select(col("vec_id").as("n_id"), col("label"))
-      val corpus = assignTo(cents, e).join(labels, "n_id").materialize
+      val k = 10
+      val (np, itop) = ivfQueryAdaptive(emb, e, col("label") === 3, k)
+      // exact filtered brute truth — q317's narrow arm
       val queries = e.filter(queryFilter)
         .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
-        .materialize
-      val k = 10
-      // every cell ranked per query, the ivfQuery probe order
-      val wProbe = Window.partitionBy("q_id").orderBy(col("c_cos").desc, col("c_id"))
-      val cellRank = queries.crossJoin(broadcast(cents))
-        .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
-        .withColumn("crn", row_number().over(wProbe))
-        .select(col("q_id"), col("c_id").as("cell"), col("crn"))
-        .materialize // routing + the probe scan read it
-      // per-cell eligible mass (<= 64 rows) and each eligible query's
-      // own cell (for self-exclusion)
-      val cellElig = corpus.filter(col("label") === 3)
-        .groupBy("cell").agg(count(lit(1)).as("ce"))
-      val selfCell = corpus.filter(col("label") === 3 && col("n_id") < nQueries)
-        .select(col("n_id").as("q_id"), col("cell").as("self_cell"))
-      val wCum = Window.partitionBy("q_id").orderBy("crn")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val np = cellRank
-        .join(broadcast(cellElig), Seq("cell"), "left")
-        .join(broadcast(selfCell), Seq("q_id"), "left")
-        .withColumn("elig", coalesce(col("ce"), lit(0L)) -
-          when(col("self_cell") === col("cell"), lit(1L)).otherwise(lit(0L)))
-        .withColumn("cum", sum("elig").over(wCum))
-        .groupBy("q_id")
-        .agg(min(when(col("cum") >= k, col("crn"))).as("p_fill"),
-          sum("elig").as("n_eligible"))
-        .withColumn("n_probed",
-          greatest(lit(16), coalesce(col("p_fill"), lit(64))))
-        .withColumn("route",
-          when(col("p_fill").isNull, lit("exhaust"))
-            .when(col("p_fill") <= 16, lit("base"))
-            .otherwise(lit("escalate")))
-        .materialize // probe scan + report read it
-      // the filtered IVF scan over each query's OWN probe depth
       val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-      val itop = cellRank
-        .join(np.select("q_id", "n_probed"), "q_id")
-        .filter(col("crn") <= col("n_probed"))
-        .join(queries, "q_id")
-        .join(corpus, "cell")
-        .filter(col("label") === 3 && col("q_id") =!= col("n_id"))
-        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-        .withColumn("rank", row_number().over(wB))
-        .filter(col("rank") <= k)
-        .select("q_id", "n_id")
-      // exact filtered brute truth — q317's narrow arm
       val brute = broadcast(queries)
         .join(e.join(emb.filter(col("label") === 3).select("vec_id"),
             Seq("vec_id"), "left_semi")

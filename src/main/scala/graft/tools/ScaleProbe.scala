@@ -194,6 +194,27 @@ object ScaleProbe {
         graft.queries.Similarity.semDedup(replicateEmb(m), 0.45,
           centroids = (64 * math.sqrt(m)).toInt).count()
       }
+      // adaptive filtered ANN (q322): the routing decision is
+      // queries x centroids rows against a centroids-row histogram —
+      // corpus-free — and the probed-cell scan is the ivfQuery shape,
+      // so the whole operator must scale like the fixed-nprobe query
+      time(s"adaptive_filtered_ann_x$m") {
+        val be = replicateEmb(m)
+        val e = graft.queries.Similarity.quantize(be).materialize
+        val (np, itop) = graft.queries.Similarity.ivfQueryAdaptive(
+          be, e, col("label") === 3,
+          centroids = (64 * math.sqrt(m)).toInt)
+        itop.count() + np.count()
+      }
+      // semantic decontamination (q323): the eval side is FIXED (base
+      // replica only — an eval suite does not grow with the corpus), so
+      // the exact arm is one corpus pass against a constant broadcast
+      // and the cluster arm is cell-local — both ~linear
+      time(s"semantic_decon_x$m") {
+        graft.queries.Similarity.semanticDecon(replicateEmb(m),
+          col("vec_id") % 97 === 0 && col("vec_id") < maxVec, 0.35,
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
       // multi-signal dedup, full q86 composition: LSH text edges ∪
       // cluster-local semantic edges (centroids ~ sqrt(n), the scale
       // contract) -> large-star/small-star closure — every piece is

@@ -153,6 +153,34 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       .count() == 0)
   }
 
+  test("q323: cluster arm is exactly q73's cell-local generator; exact arm sound") {
+    val out = SparkEntry.queries("q323_semantic_decon")(spark, sfDir).cache()
+    assert(out.count() > 0, "semantic decon degenerate at sf0.001")
+    // exact-arm soundness: every flagged doc really collides at >= theta
+    // with >= 1 eval item, and no eval doc flags itself
+    assert(out.filter(col("max_cos") < 0.35 || col("n_eval_hits") < 1)
+      .count() == 0)
+    assert(out.filter(col("vec_id") % 97 === 0).count() == 0,
+      "eval-slice docs must never appear as flagged TRAIN docs")
+    // the cluster arm must be EXACTLY q73's contract: a doc is
+    // cluster_hit iff the SemDeDup cell-local pair generator (same IVF
+    // assignment, same threshold) links it to an eval doc
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = graft.queries.Similarity
+      .clusterLocalNearPairs(emb, 0.35).cache()
+    val evalSide = (c: String) => col(c) % 97 === 0
+    val clustered = pairs
+      .filter(evalSide("vec_a") =!= evalSide("vec_b"))
+      .select(when(evalSide("vec_a"), col("vec_b")).otherwise(col("vec_a"))
+        .as("vec_id"))
+      .distinct()
+    val want = clustered.collect().map(_.getLong(0)).toSet
+    val got = out.filter(col("cluster_hit")).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == want,
+      s"cluster_hit set $got != q73-generator set $want")
+  }
+
   test("graph search finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     // clone vector 0 under a fresh id: beam search from the coarse layer
