@@ -982,6 +982,50 @@ object Dedup {
        |    AS reduction_ratio
        |FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN nh""".stripMargin
 
+  /** q320's oracle — ALSO the q324 streaming-face oracle verbatim: the
+    * face recomputes the identical per-doc statistic map-side (overlap
+    * against the broadcast eval window array instead of a semi-join +
+    * count), so one SQL body gates both the batch plan and the online
+    * twin. */
+  private[queries] val sqlContaminationFraction: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |w0 AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, len(tk) - 6),
+      |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+      |  FROM t WHERE len(tk) >= 8),
+      |w AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
+      |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
+      |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS win
+      |  FROM w0),
+      |bench AS (SELECT DISTINCT win FROM w WHERE doc_id % 97 = 0),
+      |train AS (SELECT * FROM w WHERE doc_id % 97 != 0),
+      |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+      |       FROM train GROUP BY 1),
+      |hits AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+      |  FROM train WHERE win IN (SELECT win FROM bench)
+      |  GROUP BY 1)
+      |SELECT t.doc_id,
+      |  coalesce(n_windows, 0) AS n_windows,
+      |  coalesce(n_contaminated, 0) AS n_contaminated,
+      |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+      |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+      |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
+      |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
+      |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+      |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
+      |FROM t
+      |LEFT JOIN nw ON t.doc_id = nw.doc_id
+      |LEFT JOIN hits ON t.doc_id = hits.doc_id
+      |WHERE t.doc_id % 97 != 0
+      |ORDER BY t.doc_id""".stripMargin
+
   /** Exact shingle-Jaccard threshold self-join with WINNOWING-BLOCKED
     * candidate generation — q275's plan, the shuffle-bill cut of the
     * r9 verdict. [[jaccardJoin]]'s prefix filter is complete at any
@@ -1601,43 +1645,7 @@ object Dedup {
         .withColumn("flagged", col("contaminated_frac") >= 0.05)
         .orderBy("doc_id")
     },
-      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-             |w0 AS (
-             |  SELECT doc_id,
-             |         unnest(list_transform(range(1, len(tk) - 6),
-             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
-             |  FROM t WHERE len(tk) >= 8),
-             |w AS MATERIALIZED (
-             |  SELECT DISTINCT doc_id,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
-             |      (a,c) -> (a*131 + c) % 4294967291) * 2147483648
-             |    + list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(win)+1), ci -> CAST(unicode(win[ci]) AS BIGINT))),
-             |      (a,c) -> (a*137 + c) % 4294967291) % 2147483648 AS win
-             |  FROM w0),
-             |bench AS (SELECT DISTINCT win FROM w WHERE doc_id % 97 = 0),
-             |train AS (SELECT * FROM w WHERE doc_id % 97 != 0),
-             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
-             |       FROM train GROUP BY 1),
-             |hits AS (
-             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
-             |  FROM train WHERE win IN (SELECT win FROM bench)
-             |  GROUP BY 1)
-             |SELECT t.doc_id,
-             |  coalesce(n_windows, 0) AS n_windows,
-             |  coalesce(n_contaminated, 0) AS n_contaminated,
-             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
-             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
-             |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
-             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
-             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
-             |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
-             |FROM t
-             |LEFT JOIN nw ON t.doc_id = nw.doc_id
-             |LEFT JOIN hits ON t.doc_id = hits.doc_id
-             |WHERE t.doc_id % 97 != 0
-             |ORDER BY t.doc_id""".stripMargin)),
+      Some(sqlContaminationFraction)),
 
     // ---- Near-dup provenance: which sources copy from which --------------
     // The investigative rollup over the verified near-dup pair set: joins
@@ -3113,6 +3121,25 @@ object Dedup {
              |  SELECT h, doc_id, para_id, row_number() OVER (PARTITION BY h
              |    ORDER BY doc_id, para_id) AS rn FROM ph)
              |WHERE rn = 1 ORDER BY h""".stripMargin)),
+
+    // ---- Streaming contamination-fraction twin, driver-gated --------------
+    // The batch-face promotion for
+    // [[graft.streaming.Streams.contaminationIngest]] (q307-q311's
+    // pattern): the online q320 — each arriving train doc scores its
+    // 8-gram contamination fraction map-side against the broadcast eval
+    // window set, STATELESS (no state store, no watermark), so the same
+    // code path gates here against q320's own oracle and runs as a real
+    // stream in StreamingSpec. Twin equivalence is structural: the
+    // per-doc overlap of distinct window sets (one hash-set pass) equals
+    // the batch semi-join count.
+    QueryDef("q324_contamination_ingest_face", (s, d) => {
+      val docs = t(s, d, "documents")
+      val benchPred = col("doc_id") % 97 === 0
+      graft.streaming.Streams.contaminationIngest(
+          docs.filter(!benchPred), docs.filter(benchPred))
+        .orderBy("doc_id")
+    },
+      Some(sqlContaminationFraction)),
 
     // ---- LSH parameter designer: (bands, rows) sweep on THIS corpus ------
     // q251 scores ONE MinHash-LSH config empirically; this is the table

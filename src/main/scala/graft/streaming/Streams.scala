@@ -181,6 +181,44 @@ object Streams {
       .drop("ev")
   }
 
+  /** Streaming face of the batch q320 contamination FRACTION — the
+    * GPT-3-style soft filter, online: each arriving training doc scores
+    * the fraction of its distinct 8-token windows that occur in the
+    * (static, bounded) eval set, entirely map-side — the eval window
+    * set broadcasts as one sorted array cell and the per-doc overlap is
+    * one codegen'd hash-set pass
+    * ([[graft.functions.ArrayExprs.overlapCount]]), so the stream stage
+    * is STATELESS: no state store, no watermark, per-row cost
+    * O(|doc windows| + |eval windows| lookup). Emits (doc_id,
+    * n_windows, n_contaminated, contaminated_frac, flagged) — the exact
+    * q320 row for that doc (the q324 face is driver-gated against
+    * q320's own oracle). The bounded-eval-set contract is enforced the
+    * same way as [[decontaminatedIngest]]'s. */
+  def contaminationIngest(incoming: DataFrame, evalDocs: DataFrame,
+      maxEvalDocs: Int = 100000): DataFrame = {
+    val n = evalDocs.limit(maxEvalDocs + 1).count()
+    require(n <= maxEvalDocs,
+      s"contaminationIngest: eval set exceeds $maxEvalDocs documents — its " +
+        "distinct window set must broadcast as ONE array cell per micro-batch")
+    def wins(c: org.apache.spark.sql.Column) = array_distinct(
+      graft.functions.ArrayExprs.windowHashes(split(c, " "), 8))
+    val bench = evalDocs
+      .select(explode(wins(col("text"))).as("win"))
+      .agg(collect_set(col("win")).as("bench"))
+    incoming
+      .select(col("doc_id"), wins(col("text")).as("w"))
+      .crossJoin(bench)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_windows"),
+        graft.functions.ArrayExprs.overlapCount(col("w"), col("bench"))
+          .cast("long").as("n_contaminated"))
+      .withColumn("contaminated_frac",
+        when(col("n_windows") === 0L, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double")
+            / col("n_windows").cast("double")))
+      .withColumn("flagged", col("contaminated_frac") >= 0.05)
+  }
+
   /** Streaming PII scrub: the stateless online face of the q114 email
     * redaction — detection and replacement are pure per-row column
     * expressions, so the scrub rides each micro-batch ahead of the

@@ -437,6 +437,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out.select("sh").distinct().count() == out.count())
   }
 
+  test("streaming contamination fraction equals batch q320 per doc") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val benchPred = col("doc_id") % 97 === 0
+    val dir = java.nio.file.Files.createTempDirectory("docs-contam")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .filter(!benchPred)
+    val q = Streams.contaminationIngest(incoming, docs.filter(benchPred))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contam_out").start()
+    try q.processAllAvailable() finally q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "n_windows", "n_contaminated", "contaminated_frac",
+        "flagged")
+      .collect().map(_.toSeq).sortBy(_.head.toString.toLong).toSeq
+    val got = key(spark.table("contam_out"))
+    val want = key(SparkEntry.queries("q320_contamination_fraction")(spark, sfDir))
+    assert(got == want, s"stream rows ${got.size} != batch ${want.size} " +
+      s"or values differ: ${got.diff(want).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming PII scrub matches the batch redaction per row") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
