@@ -2649,6 +2649,98 @@ object Similarity {
              |LEFT JOIN hits USING (q_id)
              |ORDER BY qs2.q_id""".stripMargin)),
 
+    // ---- Filtered graph search with EXACT FALLBACK ------------------------
+    // q321 reports under-fill honestly (n_ret < k when the walk's seen
+    // set holds too few eligible nodes) — this is the operator that
+    // FIXES it, q322's routing story on the graph side: run the
+    // filtered graph search; queries whose eligible-seen set
+    // under-fills are ROUTED to an exact scan over the eligible
+    // semi-join (bounded: routed queries x eligible slice — the
+    // narrower the predicate, the more queries route AND the smaller
+    // the slice they scan, so the fallback bill is self-limiting).
+    // Predicate here is ~2% selectivity (label = 3 AND vec_id % 5 = 0)
+    // — narrow enough that the walk genuinely under-fills and both
+    // routes carry rows at every gate SF. Guarantee (spec-pinned):
+    // every query returns exactly min(k, n_eligible) rows, and routed
+    // queries are EXACT (recall 1.0 by construction).
+    QueryDef("q325_graph_filtered_fallback", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val e = quantized(s, d)
+      val pred = col("label") === 3 && col("vec_id") % 5 === 0
+      val allowed = emb.filter(pred).select("vec_id")
+      val k = 10
+      val g = graphSearchFiltered(emb, queryFilter, allowed)
+        .select("q_id", "rank", "n_id", "cos_sim")
+        .materialize // fill counts + the kept branch read it
+      val queries = e.filter(queryFilter)
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+      val nret = g.groupBy("q_id").agg(count(lit(1)).as("n_ret"))
+      val routed = queries.join(nret, Seq("q_id"), "left")
+        .filter(coalesce(col("n_ret"), lit(0L)) < k)
+        .select("q_id", "qa", "na")
+      val wB = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
+      val brute = broadcast(routed)
+        .join(e.join(allowed, Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")),
+          col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .withColumn("rank", row_number().over(wB))
+        .filter(col("rank") <= k)
+        .select("q_id", "rank", "n_id", "cos_sim")
+      g.join(routed.select("q_id"), Seq("q_id"), "left_anti")
+        .withColumn("route", lit("graph"))
+        .unionAll(brute.withColumn("route", lit("exact_fallback")))
+        .select("q_id", "route", "rank", "n_id", "cos_sim")
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |${sqlBeamCtes(3, 24)},
+             |seen AS MATERIALIZED (
+             |  SELECT DISTINCT q_id, n_id FROM (
+             |    SELECT q_id, n_id FROM exp1
+             |    UNION ALL SELECT q_id, n_id FROM exp2
+             |    UNION ALL SELECT q_id, n_id FROM exp3)),
+             |alw AS MATERIALIZED (
+             |  SELECT vec_id FROM embeddings
+             |  WHERE label = 3 AND vec_id % 5 = 0),
+             |gtop AS MATERIALIZED (
+             |  SELECT q_id, n_id, cos_sim,
+             |    CAST(rank AS INTEGER) AS rank FROM (
+             |    SELECT sc.q_id, sc.n_id, sc.cos_sim, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT x.q_id, x.n_id, ${sqlCos("f", "y")} AS cos_sim
+             |      FROM seen x JOIN qs f ON x.q_id = f.q_id
+             |                  JOIN n y ON x.n_id = y.vec_id
+             |                  JOIN alw w ON x.n_id = w.vec_id
+             |      WHERE x.n_id != x.q_id) sc)
+             |  WHERE rank <= 10),
+             |nret AS (
+             |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_ret
+             |  FROM gtop GROUP BY 1),
+             |routed AS MATERIALIZED (
+             |  SELECT f.q_id FROM qs f LEFT JOIN nret USING (q_id)
+             |  WHERE coalesce(n_ret, 0) < 10),
+             |btop AS MATERIALIZED (
+             |  SELECT q_id, n_id, cos_sim,
+             |    CAST(rank AS INTEGER) AS rank FROM (
+             |    SELECT sc.q_id, sc.n_id, sc.cos_sim, row_number() OVER (
+             |      PARTITION BY sc.q_id ORDER BY sc.cos_sim DESC, sc.n_id) AS rank
+             |    FROM (
+             |      SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |        ${sqlCos("a", "b")} AS cos_sim
+             |      FROM n a
+             |      JOIN routed r ON a.vec_id = r.q_id
+             |      JOIN n b ON a.vec_id != b.vec_id
+             |      JOIN alw w ON b.vec_id = w.vec_id) sc)
+             |  WHERE rank <= 10)
+             |SELECT q_id, 'graph' AS route, rank, n_id, cos_sim FROM gtop
+             |WHERE q_id NOT IN (SELECT q_id FROM routed)
+             |UNION ALL
+             |SELECT q_id, 'exact_fallback' AS route, rank, n_id, cos_sim
+             |FROM btop
+             |ORDER BY q_id, rank""".stripMargin)),
+
     // ---- ADAPTIVE filtered ANN: act on q318's tuning knee ----------------
     // q317 runs a FIXED nprobe=16 and at narrow selectivity honestly
     // under-fills (n_ret < k); q318 computes the curve that says when.

@@ -181,6 +181,32 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       s"cluster_hit set $got != q73-generator set $want")
   }
 
+  test("q325: fallback routing returns exactly min(k, eligible) rows per query") {
+    val out = SparkEntry.queries("q325_graph_filtered_fallback")(spark, sfDir)
+      .cache()
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val eligible = emb
+      .filter(col("label") === 3 && col("vec_id") % 5 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val perQ = out.groupBy("q_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the operator's whole point: NO query under-fills any more — every
+    // query returns exactly min(k, its eligible count excluding itself)
+    (0L until 50L).foreach { q =>
+      val want = math.min(10, (eligible - q).size)
+      assert(perQ.getOrElse(q, 0L) == want,
+        s"query $q returned ${perQ.getOrElse(q, 0L)} rows, want $want")
+    }
+    // routed queries are EXACT: their rows must all be eligible ids and
+    // ranked by descending cosine (spot-check the invariants the oracle
+    // hash already enforces end-to-end)
+    val badId = out.filter(col("route") === "exact_fallback")
+      .join(emb.filter(col("label") === 3 && col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("n_id")), Seq("n_id"), "left_anti")
+      .count()
+    assert(badId == 0, s"$badId fallback rows outside the eligible set")
+  }
+
   test("graph search finds a planted near-duplicate at rank 1") {
     import spark.implicits._
     // clone vector 0 under a fresh id: beam search from the coarse layer
