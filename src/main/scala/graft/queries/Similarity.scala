@@ -316,6 +316,40 @@ object Similarity {
   def ivfExtend(index: IvfIndex, batch: DataFrame): IvfIndex =
     index.copy(assigned = index.assigned.union(assignTo(index.cents, quantize(batch))))
 
+  /** TOMBSTONE delete — the third leg of the index lifecycle (build →
+    * [[ivfExtend]] → query → delete): drop the deleted ids from the
+    * posting stream with one id-keyed anti-join, centroids UNTOUCHED
+    * ([[ivfExtend]]'s frozen-quantizer contract — the coarse layer
+    * drifts only at full retrain, so deletes are cheap, deterministic,
+    * and composable with extends in any order). Queries through the
+    * returned index can never see a deleted row — the anti-join prunes
+    * the posting side BEFORE the probe join scores anything, the same
+    * pre-filter discipline as [[ivfQueryFiltered]].
+    * GraphAnnSpec pins delete-then-query == query-over-remaining
+    * under the same centroids. */
+  def ivfDelete(index: IvfIndex, deletedIds: DataFrame): IvfIndex =
+    index.copy(assigned = index.assigned.join(
+      deletedIds.select(col("vec_id").as("n_id")), Seq("n_id"), "left_anti"))
+
+  /** Per-cell compaction report over a tombstoned index — the
+    * maintenance readout that decides WHEN the rare full rebuild runs:
+    * cells whose live fraction fell below `minLiveFrac` waste probe
+    * work on dead postings (a probe scans the cell's full stored run
+    * in a real posting layout). Both sides are one map-combined rollup
+    * of the assignment tables; the report is centroids-sized. */
+  def ivfCompactionReport(full: IvfIndex, live: IvfIndex,
+      minLiveFrac: Double = 0.5): DataFrame =
+    full.assigned.groupBy("cell").agg(count(lit(1)).as("n_total"))
+      .join(live.assigned.groupBy("cell").agg(count(lit(1)).as("nl")),
+        Seq("cell"), "left")
+      .select(col("cell"), col("n_total"),
+        coalesce(col("nl"), lit(0L)).as("n_live"),
+        (coalesce(col("nl"), lit(0L)).cast("double")
+          / col("n_total").cast("double")).as("live_frac"),
+        (coalesce(col("nl"), lit(0L)).cast("double")
+          < lit(minLiveFrac) * col("n_total").cast("double"))
+          .as("needs_compaction"))
+
   /** Bounded-degree kNN graph — the base layer of a graph ANN index
     * (the DiskANN/Vamana/HNSW family: per-node neighbor lists navigated
     * by greedy search, the production alternative to IVF posting lists).
@@ -1657,6 +1691,56 @@ object Similarity {
              |  FROM scored)
              |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim
              |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+
+    // ---- IVF tombstone delete + compaction report -------------------------
+    // The lifecycle leg q91 lacks: DELETES. Tombstoning is one id-keyed
+    // anti-join on the posting stream under the frozen quantizer
+    // (ivfDelete — centroids drift only at full retrain, the ivfExtend
+    // contract), and the operational question it raises is answered by
+    // the per-cell compaction report: which cells' live fraction fell
+    // below the rebuild threshold. A 50% delete (even ids) makes the
+    // flag a per-cell coin-flip around the 0.5 threshold, so both flag
+    // values appear at every gate SF. Both rollups map-combine; the
+    // report is centroids-sized. GraphAnnSpec pins the semantic
+    // law: querying the tombstoned index equals querying an index
+    // assigned over only the remaining vectors under the same coarse
+    // layer.
+    QueryDef("q326_ivf_delete_compaction", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx0 = ivfIndex(emb)
+      val idx = idx0.copy(assigned = idx0.assigned.materialize)
+      val live = ivfDelete(idx, emb.filter(col("vec_id") % 2 === 0)
+        .select("vec_id"))
+      ivfCompactionReport(idx, live).orderBy("cell")
+    },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |c AS MATERIALIZED (
+             |  SELECT vec_id AS c_id, qv, n2 FROM n
+             |  ORDER BY ${Sampling.sqlLehmerOf("vec_id")}, vec_id LIMIT 64),
+             |asg AS MATERIALIZED (
+             |  SELECT vec_id, c_id AS cell FROM (
+             |    SELECT n.vec_id, c.c_id,
+             |      row_number() OVER (PARTITION BY n.vec_id
+             |        ORDER BY ${sqlCos("n", "c")} DESC, c.c_id ASC) AS rn
+             |    FROM n CROSS JOIN c)
+             |  WHERE rn = 1),
+             |tot AS (
+             |  SELECT cell, CAST(count(*) AS BIGINT) AS n_total
+             |  FROM asg GROUP BY 1),
+             |liv AS (
+             |  SELECT cell, CAST(count(*) AS BIGINT) AS n_live
+             |  FROM asg WHERE vec_id % 2 != 0 GROUP BY 1)
+             |SELECT t.cell, n_total,
+             |  coalesce(n_live, 0) AS n_live,
+             |  CAST(coalesce(n_live, 0) AS DOUBLE)
+             |    / CAST(n_total AS DOUBLE) AS live_frac,
+             |  CAST(coalesce(n_live, 0) AS DOUBLE)
+             |    < 0.5 * CAST(n_total AS DOUBLE) AS needs_compaction
+             |FROM tot t LEFT JOIN liv USING (cell)
+             |ORDER BY t.cell""".stripMargin)),
 
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression

@@ -220,6 +220,35 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(hit.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("q326: querying a tombstoned index equals querying only the remaining vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = graft.queries.Similarity.ivfIndex(emb)
+    val deleted = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val tombstoned = graft.queries.Similarity.ivfDelete(idx, deleted)
+    val got = graft.queries.Similarity
+      .ivfQuery(tombstoned, emb.filter(col("vec_id") < 20))
+    // the semantic law: same FROZEN coarse layer, posting stream built
+    // FROM SCRATCH over only the remaining vectors (empty the index,
+    // re-ingest the survivors through ivfExtend — an independent
+    // construction, not the same anti-join) — deletes must be invisible
+    // to queries and nothing else may change
+    val emptied = graft.queries.Similarity.ivfDelete(idx, emb.select("vec_id"))
+    val want = graft.queries.Similarity.ivfQuery(
+      graft.queries.Similarity.ivfExtend(emptied,
+        emb.filter(col("vec_id") % 2 =!= 0)),
+      emb.filter(col("vec_id") < 20))
+    assertSameRows(got, want)
+    // and the compaction report accounts for every vector exactly once
+    val rep = SparkEntry.queries("q326_ivf_delete_compaction")(spark, sfDir)
+      .cache()
+    val tots = rep.agg(sum("n_total"), sum("n_live")).head()
+    assert(tots.getLong(0) == emb.count())
+    assert(tots.getLong(1) == emb.filter(col("vec_id") % 2 =!= 0).count())
+    assert(rep.filter(col("needs_compaction")).count() > 0)
+    assert(rep.filter(!col("needs_compaction")).count() > 0,
+      "compaction flag degenerate — every cell flagged")
+  }
+
   test("q144: extension covers exactly the batch nodes, base edges untouched") {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
