@@ -2317,7 +2317,12 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q317_ivf_filtered", // q49's fixed 64-row centroid broadcast + q48's bounded 50-query anchors
       "q318_filtered_ann_sweep", // q49's centroid broadcast + the 10-row selectivity-grid cross (q76's class)
       "q319_bm25_filtered", // q88's one-row corpus-stats cross on the predicate slice
-      "q321_graph_filtered") // q137's fixed centroid broadcast + q48's bounded 50-query anchors
+      "q321_graph_filtered", // q137's fixed centroid broadcast + q48's bounded 50-query anchors
+      "q322_filtered_ann_adaptive", // q49's centroid broadcast + 64-row histogram/self-cell broadcasts + q48's anchors
+      "q324_contamination_ingest_face", // one-row eval-window-array cross join (q76's class, bounded-eval contract enforced)
+      "q325_graph_filtered_fallback", // q321's centroid broadcast + bounded routed-query anchor broadcast (q48's class)
+      "q323_semantic_decon", // bounded eval-side broadcast (q48's contract) against one corpus pass
+      "q326_ivf_delete_compaction") // q49's fixed 64-row centroid broadcast (Lloyd assignment)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
