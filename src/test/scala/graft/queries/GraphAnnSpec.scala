@@ -249,6 +249,39 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       "compaction flag degenerate — every cell flagged")
   }
 
+  test("IvfIndex round-trips through parquet: persisted index serves identical results") {
+    // the IvfIndex doc-contract says production PERSISTS the coarse
+    // layer + posting table and amortizes them over query batches —
+    // exercise the claim: write both tables to parquet, reload into a
+    // fresh IvfIndex, and the served top-k must be byte-identical
+    // (covers schema round-trip of the quantized ARRAY<BIGINT> vectors
+    // and the cell keys; a dtype drift here would silently re-plan
+    // every downstream join)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    // q91's lifecycle split: base index over 2/3, the rest is the batch
+    val idx = graft.queries.Similarity.ivfIndex(emb.filter(col("vec_id") % 3 =!= 0))
+    val dir = java.nio.file.Files.createTempDirectory("ivf-persist").toString
+    idx.cents.write.parquet(s"$dir/cents.parquet")
+    idx.assigned.write.parquet(s"$dir/assigned.parquet")
+    val reloaded = graft.queries.Similarity.IvfIndex(
+      spark.read.parquet(s"$dir/cents.parquet"),
+      spark.read.parquet(s"$dir/assigned.parquet"))
+    val q = emb.filter(col("vec_id") < 20)
+    assertSameRows(
+      graft.queries.Similarity.ivfQuery(reloaded, q),
+      graft.queries.Similarity.ivfQuery(idx, q))
+    // and the persisted posting table keeps serving through the
+    // lifecycle ops: extend + delete on the RELOADED index equal the
+    // same ops on the in-memory one
+    val batch = emb.filter(col("vec_id") % 3 === 0)
+    val dead = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    def lifecycle(i: graft.queries.Similarity.IvfIndex) =
+      graft.queries.Similarity.ivfQuery(
+        graft.queries.Similarity.ivfDelete(
+          graft.queries.Similarity.ivfExtend(i, batch), dead), q)
+    assertSameRows(lifecycle(reloaded), lifecycle(idx))
+  }
+
   test("q144: extension covers exactly the batch nodes, base edges untouched") {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
