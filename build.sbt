@@ -11,6 +11,28 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Shard the suites across forked JVMs (r12 verdict ask #2: the suite
+// wall hit 10m+ in one JVM and grows ~30 s/round). One group per suite
+// keeps scheduling dynamic — a freed lane immediately picks up the next
+// suite, so no static bin-packing is needed. Spark sessions are
+// per-suite local[4], so 8 concurrent lanes saturate the 32 cpus. Each
+// lane gets its own warehouse + derby dirs so catalog-table suites
+// (WarehouseSpec, StatsSpec) can't collide across JVMs.
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  (Test / definedTests).value.map { t =>
+    val safe = t.name.replaceAll("[^A-Za-z0-9.]", "_")
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions(opts ++ Vector(
+        s"-Dspark.sql.warehouse.dir=/tmp/graft-test-wh/$safe",
+        s"-Dderby.system.home=/tmp/graft-test-wh/$safe-derby"))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("GRAFT_TEST_LANES", "8").toInt),
+  Tags.limitAll(24),
+)
 // The driver tail-captures stdout and parses the LAST line as the
 // bench JSON. Two requirements: (a) the forked app's stdout must be
 // emitted raw (not [info]-prefixed through sbt's logger), and (b)

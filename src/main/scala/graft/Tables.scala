@@ -56,6 +56,32 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** Exact row count from parquet footers — metadata-only, no data scan.
+    * The planner-grade substitute for a `count()` job when a query needs
+    * the corpus size before its real work starts (e.g. q294's
+    * int64-exact-vs-normalized branch pick): footers are the same
+    * metadata a scan's planning already fetches, so this costs one
+    * footer read per file, not a corpus pass — at 100 TB that is
+    * thousands of footers, not thousands of tasks. Counts are
+    * load-invariant for every table ([[load]]'s only rewrites are
+    * column-type casts, never row filters), which TablesSpec pins. */
+  def rowCountFromFooters(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val stats =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(root))
+    stats.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(f, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Register every table as a temp view so `spark.sql` / the dialect
     * frontend can resolve unqualified table names.
     *

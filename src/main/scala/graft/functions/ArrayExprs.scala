@@ -224,15 +224,23 @@ object ArrayOps {
     new GenericArrayData(out)
   }
 
-  /** |a ∩ b| of two long arrays with DISTINCT elements per side: open-
-    * addressing hash set over the smaller side (keys stored +1 so 0L can
-    * be the empty slot even though 0 is a valid 62-bit hash), probed by
-    * the larger. No boxing, no intersection-array allocation — the
-    * winnow-blocked verify calls this once per candidate pair. */
+  /** |a ∩ b| of two long arrays with DISTINCT NON-NEGATIVE elements per
+    * side: open-addressing hash set over the smaller side (keys stored
+    * +1 so 0L can be the empty slot even though 0 is a valid 62-bit
+    * hash), probed by the larger. No boxing, no intersection-array
+    * allocation — the winnow-blocked verify calls this once per
+    * candidate pair. The non-negative contract is REQUIRED, not
+    * assumed: a key of -1L would alias the empty sentinel after the +1
+    * shift and silently vanish from the count, so it throws instead
+    * (all current callers feed 62-bit hashes, which can never trip it). */
   def overlapCount(a: ArrayData, b: ArrayData): Int = {
     val (s, l) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = s.numElements()
     if (n == 0) return 0
+    // cap must stay a positive power of two: past 2^30 elements the
+    // doubled table exceeds the max JVM array and `n * 2` overflows Int
+    // into an infinite insert loop — fail loudly instead.
+    require(n <= (1 << 30), s"overlapCount side too large: $n elements")
     var cap = 2
     while (cap < n * 2) cap <<= 1
     val tab = new Array[Long](cap)
@@ -240,6 +248,7 @@ object ArrayOps {
     var i = 0
     while (i < n) {
       val k = s.getLong(i) + 1L
+      require(k != 0L, "overlapCount requires non-negative elements; got -1")
       var j = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & mask
       while (tab(j) != 0L && tab(j) != k) j = (j + 1) & mask
       tab(j) = k
@@ -250,6 +259,7 @@ object ArrayOps {
     i = 0
     while (i < m) {
       val k = l.getLong(i) + 1L
+      require(k != 0L, "overlapCount requires non-negative elements; got -1")
       var j = (java.lang.Long.hashCode(k * 0x9E3779B97F4A7C15L)) & mask
       var probing = true
       while (probing) {

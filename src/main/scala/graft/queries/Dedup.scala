@@ -854,8 +854,9 @@ object Dedup {
     * winnow tier's df <= 50 cap. The >= RareMinShared gate is what
     * keeps the tier's FALSE candidates (and hence the exact-verify
     * bill, which pays one token-stream join per candidate) bounded: at
-    * sf0.1, >= 1 shared rare key admits 1.13M candidate pairs,
-    * >= 3 admits 10.3k — a 100x verify-cost difference for a contract
+    * sf0.1 (measured at cap 25), >= 1 shared rare key admits 1.13M
+    * candidate pairs, >= 3 admits 10.3k (cap 10 cuts that to ~1.2k)
+    * — a 100x verify-cost difference for a contract
     * a theta >= 0.4 pair cannot feel (both its sides carry >= ShortLen
     * = 14 keys on the blocked branch, so it shares >= 8 keys; missing
     * means >= 6 of them are boilerplate while scattered-edit shared
@@ -871,7 +872,7 @@ object Dedup {
     // rare-key stream twice more (both aliased sides recompute the df
     // join), while this computes it once and the groupBy rides the
     // join's own tok partitioning with no new exchange. collect_list
-    // is bounded by the df <= cap filter (<= 25 doc ids per key), so
+    // is bounded by the df <= cap filter (<= cap doc ids per key), so
     // the k^2 pair blow-up is <= C(cap, 2) per key.
     val byTok = keys.join(dup, "tok")
       .groupBy("tok").agg(collect_list("doc_id").as("ds"))
@@ -885,8 +886,14 @@ object Dedup {
 
   /** Document-frequency cap of [[rareKeyCandidates]] — keys shared by
     * more docs than this are treated as stop keys (boilerplate), the
-    * analogue of the winnow tier's df <= 50 fingerprint cap. */
-  private[queries] val RareKeyCap = 25
+    * analogue of the winnow tier's df <= 50 fingerprint cap. Set from
+    * the r12 (cap, minShared) operating-curve sweep (tools.MidJProbe
+    * raresweep, 72 grid points at sf0.01 + sf0.1): cap = 10 admits
+    * ~9x fewer rare candidates than cap = 25 (1,158 vs 10,580 at
+    * sf0.1 theta 0.4) with measured completeness 1.0 at every grid
+    * point — a scattered-edit pair's shared keys are pair-local
+    * (df = 2), so the cap is a stop-key fence, not a recall knob. */
+  private[queries] val RareKeyCap = 10
 
   /** Minimum shared rare keys for a [[rareKeyCandidates]] pair — the
     * false-candidate throttle (see the method doc for the sf0.1
@@ -1646,6 +1653,84 @@ object Dedup {
         .orderBy("doc_id")
     },
       Some(sqlContaminationFraction)),
+
+    // ---- Planted contamination: the non-degenerate gate fixture ----------
+    // q320's organic statistic is ALL-ZERO at the sf0.01 gate (no 8-token
+    // window is shared between the eval and train doc partitions there),
+    // so its oracle pass was weak evidence — an engine that always emits
+    // zeros would pass (r12 verdict ask #5). This variant PLANTS the
+    // contamination in-plan: the eval set is a 24-token excerpt sliced
+    // out of every 89th document, so the excerpted docs score
+    // contaminated_frac > 0 BY CONSTRUCTION at any scale factor, and the
+    // driver's hash gate now certifies non-zero fractions end-to-end
+    // (the spec additionally pins that flagged rows exist). Identical
+    // scale shape to q320: the (bounded) eval window set broadcasts, the
+    // train side streams map-side through one semi-join, and the only
+    // shuffle is the per-doc count.
+    QueryDef("q327_contamination_planted", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val eval_ = docs
+        .filter(col("doc_id") % 89 === 0 && size(col("tk")) >= 34)
+        .select(slice(col("tk"), 11, 24).as("tk"))
+      val bench = eval_.select(explode(array_distinct(
+        graft.functions.ArrayExprs.windowHashes(col("tk"), 8))).as("win"))
+        .distinct()
+      val train = docs.filter(size(col("tk")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.ArrayExprs.windowHashes(col("tk"), 8))).as("win"))
+      val nw = train.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      val hits = train.join(broadcast(bench), Seq("win"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      docs.select("doc_id")
+        .join(nw, Seq("doc_id"), "left")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          when(coalesce(col("n_windows"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+              / col("n_windows").cast("double")).as("contaminated_frac"))
+        .withColumn("flagged", col("contaminated_frac") >= 0.05)
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+             |           FROM documents),
+             |ev AS (SELECT tk[11:34] AS tk FROM t
+             |       WHERE doc_id % 89 = 0 AND len(tk) >= 34),
+             |ew0 AS (
+             |  SELECT unnest(list_transform(range(1, len(tk) - 6),
+             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+             |  FROM ev),
+             |bench AS (SELECT DISTINCT ${sqlStringHash62("win")} AS win
+             |          FROM ew0),
+             |w0 AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(tk) - 6),
+             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+             |  FROM t WHERE len(tk) >= 8),
+             |w AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id, ${sqlStringHash62("win")} AS win
+             |  FROM w0),
+             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+             |       FROM w GROUP BY 1),
+             |hits AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+             |  FROM w WHERE win IN (SELECT win FROM bench)
+             |  GROUP BY 1)
+             |SELECT t.doc_id,
+             |  coalesce(n_windows, 0) AS n_windows,
+             |  coalesce(n_contaminated, 0) AS n_contaminated,
+             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+             |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
+             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
+             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+             |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
+             |FROM t
+             |LEFT JOIN nw ON t.doc_id = nw.doc_id
+             |LEFT JOIN hits ON t.doc_id = hits.doc_id
+             |ORDER BY t.doc_id""".stripMargin)),
 
     // ---- Near-dup provenance: which sources copy from which --------------
     // The investigative rollup over the verified near-dup pair set: joins

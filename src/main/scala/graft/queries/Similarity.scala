@@ -484,11 +484,21 @@ object Similarity {
     * scales with corpus size except the (persisted) edge build. */
   def graphSearch(emb: DataFrame, queryPred: Column, k: Int = 10,
       degree: Int = 12, centroids: Int = 64, probes: Int = 2,
-      hops: Int = 3, ef: Int = 24): DataFrame = {
-    val e = quantize(emb).materialize
-    val cents = centsOf(e, centroids)
-    val asg = assignProbed(cents, e, probes)
-    val edges = edgesOf(asg, asg, e, degree)
+      hops: Int = 3, ef: Int = 24): DataFrame =
+    graphSearchIndexed(knnGraphIndex(emb, degree, centroids, probes),
+      queryPred, k, hops, ef)
+
+  /** [[graphSearch]] served from a PREBUILT (possibly parquet-reloaded)
+    * [[KnnGraphIndex]] — the production shape of the graph family: the
+    * index builds (or reloads) once and amortizes over query batches, so
+    * a search pays zero build work. GraphAnnSpec's persistence law pins
+    * that a parquet round-trip of all four index tables serves
+    * byte-identical search and extend results. */
+  def graphSearchIndexed(index: KnnGraphIndex, queryPred: Column,
+      k: Int = 10, hops: Int = 3, ef: Int = 24): DataFrame = {
+    val e = index.vecs
+    val cents = index.cents
+    val edges = index.edges
       .select(col("node"), col("nbr")).materialize
     val qs = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
@@ -2487,7 +2497,13 @@ object Similarity {
         (col("sum_s") / (col("cnt_s") * 2).cast("double") +
           col("sum_t") / (col("cnt_t") * 2).cast("double"))
       val wm = Window.partitionBy("s_id").orderBy(col("margin").desc, col("t_id"))
-      fwd.join(aAvg, "s_id").join(bAvg, "t_id")
+      // aAvg/bAvg are anchor-bounded (<= |anchors| and <= k*|anchors|
+      // rows): broadcast them EXPLICITLY — near the AQE threshold the
+      // runtime strategy pick flipped between runs, the only
+      // byte-nondeterministic plan in the registry (GATE_r12's q135
+      // 33-vs-128 KB swrite); the hint pins the strategy AQE almost
+      // always chose anyway
+      fwd.join(broadcast(aAvg), "s_id").join(broadcast(bAvg), "t_id")
         .withColumn("margin", margin)
         .withColumn("best", row_number().over(wm))
         .filter(col("best") === 1)

@@ -162,15 +162,26 @@ object Streams {
     * passed as `evalDocs` would silently build a multi-GB single array
     * cell (and eventually hit the 2 GB array limit) — so construction
     * runs one bounded job (a limit-capped count, cost O(maxEvalDocs)
-    * regardless of the table's size) and fails fast instead. */
+    * regardless of the table's size) and fails fast instead. The doc
+    * count alone cannot bound the PAYLOAD — few-but-enormous eval docs
+    * still blow the single-cell broadcast (ADVICE r12) — so the
+    * distinct-shingle count is guarded too; that second job explodes an
+    * already doc-bounded set, so its cost is the same one pass the real
+    * broadcast build pays every micro-batch anyway. */
   def decontaminatedIngest(incoming: DataFrame, evalDocs: DataFrame,
-      maxEvalDocs: Int = 100000): DataFrame = {
+      maxEvalDocs: Int = 100000, maxEvalKeys: Long = 10000000L): DataFrame = {
     val n = evalDocs.limit(maxEvalDocs + 1).count()
     require(n <= maxEvalDocs,
       s"decontaminatedIngest: eval set exceeds $maxEvalDocs documents — its " +
         "distinct shingle set must broadcast as ONE array cell per micro-batch; " +
         "raise maxEvalDocs only if executor memory allows")
     def sh = graft.functions.ArrayExprs.shingles(split(col("text"), " "), 3)
+    val nk = evalDocs.select(explode(sh).as("t"))
+      .agg(count_distinct(col("t"))).head().getLong(0)
+    require(nk <= maxEvalKeys,
+      s"decontaminatedIngest: eval set carries $nk distinct shingles > " +
+        s"$maxEvalKeys — the single-cell broadcast payload would exceed the " +
+        "practical executor limit even though the document count passes")
     // collect_set deduplicates on its own — no pre-distinct, which would
     // add an exchange re-executed on the static side of every micro-batch
     val evalShingles = evalDocs
@@ -195,13 +206,24 @@ object Streams {
     * q320's own oracle). The bounded-eval-set contract is enforced the
     * same way as [[decontaminatedIngest]]'s. */
   def contaminationIngest(incoming: DataFrame, evalDocs: DataFrame,
-      maxEvalDocs: Int = 100000): DataFrame = {
+      maxEvalDocs: Int = 100000, maxEvalKeys: Long = 10000000L): DataFrame = {
     val n = evalDocs.limit(maxEvalDocs + 1).count()
     require(n <= maxEvalDocs,
       s"contaminationIngest: eval set exceeds $maxEvalDocs documents — its " +
         "distinct window set must broadcast as ONE array cell per micro-batch")
     def wins(c: org.apache.spark.sql.Column) = array_distinct(
       graft.functions.ArrayExprs.windowHashes(split(c, " "), 8))
+    // the doc count alone cannot bound the PAYLOAD (ADVICE r12): long
+    // eval docs can pack millions of windows into a passing doc count,
+    // so the distinct-window total is guarded too — over an already
+    // doc-bounded set, so the guard costs the one explode pass the
+    // broadcast build repeats each micro-batch anyway
+    val nw = evalDocs.select(explode(wins(col("text"))).as("win"))
+      .agg(count_distinct(col("win"))).head().getLong(0)
+    require(nw <= maxEvalKeys,
+      s"contaminationIngest: eval set carries $nw distinct windows > " +
+        s"$maxEvalKeys — the single-cell broadcast payload would exceed the " +
+        "practical executor limit even though the document count passes")
     val bench = evalDocs
       .select(explode(wins(col("text"))).as("win"))
       .agg(collect_set(col("win")).as("bench"))

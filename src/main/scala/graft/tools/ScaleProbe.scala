@@ -115,12 +115,14 @@ object ScaleProbe {
     // --- LLM-pipeline shapes at increasing replication --------------------
     // Replicas must not be near-duplicates of each other, or the pair
     // OUTPUT itself grows quadratically by construction and the probe
-    // measures the data, not the plan: documents get a per-replica Caesar
-    // rotation (within-replica near-dup structure intact, cross-replica
-    // token sets disjoint); embeddings get a per-replica random sign flip
-    // per dimension (within-replica cosines intact, cross-replica cosines
-    // collapse to noise).
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // measures the data, not the plan: every document token gets a
+    // per-replica "r<i>_" prefix (within-replica near-dup structure
+    // intact — token equality patterns are untouched — while replica
+    // vocabularies are pairwise disjoint at ANY multiplier; the r12
+    // Caesar rotation had period 26, so >= 27 replicas shared vocabulary
+    // and x64 doc-shape outputs grew superlinearly — GATE_r12); embeddings
+    // get a per-replica random sign flip per dimension (within-replica
+    // cosines intact, cross-replica cosines collapse to noise).
     val docs0 = graft.Tables.load(spark, sfDir, "documents")
     val emb0 = graft.Tables.load(spark, sfDir, "embeddings")
     val ev0 = graft.Tables.load(spark, sfDir, "events")
@@ -137,8 +139,14 @@ object ScaleProbe {
       }.reduce(_ union _)
     def replicateDocs(m: Int): DataFrame =
       (0 until m).map { i =>
+        // "r<i>_" prefixes are mutually prefix-free across distinct i
+        // (decimal digits never contain '_'), so replica vocabularies
+        // are pairwise disjoint; replica 0 is prefixed too, so ALL
+        // replicas carry identical within-replica structure
         docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
-          .withColumn("text", translate(col("text"), alpha, alpha.drop(i % 26) + alpha.take(i % 26)))
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              t => concat(lit(s"r${i}_"), t)), " "))
       }.reduce(_ union _)
     def replicateEmb(m: Int): DataFrame =
       (0 until m).map { i =>

@@ -70,11 +70,21 @@ class MaterializeLawSpec extends AnyFunSuite with SparkTestBase {
             if (depth <= 0) open = false
           }
           val body = region.result()
+          // Count OCCURRENCES, not just presence (ADVICE r12): a body
+          // that materializes two frames per iteration but releases only
+          // one must still fail — each unmarked materialize needs its own
+          // paired release.
+          def occurrences(l: String, pat: String): Int =
+            l.sliding(pat.length).count(_ == pat)
           val unmarked = body.filter { case (_, l) =>
             l.contains(".materialize") && !l.contains("retained") }
-          val released = body.exists(_._2.contains(".release()"))
-          if (unmarked.nonEmpty && !released)
-            out += s"${f.getName}:${unmarked.head._1}"
+          val nMat = unmarked.map { case (_, l) =>
+            occurrences(l, ".materialize") }.sum
+          val nRel = body.map { case (_, l) =>
+            occurrences(l, ".release()") }.sum
+          if (nMat > nRel)
+            out += s"${f.getName}:${unmarked.head._1} " +
+              s"($nMat unmarked materialize vs $nRel release)"
           i = j
         } else i += 1
       }

@@ -26,6 +26,17 @@ class TablesSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  for (name <- Tables.all) {
+    test(s"footer row count equals load().count() for '$name'") {
+      // q294 (and any future branch-pick) takes the corpus size from the
+      // parquet footers instead of a count() job; this law pins that the
+      // metadata count matches the scan count for every table — i.e.
+      // Tables.load never drops or fabricates rows.
+      assert(Tables.rowCountFromFooters(spark, sfDir, name) ==
+        Tables.load(spark, sfDir, name).count(), s"footer/scan count drift: $name")
+    }
+  }
+
   test("events.ts loads as session-TZ timestamp regardless of physical schema") {
     val df = Tables.load(spark, sfDir, "events")
     val dt = df.schema("ts").dataType

@@ -282,6 +282,39 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(lifecycle(reloaded), lifecycle(idx))
   }
 
+  test("KnnGraphIndex round-trips through parquet: persisted index serves identical results") {
+    // the KnnGraphIndex doc-contract says production persists all four
+    // tables (cents, vecs, assignment, edges; edges bucketed by node)
+    // and amortizes them over query batches — exercise the claim like
+    // the IvfIndex law: write all four to parquet, reload into a fresh
+    // index, and both the beam search and the extend increment must be
+    // byte-identical to the in-memory index's (covers schema round-trip
+    // of the quantized ARRAY<BIGINT> vectors, cell keys, and edge ranks)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val idx = Similarity.knnGraphIndex(corpus)
+    val dir = java.nio.file.Files.createTempDirectory("knn-persist").toString
+    idx.cents.write.parquet(s"$dir/cents.parquet")
+    idx.vecs.write.parquet(s"$dir/vecs.parquet")
+    idx.assigned.write.parquet(s"$dir/assigned.parquet")
+    idx.edges.write.parquet(s"$dir/edges.parquet")
+    val reloaded = Similarity.KnnGraphIndex(
+      spark.read.parquet(s"$dir/cents.parquet"),
+      spark.read.parquet(s"$dir/vecs.parquet"),
+      spark.read.parquet(s"$dir/assigned.parquet"),
+      spark.read.parquet(s"$dir/edges.parquet"),
+      idx.degree, idx.probes)
+    val pred = col("vec_id") % 97 === 0
+    assertSameRows(
+      Similarity.graphSearchIndexed(reloaded, pred),
+      Similarity.graphSearchIndexed(idx, pred))
+    // and the reloaded index extends identically: same frozen coarse
+    // layer, same carried degree/probe parameters, same edge increment
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    assertSameRows(
+      Similarity.extendedEdgesOf(reloaded, batch),
+      Similarity.extendedEdgesOf(idx, batch))
+  }
+
   test("q144: extension covers exactly the batch nodes, base edges untouched") {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)

@@ -1000,6 +1000,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(want.nonEmpty, "fixture corpus should have benchmark overlap")
   }
 
+  test("q327 planted contamination is non-degenerate: contaminated rows exist") {
+    // the r12 verdict flagged q320's all-zero fractions at the sf0.01
+    // gate as weak evidence (an engine that always emits zeros would
+    // pass); q327 plants eval excerpts in-plan, and THIS pin — flagged
+    // rows exist, and every excerpted source doc scores > 0 — is what
+    // upgrades the oracle hash-match from "agrees on zeros" to "agrees
+    // on real signal" at every scale factor
+    val out = q("q327_contamination_planted").cache()
+    assert(out.filter(col("contaminated_frac") > 0.0).count() > 0,
+      "no contaminated rows — planted fixture degenerate")
+    assert(out.filter(col("flagged")).count() > 0, "no flagged rows")
+    // every excerpt SOURCE doc must score > 0: its own distinct window
+    // set contains the excerpt's windows by construction
+    val srcIds = Tables.load(spark, sfDir, "documents")
+      .filter(col("doc_id") % 89 === 0 &&
+        size(split(col("text"), " ")) >= 34)
+      .select("doc_id")
+    val src = out.join(srcIds, "doc_id").cache()
+    assert(src.count() > 0, "no excerpt-source docs at this SF")
+    assert(src.filter(col("contaminated_frac") <= 0.0).count() == 0,
+      "an excerpted source doc scored zero contamination")
+    out.unpersist(); src.unpersist()
+  }
+
   test("q73 semDedup equals driver-side cluster-local rule, drops planted dups") {
     val df = embFixture(200, 20)
     val got = Similarity.semDedup(df, 0.9, centroids = 16).collect()

@@ -41,15 +41,18 @@ def main(sf_dir: str, out_dir: str, skip=()) -> int:
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
-    # oracle-result cache (see module docstring): keyed by the SQL text and
-    # a fixture fingerprint (path + size + mtime of every table), so a
-    # regenerated testdata dir or an edited oracle can never serve stale
-    # results
+    # oracle-result cache (see module docstring): keyed by the SQL text, a
+    # fixture fingerprint (path + size + mtime of every table), the DuckDB
+    # version, and a harness-setup salt (the view-registration preamble +
+    # pandas version, since the cached object is a pandas frame), so a
+    # regenerated testdata dir, an edited oracle, a DuckDB upgrade, or a
+    # loader change can never serve stale results (ADVICE r12)
     cache_dir = os.environ.get("ORACLE_CACHE")
     fixture_fp = ""
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
-        parts = []
+        parts = [f"duckdb={duckdb.__version__}", f"pandas={pd.__version__}",
+                 "setup=view-per-table:" + ",".join(TABLES)]
         for t in TABLES:
             p = f"{sf_dir}/{t}.parquet"
             st = os.stat(p)
