@@ -455,6 +455,44 @@ object Similarity {
   def knnGraphExtend(index: KnnGraphIndex, batch: DataFrame): KnnGraphIndex =
     index.copy(edges = index.edges.union(extendedEdgesOf(index, batch)))
 
+  /** Tombstone delete — [[ivfDelete]]'s contract for the graph index:
+    * drop the dead ids from the vector/assignment tables and from BOTH
+    * edge endpoints (a dead node's list vanishes; a dead neighbor
+    * vanishes from survivors' lists). Like the frozen quantizer, the
+    * survivors' lists are NOT re-linked — degree degrades until the
+    * (rare, full) rebuild, and [[graphRepairReport]] is the health
+    * readout that schedules it. Cost: three id-keyed anti-joins, no
+    * scoring work, no corpus window. */
+  def knnGraphDelete(index: KnnGraphIndex, dead: DataFrame): KnnGraphIndex = {
+    val dd = dead.select(col("vec_id")).distinct()
+    index.copy(
+      vecs = index.vecs.join(dd, Seq("vec_id"), "left_anti"),
+      assigned = index.assigned.join(dd, Seq("vec_id"), "left_anti"),
+      edges = index.edges
+        .join(dd.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+        .join(dd.select(col("vec_id").as("nbr")), Seq("nbr"), "left_anti"))
+  }
+
+  /** Per-node edge-health report after a tombstone delete — the graph
+    * analogue of [[ivfCompactionReport]]: for every SURVIVING node, its
+    * degree before and after dead-neighbor removal, the loss, and a
+    * needs_relink flag when more than half its list died (the rebuild
+    * scheduler's input). One corpus-edge aggregation per side, keyed by
+    * node — no scoring, no windows. */
+  def graphRepairReport(index: KnnGraphIndex, dead: DataFrame): DataFrame = {
+    val dd = dead.select(col("vec_id")).distinct()
+    val before = index.edges
+      .join(dd.select(col("vec_id").as("node")), Seq("node"), "left_anti")
+      .groupBy("node").agg(count(lit(1)).as("deg_before"))
+    val after = knnGraphDelete(index, dd).edges
+      .groupBy("node").agg(count(lit(1)).as("deg_after"))
+    before.join(after, Seq("node"), "left")
+      .select(col("node"), col("deg_before"),
+        coalesce(col("deg_after"), lit(0L)).as("deg_after"))
+      .withColumn("n_lost", col("deg_before") - col("deg_after"))
+      .withColumn("needs_relink", col("deg_after") * 2 < col("deg_before"))
+  }
+
   /** The edge increment [[knnGraphExtend]] appends: the batch nodes'
     * neighbor lists, candidates drawn from corpus + batch members of
     * the batch's probed cells — under the INDEX's own degree/probe
@@ -1751,6 +1789,44 @@ object Similarity {
              |    < 0.5 * CAST(n_total AS DOUBLE) AS needs_compaction
              |FROM tot t LEFT JOIN liv USING (cell)
              |ORDER BY t.cell""".stripMargin)),
+
+    // ---- Graph-index tombstone delete + edge-repair report ---------------
+    // q326's lifecycle completion for the GRAPH index: production deletes
+    // from a persisted kNN graph by tombstone (drop the dead node's list,
+    // drop dead neighbors from survivors' lists) WITHOUT re-linking —
+    // re-scoring survivors would re-pay build cost per delete batch, so
+    // like the frozen quantizer, degree degrades until the rebuild this
+    // report schedules: per surviving node, degree before/after the
+    // dead-neighbor removal and a needs_relink flag when more than half
+    // its list died. Scale shape: three id-keyed anti-joins + two
+    // node-keyed edge aggregations — no scoring, no corpus windows; the
+    // spec pins that searching the deleted index never returns a dead id
+    // and that the delete is idempotent.
+    QueryDef("q328_graph_delete_repair", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = knnGraphIndex(emb)
+      val dead = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+      graphRepairReport(idx, dead).orderBy("node")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |dead AS (SELECT vec_id FROM n WHERE vec_id % 7 = 0),
+             |bef AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg_before
+             |  FROM graph WHERE node NOT IN (SELECT vec_id FROM dead)
+             |  GROUP BY node),
+             |aft AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg_after
+             |  FROM graph
+             |  WHERE node NOT IN (SELECT vec_id FROM dead)
+             |    AND nbr NOT IN (SELECT vec_id FROM dead)
+             |  GROUP BY node)
+             |SELECT b.node, deg_before,
+             |  coalesce(deg_after, CAST(0 AS BIGINT)) AS deg_after,
+             |  deg_before - coalesce(deg_after, CAST(0 AS BIGINT)) AS n_lost,
+             |  coalesce(deg_after, CAST(0 AS BIGINT)) * 2 < deg_before
+             |    AS needs_relink
+             |FROM bef b LEFT JOIN aft USING (node)
+             |ORDER BY b.node""".stripMargin)),
 
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression

@@ -315,6 +315,33 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       Similarity.extendedEdgesOf(idx, batch))
   }
 
+  test("q328: graph delete removes dead ids from every index surface, idempotently") {
+    val idx = Similarity.knnGraphIndex(emb)
+    val dead = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val live = Similarity.knnGraphDelete(idx, dead)
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    // no dead id survives as a vector, an assignment, or either edge end
+    assert(live.vecs.filter(col("vec_id").isin(deadIds.toSeq: _*)).count() == 0)
+    assert(live.assigned.filter(col("vec_id").isin(deadIds.toSeq: _*)).count() == 0)
+    assert(live.edges.filter(col("node").isin(deadIds.toSeq: _*) ||
+      col("nbr").isin(deadIds.toSeq: _*)).count() == 0)
+    // searching the deleted index never returns a dead id
+    val hits = Similarity.graphSearchIndexed(live, col("vec_id") % 97 === 0)
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    assert(hits.intersect(deadIds).isEmpty, "search surfaced a tombstoned id")
+    // idempotence: deleting the same set twice changes nothing
+    val again = Similarity.knnGraphDelete(live, dead)
+    assertSameRows(again.edges, live.edges)
+    // the repair report covers exactly the surviving nodes that had edges,
+    // and its degree arithmetic is internally consistent
+    val rep = Similarity.graphRepairReport(idx, dead).cache()
+    assert(rep.filter(col("node").isin(deadIds.toSeq: _*)).count() == 0)
+    assert(rep.filter(col("deg_after") + col("n_lost") =!= col("deg_before"))
+      .count() == 0)
+    assert(rep.filter(col("deg_after") > col("deg_before")).count() == 0)
+    rep.unpersist()
+  }
+
   test("q144: extension covers exactly the batch nodes, base edges untouched") {
     val corpus = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
