@@ -1033,6 +1033,50 @@ object Dedup {
       |WHERE t.doc_id % 97 != 0
       |ORDER BY t.doc_id""".stripMargin
 
+  /** q327's oracle — ALSO the q329 streaming-face oracle verbatim (the
+    * q320/q324 sharing pattern): the planted-excerpt eval set makes
+    * contaminated_frac > 0 rows exist BY CONSTRUCTION at any SF, so one
+    * SQL body gates both the batch plan and the online twin on real
+    * (non-zero) signal. */
+  private[queries] val sqlContaminationPlanted: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+       |           FROM documents),
+       |ev AS (SELECT tk[11:34] AS tk FROM t
+       |       WHERE doc_id % 89 = 0 AND len(tk) >= 34),
+       |ew0 AS (
+       |  SELECT unnest(list_transform(range(1, len(tk) - 6),
+       |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+       |  FROM ev),
+       |bench AS (SELECT DISTINCT ${sqlStringHash62("win")} AS win
+       |          FROM ew0),
+       |w0 AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(tk) - 6),
+       |           i -> array_to_string(tk[i:i+7], ' '))) AS win
+       |  FROM t WHERE len(tk) >= 8),
+       |w AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${sqlStringHash62("win")} AS win
+       |  FROM w0),
+       |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+       |       FROM w GROUP BY 1),
+       |hits AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+       |  FROM w WHERE win IN (SELECT win FROM bench)
+       |  GROUP BY 1)
+       |SELECT t.doc_id,
+       |  coalesce(n_windows, 0) AS n_windows,
+       |  coalesce(n_contaminated, 0) AS n_contaminated,
+       |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+       |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+       |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
+       |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
+       |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
+       |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
+       |FROM t
+       |LEFT JOIN nw ON t.doc_id = nw.doc_id
+       |LEFT JOIN hits ON t.doc_id = hits.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Exact shingle-Jaccard threshold self-join with WINNOWING-BLOCKED
     * candidate generation — q275's plan, the shuffle-bill cut of the
     * r9 verdict. [[jaccardJoin]]'s prefix filter is complete at any
@@ -1694,43 +1738,28 @@ object Dedup {
         .withColumn("flagged", col("contaminated_frac") >= 0.05)
         .orderBy("doc_id")
     },
-      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-             |           FROM documents),
-             |ev AS (SELECT tk[11:34] AS tk FROM t
-             |       WHERE doc_id % 89 = 0 AND len(tk) >= 34),
-             |ew0 AS (
-             |  SELECT unnest(list_transform(range(1, len(tk) - 6),
-             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
-             |  FROM ev),
-             |bench AS (SELECT DISTINCT ${sqlStringHash62("win")} AS win
-             |          FROM ew0),
-             |w0 AS (
-             |  SELECT doc_id,
-             |         unnest(list_transform(range(1, len(tk) - 6),
-             |           i -> array_to_string(tk[i:i+7], ' '))) AS win
-             |  FROM t WHERE len(tk) >= 8),
-             |w AS MATERIALIZED (
-             |  SELECT DISTINCT doc_id, ${sqlStringHash62("win")} AS win
-             |  FROM w0),
-             |nw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
-             |       FROM w GROUP BY 1),
-             |hits AS (
-             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
-             |  FROM w WHERE win IN (SELECT win FROM bench)
-             |  GROUP BY 1)
-             |SELECT t.doc_id,
-             |  coalesce(n_windows, 0) AS n_windows,
-             |  coalesce(n_contaminated, 0) AS n_contaminated,
-             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
-             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
-             |            / CAST(n_windows AS DOUBLE) END AS contaminated_frac,
-             |  CASE WHEN coalesce(n_windows, 0) = 0 THEN FALSE
-             |       ELSE CAST(coalesce(n_contaminated, 0) AS DOUBLE)
-             |            / CAST(n_windows AS DOUBLE) >= 0.05 END AS flagged
-             |FROM t
-             |LEFT JOIN nw ON t.doc_id = nw.doc_id
-             |LEFT JOIN hits ON t.doc_id = hits.doc_id
-             |ORDER BY t.doc_id""".stripMargin)),
+      Some(sqlContaminationPlanted)),
+
+    // ---- Streaming planted-contamination twin, driver-gated ---------------
+    // q324 gates [[graft.streaming.Streams.contaminationIngest]] against
+    // q320's oracle — which is ALL-ZERO at the sf0.01 gate, so the
+    // streaming face inherited q320's weak evidence. This face runs the
+    // SAME ingest code path against q327's planted eval excerpts, so the
+    // online twin is certified on non-zero fractions too (one shared SQL
+    // body, the q320/q324 pattern). Stateless like q324: eval windows
+    // broadcast as one array cell, per-row overlap is one codegen'd
+    // hash-set pass.
+    QueryDef("q329_contamination_planted_face", (s, d) => {
+      val docs = t(s, d, "documents")
+      val evalDocs = docs
+        .filter(col("doc_id") % 89 === 0 &&
+          size(split(col("text"), " ")) >= 34)
+        .select(array_join(
+          slice(split(col("text"), " "), 11, 24), " ").as("text"))
+      graft.streaming.Streams.contaminationIngest(docs, evalDocs)
+        .orderBy("doc_id")
+    },
+      Some(sqlContaminationPlanted)),
 
     // ---- Near-dup provenance: which sources copy from which --------------
     // The investigative rollup over the verified near-dup pair set: joins
