@@ -493,6 +493,27 @@ object Similarity {
       .withColumn("needs_relink", col("deg_after") * 2 < col("deg_before"))
   }
 
+  /** Incremental re-link — the repair [[graphRepairReport]] schedules:
+    * every node that lost more than half its neighbor list to a
+    * tombstone delete gets a FRESH bounded-degree list, candidates
+    * drawn from the LIVE members of its probed cells (the same
+    * candidate rule as the build, so a re-linked list is exactly what
+    * a full rebuild would give that node when its cells are
+    * unchanged). Cost is O(flagged-cell work) — the corpus-sized edge
+    * table and every healthy node's list are untouched, which is the
+    * whole point vs. a rebuild. Returns the flagged nodes' new edge
+    * lists (q137's shape); callers splice them over the live index's
+    * edges. */
+  def knnGraphRelink(index: KnnGraphIndex, dead: DataFrame): DataFrame = {
+    val dd = dead.select(col("vec_id")).distinct()
+    val live = knnGraphDelete(index, dd)
+    val flagged = graphRepairReport(index, dd)
+      .filter(col("needs_relink"))
+      .select(col("node").as("vec_id"))
+    val fasg = live.assigned.join(flagged, Seq("vec_id"), "left_semi")
+    edgesOf(fasg, live.assigned, live.vecs, index.degree)
+  }
+
   /** The edge increment [[knnGraphExtend]] appends: the batch nodes'
     * neighbor lists, candidates drawn from corpus + batch members of
     * the batch's probed cells — under the INDEX's own degree/probe
@@ -1805,11 +1826,11 @@ object Similarity {
     QueryDef("q328_graph_delete_repair", (s, d) => {
       val emb = t(s, d, "embeddings")
       val idx = knnGraphIndex(emb)
-      val dead = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+      val dead = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
       graphRepairReport(idx, dead).orderBy("node")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
-             |dead AS (SELECT vec_id FROM n WHERE vec_id % 7 = 0),
+             |dead AS (SELECT vec_id FROM n WHERE vec_id % 2 = 0),
              |bef AS (
              |  SELECT node, CAST(count(*) AS BIGINT) AS deg_before
              |  FROM graph WHERE node NOT IN (SELECT vec_id FROM dead)
@@ -1827,6 +1848,61 @@ object Similarity {
              |    AS needs_relink
              |FROM bef b LEFT JOIN aft USING (node)
              |ORDER BY b.node""".stripMargin)),
+
+    // ---- Graph-index incremental re-link: the repair q328 schedules ------
+    // Every node q328 flags (lost more than half its list to the
+    // tombstone delete) gets a FRESH bounded-degree neighbor list,
+    // candidates drawn from the LIVE members of its probed cells — the
+    // build's own candidate rule under the FROZEN assignment, so a
+    // re-linked list is exactly what a rebuild would give that node
+    // while its cells are unchanged. Cost is O(flagged-cell work):
+    // healthy nodes' lists and the corpus-sized edge table are
+    // untouched, which is the point vs. re-paying the build. The spec
+    // pins coverage (only flagged nodes, no dead endpoints) and
+    // restoration (fresh degree >= degraded degree — the frozen
+    // assignment makes survivors a candidate subset).
+    QueryDef("q330_graph_relink", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val idx = knnGraphIndex(emb)
+      val dead = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+      knnGraphRelink(idx, dead).orderBy("node", "rank")
+    },
+      Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
+             |dead AS (SELECT vec_id FROM n WHERE vec_id % 2 = 0),
+             |bef AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg_before
+             |  FROM graph WHERE node NOT IN (SELECT vec_id FROM dead)
+             |  GROUP BY node),
+             |aft AS (
+             |  SELECT node, CAST(count(*) AS BIGINT) AS deg_after
+             |  FROM graph
+             |  WHERE node NOT IN (SELECT vec_id FROM dead)
+             |    AND nbr NOT IN (SELECT vec_id FROM dead)
+             |  GROUP BY node),
+             |flagged AS (
+             |  SELECT b.node FROM bef b LEFT JOIN aft USING (node)
+             |  WHERE coalesce(deg_after, CAST(0 AS BIGINT)) * 2
+             |    < deg_before),
+             |fasg AS (
+             |  SELECT vec_id, cell FROM asg
+             |  WHERE vec_id IN (SELECT node FROM flagged)),
+             |lasg AS (
+             |  SELECT vec_id, cell FROM asg
+             |  WHERE vec_id NOT IN (SELECT vec_id FROM dead)),
+             |cp2 AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS node, b.vec_id AS nbr
+             |  FROM fasg a JOIN lasg b
+             |    ON a.cell = b.cell AND a.vec_id != b.vec_id)
+             |SELECT node, CAST(rank AS INTEGER) AS rank, nbr, cos_sim FROM (
+             |  SELECT node, nbr, cos_sim,
+             |    row_number() OVER (PARTITION BY node
+             |      ORDER BY cos_sim DESC, nbr) AS rank
+             |  FROM (
+             |    SELECT cp2.node, cp2.nbr, ${sqlCos("x", "y")} AS cos_sim
+             |    FROM cp2 JOIN n x ON cp2.node = x.vec_id
+             |             JOIN n y ON cp2.nbr = y.vec_id))
+             |WHERE rank <= 12
+             |ORDER BY node, rank""".stripMargin)),
 
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression

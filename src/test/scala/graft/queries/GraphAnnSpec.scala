@@ -317,7 +317,7 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
 
   test("q328: graph delete removes dead ids from every index surface, idempotently") {
     val idx = Similarity.knnGraphIndex(emb)
-    val dead = emb.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val dead = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
     val live = Similarity.knnGraphDelete(idx, dead)
     val deadIds = dead.collect().map(_.getLong(0)).toSet
     // no dead id survives as a vector, an assignment, or either edge end
@@ -339,7 +339,41 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rep.filter(col("deg_after") + col("n_lost") =!= col("deg_before"))
       .count() == 0)
     assert(rep.filter(col("deg_after") > col("deg_before")).count() == 0)
+    // the fixture is NON-degenerate: both flagged and healthy nodes exist
+    // (a 50% delete loses >half the list for ~39% of nodes), so the
+    // needs_relink column the oracle hashes carries real signal
+    assert(rep.filter(col("needs_relink")).count() > 0, "no flagged nodes")
+    assert(rep.filter(!col("needs_relink")).count() > 0, "all nodes flagged")
     rep.unpersist()
+  }
+
+  test("q330: relink re-lists exactly the flagged nodes from live cell-mates") {
+    val idx = Similarity.knnGraphIndex(emb)
+    val dead = emb.filter(col("vec_id") % 2 === 0).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    val rep = Similarity.graphRepairReport(idx, dead).cache()
+    val relink = Similarity.knnGraphRelink(idx, dead).cache()
+    val flagged = rep.filter(col("needs_relink"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap // node -> deg_after
+    val nodes = relink.select("node").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // coverage: only flagged nodes get new lists, and every flagged node
+    // with at least one live cell-mate appears (subset + restoration below)
+    assert(nodes.subsetOf(flagged.keySet), "relink touched a healthy node")
+    assert(nodes.nonEmpty, "relink fixture degenerate — no flagged nodes")
+    // no tombstoned endpoint anywhere in the new lists
+    assert(relink.filter(col("node").isin(deadIds.toSeq: _*) ||
+      col("nbr").isin(deadIds.toSeq: _*)).count() == 0)
+    // restoration: candidates are a superset of the degraded list's
+    // survivors (the assignment is frozen), so the fresh top-degree list
+    // is at least as long as the degraded one, and bounded by degree
+    val newDeg = relink.groupBy("node").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    newDeg.foreach { case (n, c) =>
+      assert(c <= idx.degree, s"node $n over degree: $c")
+      assert(c >= flagged(n), s"node $n relinked below its degraded degree")
+    }
+    rep.unpersist(); relink.unpersist()
   }
 
   test("q144: extension covers exactly the batch nodes, base edges untouched") {

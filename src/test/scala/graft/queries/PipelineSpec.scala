@@ -2348,7 +2348,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q323_semantic_decon", // bounded eval-side broadcast (q48's contract) against one corpus pass
       "q326_ivf_delete_compaction", // q49's fixed 64-row centroid broadcast (Lloyd assignment)
       "q328_graph_delete_repair", // q137's fixed 64-row centroid broadcast (graph build)
-      "q329_contamination_planted_face") // one-row eval-window-array cross join (q324's class, bounded-eval contract enforced)
+      "q329_contamination_planted_face", // one-row eval-window-array cross join (q324's class, bounded-eval contract enforced)
+      "q330_graph_relink") // q137's fixed 64-row centroid broadcast (graph build)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
