@@ -70,6 +70,12 @@ object ArrayExprs {
   def subwordTokens(words: Column, vocab: Seq[String] = SubwordVocab.Default): Column =
     ColumnBridge.column(SubwordTokens(ColumnBridge.expression(words), vocab))
 
+  /** Next-fit bin assignment over an ARRAY<BIGINT> of sequence lengths:
+    * out(i) = bin index of item i under capacity `cap` (see
+    * [[ArrayOps.nextFitBins]] for the exact recurrence). */
+  def nextFitBins(lens: Column, cap: Long): Column =
+    ColumnBridge.column(NextFitBins(ColumnBridge.expression(lens), cap))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
@@ -271,6 +277,38 @@ object ArrayOps {
       i += 1
     }
     cnt
+  }
+
+  /** Next-fit whole-item bin packing over a length array: items are
+    * placed in order; an item that does not fit the current bin's
+    * remaining capacity closes it and opens the next. The exact
+    * recurrence (the single definition both engines share — the DuckDB
+    * oracle replays it as a recursive CTE):
+    *
+    *   bin = 0; rem = cap
+    *   for each len:
+    *     if (len > rem && rem < cap) { bin += 1; rem = cap }
+    *     out(i) = bin
+    *     rem = if (len >= rem) 0 else rem - len
+    *
+    * An oversized item (len >= cap) therefore fills whatever bin it
+    * opens and closes it immediately (the loader chunks it); bin ids
+    * are dense — every bin receives at least one item. One pass, no
+    * allocation beyond the output array. */
+  def nextFitBins(lens: ArrayData, cap: Long): ArrayData = {
+    val n = lens.numElements()
+    val out = new Array[Long](n)
+    var bin = 0L
+    var rem = cap
+    var i = 0
+    while (i < n) {
+      val len = lens.getLong(i)
+      if (len > rem && rem < cap) { bin += 1L; rem = cap }
+      out(i) = bin
+      rem = if (len >= rem) 0L else rem - len
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Deterministic Rademacher (+-1) hyperplane sign masks: plane p's mask
@@ -488,6 +526,27 @@ case class PolyFingerprint(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.polyFingerprint($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyFingerprint =
+    copy(child = newChild)
+}
+
+/** Next-fit bin ids for an ARRAY<BIGINT> of item lengths under a fixed
+  * capacity ([[ArrayOps.nextFitBins]]) — the boundary-respecting packer
+  * (whole documents per training sequence) that q264's padding-waste
+  * report prices. The fold is inherently sequential, so it runs as a
+  * per-row kernel over BOUNDED groups rather than a corpus window. */
+case class NextFitBins(child: Expression, cap: Long)
+    extends UnaryExpression {
+  require(cap > 0L, "nextFitBins capacity must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.nextFitBins(input.asInstanceOf[ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.nextFitBins($c, ${cap}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): NextFitBins =
     copy(child = newChild)
 }
 

@@ -200,6 +200,83 @@ object Sampling {
         greatest(col("n_chars").cast("double"), col("tau")).as("est_weight"))
   }
 
+  /** Whole-document next-fit packing: shuffled pack groups + per-group
+    * bin items, the shared frame behind q331 (assignment) and q332
+    * (efficiency sweep). Returns (grp, items) where items is the
+    * group's (h, doc_id, len) structs in visit order — the group is the
+    * unit of sequential packing, so its size must stay BOUNDED: the
+    * group count scales with the corpus (expected 64 docs per group at
+    * any size; the Lehmer hash is uniform on [0, M), so group sizes
+    * concentrate around the mean), and the stride form `h div (M div
+    * ng + 1)` cannot overflow int64 at any corpus size (h * ng could).
+    *
+    * Why a per-row kernel and not a window: next-fit is a sequential
+    * fold (bin state threads through the items), which no window frame
+    * expresses. Bounded groups + [[graft.functions.ArrayExprs.nextFitBins]]
+    * keep the fold map-side; a corpus-wide fold would serialize 100 TB
+    * through one task. */
+  private def packGroups(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("len"),
+      lehmer(col("doc_id")).as("h"))
+    val stats = base.agg(count(lit(1)).as("cnt"))
+    base.crossJoin(broadcast(stats))
+      .withColumn("grp",
+        expr(s"h div (($M div greatest(CAST(32 AS BIGINT), cnt div 64)) + 1)"))
+      .groupBy("grp")
+      .agg(sort_array(collect_list(struct(col("h"), col("doc_id"), col("len"))))
+        .as("items"))
+  }
+
+  /** Per-document next-fit bin assignment over [[packGroups]] at `cap`
+    * tokens per packed training sequence. */
+  private def nextFitAssign(groups: org.apache.spark.sql.DataFrame, cap: Long)
+      : org.apache.spark.sql.DataFrame =
+    groups
+      .withColumn("bins", graft.functions.ArrayExprs.nextFitBins(
+        transform(col("items"), x => x.getField("len")), cap))
+      .select(col("grp"), explode(arrays_zip(col("items"), col("bins"))).as("z"))
+      .select(col("z.items.doc_id").as("doc_id"), col("z.items.len").as("len"),
+        col("grp"), col("z.bins").as("bin"))
+
+  /** Shared oracle CTE chain replaying [[packGroups]] + next-fit at `cap`
+    * as a recursive CTE over the position within each group (bounded
+    * depth = max group size): `st$cap` carries (grp, pos, doc_id, len,
+    * bin, rem) with bin/rem advancing by the EXACT [[graft.functions
+    * .ArrayOps.nextFitBins]] recurrence. Callers prepend `WITH RECURSIVE
+    * $sqlPackBaseCtes` once and append one [[sqlPackRec]] per capacity. */
+  private val sqlPackBaseCtes: String =
+    s"""pd AS MATERIALIZED (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+       |    $sqlLehmer AS h
+       |  FROM documents),
+       |ps AS MATERIALIZED (SELECT count(*) AS cnt FROM pd),
+       |pg AS MATERIALIZED (
+       |  SELECT doc_id, len, grp,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS pos
+       |  FROM (
+       |    SELECT doc_id, len, h,
+       |      h // (($M // greatest(CAST(32 AS BIGINT), cnt // 64)) + 1) AS grp
+       |    FROM pd CROSS JOIN ps))""".stripMargin
+
+  private def sqlPackRec(cap: Long): String =
+    s"""st$cap AS (
+       |  SELECT grp, pos, doc_id, len, CAST(0 AS BIGINT) AS bin,
+       |    CASE WHEN len >= $cap THEN CAST(0 AS BIGINT) ELSE $cap - len END AS rem
+       |  FROM pg WHERE pos = 1
+       |  UNION ALL
+       |  SELECT pg.grp, pg.pos, pg.doc_id, pg.len,
+       |    CASE WHEN pg.len > st$cap.rem AND st$cap.rem < $cap
+       |         THEN st$cap.bin + 1 ELSE st$cap.bin END,
+       |    CASE WHEN pg.len >= (CASE WHEN pg.len > st$cap.rem AND st$cap.rem < $cap
+       |                              THEN $cap ELSE st$cap.rem END)
+       |         THEN CAST(0 AS BIGINT)
+       |         ELSE (CASE WHEN pg.len > st$cap.rem AND st$cap.rem < $cap
+       |                    THEN $cap ELSE st$cap.rem END) - pg.len END
+       |  FROM st$cap JOIN pg ON pg.grp = st$cap.grp AND pg.pos = st$cap.pos + 1)"""
+      .stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Train/val/test split: stable, salt-free, rerun-invariant --------
@@ -329,6 +406,86 @@ object Sampling {
              |  CAST((cum - n_tokens) // 64 AS BIGINT) AS seq_id,
              |  CAST(cum AS BIGINT) AS cum_tokens
              |FROM c3 ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // ---- Whole-document next-fit packing: the SFT packer ----------------
+    // q70 packs by SPLITTING documents across sequence boundaries (the
+    // pretraining layout); instruction-tuning loaders must keep each
+    // document whole, which makes packing a BIN-PACKING problem. This is
+    // the deterministic next-fit assignment at cap = 128 tokens per
+    // packed sequence: documents visit in the q81 shuffled order
+    // (lehmer(doc_id), doc_id), a document that does not fit the open
+    // bin's remainder closes it, and an oversized document fills
+    // whatever bin it opens (the loader chunks it). Output: every
+    // document's (pack group, bin) — the loader's placement table.
+    //
+    // Scale shape: see [[packGroups]] — the sequential fold runs inside
+    // bounded shuffled groups (expected 64 docs each, group count scales
+    // with the corpus) via the native codegen'd kernel
+    // [[graft.functions.ArrayExprs.nextFitBins]]; one shuffle on the
+    // group id, no window wider than a group, no driver state. The
+    // oracle replays the identical recurrence as a recursive CTE whose
+    // depth is the max group size, not the corpus.
+    QueryDef("q331_pack_nextfit", (s, d) =>
+      nextFitAssign(packGroups(t(s, d, "documents")), 128L)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $sqlPackBaseCtes,
+             |${sqlPackRec(128L)}
+             |SELECT doc_id, len, grp, bin FROM st128
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- Packing-efficiency sweep: waste vs capacity ---------------------
+    // The tuning table for q331's capacity knob, and the MEASURED
+    // counterpart of q264's worst-case padding schemes: for cap in
+    // {64, 128, 256}, pack next-fit and report bins, oversized bins
+    // (docs longer than cap — cap 64 sits below the fixture's max doc
+    // length by design, so the oversize path is certified at any SF),
+    // token totals, and the padding-waste fraction the trainer would
+    // eat. The three cells share ONE materialized group frame (the
+    // corpus is scanned once; each cell re-runs only the per-group
+    // kernel), mirroring q280's one-pass parameter-sweep pattern.
+    QueryDef("q332_pack_efficiency", (s, d) => {
+      val groups = packGroups(t(s, d, "documents")).materialize
+      def cell(cap: Long) = nextFitAssign(groups, cap)
+        .groupBy("grp", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("used"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("used") > cap, 1L).otherwise(0L)).as("n_oversize"),
+          sum("n_docs").as("n_docs"),
+          sum("used").as("total_tokens"),
+          sum(greatest(lit(cap) - col("used"), lit(0L))).as("waste_tokens"))
+        .select(lit(cap).as("cap"), col("n_bins"), col("n_oversize"),
+          col("n_docs"), col("total_tokens"), col("waste_tokens"),
+          (col("waste_tokens").cast("double") /
+            (col("n_bins") * lit(cap)).cast("double")).as("waste_frac"))
+      cell(64L).unionByName(cell(128L)).unionByName(cell(256L))
+        .orderBy("cap")
+    }, {
+      def cell(cap: Long) =
+        s"""SELECT CAST($cap AS BIGINT) AS cap,
+           |  CAST(count(*) AS BIGINT) AS n_bins,
+           |  CAST(sum(CASE WHEN used > $cap THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_oversize,
+           |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |  CAST(sum(used) AS BIGINT) AS total_tokens,
+           |  CAST(sum(greatest($cap - used, 0)) AS BIGINT) AS waste_tokens,
+           |  CAST(CAST(sum(greatest($cap - used, 0)) AS BIGINT) AS DOUBLE)
+           |    / CAST(CAST(count(*) AS BIGINT) * $cap AS DOUBLE) AS waste_frac
+           |FROM (
+           |  SELECT grp, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(len) AS BIGINT) AS used
+           |  FROM st$cap GROUP BY grp, bin)""".stripMargin
+      Some(s"""WITH RECURSIVE $sqlPackBaseCtes,
+             |${sqlPackRec(64L)},
+             |${sqlPackRec(128L)},
+             |${sqlPackRec(256L)}
+             |SELECT * FROM (
+             |${cell(64L)}
+             |UNION ALL
+             |${cell(128L)}
+             |UNION ALL
+             |${cell(256L)})
+             |ORDER BY cap""".stripMargin)
+    }),
 
     // ---- Deterministic per-group reservoir sample ------------------------
     // k documents per language, uniformly at (deterministic) random: the

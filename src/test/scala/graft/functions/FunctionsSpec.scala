@@ -215,12 +215,46 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(runAll(gen) == runAll(interp))
   }
 
+  test("NextFitBins matches the reference fold incl. exact-fit and oversize") {
+    // reference implementation of the documented recurrence
+    def ref(lens: Seq[Long], cap: Long): Seq[Long] = {
+      var bin = 0L; var rem = cap
+      lens.map { len =>
+        if (len > rem && rem < cap) { bin += 1; rem = cap }
+        val out = bin
+        rem = if (len >= rem) 0L else rem - len
+        out
+      }
+    }
+    val cases = Seq(
+      Seq(10L, 20L, 30L, 40L, 50L),        // plain fills
+      Seq(64L, 1L),                        // exact fit closes the bin
+      Seq(100L, 5L, 100L, 100L),           // oversize in fresh + partial bins
+      Seq(65L),                            // single oversized doc
+      Seq.empty[Long],                     // empty group
+      Seq(32L, 32L, 32L, 32L, 32L))        // repeated exact halves
+    val df = cases.toDF("lens")
+    val got = df.select(ArrayExprs.nextFitBins(col("lens"), 64L))
+      .collect().map(_.getSeq[Long](0).toSeq).toSeq
+    assert(got == cases.map(ref(_, 64L)))
+    // the two structural laws the packing queries lean on:
+    // bins are dense (0..max with no gaps) and oversize bins are solo
+    cases.foreach { ls =>
+      val bins = ref(ls, 64L)
+      if (bins.nonEmpty) assert(bins.distinct.sorted == (0L to bins.max))
+      bins.zip(ls).groupBy(_._1).values.foreach { items =>
+        if (items.map(_._2).sum > 64L)
+          assert(items.size == 1, s"oversize bin not solo: $items")
+      }
+    }
+  }
+
   test("no pipeline expression falls back out of whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
       classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
       classOf[HyperplaneBands], classOf[TopTokenCount], classOf[WindowHashes],
-      classOf[SubwordTokens])
+      classOf[SubwordTokens], classOf[NextFitBins])
     classes.foreach(c =>
       assert(!classOf[CodegenFallback].isAssignableFrom(c),
         s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))
