@@ -1904,6 +1904,87 @@ object Similarity {
              |WHERE rank <= 12
              |ORDER BY node, rank""".stripMargin)),
 
+    // ---- Hard-negative mining for embedding-model training ---------------
+    // The contrastive-training data op (triplet/InfoNCE batches need
+    // them): for each anchor, the top-5 most-similar vectors with a
+    // DIFFERENT label (the hard negatives), each tagged against the
+    // anchor's hardest positive — is_hard (negative outranks the best
+    // same-label vector: the triplet is violated) and is_semi_hard
+    // (within 0.1 of it: FaceNet's semi-hard band, the pairs worth
+    // training on). This is per-anchor DYNAMIC-predicate retrieval —
+    // q317's filtered ANN fixes ONE predicate for all queries; here the
+    // predicate (label != anchor's) changes with the anchor, so the
+    // filter rides the scoring join instead of the index.
+    //
+    // Scale shape: the bounded anchor set broadcasts (q48's contract);
+    // negatives rank through the bounded TopKAgg aggregator (q50's
+    // shape — each map task pre-reduces to 5 candidates per anchor, the
+    // exchange carries O(anchors x tasks x 5) rows, nothing sorts the
+    // corpus); the positive side is one map-combined max per anchor.
+    // Both passes are map-side scans of the same broadcast join.
+    QueryDef("q333_hard_negatives", (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val k = 5
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+        .withColumn("n2", dot(col("qv"), col("qv")))
+      val anchors = e.filter(queryFilter).select(
+        col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("qv").as("qa"), col("n2").as("na"))
+      val scored = broadcast(anchors)
+        .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+          col("qv").as("qb"), col("n2").as("nb")), col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .select("q_id", "n_id", "q_label", "n_label", "cos_sim")
+      val pos = scored.filter(col("n_label") === col("q_label"))
+        .groupBy("q_id").agg(max("cos_sim").as("pos_cos"))
+      val topk = new graft.functions.TopKAgg(k).toColumn
+      val negs = scored.filter(col("n_label") =!= col("q_label"))
+        .select("q_id", "n_id", "cos_sim")
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._3, r._2))
+        .agg(topk.name("top"))
+        .toDF("q_id", "top")
+        .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "p")))
+        .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
+          col("p._2").as("n_id"), col("p._1").as("cos_sim"))
+      negs.join(pos, "q_id")
+        .withColumn("is_hard", col("cos_sim") > col("pos_cos"))
+        .withColumn("is_semi_hard",
+          !(col("cos_sim") > col("pos_cos")) &&
+            col("cos_sim") > col("pos_cos") - lit(0.1))
+        .select("q_id", "rank", "n_id", "cos_sim", "pos_cos",
+          "is_hard", "is_semi_hard")
+        .orderBy("q_id", "rank")
+    },
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
+             |n AS MATERIALIZED (
+             |  SELECT vec_id, label, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |a AS (SELECT vec_id, label, qv, n2 FROM n WHERE vec_id < $nQueries),
+             |sc AS MATERIALIZED (
+             |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |    a.label AS q_label, b.label AS n_label,
+             |    ${sqlCos("a", "b")} AS cos_sim
+             |  FROM a JOIN n b ON a.vec_id != b.vec_id),
+             |pos AS (
+             |  SELECT q_id, max(cos_sim) AS pos_cos FROM sc
+             |  WHERE n_label = q_label GROUP BY q_id),
+             |neg AS (
+             |  SELECT q_id, n_id, cos_sim,
+             |    row_number() OVER (PARTITION BY q_id
+             |      ORDER BY cos_sim DESC, n_id) AS rank
+             |  FROM sc WHERE n_label != q_label)
+             |SELECT neg.q_id AS q_id, CAST(rank AS INTEGER) AS rank, n_id, cos_sim,
+             |  pos_cos,
+             |  cos_sim > pos_cos AS is_hard,
+             |  (NOT cos_sim > pos_cos) AND cos_sim > pos_cos - 0.1
+             |    AS is_semi_hard
+             |FROM neg JOIN pos ON neg.q_id = pos.q_id
+             |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression
     // for serving/storing 100 TB of embeddings (4x smaller than float32,

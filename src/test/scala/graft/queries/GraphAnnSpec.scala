@@ -485,4 +485,34 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
       assert(ball.contains(lbl), s"label $lbl unreachable from $n in 3 hops")
     }
   }
+
+  test("q333: hard negatives cross labels, flags are band-consistent, both classes live") {
+    val rows = SparkEntry.queries("q333_hard_negatives")(spark, sfDir).collect()
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(2))
+      // a mined negative must never share the anchor's label
+      assert(labels(q) != labels(n), s"negative $n shares label with anchor $q")
+      // flag arithmetic: is_hard <=> cos > pos; semi-hard <=> in (pos-0.1, pos]
+      val (cos, pos) = (r.getDouble(3), r.getDouble(4))
+      assert(r.getBoolean(5) == (cos > pos))
+      assert(r.getBoolean(6) == (!(cos > pos) && cos > pos - 0.1))
+      // the anchor's hardest positive really is attainable: some same-label
+      // vector scores at least pos (spot recheck rides the oracle; here we
+      // only need pos to be a cosine, i.e. in [-1, 1])
+      assert(pos >= -1.0 && pos <= 1.0)
+    }
+    // ranks are 1..5 per anchor, descending cosine
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      assert(sorted.map(_.getDouble(3)).toSeq ==
+        sorted.map(_.getDouble(3)).sortBy(-_).toSeq, s"anchor $q ranks out of order")
+    }
+    // the fixture must exercise BOTH mined classes or the flags are dead code
+    assert(rows.exists(_.getBoolean(5)), "no hard negatives on the fixture")
+    assert(rows.exists(_.getBoolean(6)), "no semi-hard negatives on the fixture")
+  }
 }
