@@ -1985,6 +1985,108 @@ object Similarity {
              |FROM neg JOIN pos ON neg.q_id = pos.q_id
              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
 
+    // ---- Margin-criterion bitext mining (parallel-pair extraction) --------
+    // Artetxe & Schwenk's ratio-margin rule — the miner behind the large
+    // public parallel corpora (CCMatrix/WikiMatrix): a cross-corpus pair
+    // (x, y) is mined when its similarity stands OUT of both sides'
+    // neighborhoods, margin(x,y) = cos(x,y) / ((avgTop4(x) + avgTop4(y))
+    // / 2) — raw cosine thresholds over-fire in dense regions and
+    // under-fire in sparse ones; the margin normalizes by local density.
+    // Corpus halves are the vec_id parity (q275's cross-corpus shape,
+    // semantic instead of lexical); pairs must be MUTUAL margin-best and
+    // clear margin > 1.05.
+    //
+    // Scale shape: candidates come from shared probed IVF cells (the
+    // graph family's blocking — never all-pairs); neighborhood stats are
+    // cell-bounded windows + map-combined sums; the margin is exact
+    // int64 rational arithmetic (cosq = floor(cos * 1e9); margin =
+    // 2*cosq*cx*cy / (sx*cy + sy*cx)) with ONE double divide for the
+    // reported value and the threshold tested on the integers, so both
+    // engines decide every pair identically.
+    QueryDef("q334_bitext_margin", (s, d) => {
+      val kAvg = 4
+      val e = quantize(t(s, d, "embeddings")).materialize
+      val asg = assignProbed(centsOf(e, 64), e, 2).materialize
+      val cp = asg.filter(col("vec_id") % 2 === 0)
+        .select(col("cell"), col("vec_id").as("x_id"))
+        .join(asg.filter(col("vec_id") % 2 === 1)
+          .select(col("cell"), col("vec_id").as("y_id")), Seq("cell"))
+        .select("x_id", "y_id").distinct()
+      val scored = cp
+        .join(e.select(col("vec_id").as("x_id"), col("qv").as("qa"),
+          col("n2").as("na")), "x_id")
+        .join(e.select(col("vec_id").as("y_id"), col("qv").as("qb"),
+          col("n2").as("nb")), "y_id")
+        .withColumn("cosq", floor(
+          cosine(col("qa"), col("na"), col("qb"), col("nb")) * lit(1e9))
+          .cast("long"))
+        .select("x_id", "y_id", "cosq")
+        .materialize // x-side stats, y-side stats, and the pair join read it
+      val wx = Window.partitionBy("x_id").orderBy(col("cosq").desc, col("y_id"))
+      val wy = Window.partitionBy("y_id").orderBy(col("cosq").desc, col("x_id"))
+      val xs = scored.withColumn("rn", row_number().over(wx))
+        .filter(col("rn") <= kAvg)
+        .groupBy("x_id").agg(sum("cosq").as("sx"), count(lit(1)).as("cx"))
+      val ys = scored.withColumn("rn", row_number().over(wy))
+        .filter(col("rn") <= kAvg)
+        .groupBy("y_id").agg(sum("cosq").as("sy"), count(lit(1)).as("cy"))
+      val m = scored.join(xs, "x_id").join(ys, "y_id")
+        .withColumn("num", lit(2L) * col("cosq") * col("cx") * col("cy"))
+        .withColumn("den", col("sx") * col("cy") + col("sy") * col("cx"))
+        .filter(col("den") > 0)
+        .withColumn("margin",
+          col("num").cast("double") / col("den").cast("double"))
+      val wbx = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+      val wby = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+      m.withColumn("rx", row_number().over(wbx))
+        .withColumn("ry", row_number().over(wby))
+        .filter(col("rx") === 1 && col("ry") === 1 &&
+          col("num") * 100 > col("den") * 105)
+        .select("x_id", "y_id", "cosq", "margin")
+        .orderBy("x_id")
+    },
+      Some(s"""WITH ${sqlCandCtes(64, 2)},
+             |cpx AS MATERIALIZED (
+             |  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id
+             |  FROM asg a JOIN asg b ON a.cell = b.cell
+             |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+             |sc AS MATERIALIZED (
+             |  SELECT x_id, y_id,
+             |    CAST(floor((${sqlCos("x", "y")}) * 1000000000.0) AS BIGINT)
+             |      AS cosq
+             |  FROM cpx JOIN n x ON cpx.x_id = x.vec_id
+             |           JOIN n y ON cpx.y_id = y.vec_id),
+             |xs AS MATERIALIZED (
+             |  SELECT x_id, CAST(sum(cosq) AS BIGINT) AS sx,
+             |    CAST(count(*) AS BIGINT) AS cx
+             |  FROM (SELECT x_id, cosq, row_number() OVER (PARTITION BY x_id
+             |          ORDER BY cosq DESC, y_id) AS rn FROM sc)
+             |  WHERE rn <= 4 GROUP BY x_id),
+             |ys AS MATERIALIZED (
+             |  SELECT y_id, CAST(sum(cosq) AS BIGINT) AS sy,
+             |    CAST(count(*) AS BIGINT) AS cy
+             |  FROM (SELECT y_id, cosq, row_number() OVER (PARTITION BY y_id
+             |          ORDER BY cosq DESC, x_id) AS rn FROM sc)
+             |  WHERE rn <= 4 GROUP BY y_id),
+             |mm AS MATERIALIZED (
+             |  SELECT x_id, y_id, cosq,
+             |    2 * cosq * cx * cy AS num, sx * cy + sy * cx AS den
+             |  FROM sc JOIN xs USING (x_id) JOIN ys USING (y_id)
+             |  WHERE sx * cy + sy * cx > 0),
+             |r AS (
+             |  SELECT x_id, y_id, cosq, num, den,
+             |    row_number() OVER (PARTITION BY x_id
+             |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+             |        y_id) AS rx,
+             |    row_number() OVER (PARTITION BY y_id
+             |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE) DESC,
+             |        x_id) AS ry
+             |  FROM mm)
+             |SELECT x_id, y_id, cosq,
+             |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS margin
+             |FROM r WHERE rx = 1 AND ry = 1 AND num * 100 > den * 105
+             |ORDER BY x_id""".stripMargin)),
+
     // ---- Int8 scalar quantization of embeddings (the storage path) -------
     // Symmetric per-vector int8 quantization — the standard compression
     // for serving/storing 100 TB of embeddings (4x smaller than float32,

@@ -515,4 +515,21 @@ class GraphAnnSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.exists(_.getBoolean(5)), "no hard negatives on the fixture")
     assert(rows.exists(_.getBoolean(6)), "no semi-hard negatives on the fixture")
   }
+
+  test("q334: mined bitext pairs are cross-parity, one-to-one, above margin") {
+    val rows = SparkEntry.queries("q334_bitext_margin")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the miner found no pairs on the fixture")
+    rows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(x % 2 == 0 && y % 2 == 1, s"pair ($x, $y) is not cross-corpus")
+      assert(r.getDouble(3) > 1.05, s"pair ($x, $y) below the margin threshold")
+    }
+    // mutual-best implies a matching: no x or y appears twice
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    // the margin really normalizes by density: a mined pair's cosine must
+    // exceed the average of BOTH neighborhoods (margin > 1 restated), so
+    // cosq is strictly positive whenever den > 0
+    rows.foreach(r => assert(r.getLong(2) > 0, "mined pair with non-positive cosine"))
+  }
 }
