@@ -248,6 +248,62 @@ object Text {
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Token / character statistics ------------------------------------
+    // ---- Span-corruption plan (T5/UL2 denoising preprocessing) -----------
+    // The layout pass a span-corruption trainer runs over the corpus:
+    // per document, ~15% of tokens masked in spans of mean length 3
+    // (len in {2,3,4}), emitted as the (start, len) mask plan the
+    // tokenizer consumes. Spans cannot overlap BY CONSTRUCTION: the
+    // token stream partitions into n_spans equal segments (n_spans =
+    // n div 20, so segments hold 20-39 tokens) and each span lands
+    // inside its own segment at a Lehmer-keyed offset — rerun-invariant
+    // (q56's membership rule applied to positions), no rejection
+    // sampling, no cross-span coordination. Documents under 20 tokens
+    // take no mask (no segment fits a span).
+    //
+    // Scale shape: map-only — one scan, a bounded per-doc generate
+    // (n div 20 rows), pure integer arithmetic both engines replay
+    // exactly (div/mod only; the one hash is the shared Lehmer step).
+    QueryDef("q335_span_corruption", (s, d) => {
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+        .filter(col("n") >= 20)
+        .withColumn("n_spans", expr("n div 20"))
+      base
+        .select(col("doc_id"), col("n"), col("n_spans"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+        .withColumn("h", Sampling.lehmer(col("doc_id") * 31 + col("span_idx")))
+        .withColumn("seg_start", expr("(span_idx * n) div n_spans"))
+        .withColumn("seg_len",
+          expr("((span_idx + 1) * n) div n_spans") - col("seg_start"))
+        .withColumn("span_len", lit(2L) + pmod(col("h"), lit(3L)))
+        .withColumn("start_tok", col("seg_start") +
+          pmod(expr("h div 3"), col("seg_len") - col("span_len") + 1))
+        .select(col("doc_id"), col("span_idx"), col("start_tok"),
+          col("span_len"), col("n").as("n_tokens"), col("n_spans"))
+        .orderBy("doc_id", "span_idx")
+    },
+      Some(s"""WITH b AS MATERIALIZED (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) // 20 AS n_spans
+             |  FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 20),
+             |sp AS (
+             |  SELECT doc_id, n, n_spans,
+             |    CAST(unnest(range(n_spans)) AS BIGINT) AS span_idx
+             |  FROM b),
+             |w AS (
+             |  SELECT doc_id, n, n_spans, span_idx,
+             |    ${Sampling.sqlLehmerOf("(doc_id * 31 + span_idx)")} AS h,
+             |    (span_idx * n) // n_spans AS seg_start,
+             |    ((span_idx + 1) * n) // n_spans
+             |      - (span_idx * n) // n_spans AS seg_len
+             |  FROM sp)
+             |SELECT doc_id, span_idx,
+             |  seg_start + (h // 3) % (seg_len - (2 + h % 3) + 1) AS start_tok,
+             |  2 + h % 3 AS span_len,
+             |  n AS n_tokens, n_spans
+             |FROM w ORDER BY doc_id, span_idx""".stripMargin)),
+
     QueryDef("q40_text_stats", (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),

@@ -25,6 +25,30 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q335 span plan: in-bounds, non-overlapping, ~15% corruption") {
+    val rows = q("q335_span_corruption").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, spans) =>
+      val n = spans.head.getLong(4)
+      val sorted = spans.sortBy(_.getLong(1))
+      // contiguous span indices 0..n_spans-1
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until spans.head.getLong(5)))
+      var prevEnd = 0L
+      sorted.foreach { r =>
+        val (st, len) = (r.getLong(2), r.getLong(3))
+        assert(len >= 2 && len <= 4, s"doc $doc span length $len")
+        assert(st >= prevEnd, s"doc $doc spans overlap at $st")
+        assert(st + len <= n, s"doc $doc span [$st, ${st + len}) out of bounds")
+        prevEnd = st + len
+      }
+    }
+    // corpus-level corruption rate lands near the 15% target
+    val masked = rows.map(_.getLong(3)).sum.toDouble
+    val total = rows.groupBy(_.getLong(0)).map(_._2.head.getLong(4)).sum.toDouble
+    assert(masked / total > 0.10 && masked / total < 0.20,
+      s"corruption rate ${masked / total} off target")
+  }
+
   test("q43 fingerprint matches reference rolling hash") {
     // driver-side reference implementation of the portable polynomial
     // fingerprint: per-token codepoint hash (base 131 mod 4294967291),
@@ -2349,7 +2373,11 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q326_ivf_delete_compaction", // q49's fixed 64-row centroid broadcast (Lloyd assignment)
       "q328_graph_delete_repair", // q137's fixed 64-row centroid broadcast (graph build)
       "q329_contamination_planted_face", // one-row eval-window-array cross join (q324's class, bounded-eval contract enforced)
-      "q330_graph_relink") // q137's fixed 64-row centroid broadcast (graph build)
+      "q330_graph_relink", // q137's fixed 64-row centroid broadcast (graph build)
+      "q331_pack_nextfit", // one-row corpus-count cross join (q76's class)
+      "q332_pack_efficiency", // q331's one-row count cross, three sweep cells
+      "q333_hard_negatives", // q48's bounded 50-anchor broadcast, label-filtered (q119's class)
+      "q334_bitext_margin") // q137's fixed 64-row centroid broadcast (probed assignment)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
