@@ -30,7 +30,7 @@ object Sampling {
     * 48271^2 mod M = 182605794, shrinking the monotone region to id < 12,
     * while every intermediate product stays < 2^47 (exact in int64 on
     * both engines). */
-  private[queries] def lehmer(id: Column): Column = {
+  private[graft] def lehmer(id: Column): Column = {
     val step1 = pmod(pmod(id, lit(M)) * lit(48271L), lit(M))
     pmod(step1 * lit(48271L), lit(M))
   }
@@ -79,7 +79,7 @@ object Sampling {
   /** SQL-side mirror of [[lehmer]] over an arbitrary column — the SINGLE
     * definition of the hash formula both engines must share; every
     * oracle string derives from it so the constants cannot drift. */
-  private[queries] def sqlLehmerOf(c: String): String =
+  private[graft] def sqlLehmerOf(c: String): String =
     s"(($c % $M) * 48271 % $M) * 48271 % $M"
 
   /** Poisson(1) inverse-CDF cutoffs on the [0, M) Lehmer value, as
@@ -260,6 +260,15 @@ object Sampling {
        |      h // (($M // greatest(CAST(32 AS BIGINT), cnt // 64)) + 1) AS grp
        |    FROM pd CROSS JOIN ps))""".stripMargin
 
+  /** q331's complete oracle text at cap 128 — shared VERBATIM with the
+    * streaming face (q336): a single-batch replay of the stream must
+    * equal the batch packer exactly, so the two gates share one SQL. */
+  private val sqlPackAssign128: String =
+    s"""WITH RECURSIVE $sqlPackBaseCtes,
+       |${sqlPackRec(128L)}
+       |SELECT doc_id, len, grp, bin FROM st128
+       |ORDER BY doc_id""".stripMargin
+
   private def sqlPackRec(cap: Long): String =
     s"""st$cap AS (
        |  SELECT grp, pos, doc_id, len, CAST(0 AS BIGINT) AS bin,
@@ -428,10 +437,31 @@ object Sampling {
     QueryDef("q331_pack_nextfit", (s, d) =>
       nextFitAssign(packGroups(t(s, d, "documents")), 128L)
         .orderBy("doc_id"),
-      Some(s"""WITH RECURSIVE $sqlPackBaseCtes,
-             |${sqlPackRec(128L)}
-             |SELECT doc_id, len, grp, bin FROM st128
-             |ORDER BY doc_id""".stripMargin)),
+      Some(sqlPackAssign128)),
+
+    // ---- Streaming next-fit packing twin, driver-gated --------------------
+    // The q307-q311 promotion for [[graft.streaming.Streams.packIngest]]:
+    // the packer is the pipeline's one truly SEQUENTIAL op, so its
+    // streaming face carries real state — (open bin, remaining capacity)
+    // per pack group in the state store, folding each arriving document
+    // into the group where the batch left off instead of re-packing the
+    // corpus. Replaying the corpus in one batch reproduces q331 exactly
+    // (this gate: the SAME oracle SQL text as q331); across micro-batches
+    // the fold continues from the stored state — the online contract a
+    // real ingest needs (a bin may stay open between batches; later
+    // arrivals never reopen earlier bins), spec-driven as a two-trigger
+    // stream in StreamingSpec. The group count is deployment
+    // configuration — the face derives it from the corpus snapshot's
+    // parquet footer count (metadata only), matching the batch rule.
+    QueryDef("q336_packing_ingest_face", (s, d) => {
+      val n = Tables.rowCountFromFooters(s, d, "documents")
+      graft.streaming.Streams.packIngest(
+          t(s, d, "documents"), math.max(32L, n / 64L), 128L)
+        .toDF()
+        .select("doc_id", "len", "grp", "bin")
+        .orderBy("doc_id")
+    },
+      Some(sqlPackAssign128)),
 
     // ---- Packing-efficiency sweep: waste vs capacity ---------------------
     // The tuning table for q331's capacity knob, and the MEASURED

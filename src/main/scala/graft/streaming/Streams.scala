@@ -586,6 +586,61 @@ object Streams {
       }
   }
 
+  /** One packed-document placement: the document, its token length, its
+    * pack group, and the group-local bin it landed in. */
+  final case class PackAssign(doc_id: Long, len: Long, grp: Long, bin: Long)
+
+  /** The open tail of a pack group's fold: current bin + its remaining
+    * capacity. ~16 bytes per group in the state store. */
+  final case class PackState(bin: Long, rem: Long)
+
+  /** Streaming twin of the batch q331 whole-document next-fit packer —
+    * the pipeline's one truly SEQUENTIAL op, so this face carries real
+    * state: (open bin, remaining capacity) per pack group, folding each
+    * arriving document into the group where the previous micro-batch
+    * left off instead of re-packing the corpus. Within one micro-batch
+    * a group's documents fold in the batch visit order ((lehmer(doc_id),
+    * doc_id) — q331's rule), so a single-batch corpus replay reproduces
+    * the batch packer exactly (the q336 gate); across micro-batches the
+    * fold continues from the stored state — the online contract: a bin
+    * may stay open between batches, and later arrivals never reopen
+    * earlier bins. The recurrence is the single documented definition in
+    * [[graft.functions.ArrayOps.nextFitBins]].
+    *
+    * `nGroups` is deployment configuration (the q336 face derives it
+    * from the corpus snapshot's parquet footer count so twin and batch
+    * agree); state is one 2-long record per group, sharded by group key
+    * across executors at scale. */
+  def packIngest(docs: DataFrame, nGroups: Long, cap: Long = 128L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    val M = 2147483647L
+    val stride = M / nGroups + 1
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("len"),
+        graft.queries.Sampling.lehmer(col("doc_id")).as("h"))
+      .withColumn("grp", expr(s"h div $stride"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (grp: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[PackState]) =>
+          val st = state.getOption.getOrElse(PackState(0L, cap))
+          var bin = st.bin
+          var rem = st.rem
+          val out = rows.toSeq.sortBy(r => (r._3, r._1)).map {
+            case (id, len, _, _) =>
+              if (len > rem && rem < cap) { bin += 1L; rem = cap }
+              val a = PackAssign(id, len, grp, bin)
+              rem = if (len >= rem) 0L else rem - len
+              a
+          }
+          state.update(PackState(bin, rem))
+          out.iterator
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -548,4 +548,70 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val out = spark.table("para_out")
     assert(out.select("h").distinct().count() == out.count())
   }
+
+  test("streaming next-fit packer: single-batch replay equals the batch packer") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ng = math.max(32L, docs.count() / 64L)
+    val dir = java.nio.file.Files.createTempDirectory("pack-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+    val q = Streams.packIngest(incoming, ng, 128L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("pack_out")
+    val want = SparkEntry.queries("q331_pack_nextfit")(spark, sfDir)
+    assert(got.count() > 0)
+    assertSameRows(got.select("doc_id", "len", "grp", "bin"), want)
+  }
+
+  test("streaming next-fit packer: state carries open bins across micro-batches") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val ng = math.max(32L, docs.count() / 64L)
+    val dir = java.nio.file.Files.createTempDirectory("pack-stream2")
+    // two arrival waves: even doc_ids land first, odd ones a trigger later
+    // (coalesce(1): one part file per wave, so with maxFilesPerTrigger=1
+    // each wave is exactly one micro-batch and the fold order is wave
+    // order, not part-file listing order)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.parquet(dir.resolve("wave_a").toString)
+    val incoming = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString + "/wave_*")
+    val q = Streams.packIngest(incoming, ng, 128L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack_out2").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+        .write.parquet(dir.resolve("wave_b").toString)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pack_out2").collect()
+    // every document placed exactly once across both waves
+    assert(got.length == docs.count())
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+    // reference: fold each group over wave-a docs then wave-b docs, each
+    // wave in (lehmer, doc_id) order, continuing the SAME (bin, rem)
+    // state — the online contract the state store must implement
+    def h(id: Long): Long = { val m = 2147483647L; (id % m) * 48271 % m * 48271 % m }
+    val stride = 2147483647L / ng + 1
+    val byDoc = got.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .groupBy { case (id, _) => h(id) / stride }
+      .foreach { case (grp, items) =>
+        var bin = 0L; var rem = 128L
+        val waves = items.partition(_._1 % 2 == 0)
+        (waves._1.sortBy(x => (h(x._1), x._1)) ++
+          waves._2.sortBy(x => (h(x._1), x._1))).foreach { case (id, len) =>
+          if (len > rem && rem < 128L) { bin += 1L; rem = 128L }
+          assert(byDoc(id) == bin,
+            s"doc $id in group $grp: stream bin ${byDoc(id)} != reference $bin")
+          rem = if (len >= rem) 0L else rem - len
+        }
+      }
+  }
 }
