@@ -260,6 +260,12 @@ object Sampling {
        |      h // (($M // greatest(CAST(32 AS BIGINT), cnt // 64)) + 1) AS grp
        |    FROM pd CROSS JOIN ps))""".stripMargin
 
+  /** Whole-document next-fit packing, exposed for library use and the
+    * scale probe: q331's body ([[packGroups]] + [[nextFitAssign]]). */
+  def nextFitPack(docs: org.apache.spark.sql.DataFrame, cap: Long = 128L)
+      : org.apache.spark.sql.DataFrame =
+    nextFitAssign(packGroups(docs), cap)
+
   /** q331's complete oracle text at cap 128 — shared VERBATIM with the
     * streaming face (q336): a single-batch replay of the stream must
     * equal the batch packer exactly, so the two gates share one SQL. */
@@ -435,7 +441,7 @@ object Sampling {
     // oracle replays the identical recurrence as a recursive CTE whose
     // depth is the max group size, not the corpus.
     QueryDef("q331_pack_nextfit", (s, d) =>
-      nextFitAssign(packGroups(t(s, d, "documents")), 128L)
+      nextFitPack(t(s, d, "documents"), 128L)
         .orderBy("doc_id"),
       Some(sqlPackAssign128)),
 

@@ -200,6 +200,93 @@ object Similarity {
   private def cosine(qa: Column, na: Column, qb: Column, nb: Column): Column =
     dot(qa, qb).cast("double") / sqrt(na.cast("double")) / sqrt(nb.cast("double"))
 
+  /** Hard-negative mining (q333's body), exposed for library use and the
+    * scale probe: per bounded anchor, the top-k most-similar
+    * different-label vectors tagged against the anchor's hardest
+    * positive. Negatives rank through the bounded TopKAgg aggregator
+    * (q50's shape); the positive side is one map-combined max. */
+  def hardNegatives(emb: DataFrame, k: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb
+      .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
+      .withColumn("n2", dot(col("qv"), col("qv")))
+    val anchors = e.filter(queryFilter).select(
+      col("vec_id").as("q_id"), col("label").as("q_label"),
+      col("qv").as("qa"), col("n2").as("na"))
+    val scored = broadcast(anchors)
+      .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+        col("qv").as("qb"), col("n2").as("nb")), col("q_id") =!= col("n_id"))
+      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
+      .select("q_id", "n_id", "q_label", "n_label", "cos_sim")
+    val pos = scored.filter(col("n_label") === col("q_label"))
+      .groupBy("q_id").agg(max("cos_sim").as("pos_cos"))
+    val topk = new graft.functions.TopKAgg(k).toColumn
+    val negs = scored.filter(col("n_label") =!= col("q_label"))
+      .select("q_id", "n_id", "cos_sim")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._3, r._2))
+      .agg(topk.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "p")))
+      .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
+        col("p._2").as("n_id"), col("p._1").as("cos_sim"))
+    negs.join(pos, "q_id")
+      .withColumn("is_hard", col("cos_sim") > col("pos_cos"))
+      .withColumn("is_semi_hard",
+        !(col("cos_sim") > col("pos_cos")) &&
+          col("cos_sim") > col("pos_cos") - lit(0.1))
+      .select("q_id", "rank", "n_id", "cos_sim", "pos_cos",
+        "is_hard", "is_semi_hard")
+  }
+
+  /** Margin-criterion bitext mining (q334's body), exposed for library
+    * use and the scale probe: cross-parity candidate pairs from shared
+    * probed IVF cells, exact-integer ratio margins against both sides'
+    * top-`kAvg` neighborhoods, mutual-best + margin > 1.05. */
+  def bitextMargin(emb: DataFrame, kAvg: Int = 4,
+      centroids: Int = 64): DataFrame = {
+    val e = quantize(emb).materialize
+    val asg = assignProbed(centsOf(e, centroids), e, 2).materialize
+    val cp = asg.filter(col("vec_id") % 2 === 0)
+      .select(col("cell"), col("vec_id").as("x_id"))
+      .join(asg.filter(col("vec_id") % 2 === 1)
+        .select(col("cell"), col("vec_id").as("y_id")), Seq("cell"))
+      .select("x_id", "y_id").distinct()
+    val scored = cp
+      .join(e.select(col("vec_id").as("x_id"), col("qv").as("qa"),
+        col("n2").as("na")), "x_id")
+      .join(e.select(col("vec_id").as("y_id"), col("qv").as("qb"),
+        col("n2").as("nb")), "y_id")
+      .withColumn("cosq", floor(
+        cosine(col("qa"), col("na"), col("qb"), col("nb")) * lit(1e9))
+        .cast("long"))
+      .select("x_id", "y_id", "cosq")
+      .materialize // x-side stats, y-side stats, and the pair join read it
+    val wx = Window.partitionBy("x_id").orderBy(col("cosq").desc, col("y_id"))
+    val wy = Window.partitionBy("y_id").orderBy(col("cosq").desc, col("x_id"))
+    val xs = scored.withColumn("rn", row_number().over(wx))
+      .filter(col("rn") <= kAvg)
+      .groupBy("x_id").agg(sum("cosq").as("sx"), count(lit(1)).as("cx"))
+    val ys = scored.withColumn("rn", row_number().over(wy))
+      .filter(col("rn") <= kAvg)
+      .groupBy("y_id").agg(sum("cosq").as("sy"), count(lit(1)).as("cy"))
+    val m = scored.join(xs, "x_id").join(ys, "y_id")
+      .withColumn("num", lit(2L) * col("cosq") * col("cx") * col("cy"))
+      .withColumn("den", col("sx") * col("cy") + col("sy") * col("cx"))
+      .filter(col("den") > 0)
+      .withColumn("margin",
+        col("num").cast("double") / col("den").cast("double"))
+    val wbx = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
+    val wby = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
+    m.withColumn("rx", row_number().over(wbx))
+      .withColumn("ry", row_number().over(wby))
+      .filter(col("rx") === 1 && col("ry") === 1 &&
+        col("num") * 100 > col("den") * 105)
+      .select("x_id", "y_id", "cosq", "margin")
+  }
+
   /** Lloyd's k-means refinement on the exact integer grid — the cluster
     * "training" step the hash-rank quantizer (ivfIndex) deliberately
     * skips. Seeds are the same deterministic hash-rank sample; each
@@ -1922,43 +2009,8 @@ object Similarity {
     // exchange carries O(anchors x tasks x 5) rows, nothing sorts the
     // corpus); the positive side is one map-combined max per anchor.
     // Both passes are map-side scans of the same broadcast join.
-    QueryDef("q333_hard_negatives", (s, d) => {
-      val spark = s
-      import spark.implicits._
-      val k = 5
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), quant(col("embedding")).as("qv"))
-        .withColumn("n2", dot(col("qv"), col("qv")))
-      val anchors = e.filter(queryFilter).select(
-        col("vec_id").as("q_id"), col("label").as("q_label"),
-        col("qv").as("qa"), col("n2").as("na"))
-      val scored = broadcast(anchors)
-        .join(e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
-          col("qv").as("qb"), col("n2").as("nb")), col("q_id") =!= col("n_id"))
-        .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
-        .select("q_id", "n_id", "q_label", "n_label", "cos_sim")
-      val pos = scored.filter(col("n_label") === col("q_label"))
-        .groupBy("q_id").agg(max("cos_sim").as("pos_cos"))
-      val topk = new graft.functions.TopKAgg(k).toColumn
-      val negs = scored.filter(col("n_label") =!= col("q_label"))
-        .select("q_id", "n_id", "cos_sim")
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(r => (r._3, r._2))
-        .agg(topk.name("top"))
-        .toDF("q_id", "top")
-        .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "p")))
-        .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
-          col("p._2").as("n_id"), col("p._1").as("cos_sim"))
-      negs.join(pos, "q_id")
-        .withColumn("is_hard", col("cos_sim") > col("pos_cos"))
-        .withColumn("is_semi_hard",
-          !(col("cos_sim") > col("pos_cos")) &&
-            col("cos_sim") > col("pos_cos") - lit(0.1))
-        .select("q_id", "rank", "n_id", "cos_sim", "pos_cos",
-          "is_hard", "is_semi_hard")
-        .orderBy("q_id", "rank")
-    },
+    QueryDef("q333_hard_negatives", (s, d) =>
+      hardNegatives(t(s, d, "embeddings")).orderBy("q_id", "rank"),
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
              |n AS MATERIALIZED (
@@ -2003,48 +2055,8 @@ object Similarity {
     // 2*cosq*cx*cy / (sx*cy + sy*cx)) with ONE double divide for the
     // reported value and the threshold tested on the integers, so both
     // engines decide every pair identically.
-    QueryDef("q334_bitext_margin", (s, d) => {
-      val kAvg = 4
-      val e = quantize(t(s, d, "embeddings")).materialize
-      val asg = assignProbed(centsOf(e, 64), e, 2).materialize
-      val cp = asg.filter(col("vec_id") % 2 === 0)
-        .select(col("cell"), col("vec_id").as("x_id"))
-        .join(asg.filter(col("vec_id") % 2 === 1)
-          .select(col("cell"), col("vec_id").as("y_id")), Seq("cell"))
-        .select("x_id", "y_id").distinct()
-      val scored = cp
-        .join(e.select(col("vec_id").as("x_id"), col("qv").as("qa"),
-          col("n2").as("na")), "x_id")
-        .join(e.select(col("vec_id").as("y_id"), col("qv").as("qb"),
-          col("n2").as("nb")), "y_id")
-        .withColumn("cosq", floor(
-          cosine(col("qa"), col("na"), col("qb"), col("nb")) * lit(1e9))
-          .cast("long"))
-        .select("x_id", "y_id", "cosq")
-        .materialize // x-side stats, y-side stats, and the pair join read it
-      val wx = Window.partitionBy("x_id").orderBy(col("cosq").desc, col("y_id"))
-      val wy = Window.partitionBy("y_id").orderBy(col("cosq").desc, col("x_id"))
-      val xs = scored.withColumn("rn", row_number().over(wx))
-        .filter(col("rn") <= kAvg)
-        .groupBy("x_id").agg(sum("cosq").as("sx"), count(lit(1)).as("cx"))
-      val ys = scored.withColumn("rn", row_number().over(wy))
-        .filter(col("rn") <= kAvg)
-        .groupBy("y_id").agg(sum("cosq").as("sy"), count(lit(1)).as("cy"))
-      val m = scored.join(xs, "x_id").join(ys, "y_id")
-        .withColumn("num", lit(2L) * col("cosq") * col("cx") * col("cy"))
-        .withColumn("den", col("sx") * col("cy") + col("sy") * col("cx"))
-        .filter(col("den") > 0)
-        .withColumn("margin",
-          col("num").cast("double") / col("den").cast("double"))
-      val wbx = Window.partitionBy("x_id").orderBy(col("margin").desc, col("y_id"))
-      val wby = Window.partitionBy("y_id").orderBy(col("margin").desc, col("x_id"))
-      m.withColumn("rx", row_number().over(wbx))
-        .withColumn("ry", row_number().over(wby))
-        .filter(col("rx") === 1 && col("ry") === 1 &&
-          col("num") * 100 > col("den") * 105)
-        .select("x_id", "y_id", "cosq", "margin")
-        .orderBy("x_id")
-    },
+    QueryDef("q334_bitext_margin", (s, d) =>
+      bitextMargin(t(s, d, "embeddings")).orderBy("x_id"),
       Some(s"""WITH ${sqlCandCtes(64, 2)},
              |cpx AS MATERIALIZED (
              |  SELECT DISTINCT a.vec_id AS x_id, b.vec_id AS y_id

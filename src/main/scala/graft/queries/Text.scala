@@ -245,6 +245,26 @@ object Text {
         (col("max_c").cast("double") / col("n_tokens")).as("top_share"))
   }
 
+  /** Span-corruption mask plan (q335's body), exposed for library use
+    * and the scale probe: deterministic non-overlapping (start, len)
+    * mask spans at ~15% token coverage, map-only. */
+  def spanCorruptionPlan(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= 20)
+      .withColumn("n_spans", expr("n div 20"))
+      .select(col("doc_id"), col("n"), col("n_spans"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+      .withColumn("h", Sampling.lehmer(col("doc_id") * 31 + col("span_idx")))
+      .withColumn("seg_start", expr("(span_idx * n) div n_spans"))
+      .withColumn("seg_len",
+        expr("((span_idx + 1) * n) div n_spans") - col("seg_start"))
+      .withColumn("span_len", lit(2L) + pmod(col("h"), lit(3L)))
+      .withColumn("start_tok", col("seg_start") +
+        pmod(expr("h div 3"), col("seg_len") - col("span_len") + 1))
+      .select(col("doc_id"), col("span_idx"), col("start_tok"),
+        col("span_len"), col("n").as("n_tokens"), col("n_spans"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Token / character statistics ------------------------------------
@@ -263,25 +283,8 @@ object Text {
     // Scale shape: map-only — one scan, a bounded per-doc generate
     // (n div 20 rows), pure integer arithmetic both engines replay
     // exactly (div/mod only; the one hash is the shared Lehmer step).
-    QueryDef("q335_span_corruption", (s, d) => {
-      val base = t(s, d, "documents")
-        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-        .filter(col("n") >= 20)
-        .withColumn("n_spans", expr("n div 20"))
-      base
-        .select(col("doc_id"), col("n"), col("n_spans"),
-          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
-        .withColumn("h", Sampling.lehmer(col("doc_id") * 31 + col("span_idx")))
-        .withColumn("seg_start", expr("(span_idx * n) div n_spans"))
-        .withColumn("seg_len",
-          expr("((span_idx + 1) * n) div n_spans") - col("seg_start"))
-        .withColumn("span_len", lit(2L) + pmod(col("h"), lit(3L)))
-        .withColumn("start_tok", col("seg_start") +
-          pmod(expr("h div 3"), col("seg_len") - col("span_len") + 1))
-        .select(col("doc_id"), col("span_idx"), col("start_tok"),
-          col("span_len"), col("n").as("n_tokens"), col("n_spans"))
-        .orderBy("doc_id", "span_idx")
-    },
+    QueryDef("q335_span_corruption", (s, d) =>
+      spanCorruptionPlan(t(s, d, "documents")).orderBy("doc_id", "span_idx"),
       Some(s"""WITH b AS MATERIALIZED (
              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
              |    CAST(len(string_split(text, ' ')) AS BIGINT) // 20 AS n_spans

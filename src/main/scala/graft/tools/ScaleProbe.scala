@@ -457,6 +457,35 @@ object ScaleProbe {
       time(s"weighted_median_x$m") {
         graft.queries.Sampling.weightedLengthQuartiles(docs).count()
       }
+      // next-fit packing: group count scales with the corpus (expected
+      // 64 docs/group), the sequential fold is a per-row kernel over the
+      // collected group — one grp shuffle, linear
+      time(s"pack_nextfit_x$m") {
+        graft.queries.Sampling.nextFitPack(docs).count()
+      }
+      // stateful streaming packer in batch mode: the same fold through
+      // flatMapGroupsWithState — must match the batch packer's shape
+      time(s"pack_ingest_x$m") {
+        graft.streaming.Streams.packIngest(docs,
+          math.max(32L, (docs0.count() * m) / 64L)).count()
+      }
+      // hard negatives: bounded 50-anchor broadcast, TopKAgg pre-reduce —
+      // one corpus scan per side, linear
+      time(s"hard_negatives_x$m") {
+        graft.queries.Similarity.hardNegatives(replicateEmb(m)).count()
+      }
+      // bitext margin mining: cross-parity cell-mate candidates under the
+      // ~sqrt(n) centroid contract, cell-bounded neighborhood windows —
+      // within-cell comparisons grow ~n^1.5 spread over cell tasks
+      time(s"bitext_margin_x$m") {
+        graft.queries.Similarity.bitextMargin(replicateEmb(m),
+          centroids = (64 * math.sqrt(m)).toInt).count()
+      }
+      // span-corruption plan: map-only, bounded per-doc generate — must
+      // ride the scan exactly
+      time(s"span_corruption_x$m") {
+        graft.queries.Text.spanCorruptionPlan(docs).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups
