@@ -254,11 +254,15 @@ object Similarity {
       .join(asg.filter(col("vec_id") % 2 === 1)
         .select(col("cell"), col("vec_id").as("y_id")), Seq("cell"))
       .select("x_id", "y_id").distinct()
+    // every join side below is CORPUS-sized (vectors, per-anchor stats):
+    // none can broadcast at 100 TB, and at bench scale AQE flipped them
+    // between broadcast and shuffle run-to-run (the q135 byte-
+    // nondeterminism class) — pin the honest shuffled-hash arm throughout
     val scored = cp
       .join(e.select(col("vec_id").as("x_id"), col("qv").as("qa"),
-        col("n2").as("na")), "x_id")
+        col("n2").as("na")).hint("shuffle_hash"), "x_id")
       .join(e.select(col("vec_id").as("y_id"), col("qv").as("qb"),
-        col("n2").as("nb")), "y_id")
+        col("n2").as("nb")).hint("shuffle_hash"), "y_id")
       .withColumn("cosq", floor(
         cosine(col("qa"), col("na"), col("qb"), col("nb")) * lit(1e9))
         .cast("long"))
@@ -272,7 +276,8 @@ object Similarity {
     val ys = scored.withColumn("rn", row_number().over(wy))
       .filter(col("rn") <= kAvg)
       .groupBy("y_id").agg(sum("cosq").as("sy"), count(lit(1)).as("cy"))
-    val m = scored.join(xs, "x_id").join(ys, "y_id")
+    val m = scored.join(xs.hint("shuffle_hash"), "x_id")
+      .join(ys.hint("shuffle_hash"), "y_id")
       .withColumn("num", lit(2L) * col("cosq") * col("cx") * col("cy"))
       .withColumn("den", col("sx") * col("cy") + col("sy") * col("cx"))
       .filter(col("den") > 0)
@@ -4591,15 +4596,20 @@ object Similarity {
       val emb = t(s, d, "embeddings")
       val g = knnGraph(emb)
         .filter(col("node") % 2 === 1 && col("nbr") % 2 === 0)
+      // the label side is CORPUS-sized (one row per vector): at 100 TB it
+      // can never broadcast, and at bench scale AQE flipped it between
+      // broadcast and shuffle run-to-run (the q135 byte-nondeterminism
+      // class) — pin the honest shuffled-hash arm
       val votes = g
-        .join(emb.select(col("vec_id").as("nbr"), col("label").as("nlbl")), "nbr")
+        .join(emb.select(col("vec_id").as("nbr"), col("label").as("nlbl"))
+          .hint("shuffle_hash"), "nbr")
         .groupBy("node", "nlbl").agg(count(lit(1)).as("c"))
         .groupBy("node")
         .agg(max(struct(col("c"), (-col("nlbl")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("pred"))
       val conf = emb.filter(col("vec_id") % 2 === 1)
         .select(col("vec_id").as("node"), col("label").as("true_label"))
-        .join(votes, Seq("node"), "left")
+        .join(votes.hint("shuffle_hash"), Seq("node"), "left")
         .groupBy(col("true_label"),
           coalesce(col("pred"), lit(-1)).as("pred_label"))
         .agg(count(lit(1)).as("n"))
