@@ -249,24 +249,30 @@ object Similarity {
       centroids: Int = 64): DataFrame = {
     val e = quantize(emb).materialize
     val asg = assignProbed(centsOf(e, centroids), e, 2).materialize
-    val cp = asg.filter(col("vec_id") % 2 === 0)
-      .select(col("cell"), col("vec_id").as("x_id"))
-      .join(asg.filter(col("vec_id") % 2 === 1)
-        .select(col("cell"), col("vec_id").as("y_id")), Seq("cell"))
-      .select("x_id", "y_id").distinct()
-    // every join side below is CORPUS-sized (vectors, per-anchor stats):
-    // none can broadcast at 100 TB, and at bench scale AQE flipped them
-    // between broadcast and shuffle run-to-run (the q135 byte-
-    // nondeterminism class) — pin the honest shuffled-hash arm throughout
-    val scored = cp
-      .join(e.select(col("vec_id").as("x_id"), col("qv").as("qa"),
-        col("n2").as("na")).hint("shuffle_hash"), "x_id")
-      .join(e.select(col("vec_id").as("y_id"), col("qv").as("qb"),
-        col("n2").as("nb")).hint("shuffle_hash"), "y_id")
+    // Cell-LOCAL scoring: attach each side's vectors to its probed
+    // assignments (vectors cross the wire once per PROBE, ~2x corpus
+    // volume), score inside the cell join, then dedup the narrow
+    // (x, y, cosq) triples — a pair seen through two shared cells scores
+    // identically, so the distinct collapses it. The pair-then-lookup
+    // alternative (distinct pairs joined back to the vector table)
+    // shuffles each VECTOR once per candidate PAIR — measured 4x the
+    // bytes at sf0.1. Every join side is corpus-sized (never
+    // broadcastable at 100 TB) and AQE flipped them run-to-run at bench
+    // scale (the q135 byte-nondeterminism class), so each is pinned to
+    // the honest shuffled-hash arm.
+    val ex = asg.filter(col("vec_id") % 2 === 0)
+      .join(e.hint("shuffle_hash"), "vec_id")
+      .select(col("cell"), col("vec_id").as("x_id"),
+        col("qv").as("qa"), col("n2").as("na"))
+    val ey = asg.filter(col("vec_id") % 2 === 1)
+      .join(e.hint("shuffle_hash"), "vec_id")
+      .select(col("cell"), col("vec_id").as("y_id"),
+        col("qv").as("qb"), col("n2").as("nb"))
+    val scored = ex.join(ey.hint("shuffle_hash"), Seq("cell"))
       .withColumn("cosq", floor(
         cosine(col("qa"), col("na"), col("qb"), col("nb")) * lit(1e9))
         .cast("long"))
-      .select("x_id", "y_id", "cosq")
+      .select("x_id", "y_id", "cosq").distinct()
       .materialize // x-side stats, y-side stats, and the pair join read it
     val wx = Window.partitionBy("x_id").orderBy(col("cosq").desc, col("y_id"))
     val wy = Window.partitionBy("y_id").orderBy(col("cosq").desc, col("x_id"))
