@@ -2824,9 +2824,11 @@ object Similarity {
     // (q49) unchanged, margin arithmetic identical.
     QueryDef("q135_margin_mining", (s, d) => {
       val k = 4
+      // the lang table is CORPUS-sized: pin the shuffled-hash arm (the
+      // q278/q334 byte-determinism class — AQE flipped it between runs)
       val lang = t(s, d, "documents")
         .select(col("doc_id").as("vec_id"), col("lang"))
-      val e = quantized(s, d).join(lang, "vec_id")
+      val e = quantized(s, d).join(lang.hint("shuffle_hash"), "vec_id")
       val src = e.filter(col("lang") === "en")
         .select(col("vec_id").as("s_id"), col("qv").as("qs"), col("n2").as("ns"))
       val anchors = src.filter(col("s_id") < 100)
@@ -2843,7 +2845,9 @@ object Similarity {
         aggregate(array_sort(collect_list(c)), lit(0.0), (acc, x) => acc + x)
       val aAvg = fwd.groupBy("s_id")
         .agg(foldSum(col("cos_sim")).as("sum_s"), count(lit(1)).as("cnt_s"))
-      val candVecs = fwd.select("t_id").distinct().join(tgt, "t_id")
+      // candidate ids are anchor-bounded (<= k * |anchors| rows): pin the
+      // broadcast arm explicitly like aAvg/bAvg below
+      val candVecs = tgt.join(broadcast(fwd.select("t_id").distinct()), "t_id")
       val wb = Window.partitionBy("t_id").orderBy(col("cos_sim").desc, col("s_id"))
       val bwd = src.crossJoin(broadcast(candVecs))
         .withColumn("cos_sim", cosine(col("qs"), col("ns"), col("qt"), col("nt")))
