@@ -538,6 +538,17 @@ case class NextFitBins(child: Expression, cap: Long)
     extends UnaryExpression {
   require(cap > 0L, "nextFitBins capacity must be positive")
 
+  // analysis-time type gate: a mistyped child (ARRAY<INT>, non-array)
+  // must fail analysis, not blow up inside getLong at execution
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nextFitBins requires ARRAY<BIGINT> lengths, got ${other.catalogString}")
+    }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =

@@ -288,9 +288,10 @@ object Curation {
       val n = size(split(col("text"), " "))
       val bucket = when(n < 16, 0).when(n < 32, 16).when(n < 64, 32)
         .when(n < 128, 64).otherwise(128)
-      val byB = org.apache.spark.sql.expressions.Window.orderBy("bucket_lo")
+      val byB = org.apache.spark.sql.expressions.Window.partitionBy(Sampling.onePart(col("bucket_lo"))).orderBy("bucket_lo")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val all = org.apache.spark.sql.expressions.Window
+        .partitionBy(Sampling.onePart(col("bucket_lo")))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.unboundedFollowing)
       t(s, d, "documents")
@@ -342,7 +343,7 @@ object Curation {
     // that — no global sort, no per-row window.
     QueryDef("q96_equidepth_buckets", (s, d) => {
       val k = 8
-      val w = org.apache.spark.sql.expressions.Window.orderBy("n_chars")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(Sampling.onePart(col("n_chars"))).orderBy("n_chars")
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
       val hist = t(s, d, "documents")
         .groupBy("n_chars").agg(count(lit(1)).as("cnt"))
@@ -747,8 +748,8 @@ object Curation {
         .withColumn("sc", sum("cnt").over(wS))
         .withColumn("ns", sum("cnt").over(Window.partitionBy("source")))
       val gdist = docs.groupBy("n_chars").agg(count(lit(1)).as("gcnt"))
-        .withColumn("gc", sum("gcnt").over(Window.orderBy("n_chars")))
-        .withColumn("n", sum("gcnt").over(Window.partitionBy()))
+        .withColumn("gc", sum("gcnt").over(Window.partitionBy(Sampling.onePart(col("n_chars"))).orderBy("n_chars")))
+        .withColumn("n", sum("gcnt").over(Window.partitionBy(Sampling.onePart(col("gcnt")))))
         .select(col("n_chars").as("gv"), col("gc"), col("n"))
       sdist.join(broadcast(gdist), col("gc") * col("ns") >= col("sc") * col("n"))
         .groupBy("source", "n_chars", "cnt", "sc", "ns")
@@ -795,7 +796,7 @@ object Curation {
         .filter(col("src_rank") <= 2)
         .orderBy(col("n_chars").desc, col("doc_id")).limit(20)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+          Window.partitionBy(Sampling.onePart(col("n_chars"))).orderBy(col("n_chars").desc, col("doc_id"))))
         .select("rank", "doc_id", "source", "n_chars", "src_rank")
         .orderBy("rank")
     },

@@ -2567,7 +2567,7 @@ object Dedup {
       val b = jaccardJoinWinnowBlocked(t(s, d, "documents"), 0.5)
         .select(floor(col("jaccard") * 20).cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-      val w = Window.orderBy(col("bucket").desc)
+      val w = Window.partitionBy(Sampling.onePart(col("bucket"))).orderBy(col("bucket").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       b.withColumn("bucket_lo", col("bucket").cast("double") / 20.0)
         .withColumn("cum_at_or_above", sum("n_pairs").over(w))

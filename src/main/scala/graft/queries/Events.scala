@@ -272,7 +272,7 @@ object Events {
       .withColumn("chunk", expr("event_id div 65536"))
     val wLoc = Window.partitionBy("chunk").orderBy("event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wChunk = Window.orderBy("chunk")
+    val wChunk = Window.partitionBy(Sampling.onePart(col("chunk"))).orderBy("chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
     val chunkMax = ev.groupBy("chunk").agg(max("us").as("cmx"))
       .withColumn("pmax", max("cmx").over(wChunk))
@@ -1095,7 +1095,7 @@ object Events {
       val items = inter.select("item").distinct()
       val ranked = items
         .withColumn("rn",
-          row_number().over(Window.orderBy("item")).cast("long"))
+          row_number().over(Window.partitionBy(Sampling.onePart(length(col("item")))).orderBy("item")).cast("long"))
       val nItems = items.agg(count(lit(1)).as("n_items"))
       val wSel = Window.partitionBy("user_id").orderBy("i", "item")
       inter.select("user_id").distinct()

@@ -132,7 +132,7 @@ object Layout {
     QueryDef("q154_compaction_plan", (s, d) => {
       val files = t(s, d, "documents").groupBy("source", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_bytes"))
-      val w = Window.orderBy("source", "lang")
+      val w = Window.partitionBy(Sampling.onePart(length(col("source")))).orderBy("source", "lang")
         .rowsBetween(Window.unboundedPreceding, -1)
       files
         .withColumn("cum_before", coalesce(sum("file_bytes").over(w), lit(0L)))
@@ -177,7 +177,7 @@ object Layout {
         // whose cumulative frequency first reaches r (the q64/q219
         // crossing trick), so results are unchanged.
         val dist = cnt.groupBy("c").agg(count(lit(1)).as("freq"))
-          .withColumn("cum", sum("freq").over(Window.orderBy("c")
+          .withColumn("cum", sum("freq").over(Window.partitionBy(Sampling.onePart(col("c"))).orderBy("c")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val base = cnt.agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
           max("c").as("max_c"))
@@ -311,7 +311,7 @@ object Layout {
       def schemeStats(keys: Seq[String], name: String) = {
         val cnt = ev.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
         val dist = cnt.groupBy("c").agg(count(lit(1)).as("freq"))
-          .withColumn("cum", sum("freq").over(Window.orderBy("c")
+          .withColumn("cum", sum("freq").over(Window.partitionBy(Sampling.onePart(col("c"))).orderBy("c")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         val base = cnt.agg(count(lit(1)).as("n_parts"), sum("c").as("n_rows"),
           max("c").as("max_rows"),
@@ -411,7 +411,7 @@ object Layout {
             max(struct(col("doc_id").as("id"), col(vCol).as("vv"))).as("l"))
           .select(col("chunk"), col("f.vv").as("v"), col("l.vv").as("lv"))
         val boundary = edges
-          .withColumn("pv", lag("lv", 1).over(Window.orderBy("chunk")))
+          .withColumn("pv", lag("lv", 1).over(Window.partitionBy(Sampling.onePart(col("chunk"))).orderBy("chunk")))
           .filter(col("pv").isNotNull)
           .agg(count(lit(1)).as("np"),
             sum(when(col("v") >= col("pv"), 1L).otherwise(0L)).as("nd"))

@@ -475,7 +475,7 @@ object Quality {
             when(col("split") === "train", col("cnt")).otherwise(0L).as("ca"),
             when(col("split") === other, col("cnt")).otherwise(0L).as("cb"))
           .groupBy("len").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-        val w = Window.orderBy("len")
+        val w = Window.partitionBy(Sampling.onePart(col("len"))).orderBy("len")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         // unpartitioned window over the LENGTH DOMAIN (bounded: distinct
         // token counts, not rows) — the WindowLawSpec distribution-table

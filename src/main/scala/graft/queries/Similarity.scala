@@ -2206,7 +2206,7 @@ object Similarity {
         .agg(count(lit(1)).as("n_vectors"), sum("d2").as("sum_d2"),
           max("d2").as("radius_d2"))
         .withColumn("total",
-          sum("n_vectors").over(org.apache.spark.sql.expressions.Window.partitionBy()))
+          sum("n_vectors").over(org.apache.spark.sql.expressions.Window.partitionBy(Sampling.onePart(col("n_vectors")))))
         .select(col("cell"), col("n_vectors"),
           (col("n_vectors").cast("double") / col("total")).as("share"),
           expr("sum_d2 div n_vectors").as("avg_d2"),

@@ -255,7 +255,13 @@ object Text {
       .withColumn("n_spans", expr("n div 20"))
       .select(col("doc_id"), col("n"), col("n_spans"),
         explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
-      .withColumn("h", Sampling.lehmer(col("doc_id") * 31 + col("span_idx")))
+      // seed = lehmer(doc_id) * 31 + span_idx: the inner Lehmer step
+      // decorrelates neighboring documents — a raw doc_id * 31 seed
+      // collides doc d's span 31 with doc d+1's span 0 once a document
+      // holds >= 620 tokens, correlating mask offsets between adjacent
+      // docs (r13 advice). Seed stays far below 2^63 (lehmer < 2^31).
+      .withColumn("h", Sampling.lehmer(
+        Sampling.lehmer(col("doc_id")) * 31 + col("span_idx")))
       .withColumn("seg_start", expr("(span_idx * n) div n_spans"))
       .withColumn("seg_len",
         expr("((span_idx + 1) * n) div n_spans") - col("seg_start"))
@@ -267,7 +273,6 @@ object Text {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- Token / character statistics ------------------------------------
     // ---- Span-corruption plan (T5/UL2 denoising preprocessing) -----------
     // The layout pass a span-corruption trainer runs over the corpus:
     // per document, ~15% of tokens masked in spans of mean length 3
@@ -296,7 +301,7 @@ object Text {
              |  FROM b),
              |w AS (
              |  SELECT doc_id, n, n_spans, span_idx,
-             |    ${Sampling.sqlLehmerOf("(doc_id * 31 + span_idx)")} AS h,
+             |    ${Sampling.sqlLehmerOf(s"((${Sampling.sqlLehmerOf("doc_id")}) * 31 + span_idx)")} AS h,
              |    (span_idx * n) // n_spans AS seg_start,
              |    ((span_idx + 1) * n) // n_spans
              |      - (span_idx * n) // n_spans AS seg_len
@@ -307,6 +312,7 @@ object Text {
              |  n AS n_tokens, n_spans
              |FROM w ORDER BY doc_id, span_idx""".stripMargin)),
 
+    // ---- Token / character statistics ------------------------------------
     QueryDef("q40_text_stats", (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -896,22 +902,68 @@ object Text {
     // ---- Vocabulary coverage curve: corpus mass vs vocab size ------------
     // The tokenizer-design question: what fraction of corpus tokens does
     // a top-V vocabulary cover, as V grows? One map-combined shuffle for
-    // the term frequencies, then EVERYTHING runs over the vocabulary
-    // distribution (rank/cumsum windows over vocab rows, q96's
-    // "window over the distribution, never the corpus" rule) — the
-    // vocab x |V-grid| expansion is bounded by the vocabulary size.
+    // the term frequencies; the global (tf DESC, token ASC) rank and
+    // running mass then run as a NESTED two-phase prefix sum — a real
+    // corpus's vocabulary grows ~Heaps'-law unbounded, so the frame is
+    // CORPUS-DERIVED and an unpartitioned window over it would push
+    // 10^8-10^9 (token, tf) rows through one task at 100 TB (the r13
+    // verdict's last plan flag). Decomposition:
+    //   * LEVEL phase: group the vocabulary by tf VALUE. Distinct tf
+    //     values d obey d(d+1)/2 <= N (corpus token count), so the level
+    //     table is O(sqrt N) — ~4.5M rows at 10^13 tokens. chunkOffsets
+    //     over it (chunk = -tf, so ascending chunk = descending tf)
+    //     yields each level's EXCLUSIVE token-rank and token-mass
+    //     offsets in the global order.
+    //   * WITHIN-LEVEL phase: ties break token-ASC. Tokens sharing a tf
+    //     range-chunk by p = first-3-bytes-as-int (zero-rpadded, order-
+    //     preserving for the byte order both engines compare this ASCII
+    //     token domain by; hard p-domain bound 2^24 caps the chunk count
+    //     per level). row_number runs per (tf, p) partition and
+    //     chunkOffsets(partCols = tf) adds cross-prefix offsets. Within
+    //     a level every token carries the SAME tf, so the running mass
+    //     needs no second sum: it is (in-level rank) * tf.
+    // rank = lv_rk_off + off + local rank; cum = lv_cm_off + (off +
+    // local rank) * tf — bit-identical int64 reassociation of the flat
+    // window, so the oracle keeps its flat OVER form and the hash is
+    // unchanged. The grand total is one agg broadcast back (the old
+    // empty-partition window), and the vocab x |V-grid| expansion
+    // filters rank <= max(grid) before exploding.
     QueryDef("q104_vocab_coverage", (s, d) => {
       val vGrid = Seq(1, 2, 4, 8, 16, 32, 64, 128)
       val tf = t(s, d, "documents")
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("tf"))
-      val w = Window.orderBy(col("tf").desc, col("token"))
-      val ranked = tf
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .withColumn("cum", sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total", sum("tf").over(Window.partitionBy()))
+      val lv = tf.groupBy("tf").agg(count(lit(1)).as("ntok"))
+        .withColumn("mass", col("tf") * col("ntok"))
+        .withColumn("chunk", -col("tf"))
+      val rkOff = Sampling.chunkOffsets(
+        lv.select("chunk", "ntok"), "chunk", "ntok")
+        .withColumnRenamed("off", "lv_rk_off")
+      val cmOff = Sampling.chunkOffsets(
+        lv.select("chunk", "mass"), "chunk", "mass")
+        .withColumnRenamed("off", "lv_cm_off")
+      val lvOffs = lv.select(col("tf"), col("chunk"))
+        .join(rkOff, "chunk").join(cmOff, "chunk")
+        .select("tf", "lv_rk_off", "lv_cm_off")
+      val total = tf.agg(sum("tf").as("total"))
+      val withP = tf.withColumn("p",
+        expr("CAST(conv(hex(rpad(CAST(token AS BINARY), 3, X'00')), 16, 10) AS BIGINT)"))
+      val inOffs = Sampling.chunkOffsets(
+        withP.groupBy("tf", "p").agg(count(lit(1)).as("nt")),
+        "p", "nt", partCols = Seq("tf"))
+        .join(lvOffs, "tf")
+      val wIn = Window.partitionBy("tf", "p").orderBy("token")
+      val ranked = withP
+        .withColumn("lrk", row_number().over(wIn).cast("long"))
+        .join(inOffs, Seq("tf", "p"))
+        .withColumn("rank", col("lv_rk_off") + col("off") + col("lrk"))
+        .withColumn("cum",
+          col("lv_cm_off") + (col("off") + col("lrk")) * col("tf"))
       ranked
-        .select(col("*"), explode(array(vGrid.map(lit): _*)).as("v"))
+        .filter(col("rank") <= vGrid.max)
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("cum"), col("total"),
+          explode(array(vGrid.map(lit): _*)).as("v"))
         .filter(col("rank") <= col("v"))
         .groupBy("v")
         .agg(max("rank").as("n_vocab"), max("cum").as("covered"), max("total").as("total"))
@@ -1335,8 +1387,11 @@ object Text {
       val top = tri.groupBy("h")
         .agg(count(lit(1)).as("cf"), countDistinct("doc_id").as("df"))
         .orderBy(col("cf").desc, col("h")).limit(3)
+        // rank over the limit(3) pool — partitioned on a constant so the
+        // (bounded) frame never trips the no-partition WindowExec warning
         .withColumn("phrase_rank",
-          row_number().over(Window.orderBy(col("cf").desc, col("h"))))
+          row_number().over(
+            Window.partitionBy(Sampling.onePart(col("cf"))).orderBy(col("cf").desc, col("h"))))
       tri.join(broadcast(top), "h")
         .join(t(s, d, "documents").select(col("doc_id"), tk.as("tk")), "doc_id")
         .select(col("phrase_rank"),

@@ -465,9 +465,11 @@ object ScaleProbe {
       }
       // stateful streaming packer in batch mode: the same fold through
       // flatMapGroupsWithState — must match the batch packer's shape
+      // (group count hoisted OUT of the timed block: the extra corpus
+      // scan was skewing the shape comparison vs pack_nextfit, r13 advice)
+      val packGroups = math.max(32L, (docs0.count() * m) / 64L)
       time(s"pack_ingest_x$m") {
-        graft.streaming.Streams.packIngest(docs,
-          math.max(32L, (docs0.count() * m) / 64L)).count()
+        graft.streaming.Streams.packIngest(docs, packGroups).count()
       }
       // hard negatives: bounded 50-anchor broadcast, TopKAgg pre-reduce —
       // one corpus scan per side, linear

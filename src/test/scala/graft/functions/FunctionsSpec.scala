@@ -249,6 +249,20 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nextFitBins rejects a mistyped child at analysis time") {
+    // the r13 advice gate: ARRAY<INT> (or non-array) must fail ANALYSIS,
+    // not blow up inside getLong mid-execution
+    val ints = Seq(Seq(1, 2, 3)).toDF("lens")
+    val exInt = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(ArrayExprs.nextFitBins(col("lens"), 64L)).collect()
+    }
+    assert(exInt.getMessage.contains("ARRAY<BIGINT>"))
+    val strs = Seq("oops").toDF("lens")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      strs.select(ArrayExprs.nextFitBins(col("lens"), 64L)).collect()
+    }
+  }
+
   test("no pipeline expression falls back out of whole-stage codegen") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],

@@ -2284,6 +2284,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q120_shard_manifest", // one-row grand-total cross join (q76's class)
       "q118_bpe_train", // one-row best-pair cross join per unrolled step
       "q122_epoch_schedule", // one-row weight-total cross join (q76's class)
+      "q104_vocab_coverage", // one-row grand-total cross join (q76's class)
       "q124_retrieval_metrics", // q48's bounded-anchor broadcast scan
       "q128_bpe_apply", // q118's one-row best-pair cross joins
       "q130_dedup_funnel", // one-row raw-total cross join (q76's class)

@@ -17,11 +17,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * the suite until it is added here with a boundedness argument; any
   * REMOVED site fails too, so the list cannot go stale.
   *
-  * Not matched textually (parameterized, audited here in prose):
+  * Not matched textually (multiline/parameterized, audited in prose):
   * `Sampling.chunkOffsets`'s phase-2 super-window
-  * (`Window.partitionBy(pc: _*)` with pc possibly empty) runs over
-  * per-super totals — n/(1e5*1024) rows by the prefixBuckets contract,
-  * negligible beyond 10^12-row corpora (see its Scaladoc).
+  * (`Window.partitionBy(...)` with pc possibly empty → onePart) runs
+  * over per-super totals — n/(1e5*1024) rows by the prefixBuckets
+  * contract, negligible beyond 10^12-row corpora (see its Scaladoc) —
+  * and q84_len_histogram's `all` grand-total window (onePart over the
+  * <= 5-row bucket histogram, multiline builder form).
   */
 class WindowLawSpec extends AnyFunSuite {
 
@@ -74,18 +76,26 @@ class WindowLawSpec extends AnyFunSuite {
       "offset window over the doc-length DISTRIBUTION (counts-of-lengths)",
     "Similarity.scala:q103_cluster_quality" ->
       "share-of-total window over the k-row centroid table",
-    "Text.scala:q104_vocab_coverage" ->
-      ("rank/cumsum over the VOCABULARY table — sublinear but unbounded " +
-        "(Heaps' law ~n^0.5: ~30M window rows at 10^12 corpus tokens; " +
-        "acceptable at any plausible scale, re-derive before 10^14)"),
-    "Text.scala:q104_vocab_coverage" ->
-      "grand-total window over the same vocabulary table",
     "Text.scala:q186_phrase_search" ->
-      "phrase rank over the limit(3) top-phrase pool"
+      ("phrase rank over the limit(3) top-phrase pool — partitioned on a " +
+        "constant (still one task, bounded by the limit; the constant " +
+        "partition keeps the plan out of the no-partition warning class)")
   )
+  // r14: q104_vocab_coverage left this list — its vocabulary frame is
+  // corpus-derived (Heaps'-law unbounded), so its rank/cumsum now runs
+  // as the nested two-phase prefix sum (tf-level chunkOffsets + per-
+  // (tf, prefix) partitioned windows); see its Scaladoc for the bound.
 
   test("every unpartitioned window site is allowlisted with a boundedness argument") {
-    val sitePat = "Window\\.orderBy\\(|Window\\.partitionBy\\(\\)".r
+    // Since r14 every bounded single-task window partitions on
+    // Sampling.onePart(<numeric col>) — a deterministic always-zero key
+    // that survives EliminateWindowPartitions (a lit() constant does
+    // not), so the plans are warning-free. The onePart form is matched
+    // HERE too: a constant partition is an unpartitioned window in
+    // disguise (one task) and needs the same boundedness argument.
+    val sitePat =
+      ("Window\\.orderBy\\(|Window\\.partitionBy\\(\\)|" +
+        "Window\\.partitionBy\\((Sampling\\.)?onePart\\(").r
     val anchorPat =
       "QueryDef\\(\"(q\\d+[0-9a-z_]*)\"|def ([A-Za-z0-9_]+)".r
     val root = new java.io.File("src/main/scala/graft")
