@@ -76,6 +76,10 @@ object ArrayExprs {
   def nextFitBins(lens: Column, cap: Long): Column =
     ColumnBridge.column(NextFitBins(ColumnBridge.expression(lens), cap))
 
+  /** 64-bit perceptual difference-hash of a BINARY media payload. */
+  def dhash64(payload: Column): Column =
+    ColumnBridge.column(DHash64(ColumnBridge.expression(payload)))
+
   private[functions] def xxh64(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 }
@@ -151,6 +155,40 @@ object ArrayOps {
       i += 1
     }
     mx
+  }
+
+  /** Perceptual difference-hash (dHash) of a media payload: the payload
+    * bytes downscale to an 8x9 grid of range sums (cell k covers bytes
+    * [k*n/72, (k+1)*n/72), an integer aspect-free "resize"), and bit
+    * (r*8+c) is set when cell (r,c) > cell (r,c+1) — the horizontal
+    * luminance gradient of the classic image dHash, computed on the stub
+    * byte domain (graft.multimodal.Decode's contract: the codec is
+    * stubbed, the hash arithmetic is the real algorithm). Locality: a
+    * byte edit touches ONE cell, so it flips at most 2 gradient bits —
+    * what makes Hamming distance a near-dup measure here. */
+  def dhash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val cells = new Array[Long](72)
+    var k = 0
+    while (k < 72) {
+      var i = (k.toLong * n / 72).toInt
+      val hi = ((k + 1).toLong * n / 72).toInt
+      var s = 0L
+      while (i < hi) { s += payload(i) & 0xff; i += 1 }
+      cells(k) = s
+      k += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
   }
 
   /** SimHash bit source: 64 bits per token from two polynomial hashes
@@ -508,6 +546,36 @@ case class SimHash64(child: Expression)
     defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** 64-bit perceptual difference-hash of a BINARY payload
+  * ([[ArrayOps.dhash64]]) — the image-modality near-dup key. Map-side,
+  * whole-stage codegen'd; blocking/verification happen downstream (the
+  * q46 pigeonhole block index over the hash). */
+case class DHash64(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  // analysis-time gate: payloads are opaque BINARY; a string child must
+  // be cast explicitly so the byte semantics are the caller's choice
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"dhash64 requires BINARY payload, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.dhash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.dhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
     copy(child = newChild)
 }
 

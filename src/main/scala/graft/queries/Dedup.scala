@@ -277,13 +277,38 @@ object Dedup {
 
   /** (doc_id, sh) with empty-shingle docs dropped — the shared prep of
     * the asymmetric-LSH consumers. */
-  private def prepShingled(df: DataFrame): DataFrame =
+  private[graft] def prepShingled(df: DataFrame): DataFrame =
     df.select(col("doc_id"), shingleCol.as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** q63's oracle, shared VERBATIM with the streaming ingest face q338
+    * (the q331/q336 twin rule: one SQL text gates batch op and stream
+    * replay, so the two cannot drift). */
+  private[queries] lazy val sqlDedupIncremental: String =
+    s"""WITH $sqlShingleTokens,
+       |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+       |exi AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
+       |drop_exact AS (
+       |  SELECT DISTINCT i.doc_id FROM inc i
+       |  JOIN exi e ON md5(i.text) = md5(e.text)),
+       |shared_ie AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+       |  FROM u a JOIN u b
+       |    ON a.t = b.t AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+       |  GROUP BY 1, 2),
+       |drop_near AS (
+       |  SELECT DISTINCT doc_a AS doc_id
+       |  FROM shared_ie JOIN cnt ca ON doc_a = ca.doc_id
+       |                 JOIN cnt cb ON doc_b = cb.doc_id
+       |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8)
+       |SELECT doc_id, lang, n_chars FROM inc
+       |WHERE doc_id NOT IN (SELECT doc_id FROM drop_exact)
+       |  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
+       |ORDER BY doc_id""".stripMargin
+
   /** Banded signature explosion of a [[prepShingled]] frame:
     * (doc_id, sh, band, bh). */
-  private def bandedSig(df: DataFrame): DataFrame =
+  private[graft] def bandedSig(df: DataFrame): DataFrame =
     df.withColumn("sig", signature)
       .select(col("doc_id"), col("sh"), posexplode(bandHashCol).as(Seq("band", "bh")))
 
@@ -1441,26 +1466,33 @@ object Dedup {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     },
-      Some(s"""WITH $sqlShingleTokens,
-             |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-             |exi AS (SELECT * FROM documents WHERE doc_id % 5 != 0),
-             |drop_exact AS (
-             |  SELECT DISTINCT i.doc_id FROM inc i
-             |  JOIN exi e ON md5(i.text) = md5(e.text)),
-             |shared_ie AS MATERIALIZED (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-             |  FROM u a JOIN u b
-             |    ON a.t = b.t AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
-             |  GROUP BY 1, 2),
-             |drop_near AS (
-             |  SELECT DISTINCT doc_a AS doc_id
-             |  FROM shared_ie JOIN cnt ca ON doc_a = ca.doc_id
-             |                 JOIN cnt cb ON doc_b = cb.doc_id
-             |  WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8)
-             |SELECT doc_id, lang, n_chars FROM inc
-             |WHERE doc_id NOT IN (SELECT doc_id FROM drop_exact)
-             |  AND doc_id NOT IN (SELECT doc_id FROM drop_near)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(sqlDedupIncremental)),
+
+    // ---- Streaming incremental-dedup twin, driver-gated -------------------
+    // The q336 promotion applied to q63: arriving documents check against
+    // the corpus LSH index held in the STATE STORE per (band, band-hash)
+    // bucket (seeded from the existing corpus via initial state — in
+    // production the persisted index), per-band verdicts stream out, and
+    // retention = "no verdict anywhere" (the anti-join below; batch-mode
+    // execution of the same flatMapGroupsWithState code path). A single-
+    // trigger replay of the incoming side emits exactly q63's drop set —
+    // gated here by the SAME oracle SQL text as q63 (the q331/q336 twin
+    // rule); the two-trigger arrival contract (later arrivals are checked
+    // against earlier arrivals, bins of state never reset) is spec-driven
+    // as a real MemoryStream in StreamingSpec.
+    QueryDef("q338_dedup_ingest_face", (s, d) => {
+      val docs = t(s, d, "documents")
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val dropped = graft.streaming.Streams.dedupIngest(
+          existing = docs.filter(col("doc_id") % 5 =!= 0),
+          incoming = incoming)
+        .toDF()
+        .select(col("i_id").as("doc_id")).distinct()
+      incoming.join(dropped, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some(sqlDedupIncremental)),
 
     // ---- Exact Jaccard join via prefix filtering (no LSH) ----------------
     // theta = 0.6: below the 32/8 s-curve's reliable range, so this is the

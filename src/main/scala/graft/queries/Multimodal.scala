@@ -242,5 +242,104 @@ object Multimodal {
              |  SELECT unnest(generate_series(0, duration_ms - 1, stride_ms))
              |    AS ts_ms)
              |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // ---- Perceptual near-duplicate images (dHash + pigeonhole blocks) ----
+    // The image-modality twin of q45/q46's text near-dup stack: a corpus
+    // of media payloads dedups by PERCEPTUAL hash, not byte checksum —
+    // re-encoded/lightly-edited copies share almost all gradient bits.
+    // The hash is the classic image dHash computed on the stub byte
+    // domain (graft.functions.ArrayExprs.dhash64: 8x9 range-sum grid,
+    // bit = horizontal gradient sign — the codec is stubbed per
+    // multimodal/Decode.scala, the hash algorithm and all downstream
+    // plumbing are real). Near-dups are PLANTED deterministically (every
+    // img-format payload with doc_id % 10 == 0 gets a one-byte-edited
+    // variant at doc_id + 1000000 — both engines construct the identical
+    // input, q106's versioning trick), so the hit path is exercised and
+    // hash-verified at every SF, not trivially zero (the q327 rule).
+    //
+    // Scale shape: q46's 4x16-bit pigeonhole block index — Hamming <= 3
+    // guarantees one of the 4 blocks matches exactly, so candidates come
+    // from an EQUI-join on (block idx, block value), never all pairs;
+    // popcount(xor) verifies. Per-bucket size is n/2^16 per block in
+    // expectation (the q46-documented ceiling; widen blocks to 5x12 or
+    // pre-split hot buckets before petabyte-scale image corpora).
+    QueryDef("q337_phash_neardup", (s, d) =>
+      phashNearDups(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 0),
+             |u AS MATERIALIZED (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    substr(text, 1, 10) || 'x' || substr(text, 12)
+             |  FROM base WHERE doc_id % 10 = 0),
+             |ce AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(range(72), k ->
+             |      coalesce(list_sum(list_transform(
+             |        range(1 + (k * length(text)) // 72,
+             |              1 + ((k + 1) * length(text)) // 72),
+             |        i -> CAST(unicode(text[i]) AS BIGINT))), 0)) AS cells
+             |  FROM u),
+             |sig AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+             |                   > cells[rr.r * 9 + cc.c + 2]
+             |                 AND rr.r * 8 + cc.c < 32
+             |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c AS INTEGER))
+             |      ELSE CAST(0 AS BIGINT) END) AS lo,
+             |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+             |                   > cells[rr.r * 9 + cc.c + 2]
+             |                 AND rr.r * 8 + cc.c >= 32
+             |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c - 32 AS INTEGER))
+             |      ELSE CAST(0 AS BIGINT) END) AS hi
+             |  FROM ce CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c)
+             |  GROUP BY doc_id)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(bit_count(xor(a.lo, b.lo))
+             |     + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+             |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.lo, b.lo))
+             |    + bit_count(xor(a.hi, b.hi)) <= 3
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
+
+  /** q337's body, exposed for library use and the scale probe: perceptual
+    * near-duplicate pairs over the img-format payloads, dHash-keyed,
+    * candidate-blocked by the 4x16-bit pigeonhole index, popcount-
+    * verified at `maxHamming` (<= 3 keeps the pigeonhole guarantee:
+    * 3 flipped bits cannot touch all 4 blocks). `plantPeriod` controls
+    * the deterministic planted-variant rate (0 disables planting). */
+  def phashNearDups(documents: org.apache.spark.sql.DataFrame,
+      maxHamming: Int = 3, plantPeriod: Long = 10L): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole block index guarantees completeness only for hamming <= 3")
+    val base = documents
+      .filter(octet_length(col("text")) % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val u =
+      if (plantPeriod <= 0L) base
+      else base.unionByName(
+        base.filter(col("doc_id") % plantPeriod === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(substring(col("text"), 1, 10), lit("x"),
+              col("text").substr(lit(12), length(col("text")))).as("text")))
+    val sigs = u.select(col("doc_id"),
+      graft.functions.ArrayExprs.dhash64(col("text").cast("binary")).as("ph"))
+    val blocks = array((0 until 4).map(i =>
+      shiftright(col("ph"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val exploded = sigs.select(col("doc_id"), col("ph"),
+      posexplode(blocks).as(Seq("blk", "bv")))
+    val x = exploded.select(col("doc_id").as("doc_a"), col("ph").as("ph_a"),
+      col("blk"), col("bv"))
+    val y = exploded.select(col("doc_id").as("doc_b"), col("ph").as("ph_b"),
+      col("blk").as("blk2"), col("bv").as("bv2"))
+    x.join(y, col("blk") === col("blk2") && col("bv") === col("bv2") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

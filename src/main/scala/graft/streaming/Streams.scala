@@ -641,6 +641,90 @@ object Streams {
       }
   }
 
+  /** One arriving document's row in one dedup-index bucket: its 8 LSH
+    * band rows (band 0..7, bh = band hash) plus ONE exact row (band = -1,
+    * bh = xxhash64(text) as the shard key; `eh` = md5 decides equality so
+    * a 64-bit key collision can never create a false exact-dup). */
+  final case class IngestRow(doc_id: Long, band: Int, bh: Long,
+      sh: Seq[String], eh: String)
+
+  /** A drop verdict: arriving doc `i_id` matched indexed doc `e_id` in
+    * band `band` (-1 = exact md5 match, else verified Jaccard >= 0.8). */
+  final case class DedupVerdict(i_id: Long, band: Int, e_id: Long)
+
+  final case class BucketMember(id: Long, eh: String, sh: Seq[String])
+  final case class BucketState(members: Seq[BucketMember])
+
+  /** Streaming twin of the batch q63 incremental dedup — arriving
+    * documents checked against the corpus LSH index held IN THE STATE
+    * STORE, per band bucket (the production shape: the index is state,
+    * sharded by (band, band-hash) across executors; it is seeded here via
+    * flatMapGroupsWithState's initial-state support from the `existing`
+    * corpus — in production the persisted index from the previous run).
+    *
+    * Per trigger, each bucket checks its arrivals against the PRE-trigger
+    * member snapshot (exact bucket: md5 equality; band buckets: exact
+    * Jaccard >= 0.8 on the shared shingle arrays — the same verify rule
+    * as q63's crossPairs, over the same q63 banding via Dedup.bandedSig,
+    * so a single-trigger replay emits exactly q63's drop set), then
+    * appends the arrivals to the bucket. Across triggers that is the
+    * online arrival contract: a later arrival IS checked against earlier
+    * arrivals. The index accumulates every arrival regardless of verdict
+    * (bucket-local determinism — a member's global keep/drop outcome
+    * aggregates across its 9 buckets downstream and is not known here);
+    * retention decisions consume the verdict stream: a doc with no
+    * verdict survives, exactly q63's anti-join (the q338 face).
+    *
+    * State cost: one member record (id, md5, distinct shingle strings)
+    * per doc per bucket — 9x the corpus's shingle footprint, the price of
+    * a verify-capable index. Production would store hashed shingles
+    * (8 bytes/shingle) and accept the 2^-62 collision odds; strings keep
+    * the oracle byte-exact here. */
+  def dedupIngest(existing: DataFrame, incoming: DataFrame): Dataset[DedupVerdict] = {
+    import incoming.sparkSession.implicits._
+    def rows(df: DataFrame): Dataset[IngestRow] =
+      graft.queries.Dedup.bandedSig(graft.queries.Dedup.prepShingled(df))
+        .select(col("doc_id"), col("band").cast("int").as("band"),
+          col("bh"), col("sh"), lit("").as("eh"))
+        .unionByName(df.select(col("doc_id"), lit(-1).as("band"),
+          xxhash64(col("text")).as("bh"),
+          array().cast("array<string>").as("sh"), md5(col("text")).as("eh")))
+        .as[IngestRow]
+    val initStates = rows(existing)
+      .groupByKey(r => (r.band, r.bh))
+      .mapGroups { (k, it) =>
+        (k, BucketState(it.map(r => BucketMember(r.doc_id, r.eh, r.sh))
+          .toSeq.sortBy(_.id)))
+      }
+      .groupByKey(_._1).mapValues(_._2)
+    rows(incoming)
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, DedupVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initStates) {
+        (key: (Int, Long), batch: Iterator[IngestRow],
+            state: GroupState[BucketState]) =>
+          val members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val arrivals = batch.toSeq.sortBy(_.doc_id)
+          val out = arrivals.flatMap { a =>
+            if (key._1 == -1)
+              members.collect { case m if m.eh == a.eh =>
+                DedupVerdict(a.doc_id, -1, m.id) }
+            else {
+              val aset = a.sh.toSet
+              members.collect { case m
+                if {
+                  val mset = m.sh.toSet
+                  val inter = aset.intersect(mset).size
+                  inter.toDouble / (aset.size + mset.size - inter) >= 0.8
+                } => DedupVerdict(a.doc_id, key._1, m.id) }
+            }
+          }
+          state.update(BucketState(members ++
+            arrivals.map(r => BucketMember(r.doc_id, r.eh, r.sh))))
+          out.iterator
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -488,6 +488,13 @@ object ScaleProbe {
       time(s"span_corruption_x$m") {
         graft.queries.Text.spanCorruptionPlan(docs).count()
       }
+      // perceptual image near-dup: map-side dHash + 4x16 pigeonhole
+      // block equi-join — linear until block buckets (n/2^16 per block)
+      // dominate; the replica keeps pair counts linear because variant
+      // ids stay paired with their own replica's base
+      time(s"phash_neardup_x$m") {
+        graft.queries.Multimodal.phashNearDups(docs).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups

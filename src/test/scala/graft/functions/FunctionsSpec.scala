@@ -249,6 +249,45 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dhash64 matches a plain-Scala reference and is edit-local") {
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      val cells = (0 until 72).map { k =>
+        (((k.toLong * n) / 72).toInt until (((k + 1).toLong * n) / 72).toInt)
+          .map(i => (bytes(i) & 0xff).toLong).sum
+      }
+      (0 until 8).flatMap(r => (0 until 8).map(c => (r, c)))
+        .foldLeft(0L) { case (h, (r, c)) =>
+          if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h | (1L << (r * 8 + c)) else h
+        }
+    }
+    val payloads = Seq("", "abc", "a" * 71, ("xyz" * 100).take(250),
+      (0 until 500).map(i => ('a' + i % 26).toChar).mkString)
+    payloads.foreach { p =>
+      val b = p.getBytes("UTF-8")
+      assert(ArrayOps.dhash64(b) == ref(b), s"payload len ${b.length}")
+    }
+    // the expression agrees with the kernel through codegen
+    val df = payloads.toDF("t")
+      .select(ArrayExprs.dhash64(col("t").cast("binary")))
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      payloads.map(p => ref(p.getBytes("UTF-8"))))
+    // locality: a one-byte edit moves one grid cell => at most 2 bits
+    val long = (0 until 300).map(i => ('a' + i % 26).toChar).mkString
+    val edited = long.take(40) + "Q" + long.drop(41)
+    val d = java.lang.Long.bitCount(
+      ArrayOps.dhash64(long.getBytes) ^ ArrayOps.dhash64(edited.getBytes))
+    assert(d <= 2, s"one-byte edit flipped $d bits")
+  }
+
+  test("dhash64 rejects a non-binary child at analysis time") {
+    val strs = Seq("oops").toDF("t")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      strs.select(ArrayExprs.dhash64(col("t"))).collect()
+    }
+    assert(ex.getMessage.contains("BINARY"))
+  }
+
   test("nextFitBins rejects a mistyped child at analysis time") {
     // the r13 advice gate: ARRAY<INT> (or non-array) must fail ANALYSIS,
     // not blow up inside getLong mid-execution
@@ -268,7 +307,7 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     val classes = Seq(classOf[ArrayLongDot], classOf[MinHashSig],
       classOf[Shingles], classOf[SimHash64], classOf[PolyFingerprint],
       classOf[HyperplaneBands], classOf[TopTokenCount], classOf[WindowHashes],
-      classOf[SubwordTokens], classOf[NextFitBins])
+      classOf[SubwordTokens], classOf[NextFitBins], classOf[DHash64])
     classes.foreach(c =>
       assert(!classOf[CodegenFallback].isAssignableFrom(c),
         s"${c.getSimpleName} is a CodegenFallback — it breaks whole-stage codegen"))

@@ -766,6 +766,36 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     q("q46_simhash").collect().foreach(r => assert(r.getInt(2) <= 3))
   }
 
+  test("q337 planted perceptual near-dups are recovered and blocking is complete") {
+    import spark.implicits._
+    // synthetic media payloads, ALL img-format by construction
+    // (length 198, 198 % 3 == 0), with enough byte variety that dHash
+    // signatures spread across the 4x16 block space
+    val base = (0L until 120L).map { i =>
+      (i, (0 until 198).map(j => ('a' + ((i * 7 + j * j) % 26)).toChar).mkString)
+    }
+    val got = graft.queries.Multimodal.phashNearDups(base.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // 1) every planted one-byte-edit variant pairs with its source: the
+    //    edit moves ONE grid cell, flipping at most 2 gradient bits
+    val planted = got.collect { case (a, b, _) if b == a + 1000000L => a }.toSet
+    assert((0L until 120L by 10L).toSet.subsetOf(planted), s"missing: $planted")
+    // 2) verification law: popcount(xor) bounds every emitted pair
+    got.foreach { case (_, _, h) => assert(h <= 3) }
+    // 3) pigeonhole completeness: the 4x16 block equi-join finds EXACTLY
+    //    the brute-force hamming <= 3 pairs over the same signature set
+    val union = base ++ base.collect { case (i, t) if i % 10 == 0 =>
+      (i + 1000000L, t.take(10) + "x" + t.drop(11)) }
+    val sigs = union.map { case (i, t) =>
+      i -> graft.functions.ArrayOps.dhash64(t.getBytes("UTF-8")) }
+    val brute = (for {
+      (a, ha) <- sigs; (b, hb) <- sigs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got.map(t => (t._1, t._2)).toSet == brute)
+    assert(brute.size >= 12, "fixture must exercise the hit path")
+  }
+
   // --- similarity ---------------------------------------------------------
 
   test("q48 brute-force knn matches driver-side cosine ranking") {

@@ -614,4 +614,64 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
         }
       }
   }
+
+  test("streaming dedup ingest: single-batch replay equals batch q63") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("dedup-stream")
+    java.nio.file.Files.createSymbolicLink(
+      dir.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"))
+    val incoming = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .filter(col("doc_id") % 5 === 0)
+    val q = Streams.dedupIngest(docs.filter(col("doc_id") % 5 =!= 0), incoming)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val dropped = spark.table("dedup_out")
+      .select("i_id").distinct().collect().map(_.getLong(0)).toSet
+    val got = docs.filter(col("doc_id") % 5 === 0)
+      .collect().map(_.getLong(0)).filterNot(dropped).toSet
+    val want = SparkEntry.queries("q63_dedup_incremental")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(dropped.nonEmpty, "replay must exercise the drop path")
+  }
+
+  test("streaming dedup ingest: arrivals extend the index across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // disjoint per-salt vocabularies: novel docs can never near-dup
+    def txt(salt: Int): String = (0 until 40).map(j => s"d${salt}t$j").mkString(" ")
+    val nearOfX = txt(3).split(" ").dropRight(1).mkString(" ") + " zz"
+    val existing = Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Streams.dedupIngest(existing, ms.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out2").start()
+    try {
+      // wave A: one exact dup of the corpus (100), one novel doc X (101)
+      ms.addData((100L, txt(2)), (101L, txt(3)))
+      q.processAllAvailable()
+      val a = spark.table("dedup_out2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      assert(a.forall(_._1 == 100L), "only the corpus dup may match in wave A")
+      assert(a.exists(v => v._2 == -1 && v._3 == 2L), "exact verdict vs corpus")
+      // wave B: a near-dup of X (200), an exact dup of X (201), novel (202)
+      ms.addData((200L, nearOfX), (201L, txt(3)), (202L, txt(4)))
+      q.processAllAvailable()
+      val b = spark.table("dedup_out2").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .filter(v => v._1 >= 200L)
+      // the ARRIVAL contract: wave-B docs match the wave-A arrival X=101
+      assert(b.nonEmpty && b.forall(_._3 == 101L),
+        s"wave-B verdicts must name the wave-A arrival: $b")
+      assert(b.exists(v => v._1 == 200L && v._2 >= 0), "near verdict vs arrival")
+      assert(b.exists(v => v._1 == 201L && v._2 == -1), "exact verdict vs arrival")
+      // within-trigger q63 semantics: same-trigger arrivals (200 vs 201)
+      // are NOT checked against each other, and novel docs stay silent
+      assert(!b.exists(v => v._3 == 200L || v._3 == 201L))
+      assert(!b.exists(v => v._1 == 202L))
+    } finally q.stop()
+  }
 }
