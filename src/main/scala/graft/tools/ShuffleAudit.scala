@@ -15,10 +15,32 @@ import org.apache.spark.sql.SparkSession
   *
   *   SHUFFLE <name> in=<input> sread=<shuffle read> swrite=<shuffle write>
   *           spillMem=<memory spill> spillDisk=<disk spill>
+  *           rawswrite=<bytes> rawspill=<bytes>
+  *
+  * plus a physical-strategy fingerprint line (join/exchange operator
+  * counts aggregated over every execution the query triggers, from the
+  * POST-AQE final plans):
+  *
+  *   PLANSIG <name> bhj=N smj=N shj=N bnlj=N cart=N
+  *
+  * Two audit outputs from fresh JVMs feed [[ShuffleVerdict]], the
+  * mechanical byte-surface regression gate (r13 verdict ask #4).
   *
   * Usage: SPARK_GRAFT_CPUS=32 runMain graft.tools.ShuffleAudit <sfDir> [namePrefix...]
   */
 object ShuffleAudit {
+
+  /** The strategy classes whose run-to-run identity the verdict gate
+    * requires — an AQE flip between any two of these at the local test
+    * scale is exactly the class of silent plan change that prices
+    * differently at 100 TB. */
+  val StrategyOps: Seq[(String, String)] = Seq(
+    "bhj" -> "BroadcastHashJoin",
+    "smj" -> "SortMergeJoin",
+    "shj" -> "ShuffledHashJoin",
+    "bnlj" -> "BroadcastNestedLoopJoin",
+    "cart" -> "CartesianProduct")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val prefixes = args.drop(1)
@@ -26,6 +48,9 @@ object ShuffleAudit {
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // fingerprinting renders final plans; bound the string, not the plan
+      // (the q208 lesson from the r11 close)
+      .config("spark.sql.maxPlanStringLength", "10000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -47,6 +72,23 @@ object ShuffleAudit {
       }
     })
 
+    // strategy fingerprint: count operator-name occurrences in the final
+    // (post-AQE) executed plan of EVERY execution a query triggers
+    val sigCounts = StrategyOps.map { case (k, _) => k -> new AtomicLong }.toMap
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        val plan = qe.executedPlan.toString
+        StrategyOps.foreach { case (k, op) =>
+          var idx = plan.indexOf(op); var n = 0L
+          while (idx >= 0) { n += 1; idx = plan.indexOf(op, idx + op.length) }
+          sigCounts(k).addAndGet(n)
+        }
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    })
+
     def fmt(b: Long): String =
       if (b >= (1L << 20)) f"${b / 1048576.0}%.1fMiB"
       else if (b >= (1L << 10)) f"${b / 1024.0}%.1fKiB"
@@ -56,6 +98,7 @@ object ShuffleAudit {
       .filter(q => prefixes.isEmpty || prefixes.exists(q.name.startsWith))
       .foreach { q =>
         Seq(input, sread, swrite, memSpill, diskSpill).foreach(_.set(0L))
+        sigCounts.values.foreach(_.set(0L))
         try {
           q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
           // listener events are posted asynchronously; drain before reading.
@@ -70,7 +113,10 @@ object ShuffleAudit {
             }
           println(s"SHUFFLE ${q.name} in=${fmt(input.get)} " +
             s"sread=${fmt(sread.get)} swrite=${fmt(swrite.get)} " +
-            s"spillMem=${fmt(memSpill.get)} spillDisk=${fmt(diskSpill.get)}$marker")
+            s"spillMem=${fmt(memSpill.get)} spillDisk=${fmt(diskSpill.get)} " +
+            s"rawswrite=${swrite.get} rawspill=${memSpill.get + diskSpill.get}$marker")
+          println(s"PLANSIG ${q.name} " + StrategyOps.map { case (k, _) =>
+            s"$k=${sigCounts(k).get}" }.mkString(" "))
         } catch {
           case e: Throwable => println(s"SHUFFLE ${q.name} FAILED ${e.getMessage}")
         }
