@@ -160,19 +160,29 @@ object ArrayOps {
   /** Perceptual difference-hash (dHash) of a media payload: the payload
     * bytes downscale to an 8x9 grid of range sums (cell k covers bytes
     * [k*n/72, (k+1)*n/72), an integer aspect-free "resize"), and bit
-    * (r*8+c) is set when cell (r,c) > cell (r,c+1) — the horizontal
-    * luminance gradient of the classic image dHash, computed on the stub
-    * byte domain (graft.multimodal.Decode's contract: the codec is
-    * stubbed, the hash arithmetic is the real algorithm). Locality: a
-    * byte edit touches ONE cell, so it flips at most 2 gradient bits —
-    * what makes Hamming distance a near-dup measure here. */
+    * (r*8+c) is set when cell (r,c)'s MEAN byte exceeds cell (r,c+1)'s —
+    * the horizontal luminance gradient of the classic image dHash,
+    * computed on the stub byte domain (graft.multimodal.Decode's
+    * contract: the codec is stubbed, the hash arithmetic is the real
+    * algorithm). Means, not raw sums, and exactly (cross-multiplied in
+    * int64 — no doubles): cell widths alternate floor/ceil(n/72), and a
+    * raw-sum compare is then dominated by the width pattern (a function
+    * of n mod 72 alone) times the mean byte value — hash entropy
+    * collapses and unrelated payloads collide, measured as quadratic
+    * accidental-pair growth in the scale probe. Mean gradients are
+    * content-driven. Exactness bound: sum * width < 2^57 for payloads
+    * up to 2^28 bytes (256 MB) — far above any single media blob.
+    * Locality: a byte edit touches ONE cell, so it flips at most 2
+    * gradient bits — what makes Hamming distance a near-dup measure. */
   def dhash64(payload: Array[Byte]): Long = {
     val n = payload.length
     val cells = new Array[Long](72)
+    val widths = new Array[Long](72)
     var k = 0
     while (k < 72) {
       var i = (k.toLong * n / 72).toInt
       val hi = ((k + 1).toLong * n / 72).toInt
+      widths(k) = hi - i
       var s = 0L
       while (i < hi) { s += payload(i) & 0xff; i += 1 }
       cells(k) = s
@@ -183,7 +193,9 @@ object ArrayOps {
     while (r < 8) {
       var c = 0
       while (c < 8) {
-        if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        val a = r * 9 + c
+        if (cells(a) * widths(a + 1) > cells(a + 1) * widths(a))
+          h |= 1L << (r * 8 + c)
         c += 1
       }
       r += 1

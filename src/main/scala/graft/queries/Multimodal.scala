@@ -280,17 +280,24 @@ object Multimodal {
              |      coalesce(list_sum(list_transform(
              |        range(1 + (k * length(text)) // 72,
              |              1 + ((k + 1) * length(text)) // 72),
-             |        i -> CAST(unicode(text[i]) AS BIGINT))), 0)) AS cells
+             |        i -> CAST(unicode(text[i]) AS BIGINT))), 0)) AS cells,
+             |    list_transform(range(72), k ->
+             |      ((k + 1) * length(text)) // 72
+             |        - (k * length(text)) // 72) AS ws
              |  FROM u),
              |sig AS MATERIALIZED (
              |  SELECT doc_id,
              |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+             |                     * ws[rr.r * 9 + cc.c + 2]
              |                   > cells[rr.r * 9 + cc.c + 2]
+             |                     * ws[rr.r * 9 + cc.c + 1]
              |                 AND rr.r * 8 + cc.c < 32
              |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c AS INTEGER))
              |      ELSE CAST(0 AS BIGINT) END) AS lo,
              |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+             |                     * ws[rr.r * 9 + cc.c + 2]
              |                   > cells[rr.r * 9 + cc.c + 2]
+             |                     * ws[rr.r * 9 + cc.c + 1]
              |                 AND rr.r * 8 + cc.c >= 32
              |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c - 32 AS INTEGER))
              |      ELSE CAST(0 AS BIGINT) END) AS hi

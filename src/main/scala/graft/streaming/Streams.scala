@@ -443,6 +443,11 @@ object Streams {
       }
   }
 
+  /** Streaming seasonal-anomaly alarm: watermarked daily windows per
+    * event type, scored against the BROADCAST weekday profile (a bounded
+    * |types| x 7 table from the batch q212 — production would refresh it
+    * per day). Deterministic given the profile; one windowed shuffle,
+    * profile join map-side. */
   def seasonalAlarm(events: DataFrame, profile: DataFrame): DataFrame =
     graft.queries.Events.seasonalScore(
       events
@@ -454,6 +459,12 @@ object Streams {
         .withColumn("dow", expr("(d_idx + 3) % 7"))
         .join(broadcast(profile), Seq("event_type", "dow")))
 
+  /** Stateful CUSUM change detection per event type: the one-sided
+    * cumulative-sum recurrence (slack K, threshold H, integer
+    * micro-units — bit-exact, no doubles) carried in one small state
+    * record per type; alarm resets the sum, matching the batch q226
+    * recurrence row-for-row on a single-trigger replay. State is
+    * O(|event types|), sharded by type. */
   def cusumIngest(events: DataFrame): Dataset[CusumPoint] = {
     import events.sparkSession.implicits._
     val K = 5000L
@@ -736,6 +747,10 @@ object Streams {
   case class Rolled(user_id: Long, event_id: Long, ts_us: Long,
       roll_n: Int, limited: Boolean)
 
+  /** Watermarked typed event stream (2-hour lateness bound): exact
+    * integer-microsecond times for state arithmetic plus a live
+    * timestamp column for the event-time watermark — the shared input
+    * shape of the sessionize/rolling faces. Map-only. */
   def typedEvents(events: DataFrame): Dataset[Event] = {
     import events.sparkSession.implicits._
     events

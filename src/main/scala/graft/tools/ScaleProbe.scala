@@ -37,16 +37,23 @@ object ScaleProbe {
     val bigLi = replicate(li, "l_orderkey", maxKey)
     val bigOrders = replicate(orders, "o_orderkey", maxKey)
 
-    def time(name: String)(f: => Long): Unit = {
-      // best of two: the shared host shows +-25% run-to-run noise, and the
-      // first execution of a shape also absorbs codegen warmup
-      val (t, n) = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        val rows = f
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }.minBy(_._1)
-      println(f"SCALE $name $t%.2f s ($n rows)")
-    }
+    // SPARK_GRAFT_PROBE_ONLY=prefix[,prefix...] runs just the matching
+    // probes — targeted evidence for a new operator without paying the
+    // full (hours-long at x64) sweep
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def time(name: String)(f: => Long): Unit =
+      if (only.exists(ps => !ps.exists(name.startsWith))) ()
+      else {
+        // best of two: the shared host shows +-25% run-to-run noise, and the
+        // first execution of a shape also absorbs codegen warmup
+        val (t, n) = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val rows = f
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }.minBy(_._1)
+        println(f"SCALE $name $t%.2f s ($n rows)")
+      }
 
     println(s"SCALE input ${bigLi.count()} lineitem x ${bigOrders.count()} orders")
     time("pricing_agg") {
@@ -320,6 +327,26 @@ object ScaleProbe {
         graft.queries.Similarity.graphSearch(replicateEmb(m),
           col("vec_id") < 50, centroids = (64 * math.sqrt(m)).toInt).count()
       }
+      // graph-index tombstone delete + repair report (q328): id-keyed
+      // anti-joins + node-keyed degree aggregations over the <= 12n edge
+      // table — linear on top of the index build, no scoring
+      time(s"graph_delete_repair_x$m") {
+        val e = replicateEmb(m)
+        val idx = graft.queries.Similarity.knnGraphIndex(e,
+          centroids = (64 * math.sqrt(m)).toInt)
+        graft.queries.Similarity.graphRepairReport(idx,
+          e.filter(col("vec_id") % 2 === 0).select("vec_id")).count()
+      }
+      // graph-index incremental re-link (q330): fresh lists ONLY for
+      // flagged nodes, candidates from their probed cells' live members
+      // — O(flagged-cell work) on top of the build, never a full rescore
+      time(s"graph_relink_x$m") {
+        val e = replicateEmb(m)
+        val idx = graft.queries.Similarity.knnGraphIndex(e,
+          centroids = (64 * math.sqrt(m)).toInt)
+        graft.queries.Similarity.knnGraphRelink(idx,
+          e.filter(col("vec_id") % 2 === 0).select("vec_id")).count()
+      }
       // filtered IVF (q317): the predicate semi-prunes the posting side
       // BEFORE scoring, so cost must scale with the ELIGIBLE corpus
       // (here ~50% of it), never the full corpus x query count
@@ -489,11 +516,28 @@ object ScaleProbe {
         graft.queries.Text.spanCorruptionPlan(docs).count()
       }
       // perceptual image near-dup: map-side dHash + 4x16 pigeonhole
-      // block equi-join — linear until block buckets (n/2^16 per block)
-      // dominate; the replica keeps pair counts linear because variant
-      // ids stay paired with their own replica's base
+      // block equi-join. The token-prefix replicas are NOT usable here:
+      // a per-token prefix shifts every grid cell's byte mass nearly
+      // uniformly, the gradient BITS barely move, and replicas of the
+      // same doc pair with each other — output grows m^2 by fixture
+      // construction, not by plan defect (measured 343k pairs at x64).
+      // The replicas below are the dedup disjoint-vocabulary rule for a
+      // LOCALITY hash, which shrugs off small shifts by design: replica
+      // i rotates the alphabet by i%26 (content-dependent per-cell mass
+      // scrambling — 7-byte cells have high-variance letter mixes, so
+      // wrap mass differs per cell and gradients flip) AND pads by i
+      // bytes (same-rotation replicas then differ by >= 26 bytes, a
+      // multi-cell realignment). Replica hashes decorrelate, the dup
+      // structure stays within-replica, and pair output stays linear.
       time(s"phash_neardup_x$m") {
-        graft.queries.Multimodal.phashNearDups(docs).count()
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val padded = (0 until m).map { i =>
+          val rot = alpha.drop(i % 26) + alpha.take(i % 26)
+          docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+            .withColumn("text",
+              concat(lit("z" * i), translate(col("text"), alpha, rot)))
+        }.reduce(_ union _)
+        graft.queries.Multimodal.phashNearDups(padded).count()
       }
     }
     // z-order layout report rides the big lineitem replica: one

@@ -252,13 +252,17 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
   test("dhash64 matches a plain-Scala reference and is edit-local") {
     def ref(bytes: Array[Byte]): Long = {
       val n = bytes.length
-      val cells = (0 until 72).map { k =>
-        (((k.toLong * n) / 72).toInt until (((k + 1).toLong * n) / 72).toInt)
-          .map(i => (bytes(i) & 0xff).toLong).sum
+      val ranges = (0 until 72).map { k =>
+        (((k.toLong * n) / 72).toInt, (((k + 1).toLong * n) / 72).toInt)
       }
+      val cells = ranges.map { case (lo, hi) =>
+        (lo until hi).map(i => (bytes(i) & 0xff).toLong).sum }
+      val ws = ranges.map { case (lo, hi) => (hi - lo).toLong }
       (0 until 8).flatMap(r => (0 until 8).map(c => (r, c)))
         .foldLeft(0L) { case (h, (r, c)) =>
-          if (cells(r * 9 + c) > cells(r * 9 + c + 1)) h | (1L << (r * 8 + c)) else h
+          val a = r * 9 + c
+          // mean compare, cross-multiplied exactly
+          if (cells(a) * ws(a + 1) > cells(a + 1) * ws(a)) h | (1L << (r * 8 + c)) else h
         }
     }
     val payloads = Seq("", "abc", "a" * 71, ("xyz" * 100).take(250),
