@@ -17,6 +17,51 @@ import graft.{QueryDef, Tables}
 object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Shared oracle CTE chain of the pHash family (q337/q339): the
+    * img-format universe with planted variants (`u`), per-payload
+    * grid cells + widths, and the lo/hi dHash signature halves
+    * (`sig`). One definition, so the pair query and the component/
+    * keep-set query cannot drift. */
+  private val sqlPhashSigCtes: String =
+    """base AS MATERIALIZED (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 0),
+      |u AS MATERIALIZED (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    substr(text, 1, 10) || 'x' || substr(text, 12)
+      |  FROM base WHERE doc_id % 10 = 0),
+      |ce AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_transform(range(72), k ->
+      |      coalesce(list_sum(list_transform(
+      |        range(1 + (k * length(text)) // 72,
+      |              1 + ((k + 1) * length(text)) // 72),
+      |        i -> CAST(unicode(text[i]) AS BIGINT))), 0)) AS cells,
+      |    list_transform(range(72), k ->
+      |      ((k + 1) * length(text)) // 72
+      |        - (k * length(text)) // 72) AS ws
+      |  FROM u),
+      |sig AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+      |                     * ws[rr.r * 9 + cc.c + 2]
+      |                   > cells[rr.r * 9 + cc.c + 2]
+      |                     * ws[rr.r * 9 + cc.c + 1]
+      |                 AND rr.r * 8 + cc.c < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c AS INTEGER))
+      |      ELSE CAST(0 AS BIGINT) END) AS lo,
+      |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
+      |                     * ws[rr.r * 9 + cc.c + 2]
+      |                   > cells[rr.r * 9 + cc.c + 2]
+      |                     * ws[rr.r * 9 + cc.c + 1]
+      |                 AND rr.r * 8 + cc.c >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c - 32 AS INTEGER))
+      |      ELSE CAST(0 AS BIGINT) END) AS hi
+      |  FROM ce CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c)
+      |  GROUP BY doc_id)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Binary metadata extraction: byte length, content hash, and
@@ -265,44 +310,7 @@ object Multimodal {
     // pre-split hot buckets before petabyte-scale image corpora).
     QueryDef("q337_phash_neardup", (s, d) =>
       phashNearDups(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
-      Some("""WITH base AS MATERIALIZED (
-             |  SELECT doc_id, text FROM documents
-             |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 0),
-             |u AS MATERIALIZED (
-             |  SELECT doc_id, text FROM base
-             |  UNION ALL
-             |  SELECT doc_id + 1000000,
-             |    substr(text, 1, 10) || 'x' || substr(text, 12)
-             |  FROM base WHERE doc_id % 10 = 0),
-             |ce AS MATERIALIZED (
-             |  SELECT doc_id,
-             |    list_transform(range(72), k ->
-             |      coalesce(list_sum(list_transform(
-             |        range(1 + (k * length(text)) // 72,
-             |              1 + ((k + 1) * length(text)) // 72),
-             |        i -> CAST(unicode(text[i]) AS BIGINT))), 0)) AS cells,
-             |    list_transform(range(72), k ->
-             |      ((k + 1) * length(text)) // 72
-             |        - (k * length(text)) // 72) AS ws
-             |  FROM u),
-             |sig AS MATERIALIZED (
-             |  SELECT doc_id,
-             |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
-             |                     * ws[rr.r * 9 + cc.c + 2]
-             |                   > cells[rr.r * 9 + cc.c + 2]
-             |                     * ws[rr.r * 9 + cc.c + 1]
-             |                 AND rr.r * 8 + cc.c < 32
-             |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c AS INTEGER))
-             |      ELSE CAST(0 AS BIGINT) END) AS lo,
-             |    bit_or(CASE WHEN cells[rr.r * 9 + cc.c + 1]
-             |                     * ws[rr.r * 9 + cc.c + 2]
-             |                   > cells[rr.r * 9 + cc.c + 2]
-             |                     * ws[rr.r * 9 + cc.c + 1]
-             |                 AND rr.r * 8 + cc.c >= 32
-             |      THEN (CAST(1 AS BIGINT) << CAST(rr.r * 8 + cc.c - 32 AS INTEGER))
-             |      ELSE CAST(0 AS BIGINT) END) AS hi
-             |  FROM ce CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c)
-             |  GROUP BY doc_id)
+      Some(s"""WITH $sqlPhashSigCtes
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |  CAST(bit_count(xor(a.lo, b.lo))
              |     + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
@@ -310,7 +318,72 @@ object Multimodal {
              |WHERE bit_count(xor(a.lo, b.lo))
              |    + bit_count(xor(a.hi, b.hi)) <= 3
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Perceptual dedup keep set: clusters + canonical selection --------
+    // What q52 is to q45's text pairs, this is to q337's image pairs:
+    // near-dup is not transitive, so retention decisions need the
+    // CONNECTED COMPONENT of the perceptual-pair graph, then one
+    // canonical survivor per cluster (min doc_id — the q121 default
+    // policy; a production pipeline would rank by resolution/recency).
+    // Every hashed payload appears in the output: paired docs carry
+    // their component's min id, singletons keep themselves.
+    //
+    // Scale shape: q337's blocked pair generation + the q52
+    // large-star/small-star components (O(log) label rounds over the
+    // PAIR set, orders of magnitude smaller than the corpus) + one
+    // left join back to the hashed universe. Oracle: recursive-CTE
+    // reachability over the shared signature CTEs.
+    QueryDef("q339_phash_keep", (s, d) => {
+      val docs = t(s, d, "documents")
+      val (labels, _) = Dedup.connectedComponents(
+        phashNearDups(docs).select("doc_a", "doc_b"))
+      phashCorpus(docs).select("doc_id")
+        .join(labels.select(col("node").as("doc_id"),
+          col("lbl").as("cluster_id")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("keep", col("cluster_id") === col("doc_id"))
+        .orderBy("doc_id")
+    },
+      Some(s"""WITH RECURSIVE $sqlPhashSigCtes,
+             |pairs AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+             |  WHERE bit_count(xor(a.lo, b.lo))
+             |      + bit_count(xor(a.hi, b.hi)) <= 3),
+             |edges AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lbl AS (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a)
+             |SELECT u.doc_id,
+             |  coalesce(l.cluster_id, u.doc_id) AS cluster_id,
+             |  coalesce(l.cluster_id, u.doc_id) = u.doc_id AS keep
+             |FROM u LEFT JOIN lbl l USING (doc_id)
+             |ORDER BY u.doc_id""".stripMargin)),
   )
+
+  /** The pHash family's hashing universe (q337/q339): img-format
+    * payloads plus, every `plantPeriod`-th doc, a deterministic
+    * one-byte-edited variant at doc_id + 1000000 (both engines construct
+    * the identical input — q106's versioning trick; 0 disables).
+    * Map-only. */
+  def phashCorpus(documents: org.apache.spark.sql.DataFrame,
+      plantPeriod: Long = 10L): org.apache.spark.sql.DataFrame = {
+    val base = documents
+      .filter(octet_length(col("text")) % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    if (plantPeriod <= 0L) base
+    else base.unionByName(
+      base.filter(col("doc_id") % plantPeriod === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 10), lit("x"),
+            col("text").substr(lit(12), length(col("text")))).as("text")))
+  }
 
   /** q337's body, exposed for library use and the scale probe: perceptual
     * near-duplicate pairs over the img-format payloads, dHash-keyed,
@@ -322,17 +395,7 @@ object Multimodal {
       maxHamming: Int = 3, plantPeriod: Long = 10L): org.apache.spark.sql.DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "pigeonhole block index guarantees completeness only for hamming <= 3")
-    val base = documents
-      .filter(octet_length(col("text")) % 3 === 0)
-      .select(col("doc_id"), col("text"))
-    val u =
-      if (plantPeriod <= 0L) base
-      else base.unionByName(
-        base.filter(col("doc_id") % plantPeriod === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"),
-            concat(substring(col("text"), 1, 10), lit("x"),
-              col("text").substr(lit(12), length(col("text")))).as("text")))
-    val sigs = u.select(col("doc_id"),
+    val sigs = phashCorpus(documents, plantPeriod).select(col("doc_id"),
       graft.functions.ArrayExprs.dhash64(col("text").cast("binary")).as("ph"))
     val blocks = array((0 until 4).map(i =>
       shiftright(col("ph"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)

@@ -796,6 +796,28 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.size >= 12, "fixture must exercise the hit path")
   }
 
+  test("q339 keep set: one canonical per cluster, pairs co-clustered, universe covered") {
+    val rows = q("q339_phash_keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      // the canonical is the cluster's min id, kept exactly once
+      assert(members.count(_._3) == 1 && members.find(_._3).get._1 == cid)
+      assert(members.map(_._1).min == cid)
+    }
+    // every q337 pair's endpoints share a cluster
+    val cluster = rows.map(r => r._1 -> r._2).toMap
+    q("q337_phash_neardup").collect().foreach { p =>
+      assert(cluster(p.getLong(0)) == cluster(p.getLong(1)))
+    }
+    // the keep set covers the full hashed universe (img docs + variants)
+    val docs = Tables.load(spark, sfDir, "documents")
+    val nImg = docs.filter(length(col("text")) % 3 === 0).count()
+    val nPlanted = docs.filter(length(col("text")) % 3 === 0 &&
+      col("doc_id") % 10 === 0).count()
+    assert(rows.length == nImg + nPlanted)
+  }
+
   // --- similarity ---------------------------------------------------------
 
   test("q48 brute-force knn matches driver-side cosine ranking") {
