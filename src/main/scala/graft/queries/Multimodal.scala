@@ -365,7 +365,123 @@ object Multimodal {
              |  coalesce(l.cluster_id, u.doc_id) = u.doc_id AS keep
              |FROM u LEFT JOIN lbl l USING (doc_id)
              |ORDER BY u.doc_id""".stripMargin)),
+
+    // ---- Audio segment alignment: fingerprint anchors + offset mode ------
+    // The third modality's dedup primitive (text: q45/q65 set joins;
+    // images: q337 dHash; audio: ALIGNMENT — a copied PASSAGE at any
+    // position, which no set hash sees). See [[audioAlign]] for the
+    // method and scale shape; planted segment copies (audioCorpus) pin
+    // the hit path at every SF: each planted pair must align at byte
+    // offset -18 with a span covering most of the shared suffix.
+    QueryDef("q340_audio_align", (s, d) =>
+      audioAlign(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
+      Some(s"""WITH ab AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 1
+             |    AND octet_length(CAST(text AS BLOB)) >= 64),
+             |au AS MATERIALIZED (
+             |  SELECT doc_id, text FROM ab
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, repeat('q', 11) || substr(text, 30)
+             |  FROM ab WHERE doc_id % 15 = 0),
+             |tkc AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, '') AS t FROM au),
+             |hw AS MATERIALIZED (
+             |  SELECT doc_id,
+             |    list_transform(
+             |      list_filter(range(1, len(t) - 14),
+             |        i -> (unicode(t[i]) * 31 + unicode(t[i+1])) % 8 = 0),
+             |      i -> [CAST(i - 1 AS BIGINT),
+             |            ${Dedup.sqlStringHash62("array_to_string(t[i:i+15], ' ')")}])
+             |      AS ph
+             |  FROM tkc),
+             |sel AS MATERIALIZED (
+             |  SELECT doc_id, CAST(pr[1] AS INTEGER) AS p, pr[2] AS h
+             |  FROM (SELECT doc_id, unnest(ph) AS pr FROM hw)),
+             |ofs AS MATERIALIZED (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    b.p - a.p AS d_off,
+             |    CAST(count(*) AS BIGINT) AS n_anchors,
+             |    max(a.p) - min(a.p) + 16 AS span_len
+             |  FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2, 3
+             |  HAVING count(*) >= 3)
+             |SELECT doc_a, doc_b, CAST(d_off AS INTEGER) AS offset,
+             |  n_anchors, CAST(span_len AS INTEGER) AS span_len
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_a, doc_b
+             |        ORDER BY n_anchors DESC, span_len DESC, d_off) AS rn
+             |      FROM ofs)
+             |WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin)),
   )
+
+  /** The audio-alignment universe (q340): audio-format payloads plus,
+    * every `plantPeriod`-th audio doc, a deterministic SEGMENT-COPY
+    * variant at doc_id + 2000000 — 11 filler bytes then the original
+    * payload from byte 30 on, so the planted pair shares a long run at
+    * byte offset -18 (q106's versioning trick; 0 disables). Map-only. */
+  def audioCorpus(documents: org.apache.spark.sql.DataFrame,
+      plantPeriod: Long = 15L): org.apache.spark.sql.DataFrame = {
+    val base = documents
+      .filter(octet_length(col("text")) % 3 === 1 &&
+        octet_length(col("text")) >= 64)
+      .select(col("doc_id"), col("text"))
+    if (plantPeriod <= 0L) base
+    else base.unionByName(
+      base.filter(col("doc_id") % plantPeriod === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("q" * 11),
+            col("text").substr(lit(30), length(col("text")))).as("text")))
+  }
+
+  /** q340's body: offset-robust SEGMENT alignment between audio-format
+    * payloads — the fingerprint-anchor method (Shazam-style constellation
+    * reduced to 1-D): hash every 16-byte frame (stride 1, the stub's
+    * stand-in for spectral frames), keep ANCHOR frames by 0-mod-p
+    * content-keyed sampling ((c0*31 + c1) % 8 == 0 on the frame's first
+    * two bytes — selection depends only on frame content, so a shared
+    * run anchors in BOTH payloads at equal content positions; expected
+    * density 1/8, no adversarial window guarantee, which is fine here
+    * because anchors only seed the offset-mode vote), equi-join anchors
+    * on the 62-bit frame hash, and read each pair's alignment off the
+    * MODE of the position-difference distribution: per (pair, offset)
+    * anchor count and byte span, best offset per pair by (anchors,
+    * span). Unlike set near-dup (q337's dHash), this finds a COPIED
+    * PASSAGE at any position — transcript overlap, sampled audio,
+    * quoted segments.
+    *
+    * Scale shape: per-payload work is PURE map-side (codegen'd
+    * windowHashes + an arithmetic anchor filter — no per-doc window, no
+    * sort); the only corpus-wide operation is the anchor equi-join on
+    * narrow 8-byte keys, whose hot buckets are boilerplate frames — the
+    * q229 rare-key story; production adds the df-cap tier before
+    * petabyte audio. Group-bys ride the join's partitioning. */
+  def audioAlign(documents: org.apache.spark.sql.DataFrame,
+      minAnchors: Long = 3L,
+      plantPeriod: Long = 15L): org.apache.spark.sql.DataFrame = {
+    val anchors = audioCorpus(documents, plantPeriod)
+      .select(col("doc_id"), split(col("text"), "").as("tc"))
+      .select(col("doc_id"), col("tc"), posexplode(graft.functions.ArrayExprs
+        .windowHashes(col("tc"), 16)).as(Seq("p", "h")))
+      .filter((ascii(element_at(col("tc"), col("p") + 1)) * 31 +
+        ascii(element_at(col("tc"), col("p") + 2))) % 8 === 0)
+      .select("doc_id", "p", "h")
+    val x = anchors.select(col("doc_id").as("doc_a"), col("p").as("pa"), col("h"))
+    val y = anchors.select(col("doc_id").as("doc_b"), col("p").as("pb"),
+      col("h").as("h2"))
+    val byOffset = x.join(y, col("h") === col("h2") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), (col("pb") - col("pa")).as("offset"),
+        col("pa"))
+      .groupBy("doc_a", "doc_b", "offset")
+      .agg(count(lit(1)).as("n_anchors"),
+        (max("pa") - min("pa") + 16).as("span_len"))
+      .filter(col("n_anchors") >= minAnchors)
+    byOffset
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_a", "doc_b")
+          .orderBy(col("n_anchors").desc, col("span_len").desc, col("offset"))))
+      .filter(col("rn") === 1)
+      .select("doc_a", "doc_b", "offset", "n_anchors", "span_len")
+  }
 
   /** The pHash family's hashing universe (q337/q339): img-format
     * payloads plus, every `plantPeriod`-th doc, a deterministic

@@ -539,6 +539,12 @@ object ScaleProbe {
         }.reduce(_ union _)
         graft.queries.Multimodal.phashNearDups(padded).count()
       }
+      // audio segment alignment: anchors are EXACT 16-byte window hashes,
+      // so the token-prefix replicas decorrelate fully (any byte change
+      // kills an anchor); planted copies stay within-replica — linear
+      time(s"audio_align_x$m") {
+        graft.queries.Multimodal.audioAlign(docs).count()
+      }
     }
     // z-order layout report rides the big lineitem replica: one
     // broadcast + one map pass + 64-row rollups

@@ -796,6 +796,32 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.size >= 12, "fixture must exercise the hit path")
   }
 
+  test("q340 planted segment copies align at the construction offset") {
+    val rows = q("q340_audio_align").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    rows.foreach { case (_, _, _, n, span) => assert(n >= 3 && span >= 16) }
+    // only payloads with a LONG shared suffix guarantee >= 3 winnowed
+    // anchors (the trailing-8 selection keeps ~1/8 of run frames; an
+    // 82-byte payload's 53-byte run can legitimately select fewer) —
+    // the law binds where the anchor-density argument does
+    val planted = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter { case (id, t) =>
+        t.length % 3 == 1 && t.length >= 150 && id % 15 == 0 }
+    assert(planted.size >= 5, "fixture must plant long segment copies")
+    val byPair = rows.map(r => (r._1, r._2) -> r).toMap
+    planted.foreach { case (id, t) =>
+      val r = byPair.get((id, id + 2000000L))
+      assert(r.isDefined, s"planted pair $id not aligned")
+      // variant = 11 filler bytes + original from byte 30 (1-based):
+      // the shared run sits at 0-based position 11 in the variant and 29
+      // in the original, so offset = p_variant - p_original = -18
+      assert(r.get._3 == -18, s"planted pair $id offset ${r.get._3}")
+      assert(r.get._5 >= 48, s"planted pair $id span ${r.get._5}")
+    }
+  }
+
   test("q339 keep set: one canonical per cluster, pairs co-clustered, universe covered") {
     val rows = q("q339_phash_keep").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
