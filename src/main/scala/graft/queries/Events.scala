@@ -3187,14 +3187,19 @@ object Events {
       // trips the ambiguous-self-join check
       val tre = trans.select(col("prev").as("t_prev"),
         col("cur").as("t_cur"), col("c"), col("tot"))
+      // every iteration/report join below is over states- or states^2-
+      // bounded frames (the matrix over event types): BROADCAST is the
+      // honest arm at any corpus size, and the explicit hints pin what
+      // AQE left free — the r14 ShuffleVerdict gate caught one of these
+      // flipping broadcast <-> sort-merge across fresh JVMs
       var p = base.select(col("state"), col("m0").as("val"))
       var prev = p
       for (_ <- 1 to 7) {
         prev = p
-        val flows = p.join(tre, col("state") === col("t_prev"))
+        val flows = p.join(broadcast(tre), col("state") === col("t_prev"))
           .groupBy(col("t_cur").as("state"))
           .agg(sum(expr("(val * 85 * c) div (100 * tot)")).as("fv"))
-        p = base.join(flows, Seq("state"), "left")
+        p = base.join(broadcast(flows), Seq("state"), "left")
           .select(col("state"),
             (coalesce(col("fv"), lit(0L)) + col("tele")).as("val"))
       }
@@ -3202,9 +3207,9 @@ object Events {
         .agg(sum("c").as("n_in"))
       val tt = trans.agg(sum("c").as("t_total"))
       base.select("state")
-        .join(emp, Seq("state"), "left")
-        .join(p.select(col("state"), col("val").as("pi_scaled")), "state")
-        .join(prev.select(col("state"), col("val").as("pv")), "state")
+        .join(broadcast(emp), Seq("state"), "left")
+        .join(broadcast(p.select(col("state"), col("val").as("pi_scaled"))), "state")
+        .join(broadcast(prev.select(col("state"), col("val").as("pv"))), "state")
         .crossJoin(broadcast(tt))
         .select(col("state"), coalesce(col("n_in"), lit(0L)).as("n_in"),
           (coalesce(col("n_in"), lit(0L)).cast("double") /

@@ -72,19 +72,33 @@ object ShuffleAudit {
       }
     })
 
-    // strategy fingerprint: count operator-name occurrences in the final
-    // (post-AQE) executed plan of EVERY execution a query triggers
+    // strategy fingerprint: count join-operator NODES in the final
+    // (post-AQE) executed plan of EVERY execution a query triggers.
+    // Counted by TREE WALK, not string search: the rendered string
+    // re-expands reused exchanges, and WHICH exchange AQE marks as the
+    // reuse (vs the original) races with stage materialization order —
+    // string counts flapped 18 vs 19 on byte-identical q185 runs. The
+    // walk unwraps the adaptive/stage wrappers (their plans are fields,
+    // not tree children) and stops at ReusedExchange leaves, so each
+    // physical operator is counted exactly once no matter which twin
+    // AQE labels the reuse.
     val sigCounts = StrategyOps.map { case (k, _) => k -> new AtomicLong }.toMap
+    def countOps(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        countOps(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        countOps(q.plan)
+      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => ()
+      case n =>
+        val cls = n.getClass.getSimpleName
+        StrategyOps.foreach { case (k, op) =>
+          if (cls.startsWith(op)) sigCounts(k).incrementAndGet() }
+        n.children.foreach(countOps)
+    }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
-        val plan = qe.executedPlan.toString
-        StrategyOps.foreach { case (k, op) =>
-          var idx = plan.indexOf(op); var n = 0L
-          while (idx >= 0) { n += 1; idx = plan.indexOf(op, idx + op.length) }
-          sigCounts(k).addAndGet(n)
-        }
-      }
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        countOps(qe.executedPlan)
       override def onFailure(funcName: String,
           qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
     })
