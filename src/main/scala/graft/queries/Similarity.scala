@@ -840,7 +840,13 @@ object Similarity {
       .filter(col("crn") <= nprobe)
       .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
-    probes.join(index.assigned, "cell")
+    // probes are bounded (queries x nprobe — the q48 anchor class), so
+    // broadcasting them into the corpus-sized posting table is the
+    // honest arm at any scale; the explicit hint pins what AQE left to
+    // size estimates (q317's semi-pruned posting stats sat near the
+    // threshold and flipped this join across fresh JVMs — caught by the
+    // r14 ShuffleVerdict gate)
+    broadcast(probes).join(index.assigned, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .withColumn("rank", row_number().over(w))
@@ -867,8 +873,12 @@ object Similarity {
   def ivfQueryFiltered(index: IvfIndex, queries: DataFrame,
       allowed: DataFrame, k: Int = 10, nprobe: Int = 16): DataFrame =
     ivfQuery(
+      // corpus-sized semi-join on BOTH sides at scale: pin the honest
+      // shuffled-hash arm (the q135/q278 convention) so AQE's
+      // local-scale broadcast freedom cannot flip the plan
       index.copy(assigned = index.assigned.join(
-        allowed.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")),
+        allowed.select(col("vec_id").as("n_id")).hint("shuffle_hash"),
+        Seq("n_id"), "left_semi")),
       queries, k, nprobe)
 
   /** ADAPTIVE filtered IVF query — the operator that ACTS on q318's

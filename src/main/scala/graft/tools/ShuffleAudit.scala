@@ -83,17 +83,28 @@ object ShuffleAudit {
     // physical operator is counted exactly once no matter which twin
     // AQE labels the reuse.
     val sigCounts = StrategyOps.map { case (k, _) => k -> new AtomicLong }.toMap
-    def countOps(p: org.apache.spark.sql.execution.SparkPlan): Unit = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        countOps(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        countOps(q.plan)
-      case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => ()
-      case n =>
-        val cls = n.getClass.getSimpleName
-        StrategyOps.foreach { case (k, op) =>
-          if (cls.startsWith(op)) sigCounts(k).incrementAndGet() }
-        n.children.foreach(countOps)
+    def countOps(root: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      // identity-dedupe within one execution: a REUSED query stage is the
+      // SAME node object appearing at several tree positions, and whether
+      // AQE reuses a stage races with materialization order — counting it
+      // per position flapped q322's totals (18 vs 15 joins) on
+      // byte-identical runs
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[org.apache.spark.sql.execution.SparkPlan, java.lang.Boolean]())
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Unit =
+        if (seen.add(p)) p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            go(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            go(q.plan)
+          case _: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => ()
+          case n =>
+            val cls = n.getClass.getSimpleName
+            StrategyOps.foreach { case (k, op) =>
+              if (cls.startsWith(op)) sigCounts(k).incrementAndGet() }
+            n.children.foreach(go)
+        }
+      go(root)
     }
     spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String,

@@ -39,10 +39,23 @@ class ShuffleVerdictSpec extends AnyFunSuite {
     assert(v.startsWith("BYTE-SURFACE VERDICT FAIL") && v.contains("SWRITE DELTA q1"))
   }
 
-  test("a strategy flip fails even with identical bytes") {
+  test("a strategy MIGRATION fails even with identical bytes") {
     val v = verdict(audit(("q1", 1000L, 0L, "bhj=1 smj=0 shj=0")),
       audit(("q1", 1000L, 0L, "bhj=0 smj=1 shj=0")))
     assert(v.startsWith("BYTE-SURFACE VERDICT FAIL") && v.contains("STRATEGY FLIP q1"))
+    // migration inside larger counts too: one join moved bhj -> smj
+    val v2 = verdict(audit(("q1", 1000L, 0L, "bhj=14 smj=3 bnlj=4")),
+      audit(("q1", 1000L, 0L, "bhj=13 smj=4 bnlj=4")))
+    assert(v2.contains("STRATEGY FLIP q1"))
+  }
+
+  test("same-sign count drift is SHAPE JITTER, not a failure") {
+    // AQE empty-relation elimination: a no-op join excised from one
+    // run's final plan — bytes identical, no class migration
+    val v = verdict(audit(("q1", 1000L, 0L, "bhj=4 smj=0 bnlj=9")),
+      audit(("q1", 1000L, 0L, "bhj=4 smj=0 bnlj=8")))
+    assert(v.startsWith("BYTE-SURFACE VERDICT PASS"), v)
+    assert(v.contains("SHAPE JITTER q1") && v.contains("shape-jitter=1"))
   }
 
   test("spill, FAILED rows, and coverage mismatches fail") {
