@@ -40,6 +40,9 @@ package object api {
   val Layout = graft.queries.Layout
   /** Data-quality rules: FK/key/FD audits. */
   val Quality = graft.queries.Quality
+  /** Preference-data ops (RLHF/DPO): duel mining, Copeland ranking,
+    * annotator agreement, chosen/rejected pair construction. */
+  val Preference = graft.queries.Preference
   /** Mergeable sketches: HLL, KLL, CMS, KMV, moments. */
   val Sketches = graft.queries.Sketches
   /** Structured Streaming faces: watermarked windows and stateful

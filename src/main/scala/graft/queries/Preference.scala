@@ -1,0 +1,317 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Preference-data operators — the RLHF/DPO side of a training-data
+  * pipeline, which the reference engine (batch OLAP only, SURVEY §2.7)
+  * has no counterpart for: pairwise-comparison extraction, duel-matrix
+  * aggregation, Copeland/Borda ranking, inter-annotator agreement,
+  * and DPO chosen/rejected pair construction.
+  *
+  * Fixture mapping (documented, like q32/q159's `props` extraction):
+  * an annotator = `user_id`, a response arm = `event_type`, a prompt =
+  * the JSON `props.k`, and an implicit pairwise comparison = two
+  * CONSECUTIVE events of one annotator (ordered by exact microsecond
+  * time, event_id tie-break) with different arms — the later-vs-earlier
+  * duel is won by the higher `value`. Single-`value` COMPARISONS only,
+  * never float arithmetic: both engines read the same parquet doubles,
+  * so `>` / `=` agree bit-for-bit and every output column is exact
+  * int64/int32/string/bool (the repo-wide hash-stability rule). Exact
+  * value ties carry no preference signal and are excluded symmetrically
+  * in both engines.
+  *
+  * Ranking is Copeland + Borda — both EXACT integer functions of the
+  * duel matrix. Bradley–Terry/Elo strengths are deliberately absent:
+  * they are fixed-point float iterations whose summation order differs
+  * across engines, which would break the byte-exact oracle gate; the
+  * duel matrix (q342) is the sufficient statistic a trainer would fit
+  * BT on downstream.
+  *
+  * Scale shape: ONE shuffle on `user_id` (an annotator's comparison
+  * history is a small group — millions of annotators, never a global
+  * window), then every aggregate lives on the bounded arm-pair or
+  * prompt domain with map-side partial aggregation. Nothing here is
+  * all-pairs and nothing funnels through the driver.
+  */
+object Preference {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Pairwise duels from an annotator event stream: per `user_id`, each
+    * consecutive event pair (exact-microsecond order, `event_id`
+    * tie-break) with different `event_type`s and different `value`s is
+    * one comparison; the higher `value` wins. Returns one row per duel:
+    * (user_id, first_id, second_id, winner, loser, later_won). Null
+    * timestamps/values are excluded up front (no place on the time
+    * axis / no signal). Deterministic; (user_id, second_id) is unique.
+    * One user_id-partitioned window — per-annotator groups, no global
+    * ordering anywhere. */
+  def duels(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .withColumn("p_id", lag("event_id", 1).over(w))
+      .withColumn("p_type", lag("event_type", 1).over(w))
+      .withColumn("p_value", lag("value", 1).over(w))
+      .filter(col("p_id").isNotNull &&
+        col("p_type") =!= col("event_type") &&
+        col("p_value") =!= col("value"))
+      .select(col("user_id"), col("p_id").as("first_id"),
+        col("event_id").as("second_id"),
+        when(col("value") > col("p_value"), col("event_type"))
+          .otherwise(col("p_type")).as("winner"),
+        when(col("value") > col("p_value"), col("p_type"))
+          .otherwise(col("event_type")).as("loser"),
+        (col("value") > col("p_value")).as("later_won"))
+  }
+
+  /** Duel matrix over canonical arm pairs (arm_a < arm_b): wins_a,
+    * wins_b, n = wins_a + wins_b, plus n_later_wins — the position-bias
+    * audit column (a calibrated comparison set has n_later_wins ≈ n/2;
+    * a recency-biased one doesn't). The sufficient statistic for any
+    * downstream pairwise ranking model. GroupBy on the bounded
+    * (arm, arm) domain — map-side partial agg, tiny result. */
+  def duelMatrix(events: DataFrame): DataFrame =
+    duels(events)
+      .select(least(col("winner"), col("loser")).as("arm_a"),
+        greatest(col("winner"), col("loser")).as("arm_b"),
+        (col("winner") < col("loser")).as("a_won"), col("later_won"))
+      .groupBy("arm_a", "arm_b")
+      .agg(count(when(col("a_won"), 1)).as("wins_a"),
+        count(when(!col("a_won"), 1)).as("wins_b"),
+        count(lit(1)).as("n"),
+        count(when(col("later_won"), 1)).as("n_later_wins"))
+
+  /** Copeland + Borda ranking from the duel matrix. copeland2 = per
+    * opponent 2 if this arm wins the majority of their duels, 1 on an
+    * exact tie, 0 otherwise (doubled so the classic half-point tie stays
+    * integer); borda = total duel wins; condorcet = beats EVERY opponent
+    * majority-wise. Every unordered pair contributes exactly 2 to the
+    * copeland2 column total — the conservation law PreferenceSpec pins.
+    * Bounded-domain aggregation only (arms × arms). */
+  def copelandRanking(events: DataFrame): DataFrame = {
+    val m = duelMatrix(events)
+    val pers = m.select(col("arm_a").as("arm"),
+        col("wins_a").as("my_wins"), col("wins_b").as("opp_wins"))
+      .unionByName(m.select(col("arm_b").as("arm"),
+        col("wins_b").as("my_wins"), col("wins_a").as("opp_wins")))
+    pers.groupBy("arm")
+      .agg(sum(when(col("my_wins") > col("opp_wins"), 2L)
+          .when(col("my_wins") === col("opp_wins"), 1L)
+          .otherwise(0L)).as("copeland2"),
+        sum(col("my_wins")).as("borda"),
+        sum(col("my_wins") + col("opp_wins")).as("duels"),
+        min(when(col("my_wins") > col("opp_wins"), 1).otherwise(0)).as("cmin"))
+      .withColumn("condorcet", col("cmin") === 1)
+      .drop("cmin")
+  }
+
+  /** Inter-annotator agreement per canonical arm pair: each annotator's
+    * personal verdict is the majority of their OWN duels on that pair
+    * (prefers a / prefers b / tie), aggregated to (n_pref_a, n_pref_b,
+    * n_tie, annotators, majority). The annotation-quality report a
+    * preference pipeline ships before training a reward model: a pair
+    * where annotators split near-evenly is noise, not signal. Two
+    * bounded aggregations: (user, pair) then (pair) — no all-pairs. */
+  def annotatorAgreement(events: DataFrame): DataFrame = {
+    val d = duels(events).select(col("user_id"),
+      least(col("winner"), col("loser")).as("arm_a"),
+      greatest(col("winner"), col("loser")).as("arm_b"),
+      (col("winner") < col("loser")).as("a_won"))
+    d.groupBy("user_id", "arm_a", "arm_b")
+      .agg(count(when(col("a_won"), 1)).as("wa"),
+        count(when(!col("a_won"), 1)).as("wb"))
+      .groupBy("arm_a", "arm_b")
+      .agg(count(when(col("wa") > col("wb"), 1)).as("n_pref_a"),
+        count(when(col("wa") < col("wb"), 1)).as("n_pref_b"),
+        count(when(col("wa") === col("wb"), 1)).as("n_tie"),
+        count(lit(1)).as("annotators"))
+      .withColumn("majority",
+        when(col("n_pref_a") > col("n_pref_b"), col("arm_a"))
+          .when(col("n_pref_b") > col("n_pref_a"), col("arm_b"))
+          .otherwise(lit("split")))
+  }
+
+  /** DPO chosen/rejected pair construction (Rafailov et al. 2023 data
+    * prep): per prompt (`props.k`), chosen = the strictly-best-scored
+    * response, rejected = the strictly-worst (score = `value`,
+    * `event_id` tie-break makes the argmax/argmin total), keeping
+    * prompts with >= minResponses responses and a strict score gap.
+    * Output: (k, n_responses, chosen_id, chosen_type, rejected_id,
+    * rejected_type) — ids and counts only, no float columns.
+    *
+    * Shape: ONE hash aggregation with max/min over a (value, event_id,
+    * event_type) struct — map-side partial agg, so a prompt with a
+    * billion responses never forms a window group or skews a sort;
+    * this is why it is not the row_number() shape the oracle uses. */
+  def dpoPairs(events: DataFrame, minResponses: Long = 3L): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull && col("value").isNotNull)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_responses"),
+        max(struct(col("value"), col("event_id"), col("event_type"))).as("b"),
+        min(struct(col("value"), col("event_id"), col("event_type"))).as("w"))
+      .filter(col("n_responses") >= minResponses &&
+        col("b.value") =!= col("w.value"))
+      .select(col("k"), col("n_responses"),
+        col("b.event_id").as("chosen_id"),
+        col("b.event_type").as("chosen_type"),
+        col("w.event_id").as("rejected_id"),
+        col("w.event_type").as("rejected_type"))
+
+  /** Shared duel-extraction CTE — the single SQL definition of the
+    * comparison rule, consumed by every oracle below AND by the q346
+    * streaming face (the q331/q336 twin rule: batch query and stateful
+    * face gate against the SAME oracle text, so the rule cannot drift
+    * between the offline and online paths). */
+  private val sqlDuelsCte =
+    """duels AS MATERIALIZED (
+      |  SELECT user_id, p_id AS first_id, event_id AS second_id,
+      |    CASE WHEN value > p_value THEN event_type ELSE p_type END AS winner,
+      |    CASE WHEN value > p_value THEN p_type ELSE event_type END AS loser,
+      |    value > p_value AS later_won
+      |  FROM (
+      |    SELECT user_id, event_id, event_type, value,
+      |      lag(event_id)   OVER w AS p_id,
+      |      lag(event_type) OVER w AS p_type,
+      |      lag(value)      OVER w AS p_value
+      |    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      |    WINDOW w AS (PARTITION BY user_id
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+      |  WHERE p_id IS NOT NULL AND p_type != event_type AND p_value != value)""".stripMargin
+
+  private val sqlDuels =
+    s"""WITH $sqlDuelsCte
+       |SELECT user_id, first_id, second_id, winner, loser, later_won
+       |FROM duels ORDER BY user_id, second_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Pairwise duel extraction (implicit preference mining) ----------
+    // The comparison-mining pass every preference pipeline starts with:
+    // an annotator's consecutive same-session judgments become pairwise
+    // duels (higher score wins; exact ties and same-arm pairs carry no
+    // signal and are dropped). One user_id-partitioned window — the
+    // scale-safe per-annotator shape, never a global ordering.
+    QueryDef("q341_pref_duels", (s, d) =>
+      duels(t(s, d, "events")).orderBy("user_id", "second_id"),
+      Some(sqlDuels)),
+
+    // ---- Duel matrix + position-bias audit -------------------------------
+    // The sufficient statistic for pairwise ranking models (what a
+    // Bradley–Terry fit would consume), on the bounded arm-pair domain,
+    // with the n_later_wins column auditing recency bias in the
+    // comparison derivation (calibrated ≈ n/2).
+    QueryDef("q342_pref_matrix", (s, d) =>
+      duelMatrix(t(s, d, "events")).orderBy("arm_a", "arm_b"),
+      Some(s"""WITH $sqlDuelsCte
+             |SELECT least(winner, loser) AS arm_a,
+             |  greatest(winner, loser) AS arm_b,
+             |  CAST(count(*) FILTER (winner < loser) AS BIGINT) AS wins_a,
+             |  CAST(count(*) FILTER (winner > loser) AS BIGINT) AS wins_b,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(*) FILTER (later_won) AS BIGINT) AS n_later_wins
+             |FROM duels GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Copeland / Borda ranking ----------------------------------------
+    // Exact-integer tournament ranking from the duel matrix: Copeland
+    // (majority-wins count, doubled to keep ties integer), Borda (total
+    // wins), and the Condorcet-winner flag. The float-free stand-in for
+    // BT/Elo strengths — see the object Scaladoc for why those are
+    // deliberately absent.
+    QueryDef("q343_pref_copeland", (s, d) =>
+      copelandRanking(t(s, d, "events"))
+        .orderBy(col("copeland2").desc, col("borda").desc, col("arm")),
+      Some(s"""WITH $sqlDuelsCte,
+             |m AS (
+             |  SELECT least(winner, loser) AS arm_a,
+             |    greatest(winner, loser) AS arm_b,
+             |    count(*) FILTER (winner < loser) AS wins_a,
+             |    count(*) FILTER (winner > loser) AS wins_b
+             |  FROM duels GROUP BY 1, 2),
+             |pers AS (
+             |  SELECT arm_a AS arm, wins_a AS my_wins, wins_b AS opp_wins FROM m
+             |  UNION ALL
+             |  SELECT arm_b, wins_b, wins_a FROM m)
+             |SELECT arm,
+             |  CAST(sum(CASE WHEN my_wins > opp_wins THEN 2
+             |    WHEN my_wins = opp_wins THEN 1 ELSE 0 END) AS BIGINT) AS copeland2,
+             |  CAST(sum(my_wins) AS BIGINT) AS borda,
+             |  CAST(sum(my_wins + opp_wins) AS BIGINT) AS duels,
+             |  bool_and(my_wins > opp_wins) AS condorcet
+             |FROM pers GROUP BY arm
+             |ORDER BY copeland2 DESC, borda DESC, arm""".stripMargin)),
+
+    // ---- Inter-annotator agreement ---------------------------------------
+    // Per-pair annotator majority split — the annotation-quality gate
+    // before a reward model trains on these comparisons. Two bounded
+    // aggregations; per-annotator verdicts are exact count majorities.
+    QueryDef("q344_pref_agreement", (s, d) =>
+      annotatorAgreement(t(s, d, "events")).orderBy("arm_a", "arm_b"),
+      Some(s"""WITH $sqlDuelsCte,
+             |pu AS (
+             |  SELECT user_id, least(winner, loser) AS arm_a,
+             |    greatest(winner, loser) AS arm_b,
+             |    count(*) FILTER (winner < loser) AS wa,
+             |    count(*) FILTER (winner > loser) AS wb
+             |  FROM duels GROUP BY 1, 2, 3)
+             |SELECT arm_a, arm_b,
+             |  CAST(count(*) FILTER (wa > wb) AS BIGINT) AS n_pref_a,
+             |  CAST(count(*) FILTER (wa < wb) AS BIGINT) AS n_pref_b,
+             |  CAST(count(*) FILTER (wa = wb) AS BIGINT) AS n_tie,
+             |  CAST(count(*) AS BIGINT) AS annotators,
+             |  CASE WHEN count(*) FILTER (wa > wb) > count(*) FILTER (wa < wb)
+             |         THEN arm_a
+             |       WHEN count(*) FILTER (wa < wb) > count(*) FILTER (wa > wb)
+             |         THEN arm_b
+             |       ELSE 'split' END AS majority
+             |FROM pu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- DPO pair construction -------------------------------------------
+    // Chosen/rejected extraction per prompt: strictly best vs strictly
+    // worst response with a minimum group size. The Spark side is one
+    // partial-aggregating max/min over a struct (no per-prompt window —
+    // a prompt's response count is unbounded at corpus scale); the
+    // oracle states the same argmax/argmin via row_number, which is
+    // fine on the oracle's single node.
+    QueryDef("q345_dpo_pairs", (s, d) =>
+      dpoPairs(t(s, d, "events")).orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT k, event_id, event_type, value,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value DESC, event_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value ASC, event_id ASC) AS rw,
+             |    count(*) OVER (PARTITION BY k) AS n
+             |  FROM e WHERE k IS NOT NULL)
+             |SELECT b.k, CAST(b.n AS BIGINT) AS n_responses,
+             |  b.event_id AS chosen_id, b.event_type AS chosen_type,
+             |  w.event_id AS rejected_id, w.event_type AS rejected_type
+             |FROM (SELECT * FROM r WHERE rb = 1) b
+             |JOIN (SELECT * FROM r WHERE rw = 1) w USING (k)
+             |WHERE b.n >= 3 AND b.value != w.value
+             |ORDER BY b.k""".stripMargin)),
+
+    // ---- Streaming duel-extraction face, driver-gated ---------------------
+    // The q336/q338 promotion for [[graft.streaming.Streams.duelIngest]]:
+    // comparisons are mined ONLINE as judgments arrive, with one
+    // last-event record per annotator in the state store. Single-trigger
+    // replay emits exactly q341's duel set — gated by the SAME oracle
+    // SQL text; the two-trigger arrival contract (a duel forms across
+    // the micro-batch boundary, state never resets) is spec-driven as a
+    // real MemoryStream in StreamingSpec.
+    QueryDef("q346_pref_ingest_face", (s, d) =>
+      graft.streaming.Streams.duelIngest(t(s, d, "events")).toDF()
+        .orderBy("user_id", "second_id"),
+      Some(sqlDuels)))
+}

@@ -736,6 +736,58 @@ object Streams {
       }
   }
 
+  /** One mined pairwise comparison — the batch q341 row shape. */
+  final case class Duel(user_id: Long, first_id: Long, second_id: Long,
+      winner: String, loser: String, later_won: Boolean)
+
+  /** The duel fold's state: one annotator's most recent judgment
+    * (~40 bytes per active annotator in the state store). */
+  final case class LastJudgment(us: Long, id: Long, typ: String,
+      value: Double)
+
+  /** Streaming twin of the batch q341 duel extraction — pairwise
+    * preferences mined ONLINE as annotator judgments arrive. State is
+    * the single most-recent judgment per annotator; each arrival with a
+    * different arm and a strict value difference emits one duel against
+    * it, then replaces it. Within a micro-batch an annotator's rows
+    * fold in (us, event_id) order — q341's exact ordering rule — so a
+    * single-batch replay reproduces the batch extraction row-for-row
+    * (the q346 gate); across micro-batches the fold continues from the
+    * stored judgment: a duel forms across the trigger boundary and
+    * state never resets — the online arrival contract StreamingSpec
+    * drives with a real MemoryStream. Same-arm or exact-tie arrivals
+    * emit nothing but STILL advance the state (they are the new most
+    * recent judgment), exactly like the batch window's lag(1). */
+  def duelIngest(events: DataFrame): Dataset[Duel] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastJudgment, Duel](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+            state: GroupState[LastJudgment]) =>
+          var prev = state.getOption
+          val out = Seq.newBuilder[Duel]
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
+            case (_, id, us, typ, v) =>
+              prev.foreach { p =>
+                if (p.typ != typ && p.value != v)
+                  out += Duel(user, p.id, id,
+                    if (v > p.value) typ else p.typ,
+                    if (v > p.value) p.typ else typ,
+                    v > p.value)
+              }
+              prev = Some(LastJudgment(us, id, typ, v))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -1,0 +1,157 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase, Tables}
+
+/** Laws for the preference-data family (q341–q346): a planted fixture
+  * with hand-computed duels, plus the exact conservation identities that
+  * tie the duel stream, the matrix, and the rankings together on real
+  * testdata.
+  */
+class PreferenceSpec extends AnyFunSuite with SparkTestBase {
+
+  private def ts(sec: Int) = new Timestamp(1700000000000L + sec * 1000L)
+
+  /** Two annotators, hand-traceable: u1's stream exercises the same-arm
+    * skip and the exact-tie skip; u2 is one clean duel. */
+  private lazy val planted: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (1L, 1L, ts(1), "a", 10.0, """{"k": 1}"""),
+      (1L, 2L, ts(2), "b", 20.0, """{"k": 1}"""),
+      (1L, 3L, ts(3), "a", 5.0, """{"k": 1}"""),
+      (1L, 4L, ts(4), "a", 7.0, """{"k": 1}"""), // same arm as 3: no duel
+      (1L, 5L, ts(5), "c", 7.0, """{"k": 1}"""), // exact tie with 4: no duel
+      (2L, 6L, ts(1), "a", 1.0, """{"k": 1}"""),
+      (2L, 7L, ts(2), "b", 2.0, """{"k": 1}"""))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+  }
+
+  test("planted duels: same-arm and exact-tie pairs are skipped, " +
+    "winners by value, later_won by position") {
+    val got = Preference.duels(planted)
+      .orderBy("user_id", "second_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L, "b", "a", true),   // 20 > 10, later event won
+      (1L, 2L, 3L, "b", "a", false),  // 20 > 5, earlier event won
+      (2L, 6L, 7L, "b", "a", true)))
+  }
+
+  test("planted matrix, copeland and agreement agree with the hand trace") {
+    val m = Preference.duelMatrix(planted).collect()
+    assert(m.length == 1)
+    val r = m.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ("a", "b", 0L, 3L, 3L, 2L))
+
+    val cop = Preference.copelandRanking(planted)
+      .orderBy("arm").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(cop == Seq(("a", 0L, 0L, 3L, false), ("b", 2L, 3L, 3L, true)))
+
+    val ag = Preference.annotatorAgreement(planted).collect()
+    assert(ag.length == 1)
+    val a = ag.head
+    assert((a.getString(0), a.getString(1), a.getLong(2), a.getLong(3),
+      a.getLong(4), a.getLong(5), a.getString(6)) ==
+      ("a", "b", 0L, 2L, 0L, 2L, "b"))
+  }
+
+  test("planted dpo pair: strict best vs strict worst, small and " +
+    "degenerate prompts excluded") {
+    import spark.implicits._
+    val ev = Seq(
+      // k=1: three responses, clean gap
+      (1L, 1L, ts(1), "x", 1.0, """{"k": 1}"""),
+      (1L, 2L, ts(2), "y", 2.0, """{"k": 1}"""),
+      (1L, 3L, ts(3), "z", 3.0, """{"k": 1}"""),
+      // k=2: only two responses — below minResponses
+      (2L, 4L, ts(1), "x", 1.0, """{"k": 2}"""),
+      (2L, 5L, ts(2), "y", 9.0, """{"k": 2}"""),
+      // k=3: all responses tie — no strict gap
+      (3L, 6L, ts(1), "x", 5.0, """{"k": 3}"""),
+      (3L, 7L, ts(2), "y", 5.0, """{"k": 3}"""),
+      (3L, 8L, ts(3), "z", 5.0, """{"k": 3}"""))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Preference.dpoPairs(ev).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3),
+      r.getLong(4), r.getString(5)) == (1, 3L, 3L, "z", 1L, "x"))
+  }
+
+  test("conservation laws on testdata: duels = matrix mass = borda mass; " +
+    "every pair contributes exactly 2 copeland points") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val nDuels = Preference.duels(ev).count()
+    assert(nDuels > 0)
+
+    val m = Preference.duelMatrix(ev)
+    val mm = m.agg(sum("n"), sum(expr("wins_a + wins_b")),
+      sum("n_later_wins")).head()
+    assert(mm.getLong(0) == nDuels && mm.getLong(1) == nDuels)
+    val laterWins = Preference.duels(ev).filter(col("later_won")).count()
+    assert(mm.getLong(2) == laterWins)
+
+    val nPairs = m.count()
+    val cop = Preference.copelandRanking(ev)
+    val cc = cop.agg(sum("copeland2"), sum("borda"), sum("duels")).head()
+    assert(cc.getLong(0) == 2L * nPairs)     // 2+0 or 1+1 per pair
+    assert(cc.getLong(1) == nDuels)          // each duel has one winner
+    assert(cc.getLong(2) == 2L * nDuels)     // each duel counted by both arms
+    // a condorcet winner beats every opponent: copeland2 = 2*(arms-1);
+    // and there can be at most one
+    val arms = cop.count()
+    val condorcet = cop.filter(col("condorcet")).collect()
+    assert(condorcet.length <= 1)
+    condorcet.foreach(r => assert(r.getLong(1) == 2L * (arms - 1)))
+  }
+
+  test("agreement accounting: annotator verdicts partition; majority " +
+    "names a real arm or 'split'") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val ag = Preference.annotatorAgreement(ev).collect()
+    assert(ag.nonEmpty)
+    ag.foreach { r =>
+      val (a, b, na, nb, nt, ann, maj) = (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6))
+      assert(na + nb + nt == ann)
+      assert(maj == a || maj == b || maj == "split")
+      if (na > nb) assert(maj == a)
+      if (nb > na) assert(maj == b)
+    }
+  }
+
+  test("dpo pairs on testdata: strict gap, min group size, ids distinct") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = SparkEntry.queries("q345_dpo_pairs")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) >= 3L)
+      assert(r.getLong(2) != r.getLong(4)) // chosen_id != rejected_id
+    }
+    // chosen really is the per-prompt argmax: spot-check via a join
+    val k0 = got.head.getInt(0)
+    val best = ev
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k") === k0)
+      .orderBy(col("value").desc, col("event_id").desc)
+      .select("event_id").head().getLong(0)
+    assert(got.head.getLong(2) == best)
+  }
+
+  test("streaming face single-batch replay equals batch q341 row-for-row") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = Preference.duels(ev)
+    val face = graft.streaming.Streams.duelIngest(ev).toDF()
+    assertSameRows(face, batch)
+  }
+}

@@ -674,4 +674,44 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
       assert(!b.exists(v => v._1 == 202L))
     } finally q.stop()
   }
+
+  test("streaming duel mining across two triggers equals batch q341: " +
+    "a duel forms over the micro-batch boundary, state never resets") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val q = Streams.duelIngest(
+        ms.toDF.toDF("user_id", "event_id", "ts", "event_type", "value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("duel_out").start()
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getString(3), r.getDouble(4)))
+    // split at the median event time: per annotator, every wave-1 event
+    // precedes every wave-2 event, so the only correctness question is
+    // whether the boundary duel (wave-1 tail vs wave-2 head) forms from
+    // state — the arrival contract this test pins
+    val cut = ev.map(_._3.getTime).sorted.apply(ev.length / 2)
+    try {
+      ms.addData(ev.filter(_._3.getTime <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      val wave1 = spark.table("duel_out").count()
+      ms.addData(ev.filter(_._3.getTime > cut).toIndexedSeq)
+      q.processAllAvailable()
+      // wave 2 emitted something, and some duel crosses the boundary
+      // (first_id arrived in wave 1, second_id in wave 2)
+      val wave1Ids = ev.filter(_._3.getTime <= cut).map(_._2).toSet
+      val all = spark.table("duel_out")
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      assert(all.length > wave1)
+      assert(all.exists(p => wave1Ids.contains(p._1) && !wave1Ids.contains(p._2)),
+        "no duel crossed the trigger boundary — state did not carry")
+    } finally q.stop()
+    val got = spark.table("duel_out")
+    val want = graft.queries.Preference.duels(Tables.load(spark, sfDir, "events"))
+    assertSameRows(got, want)
+  }
 }
