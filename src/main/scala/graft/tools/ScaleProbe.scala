@@ -420,6 +420,23 @@ object ScaleProbe {
       time(s"cusum_x$m") {
         graft.queries.Events.cusum(replicateEvents(m)).count()
       }
+      // duel mining: one user-keyed window shuffle; replicas are NEW
+      // annotators, so duel count and cost must scale linearly
+      time(s"pref_duels_x$m") {
+        graft.queries.Preference.duels(replicateEvents(m)).count()
+      }
+      // ranking rides the duel shuffle, then lives on the bounded
+      // arm-pair domain — the add-on over pref_duels must stay flat
+      time(s"pref_copeland_x$m") {
+        graft.queries.Preference.copelandRanking(replicateEvents(m)).count()
+      }
+      // DPO pairs: replicas keep the SAME prompt domain, so prompt
+      // groups get m-times DEEPER — the stress test for the
+      // max/min-over-struct partial agg (a per-prompt window would
+      // superlinearly sort; the hash agg must stay linear)
+      time(s"pref_dpo_x$m") {
+        graft.queries.Preference.dpoPairs(replicateEvents(m)).count()
+      }
       // lexical diversity: one (source, token) count shuffle with
       // map-side combine, vocab-bounded per-source rollup
       time(s"token_diversity_x$m") {
