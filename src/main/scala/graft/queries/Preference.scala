@@ -165,6 +165,88 @@ object Preference {
         col("w.event_id").as("rejected_id"),
         col("w.event_type").as("rejected_type"))
 
+  /** Prompt/response projection shared by the RL-rollout ops: prompt =
+    * `props.k`, response = one event, score = `value`. Null prompts and
+    * scores are excluded (no group / no signal). */
+  private def responses(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull && col("value").isNotNull)
+
+  /** GRPO-style group-relative standing per response (Shao et al. 2024's
+    * group-advantage idea, float-free): for each prompt (`props.k`) and
+    * response, `beats` = responses in the group with a strictly lower
+    * score, `beaten` = strictly higher, `n_group`, and `positive` =
+    * beats > beaten — the exact-arithmetic advantage SIGN (the z-scored
+    * magnitude is a float the trainer derives; the selection decision is
+    * the pipeline's job and is exact). Shape: per-(prompt, score) counts,
+    * then rank/cumsum windows over the per-prompt DISTINCT-SCORE table —
+    * the value-distribution pattern (q187/q294): the window frame is
+    * bounded by the rollout sampler's group size, never the corpus —
+    * then one equijoin back on (prompt, score). */
+  def grpoAdvantage(events: DataFrame): DataFrame = {
+    val e = responses(events)
+    val counts = e.groupBy("k", "value").agg(count(lit(1)).as("c"))
+    val lt = Window.partitionBy("k").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.partitionBy("k")
+    val dist = counts
+      .withColumn("beats", coalesce(sum(col("c")).over(lt), lit(0L)))
+      .withColumn("n_group", sum(col("c")).over(all))
+      .withColumn("beaten", col("n_group") - col("beats") - col("c"))
+    e.join(dist, Seq("k", "value"))
+      .select(col("k"), col("event_id"), col("event_type"),
+        col("beats"), col("beaten"), col("n_group"),
+        (col("beats") > col("beaten")).as("positive"))
+  }
+
+  /** Best-of-n / rejection-sampling manifest (RFT data prep): per prompt,
+    * the top `m` responses by (score desc, event_id asc), emitted as
+    * (k, rank, event_id). Ranked through the bounded
+    * [[graft.functions.TopKAgg]] partial aggregator — each map task
+    * pre-reduces its partition to m rows before the shuffle, so a prompt
+    * with a billion rollouts ships m rows per task, never a per-prompt
+    * sort (the q48/q333 ranking shape). Prompts with fewer than m
+    * responses keep what they have. */
+  def bestOfN(events: DataFrame, m: Int = 4): DataFrame = {
+    val e = responses(events)
+    import e.sparkSession.implicits._
+    val topk = new graft.functions.TopKAgg(m).toColumn
+    e.select(col("k").cast("long").as("k"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("top"))
+      .toDF("k", "top")
+      .select(col("k").cast("int").as("k"),
+        posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col("k"), (col("r0") + 1).cast("int").as("rank"),
+        col("t._2").as("event_id"))
+  }
+
+  /** Exact pass@k (Chen et al. 2021's estimator, integer-only): per
+    * prompt, n rollouts, c solved (solved = a `purchase` event — the
+    * fixture's categorical success), and the k=4 estimator's exact
+    * numerator/denominator: pass@4 = 1 - C(n-c,4)/C(n,4) =
+    * 1 - fail4_num/tot4_num with the 4! cancelled — falling-factorial
+    * products that stay in int64 for any plausible rollout count (n^4 <
+    * 2^63 up to n ≈ 55k) and hit a zero factor exactly when n-c < 4.
+    * Prompts with n < 4 are excluded (the estimator is undefined).
+    * One bounded-domain hash aggregation; consumers do the one float
+    * division downstream. */
+  def passAtK(events: DataFrame): DataFrame =
+    responses(events)
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "purchase", 1)).as("c"))
+      .filter(col("n") >= 4)
+      .withColumn("fail4_num",
+        (col("n") - col("c")) * (col("n") - col("c") - 1) *
+          (col("n") - col("c") - 2) * (col("n") - col("c") - 3))
+      .withColumn("tot4_num",
+        col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3))
+      .withColumn("any_pass", col("c") > 0)
+
   /** Shared duel-extraction CTE — the single SQL definition of the
     * comparison rule, consumed by every oracle below AND by the q346
     * streaming face (the q331/q336 twin rule: batch query and stateful
@@ -313,5 +395,71 @@ object Preference {
     QueryDef("q346_pref_ingest_face", (s, d) =>
       graft.streaming.Streams.duelIngest(t(s, d, "events")).toDF()
         .orderBy("user_id", "second_id"),
-      Some(sqlDuels)))
+      Some(sqlDuels)),
+
+    // ---- GRPO group-relative advantage ------------------------------------
+    // Exact group-relative standing per rollout: beats/beaten counts and
+    // the advantage sign, via rank/cumsum windows over each prompt's
+    // bounded DISTINCT-SCORE table (the value-distribution pattern) —
+    // never a window over the response rows themselves.
+    QueryDef("q347_grpo_advantage", (s, d) =>
+      grpoAdvantage(t(s, d, "events")).orderBy("k", "event_id"),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |d AS (
+             |  SELECT k, value, count(*) AS c FROM e
+             |  WHERE k IS NOT NULL GROUP BY 1, 2),
+             |dist AS (
+             |  SELECT k, value, c,
+             |    coalesce(sum(c) OVER (PARTITION BY k ORDER BY value
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS beats,
+             |    sum(c) OVER (PARTITION BY k) AS n_group
+             |  FROM d)
+             |SELECT e.k, e.event_id, e.event_type,
+             |  CAST(dist.beats AS BIGINT) AS beats,
+             |  CAST(dist.n_group - dist.beats - dist.c AS BIGINT) AS beaten,
+             |  CAST(dist.n_group AS BIGINT) AS n_group,
+             |  dist.beats > dist.n_group - dist.beats - dist.c AS positive
+             |FROM e JOIN dist USING (k, value)
+             |ORDER BY e.k, e.event_id""".stripMargin)),
+
+    // ---- Best-of-n / rejection-sampling manifest ---------------------------
+    // RFT data prep: the kept top-4 rollouts per prompt, ranked through
+    // the bounded TopKAgg partial aggregator (m rows per task cross the
+    // shuffle — no per-prompt sort at any rollout count).
+    QueryDef("q348_bon_manifest", (s, d) =>
+      bestOfN(t(s, d, "events"), 4).orderBy("k", "rank"),
+      Some("""WITH e AS (
+             |  SELECT event_id, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT k, event_id,
+             |    CAST(row_number() OVER (PARTITION BY k
+             |      ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+             |  FROM e WHERE k IS NOT NULL)
+             |SELECT k, rank, event_id FROM r WHERE rank <= 4
+             |ORDER BY k, rank""".stripMargin)),
+
+    // ---- Exact pass@k -------------------------------------------------------
+    // The eval-set statistic as exact falling-factorial numerators
+    // (pass@4 = 1 - fail4_num/tot4_num; the 4! cancels) — one
+    // bounded-domain aggregation, zero float arithmetic in the engine.
+    QueryDef("q349_passk_exact", (s, d) =>
+      passAtK(t(s, d, "events")).orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS c
+             |  FROM e WHERE k IS NOT NULL GROUP BY k)
+             |SELECT k, n, c,
+             |  (n-c)*(n-c-1)*(n-c-2)*(n-c-3) AS fail4_num,
+             |  n*(n-1)*(n-2)*(n-3) AS tot4_num,
+             |  c > 0 AS any_pass
+             |FROM g WHERE n >= 4 ORDER BY k""".stripMargin)))
 }

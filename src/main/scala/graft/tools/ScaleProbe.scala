@@ -437,6 +437,19 @@ object ScaleProbe {
       time(s"pref_dpo_x$m") {
         graft.queries.Preference.dpoPairs(replicateEvents(m)).count()
       }
+      // best-of-n: TopKAgg's O(m) buffer — deeper prompt groups must
+      // cost one scan, with 4 rows per (prompt, task) on the exchange
+      time(s"pref_bon_x$m") {
+        graft.queries.Preference.bestOfN(replicateEvents(m), 4).count()
+      }
+      // grpo: windows over the per-prompt DISTINCT-SCORE table; event
+      // replicas keep the same values, so the distribution table stays
+      // FIXED while response rows grow m-fold — the counts-first
+      // compression the value-distribution pattern exists for; cost
+      // must ride the scan + the (k, value) equijoin, never the window
+      time(s"pref_grpo_x$m") {
+        graft.queries.Preference.grpoAdvantage(replicateEvents(m)).count()
+      }
       // lexical diversity: one (source, token) count shuffle with
       // map-side combine, vocab-bounded per-source rollup
       time(s"token_diversity_x$m") {

@@ -148,6 +148,93 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     assert(got.head.getLong(2) == best)
   }
 
+  test("planted grpo advantage: beats/beaten from the hand trace") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(1), "x", 1.0, """{"k": 1}"""),
+      (1L, 2L, ts(2), "y", 2.0, """{"k": 1}"""),
+      (1L, 3L, ts(3), "z", 3.0, """{"k": 1}"""),
+      (1L, 4L, ts(4), "z", 2.0, """{"k": 1}""")) // ties with event 2
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Preference.grpoAdvantage(ev).orderBy("event_id")
+      .select("event_id", "beats", "beaten", "n_group", "positive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 4L, false),  // worst: beats none, beaten by 2.0,2.0,3.0
+      (2L, 1L, 1L, 4L, false),  // ties with 4: the tie counts neither way
+      (3L, 3L, 0L, 4L, true),   // best
+      (4L, 1L, 1L, 4L, false)))
+  }
+
+  test("grpo conservation on testdata: strict pairs count once each way; " +
+    "ties excluded from both sides") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val adv = Preference.grpoAdvantage(ev)
+    // per prompt, sum(beats) == sum(beaten) — every strict (lo, hi) pair
+    // contributes 1 to hi.beats and 1 to lo.beaten
+    val bad = adv.groupBy("k")
+      .agg(sum("beats").as("sb"), sum("beaten").as("sn"))
+      .filter(col("sb") =!= col("sn")).count()
+    assert(bad == 0)
+    // beats + beaten <= n_group - 1 (equality iff no score ties)
+    assert(adv.filter(col("beats") + col("beaten") > col("n_group") - 1)
+      .count() == 0)
+    assert(adv.count() > 0)
+  }
+
+  test("best-of-n manifest: <= m rows per prompt, rank-1 is the group max") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val bon = Preference.bestOfN(ev, 4)
+    assert(bon.filter(col("rank") > 4 || col("rank") < 1).count() == 0)
+    val overfull = bon.groupBy("k").count().filter(col("count") > 4).count()
+    assert(overfull == 0)
+    // the rank-1 pick carries the maximum score of its prompt group
+    val e = ev.withColumn("k",
+        get_json_object(col("props"), "$.k").cast("int"))
+      .filter(col("k").isNotNull && col("value").isNotNull)
+    val mx = e.groupBy("k").agg(max("value").as("vmax"))
+    val top1 = bon.filter(col("rank") === 1)
+      .join(e.select(col("k"), col("event_id"), col("value")),
+        Seq("k", "event_id"))
+      .join(mx, Seq("k"))
+    assert(top1.filter(col("value") =!= col("vmax")).count() == 0)
+    assert(top1.count() > 0)
+  }
+
+  test("exact pass@k identities: c=0 means certain failure, c>n-4 means " +
+    "certain success, estimator bounded") {
+    import spark.implicits._
+    val ev = Seq(
+      // k=1: 4 rollouts, 0 purchases -> fail4 == tot4
+      (1L, 1L, ts(1), "view", 1.0, """{"k": 1}"""),
+      (1L, 2L, ts(2), "view", 2.0, """{"k": 1}"""),
+      (1L, 3L, ts(3), "click", 3.0, """{"k": 1}"""),
+      (1L, 4L, ts(4), "click", 4.0, """{"k": 1}"""),
+      // k=2: 5 rollouts, 2 purchases (n-c=3 < 4) -> fail4 == 0
+      (2L, 5L, ts(1), "purchase", 1.0, """{"k": 2}"""),
+      (2L, 6L, ts(2), "purchase", 2.0, """{"k": 2}"""),
+      (2L, 7L, ts(3), "view", 3.0, """{"k": 2}"""),
+      (2L, 8L, ts(4), "view", 4.0, """{"k": 2}"""),
+      (2L, 9L, ts(5), "view", 5.0, """{"k": 2}"""),
+      // k=3: 3 rollouts — below the k=4 estimator's domain, excluded
+      (3L, 10L, ts(1), "purchase", 1.0, """{"k": 3}"""),
+      (3L, 11L, ts(2), "view", 2.0, """{"k": 3}"""),
+      (3L, 12L, ts(3), "view", 3.0, """{"k": 3}"""))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Preference.passAtK(ev).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      (1, 4L, 0L, 24L, 24L, false),  // C(4,4)=C(4,4): pass@4 = 0
+      (2, 5L, 2L, 0L, 120L, true)))  // C(3,4)=0: pass@4 = 1
+    // testdata: estimator stays in [0, 1] and n >= 4 everywhere
+    val real = Preference.passAtK(Tables.load(spark, sfDir, "events"))
+    assert(real.filter(col("fail4_num") > col("tot4_num") ||
+      col("fail4_num") < 0 || col("n") < 4).count() == 0)
+    assert(real.count() > 0)
+  }
+
   test("streaming face single-batch replay equals batch q341 row-for-row") {
     val ev = Tables.load(spark, sfDir, "events")
     val batch = Preference.duels(ev)
