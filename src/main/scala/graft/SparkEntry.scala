@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Curation.defs ++
       graft.queries.Layout.defs ++
       graft.queries.Quality.defs ++
-      graft.queries.Preference.defs
+      graft.queries.Preference.defs ++
+      graft.queries.Conversation.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -43,6 +43,9 @@ package object api {
   /** Preference-data ops (RLHF/DPO): duel mining, Copeland ranking,
     * annotator agreement, chosen/rejected pair construction. */
   val Preference = graft.queries.Preference
+  /** Conversation assembly for SFT: chat-quality gating, context-window
+    * truncation accounting, template-conversation dedup. */
+  val Conversation = graft.queries.Conversation
   /** Mergeable sketches: HLL, KLL, CMS, KMV, moments. */
   val Sketches = graft.queries.Sketches
   /** Structured Streaming faces: watermarked windows and stateful

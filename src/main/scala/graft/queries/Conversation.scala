@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Conversation-assembly operators — turning an interaction log into
+  * multi-turn SFT training data: chat-quality gating, context-window
+  * truncation accounting, and template-conversation dedup.
+  *
+  * Fixture mapping: a conversation = one user's events within an
+  * 8-hour inactivity gap (q31's sessionization rule with a
+  * conversation-scale gap — 30 minutes is a browsing session; a chat
+  * thread spans a workday), a turn = one event in (us, event_id)
+  * order, the turn's role = `event_type`, and the turn's token length
+  * = the JSON `props.k` (the q32 extraction). All statistics are exact
+  * integers; verdicts are comparisons.
+  *
+  * Scale shape: ONE shuffle on user_id, then every window/group is
+  * conversation-bounded — a conversation is human-generated and
+  * human-length-bounded (the q331 pack-group class of bound), never
+  * corpus-sized. No driver state, no all-pairs.
+  */
+object Conversation {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** The conversation-scale inactivity gap: 8 hours in microseconds. */
+  val GapUs: Long = 28800L * 1000000L
+
+  /** Turn projection: (user_id, conv_id, event_id, event_type, us, len)
+    * with conv_id from the q31 gap rule at conversation scale and len =
+    * the `props.k` token count. Null timestamps are excluded (no place
+    * on the time axis). One user-partitioned window pair. */
+  private[graft] def turns(events: DataFrame,
+      gapUs: Long = GapUs): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    events.filter(col("ts").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("len", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("conv_id", sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "conv_id", "event_id", "event_type", "us", "len")
+  }
+
+  /** Chat-quality gate per conversation: turn count, duration, distinct
+    * roles, total token length, role-alternation breaks (consecutive
+    * same-role turns), and the keep verdict (>= 2 turns, breaks at most
+    * a quarter of turns, fits a 2048-token context). The conversation
+    * filter an SFT pipeline runs before assembly — single-turn threads
+    * and degenerate role runs carry no dialogue signal. Per-conversation
+    * lag + one grouped aggregation, both conversation-bounded. */
+  def chatGate(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
+    val wconv = Window.partitionBy("user_id", "conv_id")
+      .orderBy("us", "event_id")
+    turns(events, gapUs)
+      .withColumn("pt", lag("event_type", 1).over(wconv))
+      .groupBy("user_id", "conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        (max("us") - min("us")).as("dur_us"),
+        countDistinct("event_type").as("n_roles"),
+        sum(col("len").cast("long")).as("total_len"),
+        count(when(col("pt") === col("event_type"), 1)).as("n_breaks"))
+      .withColumn("keep",
+        col("n_turns") >= 2 && col("n_breaks") * 4 <= col("n_turns") &&
+          col("total_len") <= 2048)
+  }
+
+  /** SFT context-truncation accounting: one training example per turn
+    * (the turn is the target; the trailing turns that fit the token
+    * budget are its context). Emits (user_id, conv_id, event_id,
+    * prior_tokens, n_ctx_turns, ctx_tokens) where prior_tokens is the
+    * conversation's token count before the target and n_ctx_turns /
+    * ctx_tokens describe the longest trailing context within `budget`.
+    *
+    * The trailing-fit lookup is a RANGE window over the monotone prefix
+    * sum (the q94 exact-microsecond rolling pattern, on tokens instead
+    * of time): frame = prior_tokens in [current - budget, current], so
+    * n_ctx_turns = frame size - 1 and ctx_tokens = current - frame min
+    * — no per-example self-join, one conversation-bounded window pass.
+    * Zero-length turns are frame peers in both engines (identical RANGE
+    * tie semantics), which is the correct reading: a zero-token turn
+    * costs nothing and never evicts context. */
+  def sftExamples(events: DataFrame, budget: Long = 256L,
+      gapUs: Long = GapUs): DataFrame = {
+    val prior = Window.partitionBy("user_id", "conv_id")
+      .orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val fr = Window.partitionBy("user_id", "conv_id")
+      .orderBy("prior_tokens").rangeBetween(-budget, 0)
+    turns(events, gapUs)
+      .withColumn("prior_tokens",
+        coalesce(sum(col("len").cast("long")).over(prior), lit(0L)))
+      .withColumn("n_ctx_turns", count(lit(1)).over(fr) - 1)
+      .withColumn("ctx_tokens",
+        col("prior_tokens") - min("prior_tokens").over(fr))
+      .select("user_id", "conv_id", "event_id", "prior_tokens",
+        "n_ctx_turns", "ctx_tokens")
+  }
+
+  /** Template-conversation dedup: conversations with an IDENTICAL
+    * ordered role sequence, reported as (path, n_convs, n_users) for
+    * every duplicated template. The chat-corpus twin of q117's
+    * boilerplate report — scripted flows (bot loops, form funnels)
+    * produce thousands of structurally identical "conversations" that
+    * would dominate an SFT mix. Path assembly is a conversation-bounded
+    * collect + sort; the template rollup is a narrow groupBy on the
+    * path string. */
+  def convTemplates(events: DataFrame, gapUs: Long = GapUs): DataFrame =
+    turns(events, gapUs)
+      .groupBy("user_id", "conv_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_convs"),
+        countDistinct("user_id").as("n_users"))
+      .filter(col("n_convs") >= 2)
+
+  /** Shared turn-projection CTE (gap = 8 h), ending in
+    * `turns(user_id, conv_id, event_id, event_type, us, len)` — the
+    * single SQL statement of the conversation rule, consumed by all
+    * three oracles so the rule cannot drift between them. */
+  private val sqlTurnsCte =
+    s"""t0 AS MATERIALIZED (
+       |  SELECT user_id, event_id, event_type,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+       |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS len,
+       |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+       |  FROM events WHERE ts IS NOT NULL
+       |  WINDOW w AS (PARTITION BY user_id
+       |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
+       |turns AS MATERIALIZED (
+       |  SELECT user_id, event_id, event_type, us, len,
+       |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
+       |      THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS conv_id
+       |  FROM t0)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- Chat-quality gate -------------------------------------------------
+    // Per-conversation structural stats + the SFT keep verdict: the
+    // filter that drops single-turn threads, role-run degeneracies and
+    // context-overflow conversations before assembly.
+    QueryDef("q350_chat_gate", (s, d) =>
+      chatGate(t(s, d, "events")).orderBy("user_id", "conv_id"),
+      Some(s"""WITH $sqlTurnsCte,
+             |g AS (
+             |  SELECT user_id, conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             |    max(us) - min(us) AS dur_us,
+             |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
+             |    CAST(sum(len) AS BIGINT) AS total_len
+             |  FROM turns GROUP BY 1, 2),
+             |br AS (
+             |  SELECT user_id, conv_id,
+             |    CAST(count(*) FILTER (pt = event_type) AS BIGINT) AS n_breaks
+             |  FROM (SELECT user_id, conv_id, event_type,
+             |          lag(event_type) OVER (PARTITION BY user_id, conv_id
+             |            ORDER BY us, event_id) AS pt
+             |        FROM turns)
+             |  GROUP BY 1, 2)
+             |SELECT g.user_id, g.conv_id, n_turns, dur_us, n_roles,
+             |  total_len, n_breaks,
+             |  n_turns >= 2 AND n_breaks * 4 <= n_turns
+             |    AND total_len <= 2048 AS keep
+             |FROM g JOIN br USING (user_id, conv_id)
+             |ORDER BY user_id, conv_id""".stripMargin)),
+
+    // ---- SFT context-truncation accounting ---------------------------------
+    // One example per target turn with its budget-fitted trailing
+    // context, via a RANGE window over the monotone token prefix sum —
+    // the q94 rolling pattern on tokens.
+    QueryDef("q351_sft_examples", (s, d) =>
+      sftExamples(t(s, d, "events"))
+        .orderBy("user_id", "conv_id", "event_id"),
+      Some(s"""WITH $sqlTurnsCte,
+             |x AS (
+             |  SELECT user_id, conv_id, event_id, us, len,
+             |    CAST(coalesce(sum(len) OVER (PARTITION BY user_id, conv_id
+             |      ORDER BY us, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS prior_tokens
+             |  FROM turns)
+             |SELECT user_id, conv_id, event_id, prior_tokens,
+             |  CAST(count(*) OVER fr - 1 AS BIGINT) AS n_ctx_turns,
+             |  CAST(prior_tokens - min(prior_tokens) OVER fr AS BIGINT)
+             |    AS ctx_tokens
+             |FROM x
+             |WINDOW fr AS (PARTITION BY user_id, conv_id
+             |  ORDER BY prior_tokens
+             |  RANGE BETWEEN 256 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, conv_id, event_id""".stripMargin)),
+
+    // ---- Template-conversation dedup ---------------------------------------
+    // Duplicated ordered role sequences across conversations — the
+    // scripted-flow report an SFT mix audits before training.
+    QueryDef("q352_conv_templates", (s, d) =>
+      convTemplates(t(s, d, "events"))
+        .orderBy(col("n_convs").desc, col("path")),
+      Some(s"""WITH $sqlTurnsCte,
+             |p AS (
+             |  SELECT user_id, conv_id,
+             |    string_agg(event_type, '>' ORDER BY us, event_id) AS path
+             |  FROM turns GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_convs,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM p GROUP BY path HAVING count(*) >= 2
+             |ORDER BY n_convs DESC, path""".stripMargin)))
+}

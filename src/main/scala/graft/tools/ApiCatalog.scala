@@ -36,6 +36,7 @@ object ApiCatalog {
     ("Layout", graft.queries.Layout, "src/main/scala/graft/queries/Layout.scala", "Layout"),
     ("Quality", graft.queries.Quality, "src/main/scala/graft/queries/Quality.scala", "Quality"),
     ("Preference", graft.queries.Preference, "src/main/scala/graft/queries/Preference.scala", "Preference"),
+    ("Conversation", graft.queries.Conversation, "src/main/scala/graft/queries/Conversation.scala", "Conversation"),
     ("Sketches", graft.queries.Sketches, "src/main/scala/graft/queries/Sketches.scala", "Sketches"),
     ("Streams", graft.streaming.Streams, "src/main/scala/graft/streaming/Streams.scala", "Streams"),
     ("Functions", graft.functions.ArrayExprs, "src/main/scala/graft/functions/ArrayExprs.scala", "ArrayExprs"))

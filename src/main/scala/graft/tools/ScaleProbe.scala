@@ -450,6 +450,15 @@ object ScaleProbe {
       time(s"pref_grpo_x$m") {
         graft.queries.Preference.grpoAdvantage(replicateEvents(m)).count()
       }
+      // conversation assembly: replicas are NEW USERS, so conversations
+      // multiply while each stays human-length-bounded — one user
+      // shuffle + conversation-bounded windows must scale linearly
+      time(s"conv_gate_x$m") {
+        graft.queries.Conversation.chatGate(replicateEvents(m)).count()
+      }
+      time(s"conv_sft_x$m") {
+        graft.queries.Conversation.sftExamples(replicateEvents(m)).count()
+      }
       // lexical diversity: one (source, token) count shuffle with
       // map-side combine, vocab-bounded per-source rollup
       time(s"token_diversity_x$m") {
