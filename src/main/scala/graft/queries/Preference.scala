@@ -194,7 +194,11 @@ object Preference {
       .withColumn("beats", coalesce(sum(col("c")).over(lt), lit(0L)))
       .withColumn("n_group", sum(col("c")).over(all))
       .withColumn("beaten", col("n_group") - col("beats") - col("c"))
-    e.join(dist, Seq("k", "value"))
+    // dist is corpus-derived ((prompt, distinct-score) rows) — at local
+    // SF it sits under the broadcast threshold and AQE would flip it to
+    // a corpus-sized broadcast; pinned shuffled-hash, the honest arm at
+    // any scale (the q135/q278/q334 convention)
+    e.join(dist.hint("shuffle_hash"), Seq("k", "value"))
       .select(col("k"), col("event_id"), col("event_type"),
         col("beats"), col("beaten"), col("n_group"),
         (col("beats") > col("beaten")).as("positive"))
