@@ -165,6 +165,74 @@ object Preference {
         col("w.event_id").as("rejected_id"),
         col("w.event_type").as("rejected_type"))
 
+  /** Annotator-reliability report (the MACE-style spammer screen, by
+    * exact counts): per annotator, the arm pairs where they hold a
+    * STRICT personal verdict and the pair's annotator majority is also
+    * strict; `n_agree` of those match the majority; `flagged` =
+    * worse-than-chance (n_agree * 2 < n_scored). Majority here is
+    * leave-annotator-IN (the q344 statistic — at real annotator counts
+    * one vote cannot flip a strict majority, and the exact-count rule
+    * keeps the two queries one definition). Bounded aggregations only:
+    * (user, pair) verdicts, (pair) majorities, one broadcastable
+    * arm-pair majority table joined back to per-user verdicts. */
+  def annotatorReliability(events: DataFrame): DataFrame = {
+    val d = duels(events).select(col("user_id"),
+      least(col("winner"), col("loser")).as("arm_a"),
+      greatest(col("winner"), col("loser")).as("arm_b"),
+      (col("winner") < col("loser")).as("a_won"))
+    val pu = d.groupBy("user_id", "arm_a", "arm_b")
+      .agg(count(when(col("a_won"), 1)).as("wa"),
+        count(when(!col("a_won"), 1)).as("wb"))
+      .filter(col("wa") =!= col("wb"))
+      .withColumn("verdict",
+        when(col("wa") > col("wb"), col("arm_a")).otherwise(col("arm_b")))
+    val maj = annotatorAgreement(events)
+      .filter(col("majority") =!= "split")
+      .select("arm_a", "arm_b", "majority")
+    pu.join(broadcast(maj), Seq("arm_a", "arm_b")) // bounded arm-pair domain
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_scored"),
+        count(when(col("verdict") === col("majority"), 1)).as("n_agree"))
+      .withColumn("flagged", col("n_agree") * 2 < col("n_scored"))
+  }
+
+  /** Condorcet-cycle audit over the majority tournament: every ordered
+    * strict-majority edge (winner beats loser on duel counts), and the
+    * arm triads {a,b,c} whose edges form a cycle (a>b>c>a) — the
+    * intransitivity a Bradley–Terry fit silently averages away and a
+    * reward model inherits as noise. Output: one row per unordered
+    * triad with all three edges strict, cyclic = true/false. The whole
+    * computation lives on the bounded arm domain (edges = arms², triads
+    * = arms³ — configuration-sized, never corpus-sized). */
+  def duelTransitivity(events: DataFrame): DataFrame = {
+    val m = duelMatrix(events)
+    val edges = m.filter(col("wins_a") =!= col("wins_b"))
+      .select(
+        when(col("wins_a") > col("wins_b"), col("arm_a"))
+          .otherwise(col("arm_b")).as("w"),
+        when(col("wins_a") > col("wins_b"), col("arm_b"))
+          .otherwise(col("arm_a")).as("l"))
+    val e1 = edges.select(col("w").as("a"), col("l").as("b"))
+    val e2 = edges.select(col("w").as("b2"), col("l").as("c"))
+    val e3 = edges.select(col("w").as("w3"), col("l").as("l3"))
+    // every 2-edge path a->b->c closed by a third strict edge names the
+    // triad; a transitive triad yields exactly one such path (top->
+    // mid->bottom), a cyclic one yields three (one per rotation, all
+    // cyclic) — sorting the triple and deduping canonicalizes both to
+    // one row, and a triad's edge set is either cyclic or not, so the
+    // (triple, cyclic) pair is unique
+    e1.join(e2, col("b") === col("b2"))
+      .filter(col("a") =!= col("c"))
+      .join(e3, (col("w3") === col("c") && col("l3") === col("a")) ||
+        (col("w3") === col("a") && col("l3") === col("c")))
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"),
+        (col("w3") === col("c")).as("cyclic"))
+      .select(element_at(col("t"), 1).as("x"),
+        element_at(col("t"), 2).as("y"),
+        element_at(col("t"), 3).as("z"), col("cyclic"))
+      .distinct()
+  }
+
   /** Prompt/response projection shared by the RL-rollout ops: prompt =
     * `props.k`, response = one event, score = `value`. Null prompts and
     * scores are excluded (no group / no signal). */
@@ -465,5 +533,64 @@ object Preference {
              |  (n-c)*(n-c-1)*(n-c-2)*(n-c-3) AS fail4_num,
              |  n*(n-1)*(n-2)*(n-3) AS tot4_num,
              |  c > 0 AS any_pass
-             |FROM g WHERE n >= 4 ORDER BY k""".stripMargin)))
+             |FROM g WHERE n >= 4 ORDER BY k""".stripMargin)),
+
+    // ---- Annotator reliability (spammer screen) ----------------------------
+    // Per annotator: strict personal verdicts scored against the strict
+    // pair majorities; flagged = worse than chance. The MACE-style
+    // annotation-quality report, by exact counts.
+    QueryDef("q353_annotator_reliability", (s, d) =>
+      annotatorReliability(t(s, d, "events")).orderBy("user_id"),
+      Some(s"""WITH $sqlDuelsCte,
+             |pu AS (
+             |  SELECT user_id, least(winner, loser) AS arm_a,
+             |    greatest(winner, loser) AS arm_b,
+             |    count(*) FILTER (winner < loser) AS wa,
+             |    count(*) FILTER (winner > loser) AS wb
+             |  FROM duels GROUP BY 1, 2, 3),
+             |pv AS (
+             |  SELECT user_id, arm_a, arm_b,
+             |    CASE WHEN wa > wb THEN arm_a ELSE arm_b END AS verdict
+             |  FROM pu WHERE wa != wb),
+             |mj AS (
+             |  SELECT arm_a, arm_b,
+             |    CASE WHEN count(*) FILTER (wa > wb) > count(*) FILTER (wa < wb)
+             |           THEN arm_a
+             |         WHEN count(*) FILTER (wa < wb) > count(*) FILTER (wa > wb)
+             |           THEN arm_b END AS majority
+             |  FROM pu GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_scored,
+             |  CAST(count(*) FILTER (verdict = majority) AS BIGINT) AS n_agree,
+             |  count(*) FILTER (verdict = majority) * 2 < count(*) AS flagged
+             |FROM pv JOIN mj USING (arm_a, arm_b)
+             |WHERE majority IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- Condorcet-cycle audit ---------------------------------------------
+    // Intransitive majority triads in the duel tournament — preference
+    // noise a pairwise ranking model cannot represent. Bounded arm
+    // domain throughout (edges = arms^2, triads = arms^3).
+    QueryDef("q354_duel_transitivity", (s, d) =>
+      duelTransitivity(t(s, d, "events")).orderBy("x", "y", "z"),
+      Some(s"""WITH $sqlDuelsCte,
+             |m AS (
+             |  SELECT least(winner, loser) AS arm_a,
+             |    greatest(winner, loser) AS arm_b,
+             |    count(*) FILTER (winner < loser) AS wins_a,
+             |    count(*) FILTER (winner > loser) AS wins_b
+             |  FROM duels GROUP BY 1, 2),
+             |e AS (
+             |  SELECT CASE WHEN wins_a > wins_b THEN arm_a ELSE arm_b END AS w,
+             |    CASE WHEN wins_a > wins_b THEN arm_b ELSE arm_a END AS l
+             |  FROM m WHERE wins_a != wins_b),
+             |p AS (
+             |  SELECT e1.w AS a, e1.l AS b, e2.l AS c
+             |  FROM e e1 JOIN e e2 ON e1.l = e2.w WHERE e1.w != e2.l),
+             |cl AS (
+             |  SELECT a, b, c, e3.w = c AS cyclic
+             |  FROM p JOIN e e3
+             |    ON (e3.w = c AND e3.l = a) OR (e3.w = a AND e3.l = c))
+             |SELECT DISTINCT t[1] AS x, t[2] AS y, t[3] AS z, cyclic
+             |FROM (SELECT list_sort([a, b, c]) AS t, cyclic FROM cl)
+             |ORDER BY x, y, z""".stripMargin)))
 }

@@ -235,6 +235,42 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     assert(real.count() > 0)
   }
 
+  test("planted condorcet cycle: rock-paper-scissors majorities yield one " +
+    "cyclic triad; reliability scores every annotator as the majority") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(1), "b", 1.0, "{}"), (1L, 2L, ts(2), "a", 2.0, "{}"), // a>b
+      (2L, 3L, ts(1), "c", 1.0, "{}"), (2L, 4L, ts(2), "b", 2.0, "{}"), // b>c
+      (3L, 5L, ts(1), "a", 1.0, "{}"), (3L, 6L, ts(2), "c", 2.0, "{}")) // c>a
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val tri = Preference.duelTransitivity(ev).collect()
+    assert(tri.length == 1)
+    assert((tri.head.getString(0), tri.head.getString(1),
+      tri.head.getString(2), tri.head.getBoolean(3)) == ("a", "b", "c", true))
+    // each pair has exactly one (strict) annotator verdict, so every
+    // annotator IS the majority: scored 1, agreed 1, unflagged
+    val rel = Preference.annotatorReliability(ev).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(rel == Seq((1L, 1L, 1L, false), (2L, 1L, 1L, false),
+      (3L, 1L, 1L, false)))
+  }
+
+  test("transitivity and reliability bounds on testdata") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val tri = Preference.duelTransitivity(ev).collect()
+    // every strict-edge triple of the 5-arm tournament appears once
+    assert(tri.length <= 10 && tri.nonEmpty)
+    assert(tri.map(r => (r.getString(0), r.getString(1),
+      r.getString(2))).distinct.length == tri.length)
+    val rel = Preference.annotatorReliability(ev).collect()
+    assert(rel.nonEmpty)
+    rel.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // n_agree <= n_scored
+      assert(r.getBoolean(3) == (r.getLong(2) * 2 < r.getLong(1)))
+    }
+  }
+
   test("streaming face single-batch replay equals batch q341 row-for-row") {
     val ev = Tables.load(spark, sfDir, "events")
     val batch = Preference.duels(ev)
