@@ -319,6 +319,38 @@ object Preference {
         col("n") * (col("n") - 1) * (col("n") - 2) * (col("n") - 3))
       .withColumn("any_pass", col("c") > 0)
 
+  /** Self-consistency vote per prompt (Wang et al. 2023's
+    * majority-voting data op, by exact counts): the modal response arm
+    * among a prompt's rollouts, its count, the runner-up count, and the
+    * unanimity flag — the margin a consensus-distillation pipeline
+    * thresholds on before keeping the modal answer as a training label.
+    * Ties break to the lexicographically smallest arm (min over a
+    * (-count, arm) struct — deterministic in both engines). Two hash
+    * aggregations with map-side partials ((prompt, arm) counts, then
+    * per-prompt min over structs) plus prompt-keyed joins back — the
+    * prompt table is corpus-derived (one row per prompt), so both
+    * joins are pinned shuffled-hash (the q135/q278/q334 convention);
+    * no windows, no per-prompt sort. */
+  def selfConsistency(events: DataFrame): DataFrame = {
+    val counts = responses(events)
+      .groupBy("k", "event_type").agg(count(lit(1)).as("cnt"))
+    val modal = counts.groupBy("k")
+      .agg(min(struct((-col("cnt")).as("nc"), col("event_type").as("ty")))
+          .as("m"),
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_arms"))
+      .select(col("k"), (-col("m.nc")).as("modal_n"),
+        col("m.ty").as("modal_type"), col("n"), col("n_arms"))
+    val runner = counts.join(modal.hint("shuffle_hash"), Seq("k"))
+      .filter(col("event_type") =!= col("modal_type"))
+      .groupBy("k").agg(max(col("cnt")).as("runner_n"))
+    modal.join(runner.hint("shuffle_hash"), Seq("k"), "left")
+      .select(col("k"), col("n"), col("n_arms"),
+        col("modal_type"), col("modal_n"),
+        coalesce(col("runner_n"), lit(0L)).as("runner_n"))
+      .withColumn("unanimous", col("modal_n") === col("n"))
+  }
+
   /** Shared duel-extraction CTE — the single SQL definition of the
     * comparison rule, consumed by every oracle below AND by the q346
     * streaming face (the q331/q336 twin rule: batch query and stateful
@@ -592,5 +624,34 @@ object Preference {
              |    ON (e3.w = c AND e3.l = a) OR (e3.w = a AND e3.l = c))
              |SELECT DISTINCT t[1] AS x, t[2] AS y, t[3] AS z, cyclic
              |FROM (SELECT list_sort([a, b, c]) AS t, cyclic FROM cl)
-             |ORDER BY x, y, z""".stripMargin)))
+             |ORDER BY x, y, z""".stripMargin)),
+
+    // ---- Self-consistency majority vote ------------------------------------
+    // Modal-answer selection per prompt with the consensus margin — the
+    // keep-the-majority-label op of consensus distillation. Exact counts,
+    // deterministic tie-break, no per-prompt sort.
+    QueryDef("q355_self_consistency", (s, d) =>
+      selfConsistency(t(s, d, "events")).orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |c AS (
+             |  SELECT k, event_type, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM e WHERE k IS NOT NULL GROUP BY 1, 2),
+             |r AS (
+             |  SELECT k, event_type, cnt,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY cnt DESC, event_type ASC) AS rk,
+             |    sum(cnt) OVER (PARTITION BY k) AS n,
+             |    count(*) OVER (PARTITION BY k) AS n_arms
+             |  FROM c)
+             |SELECT m.k, CAST(m.n AS BIGINT) AS n,
+             |  CAST(m.n_arms AS BIGINT) AS n_arms,
+             |  m.event_type AS modal_type, m.cnt AS modal_n,
+             |  coalesce(r2.cnt, 0) AS runner_n,
+             |  m.cnt = m.n AS unanimous
+             |FROM (SELECT * FROM r WHERE rk = 1) m
+             |LEFT JOIN (SELECT * FROM r WHERE rk = 2) r2 USING (k)
+             |ORDER BY m.k""".stripMargin)))
 }

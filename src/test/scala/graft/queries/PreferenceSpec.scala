@@ -271,6 +271,36 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("planted self-consistency: modal count, lexicographic tie-break, " +
+    "unanimity") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(1), "x", 1.0, """{"k": 1}"""),
+      (1L, 2L, ts(2), "x", 2.0, """{"k": 1}"""),
+      (1L, 3L, ts(3), "y", 3.0, """{"k": 1}"""),
+      (2L, 4L, ts(1), "y", 1.0, """{"k": 2}"""),
+      (2L, 5L, ts(2), "y", 2.0, """{"k": 2}"""),
+      (3L, 6L, ts(1), "y", 1.0, """{"k": 3}"""), // 1-1 tie: modal = lex
+      (3L, 7L, ts(2), "x", 2.0, """{"k": 3}"""))
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Preference.selfConsistency(ev).orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      (1, 3L, 2L, "x", 2L, 1L, false),
+      (2, 2L, 1L, "y", 2L, 0L, true),
+      (3, 2L, 2L, "x", 1L, 1L, false)))
+  }
+
+  test("self-consistency bounds on testdata: modal dominates, unanimity " +
+    "iff a single arm") {
+    val sc = Preference.selfConsistency(Tables.load(spark, sfDir, "events"))
+    assert(sc.count() > 0)
+    assert(sc.filter(col("modal_n") < col("runner_n") ||
+      col("modal_n") + col("runner_n") > col("n") ||
+      col("unanimous") =!= (col("n_arms") === 1)).count() == 0)
+  }
+
   test("streaming face single-batch replay equals batch q341 row-for-row") {
     val ev = Tables.load(spark, sfDir, "events")
     val batch = Preference.duels(ev)
