@@ -220,13 +220,21 @@ object Preference {
     // mid->bottom), a cyclic one yields three (one per rotation, all
     // cyclic) — sorting the triple and deduping canonicalizes both to
     // one row, and a triad's edge set is either cyclic or not, so the
-    // (triple, cyclic) pair is unique
-    e1.join(e2, col("b") === col("b2"))
+    // (triple, cyclic) pair is unique. The closing edge is matched by
+    // direction as two EQUIJOINS unioned (an OR-of-ANDs condition
+    // would plan a nested-loop join): c->a closes a cycle, a->c closes
+    // a transitive order.
+    val paths = e1.join(e2, col("b") === col("b2"))
       .filter(col("a") =!= col("c"))
-      .join(e3, (col("w3") === col("c") && col("l3") === col("a")) ||
-        (col("w3") === col("a") && col("l3") === col("c")))
+    val cyc = paths.join(e3,
+        col("w3") === col("c") && col("l3") === col("a"))
+      .withColumn("cyclic", lit(true))
+    val trans = paths.join(e3,
+        col("w3") === col("a") && col("l3") === col("c"))
+      .withColumn("cyclic", lit(false))
+    cyc.unionByName(trans)
       .select(array_sort(array(col("a"), col("b"), col("c"))).as("t"),
-        (col("w3") === col("c")).as("cyclic"))
+        col("cyclic"))
       .select(element_at(col("t"), 1).as("x"),
         element_at(col("t"), 2).as("y"),
         element_at(col("t"), 3).as("z"), col("cyclic"))
