@@ -26,6 +26,69 @@ import graft.{QueryDef, Tables}
 object Layout {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Length-bucketed batching plan (dynamic-padding layout): equi-depth
+    * token-length buckets (exact quantile boundaries from the length
+    * DISTRIBUTION — one row per distinct length, the q96 rule, so the
+    * cumulative window is bounded by the length domain, never the
+    * corpus) with per-bucket document/token mass and the padding waste
+    * a fixed-shape batcher would pay inside each bucket (docs * max_len
+    * - tokens). The table a training loader consults to trade bucket
+    * count against padding. */
+  def lengthBuckets(docs: org.apache.spark.sql.DataFrame,
+      nBuckets: Int = 4): org.apache.spark.sql.DataFrame = {
+    val dist = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("n").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(Sampling.onePart(col("n"))).orderBy("n")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(Sampling.onePart(col("n")))
+    dist
+      .withColumn("cf", sum("c").over(cum))
+      .withColumn("total", sum("c").over(all))
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L), expr(s"(cf - c) * $nBuckets div total")))
+      .groupBy("bucket")
+      .agg(sum("c").as("docs"), min("n").as("lo"), max("n").as("hi"),
+        sum(col("c") * col("n")).as("tokens"))
+      .withColumn("padding_waste", col("docs") * col("hi") - col("tokens"))
+  }
+
+  /** Needle-insertion plan for long-context eval data: for every
+    * document long enough to host one, the exact token position a
+    * needle lands at for each retrieval depth in {10, 50, 90}% —
+    * `depth * (n - 1) div 100`, pure integer arithmetic. Map-only (the
+    * q335 span-plan class): no shuffle, no state, rides the scan. */
+  def needlePlan(docs: org.apache.spark.sql.DataFrame,
+      minTokens: Long = 32L): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") >= minTokens)
+      .withColumn("depth", explode(array(lit(10), lit(50), lit(90))))
+      .withColumn("needle_pos", expr("depth * (n - 1) div 100"))
+      .select("doc_id", "n", "depth", "needle_pos")
+
+  /** Length-distribution upsampling for long-context training: per
+    * power-of-two length bucket (bucket = |bin(n)| - 1, an integer
+    * bit-length — floor(log2) without float log), the integer repeat
+    * factor that levels each bucket's token mass up toward the largest
+    * bucket, capped at `cap` epochs (the data-constrained repeat bound).
+    * One distribution aggregation plus a single-row broadcast of the
+    * max — the plan a length-extension run uses to oversample the long
+    * tail. */
+  def lengthUpsample(docs: org.apache.spark.sql.DataFrame,
+      cap: Long = 8L): org.apache.spark.sql.DataFrame = {
+    val g = docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("bucket", (length(bin(col("n"))) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum("n").as("tokens"))
+    g.crossJoin(broadcast(g.agg(max("tokens").as("mt"))))
+      .withColumn("repeat_factor",
+        least(lit(cap), expr("(mt + tokens - 1) div tokens")))
+      .withColumn("effective_tokens", col("tokens") * col("repeat_factor"))
+      .select("bucket", "docs", "tokens", "repeat_factor", "effective_tokens")
+  }
+
   /** Bit-interleave two 16-bit values (x in even bits, y in odd bits) —
     * the Morton / z-order curve key. Constants are precomputed in Scala
     * so both engines evaluate identical 32-term integer arithmetic; only
@@ -697,5 +760,62 @@ object Layout {
            |FROM g CROSS JOIN tot
            |ORDER BY shard_before, shard_after""".stripMargin
       }),
+
+    // ---- Length-bucketed batching plan -------------------------------------
+    // Equi-depth token-length buckets with per-bucket padding waste —
+    // the dynamic-padding layout table. Distribution-bounded windows
+    // (the q96 class), then a 4-row rollup.
+    QueryDef("q356_length_buckets", (s, d) =>
+      lengthBuckets(t(s, d, "documents")).orderBy("bucket"),
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |dist AS (SELECT n, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY n),
+             |cum AS (
+             |  SELECT n, c, sum(c) OVER (ORDER BY n) AS cf,
+             |    sum(c) OVER () AS total
+             |  FROM dist),
+             |b AS (
+             |  SELECT n, c,
+             |    CAST(least(3, (cf - c) * 4 // total) AS BIGINT) AS bucket
+             |  FROM cum)
+             |SELECT bucket, CAST(sum(c) AS BIGINT) AS docs,
+             |  min(n) AS lo, max(n) AS hi,
+             |  CAST(sum(c * n) AS BIGINT) AS tokens,
+             |  CAST(sum(c) * max(n) - sum(c * n) AS BIGINT) AS padding_waste
+             |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // ---- Needle-insertion plan (long-context eval prep) --------------------
+    // Exact needle positions per (document, retrieval depth) — map-only
+    // integer arithmetic, the q335 class.
+    QueryDef("q357_needle_plan", (s, d) =>
+      needlePlan(t(s, d, "documents")).orderBy("doc_id", "depth"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents)
+             |SELECT doc_id, n, depth, depth * (n - 1) // 100 AS needle_pos
+             |FROM d CROSS JOIN (SELECT unnest([10, 50, 90]) AS depth)
+             |WHERE n >= 32 ORDER BY doc_id, depth""".stripMargin)),
+
+    // ---- Length-distribution upsampling ------------------------------------
+    // Integer repeat factors that level power-of-two length buckets up
+    // toward the longest bucket's token mass (capped) — the
+    // long-context oversampling plan. Bit-length buckets, no float log.
+    QueryDef("q358_length_upsample", (s, d) =>
+      lengthUpsample(t(s, d, "documents")).orderBy("bucket"),
+      Some("""WITH d AS (
+             |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |  FROM documents),
+             |g AS (
+             |  SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS bucket,
+             |    CAST(count(*) AS BIGINT) AS docs,
+             |    CAST(sum(n) AS BIGINT) AS tokens
+             |  FROM d GROUP BY 1),
+             |m AS (SELECT max(tokens) AS mt FROM g)
+             |SELECT bucket, docs, tokens,
+             |  least(8, (mt + tokens - 1) // tokens) AS repeat_factor,
+             |  tokens * least(8, (mt + tokens - 1) // tokens)
+             |    AS effective_tokens
+             |FROM g, m ORDER BY bucket""".stripMargin)),
   )
 }

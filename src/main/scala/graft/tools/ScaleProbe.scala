@@ -459,6 +459,16 @@ object ScaleProbe {
       time(s"conv_sft_x$m") {
         graft.queries.Conversation.sftExamples(replicateEvents(m)).count()
       }
+      // length-bucket plan: doc replicas keep every LENGTH (prefixes
+      // change tokens, not counts), so the distribution table is fixed
+      // while counts deepen — cost must ride the scan (the grpo class)
+      time(s"layout_lenbuckets_x$m") {
+        graft.queries.Layout.lengthBuckets(docs).count()
+      }
+      // needle plan: map-only, rows = 3x eligible docs, linear
+      time(s"layout_needle_x$m") {
+        graft.queries.Layout.needlePlan(docs).count()
+      }
       // lexical diversity: one (source, token) count shuffle with
       // map-side combine, vocab-bounded per-source rollup
       time(s"token_diversity_x$m") {

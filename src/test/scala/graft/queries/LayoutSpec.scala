@@ -152,4 +152,65 @@ class LayoutSpec extends AnyFunSuite with SparkTestBase {
       assert(row.getAs[String]("advice") == want)
     }
   }
+
+  test("q356: planted quartiles — distinct lengths split one per bucket, " +
+    "zero intra-bucket padding") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Layout.lengthBuckets(docs).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (0L, 1L, 1L, 1L, 1L, 0L), (1L, 1L, 2L, 2L, 2L, 0L),
+      (2L, 1L, 3L, 3L, 3L, 0L), (3L, 1L, 4L, 4L, 4L, 0L)))
+  }
+
+  test("q356 on testdata: buckets partition the corpus into ascending " +
+    "non-overlapping ranges; waste is the padding identity") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val b = Layout.lengthBuckets(docs).orderBy("bucket").collect()
+    assert(b.map(_.getLong(1)).sum == docs.count())
+    b.sliding(2).foreach { case Array(x, y) =>
+      assert(x.getLong(3) < y.getLong(2)) // hi(bucket) < lo(bucket+1)
+    case _ => ()
+    }
+    b.foreach { r =>
+      assert(r.getLong(5) == r.getLong(1) * r.getLong(3) - r.getLong(4))
+      assert(r.getLong(5) >= 0)
+    }
+  }
+
+  test("q357: needle positions are in-range and monotone in depth; " +
+    "three rows per eligible document") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val p = SparkEntry.queries("q357_needle_plan")(spark, sfDir)
+    val eligible = docs
+      .filter(size(split(col("text"), " ")) >= 32).count()
+    assert(p.count() == 3 * eligible && eligible > 0)
+    p.collect().foreach { r =>
+      val (n, pos) = (r.getLong(1), r.getLong(3))
+      assert(pos >= 0 && pos <= n - 1)
+    }
+    val bad = p.groupBy("doc_id")
+      .agg(min(when(col("depth") === 90, col("needle_pos"))).as("p90"),
+        min(when(col("depth") === 10, col("needle_pos"))).as("p10"))
+      .filter(col("p90") < col("p10")).count()
+    assert(bad == 0)
+  }
+
+  test("q358: repeat factors are capped, the heaviest bucket stays at 1, " +
+    "effective mass is the product identity") {
+    val got = SparkEntry.queries("q358_length_upsample")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val maxTokens = got.map(_.getLong(2)).max
+    got.foreach { r =>
+      val (tokens, rep, eff) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rep >= 1 && rep <= 8)
+      assert(eff == tokens * rep)
+      if (tokens == maxTokens) assert(rep == 1L)
+      // leveling never overshoots except by the ceil remainder or cap
+      assert(rep == 8L || (rep - 1) * tokens < maxTokens)
+    }
+  }
 }

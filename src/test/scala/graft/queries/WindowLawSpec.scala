@@ -61,6 +61,11 @@ class WindowLawSpec extends AnyFunSuite {
     "Layout.scala:statsFor" ->
       ("q168 percentile crossing over the counts-of-counts distribution " +
         "(one row per distinct multiplicity, the q64/q219 trick)"),
+    "Layout.scala:lengthBuckets" ->
+      ("q356 cumulative window over the token-length DISTRIBUTION " +
+        "(one row per distinct length — q96's rule)"),
+    "Layout.scala:lengthBuckets" ->
+      "q356 grand total over the same bounded length distribution",
     "Quality.scala:ksOf" ->
       ("q290 cumulative KS window over the token-length DISTRIBUTION " +
         "(one row per distinct length — q96's rule)"),
