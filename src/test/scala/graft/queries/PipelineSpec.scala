@@ -2456,7 +2456,8 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q331_pack_nextfit", // one-row corpus-count cross join (q76's class)
       "q332_pack_efficiency", // q331's one-row count cross, three sweep cells
       "q333_hard_negatives", // q48's bounded 50-anchor broadcast, label-filtered (q119's class)
-      "q334_bitext_margin") // q137's fixed 64-row centroid broadcast (probed assignment)
+      "q334_bitext_margin", // q137's fixed 64-row centroid broadcast (probed assignment)
+      "q358_length_upsample") // one-row max-token-mass cross join (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
