@@ -17,6 +17,56 @@ import graft.{QueryDef, Tables}
 object Multimodal {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Video near-duplicate pairs — the fourth modality's dedup primitive
+    * (text: q45/q65 set joins; images: q337 dHash blocks; audio: q340
+    * fingerprint anchors). A video is identified by its FRAME SET: the
+    * stub decode's nf = nb % 16 + 1 frames are contiguous byte slices
+    * (frame f covers [f*nb/nf, (f+1)*nb/nf)), each fingerprinted by md5
+    * of its bytes (the q338 exact-row convention — a full frame slice
+    * is near-unique content, so md5 equality IS frame identity and the
+    * 2^-64 collision odds are the q63 class). Two videos are near-dups
+    * when their frame-set Jaccard >= 1/2, tested exactly by counts
+    * (3 * |shared| >= |A| + |B|). A localized edit changes ONE frame,
+    * so a tampered copy still shares nf-1 frames — exactly what the
+    * planted single-byte variants (the q337 planting rule) verify.
+    *
+    * Scale shape: candidate generation is ONE equijoin on the frame
+    * fingerprint (a bucket join — the q45 blocking class; buckets are
+    * true-duplicate frames only, no banding needed because the
+    * fingerprint is exact content identity), then two shuffled-hash
+    * joins back to the per-video frame counts. No all-pairs anywhere. */
+  def videoNearDup(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = documents
+      .filter(octet_length(col("text")) % 3 === 2)
+      .select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(substring(col("text"), 1, 10), lit("x"),
+          expr("substring(text, 12)")).as("text"))
+    val frames = base.unionByName(planted)
+      .withColumn("nb", octet_length(col("text")).cast("long"))
+      .withColumn("nf", col("nb") % 16 + 1)
+      .select(col("doc_id"), col("text"), col("nb"), col("nf"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("f"))
+      .withColumn("s0", expr("f * nb div nf"))
+      .withColumn("s1", expr("(f + 1) * nb div nf"))
+      .select(col("doc_id"), md5(expr(
+        "substring(text, CAST(s0 AS INT) + 1, CAST(s1 - s0 AS INT))"))
+        .as("fh"))
+      .distinct()
+    val sizes = frames.groupBy("doc_id").agg(count(lit(1)).as("nfr"))
+    val inter = frames.toDF("doc_a", "fh")
+      .join(frames.toDF("doc_b", "fh").hint("shuffle_hash"), "fh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.toDF("doc_a", "n_a").hint("shuffle_hash"), "doc_a")
+      .join(sizes.toDF("doc_b", "n_b").hint("shuffle_hash"), "doc_b")
+      .filter(col("n_shared") * 3 >= col("n_a") + col("n_b"))
+      .select("doc_a", "doc_b", "n_shared", "n_a", "n_b")
+  }
+
   /** Shared oracle CTE chain of the pHash family (q337/q339): the
     * img-format universe with planted variants (`u`), per-payload
     * grid cells + widths, and the lo/hi dHash signature halves
@@ -412,6 +462,50 @@ object Multimodal {
              |        ORDER BY n_anchors DESC, span_len DESC, d_off) AS rn
              |      FROM ofs)
              |WHERE rn = 1 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Video near-duplicate pairs (frame-set Jaccard) --------------------
+    // Completes the modality-dedup matrix (text q45/q65, images q337,
+    // audio q340): videos match when their frame-fingerprint sets share
+    // Jaccard >= 1/2, tested exactly by counts. Candidates come from ONE
+    // equijoin on the frame fingerprint; a planted single-byte tamper
+    // changes one frame and must still match (nf - 1 shared frames).
+    QueryDef("q359_video_neardup", (s, d) =>
+      videoNearDup(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
+      Some("""WITH base AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 2),
+             |u AS MATERIALIZED (
+             |  SELECT doc_id, text FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    substr(text, 1, 10) || 'x' || substr(text, 12)
+             |  FROM base WHERE doc_id % 10 = 0),
+             |v AS (
+             |  SELECT doc_id, text,
+             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
+             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 16 + 1
+             |      AS nf
+             |  FROM u),
+             |fr AS MATERIALIZED (
+             |  SELECT DISTINCT doc_id,
+             |    md5(substr(text, CAST(f * nb // nf AS INTEGER) + 1,
+             |      CAST((f + 1) * nb // nf - f * nb // nf AS INTEGER)))
+             |      AS fh
+             |  FROM (SELECT doc_id, text, nb, nf, unnest(range(nf)) AS f
+             |        FROM v)),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfr
+             |       FROM fr GROUP BY doc_id),
+             |pr AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(count(*) AS BIGINT) AS n_shared
+             |  FROM fr a JOIN fr b ON a.fh = b.fh AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b, n_shared, sa.nfr AS n_a, sb.nfr AS n_b
+             |FROM pr
+             |JOIN sz sa ON pr.doc_a = sa.doc_id
+             |JOIN sz sb ON pr.doc_b = sb.doc_id
+             |WHERE n_shared * 3 >= sa.nfr + sb.nfr
+             |ORDER BY doc_a, doc_b""".stripMargin)),
   )
 
   /** The audio-alignment universe (q340): audio-format payloads plus,

@@ -469,6 +469,12 @@ object ScaleProbe {
       time(s"layout_needle_x$m") {
         graft.queries.Layout.needlePlan(docs).count()
       }
+      // video near-dup: replica prefixes change every byte slice, so
+      // frame fingerprints decorrelate across replicas and pairs stay
+      // within-replica — one fingerprint equijoin, linear
+      time(s"video_neardup_x$m") {
+        graft.queries.Multimodal.videoNearDup(docs).count()
+      }
       // lexical diversity: one (source, token) count shuffle with
       // map-side combine, vocab-bounded per-source rollup
       time(s"token_diversity_x$m") {

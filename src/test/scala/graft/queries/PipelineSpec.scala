@@ -796,6 +796,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.size >= 12, "fixture must exercise the hit path")
   }
 
+  test("q359 planted video tampers are recovered; Jaccard certificate " +
+    "holds on every emitted pair") {
+    import spark.implicits._
+    // synthetic payloads, ALL video-format by construction (length 200,
+    // 200 % 3 == 2 -> video; nf = 200 % 16 + 1 = 9 frames); the i*j
+    // mixing term breaks any cross-video periodicity, so no two distinct
+    // videos share a frame slice
+    val base = (0L until 90L).map { i =>
+      (i, (0 until 200).map(j =>
+        ('a' + ((i * 1009 + j * 131 + (i * j) % 97) % 26)).toChar).mkString)
+    }
+    val got = graft.queries.Multimodal.videoNearDup(base.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // 1) every planted single-byte tamper pairs with its source: the
+    //    edit changes ONE of 9 frames -> 8 shared, J = 8/10 >= 1/2
+    val planted = got.collect { case (a, b, _, _, _) if b == a + 1000000L => a }.toSet
+    assert((0L until 90L by 10L).toSet.subsetOf(planted), s"missing: $planted")
+    // 2) the exact-count Jaccard certificate holds on every pair
+    got.foreach { case (_, _, sh, na, nb) =>
+      assert(sh * 3 >= na + nb && sh <= math.min(na, nb))
+    }
+    // 3) distinct videos never match: frame md5s are content identity
+    //    and the fixture's payloads share no slice across videos
+    assert(got.forall { case (a, b, _, _, _) => b == a + 1000000L })
+  }
+
   test("q340 planted segment copies align at the construction offset") {
     val rows = q("q340_audio_align").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)))
