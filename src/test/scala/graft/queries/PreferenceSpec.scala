@@ -301,6 +301,45 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
       col("unanimous") =!= (col("n_arms") === 1)).count() == 0)
   }
 
+  test("cross-op consistency: dpo endpoints carry the grpo advantage " +
+    "sign, best-of-n rank 1 scores equal the dpo chosen score") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val dpo = Preference.dpoPairs(ev)
+    val adv = Preference.grpoAdvantage(ev)
+      .select(col("k"), col("event_id"), col("positive"))
+    // the strictly-best response has positive advantage; the strictly
+    // worst cannot (beats = 0, beaten >= 1 whenever n >= 3 and a gap
+    // exists) — holds even under score ties among the middle ranks
+    val chosenBad = dpo.select(col("k"), col("chosen_id").as("event_id"))
+      .join(adv, Seq("k", "event_id")).filter(!col("positive")).count()
+    val rejectedBad = dpo.select(col("k"), col("rejected_id").as("event_id"))
+      .join(adv, Seq("k", "event_id")).filter(col("positive")).count()
+    assert(chosenBad == 0 && rejectedBad == 0)
+    // best-of-n's rank-1 pick scores exactly the dpo chosen score (ids
+    // may differ only under a top-score tie, where the tie-breaks point
+    // opposite ways — scores must agree regardless)
+    val scores = ev
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .select(col("k"), col("event_id"), col("value"))
+    val top1 = Preference.bestOfN(ev, 4).filter(col("rank") === 1)
+      .join(scores, Seq("k", "event_id"))
+      .select(col("k"), col("value").as("bon_v"))
+    val mism = dpo.select(col("k"), col("chosen_id").as("event_id"))
+      .join(scores, Seq("k", "event_id"))
+      .join(top1, Seq("k"))
+      .filter(col("value") =!= col("bon_v")).count()
+    assert(mism == 0)
+    // self-consistency's modal count is a true per-(prompt, arm) max
+    val counts = scores.join(
+        ev.select(col("event_id"), col("event_type")), "event_id")
+      .groupBy("k", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("k").agg(max("c").as("true_max"))
+    val scBad = Preference.selfConsistency(ev)
+      .join(counts, Seq("k"))
+      .filter(col("modal_n") =!= col("true_max")).count()
+    assert(scBad == 0)
+  }
+
   test("streaming face single-batch replay equals batch q341 row-for-row") {
     val ev = Tables.load(spark, sfDir, "events")
     val batch = Preference.duels(ev)
