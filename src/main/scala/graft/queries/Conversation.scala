@@ -53,8 +53,12 @@ object Conversation {
     * same-role turns), and the keep verdict (>= 2 turns, breaks at most
     * a quarter of turns, fits a 2048-token context). The conversation
     * filter an SFT pipeline runs before assembly — single-turn threads
-    * and degenerate role runs carry no dialogue signal. Per-conversation
-    * lag + one grouped aggregation, both conversation-bounded. */
+    * and degenerate role runs carry no dialogue signal. The verdict is
+    * TOTAL: a conversation where no turn has a parseable token count
+    * (total_len NULL) gates to keep = false, never NULL — a downstream
+    * filter on keep must see an explicit verdict for every thread, not
+    * silently drop the unparseable ones. Per-conversation lag + one
+    * grouped aggregation, both conversation-bounded. */
   def chatGate(events: DataFrame, gapUs: Long = GapUs): DataFrame = {
     val wconv = Window.partitionBy("user_id", "conv_id")
       .orderBy("us", "event_id")
@@ -67,8 +71,9 @@ object Conversation {
         sum(col("len").cast("long")).as("total_len"),
         count(when(col("pt") === col("event_type"), 1)).as("n_breaks"))
       .withColumn("keep",
-        col("n_turns") >= 2 && col("n_breaks") * 4 <= col("n_turns") &&
-          col("total_len") <= 2048)
+        coalesce(col("n_turns") >= 2 &&
+          col("n_breaks") * 4 <= col("n_turns") &&
+          col("total_len") <= 2048, lit(false)))
   }
 
   /** SFT context-truncation accounting: one training example per turn
@@ -84,8 +89,17 @@ object Conversation {
     * n_ctx_turns = frame size - 1 and ctx_tokens = current - frame min
     * — no per-example self-join, one conversation-bounded window pass.
     * Zero-length turns are frame peers in both engines (identical RANGE
-    * tie semantics), which is the correct reading: a zero-token turn
-    * costs nothing and never evicts context. */
+    * tie semantics): a zero-token turn costs nothing and never evicts
+    * context. Explicit caveat on that tie rule: the frame is keyed by
+    * prior_tokens alone, so a zero-cost (or null-length) turn occurring
+    * AFTER the target shares the target's prior_tokens value and is
+    * counted in n_ctx_turns — "trailing context" here means the set of
+    * zero-or-more-token-distance peers, which can include later
+    * zero-cost turns. ctx_tokens (the budget arithmetic) is unaffected:
+    * those peers contribute 0 tokens by construction. A strict
+    * earlier-turns-only count would need a rows-based frame over a
+    * dense turn index (a second lookup join); the token accounting —
+    * the column the packer consumes — is identical either way. */
   def sftExamples(events: DataFrame, budget: Long = 256L,
       gapUs: Long = GapUs): DataFrame = {
     val prior = Window.partitionBy("user_id", "conv_id")
@@ -171,8 +185,8 @@ object Conversation {
              |  GROUP BY 1, 2)
              |SELECT g.user_id, g.conv_id, n_turns, dur_us, n_roles,
              |  total_len, n_breaks,
-             |  n_turns >= 2 AND n_breaks * 4 <= n_turns
-             |    AND total_len <= 2048 AS keep
+             |  coalesce(n_turns >= 2 AND n_breaks * 4 <= n_turns
+             |    AND total_len <= 2048, false) AS keep
              |FROM g JOIN br USING (user_id, conv_id)
              |ORDER BY user_id, conv_id""".stripMargin)),
 

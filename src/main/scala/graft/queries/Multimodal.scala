@@ -20,8 +20,9 @@ object Multimodal {
   /** Video near-duplicate pairs — the fourth modality's dedup primitive
     * (text: q45/q65 set joins; images: q337 dHash blocks; audio: q340
     * fingerprint anchors). A video is identified by its FRAME SET: the
-    * stub decode's nf = nb % 16 + 1 frames are contiguous byte slices
-    * (frame f covers [f*nb/nf, (f+1)*nb/nf)), each fingerprinted by md5
+    * stub decode's nf = nb % 16 + 1 frames are contiguous CHARACTER
+    * slices over the payload (nb = character length — see the in-body
+    * note; frame f covers [f*nb/nf, (f+1)*nb/nf)), each fingerprinted by md5
     * of its bytes (the q338 exact-row convention — a full frame slice
     * is near-unique content, so md5 equality IS frame identity and the
     * 2^-64 collision odds are the q63 class). Two videos are near-dups
@@ -44,13 +45,22 @@ object Multimodal {
       .select((col("doc_id") + 1000000L).as("doc_id"),
         concat(substring(col("text"), 1, 10), lit("x"),
           expr("substring(text, 12)")).as("text"))
+    // nb is the CHARACTER length because the frame slices below are
+    // character-based substrings — deriving nb from octet_length would,
+    // on any non-ASCII payload, run past the character domain and make
+    // every trailing frame the empty string, whose md5('') is identical
+    // across unrelated videos (a false-dup magnet AND an all-pairs hot
+    // bucket). On the ASCII testdata the two lengths coincide, so both
+    // engines are unchanged; the s1 > s0 guard additionally drops any
+    // degenerate empty slice a sub-frame-count payload could produce.
     val frames = base.unionByName(planted)
-      .withColumn("nb", octet_length(col("text")).cast("long"))
+      .withColumn("nb", length(col("text")).cast("long"))
       .withColumn("nf", col("nb") % 16 + 1)
       .select(col("doc_id"), col("text"), col("nb"), col("nf"),
         explode(sequence(lit(0L), col("nf") - 1)).as("f"))
       .withColumn("s0", expr("f * nb div nf"))
       .withColumn("s1", expr("(f + 1) * nb div nf"))
+      .filter(col("s1") > col("s0"))
       .select(col("doc_id"), md5(expr(
         "substring(text, CAST(s0 AS INT) + 1, CAST(s1 - s0 AS INT))"))
         .as("fh"))
@@ -482,9 +492,8 @@ object Multimodal {
              |  FROM base WHERE doc_id % 10 = 0),
              |v AS (
              |  SELECT doc_id, text,
-             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nb,
-             |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) % 16 + 1
-             |      AS nf
+             |    CAST(length(text) AS BIGINT) AS nb,
+             |    CAST(length(text) AS BIGINT) % 16 + 1 AS nf
              |  FROM u),
              |fr AS MATERIALIZED (
              |  SELECT DISTINCT doc_id,
@@ -492,7 +501,8 @@ object Multimodal {
              |      CAST((f + 1) * nb // nf - f * nb // nf AS INTEGER)))
              |      AS fh
              |  FROM (SELECT doc_id, text, nb, nf, unnest(range(nf)) AS f
-             |        FROM v)),
+             |        FROM v)
+             |  WHERE (f + 1) * nb // nf > f * nb // nf),
              |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfr
              |       FROM fr GROUP BY doc_id),
              |pr AS (

@@ -775,11 +775,20 @@ object Streams {
           rows.toSeq.sortBy(r => (r._3, r._2)).foreach {
             case (_, id, us, typ, v) =>
               prev.foreach { p =>
-                if (p.typ != typ && p.value != v)
+                // Catalyst comparison semantics, NOT Scala primitives
+                // (the q346 twin rule: batch duels() compares with =!=
+                // and >): NaN equals NaN (Scala NaN != NaN is true) and
+                // sorts ABOVE every other double; -0.0 equals 0.0.
+                // Double.compare gives the NaN ordering; the == 0.0
+                // normalization removes its -0.0 < 0.0 distinction.
+                val cmp = java.lang.Double.compare(
+                  if (p.value == 0.0d) 0.0d else p.value,
+                  if (v == 0.0d) 0.0d else v)
+                if (p.typ != typ && cmp != 0)
                   out += Duel(user, p.id, id,
-                    if (v > p.value) typ else p.typ,
-                    if (v > p.value) p.typ else typ,
-                    v > p.value)
+                    if (cmp < 0) typ else p.typ,
+                    if (cmp < 0) p.typ else typ,
+                    cmp < 0)
               }
               prev = Some(LastJudgment(us, id, typ, v))
           }
