@@ -122,6 +122,47 @@ object Multimodal {
       |  FROM ce CROSS JOIN range(8) rr(r) CROSS JOIN range(8) cc(c)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Shared oracle CTE chain of the audio-anchor family (q340/q361):
+    * the audio universe with planted segment copies (`au`), the
+    * content-keyed 16-byte frame anchors (`sel` — position + 62-bit
+    * hash). One definition, so the alignment query and the anchor-load
+    * report cannot drift. */
+  private def sqlAudioAnchorCtes: String =
+    s"""ab AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 1
+       |    AND octet_length(CAST(text AS BLOB)) >= 64),
+       |au AS MATERIALIZED (
+       |  SELECT doc_id, text FROM ab
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, repeat('q', 11) || substr(text, 30)
+       |  FROM ab WHERE doc_id % 15 = 0),
+       |tkc AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, '') AS t FROM au),
+       |hw AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_filter(range(1, len(t) - 14),
+       |        i -> (unicode(t[i]) * 31 + unicode(t[i+1])) % 8 = 0),
+       |      i -> [CAST(i - 1 AS BIGINT),
+       |            ${Dedup.sqlStringHash62("array_to_string(t[i:i+15], ' ')")}])
+       |      AS ph
+       |  FROM tkc),
+       |sel AS MATERIALIZED (
+       |  SELECT doc_id, CAST(pr[1] AS INTEGER) AS p, pr[2] AS h
+       |  FROM (SELECT doc_id, unnest(ph) AS pr FROM hw))""".stripMargin
+
+  /** Cap grid of the two modality load reports (q360/q361): powers of
+    * two bracketing the shipped caps, small enough that the gate corpora
+    * exercise the nonzero-fence rows (anchor df reaches 5 at sf0.01).
+    * Declared ABOVE defs: both are vals and defs interpolates the grid
+    * into its oracle SQL at initialization. */
+  private[queries] val LoadReportCaps: Seq[Int] = Seq(2, 4, 8, 16, 32, 64)
+
+  /** The load reports' shared SQL cap grid. */
+  private def sqlCapGrid: String =
+    s"(SELECT CAST(unnest([${LoadReportCaps.mkString(", ")}]) AS INTEGER) AS cap)"
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Binary metadata extraction: byte length, content hash, and
@@ -365,9 +406,10 @@ object Multimodal {
     // Scale shape: q46's 4x16-bit pigeonhole block index — Hamming <= 3
     // guarantees one of the 4 blocks matches exactly, so candidates come
     // from an EQUI-join on (block idx, block value), never all pairs;
-    // popcount(xor) verifies. Per-bucket size is n/2^16 per block in
-    // expectation (the q46-documented ceiling; widen blocks to 5x12 or
-    // pre-split hot buckets before petabyte-scale image corpora).
+    // popcount(xor) verifies. Hot buckets (boilerplate gradient
+    // patterns far above the n/2^16 expected load) are fenced by the
+    // BlockDfCap df-cap tier — the q229 stop-key rule — with q360 as
+    // the report that sizes the cap on a concrete corpus.
     QueryDef("q337_phash_neardup", (s, d) =>
       phashNearDups(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
       Some(s"""WITH $sqlPhashSigCtes
@@ -430,34 +472,13 @@ object Multimodal {
     // The third modality's dedup primitive (text: q45/q65 set joins;
     // images: q337 dHash; audio: ALIGNMENT — a copied PASSAGE at any
     // position, which no set hash sees). See [[audioAlign]] for the
-    // method and scale shape; planted segment copies (audioCorpus) pin
-    // the hit path at every SF: each planted pair must align at byte
-    // offset -18 with a span covering most of the shared suffix.
+    // method and the df-capped (AnchorDfCap) candidate join; planted
+    // segment copies (audioCorpus) pin the hit path at every SF: each
+    // planted pair must align at byte offset -18 with a span covering
+    // most of the shared suffix.
     QueryDef("q340_audio_align", (s, d) =>
       audioAlign(t(s, d, "documents")).orderBy("doc_a", "doc_b"),
-      Some(s"""WITH ab AS MATERIALIZED (
-             |  SELECT doc_id, text FROM documents
-             |  WHERE octet_length(CAST(text AS BLOB)) % 3 = 1
-             |    AND octet_length(CAST(text AS BLOB)) >= 64),
-             |au AS MATERIALIZED (
-             |  SELECT doc_id, text FROM ab
-             |  UNION ALL
-             |  SELECT doc_id + 2000000, repeat('q', 11) || substr(text, 30)
-             |  FROM ab WHERE doc_id % 15 = 0),
-             |tkc AS MATERIALIZED (
-             |  SELECT doc_id, string_split(text, '') AS t FROM au),
-             |hw AS MATERIALIZED (
-             |  SELECT doc_id,
-             |    list_transform(
-             |      list_filter(range(1, len(t) - 14),
-             |        i -> (unicode(t[i]) * 31 + unicode(t[i+1])) % 8 = 0),
-             |      i -> [CAST(i - 1 AS BIGINT),
-             |            ${Dedup.sqlStringHash62("array_to_string(t[i:i+15], ' ')")}])
-             |      AS ph
-             |  FROM tkc),
-             |sel AS MATERIALIZED (
-             |  SELECT doc_id, CAST(pr[1] AS INTEGER) AS p, pr[2] AS h
-             |  FROM (SELECT doc_id, unnest(ph) AS pr FROM hw)),
+      Some(s"""WITH $sqlAudioAnchorCtes,
              |ofs AS MATERIALIZED (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |    b.p - a.p AS d_off,
@@ -516,6 +537,77 @@ object Multimodal {
              |JOIN sz sb ON pr.doc_b = sb.doc_id
              |WHERE n_shared * 3 >= sa.nfr + sb.nfr
              |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ---- Pigeonhole block-load report (the BlockDfCap instrument) ---------
+    // q266's bucket-load discipline applied to q337's image block index:
+    // per block and candidate cap, the bucket census, the candidate-pair
+    // bill sum(df*(df-1)/2), and the fenced/kept split — the table an
+    // operator reads to retune BlockDfCap before a petabyte image run
+    // (organic load on a 16-bit block grows as n/2^16; the fence is for
+    // boilerplate buckets orders of magnitude above that). Reads only
+    // the df DISTRIBUTION (one map-combined agg), never the pair join;
+    // the cap sweep rides the tiny df table (the q280 one-pass trick).
+    QueryDef("q360_phash_block_load", (s, d) =>
+      phashBlockLoad(t(s, d, "documents")).orderBy("blk", "cap"),
+      Some(s"""WITH $sqlPhashSigCtes,
+             |blocks AS MATERIALIZED (
+             |  SELECT doc_id, b.blk,
+             |    (CASE WHEN b.blk < 2 THEN lo >> (b.blk * 16)
+             |          ELSE hi >> ((b.blk - 2) * 16) END) & 65535 AS bv
+             |  FROM sig CROSS JOIN
+             |    (SELECT CAST(unnest(range(4)) AS INTEGER) AS blk) b),
+             |df AS MATERIALIZED (
+             |  SELECT blk, bv, CAST(count(*) AS BIGINT) AS nd
+             |  FROM blocks GROUP BY 1, 2)
+             |SELECT blk, cap,
+             |  CAST(count(*) AS BIGINT) AS n_buckets,
+             |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_pairing,
+             |  CAST(max(nd) AS BIGINT) AS max_k,
+             |  CAST(coalesce(sum(nd * (nd - 1) // 2), 0) AS BIGINT)
+             |    AS pairs_total,
+             |  CAST(coalesce(sum(CASE WHEN nd > cap THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_hot,
+             |  CAST(coalesce(sum(CASE WHEN nd > cap
+             |    THEN nd * (nd - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+             |    AS fenced_pairs,
+             |  CAST(coalesce(sum(nd * (nd - 1) // 2), 0)
+             |    - coalesce(sum(CASE WHEN nd > cap
+             |        THEN nd * (nd - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+             |    AS kept_pairs
+             |FROM df CROSS JOIN $sqlCapGrid
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---- Audio anchor-load report (the AnchorDfCap instrument) ------------
+    // The same q266 discipline for q340's anchor equi-join: per
+    // candidate cap, anchor-key census, pair bill, and the fenced/kept
+    // split. Anchor df is content-bound (boilerplate = silence/template
+    // frames), so unlike q360 the organic band does NOT grow with the
+    // corpus — the report confirms the fence sits above it.
+    QueryDef("q361_audio_anchor_load", (s, d) =>
+      audioAnchorLoad(t(s, d, "documents")).orderBy("cap"),
+      Some(s"""WITH $sqlAudioAnchorCtes,
+             |df AS MATERIALIZED (
+             |  SELECT h, CAST(count(*) AS BIGINT) AS nd
+             |  FROM sel GROUP BY 1)
+             |SELECT cap,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_pairing,
+             |  CAST(max(nd) AS BIGINT) AS max_k,
+             |  CAST(coalesce(sum(nd * (nd - 1) // 2), 0) AS BIGINT)
+             |    AS pairs_total,
+             |  CAST(coalesce(sum(CASE WHEN nd > cap THEN 1 ELSE 0 END), 0)
+             |    AS BIGINT) AS n_hot,
+             |  CAST(coalesce(sum(CASE WHEN nd > cap
+             |    THEN nd * (nd - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+             |    AS fenced_pairs,
+             |  CAST(coalesce(sum(nd * (nd - 1) // 2), 0)
+             |    - coalesce(sum(CASE WHEN nd > cap
+             |        THEN nd * (nd - 1) // 2 ELSE 0 END), 0) AS BIGINT)
+             |    AS kept_pairs
+             |FROM df CROSS JOIN $sqlCapGrid
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** The audio-alignment universe (q340): audio-format payloads plus,
@@ -537,44 +629,78 @@ object Multimodal {
             col("text").substr(lit(30), length(col("text")))).as("text")))
   }
 
-  /** q340's body: offset-robust SEGMENT alignment between audio-format
-    * payloads — the fingerprint-anchor method (Shazam-style constellation
-    * reduced to 1-D): hash every 16-byte frame (stride 1, the stub's
-    * stand-in for spectral frames), keep ANCHOR frames by 0-mod-p
-    * content-keyed sampling ((c0*31 + c1) % 8 == 0 on the frame's first
-    * two bytes — selection depends only on frame content, so a shared
-    * run anchors in BOTH payloads at equal content positions; expected
-    * density 1/8, no adversarial window guarantee, which is fine here
-    * because anchors only seed the offset-mode vote), equi-join anchors
-    * on the 62-bit frame hash, and read each pair's alignment off the
-    * MODE of the position-difference distribution: per (pair, offset)
-    * anchor count and byte span, best offset per pair by (anchors,
-    * span). Unlike set near-dup (q337's dHash), this finds a COPIED
-    * PASSAGE at any position — transcript overlap, sampled audio,
-    * quoted segments.
-    *
-    * Scale shape: per-payload work is PURE map-side (codegen'd
-    * windowHashes + an arithmetic anchor filter — no per-doc window, no
-    * sort); the only corpus-wide operation is the anchor equi-join on
-    * narrow 8-byte keys, whose hot buckets are boilerplate frames — the
-    * q229 rare-key story; production adds the df-cap tier before
-    * petabyte audio. Group-bys ride the join's partitioning. */
-  def audioAlign(documents: org.apache.spark.sql.DataFrame,
-      minAnchors: Long = 3L,
-      plantPeriod: Long = 15L): org.apache.spark.sql.DataFrame = {
-    val anchors = audioCorpus(documents, plantPeriod)
+  /** Anchor extraction shared by [[audioAlign]] and [[audioAnchorLoad]]
+    * (one definition, so the alignment join and its load report cannot
+    * drift): per audio payload, the 0-mod-p content-keyed anchor frames
+    * as (doc_id, p, h) — 16-byte frame hashes at stride 1, kept when
+    * (c0*31 + c1) % 8 == 0 on the frame's first two bytes. Selection
+    * depends only on frame content, so a shared run anchors in BOTH
+    * payloads at equal content positions; expected density 1/8. PURE
+    * map-side (codegen'd windowHashes + an arithmetic filter). */
+  private[queries] def audioAnchors(documents: org.apache.spark.sql.DataFrame,
+      plantPeriod: Long = 15L): org.apache.spark.sql.DataFrame =
+    audioCorpus(documents, plantPeriod)
       .select(col("doc_id"), split(col("text"), "").as("tc"))
       .select(col("doc_id"), col("tc"), posexplode(graft.functions.ArrayExprs
         .windowHashes(col("tc"), 16)).as(Seq("p", "h")))
       .filter((ascii(element_at(col("tc"), col("p") + 1)) * 31 +
         ascii(element_at(col("tc"), col("p") + 2))) % 8 === 0)
       .select("doc_id", "p", "h")
-    val x = anchors.select(col("doc_id").as("doc_a"), col("p").as("pa"), col("h"))
-    val y = anchors.select(col("doc_id").as("doc_b"), col("p").as("pb"),
-      col("h").as("h2"))
-    val byOffset = x.join(y, col("h") === col("h2") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), (col("pb") - col("pa")).as("offset"),
-        col("pa"))
+
+  /** Anchor-hash document-frequency cap of [[audioAlign]] — the q229
+    * stop-key fence for the audio modality: an anchor hash shared by
+    * more than this many frames corpus-wide is boilerplate (silence,
+    * test tones, template jingles — content so common it carries no
+    * pair-specific alignment signal) and is fenced out of the candidate
+    * equi-join. Organic anchor df is content-bound, not corpus-bound
+    * (measured max 5 at sf0.01, 24 at sf0.1 — the same content-keyed
+    * regime as the winnow tier's df <= 50 fingerprint cap), so 64 is a
+    * fence above the organic band, not a recall knob. The documented
+    * approximation: a pair loses an alignment vote only for its
+    * BOILERPLATE shared frames; a copied passage's pair-local anchors
+    * all survive (PipelineSpec plants a hot silence prefix and proves
+    * the planted alignments intact while the boilerplate-only pair
+    * blow-up is fenced). [[audioAnchorLoad]] (q361) is the instrument
+    * that retunes this on a concrete corpus. */
+  private[queries] val AnchorDfCap = 64
+
+  /** q340's body: offset-robust SEGMENT alignment between audio-format
+    * payloads — the fingerprint-anchor method (Shazam-style constellation
+    * reduced to 1-D): hash every 16-byte frame (stride 1, the stub's
+    * stand-in for spectral frames), keep ANCHOR frames by content-keyed
+    * sampling (see [[audioAnchors]] — anchors only seed the offset-mode
+    * vote), equi-join anchors on the 62-bit frame hash under the
+    * [[AnchorDfCap]] stop-key fence, and read each pair's alignment off
+    * the MODE of the position-difference distribution: per (pair,
+    * offset) anchor count and byte span, best offset per pair by
+    * (anchors, span). Unlike set near-dup (q337's dHash), this finds a
+    * COPIED PASSAGE at any position — transcript overlap, sampled
+    * audio, quoted segments.
+    *
+    * Scale shape: per-payload work is PURE map-side; the only
+    * corpus-wide operation is the df-capped anchor equi-join on narrow
+    * 8-byte keys, built q229-style — df count first (map-side partial
+    * agg, safe at any key multiplicity), eligible keys (2 <= df <=
+    * dfCap) joined back, posting lists grouped per key (collect_list
+    * BOUNDED by the cap) and paired by nested Generates, so per-key
+    * pair cost is <= C(dfCap, 2) and a billion-frame silence bucket
+    * never forms. Group-bys ride the join's partitioning. */
+  def audioAlign(documents: org.apache.spark.sql.DataFrame,
+      minAnchors: Long = 3L,
+      plantPeriod: Long = 15L,
+      dfCap: Int = AnchorDfCap): org.apache.spark.sql.DataFrame = {
+    val anchors = audioAnchors(documents, plantPeriod)
+    val elig = anchors.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= dfCap).select("h")
+    val byKey = anchors.join(elig, "h")
+      .groupBy("h")
+      .agg(collect_list(struct(col("doc_id"), col("p"))).as("ds"))
+    val byOffset = byKey
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("b.p") - col("a.p")).as("offset"), col("a.p").as("pa"))
       .groupBy("doc_a", "doc_b", "offset")
       .agg(count(lit(1)).as("n_anchors"),
         (max("pa") - min("pa") + 16).as("span_len"))
@@ -586,6 +712,28 @@ object Multimodal {
       .filter(col("rn") === 1)
       .select("doc_a", "doc_b", "offset", "n_anchors", "span_len")
   }
+
+  /** Anchor-load report (q361) — the q266-style instrument for
+    * [[AnchorDfCap]]: from the anchor-hash df distribution alone (never
+    * the pair join), for each candidate cap the bucket counts, the pair
+    * bill sum(df*(df-1)/2), how many keys the cap fences, and the
+    * fenced/kept pair split. One anchor pass to the df table (map-side
+    * partial agg); the sweep explodes the TINY df table over the cap
+    * grid (the q280 one-pass-sweep trick). All exact int64. */
+  def audioAnchorLoad(documents: org.apache.spark.sql.DataFrame,
+      caps: Seq[Int] = LoadReportCaps): org.apache.spark.sql.DataFrame =
+    audioAnchors(documents)
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+      .select(col("nd"), explode(array(caps.map(lit): _*)).as("cap"))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_pairing"),
+        max("nd").as("max_k"),
+        sum(expr("nd * (nd - 1) div 2")).as("pairs_total"),
+        sum(when(col("nd") > col("cap"), 1L).otherwise(0L)).as("n_hot"),
+        sum(when(col("nd") > col("cap"), expr("nd * (nd - 1) div 2"))
+          .otherwise(0L)).as("fenced_pairs"))
+      .withColumn("kept_pairs", col("pairs_total") - col("fenced_pairs"))
 
   /** The pHash family's hashing universe (q337/q339): img-format
     * payloads plus, every `plantPeriod`-th doc, a deterministic
@@ -605,31 +753,95 @@ object Multimodal {
             col("text").substr(lit(12), length(col("text")))).as("text")))
   }
 
+  /** Per-signature pigeonhole blocks shared by [[phashNearDups]] and
+    * [[phashBlockLoad]]: (doc_id, ph, blk, bv) — the dHash signature
+    * split into 4 disjoint 16-bit block values. Map-only. */
+  private def phashBlocks(sigs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val blocks = array((0 until 4).map(i =>
+      shiftright(col("ph"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    sigs.select(col("doc_id"), col("ph"),
+      posexplode(blocks).as(Seq("blk", "bv")))
+  }
+
+  private def phashSigs(documents: org.apache.spark.sql.DataFrame,
+      plantPeriod: Long): org.apache.spark.sql.DataFrame =
+    phashCorpus(documents, plantPeriod).select(col("doc_id"),
+      graft.functions.ArrayExprs.dhash64(col("text").cast("binary")).as("ph"))
+
+  /** Block-bucket document-frequency cap of [[phashNearDups]] — the
+    * q229 stop-key fence for the image modality: a (block, value)
+    * bucket naming more than this many signatures is a boilerplate
+    * gradient pattern (blank/template/solid-tile images whose dHash
+    * degenerates to a handful of values) and is fenced out of candidate
+    * generation. Sizing: organic bucket load on a 16-bit block is
+    * n/2^16 in expectation (measured max 3 at sf0.01, 10 at sf0.1), so
+    * 64 sits far above the gate corpora's organic band; UNLIKE the
+    * anchor cap, this load grows with corpus size, so at production
+    * scale the cap must be retuned to a multiple of n/2^16 from the
+    * q360 report — the fence is for buckets orders of magnitude above
+    * expectation (true boilerplate), which exact dedup (q44) already
+    * owns. Completeness under the fence degrades gracefully: hamming
+    * <= 3 guarantees >= 1 exactly-matching block, and a true edited
+    * variant agrees on nearly all 64 bits, so it is missed only when
+    * EVERY matching block value is boilerplate-hot — the planted-
+    * template law in PipelineSpec pins that the planted one-byte
+    * variants survive a fenced hot template. */
+  private[queries] val BlockDfCap = 64
+
   /** q337's body, exposed for library use and the scale probe: perceptual
     * near-duplicate pairs over the img-format payloads, dHash-keyed,
     * candidate-blocked by the 4x16-bit pigeonhole index, popcount-
     * verified at `maxHamming` (<= 3 keeps the pigeonhole guarantee:
     * 3 flipped bits cannot touch all 4 blocks). `plantPeriod` controls
-    * the deterministic planted-variant rate (0 disables planting). */
+    * the deterministic planted-variant rate (0 disables planting).
+    *
+    * Candidate generation is the q229 df-capped posting join (see
+    * [[BlockDfCap]]): per-bucket df first (map-side partial agg),
+    * eligible buckets (2 <= df <= cap) joined back, posting lists
+    * grouped per bucket (collect_list BOUNDED by the cap) and paired by
+    * nested Generates — per-bucket pair cost <= C(cap, 2), and a
+    * million-image blank-tile bucket never forms. */
   def phashNearDups(documents: org.apache.spark.sql.DataFrame,
-      maxHamming: Int = 3, plantPeriod: Long = 10L): org.apache.spark.sql.DataFrame = {
+      maxHamming: Int = 3, plantPeriod: Long = 10L,
+      blockDfCap: Int = BlockDfCap): org.apache.spark.sql.DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "pigeonhole block index guarantees completeness only for hamming <= 3")
-    val sigs = phashCorpus(documents, plantPeriod).select(col("doc_id"),
-      graft.functions.ArrayExprs.dhash64(col("text").cast("binary")).as("ph"))
-    val blocks = array((0 until 4).map(i =>
-      shiftright(col("ph"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
-    val exploded = sigs.select(col("doc_id"), col("ph"),
-      posexplode(blocks).as(Seq("blk", "bv")))
-    val x = exploded.select(col("doc_id").as("doc_a"), col("ph").as("ph_a"),
-      col("blk"), col("bv"))
-    val y = exploded.select(col("doc_id").as("doc_b"), col("ph").as("ph_b"),
-      col("blk").as("blk2"), col("bv").as("bv2"))
-    x.join(y, col("blk") === col("blk2") && col("bv") === col("bv2") &&
-        col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+    val exploded = phashBlocks(phashSigs(documents, plantPeriod))
+    val elig = exploded.groupBy("blk", "bv").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= blockDfCap).select("blk", "bv")
+    exploded.join(elig, Seq("blk", "bv"))
+      .groupBy("blk", "bv")
+      .agg(collect_list(struct(col("doc_id"), col("ph"))).as("ds"))
+      .select(explode(col("ds")).as("a"), col("ds"))
+      .select(col("a"), explode(col("ds")).as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Block-bucket load report (q360) — the q266-style instrument for
+    * [[BlockDfCap]]: per pigeonhole block and candidate cap, the bucket
+    * census, the pair bill sum(df*(df-1)/2), and the fenced/kept split
+    * the cap would produce. Reads ONLY the (block, value) df
+    * distribution (one map-combined agg over the block stream — never
+    * the pair join), then sweeps the cap grid over that tiny table.
+    * All exact int64. */
+  def phashBlockLoad(documents: org.apache.spark.sql.DataFrame,
+      caps: Seq[Int] = LoadReportCaps): org.apache.spark.sql.DataFrame =
+    phashBlocks(phashSigs(documents, 10L))
+      .groupBy("blk", "bv").agg(count(lit(1)).as("nd"))
+      .select(col("blk"), col("nd"),
+        explode(array(caps.map(lit): _*)).as("cap"))
+      .groupBy("blk", "cap")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_pairing"),
+        max("nd").as("max_k"),
+        sum(expr("nd * (nd - 1) div 2")).as("pairs_total"),
+        sum(when(col("nd") > col("cap"), 1L).otherwise(0L)).as("n_hot"),
+        sum(when(col("nd") > col("cap"), expr("nd * (nd - 1) div 2"))
+          .otherwise(0L)).as("fenced_pairs"))
+      .withColumn("kept_pairs", col("pairs_total") - col("fenced_pairs"))
 }

@@ -796,6 +796,84 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(brute.size >= 12, "fixture must exercise the hit path")
   }
 
+  test("q337 df-cap tier: a planted hot template is fenced, planted " +
+    "variants survive at the shipped cap") {
+    import spark.implicits._
+    // 120 organic img-format docs (the existing fixture) + 80 IDENTICAL
+    // copies of one template payload — the boilerplate regime the
+    // BlockDfCap fence exists for (blank tiles / shared templates whose
+    // every block bucket goes hot). Template ids sit at 1 mod 10, so
+    // phashNearDups' own planting never touches them.
+    val organic = (0L until 120L).map { i =>
+      (i, (0 until 198).map(j => ('a' + ((i * 7 + j * j) % 26)).toChar).mkString)
+    }
+    val template = (0 until 80).map { k =>
+      (10000L + 10L * k + 1L,
+        (0 until 198).map(j => ('a' + (j * 3 % 26)).toChar).mkString)
+    }
+    val docs = (organic ++ template).toDF("doc_id", "text")
+    // planted variants live at +1000000, so the template band is
+    // [10000, 1000000)
+    val isTemplate = (id: Long) => id >= 10000L && id < 1000000L
+    // shipped cap: every bucket holding the template value has df >= 80
+    // > 64, so ALL template-involving candidates are fenced...
+    val capped = graft.queries.Multimodal.phashNearDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!capped.exists { case (a, b) => isTemplate(a) || isTemplate(b) },
+      "hot template buckets must be fenced at the shipped cap")
+    // ...while every planted one-byte organic variant still pairs with
+    // its source: its buckets are organic (df far below the cap) — the
+    // completeness-under-fence law
+    val planted = capped.collect { case (a, b) if b == a + 1000000L => a }.toSet
+    assert((0L until 120L by 10L).toSet.subsetOf(planted), s"missing: $planted")
+    // the fence is load-bearing: uncapped, the template contributes its
+    // C(80,2) = 3160 identical-signature pairs (hamming 0)
+    val uncapped = graft.queries.Multimodal
+      .phashNearDups(docs, blockDfCap = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val templatePairs = uncapped.count { case (a, b) =>
+      isTemplate(a) && isTemplate(b) }
+    assert(templatePairs == 80 * 79 / 2, s"got $templatePairs")
+    // and fencing changes NOTHING else: the non-template pair sets match
+    assert(capped.toSet ==
+      uncapped.filter { case (a, b) => !isTemplate(a) && !isTemplate(b) }.toSet)
+  }
+
+  test("q340 df-cap tier: a planted hot silence prefix is fenced, " +
+    "planted segment copies still align at the shipped cap") {
+    import spark.implicits._
+    // 70 audio-format docs sharing a 64-byte silence prefix (one frame
+    // hash repeated ~49 positions x 70 docs — df in the thousands) with
+    // pseudorandom pair-local suffixes; every id is 0 mod 15, so each
+    // doc gets a planted segment copy. 70 > the cap also pushes the
+    // variants' SHARED 'q'-filler/silence boundary windows (df = one
+    // per variant) over the fence — below the cap those are honest
+    // shared-run alignments, not a fence defect. Length 265 % 3 == 1.
+    val docs = (0 until 70).map { k =>
+      val i = 15L * k
+      (i, "s" * 64 + (0 until 201).map(j =>
+        ('a' + ((i * 1009 + j * 131 + (i * j) % 97) % 26)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val capped = graft.queries.Multimodal.audioAlign(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // completeness under the fence: all 70 planted copies align at the
+    // construction offset -18 on their pair-local suffix anchors alone
+    val plantedPairs = capped.filter { case (a, b, _) => b == a + 2000000L }
+    assert(plantedPairs.length == 70, s"got ${plantedPairs.length}")
+    plantedPairs.foreach { case (a, _, off) =>
+      assert(off == -18, s"pair $a offset $off") }
+    // the silence-prefix cross-doc pairs (offset-0 alignments a real
+    // corpus would drown in) are exactly what the fence removes
+    assert(capped.length == 70,
+      s"boilerplate-only pairs must be fenced, got ${capped.length}")
+    // load-bearing: uncapped, the silence frame pairs every doc with
+    // every other (and their variants) at some boilerplate offset
+    val uncapped = graft.queries.Multimodal
+      .audioAlign(docs, dfCap = 1 << 20).collect()
+    assert(uncapped.length > 70 * 69 / 2,
+      s"expected the silence blow-up, got ${uncapped.length}")
+  }
+
   test("q359 planted video tampers are recovered; Jaccard certificate " +
     "holds on every emitted pair") {
     import spark.implicits._
