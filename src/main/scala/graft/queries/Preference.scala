@@ -49,12 +49,23 @@ object Preference {
     * axis / no signal). Deterministic; (user_id, second_id) is unique.
     * One user_id-partitioned window — per-annotator groups, no global
     * ordering anywhere. */
-  def duels(events: DataFrame): DataFrame = {
+  def duels(events: DataFrame): DataFrame =
+    duelsWide(events).select("user_id", "first_id", "second_id",
+      "winner", "loser", "later_won")
+
+  /** [[duels]] plus the judgment context columns the eval-side consumers
+    * key on: `us` (the comparison's completion time — the second
+    * event's exact microseconds) and `k` (the second event's prompt
+    * key). One definition with [[duels]] — the canonical 6-column duel
+    * face is a projection of this, and Catalyst's column pruning drops
+    * the unused context expressions from q341's plan. */
+  private[queries] def duelsWide(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     events
       .filter(col("ts").isNotNull && col("value").isNotNull)
       .select(col("user_id"), col("event_id"),
-        unix_micros(col("ts")).as("us"), col("event_type"), col("value"))
+        unix_micros(col("ts")).as("us"), col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
       .withColumn("p_id", lag("event_id", 1).over(w))
       .withColumn("p_type", lag("event_type", 1).over(w))
       .withColumn("p_value", lag("value", 1).over(w))
@@ -67,7 +78,8 @@ object Preference {
           .otherwise(col("p_type")).as("winner"),
         when(col("value") > col("p_value"), col("p_type"))
           .otherwise(col("event_type")).as("loser"),
-        (col("value") > col("p_value")).as("later_won"))
+        (col("value") > col("p_value")).as("later_won"),
+        col("us"), col("k"))
   }
 
   /** Duel matrix over canonical arm pairs (arm_a < arm_b): wins_a,
@@ -150,20 +162,125 @@ object Preference {
     * billion responses never forms a window group or skews a sort;
     * this is why it is not the row_number() shape the oracle uses. */
   def dpoPairs(events: DataFrame, minResponses: Long = 3L): DataFrame =
+    dpoPairLengths(events, minResponses)
+      .select("k", "n_responses", "chosen_id", "chosen_type",
+        "rejected_id", "rejected_type")
+
+  /** The q345 DPO pair set carrying each side's response token length
+    * (q362) — the raw table of the length-bias audit. The fixture has
+    * no response text, so the token count is a deterministic stub in
+    * the q60 width/height style: len = event_id * 7919 % 512 + 1,
+    * independent of the score by construction (mirrored exactly in
+    * SQL; a real pipeline reads its tokenizer's count column). The
+    * argmax/argmin structs carry the length along as a TRAILING field
+    * — event_id is unique, so the added field can never flip a
+    * comparison and q345 stays a pure projection of this (the
+    * one-definition rule, spec-pinned). Same single partial-agg shape
+    * as q345: no window, no join, no per-prompt sort. */
+  def dpoPairLengths(events: DataFrame, minResponses: Long = 3L): DataFrame =
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .filter(col("k").isNotNull && col("value").isNotNull)
+      .withColumn("len", expr("event_id * 7919 % 512 + 1"))
       .groupBy("k")
       .agg(count(lit(1)).as("n_responses"),
-        max(struct(col("value"), col("event_id"), col("event_type"))).as("b"),
-        min(struct(col("value"), col("event_id"), col("event_type"))).as("w"))
+        max(struct(col("value"), col("event_id"), col("event_type"),
+          col("len"))).as("b"),
+        min(struct(col("value"), col("event_id"), col("event_type"),
+          col("len"))).as("w"))
       .filter(col("n_responses") >= minResponses &&
         col("b.value") =!= col("w.value"))
       .select(col("k"), col("n_responses"),
         col("b.event_id").as("chosen_id"),
         col("b.event_type").as("chosen_type"),
+        col("b.len").as("chosen_len"),
         col("w.event_id").as("rejected_id"),
-        col("w.event_type").as("rejected_type"))
+        col("w.event_type").as("rejected_type"),
+        col("w.len").as("rejected_len"),
+        (col("b.len") - col("w.len")).as("len_delta"),
+        (col("b.len") > col("w.len")).as("chosen_longer"))
+
+  /** DPO length-bias audit (q363) — the classic DPO data failure mode:
+    * chosen responses systematically LONGER than rejected (length
+    * hacking), which a preference-trained model inherits as verbosity.
+    * Per arm, over every appearance in the q345 pair set (chosen or
+    * rejected): appearance counts, exact-integer length sums for both
+    * roles, and the point-biserial correlation r_pb between being
+    * chosen and response length (the q259 gate-length-bias statistic).
+    * |r_pb| near 1 says the pair set is secretly a length filter.
+    * Degenerate arms (never chosen / never rejected / zero length
+    * variance) emit NULL, not NaN. Exact int64 moments combined in
+    * double space; one bounded arm-domain aggregation over the pair
+    * set's 2-row-per-pair unpivot. */
+  def dpoLengthBias(events: DataFrame, minResponses: Long = 3L): DataFrame = {
+    val p = dpoPairLengths(events, minResponses)
+    val obs = p.select(col("chosen_type").as("arm"),
+        col("chosen_len").as("x"), lit(true).as("ok"))
+      .unionByName(p.select(col("rejected_type").as("arm"),
+        col("rejected_len").as("x"), lit(false).as("ok")))
+    obs.groupBy("arm").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_chosen"),
+        sum(when(col("ok"), col("x")).otherwise(0L)).as("s1"),
+        sum(when(!col("ok"), col("x")).otherwise(0L)).as("s0"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x")).as("sx"))
+      .select(col("arm"), col("n"), col("n_chosen"), col("s1"), col("s0"),
+        expr("CASE WHEN n_chosen > 0 THEN CAST(s1 AS DOUBLE) " +
+          "/ CAST(n_chosen AS DOUBLE) END").as("mean_chosen_len"),
+        expr("CASE WHEN n - n_chosen > 0 THEN CAST(s0 AS DOUBLE) " +
+          "/ CAST(n - n_chosen AS DOUBLE) END").as("mean_rejected_len"),
+        expr("CASE WHEN n_chosen > 0 AND n - n_chosen > 0 " +
+          "AND n * sxx - sx * sx > 0 THEN " +
+          "(CAST(s1 AS DOUBLE) / CAST(n_chosen AS DOUBLE) " +
+          " - CAST(s0 AS DOUBLE) / CAST(n - n_chosen AS DOUBLE)) " +
+          "* sqrt(CAST(n_chosen AS DOUBLE) * CAST(n - n_chosen AS DOUBLE)) " +
+          "/ sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
+          " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("r_pb"))
+  }
+
+  /** Per-slice arm win rates with the q250 group-sequential early-stop
+    * boundary (q364) — the eval report a post-training run consults
+    * daily: per prompt slice (the k mod-8 bucket — the fixture's prompt
+    * stratification) and canonical arm pair, the cumulative duel count,
+    * wins, and win rate at each of 6 scheduled looks (every 4 days from
+    * the first duel day), the binomial z against the 50% null
+    * (z = (2*wins_a - n)/sqrt(n)), the O'Brien-Fleming boundary
+    * 2.05*sqrt(K/look), the crossing flag, and the slice-pair's first
+    * crossed look (early-stop decision). Built on [[duelsWide]] — the
+    * SAME duel rule as q341-q346 (one-definition law). Exact integer
+    * counts; z/win_rate are int/int IEEE divisions. Shape: one
+    * annotator-keyed duel window, then every aggregate lives on the
+    * bounded (slice, pair, look) domain with map-side partials; the
+    * stop lookup is a window over those bounded 6-row groups. */
+  def winrateSlices(events: DataFrame, looks: Int = 6): DataFrame = {
+    val dayUs = 86400000000L
+    val d = duelsWide(events).filter(col("k").isNotNull)
+      .select((col("k") % 8).as("slice"),
+        least(col("winner"), col("loser")).as("arm_a"),
+        greatest(col("winner"), col("loser")).as("arm_b"),
+        (col("winner") < col("loser")).as("a_won"),
+        expr(s"us div $dayUs").as("day"))
+    val d0 = d.agg(min("day").as("d0"))
+    val cum = d.crossJoin(broadcast(d0))
+      .withColumn("look", explode(array((1 to looks).map(lit): _*)))
+      .withColumn("look_day", col("d0") + col("look") * 4)
+      .filter(col("day") <= col("look_day"))
+      .groupBy("slice", "arm_a", "arm_b", "look", "look_day")
+      .agg(count(lit(1)).as("n"), count(when(col("a_won"), 1)).as("wins_a"))
+    cum
+      .withColumn("win_rate",
+        col("wins_a").cast("double") / col("n").cast("double"))
+      .withColumn("z", (col("wins_a") * 2 - col("n")).cast("double") /
+        sqrt(col("n").cast("double")))
+      .withColumn("boundary", lit(2.05) *
+        sqrt(lit(looks.toDouble) / col("look").cast("double")))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .withColumn("stopped_at", min(when(col("crossed"), col("look")))
+        .over(Window.partitionBy("slice", "arm_a", "arm_b")))
+      .select("slice", "arm_a", "arm_b", "look", "look_day", "n", "wins_a",
+        "win_rate", "z", "boundary", "crossed", "stopped_at")
+  }
 
   /** Annotator-reliability report (the MACE-style spammer screen, by
     * exact counts): per annotator, the arm pairs where they hold a
@@ -369,9 +486,11 @@ object Preference {
       |  SELECT user_id, p_id AS first_id, event_id AS second_id,
       |    CASE WHEN value > p_value THEN event_type ELSE p_type END AS winner,
       |    CASE WHEN value > p_value THEN p_type ELSE event_type END AS loser,
-      |    value > p_value AS later_won
+      |    value > p_value AS later_won, us, k
       |  FROM (
       |    SELECT user_id, event_id, event_type, value,
+      |      epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |      CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
       |      lag(event_id)   OVER w AS p_id,
       |      lag(event_type) OVER w AS p_type,
       |      lag(value)      OVER w AS p_value
@@ -633,6 +752,135 @@ object Preference {
              |SELECT DISTINCT t[1] AS x, t[2] AS y, t[3] AS z, cyclic
              |FROM (SELECT list_sort([a, b, c]) AS t, cyclic FROM cl)
              |ORDER BY x, y, z""".stripMargin)),
+
+    // ---- DPO pair lengths (the length-delta table) -------------------------
+    // q345's pair set carrying each side's response token length (the
+    // q60-style deterministic stub — event_id * 7919 % 512 + 1), the
+    // per-pair delta, and the chosen_longer flag: the raw table the
+    // length-bias audit (q363) aggregates, shipped whole because a
+    // curation run inspects the extreme-delta pairs by hand. Same
+    // single partial-agg shape as q345; the length rides the argmax
+    // struct as a trailing field, so q345 is a pure projection.
+    QueryDef("q362_dpo_length_delta", (s, d) =>
+      dpoPairLengths(t(s, d, "events")).orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
+             |    event_id * 7919 % 512 + 1 AS len
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT k, event_id, event_type, value, len,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value DESC, event_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value ASC, event_id ASC) AS rw,
+             |    count(*) OVER (PARTITION BY k) AS n
+             |  FROM e WHERE k IS NOT NULL)
+             |SELECT b.k, CAST(b.n AS BIGINT) AS n_responses,
+             |  b.event_id AS chosen_id, b.event_type AS chosen_type,
+             |  CAST(b.len AS BIGINT) AS chosen_len,
+             |  w.event_id AS rejected_id, w.event_type AS rejected_type,
+             |  CAST(w.len AS BIGINT) AS rejected_len,
+             |  CAST(b.len - w.len AS BIGINT) AS len_delta,
+             |  b.len > w.len AS chosen_longer
+             |FROM (SELECT * FROM r WHERE rb = 1) b
+             |JOIN (SELECT * FROM r WHERE rw = 1) w USING (k)
+             |WHERE b.n >= 3 AND b.value != w.value
+             |ORDER BY b.k""".stripMargin)),
+
+    // ---- DPO length-bias audit (point-biserial) ----------------------------
+    // The length-hacking confound check: per arm, is being CHOSEN in the
+    // DPO pair set correlated with response length? r_pb near |1| says
+    // the preference data is secretly a length filter (the q259 gate
+    // statistic applied to pair membership). Exact int64 moments, one
+    // bounded arm-domain aggregation; degenerate arms emit NULL.
+    QueryDef("q363_dpo_length_bias", (s, d) =>
+      dpoLengthBias(t(s, d, "events")).orderBy("arm"),
+      Some("""WITH e AS (
+             |  SELECT event_id, event_type, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
+             |    event_id * 7919 % 512 + 1 AS len
+             |  FROM events WHERE value IS NOT NULL),
+             |r AS (
+             |  SELECT k, event_id, event_type, value, len,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value DESC, event_id DESC) AS rb,
+             |    row_number() OVER (PARTITION BY k
+             |      ORDER BY value ASC, event_id ASC) AS rw,
+             |    count(*) OVER (PARTITION BY k) AS n
+             |  FROM e WHERE k IS NOT NULL),
+             |p AS (
+             |  SELECT b.event_type AS chosen_type, b.len AS chosen_len,
+             |    w.event_type AS rejected_type, w.len AS rejected_len
+             |  FROM (SELECT * FROM r WHERE rb = 1) b
+             |  JOIN (SELECT * FROM r WHERE rw = 1) w USING (k)
+             |  WHERE b.n >= 3 AND b.value != w.value),
+             |obs AS (
+             |  SELECT chosen_type AS arm, chosen_len AS x, true AS ok FROM p
+             |  UNION ALL
+             |  SELECT rejected_type, rejected_len, false FROM p),
+             |a AS (
+             |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen,
+             |    CAST(sum(CASE WHEN ok THEN x ELSE 0 END) AS BIGINT) AS s1,
+             |    CAST(sum(CASE WHEN NOT ok THEN x ELSE 0 END) AS BIGINT) AS s0,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(x) AS BIGINT) AS sx
+             |  FROM obs GROUP BY 1)
+             |SELECT arm, n, n_chosen, s1, s0,
+             |  CASE WHEN n_chosen > 0 THEN CAST(s1 AS DOUBLE)
+             |    / CAST(n_chosen AS DOUBLE) END AS mean_chosen_len,
+             |  CASE WHEN n - n_chosen > 0 THEN CAST(s0 AS DOUBLE)
+             |    / CAST(n - n_chosen AS DOUBLE) END AS mean_rejected_len,
+             |  CASE WHEN n_chosen > 0 AND n - n_chosen > 0
+             |    AND n * sxx - sx * sx > 0 THEN
+             |    (CAST(s1 AS DOUBLE) / CAST(n_chosen AS DOUBLE)
+             |     - CAST(s0 AS DOUBLE) / CAST(n - n_chosen AS DOUBLE))
+             |    * sqrt(CAST(n_chosen AS DOUBLE) * CAST(n - n_chosen AS DOUBLE))
+             |    / sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS r_pb
+             |FROM a ORDER BY arm""".stripMargin)),
+
+    // ---- Per-slice win rates with sequential early-stop --------------------
+    // The daily reward-model eval report: cumulative arm-vs-arm win
+    // rates per prompt slice at 6 scheduled looks, each scored against
+    // the O'Brien-Fleming boundary (q250's group-sequential discipline
+    // applied to the binomial 50% null). Built on the SAME duel CTE as
+    // q341-q346 — the comparison rule cannot drift between training
+    // extraction and eval.
+    QueryDef("q364_winrate_slices", (s, d) =>
+      winrateSlices(t(s, d, "events"))
+        .orderBy("slice", "arm_a", "arm_b", "look"),
+      Some(s"""WITH $sqlDuelsCte,
+             |dd AS MATERIALIZED (
+             |  SELECT CAST(k % 8 AS INTEGER) AS slice,
+             |    least(winner, loser) AS arm_a,
+             |    greatest(winner, loser) AS arm_b,
+             |    winner < loser AS a_won,
+             |    us // 86400000000 AS day
+             |  FROM duels WHERE k IS NOT NULL),
+             |d0 AS (SELECT min(day) AS d0 FROM dd),
+             |lk AS (
+             |  SELECT slice, arm_a, arm_b, look,
+             |    CAST(d0 + look * 4 AS BIGINT) AS look_day,
+             |    CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (a_won) AS BIGINT) AS wins_a
+             |  FROM dd CROSS JOIN d0
+             |  CROSS JOIN (SELECT CAST(unnest(range(1, 7)) AS INTEGER) AS look)
+             |  WHERE day <= d0 + look * 4
+             |  GROUP BY 1, 2, 3, 4, 5),
+             |sc AS (
+             |  SELECT slice, arm_a, arm_b, look, look_day, n, wins_a,
+             |    CAST(wins_a AS DOUBLE) / CAST(n AS DOUBLE) AS win_rate,
+             |    CAST(wins_a * 2 - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z,
+             |    205e-2 * sqrt(6e0 / CAST(look AS DOUBLE)) AS boundary
+             |  FROM lk)
+             |SELECT slice, arm_a, arm_b, look, look_day, n, wins_a,
+             |  win_rate, z, boundary, abs(z) > boundary AS crossed,
+             |  CAST(min(CASE WHEN abs(z) > boundary THEN look END)
+             |    OVER (PARTITION BY slice, arm_a, arm_b) AS INTEGER)
+             |    AS stopped_at
+             |FROM sc ORDER BY slice, arm_a, arm_b, look""".stripMargin)),
 
     // ---- Self-consistency majority vote ------------------------------------
     // Modal-answer selection per prompt with the consensus margin — the

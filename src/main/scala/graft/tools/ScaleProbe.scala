@@ -450,6 +450,16 @@ object ScaleProbe {
       time(s"pref_grpo_x$m") {
         graft.queries.Preference.grpoAdvantage(replicateEvents(m)).count()
       }
+      // dpo length-bias audit / per-slice win rates: outputs live on the
+      // bounded arm and (slice, pair, look) domains — replicas are new
+      // prompts/annotators, so row counts stay FLAT and cost rides the
+      // scan plus the one bounded-domain aggregation
+      time(s"pref_dpolen_x$m") {
+        graft.queries.Preference.dpoLengthBias(replicateEvents(m)).count()
+      }
+      time(s"pref_winrate_x$m") {
+        graft.queries.Preference.winrateSlices(replicateEvents(m)).count()
+      }
       // conversation assembly: replicas are NEW USERS, so conversations
       // multiply while each stays human-length-bounded — one user
       // shuffle + conversation-bounded windows must scale linearly

@@ -346,4 +346,104 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     val face = graft.streaming.Streams.duelIngest(ev).toDF()
     assertSameRows(face, batch)
   }
+
+  test("q345 is a pure projection of q362 (one-definition law); " +
+    "delta and flag are consistent") {
+    val ev = Tables.load(spark, sfDir, "events")
+    assertSameRows(
+      Preference.dpoPairLengths(ev).select("k", "n_responses", "chosen_id",
+        "chosen_type", "rejected_id", "rejected_type"),
+      Preference.dpoPairs(ev))
+    Preference.dpoPairLengths(ev).collect().foreach { r =>
+      val (cl, rl) = (r.getLong(4), r.getLong(7))
+      assert(r.getLong(8) == cl - rl && r.getBoolean(9) == (cl > rl))
+      // the stub length rule itself
+      assert(cl == r.getLong(2) * 7919 % 512 + 1)
+    }
+  }
+
+  /** Length-confound fixture builder: per prompt, chosen/rejected ids
+    * are drawn from two fixed len-classes of the stub rule
+    * len(e) = e*7919 % 512 + 1 (each residue class mod 512 is one len),
+    * so within every arm the chosen and rejected lengths are two exact
+    * points — the regime where point-biserial pins to +-1. */
+  private def confoundFixture(chosenLen: Long, rejectedLen: Long): DataFrame = {
+    import spark.implicits._
+    def idsWithLen(l: Long): Seq[Long] =
+      (1L to 200000L).filter(e => e * 7919 % 512 + 1 == l).take(30)
+    val hi = idsWithLen(chosenLen)
+    val lo = idsWithLen(rejectedLen)
+    val mid = idsWithLen(250L) // the group-size filler, never chosen/rejected
+    assert(hi.size == 30 && lo.size == 30 && mid.size == 30)
+    val rows = (0 until 30).flatMap { j =>
+      val (cArm, rArm) = if (j % 2 == 0) ("x", "y") else ("y", "x")
+      Seq(
+        (1L, hi(j), ts(j * 3), cArm, 3.0, s"""{"k": ${j + 1}}"""),
+        (1L, lo(j), ts(j * 3 + 1), rArm, 1.0, s"""{"k": ${j + 1}}"""),
+        (1L, mid(j), ts(j * 3 + 2), "z", 2.0, s"""{"k": ${j + 1}}"""))
+    }
+    rows.toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+  }
+
+  test("planted length confound: r_pb pins to +-1, means are the exact " +
+    "class lengths") {
+    val biased = Preference.dpoLengthBias(confoundFixture(500L, 10L))
+      .orderBy("arm").collect()
+    assert(biased.map(_.getString(0)).toSeq == Seq("x", "y"))
+    biased.foreach { r =>
+      assert(r.getDouble(5) == 500.0 && r.getDouble(6) == 10.0)
+      assert(r.getDouble(7) > 0.999, s"arm ${r.getString(0)} r_pb ${r.getDouble(7)}")
+    }
+    // anti-confound: rejected responses are the long ones
+    Preference.dpoLengthBias(confoundFixture(10L, 500L)).collect().foreach {
+      r => assert(r.getDouble(7) < -0.999)
+    }
+    // no confound: chosen and rejected drawn from the SAME len class —
+    // zero length variance within each arm, the guarded NULL (not NaN)
+    Preference.dpoLengthBias(confoundFixture(100L, 100L)).collect().foreach {
+      r => assert(r.isNullAt(7))
+    }
+  }
+
+  test("planted unanimous slice stops at look 1; cumulative identities " +
+    "hold on testdata") {
+    import spark.implicits._
+    // 30 annotators, one clean duel each, all on day 0, prompt k=8
+    // (slice 0), arm b always beating arm a: z at look 1 is
+    // -30/sqrt(30) = -5.48, past the O'Brien-Fleming 2.05*sqrt(6) = 5.02
+    val rows = (0 until 30).flatMap { u =>
+      Seq((u.toLong, 2L * u, ts(1), "a", 1.0, """{"k": 8}"""),
+        (u.toLong, 2L * u + 1, ts(2), "b", 2.0, """{"k": 8}"""))
+    }
+    val planted = Preference.winrateSlices(
+      rows.toDF("user_id", "event_id", "ts", "event_type", "value", "props"))
+      .orderBy("look").collect()
+    assert(planted.length == 6)
+    planted.foreach { r =>
+      assert(r.getInt(0) == 0 && r.getString(1) == "a" && r.getString(2) == "b")
+      assert(r.getLong(5) == 30L && r.getLong(6) == 0L && r.getDouble(7) == 0.0)
+      assert(r.getBoolean(10), "every look must cross")
+      assert(r.getInt(11) == 1, "stopped_at must be the first look")
+    }
+    // testdata identities: win_rate*n == wins_a exactly in the int
+    // domain; n nondecreasing in look; stopped_at == first crossed look
+    val got = SparkEntry.queries("q364_winrate_slices")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .foreach { case (_, g) =>
+        val sorted = g.sortBy(_.getInt(3))
+        sorted.sliding(2).filter(_.length == 2).foreach { w =>
+          assert(w(0).getLong(5) <= w(1).getLong(5))
+        }
+        val firstCross = sorted.find(_.getBoolean(10)).map(_.getInt(3))
+        sorted.foreach { r =>
+          assert(r.getLong(6) <= r.getLong(5))
+          assert(r.getDouble(7) == r.getLong(6).toDouble / r.getLong(5))
+          firstCross match {
+            case Some(l) => assert(r.getInt(11) == l)
+            case None => assert(r.isNullAt(11))
+          }
+        }
+      }
+  }
 }
