@@ -29,10 +29,12 @@ object Conversation {
   /** The conversation-scale inactivity gap: 8 hours in microseconds. */
   val GapUs: Long = 28800L * 1000000L
 
-  /** Turn projection: (user_id, conv_id, event_id, event_type, us, len)
-    * with conv_id from the q31 gap rule at conversation scale and len =
-    * the `props.k` token count. Null timestamps are excluded (no place
-    * on the time axis). One user-partitioned window pair. */
+  /** Turn projection: (user_id, conv_id, event_id, event_type, us, len,
+    * props) with conv_id from the q31 gap rule at conversation scale,
+    * len = the `props.k` token count, and props carried through as the
+    * turn's raw payload (the scrub op's text; Catalyst prunes it from
+    * the consumers that ignore it). Null timestamps are excluded (no
+    * place on the time axis). One user-partitioned window pair. */
   private[graft] def turns(events: DataFrame,
       gapUs: Long = GapUs): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
@@ -45,7 +47,54 @@ object Conversation {
           col("us") - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("conv_id", sum("is_new")
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("user_id", "conv_id", "event_id", "event_type", "us", "len")
+      .select("user_id", "conv_id", "event_id", "event_type", "us", "len",
+        "props")
+  }
+
+  /** Conversation-granularity PII/safety scrub (q365): q114's span
+    * rules applied PER TURN (turn text = props, with q114's
+    * deterministically planted contact line on event_id % 20 == 0 —
+    * both engines construct the identical input), plus q123's
+    * k-anonymity rule on the turn-content cell (event_type, redacted
+    * text): a redacted turn whose cell names fewer than `k` distinct
+    * users is quasi-identifying even after redaction. The verdict is
+    * CONVERSATION-level — the unit an SFT pipeline keeps or drops:
+    * 'drop' when PII pervades the thread (over a quarter of turns),
+    * 'redact' when any turn needs a span redacted or is below the
+    * k-anonymity floor, 'keep' otherwise. Spans are detected per turn,
+    * never across turns — a turn is one message, and PII cannot span
+    * two messages; ConversationSpec pins that contract with a planted
+    * boundary-split span.
+    *
+    * Shape: turn projection + span scan are map-side over the one
+    * user-keyed conversation shuffle; the k-anonymity pass is one
+    * grouped exact-distinct on the content cell (q123's shape) joined
+    * back pinned shuffled-hash (the cell table is corpus-derived — the
+    * q135 rule); the verdict rollup is conversation-bounded. */
+  def convScrub(events: DataFrame, k: Long = 5L,
+      gapUs: Long = GapUs): DataFrame = {
+    val pii = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+    val tt = turns(events, gapUs)
+      .withColumn("t", when(col("event_id") % 20 === 0,
+        concat(coalesce(col("props"), lit("")),
+          lit(" contact me at user"), col("event_id"),
+          lit("@example.com please")))
+        .otherwise(coalesce(col("props"), lit(""))))
+      .withColumn("n_pii",
+        size(regexp_extract_all(col("t"), lit(pii), lit(0))))
+      .withColumn("redacted", regexp_replace(col("t"), pii, "[EMAIL]"))
+    val cells = tt.groupBy("event_type", "redacted")
+      .agg(count_distinct(col("user_id")).as("cell_users"))
+    tt.join(cells.hint("shuffle_hash"), Seq("event_type", "redacted"))
+      .groupBy("user_id", "conv_id")
+      .agg(count(lit(1)).as("n_turns"),
+        count(when(col("n_pii") > 0, 1)).as("n_pii_turns"),
+        sum(col("n_pii").cast("long")).as("n_pii_spans"),
+        count(when(col("cell_users") < k, 1)).as("n_rare_turns"))
+      .withColumn("verdict",
+        when(col("n_pii_turns") * 4 > col("n_turns"), "drop")
+          .when(col("n_pii_turns") > 0 || col("n_rare_turns") > 0, "redact")
+          .otherwise("keep"))
   }
 
   /** Chat-quality gate per conversation: turn count, duration, distinct
@@ -144,7 +193,7 @@ object Conversation {
     * three oracles so the rule cannot drift between them. */
   private val sqlTurnsCte =
     s"""t0 AS MATERIALIZED (
-       |  SELECT user_id, event_id, event_type,
+       |  SELECT user_id, event_id, event_type, props,
        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
        |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) AS len,
        |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
@@ -152,7 +201,7 @@ object Conversation {
        |  WINDOW w AS (PARTITION BY user_id
        |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)),
        |turns AS MATERIALIZED (
-       |  SELECT user_id, event_id, event_type, us, len,
+       |  SELECT user_id, event_id, event_type, us, len, props,
        |    CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > $GapUs
        |      THEN 1 ELSE 0 END)
        |      OVER (PARTITION BY user_id ORDER BY us, event_id
@@ -229,5 +278,46 @@ object Conversation {
              |SELECT path, CAST(count(*) AS BIGINT) AS n_convs,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM p GROUP BY path HAVING count(*) >= 2
-             |ORDER BY n_convs DESC, path""".stripMargin)))
+             |ORDER BY n_convs DESC, path""".stripMargin)),
+
+    // ---- Conversation-granularity PII scrub --------------------------------
+    // q114's span rules per turn + q123's k-anonymity on the
+    // (role, redacted content) cell, rolled up to the conversation-level
+    // drop/redact/keep verdict an SFT pipeline acts on.
+    QueryDef("q365_conv_scrub", (s, d) =>
+      convScrub(t(s, d, "events")).orderBy("user_id", "conv_id"),
+      Some(s"""WITH $sqlTurnsCte,
+             |tt AS MATERIALIZED (
+             |  SELECT user_id, conv_id, event_type,
+             |    CASE WHEN event_id % 20 = 0
+             |      THEN coalesce(props, '') || ' contact me at user'
+             |        || event_id || '@example.com please'
+             |      ELSE coalesce(props, '') END AS t
+             |  FROM turns),
+             |px AS MATERIALIZED (
+             |  SELECT user_id, conv_id, event_type,
+             |    CAST(len(regexp_extract_all(t,
+             |      '[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+')) AS INTEGER)
+             |      AS n_pii,
+             |    regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+',
+             |      '[EMAIL]', 'g') AS redacted
+             |  FROM tt),
+             |cells AS MATERIALIZED (
+             |  SELECT event_type, redacted,
+             |    CAST(count(DISTINCT user_id) AS BIGINT) AS cell_users
+             |  FROM px GROUP BY 1, 2)
+             |SELECT user_id, conv_id,
+             |  CAST(count(*) AS BIGINT) AS n_turns,
+             |  CAST(count(*) FILTER (n_pii > 0) AS BIGINT) AS n_pii_turns,
+             |  CAST(sum(n_pii) AS BIGINT) AS n_pii_spans,
+             |  CAST(count(*) FILTER (cell_users < 5) AS BIGINT)
+             |    AS n_rare_turns,
+             |  CASE WHEN count(*) FILTER (n_pii > 0) * 4 > count(*)
+             |         THEN 'drop'
+             |       WHEN count(*) FILTER (n_pii > 0) > 0
+             |         OR count(*) FILTER (cell_users < 5) > 0
+             |         THEN 'redact'
+             |       ELSE 'keep' END AS verdict
+             |FROM px JOIN cells USING (event_type, redacted)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }

@@ -469,6 +469,12 @@ object ScaleProbe {
       time(s"conv_sft_x$m") {
         graft.queries.Conversation.sftExamples(replicateEvents(m)).count()
       }
+      // conversation scrub: map-side span scan over the user shuffle +
+      // one content-cell distinct agg joined back — replicas are new
+      // users, so cells deepen while the cell TABLE stays fixed; linear
+      time(s"conv_scrub_x$m") {
+        graft.queries.Conversation.convScrub(replicateEvents(m)).count()
+      }
       // length-bucket plan: doc replicas keep every LENGTH (prefixes
       // change tokens, not counts), so the distribution table is fixed
       // while counts deepen — cost must ride the scan (the grpo class)

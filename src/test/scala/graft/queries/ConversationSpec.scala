@@ -94,4 +94,73 @@ class ConversationSpec extends AnyFunSuite with SparkTestBase {
       .agg(coalesce(sum("n_convs"), lit(0L))).head().getLong(0)
     assert(tmplMass <= gate.count() && tmplMass >= 2)
   }
+
+  test("planted scrub: per-turn spans are found, boundary-split spans " +
+    "are not (the per-message contract); all three verdicts reachable") {
+    import spark.implicits._
+    // Users 1..6 share an identical clean 2-turn conversation — their
+    // (role, content) cells name 6 >= 5 distinct users, so every turn
+    // clears the k-anonymity floor: verdict 'keep'. Event ids avoid
+    // % 20 == 0, so no PII is planted on them.
+    val common = (1L to 6L).flatMap { u =>
+      Seq((u, u * 100 + 1, ts(0.0), "a", 0.0, """{"m": "hi"}"""),
+        (u, u * 100 + 2, ts(0.1), "b", 0.0, """{"m": "yo"}"""))
+    }
+    // User 7: same shape but one UNIQUE turn payload — its cell names
+    // one user, below the floor: verdict 'redact' with zero PII spans.
+    val rare = Seq(
+      (7L, 701L, ts(0.0), "a", 0.0, """{"m": "hi"}"""),
+      (7L, 702L, ts(0.1), "b", 0.0, """{"m": "my one-off secret"}"""))
+    // User 8: a 2-turn thread where one turn carries a planted contact
+    // line (event_id % 20 == 0) — 1 of 2 turns has PII, 4 > 2: 'drop'.
+    val pii = Seq(
+      (8L, 800L, ts(0.0), "a", 0.0, """{"m": "hi"}"""),
+      (8L, 801L, ts(0.1), "b", 0.0, """{"m": "yo"}"""))
+    // User 9: an email SPLIT ACROSS the turn boundary — neither turn
+    // alone matches the span rule, so the scrub must count ZERO spans:
+    // a turn is one message and spans never cross messages.
+    val split = Seq(
+      (9L, 901L, ts(0.0), "a", 0.0, "reach me at alice@exam"),
+      (9L, 902L, ts(0.1), "b", 0.0, "ple.com any time"))
+    val got = Conversation.convScrub(
+      (common ++ rare ++ pii ++ split)
+        .toDF("user_id", "event_id", "ts", "event_type", "value", "props"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6))).toMap
+    (1L to 6L).foreach { u =>
+      assert(got(u) == (2L, 0L, 0L, 0L, "keep"), s"user $u: ${got(u)}") }
+    assert(got(7L) == (2L, 0L, 0L, 1L, "redact"), got(7L))
+    val (n8, p8, s8, _, v8) = got(8L)
+    assert(n8 == 2L && p8 == 1L && s8 == 1L && v8 == "drop", got(8L))
+    // the boundary-split span: zero detected spans; the verdict is
+    // 'redact' only because the unique fragments are below the k floor
+    val (_, p9, s9, r9, v9) = got(9L)
+    assert(p9 == 0L && s9 == 0L, s"cross-turn span must not count: ${got(9L)}")
+    assert(r9 == 2L && v9 == "redact", got(9L))
+  }
+
+  test("scrub accounting on testdata: spans bound turns, verdict " +
+    "precedence is total, planted rate matches the % 20 rule") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val got = Conversation.convScrub(ev).collect()
+    assert(got.nonEmpty)
+    var (nDrop, nRedact) = (0L, 0L)
+    got.foreach { r =>
+      val (n, np, spans, rare, v) = (r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))
+      assert(np <= n && np <= spans && rare <= n)
+      val want = if (np * 4 > n) "drop"
+        else if (np > 0 || rare > 0) "redact" else "keep"
+      assert(v == want)
+      if (v == "drop") nDrop += 1
+      if (v == "redact") nRedact += 1
+    }
+    assert(nDrop > 0 && nRedact > 0, s"drop=$nDrop redact=$nRedact")
+    // every planted span is found: total spans == events with
+    // event_id % 20 == 0 and a non-null ts (the turn universe)
+    val plantedSpans = ev.filter(col("ts").isNotNull &&
+      col("event_id") % 20 === 0).count()
+    assert(got.map(_.getLong(4)).sum == plantedSpans)
+  }
 }
