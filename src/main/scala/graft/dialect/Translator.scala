@@ -31,14 +31,23 @@ import org.apache.spark.sql.functions._
   *     meaning, so we take the smallest tuple by the non-agg columns
   *     (deterministic).
   *   - GROUPBY parses but aborts in the reference
-  *     (RandomInitialPlan.java:51-54); we implement it for real.
+  *     (RandomInitialPlan.java:51-54); we implement it for real — both
+  *     the aggregated form and the bare grouped-distinct form — with
+  *     standard-SQL validation (a non-aggregated SELECT column must
+  *     appear in GROUPBY). `strictParity = true` restores the
+  *     reference's abort for byte-parity runs.
   */
 object Translator {
 
-  def run(spark: SparkSession, sql: String, tables: Map[String, DataFrame]): DataFrame =
-    build(spark, Parser.parse(sql), tables)
+  def run(spark: SparkSession, sql: String, tables: Map[String, DataFrame],
+      strictParity: Boolean = false): DataFrame =
+    build(spark, Parser.parse(sql), tables, strictParity)
 
-  def build(spark: SparkSession, q: Query, tables: Map[String, DataFrame]): DataFrame = {
+  def build(spark: SparkSession, q: Query, tables: Map[String, DataFrame],
+      strictParity: Boolean = false): DataFrame = {
+    if (strictParity && q.groupBy.nonEmpty)
+      sys.error("GROUPBY is not implemented " +
+        "(reference parity: RandomInitialPlan.java:51-54 aborts)")
     // Scans, each aliased by table name so `tbl.col` resolves qualified.
     def base(t: String): DataFrame =
       tables.getOrElse(t, sys.error(s"unknown table $t")).alias(t)
@@ -91,8 +100,27 @@ object Translator {
       }).as(a.outName)
     }
 
+    // Standard-SQL GROUPBY validation: every non-aggregated SELECT column
+    // must be a group key (the reference never got here — it aborts).
+    if (q.groupBy.nonEmpty) {
+      val keys = q.groupBy.map(a => (a.table, a.column)).toSet
+      val stray = plain.filterNot(a => keys((a.table, a.column)))
+      if (stray.nonEmpty)
+        sys.error(s"non-aggregated column${if (stray.size > 1) "s" else ""} " +
+          stray.map(a => s"${a.table}.${a.column}").mkString(", ") +
+          " not in GROUPBY")
+    }
+
     val projected: DataFrame =
-      if (aggs.isEmpty) {
+      if (aggs.isEmpty && q.groupBy.nonEmpty) {
+        // Bare GROUPBY (no aggregates): the grouped-distinct form —
+        // distinct over the FULL key list, then the SELECT projection
+        // (which may be a key subset, standard semantics).
+        filtered
+          .select(q.groupBy.map(a => aref(a).as(a.outName)): _*)
+          .distinct()
+          .select(outAttrs.map(a => col(s"`${a.outName}`")): _*)
+      } else if (aggs.isEmpty) {
         filtered.select(outAttrs.map(a => aref(a).as(a.outName)): _*)
       } else if (q.groupBy.nonEmpty) {
         // Group keys are aliased to their qualified out-names up front: the

@@ -1728,6 +1728,37 @@ object Relational {
           .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
             "\n) ORDER BY pair")
       }),
+
+    // ---- Dialect GROUPBY execution, DuckDB-gated ---------------------------
+    // The reference PARSES `GROUPBY attlist` but aborts at planning
+    // (RandomInitialPlan.java:51-54); our dialect executes it
+    // (dialect/Translator.scala — Spark groupBy under the translator's
+    // aggregate-attribute rules, with the reference's abort available
+    // behind the strictParity flag). This golden drives the WHOLE
+    // dialect path — parse, literal coercion, join recovery from the
+    // comma-list, grouped aggregation — over the parquet tables, so
+    // GROUPBY execution sits under the driver's DuckDB hash gate like
+    // any native operator. Output columns are renamed from the
+    // dialect's qualified out-names (parquet field names cannot carry
+    // dots).
+    QueryDef("q366_dialect_groupby", (s, d) =>
+      graft.dialect.Translator.run(s,
+        "SELECT customer.c_mktsegment,COUNT(orders.o_orderkey)," +
+          "MAX(orders.o_totalprice),MIN(orders.o_orderkey) " +
+          "FROM customer,orders " +
+          "WHERE customer.c_custkey=orders.o_custkey," +
+          "orders.o_orderstatus=\"F\" " +
+          "GROUPBY customer.c_mktsegment",
+        Map("customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")))
+        .toDF("c_mktsegment", "n_orders", "max_price", "min_orderkey")
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+             |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+             |  max(o_totalprice) AS max_price,
+             |  min(o_orderkey) AS min_orderkey
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |WHERE o_orderstatus = 'F'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 
   /** q294 core, parameterized by moment space. The exact branch keeps

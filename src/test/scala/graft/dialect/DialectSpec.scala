@@ -120,6 +120,52 @@ class DialectSpec extends AnyFunSuite with SparkTestBase {
       want.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("bare GROUPBY is the grouped distinct; key-subset projection " +
+    "keeps per-group rows") {
+    val got = Translator.run(spark,
+      "SELECT CART.status FROM CART GROUPBY CART.status", tables)
+    assert(got.collect().map(_.getString(0)).toSet ==
+      cart.select("status").distinct().collect().map(_.getString(0)).toSet)
+    assert(got.count() == 3)
+    // projecting a subset of the keys groups by ALL keys first —
+    // (status, cid) pairs are distinct, status values then repeat
+    val sub = Translator.run(spark,
+      "SELECT CART.status FROM CART GROUPBY CART.status,CART.cid", tables)
+    assert(sub.count() ==
+      cart.select("status", "cid").distinct().count())
+  }
+
+  test("GROUPBY validation: a non-aggregated SELECT column must be a " +
+    "group key; strictParity restores the reference's abort") {
+    val ex = intercept[RuntimeException](Translator.run(spark,
+      "SELECT CART.remarks,COUNT(CART.cartid) FROM CART GROUPBY CART.status",
+      tables))
+    assert(ex.getMessage.contains("not in GROUPBY"))
+    // the reference aborts on any GROUPBY (RandomInitialPlan.java:51-54)
+    val ab = intercept[RuntimeException](Translator.run(spark,
+      "SELECT CART.status,COUNT(CART.cartid) FROM CART GROUPBY CART.status",
+      tables, strictParity = true))
+    assert(ab.getMessage.contains("reference parity"))
+    // the flag leaves GROUPBY-free queries untouched
+    assert(Translator.run(spark,
+      "SELECT CART.cartid FROM CART", tables, strictParity = true).count() == 15)
+  }
+
+  test("GROUPBY golden over a join, against independently-written " +
+    "aggregation (the q366 shape; q366 itself is DuckDB-gated)") {
+    val got = Translator.run(spark,
+      "SELECT CART.status,COUNT(CARTDETAILS.iid),MAX(CARTDETAILS.qty) " +
+        "FROM CART,CARTDETAILS WHERE CART.cartid=CARTDETAILS.cartid " +
+        "GROUPBY CART.status", tables)
+    val want = cart.join(cartdetails, cart("cartid") === cartdetails("cartid"))
+      .groupBy(cart("status"))
+      .agg(count(cartdetails("iid")), max(cartdetails("qty")))
+    assert(got.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet ==
+      want.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet)
+    assert(got.count() == 3)
+  }
+
   test("parser rejects malformed queries with clear errors") {
     def fails(sql: String): Unit =
       assertThrows[Exception](Parser.parse(sql))
