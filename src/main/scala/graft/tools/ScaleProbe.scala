@@ -648,6 +648,92 @@ object ScaleProbe {
       }
     }
 
+    // --- STREAM-STATE PROBE (r14 verdict ask #5) --------------------------
+    // The stateful faces (q338's per-band LSH index, q346's per-annotator
+    // last-judgment fold) ARGUE bounded state; this measures it from the
+    // engine's own StateOperatorProgress: replay x{1,4,mult} streams in
+    // two triggers and report state-store rows + bytes per trigger.
+    // Claims pinned by the printed rows: duel state == one row per ACTIVE
+    // ANNOTATOR — flat when replicas reuse the same users at m times the
+    // events, growing only when replicas add users; dedup state rides the
+    // arrival count (band-bucket entries), never the verdict volume.
+    def probeOn(name: String): Boolean =
+      !only.exists(ps => !ps.exists(name.startsWith))
+    if (probeOn("stream_state")) {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      def ckpt(): String = java.nio.file.Files
+        .createTempDirectory("graft-state-probe").toString
+      def lastState(q: org.apache.spark.sql.streaming.StreamingQuery)
+          : (Long, Long) =
+        q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+          .map(p => (p.stateOperators.map(_.numRowsTotal).sum,
+            p.stateOperators.map(_.memoryUsedBytes).sum))
+          .getOrElse((-1L, -1L))
+      val evBase = ev0
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3), r.getDouble(4)))
+      val cutMs = evBase.map(_._3.getTime).sorted.apply(evBase.length / 2)
+      Seq(1, 4, mult).distinct.foreach { m =>
+        Seq(false, true).foreach { newUsers =>
+          val label = if (newUsers) "newusers" else "sameusers"
+          val evm = (0 until m).flatMap { i =>
+            evBase.map { case (u, e, t, ty, v) =>
+              (if (newUsers) u + i * maxUser else u, e + i * maxEv, t, ty, v)
+            }
+          }
+          val ms = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+          val q = graft.streaming.Streams.duelIngest(
+              ms.toDF.toDF("user_id", "event_id", "ts", "event_type", "value"))
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt()).start()
+          try {
+            Seq(evm.filter(_._3.getTime <= cutMs),
+              evm.filter(_._3.getTime > cutMs)).zipWithIndex.foreach {
+              case (wave, i) =>
+                ms.addData(wave)
+                q.processAllAvailable()
+                val (rows, bytes) = lastState(q)
+                println(s"SCALE stream_state_duel_${label}_x$m " +
+                  s"trigger=${i + 1} events=${wave.size} " +
+                  s"state_rows=$rows state_bytes=$bytes")
+            }
+          } finally q.stop()
+        }
+        // q338's face: arrivals extend the per-band index — replicas are
+        // disjoint-vocabulary docs, so band entries ride the arrival count
+        val incoming = (0 until m).map { i =>
+          docs0.filter(col("doc_id") % 5 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+            .withColumn("text", array_join(
+              transform(split(col("text"), " "),
+                t => concat(lit(s"r${i}_"), t)), " "))
+        }.reduce(_ union _).select("doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        val half = incoming.length / 2
+        val ms2 = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, String)]
+        val q2 = graft.streaming.Streams.dedupIngest(
+            docs0.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text"),
+            ms2.toDF.toDF("doc_id", "text"))
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt()).start()
+        try {
+          Seq(incoming.take(half), incoming.drop(half)).zipWithIndex.foreach {
+            case (wave, i) =>
+              ms2.addData(wave.toIndexedSeq)
+              q2.processAllAvailable()
+              val (rows, bytes) = lastState(q2)
+              println(s"SCALE stream_state_dedup_x$m trigger=${i + 1} " +
+                s"arrivals=${wave.length} state_rows=$rows state_bytes=$bytes")
+          }
+        } finally q2.stop()
+      }
+    }
+
     // --- x64 OVERFLOW PROBE (r11 verdict ask #6) --------------------------
     // The moment/rank/sketch families carry documented int64 bounds the
     // sf0.01 and sf0.1 gates sit comfortably under (q222's n*sum(v^2) -
