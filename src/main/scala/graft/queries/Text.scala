@@ -271,6 +271,60 @@ object Text {
       .select(col("doc_id"), col("span_idx"), col("start_tok"),
         col("span_len"), col("n").as("n_tokens"), col("n_spans"))
 
+  /** Exact token-level P/R/F1 scorer over (gold, pred) token-array
+    * pairs — the SQuAD-style reference-based eval metric, emitted as
+    * EXACT INTEGER sufficient statistics (len_gold, len_pred, multiset
+    * overlap, f1_num = 2*overlap, f1_den = len_gold + len_pred) so no
+    * float division enters the gate; f1 = f1_num / f1_den is the
+    * consumer's one division. `multiset_em` is bag equality (order
+    * ignored) — the exact-match tier for free-form answers where token
+    * order carries no credit.
+    *
+    * Scale shape: each side explodes to (pair, token) rows tagged with
+    * its side's count vector, then ONE (doc_id, tok) hash shuffle
+    * computes both bag counts and overlap = sum(min) — per-pair token
+    * bags are never materialized as wide rows, so a 100k-token answer
+    * costs 100k narrow rows, not one row of 100k entries. No join at
+    * all: the union carries both sides through the same aggregate. */
+  def scoreTokenF1(pairs: DataFrame): DataFrame = {
+    val g = pairs.select(col("doc_id"), explode(col("gold")).as("tok"),
+      lit(1L).as("g"), lit(0L).as("pr"))
+    val p = pairs.select(col("doc_id"), explode(col("pred")).as("tok"),
+      lit(0L).as("g"), lit(1L).as("pr"))
+    g.unionByName(p)
+      .groupBy("doc_id", "tok")
+      .agg(sum("g").as("cg"), sum("pr").as("cp"))
+      .groupBy("doc_id")
+      .agg(sum("cg").as("len_gold"), sum("cp").as("len_pred"),
+        sum(least(col("cg"), col("cp"))).as("overlap"))
+      .select(col("doc_id"), col("len_gold"), col("len_pred"),
+        col("overlap"), (col("overlap") * 2).as("f1_num"),
+        (col("len_gold") + col("len_pred")).as("f1_den"),
+        (col("overlap") === col("len_gold") &&
+          col("len_gold") === col("len_pred")).as("multiset_em"))
+  }
+
+  /** q368's deterministic (gold, pred) pair builder: pred = gold with
+    * a Lehmer-keyed 10% token deletion + 10% out-of-vocabulary
+    * substitution (position seed = lehmer(lehmer(doc_id))*31 + p, the
+    * q335 decorrelation rule). Both engines construct the identical
+    * pair, so the oracle certifies the SCORER, not the corruption —
+    * the corruption only guarantees every F1 regime (miss, spurious,
+    * repeat-limited overlap) appears in the gated output. Map-only
+    * higher-order array ops; no shuffle before the scorer's own. */
+  def tokenF1Pairs(docs: DataFrame): DataFrame = {
+    val tk = split(col("text"), " ")
+    val tagged = transform(tk, (tok, i) => struct(tok.as("t"),
+      Sampling.lehmer(Sampling.lehmer(col("doc_id")) * 31 +
+        i.cast("long")).as("h")))
+    val pred = transform(
+      filter(tagged, s => pmod(s("h"), lit(10L)) =!= 0L),
+      s => when(pmod(s("h"), lit(10L)) === 1L,
+        concat(lit("x"), pmod(s("h"), lit(97L)).cast("string")))
+        .otherwise(s("t")))
+    docs.select(col("doc_id"), tk.as("gold"), pred.as("pred"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Span-corruption plan (T5/UL2 denoising preprocessing) -----------
@@ -311,6 +365,51 @@ object Text {
              |  2 + h % 3 AS span_len,
              |  n AS n_tokens, n_spans
              |FROM w ORDER BY doc_id, span_idx""".stripMargin)),
+
+    // ---- Reference-based eval scoring (exact token F1) --------------------
+    // The SQuAD/TriviaQA-style scorer an eval harness runs over every
+    // (model answer, gold answer) pair: token-level precision/recall/F1
+    // from the multiset token overlap, plus bag exact-match. Emitted as
+    // exact integer sufficient statistics (the f1_num/f1_den rational) —
+    // the exact-arithmetic charter. Pairs here are deterministic
+    // corruptions of the documents table (see tokenF1Pairs); the gated
+    // artifact is the SCORER's bag algebra at every overlap regime.
+    QueryDef("q368_token_f1", (s, d) =>
+      scoreTokenF1(tokenF1Pairs(t(s, d, "documents"))).orderBy("doc_id"),
+      Some(s"""WITH tkn AS MATERIALIZED (
+             |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             |pos AS MATERIALIZED (
+             |  SELECT doc_id, CAST(unnest(range(len(t))) AS BIGINT) AS p,
+             |    unnest(t) AS tok
+             |  FROM tkn),
+             |hs AS MATERIALIZED (
+             |  SELECT doc_id, p, tok,
+             |    ${Sampling.sqlLehmerOf(
+                   s"((${Sampling.sqlLehmerOf("doc_id")}) * 31 + p)")} AS h
+             |  FROM pos),
+             |pred AS (
+             |  SELECT doc_id,
+             |    CASE WHEN h % 10 = 1 THEN 'x' || CAST(h % 97 AS VARCHAR)
+             |         ELSE tok END AS tok
+             |  FROM hs WHERE h % 10 <> 0),
+             |gbag AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cg
+             |         FROM pos GROUP BY 1, 2),
+             |pbag AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cp
+             |         FROM pred GROUP BY 1, 2),
+             |j AS (
+             |  SELECT coalesce(g.doc_id, p.doc_id) AS doc_id,
+             |    coalesce(cg, 0) AS cg, coalesce(cp, 0) AS cp
+             |  FROM gbag g FULL OUTER JOIN pbag p
+             |    ON g.doc_id = p.doc_id AND g.tok = p.tok)
+             |SELECT doc_id,
+             |  CAST(sum(cg) AS BIGINT) AS len_gold,
+             |  CAST(sum(cp) AS BIGINT) AS len_pred,
+             |  CAST(sum(least(cg, cp)) AS BIGINT) AS overlap,
+             |  CAST(2 * sum(least(cg, cp)) AS BIGINT) AS f1_num,
+             |  CAST(sum(cg) + sum(cp) AS BIGINT) AS f1_den,
+             |  (sum(least(cg, cp)) = sum(cg) AND sum(cg) = sum(cp))
+             |    AS multiset_em
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // ---- Token / character statistics ------------------------------------
     QueryDef("q40_text_stats", (s, d) =>

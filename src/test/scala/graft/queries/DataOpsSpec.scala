@@ -150,4 +150,40 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     val shares = rows.map(_.getAs[Double]("share")).sum
     assert(math.abs(shares - 1.0) < 1e-9)
   }
+
+  test("q368: token-F1 scorer bag algebra on planted overlap regimes") {
+    import spark.implicits._
+    // (id, gold, pred): identical bags (order ignored), disjoint bags,
+    // repeat-limited overlap (gold [a,a,b] vs pred [a,b,b] -> 2), and
+    // an empty pred side.
+    val pairs = Seq(
+      (1L, Seq("b", "a"), Seq("a", "b")),
+      (2L, Seq("a", "b"), Seq("c", "d")),
+      (3L, Seq("a", "a", "b"), Seq("a", "b", "b")),
+      (4L, Seq("a"), Seq.empty[String]))
+      .toDF("doc_id", "gold", "pred")
+    val got = Text.scoreTokenF1(pairs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def t(id: Long) = {
+      val r = got(id)
+      (r.getAs[Long]("len_gold"), r.getAs[Long]("len_pred"),
+        r.getAs[Long]("overlap"), r.getAs[Long]("f1_num"),
+        r.getAs[Long]("f1_den"), r.getAs[Boolean]("multiset_em"))
+    }
+    assert(t(1L) == ((2L, 2L, 2L, 4L, 4L, true)), s"identical bags: ${t(1L)}")
+    assert(t(2L) == ((2L, 2L, 0L, 0L, 4L, false)), s"disjoint: ${t(2L)}")
+    assert(t(3L) == ((3L, 3L, 2L, 4L, 6L, false)), s"repeat-limited: ${t(3L)}")
+    assert(t(4L) == ((1L, 0L, 0L, 0L, 1L, false)), s"empty pred: ${t(4L)}")
+    // the corrupted-pair face covers every regime at data scale: both
+    // misses (deletions) and spurious tokens (substitutions) must appear
+    val face = SparkEntry.queries("q368_token_f1")(spark, sfDir)
+    val stats = face.agg(
+      sum(when(col("overlap") < col("len_gold"), 1L).otherwise(0L)),
+      sum(when(col("overlap") < col("len_pred"), 1L).otherwise(0L)),
+      sum(when(col("f1_num") === col("f1_den"), 1L).otherwise(0L)),
+      count(lit(1))).collect()(0)
+    assert(stats.getLong(0) > 0, "no pair with a recall miss")
+    assert(stats.getLong(1) > 0, "no pair with a spurious prediction")
+    assert(stats.getLong(3) > 0)
+  }
 }
