@@ -2209,6 +2209,60 @@ object Dedup {
              |    FILTER (WHERE keep), '')) AS retained_hash
              |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // ---- Boilerplate strip: the RefinedWeb/C4 line-frequency rule --------
+    // Drop every paragraph occurring >= 3 times within its source —
+    // removal, not q117's first-keep dedup (chrome's first copy is
+    // still chrome), and the transform to q126's report. The synthetic
+    // corpus carries almost no natural within-source repeats at test SF
+    // (5 df=2 keys at sf0.01), so a source-keyed 8-token navigation
+    // banner is planted on doc_id % 4 == 0 — prepended, so it occupies
+    // exactly one paragraph window and the remaining windows stay
+    // aligned. Both engines construct the identical input (the q365
+    // rule); the gated artifact is the strip + reassembly algebra.
+    QueryDef("q369_boilerplate_strip", (s, d) => {
+      val banner = concat_ws(" ", lit("nav"), col("source"), lit("home"),
+        lit("about"), lit("contact"), lit("login"), lit("search"),
+        lit("terms"))
+      boilerplateStrip(t(s, d, "documents")
+        .withColumn("text", when(col("doc_id") % 4 === 0,
+          concat_ws(" ", banner, col("text"))).otherwise(col("text"))))
+    },
+      Some(s"""WITH documents2 AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN 'nav ' || source ||
+             |        ' home about contact login search terms ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+             |        len(string_split(text, ' ')) AS n FROM documents2),
+             |p AS (SELECT doc_id, source, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER)
+             |          AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, source, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text,
+             |        least(8, n - para_id * 8) AS n_tokens FROM p),
+             |ph AS (SELECT doc_id, source, para_id, para_text, n_tokens,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |dfk AS (SELECT source, h, count(*) AS df
+             |        FROM ph GROUP BY source, h),
+             |fk AS (SELECT doc_id, para_id, para_text, n_tokens, df,
+             |        df < 3 AS keep
+             |        FROM ph JOIN dfk USING (source, h))
+             |SELECT doc_id,
+             |  count(*) AS n_paras,
+             |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS kept_paras,
+             |  CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT)
+             |    AS retained_tokens,
+             |  CAST(max(CASE WHEN NOT keep THEN df ELSE 0 END) AS BIGINT)
+             |    AS max_dropped_df,
+             |  md5(coalesce(string_agg(para_text, ' ' ORDER BY para_id)
+             |    FILTER (WHERE keep), '')) AS retained_hash
+             |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // ---- Boilerplate report: the paragraphs q117 drops, ranked ----------
     // Before a dedup pass ships, review WHAT it cuts: the most-repeated
     // paragraphs with their document and source spread — headers,
@@ -3470,6 +3524,41 @@ object Dedup {
     * and the scale probe. Keeps each paragraph's first (doc_id, para_id)
     * occurrence corpus-wide; returns per-doc retention stats + an md5 of
     * the reassembled retained text. */
+  /** Line-level boilerplate STRIP (q369's body) — the RefinedWeb/C4
+    * frequency rule, distinct from q117's first-occurrence dedup: a
+    * paragraph occurring >= k times WITHIN ITS SOURCE is boilerplate
+    * (navigation chrome, license banners, template footers) and EVERY
+    * occurrence is dropped — the first copy is just as much chrome as
+    * the last. q126 reports this mass; this op removes it and
+    * reassembles the retained text. One chunking rule (q117's
+    * paraTable).
+    *
+    * Shape at scale: one map-combined (source, para-hash) df count,
+    * one narrow join-back pinned shuffled-hash (the df table is
+    * corpus-derived — the q135 rule; fanout is 1:1 per paragraph, so a
+    * banner shared by millions of pages costs its occurrence count,
+    * never df^2), and a per-doc rollup bounded by document length. */
+  def boilerplateStrip(documents: DataFrame, w: Int = 8,
+      k: Long = 3L): DataFrame = {
+    val paras = paraTable(documents, w, carry = Seq("source"))
+    val dfk = paras.groupBy("source", "h").agg(count(lit(1)).as("df"))
+    paras.join(dfk.hint("shuffle_hash"), Seq("source", "h"))
+      .withColumn("keep", col("df") < k)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept_paras"),
+        sum(when(col("keep"), col("n_tokens")).otherwise(lit(0L)))
+          .as("retained_tokens"),
+        max(when(!col("keep"), col("df")).otherwise(lit(0L)))
+          .as("max_dropped_df"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("para_id"), col("para_text"))))),
+          x => x.getField("para_text")), " ")).as("retained_hash"))
+      .orderBy("doc_id")
+  }
+
   def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
     val paras = paraTable(documents, w)
     val first = paras

@@ -2569,4 +2569,33 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
         s"${q.name} plans a BroadcastNestedLoopJoin")
     }
   }
+
+  test("q369 strip removes exactly the planted banner and restores the text") {
+    // The banner is prepended and 8 tokens wide, so it occupies one
+    // paragraph window and every original window stays aligned; with no
+    // natural df>=3 repeats at this SF, stripping the banner-injected
+    // corpus must reconstruct each document EXACTLY: retained_hash ==
+    // md5(original text), kept windows == all but the banner.
+    val docs = Tables.load(spark, sfDir, "documents")
+    val got = q("q369_boilerplate_strip").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val want = docs.select(col("doc_id"), md5(col("text")),
+      col("source")).collect()
+    assert(got.size == want.length)
+    val perSource = want.groupBy(_.getString(2))
+      .view.mapValues(_.count(_.getLong(0) % 4 == 0)).toMap
+    want.foreach { r =>
+      val (id, textMd5) = (r.getLong(0), r.getString(1))
+      val g = got(id)
+      assert(g.getAs[String]("retained_hash") == textMd5,
+        s"doc $id: strip did not reconstruct the original text")
+      val banner = id % 4 == 0
+      assert(g.getAs[Long]("n_paras") - g.getAs[Long]("kept_paras") ==
+        (if (banner) 1L else 0L), s"doc $id: wrong drop count")
+      assert(g.getAs[Long]("max_dropped_df") ==
+        (if (banner) perSource(r.getString(2)).toLong else 0L),
+        s"doc $id: wrong dropped df")
+    }
+    assert(want.exists(_.getLong(0) % 4 == 0), "fixture has no banner docs")
+  }
 }
