@@ -209,6 +209,32 @@ object Conversation {
        |      AS BIGINT) AS conv_id
        |  FROM t0)""".stripMargin
 
+  /** q350's full oracle text — shared verbatim with the q367 streaming
+    * face (the q346 one-SQL-text rule: batch gate and online assembly
+    * cannot drift apart). */
+  private val sqlChatGate =
+    s"""WITH $sqlTurnsCte,
+       |g AS (
+       |  SELECT user_id, conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       |    max(us) - min(us) AS dur_us,
+       |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
+       |    CAST(sum(len) AS BIGINT) AS total_len
+       |  FROM turns GROUP BY 1, 2),
+       |br AS (
+       |  SELECT user_id, conv_id,
+       |    CAST(count(*) FILTER (pt = event_type) AS BIGINT) AS n_breaks
+       |  FROM (SELECT user_id, conv_id, event_type,
+       |          lag(event_type) OVER (PARTITION BY user_id, conv_id
+       |            ORDER BY us, event_id) AS pt
+       |        FROM turns)
+       |  GROUP BY 1, 2)
+       |SELECT g.user_id, g.conv_id, n_turns, dur_us, n_roles,
+       |  total_len, n_breaks,
+       |  coalesce(n_turns >= 2 AND n_breaks * 4 <= n_turns
+       |    AND total_len <= 2048, false) AS keep
+       |FROM g JOIN br USING (user_id, conv_id)
+       |ORDER BY user_id, conv_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Chat-quality gate -------------------------------------------------
@@ -217,27 +243,26 @@ object Conversation {
     // context-overflow conversations before assembly.
     QueryDef("q350_chat_gate", (s, d) =>
       chatGate(t(s, d, "events")).orderBy("user_id", "conv_id"),
-      Some(s"""WITH $sqlTurnsCte,
-             |g AS (
-             |  SELECT user_id, conv_id, CAST(count(*) AS BIGINT) AS n_turns,
-             |    max(us) - min(us) AS dur_us,
-             |    CAST(count(DISTINCT event_type) AS BIGINT) AS n_roles,
-             |    CAST(sum(len) AS BIGINT) AS total_len
-             |  FROM turns GROUP BY 1, 2),
-             |br AS (
-             |  SELECT user_id, conv_id,
-             |    CAST(count(*) FILTER (pt = event_type) AS BIGINT) AS n_breaks
-             |  FROM (SELECT user_id, conv_id, event_type,
-             |          lag(event_type) OVER (PARTITION BY user_id, conv_id
-             |            ORDER BY us, event_id) AS pt
-             |        FROM turns)
-             |  GROUP BY 1, 2)
-             |SELECT g.user_id, g.conv_id, n_turns, dur_us, n_roles,
-             |  total_len, n_breaks,
-             |  coalesce(n_turns >= 2 AND n_breaks * 4 <= n_turns
-             |    AND total_len <= 2048, false) AS keep
-             |FROM g JOIN br USING (user_id, conv_id)
-             |ORDER BY user_id, conv_id""".stripMargin)),
+      Some(sqlChatGate)),
+
+    // ---- Streaming conversation-assembly face, driver-gated ----------------
+    // The q346 promotion for [[graft.streaming.Streams.convGateIngest]]:
+    // conversations are assembled ONLINE — one open-conversation
+    // accumulator per active user in the state store, closed by the
+    // inactivity gap (or the end-of-input flush tick the batch face
+    // injects per user). A full replay emits exactly the batch q350
+    // gate — certified by the SAME oracle SQL text; the two-trigger
+    // arrival contract (a conversation spans the micro-batch boundary,
+    // the counter never resets) is spec-driven as a real MemoryStream
+    // in StreamingSpec.
+    QueryDef("q367_conv_ingest_face", (s, d) => {
+      val ev = t(s, d, "events")
+      graft.streaming.Streams.convGateIngest(
+        graft.streaming.Streams.convTurns(ev)
+          .union(graft.streaming.Streams.convFlushTicks(ev)))
+        .toDF().orderBy("user_id", "conv_id")
+    },
+      Some(sqlChatGate)),
 
     // ---- SFT context-truncation accounting ---------------------------------
     // One example per target turn with its budget-fitted trailing

@@ -797,6 +797,112 @@ object Streams {
       }
   }
 
+  /** One gated conversation — the batch q350 row shape. */
+  final case class ConvGate(user_id: Long, conv_id: Long, n_turns: Long,
+      dur_us: Long, n_roles: Long, total_len: Option[Long], n_breaks: Long,
+      keep: Boolean)
+
+  /** One conversation turn on the wire. `flush = true` marks an
+    * end-of-input tick: it closes the user's open conversation without
+    * starting a new one (the batch face injects one per user; a
+    * production stream sends it from the upstream EOF/cutoff signal). */
+  final case class ConvTurn(user_id: Long, event_id: Long, us: Long,
+      typ: String, len: Option[Int], flush: Boolean)
+
+  /** The open conversation's incremental accumulator plus the per-user
+    * conversation counter — one small record per ACTIVE USER in the
+    * state store, bounded by the user population, never by stream
+    * length (roles is the distinct event-type set: a bounded domain). */
+  final case class ConvAcc(start: Long, last: Long, nTurns: Long,
+      roles: Seq[String], sumLen: Long, hasLen: Boolean, prevTyp: String,
+      nBreaks: Long)
+  final case class ConvAsmState(counter: Long, open: Option[ConvAcc])
+
+  /** Map-only turn projection for [[convGateIngest]] — the streaming
+    * form of the batch turn rule (q350's): drop null timestamps,
+    * integer-microsecond time, token length from the JSON `props.k`. */
+  def convTurns(events: DataFrame): Dataset[ConvTurn] = {
+    import events.sparkSession.implicits._
+    events.filter(col("ts").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type").as("typ"),
+        get_json_object(col("props"), "$.k").cast("int").as("len"),
+        lit(false).as("flush"))
+      .as[ConvTurn]
+  }
+
+  /** One far-future flush tick per user present in `events` — the
+    * batch face's end-of-input marker forcing every open conversation
+    * closed, so a full replay equals the batch q350 gate exactly. */
+  def convFlushTicks(events: DataFrame): Dataset[ConvTurn] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(Long.MaxValue).as("event_id"),
+        lit(Long.MaxValue).as("us"), lit("").as("typ"),
+        lit(null).cast("int").as("len"), lit(true).as("flush"))
+      .as[ConvTurn]
+  }
+
+  /** Streaming twin of the batch q350 chat-quality gate: conversations
+    * are ASSEMBLED ONLINE — a user's turns fold into the open
+    * conversation's accumulator (turn count, span, role set, token
+    * sum, role-run breaks); a turn beyond the inactivity gap closes the
+    * conversation, emits its gate row, and opens the next; a flush tick
+    * closes without opening. Within a micro-batch a user's rows fold in
+    * (us, event_id) order — the batch window's exact ordering rule — so
+    * a full replay (+ flush) reproduces the batch gate row-for-row (the
+    * q367 driver gate); across micro-batches the fold continues from
+    * stored state: a conversation spans the trigger boundary and its
+    * counter never resets (the StreamingSpec arrival contract).
+    *
+    * The keep verdict replays Catalyst's null semantics exactly: any
+    * FALSE structural conjunct wins over an unparseable token total
+    * (keep = false, not null), and a parseable-token conversation needs
+    * all three conjuncts — the batch coalesce(a AND b AND c, false). */
+  def convGateIngest(turns: Dataset[ConvTurn],
+      gapUs: Long = 28800L * 1000000L): Dataset[ConvGate] = {
+    import turns.sparkSession.implicits._
+    def close(u: Long, cid: Long, a: ConvAcc): ConvGate =
+      ConvGate(u, cid, a.nTurns, a.last - a.start, a.roles.size.toLong,
+        if (a.hasLen) Some(a.sumLen) else None, a.nBreaks,
+        a.nTurns >= 2 && a.nBreaks * 4 <= a.nTurns &&
+          a.hasLen && a.sumLen <= 2048)
+    turns.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ConvAsmState, ConvGate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[ConvTurn],
+            state: GroupState[ConvAsmState]) =>
+          var st = state.getOption.getOrElse(ConvAsmState(0L, None))
+          val out = Seq.newBuilder[ConvGate]
+          rows.toSeq.sortBy(r => (r.us, r.event_id)).foreach { r =>
+            if (r.flush) {
+              st.open.foreach(a => out += close(user, st.counter, a))
+              st = st.copy(open = None)
+            } else st.open match {
+              case Some(a) if r.us - a.last <= gapUs =>
+                st = st.copy(open = Some(ConvAcc(
+                  a.start, r.us, a.nTurns + 1,
+                  if (r.typ == null || a.roles.contains(r.typ)) a.roles
+                  else a.roles :+ r.typ,
+                  a.sumLen + r.len.map(_.toLong).getOrElse(0L),
+                  a.hasLen || r.len.isDefined, r.typ,
+                  // the batch lag-compare: null on either side is no break
+                  a.nBreaks + (if (a.prevTyp != null && r.typ != null &&
+                    a.prevTyp == r.typ) 1L else 0L))))
+              case prior =>
+                prior.foreach(a => out += close(user, st.counter, a))
+                st = ConvAsmState(st.counter + 1, Some(ConvAcc(
+                  r.us, r.us, 1L,
+                  if (r.typ == null) Seq.empty else Seq(r.typ),
+                  r.len.map(_.toLong).getOrElse(0L), r.len.isDefined,
+                  r.typ, 0L)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

@@ -702,6 +702,29 @@ object ScaleProbe {
                   s"state_rows=$rows state_bytes=$bytes")
             }
           } finally q.stop()
+          // q367's face: one open-conversation accumulator per ACTIVE
+          // USER — the same flat-in-events / linear-in-users claim as
+          // the duel state, measured on the identical replicated waves
+          val ms3 = org.apache.spark.sql.execution.streaming.runtime
+            .MemoryStream[graft.streaming.Streams.ConvTurn]
+          val q3 = graft.streaming.Streams.convGateIngest(ms3.toDS())
+            .writeStream.outputMode("append").format("noop")
+            .option("checkpointLocation", ckpt()).start()
+          try {
+            Seq(evm.filter(_._3.getTime <= cutMs),
+              evm.filter(_._3.getTime > cutMs)).zipWithIndex.foreach {
+              case (wave, i) =>
+                ms3.addData(wave.map { case (u, e, t, ty, _) =>
+                  graft.streaming.Streams.ConvTurn(u, e, t.getTime * 1000L,
+                    ty, None, flush = false)
+                })
+                q3.processAllAvailable()
+                val (rows, bytes) = lastState(q3)
+                println(s"SCALE stream_state_conv_${label}_x$m " +
+                  s"trigger=${i + 1} events=${wave.size} " +
+                  s"state_rows=$rows state_bytes=$bytes")
+            }
+          } finally q3.stop()
         }
         // q338's face: arrivals extend the per-band index — replicas are
         // disjoint-vocabulary docs, so band entries ride the arrival count

@@ -714,4 +714,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val want = graft.queries.Preference.duels(Tables.load(spark, sfDir, "events"))
     assertSameRows(got, want)
   }
+
+  test("streaming conversation assembly equals the batch q350 gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streams.ConvTurn]
+    val q = Streams.convGateIngest(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("conv_out").start()
+    val ev = Tables.load(spark, sfDir, "events")
+    val turns = Streams.convTurns(ev).collect()
+    val flush = Streams.convFlushTicks(ev).collect()
+    // split at the median turn time: per user every wave-1 turn precedes
+    // every wave-2 turn, so conversations spanning the cut must continue
+    // from state (counter and open accumulator carry across triggers)
+    val cut = turns.map(_.us).sorted.apply(turns.length / 2)
+    try {
+      ms.addData(turns.filter(_.us <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      val wave1 = spark.table("conv_out").count()
+      ms.addData(turns.filter(_.us > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val wave2 = spark.table("conv_out").count()
+      // open conversations exist at the cut; only the flush closes them
+      ms.addData(flush.toIndexedSeq)
+      q.processAllAvailable()
+      val all = spark.table("conv_out").count()
+      assert(wave1 < all, "no conversation closed before the flush")
+      assert(all > wave2, "flush closed nothing — no state survived the cut")
+    } finally q.stop()
+    val got = spark.table("conv_out")
+    val want = graft.queries.Conversation.defs
+      .find(_.name == "q350_chat_gate").get.build(spark, sfDir)
+    assertSameRows(got, want)
+  }
 }
