@@ -301,6 +301,20 @@ object ScaleProbe {
       time(s"paragraph_dedup_x$m") {
         graft.queries.Dedup.paragraphDedup(docs).count()
       }
+      // boilerplate strip: same three-stage shape as paragraph dedup
+      // (df count, 1:1 join-back, per-doc rollup) on the (source, hash)
+      // key — disjoint replica vocabularies keep source-local df tables
+      // m-fold but narrow; must be linear
+      time(s"boilerplate_strip_x$m") {
+        graft.queries.Dedup.boilerplateStrip(docs).count()
+      }
+      // token-F1 scorer: union-explode to (pair, token) rows + two
+      // grouped aggs — pure per-document work, no cross-doc key mixing,
+      // so the one shuffle carries m x the base token volume — linear
+      time(s"token_f1_x$m") {
+        graft.queries.Text.scoreTokenF1(
+          graft.queries.Text.tokenF1Pairs(docs)).count()
+      }
       // BPE training: the corpus pass (word-type counts) grows with m;
       // the 6 merge steps run on the TYPE table (vocab-sized — rotation
       // grows it m-fold, still corpus-independent) — near-linear with a
