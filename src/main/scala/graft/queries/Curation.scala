@@ -1169,6 +1169,65 @@ object Curation {
              |  CAST(ensemble_score AS BIGINT) AS best_score,
              |  n_members, n_members - 1 AS n_dropped
              |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+
+    // ---- Cross-epoch repeat exposure (repeated-data audit) ---------------
+    // How many effective times will this CONTENT be seen over the
+    // whole training run? The schedule (q122) repeats small sources up
+    // to 4x, and near-dup clusters multiply that again: a cluster's
+    // exposure is the SUM of its members' source epoch rates — the
+    // repeated-data accounting of Muennighoff et al. / Hernandez et
+    // al., where near-identical text seen 10+ times measurably hurts.
+    // Per cluster (q52's components; a doc in no near-dup pair is its
+    // own singleton cluster): member/source counts, total exposure_ppm,
+    // the max single-doc rate, and the over-exposure flag at 8e6 ppm
+    // (content effectively seen > 8 times). Exact integer ppm
+    // throughout. Shape: q52's O(log)-round components on the LSH pair
+    // set, a 1:1 pinned shuffled-hash label join (labels are
+    // corpus-derived — the q135 rule), the schedule's bounded
+    // source-domain broadcast, one grouped rollup.
+    QueryDef("q370_repeat_exposure", (s, d) => {
+      val docs = t(s, d, "documents")
+      val labels = Dedup.connectedComponents(
+          Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b"))._1
+        .select(col("node").as("doc_id"), col("lbl").as("cid"))
+      docs.select("doc_id", "source")
+        .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
+        .join(broadcast(Sampling.epochSchedule(docs)
+          .select("source", "epochs_ppm")), Seq("source"))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("source").as("n_sources"),
+          sum("epochs_ppm").as("exposure_ppm"),
+          max("epochs_ppm").as("max_doc_ppm"))
+        .withColumn("overexposed", col("exposure_ppm") > 8000000L)
+        .orderBy("cluster_id")
+    },
+      Some(s"""WITH RECURSIVE ${Dedup.sqlPairCtes()},
+             |edges AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc_a, doc_b FROM edges
+             |  UNION
+             |  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a),
+             |lbl AS MATERIALIZED (
+             |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+             |  FROM reach GROUP BY a),
+             |${Sampling.sqlEpochCtes},
+             |mem AS (
+             |  SELECT coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+             |    d.source, sc.epochs_ppm
+             |  FROM documents d
+             |  LEFT JOIN lbl l ON d.doc_id = l.doc_id
+             |  JOIN sched sc ON d.source = sc.source)
+             |SELECT cluster_id,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |  CAST(sum(epochs_ppm) AS BIGINT) AS exposure_ppm,
+             |  CAST(max(epochs_ppm) AS BIGINT) AS max_doc_ppm,
+             |  sum(epochs_ppm) > 8000000 AS overexposed
+             |FROM mem GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
   )
 
   /** Cross-modality id-space audit — q132's body, exposed for the

@@ -310,6 +310,55 @@ object Sampling {
        |  FROM st$cap JOIN pg ON pg.grp = st$cap.grp AND pg.pos = st$cap.pos + 1)"""
       .stripMargin
 
+  /** q122's temperature epoch schedule to per-source granularity —
+    * (source, n_tokens, weight, target_tokens, raw_ppm, epochs_ppm),
+    * exposed for q122 itself and q370's repeat-exposure audit. One
+    * map-combined shuffle to source rows, one one-row total broadcast
+    * (q76's class); epochs carried as exact-integer ppm. */
+  def epochSchedule(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val B = 2000000L
+    val capPpm = 4000000L
+    val src = documents
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    src.crossJoin(broadcast(src.agg(sum("weight").as("tw"))))
+      .withColumn("target_tokens", expr(s"($B * weight) div tw"))
+      .withColumn("raw_ppm", expr("(target_tokens * 1000000) div n_tokens"))
+      .withColumn("epochs_ppm", least(col("raw_ppm"), lit(capPpm)))
+      .select("source", "n_tokens", "weight", "target_tokens", "raw_ppm",
+        "epochs_ppm")
+  }
+
+  /** q122's epoch-schedule CTE chain ending in `sched(source, n_tokens,
+    * weight, target_tokens, raw_ppm, epochs_ppm)` — shared verbatim
+    * with q370's repeat-exposure oracle so the schedule rule cannot
+    * drift between the planner and its exposure audit. */
+  private[queries] val sqlEpochCtes: String =
+    """eps AS (
+      |  SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |epw AS (
+      |  SELECT source, n_tokens,
+      |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
+      |  FROM eps),
+      |eptw AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM epw),
+      |epa AS (
+      |  SELECT source, n_tokens, weight,
+      |    (2000000 * weight) // tw AS target_tokens
+      |  FROM epw CROSS JOIN eptw),
+      |epe AS (
+      |  SELECT source, n_tokens, weight, target_tokens,
+      |    (target_tokens * 1000000) // n_tokens AS raw_ppm
+      |  FROM epa),
+      |sched AS (
+      |  SELECT source, n_tokens, weight, target_tokens, raw_ppm,
+      |    least(raw_ppm, 4000000) AS epochs_ppm
+      |  FROM epe)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- Train/val/test split: stable, salt-free, rerun-invariant --------
@@ -756,46 +805,18 @@ object Sampling {
     // map-combined shuffle to source granularity (tens of rows), then a
     // one-row total broadcast — corpus-proportional work ends at the
     // first aggregate.
-    QueryDef("q122_epoch_schedule", (s, d) => {
-      val B = 2000000L
-      val capPpm = 4000000L
-      val src = t(s, d, "documents")
-        .groupBy("source")
-        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-        .withColumn("weight",
-          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-      src.crossJoin(broadcast(src.agg(sum("weight").as("tw"))))
-        .withColumn("target_tokens", expr(s"($B * weight) div tw"))
-        .withColumn("raw_ppm", expr("(target_tokens * 1000000) div n_tokens"))
-        .withColumn("epochs_ppm", least(col("raw_ppm"), lit(capPpm)))
-        .withColumn("capped", col("raw_ppm") > capPpm)
+    QueryDef("q122_epoch_schedule", (s, d) =>
+      epochSchedule(t(s, d, "documents"))
+        .withColumn("capped", col("raw_ppm") > 4000000L)
         .withColumn("alloc_tokens", expr("(epochs_ppm * n_tokens) div 1000000"))
         .select("source", "n_tokens", "weight", "target_tokens",
           "epochs_ppm", "capped", "alloc_tokens")
-        .orderBy("source")
-    },
-      Some("""WITH s AS (
-             |  SELECT source,
-             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-             |  FROM documents GROUP BY source),
-             |w AS (
-             |  SELECT source, n_tokens,
-             |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight
-             |  FROM s),
-             |tw AS (SELECT CAST(sum(weight) AS BIGINT) AS tw FROM w),
-             |a AS (
-             |  SELECT source, n_tokens, weight,
-             |    (2000000 * weight) // tw AS target_tokens
-             |  FROM w CROSS JOIN tw),
-             |e AS (
-             |  SELECT source, n_tokens, weight, target_tokens,
-             |    (target_tokens * 1000000) // n_tokens AS raw_ppm
-             |  FROM a)
-             |SELECT source, n_tokens, weight, target_tokens,
-             |  least(raw_ppm, 4000000) AS epochs_ppm,
+        .orderBy("source"),
+      Some(s"""WITH $sqlEpochCtes
+             |SELECT source, n_tokens, weight, target_tokens, epochs_ppm,
              |  raw_ppm > 4000000 AS capped,
-             |  (least(raw_ppm, 4000000) * n_tokens) // 1000000 AS alloc_tokens
-             |FROM e ORDER BY source""".stripMargin)),
+             |  (epochs_ppm * n_tokens) // 1000000 AS alloc_tokens
+             |FROM sched ORDER BY source""".stripMargin)),
 
     // ---- Token-balanced shard manifests (snake packing) ------------------
     // The output-layout op: assign documents to a fixed shard count so

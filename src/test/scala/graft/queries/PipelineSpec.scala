@@ -2562,12 +2562,46 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q332_pack_efficiency", // q331's one-row count cross, three sweep cells
       "q333_hard_negatives", // q48's bounded 50-anchor broadcast, label-filtered (q119's class)
       "q334_bitext_margin", // q137's fixed 64-row centroid broadcast (probed assignment)
-      "q358_length_upsample") // one-row max-token-mass cross join (q76's class)
+      "q358_length_upsample", // one-row max-token-mass cross join (q76's class)
+      "q370_repeat_exposure") // q122's one-row weight-total cross (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
         s"${q.name} plans a BroadcastNestedLoopJoin")
     }
+  }
+
+  test("q370 exposure conserves documents and agrees with the q122 schedule") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rows = q("q370_repeat_exposure").collect()
+    // every document lands in exactly one cluster
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // cluster ids are distinct and each is its own minimum member
+    assert(rows.map(_.getAs[Long]("cluster_id")).distinct.length == rows.length)
+    // exposure algebra: per-doc rates come from the q122 schedule, so a
+    // cluster's exposure is bounded by n_docs x the global max rate and
+    // the flag is exactly the 8e6 threshold
+    val sched = q("q122_epoch_schedule").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("epochs_ppm")).toMap
+    val maxRate = sched.values.max
+    rows.foreach { r =>
+      val (n, exp, mx) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("exposure_ppm"), r.getAs[Long]("max_doc_ppm"))
+      assert(exp <= n * maxRate && exp >= n * sched.values.min)
+      assert(mx <= maxRate && exp >= mx)
+      assert(r.getAs[Boolean]("overexposed") == (exp > 8000000L))
+    }
+    // singleton clusters carry exactly their source's schedule rate
+    val srcOf = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singles = rows.filter(_.getAs[Long]("n_docs") == 1L)
+    assert(singles.nonEmpty)
+    singles.foreach { r =>
+      assert(r.getAs[Long]("exposure_ppm") ==
+        sched(srcOf(r.getAs[Long]("cluster_id"))))
+    }
+    // the audit finds real multi-doc clusters at this SF
+    assert(rows.exists(_.getAs[Long]("n_docs") > 1L))
   }
 
   test("q369 strip removes exactly the planted banner and restores the text") {
