@@ -332,6 +332,62 @@ object Sampling {
         "epochs_ppm")
   }
 
+  /** Shuffle-quality (runs) audit over the q81 training order — q371's
+    * body. A "run" is a maximal block of consecutive same-source
+    * documents in the global order; per source the audit reports how
+    * many docs, how many runs, and the longest run. A healthy shuffle
+    * has runs ~ docs (nearly every position starts a run) and a small
+    * max_run; residual source clumping — the classic cause of loss
+    * spikes and unstable gradients early in training — shows up as a
+    * run-count deficit and a long max_run, and the consumer can score
+    * the exact Wald-Wolfowitz expectation n_i(n-n_i+1)/n from this
+    * table's own columns.
+    *
+    * Shape at scale: q81's two-phase chunked global rank (no global
+    * window), one narrow idx-keyed self-join for the predecessor
+    * source (pinned shuffled-hash — both sides corpus-derived), a
+    * second two-phase prefix sum turning run starts into run ids, and
+    * two grouped rollups. Every window partitions on a chunk key. */
+  def shuffleQuality(documents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val stats = documents.agg(count(lit(1)).as("cnt"))
+    val chunked = documents
+      .select(col("doc_id"), col("source"), lehmer(col("doc_id")).as("h"))
+      .crossJoin(broadcast(stats))
+      .withColumn("nb", prefixBuckets(col("cnt")))
+      .withColumn("chunk", expr(s"(h * nb) div $M"))
+      .drop("cnt", "nb")
+    val wLocal = Window.partitionBy("chunk").orderBy("h", "doc_id")
+    val offsets = chunkOffsets(
+      chunked.groupBy("chunk").agg(count(lit(1)).as("tot")), "chunk", "tot")
+    val ord = chunked
+      .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+      .join(broadcast(offsets), "chunk")
+      .withColumn("idx", col("local_rn") + col("off") - 1)
+      .select("idx", "source")
+    val prev = ord.select((col("idx") + 1).as("idx"),
+      col("source").as("prev_src"))
+    val starts = ord.join(prev.hint("shuffle_hash"), Seq("idx"), "left")
+      .withColumn("st", when(col("prev_src").isNull ||
+        col("prev_src") =!= col("source"), 1L).otherwise(0L))
+    // run ids: two-phase prefix sum of start markers in idx order
+    // (idx is dense, so fixed-width chunks keep per-task frames bounded)
+    val ch2 = starts.withColumn("rchunk", expr("idx div 100000"))
+    val w2 = Window.partitionBy("rchunk").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val off2 = chunkOffsets(
+      ch2.groupBy("rchunk").agg(sum("st").as("tot")), "rchunk", "tot")
+    ch2.withColumn("local_cum", sum("st").over(w2))
+      .join(broadcast(off2), "rchunk")
+      .withColumn("run_id", col("local_cum") + col("off"))
+      .groupBy("run_id")
+      .agg(min("source").as("source"), count(lit(1)).as("len"))
+      .groupBy("source")
+      .agg(sum("len").as("n_docs"), count(lit(1)).as("n_runs"),
+        max("len").as("max_run"))
+      .orderBy("source")
+  }
+
   /** q122's epoch-schedule CTE chain ending in `sched(source, n_tokens,
     * weight, target_tokens, raw_ppm, epochs_ppm)` — shared verbatim
     * with q370's repeat-exposure oracle so the schedule rule cannot
@@ -698,6 +754,38 @@ object Sampling {
              |  CAST((row_number() OVER (ORDER BY h, doc_id) - 1) // 32 AS BIGINT) AS batch_id
              |FROM (SELECT doc_id, $sqlLehmer AS h FROM documents)
              |ORDER BY global_idx""".stripMargin)),
+
+    // ---- Shuffle-quality audit: source runs in the training order --------
+    // Did the interleave actually mix? Per source: docs, maximal
+    // same-source runs, and the longest run over q81's global order —
+    // residual clumping (loss spikes, early-training instability)
+    // surfaces as a run deficit vs the Wald-Wolfowitz expectation the
+    // consumer scores from these exact integers. See [[shuffleQuality]].
+    QueryDef("q371_shuffle_quality", (s, d) =>
+      shuffleQuality(t(s, d, "documents")),
+      Some(s"""WITH ord AS (
+             |  SELECT source,
+             |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) - 1
+             |      AS idx
+             |  FROM (SELECT doc_id, source, $sqlLehmer AS h FROM documents)),
+             |m AS (
+             |  SELECT idx, source,
+             |    CASE WHEN lag(source) OVER (ORDER BY idx) IS NULL
+             |           OR lag(source) OVER (ORDER BY idx) <> source
+             |         THEN 1 ELSE 0 END AS st
+             |  FROM ord),
+             |r AS (
+             |  SELECT source,
+             |    sum(st) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING)
+             |      AS run_id
+             |  FROM m),
+             |runs AS (
+             |  SELECT source, run_id, CAST(count(*) AS BIGINT) AS len
+             |  FROM r GROUP BY 1, 2)
+             |SELECT source, CAST(sum(len) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_runs,
+             |  CAST(max(len) AS BIGINT) AS max_run
+             |FROM runs GROUP BY source ORDER BY source""".stripMargin)),
 
     // ---- DSIR-style importance weights: hashed n-gram domain relevance ---
     // Data Selection via Importance Resampling (Xie et al. 2023) scores

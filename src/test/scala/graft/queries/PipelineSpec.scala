@@ -2563,7 +2563,9 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q333_hard_negatives", // q48's bounded 50-anchor broadcast, label-filtered (q119's class)
       "q334_bitext_margin", // q137's fixed 64-row centroid broadcast (probed assignment)
       "q358_length_upsample", // one-row max-token-mass cross join (q76's class)
-      "q370_repeat_exposure") // q122's one-row weight-total cross (q76's class)
+      "q364_winrate_slices", // one-row first-day cross join (q76's class)
+      "q370_repeat_exposure", // q122's one-row weight-total cross (q76's class)
+      "q371_shuffle_quality") // q81's one-row corpus-count cross (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
       val plan = q.build(spark, sfDir).queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoop"),
@@ -2602,6 +2604,35 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     // the audit finds real multi-doc clusters at this SF
     assert(rows.exists(_.getAs[Long]("n_docs") > 1L))
+  }
+
+  test("q371 runs audit equals an in-memory reference over the q81 order") {
+    val M = 2147483647L
+    def lehmer(id: Long): Long = ((id % M) * 48271 % M) * 48271 % M
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ordered = docs.sortBy { case (id, _) => (lehmer(id), id) }.map(_._2)
+    // reference runs: fold the ordered source sequence
+    val want = scala.collection.mutable.Map[String, (Long, Long, Long)]()
+    var i = 0
+    while (i < ordered.length) {
+      var j = i
+      while (j < ordered.length && ordered(j) == ordered(i)) j += 1
+      val (d, r, mx) = want.getOrElse(ordered(i), (0L, 0L, 0L))
+      want(ordered(i)) = (d + (j - i), r + 1, math.max(mx, (j - i).toLong))
+      i = j
+    }
+    val got = q("q371_shuffle_quality").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == want.toMap)
+    // sanity: the audit is non-degenerate — multiple sources, runs
+    // conserve docs, and at least one run of length >= 2 exists OR
+    // every run is a singleton (both are valid shuffles; just pin sums)
+    assert(got.size > 1)
+    assert(got.values.map(_._1).sum == docs.length)
+    assert(got.values.forall { case (d, r, mx) => r <= d && mx >= 1 })
   }
 
   test("q369 strip removes exactly the planted banner and restores the text") {
