@@ -3520,10 +3520,6 @@ object Dedup {
       .orderBy("stage")
   }
 
-  /** CCNet-style paragraph dedup — q117's body, exposed for library use
-    * and the scale probe. Keeps each paragraph's first (doc_id, para_id)
-    * occurrence corpus-wide; returns per-doc retention stats + an md5 of
-    * the reassembled retained text. */
   /** Line-level boilerplate STRIP (q369's body) — the RefinedWeb/C4
     * frequency rule, distinct from q117's first-occurrence dedup: a
     * paragraph occurring >= k times WITHIN ITS SOURCE is boilerplate
@@ -3559,6 +3555,10 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style paragraph dedup — q117's body, exposed for library use
+    * and the scale probe. Keeps each paragraph's first (doc_id, para_id)
+    * occurrence corpus-wide; returns per-doc retention stats + an md5 of
+    * the reassembled retained text. */
   def paragraphDedup(documents: DataFrame, w: Int = 8): DataFrame = {
     val paras = paraTable(documents, w)
     val first = paras
