@@ -209,6 +209,27 @@ object Conversation {
        |      AS BIGINT) AS conv_id
        |  FROM t0)""".stripMargin
 
+  /** SFT loss-mask layout — q372's body, exposed for library use and
+    * the spec laws: per turn, the token offset span [start_tok,
+    * end_tok) within its conversation (zero-width for unparseable
+    * lengths — spans stay contiguous and gap-free) and the trainable
+    * flag for `trainableRole` turns. One conversation-bounded
+    * prefix-sum window over the q350 turn rule. */
+  def lossMask(events: DataFrame, trainableRole: String = "click",
+      gapUs: Long = GapUs): DataFrame = {
+    val w = Window.partitionBy("user_id", "conv_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    turns(events, gapUs)
+      .withColumn("start_tok",
+        coalesce(sum("len").over(w).cast("long"), lit(0L)))
+      .withColumn("end_tok",
+        col("start_tok") + coalesce(col("len").cast("long"), lit(0L)))
+      .withColumn("trainable", col("event_type") === trainableRole)
+      .select(col("user_id"), col("conv_id"), col("event_id"),
+        col("event_type").as("role"), col("start_tok"), col("end_tok"),
+        col("trainable"))
+  }
+
   /** q350's full oracle text — shared verbatim with the q367 streaming
     * face (the q346 one-SQL-text rule: batch gate and online assembly
     * cannot drift apart). */
@@ -287,6 +308,31 @@ object Conversation {
              |WINDOW fr AS (PARTITION BY user_id, conv_id
              |  ORDER BY prior_tokens
              |  RANGE BETWEEN 256 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, conv_id, event_id""".stripMargin)),
+
+    // ---- SFT loss-mask layout ---------------------------------------------
+    // The artifact a masking dataloader consumes: per turn, its token
+    // OFFSET SPAN [start_tok, end_tok) within the packed conversation
+    // plus the trainable flag — train on responder turns only, mask
+    // the rest (the standard SFT loss-masking rule). The fixture's
+    // responder role is 'click' (a documented event-type choice, the
+    // q350 role mapping); a null/unparseable turn length packs as a
+    // zero-width span so offsets stay exact and gap-free. One
+    // conversation-bounded prefix-sum window over the q350 turn rule —
+    // no new shuffle beyond the user key.
+    QueryDef("q372_loss_mask", (s, d) =>
+      lossMask(t(s, d, "events"))
+        .orderBy("user_id", "conv_id", "event_id"),
+      Some(s"""WITH $sqlTurnsCte
+             |SELECT user_id, conv_id, event_id, event_type AS role,
+             |  CAST(coalesce(sum(len) OVER w, 0) AS BIGINT) AS start_tok,
+             |  CAST(coalesce(sum(len) OVER w, 0) + coalesce(len, 0)
+             |    AS BIGINT) AS end_tok,
+             |  event_type = 'click' AS trainable
+             |FROM turns
+             |WINDOW w AS (PARTITION BY user_id, conv_id
+             |  ORDER BY us, event_id
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |ORDER BY user_id, conv_id, event_id""".stripMargin)),
 
     // ---- Template-conversation dedup ---------------------------------------

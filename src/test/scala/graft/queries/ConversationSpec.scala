@@ -163,4 +163,43 @@ class ConversationSpec extends AnyFunSuite with SparkTestBase {
       col("event_id") % 20 === 0).count()
     assert(got.map(_.getLong(4)).sum == plantedSpans)
   }
+
+  test("planted loss mask: spans are contiguous and flags follow the role") {
+    val got = Conversation.lossMask(planted, trainableRole = "b")
+      .orderBy("conv_id", "event_id").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("end_tok"),
+        r.getAs[Boolean]("trainable")))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 100L, false),
+      (1L, 2L, 100L, 300L, false),
+      (1L, 3L, 300L, 350L, true),
+      (2L, 4L, 0L, 10L, false)))
+  }
+
+  test("loss mask on testdata: per-conversation spans are gap-free and " +
+      "total to the gate's token sum") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val rows = Conversation.lossMask(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("conv_id"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("start_tok"),
+        r.getAs[Long]("end_tok")))
+      .groupBy(t => (t._1, t._2))
+    rows.foreach { case (_, turns) =>
+      val s = turns.sortBy(t => t._4)
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 == b._4, s"gap after ${a._3}")
+        case _ =>
+      }
+    }
+    // end of the last span == the q350 gate's total_len (0 when null)
+    val gate = Conversation.chatGate(ev).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("conv_id")) ->
+        Option(r.getAs[Any]("total_len")).map(_.asInstanceOf[Long])
+          .getOrElse(0L)).toMap
+    rows.foreach { case (k, turns) =>
+      assert(turns.map(_._5).max == gate(k), s"conv $k total mismatch")
+    }
+  }
 }
