@@ -119,6 +119,66 @@ object Quality {
     // one fact-to-fact edge (lineitem→orders) shuffles on the join key
     // exactly like the production join it certifies (q05). A 100 TB
     // ingest runs this nightly and alarms on orphan_frac > 0.
+    // ---- Verifiable-instruction constraint checks (IFEval-style) --------
+    // The post-training eval staple: score responses against
+    // PROGRAMMATICALLY verifiable constraints — here four checks every
+    // response (document) is scored on: a minimum token count, a
+    // required keyword as an exact token, a character budget, and the
+    // no-immediate-word-repetition rule. Every verdict is a pure
+    // map-side codegen'd expression (split + higher-order array ops —
+    // no UDF, no shuffle at all before the ordered dump); n_passed and
+    // all_passed are the per-response rollup an eval harness averages.
+    // Constraint thresholds sit inside the corpus distributions so all
+    // four verdicts carry signal both ways (331/382/245/112 of 500
+    // pass at sf0.01 — nothing is vacuous).
+    QueryDef("q373_ifeval_checks", (s, d) => {
+      val tk = split(col("text"), " ")
+      val noRep = size(filter(
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => element_at(col("t"), i) === element_at(col("t"), i + 1)),
+        x => x)) === 0
+      t(s, d, "documents")
+        .select(col("doc_id"), tk.as("t"), length(col("text")).as("nc"))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(col("t")) >= 40).as("c_min_tokens"),
+          array_contains(col("t"), "the").as("c_keyword"),
+          (col("nc") <= 300).as("c_max_chars"),
+          // Spark's sequence(1, 0) is DESCENDING [1, 0], not empty —
+          // guard the single-token case explicitly (DuckDB range(1,1)
+          // is empty, so both engines report true)
+          when(size(col("t")) >= 2, noRep).otherwise(lit(true))
+            .as("c_no_repeat"))
+        .withColumn("n_passed",
+          (col("c_min_tokens").cast("int") + col("c_keyword").cast("int") +
+            col("c_max_chars").cast("int") + col("c_no_repeat").cast("int"))
+            .cast("long"))
+        .withColumn("all_passed", col("c_min_tokens") && col("c_keyword") &&
+          col("c_max_chars") && col("c_no_repeat"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, string_split(text, ' ') AS t,
+             |    length(text) AS nc
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id,
+             |    CAST(len(t) AS BIGINT) AS n_tokens,
+             |    len(t) >= 40 AS c_min_tokens,
+             |    list_contains(t, 'the') AS c_keyword,
+             |    nc <= 300 AS c_max_chars,
+             |    len(list_filter(range(1, len(t)), i -> t[i] = t[i+1])) = 0
+             |      AS c_no_repeat
+             |  FROM tk)
+             |SELECT doc_id, n_tokens, c_min_tokens, c_keyword, c_max_chars,
+             |  c_no_repeat,
+             |  CAST(CAST(c_min_tokens AS INT) + CAST(c_keyword AS INT)
+             |    + CAST(c_max_chars AS INT) + CAST(c_no_repeat AS INT)
+             |    AS BIGINT) AS n_passed,
+             |  c_min_tokens AND c_keyword AND c_max_chars AND c_no_repeat
+             |    AS all_passed
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q194_referential_integrity", (s, d) => {
       val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
       val c = t(s, d, "customer"); val su = t(s, d, "supplier")

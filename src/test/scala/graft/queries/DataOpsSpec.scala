@@ -151,6 +151,34 @@ class DataOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(shares - 1.0) < 1e-9)
   }
 
+  test("q373: constraint verdicts are non-vacuous and follow the rules") {
+    val rows = SparkEntry.queries("q373_ifeval_checks")(spark, sfDir).collect()
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val toks = text.split(" ", -1)
+      assert(r.getAs[Long]("n_tokens") == toks.length)
+      assert(r.getAs[Boolean]("c_min_tokens") == (toks.length >= 40))
+      assert(r.getAs[Boolean]("c_keyword") == toks.contains("the"))
+      assert(r.getAs[Boolean]("c_max_chars") == (text.length <= 300))
+      assert(r.getAs[Boolean]("c_no_repeat") ==
+        toks.sliding(2).forall(p => p.length < 2 || p(0) != p(1)))
+      val n = Seq("c_min_tokens", "c_keyword", "c_max_chars", "c_no_repeat")
+        .count(r.getAs[Boolean])
+      assert(r.getAs[Long]("n_passed") == n)
+      assert(r.getAs[Boolean]("all_passed") == (n == 4))
+    }
+    // every constraint must discriminate (both verdicts occur)
+    Seq("c_min_tokens", "c_keyword", "c_max_chars", "c_no_repeat").foreach {
+      c =>
+        val s = rows.count(_.getAs[Boolean](c))
+        assert(s > 0 && s < rows.length, s"$c is vacuous")
+    }
+  }
+
   test("q368: token-F1 scorer bag algebra on planted overlap regimes") {
     import spark.implicits._
     // (id, gold, pred): identical bags (order ignored), disjoint bags,
