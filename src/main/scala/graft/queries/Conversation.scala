@@ -230,6 +230,42 @@ object Conversation {
         col("trainable"))
   }
 
+  /** Agent-trajectory loop detection — q374's body. A conversation is
+    * an agent episode; a run of >= `minLoop` consecutive same-role
+    * turns is a stuck loop (the same tool invoked over and over), and
+    * error-role loops are the retry-storm episodes an SFT curation
+    * pass drops outright. Per episode: turn/run counts, the longest
+    * run and its role (ties to the lexicographically first role —
+    * total order), the error-loop count, and the loop flag. One
+    * lag + prefix-sum window pair and two rollups, all bounded by the
+    * human-length episode (the q331 bound class) on the shared q350
+    * turn rule. */
+  def loopDetect(events: DataFrame, minLoop: Long = 3L,
+      gapUs: Long = GapUs): DataFrame = {
+    val wconv = Window.partitionBy("user_id", "conv_id")
+      .orderBy("us", "event_id")
+    val marked = turns(events, gapUs)
+      .withColumn("pt", lag("event_type", 1).over(wconv))
+      .withColumn("st", when(col("pt").isNull ||
+        col("pt") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("run_id", sum("st")
+        .over(wconv.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val runs = marked.groupBy("user_id", "conv_id", "run_id")
+      .agg(min("event_type").as("rtype"), count(lit(1)).as("len"))
+    runs
+      .withColumn("ml",
+        max("len").over(Window.partitionBy("user_id", "conv_id")))
+      .groupBy("user_id", "conv_id")
+      .agg(sum("len").as("n_turns"), count(lit(1)).as("n_runs"),
+        max("len").as("max_run"),
+        min(when(col("len") === col("ml"), col("rtype")))
+          .as("max_run_type"),
+        count(when(col("rtype") === "error" && col("len") >= minLoop, 1))
+          .as("n_error_loops"))
+      .withColumn("has_loop", col("max_run") >= minLoop)
+  }
+
   /** q350's full oracle text — shared verbatim with the q367 streaming
     * face (the q346 one-SQL-text rule: batch gate and online assembly
     * cannot drift apart). */
@@ -334,6 +370,48 @@ object Conversation {
              |  ORDER BY us, event_id
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
              |ORDER BY user_id, conv_id, event_id""".stripMargin)),
+
+    // ---- Agent-trajectory loop detection -----------------------------------
+    // Stuck-agent episodes: runs of >= 3 consecutive same-role turns
+    // (the same tool invoked over and over), with error-role retry
+    // storms counted separately — the trajectory filter an agentic SFT
+    // pass runs before keeping an episode. See [[loopDetect]].
+    QueryDef("q374_loop_detect", (s, d) =>
+      loopDetect(t(s, d, "events"))
+        .orderBy("user_id", "conv_id"),
+      Some(s"""WITH $sqlTurnsCte,
+             |m AS (
+             |  SELECT user_id, conv_id, event_type, us, event_id,
+             |    CASE WHEN lag(event_type) OVER ws IS NULL
+             |           OR lag(event_type) OVER ws <> event_type
+             |         THEN 1 ELSE 0 END AS st
+             |  FROM turns
+             |  WINDOW ws AS (PARTITION BY user_id, conv_id
+             |    ORDER BY us, event_id)),
+             |r AS (
+             |  SELECT user_id, conv_id, event_type,
+             |    sum(st) OVER (PARTITION BY user_id, conv_id
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS run_id
+             |  FROM m),
+             |runs AS (
+             |  SELECT user_id, conv_id, min(event_type) AS rtype,
+             |    CAST(count(*) AS BIGINT) AS len
+             |  FROM r GROUP BY user_id, conv_id, run_id),
+             |x AS (
+             |  SELECT *, max(len) OVER (PARTITION BY user_id, conv_id)
+             |    AS ml
+             |  FROM runs)
+             |SELECT user_id, conv_id,
+             |  CAST(sum(len) AS BIGINT) AS n_turns,
+             |  CAST(count(*) AS BIGINT) AS n_runs,
+             |  CAST(max(len) AS BIGINT) AS max_run,
+             |  min(CASE WHEN len = ml THEN rtype END) AS max_run_type,
+             |  CAST(count(*) FILTER (WHERE rtype = 'error' AND len >= 3)
+             |    AS BIGINT) AS n_error_loops,
+             |  max(len) >= 3 AS has_loop
+             |FROM x GROUP BY user_id, conv_id
+             |ORDER BY user_id, conv_id""".stripMargin)),
 
     // ---- Template-conversation dedup ---------------------------------------
     // Duplicated ordered role sequences across conversations — the

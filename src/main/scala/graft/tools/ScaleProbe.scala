@@ -480,6 +480,14 @@ object ScaleProbe {
       time(s"conv_gate_x$m") {
         graft.queries.Conversation.chatGate(replicateEvents(m)).count()
       }
+      // loss mask + loop detect: the same conversation-bounded window
+      // class as the gate — one user shuffle, episode-bounded frames
+      time(s"conv_lossmask_x$m") {
+        graft.queries.Conversation.lossMask(replicateEvents(m)).count()
+      }
+      time(s"conv_loop_x$m") {
+        graft.queries.Conversation.loopDetect(replicateEvents(m)).count()
+      }
       time(s"conv_sft_x$m") {
         graft.queries.Conversation.sftExamples(replicateEvents(m)).count()
       }

@@ -164,6 +164,38 @@ class ConversationSpec extends AnyFunSuite with SparkTestBase {
     assert(got.map(_.getLong(4)).sum == plantedSpans)
   }
 
+  test("planted loop detect: runs, the longest-run role, and both flags " +
+      "match the hand trace") {
+    import spark.implicits._
+    // one episode: a a a b error error error error b  ->  runs
+    // [a:3][b:1][error:4][b:1]; a second episode with no loop: a b a
+    val ev = Seq(
+      (9L, 1L, ts(0.0), "a"), (9L, 2L, ts(0.1), "a"), (9L, 3L, ts(0.2), "a"),
+      (9L, 4L, ts(0.3), "b"), (9L, 5L, ts(0.4), "error"),
+      (9L, 6L, ts(0.5), "error"), (9L, 7L, ts(0.6), "error"),
+      (9L, 8L, ts(0.7), "error"), (9L, 9L, ts(0.8), "b"),
+      (9L, 10L, ts(20.0), "a"), (9L, 11L, ts(20.1), "b"),
+      (9L, 12L, ts(20.2), "a"))
+      .map { case (u, e, t, ty) => (u, e, t, ty, 0.0, "{}") }
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Conversation.loopDetect(ev).orderBy("conv_id").collect()
+      .map(r => (r.getAs[Long]("conv_id"), r.getAs[Long]("n_turns"),
+        r.getAs[Long]("n_runs"), r.getAs[Long]("max_run"),
+        r.getAs[String]("max_run_type"), r.getAs[Long]("n_error_loops"),
+        r.getAs[Boolean]("has_loop")))
+    assert(got.toSeq == Seq(
+      (1L, 9L, 4L, 4L, "error", 1L, true),
+      (2L, 3L, 3L, 1L, "a", 0L, false)))
+    // testdata carries real loops (the q374 fixture signal check)
+    val real = q374OnTestdata
+    assert(real.exists(_.getAs[Boolean]("has_loop")))
+    assert(real.exists(_.getAs[Long]("n_error_loops") > 0))
+    assert(real.forall(r => r.getAs[Long]("n_runs") <= r.getAs[Long]("n_turns")))
+  }
+
+  private lazy val q374OnTestdata =
+    Conversation.loopDetect(Tables.load(spark, sfDir, "events")).collect()
+
   test("planted loss mask: spans are contiguous and flags follow the role") {
     val got = Conversation.lossMask(planted, trainableRole = "b")
       .orderBy("conv_id", "event_id").collect()
