@@ -397,6 +397,64 @@ object Preference {
         (col("beats") > col("beaten")).as("positive"))
   }
 
+  /** RL rollout length-bias audit — q375's body: per prompt group, the
+    * exact tie-corrected Spearman SUFFICIENT STATISTICS between response
+    * length (q362's deterministic stub — one definition) and reward:
+    * d2x4 = sum of (2*avgrank_len - 2*avgrank_reward)^2 over the group
+    * (doubled average ranks keep tied ranks integer), the two tie sums
+    * sum(t^3 - t), and the integer rho-numerator
+    * 2(n^3 - n) - TL - TV - 3*d2x4 whose SIGN is the verdict — rho > 0
+    * iff bias_num > 0 (the denominator is positive whenever either
+    * variable varies), so `length_biased` (positive length-reward
+    * correlation = the RL analogue of q363's DPO length hacking) is an
+    * exact integer comparison, total for every prompt (`degenerate`
+    * marks the no-variance groups where rho is undefined; their verdict
+    * is false, never null — the q350 totality rule).
+    *
+    * Shape: the q347 value-distribution discipline twice — per-(prompt,
+    * distinct-value) and per-(prompt, distinct-length) count tables with
+    * cumsum windows over the BOUNDED distinct domains (len <= 512 by
+    * construction), response rows joined back pinned shuffled-hash,
+    * one grouped rollup. Never a window over the response rows. */
+  def rolloutLengthBias(events: DataFrame): DataFrame = {
+    val e = responses(events)
+      .withColumn("len", expr("event_id * 7919 % 512 + 1"))
+    def dist(c: String) = {
+      val lt = Window.partitionBy("k").orderBy(c)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.groupBy("k", c).agg(count(lit(1)).as("c"))
+        .withColumn("r2",
+          coalesce(sum("c").over(lt), lit(0L)) * 2 + col("c") + 1)
+    }
+    val dv = dist("value")
+    val dl = dist("len")
+    val per = e
+      .join(dv.select(col("k"), col("value"), col("r2").as("r2v"))
+        .hint("shuffle_hash"), Seq("k", "value"))
+      .join(dl.select(col("k"), col("len"), col("r2").as("r2l"))
+        .hint("shuffle_hash"), Seq("k", "len"))
+      .withColumn("d", col("r2l") - col("r2v"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_responses"),
+        sum(col("d") * col("d")).as("d2x4"))
+    val tl = dl.groupBy("k")
+      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tie_len"))
+    val tv = dv.groupBy("k")
+      .agg(sum(col("c") * col("c") * col("c") - col("c")).as("tie_val"))
+    per.join(tl.hint("shuffle_hash"), Seq("k"))
+      .join(tv.hint("shuffle_hash"), Seq("k"))
+      .withColumn("nn",
+        col("n_responses") * col("n_responses") * col("n_responses") -
+          col("n_responses"))
+      .withColumn("bias_num",
+        col("nn") * 2 - col("tie_len") - col("tie_val") - col("d2x4") * 3)
+      .withColumn("degenerate",
+        col("nn") === col("tie_len") || col("nn") === col("tie_val"))
+      .withColumn("length_biased", !col("degenerate") && col("bias_num") > 0)
+      .select("k", "n_responses", "d2x4", "tie_len", "tie_val", "bias_num",
+        "degenerate", "length_biased")
+  }
+
   /** Best-of-n / rejection-sampling manifest (RFT data prep): per prompt,
     * the top `m` responses by (score desc, event_id asc), emitted as
     * (k, rank, event_id). Ranked through the bounded
@@ -655,6 +713,60 @@ object Preference {
              |  dist.beats > dist.n_group - dist.beats - dist.c AS positive
              |FROM e JOIN dist USING (k, value)
              |ORDER BY e.k, e.event_id""".stripMargin)),
+
+    // ---- RL rollout length-bias audit --------------------------------------
+    // Length hacking on the RL side: does reward correlate with response
+    // length within each prompt's rollout group? Exact tie-corrected
+    // Spearman sufficient statistics and the integer rho-numerator
+    // whose sign is the verdict — see [[rolloutLengthBias]].
+    QueryDef("q375_rollout_length_bias", (s, d) =>
+      rolloutLengthBias(t(s, d, "events")).orderBy("k"),
+      Some("""WITH e AS (
+             |  SELECT event_id, value,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+             |      AS k,
+             |    event_id * 7919 % 512 + 1 AS len
+             |  FROM events WHERE value IS NOT NULL),
+             |e2 AS (SELECT * FROM e WHERE k IS NOT NULL),
+             |dv AS (
+             |  SELECT k, value, count(*) AS c,
+             |    2 * coalesce(sum(count(*)) OVER (PARTITION BY k
+             |        ORDER BY value
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + count(*) + 1 AS r2v
+             |  FROM e2 GROUP BY k, value),
+             |dl AS (
+             |  SELECT k, len, count(*) AS c,
+             |    2 * coalesce(sum(count(*)) OVER (PARTITION BY k
+             |        ORDER BY len
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      + count(*) + 1 AS r2l
+             |  FROM e2 GROUP BY k, len),
+             |per AS (
+             |  SELECT e2.k, CAST(count(*) AS BIGINT) AS n_responses,
+             |    CAST(sum((r2l - r2v) * (r2l - r2v)) AS BIGINT) AS d2x4
+             |  FROM e2 JOIN dv ON e2.k = dv.k AND e2.value = dv.value
+             |          JOIN dl ON e2.k = dl.k AND e2.len = dl.len
+             |  GROUP BY e2.k),
+             |tl AS (SELECT k, CAST(sum(c*c*c - c) AS BIGINT) AS tie_len
+             |       FROM dl GROUP BY k),
+             |tv AS (SELECT k, CAST(sum(c*c*c - c) AS BIGINT) AS tie_val
+             |       FROM dv GROUP BY k)
+             |SELECT per.k, n_responses, d2x4, tie_len, tie_val,
+             |  (n_responses*n_responses*n_responses - n_responses) * 2
+             |    - tie_len - tie_val - 3 * d2x4 AS bias_num,
+             |  (n_responses*n_responses*n_responses - n_responses - tie_len
+             |     = 0)
+             |    OR (n_responses*n_responses*n_responses - n_responses
+             |          - tie_val = 0) AS degenerate,
+             |  ((n_responses*n_responses*n_responses - n_responses - tie_len
+             |      <> 0)
+             |   AND (n_responses*n_responses*n_responses - n_responses
+             |          - tie_val <> 0)
+             |   AND (n_responses*n_responses*n_responses - n_responses) * 2
+             |         - tie_len - tie_val - 3 * d2x4 > 0) AS length_biased
+             |FROM per JOIN tl USING (k) JOIN tv USING (k)
+             |ORDER BY per.k""".stripMargin)),
 
     // ---- Best-of-n / rejection-sampling manifest ---------------------------
     // RFT data prep: the kept top-4 rollouts per prompt, ranked through

@@ -474,6 +474,13 @@ object ScaleProbe {
       time(s"pref_winrate_x$m") {
         graft.queries.Preference.winrateSlices(replicateEvents(m)).count()
       }
+      // rollout length-bias: two bounded distribution tables per prompt
+      // (distinct values / <=512 distinct lengths) — replicas deepen the
+      // groups while the distinct domains stay fixed, so cost rides the
+      // scan + the two pinned join-backs, never a response-row window
+      time(s"pref_rolloutlen_x$m") {
+        graft.queries.Preference.rolloutLengthBias(replicateEvents(m)).count()
+      }
       // conversation assembly: replicas are NEW USERS, so conversations
       // multiply while each stays human-length-bounded — one user
       // shuffle + conversation-bounded windows must scale linearly

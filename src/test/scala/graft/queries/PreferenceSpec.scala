@@ -405,6 +405,39 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q375 planted rollout confounds: perfect +/- correlation pins " +
+      "bias_num to +-2(n^3-n); no-variance groups are degenerate-false") {
+    import spark.implicits._
+    def len(eid: Long): Long = eid * 7919 % 512 + 1
+    val eids = Seq(11L, 12L, 13L, 14L, 15L)
+    assert(eids.map(len).distinct.length == eids.length, "len ties in fixture")
+    val ev = (
+      eids.map(e => (1L, e, ts(e.toInt), "a", len(e).toDouble,
+        """{"k": 100}""")) ++ // reward == length: rho = +1
+      eids.map(e => (1L, e + 100, ts(e.toInt), "a", -len(e + 100).toDouble,
+        """{"k": 101}""")) ++ // reward == -length: rho = -1
+      eids.map(e => (1L, e + 200, ts(e.toInt), "a", 7.0,
+        """{"k": 102}"""))) // constant reward: undefined rho
+      .toDF("user_id", "event_id", "ts", "event_type", "value", "props")
+    val got = Preference.rolloutLengthBias(ev).orderBy("k").collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    val n = eids.length.toLong
+    val nn2 = (n * n * n - n) * 2
+    assert(got(100).getAs[Long]("bias_num") == nn2)
+    assert(got(100).getAs[Boolean]("length_biased"))
+    assert(!got(100).getAs[Boolean]("degenerate"))
+    assert(got(101).getAs[Long]("bias_num") == -nn2)
+    assert(!got(101).getAs[Boolean]("length_biased"))
+    assert(got(102).getAs[Boolean]("degenerate"))
+    assert(!got(102).getAs[Boolean]("length_biased"), "verdict must be total")
+    // real testdata: verdicts are total and both signs occur
+    val real = Preference.rolloutLengthBias(
+      Tables.load(spark, sfDir, "events")).collect()
+    assert(real.forall(r => !r.isNullAt(r.fieldIndex("length_biased"))))
+    assert(real.exists(r => r.getAs[Long]("bias_num") > 0) &&
+      real.exists(r => r.getAs[Long]("bias_num") < 0))
+  }
+
   test("planted unanimous slice stops at look 1; cumulative identities " +
     "hold on testdata") {
     import spark.implicits._
