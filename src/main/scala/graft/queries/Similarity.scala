@@ -5096,5 +5096,104 @@ object Similarity {
              |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.n_id = a.n_id
              |GROUP BY e.q_id ORDER BY e.q_id""".stripMargin)),
 
+    // ---- Matryoshka (MRL) truncation-recall audit -------------------------
+    // Matryoshka-trained embeddings promise that the PREFIX of the
+    // vector is itself a usable embedding; before shipping truncated
+    // dims to cut index cost 2-4x, measure what top-10 recall the
+    // truncation keeps. Per kept-prefix width (32 and 16 of 64 dims)
+    // and per anchor: exact full-dim top-10 vs truncated-dim top-10,
+    // overlap counted exactly (q298's recall frame — bounded 8-anchor
+    // broadcast, corpus passes only, the d2 ranking on the q48 exact
+    // int64 grid; the scale path swaps the brute pass for IVF, this is
+    // the truth side). One corpus join per prefix width via the
+    // exploded dims column; anchors x dims rows with 0-fills.
+    QueryDef("q376_mrl_recall", (s, d) => {
+      val e = quantized(s, d)
+      val mrlDims = Seq(32, 16)
+      val wE = Window.partitionBy("q_id")
+        .orderBy(col("d2").asc, col("n_id").asc)
+      val exact = broadcast(e.filter(col("vec_id") < pqAnchors)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"),
+            col("n2").as("na")))
+        .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"),
+          col("n2").as("nb")), col("q_id") =!= col("n_id"))
+        .withColumn("d2",
+          col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+        .withColumn("rn", row_number().over(wE)).filter(col("rn") <= 10)
+        .select("q_id", "n_id")
+      val trunc = e
+        .select(col("vec_id"),
+          explode(array(mrlDims.map(lit): _*)).as("dims"), col("qv"))
+        .withColumn("tv", expr("slice(qv, 1, dims)"))
+        .withColumn("t2", dot(col("tv"), col("tv")))
+      val wA = Window.partitionBy("dims", "q_id")
+        .orderBy(col("d2").asc, col("n_id").asc)
+      val approx = broadcast(trunc.filter(col("vec_id") < pqAnchors)
+          .select(col("dims"), col("vec_id").as("q_id"), col("tv").as("qa"),
+            col("t2").as("na")))
+        .join(trunc.select(col("dims").as("dims2"), col("vec_id").as("n_id"),
+          col("tv").as("qb"), col("t2").as("nb")),
+          col("dims") === col("dims2") && col("q_id") =!= col("n_id"))
+        .withColumn("d2",
+          col("na") + col("nb") - lit(2L) * dot(col("qa"), col("qb")))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") <= 10)
+        .select("dims", "q_id", "n_id")
+      val hits = approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .groupBy("dims", "q_id").agg(count(lit(1)).as("n_hits"))
+      e.filter(col("vec_id") < pqAnchors)
+        .select(col("vec_id").as("q_id"),
+          explode(array(mrlDims.map(lit): _*)).as("dims"))
+        .join(hits, Seq("dims", "q_id"), "left")
+        .select(col("dims"), col("q_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
+            .as("recall_at_10"))
+        .orderBy("dims", "q_id")
+    }, {
+      def dotLen(a: String, b: String, len: Int) =
+        s"CAST(list_sum(list_transform(range(1, ${len + 1}), " +
+          s"i -> $a[i] * $b[i])) AS BIGINT)"
+      def arm(dm: Int) =
+        s"""SELECT $dm AS dims, q_id, n_id FROM (
+           |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+           |      row_number() OVER (PARTITION BY a.vec_id
+           |        ORDER BY (${dotLen("a.qv", "a.qv", dm)}
+           |          + ${dotLen("b.qv", "b.qv", dm)}
+           |          - 2 * ${dotLen("a.qv", "b.qv", dm)}) ASC,
+           |        b.vec_id ASC) AS rn
+           |    FROM q a JOIN q b ON a.vec_id != b.vec_id
+           |    WHERE a.vec_id < $pqAnchors)
+           |  WHERE rn <= 10""".stripMargin
+      Some(s"""WITH q AS MATERIALIZED (
+             |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
+             |nn AS MATERIALIZED (
+             |  SELECT vec_id, qv, ${sqlDot("qv", "qv")} AS n2 FROM q),
+             |ex AS MATERIALIZED (
+             |  SELECT q_id, n_id FROM (
+             |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+             |      row_number() OVER (PARTITION BY a.vec_id
+             |        ORDER BY (a.n2 + b.n2 - 2 * ${sqlDot("a.qv", "b.qv")})
+             |          ASC, b.vec_id ASC) AS rn
+             |    FROM nn a JOIN nn b ON a.vec_id != b.vec_id
+             |    WHERE a.vec_id < $pqAnchors)
+             |  WHERE rn <= 10),
+             |ap AS MATERIALIZED (
+             |  ${arm(32)}
+             |  UNION ALL
+             |  ${arm(16)}),
+             |grid AS (
+             |  SELECT dims, vec_id AS q_id
+             |  FROM (SELECT vec_id FROM q WHERE vec_id < $pqAnchors)
+             |  CROSS JOIN (SELECT unnest([32, 16]) AS dims))
+             |SELECT g.dims, g.q_id,
+             |  CAST(count(e.n_id) AS BIGINT) AS n_hits,
+             |  CAST(count(e.n_id) AS DOUBLE) / 10 AS recall_at_10
+             |FROM grid g
+             |LEFT JOIN (SELECT ap.dims, ap.q_id, ap.n_id FROM ap
+             |           JOIN ex ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id)
+             |  e ON g.dims = e.dims AND g.q_id = e.q_id
+             |GROUP BY g.dims, g.q_id ORDER BY g.dims, g.q_id""".stripMargin)
+    }),
+
   )
 }

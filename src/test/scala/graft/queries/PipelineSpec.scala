@@ -2564,6 +2564,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q334_bitext_margin", // q137's fixed 64-row centroid broadcast (probed assignment)
       "q358_length_upsample", // one-row max-token-mass cross join (q76's class)
       "q364_winrate_slices", // one-row first-day cross join (q76's class)
+      "q376_mrl_recall", // q298's bounded 8-anchor broadcasts (q48's class)
       "q370_repeat_exposure", // q122's one-row weight-total cross (q76's class)
       "q371_shuffle_quality") // q81's one-row corpus-count cross (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>
@@ -2604,6 +2605,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     }
     // the audit finds real multi-doc clusters at this SF
     assert(rows.exists(_.getAs[Long]("n_docs") > 1L))
+  }
+
+  test("q376 MRL recall: complete anchor grid, bounded, and wider " +
+      "prefixes keep at least the narrower prefix's mean recall") {
+    val rows = q("q376_mrl_recall").collect()
+      .map(r => (r.getAs[Int]("dims"), r.getAs[Long]("q_id"),
+        r.getAs[Long]("n_hits")))
+    // 8 anchors x 2 widths, every cell present, hits within [0, 10]
+    assert(rows.length == 16)
+    assert(rows.map(t => (t._1, t._2)).distinct.length == 16)
+    assert(rows.forall(t => t._3 >= 0 && t._3 <= 10))
+    val mean = rows.groupBy(_._1).view.mapValues(v => v.map(_._3).sum).toMap
+    assert(mean(32) >= mean(16),
+      s"truncating harder should not raise recall: $mean")
   }
 
   test("q371 runs audit equals an in-memory reference over the q81 order") {
