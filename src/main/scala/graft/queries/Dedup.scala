@@ -2219,14 +2219,8 @@ object Dedup {
     // exactly one paragraph window and the remaining windows stay
     // aligned. Both engines construct the identical input (the q365
     // rule); the gated artifact is the strip + reassembly algebra.
-    QueryDef("q369_boilerplate_strip", (s, d) => {
-      val banner = concat_ws(" ", lit("nav"), col("source"), lit("home"),
-        lit("about"), lit("contact"), lit("login"), lit("search"),
-        lit("terms"))
-      boilerplateStrip(t(s, d, "documents")
-        .withColumn("text", when(col("doc_id") % 4 === 0,
-          concat_ws(" ", banner, col("text"))).otherwise(col("text"))))
-    },
+    QueryDef("q369_boilerplate_strip", (s, d) =>
+      boilerplateStrip(bannerInjected(t(s, d, "documents"))),
       Some(s"""WITH documents2 AS MATERIALIZED (
              |  SELECT doc_id, source,
              |    CASE WHEN doc_id % 4 = 0
@@ -2262,6 +2256,48 @@ object Dedup {
              |  md5(coalesce(string_agg(para_text, ' ' ORDER BY para_id)
              |    FILTER (WHERE keep), '')) AS retained_hash
              |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ---- Streaming boilerplate-crossing face, driver-gated ---------------
+    // The q369 rule ONLINE: one counter per distinct (source, para-hash)
+    // in the state store; the occurrence that takes a key to k emits the
+    // "just became boilerplate" crossing an online curation pass acts
+    // on. Full replay == the batch third-occurrence set under the same
+    // planted-banner input (bannerInjected — one fixture definition for
+    // strip and face); the two-trigger arrival contract (two
+    // occurrences in wave 1, the crossing third in wave 2) is
+    // spec-driven as a real MemoryStream in StreamingSpec.
+    QueryDef("q377_boilerplate_ingest_face", (s, d) => {
+      import s.implicits._
+      graft.streaming.Streams.boilerIngest(
+        paraOccurrences(bannerInjected(t(s, d, "documents")))
+          .as[graft.streaming.Streams.ParaOcc])
+        .toDF().orderBy("source", "h")
+    },
+      Some(s"""WITH documents2 AS MATERIALIZED (
+             |  SELECT doc_id, source,
+             |    CASE WHEN doc_id % 4 = 0
+             |      THEN 'nav ' || source ||
+             |        ' home about contact login search terms ' || text
+             |      ELSE text END AS text
+             |  FROM documents),
+             |t AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+             |        len(string_split(text, ' ')) AS n FROM documents2),
+             |p AS (SELECT doc_id, source, tk, n,
+             |        CAST(unnest(range((n - 1) // 8 + 1)) AS INTEGER)
+             |          AS para_id
+             |      FROM t),
+             |pp AS (SELECT doc_id, source, para_id,
+             |        array_to_string(tk[para_id * 8 + 1 : para_id * 8 + 8], ' ')
+             |          AS para_text FROM p),
+             |ph AS (SELECT doc_id, source, para_id,
+             |        ${sqlStringHash62("para_text")} AS h FROM pp),
+             |occ AS (
+             |  SELECT source, h, doc_id, para_id,
+             |    row_number() OVER (PARTITION BY source, h
+             |      ORDER BY doc_id, para_id) AS rn
+             |  FROM ph)
+             |SELECT source, h, doc_id, para_id
+             |FROM occ WHERE rn = 3 ORDER BY source, h""".stripMargin)),
 
     // ---- Boilerplate report: the paragraphs q117 drops, ranked ----------
     // Before a dedup pass ships, review WHAT it cuts: the most-repeated
@@ -3519,6 +3555,26 @@ object Dedup {
       .select("stage", "n_docs", "n_tokens", "token_frac")
       .orderBy("stage")
   }
+
+  /** The q369/q377 planted-banner input: a source-keyed 8-token
+    * navigation banner prepended to every fourth document (one
+    * paragraph window, original windows stay aligned) — the fixture
+    * rule BOTH engines replay, shared by the strip and its streaming
+    * face so the planted signal cannot drift. */
+  def bannerInjected(documents: DataFrame): DataFrame = {
+    val banner = concat_ws(" ", lit("nav"), col("source"), lit("home"),
+      lit("about"), lit("contact"), lit("login"), lit("search"),
+      lit("terms"))
+    documents.withColumn("text", when(col("doc_id") % 4 === 0,
+      concat_ws(" ", banner, col("text"))).otherwise(col("text")))
+  }
+
+  /** The (source, para-hash, doc_id, para_id) occurrence stream the
+    * boilerplate rule counts — q369's chunking (q117's paraTable with
+    * the source carried), exposed for the q377 streaming face. */
+  def paraOccurrences(documents: DataFrame, w: Int = 8): DataFrame =
+    paraTable(documents, w, carry = Seq("source"))
+      .select("source", "h", "doc_id", "para_id")
 
   /** Line-level boilerplate STRIP (q369's body) — the RefinedWeb/C4
     * frequency rule, distinct from q117's first-occurrence dedup: a

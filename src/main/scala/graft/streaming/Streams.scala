@@ -903,6 +903,47 @@ object Streams {
       }
   }
 
+  /** One paragraph occurrence on the wire (q369's chunking rule). */
+  final case class ParaOcc(source: String, h: Long, doc_id: Long,
+      para_id: Int)
+
+  /** A paragraph's boilerplate THRESHOLD CROSSING: the occurrence that
+    * made its (source, hash) count reach k. */
+  final case class BoilerCross(source: String, h: Long, doc_id: Long,
+      para_id: Int)
+
+  /** Streaming face of the q369 boilerplate frequency rule: paragraph
+    * occurrences arrive, one int64 counter per DISTINCT (source,
+    * para-hash) key lives in the state store (vocabulary-sized — the
+    * q338 band-index class, riding distinct content, never occurrence
+    * volume), and the occurrence that takes a key's count to k emits
+    * ONE crossing record — "this paragraph just became boilerplate",
+    * the signal an online curation pass uses to start dropping it.
+    * Within a micro-batch a key's rows fold in (doc_id, para_id)
+    * order; across micro-batches the counter carries, so a crossing
+    * forms from two occurrences in one trigger and a third in the
+    * next (the StreamingSpec arrival contract). A full replay emits
+    * exactly the batch third-occurrence set — the q377 driver gate. */
+  def boilerIngest(paras: Dataset[ParaOcc],
+      k: Long = 3L): Dataset[BoilerCross] = {
+    import paras.sparkSession.implicits._
+    paras.groupByKey(p => (p.source, p.h))
+      .flatMapGroupsWithState[Long, BoilerCross](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), rows: Iterator[ParaOcc],
+            state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = Seq.newBuilder[BoilerCross]
+          rows.toSeq.sortBy(p => (p.doc_id, p.para_id)).foreach { p =>
+            n += 1
+            if (n == k)
+              out += BoilerCross(p.source, p.h, p.doc_id, p.para_id)
+          }
+          state.update(n)
+          out.result().iterator
+      }
+  }
+
   /** Typed event with exact integer-microsecond time (java.sql.Timestamp
     * would truncate to milliseconds). `tsWatermark` keeps a Catalyst
     * timestamp column alive for the event-time watermark. */

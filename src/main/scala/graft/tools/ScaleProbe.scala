@@ -783,6 +783,34 @@ object ScaleProbe {
                 s"arrivals=${wave.length} state_rows=$rows state_bytes=$bytes")
           }
         } finally q2.stop()
+        // q377's face: one counter per DISTINCT (source, para-hash) —
+        // state rides paragraph VOCABULARY (m-fold under the
+        // disjoint-vocabulary replicas), never occurrence volume
+        val pocc = graft.queries.Dedup.paraOccurrences(
+            graft.queries.Dedup.bannerInjected((0 until m).map { i =>
+              docs0.withColumn("doc_id", col("doc_id") + lit(i * maxDoc))
+                .withColumn("text", array_join(
+                  transform(split(col("text"), " "),
+                    t => concat(lit(s"r${i}_"), t)), " "))
+            }.reduce(_ union _)))
+          .collect().map(r => graft.streaming.Streams.ParaOcc(
+            r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        val ms4 = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[graft.streaming.Streams.ParaOcc]
+        val q4 = graft.streaming.Streams.boilerIngest(ms4.toDS())
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt()).start()
+        try {
+          val h2 = pocc.length / 2
+          Seq(pocc.take(h2), pocc.drop(h2)).zipWithIndex.foreach {
+            case (wave, i) =>
+              ms4.addData(wave.toIndexedSeq)
+              q4.processAllAvailable()
+              val (rows, bytes) = lastState(q4)
+              println(s"SCALE stream_state_boiler_x$m trigger=${i + 1} " +
+                s"arrivals=${wave.length} state_rows=$rows state_bytes=$bytes")
+          }
+        } finally q4.stop()
       }
     }
 

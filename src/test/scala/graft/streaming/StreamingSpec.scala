@@ -715,6 +715,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assertSameRows(got, want)
   }
 
+  test("streaming boilerplate crossings form across the trigger boundary") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Streams.ParaOcc]
+    val q = Streams.boilerIngest(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("boiler_out").start()
+    val occ = graft.queries.Dedup.paraOccurrences(
+        graft.queries.Dedup.bannerInjected(
+          Tables.load(spark, sfDir, "documents")))
+      .collect().map(r => Streams.ParaOcc(r.getString(0), r.getLong(1),
+        r.getLong(2), r.getInt(3)))
+    // pick a key that will cross and cut at its SECOND occurrence: wave
+    // 1 delivers exactly two of its occurrences, wave 2 the third — the
+    // crossing can only form from the carried counter
+    val byKey = occ.groupBy(p => (p.source, p.h))
+      .filter(_._2.length >= 3)
+    assert(byKey.nonEmpty, "fixture has no crossing key")
+    val (key, occs) = byKey.maxBy(_._2.length)
+    val sorted = occs.sortBy(p => (p.doc_id, p.para_id))
+    val cut = sorted(1).doc_id
+    try {
+      ms.addData(occ.filter(_.doc_id <= cut).toIndexedSeq)
+      q.processAllAvailable()
+      val wave1 = spark.table("boiler_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(!wave1.contains(key), "key crossed before its third occurrence")
+      ms.addData(occ.filter(_.doc_id > cut).toIndexedSeq)
+      q.processAllAvailable()
+      val all = spark.table("boiler_out").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(all.contains(key),
+        "no crossing formed in wave 2 — counters did not carry")
+      assert(all(key) == sorted(2).doc_id,
+        "crossing attributed to the wrong occurrence")
+    } finally q.stop()
+    // full replay equals the batch face (the q377 oracle's own set)
+    val want = graft.SparkEntry.queries("q377_boilerplate_ingest_face")(
+      spark, sfDir)
+    assertSameRows(spark.table("boiler_out"), want)
+  }
+
   test("streaming conversation assembly equals the batch q350 gate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
