@@ -806,6 +806,55 @@ object Preference {
              |  c > 0 AS any_pass
              |FROM g WHERE n >= 4 ORDER BY k""".stripMargin)),
 
+    // ---- Difficulty-curriculum manifest ------------------------------------
+    // Order prompts easy -> hard by EMPIRICAL pass rate (q349's solved
+    // rule, exact ppm) — the curriculum an RL/SFT run consumes when
+    // staged difficulty stabilizes early training. The global rank is
+    // the q81/q371 two-phase chunked pattern keyed by pass_ppm range
+    // buckets (ties broken by prompt key — total order, rerun-stable):
+    // NO global window at any prompt count; `phase` groups the order
+    // into 8-prompt stages. Prompt rows are one map-combined shuffle,
+    // the rank adds only the bounded chunk machinery.
+    QueryDef("q378_curriculum", (s, d) => {
+      val g = responses(t(s, d, "events")).groupBy("k")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("event_type") === "purchase", 1)).as("c"))
+        .withColumn("pass_ppm", expr("c * 1000000 div n"))
+      val stats = g.agg(count(lit(1)).as("cnt"))
+      val chunked = g.crossJoin(broadcast(stats))
+        .withColumn("nb", Sampling.prefixBuckets(col("cnt")))
+        .withColumn("chunk", expr("((1000000 - pass_ppm) * nb) div 1000001"))
+        .drop("cnt", "nb")
+      val wLocal = Window.partitionBy("chunk")
+        .orderBy(col("pass_ppm").desc, col("k"))
+      val offsets = Sampling.chunkOffsets(
+        chunked.groupBy("chunk").agg(count(lit(1)).as("tot")),
+        "chunk", "tot")
+      chunked
+        .withColumn("local_rn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offsets), "chunk")
+        .withColumn("curriculum_idx", col("local_rn") + col("off") - 1)
+        .withColumn("phase", expr("curriculum_idx div 8"))
+        .select("k", "n", "c", "pass_ppm", "curriculum_idx", "phase")
+        .orderBy("curriculum_idx")
+    },
+      Some("""WITH e AS (
+             |  SELECT event_type,
+             |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
+             |      AS k
+             |  FROM events WHERE value IS NOT NULL),
+             |g AS (
+             |  SELECT k, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             |      AS c
+             |  FROM e WHERE k IS NOT NULL GROUP BY k)
+             |SELECT k, n, c, c * 1000000 // n AS pass_ppm,
+             |  CAST(row_number() OVER (ORDER BY c * 1000000 // n DESC, k)
+             |    - 1 AS BIGINT) AS curriculum_idx,
+             |  CAST((row_number() OVER (ORDER BY c * 1000000 // n DESC, k)
+             |    - 1) // 8 AS BIGINT) AS phase
+             |FROM g ORDER BY curriculum_idx""".stripMargin)),
+
     // ---- Annotator reliability (spammer screen) ----------------------------
     // Per annotator: strict personal verdicts scored against the strict
     // pair majorities; flagged = worse than chance. The MACE-style

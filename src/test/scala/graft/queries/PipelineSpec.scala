@@ -2565,6 +2565,7 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       "q358_length_upsample", // one-row max-token-mass cross join (q76's class)
       "q364_winrate_slices", // one-row first-day cross join (q76's class)
       "q376_mrl_recall", // q298's bounded 8-anchor broadcasts (q48's class)
+      "q378_curriculum", // q81's one-row prompt-count cross (q76's class)
       "q370_repeat_exposure", // q122's one-row weight-total cross (q76's class)
       "q371_shuffle_quality") // q81's one-row corpus-count cross (q76's class)
     graft.SparkEntry.registry.filterNot(q => allowed(q.name)).foreach { q =>

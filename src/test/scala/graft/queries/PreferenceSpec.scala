@@ -405,6 +405,25 @@ class PreferenceSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("q378 curriculum is a dense easy-to-hard permutation with stable " +
+      "tiebreaks") {
+    val rows = SparkEntry.queries("q378_curriculum")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("curriculum_idx"), r.getAs[Long]("pass_ppm"),
+        r.getAs[Int]("k"), r.getAs[Long]("phase")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong).toSeq,
+      "curriculum_idx is not a dense 0..n-1 permutation")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 > b._2 || (a._2 == b._2 && a._3 < b._3),
+          s"order violated at idx ${b._1}")
+      case _ =>
+    }
+    rows.foreach(t => assert(t._4 == t._1 / 8))
+    // non-degenerate: multiple difficulty levels exist
+    assert(rows.map(_._2).distinct.length > 1)
+  }
+
   test("q375 planted rollout confounds: perfect +/- correlation pins " +
       "bias_num to +-2(n^3-n); no-variance groups are degenerate-false") {
     import spark.implicits._
