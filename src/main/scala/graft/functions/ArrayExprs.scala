@@ -32,6 +32,13 @@ object ArrayExprs {
   def minhashSig(shingles: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), k))
 
+  /** PORTABLE 32-permutation affine minhash signature of an ARRAY<BIGINT>
+    * hash set — the q227 family ((pa·(h mod p) + pb) mod p, constants
+    * from the Lehmer stream seeded 42) whose DuckDB oracles replay it
+    * verbatim. One tight pass over the array (whole-stage codegen). */
+  def affineMinhashSig(hashes: Column): Column =
+    ColumnBridge.column(AffineMinHashSig(ColumnBridge.expression(hashes)))
+
   /** 64-bit SimHash of an ARRAY<STRING> token sequence. */
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
@@ -116,6 +123,40 @@ object ArrayOps {
       while (j < k) {
         val h = XXH64.hashLong(base, j)
         if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** The q227 affine permutation constants: 32 (pa, pb) pairs drawn from
+    * the Lehmer stream x -> x·48271 mod (2^31−1) seeded at 42 — the
+    * exact family every affine-minhash oracle interpolates as literals. */
+  private val AffineP = 2147483647L
+  private val (affinePA, affinePB) = {
+    var x = 42L
+    def nxt(): Long = { x = x * 48271 % AffineP; x }
+    val pa = new Array[Long](32); val pb = new Array[Long](32)
+    var j = 0
+    while (j < 32) { pa(j) = nxt(); pb(j) = nxt(); j += 1 }
+    (pa, pb)
+  }
+
+  /** j-ordered 32-slot affine minhash over an ARRAY<BIGINT> of distinct
+    * 62-bit hashes: out(j) = min over h of (pa_j·(h mod p) + pb_j) mod p.
+    * Bit-identical to a grouped min over the exploded (h × perm) rows;
+    * pa_j < p and (h mod p) < p keep pa·h < 2^62 — no overflow. */
+  def affineMinhashSig(arr: ArrayData): ArrayData = {
+    val mins = Array.fill(32)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i) % AffineP
+      var j = 0
+      while (j < 32) {
+        val v = (affinePA(j) * h + affinePB(j)) % AffineP
+        if (v < mins(j)) mins(j) = v
         j += 1
       }
       i += 1
@@ -488,6 +529,23 @@ case class MinHashSig(child: Expression, k: Int)
   * concat_ws(' ', tokens[i], ..., tokens[i+n-1])))` pipeline. Sequences
   * shorter than n yield NO shingles (an empty array) — the same semantics
   * as the SQL oracle's `range(1, len - n + 2)` window enumeration. */
+/** Portable 32-permutation affine minhash of an ARRAY<BIGINT> hash set
+  * (see [[ArrayOps.affineMinhashSig]]). */
+case class AffineMinHashSig(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ArrayOps.affineMinhashSig(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ArrayOps.affineMinhashSig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): AffineMinHashSig =
+    copy(child = newChild)
+}
+
 case class Shingles(child: Expression, n: Int)
     extends UnaryExpression {
 

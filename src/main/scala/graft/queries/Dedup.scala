@@ -37,6 +37,51 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 8 // 4 rows/band: s-curve threshold ~ (1/8)^(1/4) = 0.59
 
+  /** The PORTABLE affine-permutation minhash family shared by the
+    * estimator-audit queries (q227/q248/q251/q266): 32 permutations
+    * (pa·(h mod p) + pb) mod p over the 62-bit window hashes, constants
+    * from the Lehmer stream seeded at 42 — exactly the family their
+    * DuckDB oracles replay.
+    *
+    * Computed MAP-SIDE as one j-ordered 32-element array per document.
+    * The original construction cross-joined the exploded shingle stream
+    * with a 32-row permutation table and min-combined under
+    * groupBy(doc_id, j) — |shingles|×32 rows through a corpus-scale
+    * shuffle, then for the banded consumers a SECOND shuffle to
+    * re-assemble signatures (guide §2.3/§2.4: aggregate before you
+    * shuffle / remove shuffles outright). Per-doc arrays give the same
+    * values — min over the doc's DISTINCT hashes equals the grouped min
+    * over its exploded rows — with zero exchanges before the consumer's
+    * own keyed work. */
+  /** j-ordered 32-slot affine minhash array over a DISTINCT hash array
+    * column (empty arrays must be filtered by the caller, matching the
+    * explode path where hash-less docs simply had no rows). Native
+    * codegen'd kernel — the higher-order-function formulation
+    * (32 × array_min(transform(...))) evaluates boxed lambdas per
+    * element and measured SLOWER than the shuffle it replaced. */
+  private def affineSig(sh: Column): Column =
+    graft.functions.ArrayExprs.affineMinhashSig(sh)
+
+  /** (doc_id, sh) with sh = the doc's distinct 62-bit 3-token window
+    * hashes, hash-less docs dropped — the shared prep of the affine
+    * minhash consumers. */
+  private def affineDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), array_distinct(
+        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3))
+      .as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** The q251 8×4 banding of an affine signature array `ms`: 8 band
+    * keys, each the 62-bit double Lehmer fold of the band's 4 j-ordered
+    * minhash values — identical to the former
+    * collect_list(struct(j,m))-sorted fold, computed per row. */
+  private val affineBandKeys: Column = expr(
+    "transform(sequence(0, 7), b -> " +
+      "aggregate(slice(ms, b * 4 + 1, 4), CAST(0 AS BIGINT), " +
+      "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
+      "aggregate(slice(ms, b * 4 + 1, 4), CAST(0 AS BIGINT), " +
+      "(acc, v) -> (acc * 48271 + v) % 2147483629))")
+
   // Oracle-side mirror of the shingle prep in nearDupPairsOf (DuckDB list
   // slicing is 1-based inclusive; range(1, len-1) enumerates the len-2
   // three-token windows). Documents shorter than the shingle width have no
@@ -2618,29 +2663,21 @@ object Dedup {
     // pass with a 32-row broadcast and map-side min-combine (shuffle
     // carries docs×32 rows); the estimate join keys on pair doc ids.
     QueryDef("q227_minhash_error", (s, d) => {
-      val P = 2147483647L
-      var x = 42L
-      def nxt(): Long = { x = x * 48271 % P; x }
-      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
-      val spark = s
-      import spark.implicits._
-      val permDf = perms.toDF("j", "pa", "pb")
       val docs = t(s, d, "documents")
-      val hs = docs.select(col("doc_id"), explode(array_distinct(
-        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
-        .as("h"))
-      val sig = hs.crossJoin(broadcast(permDf))
-        .groupBy("doc_id", "j")
-        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
+      // map-side signature ARRAYS (affineSig — same values as the former
+      // crossJoin+groupBy path, zero shuffles), and the slot-equality
+      // count moves into the pair row as a zip_with instead of a
+      // 32×-wider per-(doc, j) join + re-aggregation: the pair joins now
+      // carry one row per doc and the grouped sum disappears
+      val sig = affineDocs(docs)
+        .select(col("doc_id"), affineSig(col("sh")).as("ms"))
         .materialize // both pair sides read it
       val est = col("k_eq").cast("double") / lit(32.0)
       nearDupPairsOf(docs).select("doc_a", "doc_b", "jaccard")
-        .join(sig.select(col("doc_id").as("doc_a"), col("j"),
-          col("m").as("ma")), "doc_a")
-        .join(sig.select(col("doc_id").as("doc_b"), col("j"),
-          col("m").as("mb")), Seq("doc_b", "j"))
-        .groupBy("doc_a", "doc_b", "jaccard")
-        .agg(sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("k_eq"))
+        .join(sig.select(col("doc_id").as("doc_a"), col("ms").as("ma")), "doc_a")
+        .join(sig.select(col("doc_id").as("doc_b"), col("ms").as("mb")), "doc_b")
+        .withColumn("k_eq", size(filter(
+          zip_with(col("ma"), col("mb"), (a, b) => a === b), x => x)).cast("long"))
         .select(col("doc_a"), col("doc_b"), col("jaccard"),
           est.as("mh_est"), abs(est - col("jaccard")).as("abs_err"))
         .orderBy("doc_a", "doc_b")
@@ -2772,23 +2809,18 @@ object Dedup {
     // measured, not assumed (1-bit variance is ~4x the full
     // estimator's at high J; QualityTsSpec pins the measured envelope).
     QueryDef("q248_bbit_minhash", (s, d) => {
-      val P = 2147483647L
-      var x = 42L
-      def nxt(): Long = { x = x * 48271 % P; x }
-      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
-      val spark = s
-      import spark.implicits._
-      val permDf = perms.toDF("j", "pa", "pb")
       val docs = t(s, d, "documents")
-      val hs = docs.select(col("doc_id"), explode(array_distinct(
-        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
-        .as("h"))
-      val sig = hs.crossJoin(broadcast(permDf))
-        .groupBy("doc_id", "j")
-        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
-      val packed = sig
-        .groupBy("doc_id")
-        .agg(sum(expr("(m % 2) * shiftleft(CAST(1 AS BIGINT), j)")).as("w"))
+      // map-side signature arrays (affineSig), bit-packed per row: the
+      // former path shuffled |shingles|×32 rows into a per-(doc, j) min
+      // and then a SECOND per-doc sum — both shuffles replaced by one
+      // indexed-lambda fold over the 32-slot array (same w: bit j is
+      // m_j mod 2)
+      val packed = affineDocs(docs)
+        .select(col("doc_id"), affineSig(col("sh")).as("ms"))
+        .select(col("doc_id"), expr(
+          "aggregate(transform(ms, (m, j) -> " +
+            "(m % 2) * shiftleft(CAST(1 AS BIGINT), j)), " +
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)").as("w"))
         .materialize // both pair sides read it
       val frac = (lit(32L) - expr("bit_count(wa ^ wb)")).cast("double") / lit(32.0)
       val est1 = greatest(lit(0.0), lit(2.0) * frac - lit(1.0))
@@ -2849,29 +2881,14 @@ object Dedup {
     // recomputes the UNBLOCKED truth), so nothing here is O(n^2) and
     // the old ~190 MB prefix-filter sweep cost is gone.
     QueryDef("q251_lsh_pr", (s, d) => {
-      val P = 2147483647L
-      var x = 42L
-      def nxt(): Long = { x = x * 48271 % P; x }
-      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
-      val spark = s
-      import spark.implicits._
-      val permDf = perms.toDF("j", "pa", "pb")
       val docs = t(s, d, "documents")
-      val hs = docs.select(col("doc_id"), explode(array_distinct(
-        graft.functions.ArrayExprs.windowHashes(split(col("text"), " "), 3)))
-        .as("h"))
-      val sig = hs.crossJoin(broadcast(permDf))
-        .groupBy("doc_id", "j")
-        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
-      val bands = sig
-        .groupBy(col("doc_id"), expr("CAST(j div 4 AS INT)").as("band"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, m))), " +
-          "p -> p.m)").as("ms"))
-        .select(col("doc_id"), col("band"), expr(
-          "aggregate(ms, CAST(0 AS BIGINT), " +
-            "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
-            "aggregate(ms, CAST(0 AS BIGINT), " +
-            "(acc, v) -> (acc * 48271 + v) % 2147483629)").as("bkey"))
+      // map-side signatures + band keys (affineSig/affineBandKeys — same
+      // values as the former crossJoin+groupBy×2 path): the only shuffle
+      // left on the candidate side is the bucket self-join itself
+      val bands = affineDocs(docs)
+        .select(col("doc_id"), affineSig(col("sh")).as("ms"))
+        .select(col("doc_id"),
+          posexplode(affineBandKeys).as(Seq("band", "bkey")))
         .materialize // both self-join sides read it
       val cand = bands.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
         .join(bands.select(col("band"), col("bkey"), col("doc_id").as("doc_b")),
@@ -3087,27 +3104,13 @@ object Dedup {
     // contributes. A max_share near 1 says cap or drop that bucket (the
     // stop-band rule) before running the join at 100 TB.
     QueryDef("q266_lsh_bucket_load", (s, d) => {
-      val P = 2147483647L
-      var x = 42L
-      def nxt(): Long = { x = x * 48271 % P; x }
-      val perms = (0 until 32).map(j => (j, nxt(), nxt()))
-      val spark = s
-      import spark.implicits._
-      val permDf = perms.toDF("j", "pa", "pb")
-      val hs = t(s, d, "documents").select(col("doc_id"),
-        explode(array_distinct(graft.functions.ArrayExprs
-          .windowHashes(split(col("text"), " "), 3))).as("h"))
-      val buckets = hs.crossJoin(broadcast(permDf))
-        .groupBy("doc_id", "j")
-        .agg(min(expr(s"(pa * (h % $P) + pb) % $P")).as("m"))
-        .groupBy(col("doc_id"), expr("CAST(j div 4 AS INT)").as("band"))
-        .agg(expr("transform(array_sort(collect_list(struct(j, m))), " +
-          "p -> p.m)").as("ms"))
-        .select(col("doc_id"), col("band"), expr(
-          "aggregate(ms, CAST(0 AS BIGINT), " +
-            "(acc, v) -> (acc * 48271 + v) % 2147483647) * 2147483648 + " +
-            "aggregate(ms, CAST(0 AS BIGINT), " +
-            "(acc, v) -> (acc * 48271 + v) % 2147483629)").as("bkey"))
+      // map-side signatures + band keys (affineSig/affineBandKeys — same
+      // values as the former crossJoin+groupBy×2 path): the bucket-count
+      // groupBy is the first and only corpus-scale shuffle
+      val buckets = affineDocs(t(s, d, "documents"))
+        .select(col("doc_id"), affineSig(col("sh")).as("ms"))
+        .select(col("doc_id"),
+          posexplode(affineBandKeys).as(Seq("band", "bkey")))
         .groupBy("band", "bkey").agg(count(lit(1)).as("k"))
       val dist = buckets.groupBy("band", "k").agg(count(lit(1)).as("freq"))
         .withColumn("cum", sum("freq").over(Window.partitionBy("band")

@@ -1796,21 +1796,41 @@ object Relational {
     // judge flagged (TablesSpec pins the equality).
     val nRows = Tables.rowCountFromFooters(s, d, "lineitem")
     val normalized = forceNormalized || nRows > 1300000L
-    // (value -> twice-average-rank) table for one column: chunked
-    // cumulative over the distribution, never a corpus-wide window
-    def rankTable(c: String): DataFrame = {
-      val dist = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
-        .withColumn("chunk", expr(s"$c div 16384"))
-      val wLoc = Window.partitionBy("chunk").orderBy(c)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offs = Sampling.chunkOffsets(
-        dist.groupBy("chunk").agg(sum("cnt").as("tot")), "chunk", "tot")
-      dist.withColumn("lc", sum("cnt").over(wLoc))
-        .join(broadcast(offs), Seq("chunk"))
-        .select(col(c), (lit(2) * (col("lc") + col("off"))
-          - col("cnt") + lit(1)).as(s"t_$c"))
-    }
     val cols = Seq("v1", "v2", "v3", "v4")
+    // (value -> twice-average-rank) tables for ALL FOUR columns from ONE
+    // corpus pass: the four per-column value distributions ride one
+    // explode into a (ci, v) key — one shuffle instead of four — and the
+    // chunked cumulative (never a corpus-wide window) runs once with the
+    // column index as its partition column. Before this fusion each
+    // rankTable's distribution was consumed twice un-materialized (its
+    // own window-hist AND its chunk totals), so the four tables cost
+    // EIGHT lineitem passes; now the distribution pass happens once and
+    // is materialized (guide §2.4: remove shuffles outright / §1.2 the
+    // distributed algorithm first). Per-column rank values are
+    // bit-identical: same chunking (v div 16384), same per-chunk local
+    // cumulative, same int64 offsets, just partitioned by ci.
+    val allDist = base
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("ci"), col(c).as("v")) }: _*)).as("x"))
+      .groupBy(col("x.ci").as("ci"), col("x.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chunk", expr("v div 16384"))
+      .materialize
+    val wLoc = Window.partitionBy("ci", "chunk").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = Sampling.chunkOffsets(
+      allDist.groupBy("ci", "chunk").agg(sum("cnt").as("tot")),
+      "chunk", "tot", Seq("ci"))
+    val allRanks = allDist.withColumn("lc", sum("cnt").over(wLoc))
+      .join(broadcast(offs), Seq("ci", "chunk"))
+      .select(col("ci"), col("v"), (lit(2) * (col("lc") + col("off"))
+        - col("cnt") + lit(1)).as("t"))
+      .materialize
+    def rankTable(c: String): DataFrame = {
+      val i = cols.indexOf(c)
+      allRanks.filter(col("ci") === i)
+        .select(col("v").as(c), col("t").as(s"t_$c"))
+    }
     val joined = base
       .join(broadcast(rankTable("v1")), Seq("v1"))
       .join(rankTable("v2"), Seq("v2"))

@@ -43,15 +43,19 @@ object Sketches {
     val dist = dist0.withColumn("chunk", expr(s"$valCol div 16384"))
     val wLoc = Window.partitionBy(grp, "chunk").orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = Sampling.chunkOffsets(
-      dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot")),
-      "chunk", "tot", Seq(grp))
-    val totals = dist.groupBy(grp).agg(sum("cnt").as("n"))
+    // group totals fold out of the per-chunk totals (exact int64
+    // reassociation — n unchanged) instead of a second pass over the
+    // distribution, and offsets + totals ride ONE broadcast join
+    // instead of two (guide §2.4: fewer exchanges; each broadcast
+    // build is a separate scheduled job)
+    val tots = dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot"))
+    val offs = Sampling.chunkOffsets(tots, "chunk", "tot", Seq(grp))
+    val totals = tots.groupBy(grp).agg(sum("tot").as("n"))
+    val offn = offs.join(totals, grp)
     val hist = dist
       .withColumn("lc", sum("cnt").over(wLoc))
-      .join(broadcast(offs), Seq(grp, "chunk"))
+      .join(broadcast(offn), Seq(grp, "chunk"))
       .withColumn("cum", col("lc") + col("off"))
-      .join(broadcast(totals), grp)
       .withColumn("lo", expr("(n+1) div 2"))
       .withColumn("hi", expr("(n+2) div 2"))
     val covers = (r: Column) => col("cum") - col("cnt") < r && r <= col("cum")

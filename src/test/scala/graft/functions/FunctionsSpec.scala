@@ -63,6 +63,25 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
     assert(sigs(0) != sigs(2))
   }
 
+  test("AffineMinHashSig equals the brute affine-permutation min") {
+    // the portable q227 family: (pa·(h mod p) + pb) mod p, constants from
+    // the Lehmer stream seeded 42 — the kernel must match a direct Scala
+    // replay slot for slot (the values every affine-minhash oracle
+    // interpolates), including a genuine 0L hash and a singleton set
+    val P = 2147483647L
+    var x = 42L
+    def nxt(): Long = { x = x * 48271 % P; x }
+    val perms = (0 until 32).map(_ => (nxt(), nxt()))
+    val sets = Seq(Array(0L, 17L, 4611686018427387903L), Array(42L),
+      (1L to 100L).map(_ * 987654321987L).toArray)
+    def brute(hs: Array[Long]): Seq[Long] =
+      perms.map { case (pa, pb) => hs.map(h => (pa * (h % P) + pb) % P).min }
+    val got = sets.toDF("sh")
+      .select(ArrayExprs.affineMinhashSig(col("sh")).as("ms"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got.toSeq == sets.map(s => brute(s)))
+  }
+
   test("SimHash64 is stable and near-identical docs have small hamming") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog again and again today",
@@ -200,6 +219,7 @@ class FunctionsSpec extends AnyFunSuite with SparkTestBase {
           ArrayExprs.windowHashes(tok, 3).as("wh"),
           ArrayExprs.subwordTokens(tok).as("sw"))
         .withColumn("sig", ArrayExprs.minhashSig(col("sh"), 8))
+        .withColumn("asig", ArrayExprs.affineMinhashSig(col("wh")))
         .collect().map(_.toSeq).toSeq
       val r2 = vecs.toDF("qv")
         .select(ArrayExprs.hyperplaneBands(col("qv"), 8, 16).as("hb"),
