@@ -85,6 +85,12 @@ object Sampling {
       .partitionBy((if (pc.isEmpty) Seq(onePart(col("_sup"))) else pc): _*)
       .orderBy("_sup")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // (r15 probe: a single-consumption form — _stot = max_by(_loff +
+    // tot, chunk) riding the wLoc window's partitioning — measured
+    // SLOWER at sf0.1 across every chunked caller: it moves the local
+    // window sort into the broadcast build's lineage, and a second
+    // hash-agg pass over `totals` is cheaper than a second window-sort
+    // pass. Kept the two-consumption form.)
     val supOff = sup.groupBy(pc :+ col("_sup"): _*).agg(sum(totCol).as("_stot"))
       .withColumn("_soff", coalesce(sum("_stot").over(wSup), lit(0L)))
       .select(pc :+ col("_sup") :+ col("_soff"): _*)

@@ -47,7 +47,10 @@ object Sketches {
     // reassociation — n unchanged) instead of a second pass over the
     // distribution, and offsets + totals ride ONE broadcast join
     // instead of two (guide §2.4: fewer exchanges; each broadcast
-    // build is a separate scheduled job)
+    // build is a separate scheduled job). (r15 probe: deriving tots
+    // from the window output — max(lc) riding the window exchange —
+    // measured SLOWER at sf0.1: it trades a cheap hash-agg pass for
+    // extra window-sort passes; kept the hash-agg form.)
     val tots = dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot"))
     val offs = Sampling.chunkOffsets(tots, "chunk", "tot", Seq(grp))
     val totals = tots.groupBy(grp).agg(sum("tot").as("n"))
@@ -121,12 +124,25 @@ object Sketches {
     // around the true count, and small groups fall in the exact sparse
     // regime). The raw approx value is engine-specific, so the emitted row
     // is (group, exact, n, within_bounds) — fully hash-matchable.
+    //
+    // Shape (r15 optimization, guide §2.3 "shuffle fewer bytes"): the
+    // naive one-distinct rewrite of approx+exact-in-one-agg carries the
+    // partial_approx_count_distinct buffer — 1639 MS[i] int64 register
+    // words at rsd = 0.01, ~13 KB per ROW — as grouping state for every
+    // (event_type, user_id) pair through the first exchange (measured:
+    // the 204 KB plan, 2.9 s single-task at sf0.1). HLL insertion is
+    // idempotent, so the sketch over the DISTINCT pairs is bit-identical
+    // to the sketch over the raw stream: pre-reduce to pairs + counts
+    // (three narrow columns through the exchange, map-side partials),
+    // then run the HLL once per event_type group. exact_users = pair
+    // count, n = sum of pair counts — values and dtypes unchanged.
     QueryDef("q33_approx_distinct", (s, d) =>
       t(s, d, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("exact_users"),
+          sum("cnt").as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")).cast("double") <=
             lit(0.05) * col("exact_users").cast("double")).as("within_bounds"))
