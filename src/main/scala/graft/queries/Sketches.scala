@@ -26,6 +26,30 @@ import graft.{QueryDef, Tables}
 object Sketches {
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Exclusive chunk prefix + group total for a VALUE-DOMAIN-BOUNDED
+    * per-(grp, chunk) totals table `(grp, chunk, tot)` (r15, guide
+    * §2.4): one flat window pass per group computes `off` (exclusive
+    * prefix) and `n` (group total) as two frames over ONE
+    * partition+order spec — a single WindowExec/exchange, consumed by
+    * ONE downstream broadcast. The generic [[Sampling.chunkOffsets]]
+    * hierarchy (two window levels + an internal broadcast join) plus a
+    * separate group-totals pass cost 3-4 extra scheduled jobs per call;
+    * it remains the right tool for CORPUS-DERIVED chunk tables (e.g.
+    * q236's µs-gap domain), but the cents-scale value distributions
+    * here keep <= ~2700 chunk rows per group at ANY corpus size
+    * (domain/16384), so the flat per-group window is bounded by
+    * construction. Same int64 sums — off/n bit-identical. */
+  private def boundedOffN(tots: org.apache.spark.sql.DataFrame,
+      grp: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(grp).orderBy("chunk")
+    tots
+      .withColumn("off", coalesce(sum("tot").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("tot").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(grp), col("chunk"), col("off"), col("n"))
+  }
+
   /** q64's covers-weight exact median over a pre-grouped VALUE
     * DISTRIBUTION `(grp, valCol, cnt)`, in integer form: per group,
     * med2 = lower middle + upper middle (twice the median — stays int64
@@ -51,10 +75,13 @@ object Sketches {
     // from the window output — max(lc) riding the window exchange —
     // measured SLOWER at sf0.1: it trades a cheap hash-agg pass for
     // extra window-sort passes; kept the hash-agg form.)
-    val tots = dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot"))
-    val offs = Sampling.chunkOffsets(tots, "chunk", "tot", Seq(grp))
-    val totals = tots.groupBy(grp).agg(sum("tot").as("n"))
-    val offn = offs.join(totals, grp)
+    //
+    // r15: both value domains here are cents-scale (prices < ~2^24
+    // cents; deviations < 2x that), so the chunk table is value-domain
+    // bounded and the offsets + group totals ride [[boundedOffN]]'s one
+    // flat window pass and ONE broadcast.
+    val offn = boundedOffN(
+      dist.groupBy(grp, "chunk").agg(sum("cnt").as("tot")), grp)
     val hist = dist
       .withColumn("lc", sum("cnt").over(wLoc))
       .join(broadcast(offn), Seq(grp, "chunk"))
@@ -562,14 +589,13 @@ object Sketches {
         .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("flag", "chunk").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offs = Sampling.chunkOffsets(
-        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")),
-        "chunk", "tot", Seq("flag"))
-      val totals = dist.groupBy("flag").agg(sum("cnt").as("n"))
+      // r15: cents-scale value domain -> bounded chunk table; offsets +
+      // group totals ride boundedOffN's one window pass + ONE broadcast
+      val offn = boundedOffN(
+        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")), "flag")
       val ex = dist.withColumn("lc", sum("cnt").over(wLoc))
-        .join(broadcast(offs), Seq("flag", "chunk"))
+        .join(broadcast(offn), Seq("flag", "chunk"))
         .withColumn("cum", col("lc") + col("off"))
-        .join(broadcast(totals), "flag")
         .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
         .withColumn("r", expr("(n * pct + 99) div 100"))
         .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
@@ -906,14 +932,14 @@ object Sketches {
         .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("lang", "chunk").orderBy("c")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offs = Sampling.chunkOffsets(
-        dist.groupBy("lang", "chunk").agg(sum("cnt").as("tot")),
-        "chunk", "tot", Seq("lang"))
-      val totals = dist.groupBy("lang").agg(sum("cnt").as("n"))
+      // r15: n_chars domain -> bounded chunk table (max doc chars /
+      // 16384 rows per lang, corpus-size-independent); boundedOffN's
+      // one window pass + ONE broadcast replace offs + totals
+      val offn = boundedOffN(
+        dist.groupBy("lang", "chunk").agg(sum("cnt").as("tot")), "lang")
       val ex = dist.withColumn("lc", sum("cnt").over(wLoc))
-        .join(broadcast(offs), Seq("lang", "chunk"))
+        .join(broadcast(offn), Seq("lang", "chunk"))
         .withColumn("cum", col("lc") + col("off"))
-        .join(broadcast(totals), "lang")
         .withColumn("pct", explode(array(pcts.map(p => lit(p)): _*)))
         .withColumn("r", expr("(n * pct + 99) div 100"))
         .filter(col("cum") >= col("r") && col("cum") - col("cnt") < col("r"))
@@ -1168,15 +1194,14 @@ object Sketches {
         .materialize // feeds local cums, chunk totals, group totals
       val wLoc = Window.partitionBy("flag", "chunk").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offs = Sampling.chunkOffsets(
-        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")),
-        "chunk", "tot", Seq("flag"))
-      val totals = dist.groupBy("flag").agg(sum("cnt").as("n"))
+      // r15: cents-scale value domain -> bounded chunk table; offsets +
+      // group totals ride boundedOffN's one window pass + ONE broadcast
+      val offn = boundedOffN(
+        dist.groupBy("flag", "chunk").agg(sum("cnt").as("tot")), "flag")
       val hist = dist
         .withColumn("lc", sum("cnt").over(wLoc))
-        .join(broadcast(offs), Seq("flag", "chunk"))
+        .join(broadcast(offn), Seq("flag", "chunk"))
         .withColumn("cum", col("lc") + col("off"))
-        .join(broadcast(totals), "flag")
       def covers(r: Column) = col("cum") - col("cnt") < r && r <= col("cum")
       def q4(k: Int): Column = {
         val i = expr(s"((n - 1) * $k) div 4")
