@@ -731,37 +731,38 @@ object Similarity {
     var seen: DataFrame = null
     for (_ <- 1 to hops) {
       val frontier = beam.select(col("q_id"), col("n_id"))
-      // materialized — NOT released: the hop's expansion IS the seen
-      // set the post-loop scoring scan reads, and holding its blocks is
-      // what lets the superseded beams below release without leaving
-      // `seen` a lineage-only chain through dropped frames (ADVICE r11:
-      // unmaterialized, replicated mode recomputed the full expansion
-      // chain at the final scan). retained: consumed after the loop.
-      val expanded = frontier.join(edges, frontier("n_id") === edges("node"))
+      // ONE materialized frame per hop (r15, guide §2.4 / §1.2): the
+      // expansion is SCORED before materializing, so the hop's
+      // candidate set, the next beam (a lazy top-ef filter over the
+      // same blocks), and the final eligible scan all read one frame —
+      // previously each hop materialized expansion AND beam (two
+      // scheduled jobs, two broadcast builds), and the post-loop scan
+      // re-joined e + qs to re-derive scores it already had. cos_sim
+      // is functional in (q_id, n_id), the beam filter is the same
+      // rn <= ef cut, and the post-loop n_id != q_id filter moved
+      // inside the hop — identical rows reach the final ranking.
+      // retained (not released): these blocks ARE the seen set.
+      val scored = frontier.join(edges, frontier("n_id") === edges("node"))
         .select(col("q_id"), col("nbr").as("n_id"))
         .union(frontier)
         .distinct()
-        .materialize // retained: IS the seen set, scored after the loop
-      seen = if (seen == null) expanded else seen.union(expanded)
-      val prev = beam
-      beam = expanded
         .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
         .join(broadcast(qs), "q_id")
         .filter(col("n_id") =!= col("q_id"))
         .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
         .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= ef)
-        .select("q_id", "n_id", "cos_sim")
+        .select("q_id", "n_id", "cos_sim", "rn")
         .materialize
-      prev.release() // superseded beam — see Materialize.release
+      val hopSeen = scored.select("q_id", "n_id", "cos_sim")
+      seen = if (seen == null) hopSeen else seen.union(hopSeen)
+      val prev = beam
+      beam = scored.filter(col("rn") <= ef)
+        .select("q_id", "n_id", "cos_sim")
+      prev.release() // superseded entry beam — see Materialize.release
     }
     val wk = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     seen.distinct()
       .join(allowed.select(col("vec_id").as("n_id")), Seq("n_id"), "left_semi")
-      .join(e.select(col("vec_id").as("n_id"), col("qv").as("qb"), col("n2").as("nb")), "n_id")
-      .join(broadcast(qs), "q_id")
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("cos_sim", cosine(col("qa"), col("na"), col("qb"), col("nb")))
       .withColumn("rank", row_number().over(wk))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos_sim")
