@@ -54,6 +54,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Whole-stage-codegen class cache (default 100 entries): a
+      // 378-query registry compiles thousands of distinct generated
+      // sources, so the default thrashes and every adaptive rep —
+      // and every AQE stage sharing a shape across queries —
+      // re-Janino-compiles from scratch. Driver-side fixed cost at ANY
+      // scale (not a local[32] tune): raising it to 10k cut a mixed
+      // 10-query sf0.1 subset 24% wall (30.0 s -> 22.9 s, A/B same
+      // host). Memory is bounded by compiled-class metaspace, a few
+      // KB each.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       // see Verify.scala: bounds the exponential tree RENDERING of
       // lineage-keeping iterative plans (the plan executes fine)
       .config("spark.sql.maxPlanStringLength", "1048576")

@@ -24,6 +24,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: the default 100-entry codegen class cache
+      // thrashes under a 378-query registry (re-Janino-compiles per
+      // stage); driver-side fixed cost at any scale
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("graft.materialize.mode",
         sys.env.getOrElse("GRAFT_MATERIALIZE_MODE", "local"))
       // Iterative operators under the lineage-KEEPING materialize modes

@@ -47,6 +47,7 @@ object ShuffleAudit {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.codegen.cache.maxEntries", "10000") // see Bench.scala
       .config("spark.sql.session.timeZone", "UTC")
       // fingerprinting renders final plans; bound the string, not the plan
       // (the q208 lesson from the r11 close)
