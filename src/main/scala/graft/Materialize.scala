@@ -40,6 +40,28 @@ import org.apache.spark.storage.StorageLevel
   */
 object Materialize {
 
+  /** Run several INDEPENDENT materialization chains concurrently (r15,
+    * guide §2.6: Spark actions are sequential only because the driver
+    * calls them sequentially). Each thunk — typically a pipeline ending
+    * in `.materialize` — runs in its own driver thread, so the chains'
+    * jobs interleave on the executor pool; at bench scale most stages
+    * of these chains run 1-6 tasks on 32 cores, so serializing them
+    * left the pool idle. Results return in input order; the first
+    * failure propagates.
+    *
+    * Correctness: the chains must not depend on each other (caller's
+    * contract), and DataFrames carry their own SparkSession reference,
+    * so thread-local active-session state is not consulted. Determinism
+    * and the byte surface are untouched — the same plans run, only the
+    * wall-clock interleaving changes. */
+  def concurrently(thunks: (() => org.apache.spark.sql.DataFrame)*): Seq[org.apache.spark.sql.DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fs = thunks.map(th => Future(th()))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   implicit final class MaterializeOps[T](private val ds: Dataset[T]) extends AnyVal {
 
     /** Materialize a multiply-consumed frame per the session's

@@ -1008,10 +1008,15 @@ object Dedup {
     * caller hands in. One-row scalar crosses are the allowlisted q76
     * class. */
   def blockingQualityOf(docs: DataFrame): DataFrame = {
-    val truth = jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
-      .materialize // hit join + count
-    val cand = winnowCandidates(docs)
-      .materialize // hit join + count
+    // r15 (guide §2.6): the exact-truth and candidate chains are fully
+    // independent pipelines over the same input — materialize them
+    // CONCURRENTLY instead of serializing two multi-stage chains whose
+    // stages each use a handful of tasks
+    val Seq(truth, cand) = graft.Materialize.concurrently(
+      () => jaccardJoin(docs, 0.7).select("doc_a", "doc_b")
+        .materialize, // hit join + count
+      () => winnowCandidates(docs)
+        .materialize) // hit join + count
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val nt = truth.agg(count(lit(1)).as("n_truth"))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
@@ -1218,9 +1223,14 @@ object Dedup {
     // pays for it.
     val cand0 =
       if (theta < RareTierTheta) {
-        val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
-          .materialize
-        winnowCandidates(documents).union(rareKeyCandidates(toks)).distinct()
+        // r15 (guide §2.6): the winnow-fingerprint chain (over the raw
+        // documents) and the rare-tier key stream (over the shingle
+        // frame above) are independent — materialize concurrently
+        val Seq(wc, toks) = graft.Materialize.concurrently(
+          () => winnowCandidates(documents),
+          () => docs.select(col("doc_id"), explode(col("sh")).as("tok"))
+            .materialize)
+        wc.union(rareKeyCandidates(toks)).distinct()
       } else winnowCandidates(documents)
     val blocked = blockedVerify(cand0,
         docs.select(col("doc_id"), col("sh").as("ks")), theta)
@@ -1279,16 +1289,21 @@ object Dedup {
         col("h").bitwiseXOR(Sampling.lehmer(col("occ"))).as("tok"))
       .materialize
     // per-doc occurrence-key ARRAYS — the verify side; lens derives from
-    // it for free (size of the array)
-    val keyArr = occ.groupBy("doc_id").agg(collect_list("tok").as("ks"))
-      .materialize
+    // it for free (size of the array). r15 (guide §2.6): the key-array
+    // rollup (over the materialized occ) and the winnow-fingerprint
+    // chain (over the raw documents) are independent — materialize
+    // concurrently.
+    val Seq(keyArr, wc0) = graft.Materialize.concurrently(
+      () => occ.groupBy("doc_id").agg(collect_list("tok").as("ks"))
+        .materialize,
+      () => winnowCandidates(documents))
     val lens = keyArr.select(col("doc_id"), size(col("ks")).as("len"))
     // the same two-tier rule as jaccardJoinWinnowBlocked, over the
     // occurrence-key space the multiset verify counts
     val cand0 =
       if (theta < RareTierTheta)
-        winnowCandidates(documents).union(rareKeyCandidates(occ)).distinct()
-      else winnowCandidates(documents)
+        wc0.union(rareKeyCandidates(occ)).distinct()
+      else wc0
     val blocked = blockedVerify(cand0, keyArr, theta)
       .filter(least(col("la"), col("lb")) >= ShortLen)
       .select("doc_a", "doc_b", "jaccard")

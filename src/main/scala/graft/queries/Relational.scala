@@ -1818,9 +1818,19 @@ object Relational {
       .materialize
     val wLoc = Window.partitionBy("ci", "chunk").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offs = Sampling.chunkOffsets(
-      allDist.groupBy("ci", "chunk").agg(sum("cnt").as("tot")),
-      "chunk", "tot", Seq("ci"))
+    // r15: the per-ci chunk table is VALUE-DOMAIN-bounded (quantity and
+    // discount fit one chunk each; cents <= ~2^24 -> ~700 chunks; v4's
+    // cents x (100 - discount) grid <= ~70k chunks — all independent of
+    // corpus size), so the cross-chunk offsets ride ONE flat window per
+    // ci instead of the hierarchical chunkOffsets (which consumed the
+    // materialized distribution a second time — a full block re-scan —
+    // plus two window levels and an internal broadcast build). Same
+    // int64 sums, bit-identical offsets.
+    val wOff = Window.partitionBy("ci").orderBy("chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = allDist.groupBy("ci", "chunk").agg(sum("cnt").as("tot"))
+      .withColumn("off", coalesce(sum("tot").over(wOff), lit(0L)))
+      .select("ci", "chunk", "off")
     val allRanks = allDist.withColumn("lc", sum("cnt").over(wLoc))
       .join(broadcast(offs), Seq("ci", "chunk"))
       .select(col("ci"), col("v"), (lit(2) * (col("lc") + col("off"))
