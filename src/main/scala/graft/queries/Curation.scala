@@ -1134,8 +1134,14 @@ object Curation {
     QueryDef("q314_quality_keep", (s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b")
-      val (labels, _) = Dedup.connectedComponents(pairs)
-      val scores = ensembleScores(docs).select("doc_id", "ensemble_score")
+      // r15 (guide §2.6): the ensemble-score pass (one corpus trigram
+      // pass inside lmFamiliarity) is independent of the components
+      // loop — materialize it concurrently with the CC rounds instead
+      // of leaving it to run serially inside the final action
+      val Seq(labels, scores) = graft.Materialize.concurrently(
+        () => Dedup.connectedComponents(pairs)._1,
+        () => ensembleScores(docs).select("doc_id", "ensemble_score")
+          .materialize)
       labels.select(col("node").as("doc_id"), col("lbl").as("cluster_id"))
         .join(scores, "doc_id")
         .groupBy("cluster_id")
@@ -1187,14 +1193,19 @@ object Curation {
     // source-domain broadcast, one grouped rollup.
     QueryDef("q370_repeat_exposure", (s, d) => {
       val docs = t(s, d, "documents")
-      val labels = Dedup.connectedComponents(
-          Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b"))._1
+      // r15 (guide §2.6): the epoch schedule (its own corpus pass) is
+      // independent of the components loop — materialize concurrently
+      val Seq(labels0, sched) = graft.Materialize.concurrently(
+        () => Dedup.connectedComponents(
+          Dedup.nearDupPairsOf(docs).select("doc_a", "doc_b"))._1,
+        () => Sampling.epochSchedule(docs)
+          .select("source", "epochs_ppm").materialize)
+      val labels = labels0
         .select(col("node").as("doc_id"), col("lbl").as("cid"))
       docs.select("doc_id", "source")
         .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cid"), col("doc_id")))
-        .join(broadcast(Sampling.epochSchedule(docs)
-          .select("source", "epochs_ppm")), Seq("source"))
+        .join(broadcast(sched), Seq("source"))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"),
           countDistinct("source").as("n_sources"),
