@@ -503,12 +503,15 @@ object Curation {
             .otherwise(col("text")))
       val v1h = docs.filter(col("doc_id") % 10 =!= 7)
         .select(col("doc_id"), md5(col("text")).as("h1"))
-      val changed = v2.select(col("doc_id"), md5(col("text")).as("h2"))
-        .join(v1h, Seq("doc_id"), "left")
-        .filter(col("h1").isNull || col("h1") =!= col("h2"))
-        .select("doc_id")
-      val (labels, _) = Dedup.connectedComponents(
-        Dedup.nearDupPairsOf(v2).select("doc_a", "doc_b"))
+      // r15 (guide §2.6): the changed-doc hash diff (two md5 passes) is
+      // independent of the components loop — materialize concurrently
+      val Seq(changed, labels) = graft.Materialize.concurrently(
+        () => v2.select(col("doc_id"), md5(col("text")).as("h2"))
+          .join(v1h, Seq("doc_id"), "left")
+          .filter(col("h1").isNull || col("h1") =!= col("h2"))
+          .select("doc_id").materialize,
+        () => Dedup.connectedComponents(
+          Dedup.nearDupPairsOf(v2).select("doc_a", "doc_b"))._1)
       val clusters = v2.select("doc_id")
         .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
