@@ -55,11 +55,16 @@ object Materialize {
     * and the byte surface are untouched — the same plans run, only the
     * wall-clock interleaving changes. */
   def concurrently(thunks: (() => org.apache.spark.sql.DataFrame)*): Seq[org.apache.spark.sql.DataFrame] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.{Await, ExecutionContext, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fs = thunks.map(th => Future(th()))
-    fs.map(Await.result(_, Duration.Inf))
+    // blocking{}: each thunk parks a fork-join worker on a Spark action,
+    // so compensate the pool; await the SEQUENCE so the first failure
+    // propagates promptly even while an earlier-indexed thunk is still
+    // running (ADVICE r15 — awaiting in input order hid failures behind
+    // a hung predecessor). Call sites fan out 2-3 ways; keep it so.
+    val fs = thunks.map(th => Future(blocking(th())))
+    Await.result(Future.sequence(fs), Duration.Inf)
   }
 
   implicit final class MaterializeOps[T](private val ds: Dataset[T]) extends AnyVal {

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -252,7 +253,7 @@ object Curation {
         .withColumn("pass_rate", col("n_pass").cast("double") / col("n_docs"))
         .select("lang", "source", "n_docs", "n_tokens", "n_pass", "pass_rate",
           "n_contaminated", "min_chars", "max_chars")
-        .orderBy("lang", "source")
+        .reportSorted("lang", "source")
     },
       Some(s"""WITH s AS (${Dedup.sqlShingles}),
              |b AS (SELECT doc_id AS bench_id, unnest(sh) AS tok FROM s
@@ -405,7 +406,7 @@ object Curation {
           struct(lit(5).as("stage"), lit("near_dup").as("gate"),
             col("s5").as("n_docs"), (col("s4") - col("s5")).as("dropped")))).as("r"))
         .select("r.*")
-        .orderBy("stage")
+        .reportSorted("stage")
     },
       Some(s"""WITH ${Dedup.sqlPairCtes()},
              |drops AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
@@ -643,7 +644,7 @@ object Curation {
         .filter(col("cum_tokens") <= budget)
         .select(col("doc_id"), col("ensemble_score"), col("n_tokens"),
           col("cum_tokens"))
-        .orderBy(col("ensemble_score").desc, col("doc_id"))
+        .reportSorted(col("ensemble_score").desc, col("doc_id"))
     },
       Some(s"""WITH $sqlEnsembleCtes,
              |sel AS (
@@ -760,7 +761,7 @@ object Curation {
         .select(col("source"), col("n_chars"), col("cnt").as("n_docs"),
           (col("sc").cast("double") / col("ns")).as("src_cum_frac"),
           col("norm_value"))
-        .orderBy("source", "n_chars")
+        .reportSorted("source", "n_chars")
     },
       Some("""WITH sdist AS MATERIALIZED (
              |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt,
@@ -1089,7 +1090,7 @@ object Curation {
             .as("fill_frac"),
           (col("alloc") === col("avail")).as("filled"),
           col("b").as("budget"), (col("b") - col("placed")).as("leftover"))
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some {
         val rounds = (1 to 3).map { r =>

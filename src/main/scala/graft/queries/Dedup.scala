@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1872,7 +1873,7 @@ object Dedup {
         .groupBy(least(col("src_a"), col("src_b")).as("src_lo"),
           greatest(col("src_a"), col("src_b")).as("src_hi"))
         .agg(count(lit(1)).as("n_pairs"))
-        .orderBy("src_lo", "src_hi")
+        .reportSorted("src_lo", "src_hi")
     },
       Some(s"""WITH ${sqlPairCtes()}
              |SELECT least(da.source, db.source) AS src_lo,
@@ -2121,7 +2122,7 @@ object Dedup {
         .withColumn("token_frac",
           col("n_tokens").cast("double") / col("raw_tokens"))
         .select("source", "stage", "n_docs", "n_tokens", "token_frac")
-        .orderBy("source", "stage")
+        .reportSorted("source", "stage")
     },
       Some(s"""WITH d AS (
              |  SELECT doc_id, source,
@@ -2746,7 +2747,7 @@ object Dedup {
       b.withColumn("bucket_lo", col("bucket").cast("double") / 20.0)
         .withColumn("cum_at_or_above", sum("n_pairs").over(w))
         .select("bucket", "bucket_lo", "n_pairs", "cum_at_or_above")
-        .orderBy("bucket")
+        .reportSorted("bucket")
     },
       Some(s"""WITH ${sqlHashedPairCtes(0.5)},
              |b AS (
@@ -2927,7 +2928,7 @@ object Dedup {
             .as("precision"),
           (col("n_hit").cast("double") / col("n_truth").cast("double"))
             .as("recall"))
-        .orderBy("theta")
+        .reportSorted("theta")
     },
       Some {
         val P = 2147483647L
@@ -3005,7 +3006,7 @@ object Dedup {
           col("n_docs_total"), col("n_tokens_total"),
           (col("tokens_dropped").cast("double") /
             col("n_tokens_total").cast("double")).as("tokens_saved_frac"))
-        .orderBy("theta")
+        .reportSorted("theta")
     },
       Some(s"""WITH ${sqlHashedPairCtes(0.5)},
              |tk AS MATERIALIZED (
@@ -3074,7 +3075,7 @@ object Dedup {
             .otherwise(lit(2.0) * col("fa") * col("fb")).as("exp_frac"),
           (col("sp_a") =!= col("sp_b")).as("is_leak"))
         .withColumn("obs_over_exp", col("obs_frac") / col("exp_frac"))
-        .orderBy("sp_a", "sp_b")
+        .reportSorted("sp_a", "sp_b")
     },
       Some(s"""WITH ${sqlPairCtes()},
              |sp AS MATERIALIZED (
@@ -3144,7 +3145,7 @@ object Dedup {
           when(col("pairs_generated") > 0,
             expr("CAST(max_k * (max_k - 1) div 2 AS DOUBLE)") /
               col("pairs_generated").cast("double")).as("max_share"))
-        .orderBy("band")
+        .reportSorted("band")
     },
       Some {
         val P = 2147483647L
@@ -3428,7 +3429,7 @@ object Dedup {
         .select(col("r"), col("b"), col("bucket_lo"), col("n_pairs"),
           col("p_mid"),
           (col("n_pairs").cast("double") * col("p_mid")).as("expected_caught"))
-        .orderBy("r", "bucket_lo")
+        .reportSorted("r", "bucket_lo")
     },
       Some(s"""WITH ${sqlHashedPairCtes(0.5)},
              |hist AS MATERIALIZED (

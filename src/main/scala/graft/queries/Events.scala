@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -450,7 +451,7 @@ object Events {
         .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast("double").as("sum_value"))
-        .orderBy("h", "event_type"),
+        .reportSorted("h", "event_type"), // hours x event types: time-domain-bounded
       Some("""SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS h,
              |  event_type, count(*) AS n,
              |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -659,7 +660,7 @@ object Events {
         .join(broadcast(cohortSize), "cohort")
         .select(col("cohort"), col("day_offset"), col("n_active"), col("n_users"),
           (col("n_active").cast("double") / col("n_users")).as("retention"))
-        .orderBy("cohort", "day_offset")
+        .reportSorted("cohort", "day_offset") // cohorts x day offsets: time-domain-bounded
     },
       Some("""WITH ev AS (
              |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
@@ -765,7 +766,7 @@ object Events {
           max("lo").as("p05"), max("hi").as("p95"),
           (sum(dec(col("value"))).cast("double") / count(lit(1))).as("mean"),
           (sum(dec(col("w"))).cast("double") / count(lit(1))).as("winsorized_mean"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       Some("""WITH h AS (
              |  SELECT event_type, value, count(*) AS cnt
@@ -1529,7 +1530,7 @@ object Events {
               (col("nm.nh") - col("pm.ph")).cast("double"))))
         .select(col("event_type"), col("h"), col("value"),
           col("m").isNull.as("filled"))
-        .orderBy("event_type", "h")
+        .reportSorted("event_type", "h")
     },
       Some("""WITH hourly AS MATERIALIZED (
              |  SELECT event_type,
@@ -2115,7 +2116,7 @@ object Events {
     // whole boundary stream; the oracle uses the flat window form.
     // Output: each day's peak and the first instant it is reached.
     QueryDef("q218_session_concurrency", (s, d) =>
-      sessionConcurrency(t(s, d, "events")).orderBy("day_idx"),
+      sessionConcurrency(t(s, d, "events")).reportSorted("day_idx"),
       Some("""WITH e AS (
              |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
              |    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
@@ -2225,7 +2226,7 @@ object Events {
             .as("p50_cents"),
           max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents")))
             .as("p90_cents"))
-        .orderBy("event_type", "d_idx")
+        .reportSorted("event_type", "d_idx")
     },
       Some("""WITH r AS MATERIALIZED (
              |  SELECT event_type,
@@ -2388,7 +2389,7 @@ object Events {
         .join(sv, Seq("cohort_day", "t"))
         .select(col("cohort_day"), col("t").cast("int").as("t"),
           col("at_risk"), col("deaths"), col("survival"))
-        .orderBy("cohort_day", "t")
+        .reportSorted("cohort_day", "t")
     },
       Some("""WITH ev AS MATERIALIZED (
              |  SELECT user_id, event_type, value,
@@ -2559,7 +2560,7 @@ object Events {
           col("n_test"), col("hits"),
           (col("hits").cast("double") / col("n_test").cast("double"))
             .as("accuracy"))
-        .orderBy("prev_type")
+        .reportSorted("prev_type")
     },
       Some("""WITH e AS MATERIALIZED (
              |  SELECT user_id, event_id, event_type,
@@ -2711,7 +2712,7 @@ object Events {
           col("dau").cast("double") / col("wau").cast("double")))
         .withColumn("dau_mau", when(col("mau") > 0,
           col("dau").cast("double") / col("mau").cast("double")))
-        .orderBy("day_idx")
+        .reportSorted("day_idx")
     },
       Some("""WITH ud AS MATERIALIZED (
              |  SELECT DISTINCT user_id,
@@ -3114,7 +3115,7 @@ object Events {
             (col("n_a") + col("n_b") - coalesce(col("overlap"), lit(0L)))
               .cast("double")).as("jaccard"),
           (col("n_b") - coalesce(col("overlap"), lit(0L))).as("new_items"))
-        .orderBy("day_a")
+        .reportSorted("day_a")
     },
       Some("""WITH e AS MATERIALIZED (
              |  SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
@@ -3217,7 +3218,7 @@ object Events {
           col("pi_scaled"),
           (col("pi_scaled").cast("double") / lit(1.0e9)).as("pi"),
           abs(col("pi_scaled") - col("pv")).as("delta_scaled"))
-        .orderBy("state")
+        .reportSorted("state")
     },
       Some {
         def iter(prevT: String, f: String, next: String) =

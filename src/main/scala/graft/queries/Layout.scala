@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Report._
 import graft.{QueryDef, Tables}
 
 /** Multimodal-column plumbing: media payloads as opaque `BINARY` columns
@@ -585,7 +586,7 @@ object Multimodal {
     // frames), so unlike q360 the organic band does NOT grow with the
     // corpus — the report confirms the fence sits above it.
     QueryDef("q361_audio_anchor_load", (s, d) =>
-      audioAnchorLoad(t(s, d, "documents")).orderBy("cap"),
+      audioAnchorLoad(t(s, d, "documents")).reportSorted("cap"),
       Some(s"""WITH $sqlAudioAnchorCtes,
              |df AS MATERIALIZED (
              |  SELECT h, CAST(count(*) AS BIGINT) AS nd

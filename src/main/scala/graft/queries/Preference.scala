@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.Report._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -624,7 +625,7 @@ object Preference {
     // before a reward model trains on these comparisons. Two bounded
     // aggregations; per-annotator verdicts are exact count majorities.
     QueryDef("q344_pref_agreement", (s, d) =>
-      annotatorAgreement(t(s, d, "events")).orderBy("arm_a", "arm_b"),
+      annotatorAgreement(t(s, d, "events")).reportSorted("arm_a", "arm_b"),
       Some(s"""WITH $sqlDuelsCte,
              |pu AS (
              |  SELECT user_id, least(winner, loser) AS arm_a,
@@ -652,7 +653,7 @@ object Preference {
     // oracle states the same argmax/argmin via row_number, which is
     // fine on the oracle's single node.
     QueryDef("q345_dpo_pairs", (s, d) =>
-      dpoPairs(t(s, d, "events")).orderBy("k"),
+      dpoPairs(t(s, d, "events")).reportSorted("k"),
       Some("""WITH e AS (
              |  SELECT event_id, event_type, value,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
@@ -720,7 +721,7 @@ object Preference {
     // Spearman sufficient statistics and the integer rho-numerator
     // whose sign is the verdict — see [[rolloutLengthBias]].
     QueryDef("q375_rollout_length_bias", (s, d) =>
-      rolloutLengthBias(t(s, d, "events")).orderBy("k"),
+      rolloutLengthBias(t(s, d, "events")).reportSorted("k"),
       Some("""WITH e AS (
              |  SELECT event_id, value,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER)
@@ -773,7 +774,7 @@ object Preference {
     // the bounded TopKAgg partial aggregator (m rows per task cross the
     // shuffle — no per-prompt sort at any rollout count).
     QueryDef("q348_bon_manifest", (s, d) =>
-      bestOfN(t(s, d, "events"), 4).orderBy("k", "rank"),
+      bestOfN(t(s, d, "events"), 4).reportSorted("k", "rank"),
       Some("""WITH e AS (
              |  SELECT event_id, value,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
@@ -791,7 +792,7 @@ object Preference {
     // (pass@4 = 1 - fail4_num/tot4_num; the 4! cancels) — one
     // bounded-domain aggregation, zero float arithmetic in the engine.
     QueryDef("q349_passk_exact", (s, d) =>
-      passAtK(t(s, d, "events")).orderBy("k"),
+      passAtK(t(s, d, "events")).reportSorted("k"),
       Some("""WITH e AS (
              |  SELECT event_type,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k
@@ -836,7 +837,7 @@ object Preference {
         .withColumn("curriculum_idx", col("local_rn") + col("off") - 1)
         .withColumn("phase", expr("curriculum_idx div 8"))
         .select("k", "n", "c", "pass_ppm", "curriculum_idx", "phase")
-        .orderBy("curriculum_idx")
+        .reportSorted("curriculum_idx")
     },
       Some("""WITH e AS (
              |  SELECT event_type,
@@ -891,7 +892,7 @@ object Preference {
     // noise a pairwise ranking model cannot represent. Bounded arm
     // domain throughout (edges = arms^2, triads = arms^3).
     QueryDef("q354_duel_transitivity", (s, d) =>
-      duelTransitivity(t(s, d, "events")).orderBy("x", "y", "z"),
+      duelTransitivity(t(s, d, "events")).reportSorted("x", "y", "z"),
       Some(s"""WITH $sqlDuelsCte,
              |m AS (
              |  SELECT least(winner, loser) AS arm_a,
@@ -923,7 +924,7 @@ object Preference {
     // single partial-agg shape as q345; the length rides the argmax
     // struct as a trailing field, so q345 is a pure projection.
     QueryDef("q362_dpo_length_delta", (s, d) =>
-      dpoPairLengths(t(s, d, "events")).orderBy("k"),
+      dpoPairLengths(t(s, d, "events")).reportSorted("k"),
       Some("""WITH e AS (
              |  SELECT event_id, event_type, value,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
@@ -956,7 +957,7 @@ object Preference {
     // statistic applied to pair membership). Exact int64 moments, one
     // bounded arm-domain aggregation; degenerate arms emit NULL.
     QueryDef("q363_dpo_length_bias", (s, d) =>
-      dpoLengthBias(t(s, d, "events")).orderBy("arm"),
+      dpoLengthBias(t(s, d, "events")).reportSorted("arm"),
       Some("""WITH e AS (
              |  SELECT event_id, event_type, value,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k,
@@ -1011,7 +1012,7 @@ object Preference {
     // extraction and eval.
     QueryDef("q364_winrate_slices", (s, d) =>
       winrateSlices(t(s, d, "events"))
-        .orderBy("slice", "arm_a", "arm_b", "look"),
+        .reportSorted("slice", "arm_a", "arm_b", "look"),
       Some(s"""WITH $sqlDuelsCte,
              |dd AS MATERIALIZED (
              |  SELECT CAST(k % 8 AS INTEGER) AS slice,
@@ -1048,7 +1049,7 @@ object Preference {
     // keep-the-majority-label op of consensus distillation. Exact counts,
     // deterministic tie-break, no per-prompt sort.
     QueryDef("q355_self_consistency", (s, d) =>
-      selfConsistency(t(s, d, "events")).orderBy("k"),
+      selfConsistency(t(s, d, "events")).reportSorted("k"),
       Some("""WITH e AS (
              |  SELECT event_type,
              |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INTEGER) AS k

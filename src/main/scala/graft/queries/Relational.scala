@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -310,7 +311,7 @@ object Relational {
           (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
           (sum(rate2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag", "l_linestatus"),
+        .reportSorted("l_returnflag", "l_linestatus"),
       Some(s"""SELECT l_returnflag, l_linestatus,
              |  sum(l_quantity) AS sum_qty,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base,
@@ -520,7 +521,7 @@ object Relational {
           ((col("sxq") - col("sx") * col("sq") / col("n")) /
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
               sqrt(col("sqq") - col("sq") * col("sq") / col("n")))).as("corr_price_qty"))
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
     },
       Some("""WITH m AS (
              |  SELECT l_returnflag, count(*) AS n,
@@ -647,7 +648,7 @@ object Relational {
         .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
-        .orderBy("status", "priority"),
+        .reportSorted("status", "priority"),
       Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
              |  coalesce(o_orderpriority, 'ALL') AS priority,
              |  count(*) AS n,
@@ -689,7 +690,7 @@ object Relational {
         .groupBy(month(col("o_orderdate")).cast("long").as("omonth"))
         .agg(count(lit(1)).as("n_items"),
           sumOut(netExpr).as("revenue"))
-        .orderBy("omonth")
+        .reportSorted("omonth")
     },
       Some(s"""SELECT month(o_orderdate) AS omonth, count(*) AS n_items,
              |  ${sqlSumOut(sqlNet)} AS revenue
@@ -859,7 +860,7 @@ object Relational {
           (col("num").cast("double") / lit(1e6) - col("true_rows").cast("double"))
             / col("true_rows").cast("double"))
         .select("range_id", "lo", "hi", "est_rows", "true_rows", "rel_err")
-        .orderBy("range_id")
+        .reportSorted("range_id")
     },
       Some {
         val vals = selRanges.map { case (id, lo, hi) =>
@@ -1143,7 +1144,7 @@ object Relational {
           sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
             .as("qty"),
           grouping_id().as("gid"))
-        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"),
+        .reportSorted(col("gid"), col("l_returnflag"), col("l_linestatus"),
           col("o_orderpriority"))
         .select(col("l_returnflag").as("flag"),
           col("l_linestatus").as("status"),
@@ -1269,7 +1270,7 @@ object Relational {
           sum(when(col("is_weekend"), col("price"))
             .otherwise(expr("CAST(0 AS DECIMAL(12,2))")))
             .cast("double").as("weekend_revenue"))
-        .orderBy("y", "q", "m"),
+        .reportSorted("y", "q", "m"),
       Some("""WITH cal AS MATERIALIZED (
              |  SELECT lo + g.d AS d_idx,
              |    DATE '1970-01-01' + CAST(lo + g.d AS INTEGER) AS dt

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -755,10 +756,13 @@ object Similarity {
         .materialize
       val hopSeen = scored.select("q_id", "n_id", "cos_sim")
       seen = if (seen == null) hopSeen else seen.union(hopSeen)
-      val prev = beam
+      // only the ENTRY beam is a materialized entry; every later beam is
+      // a lazy rn <= ef cut over retained scored blocks (the seen set),
+      // so releasing it would be a no-op (ADVICE r15) — release exactly
+      // the entry beam, once its successor frame is materialized
+      if (seen eq hopSeen) beam.release()
       beam = scored.filter(col("rn") <= ef)
         .select("q_id", "n_id", "cos_sim")
-      prev.release() // superseded entry beam — see Materialize.release
     }
     val wk = Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("n_id"))
     seen.distinct()
@@ -1693,7 +1697,7 @@ object Similarity {
     // the pure-noise sf0.001 corpus vs the 0.25 scanned-fraction floor;
     // ~1.0 top-1 on planted semantic structure — see the routing spec).
     QueryDef("q49_knn_ivf", (s, d) =>
-      ivfTopK(t(s, d, "embeddings"), queryFilter).orderBy("q_id", "rank"),
+      ivfTopK(t(s, d, "embeddings"), queryFilter).reportSorted("q_id", "rank"),
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
              |n AS (
@@ -1832,7 +1836,7 @@ object Similarity {
       val idx = ivfExtend(
         ivfIndex(emb.filter(col("vec_id") % 3 =!= 0)),
         emb.filter(col("vec_id") % 3 === 0))
-      ivfQuery(idx, emb.filter(queryFilter)).orderBy("q_id", "rank")
+      ivfQuery(idx, emb.filter(queryFilter)).reportSorted("q_id", "rank")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -1889,7 +1893,7 @@ object Similarity {
       val idx = idx0.copy(assigned = idx0.assigned.materialize)
       val live = ivfDelete(idx, emb.filter(col("vec_id") % 2 === 0)
         .select("vec_id"))
-      ivfCompactionReport(idx, live).orderBy("cell")
+      ivfCompactionReport(idx, live).reportSorted("cell")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -2222,7 +2226,7 @@ object Similarity {
           (col("n_vectors").cast("double") / col("total")).as("share"),
           expr("sum_d2 div n_vectors").as("avg_d2"),
           col("radius_d2"))
-        .orderBy("cell")
+        .reportSorted("cell")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -2362,7 +2366,7 @@ object Similarity {
         .select(col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -2467,7 +2471,7 @@ object Similarity {
       }
       arm("broad", col("label") % 2 === 0)
         .unionAll(arm("narrow", col("label") === 3))
-        .orderBy("sel", "q_id")
+        .reportSorted("sel", "q_id")
     },
       Some {
         def armSql(tag: String, predSql: String) =
@@ -2620,7 +2624,7 @@ object Similarity {
             .as("fill"),
           (coalesce(col("sum_hits"), lit(0L)).cast("double")
             / col("sum_brute").cast("double")).as("recall"))
-        .orderBy("t")
+        .reportSorted("t")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -2787,7 +2791,7 @@ object Similarity {
           coalesce(lit(1.0) / col("first_rel_rank"), lit(0.0)))
         .select("q_id", "q_label", "n_relevant", "rel_at_10", "p_at_10",
           "first_rel_rank", "mrr")
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
@@ -2995,7 +2999,7 @@ object Similarity {
         .select(col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |${sqlBeamCtes(3, 24)},
@@ -3068,7 +3072,7 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double")
             / col("n_brute").cast("double")).as("recall"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |${sqlBeamCtes(3, 24)},
@@ -3164,7 +3168,7 @@ object Similarity {
         .withColumn("route", lit("graph"))
         .unionAll(brute.withColumn("route", lit("exact_fallback")))
         .select("q_id", "route", "rank", "n_id", "cos_sim")
-        .orderBy("q_id", "rank")
+        .reportSorted("q_id", "rank")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |${sqlBeamCtes(3, 24)},
@@ -3266,7 +3270,7 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double")
             / col("n_brute").cast("double")).as("recall"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -3387,7 +3391,7 @@ object Similarity {
           count_distinct(col("source")).as("n_sources"))
         .withColumn("cell_docs", sum("n_docs").over(cellTot))
         .withColumn("share", col("n_docs").cast("double") / col("cell_docs"))
-        .orderBy("cell", "lang")
+        .reportSorted("cell", "lang")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -3491,7 +3495,7 @@ object Similarity {
         .select(col("sub"), col("code"), col("n_assigned"),
           expr("sd div n_assigned").as("avg_d2"),
           array_join(transform(col("cv"), x => x.cast("string")), ",").as("cv_csv"))
-        .orderBy("sub", "code")
+        .reportSorted("sub", "code")
     },
       Some(s"""WITH $sqlPqCtes
              |SELECT e.sub, e.code, CAST(count(*) AS BIGINT) AS n_assigned,
@@ -3510,7 +3514,7 @@ object Similarity {
     // hash-match. Anchor set bounded by contract, like q48/q49.
     QueryDef("q151_pq_adc", (s, d) => {
       val (cb, subs) = pqCodebook(t(s, d, "embeddings"))
-      pqAdcTopK(s, cb, subs).orderBy("q_id", "rank")
+      pqAdcTopK(s, cb, subs).reportSorted("q_id", "rank")
     },
       Some(s"""WITH $sqlPqCtes,
              |$sqlAdcCtes
@@ -3553,7 +3557,7 @@ object Similarity {
         .select(col("q_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10).as("recall_at_10"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH $sqlPqCtes,
              |$sqlAdcCtes,
@@ -3678,7 +3682,7 @@ object Similarity {
         .select(col("q_id"), col("rank").cast("int").as("rank"), col("doc_id"),
           col("rrf_score"), col("lex_rank").cast("int").as("lex_rank"),
           col("sem_rank").cast("int").as("sem_rank"))
-        .orderBy("q_id", "rank")
+        .reportSorted("q_id", "rank")
     },
       Some(s"""WITH d AS MATERIALIZED (
              |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
@@ -3753,7 +3757,7 @@ object Similarity {
     // q48 contract. Truncation after 3 hops is deliberate: 0.85³ of the
     // mass is still in flight and that tail is the same on both engines.
     QueryDef("q161_ppr", (s, d) =>
-      pprTopK(t(s, d, "embeddings")).orderBy("q_id", "rank"),
+      pprTopK(t(s, d, "embeddings")).reportSorted("q_id", "rank"),
       Some {
         def iter(prev: String, f: String, next: String) =
           s"""$f AS MATERIALIZED (
@@ -3851,7 +3855,7 @@ object Similarity {
         selected = selected.union(next).materialize
         prevSel.release() // superseded pick set — see Materialize.release
       }
-      selected.orderBy("q_id", "pick_order")
+      selected.reportSorted("q_id", "pick_order")
     },
       Some {
         val steps = (2 to 5).map { k =>
@@ -4069,7 +4073,7 @@ object Similarity {
       }
       perHop.result().reduce(_.unionAll(_))
         .select(col("seed"), col("hop"), col("frontier_n"))
-        .orderBy("seed", "hop")
+        .reportSorted("seed", "hop")
     },
       Some {
         val hops = (1 to 3).map { h =>
@@ -4134,7 +4138,7 @@ object Similarity {
           max(when(col("rn") === expr("(3 * (n + 1)) div 4"), col("qval")))
             .as("p75_q"))
         .withColumn("iqr_q", col("p75_q") - col("p25_q"))
-        .orderBy("dim")
+        .reportSorted("dim")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -4212,7 +4216,7 @@ object Similarity {
         .select(col("label"), col("predicted"), col("n"), col("label_total"),
           (col("correct").cast("double") / col("label_total").cast("double"))
             .as("label_accuracy"))
-        .orderBy("label", "predicted")
+        .reportSorted("label", "predicted")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
@@ -4285,7 +4289,7 @@ object Similarity {
           col("n"), col("n_correct"),
           (col("n_correct").cast("double") / col("n").cast("double"))
             .as("accuracy"))
-        .orderBy("bucket")
+        .reportSorted("bucket")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
@@ -4378,7 +4382,7 @@ object Similarity {
           col("nn").as("n_neg"),
           expr("CAST(r2 - np * (np + 1) AS DOUBLE) " +
             "/ CAST(2 * np * nn AS DOUBLE)").as("auc"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
@@ -4458,7 +4462,7 @@ object Similarity {
           coalesce(col("overlap10"), lit(0L)))
         .withColumn("recall10",
           col("overlap10").cast("double") / lit(10.0))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -4640,7 +4644,7 @@ object Similarity {
         .select(col("true_label"), col("pred_label"), col("n"),
           (col("n").cast("double") / col("n_true").cast("double"))
             .as("share_of_true"))
-        .orderBy("true_label", "pred_label")
+        .reportSorted("true_label", "pred_label")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |lb AS MATERIALIZED (SELECT vec_id, label FROM embeddings),
@@ -4901,7 +4905,7 @@ object Similarity {
         .select(col("in_deg"), col("n_nodes"),
           (col("n_nodes").cast("double") / col("n_total").cast("double"))
             .as("share"))
-        .orderBy("in_deg")
+        .reportSorted("in_deg")
     },
       Some(s"""WITH ${sqlGraphCtes(12, 64, 2)},
              |ind AS MATERIALIZED (
@@ -5054,7 +5058,7 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
             .as("recall_at_10"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -168,12 +169,15 @@ object Sketches {
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          count(lit(1)).as("exact_users"),
+          // count(user_id), not count(*): a NULL user_id group is one
+          // pair row but NOT a distinct user — COUNT(DISTINCT) and the
+          // HLL both skip NULLs, so the exact arm must too (ADVICE r15)
+          count(col("user_id")).as("exact_users"),
           sum("cnt").as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx_users") - col("exact_users")).cast("double") <=
             lit(0.05) * col("exact_users").cast("double")).as("within_bounds"))
-        .orderBy("event_type"),
+        .reportSorted("event_type"),
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
              |  CAST(count(*) AS BIGINT) AS n, true AS within_bounds
@@ -200,7 +204,7 @@ object Sketches {
       li.join(broadcast(ap), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), checks: _*)
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
     },
       Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
              |  true AS p50_ok, true AS p95_ok, true AS p99_ok
@@ -368,7 +372,7 @@ object Sketches {
     // sources², a catalog-bounded rollup, never corpus². SketchesSpec
     // bounds the estimation error against exact counts.
     QueryDef("q157_kmv_overlap", (s, d) =>
-      kmvOverlap(t(s, d, "documents")).orderBy("source_a", "source_b"),
+      kmvOverlap(t(s, d, "documents")).reportSorted("source_a", "source_b"),
       Some(s"""WITH hs AS MATERIALIZED (
              |  SELECT DISTINCT d.source, x.h
              |  FROM (${Dedup.sqlDocHashedShingles}) x
@@ -503,7 +507,7 @@ object Sketches {
           (col("med2").cast("double") / 2.0).as("median_price"),
           (col("mad4").cast("double") / 4.0).as("mad"),
           col("n_outliers"))
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
     },
       Some("""WITH c AS MATERIALIZED (
              |  SELECT l_returnflag AS flag,
@@ -607,7 +611,7 @@ object Sketches {
             col("exact_value").cast("double")).as("rel_err"),
           (lit(16L) * (col("est") - col("exact_value")) < col("exact_value"))
             .as("within_bound"))
-        .orderBy("l_returnflag", "pct")
+        .reportSorted("l_returnflag", "pct")
     },
       Some(s"""WITH v AS MATERIALIZED (
              |  SELECT l_returnflag AS flag,
@@ -664,7 +668,7 @@ object Sketches {
       graft.streaming.Streams.kmvSketches(t(s, d, "documents"))
         .select(col("source"), posexplode(col("ks")).as(Seq("i0", "h")))
         .select(col("source"), (col("i0") + 1).cast("int").as("i"), col("h"))
-        .orderBy("source", "i"),
+        .reportSorted("source", "i"),
       Some(s"""WITH hs AS MATERIALIZED (${Dedup.sqlDocHashedShingles}),
              |ds AS (SELECT DISTINCT d.source, hs.h
              |       FROM hs JOIN documents d USING (doc_id)),
@@ -733,7 +737,7 @@ object Sketches {
           col("est_merged"), col("est_direct"),
           (col("est_merged") === col("est_direct")).as("merge_exact"),
           col("n_cells"), (col("cells_eq") === col("n_cells")).as("cells_match"))
-        .orderBy("l_returnflag", "pct")
+        .reportSorted("l_returnflag", "pct")
     },
       Some(s"""WITH v AS MATERIALIZED (
              |  SELECT l_returnflag AS flag, l_linestatus AS ls,
@@ -847,7 +851,7 @@ object Sketches {
           col("exact_value"), (col("est") - col("exact_value")).as("abs_err"),
           (lit(16L) * (col("est") - col("exact_value")) <= col("exact_value"))
             .as("within_bound"))
-        .orderBy("event_type", "pct")
+        .reportSorted("event_type", "pct")
     },
       Some(s"""WITH e AS MATERIALIZED (
              |  SELECT event_id, user_id, event_type,
@@ -950,7 +954,7 @@ object Sketches {
           col("exact_value"),
           (lit(16L) * (col("est") - col("exact_value")) <= col("exact_value"))
             .as("within_bound"))
-        .orderBy("lang", "pct")
+        .reportSorted("lang", "pct")
     },
       Some(s"""WITH v AS MATERIALIZED (
              |  SELECT lang, CAST(n_chars AS BIGINT) AS c,
@@ -1127,7 +1131,7 @@ object Sketches {
             (col("na").cast("double") * col("nb").cast("double"))))
             .as("critical_5pct"))
         .withColumn("drift", col("ks_d") > col("critical_5pct"))
-        .orderBy("year_a")
+        .reportSorted("year_a")
     },
       Some(s"""WITH v AS MATERIALIZED (
              |  SELECT year(o_orderdate) AS yr,
@@ -1217,7 +1221,7 @@ object Sketches {
           (col("q42").cast("double") / 4.0).as("median_price"),
           (col("q43").cast("double") / 4.0).as("q3_price"),
           ((col("q43") - col("q41")).cast("double") / 4.0).as("iqr"))
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
     },
       Some {
         val q4Sql = (1 to 3).map { k =>
@@ -1266,7 +1270,7 @@ object Sketches {
         .select(col("flag"), explode(col("hist")).as("cell"))
         .select(col("flag"), col("cell._1").as("bucket"),
           col("cell._2").as("cnt"))
-        .orderBy("flag", "bucket"),
+        .reportSorted("flag", "bucket"),
       Some(s"""SELECT l_returnflag AS flag,
              |  CAST(${graft.functions.LogHist.sqlBucketOf(
                  "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")}
@@ -1836,7 +1840,7 @@ object Sketches {
           abs(col("kmv_est") - col("exact_users").cast("double"))
             / col("exact_users").cast("double"))
         .withColumn("within_bounds", col("rel_err") <= 0.4)
-        .orderBy("window_end_hr")
+        .reportSorted("window_end_hr")
     },
       Some(s"""WITH ev AS MATERIALIZED (
              |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr,

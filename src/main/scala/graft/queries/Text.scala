@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -99,6 +100,15 @@ object Text {
     val edges = edges0.join(deg, "u")
       .select(col("u"), col("v"), col("w"), col("wu"))
       .materialize
+    // r16: the iteration count is FIXED (no convergence test), so the
+    // eight updates chain LAZILY into ONE action — the q297 markov
+    // pattern. Per-iteration materialization bought nothing but eight
+    // scheduling barriers + localCheckpoint round-trips: each rank
+    // vector is consumed exactly once (by the next iteration), so the
+    // lazy chain executes every stage exactly once inside one AQE plan
+    // (guide §1.2 step 1 / §2.6 — the scheduler, not the data, was the
+    // cost). Arithmetic per iteration is unchanged (same int64 update),
+    // so ranks are bit-identical.
     var pr = deg.select(col("u").as("node"), lit(S).as("pr"))
     for (_ <- 1 to iters) {
       val acc = edges
@@ -106,13 +116,10 @@ object Text {
         .select(col("v").as("node"),
           expr("(pr div wu) * w + ((pr % wu) * w) div wu").as("c"))
         .groupBy("node").agg(sum("c").as("acc"))
-      val prev = pr
       pr = deg.select(col("u").as("node"))
         .join(acc, Seq("node"), "left")
         .select(col("node"),
           (lit(15L * S / 100L) + expr("(85 * coalesce(acc, 0L)) div 100")).as("pr"))
-        .materialize
-      prev.release() // superseded rank vector — see Materialize.release
     }
     pr.select(col("node").as("token"), col("pr"))
       .orderBy(col("pr").desc, col("token"))
@@ -1074,7 +1081,7 @@ object Text {
         .agg(max("rank").as("n_vocab"), max("cum").as("covered"), max("total").as("total"))
         .select(col("v"), col("n_vocab"), col("covered"), col("total"),
           (col("covered").cast("double") / col("total")).as("coverage"))
-        .orderBy("v")
+        .reportSorted("v")
     },
       Some("""WITH tf AS (
              |  SELECT token, CAST(count(*) AS BIGINT) AS tf
@@ -1172,7 +1179,7 @@ object Text {
         .filter(col("first_rk") <= col("checkpoint"))
         .groupBy("checkpoint")
         .agg(count(lit(1)).as("distinct_shingles"))
-        .orderBy("checkpoint")
+        .reportSorted("checkpoint")
     },
       Some("""WITH rk AS (
              |  SELECT text,
@@ -1363,7 +1370,7 @@ object Text {
           col("n_chars").cast("double") / col("n_subwords"))
         .select("lang", "n_words", "n_subwords", "n_chars", "fertility",
           "chars_per_subword")
-        .orderBy("lang")
+        .reportSorted("lang")
     },
       Some(s"""WITH ${sqlBpeCtes(6)},
              |seg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM s6),
