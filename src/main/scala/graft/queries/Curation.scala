@@ -302,7 +302,7 @@ object Curation {
         .withColumn("cum_docs", sum("n_docs").over(byB))
         .withColumn("cum_frac",
           col("cum_docs").cast("double") / sum("n_docs").over(all))
-        .orderBy("bucket_lo")
+        .reportSorted("bucket_lo")
     },
       Some("""WITH m AS (
              |  SELECT CASE WHEN len(string_split(text, ' ')) < 16 THEN 0
@@ -467,7 +467,7 @@ object Curation {
             .when(col("h1") =!= col("h2"), "modified")
             .otherwise("unchanged").as("status"))
         .groupBy("source", "status").agg(count(lit(1)).as("n"))
-        .orderBy("source", "status")
+        .reportSorted("source", "status")
     },
       Some("""WITH v1 AS (
              |  SELECT doc_id, source, md5(text) AS h1 FROM documents
@@ -706,7 +706,7 @@ object Curation {
           (sqrt(col("src_bytes").cast("double")) / col("z")).as("weight"),
           ((sqrt(col("src_bytes").cast("double")) / col("z")) *
             col("total_bytes") / col("src_bytes")).as("sample_mult"))
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some("""WITH bysrc AS MATERIALIZED (
              |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_bytes,
@@ -802,7 +802,7 @@ object Curation {
         .withColumn("rank", row_number().over(
           Window.partitionBy(Sampling.onePart(col("n_chars"))).orderBy(col("n_chars").desc, col("doc_id"))))
         .select("rank", "doc_id", "source", "n_chars", "src_rank")
-        .orderBy("rank")
+        .reportSorted("rank")
     },
       Some("""WITH q AS MATERIALIZED (
              |  SELECT doc_id, source, n_chars,
@@ -848,7 +848,7 @@ object Curation {
             "* sqrt(CAST(n_pass AS DOUBLE) * CAST(n - n_pass AS DOUBLE)) " +
             "/ sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) " +
             " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END").as("r_pb"))
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some(s"""WITH $sqlGateCtes,
              |c AS MATERIALIZED (

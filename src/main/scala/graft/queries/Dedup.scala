@@ -403,13 +403,20 @@ object Dedup {
     * are invariant under star compression; the driver gate enforces
     * equality by running this against the full-rebuild oracle). */
   def incrementalComponents(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val oldLabels = connectedComponents(
-      nearDupPairsOf(existing).select("doc_a", "doc_b"))._1
+    // r16 (guide §2.6): the existing-corpus components loop, the
+    // incoming-batch LSH pair set, and the cross-tier bridge pairs are
+    // three INDEPENDENT pipelines (disjoint input slices) — the first is
+    // a serial chain of per-round actions, so the other two materialize
+    // concurrently under its tail instead of waiting for it. The final
+    // closure consumes identical frames either way.
+    val Seq(oldLabels, batchEdges, bridgeEdges) = graft.Materialize.concurrently(
+      () => connectedComponents(
+        nearDupPairsOf(existing).select("doc_a", "doc_b"))._1,
+      () => nearDupPairsOf(incoming).select("doc_a", "doc_b").materialize,
+      () => crossPairs(existing, incoming)
+        .select(col("i_id").as("doc_a"), col("e_id").as("doc_b")).materialize)
     val starEdges = oldLabels.filter(col("node") =!= col("lbl"))
       .select(col("node").as("doc_a"), col("lbl").as("doc_b"))
-    val batchEdges = nearDupPairsOf(incoming).select("doc_a", "doc_b")
-    val bridgeEdges = crossPairs(existing, incoming)
-      .select(col("i_id").as("doc_a"), col("e_id").as("doc_b"))
     connectedComponents(starEdges.union(batchEdges).union(bridgeEdges))._1
   }
 
@@ -2791,7 +2798,7 @@ object Dedup {
             "(acc, i) -> acc * (CAST(1.0 AS DOUBLE) - p_band))"))
         .select(col("bands"), col("rows_per_band"), col("sim"),
           col("p_band"), col("p_detect"))
-        .orderBy("bands", "sim")
+        .reportSorted("bands", "sim")
     },
       Some("""WITH cfg(bands, rows_per_band) AS (
              |  VALUES (64, 2), (32, 4), (16, 8), (8, 16), (4, 32), (2, 64)),

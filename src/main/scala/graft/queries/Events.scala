@@ -562,7 +562,7 @@ object Events {
         .groupBy("event_type")
         .agg(count(col("k")).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))
-        .orderBy("event_type"),
+        .reportSorted("event_type"),
       Some("""SELECT event_type, count(k) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
              |  min(k) AS min_k, max(k) AS max_k
              |FROM (SELECT event_type,
@@ -585,7 +585,7 @@ object Events {
     // calendar time, not data volume: a century of hours is <1M rows per
     // type. The per-type LOCF window sorts spine rows only, never events.
     QueryDef("q87_gap_fill", (s, d) =>
-      gapFillHourly(t(s, d, "events")).orderBy("event_type", "h"),
+      gapFillHourly(t(s, d, "events")).reportSorted("event_type", "h"),
       Some("""WITH ev AS (
              |  SELECT event_type,
              |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) // 3600000000 AS h_idx,
@@ -818,7 +818,7 @@ object Events {
           coalesce(col("share") - lag("share", 1).over(wType), lit(0.0)))
         .withColumn("alert", abs(col("drift")) > 0.02)
         .select("day", "event_type", "n", "day_total", "share", "drift", "alert")
-        .orderBy("day", "event_type")
+        .reportSorted("day", "event_type")
     },
       Some("""WITH daily AS (
              |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
@@ -1209,7 +1209,7 @@ object Events {
     // on both engines. The textbook decomposition that makes regression
     // a one-pass distributed aggregate.
     QueryDef("q171_trend_fit", (s, d) =>
-      trendFit(t(s, d, "events")).orderBy("event_type"),
+      trendFit(t(s, d, "events")).reportSorted("event_type"),
       Some("""WITH e AS MATERIALIZED (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -1310,7 +1310,7 @@ object Events {
     // even-count median is (min+max)/2 of the two middle slopes — no
     // transcendentals, no order-dependent double sums.
     QueryDef("q177_theilsen_trend", (s, d) =>
-      theilSen(t(s, d, "events")).orderBy("event_type"),
+      theilSen(t(s, d, "events")).reportSorted("event_type"),
       Some("""WITH daily AS MATERIALIZED (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -1362,7 +1362,7 @@ object Events {
     // no ordered double accumulation whose rounding could diverge
     // between engines' window implementations.
     QueryDef("q179_cusum_changepoints", (s, d) =>
-      cusum(t(s, d, "events")).orderBy("event_type", "day"),
+      cusum(t(s, d, "events")).reportSorted("event_type", "day"),
       Some("""WITH daily AS MATERIALIZED (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -1415,7 +1415,7 @@ object Events {
     // replaced), and the exclusive cross-chunk max joins back broadcast.
     // All exact int64 microseconds.
     QueryDef("q189_lateness_report", (s, d) =>
-      latenessReport(t(s, d, "events")).orderBy("event_type"),
+      latenessReport(t(s, d, "events")).reportSorted("event_type"),
       Some(s"""WITH ev AS MATERIALIZED (
              |  SELECT event_id, event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
@@ -1574,7 +1574,7 @@ object Events {
     // both engines run the identical IEEE op sequence. Cost at 100 TB:
     // the one corpus aggregation; everything after is series-length work.
     QueryDef("q198_acf", (s, d) =>
-      acfDaily(t(s, d, "events")).orderBy("event_type", "lag_k"),
+      acfDaily(t(s, d, "events")).reportSorted("event_type", "lag_k"),
       Some {
         val lags = (1 to 7).map(l => s"lag(x, $l) OVER w AS y$l").mkString(",\n    ")
         val arms = (1 to 7).map(l =>
@@ -1616,7 +1616,7 @@ object Events {
     // so the flag is bit-stable; zero-variance profiles yield NULL z
     // and never flag. Cost: one corpus agg + distribution-table joins.
     QueryDef("q199_seasonal_anomaly", (s, d) =>
-      seasonalAnomalyDaily(t(s, d, "events")).orderBy("event_type", "d_idx"),
+      seasonalAnomalyDaily(t(s, d, "events")).reportSorted("event_type", "d_idx"),
       Some(s"""WITH $sqlDaily,
              |dd AS MATERIALIZED (
              |  SELECT event_type, d_idx, (d_idx + 3) % 7 AS dow, x FROM daily),
@@ -1653,7 +1653,7 @@ object Events {
     // One window pass over the distribution table; rows without 16 days
     // of history are withheld rather than emitted half-warmed.
     QueryDef("q200_ewma", (s, d) =>
-      ewmaDaily(t(s, d, "events")).orderBy("event_type", "d_idx"),
+      ewmaDaily(t(s, d, "events")).reportSorted("event_type", "d_idx"),
       Some {
         val terms = (0 to 15).map { k =>
           val src = if (k == 0) "x" else s"lag(x, $k) OVER w"
@@ -1726,7 +1726,7 @@ object Events {
           when(col("s1") > 0,
             (col("s7") * col("n1")).cast("double")
               / (col("s1") * col("n7")).cast("double")).as("mase"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       Some(s"""WITH $sqlDaily,
              |lagged AS MATERIALIZED (
@@ -1909,7 +1909,7 @@ object Events {
           varS.as("var_s"), z.as("z"),
           when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
             .otherwise("none").as("trend"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       Some(s"""WITH $sqlDaily,
              |sp AS MATERIALIZED (
@@ -1982,7 +1982,7 @@ object Events {
         .select(col("event_type"), col("d_idx"), col("dow"), col("x"),
           col("trend"), col("seasonal"),
           (col("detr") - col("seasonal")).as("remainder"))
-        .orderBy("event_type", "d_idx")
+        .reportSorted("event_type", "d_idx")
     },
       Some(s"""WITH $sqlDaily,
              |tr AS MATERIALIZED (
@@ -2038,7 +2038,7 @@ object Events {
         when(dxv > 0.0 && dyv > 0.0,
           (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
             / (sqrt(dxv) * sqrt(dyv))).as("ccf"))
-        .orderBy("lag_days")
+        .reportSorted("lag_days")
     },
       Some(s"""WITH $sqlDaily,
              |dx AS (SELECT d_idx, x FROM daily WHERE event_type = 'click'),
@@ -2086,7 +2086,7 @@ object Events {
         .withColumn("is_outlier",
           abs(col("x") - col("med7")) > lit(3L) * col("mad7"))
         .select("event_type", "d_idx", "x", "med7", "mad7", "is_outlier")
-        .orderBy("event_type", "d_idx")
+        .reportSorted("event_type", "d_idx")
     },
       Some(s"""WITH $sqlDaily,
              |win AS MATERIALIZED (
@@ -2635,7 +2635,7 @@ object Events {
           expr("element_at(ys, n)").as("a3"))
         .withColumn("mae", expr(
           "(abs(f1 - a1) + abs(f2 - a2) + abs(f3 - a3)) / 3.0d"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       // NOTE: the fold is mirrored with a RECURSIVE CTE, not list_reduce —
       // DuckDB 1.0's list_reduce gives a struct lambda inconsistent acc
@@ -2788,7 +2788,7 @@ object Events {
           "CAST(ceil(2.0d * CAST(n_per_arm AS DOUBLE) / avg_dau) AS BIGINT)"))
         .select(col("p_base"), col("mde"), col("power_pct"),
           col("n_per_arm"), col("avg_dau"), col("days_needed"))
-        .orderBy("p_base", "mde", "power_pct")
+        .reportSorted("p_base", "mde", "power_pct")
     },
       Some("""WITH ud AS MATERIALIZED (
              |  SELECT DISTINCT user_id,
@@ -2879,7 +2879,7 @@ object Events {
         .select(col("k"), col("look_day"), col("n0"), col("c0"), col("n1"),
           col("c1"), col("z"), col("boundary"), col("crossed"),
           col("stopped_at"))
-        .orderBy("k")
+        .reportSorted("k")
     },
       Some(s"""WITH ev AS MATERIALIZED (
              |  SELECT user_id, event_type,
@@ -2972,7 +2972,7 @@ object Events {
           (col("fh") + col("conf_q")).as("hi"), col("actual"))
         .withColumn("covered",
           col("actual") >= col("lo") && col("actual") <= col("hi"))
-        .orderBy("event_type", "h")
+        .reportSorted("event_type", "h")
     },
       Some(s"""WITH RECURSIVE $sqlDaily,
              |series AS MATERIALIZED (
@@ -3320,7 +3320,7 @@ object Events {
             .as("mean_adjusted"),
           col("theta"),
           ((covXY / varX) * (covXY / varY)).as("var_reduction"))
-        .orderBy("arm")
+        .reportSorted("arm")
     },
       Some {
         val varX = "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
@@ -3495,7 +3495,7 @@ object Events {
     QueryDef("q308_cusum_ingest_face", (s, d) =>
       graft.streaming.Streams.cusumIngest(t(s, d, "events"))
         .toDF()
-        .orderBy("event_type", "day"),
+        .reportSorted("event_type", "day"),
       Some("""WITH daily AS MATERIALIZED (
              |  SELECT event_type,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
@@ -3549,7 +3549,7 @@ object Events {
     QueryDef("q309_hampel_ingest_face", (s, d) =>
       graft.streaming.Streams.hampelIngest(t(s, d, "events"))
         .toDF()
-        .orderBy("event_type", "d_idx"),
+        .reportSorted("event_type", "d_idx"),
       Some(s"""WITH $sqlDaily,
              |win AS MATERIALIZED (
              |  SELECT event_type, d_idx, x, list(x) OVER w AS win,

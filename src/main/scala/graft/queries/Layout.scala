@@ -151,7 +151,7 @@ object Layout {
     // function a real z-order writer shuffles by — so NO global sort
     // appears anywhere. Exact integers until one final double divide.
     QueryDef("q153_zorder_layout", (s, d) =>
-      zorderReport(t(s, d, "lineitem")).orderBy("layout"),
+      zorderReport(t(s, d, "lineitem")).reportSorted("layout"),
       Some(s"""WITH mx AS (
              |  SELECT max(l_partkey) AS maxpk, max(l_suppkey) AS maxsk
              |  FROM lineitem),
@@ -202,7 +202,7 @@ object Layout {
         .withColumn("cum_before", coalesce(sum("file_bytes").over(w), lit(0L)))
         .withColumn("bin", expr("cum_before div 32768L"))
         .select("source", "lang", "n_docs", "file_bytes", "bin")
-        .orderBy("source", "lang")
+        .reportSorted("source", "lang")
     },
       Some("""WITH files AS (
              |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
@@ -733,7 +733,7 @@ object Layout {
         .select(col("shard_before"), col("shard_after"), col("n"),
           (col("shard_before") =!= col("shard_after")).as("moved"),
           (col("n").cast("double") / col("n_total").cast("double")).as("frac"))
-        .orderBy("shard_before", "shard_after")
+        .reportSorted("shard_before", "shard_after")
     },
       Some {
         def sqlShard(n: Int, as: String) =
@@ -767,7 +767,7 @@ object Layout {
     // the dynamic-padding layout table. Distribution-bounded windows
     // (the q96 class), then a 4-row rollup.
     QueryDef("q356_length_buckets", (s, d) =>
-      lengthBuckets(t(s, d, "documents")).orderBy("bucket"),
+      lengthBuckets(t(s, d, "documents")).reportSorted("bucket"),
       Some("""WITH d AS (
              |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
              |  FROM documents),
@@ -803,7 +803,7 @@ object Layout {
     // toward the longest bucket's token mass (capped) — the
     // long-context oversampling plan. Bit-length buckets, no float log.
     QueryDef("q358_length_upsample", (s, d) =>
-      lengthUpsample(t(s, d, "documents")).orderBy("bucket"),
+      lengthUpsample(t(s, d, "documents")).reportSorted("bucket"),
       Some("""WITH d AS (
              |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
              |  FROM documents),

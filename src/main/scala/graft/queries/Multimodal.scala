@@ -549,7 +549,7 @@ object Multimodal {
     // the df DISTRIBUTION (one map-combined agg), never the pair join;
     // the cap sweep rides the tiny df table (the q280 one-pass trick).
     QueryDef("q360_phash_block_load", (s, d) =>
-      phashBlockLoad(t(s, d, "documents")).orderBy("blk", "cap"),
+      phashBlockLoad(t(s, d, "documents")).reportSorted("blk", "cap"),
       Some(s"""WITH $sqlPhashSigCtes,
              |blocks AS MATERIALIZED (
              |  SELECT doc_id, b.blk,

@@ -581,7 +581,7 @@ object Preference {
     // with the n_later_wins column auditing recency bias in the
     // comparison derivation (calibrated ≈ n/2).
     QueryDef("q342_pref_matrix", (s, d) =>
-      duelMatrix(t(s, d, "events")).orderBy("arm_a", "arm_b"),
+      duelMatrix(t(s, d, "events")).reportSorted("arm_a", "arm_b"),
       Some(s"""WITH $sqlDuelsCte
              |SELECT least(winner, loser) AS arm_a,
              |  greatest(winner, loser) AS arm_b,
@@ -599,7 +599,7 @@ object Preference {
     // deliberately absent.
     QueryDef("q343_pref_copeland", (s, d) =>
       copelandRanking(t(s, d, "events"))
-        .orderBy(col("copeland2").desc, col("borda").desc, col("arm")),
+        .reportSorted(col("copeland2").desc, col("borda").desc, col("arm")),
       Some(s"""WITH $sqlDuelsCte,
              |m AS (
              |  SELECT least(winner, loser) AS arm_a,

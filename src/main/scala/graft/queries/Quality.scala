@@ -363,7 +363,7 @@ object Quality {
           (col("n").cast("double") / col("n_total").cast("double")).as("frac"),
           col("expected_frac"),
           (diff * diff / e).as("chi2_part"))
-        .orderBy("digit")
+        .reportSorted("digit")
     },
       Some {
         val cases = benfordP
@@ -487,7 +487,7 @@ object Quality {
           expr("(hwm_us - last_us) div 3600000000").as("stale_hours"),
           ((col("hwm_us") - col("last_us")) > 24L * 3600000000L)
             .as("is_stale"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       Some("""WITH e AS MATERIALIZED (
              |  SELECT event_type,
@@ -697,7 +697,7 @@ object Quality {
           when(col("num") > 0,
             col("m.diff").cast("double") / col("num").cast("double"))
             .as("top_share"))
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some(s"""WITH cell AS MATERIALIZED (
              |  SELECT source, len(string_split(text, ' ')) // 16 AS b,

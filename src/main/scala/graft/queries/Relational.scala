@@ -103,7 +103,7 @@ object Relational {
 
     // ---- Scan (full table) — ref Scan.java:19-139 -------------------------
     QueryDef("q01_scan",
-      (s, d) => t(s, d, "nation").orderBy("n_nationkey"),
+      (s, d) => t(s, d, "nation").reportSorted("n_nationkey"),
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
     // ---- Filter + Project (sigma + pi) — ref Select.java, Project.java ----
@@ -230,7 +230,7 @@ object Relational {
       val n2 = t(s, d, "nation").select(col("n_nationkey").as("k2"), col("n_name").as("nation_b"))
       n1.join(n2, col("k1") < col("k2"))
         .select("nation_a", "nation_b")
-        .orderBy("nation_a", "nation_b")
+        .reportSorted("nation_a", "nation_b")
     },
       Some("""SELECT n1.n_name AS nation_a, n2.n_name AS nation_b
              |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
@@ -268,7 +268,7 @@ object Relational {
         .groupBy(col("l_returnflag"))
         // l_quantity values are whole numbers: double sums are exact
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty"))
-        .orderBy("l_returnflag")
+        .reportSorted("l_returnflag")
     },
       Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS qty
              |FROM lineitem JOIN orders
@@ -337,7 +337,7 @@ object Relational {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("o_orderstatus", "o_orderkey", "o_totalprice")
-        .orderBy("o_orderstatus")
+        .reportSorted("o_orderstatus")
     },
       Some("""SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
              |  SELECT o_orderstatus, o_orderkey, o_totalprice,
@@ -350,7 +350,7 @@ object Relational {
     QueryDef("q13_distinct",
       (s, d) => t(s, d, "lineitem")
         .select("l_returnflag", "l_linestatus").distinct()
-        .orderBy("l_returnflag", "l_linestatus"),
+        .reportSorted("l_returnflag", "l_linestatus"),
       Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
@@ -379,7 +379,7 @@ object Relational {
     QueryDef("q16_union", (s, d) => {
       val c = t(s, d, "customer").select(col("c_nationkey").as("nk"))
       val su = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
-      c.union(su).distinct().orderBy("nk")
+      c.union(su).distinct().reportSorted("nk")
     },
       Some("""SELECT c_nationkey AS nk FROM customer
              |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin)),
@@ -395,7 +395,7 @@ object Relational {
     QueryDef("q18_except", (s, d) => {
       val nat = t(s, d, "nation").select(col("n_nationkey").as("nk"))
       val su = t(s, d, "supplier").filter(col("s_acctbal") > 4000).select(col("s_nationkey").as("nk"))
-      nat.except(su).orderBy("nk")
+      nat.except(su).reportSorted("nk")
     },
       Some("""SELECT n_nationkey AS nk FROM nation
              |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 4000
@@ -631,7 +631,7 @@ object Relational {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(sum(dec2(col("o_totalprice"))).cast("double"))
         .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
-        .orderBy("o_orderpriority"),
+        .reportSorted("o_orderpriority"),
       Some("""SELECT o_orderpriority,
              |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_f,
              |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE) AS total_o,
@@ -664,7 +664,7 @@ object Relational {
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("status"),
           col("n"), col("qty"))
-        .orderBy("flag", "status"),
+        .reportSorted("flag", "status"),
       Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
              |  coalesce(l_linestatus, 'ALL') AS status,
              |  count(*) AS n, sum(l_quantity) AS qty
@@ -1003,7 +1003,7 @@ object Relational {
             .cast("double")
             / (col("n_customers") * col("total_cents")).cast("double"))
             .as("gini"))
-        .orderBy("c_mktsegment")
+        .reportSorted("c_mktsegment")
     },
       Some("""WITH spend AS MATERIALIZED (
              |  SELECT o_custkey,
@@ -1077,11 +1077,15 @@ object Relational {
           (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
             / (sqrt(da) * sqrt(db)))
       }
-      val out = pairs.map { case (a, b) =>
-        m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
-          col("n"), r(a, b).as("r"))
-      }
-      out.reduce(_.unionAll(_)).orderBy("pair")
+      // r16: the 6 pair rows are one Project + explode over the 1-row
+      // materialized moment table instead of a 6-branch union (6 scans
+      // of the same blocks + a range-sampled sort); values identical.
+      m.select(explode(array(pairs.map { case (a, b) =>
+          struct(lit(s"${names(a)}_${names(b)}").as("pair"),
+            col("n").as("n"), r(a, b).as("r")) }: _*)).as("x"))
+        .select(col("x.pair").as("pair"), col("x.n").as("n"),
+          col("x.r").as("r"))
+        .reportSorted("pair")
     },
       Some {
         val cols = Seq("v1", "v2", "v3", "v4")
@@ -1226,7 +1230,7 @@ object Relational {
     // quarter/last_day exercise the date-part surface both engines
     // define identically.
     QueryDef("q231_calendar_dim", (s, d) =>
-      calendarDim(s, d).orderBy("d_idx"),
+      calendarDim(s, d).reportSorted("d_idx"),
       Some("""WITH b AS (
              |  SELECT
              |    min(epoch_us(date_trunc('day', CAST(o_orderdate AS TIMESTAMP)))
@@ -1335,7 +1339,7 @@ object Relational {
       agg.join(meta, Seq("seg"), "left")
         .select(col("seg"), col("n"), col("n_bal"), col("sum_bal"),
           col("rare_max"), col("null_bal_nations"), col("tier"))
-        .orderBy(col("seg").asc_nulls_first)
+        .reportSorted(col("seg").asc_nulls_first)
     },
       Some("""WITH c AS MATERIALIZED (
              |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
@@ -1401,7 +1405,7 @@ object Relational {
           col("outer_rows"), col("outer_toks"), col("outer_docs"),
           col("inner_rows"), col("inner_docs"),
           (col("outer_docs") - col("inner_docs")).as("docs_lost_by_inner"))
-        .orderBy("lang")
+        .reportSorted("lang")
     },
       Some("""WITH b AS MATERIALIZED (
              |  SELECT doc_id, lang,
@@ -1449,7 +1453,7 @@ object Relational {
         .unpivot(Array(col("o_orderpriority")),
           Array(col("F"), col("O"), col("P")), "status", "total")
         .filter(col("total").isNotNull)
-        .orderBy("o_orderpriority", "status"),
+        .reportSorted("o_orderpriority", "status"),
       Some("""SELECT o_orderpriority, o_orderstatus AS status,
              |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
              |    AS total
@@ -1752,7 +1756,7 @@ object Relational {
           "GROUPBY customer.c_mktsegment",
         Map("customer" -> t(s, d, "customer"), "orders" -> t(s, d, "orders")))
         .toDF("c_mktsegment", "n_orders", "max_price", "min_orderkey")
-        .orderBy("c_mktsegment"),
+        .reportSorted("c_mktsegment"),
       Some("""SELECT c_mktsegment,
              |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
              |  max(o_totalprice) AS max_price,
@@ -1871,9 +1875,13 @@ object Relational {
         (mm("n") * mm(s"x_${a}_$b") - mm(s"s_$a") * mm(s"s_$b"))
           / (sqrt(da) * sqrt(db)))
     }
-    prs.map { case (a, b) =>
-      m.select(lit(s"${names(a)}_${names(b)}").as("pair"),
-        col("n"), rho(a, b).as("rho"))
-    }.reduce(_.unionAll(_)).orderBy("pair")
+    // r16: one Project + explode over the 1-row materialized moment
+    // table replaces the 6-branch union (see q222); values identical.
+    m.select(explode(array(prs.map { case (a, b) =>
+        struct(lit(s"${names(a)}_${names(b)}").as("pair"),
+          col("n").as("n"), rho(a, b).as("rho")) }: _*)).as("x"))
+      .select(col("x.pair").as("pair"), col("x.n").as("n"),
+        col("x.rho").as("rho"))
+      .reportSorted("pair")
   }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Materialize._
+import graft.Report._
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -371,19 +372,34 @@ object Sampling {
       .join(broadcast(offsets), "chunk")
       .withColumn("idx", col("local_rn") + col("off") - 1)
       .select("idx", "source")
-    val prev = ord.select((col("idx") + 1).as("idx"),
-      col("source").as("prev_src"))
-    val starts = ord.join(prev.hint("shuffle_hash"), Seq("idx"), "left")
+    // Run-start markers WITHOUT the idx -> idx+1 self-join (r16, guide
+    // §2.4): the predecessor's source is lag(source) within the same
+    // fixed-width idx chunk the prefix sum already partitions by, and
+    // for each chunk's FIRST row it is the previous chunk's LAST source
+    // — a per-chunk 2-column frame with exactly chunkOffsets' own
+    // chunk-table scale, so it broadcasts under the same bound as
+    // `off2` below. idx is dense and unique, so the chunked lag sees
+    // exactly the rows the equi-join on idx+1 saw; two corpus exchanges
+    // (both self-join sides) collapse into the ONE rchunk exchange the
+    // run-id window pays anyway.
+    val ch2 = ord.withColumn("rchunk", expr("idx div 100000"))
+    val w2o = Window.partitionBy("rchunk").orderBy("idx")
+    val lastOfChunk = ch2.groupBy("rchunk")
+      .agg(max(struct(col("idx"), col("source"))).as("m"))
+      .select((col("rchunk") + 1).as("rchunk"), col("m.source").as("carry_src"))
+    val starts = ch2
+      .withColumn("in_src", lag("source", 1).over(w2o))
+      .join(broadcast(lastOfChunk), Seq("rchunk"), "left")
+      .withColumn("prev_src", coalesce(col("in_src"), col("carry_src")))
       .withColumn("st", when(col("prev_src").isNull ||
         col("prev_src") =!= col("source"), 1L).otherwise(0L))
     // run ids: two-phase prefix sum of start markers in idx order
     // (idx is dense, so fixed-width chunks keep per-task frames bounded)
-    val ch2 = starts.withColumn("rchunk", expr("idx div 100000"))
     val w2 = Window.partitionBy("rchunk").orderBy("idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val off2 = chunkOffsets(
-      ch2.groupBy("rchunk").agg(sum("st").as("tot")), "rchunk", "tot")
-    ch2.withColumn("local_cum", sum("st").over(w2))
+      starts.groupBy("rchunk").agg(sum("st").as("tot")), "rchunk", "tot")
+    starts.withColumn("local_cum", sum("st").over(w2))
       .join(broadcast(off2), "rchunk")
       .withColumn("run_id", col("local_cum") + col("off"))
       .groupBy("run_id")
@@ -391,7 +407,7 @@ object Sampling {
       .groupBy("source")
       .agg(sum("len").as("n_docs"), count(lit(1)).as("n_runs"),
         max("len").as("max_run"))
-      .orderBy("source")
+      .reportSorted("source")
   }
 
   /** q122's epoch-schedule CTE chain ending in `sched(source, n_tokens,
@@ -482,7 +498,7 @@ object Sampling {
         .withColumn("cum_chars", col("local_cum") + col("off"))
         .filter(col("cum_chars") <= 50000)
         .select(col("lang"), col("doc_id"), col("cum_chars"))
-        .orderBy("lang", "doc_id")
+        .reportSorted("lang", "doc_id")
     },
       Some(s"""SELECT lang, doc_id, cum_chars FROM (
              |  SELECT lang, doc_id,
@@ -623,7 +639,7 @@ object Sampling {
           (col("waste_tokens").cast("double") /
             (col("n_bins") * lit(cap)).cast("double")).as("waste_frac"))
       cell(64L).unionByName(cell(128L)).unionByName(cell(256L))
-        .orderBy("cap")
+        .reportSorted("cap")
     }, {
       def cell(cap: Long) =
         s"""SELECT CAST($cap AS BIGINT) AS cap,
@@ -675,7 +691,7 @@ object Sampling {
         .select(col("lang"), posexplode(col("top")).as(Seq("r0", "t")))
         .select(col("lang"), (col("r0") + 1).cast("int").as("rank"),
           col("t._2").as("doc_id"), (-col("t._1")).cast("long").as("h"))
-        .orderBy("lang", "rank")
+        .reportSorted("lang", "rank")
     },
       Some(s"""SELECT lang, rank, doc_id, h FROM (
              |  SELECT lang, doc_id, $sqlLehmer AS h,
@@ -854,7 +870,7 @@ object Sampling {
         .join(broadcast(counts), "lang")
         .filter(col("rn") <= col("quota"))
       picked.select(col("lang"), col("doc_id"), col("rn"), col("quota"))
-        .orderBy("lang", "rn")
+        .reportSorted("lang", "rn")
     },
       Some(s"""WITH c AS (
              |  SELECT lang, CAST(count(*) AS BIGINT) AS n_s FROM documents
@@ -905,7 +921,7 @@ object Sampling {
         .withColumn("alloc_tokens", expr("(epochs_ppm * n_tokens) div 1000000"))
         .select("source", "n_tokens", "weight", "target_tokens",
           "epochs_ppm", "capped", "alloc_tokens")
-        .orderBy("source"),
+        .reportSorted("source"),
       Some(s"""WITH $sqlEpochCtes
              |SELECT source, n_tokens, weight, target_tokens, epochs_ppm,
              |  raw_ppm > 4000000 AS capped,
@@ -955,7 +971,7 @@ object Sampling {
           col("total_tokens").cast("double") / col("grand"))
         .select("shard_id", "n_docs", "total_tokens", "min_tokens",
           "max_tokens", "token_frac")
-        .orderBy("shard_id")
+        .reportSorted("shard_id")
     },
       Some("""WITH t AS (
              |  SELECT doc_id,
@@ -1076,7 +1092,7 @@ object Sampling {
           sum(col("n")).over(Window.partitionBy("lang", "source")))
         .withColumn("fold_share",
           col("n").cast("double") / col("stratum_n").cast("double"))
-        .orderBy("lang", "source", "fold")
+        .reportSorted("lang", "source", "fold")
     },
       Some("""WITH a AS MATERIALIZED (
              |  SELECT lang, source,
@@ -1144,7 +1160,7 @@ object Sampling {
       ex.join(ci, "source")
         .select(col("source"), col("n_docs"), col("mean_exact"),
           col("boot_lo"), col("boot_hi"), col("n_reps"))
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some(s"""WITH x AS MATERIALIZED (
              |  SELECT doc_id, source,

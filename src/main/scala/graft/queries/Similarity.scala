@@ -1540,19 +1540,26 @@ object Similarity {
     def degOf(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
     val deg0 = degOf(und)
     var edges = und
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
+      // r16: `keep` stays LAZY — its two semi-join consumers duplicate
+      // an identical groupBy subtree over the round's materialized edge
+      // blocks, which Catalyst's exchange reuse executes once inside
+      // the same action, so the former keep.materialize bought only an
+      // extra scheduled action per round. The LAST round's edge set
+      // also stays lazy: its one consumer is the final degree
+      // aggregation, so materializing it bought nothing either.
       val keep = degOf(edges).filter(col("deg") >= k).select("u")
-        .materialize // both endpoint filters read it
-      val next = edges.join(keep, Seq("u"), "left_semi")
+      val next0 = edges.join(keep, Seq("u"), "left_semi")
         .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
         .select("u", "v")
-        .materialize // next round + final degree read it
+      val next = if (r < rounds) next0.materialize else next0
       // superseded iterations die once their successor holds blocks
-      // (replicated mode otherwise accumulates 2 persisted frames per
+      // (replicated mode otherwise accumulates a persisted frame per
       // round for the query's lifetime); `und` must SURVIVE the loop —
-      // deg0 reads it lazily in the final join
-      keep.release()
-      if (edges ne und) edges.release()
+      // deg0 reads it lazily in the final join — and the LAST round's
+      // materialized frame must survive too: it backs the lazy final
+      // edge set
+      if (r < rounds && (edges ne und)) edges.release()
       edges = next
     }
     degOf(edges).select(col("u").as("node"), col("deg").as("deg_final"))
@@ -1627,7 +1634,7 @@ object Similarity {
 
     // ---- Brute-force cosine top-k (the exact ANN baseline) ---------------
     QueryDef("q48_knn_brute", (s, d) =>
-      bruteTopK(quantized(s, d)).orderBy("q_id", "rank"),
+      bruteTopK(quantized(s, d)).reportSorted("q_id", "rank"),
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
              |n AS (
@@ -1672,7 +1679,7 @@ object Similarity {
         .select(col("q_id"), posexplode(col("top")).as(Seq("r0", "t")))
         .select(col("q_id"), (col("r0") + 1).cast("int").as("rank"),
           col("t._2").as("n_id"), col("t._1").as("cos_sim"))
-        .orderBy("q_id", "rank")
+        .reportSorted("q_id", "rank")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, $sqlQuant AS qv FROM embeddings),
@@ -2036,7 +2043,7 @@ object Similarity {
     // corpus); the positive side is one map-combined max per anchor.
     // Both passes are map-side scans of the same broadcast join.
     QueryDef("q333_hard_negatives", (s, d) =>
-      hardNegatives(t(s, d, "embeddings")).orderBy("q_id", "rank"),
+      hardNegatives(t(s, d, "embeddings")).reportSorted("q_id", "rank"),
       Some(s"""WITH q AS MATERIALIZED (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
              |n AS MATERIALIZED (
@@ -2734,7 +2741,7 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .select("q_id", "q_label", "rank", "n_id", "n_label", "cos_sim")
-        .orderBy("q_id", "rank")
+        .reportSorted("q_id", "rank")
     },
       Some(s"""WITH q AS (
              |  SELECT vec_id, label, $sqlQuant AS qv FROM embeddings),
@@ -4045,33 +4052,35 @@ object Similarity {
         .materialize // read once per hop
       val seeds = und.select(col("u").as("seed")).distinct()
         .filter(col("seed") < 10)
-      var visited = seeds.select(col("seed"), col("seed").as("node"))
-      var frontier = visited
-      val perHop = Seq.newBuilder[DataFrame]
-      perHop += frontier.groupBy("seed")
-        .agg(count(lit(1)).as("frontier_n"))
-        .withColumn("hop", lit(0))
+      // r16 hop fusion (the graphSearchFiltered pattern): ONE
+      // materialized frame per hop — visited rows tagged with the hop
+      // that first reached them. The hop's frontier is a lazy hop = h
+      // cut over the same blocks, and ALL per-hop counts collapse into
+      // one grouped aggregation over the final frame, replacing the
+      // three per-hop materializes (frontier, visited, count — 9
+      // scheduled actions) with three. A (seed, node) pair enters
+      // exactly once (anti-join against the full visited set), so
+      // count(hop = h) == the old hop-h frontier count, row-for-row;
+      // empty frontiers emit no row in both shapes. Superseded frames
+      // are fully contained in their successor — release is
+      // replicated-safe.
+      var visited = seeds.select(col("seed"), col("seed").as("node"),
+        lit(0).as("hop")).materialize
       for (h <- 1 to 3) {
-        val prevFrontier = frontier
-        val prevVisited = visited
+        val frontier = visited.filter(col("hop") === h - 1)
+          .select("seed", "node")
         val expanded = frontier
           .join(und, col("node") === col("u"))
           .select(col("seed"), col("v").as("node")).distinct()
-        frontier = expanded.join(visited, Seq("seed", "node"), "left_anti")
-          .materialize // next hop + count read it
-        visited = visited.unionAll(frontier).materialize
-        // the per-hop count is materialized (<= 10 rows) so the hop's
-        // frontier has NO lazy consumer left and the superseded
-        // frontier/visited frames can release immediately — otherwise
-        // replicated mode holds 2 frames per hop until the final union
-        perHop += frontier.groupBy("seed")
-          .agg(count(lit(1)).as("frontier_n"))
+        val novel = expanded
+          .join(visited.select("seed", "node"), Seq("seed", "node"), "left_anti")
           .withColumn("hop", lit(h))
-          .materialize // retained: unioned into the result after the loop
-        prevFrontier.release()
+        val prevVisited = visited
+        visited = visited.unionAll(novel).materialize
         prevVisited.release()
       }
-      perHop.result().reduce(_.unionAll(_))
+      visited.groupBy("seed", "hop")
+        .agg(count(lit(1)).as("frontier_n"))
         .select(col("seed"), col("hop"), col("frontier_n"))
         .reportSorted("seed", "hop")
     },
@@ -4554,7 +4563,7 @@ object Similarity {
         .withColumn("frac_within_25",
           (col("n_75_90") + col("n_90_110") + col("n_110_125")).cast("double")
             / (col("n_pairs") - col("n_zero_dist")).cast("double"))
-        .orderBy("q_id")
+        .reportSorted("q_id")
     },
       Some {
         val sqlY = (0 until jlDim).map(j =>
@@ -5153,7 +5162,7 @@ object Similarity {
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / 10)
             .as("recall_at_10"))
-        .orderBy("dims", "q_id")
+        .reportSorted("dims", "q_id")
     }, {
       def dotLen(a: String, b: String, len: Int) =
         s"CAST(list_sum(list_transform(range(1, ${len + 1}), " +

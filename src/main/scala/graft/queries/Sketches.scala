@@ -234,7 +234,7 @@ object Sketches {
         .select(col("event_type"), col("n_days"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast("double") <=
             lit(0.05) * col("exact_users").cast("double")).as("within_bounds"))
-        .orderBy("event_type")
+        .reportSorted("event_type")
     },
       Some("""SELECT event_type,
              |  CAST(count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP))) AS BIGINT)
@@ -275,7 +275,7 @@ object Sketches {
         .groupBy("lang")
         .agg(max("n").as("n_docs"),
           (sum(col("n_chars") * col("w")).cast("double") / lit(2.0)).as("median_chars"))
-        .orderBy("lang")
+        .reportSorted("lang")
     },
       Some("""WITH r AS (
              |  SELECT lang, n_chars,
@@ -432,7 +432,7 @@ object Sketches {
             lit(2.0) * col("se"))
         .select("l_returnflag", "l_linestatus", "exact_rows", "n_sample",
           "est_rows", "se", "covered")
-        .orderBy("l_returnflag", "l_linestatus")
+        .reportSorted("l_returnflag", "l_linestatus")
     },
       Some(s"""SELECT l_returnflag, l_linestatus,
              |  CAST(count(*) AS BIGINT) AS exact_rows,
@@ -1004,7 +1004,7 @@ object Sketches {
     // matrix per depth; the matrix, not the tokens, is all that moves.
     QueryDef("q255_cms_cells", (s, d) =>
       graft.streaming.Streams.heavyHitterCounters(t(s, d, "documents"))
-        .orderBy("i", "s"),
+        .reportSorted("i", "s"),
       Some(s"""WITH tok AS MATERIALIZED (
              |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
              |hh AS MATERIALIZED (
@@ -1050,7 +1050,7 @@ object Sketches {
         .agg(max(when(col("which") === "2_med", col("v"))).as("median"),
           max(when(col("which") === "1_lo", col("v"))).as("ci_lo"),
           max(when(col("which") === "3_hi", col("v"))).as("ci_hi"))
-        .orderBy("lang")
+        .reportSorted("lang")
     },
       Some("""WITH dist AS MATERIALIZED (
              |  SELECT lang, CAST(n_chars AS BIGINT) AS v,

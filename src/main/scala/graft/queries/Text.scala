@@ -995,7 +995,7 @@ object Text {
           sum("n").over(Window.partitionBy("lang")))
         .select(col("lang"), col("pred_lang"), col("n"),
           (col("n").cast("double") / col("lang_total")).as("frac_of_lang"))
-        .orderBy("lang", "pred_lang")
+        .reportSorted("lang", "pred_lang")
     },
       Some("""WITH p AS (
              |  SELECT lang,
@@ -1276,7 +1276,7 @@ object Text {
           sum(when(col("is_en"), 1L).otherwise(0L)).as("n_en"))
         .withColumn("observed_en", col("n_en").cast("double") / col("n_docs"))
         .select("bucket", "n_docs", "n_en", "observed_en")
-        .orderBy("bucket")
+        .reportSorted("bucket")
     },
       Some("""WITH sc AS (
              |  SELECT
@@ -1356,7 +1356,7 @@ object Text {
     // on the bounded word-TYPE table plus a 5-row aggregate.
     QueryDef("q136_tokenizer_fertility", (s, d) => {
       val docs = t(s, d, "documents")
-      val seg = bpeStates(docs, 6)._2
+      val seg = bpeStates(docs, 6, retainMerges = false)._2
         .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
       docs.select(col("lang"), explode(toks).as("w"))
         .join(broadcast(seg), "w")
@@ -1451,7 +1451,7 @@ object Text {
     // ~3e9 occurrences of a single token per source; past that the sums
     // promote to DECIMAL(38) (exact and order-free, unlike double sums).
     QueryDef("q178_token_diversity", (s, d) =>
-      tokenDiversity(t(s, d, "documents")).orderBy("source"),
+      tokenDiversity(t(s, d, "documents")).reportSorted("source"),
       Some("""WITH counts AS MATERIALIZED (
              |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
              |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -1639,7 +1639,7 @@ object Text {
       val nEn = size(filter(toks, x => x === "the" || x === "a" || x === "data"))
       kappaAgreement(t(s, d, "documents"),
         col("lang") === "en", nEn.cast("double") / nTok >= 0.05, "source")
-        .orderBy("source")
+        .reportSorted("source")
     },
       Some("""WITH g AS MATERIALIZED (
              |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -1706,7 +1706,7 @@ object Text {
           col("n_shared_docs"), col("tokens_saved"),
           (col("tokens_saved").cast("double") /
             col("total_tokens").cast("double")).as("save_frac"))
-        .orderBy("k")
+        .reportSorted("k")
     },
       Some(s"""WITH tkt AS MATERIALIZED (
              |  SELECT string_split(text, ' ') AS tk FROM documents),
@@ -1903,8 +1903,8 @@ object Text {
     * (trained segmentation): returns (merge table, final word-type
     * table (w, cnt, syms)). The word column rides the whole chain so
     * the trained segmentation stays joinable back to the corpus. */
-  private def bpeStates(documents: DataFrame, steps: Int)
-      : (DataFrame, DataFrame) = {
+  private def bpeStates(documents: DataFrame, steps: Int,
+      retainMerges: Boolean = true): (Option[DataFrame], DataFrame) = {
     var wt = documents
       .select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -1914,7 +1914,7 @@ object Text {
       .materialize
     var merges: Option[DataFrame] = None
     for (i <- 1 to steps) {
-      val best = wt
+      val best0 = wt
         .select(col("cnt"), explode(arrays_zip(
           slice(col("syms"), lit(1), size(col("syms")) - 1),
           slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
@@ -1922,8 +1922,15 @@ object Text {
         .agg(sum("cnt").as("pc"))
         .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
         .withColumn("step", lit(i))
-        .materialize // retained: a row of the returned merge table
-      merges = Some(merges.map(_.union(best)).getOrElse(best))
+      // r16: `best` is materialized ONLY when the caller keeps the merge
+      // table (q118) — it is then retained as a row of the result. The
+      // apply-side callers (q128/q136) consume each step's best exactly
+      // once, as the broadcast build inside the next word-type
+      // materialize, so a separate scheduled action per step bought
+      // nothing: lazy, the 1-row TakeOrdered subtree rides that action.
+      val best = if (retainMerges) best0.materialize else best0
+      if (retainMerges)
+        merges = Some(merges.map(_.union(best)).getOrElse(best))
       val prev = wt
       wt = wt.crossJoin(broadcast(best.select("l", "r")))
         .select(col("w"), col("cnt"), expr(
@@ -1933,18 +1940,18 @@ object Text {
             |       THEN concat(substring(acc, 1, length(acc) - length(l)), l, r)
             |       ELSE concat(acc, ' ', x) END), ' ')""".stripMargin).as("syms"))
         .materialize
-      // the superseded word-type table releases; each step's `best` stays
-      // persisted — it is retained in the returned merge table
+      // the superseded word-type table releases; a retained step `best`
+      // stays persisted — it is a row of the returned merge table
       prev.release()
     }
-    (merges.get, wt)
+    (merges, wt)
   }
 
   /** BPE merge-table training — q118's body, exposed for library use and
     * the scale probe. Returns the `steps`-row merge table
     * (step, lhs, rhs, merged, pair_count) in training order. */
   def bpeTrain(documents: DataFrame, steps: Int): DataFrame =
-    bpeStates(documents, steps)._1
+    bpeStates(documents, steps)._1.get
       .select(col("step"), col("l").as("lhs"), col("r").as("rhs"),
         concat(col("l"), col("r")).as("merged"), col("pc").as("pair_count"))
       .orderBy("step")
@@ -1979,7 +1986,7 @@ object Text {
     * lifecycle). The segmented TYPE table is vocabulary-bounded, so the
     * corpus pass is one broadcast equi-join on the word. */
   def bpeApply(documents: DataFrame, steps: Int): DataFrame = {
-    val seg = bpeStates(documents, steps)._2
+    val seg = bpeStates(documents, steps, retainMerges = false)._2
       .select(col("w"), size(col("syms")).cast("long").as("n_sub"))
     documents
       .select(col("doc_id"), explode(toks).as("w"))
