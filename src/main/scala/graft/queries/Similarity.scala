@@ -1544,7 +1544,7 @@ object Similarity {
       // r16: `keep` stays LAZY — its two semi-join consumers duplicate
       // an identical groupBy subtree over the round's materialized edge
       // blocks, which Catalyst's exchange reuse executes once inside
-      // the same action, so the former keep.materialize bought only an
+      // the same action, so eagerly checkpointing keep bought only an
       // extra scheduled action per round. The LAST round's edge set
       // also stays lazy: its one consumer is the final degree
       // aggregation, so materializing it bought nothing either.
@@ -4732,8 +4732,36 @@ object Similarity {
       val brute = bruteTopK(e).select("q_id", "n_id").materialize
       val queries = e.filter(queryFilter)
         .select(col("vec_id").as("q_id")).materialize
+      // r16 (the q280 sweep-in-one-pass rule): the nprobe = 1/4/16
+      // candidate sets NEST — a candidate probed at p is exactly one
+      // whose cell has probe rank crn <= p — so the probe join and the
+      // cosine scoring run ONCE at the widest setting with crn carried,
+      // and each sweep cell is a window over the crn <= p slice of the
+      // same materialized frame (the oracle's isc/crn structure,
+      // mirrored). Identical per-p rows: same probe order
+      // (c_cos desc, c_id), same scoring, same rank window.
+      val wProbe = Window.partitionBy("q_id")
+        .orderBy(col("c_cos").desc, col("c_id"))
+      val probes16 = quantize(emb.filter(queryFilter))
+        .select(col("vec_id").as("q_id"), col("qv").as("qa"), col("n2").as("na"))
+        .crossJoin(broadcast(idx.cents))
+        .withColumn("c_cos", cosine(col("qa"), col("na"), col("cv"), col("cn")))
+        .withColumn("crn", row_number().over(wProbe))
+        .filter(col("crn") <= 16)
+        .select(col("q_id"), col("qa"), col("na"), col("c_id").as("cell"),
+          col("crn"))
+      val scored = broadcast(probes16).join(idx.assigned, "cell")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos_sim",
+          cosine(col("qa"), col("na"), col("qb"), col("nb")))
+        .select("q_id", "n_id", "cos_sim", "crn")
+        .materialize // three sweep cells read it
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cos_sim").desc, col("n_id"))
       Seq(1, 4, 16).map { p =>
-        val hits = ivfQuery(idx, emb.filter(queryFilter), 10, p)
+        val hits = scored.filter(col("crn") <= p)
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= 10)
           .select("q_id", "n_id")
           .join(brute, Seq("q_id", "n_id"), "left_semi")
           .groupBy("q_id").agg(count(lit(1)).as("h"))

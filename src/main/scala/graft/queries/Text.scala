@@ -1791,12 +1791,20 @@ object Text {
           sum(when(col(s"r$i") <= 10, 1L).otherwise(0L)).as(s"h10_$i"))
       } :+ count(lit(1)).as("n_eval")
       val fin = ranks.agg(finCols.head, finCols.tail: _*).materialize
-      bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
-        fin.select(lit(k1).as("k1"), lit(b).as("b"), col("n_eval"),
-          (col(s"sr$i").cast("double") / col("n_eval").cast("double"))
-            .as("mean_rank"),
-          col(s"h1_$i").as("hits_at_1"), col(s"h10_$i").as("hits_at_10"))
-      }.reduce(_.union(_)).orderBy("k1", "b")
+      // r16: the six sweep-cell rows are one Project + explode over the
+      // 1-row materialized eval frame instead of a 6-branch union (six
+      // scans of the same blocks + a range-sampled terminal sort);
+      // values identical, sweep grid is bounded by construction.
+      fin.select(explode(array(bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
+          struct(lit(k1).as("k1"), lit(b).as("b"),
+            col("n_eval").as("n_eval"),
+            (col(s"sr$i").cast("double") / col("n_eval").cast("double"))
+              .as("mean_rank"),
+            col(s"h1_$i").as("hits_at_1"), col(s"h10_$i").as("hits_at_10")) }: _*)).as("x"))
+        .select(col("x.k1").as("k1"), col("x.b").as("b"),
+          col("x.n_eval").as("n_eval"), col("x.mean_rank").as("mean_rank"),
+          col("x.hits_at_1").as("hits_at_1"), col("x.hits_at_10").as("hits_at_10"))
+        .reportSorted("k1", "b")
     },
       Some {
         val cellScores = Text.bm25Grid.zipWithIndex.map { case ((k1, b), i) =>
@@ -1928,7 +1936,9 @@ object Text {
       // once, as the broadcast build inside the next word-type
       // materialize, so a separate scheduled action per step bought
       // nothing: lazy, the 1-row TakeOrdered subtree rides that action.
-      val best = if (retainMerges) best0.materialize else best0
+      val best = if (retainMerges)
+        best0.materialize // retained: a row of the returned merge table
+      else best0
       if (retainMerges)
         merges = Some(merges.map(_.union(best)).getOrElse(best))
       val prev = wt

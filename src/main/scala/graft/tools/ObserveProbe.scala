@@ -3,10 +3,15 @@ package graft.tools
 import org.apache.spark.sql.{Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.Materialize._
+
 /** r16 probe: does `Dataset.observe` deliver metrics when the action is
-  * `.localCheckpoint()` (the materialize seam)? If yes, iterative loops
-  * can fuse their convergence COUNT into the round's materialize job
-  * instead of paying a separate aggregation job per round.
+  * the materialize seam? If yes, iterative loops whose convergence test
+  * is a GLOBAL row-level aggregate can fuse that count into the round's
+  * materialize job instead of paying a separate aggregation job per
+  * round. (Answer: yes — variant B below runs 2 jobs where A runs 4.
+  * The connected-components star-forest test does NOT qualify: it is a
+  * per-node grouped aggregation, which observe cannot express.)
   *
   * Usage: runMain graft.tools.ObserveProbe <sfDir>
   */
@@ -29,15 +34,15 @@ object ObserveProbe {
 
     // A: materialize then separate count job
     jobs.set(0)
-    val a = ev.localCheckpoint()
+    val a = ev.materialize
     val na = a.filter(col("n") > 10).count()
     println(s"OBSPROBE A_separate jobs=${jobs.get} n=$na")
 
-    // B: observe riding the localCheckpoint
+    // B: observe riding the materialize action
     jobs.set(0)
     val obs = Observation("conv")
     val b = ev.observe(obs, sum(when(col("n") > 10, 1L).otherwise(0L)).as("c"))
-      .localCheckpoint()
+      .materialize
     val nb = obs.get("c")
     println(s"OBSPROBE B_observe jobs=${jobs.get} n=$nb rows=${b.count()}")
     spark.stop()
